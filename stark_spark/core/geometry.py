@@ -1,0 +1,668 @@
+"""Pure-numpy planar geometry kernel (no Shapely in this environment).
+
+Re-implements, from public OGC semantics, the geometry surface the
+reference gets from JTS (`/root/reference/dbis/stark/STObject.scala:209-233`
+uses `org.locationtech.jts.geom.Geometry` + WKT reader): POINT,
+LINESTRING, POLYGON (+ MULTI variants), WKT/WKB codecs, bounding boxes,
+the OGC predicates intersects / contains / covers (+ inverses), and
+euclidean distance.
+
+Two usage shapes:
+
+* scalar ``Geometry`` objects — query constants, driver-side planning;
+* **vectorized kernels** (``points_in_polygon``, ``points_dist_to_geom``)
+  — many points against one fixed geometry, the hot path inside Arrow
+  pandas UDFs (the data tables are point-dominated; query geometries
+  are constants).
+
+Boundary semantics follow OGC/JTS: ``contains(a,b)`` requires an
+interior∩interior point (a point on a polygon's boundary is *covered*
+but not *contained*); ``covers(a,b)`` only requires b ⊆ closure(a).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+from typing import Iterable
+
+import numpy as np
+
+__all__ = [
+    "Geometry", "from_wkt", "to_wkt", "from_wkb", "to_wkb", "bbox",
+    "point", "box", "intersects", "contains", "covers", "distance",
+    "points_in_polygon", "points_dist_to_geom", "decode_points",
+]
+
+_WKB_TYPES = {"POINT": 1, "LINESTRING": 2, "POLYGON": 3,
+              "MULTIPOINT": 4, "MULTILINESTRING": 5, "MULTIPOLYGON": 6}
+_WKB_NAMES = {v: k for k, v in _WKB_TYPES.items()}
+
+_EPS = 1e-12
+
+
+class Geometry:
+    """Immutable planar geometry.
+
+    ``coords``: POINT → (2,) ndarray; LINESTRING → (n,2) ndarray;
+    POLYGON → list of closed (first==last) (n,2) rings, ring 0 = shell;
+    MULTI* → list of child ``Geometry``.
+    """
+
+    __slots__ = ("kind", "coords", "_bbox")
+
+    def __init__(self, kind: str, coords):
+        self.kind = kind
+        self.coords = coords
+        self._bbox = None
+
+    # -- structural helpers -------------------------------------------------
+    def parts(self) -> list["Geometry"]:
+        if self.kind.startswith("MULTI"):
+            return self.coords
+        return [self]
+
+    @property
+    def bbox(self) -> tuple[float, float, float, float]:
+        if self._bbox is None:
+            if self.kind == "POINT":
+                x, y = float(self.coords[0]), float(self.coords[1])
+                self._bbox = (x, y, x, y)
+            elif self.kind == "LINESTRING":
+                c = self.coords
+                self._bbox = (float(c[:, 0].min()), float(c[:, 1].min()),
+                              float(c[:, 0].max()), float(c[:, 1].max()))
+            elif self.kind == "POLYGON":
+                c = self.coords[0]
+                self._bbox = (float(c[:, 0].min()), float(c[:, 1].min()),
+                              float(c[:, 0].max()), float(c[:, 1].max()))
+            else:
+                bs = [p.bbox for p in self.coords]
+                self._bbox = (min(b[0] for b in bs), min(b[1] for b in bs),
+                              max(b[2] for b in bs), max(b[3] for b in bs))
+        return self._bbox
+
+    def is_rectangle(self) -> bool:
+        """True iff a POLYGON is exactly its own bbox (axis-aligned box).
+
+        Lets predicate builders skip the exact-refine UDF entirely: for a
+        rectangle query the native bbox column test IS the exact test for
+        point data.
+        """
+        if self.kind != "POLYGON" or len(self.coords) != 1:
+            return False
+        ring = self.coords[0]
+        if len(ring) != 5:
+            return False
+        xmin, ymin, xmax, ymax = self.bbox
+        want = {(xmin, ymin), (xmin, ymax), (xmax, ymin), (xmax, ymax)}
+        got = {(float(x), float(y)) for x, y in ring[:4]}
+        return got == want
+
+    def __repr__(self):
+        return f"<Geometry {to_wkt(self)[:60]}>"
+
+    def __eq__(self, other):
+        return isinstance(other, Geometry) and to_wkb(self) == to_wkb(other)
+
+    def __hash__(self):
+        return hash(to_wkb(self))
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def point(x: float, y: float) -> Geometry:
+    return Geometry("POINT", np.array([x, y], dtype=np.float64))
+
+
+def box(xmin: float, ymin: float, xmax: float, ymax: float) -> Geometry:
+    ring = np.array([[xmin, ymin], [xmax, ymin], [xmax, ymax],
+                     [xmin, ymax], [xmin, ymin]], dtype=np.float64)
+    return Geometry("POLYGON", [ring])
+
+
+def bbox(g: Geometry) -> tuple[float, float, float, float]:
+    return g.bbox
+
+
+# ---------------------------------------------------------------------------
+# WKT codec
+# ---------------------------------------------------------------------------
+
+_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+
+
+def _parse_ring_text(txt: str) -> np.ndarray:
+    pts = []
+    for pair in txt.split(","):
+        vals = pair.split()
+        pts.append((float(vals[0]), float(vals[1])))  # ignore Z if present
+    return np.array(pts, dtype=np.float64)
+
+
+def _split_parens(body: str) -> list[str]:
+    """Split 'a),(b),(c' style bodies at depth-0 commas."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip().strip("()").strip() for s in out]
+
+
+def from_wkt(wkt: str) -> Geometry:
+    wkt = wkt.strip()
+    m = re.match(r"^\s*([A-Za-z]+)\s*(?:Z|M|ZM)?\s*\((.*)\)\s*$", wkt, re.S)
+    if not m:
+        mm = re.match(r"^\s*([A-Za-z]+)\s+EMPTY\s*$", wkt, re.I)
+        if mm:
+            raise ValueError(f"EMPTY geometry unsupported: {wkt!r}")
+        raise ValueError(f"cannot parse WKT: {wkt[:80]!r}")
+    kind, body = m.group(1).upper(), m.group(2).strip()
+    if kind == "POINT":
+        vals = body.replace("(", " ").replace(")", " ").split()
+        return Geometry("POINT", np.array([float(vals[0]), float(vals[1])]))
+    if kind == "LINESTRING":
+        return Geometry("LINESTRING", _parse_ring_text(body))
+    if kind == "POLYGON":
+        rings = [_close(_parse_ring_text(r)) for r in _split_parens(body)]
+        return Geometry("POLYGON", rings)
+    if kind == "MULTIPOINT":
+        pts = _split_parens(body)
+        return Geometry("MULTIPOINT",
+                        [Geometry("POINT", _parse_ring_text(p)[0]) for p in pts])
+    if kind == "MULTILINESTRING":
+        return Geometry("MULTILINESTRING",
+                        [Geometry("LINESTRING", _parse_ring_text(p))
+                         for p in _split_parens(body)])
+    if kind == "MULTIPOLYGON":
+        polys = []
+        # split top-level polygons: depth-0 commas of the MULTIPOLYGON body
+        for ptxt in _split_depth(body, 0):
+            rings = [_close(_parse_ring_text(r)) for r in _split_parens(ptxt)]
+            polys.append(Geometry("POLYGON", rings))
+        return Geometry("MULTIPOLYGON", polys)
+    raise ValueError(f"unsupported WKT kind {kind}")
+
+
+def _split_depth(body: str, depth0: int) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == depth0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [s.strip().lstrip("(").rstrip(")") for s in out]
+
+
+def _close(ring: np.ndarray) -> np.ndarray:
+    if len(ring) and not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[0]])
+    return ring
+
+
+def _fmt(v: float) -> str:
+    s = f"{v:.12g}"
+    return s
+
+
+def to_wkt(g: Geometry) -> str:
+    if g.kind == "POINT":
+        return f"POINT ({_fmt(g.coords[0])} {_fmt(g.coords[1])})"
+    if g.kind == "LINESTRING":
+        inner = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in g.coords)
+        return f"LINESTRING ({inner})"
+    if g.kind == "POLYGON":
+        rings = ", ".join(
+            "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in r) + ")"
+            for r in g.coords)
+        return f"POLYGON ({rings})"
+    if g.kind == "MULTIPOINT":
+        inner = ", ".join(f"({_fmt(p.coords[0])} {_fmt(p.coords[1])})" for p in g.coords)
+        return f"MULTIPOINT ({inner})"
+    if g.kind == "MULTILINESTRING":
+        inner = ", ".join(
+            "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in p.coords) + ")"
+            for p in g.coords)
+        return f"MULTILINESTRING ({inner})"
+    if g.kind == "MULTIPOLYGON":
+        inner = ", ".join(to_wkt(p)[len("POLYGON "):] for p in g.coords)
+        return f"MULTIPOLYGON ({inner})"
+    raise ValueError(g.kind)
+
+
+# ---------------------------------------------------------------------------
+# WKB codec (ISO little-endian)
+# ---------------------------------------------------------------------------
+
+def to_wkb(g: Geometry) -> bytes:
+    out = [b"\x01", struct.pack("<I", _WKB_TYPES[g.kind])]
+    if g.kind == "POINT":
+        out.append(struct.pack("<2d", float(g.coords[0]), float(g.coords[1])))
+    elif g.kind == "LINESTRING":
+        out.append(struct.pack("<I", len(g.coords)))
+        out.append(np.ascontiguousarray(g.coords, dtype="<f8").tobytes())
+    elif g.kind == "POLYGON":
+        out.append(struct.pack("<I", len(g.coords)))
+        for ring in g.coords:
+            out.append(struct.pack("<I", len(ring)))
+            out.append(np.ascontiguousarray(ring, dtype="<f8").tobytes())
+    else:
+        out.append(struct.pack("<I", len(g.coords)))
+        for part in g.coords:
+            out.append(to_wkb(part))
+    return b"".join(out)
+
+
+def from_wkb(buf: bytes) -> Geometry:
+    g, _ = _from_wkb_at(memoryview(buf), 0)
+    return g
+
+
+def _from_wkb_at(mv: memoryview, off: int) -> tuple[Geometry, int]:
+    bo = "<" if mv[off] == 1 else ">"
+    (typ,) = struct.unpack_from(bo + "I", mv, off + 1)
+    typ &= 0xFF  # mask EWKB flags
+    off += 5
+    kind = _WKB_NAMES[typ]
+    if kind == "POINT":
+        x, y = struct.unpack_from(bo + "2d", mv, off)
+        return Geometry("POINT", np.array([x, y])), off + 16
+    if kind == "LINESTRING":
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        arr = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off)
+        return Geometry("LINESTRING", arr.reshape(n, 2).astype(np.float64)), off + 16 * n
+    if kind == "POLYGON":
+        (nr,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(bo + "I", mv, off)
+            off += 4
+            arr = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off)
+            rings.append(arr.reshape(n, 2).astype(np.float64))
+            off += 16 * n
+        return Geometry("POLYGON", rings), off
+    # MULTI*
+    (n,) = struct.unpack_from(bo + "I", mv, off)
+    off += 4
+    parts = []
+    for _ in range(n):
+        part, off = _from_wkb_at(mv, off)
+        parts.append(part)
+    return Geometry(kind, parts), off
+
+
+def decode_points(wkbs: Iterable[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (x, y) decode for a batch of WKB values.
+
+    Fast path: every value is a 21-byte LE point WKB → one frombuffer.
+    Fallback: per-row decode via centroid-ish representative point
+    (bbox center) for non-point geometries.
+    """
+    wkbs = list(wkbs)
+    n = len(wkbs)
+    if n and all(b is not None and len(b) == 21 and b[0] == 1 for b in wkbs):
+        flat = np.frombuffer(b"".join(wkbs), dtype=np.uint8).reshape(n, 21)
+        xs = flat[:, 5:13].copy().view("<f8").ravel()
+        ys = flat[:, 13:21].copy().view("<f8").ravel()
+        return xs, ys
+    xs = np.full(n, np.nan)
+    ys = np.full(n, np.nan)
+    for i, b in enumerate(wkbs):
+        if b is None:
+            continue
+        g = from_wkb(bytes(b))
+        bb = g.bbox
+        xs[i] = (bb[0] + bb[2]) / 2.0
+        ys[i] = (bb[1] + bb[3]) / 2.0
+    return xs, ys
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernels: many points vs one geometry
+# ---------------------------------------------------------------------------
+
+def _ring_pip(xs: np.ndarray, ys: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Winding-free even-odd ray cast for one ring. Returns bool inside
+    (boundary not guaranteed either way — handled separately)."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    inside = np.zeros(len(xs), dtype=bool)
+    for i in range(len(x0)):
+        ax, ay, bx, by = x0[i], y0[i], x1[i], y1[i]
+        cond = (ay > ys) != (by > ys)
+        if not cond.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ax + (ys - ay) * (bx - ax) / (by - ay)
+        inside ^= cond & (xs < xint)
+    return inside
+
+
+def _on_ring(xs: np.ndarray, ys: np.ndarray, ring: np.ndarray,
+             eps: float = 1e-9) -> np.ndarray:
+    """Points lying on a ring's segments (within eps)."""
+    on = np.zeros(len(xs), dtype=bool)
+    for i in range(len(ring) - 1):
+        ax, ay = ring[i]
+        bx, by = ring[i + 1]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        if L2 < _EPS:
+            d2 = (xs - ax) ** 2 + (ys - ay) ** 2
+            on |= d2 <= eps * eps
+            continue
+        t = np.clip(((xs - ax) * dx + (ys - ay) * dy) / L2, 0.0, 1.0)
+        d2 = (xs - (ax + t * dx)) ** 2 + (ys - (ay + t * dy)) ** 2
+        on |= d2 <= eps * eps
+    return on
+
+
+def points_in_polygon(xs: np.ndarray, ys: np.ndarray, g: Geometry,
+                      boundary: bool = True) -> np.ndarray:
+    """Vectorized point-in-polygon for POLYGON / MULTIPOLYGON.
+
+    ``boundary=True`` → covered-by semantics (boundary counts in);
+    ``boundary=False`` → contains semantics (strict interior only).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    res = np.zeros(len(xs), dtype=bool)
+    for poly in g.parts():
+        assert poly.kind == "POLYGON"
+        xmin, ymin, xmax, ymax = poly.bbox
+        cand = (xs >= xmin) & (xs <= xmax) & (ys >= ymin) & (ys <= ymax)
+        if not cand.any():
+            continue
+        cx, cy = xs[cand], ys[cand]
+        inside = _ring_pip(cx, cy, poly.coords[0])
+        on_shell = _on_ring(cx, cy, poly.coords[0])
+        for hole in poly.coords[1:]:
+            in_hole = _ring_pip(cx, cy, hole)
+            on_hole = _on_ring(cx, cy, hole)
+            inside &= ~(in_hole & ~on_hole)
+            if boundary:
+                inside |= on_hole & (inside | on_shell | _ring_pip(cx, cy, poly.coords[0]))
+            else:
+                inside &= ~on_hole
+        if boundary:
+            ok = inside | on_shell
+        else:
+            ok = inside & ~on_shell
+        sub = res[cand]
+        sub |= ok
+        res[cand] = sub
+    return res
+
+
+def _pts_seg_dist(xs, ys, ax, ay, bx, by):
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    if L2 < _EPS:
+        return np.hypot(xs - ax, ys - ay)
+    t = np.clip(((xs - ax) * dx + (ys - ay) * dy) / L2, 0.0, 1.0)
+    return np.hypot(xs - (ax + t * dx), ys - (ay + t * dy))
+
+
+def points_dist_to_geom(xs: np.ndarray, ys: np.ndarray, g: Geometry) -> np.ndarray:
+    """Vectorized euclidean distance from many points to one geometry."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    best = np.full(len(xs), np.inf)
+    for part in g.parts():
+        if part.kind == "POINT":
+            d = np.hypot(xs - part.coords[0], ys - part.coords[1])
+        elif part.kind == "LINESTRING":
+            d = np.full(len(xs), np.inf)
+            c = part.coords
+            for i in range(len(c) - 1):
+                d = np.minimum(d, _pts_seg_dist(xs, ys, c[i, 0], c[i, 1],
+                                                c[i + 1, 0], c[i + 1, 1]))
+        else:  # POLYGON: 0 inside, else boundary distance
+            d = np.full(len(xs), np.inf)
+            for ring in part.coords:
+                for i in range(len(ring) - 1):
+                    d = np.minimum(d, _pts_seg_dist(xs, ys, ring[i, 0], ring[i, 1],
+                                                    ring[i + 1, 0], ring[i + 1, 1]))
+            inside = points_in_polygon(xs, ys, part, boundary=True)
+            d = np.where(inside, 0.0, d)
+        best = np.minimum(best, d)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# scalar predicates (query-constant vs query-constant, driver-side planning,
+# and the generic refine fallback for non-point data)
+# ---------------------------------------------------------------------------
+
+def _seg_intersect(p1, p2, p3, p4) -> bool:
+    """Closed-segment intersection test (touching counts)."""
+    d1 = _cross(p3, p4, p1)
+    d2 = _cross(p3, p4, p2)
+    d3 = _cross(p1, p2, p3)
+    d4 = _cross(p1, p2, p4)
+    if ((d1 > 0) != (d2 > 0) or (d1 == 0) or (d2 == 0)) and \
+       ((d3 > 0) != (d4 > 0) or (d3 == 0) or (d4 == 0)):
+        # handle collinear / touching via on-segment checks
+        if (d1 > 0) != (d2 > 0) and (d3 > 0) != (d4 > 0):
+            return True
+        for (a, b, c, d) in ((d1, p3, p4, p1), (d2, p3, p4, p2),
+                             (d3, p1, p2, p3), (d4, p1, p2, p4)):
+            if a == 0 and _on_seg(b, c, d):
+                return True
+    return False
+
+
+def _cross(a, b, c) -> float:
+    return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+
+def _on_seg(a, b, p) -> bool:
+    return (min(a[0], b[0]) - _EPS <= p[0] <= max(a[0], b[0]) + _EPS and
+            min(a[1], b[1]) - _EPS <= p[1] <= max(a[1], b[1]) + _EPS)
+
+
+def _edges(g: Geometry):
+    if g.kind == "LINESTRING":
+        c = g.coords
+        for i in range(len(c) - 1):
+            yield c[i], c[i + 1]
+    elif g.kind == "POLYGON":
+        for ring in g.coords:
+            for i in range(len(ring) - 1):
+                yield ring[i], ring[i + 1]
+
+
+def _bbox_disjoint(a: Geometry, b: Geometry) -> bool:
+    ab, bb = a.bbox, b.bbox
+    return ab[2] < bb[0] or bb[2] < ab[0] or ab[3] < bb[1] or bb[3] < ab[1]
+
+
+def _pt_covered(pt: np.ndarray, g: Geometry) -> bool:
+    if g.kind == "POINT":
+        return bool(np.all(np.abs(pt - g.coords) <= 1e-9))
+    if g.kind == "LINESTRING":
+        return bool(_on_ring(np.array([pt[0]]), np.array([pt[1]]), g.coords)[0])
+    if g.kind == "POLYGON":
+        return bool(points_in_polygon(np.array([pt[0]]), np.array([pt[1]]),
+                                      g, boundary=True)[0])
+    return any(_pt_covered(pt, p) for p in g.parts())
+
+
+def _pt_inside(pt: np.ndarray, g: Geometry) -> bool:
+    if g.kind == "POLYGON" or g.kind == "MULTIPOLYGON":
+        return bool(points_in_polygon(np.array([pt[0]]), np.array([pt[1]]),
+                                      g, boundary=False)[0])
+    if g.kind == "POINT":
+        return bool(np.all(np.abs(pt - g.coords) <= 1e-9))
+    return False  # a linestring's interior can't strictly contain in 2-D area sense
+
+
+def intersects(a: Geometry, b: Geometry) -> bool:
+    if _bbox_disjoint(a, b):
+        return False
+    for pa in a.parts():
+        for pb in b.parts():
+            if _parts_intersect(pa, pb):
+                return True
+    return False
+
+
+def _parts_intersect(a: Geometry, b: Geometry) -> bool:
+    if a.kind == "POINT":
+        return _pt_covered(a.coords, b)
+    if b.kind == "POINT":
+        return _pt_covered(b.coords, a)
+    # edge-edge crossing
+    for e1 in _edges(a):
+        for e2 in _edges(b):
+            if _seg_intersect(e1[0], e1[1], e2[0], e2[1]):
+                return True
+    # full containment (no boundary crossing): test a representative vertex
+    if a.kind == "POLYGON" and _pt_covered(_first_vertex(b), a):
+        return True
+    if b.kind == "POLYGON" and _pt_covered(_first_vertex(a), b):
+        return True
+    return False
+
+
+def _first_vertex(g: Geometry) -> np.ndarray:
+    if g.kind == "POINT":
+        return g.coords
+    if g.kind == "LINESTRING":
+        return g.coords[0]
+    return g.coords[0][0]
+
+
+def covers(a: Geometry, b: Geometry) -> bool:
+    """b ⊆ closure(a)."""
+    if _bbox_disjoint(a, b):
+        return False
+    for pb in b.parts():
+        if not _part_covered_by(pb, a):
+            return False
+    return True
+
+
+def _part_covered_by(b: Geometry, a: Geometry) -> bool:
+    """Is part ``b`` entirely within closure of (possibly multi) ``a``?"""
+    if b.kind == "POINT":
+        return _pt_covered(b.coords, a)
+    # all vertices covered
+    verts = b.coords if b.kind == "LINESTRING" else np.vstack(b.coords)
+    for v in verts:
+        if not _pt_covered(v, a):
+            return False
+    # no edge of b properly exits a: check midpoints of b-edges split by any
+    # crossing with a's boundary. Simple sufficient test: midpoints of each
+    # b edge and crossings with a edges.
+    a_parts = a.parts()
+    for (p, q) in _edges(b) if b.kind != "POINT" else []:
+        # collect crossing parameters t along (p,q) with all edges of a
+        ts = [0.0, 1.0]
+        for ap in a_parts:
+            for (r, s) in _edges(ap):
+                t = _seg_cross_param(p, q, r, s)
+                if t is not None:
+                    ts.append(t)
+        ts.sort()
+        for i in range(len(ts) - 1):
+            tm = (ts[i] + ts[i + 1]) / 2.0
+            mid = np.array([p[0] + tm * (q[0] - p[0]), p[1] + tm * (q[1] - p[1])])
+            if not _pt_covered(mid, a):
+                return False
+    # holes of a must not strictly contain any area of b (polygon b with a
+    # hole of a strictly inside it) — detect hole vertex strictly inside b
+    if b.kind == "POLYGON":
+        for ap in a_parts:
+            if ap.kind != "POLYGON":
+                continue
+            for hole in ap.coords[1:]:
+                hx, hy = hole[:-1, 0], hole[:-1, 1]
+                strict = points_in_polygon(hx, hy, b, boundary=False)
+                if strict.any():
+                    return False
+    return True
+
+
+def _seg_cross_param(p, q, r, s):
+    """Parameter t in (0,1) where segment pq crosses rs, else None."""
+    d = (q[0] - p[0]) * (s[1] - r[1]) - (q[1] - p[1]) * (s[0] - r[0])
+    if abs(d) < _EPS:
+        return None
+    t = ((r[0] - p[0]) * (s[1] - r[1]) - (r[1] - p[1]) * (s[0] - r[0])) / d
+    u = ((r[0] - p[0]) * (q[1] - p[1]) - (r[1] - p[1]) * (q[0] - p[0])) / d
+    if 0.0 < t < 1.0 and -_EPS <= u <= 1.0 + _EPS:
+        return t
+    return None
+
+
+def contains(a: Geometry, b: Geometry) -> bool:
+    """OGC contains: covers(a,b) AND interiors intersect."""
+    if not covers(a, b):
+        return False
+    # need one point of b in interior of a
+    if b.kind == "POINT":
+        return _pt_inside(b.coords, a)
+    if b.kind.startswith("MULTI"):
+        return any(contains(a, p) for p in b.parts())
+    # probe vertices + edge midpoints + centroid-ish point
+    probes = [v for v in (b.coords if b.kind == "LINESTRING" else b.coords[0])]
+    if b.kind == "POLYGON":
+        sh = b.coords[0]
+        probes.append(sh[:-1].mean(axis=0))
+    for (p, q) in _edges(b):
+        probes.append((np.asarray(p) + np.asarray(q)) / 2.0)
+    return any(_pt_inside(np.asarray(v), a) for v in probes)
+
+
+def distance(a: Geometry, b: Geometry) -> float:
+    """Minimum euclidean distance between two geometries (0 if intersecting)."""
+    if intersects(a, b):
+        return 0.0
+    best = math.inf
+    for pa in a.parts():
+        for pb in b.parts():
+            best = min(best, _parts_dist(pa, pb))
+    return best
+
+
+def _parts_dist(a: Geometry, b: Geometry) -> float:
+    if a.kind == "POINT":
+        return float(points_dist_to_geom(np.array([a.coords[0]]),
+                                         np.array([a.coords[1]]), b)[0])
+    if b.kind == "POINT":
+        return _parts_dist(b, a)
+    best = math.inf
+    for (p, q) in _edges(a):
+        for (r, s) in _edges(b):
+            best = min(best, _seg_seg_dist(p, q, r, s))
+    return best
+
+
+def _seg_seg_dist(p, q, r, s) -> float:
+    if _seg_intersect(p, q, r, s):
+        return 0.0
+    cands = []
+    for (pt, seg) in ((p, (r, s)), (q, (r, s)), (r, (p, q)), (s, (p, q))):
+        cands.append(float(_pts_seg_dist(np.array([pt[0]]), np.array([pt[1]]),
+                                         seg[0][0], seg[0][1], seg[1][0], seg[1][1])[0]))
+    return min(cands)

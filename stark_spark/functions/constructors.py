@@ -1,0 +1,161 @@
+"""Geometry constructors: WKT/x,y/timestamp → canonical ST columns.
+
+Reference SQL surface (`/root/reference/sql/spatial/STConstructor.scala`):
+``st_geomfromwkt(str)`` (:24-46), ``st_point(x,y)`` (:68-96),
+``st_sto(wkt, date|y,m,d)`` (:98-148). Ours return the canonical
+encoding from SURVEY.md §1.8: ``geom`` = WKB BinaryType; bbox doubles
+``xmin,ymin,xmax,ymax``; nullable epoch-second longs ``t_start,t_end``.
+
+Constructors are the only place WKT parsing happens; they're Arrow
+pandas UDFs (vectorized numpy WKB assembly for the point fast path).
+Everything downstream works on WKB + native bbox columns.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (BinaryType, DoubleType, StringType, StructField,
+                               StructType)
+
+from stark_spark.core import geometry as G
+
+BBOX_COLS = ("xmin", "ymin", "xmax", "ymax")
+
+_POINT_HDR = b"\x01\x01\x00\x00\x00"
+
+
+def _points_to_wkb(xs: np.ndarray, ys: np.ndarray) -> list[bytes | None]:
+    """Vectorized 21-byte point-WKB assembly."""
+    n = len(xs)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0:5] = np.frombuffer(_POINT_HDR, dtype=np.uint8)
+    buf[:, 5:13] = np.asarray(xs, dtype="<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = np.asarray(ys, dtype="<f8").view(np.uint8).reshape(n, 8)
+    raw = buf.tobytes()
+    nan = np.isnan(xs) | np.isnan(ys)
+    return [None if nan[i] else raw[i * 21:(i + 1) * 21] for i in range(n)]
+
+
+@pandas_udf(BinaryType())
+def _st_point_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    xs = x.to_numpy(dtype=np.float64, na_value=np.nan)
+    ys = y.to_numpy(dtype=np.float64, na_value=np.nan)
+    return pd.Series(_points_to_wkb(xs, ys))
+
+
+@pandas_udf(BinaryType())
+def _st_geomfromwkt_udf(wkt: pd.Series) -> pd.Series:
+    out = []
+    for s in wkt:
+        out.append(None if s is None else G.to_wkb(G.from_wkt(s)))
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
+def _st_wkt_udf(wkb: pd.Series) -> pd.Series:
+    out = []
+    for b in wkb:
+        out.append(None if b is None else G.to_wkt(G.from_wkb(bytes(b))))
+    return pd.Series(out)
+
+
+@pandas_udf(StructType([StructField(c, DoubleType()) for c in BBOX_COLS]))
+def _st_bbox_udf(wkb: pd.Series) -> pd.DataFrame:
+    n = len(wkb)
+    vals = np.full((n, 4), np.nan)
+    # fast path: uniform point batch
+    blist = list(wkb)
+    if all(b is not None and len(b) == 21 and b[0] == 1 for b in blist):
+        xs, ys = G.decode_points(blist)
+        vals[:, 0] = xs
+        vals[:, 1] = ys
+        vals[:, 2] = xs
+        vals[:, 3] = ys
+    else:
+        for i, b in enumerate(blist):
+            if b is None:
+                continue
+            vals[i] = G.from_wkb(bytes(b)).bbox
+    return pd.DataFrame(vals, columns=list(BBOX_COLS))
+
+
+def st_point(x: Column | str, y: Column | str) -> Column:
+    """WKB point column from two numeric columns (vectorized)."""
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    return _st_point_udf(x.cast("double"), y.cast("double"))
+
+
+def st_geomfromwkt(wkt: Column | str) -> Column:
+    wkt = F.col(wkt) if isinstance(wkt, str) else wkt
+    return _st_geomfromwkt_udf(wkt)
+
+
+def st_wkt(geom: Column | str) -> Column:
+    geom = F.col(geom) if isinstance(geom, str) else geom
+    return _st_wkt_udf(geom)
+
+
+def with_bbox(df: DataFrame, geom_col: str = "geom",
+              x: str | None = None, y: str | None = None) -> DataFrame:
+    """Attach native bbox columns.
+
+    If the frame is known point data (``x``/``y`` source columns given),
+    the bbox is pure native column arithmetic — no UDF, fully codegen'd
+    and prunable in Parquet row-group stats. Otherwise one bbox UDF pass.
+    """
+    if x is not None and y is not None:
+        return (df.withColumn("xmin", F.col(x).cast("double"))
+                  .withColumn("ymin", F.col(y).cast("double"))
+                  .withColumn("xmax", F.col(x).cast("double"))
+                  .withColumn("ymax", F.col(y).cast("double")))
+    b = _st_bbox_udf(F.col(geom_col))
+    df = df.withColumn("_bb", b)
+    for c in BBOX_COLS:
+        df = df.withColumn(c, F.col(f"_bb.{c}"))
+    return df.drop("_bb")
+
+
+def with_time(df: DataFrame, t_start: Column | str | None,
+              t_end: Column | str | None = None) -> DataFrame:
+    """Attach nullable epoch-second time columns (Instant ≡ start==end;
+    open interval ≡ t_end NULL; undefined ≡ both NULL)."""
+    def _to_epoch(c):
+        if c is None:
+            return F.lit(None).cast("long")
+        c = F.col(c) if isinstance(c, str) else c
+        return F.when(c.isNull(), F.lit(None).cast("long")) \
+                .otherwise(c.cast("timestamp").cast("long"))
+    df = df.withColumn("t_start", _to_epoch(t_start))
+    if t_end is None:
+        df = df.withColumn("t_end", F.col("t_start"))
+    else:
+        df = df.withColumn("t_end", _to_epoch(t_end))
+    return df
+
+
+def st_frame(df: DataFrame, *, x: str | None = None, y: str | None = None,
+             wkt: str | None = None, t_start=None, t_end=None,
+             keep_geom: bool = True) -> DataFrame:
+    """Canonical ST-frame: geom WKB + bbox + time from raw columns.
+
+    Point fast path (``x``,``y``): bbox natively, geom via the
+    vectorized point-WKB UDF (skippable with ``keep_geom=False`` for
+    pure-native point pipelines).
+    """
+    if wkt is not None:
+        df = df.withColumn("geom", st_geomfromwkt(wkt))
+        df = with_bbox(df, "geom")
+    elif x is not None and y is not None:
+        if keep_geom:
+            df = df.withColumn("geom", st_point(x, y))
+        df = with_bbox(df, x=x, y=y)
+    else:
+        raise ValueError("need wkt= or x=/y=")
+    return with_time(df, t_start, t_end)

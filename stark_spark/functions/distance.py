@@ -1,0 +1,97 @@
+"""Distance functions.
+
+Reference (`dbis/stark/Distance.scala:118-167`): spatial euclid over
+centroids (:127-128), temporal euclid (start difference, :129),
+weighted space+time scalarization (:118-133), Hausdorff (:139-167).
+Results are plain DoubleType columns (SURVEY.md §1.8).
+
+The point⇄point case is pure native column arithmetic (codegen); the
+geometry-vs-constant case is one Arrow UDF over the vectorized kernel.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from stark_spark.core import geometry as G
+
+
+def st_distance_xy(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    """Euclidean distance between two native point columns — stays in
+    whole-stage codegen (the hot path for kNN / withinDistance over
+    point frames)."""
+    return F.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+
+
+def st_distance_to(query, geom_col: str = "geom") -> Column:
+    """Distance from each row geometry to a constant query geometry."""
+    q = query if isinstance(query, G.Geometry) else (
+        G.from_wkt(query) if isinstance(query, str) else G.from_wkb(bytes(query)))
+    qwkb = G.to_wkb(q)
+
+    @pandas_udf(DoubleType())
+    def dist(wkb: pd.Series) -> pd.Series:
+        qg = G.from_wkb(qwkb)
+        blist = list(wkb)
+        if all(b is not None and len(b) == 21 and b[0] == 1 for b in blist):
+            xs, ys = G.decode_points(blist)
+            return pd.Series(G.points_dist_to_geom(xs, ys, qg))
+        out = []
+        for b in blist:
+            out.append(None if b is None else G.distance(G.from_wkb(bytes(b)), qg))
+        return pd.Series(out, dtype="float64")
+
+    return dist(F.col(geom_col))
+
+
+def temporal_distance(t1: Column, t2: Column) -> Column:
+    """|start difference| in seconds (`Distance.scala:129`)."""
+    return F.abs(t1.cast("double") - t2.cast("double"))
+
+
+def weighted_st_distance(spatial_d: Column, temporal_d: Column,
+                         w_space: float = 1.0, w_time: float = 1.0) -> Column:
+    """Weighted scalarization of (space, time) distance
+    (`Distance.scala:118-133`)."""
+    return F.lit(w_space) * spatial_d + F.lit(w_time) * temporal_d
+
+
+def hausdorff_to(query, geom_col: str = "geom") -> Column:
+    """Directed Hausdorff distance row→query (`Distance.scala:139-167`):
+    max over row vertices of min distance to the query geometry.
+    For point rows this equals the plain distance."""
+    q = query if isinstance(query, G.Geometry) else G.from_wkt(query)
+    qwkb = G.to_wkb(q)
+
+    @pandas_udf(DoubleType())
+    def hd(wkb: pd.Series) -> pd.Series:
+        import numpy as np
+        qg = G.from_wkb(qwkb)
+        blist = list(wkb)
+        if all(b is not None and len(b) == 21 and b[0] == 1 for b in blist):
+            xs, ys = G.decode_points(blist)
+            return pd.Series(G.points_dist_to_geom(xs, ys, qg))
+        out = []
+        for b in blist:
+            if b is None:
+                out.append(None)
+                continue
+            g = G.from_wkb(bytes(b))
+            if g.kind == "POINT":
+                vs = g.coords.reshape(1, 2)
+            elif g.kind == "LINESTRING":
+                vs = g.coords
+            elif g.kind == "POLYGON":
+                vs = np.vstack(g.coords)
+            else:
+                vs = np.vstack([p.coords if p.kind != "POLYGON"
+                                else np.vstack(p.coords) for p in g.parts()])
+            d = G.points_dist_to_geom(vs[:, 0], vs[:, 1], qg)
+            out.append(float(d.max()))
+        return pd.Series(out, dtype="float64")
+
+    return hd(F.col(geom_col))

@@ -1,0 +1,157 @@
+"""Unit tests for the pure-numpy geometry kernel.
+
+Mirrors the reference's data-model suites (STObjectTest.scala — parity
+noted per test) plus hypothesis property tests pitting the vectorized
+point-in-polygon kernel against a slow scalar reference.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stark_spark.core import geometry as G
+
+
+def test_wkt_roundtrip_point():
+    g = G.from_wkt("POINT (1.5 -2.25)")
+    assert g.kind == "POINT"
+    assert G.from_wkt(G.to_wkt(g)) == g
+
+
+def test_wkt_roundtrip_polygon_with_hole():
+    wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+    g = G.from_wkt(wkt)
+    assert g.kind == "POLYGON" and len(g.coords) == 2
+    assert G.from_wkb(G.to_wkb(g)) == g
+
+
+def test_wkt_multipolygon():
+    wkt = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))"
+    g = G.from_wkt(wkt)
+    assert g.kind == "MULTIPOLYGON" and len(g.coords) == 2
+    assert G.from_wkb(G.to_wkb(g)).kind == "MULTIPOLYGON"
+
+
+def test_wkb_point_vectorized_decode():
+    pts = [G.point(i, -i) for i in range(100)]
+    xs, ys = G.decode_points([G.to_wkb(p) for p in pts])
+    assert np.allclose(xs, np.arange(100))
+    assert np.allclose(ys, -np.arange(100))
+
+
+def test_box_is_rectangle():
+    assert G.box(0, 0, 5, 5).is_rectangle()
+    tri = G.from_wkt("POLYGON ((0 0, 5 0, 5 5, 0 0))")
+    assert not tri.is_rectangle()
+
+
+# --- predicates: parity with STObjectTest.scala expectations -----------------
+
+def test_point_in_polygon_basic():
+    poly = G.box(0, 0, 10, 10)
+    # interior / boundary / exterior
+    assert G.covers(poly, G.point(5, 5))
+    assert G.covers(poly, G.point(0, 5))      # boundary covered
+    assert not G.contains(poly, G.point(0, 5))  # but not contained (OGC)
+    assert G.contains(poly, G.point(5, 5))
+    assert not G.covers(poly, G.point(-1, 5))
+
+
+def test_polygon_hole_semantics():
+    g = G.from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert not G.covers(g, G.point(3, 3))    # inside the hole
+    assert G.covers(g, G.point(2, 3))        # on hole boundary = covered
+    assert G.covers(g, G.point(5, 5))
+
+
+def test_polygon_polygon_predicates():
+    a = G.box(0, 0, 10, 10)
+    b = G.box(2, 2, 4, 4)
+    c = G.box(8, 8, 12, 12)
+    d = G.box(20, 20, 30, 30)
+    assert G.contains(a, b) and G.covers(a, b)
+    assert G.intersects(a, c) and not G.contains(a, c)
+    assert not G.intersects(a, d)
+    # shared-edge box: covered but not contained? OGC: contains holds if an
+    # interior point is shared — a box on the edge sharing interior → contains.
+    e = G.box(0, 0, 5, 5)
+    assert G.covers(a, e) and G.contains(a, e)
+
+
+def test_linestring_predicates():
+    ls = G.from_wkt("LINESTRING (0 0, 10 10)")
+    poly = G.box(0, 0, 10, 10)
+    assert G.intersects(ls, poly)
+    assert G.covers(poly, ls)
+    crossing = G.from_wkt("LINESTRING (-5 5, 15 5)")
+    assert G.intersects(crossing, poly)
+    assert not G.covers(poly, crossing)
+
+
+def test_distance():
+    assert G.distance(G.point(0, 0), G.point(3, 4)) == pytest.approx(5.0)
+    poly = G.box(0, 0, 10, 10)
+    assert G.distance(poly, G.point(5, 5)) == 0.0
+    assert G.distance(poly, G.point(13, 10)) == pytest.approx(3.0)
+    ls = G.from_wkt("LINESTRING (0 0, 10 0)")
+    assert G.distance(ls, G.point(5, 2)) == pytest.approx(2.0)
+
+
+def test_points_dist_vectorized_matches_scalar():
+    poly = G.from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    xs = np.array([2.0, 5.0, -3.0])
+    ys = np.array([2.0, 0.0, 0.0])
+    d = G.points_dist_to_geom(xs, ys, poly)
+    assert d[0] == 0.0 and d[1] == pytest.approx(1.0) and d[2] == pytest.approx(3.0)
+
+
+# --- hypothesis: vectorized PIP vs slow winding reference --------------------
+
+def _slow_pip(px, py, ring) -> bool:
+    """Even-odd scalar ray cast (textbook)."""
+    inside = False
+    for i in range(len(ring) - 1):
+        ax, ay = ring[i]
+        bx, by = ring[i + 1]
+        if (ay > py) != (by > py):
+            xint = ax + (py - ay) * (bx - ax) / (by - ay)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    px=st.floats(-15, 15), py=st.floats(-15, 15),
+    cx=st.floats(-5, 5), cy=st.floats(-5, 5),
+    r=st.floats(1, 8), n=st.integers(3, 12),
+)
+def test_pip_property(px, py, cx, cy, r, n):
+    ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
+    ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    ring = np.vstack([ring, ring[0]])
+    poly = G.Geometry("POLYGON", [ring])
+    got = G.points_in_polygon(np.array([px]), np.array([py]), poly)[0]
+    want = _slow_pip(px, py, ring)
+    # boundary-epsilon cases may differ legitimately; skip points very close
+    # to the ring
+    d = G.points_dist_to_geom(np.array([px]), np.array([py]),
+                              G.Geometry("LINESTRING", ring))[0]
+    if d > 1e-6:
+        assert bool(got) == bool(want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    xmin=st.floats(-10, 0), ymin=st.floats(-10, 0),
+    w=st.floats(0.5, 10), h=st.floats(0.5, 10),
+    px=st.floats(-12, 12), py=st.floats(-12, 12),
+)
+def test_box_cover_matches_arithmetic(xmin, ymin, w, h, px, py):
+    b = G.box(xmin, ymin, xmin + w, ymin + h)
+    want = (xmin <= px <= xmin + w) and (ymin <= py <= ymin + h)
+    assert G.covers(b, G.point(px, py)) == want
