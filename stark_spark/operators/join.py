@@ -1,0 +1,210 @@
+"""Spatial / spatio-temporal joins.
+
+Reference joins (`PlainSpatialRDDFunctions.scala:262-348`,
+`SpatialJoinRDD.scala:60-132`, `JoinRDD.scala:91-207`) are
+partition-wise nested loops with optional per-partition R-trees and a
+driver-computed partition-pair graph. Our physical shape (SURVEY.md
+§2.3) is the PBSM-style **grid join**:
+
+1. explode each side to the grid cells its envelope covers (native
+   array expr; points → exactly one cell, no row growth);
+2. **cell equi-join** — an ordinary Catalyst join: hash/SMJ, AQE skew
+   handling, broadcast upgrade, exchange reuse all apply;
+3. native **bbox prefilter** inside the join condition (codegen);
+4. exact **refine** via the pair pandas UDF — skipped when both sides
+   are points and the predicate reduces to native arithmetic;
+5. duplicate elimination WITHOUT a distinct-shuffle: the
+   **reference-point technique** — a candidate pair is emitted only in
+   the one cell that contains the top-left corner of the two
+   envelopes' intersection. (The reference instead dodges dups via
+   home-cell partitioning + `oneToMany` overlap handling,
+   Readme.md:39-41; `zipJoin` pays a `.distinct()`, PSF:347.)
+
+Broadcast path (`broadcastJoin`, PSF:285-298): small side broadcast +
+bbox-condition BroadcastNestedLoopJoin + refine — no grid, no shuffle.
+
+At 100 TB: the equi-join shuffles both sides once on the cell key;
+grid resolution trades shuffle fan-out vs candidate count; skewed
+cells (a giant polygon covering many cells) are bounded by AQE skew
+splitting; broadcast handles dim-sized sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stark_spark.core.temporal import st_conjunction
+from stark_spark.functions.predicates import PREDICATES, st_relate_pair
+from stark_spark.partitioner.grid import GridSpec
+
+_ST_COLS = ("geom", "xmin", "ymin", "xmax", "ymax", "t_start", "t_end", "x", "y")
+
+
+def _suffix_right(left: DataFrame, right: DataFrame, suffix: str):
+    """Rename right's ST columns (always) and colliding payload columns."""
+    lcols = set(left.columns)
+    renames = {}
+    for c in right.columns:
+        if c in _ST_COLS or c in lcols:
+            renames[c] = c + suffix
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+    return right, renames
+
+
+def _bbox_overlap(suffix: str) -> Column:
+    return ((F.col("xmin") <= F.col("xmax" + suffix)) &
+            (F.col("xmin" + suffix) <= F.col("xmax")) &
+            (F.col("ymin") <= F.col("ymax" + suffix)) &
+            (F.col("ymin" + suffix) <= F.col("ymax")))
+
+
+def _bbox_within(suffix: str) -> Column:
+    """left envelope within right envelope (containedby/coveredby prefilter)."""
+    return ((F.col("xmin") >= F.col("xmin" + suffix)) &
+            (F.col("xmax") <= F.col("xmax" + suffix)) &
+            (F.col("ymin") >= F.col("ymin" + suffix)) &
+            (F.col("ymax") <= F.col("ymax" + suffix)))
+
+
+_PRE = {
+    "intersects": _bbox_overlap,
+    "containedby": _bbox_within,
+    "coveredby": _bbox_within,
+    "contains": lambda s: _bbox_within_inv(s),
+    "covers": lambda s: _bbox_within_inv(s),
+}
+
+
+def _bbox_within_inv(suffix: str) -> Column:
+    return ((F.col("xmin" + suffix) >= F.col("xmin")) &
+            (F.col("xmax" + suffix) <= F.col("xmax")) &
+            (F.col("ymin" + suffix) >= F.col("ymin")) &
+            (F.col("ymax" + suffix) <= F.col("ymax")))
+
+
+def _temporal(on_time: bool | str, predicate: str, suffix: str) -> Column | None:
+    """§1.2 conjunct between the two sides' time columns (or skip)."""
+    if on_time in (False, "ignore"):
+        return None
+    ls, le = F.col("t_start"), F.col("t_end")
+    rs, re = F.col("t_start" + suffix), F.col("t_end" + suffix)
+    return st_conjunction(F.lit(True), predicate, ls, le, rs, re)
+
+
+def _points_native_pred(predicate: str, suffix: str) -> Column:
+    """Point⋈point: every predicate degenerates to coordinate equality."""
+    return ((F.col("xmin") == F.col("xmin" + suffix)) &
+            (F.col("ymin") == F.col("ymin" + suffix)))
+
+
+def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
+            *, grid: GridSpec | None = None, on_time: bool | str = "ignore",
+            left_points: bool = False, right_points: bool = False,
+            broadcast: bool = False, suffix: str = "_r",
+            expand: float = 0.0) -> DataFrame:
+    """Predicate join. Returns left ⋈ right with right's ST columns
+    suffixed. ``expand`` widens the left envelope (used by
+    within-distance joins).
+
+    ``broadcast=True`` → BNLJ with the small right side broadcast
+    (reference `broadcastJoin`); otherwise grid equi-join.
+    """
+    if predicate not in PREDICATES:
+        raise ValueError(predicate)
+    right, _ = _suffix_right(left, right, suffix)
+
+    both_points = left_points and right_points
+    pre = _PRE[predicate](suffix) if expand == 0.0 else _bbox_overlap_expand(suffix, expand)
+
+    if broadcast:
+        joined = left.join(F.broadcast(right), on=pre, how="inner")
+        return _refine(joined, predicate, both_points, on_time, suffix, expand)
+
+    if grid is None:
+        raise ValueError("grid required for the partitioned join "
+                         "(or pass broadcast=True)")
+
+    # explode to covering cells; a point side (with no expansion) has
+    # exactly one home cell — native cell expr, no row growth
+    left_single = left_points and expand == 0.0
+    if left_single:
+        l = left.withColumn("_cell", grid.cell_expr(F.col("xmin"), F.col("ymin")))
+    else:
+        l = left.withColumn("_cell", F.explode(grid.cells_array_expr(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            expand=expand)))
+    if right_points:
+        r = right.withColumn("_cell", grid.cell_expr(
+            F.col("xmin" + suffix), F.col("ymin" + suffix)))
+    else:
+        r = right.withColumn("_cell", F.explode(grid.cells_array_expr(
+            F.col("xmin" + suffix), F.col("ymin" + suffix),
+            F.col("xmax" + suffix), F.col("ymax" + suffix))))
+
+    joined = l.join(r, on=["_cell"], how="inner").where(pre)
+
+    # reference-point dedup: a pair meets in |cells(l) ∩ cells(r)| cells;
+    # keep it only in the one containing the top-left corner of the
+    # envelope intersection (⇒ no distinct-shuffle). When either side is
+    # single-cell the intersection has ≤1 cell — no dups, skip the test.
+    if not left_single and not right_points:
+        ref_x = F.greatest(F.col("xmin") - F.lit(expand), F.col("xmin" + suffix))
+        ref_y = F.greatest(F.col("ymin") - F.lit(expand), F.col("ymin" + suffix))
+        joined = joined.where(F.col("_cell") == grid.cell_expr(ref_x, ref_y))
+
+    return _refine(joined, predicate, both_points, on_time, suffix, expand).drop("_cell")
+
+
+def _bbox_overlap_expand(suffix: str, d: float) -> Column:
+    return ((F.col("xmin") - F.lit(d) <= F.col("xmax" + suffix)) &
+            (F.col("xmin" + suffix) <= F.col("xmax") + F.lit(d)) &
+            (F.col("ymin") - F.lit(d) <= F.col("ymax" + suffix)) &
+            (F.col("ymin" + suffix) <= F.col("ymax") + F.lit(d)))
+
+
+def _refine(joined: DataFrame, predicate: str, both_points: bool,
+            on_time, suffix: str, expand: float) -> DataFrame:
+    if expand == 0.0:
+        if both_points:
+            joined = joined.where(_points_native_pred(predicate, suffix))
+        else:
+            joined = joined.where(st_relate_pair(
+                F.col("geom"), F.col("geom" + suffix), predicate))
+    t = _temporal(on_time, predicate, suffix)
+    if t is not None:
+        joined = joined.where(t)
+    return joined
+
+
+def within_distance_join(left: DataFrame, right: DataFrame, max_dist: float,
+                         *, grid: GridSpec | None = None,
+                         points: bool = True, broadcast: bool = False,
+                         suffix: str = "_r") -> DataFrame:
+    """All pairs with euclidean distance ≤ max_dist (reference
+    `withinDistance` join usage + `SpatialKnnJoinRDD` distance pattern).
+
+    Point fast path: native hypot filter after the widened-cell
+    equi-join — zero UDFs end-to-end.
+    """
+    right, _ = _suffix_right(left, right, suffix)
+    dist = F.sqrt((F.col("xmin") - F.col("xmin" + suffix)) ** 2 +
+                  (F.col("ymin") - F.col("ymin" + suffix)) ** 2)
+    if broadcast:
+        pre = _bbox_overlap_expand(suffix, max_dist)
+        joined = left.join(F.broadcast(right), on=pre, how="inner")
+    else:
+        if grid is None:
+            raise ValueError("grid required (or broadcast=True)")
+        l = left.withColumn("_cell", F.explode(grid.cells_array_expr(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            expand=max_dist)))
+        r = right.withColumn("_cell", grid.cell_expr(
+            F.col("xmin" + suffix), F.col("ymin" + suffix)))
+        joined = l.join(r, on=["_cell"], how="inner")
+        if not points:
+            raise NotImplementedError("non-point within-distance join: use "
+                                      "st_join(expand=max_dist) + st_distance")
+        joined = joined.drop("_cell")
+    return joined.where(dist <= F.lit(max_dist))

@@ -1,0 +1,100 @@
+"""kNN family — top-k by distance.
+
+Reference (`PlainSpatialRDDFunctions.scala:112-252`): four strategies
+(per-partition sort+take / takeOrdered / aggregate-accumulator / the
+two-phase partition-pruned `knn2`), plus a kNN-join
+(`SpatialKnnJoinRDD.scala:20-84`) that crosses every right partition
+with all left partitions.
+
+Spark gives the exact algorithm natively (SURVEY.md §2.5):
+`orderBy(dist).limit(k)` plans **TakeOrderedAndProject** — per-partition
+top-k heaps merged on the driver, which is precisely `knnAgg`, already
+distributed and spill-free. The two-phase pruning (`knn2`) only helps
+when a cell column can skip partitions at scan time; we expose it as an
+optional optimization via the pruned reader (sources/pruned.py).
+
+kNN-join = widened-cell grid join + window `row_number() <= k` — with a
+progressive-widening fallback join for rows whose k neighbors aren't
+within the widened radius.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stark_spark.core import geometry as G
+from stark_spark.functions.distance import st_distance_to
+from stark_spark.operators.join import _suffix_right
+from stark_spark.partitioner.grid import GridSpec
+
+
+def knn(df: DataFrame, query, k: int, *, points: bool = True,
+        dist_col: str = "dist", tie_col: str | None = None) -> DataFrame:
+    """k nearest rows to a constant query geometry.
+
+    Point fast path: native hypot (codegen) → TakeOrderedAndProject.
+    ``tie_col`` makes the result deterministic under distance ties
+    (needed for oracle comparison; the reference's kNN is
+    tie-nondeterministic).
+    """
+    q = query if isinstance(query, G.Geometry) else G.from_wkt(query)
+    if points:
+        qx, qy = (q.bbox[0] + q.bbox[2]) / 2, (q.bbox[1] + q.bbox[3]) / 2
+        d = F.sqrt((F.col("xmin") - F.lit(qx)) ** 2 +
+                   (F.col("ymin") - F.lit(qy)) ** 2)
+    else:
+        d = st_distance_to(q)
+    out = df.withColumn(dist_col, d)
+    order = [F.col(dist_col)] + ([F.col(tie_col)] if tie_col else [])
+    return out.orderBy(*order).limit(k)
+
+
+def knn_join(left: DataFrame, right: DataFrame, k: int, *,
+             grid: GridSpec, radius: float, left_key: str,
+             suffix: str = "_r", dist_col: str = "dist",
+             tie_col: str | None = None,
+             exact_fallback: bool = True) -> DataFrame:
+    """For each left row: its k nearest right rows (point frames).
+
+    Physical plan: left exploded to cells within ``radius`` → cell
+    equi-join with right → native distance ≤ radius filter → window
+    top-k per left key. Rows with < k neighbors inside the radius are
+    completed by a broadcast-left cross pass (``exact_fallback``) —
+    exact for any k, no driver loop. Reference semantics from
+    `knnJoin` (PSF:321-323) which crosses all partitions; our radius
+    join bounds the candidate set instead.
+
+    At scale: radius controls the candidate blow-up; the fallback set
+    is tiny when radius is chosen ≥ the k-th-NN distance for most rows.
+    """
+    right, _ = _suffix_right(left, right, suffix)
+    l = left.withColumn("_cell", F.explode(grid.cells_array_expr(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        expand=radius)))
+    r = right.withColumn("_cell", grid.cell_expr(
+        F.col("xmin" + suffix), F.col("ymin" + suffix)))
+    d = F.sqrt((F.col("xmin") - F.col("xmin" + suffix)) ** 2 +
+               (F.col("ymin") - F.col("ymin" + suffix)) ** 2)
+    cand = (l.join(r, on=["_cell"], how="inner")
+             .drop("_cell")
+             .withColumn(dist_col, d)
+             .where(F.col(dist_col) <= F.lit(radius)))
+    order = [F.col(dist_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(left_key).orderBy(*order)
+    topk = cand.withColumn("_rn", F.row_number().over(w)) \
+               .where(F.col("_rn") <= k)
+
+    if not exact_fallback:
+        return topk.drop("_rn")
+
+    # rows that didn't reach k neighbors within the radius → exact pass
+    # via broadcast of (only) those left rows against the full right side
+    short = (topk.groupBy(left_key).agg(F.count("*").alias("_n"))
+                  .where(F.col("_n") < k).select(left_key))
+    missing = left.join(F.broadcast(short), left_key, "left_semi")
+    fb = (missing.crossJoin(right)
+                 .withColumn(dist_col, d))
+    fb_top = fb.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    done = topk.join(F.broadcast(short), left_key, "left_anti")
+    return done.drop("_rn").unionByName(fb_top.drop("_rn"))

@@ -1,0 +1,141 @@
+"""Grid join / broadcast join / within-distance / kNN tests.
+
+Parity model: reference `SpatialJoinRDDTestCase.scala` +
+`SpatialKnnJoinRDDTest.scala` — one expected answer, several physical
+plans (grid vs broadcast vs different grid resolutions must agree).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stark_spark import datasets as D
+from stark_spark.core import geometry as G
+from stark_spark.operators.join import st_join, within_distance_join
+from stark_spark.operators.knn import knn, knn_join
+from stark_spark.partitioner.grid import GridSpec
+
+
+@pytest.fixture(scope="module")
+def cust(spark, sf_dir):
+    return D.st_points(spark, sf_dir, "customer", "c_custkey").cache()
+
+
+@pytest.fixture(scope="module")
+def supp(spark, sf_dir):
+    return D.st_points(spark, sf_dir, "supplier", "s_suppkey").cache()
+
+
+@pytest.fixture(scope="module")
+def nation_boxes(spark, sf_dir):
+    """25 nations → axis-aligned boxes over the synthetic space."""
+    n = D.load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    df = (n.withColumn("bx", (k * D.PX % 1000) / 10.0)
+           .withColumn("by", (k * D.PY % 1000) / 10.0))
+    df = (df.withColumn("xmin", F.col("bx") - 8.0)
+            .withColumn("ymin", F.col("by") - 8.0)
+            .withColumn("xmax", F.col("bx") + 8.0)
+            .withColumn("ymax", F.col("by") + 8.0)
+            .withColumn("t_start", F.lit(None).cast("long"))
+            .withColumn("t_end", F.lit(None).cast("long")))
+    # geom as WKB polygon via WKT constructor
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymin"), F.lit(", "),
+        F.col("xmax"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymax"), F.lit(", "),
+        F.col("xmin"), F.lit(" "), F.col("ymin"), F.lit("))"))
+    from stark_spark.functions import st_geomfromwkt
+    return df.withColumn("geom", st_geomfromwkt(wkt)).cache()
+
+
+def _expected_pip_pairs(cust, nation_boxes):
+    c = cust.select("c_custkey", "x", "y").toPandas()
+    n = nation_boxes.select("n_nationkey", "xmin", "ymin", "xmax", "ymax").toPandas()
+    pairs = set()
+    for _, nr in n.iterrows():
+        m = c[(c.x >= nr.xmin) & (c.x <= nr.xmax) &
+              (c.y >= nr.ymin) & (c.y <= nr.ymax)]
+        pairs.update((int(k), int(nr.n_nationkey)) for k in m.c_custkey)
+    return pairs
+
+
+def test_grid_join_point_in_box(cust, nation_boxes):
+    want = _expected_pip_pairs(cust, nation_boxes)
+    grid = GridSpec.unit_grid()
+    got = st_join(cust, nation_boxes, "coveredby", grid=grid,
+                  left_points=True, right_points=False)
+    rows = got.select("c_custkey", "n_nationkey").collect()
+    got_pairs = {(r.c_custkey, r.n_nationkey) for r in rows}
+    assert len(rows) == len(got_pairs), "duplicate pairs leaked through dedup"
+    assert got_pairs == want
+
+
+def test_grid_vs_broadcast_vs_resolution(cust, nation_boxes):
+    """Same answer across physical plans (the reference's one-answer/
+    many-plans matrix)."""
+    want = _expected_pip_pairs(cust, nation_boxes)
+    for plan in [
+        st_join(cust, nation_boxes, "coveredby", grid=GridSpec.unit_grid(n=8),
+                left_points=True),
+        st_join(cust, nation_boxes, "coveredby", grid=GridSpec.unit_grid(n=64),
+                left_points=True),
+        st_join(cust, nation_boxes, "coveredby", broadcast=True,
+                left_points=True),
+    ]:
+        got = {(r.c_custkey, r.n_nationkey)
+               for r in plan.select("c_custkey", "n_nationkey").collect()}
+        assert got == want
+
+
+def test_within_distance_join(cust, supp):
+    d = 5.0
+    grid = GridSpec.unit_grid()
+    got = within_distance_join(supp, cust, d, grid=grid)
+    rows = got.select("s_suppkey", "c_custkey").collect()
+    got_pairs = {(r.s_suppkey, r.c_custkey) for r in rows}
+    assert len(rows) == len(got_pairs)
+    s = supp.select("s_suppkey", "x", "y").toPandas()
+    c = cust.select("c_custkey", "x", "y").toPandas()
+    want = set()
+    for _, sr in s.iterrows():
+        m = c[np.hypot(c.x - sr.x, c.y - sr.y) <= d]
+        want.update((int(sr.s_suppkey), int(k)) for k in m.c_custkey)
+    assert got_pairs == want
+    # broadcast plan agrees
+    got_b = {(r.s_suppkey, r.c_custkey) for r in
+             within_distance_join(supp, cust, d, broadcast=True)
+             .select("s_suppkey", "c_custkey").collect()}
+    assert got_b == want
+
+
+def test_knn_basic(cust):
+    q = G.point(50, 50)
+    got = knn(cust, q, 10, tie_col="c_custkey").select("c_custkey", "dist").collect()
+    c = cust.select("c_custkey", "x", "y").toPandas()
+    c["d"] = np.hypot(c.x - 50, c.y - 50)
+    want = c.sort_values(["d", "c_custkey"]).head(10)
+    assert [r.c_custkey for r in got] == list(want.c_custkey)
+    assert [r.dist for r in got] == pytest.approx(list(want.d))
+
+
+def test_knn_join_exact(supp, cust):
+    k = 3
+    grid = GridSpec.unit_grid()
+    got = knn_join(supp, cust, k, grid=grid, radius=4.0,
+                   left_key="s_suppkey", tie_col="c_custkey")
+    pdf = got.select("s_suppkey", "c_custkey", "dist").toPandas()
+    s = supp.select("s_suppkey", "x", "y").toPandas()
+    c = cust.select("c_custkey", "x", "y").toPandas()
+    for _, sr in s.iterrows():
+        d = np.hypot(c.x - sr.x, c.y - sr.y)
+        order = sorted(zip(d, c.c_custkey))[:k]
+        want_keys = [int(key) for _, key in order]
+        sub = pdf[pdf.s_suppkey == sr.s_suppkey].sort_values(["dist", "c_custkey"])
+        assert list(sub.c_custkey) == want_keys, f"suppkey {sr.s_suppkey}"
+    # tight radius (forces fallback for most rows) must agree too
+    got2 = knn_join(supp, cust, k, grid=grid, radius=0.5,
+                    left_key="s_suppkey", tie_col="c_custkey")
+    assert got2.count() == len(s) * k
