@@ -1,0 +1,210 @@
+"""Distributed DBSCAN.
+
+Reference (`dbscan/DBScan.scala` 542 LoC, MR-DBSCAN after He et al.):
+① global MBB → ② cost-based partitioning expanded by eps → ③ replicate
+points to all overlapping partitions → ④ local sequential DBSCAN →
+⑤ merge-point detection → ⑥ transitive closure **on the driver**
+(`DBScan.scala:164-168`, marked `FIXME: Bad!`) → ⑦ relabel.
+
+Our shape keeps ①–⑤ but fixes two scale problems (SURVEY.md §7 risk):
+the closure runs distributively, and core-ness is decided in each
+point's HOME cell (where ALL its ≤eps neighbors are guaranteed present
+via halo replication) — a point's neighborhood seen from a foreign
+cell is truncated, so deciding core-ness there under-counts.
+
+Pipeline:
+
+1. **halo replication** — native explode of each point to every cell
+   its ±eps box covers (its home cell plus neighbors);
+2. **core pass** (`applyInPandas` per cell): neighbor counts for home
+   points only → globally-correct `is_core`;
+3. **cluster pass** (per cell, with core flags joined in): BFS over
+   core points; border points get the label of a core neighbor;
+4. **equivalence edges**: a core point labeled in ≥2 cells links those
+   labels; **connected components** via hash-min label propagation
+   (joins only, O(log diameter) rounds over the tiny label graph —
+   one node per (cell, local_cluster), not per point);
+5. relabel: home rows take the min component (deterministic border
+   assignment), dense-ranked by smallest member key. Noise = -1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType)
+
+from stark_spark.partitioner.grid import GridSpec
+
+
+def _grid_hash(xs: np.ndarray, ys: np.ndarray, eps: float):
+    cell: dict[tuple[int, int], list[int]] = {}
+    inv = 1.0 / eps
+    gx = np.floor(xs * inv).astype(np.int64)
+    gy = np.floor(ys * inv).astype(np.int64)
+    for i in range(len(xs)):
+        cell.setdefault((gx[i], gy[i]), []).append(i)
+
+    def neighbors(i: int) -> list[int]:
+        out = []
+        cx, cy = gx[i], gy[i]
+        e2 = eps * eps
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in cell.get((cx + dx, cy + dy), ()):
+                    if (xs[j] - xs[i]) ** 2 + (ys[j] - ys[i]) ** 2 <= e2:
+                        out.append(j)
+        return out
+
+    return neighbors
+
+
+def _local_dbscan(xs: np.ndarray, ys: np.ndarray, eps: float, min_pts: int):
+    """Single-node DBSCAN (test reference + semantics spec).
+
+    Clusters = connected components of core points (ε-graph); border
+    points join the lowest-id cluster among their core neighbors
+    (deterministic, matching the distributed min-component rule).
+    Returns (labels, is_core); -1 = noise.
+    """
+    n = len(xs)
+    neighbors = _grid_hash(np.asarray(xs, float), np.asarray(ys, float), eps)
+    neigh = [neighbors(i) for i in range(n)]
+    is_core = np.array([len(nb) >= min_pts for nb in neigh])
+    labels = np.full(n, -1, dtype=np.int64)
+    cid = 0
+    for i in range(n):
+        if not is_core[i] or labels[i] != -1:
+            continue
+        labels[i] = cid
+        stack = [i]
+        while stack:
+            p = stack.pop()
+            for q in neigh[p]:
+                if is_core[q] and labels[q] == -1:
+                    labels[q] = cid
+                    stack.append(q)
+        cid += 1
+    # border points: min cluster among core neighbors
+    for i in range(n):
+        if is_core[i]:
+            continue
+        cand = [labels[q] for q in neigh[i] if is_core[q]]
+        if cand:
+            labels[i] = min(cand)
+    return labels, is_core
+
+
+def dbscan(df: DataFrame, eps: float, min_pts: int, *, key: str,
+           grid: GridSpec, x: str = "xmin", y: str = "ymin") -> DataFrame:
+    """Returns (key, cluster, is_core); cluster = -1 for noise."""
+    pts = df.select(F.col(key).alias("_k"),
+                    F.col(x).cast("double").alias("_x"),
+                    F.col(y).cast("double").alias("_y"))
+    pts = pts.withColumn("_cell", F.explode(
+        grid.cells_array_expr(F.col("_x"), F.col("_y"),
+                              F.col("_x"), F.col("_y"), expand=eps)))
+    home = grid.cell_expr(F.col("_x"), F.col("_y"))
+    pts = pts.withColumn("_home", (F.col("_cell") == home).cast("int")).cache()
+
+    # --- pass 1: globally-correct core flags, computed in home cells ----
+    core_schema = StructType([StructField("_k", LongType()),
+                              StructField("_core", IntegerType())])
+
+    def core_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs, ys = pdf["_x"].to_numpy(), pdf["_y"].to_numpy()
+        neighbors = _grid_hash(xs, ys, eps)
+        hm = pdf["_home"].to_numpy() == 1
+        idx = np.nonzero(hm)[0]
+        flags = [1 if len(neighbors(i)) >= min_pts else 0 for i in idx]
+        return pd.DataFrame({"_k": pdf["_k"].to_numpy()[idx], "_core": flags})
+
+    core = pts.groupBy("_cell").applyInPandas(core_pass, core_schema)
+
+    # --- pass 2: local clustering with known core flags ------------------
+    piled = pts.join(core, "_k")  # every replica learns its global core flag
+
+    lab_schema = StructType([
+        StructField("_k", LongType()),
+        StructField("_home", IntegerType()),
+        StructField("_core", IntegerType()),
+        StructField("_lab", StringType()),
+    ])
+
+    def cluster_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = int(pdf["_cell"].iat[0])
+        xs, ys = pdf["_x"].to_numpy(), pdf["_y"].to_numpy()
+        neighbors = _grid_hash(xs, ys, eps)
+        is_core = pdf["_core"].to_numpy() == 1
+        n = len(pdf)
+        lab = np.full(n, -1, dtype=np.int64)
+        cid = 0
+        for i in range(n):
+            if not is_core[i] or lab[i] != -1:
+                continue
+            lab[i] = cid
+            stack = [i]
+            while stack:
+                p = stack.pop()
+                for q in neighbors(p):
+                    if is_core[q] and lab[q] == -1:
+                        lab[q] = cid
+                        stack.append(q)
+            cid += 1
+        for i in range(n):
+            if is_core[i]:
+                continue
+            cand = [lab[q] for q in neighbors(i) if is_core[q]]
+            if cand:
+                lab[i] = min(cand)
+        return pd.DataFrame({
+            "_k": pdf["_k"],
+            "_home": pdf["_home"],
+            "_core": pdf["_core"],
+            "_lab": [f"{c}:{l}" if l >= 0 else None for l in lab],
+        })
+
+    labeled = piled.groupBy("_cell").applyInPandas(cluster_pass, lab_schema).cache()
+
+    # --- equivalence edges from multi-cell core points -------------------
+    core_labs = labeled.where((F.col("_core") == 1) & F.col("_lab").isNotNull()) \
+                       .select("_k", "_lab")
+    e1 = core_labs.select(F.col("_k").alias("k1"), F.col("_lab").alias("a"))
+    e2 = core_labs.select(F.col("_k").alias("k1"), F.col("_lab").alias("b"))
+    edges = (e1.join(e2, "k1").where(F.col("a") != F.col("b"))
+               .select("a", "b").distinct())
+
+    # --- connected components: hash-min propagation ----------------------
+    comp = core_labs.select("_lab").distinct().withColumn("comp", F.col("_lab"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    while True:
+        neigh = (sym.join(comp.select(F.col("_lab").alias("b"),
+                                      F.col("comp").alias("comp_b")), "b")
+                    .groupBy("a").agg(F.min("comp_b").alias("comp_n")))
+        nxt = (comp.join(neigh.withColumnRenamed("a", "_lab"), "_lab", "left")
+                   .select("_lab",
+                           F.least(F.col("comp"), F.col("comp_n")).alias("comp_new")))
+        changed = (nxt.join(comp, "_lab")
+                      .where(F.col("comp_new") != F.col("comp")).count())
+        comp = nxt.select("_lab", F.col("comp_new").alias("comp")).cache()
+        if changed == 0:
+            break
+
+    # --- relabel home rows -----------------------------------------------
+    home_rows = labeled.where(F.col("_home") == 1)
+    final = (home_rows.join(F.broadcast(comp), "_lab", "left")
+             .groupBy("_k")
+             .agg(F.min("comp").alias("_comp"), F.max("_core").alias("_is_core")))
+    rank = (final.where(F.col("_comp").isNotNull())
+                 .groupBy("_comp").agg(F.min("_k").alias("_mk")))
+    rank = rank.withColumn("cluster",
+                           F.row_number().over(Window.orderBy("_mk")) - 1)
+    return (final.join(F.broadcast(rank.select("_comp", "cluster")),
+                       "_comp", "left")
+                 .select(F.col("_k").alias(key),
+                         F.coalesce("cluster", F.lit(-1)).alias("cluster"),
+                         F.col("_is_core").cast("int").alias("is_core")))

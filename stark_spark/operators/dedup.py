@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Net-new beyond the reference (training-data-pipeline tier). Design
+constraints:
+
+* **hash functions shared with the oracle** — everything derives from
+  `md5` (identical in Spark SQL and DuckDB), so each stage is
+  hash-checkable;
+* **scale shape** — candidate generation is always
+  explode → groupBy/join on a bucket key (shuffle on small keys), never
+  an n² comparison; n² verification happens only within buckets.
+
+MinHash here is the k-seed variant: ``minhash(doc, s) = min over
+shingles of md5(s || '|' || shingle)`` — a uniform random permutation
+per seed for all practical purposes. Bands of ``rows_per_band`` seeds
+are concatenated; docs sharing any band bucket become candidates
+(standard LSH banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stark_spark.operators.text import shingles
+
+
+def exact_dups(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash. Output: one row per
+    duplicated content value (group size > 1): (content_hash,
+    n_dups, keep_key = min key)."""
+    h = F.md5(F.col(text_col))
+    return (df.select(F.col(key), h.alias("content_hash"))
+              .groupBy("content_hash")
+              .agg(F.count("*").alias("n_dups"), F.min(key).alias("keep_" + key))
+              .where(F.col("n_dups") > 1))
+
+
+def minhash_signature_long(df: DataFrame, key: str, *, n_seeds: int = 8,
+                           shingle_k: int = 8,
+                           text_col: str = "text") -> DataFrame:
+    """Long-form signatures: (key, seed, minhash). One explode + one
+    groupBy — the partial min is map-side combined, so the shuffle
+    carries ≤ |docs|·n_seeds tiny rows at any corpus size."""
+    sh = df.select(key, F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_seeds - 1))).alias("seed")
+    return (sh.select(key, seeds, F.col("sh"))
+              .select(key, "seed",
+                      F.md5(F.concat(F.col("seed").cast("string"),
+                                     F.lit("|"), F.col("sh"))).alias("h"))
+              .groupBy(key, "seed")
+              .agg(F.min("h").alias("minhash")))
+
+
+def lsh_candidate_pairs(df: DataFrame, key: str, *, n_seeds: int = 8,
+                        rows_per_band: int = 2, shingle_k: int = 8,
+                        text_col: str = "text") -> DataFrame:
+    """LSH banding: docs sharing any band bucket → candidate pairs
+    (a < b, deduplicated). Self-join on the band-bucket key only."""
+    sig = minhash_signature_long(df, key, n_seeds=n_seeds,
+                                 shingle_k=shingle_k, text_col=text_col)
+    band = (sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+               .groupBy(key, "band")
+               .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                   F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash"))
+               ))).alias("bucket")))
+    a = band.select(F.col(key).alias("a"), "band", "bucket")
+    b = band.select(F.col(key).alias("b"), "band", "bucket")
+    return (a.join(b, ["band", "bucket"])
+             .where(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
+                        threshold: float = 0.5,
+                        text_col: str = "text",
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Pairs with char-k-gram Jaccard ≥ threshold.
+
+    Distributed shape: distinct (key, shingle) → self-join on shingle →
+    per-pair intersection counts → Jaccard vs per-doc set sizes.
+    ``candidates`` (e.g. from LSH) restricts the verified pairs — at
+    scale ALWAYS pass candidates; the shingle self-join alone explodes
+    on very common shingles.
+    """
+    sh = (df.select(key, F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
+            .distinct())
+    sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(key).alias("a"), "sh")
+    b = sh.select(F.col(key).alias("b"), "sh")
+    inter = (a.join(b, "sh").where(F.col("a") < F.col("b"))
+              .groupBy("a", "b").agg(F.count("*").alias("n_common")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    sza = sizes.select(F.col(key).alias("a"), F.col("sz").alias("sz_a"))
+    szb = sizes.select(F.col(key).alias("b"), F.col("sz").alias("sz_b"))
+    out = (inter.join(sza, "a").join(szb, "b")
+                .withColumn("jaccard",
+                            F.col("n_common") /
+                            (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))))
+    return out.where(F.col("jaccard") >= threshold) \
+              .select("a", "b", "n_common", "sz_a", "sz_b", "jaccard")
+
+
+def simhash64(text: Column, *, shingle_k: int = 4) -> Column:
+    """64-bit SimHash from char k-grams.
+
+    Bit j of the fingerprint = majority vote over shingles of bit j of
+    md5(shingle). Implemented as native higher-order array ops over the
+    16 hex nibbles (4 bits each) — no UDF, and exactly reproducible in
+    DuckDB SQL (same md5, same nibble arithmetic).
+    """
+    sh = shingles(text, shingle_k)
+    n = F.size(sh)
+    hashes = F.transform(sh, F.md5)
+    bits = []
+    for j in range(64):
+        nib, bit = divmod(j, 4)
+        mask = 1 << (3 - bit)
+        # count of shingles whose md5 nibble `nib` has bit `bit` set
+        cnt = F.size(F.filter(
+            hashes,
+            lambda h: (F.conv(F.substring(h, nib + 1, 1), 16, 10).cast("int")
+                       .bitwiseAND(F.lit(mask)) > 0)))
+        bits.append(F.when(cnt * 2 >= n,
+                           F.shiftleft(F.lit(1).cast("long"), 63 - j))
+                    .otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def simhash16(text: Column, *, shingle_k: int = 4) -> Column:
+    """16-bit SimHash (first 4 md5 nibbles) — the oracle-friendly size
+    (the 64-bit variant's oracle SQL is mechanical but enormous)."""
+    sh = shingles(text, shingle_k)
+    n = F.size(sh)
+    hashes = F.transform(sh, F.md5)
+    out = F.lit(0).cast("long")
+    for j in range(16):
+        nib, bit = divmod(j, 4)
+        mask = 1 << (3 - bit)
+        cnt = F.size(F.filter(
+            hashes,
+            lambda h: (F.conv(F.substring(h, nib + 1, 1), 16, 10).cast("int")
+                       .bitwiseAND(F.lit(mask)) > 0)))
+        out = out + (F.when(cnt * 2 >= n,
+                            F.shiftleft(F.lit(1).cast("long"), 15 - j))
+                     .otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_near_pairs(df: DataFrame, key: str, *, max_hamming: int = 3,
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Scale shape: block on bit-bands of the fingerprint (pigeonhole: two
+    fingerprints within hamming d share at least one of d+1 bands
+    unchanged), verify hamming inside blocks only.
+    """
+    n_bands = max_hamming + 1
+    fp = df.select(key, simhash64(F.col(text_col)).alias("fp"))
+    band_width = 64 // n_bands
+    bands = []
+    for i in range(n_bands):
+        shift = i * band_width
+        width = band_width if i < n_bands - 1 else 64 - shift
+        expr = F.shiftrightunsigned(F.col("fp"), shift).bitwiseAND(
+            F.lit((1 << width) - 1))
+        bands.append(fp.select(key, "fp", F.lit(i).alias("band"),
+                               expr.alias("bucket")))
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    a = banded.select(F.col(key).alias("a"), F.col("fp").alias("fp_a"),
+                      "band", "bucket")
+    b = banded.select(F.col(key).alias("b"), F.col("fp").alias("fp_b"),
+                      "band", "bucket")
+    cand = (a.join(b, ["band", "bucket"]).where(F.col("a") < F.col("b"))
+             .select("a", "b", "fp_a", "fp_b").distinct())
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.withColumn("hamming", hamming)
+                .where(F.col("hamming") <= max_hamming)
+                .select("a", "b", "hamming"))

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+Net-new beyond the reference. Two tiers:
+
+* **brute-force cosine top-k** — exact baseline: broadcast the query
+  vectors, one narrow pass computing dot products with native
+  higher-order functions (`zip_with`+`aggregate`, a left-to-right
+  double fold — bit-identical to the oracle's `list_reduce` fold),
+  then per-query window top-k.
+* **IVF (inverted-file) bucketed search** — the scale path: assign
+  every vector to its nearest of C centroids (one broadcast pass),
+  search only the query's ``n_probe`` closest centroid buckets.
+  Centroids here are taken deterministically from the data (first C
+  vectors by id) so results stay oracle-reproducible; a production
+  deployment would plug k-means centroids in unchanged.
+
+Embedding-cosine near-dup pairs ride the same IVF bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Left-to-right double fold of the elementwise product — the
+    deterministic dot product (same fold order as DuckDB
+    `list_reduce`)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot_fold(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_fold(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
+                     key: str = "vec_id", qkey: str = "q_id",
+                     vec_col: str = "embedding",
+                     qvec_col: str = "q_embedding") -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries is expected to be small (broadcast): (q_id, q_embedding).
+    Output: (q_id, vec_id, cos) with deterministic tie-break on key.
+    """
+    from pyspark.sql import Window
+    j = vectors.crossJoin(F.broadcast(queries))
+    j = j.withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+    w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
+    return (j.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") <= k)
+             .select(qkey, key, "cos", F.col("_rn").alias("rank")))
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
+               key: str = "vec_id", vec_col: str = "embedding",
+               ckey: str = "c_id", cvec_col: str = "c_embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (broadcast
+    the centroid table; one narrow pass, no shuffle)."""
+    from pyspark.sql import Window
+    j = vectors.crossJoin(F.broadcast(centroids))
+    j = j.withColumn("_cos", cosine(F.col(vec_col), F.col(cvec_col)))
+    w = Window.partitionBy(key).orderBy(F.desc("_cos"), F.col(ckey))
+    return (j.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") == 1)
+             .select(vectors["*"], F.col(ckey).alias("bucket")))
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int, *, n_probe: int = 2, key: str = "vec_id",
+             qkey: str = "q_id", vec_col: str = "embedding",
+             qvec_col: str = "q_embedding") -> DataFrame:
+    """IVF approximate top-k: probe the n_probe nearest centroid buckets.
+
+    At scale the win is pruning: each query scans |data|·n_probe/C
+    instead of |data|. Bucketed vectors can be written
+    `partitionBy(bucket)` so the probe prunes at the file level.
+    """
+    from pyspark.sql import Window
+    assigned = ivf_assign(vectors, centroids, key=key, vec_col=vec_col)
+    qc = queries.crossJoin(F.broadcast(centroids))
+    qc = qc.withColumn("_cos", cosine(F.col(qvec_col), F.col("c_embedding")))
+    wq = Window.partitionBy(qkey).orderBy(F.desc("_cos"), F.col("c_id"))
+    probes = (qc.withColumn("_rn", F.row_number().over(wq))
+                .where(F.col("_rn") <= n_probe)
+                .select(qkey, qvec_col, F.col("c_id").alias("bucket")))
+    j = assigned.join(probes, "bucket")
+    j = j.withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+    w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
+    return (j.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") <= k)
+             .select(qkey, key, "cos", F.col("_rn").alias("rank")))
+
+
+def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
+                     key: str = "vec_id", vec_col: str = "embedding",
+                     centroids: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold.
+
+    With ``centroids``: pairs are only searched within IVF buckets
+    (approximate but scalable — near-dups almost always share a
+    bucket). Without: exact self-join (small data / verification).
+    """
+    if centroids is not None:
+        v = ivf_assign(vectors, centroids, key=key, vec_col=vec_col)
+        a = v.select(F.col(key).alias("a"), F.col(vec_col).alias("va"), "bucket")
+        b = v.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+        j = a.join(b, "bucket").where(F.col("a") < F.col("b"))
+    else:
+        a = vectors.select(F.col(key).alias("a"), F.col(vec_col).alias("va"))
+        b = vectors.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"))
+        j = a.crossJoin(b).where(F.col("a") < F.col("b"))
+    j = j.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    return j.where(F.col("cos") >= threshold).select("a", "b", "cos")

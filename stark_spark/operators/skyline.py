@@ -1,0 +1,85 @@
+"""Skyline (Pareto-front) operator.
+
+Reference (`PlainSpatialRDDFunctions.scala:425-586`,
+`spatial/Skyline.scala:25-52`): distance-space transform → grid/angular
+partition → local skyline per partition → global merge; dominance =
+strictly better in ≥1 dimension, no worse in any
+(`Skyline.centroidDominates` :12-22, minimizing both dims).
+
+Our shape: two-stage exact skyline —
+
+1. **local pass**: `applyInPandas` per partition computes each
+   partition's skyline with a vectorized numpy dominance sweep
+   (sort by x, running min over y). Output is tiny (skyline of a
+   random partition ≈ O(log n) points).
+2. **global pass**: coalesce the survivors to one partition, same
+   sweep. Identical answer to a single-node skyline; the local pass is
+   the `rdd.aggregate(Skyline)` equivalent with map-side combine.
+
+The angular-partitioned variant (`skylineAngular`, PSF:519-586) is the
+same algorithm with the stage-1 grouping key = angular bucket
+(`atan2`) — exposed via ``group_col``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _local_skyline(pdf: pd.DataFrame, x: str, y: str) -> pd.DataFrame:
+    """Vectorized 2-D min-min skyline: sort by (x, y), keep rows whose y
+    is a strict running minimum; equal points all survive (ties kept,
+    matching 'not dominated' semantics)."""
+    if len(pdf) == 0:
+        return pdf
+    s = pdf.sort_values([x, y], kind="mergesort").reset_index(drop=True)
+    keep = []
+    best_y = None
+    best_x = None
+    for i in range(len(s)):
+        xi, yi = s[x].iat[i], s[y].iat[i]
+        if best_y is None or yi < best_y or (yi == best_y and xi == best_x):
+            keep.append(i)
+            best_y = yi if best_y is None else min(best_y, yi)
+            best_x = xi
+    return s.iloc[keep]
+
+
+def skyline(df: DataFrame, x: str = "x", y: str = "y",
+            group_col: str | None = None) -> DataFrame:
+    """Exact 2-D skyline minimizing (x, y).
+
+    ``group_col``: optional stage-1 grouping key (angular buckets give
+    the reference's `skylineAngular`; default = Spark's physical
+    partitioning via a synthetic partition id).
+    """
+    schema = df.schema
+
+    def local(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _local_skyline(pdf.drop(columns=["_g"]), x, y)
+
+    if group_col is None:
+        staged = df.withColumn("_g", F.spark_partition_id())
+    else:
+        staged = df.withColumn("_g", F.col(group_col))
+    local_sky = staged.groupBy("_g").applyInPandas(local, schema=schema)
+
+    def global_pass(it):
+        chunks = list(it)
+        if not chunks:
+            return
+        rows = pd.concat(chunks, ignore_index=True)
+        yield _local_skyline(rows, x, y)
+
+    return local_sky.coalesce(1).mapInPandas(global_pass, schema=schema)
+
+
+def angular_bucket(x: str = "x", y: str = "y", n: int = 16,
+                   ref_x: float = 0.0, ref_y: float = 0.0):
+    """Angular-space bucket id (`AngularPartitioner.scala:13-100`)."""
+    import math
+    ang = F.atan2(F.col(y) - F.lit(ref_y), F.col(x) - F.lit(ref_x))
+    return F.least(F.lit(n - 1),
+                   F.floor(ang / F.lit(math.pi / 2 / n)).cast("int"))

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Net-new beyond the reference (SURVEY.md §7 "beyond-parity"): language
+ID, quality scoring, token counting, document fingerprinting. All are
+pure native column expressions (split / higher-order array functions /
+md5) — no Python UDFs, fully codegen'd, and every formula is
+reproducible in ANSI SQL for the DuckDB oracle.
+
+At 100 TB these run as one narrow projection pass over the corpus —
+no shuffle except the caller's own aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic english-ish stopword set (shared with oracle SQL)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space tokenizer, matching
+    `string_split(text,' ')` in the oracle)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length — (chars - spaces) / tokens, exact in SQL."""
+    n = token_count(text)
+    total = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    return total / n
+
+
+def stopword_ratio(text: Column) -> Column:
+    hits = F.size(F.filter(tokens(text), lambda w: w.isin(*STOPWORDS)))
+    return hits / token_count(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars."""
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.length(text)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality in [0,1]: long-enough docs with a
+    natural stopword rate and low punctuation score high.
+
+    Deterministic rational arithmetic — identical formula in the oracle.
+    """
+    n = token_count(text)
+    len_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop = stopword_ratio(text)
+    stop_term = F.lit(1.0) - F.abs(stop - F.lit(0.4))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return (len_term + stop_term + punct_term) / 3.0
+
+
+# language ID: score by hit-rate of tiny per-language marker lexicons.
+# (A real deployment plugs in cld3/fasttext via pandas UDF; this n-gram
+# heuristic keeps the whole operator native and oracle-checkable.)
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    n = F.size(toks)
+    return {lang: F.size(F.filter(toks, lambda w: w.isin(*marks))) / n
+            for lang, marks in _LANG_MARKERS.items()}
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax over marker scores, 'und' when all zero. Deterministic
+    tie-break by language name order (en < es < de is NOT alpha — we use
+    explicit chained comparison so the oracle CASE matches exactly)."""
+    s = lang_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang in ("en", "es", "de", "fr"):  # fixed priority on ties
+        cond = s[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s[lang]).otherwise(best_score)
+    return best
+
+
+def shingles(text: Column, k: int = 8) -> Column:
+    """Character k-gram array (positions 1..len-k+1) — the basis for
+    fingerprinting / MinHash. Native `sequence`+`transform`; mirrored in
+    SQL as a lateral `range` + `substr`."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.substring(text, i, k))
+
+
+def fingerprint(text: Column, k: int = 8) -> Column:
+    """Deterministic document fingerprint: min md5 over char k-grams
+    (winnowing-lite rolling-hash selection)."""
+    return F.array_min(F.transform(shingles(text, k), F.md5))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full analysis column set."""
+    t = F.col(text_col)
+    return (df.withColumn("n_tokens", token_count(t))
+              .withColumn("avg_token_len", avg_token_len(t))
+              .withColumn("stopword_ratio", stopword_ratio(t))
+              .withColumn("punct_ratio", punct_ratio(t))
+              .withColumn("quality", quality_score(t))
+              .withColumn("lang_guess", lang_guess(t))
+              .withColumn("fingerprint", fingerprint(t)))

@@ -1,0 +1,214 @@
+"""Skyline + DBSCAN + dedup/text/similarity operator tests.
+
+Parity model: reference `SkylineTest.scala` (dominance),
+`SparkDBScanSpec.scala` (clustering vs ground truth on labeled data);
+dedup/text are net-new, tested against pandas recomputations.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stark_spark import datasets as D
+from stark_spark.operators.dbscan import dbscan, _local_dbscan
+from stark_spark.operators.dedup import (exact_dups, lsh_candidate_pairs,
+                                         minhash_signature_long,
+                                         ngram_jaccard_pairs, simhash64,
+                                         simhash_near_pairs)
+from stark_spark.operators.similarity import brute_force_topk, cosine, ivf_topk
+from stark_spark.operators.skyline import skyline
+from stark_spark.operators.text import text_profile
+from stark_spark.partitioner.grid import GridSpec
+
+
+# ---------------------------------------------------------------- skyline
+
+def _pandas_skyline(pdf, x="x", y="y"):
+    pts = pdf[[x, y]].to_numpy()
+    keep = []
+    for i, (xi, yi) in enumerate(pts):
+        dominated = ((pts[:, 0] <= xi) & (pts[:, 1] <= yi) &
+                     ((pts[:, 0] < xi) | (pts[:, 1] < yi))).any()
+        if not dominated:
+            keep.append(i)
+    return pdf.iloc[keep]
+
+
+def test_skyline_matches_bruteforce(spark, sf_dir):
+    ev = D.st_events(spark, sf_dir, keep_geom=False)
+    got = skyline(ev, "x", "y").select("event_id").toPandas()
+    pdf = ev.select("event_id", "x", "y").toPandas()
+    want = _pandas_skyline(pdf)
+    assert set(got.event_id) == set(want.event_id)
+    assert len(got) == len(want)
+
+
+def test_skyline_many_plans(spark):
+    rows = [(i, float((i * 37) % 101), float((i * 61) % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    want = set(_pandas_skyline(df.toPandas()).id)
+    assert set(skyline(df).select("id").toPandas().id) == want
+    rep = df.repartition(13)
+    assert set(skyline(rep).select("id").toPandas().id) == want
+
+
+# ---------------------------------------------------------------- dbscan
+
+def _naive_dbscan(xs, ys, eps, min_pts):
+    labels, _ = _local_dbscan(np.asarray(xs), np.asarray(ys), eps, min_pts)
+    return labels
+
+
+def _cluster_signature(keys, labels):
+    """Label-invariant signature: frozenset of frozensets of member keys."""
+    groups = {}
+    for k, l in zip(keys, labels):
+        if l >= 0:
+            groups.setdefault(l, set()).add(k)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_dbscan_matches_single_node(spark):
+    rng = np.random.RandomState(42)
+    # three gaussian blobs + noise
+    blobs = [rng.normal(loc, 1.2, size=(60, 2)) for loc in ((10, 10), (30, 30), (10, 30))]
+    noise = rng.uniform(0, 40, size=(30, 2))
+    pts = np.vstack(blobs + [noise])
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, xmin double, ymin double")
+    grid = GridSpec(0, 0, 40.000001, 40.000001, 5, 5)
+    eps, min_pts = 1.5, 4
+
+    got = dbscan(df, eps, min_pts, key="id", grid=grid).toPandas()
+    want_labels = _naive_dbscan(pts[:, 0], pts[:, 1], eps, min_pts)
+
+    sig_got = _cluster_signature(got.id, got.cluster)
+    sig_want = _cluster_signature(range(len(pts)), want_labels)
+    assert sig_got == sig_want
+    # determinism across grid resolutions (different partitionings)
+    got2 = dbscan(df, eps, min_pts, key="id",
+                  grid=GridSpec(0, 0, 40.000001, 40.000001, 3, 3)).toPandas()
+    assert _cluster_signature(got2.id, got2.cluster) == sig_want
+
+
+# ------------------------------------------------------------- text/dedup
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return D.load(spark, sf_dir, "documents").cache()
+
+
+def test_text_profile(docs):
+    got = text_profile(docs).select("doc_id", "n_tokens", "stopword_ratio",
+                                    "quality", "fingerprint").toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    import hashlib
+    for _, r in pdf.sample(10, random_state=0).iterrows():
+        toks = r.text.split(" ")
+        grow = got[got.doc_id == r.doc_id].iloc[0]
+        assert grow.n_tokens == len(toks)
+        sw = sum(1 for w in toks if w in
+                 ("the", "a", "of", "and", "to", "in", "is"))
+        assert grow.stopword_ratio == pytest.approx(sw / len(toks))
+        k = 8
+        n_sh = max(len(r.text) - k + 1, 1)
+        fp = min(hashlib.md5(r.text[i:i + k].encode()).hexdigest()
+                 for i in range(n_sh))
+        assert grow.fingerprint == fp
+
+
+def test_exact_dups(spark, docs):
+    # duplicate some docs
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    got = exact_dups(both, "doc_id").toPandas()
+    assert len(got) == 5
+    assert (got.n_dups == 2).all()
+    assert (got.keep_doc_id < 100000).all()
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # append a lightly-edited copy of doc 0 → must be an LSH candidate
+    base = docs.where(F.col("doc_id") == 0).first()
+    edited = base.text + " extra token"
+    extra = spark.createDataFrame(
+        [(99999, edited, base.lang, base.source, len(edited))],
+        docs.schema)
+    both = docs.unionByName(extra)
+    cand = lsh_candidate_pairs(both, "doc_id", n_seeds=8, rows_per_band=2)
+    pairs = {(r.a, r.b) for r in cand.collect()}
+    assert (0, 99999) in pairs
+    # verified jaccard pairs: the edited pair scores high
+    ver = ngram_jaccard_pairs(both, "doc_id", threshold=0.5,
+                              candidates=cand).toPandas()
+    row = ver[(ver.a == 0) & (ver.b == 99999)]
+    assert len(row) == 1 and row.jaccard.iloc[0] > 0.8
+
+
+def test_minhash_signature_matches_python(docs):
+    got = minhash_signature_long(docs.limit(3), "doc_id", n_seeds=4).toPandas()
+    pdf = docs.limit(3).select("doc_id", "text").toPandas()
+    import hashlib
+    for _, r in pdf.iterrows():
+        k = 8
+        shs = [r.text[i:i + k] for i in range(max(len(r.text) - k + 1, 1))]
+        for seed in range(4):
+            want = min(hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+                       for s in shs)
+            sub = got[(got.doc_id == r.doc_id) & (got.seed == seed)]
+            assert sub.minhash.iloc[0] == want
+
+
+def test_simhash_near_pairs(spark, docs):
+    base = docs.where(F.col("doc_id") == 1).first()
+    extra = spark.createDataFrame(
+        [(99998, base.text + " x", base.lang, base.source, len(base.text) + 2)],
+        docs.schema)
+    both = docs.unionByName(extra)
+    got = simhash_near_pairs(both, "doc_id", max_hamming=6)
+    pairs = {(r.a, r.b) for r in got.collect()}
+    assert (1, 99998) in pairs
+
+
+# ------------------------------------------------------------ similarity
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return D.load(spark, sf_dir, "embeddings").cache()
+
+
+def _np_cosine_topk(vec_pdf, q, k):
+    M = np.vstack(vec_pdf.embedding.to_numpy())
+    qv = np.asarray(q)
+    cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+    order = sorted(zip(-cos, vec_pdf.vec_id))[:k]
+    return [int(v) for _, v in order]
+
+
+def test_brute_force_topk(spark, emb):
+    qrows = emb.limit(2).select(F.col("vec_id").alias("q_id"),
+                                F.col("embedding").alias("q_embedding"))
+    got = brute_force_topk(emb, qrows, 5).toPandas()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    for q in qrows.collect():
+        want = _np_cosine_topk(pdf, q.q_embedding, 5)
+        sub = got[got.q_id == q.q_id].sort_values("rank")
+        assert list(sub.vec_id) == want
+        assert sub.cos.iloc[0] == pytest.approx(1.0)  # self-match first
+
+
+def test_ivf_recall(spark, emb):
+    cents = emb.limit(8).select(F.col("vec_id").alias("c_id"),
+                                F.col("embedding").alias("c_embedding"))
+    qrows = emb.limit(3).select(F.col("vec_id").alias("q_id"),
+                                F.col("embedding").alias("q_embedding"))
+    exact = brute_force_topk(emb, qrows, 10).toPandas()
+    approx = ivf_topk(emb, qrows, cents, 10, n_probe=3).toPandas()
+    # recall@10 ≥ 0.5 with 3/8 buckets probed (sanity, not tightness)
+    rec = []
+    for qid in exact.q_id.unique():
+        e = set(exact[exact.q_id == qid].vec_id)
+        a = set(approx[approx.q_id == qid].vec_id)
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.5
