@@ -24,7 +24,8 @@ def st_distance_xy(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     """Euclidean distance between two native point columns — stays in
     whole-stage codegen (the hot path for kNN / withinDistance over
     point frames)."""
-    return F.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+    # explicit products, not pow(x,2): bit-identical across engines
+    return F.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
 
 
 def st_distance_to(query, geom_col: str = "geom") -> Column:

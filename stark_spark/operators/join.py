@@ -189,8 +189,9 @@ def within_distance_join(left: DataFrame, right: DataFrame, max_dist: float,
     equi-join — zero UDFs end-to-end.
     """
     right, _ = _suffix_right(left, right, suffix)
-    dist = F.sqrt((F.col("xmin") - F.col("xmin" + suffix)) ** 2 +
-                  (F.col("ymin") - F.col("ymin" + suffix)) ** 2)
+    dx = F.col("xmin") - F.col("xmin" + suffix)
+    dy = F.col("ymin") - F.col("ymin" + suffix)
+    dist = F.sqrt(dx * dx + dy * dy)
     if broadcast:
         pre = _bbox_overlap_expand(suffix, max_dist)
         joined = left.join(F.broadcast(right), on=pre, how="inner")

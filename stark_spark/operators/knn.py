@@ -41,8 +41,8 @@ def knn(df: DataFrame, query, k: int, *, points: bool = True,
     q = query if isinstance(query, G.Geometry) else G.from_wkt(query)
     if points:
         qx, qy = (q.bbox[0] + q.bbox[2]) / 2, (q.bbox[1] + q.bbox[3]) / 2
-        d = F.sqrt((F.col("xmin") - F.lit(qx)) ** 2 +
-                   (F.col("ymin") - F.lit(qy)) ** 2)
+        dx, dy = F.col("xmin") - F.lit(qx), F.col("ymin") - F.lit(qy)
+        d = F.sqrt(dx * dx + dy * dy)
     else:
         d = st_distance_to(q)
     out = df.withColumn(dist_col, d)
@@ -74,8 +74,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int, *,
         expand=radius)))
     r = right.withColumn("_cell", grid.cell_expr(
         F.col("xmin" + suffix), F.col("ymin" + suffix)))
-    d = F.sqrt((F.col("xmin") - F.col("xmin" + suffix)) ** 2 +
-               (F.col("ymin") - F.col("ymin" + suffix)) ** 2)
+    dx = F.col("xmin") - F.col("xmin" + suffix)
+    dy = F.col("ymin") - F.col("ymin" + suffix)
+    d = F.sqrt(dx * dx + dy * dy)
     cand = (l.join(r, on=["_cell"], how="inner")
              .drop("_cell")
              .withColumn(dist_col, d)

@@ -1,0 +1,121 @@
+"""Local mirror of the driver's DuckDB oracle gate.
+
+Runs every `__spark_entry__.queries()` entry at sf0.01 next to its
+`oracle_sql()` SQL in DuckDB and compares: row count, column-name set,
+and an order-insensitive value hash (strict: floats compared bit-ish
+via %.17g — if we pass this, any saner comparator passes too).
+
+Usage: python tests/oracle_check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return "%.17g" % v
+    if isinstance(v, (np.floating,)):
+        return "%.17g" % float(v)
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_hash(pdf: pd.DataFrame) -> tuple[int, tuple, str]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = ["\t".join(_canon_cell(v) for v in row)
+            for row in pdf.itertuples(index=False, name=None)]
+    rows.sort()
+    h = hashlib.sha256("\n".join(rows).encode()).hexdigest()
+    return len(pdf), tuple(cols), h
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> int:
+    import __spark_entry__ as entry
+    from stark_spark import get_session
+
+    spark = get_session("oracle-check", shuffle_partitions=16)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {str(e)[:200]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"PASS(rows-only) {name}: {len(spark_pdf)} rows (no oracle)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            failures += 1
+            continue
+        sn, sc, sh = frame_hash(spark_pdf)
+        dn, dc, dh = frame_hash(duck_pdf)
+        if sn != dn:
+            print(f"FAIL {name}: rows {sn} vs {dn}")
+            failures += 1
+        elif sc != dc:
+            print(f"FAIL {name}: cols {sc} vs {dc}")
+            failures += 1
+        elif sh != dh:
+            print(f"FAIL {name}: value hash mismatch ({sn} rows)")
+            # show a tiny diff for debugging
+            a = spark_pdf[sorted(spark_pdf.columns)].copy()
+            b = duck_pdf[sorted(duck_pdf.columns)].copy()
+            for c in a.columns:
+                a[c] = a[c].map(_canon_cell)
+                b[c] = b[c].map(_canon_cell)
+            am = {tuple(r) for r in a.itertuples(index=False, name=None)}
+            bm = {tuple(r) for r in b.itertuples(index=False, name=None)}
+            print("  only-spark:", list(am - bm)[:3])
+            print("  only-duck :", list(bm - am)[:3])
+            failures += 1
+        else:
+            print(f"PASS {name}: {sn} rows hash={sh[:12]}")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a] or None
+    sys.exit(1 if run(sf, only) else 0)
