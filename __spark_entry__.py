@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline tier); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for each. Both sides compute over the
+same parquet tables; spatial coordinates are DERIVED deterministically
+from key columns (see stark_spark/datasets.py) so every spatial
+operator is value-hash-checkable:
+
+* point for key k:  x = (k*7919 % 1000)/10.0, y = (k*104729 % 1000)/10.0
+* events:           x = value, y = (user_id*7919 % 1000)/10.0,
+                    t = epoch-seconds(ts)  (Instant)
+
+Determinism rules shared with the SQL: explicit products instead of
+pow(); money sums via round(expr*100)::bigint (exact integer sums —
+double summation is order-dependent); ties in every top-k broken by a
+key column.
 """
 
 from __future__ import annotations
@@ -12,27 +22,703 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from stark_spark import datasets as D
+from stark_spark.functions.predicates import st_predicate
+from stark_spark.operators import text as T
+from stark_spark.operators.dbscan import dbscan
+from stark_spark.operators.dedup import (exact_dups, lsh_candidate_pairs,
+                                         minhash_signature_long,
+                                         ngram_jaccard_pairs, simhash16,
+                                         simhash_near_pairs)
+from stark_spark.operators.join import st_join, within_distance_join
+from stark_spark.operators.knn import knn, knn_join
+from stark_spark.operators.similarity import (brute_force_topk,
+                                              cosine_dup_pairs, ivf_topk)
+from stark_spark.operators.skyline import skyline
+from stark_spark.partitioner.grid import GridSpec
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored verbatim in the oracle SQL)
+# ---------------------------------------------------------------------------
+
+PX, PY = 7919, 104729
+GRID = GridSpec.unit_grid(100.0, 32)       # the [0,100)² synthetic space
+
+# SQL fragments for the synthetic coordinates
+def _xy(key: str) -> tuple[str, str]:
+    return (f"(({key} * {PX}) % 1000) / 10.0",
+            f"(({key} * {PY}) % 1000) / 10.0")
+
+EV_X = "value"
+EV_Y = f"((user_id * {PX}) % 1000) / 10.0"
+EV_T = "CAST(floor(epoch(ts)) AS BIGINT)"   # == spark ts.cast('long')
+
+# char-k-gram shingles as a DuckDB fragment (Spark: text.shingles)
+def _sh(k: int, col: str = "text") -> str:
+    return (f"unnest(list_transform(range(1, greatest(length({col}) - {k - 1}, 1) + 1), "
+            f"i -> substr({col}, i, {k})))")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship smoke query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatio-temporal polygon filter over the events table
+    (bbox prefilter native + Arrow refine + §1.2 temporal conjunct)."""
+    ev = D.st_events(spark, "/root/testdata/sf0.001")
+    out = ev.filter(st_predicate(
+        "POLYGON ((0 0, 200 0, 0 100, 0 0))", "intersects",
+        t_query=(1704067200, 1711929600)))
+    return out.select("event_id", "x", "y", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_filter_rect_timed(spark, sf):
+    ev = D.st_events(spark, sf, keep_geom=False)
+    out = ev.filter(st_predicate(
+        "POLYGON ((10 10, 60 10, 60 80, 10 80, 10 10))", "intersects",
+        points=True, t_query=(1704067200, 1705276800)))
+    return out.select("event_id", "x", "y")
+
+
+def _q_filter_polygon_timed(spark, sf):
+    ev = D.st_events(spark, sf)
+    out = ev.filter(st_predicate(
+        "POLYGON ((0 0, 200 0, 0 100, 0 0))", "intersects",
+        t_query=(1704067200, 1711929600)))
+    return out.select("event_id", "x", "y")
+
+
+def _q_filter_containedby_rect(spark, sf):
+    ev = D.st_events(spark, sf, keep_geom=False)
+    out = ev.filter(st_predicate(
+        "POLYGON ((20 30, 70 30, 70 90, 20 90, 20 30))", "containedby",
+        points=True, t_query="any"))
+    return out.select("event_id", "x", "y")
+
+
+def _q_filter_both_or_neither(spark, sf):
+    # half the rows untimed → §1.2: a timed query matches ONLY rows with
+    # defined, overlapping time; untimed rows are excluded
+    from stark_spark.functions.constructors import st_frame
+    ev = D.load(spark, sf, "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * PX % 1000) / 10.0))
+    ev = st_frame(ev, x="x", y="y", keep_geom=False,
+                  t_start=F.when(F.col("event_type") == "click", F.col("ts")))
+    out = ev.filter(st_predicate(
+        "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))", "intersects",
+        points=True, t_query=(1704067200, 1705276800)))
+    return out.select("event_id", "x", "y")
+
+
+def _q_join_grid_points(spark, sf):
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
+    out = st_join(cust, supp, "intersects", grid=GRID,
+                  left_points=True, right_points=True)
+    return out.select("c_custkey", "s_suppkey")
+
+
+def _q_join_broadcast_points(spark, sf):
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
+    out = st_join(cust, supp, "intersects", broadcast=True,
+                  left_points=True, right_points=True)
+    return out.select("c_custkey", "s_suppkey")
+
+
+def _q_join_poly_contains(spark, sf):
+    # per-part rectangle polygons (WKT→geom UDF path) ∋ customer points
+    from stark_spark.functions.constructors import st_frame
+    part = D.load(spark, sf, "part")
+    # anchors off the point lattice (+0.05) and with multipliers
+    # independent of PX/PY — otherwise strict containment degenerates
+    # to a mod-1000 coincidence that never fires (vacuous 0-row query)
+    x0 = (F.col("p_partkey").cast("long") * 37 % 900) / 10.0 + F.lit(0.05)
+    y0 = (F.col("p_partkey").cast("long") * 71 % 900) / 10.0 + F.lit(0.05)
+    w = (F.lit(1) + F.col("p_partkey") % 2).cast("double")
+    h = (F.lit(1) + F.col("p_partkey") % 3).cast("double")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        x0.cast("string"), F.lit(" "), y0.cast("string"), F.lit(", "),
+        (x0 + w).cast("string"), F.lit(" "), y0.cast("string"), F.lit(", "),
+        (x0 + w).cast("string"), F.lit(" "), (y0 + h).cast("string"), F.lit(", "),
+        x0.cast("string"), F.lit(" "), (y0 + h).cast("string"), F.lit(", "),
+        x0.cast("string"), F.lit(" "), y0.cast("string"), F.lit("))"))
+    polys = st_frame(part.withColumn("_wkt", wkt), wkt="_wkt").drop("_wkt")
+    cust = D.st_points(spark, sf, "customer", "c_custkey")
+    out = st_join(polys, cust, "contains", grid=GRID, right_points=True)
+    return out.select("p_partkey", "c_custkey")
+
+
+def _q_within_distance_join(spark, sf):
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
+    out = within_distance_join(cust, supp, 5.0, grid=GRID, points=True)
+    dx = F.col("xmin") - F.col("xmin_r")
+    dy = F.col("ymin") - F.col("ymin_r")
+    return out.select("c_custkey", "s_suppkey",
+                      F.sqrt(dx * dx + dy * dy).alias("dist"))
+
+
+def _q_knn_events(spark, sf):
+    ev = D.st_events(spark, sf, keep_geom=False)
+    out = knn(ev, "POINT (50 50)", 50, points=True, tie_col="event_id")
+    return out.select("event_id", "dist")
+
+
+def _q_knn_join(spark, sf):
+    supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    out = knn_join(supp, cust, 3, grid=GRID, radius=30.0,
+                   left_key="s_suppkey", tie_col="c_custkey")
+    return out.select("s_suppkey", "c_custkey", "dist")
+
+
+def _q_skyline(spark, sf):
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    out = skyline(cust.select("c_custkey", "x", "y"), "x", "y")
+    return out
+
+
+def _q_dbscan(spark, sf):
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    return dbscan(cust, 2.0, 4, key="c_custkey", grid=GRID)
+
+
+def _q_grid_histogram(spark, sf):
+    ev = D.st_events(spark, sf, keep_geom=False)
+    out = (ev.withColumn("cell", GRID.cell_expr(F.col("x"), F.col("y")))
+             .groupBy("cell").agg(F.count("*").alias("n")))
+    return out
+
+
+def _q_agg_pricing_summary(spark, sf):
+    li = D.load(spark, sf, "lineitem")
+    out = (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+             .groupBy("l_returnflag", "l_linestatus")
+             .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                  (F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                   / 100.0).alias("sum_base_price"),
+                  (F.sum(F.round(F.col("l_extendedprice") *
+                                 (1 - F.col("l_discount")) * 10000).cast("bigint"))
+                   / 10000.0).alias("sum_disc_price"),
+                  F.count("*").alias("count_order")))
+    return out
+
+
+def _q_agg_revenue_by_segment(spark, sf):
+    orders = D.load(spark, sf, "orders")
+    cust = D.load(spark, sf, "customer")
+    out = (orders.join(F.broadcast(cust),
+                       orders.o_custkey == cust.c_custkey)
+                 .groupBy("c_mktsegment")
+                 .agg(F.count("*").alias("n_orders"),
+                      (F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                       / 100.0).alias("revenue")))
+    return out
+
+
+def _q_events_daily(spark, sf):
+    ev = D.load(spark, sf, "events")
+    out = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.count("*").alias("n"),
+                  (F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                   / 100.0).alias("sum_value")))
+    return out
+
+
+def _q_dedup_exact(spark, sf):
+    docs = D.load(spark, sf, "documents")
+    return exact_dups(docs, "doc_id")
+
+
+def _q_dedup_minhash(spark, sf):
+    docs = D.load(spark, sf, "documents")
+    return minhash_signature_long(docs, "doc_id", n_seeds=4, shingle_k=8)
+
+
+def _q_dedup_lsh_pairs(spark, sf):
+    docs = D.load(spark, sf, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", n_seeds=4, rows_per_band=1,
+                               shingle_k=8)
+
+
+def _q_dedup_jaccard(spark, sf):
+    docs = D.load(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", shingle_k=8, threshold=0.12)
+
+
+def _q_dedup_simhash(spark, sf):
+    docs = D.load(spark, sf, "documents")
+    return docs.select("doc_id",
+                       simhash16(F.col("text"), shingle_k=4).alias("simhash"))
+
+
+def _q_dedup_simhash_pairs(spark, sf):
+    docs = D.load(spark, sf, "documents")
+    return simhash_near_pairs(docs, "doc_id", max_hamming=6)
+
+
+def _q_text_profile(spark, sf):
+    docs = D.load(spark, sf, "documents")
+    out = T.text_profile(docs)
+    return out.select("doc_id", "n_tokens", "avg_token_len",
+                      "stopword_ratio", "punct_ratio", "quality",
+                      "lang_guess", "fingerprint")
+
+
+def _q_text_by_source(spark, sf):
+    docs = D.load(spark, sf, "documents")
+    t = F.col("text")
+    out = (docs.withColumn("n_tokens", T.token_count(t))
+               .withColumn("quality", T.quality_score(t))
+               .groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_tokens").alias("sum_tokens"),
+                    F.min("quality").alias("min_quality"),
+                    F.max("quality").alias("max_quality")))
+    return out
+
+
+def _q_lang_distribution(spark, sf):
+    docs = D.load(spark, sf, "documents")
+    return (docs.groupBy(T.lang_guess(F.col("text")).alias("lang_guess"))
+                .agg(F.count("*").alias("n")))
+
+
+def _emb_queries(spark, sf, n):
+    emb = D.load(spark, sf, "embeddings")
+    q = (emb.where(F.col("vec_id") < n)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    return emb, q
+
+
+def _q_ann_brute(spark, sf):
+    emb, q = _emb_queries(spark, sf, 5)
+    return brute_force_topk(emb, q, 10)
+
+
+def _q_ann_ivf(spark, sf):
+    emb, q = _emb_queries(spark, sf, 5)
+    cent = (emb.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    return ivf_topk(emb, q, cent, 5, n_probe=2)
+
+
+def _q_ann_dup_pairs(spark, sf):
+    emb = D.load(spark, sf, "embeddings")
+    return cosine_dup_pairs(emb, 0.4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "st_filter_rect_timed": _q_filter_rect_timed,
+        "st_filter_polygon_timed": _q_filter_polygon_timed,
+        "st_filter_containedby_rect": _q_filter_containedby_rect,
+        "st_filter_both_or_neither": _q_filter_both_or_neither,
+        "st_join_grid_points": _q_join_grid_points,
+        "st_join_broadcast_points": _q_join_broadcast_points,
+        "st_join_poly_contains": _q_join_poly_contains,
+        "within_distance_join": _q_within_distance_join,
+        "knn_events": _q_knn_events,
+        "knn_join": _q_knn_join,
+        "skyline": _q_skyline,
+        "dbscan": _q_dbscan,
+        "grid_cell_histogram": _q_grid_histogram,
+        "agg_pricing_summary": _q_agg_pricing_summary,
+        "agg_revenue_by_segment": _q_agg_revenue_by_segment,
+        "events_daily": _q_events_daily,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sigs": _q_dedup_minhash,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "text_profile": _q_text_profile,
+        "text_by_source": _q_text_by_source,
+        "lang_distribution": _q_lang_distribution,
+        "ann_brute_topk": _q_ann_brute,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_cosine_dup_pairs": _q_ann_dup_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _simhash_bit_sql(j: int, hcol: str = "h") -> str:
+    """Predicate: bit j (MSB-first within md5 nibbles) of the hash set."""
+    nib, bit = divmod(j, 4)
+    chars = {0: "89abcdef", 1: "4567cdef", 2: "2367abef", 3: "13579bdf"}[bit]
+    return f"strpos('{chars}', substr({hcol}, {nib + 1}, 1)) > 0"
+
+
+def _simhash16_sql() -> str:
+    cnts = ",\n    ".join(
+        f"count(*) FILTER ({_simhash_bit_sql(j)}) AS c{j}" for j in range(16))
+    terms = " + ".join(
+        f"(CASE WHEN 2*c{j} >= n THEN {1 << (15 - j)} ELSE 0 END)"
+        for j in range(16))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, greatest(length(text) - 3, 1) AS n, md5({_sh(4)}) AS h
+  FROM documents
+), agg AS (
+  SELECT doc_id, any_value(n) AS n,
+    {cnts}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM agg"""
+
+
+def _simhash64_pairs_sql(max_hamming: int) -> str:
+    """Hamming pairs without materializing the 64-bit long (1<<63
+    overflows BIGINT in DuckDB): compare per-bit majority flags."""
+    cnts = ",\n    ".join(
+        f"count(*) FILTER ({_simhash_bit_sql(j)}) AS c{j}" for j in range(64))
+    bits = ",\n    ".join(
+        f"(CASE WHEN 2*c{j} >= n THEN 1 ELSE 0 END) AS b{j}" for j in range(64))
+    ham = " + ".join(f"abs(x.b{j} - y.b{j})" for j in range(64))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, greatest(length(text) - 3, 1) AS n, md5({_sh(4)}) AS h
+  FROM documents
+), agg AS (
+  SELECT doc_id, any_value(n) AS n,
+    {cnts}
+  FROM sh GROUP BY doc_id
+), fp AS (
+  SELECT doc_id,
+    {bits}
+  FROM agg
+)
+SELECT x.doc_id AS a, y.doc_id AS b, CAST({ham} AS BIGINT) AS hamming
+FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+WHERE {ham} <= {max_hamming}"""
+
+
+_DOT = ("list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)), "
+        "(acc, v) -> acc + v)")
+
+
+def _cos(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _text_profile_sql() -> str:
+    toks = "string_split(text, ' ')"
+    n = f"len({toks})"
+    nonspace = "length(replace(text, ' ', ''))"
+    stop = (f"len(list_filter({toks}, w -> w IN "
+            f"('the','a','of','and','to','in','is'))) / {n}")
+    punct = (f"(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
+             f" / length(text)")
+    marks = {"en": ("the", "and", "of"), "es": ("el", "la", "de"),
+             "de": ("der", "die", "und"), "fr": ("le", "la", "et")}
+    langs = {lang: (f"len(list_filter({toks}, w -> w IN "
+                    f"{tuple(ms)!r})) / {n}").replace('"', "'")
+             for lang, ms in marks.items()}
+    quality = (f"(least({n} / 100.0, 1.0) + (1.0 - abs(({stop}) - 0.4)) + "
+               f"(1.0 - least(({punct}) * 5.0, 1.0))) / 3.0")
+    lang_case = (f"CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' "
+                 f"WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es' "
+                 f"WHEN s_de > 0 AND s_de >= s_fr THEN 'de' "
+                 f"WHEN s_fr > 0 THEN 'fr' ELSE 'und' END")
+    fp = (f"(SELECT min(md5(s.sh)) FROM (SELECT {_sh(8, 'd.text')} AS sh) s)")
+    return f"""
+SELECT doc_id, {n} AS n_tokens,
+  {nonspace} / {n} AS avg_token_len,
+  {stop} AS stopword_ratio,
+  {punct} AS punct_ratio,
+  {quality} AS quality,
+  {lang_case} AS lang_guess,
+  fp AS fingerprint
+FROM (
+  SELECT d.doc_id, d.text,
+    {langs['en']} AS s_en, {langs['es']} AS s_es,
+    {langs['de']} AS s_de, {langs['fr']} AS s_fr,
+    {fp} AS fp
+  FROM documents d
+) t"""
+
+
+def _dbscan_sql(eps: float, min_pts: int, key: str, x: str, y: str,
+                table: str) -> str:
+    """Exact DBSCAN spec: core = |N_eps ∪ {{self}}| >= min_pts; clusters =
+    connected components of the core ε-graph, numbered by rank of each
+    component's min core key; border → min cluster id among core
+    neighbors; noise = -1."""
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT {key} AS k, {x} AS x, {y} AS y FROM {table}
+), nbr AS (
+  SELECT a.k AS ka, b.k AS kb FROM pts a JOIN pts b
+  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {eps * eps}
+), core AS (
+  SELECT ka AS k FROM nbr GROUP BY ka HAVING count(*) >= {min_pts}
+), cedge AS (
+  SELECT ka, kb FROM nbr
+  WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)
+), reach(k, r) AS (
+  SELECT k, k FROM core
+  UNION
+  SELECT c.kb, reach.r FROM reach JOIN cedge c ON c.ka = reach.k
+), comp AS (
+  SELECT k, min(r) AS rep FROM reach GROUP BY k
+), ranked AS (
+  SELECT rep, CAST(row_number() OVER (ORDER BY rep) - 1 AS INT) AS cluster
+  FROM (SELECT DISTINCT rep FROM comp) t
+), core_cluster AS (
+  SELECT comp.k, ranked.cluster FROM comp JOIN ranked USING (rep)
+), border AS (
+  SELECT n.ka AS k, min(cc.cluster) AS cluster
+  FROM nbr n JOIN core_cluster cc ON n.kb = cc.k
+  WHERE n.ka NOT IN (SELECT k FROM core)
+  GROUP BY n.ka
+)
+SELECT p.k AS {key},
+  COALESCE(cc.cluster, b.cluster, -1) AS cluster,
+  CASE WHEN cc.k IS NOT NULL THEN 1 ELSE 0 END AS is_core
+FROM pts p
+LEFT JOIN core_cluster cc ON cc.k = p.k
+LEFT JOIN border b ON b.k = p.k"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cx, cy = _xy("c_custkey")
+    sx, sy = _xy("s_suppkey")
+    px0 = "((p_partkey * 37) % 900) / 10.0 + 0.05::DOUBLE"
+    py0 = "((p_partkey * 71) % 900) / 10.0 + 0.05::DOUBLE"
+    dist_cs = (f"sqrt((({cx}) - ({sx})) * (({cx}) - ({sx})) + "
+               f"(({cy}) - ({sy})) * (({cy}) - ({sy})))")
+    dist_q = ("sqrt((value - 50) * (value - 50) + "
+              f"(({EV_Y}) - 50) * (({EV_Y}) - 50))")
+    # grid cell of the 32×32 unit grid (sx = sy = 3.125, exact binary)
+    def cell(xe, ye):
+        cxe = f"least(31, greatest(0, CAST(floor(({xe}) / 3.125) AS INT)))"
+        cye = f"least(31, greatest(0, CAST(floor(({ye}) / 3.125) AS INT)))"
+        return f"({cye}) * 32 + ({cxe})"
+
+    sql = {
+        "st_filter_rect_timed": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE value >= 10 AND value <= 60
+  AND ({EV_Y}) >= 10 AND ({EV_Y}) <= 80
+  AND {EV_T} >= 1704067200 AND {EV_T} <= 1705276800""",
+
+        "st_filter_polygon_timed": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE value >= 0 AND ({EV_Y}) >= 0
+  AND value * 100 + ({EV_Y}) * 200 <= 20000
+  AND {EV_T} >= 1704067200 AND {EV_T} <= 1711929600""",
+
+        "st_filter_containedby_rect": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE value > 20 AND value < 70 AND ({EV_Y}) > 30 AND ({EV_Y}) < 90""",
+
+        "st_filter_both_or_neither": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE value >= 0 AND value <= 100 AND ({EV_Y}) >= 0 AND ({EV_Y}) <= 100
+  AND event_type = 'click'
+  AND {EV_T} >= 1704067200 AND {EV_T} <= 1705276800""",
+
+        "st_join_grid_points": f"""
+SELECT c_custkey, s_suppkey FROM customer, supplier
+WHERE ({cx}) = ({sx}) AND ({cy}) = ({sy})""",
+
+        "st_join_broadcast_points": f"""
+SELECT c_custkey, s_suppkey FROM customer, supplier
+WHERE ({cx}) = ({sx}) AND ({cy}) = ({sy})""",
+
+        "st_join_poly_contains": f"""
+SELECT p_partkey, c_custkey FROM part, customer
+WHERE ({cx}) > ({px0}) AND ({cx}) < ({px0}) + (1 + p_partkey % 2)
+  AND ({cy}) > ({py0}) AND ({cy}) < ({py0}) + (1 + p_partkey % 3)""",
+
+        "within_distance_join": f"""
+SELECT c_custkey, s_suppkey, {dist_cs} AS dist
+FROM customer, supplier WHERE {dist_cs} <= 5.0""",
+
+        "knn_events": f"""
+SELECT event_id, {dist_q} AS dist FROM events
+ORDER BY dist, event_id LIMIT 50""",
+
+        "knn_join": f"""
+SELECT s_suppkey, c_custkey, dist FROM (
+  SELECT s_suppkey, c_custkey, {dist_cs} AS dist,
+    row_number() OVER (PARTITION BY s_suppkey
+                       ORDER BY {dist_cs}, c_custkey) AS rn
+  FROM supplier, customer
+) t WHERE rn <= 3""",
+
+        "skyline": f"""
+WITH p AS (SELECT c_custkey, {cx} AS x, {cy} AS y FROM customer)
+SELECT c_custkey, x, y FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))""",
+
+        "dbscan": _dbscan_sql(2.0, 4, "c_custkey", cx, cy, "customer"),
+
+        "grid_cell_histogram": f"""
+SELECT {cell('value', EV_Y)} AS cell, count(*) AS n
+FROM events GROUP BY 1""",
+
+        "agg_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+    / 10000.0 AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+
+        "agg_revenue_by_segment": """
+SELECT c_mktsegment, count(*) AS n_orders,
+  sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+
+        "events_daily": """
+SELECT date_trunc('day', ts) AS day, count(*) AS n,
+  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1""",
+
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, count(*) AS n_dups,
+  min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1""",
+
+        "dedup_minhash_sigs": f"""
+SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS minhash
+FROM (SELECT doc_id, {_sh(8)} AS sh FROM documents) s,
+     (SELECT unnest(range(0, 4)) AS seed) t
+GROUP BY doc_id, seed""",
+
+        "dedup_lsh_pairs": f"""
+WITH sig AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS minhash
+  FROM (SELECT doc_id, {_sh(8)} AS sh FROM documents) s,
+       (SELECT unnest(range(0, 4)) AS seed) t
+  GROUP BY doc_id, seed
+), band AS (
+  SELECT doc_id, CAST(seed AS INT) AS band,
+    string_agg(seed::VARCHAR || ':' || minhash, ','
+               ORDER BY seed::VARCHAR || ':' || minhash) AS bucket
+  FROM sig GROUP BY doc_id, seed
+)
+SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id""",
+
+        "dedup_ngram_jaccard": f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh FROM
+    (SELECT doc_id, {_sh(8)} AS sh FROM documents) t
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common, x.sz AS sz_a, y.sz AS sz_b,
+  n_common / (x.sz + y.sz - n_common) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = a JOIN sz y ON y.doc_id = b
+WHERE n_common / (x.sz + y.sz - n_common) >= 0.12""",
+
+        "dedup_simhash": _simhash16_sql(),
+
+        "dedup_simhash_pairs": _simhash64_pairs_sql(6),
+
+        "text_profile": _text_profile_sql(),
+
+        "text_by_source": """
+WITH t AS (
+  SELECT source, len(string_split(text, ' ')) AS n_tokens,
+    (least(len(string_split(text, ' ')) / 100.0, 1.0)
+     + (1.0 - abs((len(list_filter(string_split(text, ' '),
+          w -> w IN ('the','a','of','and','to','in','is')))
+          / len(string_split(text, ' '))) - 0.4))
+     + (1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+          / length(text)) * 5.0, 1.0))) / 3.0 AS quality
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+  min(quality) AS min_quality, max(quality) AS max_quality
+FROM t GROUP BY source""",
+
+        "lang_distribution": """
+WITH s AS (
+  SELECT
+    len(list_filter(string_split(text,' '), w -> w IN ('the','and','of')))
+      / len(string_split(text,' ')) AS s_en,
+    len(list_filter(string_split(text,' '), w -> w IN ('el','la','de')))
+      / len(string_split(text,' ')) AS s_es,
+    len(list_filter(string_split(text,' '), w -> w IN ('der','die','und')))
+      / len(string_split(text,' ')) AS s_de,
+    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et')))
+      / len(string_split(text,' ')) AS s_fr
+  FROM documents
+)
+SELECT CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+            WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+            WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+            WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess,
+  count(*) AS n
+FROM s GROUP BY 1""",
+
+        "ann_brute_topk": f"""
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q.vec_id AS q_id, v.vec_id, {_cos('v.embedding', 'q.embedding')} AS cos,
+    CAST(row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, v.vec_id) AS INT) AS rank
+  FROM embeddings v, embeddings q WHERE q.vec_id < 5
+) t WHERE rank <= 10""",
+
+        "ann_ivf_topk": f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT v.vec_id, v.embedding, c.vec_id AS bucket,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {_cos('v.embedding', 'c.embedding')} DESC, c.vec_id) AS rn
+    FROM embeddings v, embeddings c WHERE c.vec_id < 4
+  ) t WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_embedding, bucket FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_embedding, c.vec_id AS bucket,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_cos('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rn
+    FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id < 4
+  ) t WHERE rn <= 2
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT p.q_id, a.vec_id, {_cos('a.embedding', 'p.q_embedding')} AS cos,
+    CAST(row_number() OVER (PARTITION BY p.q_id
+      ORDER BY {_cos('a.embedding', 'p.q_embedding')} DESC, a.vec_id) AS INT) AS rank
+  FROM assigned a JOIN probes p USING (bucket)
+) t WHERE rank <= 5""",
+
+        "ann_cosine_dup_pairs": f"""
+SELECT a.vec_id AS a, b.vec_id AS b,
+  {_cos('a.embedding', 'b.embedding')} AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4""",
+    }
+    return sql

@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Queries come from ``__spark_entry__.queries()`` — the same DataFrames
+the correctness gate checks — executed with ``count()`` (full pipeline,
+no driver transfer). Env: SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1), SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the headline subset: every engine tier, nothing quadratic-in-corpus
+BENCH_QUERIES = [
+    "st_filter_rect_timed",      # native-only ST filter
+    "st_filter_polygon_timed",   # bbox prefilter + Arrow refine
+    "st_join_grid_points",       # grid cell equi-join
+    "st_join_poly_contains",     # explode + refine UDF join
+    "within_distance_join",      # widened-cell distance join
+    "knn_events",                # TakeOrderedAndProject top-k
+    "knn_join",                  # window top-k per key + fallback
+    "skyline",                   # two-stage pareto front
+    "dbscan",                    # cell+halo clustering + CC
+    "grid_cell_histogram",       # partitioner histogram
+    "agg_pricing_summary",       # columnar agg (lineitem)
+    "agg_revenue_by_segment",    # broadcast dim join + agg
+    "events_daily",              # temporal rollup
+    "text_profile",              # native text analysis pass
+    "dedup_minhash_sigs",        # explode + map-side-combine min
+    "dedup_simhash",             # 64 native bit-votes
+    "ann_brute_topk",            # broadcast + fold dot products
+    "ann_ivf_topk",              # bucketed ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from stark_spark import get_session
+
+    spark = get_session("bench", master=f"local[{cpus}]",
+                        shuffle_partitions=int(cpus))
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in _TS_COLS.get(table, ()):
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer div, not /1000: double division rounds at ~1.7e18 ns
+            # (ulp 0.25 µs) and can come out 1 µs off DuckDB's exact
+            # nanos→micros truncation
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -88,13 +88,20 @@ def _local_dbscan(xs: np.ndarray, ys: np.ndarray, eps: float, min_pts: int):
                     labels[q] = cid
                     stack.append(q)
         cid += 1
-    # border points: min cluster among core neighbors
+    # border points: among core neighbors' clusters join the one whose
+    # minimum core-member id is smallest — deterministic under ties
+    # (a border point equidistant between two clusters), which the
+    # reference is not (DBScan.scala assigns in discovery order)
+    rep: dict[int, int] = {}
+    for i in range(n):
+        if is_core[i]:
+            rep[labels[i]] = min(rep.get(labels[i], i), i)
     for i in range(n):
         if is_core[i]:
             continue
-        cand = [labels[q] for q in neigh[i] if is_core[q]]
+        cand = {labels[q] for q in neigh[i] if is_core[q]}
         if cand:
-            labels[i] = min(cand)
+            labels[i] = min(cand, key=lambda c: rep[c])
     return labels, is_core
 
 
@@ -154,18 +161,29 @@ def dbscan(df: DataFrame, eps: float, min_pts: int, *, key: str,
                         lab[q] = cid
                         stack.append(q)
             cid += 1
+        # Emission: core → its own label; border → one row per DISTINCT
+        # candidate core-neighbor label (the global argmin by cluster
+        # rank is resolved after connected components — deterministic,
+        # unlike picking the min LOCAL cid here, which depends on the
+        # nondeterministic row order of the pandas group); noise → one
+        # null-label row.
+        ks = pdf["_k"].to_numpy()
+        hm = pdf["_home"].to_numpy()
+        co = pdf["_core"].to_numpy()
+        out_k, out_h, out_c, out_l = [], [], [], []
         for i in range(n):
             if is_core[i]:
-                continue
-            cand = [lab[q] for q in neighbors(i) if is_core[q]]
-            if cand:
-                lab[i] = min(cand)
-        return pd.DataFrame({
-            "_k": pdf["_k"],
-            "_home": pdf["_home"],
-            "_core": pdf["_core"],
-            "_lab": [f"{c}:{l}" if l >= 0 else None for l in lab],
-        })
+                labs = [f"{c}:{lab[i]}"]
+            else:
+                cand = sorted({int(lab[q]) for q in neighbors(i) if is_core[q]})
+                labs = [f"{c}:{l}" for l in cand] or [None]
+            for lv in labs:
+                out_k.append(ks[i])
+                out_h.append(hm[i])
+                out_c.append(co[i])
+                out_l.append(lv)
+        return pd.DataFrame({"_k": out_k, "_home": out_h,
+                             "_core": out_c, "_lab": out_l})
 
     labeled = piled.groupBy("_cell").applyInPandas(cluster_pass, lab_schema).cache()
 
@@ -178,33 +196,43 @@ def dbscan(df: DataFrame, eps: float, min_pts: int, *, key: str,
                .select("a", "b").distinct())
 
     # --- connected components: hash-min propagation ----------------------
-    comp = core_labs.select("_lab").distinct().withColumn("comp", F.col("_lab"))
+    # localCheckpoint per round: an iterative DataFrame loop otherwise
+    # grows its lineage linearly and every round replans (and on
+    # failure recomputes) the whole chain — the classic iterative-
+    # algorithm trap at any scale.
+    comp = (core_labs.select("_lab").distinct()
+                     .withColumn("comp", F.col("_lab")).localCheckpoint())
     sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
     while True:
         neigh = (sym.join(comp.select(F.col("_lab").alias("b"),
                                       F.col("comp").alias("comp_b")), "b")
                     .groupBy("a").agg(F.min("comp_b").alias("comp_n")))
         nxt = (comp.join(neigh.withColumnRenamed("a", "_lab"), "_lab", "left")
-                   .select("_lab",
-                           F.least(F.col("comp"), F.col("comp_n")).alias("comp_new")))
-        changed = (nxt.join(comp, "_lab")
-                      .where(F.col("comp_new") != F.col("comp")).count())
-        comp = nxt.select("_lab", F.col("comp_new").alias("comp")).cache()
+                   .select("_lab", "comp",
+                           F.least(F.col("comp"), F.col("comp_n")).alias("comp_new"))
+                   .localCheckpoint())
+        changed = nxt.where(F.col("comp_new") != F.col("comp")).count()
+        comp = nxt.select("_lab", F.col("comp_new").alias("comp"))
         if changed == 0:
             break
 
     # --- relabel home rows -----------------------------------------------
+    # Cluster ids are the rank of each component's minimum CORE member
+    # key (core-only so numbering can't depend on border attachment);
+    # a border point takes the min cluster id among its candidate
+    # components — both fully deterministic, hence oracle-checkable.
     home_rows = labeled.where(F.col("_home") == 1)
-    final = (home_rows.join(F.broadcast(comp), "_lab", "left")
-             .groupBy("_k")
-             .agg(F.min("comp").alias("_comp"), F.max("_core").alias("_is_core")))
-    rank = (final.where(F.col("_comp").isNotNull())
-                 .groupBy("_comp").agg(F.min("_k").alias("_mk")))
-    rank = rank.withColumn("cluster",
-                           F.row_number().over(Window.orderBy("_mk")) - 1)
-    return (final.join(F.broadcast(rank.select("_comp", "cluster")),
-                       "_comp", "left")
-                 .select(F.col("_k").alias(key),
+    resolved = home_rows.join(F.broadcast(comp), "_lab", "left")
+    core_mk = (resolved.where(F.col("_core") == 1)
+                       .groupBy("comp").agg(F.min("_k").alias("_mk")))
+    rank = core_mk.withColumn(
+        "cluster", F.row_number().over(Window.orderBy("_mk")) - 1)
+    assign = (resolved.join(F.broadcast(rank.select("comp", "cluster")),
+                            "comp", "left")
+                      .groupBy("_k")
+                      .agg(F.min("cluster").alias("cluster"),
+                           F.max("_core").alias("_is_core")))
+    return assign.select(F.col("_k").alias(key),
                          F.coalesce("cluster", F.lit(-1)).alias("cluster"),
-                         F.col("_is_core").cast("int").alias("is_core")))
+                         F.col("_is_core").cast("int").alias("is_core"))

@@ -65,5 +65,12 @@ def get_session(app: str = "stark_spark", *, master: str | None = None,
     if shuffle_partitions is None:
         shuffle_partitions = cpus
     builder = SparkSession.builder.appName(app).master(master)
+    if master.startswith("local"):
+        # in local mode the driver JVM IS every executor — the 1g
+        # default heap OOMs under 32 concurrent tasks. Honored only at
+        # JVM launch (first getOrCreate in the process).
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     builder = configure(builder, shuffle_partitions=shuffle_partitions)
     return builder.getOrCreate()
