@@ -1,0 +1,6 @@
+from stark_spark.sources.partitioned import (load_manifest, load_partitioned,
+                                             read_pruned, save_partitioned,
+                                             knn_pruned, join_pruned)
+
+__all__ = ["save_partitioned", "load_partitioned", "load_manifest",
+           "read_pruned", "knn_pruned", "join_pruned"]

@@ -1,0 +1,98 @@
+"""Partitioned storage: roundtrip, pruned reads, pruned kNN/join.
+
+Parity model: reference `STSparkContext` loader tests + the
+partition_info write/read cycle (SURVEY.md §2.1/§3.3). The key
+assertions: (a) pruned result == unpruned result (pruning is an
+optimization, never a semantic), (b) the physical plan actually
+partition-prunes (PartitionFilters on the cell column).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stark_spark import datasets as D
+from stark_spark.core import geometry as G
+from stark_spark.functions.predicates import st_predicate
+from stark_spark.operators.knn import knn
+from stark_spark.partitioner.grid import GridSpec
+from stark_spark.sources import (join_pruned, knn_pruned, load_manifest,
+                                 load_partitioned, read_pruned,
+                                 save_partitioned)
+
+GRID = GridSpec.unit_grid(100.0, 8)
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("store")
+    cust = D.st_points(spark, sf_dir, "customer", "c_custkey")
+    save_partitioned(cust, str(base / "customer"), GRID)
+    supp = D.st_points(spark, sf_dir, "supplier", "s_suppkey")
+    save_partitioned(supp, str(base / "supplier"), GRID)
+    return base
+
+
+def test_roundtrip_counts(spark, sf_dir, store):
+    cust = D.st_points(spark, sf_dir, "customer", "c_custkey")
+    re = load_partitioned(spark, str(store / "customer"))
+    assert re.count() == cust.count()
+    assert "cell" in re.columns
+    mf = load_manifest(spark, str(store / "customer"))
+    assert mf.agg(F.sum("n_rows")).first()[0] == cust.count()
+    # extent ⊆ range for every cell (reference Cell invariant)
+    bad = mf.where((F.col("ext_xmin") < F.col("rng_xmin") - 1e-9) |
+                   (F.col("ext_xmax") > F.col("rng_xmax") + 1e-9)).count()
+    assert bad == 0
+
+
+def test_pruned_read_matches_full(spark, sf_dir, store):
+    q = "POLYGON ((10 10, 40 10, 40 40, 10 40, 10 10))"
+    pruned = read_pruned(spark, str(store / "customer"), q, points=True)
+    full = (D.st_points(spark, sf_dir, "customer", "c_custkey")
+            .filter(st_predicate(q, "intersects", points=True, t_query="any")))
+    got = {r.c_custkey for r in pruned.select("c_custkey").collect()}
+    want = {r.c_custkey for r in full.select("c_custkey").collect()}
+    assert got == want
+
+
+def test_pruning_reaches_the_scan(spark, store):
+    q = G.from_wkt("POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0))")
+    df = read_pruned(spark, str(store / "customer"), q, points=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the 12×12 box touches only cell 0 (+neighbors at 12.5 boundary)
+    mf = load_manifest(spark, str(store / "customer")).count()
+    assert df.select("cell").distinct().count() < mf
+
+
+def test_empty_prune(spark, store):
+    out = read_pruned(spark, str(store / "customer"),
+                      "POLYGON ((500 500, 501 500, 501 501, 500 501, 500 500))",
+                      points=True)
+    assert out.count() == 0
+
+
+def test_knn_pruned_exact(spark, sf_dir, store):
+    cust = D.st_points(spark, sf_dir, "customer", "c_custkey")
+    want = [r.c_custkey for r in
+            knn(cust, "POINT (50 50)", 10, points=True,
+                tie_col="c_custkey").select("c_custkey").collect()]
+    got = [r.c_custkey for r in
+           knn_pruned(spark, str(store / "customer"), "POINT (50 50)", 10,
+                      grid=GRID, tie_col="c_custkey")
+           .select("c_custkey").collect()]
+    assert got == want
+
+
+def test_join_pruned_matches(spark, sf_dir, store):
+    from stark_spark.operators.join import st_join
+    cust = D.st_points(spark, sf_dir, "customer", "c_custkey")
+    supp = D.st_points(spark, sf_dir, "supplier", "s_suppkey")
+    want = {(r.c_custkey, r.s_suppkey) for r in
+            st_join(cust, supp, grid=GRID, left_points=True,
+                    right_points=True).select("c_custkey", "s_suppkey").collect()}
+    got = {(r.c_custkey, r.s_suppkey) for r in
+           join_pruned(spark, str(store / "customer"), str(store / "supplier"),
+                       grid=GRID, left_points=True, right_points=True)
+           .select("c_custkey", "s_suppkey").collect()}
+    assert got == want
