@@ -177,7 +177,11 @@ def _q_knn_events(spark, sf):
 def _q_knn_join(spark, sf):
     supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
     cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
-    out = knn_join(supp, cust, 3, grid=GRID, radius=30.0,
+    # radius bounds the candidate set; rows with < k neighbors inside it
+    # are completed exactly by the fallback pass — results identical for
+    # any radius, wall-time is candidates (big radius) vs fallback rows
+    # (small radius)
+    out = knn_join(supp, cust, 3, grid=GRID, radius=10.0,
                    left_key="s_suppkey", tie_col="c_custkey")
     return out.select("s_suppkey", "c_custkey", "dist")
 
@@ -267,6 +271,30 @@ def _q_dedup_simhash_pairs(spark, sf):
     return simhash_near_pairs(docs, "doc_id", max_hamming=6)
 
 
+def _ev_tiles(spark, sf):
+    from stark_spark.raster import rasterize
+    ev = D.load(spark, sf, "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * PX % 1000) / 10.0))
+    return rasterize(ev, tile_px=8, pixel_width=1.25)
+
+
+def _q_raster_stats(spark, sf):
+    from stark_spark.raster import r_max
+    tiles = _ev_tiles(spark, sf)
+    return tiles.select(
+        "ulx", "uly",
+        r_max().alias("pix_max"),
+        F.size(F.filter(F.col("data"), lambda p: p != 0)).alias("n_nonzero"),
+        F.aggregate(F.col("data"), F.lit(0).cast("long"),
+                    lambda a, v: a + v).alias("n_events"))
+
+
+def _q_raster_hist(spark, sf):
+    from stark_spark.raster import raster_histogram
+    return raster_histogram(_ev_tiles(spark, sf), 0, 16, 8)
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -338,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_agg_pricing_summary,
         "agg_revenue_by_segment": _q_agg_revenue_by_segment,
         "events_daily": _q_events_daily,
+        "raster_rasterize_stats": _q_raster_stats,
+        "raster_histogram": _q_raster_hist,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -599,6 +629,39 @@ GROUP BY c_mktsegment""",
 SELECT date_trunc('day', ts) AS day, count(*) AS n,
   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY 1""",
+
+        "raster_rasterize_stats": f"""
+WITH pix AS (
+  SELECT floor(value / 10.0) AS tx, floor(({EV_Y}) / 10.0) AS ty,
+    floor(value / 1.25) AS ix, floor(({EV_Y}) / 1.25) AS iy,
+    count(*) AS n
+  FROM events GROUP BY 1, 2, 3, 4
+)
+SELECT tx * 10.0 AS ulx, (ty + 1) * 10.0 AS uly,
+  max(n) AS pix_max, CAST(count(*) AS INT) AS n_nonzero,
+  sum(n) AS n_events
+FROM pix GROUP BY tx, ty""",
+
+        "raster_histogram": f"""
+WITH pix AS (
+  SELECT floor(value / 10.0) AS tx, floor(({EV_Y}) / 10.0) AS ty,
+    floor(value / 1.25) AS ix, floor(({EV_Y}) / 1.25) AS iy,
+    count(*) AS n
+  FROM events GROUP BY 1, 2, 3, 4
+), hist AS (
+  SELECT least(7, greatest(0, CAST(floor(n / 2.0) AS INT))) AS bucket,
+    count(*) AS n
+  FROM pix GROUP BY 1
+), tl AS (
+  SELECT tx, ty, count(*) AS nz FROM pix GROUP BY 1, 2
+), z AS (
+  SELECT 64 * count(*) - sum(nz) AS zn FROM tl
+)
+SELECT bucket, sum(n) AS n FROM (
+  SELECT bucket, n FROM hist
+  UNION ALL
+  SELECT 0 AS bucket, zn AS n FROM z WHERE zn > 0
+) u GROUP BY bucket""",
 
         "dedup_exact": """
 SELECT md5(text) AS content_hash, count(*) AS n_dups,

@@ -85,11 +85,31 @@ def _st_bbox_udf(wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(vals, columns=list(BBOX_COLS))
 
 
+@pandas_udf(BinaryType())
+def _st_box_udf(xmin: pd.Series, ymin: pd.Series,
+                xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    out = []
+    for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax):
+        if x0 is None or pd.isna(x0):
+            out.append(None)
+            continue
+        out.append(G.to_wkb(G.box(float(x0), float(y0),
+                                  float(x1), float(y1))))
+    return pd.Series(out)
+
+
 def st_point(x: Column | str, y: Column | str) -> Column:
     """WKB point column from two numeric columns (vectorized)."""
     x = F.col(x) if isinstance(x, str) else x
     y = F.col(y) if isinstance(y, str) else y
     return _st_point_udf(x.cast("double"), y.cast("double"))
+
+
+def st_box(xmin: Column, ymin: Column, xmax: Column, ymax: Column) -> Column:
+    """WKB rectangle polygon from four numeric columns (tile bbox →
+    geometry, reference `STConstructor.scala:48-64`)."""
+    return _st_box_udf(xmin.cast("double"), ymin.cast("double"),
+                       xmax.cast("double"), ymax.cast("double"))
 
 
 def st_geomfromwkt(wkt: Column | str) -> Column:

@@ -184,6 +184,28 @@ def st_relate_pair(left: Column, right: Column, predicate: str) -> Column:
     if predicate not in PREDICATES:
         raise ValueError(predicate)
 
+    import numpy as np
+
+    def _grouped_pip(pt_bytes, geom_bytes, boundary: bool):
+        """Vectorized one-side-points path: parse each DISTINCT
+        container geometry once, test all its point partners in one
+        numpy pass (candidate batches after a cell join share few
+        distinct geometries). None → scalar fallback."""
+        xs, ys = G.decode_points(pt_bytes)
+        out = np.zeros(len(xs), dtype=bool)
+        groups: dict[bytes, list[int]] = {}
+        for i, gb in enumerate(geom_bytes):
+            if gb is None:
+                continue
+            groups.setdefault(bytes(gb), []).append(i)
+        for gb, idx in groups.items():
+            g = G.from_wkb(gb)
+            if g.kind not in ("POLYGON", "MULTIPOLYGON"):
+                return None
+            ii = np.asarray(idx)
+            out[ii] = G.points_in_polygon(xs[ii], ys[ii], g, boundary=boundary)
+        return out
+
     @pandas_udf(BooleanType())
     def pair(a: pd.Series, b: pd.Series) -> pd.Series:
         alist, blist = list(a), list(b)
@@ -194,6 +216,15 @@ def st_relate_pair(left: Column, right: Column, predicate: str) -> Column:
             bx, by = G.decode_points(blist)
             eq = (abs(ax - bx) <= 1e-9) & (abs(ay - by) <= 1e-9)
             return pd.Series(list(eq))
+        vec = None
+        if pts_b and predicate in ("contains", "covers", "intersects"):
+            vec = _grouped_pip(blist, alist,
+                               boundary=(predicate != "contains"))
+        elif pts_a and predicate in ("containedby", "coveredby", "intersects"):
+            vec = _grouped_pip(alist, blist,
+                               boundary=(predicate != "containedby"))
+        if vec is not None:
+            return pd.Series(list(vec))
         out = []
         for xa, xb in zip(alist, blist):
             if xa is None or xb is None:

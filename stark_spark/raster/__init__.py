@@ -1,0 +1,11 @@
+from stark_spark.raster.tiles import (TILE_COLS, rasterize, tile_bbox_cols,
+                                      with_sma, r_min, r_max, r_median,
+                                      count_value, has_value, tile_histogram,
+                                      raster_histogram, save_tiles, load_tiles)
+from stark_spark.raster.join import raster_filter_vector, raster_join_vector, \
+    raster_join_raster
+
+__all__ = ["TILE_COLS", "rasterize", "tile_bbox_cols", "with_sma",
+           "r_min", "r_max", "r_median", "count_value", "has_value",
+           "tile_histogram", "raster_histogram", "save_tiles", "load_tiles",
+           "raster_filter_vector", "raster_join_vector", "raster_join_raster"]
