@@ -1,0 +1,7 @@
+from stark_spark.streaming.stream import (read_event_stream, st_stream_filter,
+                                          windowed_cell_counts,
+                                          windowed_stats, session_stats,
+                                          stateful_cell_extremes)
+
+__all__ = ["read_event_stream", "st_stream_filter", "windowed_cell_counts",
+           "windowed_stats", "session_stats", "stateful_cell_extremes"]

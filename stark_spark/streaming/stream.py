@@ -1,0 +1,142 @@
+"""Structured Streaming surface — spatio-temporal streams.
+
+The reference is batch-only (SURVEY.md §2.8: streaming "entirely
+absent"); this module is the net-new streaming tier, built so every
+batch operator that is STATELESS (constant-geometry predicates, cell
+assignment, text/dedup projections) applies to a streaming DataFrame
+unchanged — they are ordinary column expressions. What needs streaming
+machinery is aggregation state:
+
+* watermarked tumbling/sliding windows over event time;
+* session windows;
+* arbitrary per-key state via ``applyInPandasWithState`` (running
+  extremes per grid cell here; the pattern generalizes to any
+  accumulator the reference's `rdd.aggregate` style ops expressed).
+
+At scale: state lives in the state store keyed by (cell, window) —
+small keys, bounded by watermark eviction; the spatial filter runs
+BEFORE the shuffle into state, so the state store only sees rows that
+survive the predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stark_spark.partitioner.grid import GridSpec
+
+
+def read_event_stream(spark: SparkSession, path: str, schema,
+                      *, max_files: int = 10) -> DataFrame:
+    """File-based event stream (one new parquet file per micro-batch
+    unit; the cloud equivalent is Kafka/Kinesis — same DataFrame out)."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(path))
+
+
+def st_stream_filter(stream: DataFrame, query, predicate: str = "intersects",
+                     *, points: bool = False, t_query=None,
+                     x: str = "x", y: str = "y") -> DataFrame:
+    """Stateless ST predicate on a stream — the batch expression as-is.
+    Raw point streams (x/y columns, no bbox) get native bbox columns
+    attached first."""
+    from stark_spark.functions.constructors import with_bbox
+    from stark_spark.functions.predicates import st_predicate
+    if "xmin" not in stream.columns and x in stream.columns:
+        stream = with_bbox(stream, x=x, y=y)
+    return stream.filter(st_predicate(query, predicate, points=points,
+                                      t_query=t_query if t_query else "any"))
+
+
+def windowed_stats(stream: DataFrame, *, time_col: str = "ts",
+                   window: str = "1 hour", slide: str | None = None,
+                   watermark: str = "30 minutes",
+                   keys: tuple[str, ...] = (),
+                   value_col: str = "value") -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation: count + sum +
+    max of ``value_col`` per (window, keys). Late rows beyond the
+    watermark are dropped by the engine; sums use the cents-long trick
+    so results are deterministic under any arrival order."""
+    w = (F.window(F.col(time_col), window, slide) if slide
+         else F.window(F.col(time_col), window))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (stream.withWatermark(time_col, watermark)
+            .groupBy(w.alias("win"), *[F.col(k) for k in keys])
+            .agg(F.count("*").alias("n"),
+                 (F.sum(cents) / 100.0).alias("sum_value"),
+                 F.max(cents).alias("max_cents"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    *keys, "n", "sum_value", "max_cents"))
+
+
+def windowed_cell_counts(stream: DataFrame, grid: GridSpec, *,
+                         time_col: str = "ts", window: str = "1 hour",
+                         watermark: str = "30 minutes",
+                         x: str = "x", y: str = "y") -> DataFrame:
+    """Per-grid-cell event counts per window — the streaming form of the
+    partitioner histogram (`GridPartitioner.scala:260-315`); feeds
+    cost-based partitioning decisions continuously."""
+    cell = grid.cell_expr(F.col(x), F.col(y)).alias("cell")
+    return (stream.withWatermark(time_col, watermark)
+            .groupBy(F.window(F.col(time_col), window).alias("win"), cell)
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"), "cell", "n"))
+
+
+def session_stats(stream: DataFrame, *, time_col: str = "ts",
+                  gap: str = "30 minutes", watermark: str = "30 minutes",
+                  key: str = "user_id") -> DataFrame:
+    """Session windows per key (gap-based)."""
+    return (stream.withWatermark(time_col, watermark)
+            .groupBy(F.session_window(F.col(time_col), gap).alias("sw"),
+                     F.col(key))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("sw.start").alias("sess_start"),
+                    F.col("sw.end").alias("sess_end"), key, "n"))
+
+
+def stateful_cell_extremes(stream: DataFrame, grid: GridSpec, *,
+                           x: str = "x", y: str = "y",
+                           value_col: str = "value",
+                           timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    (count, min, max) per grid cell across ALL micro-batches — the
+    streaming equivalent of the reference's accumulator-style
+    `rdd.aggregate` ops (KNN/Skyline accumulators, PSF:152-175/496-517),
+    with explicit state instead of a shuffle-per-batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+    from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    out_schema = StructType([
+        StructField("cell", IntegerType()), StructField("n", LongType()),
+        StructField("v_min", DoubleType()), StructField("v_max", DoubleType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()), StructField("v_min", DoubleType()),
+        StructField("v_max", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, vmin, vmax = (state.get if state.exists else (0, None, None))
+        for pdf in pdfs:
+            v = pdf[value_col]
+            if len(v):
+                n += len(v)
+                bmin, bmax = float(v.min()), float(v.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+        state.update((n, vmin, vmax))
+        yield pd.DataFrame({"cell": [key[0]], "n": [n],
+                            "v_min": [vmin], "v_max": [vmax]})
+
+    cells = stream.withColumn(
+        "cell", grid.cell_expr(F.col(x), F.col(y)))
+    return (cells.groupBy("cell")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", "NoTimeout"))

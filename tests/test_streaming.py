@@ -1,0 +1,143 @@
+"""Streaming tier: file-source micro-batches vs batch recomputation.
+
+Each test streams the sf0.001 events table through
+``trigger(availableNow=True)`` into a memory sink and asserts the
+result equals the same aggregation computed in batch — arrival order
+and micro-batching must not change answers.
+"""
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from stark_spark import datasets as D
+from stark_spark.partitioner.grid import GridSpec
+from stark_spark.streaming import (read_event_stream, session_stats,
+                                   st_stream_filter, stateful_cell_extremes,
+                                   windowed_cell_counts, windowed_stats)
+
+GRID = GridSpec.unit_grid(100.0, 8)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """events split into several files so availableNow gives multiple
+    micro-batches."""
+    d = tmp_path_factory.mktemp("stream") / "events"
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * 7919 % 1000) / 10.0))
+    ev.repartition(6).write.parquet(str(d))
+    return str(d), ev.schema
+
+
+def _run(stream_df, name=None):
+    name = name or f"t_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("complete" if stream_df.isStreaming else "append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return name
+
+
+def _run_append(stream_df, name=None):
+    name = name or f"t_{uuid.uuid4().hex[:8]}"
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return name
+
+
+def test_stream_filter_stateless(spark, stream_dir):
+    path, schema = stream_dir
+    s = read_event_stream(spark, path, schema, max_files=2)
+    out = st_stream_filter(
+        s, "POLYGON ((10 10, 60 10, 60 80, 10 80, 10 10))", points=True)
+    name = _run_append(out.select("event_id"))
+    got = {r.event_id for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    ev = D.st_events(spark, "/root/testdata/sf0.001", keep_geom=False)
+    want = {r.event_id for r in
+            ev.where((F.col("x") >= 10) & (F.col("x") <= 60) &
+                     (F.col("y") >= 10) & (F.col("y") <= 80))
+              .select("event_id").collect()}
+    assert got == want
+
+
+def test_windowed_stats_match_batch(spark, stream_dir):
+    path, schema = stream_dir
+    s = read_event_stream(spark, path, schema, max_files=2)
+    out = windowed_stats(s, window="1 day", watermark="1 hour",
+                         keys=("event_type",))
+    name = _run(out)
+    got = {(str(r.win_start), r.event_type): (r.n, r.sum_value)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    want = {(str(r.day), r.event_type): (r.n, r.sum_value)
+            for r in ev.groupBy(
+                F.date_trunc("day", "ts").alias("day"), "event_type")
+            .agg(F.count("*").alias("n"),
+                 (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0)
+                 .alias("sum_value")).collect()}
+    assert got == want
+
+
+def test_windowed_cell_counts(spark, stream_dir):
+    path, schema = stream_dir
+    s = read_event_stream(spark, path, schema, max_files=3)
+    out = windowed_cell_counts(s, GRID, window="7 days", watermark="1 hour")
+    name = _run(out)
+    got = spark.sql(f"SELECT sum(n) AS s FROM {name}").first().s
+    assert got == D.load(spark, "/root/testdata/sf0.001", "events").count()
+
+
+def test_session_stats_matches_batch(spark, stream_dir):
+    path, schema = stream_dir
+    s = read_event_stream(spark, path, schema, max_files=3)
+    out = session_stats(s, gap="2 hours", watermark="1 hour")
+    name = _run_append(out)
+    got = {(str(r.sess_start), str(r.sess_end), r.user_id, r.n)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # batch recomputation: streaming emits exactly the sessions the
+    # final watermark (max ts - 1h) has closed; newer state is held
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    import datetime
+    wm = ev.agg(F.max("ts")).first()[0] - datetime.timedelta(hours=1)
+    batch = (ev.groupBy(F.session_window("ts", "2 hours").alias("sw"),
+                        "user_id")
+               .agg(F.count("*").alias("n")))
+    want = {(str(r.sw.start), str(r.sw.end), r.user_id, r.n)
+            for r in batch.collect() if r.sw.end <= wm}
+    assert want <= got
+    # nothing emitted that batch doesn't know about
+    all_batch = {(str(r.sw.start), str(r.sw.end), r.user_id, r.n)
+                 for r in batch.collect()}
+    assert got <= all_batch
+    assert len(got) > 0
+
+
+def test_stateful_cell_extremes(spark, stream_dir):
+    path, schema = stream_dir
+    s = read_event_stream(spark, path, schema, max_files=2)
+    out = stateful_cell_extremes(s, GRID)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # state emits once per batch per cell; the LAST emission per cell
+    # must equal the batch-global aggregate
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * 7919 % 1000) / 10.0))
+    want = {r.cell: (r.n, r.v_min, r.v_max) for r in
+            ev.withColumn("cell", GRID.cell_expr(F.col("x"), F.col("y")))
+              .groupBy("cell")
+              .agg(F.count("*").alias("n"), F.min("value").alias("v_min"),
+                   F.max("value").alias("v_max")).collect()}
+    pdf = spark.sql(f"SELECT * FROM {name}").toPandas()
+    last = pdf.groupby("cell").last()
+    got = {int(c): (int(r.n), r.v_min, r.v_max) for c, r in last.iterrows()}
+    assert {c: v[0] for c, v in got.items()} == {c: v[0] for c, v in want.items()}
+    for c in want:
+        assert abs(got[c][1] - want[c][1]) < 1e-9
+        assert abs(got[c][2] - want[c][2]) < 1e-9
