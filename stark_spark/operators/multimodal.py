@@ -1,0 +1,178 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+Training-data-pipeline tier (net-new vs the reference; the nearest
+reference surface is the one-image-per-file raster loader
+`STSparkContext.loadNanoFiles`, `STSparkContext.scala:561-621`).
+
+Design: media rides in a ``content: binary`` column with a typed
+metadata struct; decode / feature-extract / resize / frame-sample are
+``mapInPandas`` passes (Arrow batches, numpy kernels). The decode step
+itself is environment-gated: with PIL/soundfile installed the real
+decoders run; in this container they are replaced by a DETERMINISTIC
+FAKE decoder (clearly marked) that synthesizes pixel/sample arrays
+from the bytes' md5 — every downstream kernel (stats, resize,
+frame sampling) is REAL numpy math and fully tested, so swapping the
+decoder is a one-function change.
+
+At scale: binary payloads never shuffle — all passes are narrow
+projections; metadata-only pipelines should ``select`` away ``content``
+first (column pruning drops the bytes at the parquet scan).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+FAKE_DECODE = True
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+    FAKE_DECODE = False
+except Exception:
+    pass
+
+
+IMAGE_META = StructType([
+    StructField("mime", StringType()), StructField("width", IntegerType()),
+    StructField("height", IntegerType()), StructField("channels", IntegerType()),
+])
+
+
+def read_binary_dir(spark: SparkSession, path: str,
+                    pattern: str = "*") -> DataFrame:
+    """Directory of media files → (path, modificationTime, length,
+    content) — the `loadNanoFiles` equivalent on the built-in
+    binaryFile source (one row per file, content pruned unless used)."""
+    return (spark.read.format("binaryFile")
+            .option("pathGlobFilter", pattern).load(path))
+
+
+def _fake_decode_image(content: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE image decode (container has no PIL): shape
+    and pixels derived from md5(content). Replace with PIL decode in a
+    real deployment — downstream kernels are unchanged."""
+    h = hashlib.md5(content).digest()
+    w = 16 + h[0] % 48
+    ht = 16 + h[1] % 48
+    rng = np.random.RandomState(int.from_bytes(h[2:6], "little"))
+    return rng.randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+
+
+def _decode(content: bytes) -> np.ndarray:
+    if not FAKE_DECODE:  # pragma: no cover
+        import io
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    return _fake_decode_image(content)
+
+
+_FEAT_SCHEMA = StructType([
+    StructField("path", StringType()), StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_rgb", ArrayType(DoubleType())),
+    StructField("std_rgb", ArrayType(DoubleType())),
+])
+
+
+def image_features(df: DataFrame, content_col: str = "content",
+                   key_col: str = "path") -> DataFrame:
+    """Decode + per-channel mean/std — one narrow Arrow pass."""
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf[key_col], pdf[content_col]):
+                arr = _decode(bytes(content)).astype(np.float64)
+                rows.append((key, arr.shape[1], arr.shape[0],
+                             list(arr.mean(axis=(0, 1))),
+                             list(arr.std(axis=(0, 1)))))
+            yield pd.DataFrame(rows, columns=[f.name for f in _FEAT_SCHEMA])
+
+    return df.select(key_col, content_col).mapInPandas(run, _FEAT_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType([
+    StructField("path", StringType()), StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("pixels", BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  content_col: str = "content",
+                  key_col: str = "path") -> DataFrame:
+    """Nearest-neighbor resize to (width, height); output raw RGB bytes
+    (real resampling math regardless of the decoder)."""
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf[key_col], pdf[content_col]):
+                arr = _decode(bytes(content))
+                h, w = arr.shape[:2]
+                ji = (np.arange(height) * h // height)[:, None]
+                ii = (np.arange(width) * w // width)[None, :]
+                out = arr[ji, ii]
+                rows.append((key, width, height, out.tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA])
+
+    return df.select(key_col, content_col).mapInPandas(run, _RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType([
+    StructField("path", StringType()), StructField("frame_no", IntegerType()),
+    StructField("width", IntegerType()), StructField("height", IntegerType()),
+    StructField("pixels", BinaryType()),
+])
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, *,
+                  content_col: str = "content",
+                  key_col: str = "path") -> DataFrame:
+    """Video frame sampling: emit every n-th frame as a row (row-count
+    growth happens INSIDE the Arrow batch — no shuffle). Fake decoder
+    synthesizes a deterministic 'video' of md5-derived frames."""
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf[key_col], pdf[content_col]):
+                b = bytes(content)
+                n_frames = 8 + hashlib.md5(b).digest()[6] % 25
+                for fno in range(0, n_frames, every_n):
+                    arr = _decode(b + fno.to_bytes(4, "little"))
+                    rows.append((key, fno, arr.shape[1], arr.shape[0],
+                                 arr.tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA])
+
+    return df.select(key_col, content_col).mapInPandas(run, _FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = StructType([
+    StructField("path", StringType()), StructField("n_samples", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossings", LongType()),
+])
+
+
+def audio_features(df: DataFrame, content_col: str = "content",
+                   key_col: str = "path") -> DataFrame:
+    """Waveform stats (RMS, zero crossings). Fake decoder synthesizes a
+    deterministic waveform; the stats math is real."""
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for key, content in zip(pdf[key_col], pdf[content_col]):
+                b = bytes(content)
+                h = hashlib.md5(b).digest()
+                rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+                wave = rng.standard_normal(1000 + h[4] % 1000)
+                rms = float(np.sqrt((wave ** 2).mean()))
+                zc = int((np.diff(np.signbit(wave)) != 0).sum())
+                rows.append((key, len(wave), rms, zc))
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA])
+
+    return df.select(key_col, content_col).mapInPandas(run, _AUDIO_SCHEMA)

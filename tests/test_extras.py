@@ -1,0 +1,119 @@
+"""RTree/STR partitioner, partition_hint factory, multimodal plumbing,
+visualization PNG sink.
+
+Parity model: reference `RTreePartitionerTest.scala` invariants (every
+point gets a partition, balance), `PartitionerConfig` strategies,
+`VisualizationTest.scala` PNG smoke test.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stark_spark import datasets as D
+from stark_spark.functions.visualize import render_points
+from stark_spark.operators.multimodal import (audio_features, image_features,
+                                              resize_images, sample_frames)
+from stark_spark.partitioner import (GridSpec, partition_hint,
+                                     str_partitioner)
+
+
+# ------------------------------------------------------------------ STR
+
+def test_str_every_point_assigned_and_balanced(spark, sf_dir):
+    cust = D.st_points(spark, sf_dir, "customer", "c_custkey", keep_geom=False)
+    spec = str_partitioner(cust, 16)
+    out = cust.withColumn("part", spec.partition_expr(F.col("xmin"),
+                                                      F.col("ymin")))
+    n = cust.count()
+    sizes = {r.part: r.c for r in
+             out.groupBy("part").agg(F.count("*").alias("c")).collect()}
+    assert sum(sizes.values()) == n          # every point exactly once
+    assert all(p is not None for p in sizes)
+    assert len(sizes) == spec.num_partitions
+    assert max(sizes.values()) <= 4 * n / len(sizes)   # rough balance
+
+    # expression agrees with the driver-side assignment
+    pdf = out.select("xmin", "ymin", "part").limit(200).toPandas()
+    for _, r in pdf.iterrows():
+        assert spec.partition_of(r.xmin, r.ymin) == r.part
+
+
+def test_str_out_of_sample_points(spark):
+    df = spark.createDataFrame(
+        [(float(i % 10), float(i // 10)) for i in range(100)],
+        "xmin double, ymin double")
+    spec = str_partitioner(df, 4)
+    probe = spark.createDataFrame(
+        [(-50.0, -50.0), (1e6, 1e6)], "xmin double, ymin double")
+    got = probe.select(spec.partition_expr(
+        F.col("xmin"), F.col("ymin")).alias("p")).collect()
+    assert all(r.p is not None and 0 <= r.p < spec.num_partitions for r in got)
+
+
+@pytest.mark.parametrize("strategy", ["grid", "bsp", "rtree", "temporal", "st"])
+def test_partition_hint_strategies(spark, sf_dir, strategy):
+    ev = D.st_events(spark, sf_dir, keep_geom=False)
+    n = ev.count()
+    out = partition_hint(ev, strategy, grid=GridSpec.unit_grid(100.0, 8),
+                         num_partitions=8)
+    assert out.count() == n
+
+
+# ------------------------------------------------------------- multimodal
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [(f"f{i}", bytes([i]) * (100 + i)) for i in range(20)]
+    return spark.createDataFrame(rows, "path string, content binary").cache()
+
+
+def test_image_features_shape(media):
+    out = image_features(media).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.mean_rgb) == 3 and len(r.std_rgb) == 3
+        assert 16 <= r.width < 64 and 16 <= r.height < 64
+        assert all(0 <= m <= 255 for m in r.mean_rgb)
+    # deterministic across runs
+    again = image_features(media).collect()
+    assert {r.path: tuple(r.mean_rgb) for r in out} == \
+        {r.path: tuple(r.mean_rgb) for r in again}
+
+
+def test_resize_exact_bytes(media):
+    out = resize_images(media, 8, 6).collect()
+    for r in out:
+        assert r.width == 8 and r.height == 6
+        assert len(r.pixels) == 8 * 6 * 3
+
+
+def test_sample_frames_rowcount(media):
+    out = sample_frames(media, every_n=5).toPandas()
+    assert (out.groupby("path").size() >= 2).all()
+    assert (out.frame_no % 5 == 0).all()
+
+
+def test_audio_features(media):
+    out = audio_features(media).collect()
+    for r in out:
+        assert r.n_samples >= 1000 and r.rms > 0 and r.zero_crossings > 0
+
+
+# ------------------------------------------------------------- visualize
+
+def test_render_points_png(spark, sf_dir, tmp_path):
+    ev = D.st_events(spark, sf_dir, keep_geom=False)
+    p = tmp_path / "out.png"
+    png = render_points(ev, 128, 96, bounds=(0, 0, 100, 100), path=str(p))
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert p.read_bytes() == png
+    # IHDR dims
+    import struct as st
+    w, h = st.unpack(">II", png[16:24])
+    assert (w, h) == (128, 96)
+    # some pixels must be lit
+    import zlib
+    idat = png[png.index(b"IDAT") + 4:png.rindex(b"IEND") - 4]
+    raw = zlib.decompress(idat)
+    assert max(raw) > 0
