@@ -168,10 +168,33 @@ def _q_within_distance_join(spark, sf):
                       F.sqrt(dx * dx + dy * dy).alias("dist"))
 
 
+def _q_within_distance_filter(spark, sf):
+    from stark_spark.functions.predicates import within_distance
+    ev = D.st_events(spark, sf, keep_geom=False)
+    out = ev.filter(within_distance("POINT (50 50)", 15.0, points=True))
+    return out.select("event_id", "x", "y")
+
+
 def _q_knn_events(spark, sf):
     ev = D.st_events(spark, sf, keep_geom=False)
     out = knn(ev, "POINT (50 50)", 50, points=True, tie_col="event_id")
     return out.select("event_id", "dist")
+
+
+def _q_knn_weighted_st(spark, sf):
+    """Weighted space+time kNN (reference Distance.scala:118-133
+    scalarization): d = 1.0*spatial + 0.001*|t - t0|."""
+    from stark_spark.functions.distance import (st_distance_xy,
+                                                temporal_distance,
+                                                weighted_st_distance)
+    ev = D.st_events(spark, sf, keep_geom=False)
+    t0 = 1704844800  # 2024-01-10
+    sd = st_distance_xy(F.col("x"), F.col("y"), F.lit(50.0), F.lit(50.0))
+    td = temporal_distance(F.col("t_start"), F.lit(t0))
+    d = weighted_st_distance(sd, td, w_space=1.0, w_time=0.001)
+    return (ev.withColumn("dist", d)
+              .orderBy("dist", "event_id").limit(30)
+              .select("event_id", "dist"))
 
 
 def _q_knn_join(spark, sf):
@@ -358,7 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_join_broadcast_points": _q_join_broadcast_points,
         "st_join_poly_contains": _q_join_poly_contains,
         "within_distance_join": _q_within_distance_join,
+        "within_distance_filter": _q_within_distance_filter,
         "knn_events": _q_knn_events,
+        "knn_weighted_st": _q_knn_weighted_st,
         "knn_join": _q_knn_join,
         "skyline": _q_skyline,
         "dbscan": _q_dbscan,
@@ -584,9 +609,21 @@ WHERE ({cx}) > ({px0}) AND ({cx}) < ({px0}) + (1 + p_partkey % 2)
 SELECT c_custkey, s_suppkey, {dist_cs} AS dist
 FROM customer, supplier WHERE {dist_cs} <= 5.0""",
 
+        "within_distance_filter": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE value <= 65.0 AND value >= 35.0
+  AND ({EV_Y}) <= 65.0 AND ({EV_Y}) >= 35.0
+  AND {dist_q} <= 15.0""",
+
         "knn_events": f"""
 SELECT event_id, {dist_q} AS dist FROM events
 ORDER BY dist, event_id LIMIT 50""",
+
+        "knn_weighted_st": f"""
+SELECT event_id,
+  1.0 * ({dist_q}) + 0.001 * abs(CAST({EV_T} AS DOUBLE) - 1704844800)
+    AS dist
+FROM events ORDER BY dist, event_id LIMIT 30""",
 
         "knn_join": f"""
 SELECT s_suppkey, c_custkey, dist FROM (

@@ -169,6 +169,25 @@ def bbox_filter(df, query, predicate: str = "intersects", **kw):
     return df.filter(st_predicate(query, predicate, **kw))
 
 
+def within_distance(query, max_dist: float, *, points: bool = False,
+                    geom_col: str = "geom",
+                    bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> Column:
+    """Radius-search predicate (reference `withinDistance`,
+    PSF:108-109 / LIF:29-55: widened-envelope index query + exact
+    refine). Native widened-bbox prefilter always; for point frames vs
+    a point query the exact check is native hypot (codegen, no UDF)."""
+    from stark_spark.functions.distance import st_distance_to, st_distance_xy
+
+    q = _as_geom(query)
+    pre = bbox_intersects(q, bbox_cols, expand=max_dist)
+    if points and q.bbox[0] == q.bbox[2] and q.bbox[1] == q.bbox[3]:
+        d = st_distance_xy(F.col(bbox_cols[0]), F.col(bbox_cols[1]),
+                           F.lit(q.bbox[0]), F.lit(q.bbox[1]))
+    else:
+        d = st_distance_to(q, geom_col)
+    return pre & (d <= F.lit(max_dist))
+
+
 # ---------------------------------------------------------------------------
 # pair predicate (both sides vary — join refine + SQL surface)
 # ---------------------------------------------------------------------------

@@ -13,7 +13,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, DoubleType
+from pyspark.sql.types import (BinaryType, BooleanType, DoubleType, LongType,
+                               StructField, StructType)
 
 from stark_spark.core import geometry as G
 
@@ -56,3 +57,32 @@ def register_sql_functions(spark: SparkSession) -> None:
         return pd.Series(out, dtype="float64")
 
     spark.udf.register("st_distance", pandas_udf(_dist, DoubleType()))
+
+    # st_sto(wkt, epoch_sec[, epoch_end]) → ST struct (reference
+    # `STConstructor.scala:98-148` MakeSTObject: WKT + date → STObject)
+    _STO = StructType([StructField("geom", BinaryType()),
+                       StructField("t_start", LongType()),
+                       StructField("t_end", LongType())])
+
+    def _sto(wkt: pd.Series, ts: pd.Series) -> pd.DataFrame:
+        geoms, starts = [], []
+        for w, t in zip(wkt, ts):
+            geoms.append(None if w is None else G.to_wkb(G.from_wkt(w)))
+            starts.append(None if t is None or pd.isna(t) else int(t))
+        return pd.DataFrame({"geom": geoms, "t_start": starts,
+                             "t_end": starts})
+
+    spark.udf.register("st_sto", pandas_udf(_sto, _STO))
+
+    # raster accessors as pure-SQL scalar functions (stay native —
+    # reference `STFunction.scala:40-86`, tile getters
+    # `RasterGetter.scala:19-72` are plain column reads on our flat
+    # tile columns)
+    for name, body in (
+        ("r_min", "array_min(a)"),
+        ("r_max", "array_max(a)"),
+        ("r_median",
+         "element_at(array_sort(a), CAST((size(a) + 1) / 2 AS INT))"),
+    ):
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                  f"(a ARRAY<BIGINT>) RETURNS BIGINT RETURN {body}")

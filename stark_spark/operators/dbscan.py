@@ -258,3 +258,57 @@ def dbscan(df: DataFrame, eps: float, min_pts: int, *, key: str,
     return assign.select(F.col("_k").alias(key),
                          F.coalesce("cluster", F.lit(-1)).alias("cluster"),
                          F.col("_is_core").cast("int").alias("is_core"))
+
+
+# ---------------------------------------------------------------------------
+# ε-estimation histograms (`dbscan/NeighborhoodHistogram.scala:16-146`,
+# `DistanceHistogram.scala:15-157`) — parameter-tuning utilities
+# ---------------------------------------------------------------------------
+
+def neighborhood_histogram(df: DataFrame, eps: float, *, grid: GridSpec,
+                           x: str = "xmin", y: str = "ymin",
+                           max_count: int = 64) -> DataFrame:
+    """Distribution of |N_eps(p)| (incl. self) over all points —
+    distributed: cell+halo replication, per-cell numpy counts, one
+    groupBy. Reading it: pick min_pts where the histogram's head mass
+    ends (the reference's NeighborhoodHistogram use-case)."""
+    pts = df.select(F.col(x).cast("double").alias("_x"),
+                    F.col(y).cast("double").alias("_y"))
+    pts = pts.withColumn("_cell", F.explode(
+        grid.cells_array_expr(F.col("_x"), F.col("_y"),
+                              F.col("_x"), F.col("_y"), expand=eps)))
+    home = grid.cell_expr(F.col("_x"), F.col("_y"))
+    pts = pts.withColumn("_home", (F.col("_cell") == home).cast("int"))
+
+    schema = StructType([StructField("n_neighbors", IntegerType())])
+
+    def counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs, ys = pdf["_x"].to_numpy(), pdf["_y"].to_numpy()
+        neighbors = _grid_hash(xs, ys, eps)
+        hm = np.nonzero(pdf["_home"].to_numpy() == 1)[0]
+        return pd.DataFrame(
+            {"n_neighbors": [min(max_count, len(neighbors(i))) for i in hm]})
+
+    return (pts.groupBy("_cell").applyInPandas(counts, schema)
+               .groupBy("n_neighbors").agg(F.count("*").alias("n_points"))
+               .orderBy("n_neighbors"))
+
+
+def knn_distance_sample(df: DataFrame, k: int, *, x: str = "xmin",
+                        y: str = "ymin", sample: int = 2000,
+                        seed: int = 42):
+    """k-th-NN distance distribution from a bounded sample (the
+    DistanceHistogram elbow heuristic for choosing eps): returns a
+    sorted numpy array of k-th neighbor distances (driver-side; the
+    sample transfer is capped regardless of data size)."""
+    n = df.count()
+    frac = min(1.0, sample / max(n, 1))
+    pdf = (df.select(F.col(x).alias("x"), F.col(y).alias("y"))
+             .sample(fraction=frac, seed=seed).toPandas())
+    xs, ys = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+    d2 = ((xs[:, None] - xs[None, :]) ** 2 +
+          (ys[:, None] - ys[None, :]) ** 2)
+    d2.sort(axis=1)
+    kth = np.sqrt(d2[:, min(k, d2.shape[1] - 1)])
+    kth.sort()
+    return kth

@@ -1,0 +1,79 @@
+"""SQL surface parity — reference `SqlFilterTest.scala:21-110` and
+`SqlJoinTest.scala:80-214`: the `st_*` names usable from `spark.sql`,
+agreeing with the DataFrame path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stark_spark import datasets as D
+from stark_spark.functions.register import register_sql_functions
+from stark_spark.operators.join import st_join
+from stark_spark.partitioner.grid import GridSpec
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_sql_functions(spark)
+
+
+def test_constructor_roundtrip(spark):
+    row = spark.sql("""
+        SELECT st_wkt(st_geomfromwkt('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')) AS w,
+               st_wkt(st_point(1.5, 2.5)) AS p
+    """).first()
+    assert row.w.startswith("POLYGON")
+    assert row.p == "POINT (1.5 2.5)"
+
+
+def test_st_sto(spark):
+    row = spark.sql(
+        "SELECT st_sto('POINT (1 2)', 1704067200) AS o").first()
+    assert row.o.t_start == 1704067200 and row.o.t_end == 1704067200
+    assert row.o.geom is not None
+
+
+def test_filter_parity_sql_vs_dataframe(spark, sf_dir):
+    ev = D.st_events(spark, sf_dir)
+    ev.createOrReplaceTempView("ev")
+    got = spark.sql("""
+        SELECT count(*) AS n FROM ev
+        WHERE st_containedby(geom,
+          st_geomfromwkt('POLYGON ((20 30, 70 30, 70 90, 20 90, 20 30))'))
+    """).first().n
+    from stark_spark.functions.predicates import st_predicate
+    want = ev.filter(st_predicate(
+        "POLYGON ((20 30, 70 30, 70 90, 20 90, 20 30))", "containedby",
+        t_query="any")).count()
+    assert got == want
+
+
+def test_join_parity_sql_vs_dataframe(spark, sf_dir):
+    cust = D.st_points(spark, sf_dir, "customer", "c_custkey")
+    supp = D.st_points(spark, sf_dir, "supplier", "s_suppkey")
+    cust.createOrReplaceTempView("c")
+    supp.createOrReplaceTempView("s")
+    got = {(r.c_custkey, r.s_suppkey) for r in spark.sql("""
+        SELECT c.c_custkey, s.s_suppkey FROM c, s
+        WHERE st_intersects(c.geom, s.geom)
+    """).collect()}
+    want = {(r.c_custkey, r.s_suppkey) for r in
+            st_join(cust, supp, "intersects", grid=GridSpec.unit_grid(),
+                    left_points=True, right_points=True)
+            .select("c_custkey", "s_suppkey").collect()}
+    assert got == want
+
+
+def test_st_distance_sql(spark):
+    d = spark.sql("""
+        SELECT st_distance(st_point(0.0, 0.0), st_point(3.0, 4.0)) AS d
+    """).first().d
+    assert abs(d - 5.0) < 1e-12
+
+
+def test_raster_sql_accessors(spark):
+    spark.createDataFrame(
+        [([5, 1, 9, 3],)], "data array<bigint>").createOrReplaceTempView("t")
+    row = spark.sql("SELECT r_min(data) a, r_max(data) b, r_median(data) c "
+                    "FROM t").first()
+    assert (row.a, row.b, row.c) == (1, 9, 3)
