@@ -217,7 +217,11 @@ def _q_skyline(spark, sf):
 
 def _q_dbscan(spark, sf):
     cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
-    return dbscan(cust, 2.0, 4, key="c_custkey", grid=GRID)
+    # coarser grid than the join grid: DBSCAN's per-cell python pass
+    # wants thousands of rows per cell, not tens (results are
+    # grid-independent — tests assert it)
+    return dbscan(cust, 2.0, 4, key="c_custkey",
+                  grid=GridSpec.unit_grid(100.0, 8))
 
 
 def _q_grid_histogram(spark, sf):

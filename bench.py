@@ -52,6 +52,16 @@ def main() -> None:
     spark = get_session("bench", master=f"local[{cpus}]",
                         shuffle_partitions=int(cpus))
 
+    # steady-state warmup: JVM JIT, python-worker pool, parquet footers
+    from pyspark.sql import functions as _F
+    from stark_spark import datasets as D
+    from stark_spark.functions.constructors import st_point
+    for t in ("events", "lineitem", "customer", "supplier", "part"):
+        D.load(spark, sf_dir, t).count()
+    (spark.range(1000)
+     .select(st_point(_F.col("id").cast("double"),
+                      _F.col("id").cast("double")).alias("g")).count())
+
     qs = entry.queries()
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

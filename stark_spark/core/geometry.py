@@ -162,6 +162,23 @@ def _split_parens(body: str) -> list[str]:
 
 def from_wkt(wkt: str) -> Geometry:
     wkt = wkt.strip()
+    # fast path for the two overwhelmingly common shapes (bulk WKT
+    # ingest): 2-D POINT and single-ring POLYGON — C-level float parse
+    # via np.array instead of regex + python float() per coordinate
+    if wkt.startswith("POINT (") and wkt.endswith(")"):
+        vals = wkt[7:-1].split()
+        if len(vals) == 2:
+            return Geometry("POINT",
+                            np.array([float(vals[0]), float(vals[1])]))
+    if wkt.startswith("POLYGON ((") and wkt.endswith("))"):
+        body = wkt[10:-2]
+        if "(" not in body:
+            first = body.split(",", 1)[0].split()
+            if len(first) == 2:
+                arr = np.array(body.replace(",", " ").split(),
+                               dtype=np.float64)
+                if arr.size % 2 == 0:
+                    return Geometry("POLYGON", [_close(arr.reshape(-1, 2))])
     m = re.match(r"^\s*([A-Za-z]+)\s*(?:Z|M|ZM)?\s*\((.*)\)\s*$", wkt, re.S)
     if not m:
         mm = re.match(r"^\s*([A-Za-z]+)\s+EMPTY\s*$", wkt, re.I)

@@ -85,6 +85,28 @@ def _st_bbox_udf(wkb: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(vals, columns=list(BBOX_COLS))
 
 
+_WKT_FRAME = StructType([StructField("geom", BinaryType())] +
+                        [StructField(c, DoubleType()) for c in BBOX_COLS])
+
+
+@pandas_udf(_WKT_FRAME)
+def _st_wkt_frame_udf(wkt: pd.Series) -> pd.DataFrame:
+    """WKT → (WKB, bbox) in ONE pass — parsing once instead of the
+    chained geomfromwkt→bbox UDFs (each of which re-parses)."""
+    geoms, boxes = [], []
+    for s in wkt:
+        if s is None:
+            geoms.append(None)
+            boxes.append((np.nan,) * 4)
+            continue
+        g = G.from_wkt(s)
+        geoms.append(G.to_wkb(g))
+        boxes.append(g.bbox)
+    out = pd.DataFrame(boxes, columns=list(BBOX_COLS))
+    out.insert(0, "geom", geoms)
+    return out
+
+
 @pandas_udf(BinaryType())
 def _st_box_udf(xmin: pd.Series, ymin: pd.Series,
                 xmax: pd.Series, ymax: pd.Series) -> pd.Series:
@@ -170,8 +192,15 @@ def st_frame(df: DataFrame, *, x: str | None = None, y: str | None = None,
     pure-native point pipelines).
     """
     if wkt is not None:
-        df = df.withColumn("geom", st_geomfromwkt(wkt))
-        df = with_bbox(df, "geom")
+        # asNondeterministic blocks projection collapse — otherwise
+        # Catalyst inlines the struct UDF into every field extraction
+        # and parses each WKT five times
+        one_pass = _st_wkt_frame_udf.asNondeterministic()
+        df = df.withColumn("_stf", one_pass(F.col(wkt)))
+        df = df.withColumn("geom", F.col("_stf.geom"))
+        for c in BBOX_COLS:
+            df = df.withColumn(c, F.col(f"_stf.{c}"))
+        df = df.drop("_stf")
     elif x is not None and y is not None:
         if keep_geom:
             df = df.withColumn("geom", st_point(x, y))

@@ -222,6 +222,16 @@ def st_relate_pair(left: Column, right: Column, predicate: str) -> Column:
             if g.kind not in ("POLYGON", "MULTIPOLYGON"):
                 return None
             ii = np.asarray(idx)
+            if g.is_rectangle():
+                # axis-aligned container → pure bbox compares
+                x0, y0, x1, y1 = g.bbox
+                if boundary:
+                    out[ii] = ((xs[ii] >= x0) & (xs[ii] <= x1) &
+                               (ys[ii] >= y0) & (ys[ii] <= y1))
+                else:
+                    out[ii] = ((xs[ii] > x0) & (xs[ii] < x1) &
+                               (ys[ii] > y0) & (ys[ii] < y1))
+                continue
             out[ii] = G.points_in_polygon(xs[ii], ys[ii], g, boundary=boundary)
         return out
 
