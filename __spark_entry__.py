@@ -118,6 +118,25 @@ def _q_filter_both_or_neither(spark, sf):
     return out.select("event_id", "x", "y")
 
 
+def _q_filter_intervals(spark, sf):
+    """§1.3 interval algebra: rows carry [t_start, t_end] intervals,
+    every 7th open-ended (t_end NULL = +inf); timed intersects query."""
+    from stark_spark.functions.constructors import with_bbox
+    ev = D.load(spark, sf, "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * PX % 1000) / 10.0))
+    ev = with_bbox(ev, x="x", y="y")
+    ts = F.col("ts").cast("long")
+    ev = (ev.withColumn("t_start", ts)
+            .withColumn("t_end", F.when(F.col("event_id") % 7 == 0,
+                                        F.lit(None).cast("long"))
+                                  .otherwise(ts + 86400 * (F.col("event_id") % 10))))
+    out = ev.filter(st_predicate(
+        "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))", "intersects",
+        points=True, t_query=(1704844800, 1705708800)))  # Jan 10 – Jan 20
+    return out.select("event_id", "t_start", "t_end")
+
+
 def _q_join_grid_points(spark, sf):
     cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
     supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
@@ -213,6 +232,17 @@ def _q_skyline(spark, sf):
     cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
     out = skyline(cust.select("c_custkey", "x", "y"), "x", "y")
     return out
+
+
+def _q_skyline_angular(spark, sf):
+    """Angular-partitioned skyline (reference `skylineAngular`,
+    PSF:519-586) — same answer as the plain plan, different stage-1
+    grouping (the one-answer/many-plans pattern from SURVEY §5)."""
+    from stark_spark.operators.skyline import angular_bucket
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    staged = (cust.select("c_custkey", "x", "y")
+                  .withColumn("_ab", angular_bucket("x", "y", 16)))
+    return skyline(staged, "x", "y", group_col="_ab").drop("_ab")
 
 
 def _q_dbscan(spark, sf):
@@ -381,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_filter_polygon_timed": _q_filter_polygon_timed,
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "st_filter_both_or_neither": _q_filter_both_or_neither,
+        "st_filter_intervals": _q_filter_intervals,
         "st_join_grid_points": _q_join_grid_points,
         "st_join_broadcast_points": _q_join_broadcast_points,
         "st_join_poly_contains": _q_join_poly_contains,
@@ -390,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_weighted_st": _q_knn_weighted_st,
         "knn_join": _q_knn_join,
         "skyline": _q_skyline,
+        "skyline_angular": _q_skyline_angular,
         "dbscan": _q_dbscan,
         "grid_cell_histogram": _q_grid_histogram,
         "agg_pricing_summary": _q_agg_pricing_summary,
@@ -596,6 +628,17 @@ WHERE value >= 0 AND value <= 100 AND ({EV_Y}) >= 0 AND ({EV_Y}) <= 100
   AND event_type = 'click'
   AND {EV_T} >= 1704067200 AND {EV_T} <= 1705276800""",
 
+        "st_filter_intervals": f"""
+SELECT event_id, {EV_T} AS t_start,
+  CASE WHEN event_id % 7 = 0 THEN NULL
+       ELSE {EV_T} + 86400 * (event_id % 10) END AS t_end
+FROM events
+WHERE value >= 0 AND value <= 100 AND ({EV_Y}) >= 0 AND ({EV_Y}) <= 100
+  AND {EV_T} <= 1705708800
+  AND coalesce(CASE WHEN event_id % 7 = 0 THEN NULL
+       ELSE {EV_T} + 86400 * (event_id % 10) END,
+       4611686018427387904) >= 1704844800""",
+
         "st_join_grid_points": f"""
 SELECT c_custkey, s_suppkey FROM customer, supplier
 WHERE ({cx}) = ({sx}) AND ({cy}) = ({sy})""",
@@ -638,6 +681,14 @@ SELECT s_suppkey, c_custkey, dist FROM (
 ) t WHERE rn <= 3""",
 
         "skyline": f"""
+WITH p AS (SELECT c_custkey, {cx} AS x, {cy} AS y FROM customer)
+SELECT c_custkey, x, y FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))""",
+
+        # same answer, different physical grouping (angular buckets)
+        "skyline_angular": f"""
 WITH p AS (SELECT c_custkey, {cx} AS x, {cy} AS y FROM customer)
 SELECT c_custkey, x, y FROM p
 WHERE NOT EXISTS (

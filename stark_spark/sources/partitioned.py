@@ -167,6 +167,36 @@ def knn_pruned(spark: SparkSession, path: str, query, k: int, *,
                points=True, tie_col=tie_col)
 
 
+def save_bucketed(df: DataFrame, table: str, grid: GridSpec, *,
+                  n_buckets: int = 16, mode: str = "overwrite") -> None:
+    """Bucket a point frame by home cell into a managed table — the
+    co-located join fast path (reference `zipJoin`, PSF:325-348: both
+    sides identically partitioned ⇒ no shuffle). Spark bucketing makes
+    the cell-key join exchange-free: at 100 TB this removes BOTH
+    shuffles from every self/repeat join on the same tiling."""
+    out = df.withColumn("cell", grid.cell_expr(F.col("xmin"), F.col("ymin")))
+    (out.write.bucketBy(n_buckets, "cell").sortBy("cell")
+        .mode(mode).format("parquet").saveAsTable(table))
+
+
+def zip_join_bucketed(spark: SparkSession, left_table: str, right_table: str,
+                      *, suffix: str = "_r",
+                      predicate: str = "intersects") -> DataFrame:
+    """Join two tables bucketed by the SAME grid: plain cell equi-join
+    + point-equality refine, planned WITHOUT exchanges (assert via
+    `.explain` — bucketed SMJ on the bucket column)."""
+    from stark_spark.operators.join import (_points_native_pred,
+                                            _suffix_right)
+
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    right, _ = _suffix_right(left, right, suffix)
+    right = right.withColumnRenamed("cell" + suffix, "cell") \
+        if "cell" + suffix in right.columns else right
+    joined = left.join(right, on=["cell"], how="inner")
+    return joined.where(_points_native_pred(predicate, suffix))
+
+
 def join_pruned(spark: SparkSession, left_path: str, right_path: str,
                 predicate: str = "intersects", *, grid: GridSpec,
                 left_points: bool = False, right_points: bool = False,

@@ -96,3 +96,22 @@ def test_join_pruned_matches(spark, sf_dir, store):
                        grid=GRID, left_points=True, right_points=True)
            .select("c_custkey", "s_suppkey").collect()}
     assert got == want
+
+
+def test_bucketed_zip_join_no_exchange(spark, sf_dir):
+    from stark_spark.sources import save_bucketed, zip_join_bucketed
+    cust = D.st_points(spark, sf_dir, "customer", "c_custkey", keep_geom=False)
+    supp = D.st_points(spark, sf_dir, "supplier", "s_suppkey", keep_geom=False)
+    save_bucketed(cust, "b_cust", GRID)
+    save_bucketed(supp, "b_supp", GRID)
+    out = zip_join_bucketed(spark, "b_cust", "b_supp")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # co-located: the cell equi-join must plan with NO shuffle exchange
+    assert "Exchange hashpartitioning" not in plan
+    got = {(r.c_custkey, r.s_suppkey) for r in
+           out.select("c_custkey", "s_suppkey").collect()}
+    from stark_spark.operators.join import st_join
+    want = {(r.c_custkey, r.s_suppkey) for r in
+            st_join(cust, supp, grid=GRID, left_points=True,
+                    right_points=True).select("c_custkey", "s_suppkey").collect()}
+    assert got == want
