@@ -40,6 +40,21 @@ from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
 from stark_spark.partitioner.grid import GridSpec
 
 
+_DENSE_LIMIT = 8000
+
+
+def _dense_adj(xs: np.ndarray, ys: np.ndarray, eps: float):
+    """Dense ε-adjacency (incl. self) when the cell pile is small
+    enough for an n² bool matrix — one vectorized numpy pass instead
+    of per-point python neighbor loops. None above the limit."""
+    n = len(xs)
+    if n > _DENSE_LIMIT:
+        return None
+    d2 = ((xs[:, None] - xs[None, :]) ** 2 +
+          (ys[:, None] - ys[None, :]) ** 2)
+    return d2 <= eps * eps
+
+
 def _grid_hash(xs: np.ndarray, ys: np.ndarray, eps: float):
     cell: dict[tuple[int, int], list[int]] = {}
     inv = 1.0 / eps
@@ -123,11 +138,15 @@ def dbscan(df: DataFrame, eps: float, min_pts: int, *, key: str,
 
     def core_pass(pdf: pd.DataFrame) -> pd.DataFrame:
         xs, ys = pdf["_x"].to_numpy(), pdf["_y"].to_numpy()
-        neighbors = _grid_hash(xs, ys, eps)
-        hm = pdf["_home"].to_numpy() == 1
-        idx = np.nonzero(hm)[0]
-        flags = [1 if len(neighbors(i)) >= min_pts else 0 for i in idx]
-        return pd.DataFrame({"_k": pdf["_k"].to_numpy()[idx], "_core": flags})
+        idx = np.nonzero(pdf["_home"].to_numpy() == 1)[0]
+        adj = _dense_adj(xs, ys, eps)
+        if adj is not None:
+            flags = (adj[idx].sum(axis=1) >= min_pts).astype(int)
+        else:
+            neighbors = _grid_hash(xs, ys, eps)
+            flags = [1 if len(neighbors(i)) >= min_pts else 0 for i in idx]
+        return pd.DataFrame({"_k": pdf["_k"].to_numpy()[idx],
+                             "_core": np.asarray(flags, dtype=np.int32)})
 
     core = pts.groupBy("_cell").applyInPandas(core_pass, core_schema)
 
@@ -144,9 +163,14 @@ def dbscan(df: DataFrame, eps: float, min_pts: int, *, key: str,
     def cluster_pass(pdf: pd.DataFrame) -> pd.DataFrame:
         c = int(pdf["_cell"].iat[0])
         xs, ys = pdf["_x"].to_numpy(), pdf["_y"].to_numpy()
-        neighbors = _grid_hash(xs, ys, eps)
         is_core = pdf["_core"].to_numpy() == 1
         n = len(pdf)
+        adj = _dense_adj(xs, ys, eps)
+        if adj is not None:
+            def neighbors(i):
+                return np.nonzero(adj[i])[0]
+        else:
+            neighbors = _grid_hash(xs, ys, eps)
         lab = np.full(n, -1, dtype=np.int64)
         cid = 0
         for i in range(n):
