@@ -177,6 +177,32 @@ def _q_join_poly_contains(spark, sf):
     return out.select("p_partkey", "c_custkey")
 
 
+def _q_join_expand_temporal(spark, sf):
+    """ST join with BOTH conjuncts: envelopes within 5 units AND time
+    overlap (left = day-long intervals, right = instants) — the
+    reference's spatio-temporal predicate join (`SpatialJoinRDD` with
+    an ST predicate, §1.2 conjunction)."""
+    from stark_spark.functions.constructors import with_bbox
+    ev = D.load(spark, sf, "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * PX % 1000) / 10.0))
+    ev = with_bbox(ev, x="x", y="y")
+    ts = F.col("ts").cast("long")
+    a = (ev.where(F.col("event_id") % 5 == 0)
+           .withColumn("t_start", ts)
+           .withColumn("t_end", ts + 86400)
+           .select("event_id", "xmin", "ymin", "xmax", "ymax",
+                   "t_start", "t_end"))
+    b = (ev.where(F.col("event_id") % 7 == 0)
+           .withColumn("t_start", ts)
+           .withColumn("t_end", ts)
+           .select(F.col("event_id").alias("event_id_b"),
+                   "xmin", "ymin", "xmax", "ymax", "t_start", "t_end"))
+    out = st_join(a, b, "intersects", grid=GRID, expand=5.0,
+                  on_time=True, left_points=True, right_points=True)
+    return out.select("event_id", "event_id_b")
+
+
 def _q_within_distance_join(spark, sf):
     cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
     supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
@@ -415,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_join_grid_points": _q_join_grid_points,
         "st_join_broadcast_points": _q_join_broadcast_points,
         "st_join_poly_contains": _q_join_poly_contains,
+        "st_join_expand_temporal": _q_join_expand_temporal,
         "within_distance_join": _q_within_distance_join,
         "within_distance_filter": _q_within_distance_filter,
         "knn_events": _q_knn_events,
@@ -651,6 +678,19 @@ WHERE ({cx}) = ({sx}) AND ({cy}) = ({sy})""",
 SELECT p_partkey, c_custkey FROM part, customer
 WHERE ({cx}) > ({px0}) AND ({cx}) < ({px0}) + (1 + p_partkey % 2)
   AND ({cy}) > ({py0}) AND ({cy}) < ({py0}) + (1 + p_partkey % 3)""",
+
+        "st_join_expand_temporal": f"""
+SELECT a.event_id AS event_id, b.event_id AS event_id_b
+FROM events a, events b
+WHERE a.event_id % 5 = 0 AND b.event_id % 7 = 0
+  AND a.value - 5.0 <= b.value AND b.value <= a.value + 5.0
+  AND ((a.user_id * {PX}) % 1000) / 10.0 - 5.0
+      <= ((b.user_id * {PX}) % 1000) / 10.0
+  AND ((b.user_id * {PX}) % 1000) / 10.0
+      <= ((a.user_id * {PX}) % 1000) / 10.0 + 5.0
+  AND CAST(floor(epoch(a.ts)) AS BIGINT) <= CAST(floor(epoch(b.ts)) AS BIGINT)
+  AND CAST(floor(epoch(b.ts)) AS BIGINT)
+      <= CAST(floor(epoch(a.ts)) AS BIGINT) + 86400""",
 
         "within_distance_join": f"""
 SELECT c_custkey, s_suppkey, {dist_cs} AS dist

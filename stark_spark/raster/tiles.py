@@ -185,3 +185,48 @@ def save_tiles(df: DataFrame, path: str, *, grid=None,
 
 def load_tiles(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("basePath", path).parquet(path)
+
+
+def tiles_from_csv(spark: SparkSession, path: str,
+                   dtype: str = "double") -> DataFrame:
+    """Reference CSV tile format (`STSparkContext.tileFile`,
+    STC:469-500): one line per tile —
+    ``ulx,uly,width,height,pixel_width,v1,…,vN[,sma_min,sma_max,sma_median]``.
+    Parsed with native split/slice/transform — no UDF."""
+    a = F.split(F.col("value"), ",")
+    w = F.element_at(a, 3).cast("int")
+    h = F.element_at(a, 4).cast("int")
+    npix = w * h
+    df = (spark.read.text(path)
+          .select(F.element_at(a, 1).cast("double").alias("ulx"),
+                  F.element_at(a, 2).cast("double").alias("uly"),
+                  w.alias("width"), h.alias("height"),
+                  F.element_at(a, 5).cast("double").alias("pixel_width"),
+                  F.transform(F.slice(a, F.lit(6), npix),
+                              lambda s: s.cast(dtype)).alias("data"),
+                  (F.size(a) - npix).alias("_extra"),
+                  # try_: OOB → NULL (plain element_at errors under ANSI)
+                  F.try_element_at(a, npix + F.lit(6)).cast(dtype).alias("_m1"),
+                  F.try_element_at(a, npix + F.lit(7)).cast(dtype).alias("_m2"),
+                  F.try_element_at(a, npix + F.lit(8)).cast(dtype).alias("_m3")))
+    has_sma = F.col("_extra") >= 8
+    return (df.withColumn("sma_min", F.when(has_sma, F.col("_m1")))
+              .withColumn("sma_max", F.when(has_sma, F.col("_m2")))
+              .withColumn("sma_median", F.when(has_sma, F.col("_m3")))
+              .drop("_extra", "_m1", "_m2", "_m3"))
+
+
+def save_tiles_csv(df: DataFrame, path: str, *,
+                   mode: str = "overwrite") -> None:
+    """Symmetric CSV tile sink (reference `RasterRDD.saveAsTextFile`)."""
+    cols = [F.col("ulx").cast("string"), F.col("uly").cast("string"),
+            F.col("width").cast("string"), F.col("height").cast("string"),
+            F.col("pixel_width").cast("string"),
+            F.array_join(F.transform(F.col("data"),
+                                     lambda v: v.cast("string")), ",")]
+    if "sma_min" in df.columns:
+        cols += [F.col("sma_min").cast("string"),
+                 F.col("sma_max").cast("string"),
+                 F.col("sma_median").cast("string")]
+    line = F.concat_ws(",", *cols)
+    df.select(line.alias("value")).write.mode(mode).text(path)

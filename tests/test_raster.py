@@ -154,3 +154,24 @@ def test_join_raster(tiles, spark):
                                      lambda a, v: a + v).alias("s"))
             .agg(F.sum("s")).first()[0])
     assert total_self == 2 * base
+
+def test_csv_tile_roundtrip(tiles, spark, tmp_path):
+    from stark_spark.raster import save_tiles_csv, tiles_from_csv, with_sma
+    d = str(tmp_path / "tiles_csv")
+    save_tiles_csv(with_sma(tiles), d)
+    back = tiles_from_csv(spark, d, dtype="bigint")
+    assert back.count() == tiles.count()
+    want = {(r.ulx, r.uly): list(r.data) for r in tiles.collect()}
+    got = {(r.ulx, r.uly): list(r.data) for r in back.collect()}
+    assert got == want
+    row = back.first()
+    assert row.sma_min is not None and row.sma_max is not None
+
+
+def test_csv_tiles_without_sma(tiles, spark, tmp_path):
+    from stark_spark.raster import save_tiles_csv, tiles_from_csv
+    d = str(tmp_path / "tiles_csv2")
+    save_tiles_csv(tiles, d)
+    back = tiles_from_csv(spark, d, dtype="bigint")
+    assert back.where(back.sma_min.isNotNull()).count() == 0
+    assert back.count() == tiles.count()
