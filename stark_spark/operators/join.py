@@ -103,16 +103,42 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
             *, grid: GridSpec | None = None, on_time: bool | str = "ignore",
             left_points: bool = False, right_points: bool = False,
             broadcast: bool = False, suffix: str = "_r",
-            expand: float = 0.0) -> DataFrame:
+            expand: float = 0.0, big_cell_threshold: int = 64) -> DataFrame:
     """Predicate join. Returns left ⋈ right with right's ST columns
     suffixed. ``expand`` widens the left envelope (used by
     within-distance joins).
 
     ``broadcast=True`` → BNLJ with the small right side broadcast
     (reference `broadcastJoin`); otherwise grid equi-join.
+
+    Skew guard (``big_cell_threshold``): a left geometry whose envelope
+    covers more than that many cells (a continent-sized polygon over a
+    fine grid) would fan out into thousands of shuffle rows and hit
+    every partition. Such rows are split off and joined via a
+    broadcast-left BNLJ instead (they are rare by construction —
+    broadcasting them is cheap); results are unioned. Disable with
+    ``big_cell_threshold=0``.
     """
     if predicate not in PREDICATES:
         raise ValueError(predicate)
+
+    left_single = left_points and expand == 0.0
+    if not broadcast and grid is not None and not left_single \
+            and big_cell_threshold:
+        cells = grid.cells_array_expr(
+            F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+            expand=expand)
+        n_cells = F.size(cells)
+        small = left.where(n_cells <= F.lit(big_cell_threshold))
+        big = left.where(n_cells > F.lit(big_cell_threshold))
+        a = st_join(small, right, predicate, grid=grid, on_time=on_time,
+                    left_points=left_points, right_points=right_points,
+                    suffix=suffix, expand=expand, big_cell_threshold=0)
+        b = st_join(big, right, predicate, broadcast=True, on_time=on_time,
+                    left_points=left_points, right_points=right_points,
+                    suffix=suffix, expand=expand)
+        return a.unionByName(b)
+
     right, _ = _suffix_right(left, right, suffix)
 
     both_points = left_points and right_points
@@ -128,7 +154,6 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
 
     # explode to covering cells; a point side (with no expansion) has
     # exactly one home cell — native cell expr, no row growth
-    left_single = left_points and expand == 0.0
     if left_single:
         l = left.withColumn("_cell", grid.cell_expr(F.col("xmin"), F.col("ymin")))
     else:

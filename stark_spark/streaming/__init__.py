@@ -1,7 +1,9 @@
 from stark_spark.streaming.stream import (read_event_stream, st_stream_filter,
                                           windowed_cell_counts,
                                           windowed_stats, session_stats,
-                                          stateful_cell_extremes)
+                                          stateful_cell_extremes,
+                                          geofence_counts)
 
 __all__ = ["read_event_stream", "st_stream_filter", "windowed_cell_counts",
-           "windowed_stats", "session_stats", "stateful_cell_extremes"]
+           "windowed_stats", "session_stats", "stateful_cell_extremes",
+           "geofence_counts"]

@@ -98,6 +98,33 @@ def session_stats(stream: DataFrame, *, time_col: str = "ts",
                     F.col("sw.end").alias("sess_end"), key, "n"))
 
 
+def geofence_counts(stream: DataFrame, fences: DataFrame, *,
+                    fence_key: str = "fence_id", time_col: str = "ts",
+                    window: str = "1 hour", watermark: str = "30 minutes",
+                    x: str = "x", y: str = "y") -> DataFrame:
+    """Streaming spatial join + rollup: events assigned to the
+    geofence polygons covering them (stream-static broadcast join —
+    the fence table is dim-sized), counted per (fence, window).
+
+    The spatial join is the engine's standard broadcast path
+    (`st_join(broadcast=True)`), legal on a stream because it is
+    stateless; only the windowed count holds state."""
+    from stark_spark.functions.constructors import st_point, with_bbox
+    from stark_spark.operators.join import st_join
+
+    if "xmin" not in stream.columns:
+        stream = with_bbox(stream, x=x, y=y)
+    if "geom" not in stream.columns:
+        stream = stream.withColumn("geom", st_point(F.col(x), F.col(y)))
+    joined = st_join(stream, fences, "coveredby", broadcast=True,
+                     left_points=True)
+    return (joined.withWatermark(time_col, watermark)
+            .groupBy(F.window(F.col(time_col), window).alias("win"),
+                     F.col(fence_key))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("win_start"), fence_key, "n"))
+
+
 def stateful_cell_extremes(stream: DataFrame, grid: GridSpec, *,
                            x: str = "x", y: str = "y",
                            value_col: str = "value",

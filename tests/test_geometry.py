@@ -155,3 +155,21 @@ def test_box_cover_matches_arithmetic(xmin, ymin, w, h, px, py):
     b = G.box(xmin, ymin, xmin + w, ymin + h)
     want = (xmin <= px <= xmin + w) and (ymin <= py <= ymin + h)
     assert G.covers(b, G.point(px, py)) == want
+
+
+def test_hausdorff_to(spark):
+    """Directed Hausdorff (Distance.scala:139-167): max over row
+    vertices of min distance to the query."""
+    from stark_spark.functions.constructors import st_frame
+    from stark_spark.functions.distance import hausdorff_to
+    rows = [
+        (1, "POINT (3 4)"),                        # plain distance: 5
+        (2, "LINESTRING (3 4, 6 8)"),              # farthest vertex: 10
+        (3, "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"),  # farthest corner (2,1)
+    ]
+    df = st_frame(spark.createDataFrame(rows, "id int, wkt string"), wkt="wkt")
+    got = {r.id: r.d for r in
+           df.select("id", hausdorff_to("POINT (0 0)").alias("d")).collect()}
+    assert abs(got[1] - 5.0) < 1e-12
+    assert abs(got[2] - 10.0) < 1e-12
+    assert abs(got[3] - (5 ** 0.5)) < 1e-12

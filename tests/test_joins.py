@@ -139,3 +139,31 @@ def test_knn_join_exact(supp, cust):
     got2 = knn_join(supp, cust, k, grid=grid, radius=0.5,
                     left_key="s_suppkey", tie_col="c_custkey")
     assert got2.count() == len(s) * k
+
+
+def test_big_geometry_hybrid_path(spark, sf_dir):
+    """Skew guard: a continent-sized polygon must not fan out across
+    every cell — it rides the broadcast path; results identical."""
+    from stark_spark import datasets as D
+    from stark_spark.functions.constructors import st_frame
+    from stark_spark.operators.join import st_join
+    from stark_spark.partitioner.grid import GridSpec
+
+    rows = [(1, "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"),   # giant
+            (2, "POLYGON ((10 10, 14 10, 14 14, 10 14, 10 10))"),  # small
+            (3, "POLYGON ((60 60, 61 60, 61 61, 60 61, 60 60))")]
+    polys = st_frame(spark.createDataFrame(rows, "pid int, wkt string"),
+                     wkt="wkt")
+    cust = D.st_points(spark, sf_dir, "customer", "c_custkey")
+    grid = GridSpec.unit_grid(100.0, 32)
+
+    hybrid = st_join(polys, cust, "contains", grid=grid, right_points=True,
+                     big_cell_threshold=16)
+    plain = st_join(polys, cust, "contains", grid=grid, right_points=True,
+                    big_cell_threshold=0)
+    got = {(r.pid, r.c_custkey) for r in
+           hybrid.select("pid", "c_custkey").collect()}
+    want = {(r.pid, r.c_custkey) for r in
+            plain.select("pid", "c_custkey").collect()}
+    assert got == want
+    assert len(got) > 0 and any(p == 1 for p, _ in got)

@@ -141,3 +141,26 @@ def test_stateful_cell_extremes(spark, stream_dir):
     for c in want:
         assert abs(got[c][1] - want[c][1]) < 1e-9
         assert abs(got[c][2] - want[c][2]) < 1e-9
+
+def test_geofence_counts_match_batch(spark, stream_dir):
+    from stark_spark.functions.constructors import st_frame
+    from stark_spark.functions.predicates import st_predicate
+    from stark_spark.streaming import geofence_counts
+    path, schema = stream_dir
+    fences = st_frame(spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 50 0, 50 100, 0 100, 0 0))"),
+         (2, "POLYGON ((50 0, 100 0, 100 100, 50 100, 50 0))")],
+        "fence_id int, wkt string"), wkt="wkt")
+    s = read_event_stream(spark, path, schema, max_files=3)
+    out = geofence_counts(s, fences, window="30 days", watermark="1 hour")
+    name = _run(out)
+    got = {r.fence_id: r.s for r in spark.sql(
+        f"SELECT fence_id, sum(n) AS s FROM {name} GROUP BY fence_id"
+    ).collect()}
+    ev = D.st_events(spark, "/root/testdata/sf0.001", keep_geom=True)
+    want = {}
+    for fid, wkt in [(1, "POLYGON ((0 0, 50 0, 50 100, 0 100, 0 0))"),
+                     (2, "POLYGON ((50 0, 100 0, 100 100, 50 100, 50 0))")]:
+        want[fid] = ev.filter(st_predicate(wkt, "coveredby", points=True,
+                                           t_query="any")).count()
+    assert got == {k: v for k, v in want.items() if v > 0}
