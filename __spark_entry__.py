@@ -322,6 +322,17 @@ def _q_events_daily(spark, sf):
     return out
 
 
+def _q_set_ops(spark, sf):
+    """§2.6: set ops are Spark built-ins — union two overlapping event
+    subsets, dropDuplicates on the key, aggregate per type."""
+    ev = D.load(spark, sf, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 3 == 0)
+    return (a.unionByName(b)
+             .dropDuplicates(["event_id"])
+             .groupBy("event_type").agg(F.count("*").alias("n")))
+
+
 def _q_dedup_exact(spark, sf):
     docs = D.load(spark, sf, "documents")
     return exact_dups(docs, "doc_id")
@@ -454,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": _q_agg_pricing_summary,
         "agg_revenue_by_segment": _q_agg_revenue_by_segment,
         "events_daily": _q_events_daily,
+        "set_ops_union_distinct": _q_set_ops,
         "raster_rasterize_stats": _q_raster_stats,
         "raster_histogram": _q_raster_hist,
         "dedup_exact": _q_dedup_exact,
@@ -794,6 +806,15 @@ SELECT bucket, sum(n) AS n FROM (
   UNION ALL
   SELECT 0 AS bucket, zn AS n FROM z WHERE zn > 0
 ) u GROUP BY bucket""",
+
+        "set_ops_union_distinct": """
+SELECT event_type, count(*) AS n FROM (
+  SELECT DISTINCT ON (event_id) * FROM (
+    SELECT * FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT * FROM events WHERE event_id % 3 = 0
+  ) u
+) d GROUP BY event_type""",
 
         "dedup_exact": """
 SELECT md5(text) AS content_hash, count(*) AS n_dups,

@@ -15,7 +15,8 @@ in `stark_spark.core.geometry` (no Shapely in this environment).
 """
 
 from stark_spark.session import get_session, configure
+from stark_spark.api import STFrame
 
-__all__ = ["get_session", "configure"]
+__all__ = ["get_session", "configure", "STFrame"]
 
 __version__ = "0.1.0"

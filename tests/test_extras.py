@@ -117,3 +117,48 @@ def test_render_points_png(spark, sf_dir, tmp_path):
     idat = png[png.index(b"IDAT") + 4:png.rindex(b"IEND") - 4]
     raw = zlib.decompress(idat)
     assert max(raw) > 0
+
+# ------------------------------------------------------------- fluent API
+
+def test_stframe_fluent_chain(spark, sf_dir):
+    from stark_spark.api import STFrame
+    ev = D.load(spark, sf_dir, "events")
+    ev = (ev.withColumn("px", F.col("value"))
+            .withColumn("py", (F.col("user_id").cast("long") * 7919 % 1000) / 10.0))
+    st = STFrame.from_xy(ev, x="px", y="py")
+    got = (st.intersects("POLYGON ((10 10, 60 10, 60 80, 10 80, 10 10))")
+             .within_distance("POINT (35 45)", 30.0)
+             .knn("POINT (35 45)", 5, tie_col="event_id"))
+    rows = got.df.select("event_id").collect()
+    assert len(rows) == 5
+
+    # same thing spelled longhand
+    from stark_spark.functions.predicates import st_predicate, within_distance
+    from stark_spark.operators.knn import knn
+    base = st.df
+    want = knn(base.filter(st_predicate(
+        "POLYGON ((10 10, 60 10, 60 80, 10 80, 10 10))", "intersects",
+        points=True, t_query="any"))
+        .filter(within_distance("POINT (35 45)", 30.0, points=True)),
+        "POINT (35 45)", 5, points=True, tie_col="event_id")
+    assert [r.event_id for r in rows] == \
+        [r.event_id for r in want.select("event_id").collect()]
+
+
+def test_stframe_join_and_cluster(spark, sf_dir):
+    from stark_spark.api import STFrame
+    cust = STFrame.from_xy(
+        D.load(spark, sf_dir, "customer")
+         .withColumn("px", (F.col("c_custkey").cast("long") * 7919 % 1000) / 10.0)
+         .withColumn("py", (F.col("c_custkey").cast("long") * 104729 % 1000) / 10.0),
+        x="px", y="py")
+    supp = STFrame.from_xy(
+        D.load(spark, sf_dir, "supplier")
+         .withColumn("px", (F.col("s_suppkey").cast("long") * 7919 % 1000) / 10.0)
+         .withColumn("py", (F.col("s_suppkey").cast("long") * 104729 % 1000) / 10.0),
+        x="px", y="py")
+    joined = cust.join(supp, grid=GridSpec.unit_grid())
+    assert joined.df.count() > 0
+    labels = cust.cluster(3.0, 5, key="c_custkey",
+                          grid=GridSpec.unit_grid(100.0, 8))
+    assert labels.count() == cust.df.count()
