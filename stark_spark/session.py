@@ -72,5 +72,8 @@ def get_session(app: str = "stark_spark", *, master: str | None = None,
         builder = builder.config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # keep managed-table data (bucketed tables) out of the repo
+        builder = builder.config(
+            "spark.sql.warehouse.dir", "/tmp/stark_spark_warehouse")
     builder = configure(builder, shuffle_partitions=shuffle_partitions)
     return builder.getOrCreate()

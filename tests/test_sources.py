@@ -99,12 +99,14 @@ def test_join_pruned_matches(spark, sf_dir, store):
 
 
 def test_bucketed_zip_join_no_exchange(spark, sf_dir):
+    import uuid
     from stark_spark.sources import save_bucketed, zip_join_bucketed
     cust = D.st_points(spark, sf_dir, "customer", "c_custkey", keep_geom=False)
     supp = D.st_points(spark, sf_dir, "supplier", "s_suppkey", keep_geom=False)
-    save_bucketed(cust, "b_cust", GRID)
-    save_bucketed(supp, "b_supp", GRID)
-    out = zip_join_bucketed(spark, "b_cust", "b_supp")
+    t1, t2 = f"b_cust_{uuid.uuid4().hex[:8]}", f"b_supp_{uuid.uuid4().hex[:8]}"
+    save_bucketed(cust, t1, GRID)
+    save_bucketed(supp, t2, GRID)
+    out = zip_join_bucketed(spark, t1, t2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     # co-located: the cell equi-join must plan with NO shuffle exchange
     assert "Exchange hashpartitioning" not in plan
