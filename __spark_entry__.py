@@ -203,6 +203,43 @@ def _q_join_expand_temporal(spark, sf):
     return out.select("event_id", "event_id_b")
 
 
+def _q_interval_join(spark, sf):
+    """Binned interval join: day-long intervals (every 5th event) ⋈
+    instants (every 7th event) by containment — the 1-D analog of the
+    grid join (explode to time bins, equi-join, native refine)."""
+    from stark_spark.operators.temporal_join import interval_join
+    ev = D.load(spark, sf, "events")
+    ts = F.col("ts").cast("long")
+    a = (ev.where(F.col("event_id") % 5 == 0)
+           .select("event_id", ts.alias("t_start"),
+                   (ts + 86400).alias("t_end")))
+    b = (ev.where(F.col("event_id") % 7 == 0)
+           .select(F.col("event_id").alias("event_id_b"),
+                   ts.alias("t_start")))
+    out = interval_join(a, b, bin_width=3600)
+    return out.select("event_id", "event_id_b")
+
+
+def _q_as_of_join(spark, sf):
+    """As-of join: for each 'click' event, the user's latest prior
+    (or simultaneous) 'purchase'-typed event."""
+    from stark_spark.operators.temporal_join import as_of_join
+    ev = D.load(spark, sf, "events")
+    # microsecond precision: second-truncated ties would make the
+    # "latest" pick ambiguous between engines
+    ts = F.unix_micros(F.col("ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+                .select("event_id", "user_id", ts.alias("t")))
+    buys = (ev.where(F.col("event_type") == "purchase")
+              .select("user_id", ts.alias("t"),
+                      F.col("event_id").alias("buy_id"),
+                      F.col("value").alias("buy_value")))
+    out = as_of_join(clicks, buys, on="user_id",
+                     right_cols=("buy_id", "buy_value"))
+    return out.select("event_id", F.col("buy_id_r").alias("buy_id"),
+                      F.col("buy_value_r").alias("buy_value"))
+
+
 def _q_within_distance_join(spark, sf):
     cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
     supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
@@ -453,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_join_broadcast_points": _q_join_broadcast_points,
         "st_join_poly_contains": _q_join_poly_contains,
         "st_join_expand_temporal": _q_join_expand_temporal,
+        "interval_join": _q_interval_join,
+        "as_of_join": _q_as_of_join,
         "within_distance_join": _q_within_distance_join,
         "within_distance_filter": _q_within_distance_filter,
         "knn_events": _q_knn_events,
@@ -703,6 +742,20 @@ WHERE a.event_id % 5 = 0 AND b.event_id % 7 = 0
   AND CAST(floor(epoch(a.ts)) AS BIGINT) <= CAST(floor(epoch(b.ts)) AS BIGINT)
   AND CAST(floor(epoch(b.ts)) AS BIGINT)
       <= CAST(floor(epoch(a.ts)) AS BIGINT) + 86400""",
+
+        "interval_join": f"""
+SELECT a.event_id AS event_id, b.event_id AS event_id_b
+FROM events a, events b
+WHERE a.event_id % 5 = 0 AND b.event_id % 7 = 0
+  AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT)
+  AND CAST(floor(epoch(b.ts)) AS BIGINT)
+      <= CAST(floor(epoch(a.ts)) AS BIGINT) + 86400""",
+
+        "as_of_join": """
+SELECT c.event_id, b.event_id AS buy_id, b.value AS buy_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON c.user_id = b.user_id AND epoch_us(c.ts) >= epoch_us(b.ts)""",
 
         "within_distance_join": f"""
 SELECT c_custkey, s_suppkey, {dist_cs} AS dist

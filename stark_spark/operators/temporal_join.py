@@ -1,0 +1,109 @@
+"""Temporal joins: binned interval join and as-of join.
+
+The reference's only temporal join is the conjunct inside ST predicate
+joins (SURVEY.md §2.3 "interval/temporal join exists only as the
+temporal conjunct"); these two are the dedicated temporal family a
+general engine needs, built on the same scale shape as the spatial
+grid join:
+
+* **interval_join** — intervals ⋈ instants/intervals by overlap.
+  Physical plan = the 1-D analog of the grid join: explode each
+  interval to the fixed-width TIME BINS it covers, equi-join on bin,
+  native overlap refine, reference-point dedup (a pair is kept only
+  in the bin containing the overlap start). Shuffle keys are small
+  ints; AQE handles hot bins.
+* **as_of_join** — for each left row, the LATEST right row with
+  ``r.t <= l.t`` per key (the time-series join Spark lacks). Physical
+  plan = union the tagged sides, one window ``last(ignorenulls)``
+  sweep per key ordered by (t, side) — no per-key loop, no range
+  self-join blow-up; state is one running row per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_join(left: DataFrame, right: DataFrame, *,
+                  bin_width: int, suffix: str = "_r",
+                  how_right: str = "point") -> DataFrame:
+    """Overlap join on [t_start, t_end] intervals.
+
+    left: interval rows (t_end >= t_start; NULL t_end not supported
+    here — cap open intervals before joining). right: instants
+    (``how_right='point'``, joined on t_start) or intervals
+    (``'interval'``). ``bin_width`` in the time unit (seconds).
+    """
+    ren = {c: c + suffix for c in ("t_start", "t_end")
+           if c in right.columns}
+    for old, new in ren.items():
+        right = right.withColumnRenamed(old, new)
+
+    lbin0 = F.floor(F.col("t_start") / bin_width).cast("long")
+    lbin1 = F.floor(F.col("t_end") / bin_width).cast("long")
+    l = left.withColumn("_bin", F.explode(F.sequence(lbin0, lbin1)))
+
+    if how_right == "point":
+        rbin = F.floor(F.col("t_start" + suffix) / bin_width).cast("long")
+        r = right.withColumn("_bin", rbin)
+        joined = (l.join(r, "_bin")
+                   .where((F.col("t_start" + suffix) >= F.col("t_start")) &
+                          (F.col("t_start" + suffix) <= F.col("t_end"))))
+        # a point lives in exactly one bin — no duplicate pairs
+        return joined.drop("_bin")
+
+    rbin0 = F.floor(F.col("t_start" + suffix) / bin_width).cast("long")
+    rbin1 = F.floor(F.col("t_end" + suffix) / bin_width).cast("long")
+    r = right.withColumn("_bin", F.explode(F.sequence(rbin0, rbin1)))
+    joined = (l.join(r, "_bin")
+               .where((F.col("t_start") <= F.col("t_end" + suffix)) &
+                      (F.col("t_start" + suffix) <= F.col("t_end"))))
+    # reference-point dedup: keep the pair only in the bin holding the
+    # overlap start (same trick as the spatial grid join)
+    ref = F.greatest(F.col("t_start"), F.col("t_start" + suffix))
+    joined = joined.where(
+        F.col("_bin") == F.floor(ref / bin_width).cast("long"))
+    return joined.drop("_bin")
+
+
+def as_of_join(left: DataFrame, right: DataFrame, *, on: str,
+               left_time: str = "t", right_time: str = "t",
+               right_cols: tuple[str, ...] = (),
+               suffix: str = "_r") -> DataFrame:
+    """For each left row: the latest right row with
+    ``right.t <= left.t`` sharing ``on`` (inner — unmatched left rows
+    drop, mirroring SQL ASOF JOIN). ``right_cols`` are the right-side
+    columns to carry; they come back suffixed.
+
+    One union + one window sweep: right rows sort before left rows at
+    equal timestamps (``<=`` semantics); ``last(ignorenulls)`` carries
+    the newest right values forward to each left row.
+    """
+    lt = left.withColumn("_t", F.col(left_time).cast("long")) \
+             .withColumn("_side", F.lit(1))
+    carried = ["_m"] + list(right_cols)   # _m = explicit match marker
+    rt = right.withColumn("_m", F.lit(1)).select(
+        F.col(on),
+        F.col(right_time).cast("long").alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias("_carry_" + c) for c in carried])
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None))
+    for c in carried:
+        lt = lt.withColumn("_carry_" + c, F.lit(None))
+    u = lt.unionByName(rt.select(*lt.columns))
+
+    w = (Window.partitionBy(on).orderBy("_t", "_side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    for c in carried:
+        u = u.withColumn("_last_" + c,
+                         F.last("_carry_" + c, ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1)
+    out = out.where(F.col("_last__m").isNotNull())   # inner semantics
+    for c in list(right_cols):
+        out = out.withColumn(c + suffix, F.col("_last_" + c))
+    drop = (["_t", "_side"] + ["_carry_" + c for c in carried] +
+            ["_last_" + c for c in carried])
+    return out.drop(*drop)

@@ -167,3 +167,34 @@ def test_big_geometry_hybrid_path(spark, sf_dir):
             plain.select("pid", "c_custkey").collect()}
     assert got == want
     assert len(got) > 0 and any(p == 1 for p, _ in got)
+
+
+def test_interval_join_pair_dedup(spark):
+    """Interval⋈interval overlap with bin dedup: each overlapping pair
+    appears exactly once regardless of how many bins it spans."""
+    from stark_spark.operators.temporal_join import interval_join
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 60), (3, 200, 300)],
+        "id int, t_start long, t_end long")
+    b = spark.createDataFrame(
+        [(10, 90, 250), (20, 55, 58), (30, 1000, 1100)],
+        "idb int, t_start long, t_end long")
+    out = interval_join(a, b, bin_width=10, how_right="interval")
+    got = sorted((r.id, r.idb) for r in out.select("id", "idb").collect())
+    assert got == [(1, 10), (1, 20), (2, 20), (3, 10)]
+
+
+def test_as_of_join_semantics(spark):
+    from stark_spark.operators.temporal_join import as_of_join
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 50), (3, "u", 9), (4, "v", 100)],
+        "lid int, k string, t long")
+    right = spark.createDataFrame(
+        [("u", 10, "a"), ("u", 50, "b"), ("u", 99, "c"), ("w", 1, "z")],
+        "k string, t long, val string")
+    out = as_of_join(left, right, on="k", right_cols=("val",))
+    got = {r.lid: r.val_r for r in out.collect()}
+    # lid=1: latest <=100 is (99,'c'); lid=2: exact tie t=50 -> 'b';
+    # lid=3: nothing <=9... wait (10 > 9) -> no match, dropped;
+    # lid=4: key 'v' has no right rows -> dropped
+    assert got == {1: "c", 2: "b"}
