@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "within_distance_join",      # widened-cell distance join
     "knn_events",                # TakeOrderedAndProject top-k
     "knn_join",                  # window top-k per key + fallback
+    "interval_join",             # time-bin equi-join
+    "as_of_join",                # union + window sweep
     "skyline",                   # two-stage pareto front
     "dbscan",                    # cell+halo clustering + CC
     "grid_cell_histogram",       # partitioner histogram
