@@ -51,7 +51,7 @@ def knn(df: DataFrame, query, k: int, *, points: bool = True,
 
 
 def knn_join(left: DataFrame, right: DataFrame, k: int, *,
-             grid: GridSpec, radius: float, left_key: str,
+             grid: GridSpec, radius: float | None = None, left_key: str,
              suffix: str = "_r", dist_col: str = "dist",
              tie_col: str | None = None,
              exact_fallback: bool = True) -> DataFrame:
@@ -68,6 +68,15 @@ def knn_join(left: DataFrame, right: DataFrame, k: int, *,
     At scale: radius controls the candidate blow-up; the fallback set
     is tiny when radius is chosen ≥ the k-th-NN distance for most rows.
     """
+    if radius is None:
+        # density heuristic: radius at which a uniform disk holds ~4k
+        # neighbors (one cheap count; the exact fallback keeps results
+        # correct even when the estimate is off for skewed data)
+        import math
+        n = right.count()
+        area = (grid.x1 - grid.x0) * (grid.y1 - grid.y0)
+        radius = 2.0 * math.sqrt(k * area / (math.pi * max(n, 1)))
+
     right, _ = _suffix_right(left, right, suffix)
     l = left.withColumn("_cell", F.explode(grid.cells_array_expr(
         F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),

@@ -67,7 +67,12 @@ def save_partitioned(df: DataFrame, path: str, grid: GridSpec, *,
             ).cast("int"))))
         part_cols.append("t_bucket")
 
-    out.write.partitionBy(*part_cols).mode(mode).parquet(path)
+    # one file per cell (repartition on the dir keys) with rows sorted
+    # by bbox so parquet row-group min/max stats stay tight → row-group
+    # pruning inside each cell file on top of the dir-level prune
+    (out.repartition(*[F.col(c) for c in part_cols])
+        .sortWithinPartitions("xmin", "ymin")
+        .write.partitionBy(*part_cols).mode(mode).parquet(path))
 
     # bounds manifest: one agg scan → tiny parquet (the partition_info
     # equivalent; range = grid cell bounds, extent = true data bounds)
