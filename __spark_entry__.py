@@ -173,7 +173,10 @@ def _q_join_poly_contains(spark, sf):
         x0.cast("string"), F.lit(" "), y0.cast("string"), F.lit("))"))
     polys = st_frame(part.withColumn("_wkt", wkt), wkt="_wkt").drop("_wkt")
     cust = D.st_points(spark, sf, "customer", "c_custkey")
-    out = st_join(polys, cust, "contains", grid=GRID, right_points=True)
+    # left_rect: axis-aligned regions → the whole predicate stays in
+    # codegen (no Arrow refine pass over the candidates)
+    out = st_join(polys, cust, "contains", grid=GRID, right_points=True,
+                  left_rect=True)
     return out.select("p_partkey", "c_custkey")
 
 

@@ -103,7 +103,8 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
             *, grid: GridSpec | None = None, on_time: bool | str = "ignore",
             left_points: bool = False, right_points: bool = False,
             broadcast: bool = False, suffix: str = "_r",
-            expand: float = 0.0, big_cell_threshold: int = 64) -> DataFrame:
+            expand: float = 0.0, big_cell_threshold: int = 64,
+            left_rect: bool = False) -> DataFrame:
     """Predicate join. Returns left ⋈ right with right's ST columns
     suffixed. ``expand`` widens the left envelope (used by
     within-distance joins).
@@ -133,10 +134,11 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
         big = left.where(n_cells > F.lit(big_cell_threshold))
         a = st_join(small, right, predicate, grid=grid, on_time=on_time,
                     left_points=left_points, right_points=right_points,
-                    suffix=suffix, expand=expand, big_cell_threshold=0)
+                    suffix=suffix, expand=expand, big_cell_threshold=0,
+                    left_rect=left_rect)
         b = st_join(big, right, predicate, broadcast=True, on_time=on_time,
                     left_points=left_points, right_points=right_points,
-                    suffix=suffix, expand=expand)
+                    suffix=suffix, expand=expand, left_rect=left_rect)
         return a.unionByName(b)
 
     right, _ = _suffix_right(left, right, suffix)
@@ -144,9 +146,11 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
     both_points = left_points and right_points
     pre = _PRE[predicate](suffix) if expand == 0.0 else _bbox_overlap_expand(suffix, expand)
 
+    rect_exact = left_rect and right_points
     if broadcast:
         joined = left.join(F.broadcast(right), on=pre, how="inner")
-        return _refine(joined, predicate, both_points, on_time, suffix, expand)
+        return _refine(joined, predicate, both_points, on_time, suffix,
+                       expand, rect_exact)
 
     if grid is None:
         raise ValueError("grid required for the partitioned join "
@@ -179,7 +183,8 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
         ref_y = F.greatest(F.col("ymin") - F.lit(expand), F.col("ymin" + suffix))
         joined = joined.where(F.col("_cell") == grid.cell_expr(ref_x, ref_y))
 
-    return _refine(joined, predicate, both_points, on_time, suffix, expand).drop("_cell")
+    return _refine(joined, predicate, both_points, on_time, suffix,
+                   expand, rect_exact).drop("_cell")
 
 
 def _bbox_overlap_expand(suffix: str, d: float) -> Column:
@@ -189,11 +194,27 @@ def _bbox_overlap_expand(suffix: str, d: float) -> Column:
             (F.col("ymin" + suffix) <= F.col("ymax") + F.lit(d)))
 
 
+# exact native predicates when LEFT is a declared axis-aligned
+# rectangle and RIGHT is points: the rectangle IS its envelope, so the
+# whole predicate stays in codegen (strict interior for contains)
+_RECT_EXACT = {
+    "intersects": _bbox_overlap,
+    "covers": _bbox_within_inv,
+    "contains": lambda s: ((F.col("xmin" + s) > F.col("xmin")) &
+                           (F.col("xmax" + s) < F.col("xmax")) &
+                           (F.col("ymin" + s) > F.col("ymin")) &
+                           (F.col("ymax" + s) < F.col("ymax"))),
+}
+
+
 def _refine(joined: DataFrame, predicate: str, both_points: bool,
-            on_time, suffix: str, expand: float) -> DataFrame:
+            on_time, suffix: str, expand: float,
+            rect_exact: bool = False) -> DataFrame:
     if expand == 0.0:
         if both_points:
             joined = joined.where(_points_native_pred(predicate, suffix))
+        elif rect_exact and predicate in _RECT_EXACT:
+            joined = joined.where(_RECT_EXACT[predicate](suffix))
         else:
             joined = joined.where(st_relate_pair(
                 F.col("geom"), F.col("geom" + suffix), predicate))
