@@ -37,7 +37,23 @@ _TS_COLS = {
 }
 
 
+def _ensure_runtime_confs(spark: SparkSession) -> None:
+    """The driver may hand us a session built WITHOUT our factory
+    (`stark_spark.get_session`); the confs load-bearing for the
+    testdata are runtime-settable, so set them defensively —
+    a vanilla session otherwise throws PARQUET_TYPE_ILLEGAL on the
+    TIMESTAMP(NANOS) columns and mismatches the oracle's UTC epochs."""
+    for k, v in (("spark.sql.legacy.parquet.nanosAsLong", "true"),
+                 ("spark.sql.session.timeZone", "UTC"),
+                 ("spark.sql.execution.arrow.pyspark.enabled", "true")):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in _TS_COLS.get(table, ()):
         if dict(df.dtypes).get(c) == "bigint":
