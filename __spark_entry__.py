@@ -47,9 +47,12 @@ PX, PY = 7919, 104729
 GRID = GridSpec.unit_grid(100.0, 32)       # the [0,100)² synthetic space
 
 # SQL fragments for the synthetic coordinates
-def _xy(key: str) -> tuple[str, str]:
-    return (f"(({key} * {PX}) % 1000) / 10.0",
-            f"(({key} * {PY}) % 1000) / 10.0")
+def _xy(key: str, salt: tuple[int, int] = (0, 0)) -> tuple[str, str]:
+    sx, sy = salt
+    off_x = f" + {sx}" if sx else ""
+    off_y = f" + {sy}" if sy else ""
+    return (f"(({key} * {PX}{off_x}) % 1000) / 10.0",
+            f"(({key} * {PY}{off_y}) % 1000) / 10.0")
 
 EV_X = "value"
 EV_Y = f"((user_id * {PX}) % 1000) / 10.0"
@@ -294,6 +297,21 @@ def _q_knn_join(spark, sf):
     return out.select("s_suppkey", "c_custkey", "dist")
 
 
+def _q_knn_join_sparse(spark, sf):
+    """kNN-join against a SPARSE off-lattice right side (orders carry
+    the (5,7) lattice salt — see datasets.TABLE_SALT): most left rows
+    have zero or <k candidates within the radius, so this oracle-gates
+    the exact-fallback path (the round-1 advisor found zero-candidate
+    rows were silently dropped; this query fails on that bug)."""
+    supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
+    orders = D.st_points(spark, sf, "orders", "o_orderkey", keep_geom=False)
+    sparse = orders.where(F.col("o_orderkey") % 97 == 0) \
+                   .select("o_orderkey", "xmin", "ymin", "xmax", "ymax")
+    out = knn_join(supp, sparse, 2, grid=GRID, radius=5.0,
+                   left_key="s_suppkey", tie_col="o_orderkey")
+    return out.select("s_suppkey", "o_orderkey", "dist")
+
+
 def _q_skyline(spark, sf):
     cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
     out = skyline(cust.select("c_custkey", "x", "y"), "x", "y")
@@ -429,6 +447,19 @@ def _q_raster_hist(spark, sf):
     return raster_histogram(_ev_tiles(spark, sf), 0, 16, 8)
 
 
+def _q_sql_raster_hist(spark, sf):
+    """SQL-surface raster histogram: the registered `rasterHistogram`
+    grouped-agg UDAF (reference `RasterFunction.scala:37-78`) called
+    from spark.sql over a tile view — gates the SQL registration, not
+    just the DataFrame op."""
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    _ev_tiles(spark, sf).createOrReplaceTempView("__sql_tiles")
+    return spark.sql("""
+        SELECT posexplode(h) AS (bucket, n) FROM (
+          SELECT rasterHistogram(data, 0D, 16D, 8) AS h FROM __sql_tiles)""")
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -500,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_events": _q_knn_events,
         "knn_weighted_st": _q_knn_weighted_st,
         "knn_join": _q_knn_join,
+        "knn_join_sparse": _q_knn_join_sparse,
         "skyline": _q_skyline,
         "skyline_angular": _q_skyline_angular,
         "dbscan": _q_dbscan,
@@ -510,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_union_distinct": _q_set_ops,
         "raster_rasterize_stats": _q_raster_stats,
         "raster_histogram": _q_raster_hist,
+        "sql_raster_histogram": _q_sql_raster_hist,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -788,6 +821,23 @@ SELECT s_suppkey, c_custkey, dist FROM (
   FROM supplier, customer
 ) t WHERE rn <= 3""",
 
+        "knn_join_sparse": f"""
+WITH o AS (
+  SELECT o_orderkey, {_xy("o_orderkey", D.TABLE_SALT["orders"])[0]} AS ox,
+         {_xy("o_orderkey", D.TABLE_SALT["orders"])[1]} AS oy
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT s_suppkey, o_orderkey, dist FROM (
+  SELECT s_suppkey, o_orderkey,
+    sqrt((({sx}) - ox) * (({sx}) - ox) +
+         (({sy}) - oy) * (({sy}) - oy)) AS dist,
+    row_number() OVER (PARTITION BY s_suppkey
+                       ORDER BY sqrt((({sx}) - ox) * (({sx}) - ox) +
+                                     (({sy}) - oy) * (({sy}) - oy)),
+                                o_orderkey) AS rn
+  FROM supplier, o
+) t WHERE rn <= 2""",
+
         "skyline": f"""
 WITH p AS (SELECT c_custkey, {cx} AS x, {cy} AS y FROM customer)
 SELECT c_custkey, x, y FROM p
@@ -811,7 +861,7 @@ FROM events GROUP BY 1""",
 
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
     / 10000.0 AS sum_disc_price,
@@ -839,7 +889,7 @@ WITH pix AS (
 )
 SELECT tx * 10.0 AS ulx, (ty + 1) * 10.0 AS uly,
   max(n) AS pix_max, CAST(count(*) AS INT) AS n_nonzero,
-  sum(n) AS n_events
+  CAST(sum(n) AS BIGINT) AS n_events
 FROM pix GROUP BY tx, ty""",
 
         "raster_histogram": f"""
@@ -857,11 +907,34 @@ WITH pix AS (
 ), z AS (
   SELECT 64 * count(*) - sum(nz) AS zn FROM tl
 )
-SELECT bucket, sum(n) AS n FROM (
+SELECT bucket, CAST(sum(n) AS BIGINT) AS n FROM (
   SELECT bucket, n FROM hist
   UNION ALL
   SELECT 0 AS bucket, zn AS n FROM z WHERE zn > 0
 ) u GROUP BY bucket""",
+
+        "sql_raster_histogram": f"""
+WITH pix AS (
+  SELECT floor(value / 10.0) AS tx, floor(({EV_Y}) / 10.0) AS ty,
+    floor(value / 1.25) AS ix, floor(({EV_Y}) / 1.25) AS iy,
+    count(*) AS n
+  FROM events GROUP BY 1, 2, 3, 4
+), hist AS (
+  SELECT least(7, greatest(0, CAST(floor(n / 2.0) AS INT))) AS bucket,
+    count(*) AS n
+  FROM pix GROUP BY 1
+), tl AS (
+  SELECT tx, ty, count(*) AS nz FROM pix GROUP BY 1, 2
+), z AS (
+  SELECT 64 * count(*) - sum(nz) AS zn FROM tl
+), all_b AS (
+  SELECT unnest(range(0, 8)) AS bucket
+)
+SELECT CAST(ab.bucket AS INT) AS bucket,
+  CAST(COALESCE(h.n, 0)
+       + CASE WHEN ab.bucket = 0 THEN (SELECT zn FROM z) ELSE 0 END
+    AS BIGINT) AS n
+FROM all_b ab LEFT JOIN hist h ON h.bucket = ab.bucket""",
 
         "set_ops_union_distinct": """
 SELECT event_type, count(*) AS n FROM (
@@ -932,7 +1005,7 @@ WITH t AS (
           / length(text)) * 5.0, 1.0))) / 3.0 AS quality
   FROM documents
 )
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS sum_tokens,
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
   min(quality) AS min_quality, max(quality) AS max_quality
 FROM t GROUP BY source""",
 

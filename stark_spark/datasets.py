@@ -24,6 +24,15 @@ from stark_spark.functions.constructors import st_frame
 PX = 7919
 PY = 104729
 
+# Per-table lattice salts: x = ((k*PX + sx) % 1000)/10, y likewise.
+# customer/supplier intentionally SHARE the unsalted lattice (the
+# point-equality join oracles rely on coincident points); orders gets
+# (5, 7), which is provably disjoint from the unsalted lattice: a
+# coincidence needs m*5 ≡ 7 (mod 1000) where m = PY·PX⁻¹, and m*5 is
+# always a multiple of 5 while 7 is not. That gives kNN/radius tests a
+# right side with honest non-zero distances and zero-neighbor rows.
+TABLE_SALT: dict[str, tuple[int, int]] = {"orders": (5, 7)}
+
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
@@ -64,23 +73,29 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-def synth_xy(df: DataFrame, key: str) -> DataFrame:
+def synth_xy(df: DataFrame, key: str,
+             salt: tuple[int, int] = (0, 0)) -> DataFrame:
     """Deterministic synthetic point columns from an integer key."""
     k = F.col(key).cast("long")
-    return (df.withColumn("x", (k * PX % 1000) / 10.0)
-              .withColumn("y", (k * PY % 1000) / 10.0))
+    sx, sy = salt
+    return (df.withColumn("x", ((k * PX + sx) % 1000) / 10.0)
+              .withColumn("y", ((k * PY + sy) % 1000) / 10.0))
 
 
-def synth_xy_sql(key: str) -> tuple[str, str]:
+def synth_xy_sql(key: str,
+                 salt: tuple[int, int] = (0, 0)) -> tuple[str, str]:
     """The same formulas as oracle SQL fragments."""
-    return (f"(({key} * {PX}) % 1000) / 10.0",
-            f"(({key} * {PY}) % 1000) / 10.0")
+    sx, sy = salt
+    return (f"(({key} * {PX} + {sx}) % 1000) / 10.0",
+            f"(({key} * {PY} + {sy}) % 1000) / 10.0")
 
 
 def st_points(spark: SparkSession, sf_dir: str, table: str, key: str,
               keep_geom: bool = True) -> DataFrame:
-    """Table → ST point frame on synthetic coords (untimed)."""
-    df = synth_xy(load(spark, sf_dir, table), key)
+    """Table → ST point frame on synthetic coords (untimed);
+    per-table lattice salt from TABLE_SALT."""
+    df = synth_xy(load(spark, sf_dir, table), key,
+                  salt=TABLE_SALT.get(table, (0, 0)))
     return st_frame(df, x="x", y="y", keep_geom=keep_geom)
 
 

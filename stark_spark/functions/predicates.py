@@ -192,16 +192,28 @@ def within_distance(query, max_dist: float, *, points: bool = False,
 # pair predicate (both sides vary — join refine + SQL surface)
 # ---------------------------------------------------------------------------
 
+_PAIR_UDF_CACHE: dict = {}
+
+
 def st_relate_pair(left: Column, right: Column, predicate: str) -> Column:
-    """Exact predicate between two WKB geometry columns.
+    """Exact predicate between two WKB geometry columns (the refine
+    stage of `st_join`). See `pair_predicate_udf`."""
+    return pair_predicate_udf(predicate)(left, right)
+
+
+def pair_predicate_udf(predicate: str):
+    """The vectorized pair-predicate pandas UDF, cached per predicate.
 
     Used as the refine stage of `st_join` (after the cell equi-join +
     native bbox prefilter cut candidates) and registered for SQL
     (`st_intersects(l.geom, r.geom)` — reference
-    `sql/spatial/STPredicate.scala:43-71`).
+    `sql/spatial/STPredicate.scala:43-71`) so the SQL surface gets the
+    same grouped-points numpy kernel as the Python join path.
     """
     if predicate not in PREDICATES:
         raise ValueError(predicate)
+    if predicate in _PAIR_UDF_CACHE:
+        return _PAIR_UDF_CACHE[predicate]
 
     import numpy as np
 
@@ -272,4 +284,60 @@ def st_relate_pair(left: Column, right: Column, predicate: str) -> Column:
                 out.append(G.covers(gb, ga))
         return pd.Series(out)
 
-    return pair(left, right)
+    _PAIR_UDF_CACHE[predicate] = pair
+    return pair
+
+
+def pair_distance_udf():
+    """Vectorized euclidean distance between two WKB columns (SQL
+    `st_distance` — reference `Distance.scala` via
+    `sql/Functions.scala`). Point⋈point batches run one numpy hypot;
+    one-side-points batches group by the distinct other geometry and
+    run the vectorized point-to-geometry kernel; mixed batches fall
+    back per-row."""
+    if "__dist__" in _PAIR_UDF_CACHE:
+        return _PAIR_UDF_CACHE["__dist__"]
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    def _grouped_dist(pt_bytes, geom_bytes):
+        xs, ys = G.decode_points(pt_bytes)
+        out = np.zeros(len(xs), dtype=float)
+        groups: dict[bytes, list[int]] = {}
+        for i, gb in enumerate(geom_bytes):
+            if gb is None:
+                return None
+            groups.setdefault(bytes(gb), []).append(i)
+        for gb, idx in groups.items():
+            g = G.from_wkb(gb)
+            ii = np.asarray(idx)
+            out[ii] = G.points_dist_to_geom(xs[ii], ys[ii], g)
+        return out
+
+    @pandas_udf(DoubleType())
+    def dist(a: pd.Series, b: pd.Series) -> pd.Series:
+        alist, blist = list(a), list(b)
+        pts_a = all(x is not None and len(x) == 21 and x[0] == 1 for x in alist)
+        pts_b = all(x is not None and len(x) == 21 and x[0] == 1 for x in blist)
+        if pts_a and pts_b:
+            ax, ay = G.decode_points(alist)
+            bx, by = G.decode_points(blist)
+            return pd.Series(list(np.hypot(ax - bx, ay - by)))
+        vec = None
+        if pts_a:
+            vec = _grouped_dist(alist, blist)
+        elif pts_b:
+            vec = _grouped_dist(blist, alist)
+        if vec is not None:
+            return pd.Series(list(vec))
+        out = []
+        for xa, xb in zip(alist, blist):
+            if xa is None or xb is None:
+                out.append(None)
+                continue
+            out.append(G.distance(G.from_wkb(bytes(xa)), G.from_wkb(bytes(xb))))
+        return pd.Series(out, dtype="float64")
+
+    _PAIR_UDF_CACHE["__dist__"] = dist
+    return dist

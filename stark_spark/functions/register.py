@@ -1,34 +1,29 @@
-"""SQL function registration — the `st_*` surface.
+"""SQL function registration — the `st_*` + raster surface.
 
 Reference registers its functions into the session's function registry
-(`/root/reference/sql/Functions.scala:16-48`), making
-``SELECT … WHERE st_intersects(l.geo, r.geo)`` work. We register
-plain Python/pandas UDFs under the same names; no Catalyst strategy is
-needed because our joins are explicit plan rewrites
-(`stark_spark.operators.join`) — SURVEY.md §3.2.
+(`/root/reference/sql/Functions.scala:16-48`,
+`sql/raster/RasterFunction.scala:19-78`,
+`sql/spatial/STConstructor.scala:48-64`), making
+``SELECT … WHERE st_intersects(l.geo, r.geo)`` work. We register the
+SAME vectorized pandas UDFs the join path uses (grouped-points numpy
+kernels, `functions/predicates.py`) — no row-at-a-time parsing — plus
+pure-SQL scalar functions where the expression stays native; no
+Catalyst strategy is needed because our joins are explicit plan
+rewrites (`stark_spark.operators.join`) — SURVEY.md §3.2.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (BinaryType, BooleanType, DoubleType, LongType,
-                               StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, LongType, StructField,
+                               StructType)
 
 from stark_spark.core import geometry as G
-
-
-def _pair_pred(fn):
-    def run(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for xa, xb in zip(a, b):
-            if xa is None or xb is None:
-                out.append(None)
-                continue
-            out.append(bool(fn(G.from_wkb(bytes(xa)), G.from_wkb(bytes(xb)))))
-        return pd.Series(out, dtype=object)
-    return pandas_udf(run, BooleanType())
+from stark_spark.functions.predicates import (pair_distance_udf,
+                                              pair_predicate_udf)
 
 
 def register_sql_functions(spark: SparkSession) -> None:
@@ -41,22 +36,15 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_wkt", _st_wkt_udf)
     spark.udf.register("st_bbox", _st_bbox_udf)
 
-    spark.udf.register("st_intersects", _pair_pred(G.intersects))
-    spark.udf.register("st_contains", _pair_pred(G.contains))
-    spark.udf.register("st_containedby", _pair_pred(lambda a, b: G.contains(b, a)))
-    spark.udf.register("st_covers", _pair_pred(G.covers))
-    spark.udf.register("st_coveredby", _pair_pred(lambda a, b: G.covers(b, a)))
-
-    def _dist(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = []
-        for xa, xb in zip(a, b):
-            if xa is None or xb is None:
-                out.append(None)
-                continue
-            out.append(G.distance(G.from_wkb(bytes(xa)), G.from_wkb(bytes(xb))))
-        return pd.Series(out, dtype="float64")
-
-    spark.udf.register("st_distance", pandas_udf(_dist, DoubleType()))
+    # pair predicates — the SAME vectorized kernels as the join refine
+    # (`STPredicate.scala:43-71`): grouped-points numpy paths, scalar
+    # fallback only for geometry⋈geometry batches
+    spark.udf.register("st_intersects", pair_predicate_udf("intersects"))
+    spark.udf.register("st_contains", pair_predicate_udf("contains"))
+    spark.udf.register("st_containedby", pair_predicate_udf("containedby"))
+    spark.udf.register("st_covers", pair_predicate_udf("covers"))
+    spark.udf.register("st_coveredby", pair_predicate_udf("coveredby"))
+    spark.udf.register("st_distance", pair_distance_udf())
 
     # st_sto(wkt, epoch_sec[, epoch_end]) → ST struct (reference
     # `STConstructor.scala:98-148` MakeSTObject: WKT + date → STObject)
@@ -74,6 +62,22 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     spark.udf.register("st_sto", pandas_udf(_sto, _STO))
 
+    # st_geomfromtile(ulx, uly, width, height, pixel_width) → WKB
+    # polygon of the tile's bbox (reference `STConstructor.scala:48-64`)
+    def _geomfromtile(ulx: pd.Series, uly: pd.Series, w: pd.Series,
+                      h: pd.Series, pw: pd.Series) -> pd.Series:
+        out = []
+        for x0, y1, wi, hi, p in zip(ulx, uly, w, h, pw):
+            if x0 is None or pd.isna(x0):
+                out.append(None)
+                continue
+            out.append(G.to_wkb(G.box(float(x0), float(y1) - float(hi) * float(p),
+                                      float(x0) + float(wi) * float(p), float(y1))))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("st_geomfromtile",
+                       pandas_udf(_geomfromtile, BinaryType()))
+
     # raster accessors as pure-SQL scalar functions (stay native —
     # reference `STFunction.scala:40-86`, tile getters
     # `RasterGetter.scala:19-72` are plain column reads on our flat
@@ -86,3 +90,35 @@ def register_sql_functions(spark: SparkSession) -> None:
     ):
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
                   f"(a ARRAY<BIGINT>) RETURNS BIGINT RETURN {body}")
+
+    # histogram(data, lo, hi, buckets) → per-tile equi-width bucket
+    # counts as ARRAY<BIGINT> (reference `RasterFunction.scala:19-35`
+    # `histogram(tile[,n])`). Pure SQL — nested higher-order functions,
+    # codegen end-to-end; edge pixels clamp like `Tile.scala:216-253`.
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION histogram(
+    a ARRAY<BIGINT>, lo DOUBLE, hi DOUBLE, buckets INT)
+RETURNS ARRAY<BIGINT> RETURN
+  transform(sequence(0, buckets - 1), b -> CAST(size(filter(a,
+    p -> least(buckets - 1, greatest(0,
+           CAST(floor((p - lo) / ((hi - lo) / buckets)) AS INT))) = b))
+    AS BIGINT))""")
+
+    # rasterHistogram — the reference's only UDAF
+    # (`RasterFunction.scala:37-78` CalcRasterHistogram): a grouped-agg
+    # pandas UDF (Arrow-batched) combining all tiles' pixel arrays into
+    # one bucket-count array. SQL: SELECT rasterHistogram(data,0,16,8).
+    @pandas_udf(ArrayType(LongType()))
+    def _raster_hist(data: pd.Series, lo: pd.Series, hi: pd.Series,
+                     buckets: pd.Series) -> list:
+        if len(data) == 0:
+            return []
+        lo_v, hi_v = float(lo.iloc[0]), float(hi.iloc[0])
+        nb = int(buckets.iloc[0])
+        w = (hi_v - lo_v) / nb
+        pix = np.concatenate([np.asarray(a, dtype=np.float64)
+                              for a in data])
+        b = np.clip(np.floor((pix - lo_v) / w).astype(np.int64), 0, nb - 1)
+        return [int(v) for v in np.bincount(b, minlength=nb)]
+
+    spark.udf.register("rasterHistogram", _raster_hist)

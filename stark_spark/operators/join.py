@@ -102,7 +102,7 @@ def _points_native_pred(predicate: str, suffix: str) -> Column:
 def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
             *, grid: GridSpec | None = None, on_time: bool | str = "ignore",
             left_points: bool = False, right_points: bool = False,
-            broadcast: bool = False, suffix: str = "_r",
+            broadcast: bool | str = False, suffix: str = "_r",
             expand: float = 0.0, big_cell_threshold: int = 64,
             left_rect: bool = False) -> DataFrame:
     """Predicate join. Returns left ⋈ right with right's ST columns
@@ -110,7 +110,9 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
     within-distance joins).
 
     ``broadcast=True`` → BNLJ with the small right side broadcast
-    (reference `broadcastJoin`); otherwise grid equi-join.
+    (reference `broadcastJoin`); ``broadcast="left"`` broadcasts the
+    LEFT side instead (used by the skew guard, where the left frame is
+    the small one); otherwise grid equi-join.
 
     Skew guard (``big_cell_threshold``): a left geometry whose envelope
     covers more than that many cells (a continent-sized polygon over a
@@ -136,7 +138,7 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
                     left_points=left_points, right_points=right_points,
                     suffix=suffix, expand=expand, big_cell_threshold=0,
                     left_rect=left_rect)
-        b = st_join(big, right, predicate, broadcast=True, on_time=on_time,
+        b = st_join(big, right, predicate, broadcast="left", on_time=on_time,
                     left_points=left_points, right_points=right_points,
                     suffix=suffix, expand=expand, left_rect=left_rect)
         return a.unionByName(b)
@@ -148,7 +150,13 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
 
     rect_exact = left_rect and right_points
     if broadcast:
-        joined = left.join(F.broadcast(right), on=pre, how="inner")
+        # "left" → the left frame is the small one (skew-guard path:
+        # the handful of giant-envelope rows); broadcasting the full
+        # right side there would OOM at scale.
+        if broadcast == "left":
+            joined = F.broadcast(left).join(right, on=pre, how="inner")
+        else:
+            joined = left.join(F.broadcast(right), on=pre, how="inner")
         return _refine(joined, predicate, both_points, on_time, suffix,
                        expand, rect_exact)
 
@@ -234,6 +242,11 @@ def within_distance_join(left: DataFrame, right: DataFrame, max_dist: float,
     Point fast path: native hypot filter after the widened-cell
     equi-join — zero UDFs end-to-end.
     """
+    if not points:
+        # both branches: the distance below is min-corner distance,
+        # which is only the geometry distance for points
+        raise NotImplementedError("non-point within-distance join: use "
+                                  "st_join(expand=max_dist) + st_distance")
     right, _ = _suffix_right(left, right, suffix)
     dx = F.col("xmin") - F.col("xmin" + suffix)
     dy = F.col("ymin") - F.col("ymin" + suffix)
@@ -249,9 +262,5 @@ def within_distance_join(left: DataFrame, right: DataFrame, max_dist: float,
             expand=max_dist)))
         r = right.withColumn("_cell", grid.cell_expr(
             F.col("xmin" + suffix), F.col("ymin" + suffix)))
-        joined = l.join(r, on=["_cell"], how="inner")
-        if not points:
-            raise NotImplementedError("non-point within-distance join: use "
-                                      "st_join(expand=max_dist) + st_distance")
-        joined = joined.drop("_cell")
+        joined = l.join(r, on=["_cell"], how="inner").drop("_cell")
     return joined.where(dist <= F.lit(max_dist))

@@ -99,12 +99,15 @@ def knn_join(left: DataFrame, right: DataFrame, k: int, *,
         return topk.drop("_rn")
 
     # rows that didn't reach k neighbors within the radius → exact pass
-    # via broadcast of (only) those left rows against the full right side
-    short = (topk.groupBy(left_key).agg(F.count("*").alias("_n"))
-                  .where(F.col("_n") < k).select(left_key))
-    missing = left.join(F.broadcast(short), left_key, "left_semi")
+    # via broadcast of (only) those left rows against the full right side.
+    # Derived by anti-join against keys that DID reach k, so left rows
+    # with zero in-radius candidates (absent from topk entirely) are
+    # still completed rather than silently dropped.
+    have_k = (topk.groupBy(left_key).agg(F.count("*").alias("_n"))
+                   .where(F.col("_n") >= k).select(left_key))
+    missing = left.join(F.broadcast(have_k), left_key, "left_anti")
     fb = (missing.crossJoin(right)
                  .withColumn(dist_col, d))
     fb_top = fb.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    done = topk.join(F.broadcast(short), left_key, "left_anti")
+    done = topk.join(F.broadcast(have_k), left_key, "left_semi")
     return done.drop("_rn").unionByName(fb_top.drop("_rn"))

@@ -28,12 +28,17 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 def _canon_cell(v) -> str:
     if v is None:
         return "\\N"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
-        return "%.17g" % v
-    if isinstance(v, (np.floating,)):
-        return "%.17g" % float(v)
+        s = "%.17g" % v
+        # Distinguish float 2040.0 from int 2040: the driver's comparator
+        # does (round 1 lesson: DuckDB sum(BIGINT) -> HUGEINT -> pandas
+        # float64 hash-failed 4 queries that this mirror passed).
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, (np.integer,)):
         return str(int(v))
     if isinstance(v, bool):

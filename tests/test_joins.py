@@ -198,3 +198,41 @@ def test_as_of_join_semantics(spark):
     # lid=3: nothing <=9... wait (10 > 9) -> no match, dropped;
     # lid=4: key 'v' has no right rows -> dropped
     assert got == {1: "c", 2: "b"}
+
+
+def test_knn_join_zero_candidate_rows_not_dropped(spark, sf_dir):
+    """Round-1 advisor bug: left rows with ZERO candidates within the
+    radius were silently dropped by the fallback (it only re-joined
+    keys that appeared in the windowed top-k). A sparse off-lattice
+    right side (orders carries TABLE_SALT) makes most suppliers have no
+    in-radius candidate; every supplier must still get exactly k rows,
+    and they must equal the exact numpy answer."""
+    k = 2
+    supp = D.st_points(spark, sf_dir, "supplier", "s_suppkey",
+                       keep_geom=False)
+    orders = D.st_points(spark, sf_dir, "orders", "o_orderkey",
+                         keep_geom=False)
+    sparse = (orders.where(F.col("o_orderkey") % 97 == 0)
+                    .select("o_orderkey", "xmin", "ymin", "xmax", "ymax")
+                    .cache())
+    got = knn_join(supp, sparse, k, grid=GridSpec.unit_grid(),
+                   radius=1.0, left_key="s_suppkey",
+                   tie_col="o_orderkey")
+    pdf = got.select("s_suppkey", "o_orderkey", "dist").toPandas()
+    s = supp.select("s_suppkey", "x", "y").toPandas()
+    o = sparse.withColumn("x", F.col("xmin")) \
+              .withColumn("y", F.col("ymin")) \
+              .select("o_orderkey", "x", "y").toPandas()
+    # sanity: with radius=1.0 at least one supplier has zero in-radius
+    # candidates (otherwise this test degenerates like round 1's data)
+    n_zero = sum(
+        1 for _, sr in s.iterrows()
+        if (np.hypot(o.x - sr.x, o.y - sr.y) <= 1.0).sum() == 0)
+    assert n_zero > 0
+    assert len(pdf) == len(s) * k
+    for _, sr in s.iterrows():
+        d = np.hypot(o.x - sr.x, o.y - sr.y)
+        want = [int(key) for _, key in sorted(zip(d, o.o_orderkey))[:k]]
+        sub = pdf[pdf.s_suppkey == sr.s_suppkey] \
+            .sort_values(["dist", "o_orderkey"])
+        assert list(sub.o_orderkey) == want, f"suppkey {sr.s_suppkey}"

@@ -77,3 +77,47 @@ def test_raster_sql_accessors(spark):
     row = spark.sql("SELECT r_min(data) a, r_max(data) b, r_median(data) c "
                     "FROM t").first()
     assert (row.a, row.b, row.c) == (1, 9, 3)
+
+def test_sql_polygon_predicate_vectorized_path(spark, sf_dir):
+    """Polygon⋈points via SQL must ride the same grouped-points numpy
+    kernel as the join refine (one distinct container geometry, many
+    points) and agree with the DataFrame filter."""
+    ev = D.st_events(spark, sf_dir)
+    ev.createOrReplaceTempView("ev2")
+    got = spark.sql("""
+        SELECT count(*) AS n FROM ev2
+        WHERE st_contains(
+          st_geomfromwkt('POLYGON ((0 0, 200 0, 0 100, 0 0))'), geom)
+    """).first().n
+    from stark_spark.functions.predicates import st_predicate
+    want = ev.filter(st_predicate(
+        "POLYGON ((0 0, 200 0, 0 100, 0 0))", "intersects",
+        t_query="any")).count()
+    # triangle strictly contains all its interior event points; the few
+    # boundary points differ between contains/intersects — allow that
+    assert got <= want
+    assert got > 0.9 * want
+
+
+def test_sql_histogram_function(spark):
+    row = spark.sql("""
+        SELECT histogram(array(0L, 1L, 2L, 3L, 15L, 8L), 0D, 16D, 8) AS h
+    """).first()
+    assert row.h == [2, 2, 0, 0, 1, 0, 0, 1]
+
+
+def test_sql_raster_histogram_udaf(spark):
+    spark.createDataFrame(
+        [([0, 1, 2, 3],), ([15, 8, 2, 0],)],
+        "data array<bigint>").createOrReplaceTempView("rh_tiles")
+    row = spark.sql(
+        "SELECT rasterHistogram(data, 0D, 16D, 8) AS h FROM rh_tiles"
+    ).first()
+    assert row.h == [3, 3, 0, 0, 1, 0, 0, 1]
+
+
+def test_sql_geomfromtile(spark):
+    row = spark.sql("""
+        SELECT st_wkt(st_geomfromtile(0.0, 10.0, 8, 8, 1.25)) AS w
+    """).first()
+    assert row.w == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
