@@ -140,6 +140,34 @@ def _q_filter_intervals(spark, sf):
     return out.select("event_id", "t_start", "t_end")
 
 
+def _q_filter_coveredby_poly(spark, sf):
+    """covers/coveredby family oracle-gated (reference PSF:104-106):
+    boundary-inclusive point-in-triangle via the vectorized PIP
+    refine — same answer as `intersects` for points, different
+    predicate code path."""
+    ev = D.st_events(spark, sf)
+    out = ev.filter(st_predicate(
+        "POLYGON ((0 0, 200 0, 0 100, 0 0))", "coveredby",
+        points=True, t_query="any"))
+    return out.select("event_id", "x", "y")
+
+
+def _q_filter_z_range(spark, sf):
+    """3-D points (reference `STObject(x,y,z)`, STObject.scala:247-248
+    + getMinZ/getMaxZ :99-100): synthetic z from user_id; rect filter ∧
+    native z-range filter over the zmin/zmax columns."""
+    from stark_spark.functions.constructors import st_point, with_z
+    ev = D.st_events(spark, sf, keep_geom=False)
+    ev = ev.withColumn("z", (F.col("user_id").cast("long") * 31 % 100) / 10.0)
+    ev = with_z(ev, "z")
+    ev = ev.withColumn("geom", st_point("x", "y", "z"))
+    out = ev.filter(st_predicate(
+        "POLYGON ((10 10, 60 10, 60 80, 10 80, 10 10))", "intersects",
+        points=True, t_query="any")
+        & (F.col("zmin") >= 2.0) & (F.col("zmax") <= 7.5))
+    return out.select("event_id", "x", "y", "z")
+
+
 def _q_join_grid_points(spark, sf):
     cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
     supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
@@ -226,6 +254,26 @@ def _q_interval_join(spark, sf):
     return out.select("event_id", "event_id_b")
 
 
+def _q_interval_join_open(spark, sf):
+    """interval_join with OPEN intervals (reference `Interval.scala:
+    10-16`: end = None ⇒ +inf): every 7th left interval is open-ended
+    and must match all later instants; capped in-plan at the max start
+    bin, refined on the true NULL semantics."""
+    from stark_spark.operators.temporal_join import interval_join
+    ev = D.load(spark, sf, "events")
+    ts = F.col("ts").cast("long")
+    a = (ev.where(F.col("event_id") % 50 == 0)
+           .select("event_id", ts.alias("t_start"),
+                   F.when(F.col("event_id") % 7 == 0,
+                          F.lit(None).cast("long"))
+                    .otherwise(ts + 86400).alias("t_end")))
+    b = (ev.where(F.col("event_id") % 7 == 0)
+           .select(F.col("event_id").alias("event_id_b"),
+                   ts.alias("t_start")))
+    out = interval_join(a, b, bin_width=3600)
+    return out.select("event_id", "event_id_b")
+
+
 def _q_as_of_join(spark, sf):
     """As-of join: for each 'click' event, the user's latest prior
     (or simultaneous) 'purchase'-typed event."""
@@ -280,6 +328,36 @@ def _q_knn_weighted_st(spark, sf):
     sd = st_distance_xy(F.col("x"), F.col("y"), F.lit(50.0), F.lit(50.0))
     td = temporal_distance(F.col("t_start"), F.lit(t0))
     d = weighted_st_distance(sd, td, w_space=1.0, w_time=0.001)
+    return (ev.withColumn("dist", d)
+              .orderBy("dist", "event_id").limit(30)
+              .select("event_id", "dist"))
+
+
+def _q_knn_hausdorff_st(spark, sf):
+    """kNN under the combined spatio-temporal Hausdorff distance
+    (`Distance.scala:139-167`: (shausdorff, thausdorff) pair +
+    weighted scalarization). Rows carry [t_start, t_end] intervals
+    (every 7th open-ended → end defaults to start per thausdorff);
+    for point geometry shausdorff ≡ euclid, so the whole ordering
+    stays native (codegen) — no UDF."""
+    from stark_spark.functions.constructors import with_bbox
+    from stark_spark.functions.distance import (st_distance_xy,
+                                                temporal_hausdorff,
+                                                weighted_st_distance)
+    ev = D.load(spark, sf, "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * PX % 1000) / 10.0))
+    ev = with_bbox(ev, x="x", y="y")
+    ts = F.col("ts").cast("long")
+    ev = (ev.withColumn("t_start", ts)
+            .withColumn("t_end", F.when(F.col("event_id") % 7 == 0,
+                                        F.lit(None).cast("long"))
+                                  .otherwise(ts + 86400 * (F.col("event_id") % 10))))
+    t0s, t0e = 1704844800, 1705708800          # Jan 10 – Jan 20
+    sd = st_distance_xy(F.col("x"), F.col("y"), F.lit(50.0), F.lit(50.0))
+    td = temporal_hausdorff(F.col("t_start"), F.col("t_end"),
+                            F.lit(t0s), F.lit(t0e))
+    d = weighted_st_distance(sd, td, w_space=1.0, w_time=0.00001)
     return (ev.withColumn("dist", d)
               .orderBy("dist", "event_id").limit(30)
               .select("event_id", "dist"))
@@ -447,6 +525,105 @@ def _q_raster_hist(spark, sf):
     return raster_histogram(_ev_tiles(spark, sf), 0, 16, 8)
 
 
+def _nation_boxes(spark, sf):
+    """25 nation-keyed axis-aligned boxes (±8 around lattice points) —
+    the vector side of the raster⋈vector oracle."""
+    from stark_spark.functions.constructors import st_box
+    n = D.load(spark, sf, "nation")
+    k = F.col("n_nationkey").cast("long")
+    bx = (k * PX % 1000) / 10.0
+    by = (k * PY % 1000) / 10.0
+    df = (n.select("n_nationkey", bx.alias("_bx"), by.alias("_by"))
+           .withColumn("xmin", F.col("_bx") - 8.0)
+           .withColumn("ymin", F.col("_by") - 8.0)
+           .withColumn("xmax", F.col("_bx") + 8.0)
+           .withColumn("ymax", F.col("_by") + 8.0)
+           .drop("_bx", "_by"))
+    return df.withColumn("geom", st_box(F.col("xmin"), F.col("ymin"),
+                                        F.col("xmax"), F.col("ymax")))
+
+
+def _q_raster_join_vector_clip(spark, sf):
+    """Raster ⋈ vector with pixel clip (`RasterJoinVectorRDD.scala:
+    13-107`): event tiles joined to nation boxes, each match clipped to
+    the pixel-aligned intersection window; output = window anchor/shape
+    + event count inside the window."""
+    from stark_spark.raster.join import raster_join_vector
+    tiles = _ev_tiles(spark, sf)
+    vec = _nation_boxes(spark, sf)
+    out = raster_join_vector(tiles, vec, grid=GRID, clip=True)
+    return out.select(
+        "n_nationkey", "ulx", "uly", "width", "height",
+        F.aggregate(F.col("data"), F.lit(0).cast("long"),
+                    lambda a, v: a + F.coalesce(v, F.lit(0))).alias("n_ev"))
+
+
+def _q_raster_join_raster(spark, sf):
+    """Raster ⋈ raster with pixel combine (`RasterJoinRDD.scala:10-66`):
+    even-event tiles + odd-event tiles, summed over the intersection
+    window (same tiling → full-tile windows; touching-only pairs give
+    empty windows and drop)."""
+    from stark_spark.raster import rasterize
+    from stark_spark.raster.join import raster_join_raster
+    ev = D.load(spark, sf, "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * PX % 1000) / 10.0))
+    even = rasterize(ev.where(F.col("event_id") % 2 == 0),
+                     tile_px=8, pixel_width=1.25)
+    odd = rasterize(ev.where(F.col("event_id") % 2 == 1),
+                    tile_px=8, pixel_width=1.25)
+    out = raster_join_raster(even, odd, grid=GRID, combine="sum")
+    return out.select(
+        "ulx", "uly", "width", "height",
+        F.aggregate(F.col("data"), F.lit(0).cast("long"),
+                    lambda a, v: a + v).alias("n_ev"))
+
+
+def _q_raster_count_value(spark, sf):
+    """`countValue` (`RasterRDD.scala:136-146`): total pixels holding
+    exactly the value 1 across the whole raster."""
+    from stark_spark.raster.tiles import count_value
+    return count_value(_ev_tiles(spark, sf), 1)
+
+
+def _q_pruned_read(spark, sf):
+    """Pruned partitioned scan (`STSparkContext.scala:50-61,658-713`):
+    events saved cell-partitioned with a bounds manifest, re-read with
+    manifest + Catalyst partition pruning; result must equal the plain
+    timed-rectangle filter (the oracle is that filter)."""
+    import os
+    from stark_spark.sources.partitioned import (read_pruned,
+                                                 save_partitioned)
+    tag = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/stark_oracle_part_events_{tag}"
+    ev = D.st_events(spark, sf, keep_geom=False)
+    save_partitioned(ev, path, GRID)
+    out = read_pruned(spark, path,
+                      "POLYGON ((10 10, 60 10, 60 80, 10 80, 10 10))",
+                      points=True, t_query=(1704067200, 1705276800))
+    return out.select("event_id", "x", "y")
+
+
+def _q_pruned_join(spark, sf):
+    """Metadata-driven pruned join (`STSparkContext.scala:382-457`
+    jointextFiles): both sides saved partitioned; the cell-pair graph
+    comes from the manifests alone; result must equal the plain
+    point-equality grid join."""
+    import os
+    from stark_spark.sources.partitioned import (join_pruned,
+                                                 save_partitioned)
+    tag = os.path.basename(sf.rstrip("/"))
+    pc = f"/tmp/stark_oracle_part_cust_{tag}"
+    ps = f"/tmp/stark_oracle_part_supp_{tag}"
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
+    save_partitioned(cust, pc, GRID)
+    save_partitioned(supp, ps, GRID)
+    out = join_pruned(spark, pc, ps, grid=GRID,
+                      left_points=True, right_points=True)
+    return out.select("c_custkey", "s_suppkey")
+
+
 def _q_sql_raster_hist(spark, sf):
     """SQL-surface raster histogram: the registered `rasterHistogram`
     grouped-agg UDAF (reference `RasterFunction.scala:37-78`) called
@@ -520,16 +697,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "st_filter_both_or_neither": _q_filter_both_or_neither,
         "st_filter_intervals": _q_filter_intervals,
+        "st_filter_coveredby_poly": _q_filter_coveredby_poly,
+        "st_filter_z_range": _q_filter_z_range,
         "st_join_grid_points": _q_join_grid_points,
         "st_join_broadcast_points": _q_join_broadcast_points,
         "st_join_poly_contains": _q_join_poly_contains,
         "st_join_expand_temporal": _q_join_expand_temporal,
         "interval_join": _q_interval_join,
+        "interval_join_open": _q_interval_join_open,
         "as_of_join": _q_as_of_join,
         "within_distance_join": _q_within_distance_join,
         "within_distance_filter": _q_within_distance_filter,
         "knn_events": _q_knn_events,
         "knn_weighted_st": _q_knn_weighted_st,
+        "knn_hausdorff_st": _q_knn_hausdorff_st,
         "knn_join": _q_knn_join,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline": _q_skyline,
@@ -543,6 +724,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_rasterize_stats": _q_raster_stats,
         "raster_histogram": _q_raster_hist,
         "sql_raster_histogram": _q_sql_raster_hist,
+        "raster_join_vector_clip": _q_raster_join_vector_clip,
+        "raster_join_raster_sum": _q_raster_join_raster,
+        "raster_count_value": _q_raster_count_value,
+        "pruned_read_rect": _q_pruned_read,
+        "pruned_join_points": _q_pruned_join,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -787,6 +973,15 @@ WHERE a.event_id % 5 = 0 AND b.event_id % 7 = 0
   AND CAST(floor(epoch(b.ts)) AS BIGINT)
       <= CAST(floor(epoch(a.ts)) AS BIGINT) + 86400""",
 
+        "interval_join_open": f"""
+SELECT a.event_id AS event_id, b.event_id AS event_id_b
+FROM events a, events b
+WHERE a.event_id % 50 = 0 AND b.event_id % 7 = 0
+  AND CAST(floor(epoch(b.ts)) AS BIGINT) >= CAST(floor(epoch(a.ts)) AS BIGINT)
+  AND (a.event_id % 7 = 0 OR
+       CAST(floor(epoch(b.ts)) AS BIGINT)
+         <= CAST(floor(epoch(a.ts)) AS BIGINT) + 86400)""",
+
         "as_of_join": """
 SELECT c.event_id, b.event_id AS buy_id, b.value AS buy_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
@@ -812,6 +1007,21 @@ SELECT event_id,
   1.0 * ({dist_q}) + 0.001 * abs(CAST({EV_T} AS DOUBLE) - 1704844800)
     AS dist
 FROM events ORDER BY dist, event_id LIMIT 30""",
+
+        "knn_hausdorff_st": f"""
+WITH t AS (
+  SELECT event_id, value AS x, {EV_Y} AS y, {EV_T} AS ts_s,
+    CASE WHEN event_id % 7 = 0 THEN NULL
+         ELSE {EV_T} + 86400 * (event_id % 10) END AS te
+  FROM events
+)
+SELECT event_id,
+  1.0 * sqrt((x - 50.0) * (x - 50.0) + (y - 50.0) * (y - 50.0))
+  + 0.00001 * greatest(
+      abs(CAST(ts_s AS DOUBLE) - CAST(1704844800 AS DOUBLE)),
+      abs(CAST(COALESCE(te, ts_s) AS DOUBLE) - CAST(1705708800 AS DOUBLE)))
+    AS dist
+FROM t ORDER BY dist, event_id LIMIT 30""",
 
         "knn_join": f"""
 SELECT s_suppkey, c_custkey, dist FROM (
@@ -912,6 +1122,91 @@ SELECT bucket, CAST(sum(n) AS BIGINT) AS n FROM (
   UNION ALL
   SELECT 0 AS bucket, zn AS n FROM z WHERE zn > 0
 ) u GROUP BY bucket""",
+
+        "st_filter_z_range": f"""
+SELECT event_id, value AS x, {EV_Y} AS y,
+  ((user_id * 31) % 100) / 10.0 AS z
+FROM events
+WHERE value >= 10 AND value <= 60
+  AND ({EV_Y}) >= 10 AND ({EV_Y}) <= 80
+  AND ((user_id * 31) % 100) / 10.0 >= 2.0
+  AND ((user_id * 31) % 100) / 10.0 <= 7.5""",
+
+        "st_filter_coveredby_poly": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE value >= 0 AND ({EV_Y}) >= 0
+  AND value * 100 + ({EV_Y}) * 200 <= 20000""",
+
+        "raster_join_vector_clip": f"""
+WITH pix AS (
+  SELECT floor(value / 10.0) AS tx, floor(({EV_Y}) / 10.0) AS ty,
+    floor(value / 1.25) AS ix, floor(({EV_Y}) / 1.25) AS iy,
+    count(*) AS n
+  FROM events GROUP BY 1, 2, 3, 4
+), tile AS (
+  SELECT tx, ty, tx * 10.0 AS ulx, (ty + 1) * 10.0 AS uly
+  FROM pix GROUP BY tx, ty
+), nat AS (
+  SELECT n_nationkey,
+    ((n_nationkey * {PX}) % 1000) / 10.0 - 8.0 AS qx0,
+    ((n_nationkey * {PY}) % 1000) / 10.0 - 8.0 AS qy0,
+    ((n_nationkey * {PX}) % 1000) / 10.0 + 8.0 AS qx1,
+    ((n_nationkey * {PY}) % 1000) / 10.0 + 8.0 AS qy1
+  FROM nation
+), pair AS (
+  SELECT t.tx, t.ty, t.ulx, t.uly, v.n_nationkey,
+    greatest(0, CAST(floor((v.qx0 - t.ulx) / 1.25) AS INT)) AS i0,
+    least(8, CAST(ceil((v.qx1 - t.ulx) / 1.25) AS INT)) AS i1,
+    greatest(0, CAST(floor((t.uly - v.qy1) / 1.25) AS INT)) AS j0,
+    least(8, CAST(ceil((t.uly - v.qy0) / 1.25) AS INT)) AS j1
+  FROM tile t JOIN nat v
+    ON t.ulx <= v.qx1 AND v.qx0 <= t.ulx + 10.0
+   AND t.uly - 10.0 <= v.qy1 AND v.qy0 <= t.uly
+)
+SELECT p.n_nationkey,
+  p.ulx + p.i0 * 1.25 AS ulx, p.uly - p.j0 * 1.25 AS uly,
+  CAST(p.i1 - p.i0 AS INT) AS width, CAST(p.j1 - p.j0 AS INT) AS height,
+  CAST(COALESCE(sum(x.n), 0) AS BIGINT) AS n_ev
+FROM pair p LEFT JOIN pix x
+  ON x.tx = p.tx AND x.ty = p.ty
+ AND x.ix >= p.tx * 8 + p.i0 AND x.ix < p.tx * 8 + p.i1
+ AND x.iy >= p.ty * 8 + (8 - p.j1) AND x.iy <= p.ty * 8 + (7 - p.j0)
+WHERE p.i0 < p.i1 AND p.j0 < p.j1
+GROUP BY p.n_nationkey, p.ulx, p.uly, p.i0, p.i1, p.j0, p.j1""",
+
+        "raster_join_raster_sum": f"""
+WITH e AS (
+  SELECT floor(value / 10.0) AS tx, floor(({EV_Y}) / 10.0) AS ty,
+    event_id % 2 AS par
+  FROM events
+), t AS (
+  SELECT tx, ty, CAST(count(*) AS BIGINT) AS n,
+    count(CASE WHEN par = 0 THEN 1 END) AS ne,
+    count(CASE WHEN par = 1 THEN 1 END) AS no
+  FROM e GROUP BY tx, ty
+)
+SELECT tx * 10.0 AS ulx, (ty + 1) * 10.0 AS uly,
+  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, n AS n_ev
+FROM t WHERE ne > 0 AND no > 0""",
+
+        "raster_count_value": f"""
+WITH pix AS (
+  SELECT floor(value / 10.0) AS tx, floor(({EV_Y}) / 10.0) AS ty,
+    floor(value / 1.25) AS ix, floor(({EV_Y}) / 1.25) AS iy,
+    count(*) AS n
+  FROM events GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(count(*) AS BIGINT) AS n FROM pix WHERE n = 1""",
+
+        "pruned_read_rect": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE value >= 10 AND value <= 60
+  AND ({EV_Y}) >= 10 AND ({EV_Y}) <= 80
+  AND {EV_T} >= 1704067200 AND {EV_T} <= 1705276800""",
+
+        "pruned_join_points": f"""
+SELECT c_custkey, s_suppkey FROM customer, supplier
+WHERE ({cx}) = ({sx}) AND ({cy}) = ({sy})""",
 
         "sql_raster_histogram": f"""
 WITH pix AS (

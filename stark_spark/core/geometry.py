@@ -43,18 +43,24 @@ _EPS = 1e-12
 
 
 class Geometry:
-    """Immutable planar geometry.
+    """Immutable planar geometry (+ optional Z side-car).
 
     ``coords``: POINT → (2,) ndarray; LINESTRING → (n,2) ndarray;
     POLYGON → list of closed (first==last) (n,2) rings, ring 0 = shell;
     MULTI* → list of child ``Geometry``.
+
+    ``z`` (reference `STObject.scala:95-100, 247-248`: JTS carries Z but
+    all predicates are planar — we match that): POINT → float;
+    LINESTRING → (n,) ndarray; POLYGON → list of (n,) per ring;
+    MULTI* → children carry their own. None ⇒ 2-D.
     """
 
-    __slots__ = ("kind", "coords", "_bbox")
+    __slots__ = ("kind", "coords", "z", "_bbox")
 
-    def __init__(self, kind: str, coords):
+    def __init__(self, kind: str, coords, z=None):
         self.kind = kind
         self.coords = coords
+        self.z = z
         self._bbox = None
 
     # -- structural helpers -------------------------------------------------
@@ -82,6 +88,25 @@ class Geometry:
                 self._bbox = (min(b[0] for b in bs), min(b[1] for b in bs),
                               max(b[2] for b in bs), max(b[3] for b in bs))
         return self._bbox
+
+    @property
+    def zrange(self) -> tuple[float, float] | None:
+        """(minZ, maxZ) over all coordinates (`STObject.getMinZ/getMaxZ`,
+        STObject.scala:99-100); None for 2-D geometries."""
+        if self.kind.startswith("MULTI"):
+            rs = [p.zrange for p in self.coords]
+            rs = [r for r in rs if r is not None]
+            if not rs:
+                return None
+            return (min(r[0] for r in rs), max(r[1] for r in rs))
+        if self.z is None:
+            return None
+        if self.kind == "POINT":
+            return (float(self.z), float(self.z))
+        if self.kind == "LINESTRING":
+            return (float(np.min(self.z)), float(np.max(self.z)))
+        zs = np.concatenate(self.z)
+        return (float(zs.min()), float(zs.max()))
 
     def is_rectangle(self) -> bool:
         """True iff a POLYGON is exactly its own bbox (axis-aligned box).
@@ -114,8 +139,9 @@ class Geometry:
 # constructors
 # ---------------------------------------------------------------------------
 
-def point(x: float, y: float) -> Geometry:
-    return Geometry("POINT", np.array([x, y], dtype=np.float64))
+def point(x: float, y: float, z: float | None = None) -> Geometry:
+    return Geometry("POINT", np.array([x, y], dtype=np.float64),
+                    z=None if z is None else float(z))
 
 
 def box(xmin: float, ymin: float, xmax: float, ymax: float) -> Geometry:
@@ -136,11 +162,24 @@ _NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
 
 
 def _parse_ring_text(txt: str) -> np.ndarray:
+    """Parse a coordinate run → (n, 2) or (n, 3) float array (the third
+    column is Z when every coordinate carries one)."""
     pts = []
+    width = None
     for pair in txt.split(","):
         vals = pair.split()
-        pts.append((float(vals[0]), float(vals[1])))  # ignore Z if present
+        w = 3 if len(vals) >= 3 else 2
+        width = w if width is None else min(width, w)
+        pts.append(tuple(float(v) for v in vals[:3]))
+    if width == 2:
+        pts = [p[:2] for p in pts]
     return np.array(pts, dtype=np.float64)
+
+
+def _split_z(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray | None]:
+    if arr.ndim == 2 and arr.shape[1] == 3:
+        return np.ascontiguousarray(arr[:, :2]), np.ascontiguousarray(arr[:, 2])
+    return arr, None
 
 
 def _split_parens(body: str) -> list[str]:
@@ -188,26 +227,40 @@ def from_wkt(wkt: str) -> Geometry:
     kind, body = m.group(1).upper(), m.group(2).strip()
     if kind == "POINT":
         vals = body.replace("(", " ").replace(")", " ").split()
-        return Geometry("POINT", np.array([float(vals[0]), float(vals[1])]))
+        return Geometry("POINT", np.array([float(vals[0]), float(vals[1])]),
+                        z=float(vals[2]) if len(vals) >= 3 else None)
     if kind == "LINESTRING":
-        return Geometry("LINESTRING", _parse_ring_text(body))
+        xy, z = _split_z(_parse_ring_text(body))
+        return Geometry("LINESTRING", xy, z=z)
     if kind == "POLYGON":
-        rings = [_close(_parse_ring_text(r)) for r in _split_parens(body)]
-        return Geometry("POLYGON", rings)
+        rings = [_split_z(_close(_parse_ring_text(r)))
+                 for r in _split_parens(body)]
+        zs = [z for _, z in rings]
+        return Geometry("POLYGON", [xy for xy, _ in rings],
+                        z=zs if all(z is not None for z in zs) else None)
     if kind == "MULTIPOINT":
-        pts = _split_parens(body)
-        return Geometry("MULTIPOINT",
-                        [Geometry("POINT", _parse_ring_text(p)[0]) for p in pts])
+        pts = []
+        for p in _split_parens(body):
+            arr = _parse_ring_text(p)[0]
+            pts.append(Geometry("POINT", arr[:2],
+                                z=float(arr[2]) if arr.shape[0] == 3 else None))
+        return Geometry("MULTIPOINT", pts)
     if kind == "MULTILINESTRING":
-        return Geometry("MULTILINESTRING",
-                        [Geometry("LINESTRING", _parse_ring_text(p))
-                         for p in _split_parens(body)])
+        parts = []
+        for p in _split_parens(body):
+            xy, z = _split_z(_parse_ring_text(p))
+            parts.append(Geometry("LINESTRING", xy, z=z))
+        return Geometry("MULTILINESTRING", parts)
     if kind == "MULTIPOLYGON":
         polys = []
         # split top-level polygons: depth-0 commas of the MULTIPOLYGON body
         for ptxt in _split_depth(body, 0):
-            rings = [_close(_parse_ring_text(r)) for r in _split_parens(ptxt)]
-            polys.append(Geometry("POLYGON", rings))
+            rings = [_split_z(_close(_parse_ring_text(r)))
+                     for r in _split_parens(ptxt)]
+            zs = [z for _, z in rings]
+            polys.append(Geometry("POLYGON", [xy for xy, _ in rings],
+                                  z=zs if all(z is not None for z in zs)
+                                  else None))
         return Geometry("MULTIPOLYGON", polys)
     raise ValueError(f"unsupported WKT kind {kind}")
 
@@ -239,28 +292,43 @@ def _fmt(v: float) -> str:
     return s
 
 
+def _run_wkt(xy: np.ndarray, z) -> str:
+    if z is None:
+        return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in xy)
+    return ", ".join(f"{_fmt(x)} {_fmt(y)} {_fmt(zz)}"
+                     for (x, y), zz in zip(xy, z))
+
+
 def to_wkt(g: Geometry) -> str:
+    zm = " Z" if g.z is not None or (
+        g.kind.startswith("MULTI") and g.coords
+        and any(p.z is not None for p in g.coords)) else ""
     if g.kind == "POINT":
+        if g.z is not None:
+            return (f"POINT Z ({_fmt(g.coords[0])} {_fmt(g.coords[1])} "
+                    f"{_fmt(g.z)})")
         return f"POINT ({_fmt(g.coords[0])} {_fmt(g.coords[1])})"
     if g.kind == "LINESTRING":
-        inner = ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in g.coords)
-        return f"LINESTRING ({inner})"
+        return f"LINESTRING{zm} ({_run_wkt(g.coords, g.z)})"
     if g.kind == "POLYGON":
         rings = ", ".join(
-            "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in r) + ")"
-            for r in g.coords)
-        return f"POLYGON ({rings})"
+            "(" + _run_wkt(r, g.z[i] if g.z is not None else None) + ")"
+            for i, r in enumerate(g.coords))
+        return f"POLYGON{zm} ({rings})"
     if g.kind == "MULTIPOINT":
-        inner = ", ".join(f"({_fmt(p.coords[0])} {_fmt(p.coords[1])})" for p in g.coords)
-        return f"MULTIPOINT ({inner})"
-    if g.kind == "MULTILINESTRING":
         inner = ", ".join(
-            "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in p.coords) + ")"
+            "(" + _run_wkt(p.coords.reshape(1, 2),
+                           None if p.z is None else [p.z]) + ")"
             for p in g.coords)
-        return f"MULTILINESTRING ({inner})"
+        return f"MULTIPOINT{zm} ({inner})"
+    if g.kind == "MULTILINESTRING":
+        inner = ", ".join("(" + _run_wkt(p.coords, p.z) + ")"
+                          for p in g.coords)
+        return f"MULTILINESTRING{zm} ({inner})"
     if g.kind == "MULTIPOLYGON":
-        inner = ", ".join(to_wkt(p)[len("POLYGON "):] for p in g.coords)
-        return f"MULTIPOLYGON ({inner})"
+        inner = ", ".join(w[w.index("(("):]
+                          for w in (to_wkt(p) for p in g.coords))
+        return f"MULTIPOLYGON{zm} ({inner})"
     raise ValueError(g.kind)
 
 
@@ -269,17 +337,28 @@ def to_wkt(g: Geometry) -> str:
 # ---------------------------------------------------------------------------
 
 def to_wkb(g: Geometry) -> bytes:
-    out = [b"\x01", struct.pack("<I", _WKB_TYPES[g.kind])]
+    """ISO WKB, little-endian; 3-D geometries use type code +1000
+    (ISO Z) with the Z value interleaved per coordinate."""
+    has_z = g.z is not None
+    out = [b"\x01",
+           struct.pack("<I", _WKB_TYPES[g.kind] + (1000 if has_z else 0))]
     if g.kind == "POINT":
-        out.append(struct.pack("<2d", float(g.coords[0]), float(g.coords[1])))
+        if has_z:
+            out.append(struct.pack("<3d", float(g.coords[0]),
+                                   float(g.coords[1]), float(g.z)))
+        else:
+            out.append(struct.pack("<2d", float(g.coords[0]),
+                                   float(g.coords[1])))
     elif g.kind == "LINESTRING":
         out.append(struct.pack("<I", len(g.coords)))
-        out.append(np.ascontiguousarray(g.coords, dtype="<f8").tobytes())
+        arr = (np.column_stack([g.coords, g.z]) if has_z else g.coords)
+        out.append(np.ascontiguousarray(arr, dtype="<f8").tobytes())
     elif g.kind == "POLYGON":
         out.append(struct.pack("<I", len(g.coords)))
-        for ring in g.coords:
+        for i, ring in enumerate(g.coords):
             out.append(struct.pack("<I", len(ring)))
-            out.append(np.ascontiguousarray(ring, dtype="<f8").tobytes())
+            arr = (np.column_stack([ring, g.z[i]]) if has_z else ring)
+            out.append(np.ascontiguousarray(arr, dtype="<f8").tobytes())
     else:
         out.append(struct.pack("<I", len(g.coords)))
         for part in g.coords:
@@ -295,28 +374,42 @@ def from_wkb(buf: bytes) -> Geometry:
 def _from_wkb_at(mv: memoryview, off: int) -> tuple[Geometry, int]:
     bo = "<" if mv[off] == 1 else ">"
     (typ,) = struct.unpack_from(bo + "I", mv, off + 1)
-    typ &= 0xFF  # mask EWKB flags
+    # EWKB Z flag OR ISO +1000 both mean a Z ordinate
+    has_z = bool(typ & 0x80000000)
+    typ &= 0x7FFFFFFF
+    if typ >= 3000:
+        raise ValueError("ZM/M WKB unsupported")
+    if typ >= 1000:
+        has_z, typ = True, typ % 1000
     off += 5
     kind = _WKB_NAMES[typ]
+    dim = 3 if has_z else 2
     if kind == "POINT":
-        x, y = struct.unpack_from(bo + "2d", mv, off)
-        return Geometry("POINT", np.array([x, y])), off + 16
+        vals = struct.unpack_from(bo + f"{dim}d", mv, off)
+        return Geometry("POINT", np.array(vals[:2]),
+                        z=vals[2] if has_z else None), off + 8 * dim
     if kind == "LINESTRING":
         (n,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
-        arr = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off)
-        return Geometry("LINESTRING", arr.reshape(n, 2).astype(np.float64)), off + 16 * n
+        arr = np.frombuffer(mv, dtype=bo + "f8", count=dim * n, offset=off) \
+                .reshape(n, dim).astype(np.float64)
+        xy, z = _split_z(arr)
+        return Geometry("LINESTRING", xy, z=z), off + 8 * dim * n
     if kind == "POLYGON":
         (nr,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
-        rings = []
+        rings, zs = [], []
         for _ in range(nr):
             (n,) = struct.unpack_from(bo + "I", mv, off)
             off += 4
-            arr = np.frombuffer(mv, dtype=bo + "f8", count=2 * n, offset=off)
-            rings.append(arr.reshape(n, 2).astype(np.float64))
-            off += 16 * n
-        return Geometry("POLYGON", rings), off
+            arr = np.frombuffer(mv, dtype=bo + "f8", count=dim * n,
+                                offset=off).reshape(n, dim).astype(np.float64)
+            xy, z = _split_z(arr)
+            rings.append(xy)
+            zs.append(z)
+            off += 8 * dim * n
+        return Geometry("POLYGON", rings,
+                        z=zs if has_z else None), off
     # MULTI*
     (n,) = struct.unpack_from(bo + "I", mv, off)
     off += 4

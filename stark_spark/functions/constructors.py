@@ -49,6 +49,55 @@ def _st_point_udf(x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(_points_to_wkb(xs, ys))
 
 
+_POINT_Z_HDR = struct.pack("<BI", 1, 1001)   # ISO WKB point-Z
+
+
+@pandas_udf(BinaryType())
+def _st_point_z_udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    """3-D point WKB (reference `STConstructor.scala:68-96` STPoint
+    with 3 exprs → `STObject(x,y,z)`, STObject.scala:247)."""
+    xs = x.to_numpy(dtype=np.float64, na_value=np.nan)
+    ys = y.to_numpy(dtype=np.float64, na_value=np.nan)
+    zs = z.to_numpy(dtype=np.float64, na_value=np.nan)
+    n = len(xs)
+    buf = np.empty((n, 29), dtype=np.uint8)
+    buf[:, 0:5] = np.frombuffer(_POINT_Z_HDR, dtype=np.uint8)
+    buf[:, 5:13] = xs.astype("<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 21:29] = zs.astype("<f8").view(np.uint8).reshape(n, 8)
+    raw = buf.tobytes()
+    nan = np.isnan(xs) | np.isnan(ys) | np.isnan(zs)
+    return pd.Series([None if nan[i] else raw[i * 29:(i + 1) * 29]
+                      for i in range(n)])
+
+
+_Z_RANGE = StructType([StructField("zmin", DoubleType()),
+                       StructField("zmax", DoubleType())])
+
+
+@pandas_udf(_Z_RANGE)
+def _st_zrange_udf(wkb: pd.Series) -> pd.DataFrame:
+    """(minZ, maxZ) of a WKB geometry (`STObject.getMinZ/getMaxZ`,
+    STObject.scala:99-100); NULLs for 2-D geometries."""
+    n = len(wkb)
+    vals = np.full((n, 2), np.nan)
+    blist = list(wkb)
+    # fast path: uniform 29-byte point-Z batch
+    if all(b is not None and len(b) == 29 and b[0] == 1 for b in blist):
+        flat = np.frombuffer(b"".join(blist), dtype=np.uint8).reshape(n, 29)
+        zs = flat[:, 21:29].copy().view("<f8").ravel()
+        vals[:, 0] = zs
+        vals[:, 1] = zs
+    else:
+        for i, b in enumerate(blist):
+            if b is None:
+                continue
+            zr = G.from_wkb(bytes(b)).zrange
+            if zr is not None:
+                vals[i] = zr
+    return pd.DataFrame(vals, columns=["zmin", "zmax"])
+
+
 @pandas_udf(BinaryType())
 def _st_geomfromwkt_udf(wkt: pd.Series) -> pd.Series:
     out = []
@@ -120,11 +169,30 @@ def _st_box_udf(xmin: pd.Series, ymin: pd.Series,
     return pd.Series(out)
 
 
-def st_point(x: Column | str, y: Column | str) -> Column:
-    """WKB point column from two numeric columns (vectorized)."""
+def st_point(x: Column | str, y: Column | str,
+             z: Column | str | None = None) -> Column:
+    """WKB point column from two (or three) numeric columns
+    (vectorized; 3-arg form = reference `STObject(x,y,z)`)."""
     x = F.col(x) if isinstance(x, str) else x
     y = F.col(y) if isinstance(y, str) else y
+    if z is not None:
+        z = F.col(z) if isinstance(z, str) else z
+        return _st_point_z_udf(x.cast("double"), y.cast("double"),
+                               z.cast("double"))
     return _st_point_udf(x.cast("double"), y.cast("double"))
+
+
+def st_zrange(geom: Column | str = "geom") -> Column:
+    """Struct (zmin, zmax) of a geometry column; NULLs when 2-D."""
+    geom = F.col(geom) if isinstance(geom, str) else geom
+    return _st_zrange_udf(geom)
+
+
+def with_z(df: DataFrame, z: str) -> DataFrame:
+    """Attach native zmin/zmax columns for a point frame whose z source
+    column is known — no UDF (mirror of the with_bbox point fast path)."""
+    return (df.withColumn("zmin", F.col(z).cast("double"))
+              .withColumn("zmax", F.col(z).cast("double")))
 
 
 def st_box(xmin: Column, ymin: Column, xmax: Column, ymax: Column) -> Column:

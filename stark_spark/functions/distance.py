@@ -96,3 +96,93 @@ def hausdorff_to(query, geom_col: str = "geom") -> Column:
         return pd.Series(out, dtype="float64")
 
     return hd(F.col(geom_col))
+
+
+def temporal_hausdorff(ls: Column, le: Column, rs: Column,
+                       re: Column) -> Column:
+    """Temporal Hausdorff (`Distance.scala:152-159` thausdorff):
+    max(|l.start − r.start|, |lEnd − rEnd|) with a missing end
+    defaulting to the start (open/instant intervals)."""
+    l_end = F.coalesce(le, ls).cast("double")
+    r_end = F.coalesce(re, rs).cast("double")
+    return F.greatest(F.abs(ls.cast("double") - rs.cast("double")),
+                      F.abs(l_end - r_end))
+
+
+def hausdorff_pair(left: Column, right: Column) -> Column:
+    """Directed spatial Hausdorff between two WKB geometry columns
+    (`Distance.scala:139-150` shausdorff): max over left vertices of
+    min distance to the right geometry. The reference measures against
+    the right geometry's boundary VERTICES; we measure against the
+    full boundary (segments included) — identical for point/vertex
+    data, tighter (≤) for sparse linework. Point⇄point batches stay
+    one numpy hypot."""
+    import numpy as np
+
+    @pandas_udf(DoubleType())
+    def hd(a: pd.Series, b: pd.Series) -> pd.Series:
+        alist, blist = list(a), list(b)
+        pts_a = all(x is not None and len(x) == 21 and x[0] == 1
+                    for x in alist)
+        pts_b = all(x is not None and len(x) == 21 and x[0] == 1
+                    for x in blist)
+        if pts_a and pts_b:
+            ax, ay = G.decode_points(alist)
+            bx, by = G.decode_points(blist)
+            return pd.Series(list(np.hypot(ax - bx, ay - by)))
+        out = []
+        for xa, xb in zip(alist, blist):
+            if xa is None or xb is None:
+                out.append(None)
+                continue
+            ga = G.from_wkb(bytes(xa))
+            gb = G.from_wkb(bytes(xb))
+            vs = _vertices(ga)
+            d = G.points_dist_to_geom(vs[:, 0], vs[:, 1], gb)
+            out.append(float(d.max()))
+        return pd.Series(out, dtype="float64")
+
+    return hd(left, right)
+
+
+def _vertices(g):
+    """All vertices of a geometry as an (n, 2) array."""
+    import numpy as np
+    if g.kind == "POINT":
+        return g.coords.reshape(1, 2)
+    if g.kind == "LINESTRING":
+        return g.coords
+    if g.kind == "POLYGON":
+        return np.vstack(g.coords)
+    return np.vstack([_vertices(p) for p in g.parts()])
+
+
+def st_hausdorff(left_geom: Column, right_geom: Column,
+                 l_start: Column, l_end: Column,
+                 r_start: Column, r_end: Column,
+                 w_space: float = 1.0, w_time: float = 1.0) -> Column:
+    """Combined spatio-temporal Hausdorff (`Distance.scala:161-167`
+    hausdorff pair + weighted scalarization) usable in kNN /
+    withinDistance orderings."""
+    sd = hausdorff_pair(left_geom, right_geom)
+    td = temporal_hausdorff(l_start, l_end, r_start, r_end)
+    return weighted_st_distance(sd, td, w_space=w_space, w_time=w_time)
+
+
+def interval_distance(x: Column, y: Column, xmin: Column, ymin: Column,
+                      xmax: Column, ymax: Column) -> Column:
+    """IntervalDistance (`Distance.scala:27-77`): (min, max) distance
+    bounds between a point and a rectangle — the reference uses these
+    interval bounds to prune index partitions before exact distance
+    work (knn2). Pure native expressions → struct(dmin, dmax).
+
+    dmin = distance to the nearest point of the rect (0 inside);
+    dmax = distance to the farthest corner.
+    """
+    dx = F.greatest(xmin - x, x - xmax, F.lit(0.0))
+    dy = F.greatest(ymin - y, y - ymax, F.lit(0.0))
+    fx = F.greatest(F.abs(x - xmin), F.abs(xmax - x))
+    fy = F.greatest(F.abs(y - ymin), F.abs(ymax - y))
+    return F.struct(
+        F.sqrt(dx * dx + dy * dy).alias("dmin"),
+        F.sqrt(fx * fx + fy * fy).alias("dmax"))

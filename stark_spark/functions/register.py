@@ -29,9 +29,14 @@ from stark_spark.functions.predicates import (pair_distance_udf,
 def register_sql_functions(spark: SparkSession) -> None:
     """Idempotent registration of the SQL surface (§2.7 parity table)."""
     from stark_spark.functions.constructors import (
-        _st_point_udf, _st_geomfromwkt_udf, _st_wkt_udf, _st_bbox_udf)
+        _st_point_udf, _st_point_z_udf, _st_zrange_udf,
+        _st_geomfromwkt_udf, _st_wkt_udf, _st_bbox_udf)
 
     spark.udf.register("st_point", _st_point_udf)
+    # Spark's UDF registry has no arity overloading, so the reference's
+    # 3-arg st_point (STConstructor.scala:68-96) gets its own name
+    spark.udf.register("st_point_z", _st_point_z_udf)
+    spark.udf.register("st_zrange", _st_zrange_udf)
     spark.udf.register("st_geomfromwkt", _st_geomfromwkt_udf)
     spark.udf.register("st_wkt", _st_wkt_udf)
     spark.udf.register("st_bbox", _st_bbox_udf)

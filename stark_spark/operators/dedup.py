@@ -102,53 +102,59 @@ def ngram_jaccard_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
               .select("a", "b", "n_common", "sz_a", "sz_b", "jaccard")
 
 
-def simhash64(text: Column, *, shingle_k: int = 4) -> Column:
-    """64-bit SimHash from char k-grams.
+def _simhash_bits(text: Column, shingle_k: int, n_bits: int) -> Column:
+    """SimHash fingerprint via ONE fold over the shingle hashes.
 
     Bit j of the fingerprint = majority vote over shingles of bit j of
-    md5(shingle). Implemented as native higher-order array ops over the
-    16 hex nibbles (4 bits each) — no UDF, and exactly reproducible in
-    DuckDB SQL (same md5, same nibble arithmetic).
+    md5(shingle). A single `aggregate` accumulates all per-bit counts
+    (zip_with against the hash's expanded bit array) instead of the
+    round-1 design's 2·n_bits separate array scans — same bit-exact
+    result (oracle SQL unchanged), but a constant-size expression tree
+    and one pass over the data. All native, no UDF.
     """
     sh = shingles(text, shingle_k)
     n = F.size(sh)
     hashes = F.transform(sh, F.md5)
-    bits = []
-    for j in range(64):
-        nib, bit = divmod(j, 4)
-        mask = 1 << (3 - bit)
-        # count of shingles whose md5 nibble `nib` has bit `bit` set
-        cnt = F.size(F.filter(
-            hashes,
-            lambda h: (F.conv(F.substring(h, nib + 1, 1), 16, 10).cast("int")
-                       .bitwiseAND(F.lit(mask)) > 0)))
-        bits.append(F.when(cnt * 2 >= n,
-                           F.shiftleft(F.lit(1).cast("long"), 63 - j))
-                    .otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out
+
+    def hash_bits(h):
+        # 4 bits per hex nibble, MSB first — n_bits//4 nibbles
+        nibs = F.transform(
+            F.sequence(F.lit(1), F.lit(n_bits // 4)),
+            lambda i: F.conv(F.substring(h, i, 1), 16, 10).cast("int"))
+        return F.flatten(F.transform(
+            nibs,
+            lambda v: F.array(
+                F.shiftright(v, 3).bitwiseAND(F.lit(1)),
+                F.shiftright(v, 2).bitwiseAND(F.lit(1)),
+                F.shiftright(v, 1).bitwiseAND(F.lit(1)),
+                v.bitwiseAND(F.lit(1)))))
+
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(acc, hash_bits(h), lambda a, b: a + b))
+    # literal per-bit weights; bit 0 is the MSB (1<<63 wraps to the
+    # sign bit, matching the round-1 fingerprints bit-for-bit)
+    weights = F.array(*[
+        F.shiftleft(F.lit(1).cast("long"), n_bits - 1 - j)
+        for j in range(n_bits)])
+    picked = F.zip_with(counts, weights,
+                        lambda c, w: F.when(c * 2 >= n, w)
+                                      .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(picked, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def simhash64(text: Column, *, shingle_k: int = 4) -> Column:
+    """64-bit SimHash from char k-grams (single-pass fold — see
+    `_simhash_bits`); exactly reproducible in DuckDB SQL (same md5,
+    same nibble arithmetic)."""
+    return _simhash_bits(text, shingle_k, 64)
 
 
 def simhash16(text: Column, *, shingle_k: int = 4) -> Column:
     """16-bit SimHash (first 4 md5 nibbles) — the oracle-friendly size
     (the 64-bit variant's oracle SQL is mechanical but enormous)."""
-    sh = shingles(text, shingle_k)
-    n = F.size(sh)
-    hashes = F.transform(sh, F.md5)
-    out = F.lit(0).cast("long")
-    for j in range(16):
-        nib, bit = divmod(j, 4)
-        mask = 1 << (3 - bit)
-        cnt = F.size(F.filter(
-            hashes,
-            lambda h: (F.conv(F.substring(h, nib + 1, 1), 16, 10).cast("int")
-                       .bitwiseAND(F.lit(mask)) > 0)))
-        out = out + (F.when(cnt * 2 >= n,
-                            F.shiftleft(F.lit(1).cast("long"), 15 - j))
-                     .otherwise(F.lit(0).cast("long")))
-    return out
+    return _simhash_bits(text, shingle_k, 16)
 
 
 def simhash_near_pairs(df: DataFrame, key: str, *, max_hamming: int = 3,

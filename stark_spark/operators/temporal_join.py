@@ -30,10 +30,19 @@ def interval_join(left: DataFrame, right: DataFrame, *,
                   how_right: str = "point") -> DataFrame:
     """Overlap join on [t_start, t_end] intervals.
 
-    left: interval rows (t_end >= t_start; NULL t_end not supported
-    here — cap open intervals before joining). right: instants
+    NULL ``t_end`` = open interval [start, +inf) on EITHER side
+    (reference `Interval.scala:10-16` allows ``end = None``). Open
+    intervals are capped IN-PLAN at the max start bin of both sides (a
+    broadcast 1-row agg, no driver action): every pair's overlap START
+    ``max(s_l, s_r)`` is ≤ that cap, so the capped explode still
+    lands both partners in the overlap-start bin; the refine then
+    applies the true NULL-as-infinity semantics. right: instants
     (``how_right='point'``, joined on t_start) or intervals
     (``'interval'``). ``bin_width`` in the time unit (seconds).
+
+    At scale: an open interval fans out to O(cap − start) bins —
+    bounded by the data's total span / bin_width, same as a closed
+    interval of maximal length.
     """
     ren = {c: c + suffix for c in ("t_start", "t_end")
            if c in right.columns}
@@ -41,24 +50,44 @@ def interval_join(left: DataFrame, right: DataFrame, *,
         right = right.withColumnRenamed(old, new)
 
     lbin0 = F.floor(F.col("t_start") / bin_width).cast("long")
-    lbin1 = F.floor(F.col("t_end") / bin_width).cast("long")
-    l = left.withColumn("_bin", F.explode(F.sequence(lbin0, lbin1)))
+    rbin0 = F.floor(F.col("t_start" + suffix) / bin_width).cast("long")
+
+    # in-plan cap for open ends: max start bin over both sides
+    # (1-row frames, broadcast — stays lazy, no collect)
+    caps = (left.agg(F.max(lbin0).alias("_mlb"))
+                .crossJoin(right.agg(F.max(rbin0).alias("_mrb"))))
+    cap = F.greatest(F.col("_mlb"), F.col("_mrb"))
+
+    l = left.crossJoin(F.broadcast(caps))
+    lbin1 = F.coalesce(F.floor(F.col("t_end") / bin_width).cast("long"), cap)
+    l = (l.withColumn("_bin",
+                      F.explode(F.sequence(lbin0,
+                                           F.greatest(lbin0, lbin1))))
+          .drop("_mlb", "_mrb"))
+
+    # NULL-aware containment: r.t ≤ l.t_end with NULL t_end = +inf
+    l_end_ok = (F.col("t_end").isNull() |
+                (F.col("t_start" + suffix) <= F.col("t_end")))
 
     if how_right == "point":
-        rbin = F.floor(F.col("t_start" + suffix) / bin_width).cast("long")
-        r = right.withColumn("_bin", rbin)
+        r = right.withColumn("_bin", rbin0)
         joined = (l.join(r, "_bin")
                    .where((F.col("t_start" + suffix) >= F.col("t_start")) &
-                          (F.col("t_start" + suffix) <= F.col("t_end"))))
+                          l_end_ok))
         # a point lives in exactly one bin — no duplicate pairs
         return joined.drop("_bin")
 
-    rbin0 = F.floor(F.col("t_start" + suffix) / bin_width).cast("long")
-    rbin1 = F.floor(F.col("t_end" + suffix) / bin_width).cast("long")
-    r = right.withColumn("_bin", F.explode(F.sequence(rbin0, rbin1)))
-    joined = (l.join(r, "_bin")
-               .where((F.col("t_start") <= F.col("t_end" + suffix)) &
-                      (F.col("t_start" + suffix) <= F.col("t_end"))))
+    r = right.crossJoin(F.broadcast(caps))
+    rbin1 = F.coalesce(F.floor(F.col("t_end" + suffix) / bin_width)
+                        .cast("long"), cap)
+    r = (r.withColumn("_bin",
+                      F.explode(F.sequence(rbin0,
+                                           F.greatest(rbin0, rbin1))))
+          .drop("_mlb", "_mrb"))
+    # overlap ⇔ s_l ≤ e_r' ∧ s_r ≤ e_l'  (NULL end = +inf ⇒ true)
+    r_end_ok = (F.col("t_end" + suffix).isNull() |
+                (F.col("t_start") <= F.col("t_end" + suffix)))
+    joined = l.join(r, "_bin").where(r_end_ok & l_end_ok)
     # reference-point dedup: keep the pair only in the bin holding the
     # overlap start (same trick as the spatial grid join)
     ref = F.greatest(F.col("t_start"), F.col("t_start" + suffix))

@@ -162,3 +162,73 @@ def test_stframe_join_and_cluster(spark, sf_dir):
     labels = cust.cluster(3.0, 5, key="c_custkey",
                           grid=GridSpec.unit_grid(100.0, 8))
     assert labels.count() == cust.df.count()
+
+
+def test_hausdorff_and_interval_distance(spark):
+    """Distance family parity (Distance.scala:27-77, 139-167):
+    directed Hausdorff between geometry columns + IntervalDistance
+    (min,max) bounds from a point to a rectangle."""
+    from stark_spark.functions.distance import (hausdorff_pair,
+                                                interval_distance,
+                                                temporal_hausdorff)
+    rows = [
+        # identical segments -> 0
+        (1, "LINESTRING (0 0, 10 0)", "LINESTRING (0 0, 10 0)"),
+        # shifted segment: every left vertex is 3 away
+        (2, "LINESTRING (0 3, 10 3)", "LINESTRING (0 0, 10 0)"),
+        # point vs polygon boundary
+        (3, "POINT (5 5)", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+    ]
+    df = spark.createDataFrame(rows, "id int, wa string, wb string")
+    from stark_spark.functions.constructors import st_geomfromwkt
+    out = df.select(
+        "id", hausdorff_pair(st_geomfromwkt("wa"),
+                             st_geomfromwkt("wb")).alias("hd")).collect()
+    got = {r.id: r.hd for r in out}
+    assert got[1] == 0.0
+    assert got[2] == pytest.approx(3.0)
+    assert got[3] == 0.0        # point inside polygon -> distance 0
+
+    idf = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 15.0, 5.0)], "id int, x double, y double")
+    iv = idf.select("id", interval_distance(
+        F.col("x"), F.col("y"), F.lit(0.0), F.lit(0.0),
+        F.lit(10.0), F.lit(10.0)).alias("d")).collect()
+    g = {r.id: r.d for r in iv}
+    assert g[1].dmin == 0.0                      # inside
+    assert g[1].dmax == pytest.approx((50.0) ** 0.5)
+    assert g[2].dmin == pytest.approx(5.0)       # 5 right of the box
+    assert g[2].dmax == pytest.approx((15.0**2 + 5.0**2) ** 0.5)
+
+    tdf = spark.createDataFrame(
+        [(1, 100, 200), (2, 100, None)], "id int, s long, e long")
+    td = tdf.select("id", temporal_hausdorff(
+        F.col("s"), F.col("e"), F.lit(150), F.lit(250)).alias("t")).collect()
+    t = {r.id: r.t for r in td}
+    assert t[1] == 50.0                          # max(|100-150|, |200-250|)
+    assert t[2] == 150.0                         # open end -> max(50, |100-250|)
+
+
+def test_multimodal_real_decoder_seam(media, tmp_path):
+    """Contract test for the decode seam (multimodal.py): when PIL is
+    available the REAL decoder must satisfy the same contract the fake
+    does (RGB ndarray, (h, w, 3) uint8). Skips in containers without
+    PIL — the seam itself (bytes → ndarray → features) is exercised
+    either way through _decode."""
+    import stark_spark.operators.multimodal as M
+    if M.FAKE_DECODE:
+        # fake path: deterministic per content, correct shape contract
+        a = M._decode(b"some image bytes")
+        b = M._decode(b"some image bytes")
+        c = M._decode(b"other bytes")
+        assert a.shape == b.shape and (a == b).all()
+        assert a.ndim == 3 and a.shape[2] == 3 and a.dtype == "uint8"
+        assert a.shape != c.shape or (a != c).any()
+        pytest.skip("PIL not in container - real-decoder path untested")
+    # real path: round-trip an actual PNG through PIL
+    from PIL import Image
+    p = tmp_path / "t.png"
+    Image.fromarray(
+        (np.arange(300, dtype="uint8").reshape(10, 10, 3))).save(p)
+    arr = M._decode(p.read_bytes())
+    assert arr.shape == (10, 10, 3) and arr.dtype == "uint8"

@@ -173,3 +173,46 @@ def test_hausdorff_to(spark):
     assert abs(got[1] - 5.0) < 1e-12
     assert abs(got[2] - 10.0) < 1e-12
     assert abs(got[3] - (5 ** 0.5)) < 1e-12
+
+
+# --- Z coordinates (STObject.scala:95-100, 247-248) --------------------------
+
+def test_z_point_roundtrip():
+    g = G.from_wkt("POINT Z (1.5 -2.25 7.125)")
+    assert g.z == 7.125
+    assert g.zrange == (7.125, 7.125)
+    assert g.bbox == (1.5, -2.25, 1.5, -2.25)      # bbox stays planar
+    assert G.to_wkt(g) == "POINT Z (1.5 -2.25 7.125)"
+    back = G.from_wkb(G.to_wkb(g))
+    assert back.z == 7.125 and back == g
+    # bare 3-coord form (JTS writes without the Z marker)
+    assert G.from_wkt("POINT (1.5 -2.25 7.125)").z == 7.125
+
+
+def test_z_linestring_polygon_roundtrip():
+    ls = G.from_wkt("LINESTRING Z (0 0 1, 2 0 3, 2 2 -1)")
+    assert ls.zrange == (-1.0, 3.0)
+    assert G.from_wkb(G.to_wkb(ls)) == ls
+    pg = G.from_wkt("POLYGON Z ((0 0 5, 4 0 6, 4 4 7, 0 0 5))")
+    assert pg.zrange == (5.0, 7.0)
+    back = G.from_wkb(G.to_wkb(pg))
+    assert back.zrange == (5.0, 7.0)
+    # planar predicates ignore z (reference: JTS is 2-D for ops)
+    assert G.intersects(pg, G.point(1.0, 0.5))
+    assert G.from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))").zrange is None
+
+
+def test_z_2d_geoms_unaffected():
+    g2 = G.from_wkt("POINT (1 2)")
+    assert g2.z is None and g2.zrange is None
+    assert len(G.to_wkb(g2)) == 21
+
+
+@given(st.floats(-1e6, 1e6), st.floats(-1e6, 1e6),
+       st.floats(-1e6, 1e6))
+@settings(max_examples=50, deadline=None)
+def test_z_point_wkb_property(x, y, z):
+    g = G.point(x, y, z)
+    back = G.from_wkb(G.to_wkb(g))
+    assert back.coords[0] == x and back.coords[1] == y and back.z == z
+    assert back.zrange == (z, z)

@@ -121,3 +121,17 @@ def test_sql_geomfromtile(spark):
         SELECT st_wkt(st_geomfromtile(0.0, 10.0, 8, 8, 1.25)) AS w
     """).first()
     assert row.w == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+
+def test_sql_point_z_and_zrange(spark):
+    row = spark.sql("""
+        SELECT st_wkt(st_point_z(1.0, 2.0, 3.5)) AS w,
+               st_zrange(st_point_z(1.0, 2.0, 3.5)) AS zr,
+               st_zrange(st_point(1.0, 2.0)) AS zr2,
+               st_zrange(st_geomfromwkt(
+                 'LINESTRING Z (0 0 1, 2 0 3, 2 2 -1)')) AS zr3
+    """).first()
+    assert row.w == "POINT Z (1 2 3.5)"
+    assert (row.zr.zmin, row.zr.zmax) == (3.5, 3.5)
+    assert row.zr2.zmin is None or (row.zr2.zmin != row.zr2.zmin)  # NaN/NULL
+    assert (row.zr3.zmin, row.zr3.zmax) == (-1.0, 3.0)
