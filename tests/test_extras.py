@@ -232,3 +232,105 @@ def test_multimodal_real_decoder_seam(media, tmp_path):
         (np.arange(300, dtype="uint8").reshape(10, 10, 3))).save(p)
     arr = M._decode(p.read_bytes())
     assert arr.shape == (10, 10, 3) and arr.dtype == "uint8"
+
+
+# ------------------------------------------------- visualize: full parity
+
+def _wkt_frame(spark, rows):
+    from stark_spark.functions.constructors import st_frame
+    return st_frame(spark.createDataFrame(rows, "id int, wkt string"),
+                    wkt="wkt")
+
+
+def test_render_polygon_outline_and_fill_pixel_exact(spark):
+    """8×8 image over [0,8)², axis-aligned square (2,2)-(6,6).
+    Outline = border pixels of the 4..? block; fill = every pixel whose
+    center is covered. flip=False keeps world y = image row."""
+    from stark_spark.functions.visualize import _png_decode, render_geoms
+    sq = _wkt_frame(spark, [(1, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")])
+    png = render_geoms(sq, 8, 8, bounds=(0, 0, 8, 8), fill=True,
+                       color=(0, 255, 0), flip=False)
+    img = _png_decode(png)
+    want = np.zeros((8, 8), dtype=bool)
+    want[2:6, 2:6] = True          # centers 2.5..5.5 covered
+    got = (img[:, :, 1] == 255)
+    assert (got == want).all()
+
+    png_o = render_geoms(sq, 8, 8, bounds=(0, 0, 8, 8), fill=False,
+                         color=(255, 0, 0), flip=False)
+    img_o = _png_decode(png_o)
+    got_o = (img_o[:, :, 0] == 255)
+    # outline: the rasterized edge pixels (rows/cols 2..6 box edges)
+    want_o = np.zeros((8, 8), dtype=bool)
+    want_o[2, 2:7] = True
+    want_o[6, 2:7] = True
+    want_o[2:7, 2] = True
+    want_o[2:7, 6] = True
+    assert (got_o == want_o).all()
+
+
+def test_render_point_size_and_linestring(spark):
+    from stark_spark.functions.visualize import _png_decode, render_geoms
+    pts = _wkt_frame(spark, [(1, "POINT (1 1)")])
+    png = render_geoms(pts, 8, 8, bounds=(0, 0, 8, 8), point_size=2,
+                       color=(0, 0, 255), flip=False)
+    img = _png_decode(png)
+    got = np.argwhere(img[:, :, 2] == 255)
+    assert {tuple(p) for p in got} == {(1, 1), (1, 2), (2, 1), (2, 2)}
+
+    ln = _wkt_frame(spark, [(1, "LINESTRING (0 0, 7 7)")])
+    img2 = _png_decode(render_geoms(ln, 8, 8, bounds=(0, 0, 8, 8),
+                                    flip=False))
+    diag = np.argwhere(img2[:, :, 0] == 255)
+    assert {tuple(p) for p in diag} == {(i, i) for i in range(8)}
+
+
+def test_render_background_overlay_and_jpg(spark, tmp_path):
+    from stark_spark.functions.visualize import (_png_decode, _png_encode,
+                                                 render_geoms)
+    bg = np.full((8, 8, 3), 17, dtype=np.uint8)
+    bg_png = _png_encode(bg)
+    pts = _wkt_frame(spark, [(1, "POINT (4 4)")])
+    png = render_geoms(pts, 8, 8, bounds=(0, 0, 8, 8),
+                       background=bg_png, color=(250, 0, 0), flip=False)
+    img = _png_decode(png)
+    assert img[4, 4, 0] == 250 and img[0, 0, 0] == 17   # overlay + bg kept
+
+    jpg = render_geoms(pts, 8, 8, bounds=(0, 0, 8, 8), fmt="jpg",
+                       path=str(tmp_path / "o.jpg"))
+    assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+    # SOF0 carries the dimensions
+    import struct
+    i = jpg.index(b"\xff\xc0")
+    h, w = struct.unpack(">HH", jpg[i + 5:i + 9])
+    assert (h, w) == (8, 8)
+    assert (tmp_path / "o.jpg").read_bytes() == jpg
+
+
+def test_render_tiles_colormap(spark):
+    from stark_spark.functions.visualize import (_png_decode,
+                                                 default_colormap,
+                                                 render_tiles)
+    from stark_spark.raster import rasterize
+    df = spark.createDataFrame(
+        [(x + 0.5, y + 0.5) for x in range(8) for y in range(8)
+         for _ in range(x + 1)], "x double, y double")
+    tiles = rasterize(df, tile_px=8, pixel_width=1.0)
+    png = render_tiles(tiles, 8, 8, bounds=(0, 0, 8, 8), lo=0.0, hi=8.0)
+    img = _png_decode(png)
+    cmap = default_colormap()
+    # column x has count x+1 everywhere -> colormap index (x+1)*255/8
+    for x in range(8):
+        idx = int(np.clip((x + 1) * 255.0 / 8.0, 0, 255))
+        assert (img[:, x] == cmap[idx]).all()
+
+
+def test_png_decode_roundtrip():
+    from stark_spark.functions.visualize import _png_decode, _png_encode
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert (_png_decode(_png_encode(rgb)) == rgb).all()
+    gray = rng.randint(0, 256, size=(5, 17), dtype=np.uint8)
+    assert (_png_decode(_png_encode(gray)) == gray).all()
+    rgba = rng.randint(0, 256, size=(6, 6, 4), dtype=np.uint8)
+    assert (_png_decode(_png_encode(rgba)) == rgba).all()
