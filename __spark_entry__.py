@@ -91,10 +91,14 @@ def _q_filter_rect_timed(spark, sf):
 
 
 def _q_filter_polygon_timed(spark, sf):
-    ev = D.st_events(spark, sf)
+    # keep_geom=False: the convex query compiles to native half-planes,
+    # so no geometry column is needed at all (Spark does not prune an
+    # already-extracted ArrowEvalPython node, so not building it
+    # matters: 2.5s → 0.6s at sf0.1)
+    ev = D.st_events(spark, sf, keep_geom=False)
     out = ev.filter(st_predicate(
         "POLYGON ((0 0, 200 0, 0 100, 0 0))", "intersects",
-        t_query=(1704067200, 1711929600)))
+        points=True, t_query=(1704067200, 1711929600)))
     return out.select("event_id", "x", "y")
 
 
@@ -145,7 +149,7 @@ def _q_filter_coveredby_poly(spark, sf):
     boundary-inclusive point-in-triangle via the vectorized PIP
     refine — same answer as `intersects` for points, different
     predicate code path."""
-    ev = D.st_events(spark, sf)
+    ev = D.st_events(spark, sf, keep_geom=False)
     out = ev.filter(st_predicate(
         "POLYGON ((0 0, 200 0, 0 100, 0 0))", "coveredby",
         points=True, t_query="any"))

@@ -22,17 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # the headline subset: every engine tier, nothing quadratic-in-corpus
 BENCH_QUERIES = [
     "st_filter_rect_timed",      # native-only ST filter
-    "st_filter_polygon_timed",   # bbox prefilter + Arrow refine
+    "st_filter_polygon_timed",   # convex polygon → native half-planes
+    "st_filter_coveredby_poly",  # covers family, same native path
+    "st_filter_z_range",         # 3-D points, native z columns
     "st_join_grid_points",       # grid cell equi-join
     "st_join_poly_contains",     # explode + refine UDF join
     "within_distance_join",      # widened-cell distance join
     "knn_events",                # TakeOrderedAndProject top-k
+    "knn_hausdorff_st",          # combined ST Hausdorff ordering
     "knn_join",                  # window top-k per key + fallback
+    "knn_join_sparse",           # zero-candidate fallback path
     "interval_join",             # time-bin equi-join
+    "interval_join_open",        # NULL-end intervals, in-plan cap
     "as_of_join",                # union + window sweep
     "skyline",                   # two-stage pareto front
     "dbscan",                    # cell+halo clustering + CC
     "grid_cell_histogram",       # partitioner histogram
+    "raster_count_value",        # SMA-skippable pixel scan
+    "raster_join_vector_clip",   # tile ⋈ geometry + pixel clip
     "agg_pricing_summary",       # columnar agg (lineitem)
     "agg_revenue_by_segment",    # broadcast dim join + agg
     "events_daily",              # temporal rollup

@@ -108,6 +108,31 @@ class Geometry:
         zs = np.concatenate(self.z)
         return (float(zs.min()), float(zs.max()))
 
+    def convex_ring(self) -> np.ndarray | None:
+        """For a single-ring convex POLYGON: the closed ring oriented
+        counter-clockwise; None otherwise. Lets predicate builders
+        compile point-in-polygon into a native half-plane conjunction
+        (no UDF)."""
+        if self.kind != "POLYGON" or len(self.coords) != 1:
+            return None
+        ring = self.coords[0]
+        if len(ring) < 4:
+            return None
+        a = ring[:-1]
+        b = ring[1:]
+        # signed area (shoelace) for orientation
+        area2 = float(np.sum(a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]))
+        if area2 < 0:
+            ring = ring[::-1].copy()
+            a, b = ring[:-1], ring[1:]
+        # convex iff every consecutive cross product is >= 0 (CCW)
+        c = np.roll(b, -1, axis=0)
+        cross = ((b[:, 0] - a[:, 0]) * (c[:, 1] - b[:, 1]) -
+                 (b[:, 1] - a[:, 1]) * (c[:, 0] - b[:, 0]))
+        if (cross < 0).any():
+            return None
+        return ring
+
     def is_rectangle(self) -> bool:
         """True iff a POLYGON is exactly its own bbox (axis-aligned box).
 

@@ -139,6 +139,26 @@ def st_predicate(query, predicate: str, *, geom_col: str = "geom",
     spatial = _PREFILTER[predicate](q, bbox_cols)
     exact_already = (points and q.is_rectangle() and
                      predicate in ("intersects", "coveredby"))
+    if points and not exact_already and \
+            predicate in ("intersects", "coveredby", "containedby"):
+        # CONVEX polygon query over points: point-in-polygon compiles to
+        # a native half-plane conjunction (one cross-product comparison
+        # per edge, whole-stage codegen — no UDF at all). Boundary
+        # inclusive for intersects/coveredby (≥), strict interior for
+        # containedby (>), matching the PIP kernel's semantics.
+        ring = q.convex_ring()
+        if ring is not None:
+            x, y = F.col(bbox_cols[0]), F.col(bbox_cols[1])
+            strict = predicate == "containedby"
+            cond = F.lit(True)
+            for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+                if ax == bx and ay == by:
+                    continue          # zero-length edge
+                cross = (F.lit(float(bx - ax)) * (y - F.lit(float(ay))) -
+                         F.lit(float(by - ay)) * (x - F.lit(float(ax))))
+                cond = cond & ((cross > 0) if strict else (cross >= 0))
+            spatial = spatial & cond
+            exact_already = True
     if points and q.is_rectangle() and predicate == "containedby":
         # strict interior of a rectangle — native strict comparisons
         qxmin, qymin, qxmax, qymax = q.bbox

@@ -42,6 +42,10 @@ def minhash_signature_long(df: DataFrame, key: str, *, n_seeds: int = 8,
     """Long-form signatures: (key, seed, minhash). One explode + one
     groupBy — the partial min is map-side combined, so the shuffle
     carries ≤ |docs|·n_seeds tiny rows at any corpus size."""
+    # NOTE: the "compute all seeds per shingle row into min columns"
+    # variant (avoiding the ×n_seeds explode) was A/B-measured 2×
+    # SLOWER at sf0.1 (4.4s vs 2.0s) — the narrow-row explode + one
+    # min(string) per (key, seed) group wins under whole-stage codegen.
     sh = df.select(key, F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_seeds - 1))).alias("seed")
     return (sh.select(key, seeds, F.col("sh"))

@@ -98,6 +98,12 @@ def knn_join(left: DataFrame, right: DataFrame, k: int, *,
     if not exact_fallback:
         return topk.drop("_rn")
 
+    # topk feeds three consumers below (done / have_k / missing). No
+    # persist/checkpoint: the shared candidate-join subtree is deduped
+    # by ReusedExchange, and an A/B measurement showed caching the
+    # window output makes the dense path 3× SLOWER (InMemoryRelation
+    # blocks the exchange reuse + AQE on its parents).
+
     # rows that didn't reach k neighbors within the radius → exact pass
     # via broadcast of (only) those left rows against the full right side.
     # Derived by anti-join against keys that DID reach k, so left rows

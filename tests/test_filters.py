@@ -122,3 +122,21 @@ def test_sql_registration(spark):
     assert row.ok is True and row.d == pytest.approx(5.0)
     row2 = spark.sql("SELECT st_wkt(st_point(1.5, 2.5)) AS w").first()
     assert row2.w == "POINT (1.5 2.5)"
+
+
+def test_convex_native_equals_udf_refine(spark, sf_dir):
+    """The convex half-plane fast path (native, points=True) must agree
+    with the generic Arrow PIP refine (points=False) — same polygon,
+    vertices off the data lattice so no eps-boundary ambiguity."""
+    wkt = ("POLYGON ((3.1411 7.777, 88.613 1.234, 97.42 55.55, "
+           "60.001 93.3, 11.17 88.88, 3.1411 7.777))")
+    fast = D.st_events(spark, sf_dir, keep_geom=False).filter(
+        st_predicate(wkt, "intersects", points=True, t_query="any"))
+    slow = D.st_events(spark, sf_dir).filter(
+        st_predicate(wkt, "intersects", points=False, t_query="any"))
+    a = {r.event_id for r in fast.select("event_id").collect()}
+    b = {r.event_id for r in slow.select("event_id").collect()}
+    assert a == b and len(a) > 0
+    # the fast path must plan with zero python UDFs
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
