@@ -555,7 +555,8 @@ def _q_raster_join_vector_clip(spark, sf):
     from stark_spark.raster.join import raster_join_vector
     tiles = _ev_tiles(spark, sf)
     vec = _nation_boxes(spark, sf)
-    out = raster_join_vector(tiles, vec, grid=GRID, clip=True)
+    out = raster_join_vector(tiles, vec, grid=GRID, clip=True,
+                             vec_rect=True)
     return out.select(
         "n_nationkey", "ulx", "uly", "width", "height",
         F.aggregate(F.col("data"), F.lit(0).cast("long"),

@@ -104,7 +104,7 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
             left_points: bool = False, right_points: bool = False,
             broadcast: bool | str = False, suffix: str = "_r",
             expand: float = 0.0, big_cell_threshold: int = 64,
-            left_rect: bool = False) -> DataFrame:
+            left_rect: bool = False, right_rect: bool = False) -> DataFrame:
     """Predicate join. Returns left ⋈ right with right's ST columns
     suffixed. ``expand`` widens the left envelope (used by
     within-distance joins).
@@ -137,10 +137,11 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
         a = st_join(small, right, predicate, grid=grid, on_time=on_time,
                     left_points=left_points, right_points=right_points,
                     suffix=suffix, expand=expand, big_cell_threshold=0,
-                    left_rect=left_rect)
+                    left_rect=left_rect, right_rect=right_rect)
         b = st_join(big, right, predicate, broadcast="left", on_time=on_time,
                     left_points=left_points, right_points=right_points,
-                    suffix=suffix, expand=expand, left_rect=left_rect)
+                    suffix=suffix, expand=expand, left_rect=left_rect,
+                    right_rect=right_rect)
         return a.unionByName(b)
 
     right, _ = _suffix_right(left, right, suffix)
@@ -148,7 +149,17 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
     both_points = left_points and right_points
     pre = _PRE[predicate](suffix) if expand == 0.0 else _bbox_overlap_expand(suffix, expand)
 
-    rect_exact = left_rect and right_points
+    # declared-rectangle fast paths: when a side IS its own envelope the
+    # bbox algebra is the exact predicate — the whole join stays native.
+    # left_rect × right_points uses _RECT_EXACT (strict interior for
+    # contains); rect × rect covers intersects/covers/coveredby (closed
+    # bbox comparisons; `contains` needs interior reasoning for
+    # degenerate rects, so it keeps the kernel refine).
+    if left_rect and right_rect:
+        rect_exact = "rect" if predicate in _RECT_RECT_EXACT else None
+    else:
+        rect_exact = "points" if (left_rect and right_points and
+                                  predicate in _RECT_EXACT) else None
     if broadcast:
         # "left" → the left frame is the small one (skew-guard path:
         # the handful of giant-envelope rows); broadcasting the full
@@ -214,14 +225,24 @@ _RECT_EXACT = {
                            (F.col("ymax" + s) < F.col("ymax"))),
 }
 
+# exact native predicates for declared rect × declared rect (closed
+# bbox algebra IS the OGC predicate for these three)
+_RECT_RECT_EXACT = {
+    "intersects": _bbox_overlap,
+    "covers": _bbox_within_inv,
+    "coveredby": _bbox_within,
+}
+
 
 def _refine(joined: DataFrame, predicate: str, both_points: bool,
             on_time, suffix: str, expand: float,
-            rect_exact: bool = False) -> DataFrame:
+            rect_exact: str | None = None) -> DataFrame:
     if expand == 0.0:
         if both_points:
             joined = joined.where(_points_native_pred(predicate, suffix))
-        elif rect_exact and predicate in _RECT_EXACT:
+        elif rect_exact == "rect":
+            joined = joined.where(_RECT_RECT_EXACT[predicate](suffix))
+        elif rect_exact == "points":
             joined = joined.where(_RECT_EXACT[predicate](suffix))
         else:
             joined = joined.where(st_relate_pair(

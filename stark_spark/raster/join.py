@@ -100,15 +100,27 @@ def raster_filter_vector(tiles: DataFrame, query, *, clip: bool = True,
 
 
 def raster_join_vector(tiles: DataFrame, vec: DataFrame, *, grid: GridSpec,
-                       clip: bool = True, suffix: str = "_r") -> DataFrame:
+                       clip: bool = True, suffix: str = "_r",
+                       vec_rect: bool = False) -> DataFrame:
     """Tiles ⋈ geometries (intersects): grid cell equi-join + bbox
     prefilter; each matched pair yields the tile clipped to the
     geometry (`RasterJoinVectorRDD`). Output: vec payload + clipped
-    tile columns."""
+    tile columns.
+
+    Tiles ARE their envelopes; with ``vec_rect=True`` (axis-aligned
+    vector side) the join is declared rect × rect and the whole plan is
+    native — no refine UDF and no tile geometry column at all. With
+    arbitrary vector geometries the tile side carries a box WKB for
+    the pair refine."""
     from stark_spark.operators.join import st_join
 
-    t = _with_tile_geom(tile_bbox_cols(tiles))
-    joined = st_join(t, vec, "intersects", grid=grid, suffix=suffix).drop("geom")
+    t = tile_bbox_cols(tiles)
+    if not vec_rect:
+        t = _with_tile_geom(t)
+    joined = st_join(t, vec, "intersects", grid=grid, suffix=suffix,
+                     left_rect=vec_rect, right_rect=vec_rect)
+    if not vec_rect:
+        joined = joined.drop("geom")
 
     keep = [c for c in joined.columns
             if c not in ("xmin", "ymin", "xmax", "ymax")]
@@ -116,9 +128,11 @@ def raster_join_vector(tiles: DataFrame, vec: DataFrame, *, grid: GridSpec,
     if not clip:
         return joined
 
+    rbox = tuple(c + suffix for c in ("xmin", "ymin", "xmax", "ymax"))
+    has_geom = ("geom" + suffix) in joined.columns
     pay_fields = [joined.schema[c] for c in joined.columns
                   if c not in ("ulx", "uly", "width", "height", "pixel_width",
-                               "data", "geom" + suffix)]
+                               "data", "geom" + suffix) + rbox]
     out_schema = StructType(list(_TILE_OUT.fields) + pay_fields)
     pay_cols = [f.name for f in pay_fields]
 
@@ -126,7 +140,10 @@ def raster_join_vector(tiles: DataFrame, vec: DataFrame, *, grid: GridSpec,
         for pdf in batches:
             rows = []
             for row in pdf.itertuples():
-                g = G.from_wkb(bytes(getattr(row, "geom" + suffix)))
+                if has_geom:
+                    g = G.from_wkb(bytes(getattr(row, "geom" + suffix)))
+                else:       # rect vector side: its bbox IS the geometry
+                    g = G.box(*(float(getattr(row, c)) for c in rbox))
                 r = _clip_tile(row, g)
                 if r is not None:
                     rows.append(r + tuple(getattr(row, c) for c in pay_cols))
@@ -141,16 +158,22 @@ def raster_join_raster(left: DataFrame, right: DataFrame, *, grid: GridSpec,
     """Overlapping tile pairs combined on their intersection MBR
     (`RasterJoinRDD.scala:10-66`): cell equi-join on tile bboxes, then
     one vectorized pass computing ``combine(l_pixel, r_pixel)`` over
-    the overlap window. combine ∈ sum|min|max|left."""
+    the overlap window. combine ∈ sum|min|max|left.
+
+    Both sides ARE their envelopes → declared rect × rect join: the
+    equi-join + bbox algebra is the exact predicate, no geometry
+    columns, no refine UDF — fully native up to the pixel-combine
+    pass."""
     from stark_spark.operators.join import st_join
 
-    l = _with_tile_geom(tile_bbox_cols(left)).select(
+    l = tile_bbox_cols(left).select(
         "ulx", "uly", "width", "height", "pixel_width", "data",
-        "geom", "xmin", "ymin", "xmax", "ymax")
-    r = _with_tile_geom(tile_bbox_cols(right)).select(
+        "xmin", "ymin", "xmax", "ymax")
+    r = tile_bbox_cols(right).select(
         "ulx", "uly", "width", "height", "pixel_width", "data",
-        "geom", "xmin", "ymin", "xmax", "ymax")
-    joined = st_join(l, r, "intersects", grid=grid, suffix=suffix)
+        "xmin", "ymin", "xmax", "ymax")
+    joined = st_join(l, r, "intersects", grid=grid, suffix=suffix,
+                     left_rect=True, right_rect=True)
 
     ops = {"sum": lambda a, b: a + b, "min": np.minimum,
            "max": np.maximum, "left": lambda a, b: a}

