@@ -591,6 +591,25 @@ def _q_raster_count_value(spark, sf):
     return count_value(_ev_tiles(spark, sf), 1)
 
 
+_PART_EVENTS_BUILT: set = set()
+
+
+def _part_events_path(spark, sf: str) -> str:
+    """Cell-partitioned copy of the events ST frame under /tmp, built
+    at most once per process per sf (fresh per run — never trust a
+    previous process's /tmp data, the synthetic-coordinate recipe may
+    have changed)."""
+    import os
+    from stark_spark.sources.partitioned import save_partitioned
+    tag = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/stark_oracle_part_events_{tag}"
+    if path not in _PART_EVENTS_BUILT:
+        ev = D.st_events(spark, sf, keep_geom=False)
+        save_partitioned(ev, path, GRID)
+        _PART_EVENTS_BUILT.add(path)
+    return path
+
+
 def _q_pruned_read(spark, sf):
     """Pruned partitioned scan (`STSparkContext.scala:50-61,658-713`):
     events saved cell-partitioned with a bounds manifest, re-read with
@@ -599,10 +618,7 @@ def _q_pruned_read(spark, sf):
     import os
     from stark_spark.sources.partitioned import (read_pruned,
                                                  save_partitioned)
-    tag = os.path.basename(sf.rstrip("/"))
-    path = f"/tmp/stark_oracle_part_events_{tag}"
-    ev = D.st_events(spark, sf, keep_geom=False)
-    save_partitioned(ev, path, GRID)
+    path = _part_events_path(spark, sf)
     out = read_pruned(spark, path,
                       "POLYGON ((10 10, 60 10, 60 80, 10 80, 10 10))",
                       points=True, t_query=(1704067200, 1705276800))
@@ -627,6 +643,21 @@ def _q_pruned_join(spark, sf):
     out = join_pruned(spark, pc, ps, grid=GRID,
                       left_points=True, right_points=True)
     return out.select("c_custkey", "s_suppkey")
+
+
+def _q_pruned_knn(spark, sf):
+    """Two-phase pruned kNN over partitioned storage (reference knn2,
+    `STSparkContext.scala:124-184` / PSF:177-252): phase 1 scans only
+    the home cell, phase 2 only cells within the k-th distance; the
+    answer must equal the full-scan kNN (the oracle is the full scan)."""
+    import os
+    from stark_spark.sources.partitioned import (knn_pruned,
+                                                 save_partitioned)
+    from stark_spark.sources.partitioned import knn_pruned
+    path = _part_events_path(spark, sf)
+    out = knn_pruned(spark, path, "POINT (50 50)", 50, grid=GRID,
+                     tie_col="event_id")
+    return out.select("event_id", "dist")
 
 
 def _q_sql_raster_hist(spark, sf):
@@ -734,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_count_value": _q_raster_count_value,
         "pruned_read_rect": _q_pruned_read,
         "pruned_join_points": _q_pruned_join,
+        "pruned_knn": _q_pruned_knn,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
@@ -1004,6 +1036,11 @@ WHERE value <= 65.0 AND value >= 35.0
   AND {dist_q} <= 15.0""",
 
         "knn_events": f"""
+SELECT event_id, {dist_q} AS dist FROM events
+ORDER BY dist, event_id LIMIT 50""",
+
+        # pruned two-phase kNN must equal the full scan
+        "pruned_knn": f"""
 SELECT event_id, {dist_q} AS dist FROM events
 ORDER BY dist, event_id LIMIT 50""",
 

@@ -236,3 +236,71 @@ def test_knn_join_zero_candidate_rows_not_dropped(spark, sf_dir):
         sub = pdf[pdf.s_suppkey == sr.s_suppkey] \
             .sort_values(["dist", "o_orderkey"])
         assert list(sub.o_orderkey) == want, f"suppkey {sr.s_suppkey}"
+
+
+def test_interval_join_open_vs_bruteforce(spark):
+    """Open intervals (NULL t_end = +inf) on BOTH sides against a
+    brute-force python recomputation, several bin widths (answers must
+    be bin-independent)."""
+    import itertools
+    from stark_spark.operators.temporal_join import interval_join
+    rows_a = [(i, 10 * i, None if i % 3 == 0 else 10 * i + 25)
+              for i in range(12)]
+    rows_b = [(100 + i, 7 * i, None if i % 4 == 0 else 7 * i + 11)
+              for i in range(15)]
+    a = spark.createDataFrame(rows_a, "id int, t_start long, t_end long")
+    b = spark.createDataFrame(rows_b, "idb int, t_start long, t_end long")
+
+    INF = float("inf")
+    want = set()
+    for (i, s1, e1), (j, s2, e2) in itertools.product(rows_a, rows_b):
+        e1v = INF if e1 is None else e1
+        e2v = INF if e2 is None else e2
+        if s1 <= e2v and s2 <= e1v:
+            want.add((i, j))
+    for bw in (3, 10, 100):
+        out = interval_join(a, b, bin_width=bw, how_right="interval")
+        got = {(r.id, r.idb) for r in out.select("id", "idb").collect()}
+        assert got == want, f"bin_width={bw}"
+    # point right side with open left intervals
+    bp = spark.createDataFrame([(200 + i, 13 * i) for i in range(10)],
+                               "idb int, t_start long")
+    want_p = {(i, 200 + j)
+              for (i, s1, e1) in rows_a for j in range(10)
+              if s1 <= 13 * j <= (INF if e1 is None else e1)}
+    out = interval_join(a, bp, bin_width=10, how_right="point")
+    got = {(r.id, r.idb) for r in out.select("id", "idb").collect()}
+    assert got == want_p
+
+
+def test_rect_rect_join_native_plan(spark, sf_dir, nation_boxes):
+    """Declared rect × rect joins must plan with zero python UDFs."""
+    # build natively from scratch: an already-planned geom UDF column
+    # is NOT pruned by Catalyst even when unused (round-2 finding)
+    n = D.load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    boxes = (n.select("n_nationkey",
+                      ((k * D.PX % 1000) / 10.0).alias("bx"),
+                      ((k * D.PY % 1000) / 10.0).alias("by"))
+              .select("n_nationkey",
+                      (F.col("bx") - 8.0).alias("xmin"),
+                      (F.col("by") - 8.0).alias("ymin"),
+                      (F.col("bx") + 8.0).alias("xmax"),
+                      (F.col("by") + 8.0).alias("ymax")))
+    small = boxes.withColumnRenamed("n_nationkey", "k2")
+    out = st_join(boxes, small, "intersects", grid=GridSpec.unit_grid(),
+                  left_rect=True, right_rect=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # and the result matches the kernel-refined join
+    from stark_spark.functions.constructors import st_box
+    g = boxes.withColumn("geom", st_box(F.col("xmin"), F.col("ymin"),
+                                        F.col("xmax"), F.col("ymax")))
+    g2 = small.withColumn("geom", st_box(F.col("xmin"), F.col("ymin"),
+                                         F.col("xmax"), F.col("ymax")))
+    want = st_join(g, g2, "intersects", grid=GridSpec.unit_grid())
+    got_pairs = {(r.n_nationkey, r.k2)
+                 for r in out.select("n_nationkey", "k2").collect()}
+    want_pairs = {(r.n_nationkey, r.k2)
+                  for r in want.select("n_nationkey", "k2").collect()}
+    assert got_pairs == want_pairs and len(got_pairs) >= 25
