@@ -191,15 +191,24 @@ def bbox_filter(df, query, predicate: str = "intersects", **kw):
 
 def within_distance(query, max_dist: float, *, points: bool = False,
                     geom_col: str = "geom",
-                    bbox_cols=("xmin", "ymin", "xmax", "ymax")) -> Column:
+                    bbox_cols=("xmin", "ymin", "xmax", "ymax"),
+                    distance: Column | None = None) -> Column:
     """Radius-search predicate (reference `withinDistance`,
     PSF:108-109 / LIF:29-55: widened-envelope index query + exact
     refine). Native widened-bbox prefilter always; for point frames vs
-    a point query the exact check is native hypot (codegen, no UDF)."""
+    a point query the exact check is native hypot (codegen, no UDF).
+
+    ``distance`` plugs in a custom distance Column (the reference's
+    ``distFunc`` parameter) — e.g. a weighted ST or Hausdorff
+    expression. Like the reference's index path, the envelope
+    prefilter assumes the metric is dominated by euclidean distance;
+    pass a looser ``max_dist`` if it is not."""
     from stark_spark.functions.distance import st_distance_to, st_distance_xy
 
     q = _as_geom(query)
     pre = bbox_intersects(q, bbox_cols, expand=max_dist)
+    if distance is not None:
+        return pre & (distance <= F.lit(max_dist))
     if points and q.bbox[0] == q.bbox[2] and q.bbox[1] == q.bbox[3]:
         d = st_distance_xy(F.col(bbox_cols[0]), F.col(bbox_cols[1]),
                            F.lit(q.bbox[0]), F.lit(q.bbox[1]))

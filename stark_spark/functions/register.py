@@ -96,18 +96,31 @@ def register_sql_functions(spark: SparkSession) -> None:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
                   f"(a ARRAY<BIGINT>) RETURNS BIGINT RETURN {body}")
 
-    # histogram(data, lo, hi, buckets) → per-tile equi-width bucket
-    # counts as ARRAY<BIGINT> (reference `RasterFunction.scala:19-35`
-    # `histogram(tile[,n])`). Pure SQL — nested higher-order functions,
+    # histogram(data, lo, hi, buckets) → per-tile equi-width histogram
+    # as ARRAY<STRUCT<value, lower, upper>> — the reference's Bucket
+    # shape (`RasterFunction.scala:19-35` histogram(tile[,n]) returning
+    # Buckets with bounds). Pure SQL — nested higher-order functions,
     # codegen end-to-end; edge pixels clamp like `Tile.scala:216-253`.
     spark.sql("""
 CREATE OR REPLACE TEMPORARY FUNCTION histogram(
     a ARRAY<BIGINT>, lo DOUBLE, hi DOUBLE, buckets INT)
-RETURNS ARRAY<BIGINT> RETURN
-  transform(sequence(0, buckets - 1), b -> CAST(size(filter(a,
-    p -> least(buckets - 1, greatest(0,
-           CAST(floor((p - lo) / ((hi - lo) / buckets)) AS INT))) = b))
-    AS BIGINT))""")
+RETURNS ARRAY<STRUCT<value: BIGINT, lower: DOUBLE, upper: DOUBLE>> RETURN
+  transform(sequence(0, buckets - 1), b -> struct(
+    CAST(size(filter(a,
+      p -> least(buckets - 1, greatest(0,
+             CAST(floor((p - lo) / ((hi - lo) / buckets)) AS INT))) = b))
+      AS BIGINT) AS value,
+    lo + b * ((hi - lo) / buckets) AS lower,
+    lo + (b + 1) * ((hi - lo) / buckets) AS upper))""")
+
+    # bucket field getters (`RasterFunction.scala:80-109`)
+    for name, field, typ in (("h_value", "value", "BIGINT"),
+                             ("h_lower", "lower", "DOUBLE"),
+                             ("h_upper", "upper", "DOUBLE")):
+        spark.sql(f"""
+CREATE OR REPLACE TEMPORARY FUNCTION {name}(
+    b STRUCT<value: BIGINT, lower: DOUBLE, upper: DOUBLE>)
+RETURNS {typ} RETURN b.{field}""")
 
     # rasterHistogram — the reference's only UDAF
     # (`RasterFunction.scala:37-78` CalcRasterHistogram): a grouped-agg

@@ -30,16 +30,21 @@ from stark_spark.partitioner.grid import GridSpec
 
 
 def knn(df: DataFrame, query, k: int, *, points: bool = True,
-        dist_col: str = "dist", tie_col: str | None = None) -> DataFrame:
+        dist_col: str = "dist", tie_col: str | None = None,
+        distance=None) -> DataFrame:
     """k nearest rows to a constant query geometry.
 
     Point fast path: native hypot (codegen) → TakeOrderedAndProject.
     ``tie_col`` makes the result deterministic under distance ties
     (needed for oracle comparison; the reference's kNN is
-    tie-nondeterministic).
+    tie-nondeterministic). ``distance`` plugs in a custom distance
+    Column (the reference's ``distFunc``, §2.5 — e.g. weighted ST or
+    Hausdorff expressions from `functions.distance`).
     """
     q = query if isinstance(query, G.Geometry) else G.from_wkt(query)
-    if points:
+    if distance is not None:
+        d = distance
+    elif points:
         qx, qy = (q.bbox[0] + q.bbox[2]) / 2, (q.bbox[1] + q.bbox[3]) / 2
         dx, dy = F.col("xmin") - F.lit(qx), F.col("ymin") - F.lit(qy)
         d = F.sqrt(dx * dx + dy * dy)

@@ -140,3 +140,32 @@ def test_convex_native_equals_udf_refine(spark, sf_dir):
     # the fast path must plan with zero python UDFs
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_custom_distance_function_knn_and_radius(spark, sf_dir):
+    """Reference distFunc parity: kNN and withinDistance accept an
+    arbitrary distance Column (here weighted ST) and must agree with
+    an explicit recomputation."""
+    from stark_spark.functions.distance import (st_distance_xy,
+                                                temporal_distance,
+                                                weighted_st_distance)
+    from stark_spark.operators.knn import knn
+    ev = D.st_events(spark, sf_dir, keep_geom=False)
+    t0 = 1704844800
+    d = weighted_st_distance(
+        st_distance_xy(F.col("x"), F.col("y"), F.lit(50.0), F.lit(50.0)),
+        temporal_distance(F.col("t_start"), F.lit(t0)), w_time=0.001)
+    got = knn(ev, "POINT (50 50)", 10, distance=d, tie_col="event_id")
+    rows = got.select("event_id", "dist").collect()
+    pdf = ev.select("event_id", "x", "y", "t_start").toPandas()
+    import numpy as np
+    pdf["d"] = (np.hypot(pdf.x - 50, pdf.y - 50) +
+                0.001 * (pdf.t_start - t0).abs())
+    want = pdf.sort_values(["d", "event_id"]).head(10)
+    assert [r.event_id for r in rows] == list(want.event_id)
+
+    from stark_spark.functions.predicates import within_distance
+    rad = ev.filter(within_distance("POINT (50 50)", 20.0, points=True,
+                                    distance=d))
+    n_want = int((pdf.d <= 20.0).sum())
+    assert rad.count() == n_want

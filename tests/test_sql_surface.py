@@ -101,9 +101,14 @@ def test_sql_polygon_predicate_vectorized_path(spark, sf_dir):
 
 def test_sql_histogram_function(spark):
     row = spark.sql("""
-        SELECT histogram(array(0L, 1L, 2L, 3L, 15L, 8L), 0D, 16D, 8) AS h
+        SELECT histogram(array(0L, 1L, 2L, 3L, 15L, 8L), 0D, 16D, 8) AS h,
+               h_value(histogram(array(0L, 1L), 0D, 16D, 8)[0]) AS v0,
+               h_lower(histogram(array(0L, 1L), 0D, 16D, 8)[3]) AS lo3,
+               h_upper(histogram(array(0L, 1L), 0D, 16D, 8)[3]) AS hi3
     """).first()
-    assert row.h == [2, 2, 0, 0, 1, 0, 0, 1]
+    assert [b.value for b in row.h] == [2, 2, 0, 0, 1, 0, 0, 1]
+    assert row.h[0].lower == 0.0 and row.h[0].upper == 2.0
+    assert (row.v0, row.lo3, row.hi3) == (2, 6.0, 8.0)
 
 
 def test_sql_raster_histogram_udaf(spark):
