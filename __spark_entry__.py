@@ -69,12 +69,14 @@ def _sh(k: int, col: str = "text") -> str:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: spatio-temporal polygon filter over the events table
-    (bbox prefilter native + Arrow refine + §1.2 temporal conjunct)."""
-    ev = D.st_events(spark, "/root/testdata/sf0.001")
+    """Flagship: spatio-temporal polygon filter over the events table.
+    The convex query compiles to native half-plane conjunctions + the
+    §1.2 temporal conjunct — the whole plan is one codegen stage, no
+    UDF, no geometry column."""
+    ev = D.st_events(spark, "/root/testdata/sf0.001", keep_geom=False)
     out = ev.filter(st_predicate(
         "POLYGON ((0 0, 200 0, 0 100, 0 0))", "intersects",
-        t_query=(1704067200, 1711929600)))
+        points=True, t_query=(1704067200, 1711929600)))
     return out.select("event_id", "x", "y", "event_type")
 
 

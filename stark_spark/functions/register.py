@@ -67,6 +67,20 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     spark.udf.register("st_sto", pandas_udf(_sto, _STO))
 
+    # reference MakeSTObject arities (STConstructor.scala:98-148):
+    # st_sto(wkt, DATE) — UTC-midnight epoch seconds — and
+    # st_sto(wkt, y, m, d). Spark's registry has no overloading, so
+    # they get suffixed names; pure-SQL wrappers over the UDF.
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION st_sto_date(w STRING, d DATE)
+RETURNS STRUCT<geom: BINARY, t_start: BIGINT, t_end: BIGINT>
+RETURN st_sto(w, unix_date(d) * CAST(86400 AS BIGINT))""")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION st_sto_ymd(
+    w STRING, y INT, m INT, d INT)
+RETURNS STRUCT<geom: BINARY, t_start: BIGINT, t_end: BIGINT>
+RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
+
     # st_geomfromtile(ulx, uly, width, height, pixel_width) → WKB
     # polygon of the tile's bbox (reference `STConstructor.scala:48-64`)
     def _geomfromtile(ulx: pd.Series, uly: pd.Series, w: pd.Series,

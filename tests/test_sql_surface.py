@@ -140,3 +140,15 @@ def test_sql_point_z_and_zrange(spark):
     assert (row.zr.zmin, row.zr.zmax) == (3.5, 3.5)
     assert row.zr2.zmin is None or (row.zr2.zmin != row.zr2.zmin)  # NaN/NULL
     assert (row.zr3.zmin, row.zr3.zmax) == (-1.0, 3.0)
+
+
+def test_st_sto_date_arities(spark):
+    """MakeSTObject date arities (STConstructor.scala:98-148): DATE and
+    (y, m, d) inputs land on UTC-midnight epoch seconds."""
+    row = spark.sql("""
+        SELECT st_sto_date('POINT (1 2)', DATE '2024-01-10') AS a,
+               st_sto_ymd('POINT (1 2)', 2024, 1, 10) AS b
+    """).first()
+    assert row.a.t_start == 1704844800 == row.b.t_start
+    assert row.a.t_end == row.a.t_start
+    assert row.a.geom == row.b.geom is not None
