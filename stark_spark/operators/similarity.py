@@ -62,7 +62,15 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
                key: str = "vec_id", vec_col: str = "embedding",
                ckey: str = "c_id", cvec_col: str = "c_embedding") -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (broadcast
-    the centroid table; one narrow pass, no shuffle)."""
+    the centroid table; one narrow pass + per-key window).
+
+    NOTE: an alternative that collects the (dimension-sized) centroid
+    table into literal arrays and folds the argmax natively — zero
+    shuffles — was A/B-measured far SLOWER (35s vs 3s on the dup-pairs
+    query at sf0.1): the C×dim literal expression tree wrecks codegen
+    compile time and the per-row struct fold doesn't vectorize. The
+    broadcast crossJoin + window keeps the JVM hash-join fast path.
+    """
     from pyspark.sql import Window
     j = vectors.crossJoin(F.broadcast(centroids))
     j = j.withColumn("_cos", cosine(F.col(vec_col), F.col(cvec_col)))
