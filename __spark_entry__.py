@@ -209,7 +209,9 @@ def _q_join_poly_contains(spark, sf):
         x0.cast("string"), F.lit(" "), (y0 + h).cast("string"), F.lit(", "),
         x0.cast("string"), F.lit(" "), y0.cast("string"), F.lit("))"))
     polys = st_frame(part.withColumn("_wkt", wkt), wkt="_wkt").drop("_wkt")
-    cust = D.st_points(spark, sf, "customer", "c_custkey")
+    # keep_geom=False: the rect-contains refine is native, so the point
+    # side needs no WKB column (an unused geom UDF is never pruned)
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
     # left_rect: axis-aligned regions → the whole predicate stays in
     # codegen (no Arrow refine pass over the candidates)
     out = st_join(polys, cust, "contains", grid=GRID, right_points=True,

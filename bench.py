@@ -70,6 +70,10 @@ def main() -> None:
     (spark.range(1000)
      .select(st_point(_F.col("id").cast("double"),
                       _F.col("id").cast("double")).alias("g")).count())
+    from stark_spark.functions.constructors import st_frame
+    st_frame(spark.range(256).select(
+        _F.concat(_F.lit("POINT ("), _F.col("id").cast("string"),
+                  _F.lit(" 1)")).alias("w")), wkt="w").count()
 
     qs = entry.queries()
     times: dict[str, float] = {}
