@@ -262,12 +262,19 @@ def within_distance_join(left: DataFrame, right: DataFrame, max_dist: float,
 
     Point fast path: native hypot filter after the widened-cell
     equi-join — zero UDFs end-to-end.
+
+    Non-point frames (``points=False``): expanded-bbox grid join for
+    candidates, then the vectorized pair-distance kernel as the exact
+    refine (`pair_distance_udf` — grouped one-side-points fast paths,
+    scalar geometry⋈geometry fallback).
     """
     if not points:
-        # both branches: the distance below is min-corner distance,
-        # which is only the geometry distance for points
-        raise NotImplementedError("non-point within-distance join: use "
-                                  "st_join(expand=max_dist) + st_distance")
+        from stark_spark.functions.predicates import pair_distance_udf
+        joined = st_join(left, right, "intersects", grid=grid,
+                         expand=max_dist, suffix=suffix,
+                         broadcast=broadcast)
+        d = pair_distance_udf()(F.col("geom"), F.col("geom" + suffix))
+        return joined.where(d <= F.lit(max_dist))
     right, _ = _suffix_right(left, right, suffix)
     dx = F.col("xmin") - F.col("xmin" + suffix)
     dy = F.col("ymin") - F.col("ymin" + suffix)

@@ -304,3 +304,29 @@ def test_rect_rect_join_native_plan(spark, sf_dir, nation_boxes):
     want_pairs = {(r.n_nationkey, r.k2)
                   for r in want.select("n_nationkey", "k2").collect()}
     assert got_pairs == want_pairs and len(got_pairs) >= 25
+
+
+def test_within_distance_join_nonpoint(spark):
+    """Non-point within-distance join (round-1 NotImplementedError):
+    expanded-bbox grid candidates + vectorized pair-distance refine
+    must match the scalar kernel brute force, grid and broadcast."""
+    from stark_spark.core import geometry as G
+    from stark_spark.functions.constructors import st_frame
+    la = [(i, f"POLYGON (({10*i} 0, {10*i+4} 0, {10*i+4} 4, {10*i} 4, {10*i} 0))")
+          for i in range(8)]
+    rb = [(100 + i, f"LINESTRING ({5*i} 6, {5*i+3} 9)") for i in range(16)]
+    a = st_frame(spark.createDataFrame(la, "ida int, wkt string"), wkt="wkt")
+    b = st_frame(spark.createDataFrame(rb, "idb int, wkt string"), wkt="wkt")
+
+    want = set()
+    for i, wa in la:
+        for j, wb in rb:
+            if G.distance(G.from_wkt(wa), G.from_wkt(wb)) <= 3.5:
+                want.add((i, j))
+    assert len(want) > 0
+
+    got_g = within_distance_join(a, b, 3.5, grid=GridSpec.unit_grid(),
+                                 points=False)
+    got_b = within_distance_join(a, b, 3.5, points=False, broadcast=True)
+    assert {(r.ida, r.idb) for r in got_g.select("ida", "idb").collect()} == want
+    assert {(r.ida, r.idb) for r in got_b.select("ida", "idb").collect()} == want
