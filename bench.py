@@ -74,6 +74,15 @@ def main() -> None:
     st_frame(spark.range(256).select(
         _F.concat(_F.lit("POINT ("), _F.col("id").cast("string"),
                   _F.lit(" 1)")).alias("w")), wkt="w").count()
+    # applyInPandas + window machinery (python grouped-worker pool,
+    # Arrow group serialization, window exec JIT)
+    (spark.range(256).groupBy((_F.col("id") % 8).alias("g"))
+     .applyInPandas(lambda pdf: pdf, "id long").count())
+    from pyspark.sql import Window as _W
+    (spark.range(256).withColumn("g", _F.col("id") % 8)
+     .withColumn("rn", _F.row_number().over(
+         _W.partitionBy("g").orderBy("id")))
+     .where(_F.col("rn") <= 2).count())
 
     qs = entry.queries()
     times: dict[str, float] = {}

@@ -216,3 +216,44 @@ def test_z_point_wkb_property(x, y, z):
     back = G.from_wkb(G.to_wkb(g))
     assert back.coords[0] == x and back.coords[1] == y and back.z == z
     assert back.zrange == (z, z)
+
+
+# --- convex_ring (native half-plane compile eligibility) ---------------------
+
+@given(st.integers(5, 12), st.floats(1.0, 100.0), st.integers(0, 10**6))
+@settings(max_examples=40, deadline=None)
+def test_convex_ring_detects_convex(n, radius, seed):
+    """Random convex polygons (points on a circle, sorted by angle) are
+    detected; the returned ring is CCW and PIP agrees with membership."""
+    rng = np.random.RandomState(seed)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+    if np.min(np.diff(angles)) < 1e-3:
+        return
+    xs = 50 + radius * np.cos(angles)
+    ys = 50 + radius * np.sin(angles)
+    wkt = "POLYGON ((" + ", ".join(
+        f"{x:.9f} {y:.9f}" for x, y in zip(xs, ys))
+    wkt += f", {xs[0]:.9f} {ys[0]:.9f}))"
+    g = G.from_wkt(wkt)
+    ring = g.convex_ring()
+    assert ring is not None
+    # CCW: positive shoelace area
+    a, b = ring[:-1], ring[1:]
+    assert np.sum(a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]) > 0
+    # centroid is inside per the half-plane test
+    cx, cy = xs.mean(), ys.mean()
+    cross = ((b[:, 0] - a[:, 0]) * (cy - a[:, 1]) -
+             (b[:, 1] - a[:, 1]) * (cx - a[:, 0]))
+    assert (cross >= 0).all()
+
+
+def test_convex_ring_rejects_concave_and_holes():
+    concave = G.from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 5 2, 0 10, 0 0))")
+    assert concave.convex_ring() is None
+    holed = G.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                       "(2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert holed.convex_ring() is None
+    # clockwise input ring gets reoriented, still detected
+    cw = G.from_wkt("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")
+    assert cw.convex_ring() is not None
