@@ -125,7 +125,14 @@ class STFrame:
         save_partitioned(self.df, path, grid, **kw)
 
     def visualize(self, width: int, height: int, path: str | None = None,
-                  **kw) -> bytes:
+                  *, mode: str = "density", **kw) -> bytes:
+        """``mode='density'`` — grayscale point-density PNG (rasterize
+        path); ``mode='geoms'`` — full geometry renderer (points/lines/
+        polygons, color/fill/background/JPG kwargs of `render_geoms`,
+        requires the ``geom`` column and ``bounds=``)."""
+        if mode == "geoms":
+            from stark_spark.functions.visualize import render_geoms
+            return render_geoms(self.df, width, height, path=path, **kw)
         from stark_spark.functions.visualize import render_points
         return render_points(self.df, width, height,
                              x="xmin", y="ymin", path=path, **kw)

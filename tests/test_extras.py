@@ -334,3 +334,16 @@ def test_png_decode_roundtrip():
     assert (_png_decode(_png_encode(gray)) == gray).all()
     rgba = rng.randint(0, 256, size=(6, 6, 4), dtype=np.uint8)
     assert (_png_decode(_png_encode(rgba)) == rgba).all()
+
+
+def test_stframe_visualize_geoms_mode(spark):
+    from stark_spark.api import STFrame
+    from stark_spark.functions.visualize import _png_decode
+    st = STFrame.from_wkt(
+        spark.createDataFrame(
+            [(1, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")], "id int, wkt string"),
+        wkt="wkt")
+    png = st.visualize(8, 8, mode="geoms", bounds=(0, 0, 8, 8),
+                       fill=True, color=(0, 255, 0), flip=False)
+    img = _png_decode(png)
+    assert (img[3, 3] == [0, 255, 0]).all()
