@@ -649,6 +649,28 @@ def _q_pruned_join(spark, sf):
     return out.select("c_custkey", "s_suppkey")
 
 
+def _q_pruned_read_st(spark, sf):
+    """Spatio-temporally partitioned storage (reference
+    `SpatioTempPartitioner.scala:11-169`: spatial cells + per-cell time
+    ranges): events saved with cell AND t_bucket dirs, re-read with
+    manifest + two-level Catalyst pruning; result must equal the plain
+    timed-rectangle filter over a NARROW window (so temporal dirs
+    actually prune)."""
+    import os
+    from stark_spark.sources.partitioned import (read_pruned,
+                                                 save_partitioned)
+    tag = os.path.basename(sf.rstrip("/"))
+    path = f"/tmp/stark_oracle_part_st_{tag}"
+    if path not in _PART_EVENTS_BUILT:
+        ev = D.st_events(spark, sf, keep_geom=False)
+        save_partitioned(ev, path, GRID, t_buckets=6)
+        _PART_EVENTS_BUILT.add(path)
+    out = read_pruned(spark, path,
+                      "POLYGON ((10 10, 60 10, 60 80, 10 80, 10 10))",
+                      points=True, t_query=(1704067200, 1704672000))
+    return out.select("event_id", "x", "y")
+
+
 def _q_pruned_knn(spark, sf):
     """Two-phase pruned kNN over partitioned storage (reference knn2,
     `STSparkContext.scala:124-184` / PSF:177-252): phase 1 scans only
@@ -769,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_count_value": _q_raster_count_value,
         "pruned_read_rect": _q_pruned_read,
         "pruned_join_points": _q_pruned_join,
+        "pruned_read_st": _q_pruned_read_st,
         "pruned_knn": _q_pruned_knn,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_dedup_minhash,
@@ -1253,6 +1276,12 @@ WHERE value >= 10 AND value <= 60
         "pruned_join_points": f"""
 SELECT c_custkey, s_suppkey FROM customer, supplier
 WHERE ({cx}) = ({sx}) AND ({cy}) = ({sy})""",
+
+        "pruned_read_st": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE value >= 10 AND value <= 60
+  AND ({EV_Y}) >= 10 AND ({EV_Y}) <= 80
+  AND {EV_T} >= 1704067200 AND {EV_T} <= 1704672000""",
 
         "sql_raster_histogram": f"""
 WITH pix AS (

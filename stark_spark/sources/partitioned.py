@@ -130,15 +130,37 @@ def read_pruned(spark: SparkSession, path: str, query,
                 predicate: str = "intersects", *,
                 t_query=None, points: bool = False) -> DataFrame:
     """Pruned scan: manifest prune (driver) → Catalyst partition prune
-    (``cell.isin``) → full row-wise ``st_predicate``."""
+    (``cell.isin``, and ``t_bucket`` for spatio-temporally partitioned
+    data — reference `SpatioTempPartitioner` two-level placement) →
+    full row-wise ``st_predicate``."""
     q = _as_geom(query)
-    cells = _cells_for(load_manifest(spark, path).collect(), q, t_query)
+    mf = load_manifest(spark, path).collect()
+    cells = _cells_for(mf, q, t_query)
     df = load_partitioned(spark, path)
     if not cells:
         return df.filter(F.lit(False))
     df = df.filter(F.col("cell").isin(cells))
+    buckets = _buckets_for(mf, cells, t_query)
+    if buckets is not None:
+        df = df.filter(F.col("t_bucket").isin(buckets))
     return df.filter(st_predicate(q, predicate, points=points,
                                   t_query=t_query if t_query else "any"))
+
+
+def _buckets_for(manifest_rows, cells, t_query) -> list[int] | None:
+    """Temporal second-level prune: t_bucket dirs whose [t_min, t_max]
+    (within the surviving cells) overlap the query window. None ⇒ data
+    has no temporal partitioning or the query is untimed."""
+    if not manifest_rows or "t_bucket" not in manifest_rows[0].__fields__ \
+            or not t_query or t_query == "any":
+        return None
+    ts, te = t_query
+    keep = set(cells)
+    return sorted({
+        r.t_bucket for r in manifest_rows
+        if r.cell in keep
+        and not (te is not None and r.t_min is not None and r.t_min > te)
+        and not (ts is not None and r.t_max is not None and r.t_max < ts)})
 
 
 def knn_pruned(spark: SparkSession, path: str, query, k: int, *,
