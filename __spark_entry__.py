@@ -726,6 +726,41 @@ def _q_lang_distribution(spark, sf):
                 .agg(F.count("*").alias("n")))
 
 
+def _q_text_repetition(spark, sf):
+    """Gopher-style repetition/boilerplate profile + keep gate — the
+    curation pass a training-data pipeline runs before dedup."""
+    docs = D.load(spark, sf, "documents")
+    out = T.repetition_profile(docs)
+    return out.select("doc_id", "n_tokens", "distinct_token_ratio",
+                      "top_token_ratio", "top_bigram_ratio", "rep_keep")
+
+
+def _q_pii_scrub(spark, sf):
+    """PII redaction: deterministic synthetic emails/phones are
+    injected in-query (the corpus itself is clean word-soup), then
+    scrubbed; counts + md5 of the scrubbed text are the checkable
+    output."""
+    docs = D.load(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((F.col("doc_id") % 1000).cast("string"),
+                               3, "0"),
+                        F.lit("-0199"))).otherwise(F.lit("")))
+    return (docs.withColumn("t", injected)
+                .select("doc_id",
+                        T.pii_email_count(F.col("t")).cast("long")
+                         .alias("n_emails"),
+                        T.pii_phone_count(F.col("t")).cast("long")
+                         .alias("n_phones"),
+                        F.md5(T.pii_scrub(F.col("t"))).alias("scrub_md5")))
+
+
 def _emb_queries(spark, sf, n):
     emb = D.load(spark, sf, "embeddings")
     q = (emb.where(F.col("vec_id") < n)
@@ -802,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "text_by_source": _q_text_by_source,
         "lang_distribution": _q_lang_distribution,
+        "text_repetition": _q_text_repetition,
+        "pii_scrub": _q_pii_scrub,
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
@@ -1398,6 +1435,53 @@ SELECT CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THE
             WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS lang_guess,
   count(*) AS n
 FROM s GROUP BY 1""",
+
+        "text_repetition": """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), b AS (
+  SELECT doc_id, toks, n,
+    CASE WHEN n >= 2
+      THEN list_transform(range(1, n), i -> toks[i] || ' ' || toks[i+1])
+      ELSE []::VARCHAR[] END AS bg
+  FROM t
+), r AS (
+  SELECT doc_id, n AS n_tokens,
+    len(list_distinct(toks)) / n AS distinct_token_ratio,
+    list_max(list_transform(list_distinct(toks),
+      x -> len(list_filter(toks, y -> y = x)))) / n AS top_token_ratio,
+    CASE WHEN n >= 2
+      THEN list_max(list_transform(list_distinct(bg),
+        x -> len(list_filter(bg, y -> y = x)))) / (n - 1)
+      ELSE 0.0::DOUBLE END AS top_bigram_ratio
+  FROM b
+)
+SELECT doc_id, n_tokens, distinct_token_ratio, top_token_ratio,
+  top_bigram_ratio,
+  (n_tokens >= 20 AND distinct_token_ratio >= 0.4::DOUBLE
+   AND top_token_ratio <= 0.15::DOUBLE
+   AND top_bigram_ratio <= 0.08::DOUBLE) AS rep_keep
+FROM r""",
+
+        "pii_scrub": f"""
+SELECT doc_id,
+  len(regexp_extract_all(t, '{T.EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(t, '{T.PHONE_RE}')) AS n_phones,
+  md5(regexp_replace(regexp_replace(t, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{T.PHONE_RE}', '<PHONE>', 'g')) AS scrub_md5
+FROM (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-0199'
+         ELSE '' END AS t
+  FROM documents
+) s""",
 
         "ann_brute_topk": f"""
 SELECT q_id, vec_id, cos, rank FROM (

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "agg_revenue_by_segment",    # broadcast dim join + agg
     "events_daily",              # temporal rollup
     "text_profile",              # native text analysis pass
+    "text_repetition",           # Gopher-style repetition gates
     "dedup_minhash_sigs",        # explode + map-side-combine min
     "dedup_simhash",             # 64 native bit-votes
     "ann_brute_topk",            # broadcast + fold dot products

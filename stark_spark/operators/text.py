@@ -112,6 +112,96 @@ def fingerprint(text: Column, k: int = 8) -> Column:
     return F.array_min(F.transform(shingles(text, k), F.md5))
 
 
+# --- repetition / boilerplate profiling (Gopher-rule style) ---------
+#
+# Gopher/C4-style repetition gates for training-data curation: docs
+# dominated by a few tokens or a repeated phrase are boilerplate and
+# get filtered. All pure higher-order array expressions — O(distinct ×
+# n) per doc inside whole-stage codegen, one narrow map pass at 100 TB.
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """Type/token ratio — low means few distinct words repeated a lot."""
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def top_token_ratio(text: Column) -> Column:
+    """Frequency of the most common token / n_tokens."""
+    toks = tokens(text)
+    return F.array_max(F.transform(
+        F.array_distinct(toks),
+        lambda x: F.size(F.filter(toks, lambda y: y == x)))) / F.size(toks)
+
+
+def word_bigrams(text: Column) -> Column:
+    """Adjacent word pairs joined by one space; empty for 1-token docs
+    (guarded — ``sequence(1, 0)`` would count DOWN in Spark)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_bigram_ratio(text: Column) -> Column:
+    """Frequency of the most common word bigram / (n_tokens - 1);
+    0.0 for single-token docs."""
+    bg = word_bigrams(text)
+    n = F.size(tokens(text))
+    return F.when(n >= 2, F.array_max(F.transform(
+        F.array_distinct(bg),
+        lambda x: F.size(F.filter(bg, lambda y: y == x)))) / (n - 1)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_keep(text: Column, *, min_tokens: int = 20,
+                    min_ttr: float = 0.4, max_top_token: float = 0.15,
+                    max_top_bigram: float = 0.08) -> Column:
+    """Boolean curation gate over the repetition metrics (thresholds
+    follow the Gopher-rules shape, tuned to split the test corpus)."""
+    return ((token_count(text) >= min_tokens)
+            & (distinct_token_ratio(text) >= min_ttr)
+            & (top_token_ratio(text) <= max_top_token)
+            & (top_bigram_ratio(text) <= max_top_bigram))
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the repetition metric set + the keep gate."""
+    t = F.col(text_col)
+    return (df.withColumn("n_tokens", token_count(t))
+              .withColumn("distinct_token_ratio", distinct_token_ratio(t))
+              .withColumn("top_token_ratio", top_token_ratio(t))
+              .withColumn("top_bigram_ratio", top_bigram_ratio(t))
+              .withColumn("rep_keep", repetition_keep(t)))
+
+
+# --- PII scrubbing ----------------------------------------------------
+#
+# Regex-based email/phone redaction for corpus cleaning. Patterns stay
+# inside the RE2 ∩ java.util.regex common dialect so the identical
+# string runs in Spark (codegen regexp_replace) and the DuckDB oracle.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def pii_email_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(EMAIL_RE))
+
+
+def pii_phone_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PHONE_RE))
+
+
+def pii_scrub(text: Column) -> Column:
+    """Replace every email → ``<EMAIL>`` and phone → ``<PHONE>``."""
+    scrubbed = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full analysis column set."""
     t = F.col(text_col)

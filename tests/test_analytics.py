@@ -118,6 +118,50 @@ def test_text_profile(docs):
         assert grow.fingerprint == fp
 
 
+def test_repetition_profile(spark, docs):
+    from collections import Counter
+
+    from stark_spark.operators.text import repetition_profile
+    got = repetition_profile(docs).select(
+        "doc_id", "distinct_token_ratio", "top_token_ratio",
+        "top_bigram_ratio", "rep_keep").toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    for _, r in pdf.sample(10, random_state=1).iterrows():
+        toks = r.text.split(" ")
+        n = len(toks)
+        grow = got[got.doc_id == r.doc_id].iloc[0]
+        assert grow.distinct_token_ratio == pytest.approx(len(set(toks)) / n)
+        assert grow.top_token_ratio == pytest.approx(
+            Counter(toks).most_common(1)[0][1] / n)
+        bg = [f"{toks[i]} {toks[i+1]}" for i in range(n - 1)]
+        want_bg = Counter(bg).most_common(1)[0][1] / (n - 1) if bg else 0.0
+        assert grow.top_bigram_ratio == pytest.approx(want_bg)
+    # the gate must actually split the corpus
+    assert 0 < got.rep_keep.sum() < len(got)
+    # degenerate docs: 1 token and fully-repeated text
+    edge = spark.createDataFrame(
+        [(1, "solo"), (2, "spam spam spam spam")], "doc_id INT, text STRING")
+    e = repetition_profile(edge).orderBy("doc_id").toPandas()
+    assert e.top_bigram_ratio.tolist() == pytest.approx([0.0, 1.0])
+    assert not e.rep_keep.any()
+
+
+def test_pii_scrub(spark):
+    from stark_spark.operators.text import (pii_email_count,
+                                            pii_phone_count, pii_scrub)
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@ex-ample.org or x@y.io, call 555-123-4567"),
+         (2, "no pii here, 12-34 is not a phone")],
+        "id INT, text STRING")
+    got = (df.select("id", pii_scrub(F.col("text")).alias("t"),
+                     pii_email_count(F.col("text")).alias("ne"),
+                     pii_phone_count(F.col("text")).alias("np"))
+             .orderBy("id").collect())
+    assert got[0].t == "mail me at <EMAIL> or <EMAIL>, call <PHONE>"
+    assert (got[0].ne, got[0].np) == (2, 1)
+    assert got[1].t == df.collect()[1].text and got[1].ne == 0
+
+
 def test_exact_dups(spark, docs):
     # duplicate some docs
     dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
