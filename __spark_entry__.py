@@ -258,7 +258,7 @@ def _q_interval_join(spark, sf):
     b = (ev.where(F.col("event_id") % 7 == 0)
            .select(F.col("event_id").alias("event_id_b"),
                    ts.alias("t_start")))
-    out = interval_join(a, b, bin_width=3600)
+    out = interval_join(a, b, bin_width=3600, open_ends=False)
     return out.select("event_id", "event_id_b")
 
 

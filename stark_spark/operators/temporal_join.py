@@ -27,18 +27,26 @@ from pyspark.sql import functions as F
 
 def interval_join(left: DataFrame, right: DataFrame, *,
                   bin_width: int, suffix: str = "_r",
-                  how_right: str = "point") -> DataFrame:
+                  how_right: str = "point",
+                  open_ends: bool = True) -> DataFrame:
     """Overlap join on [t_start, t_end] intervals.
 
     NULL ``t_end`` = open interval [start, +inf) on EITHER side
     (reference `Interval.scala:10-16` allows ``end = None``). Open
-    intervals are capped IN-PLAN at the max start bin of both sides (a
-    broadcast 1-row agg, no driver action): every pair's overlap START
-    ``max(s_l, s_r)`` is ≤ that cap, so the capped explode still
-    lands both partners in the overlap-start bin; the refine then
-    applies the true NULL-as-infinity semantics. right: instants
+    intervals are capped IN-PLAN (a broadcast 1-row agg, no driver
+    action) at the max start bin of the OPPOSITE side: a pair's
+    reference bin is ``floor(max(s_l, s_r)/w)``, and when the open
+    side starts earlier that is the other side's start bin — so each
+    side only needs the other side's max. The refine then applies the
+    true NULL-as-infinity semantics. right: instants
     (``how_right='point'``, joined on t_start) or intervals
     (``'interval'``). ``bin_width`` in the time unit (seconds).
+
+    ``open_ends=False`` is the caller's declaration that no ``t_end``
+    is NULL (the reference knows this statically from its
+    ``Option[end]``): the cap scans/broadcasts are skipped entirely —
+    one pass over each input. Rows violating the declaration drop
+    silently (SQL NULL-predicate semantics), they do not error.
 
     At scale: an open interval fans out to O(cap − start) bins —
     bounded by the data's total span / bin_width, same as a closed
@@ -52,22 +60,23 @@ def interval_join(left: DataFrame, right: DataFrame, *,
     lbin0 = F.floor(F.col("t_start") / bin_width).cast("long")
     rbin0 = F.floor(F.col("t_start" + suffix) / bin_width).cast("long")
 
-    # in-plan cap for open ends: max start bin over both sides
-    # (1-row frames, broadcast — stays lazy, no collect)
-    caps = (left.agg(F.max(lbin0).alias("_mlb"))
-                .crossJoin(right.agg(F.max(rbin0).alias("_mrb"))))
-    cap = F.greatest(F.col("_mlb"), F.col("_mrb"))
-
-    l = left.crossJoin(F.broadcast(caps))
-    lbin1 = F.coalesce(F.floor(F.col("t_end") / bin_width).cast("long"), cap)
+    l = left
+    lbin1 = F.floor(F.col("t_end") / bin_width).cast("long")
+    if open_ends:
+        # cap for open LEFT ends = max right start bin (1-row agg,
+        # broadcast — stays lazy, no collect)
+        lcap = right.agg(F.max(rbin0).alias("_mrb"))
+        l = left.crossJoin(F.broadcast(lcap))
+        lbin1 = F.coalesce(lbin1, F.col("_mrb"))
     l = (l.withColumn("_bin",
                       F.explode(F.sequence(lbin0,
                                            F.greatest(lbin0, lbin1))))
-          .drop("_mlb", "_mrb"))
+          .drop("_mrb"))
 
     # NULL-aware containment: r.t ≤ l.t_end with NULL t_end = +inf
-    l_end_ok = (F.col("t_end").isNull() |
-                (F.col("t_start" + suffix) <= F.col("t_end")))
+    l_end_ok = F.col("t_start" + suffix) <= F.col("t_end")
+    if open_ends:
+        l_end_ok = F.col("t_end").isNull() | l_end_ok
 
     if how_right == "point":
         r = right.withColumn("_bin", rbin0)
@@ -77,16 +86,20 @@ def interval_join(left: DataFrame, right: DataFrame, *,
         # a point lives in exactly one bin — no duplicate pairs
         return joined.drop("_bin")
 
-    r = right.crossJoin(F.broadcast(caps))
-    rbin1 = F.coalesce(F.floor(F.col("t_end" + suffix) / bin_width)
-                        .cast("long"), cap)
+    r = right
+    rbin1 = F.floor(F.col("t_end" + suffix) / bin_width).cast("long")
+    if open_ends:
+        rcap = left.agg(F.max(lbin0).alias("_mlb"))
+        r = right.crossJoin(F.broadcast(rcap))
+        rbin1 = F.coalesce(rbin1, F.col("_mlb"))
     r = (r.withColumn("_bin",
                       F.explode(F.sequence(rbin0,
                                            F.greatest(rbin0, rbin1))))
-          .drop("_mlb", "_mrb"))
+          .drop("_mlb"))
     # overlap ⇔ s_l ≤ e_r' ∧ s_r ≤ e_l'  (NULL end = +inf ⇒ true)
-    r_end_ok = (F.col("t_end" + suffix).isNull() |
-                (F.col("t_start") <= F.col("t_end" + suffix)))
+    r_end_ok = F.col("t_start") <= F.col("t_end" + suffix)
+    if open_ends:
+        r_end_ok = F.col("t_end" + suffix).isNull() | r_end_ok
     joined = l.join(r, "_bin").where(r_end_ok & l_end_ok)
     # reference-point dedup: keep the pair only in the bin holding the
     # overlap start (same trick as the spatial grid join)

@@ -273,6 +273,27 @@ def test_interval_join_open_vs_bruteforce(spark):
     assert got == want_p
 
 
+def test_interval_join_closed_fast_path(spark):
+    """open_ends=False (caller declares no NULL t_end) must match the
+    default path on closed data AND plan without the cap machinery
+    (no extra scan of the opposite side, no broadcast)."""
+    from stark_spark.operators.temporal_join import interval_join
+    rows_a = [(i, 10 * i, 10 * i + 25) for i in range(12)]
+    a = spark.createDataFrame(rows_a, "id int, t_start long, t_end long")
+    bp = spark.createDataFrame([(200 + i, 13 * i) for i in range(10)],
+                               "idb int, t_start long")
+    slow = interval_join(a, bp, bin_width=10, how_right="point")
+    fast = interval_join(a, bp, bin_width=10, how_right="point",
+                         open_ends=False)
+    got_s = {(r.id, r.idb) for r in slow.select("id", "idb").collect()}
+    got_f = {(r.id, r.idb) for r in fast.select("id", "idb").collect()}
+    assert got_f == got_s and len(got_f) > 0
+    plan_f = fast._jdf.queryExecution().executedPlan().toString()
+    plan_s = slow._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" in plan_s       # cap join is there…
+    assert "BroadcastNestedLoop" not in plan_f   # …and gone when closed
+
+
 def test_rect_rect_join_native_plan(spark, sf_dir, nation_boxes):
     """Declared rect × rect joins must plan with zero python UDFs."""
     # build natively from scratch: an already-planned geom UDF column
