@@ -64,6 +64,26 @@ def _sh(k: int, col: str = "text") -> str:
             f"i -> substr({col}, i, {k})))")
 
 
+# MinHash-LSH banding pairs (n_seeds=4, rows_per_band=1, k=8) — shared
+# by the dedup_lsh_pairs oracle and as the edge set under dedup_clusters.
+_LSH_PAIRS_CTE = """
+WITH sig AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS minhash
+  FROM (SELECT doc_id, {sh} AS sh FROM documents) s,
+       (SELECT unnest(range(0, 4)) AS seed) t
+  GROUP BY doc_id, seed
+), band AS (
+  SELECT doc_id, CAST(seed AS INT) AS band,
+    string_agg(seed::VARCHAR || ':' || minhash, ','
+               ORDER BY seed::VARCHAR || ':' || minhash) AS bucket
+  FROM sig GROUP BY doc_id, seed
+), lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
 # ---------------------------------------------------------------------------
 # entry — flagship smoke query
 # ---------------------------------------------------------------------------
@@ -498,6 +518,20 @@ def _q_dedup_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, "doc_id", shingle_k=8, threshold=0.12)
 
 
+def _q_dedup_clusters(spark, sf):
+    """Full near-dup pipeline: LSH candidates → n-gram Jaccard verify →
+    connected components → canonical keep-list (min doc_id per
+    cluster; singletons keep themselves)."""
+    from stark_spark.operators.dedup import dedup_clusters
+    docs = D.load(spark, sf, "documents")
+    cand = lsh_candidate_pairs(docs, "doc_id", n_seeds=4, rows_per_band=1,
+                               shingle_k=8)
+    verified = ngram_jaccard_pairs(docs, "doc_id", shingle_k=8,
+                                   threshold=0.12,
+                                   candidates=cand).select("a", "b")
+    return dedup_clusters(docs, "doc_id", pairs=verified)
+
+
 def _q_dedup_simhash(spark, sf):
     docs = D.load(spark, sf, "documents")
     return docs.select("doc_id",
@@ -831,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -1364,20 +1399,37 @@ FROM (SELECT doc_id, {_sh(8)} AS sh FROM documents) s,
 GROUP BY doc_id, seed""",
 
         "dedup_lsh_pairs": f"""
-WITH sig AS (
-  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS minhash
-  FROM (SELECT doc_id, {_sh(8)} AS sh FROM documents) s,
-       (SELECT unnest(range(0, 4)) AS seed) t
-  GROUP BY doc_id, seed
-), band AS (
-  SELECT doc_id, CAST(seed AS INT) AS band,
-    string_agg(seed::VARCHAR || ':' || minhash, ','
-               ORDER BY seed::VARCHAR || ':' || minhash) AS bucket
-  FROM sig GROUP BY doc_id, seed
+{_LSH_PAIRS_CTE.format(sh=_sh(8))}
+SELECT a, b FROM lsh_pairs""",
+
+        "dedup_clusters": _LSH_PAIRS_CTE.format(sh=_sh(8)).replace(
+            "WITH ", "WITH RECURSIVE ", 1) + f""", shg AS (
+  SELECT DISTINCT doc_id, sh FROM
+    (SELECT doc_id, {_sh(8)} AS sh FROM documents) t
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM shg GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+  FROM shg a JOIN shg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), verified AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
+  JOIN lsh_pairs p ON p.a = i.a AND p.b = i.b
+  WHERE i.n_common / (x.sz + y.sz - i.n_common) >= 0.12
+), sym AS (
+  SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified
+), reach(node, m) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.node
+), comp AS (
+  SELECT node, min(m) AS comp FROM reach GROUP BY node
 )
-SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket
-WHERE a.doc_id < b.doc_id""",
+SELECT d.doc_id,
+  coalesce(c.comp, d.doc_id) AS rep,
+  (coalesce(c.comp, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""",
 
         "dedup_ngram_jaccard": f"""
 WITH sh AS (

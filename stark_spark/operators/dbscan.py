@@ -222,46 +222,14 @@ def dbscan(df: DataFrame, eps: float, min_pts: int, *, key: str,
     # --- connected components over the LABEL graph -----------------------
     # The graph is per-cell cluster labels, not points — orders of
     # magnitude smaller than the data (at 100 TB it is O(cells ×
-    # clusters/cell)). Under the threshold: collect + union-find on the
-    # driver (one tiny transfer; the reference collects the same graph,
-    # DBScan.scala:164-168). Above it: distributed hash-min with a
-    # localCheckpoint per round so the iterative lineage can't grow.
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint()
-    spark = df.sparkSession
-    n_edges = sym.count()
-    if n_edges <= 5_000_000:
-        labs = [r._lab for r in core_labs.select("_lab").distinct().collect()]
-        parent = {l: l for l in labs}
-
-        def find(x: str) -> str:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for r in sym.collect():
-            ra, rb = find(r.a), find(r.b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        comp = spark.createDataFrame(
-            [(l, find(l)) for l in labs], "`_lab` string, comp string")
-    else:
-        comp = (core_labs.select("_lab").distinct()
-                         .withColumn("comp", F.col("_lab")).localCheckpoint())
-        while True:
-            neigh = (sym.join(comp.select(F.col("_lab").alias("b"),
-                                          F.col("comp").alias("comp_b")), "b")
-                        .groupBy("a").agg(F.min("comp_b").alias("comp_n")))
-            nxt = (comp.join(neigh.withColumnRenamed("a", "_lab"), "_lab", "left")
-                       .select("_lab", "comp",
-                               F.least(F.col("comp"),
-                                       F.col("comp_n")).alias("comp_new"))
-                       .localCheckpoint())
-            changed = nxt.where(F.col("comp_new") != F.col("comp")).count()
-            comp = nxt.select("_lab", F.col("comp_new").alias("comp"))
-            if changed == 0:
-                break
+    # clusters/cell)). Shared primitive: driver union-find under the
+    # edge threshold, distributed hash-min above it (operators/graph.py;
+    # this replaces the reference's unguarded driver collect,
+    # DBScan.scala:164-168 `FIXME: Bad!`).
+    from stark_spark.operators.graph import connected_components
+    comp = (connected_components(edges,
+                                 nodes=core_labs.select("_lab").distinct())
+            .select(F.col("node").alias("_lab"), "comp"))
 
     # --- relabel home rows -----------------------------------------------
     # Cluster ids are the rank of each component's minimum CORE member

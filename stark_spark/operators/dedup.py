@@ -75,6 +75,35 @@ def lsh_candidate_pairs(df: DataFrame, key: str, *, n_seeds: int = 8,
              .select("a", "b").distinct())
 
 
+def dedup_clusters(df: DataFrame, key: str, *,
+                   pairs: DataFrame | None = None, n_seeds: int = 8,
+                   rows_per_band: int = 2, shingle_k: int = 8,
+                   text_col: str = "text") -> DataFrame:
+    """Near-dup pairs → clusters → canonical keep-list: the step that
+    turns pairwise dedup output into "which rows to drop".
+
+    ``pairs``: verified/candidate pair frame with columns (a, b);
+    default = LSH banding over ``df``. Clusters are connected
+    components of the pair graph (operators/graph.py — driver
+    union-find small, hash-min propagation large); the canonical
+    representative is the MIN key per cluster (deterministic).
+    Returns (key, rep, keep) for EVERY input row — singletons are
+    their own rep with keep=true.
+    """
+    from stark_spark.operators.graph import connected_components
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, key, n_seeds=n_seeds,
+                                    rows_per_band=rows_per_band,
+                                    shingle_k=shingle_k, text_col=text_col)
+    cc = connected_components(pairs, src="a", dst="b") \
+        .withColumnRenamed("node", key)
+    return (df.select(key)
+              .join(cc, key, "left")
+              .select(F.col(key),
+                      F.coalesce("comp", F.col(key)).alias("rep"))
+              .withColumn("keep", F.col("rep") == F.col(key)))
+
+
 def ngram_jaccard_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
                         threshold: float = 0.5,
                         text_col: str = "text",

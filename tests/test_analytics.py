@@ -162,6 +162,35 @@ def test_pii_scrub(spark):
     assert got[1].t == df.collect()[1].text and got[1].ne == 0
 
 
+def test_connected_components_both_paths(spark):
+    from stark_spark.operators.graph import connected_components
+    # chain 0-1-2, pair 3-4, isolated 5 (via nodes=)
+    edges = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "a long, b long")
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "n long")
+    want = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+    for thr in (5_000_000, 0):        # driver union-find / hash-min prop
+        got = {r.node: r.comp
+               for r in connected_components(
+                   edges, nodes=nodes, driver_threshold=thr).collect()}
+        assert got == want, f"threshold={thr}"
+
+
+def test_dedup_clusters(spark, docs):
+    from stark_spark.operators.dedup import dedup_clusters
+    # explicit pair graph: {1,2,3} and {10,11} clusters over doc ids
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "a long, b long")
+    got = dedup_clusters(docs, "doc_id", pairs=pairs).toPandas()
+    assert len(got) == docs.count()
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[[1, 2, 3]].rep.tolist() == [1, 1, 1]
+    assert by_id.loc[[10, 11]].rep.tolist() == [10, 10]
+    assert bool(by_id.loc[1].keep) and not by_id.loc[[2, 3, 11]].keep.any()
+    # everyone else is their own singleton rep
+    rest = got[~got.doc_id.isin([1, 2, 3, 10, 11])]
+    assert (rest.rep == rest.doc_id).all() and rest.keep.all()
+
+
 def test_exact_dups(spark, docs):
     # duplicate some docs
     dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
