@@ -169,6 +169,22 @@ def stateful_cell_extremes(stream: DataFrame, grid: GridSpec, *,
                                     "update", "NoTimeout"))
 
 
+def stream_dedup(stream: DataFrame, *, key_cols=("fingerprint",),
+                 time_col: str = "ts",
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup — the ingest-time counterpart of the
+    batch dedup tier (operators/dedup.py): first arrival per key wins,
+    later duplicates within the watermark horizon are dropped, and the
+    engine evicts key state past the watermark (bounded state at any
+    ingest volume). For content dedup, key on
+    ``operators.text.fingerprint(text)`` / ``md5(text)`` — stateless
+    column exprs that apply to streams unchanged.
+    """
+    s = (stream.withColumn("_ts", F.col(time_col).cast("timestamp"))
+               .withWatermark("_ts", watermark))
+    return s.dropDuplicatesWithinWatermark(list(key_cols)).drop("_ts")
+
+
 def st_stream_stream_join(left: DataFrame, right: DataFrame, *,
                           grid: GridSpec,
                           left_time: str = "ts", right_time: str = "ts",

@@ -195,3 +195,24 @@ def test_stream_stream_join_matches_batch(spark, stream_dir):
              .select(F.col("l.event_id").alias("event_id"),
                      F.col("r.event_id").alias("event_id_r")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_one_row_per_key(spark, stream_dir):
+    """Watermarked streaming dedup: exactly one surviving row per key
+    across micro-batches; key set equals the batch distinct set."""
+    from stark_spark.streaming import stream_dedup
+    path, schema = stream_dir
+    s = read_event_stream(spark, path, schema, max_files=2)
+    keyed = s.withColumn("k", F.col("event_id") % 50)
+    out = stream_dedup(keyed, key_cols=("k",), time_col="ts",
+                       watermark="365 days")
+    name = _run_append(out.select("k", "event_id"))
+    got = spark.sql(f"SELECT * FROM {name}").toPandas()
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    want_keys = {r.k for r in
+                 ev.select((F.col("event_id") % 50).alias("k"))
+                   .distinct().collect()}
+    assert set(got.k) == want_keys
+    assert got.k.value_counts().max() == 1
+    # survivors are real input rows (key consistency)
+    assert ((got.event_id % 50) == got.k).all()
