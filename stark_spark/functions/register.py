@@ -154,3 +154,54 @@ RETURNS {typ} RETURN b.{field}""")
         return [int(v) for v in np.bincount(b, minlength=nb)]
 
     spark.udf.register("rasterHistogram", _raster_hist)
+
+    _register_text_functions(spark)
+
+
+def _register_text_functions(spark: SparkSession) -> None:
+    """Text-analysis tier on the SQL surface (net-new vs the reference,
+    mirroring `operators/text.py` formula-for-formula): pure-SQL scalar
+    functions, so ``SELECT quality_score(text) FROM docs`` plans the
+    same native expressions as the Python API — zero UDFs. Bodies are
+    composed inline (temp functions don't reference each other)."""
+    toks = "split(t, ' ')"
+    n = f"size({toks})"
+    stop = (f"size(filter({toks}, w -> w IN "
+            f"('the','a','of','and','to','in','is'))) / {n}")
+    punct = (f"(length(t) - length(regexp_replace(t, '[^\\\\w\\\\s]', '')))"
+             f" / length(t)")
+    bg = (f"transform(sequence(1, {n} - 1), "
+          f"i -> concat_ws(' ', element_at({toks}, i), "
+          f"element_at({toks}, i + 1)))")
+    ttr = f"size(array_distinct({toks})) / {n}"
+    toptok = (f"array_max(transform(array_distinct({toks}), "
+              f"x -> size(filter({toks}, y -> y = x)))) / {n}")
+    topbg = (f"CASE WHEN {n} >= 2 THEN "
+             f"array_max(transform(array_distinct({bg}), "
+             f"x -> size(filter({bg}, y -> y = x)))) / ({n} - 1) "
+             f"ELSE 0.0D END")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+    phone_re = "\\\\d{3}-\\\\d{3}-\\\\d{4}"
+    for name, ret, body in (
+        ("token_count", "INT", n),
+        ("avg_token_len", "DOUBLE",
+         f"length(replace(t, ' ', '')) / {n}"),
+        ("stopword_ratio", "DOUBLE", stop),
+        ("punct_ratio", "DOUBLE", punct),
+        ("quality_score", "DOUBLE",
+         f"(least({n} / 100.0D, 1.0D) + (1.0D - abs(({stop}) - 0.4D)) + "
+         f"(1.0D - least(({punct}) * 5.0D, 1.0D))) / 3.0D"),
+        ("doc_fingerprint", "STRING",
+         "array_min(transform(sequence(1, greatest(length(t) - 7, 1)), "
+         "i -> md5(substring(t, i, 8))))"),
+        ("distinct_token_ratio", "DOUBLE", ttr),
+        ("top_token_ratio", "DOUBLE", toptok),
+        ("top_bigram_ratio", "DOUBLE", topbg),
+        ("pii_scrub", "STRING",
+         f"regexp_replace(regexp_replace(t, '{email_re}', '<EMAIL>'), "
+         f"'{phone_re}', '<PHONE>')"),
+        ("pii_email_count", "INT", f"regexp_count(t, '{email_re}')"),
+        ("pii_phone_count", "INT", f"regexp_count(t, '{phone_re}')"),
+    ):
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                  f"(t STRING) RETURNS {ret} RETURN {body}")

@@ -152,3 +152,40 @@ def test_st_sto_date_arities(spark):
     assert row.a.t_start == 1704844800 == row.b.t_start
     assert row.a.t_end == row.a.t_start
     assert row.a.geom == row.b.geom is not None
+
+
+def test_sql_text_functions_match_python_api(spark, sf_dir):
+    """The SQL text surface must plan the SAME formulas as
+    operators/text.py — exact equality, not approx."""
+    from stark_spark import datasets as D
+    from stark_spark.operators import text as T
+    import pyspark.sql.functions as F
+    docs = D.load(spark, sf_dir, "documents").limit(50)
+    docs.createOrReplaceTempView("__docs_sql")
+    got = spark.sql("""
+        SELECT doc_id, token_count(text) AS n, quality_score(text) AS q,
+               doc_fingerprint(text) AS fp,
+               distinct_token_ratio(text) AS ttr,
+               top_token_ratio(text) AS tt, top_bigram_ratio(text) AS tb,
+               stopword_ratio(text) AS sw, punct_ratio(text) AS pr,
+               avg_token_len(text) AS al
+        FROM __docs_sql""").orderBy("doc_id").collect()
+    t = F.col("text")
+    want = (docs.select(
+        "doc_id", T.token_count(t).alias("n"),
+        T.quality_score(t).alias("q"), T.fingerprint(t).alias("fp"),
+        T.distinct_token_ratio(t).alias("ttr"),
+        T.top_token_ratio(t).alias("tt"), T.top_bigram_ratio(t).alias("tb"),
+        T.stopword_ratio(t).alias("sw"), T.punct_ratio(t).alias("pr"),
+        T.avg_token_len(t).alias("al")).orderBy("doc_id").collect())
+    assert got == want
+
+
+def test_sql_pii_functions(spark):
+    row = spark.sql("""
+        SELECT pii_scrub('hi a.b@c.io call 555-123-4567') AS s,
+               pii_email_count('a@b.co x y@z.io') AS ne,
+               pii_phone_count('555-123-4567, 12-34') AS np
+    """).first()
+    assert row.s == "hi <EMAIL> call <PHONE>"
+    assert (row.ne, row.np) == (2, 1)
