@@ -30,7 +30,7 @@ from stark_spark.operators import text as T
 from stark_spark.operators.dbscan import dbscan
 from stark_spark.operators.dedup import (exact_dups, lsh_candidate_pairs,
                                          minhash_signature_long,
-                                         ngram_jaccard_pairs, simhash16,
+                                         ngram_jaccard_pairs,
                                          simhash_near_pairs)
 from stark_spark.operators.join import st_join, within_distance_join
 from stark_spark.operators.knn import knn, knn_join
@@ -519,23 +519,25 @@ def _q_dedup_jaccard(spark, sf):
 
 
 def _q_dedup_clusters(spark, sf):
-    """Full near-dup pipeline: LSH candidates → n-gram Jaccard verify →
-    connected components → canonical keep-list (min doc_id per
-    cluster; singletons keep themselves)."""
-    from stark_spark.operators.dedup import dedup_clusters
+    """Full near-dup pipeline: SimHash band candidates → exact hamming
+    verify (pigeonhole-complete for the threshold) → connected
+    components → canonical keep-list (min doc_id per cluster;
+    singletons keep themselves). SimHash is the verify stage here
+    because it's exact AND near-linear; the LSH→Jaccard pair is
+    oracle-gated separately (`dedup_lsh_pairs`, `dedup_ngram_jaccard`)."""
+    from stark_spark.operators.dedup import (dedup_clusters,
+                                             simhash_near_pairs)
     docs = D.load(spark, sf, "documents")
-    cand = lsh_candidate_pairs(docs, "doc_id", n_seeds=4, rows_per_band=1,
-                               shingle_k=8)
-    verified = ngram_jaccard_pairs(docs, "doc_id", shingle_k=8,
-                                   threshold=0.12,
-                                   candidates=cand).select("a", "b")
-    return dedup_clusters(docs, "doc_id", pairs=verified)
+    pairs = simhash_near_pairs(docs, "doc_id",
+                               max_hamming=3).select("a", "b")
+    return dedup_clusters(docs, "doc_id", pairs=pairs)
 
 
 def _q_dedup_simhash(spark, sf):
+    from stark_spark.operators.dedup import simhash_fingerprints
     docs = D.load(spark, sf, "documents")
-    return docs.select("doc_id",
-                       simhash16(F.col("text"), shingle_k=4).alias("simhash"))
+    return simhash_fingerprints(docs, "doc_id", n_bits=16, shingle_k=4,
+                                out_col="simhash")
 
 
 def _q_dedup_simhash_pairs(spark, sf):
@@ -1402,23 +1404,10 @@ GROUP BY doc_id, seed""",
 {_LSH_PAIRS_CTE.format(sh=_sh(8))}
 SELECT a, b FROM lsh_pairs""",
 
-        "dedup_clusters": _LSH_PAIRS_CTE.format(sh=_sh(8)).replace(
-            "WITH ", "WITH RECURSIVE ", 1) + f""", shg AS (
-  SELECT DISTINCT doc_id, sh FROM
-    (SELECT doc_id, {_sh(8)} AS sh FROM documents) t
-), sz AS (
-  SELECT doc_id, count(*) AS sz FROM shg GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
-  FROM shg a JOIN shg b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), verified AS (
-  SELECT i.a, i.b
-  FROM inter i JOIN sz x ON x.doc_id = i.a JOIN sz y ON y.doc_id = i.b
-  JOIN lsh_pairs p ON p.a = i.a AND p.b = i.b
-  WHERE i.n_common / (x.sz + y.sz - i.n_common) >= 0.12
+        "dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_simhash64_pairs_sql(3)}
 ), sym AS (
-  SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
 ), reach(node, m) AS (
   SELECT DISTINCT a, a FROM sym
   UNION

@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "text_profile",              # native text analysis pass
     "text_repetition",           # Gopher-style repetition gates
     "dedup_minhash_sigs",        # explode + map-side-combine min
-    "dedup_clusters",            # LSH -> verify -> CC keep-list
+    "dedup_clusters",            # simhash pairs -> CC keep-list
     "dedup_simhash",             # 64 native bit-votes
     "ann_brute_topk",            # broadcast + fold dot products
     "ann_ivf_topk",              # bucketed ANN

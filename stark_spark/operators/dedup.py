@@ -110,21 +110,28 @@ def ngram_jaccard_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
                         candidates: DataFrame | None = None) -> DataFrame:
     """Pairs with char-k-gram Jaccard ≥ threshold.
 
-    Distributed shape: distinct (key, shingle) → self-join on shingle →
-    per-pair intersection counts → Jaccard vs per-doc set sizes.
-    ``candidates`` (e.g. from LSH) restricts the verified pairs — at
-    scale ALWAYS pass candidates; the shingle self-join alone explodes
-    on very common shingles.
+    Distributed shape WITHOUT candidates: distinct (key, shingle) →
+    self-join on shingle → per-pair intersection counts → Jaccard vs
+    per-doc set sizes. That self-join explodes on very common
+    shingles, so at scale ALWAYS pass ``candidates`` (e.g. from LSH):
+    the candidate-driven plan joins each pair to its two shingle sets
+    instead — O(|candidates| × shingles/doc) rows, linear in the
+    (rare at scale) candidate count, never the all-pairs blow-up.
     """
     sh = (df.select(key, F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
             .distinct())
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(key).alias("a"), "sh")
-    b = sh.select(F.col(key).alias("b"), "sh")
-    inter = (a.join(b, "sh").where(F.col("a") < F.col("b"))
-              .groupBy("a", "b").agg(F.count("*").alias("n_common")))
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        ia = (candidates.select("a", "b")
+                        .join(sh.select(F.col(key).alias("a"), "sh"), "a"))
+        inter = (ia.join(sh.select(F.col(key).alias("b"), "sh"),
+                         ["b", "sh"])
+                   .groupBy("a", "b").agg(F.count("*").alias("n_common")))
+    else:
+        a = sh.select(F.col(key).alias("a"), "sh")
+        b = sh.select(F.col(key).alias("b"), "sh")
+        inter = (a.join(b, "sh").where(F.col("a") < F.col("b"))
+                  .groupBy("a", "b").agg(F.count("*").alias("n_common")))
     sza = sizes.select(F.col(key).alias("a"), F.col("sz").alias("sz_a"))
     szb = sizes.select(F.col(key).alias("b"), F.col("sz").alias("sz_b"))
     out = (inter.join(sza, "a").join(szb, "b")
@@ -190,6 +197,55 @@ def simhash16(text: Column, *, shingle_k: int = 4) -> Column:
     return _simhash_bits(text, shingle_k, 16)
 
 
+def simhash_fingerprints(df: DataFrame, key: str, *, n_bits: int = 64,
+                         shingle_k: int = 4, text_col: str = "text",
+                         out_col: str = "fp") -> DataFrame:
+    """(key, fingerprint) frame — the fast path for corpus-scale
+    SimHash, bit-identical to the `simhash64`/`simhash16` Column spec
+    (property-tested in tests/test_analytics.py).
+
+    Why not just `df.select(simhash64(text))`: the fold Column is a
+    higher-order-function tree, and Spark HOFs are CodegenFallback —
+    interpreted per-row eval measured ~24ms/doc. This variant is the
+    explode → narrow rows → hash-aggregate shape that stays inside
+    whole-stage codegen end-to-end: explode shingles, md5 once per
+    shingle, project 16 hex nibbles, sum 4 bit-extracts per nibble
+    (n_bits sums, map-side combined), then one majority-vote + weight
+    fold over the count columns. ~100× the fold's throughput.
+
+    The input is repartitioned by ``key`` first: it moves the shuffle
+    BEFORE the heavy md5/bit map work (one text-sized shuffle, same
+    bytes as the input) and lets Catalyst drop the post-explode agg
+    exchange since the distribution already matches the groupBy.
+    Single-file local inputs would otherwise run the whole map stage
+    on one core.
+    """
+    assert n_bits % 4 == 0 and n_bits <= 64
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                            key)
+    sh = spread.select(key, F.explode(shingles(F.col(text_col),
+                                               shingle_k)).alias("sh"))
+    hx = sh.select(key, F.md5("sh").alias("h"))
+    nibs = hx.select(key, *[
+        F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"v{i}")
+        for i in range(n_bits // 4)])
+    aggs = [F.count("*").alias("n")]
+    for i in range(n_bits // 4):
+        for b in range(4):
+            aggs.append(F.sum(F.shiftright(F.col(f"v{i}"), 3 - b)
+                               .bitwiseAND(F.lit(1))).alias(f"c{i*4+b}"))
+    counts = nibs.groupBy(key).agg(*aggs)
+    fp = None
+    for j in range(n_bits):
+        # bit 0 is the MSB; for n_bits=64 the top weight wraps to the
+        # long sign bit, matching the Column spec bit-for-bit
+        w = (1 << (n_bits - 1 - j)) if (n_bits < 64 or j > 0) else -(1 << 63)
+        term = F.when(F.col(f"c{j}") * 2 >= F.col("n"),
+                      F.lit(w).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return counts.select(key, fp.alias(out_col))
+
+
 def simhash_near_pairs(df: DataFrame, key: str, *, max_hamming: int = 3,
                        text_col: str = "text") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
@@ -197,9 +253,19 @@ def simhash_near_pairs(df: DataFrame, key: str, *, max_hamming: int = 3,
     Scale shape: block on bit-bands of the fingerprint (pigeonhole: two
     fingerprints within hamming d share at least one of d+1 bands
     unchanged), verify hamming inside blocks only.
+
+    The fingerprint frame is materialized (``localCheckpoint``) before
+    the banded self-join: the 2×(d+1) branch plans would otherwise each
+    re-execute the fingerprint aggregate (no common exchange above the
+    agg for ReusedExchange to dedup), and join-key ``isnotnull``
+    pushdown re-inlines the fp expression when it is a Project alias —
+    measured minutes instead of seconds at sf0.1. The checkpointed
+    frame is (key, int64) — tiny at any corpus size; on a real cluster
+    swap for ``checkpoint()`` to reliable storage.
     """
     n_bands = max_hamming + 1
-    fp = df.select(key, simhash64(F.col(text_col)).alias("fp"))
+    fp = simhash_fingerprints(df, key, n_bits=64,
+                              text_col=text_col).localCheckpoint()
     band_width = 64 // n_bands
     bands = []
     for i in range(n_bands):
