@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 from stark_spark.operators.text import shingles
 
 
+def _spread_by_key(df: DataFrame, key: str) -> DataFrame:
+    """Repartition by ``key`` ahead of a per-doc hashing expansion.
+
+    Moves the shuffle BEFORE the heavy explode/md5 map work (shuffle
+    bytes = the input itself, before shingle expansion) and lets the
+    downstream ``groupBy(key, …)`` aggregate reuse the exchange (hash
+    distribution on a subset of the grouping keys satisfies the
+    clustering requirement). Without it a single-file local input runs
+    the whole map stage on one core — A/B at sf0.1: 8.7s → 1.0s for
+    minhash signatures.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                          key)
+
+
 def exact_dups(df: DataFrame, key: str, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content hash. Output: one row per
     duplicated content value (group size > 1): (content_hash,
@@ -46,7 +61,8 @@ def minhash_signature_long(df: DataFrame, key: str, *, n_seeds: int = 8,
     # variant (avoiding the ×n_seeds explode) was A/B-measured 2×
     # SLOWER at sf0.1 (4.4s vs 2.0s) — the narrow-row explode + one
     # min(string) per (key, seed) group wins under whole-stage codegen.
-    sh = df.select(key, F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
+    sh = _spread_by_key(df, key).select(
+        key, F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_seeds - 1))).alias("seed")
     return (sh.select(key, seeds, F.col("sh"))
               .select(key, "seed",
@@ -118,8 +134,9 @@ def ngram_jaccard_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
     instead — O(|candidates| × shingles/doc) rows, linear in the
     (rare at scale) candidate count, never the all-pairs blow-up.
     """
-    sh = (df.select(key, F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
-            .distinct())
+    sh = (_spread_by_key(df, key)
+          .select(key, F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
+          .distinct())
     sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
     if candidates is not None:
         ia = (candidates.select("a", "b")
@@ -221,8 +238,7 @@ def simhash_fingerprints(df: DataFrame, key: str, *, n_bits: int = 64,
     on one core.
     """
     assert n_bits % 4 == 0 and n_bits <= 64
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism,
-                            key)
+    spread = _spread_by_key(df, key)
     sh = spread.select(key, F.explode(shingles(F.col(text_col),
                                                shingle_k)).alias("sh"))
     hx = sh.select(key, F.md5("sh").alias("h"))
