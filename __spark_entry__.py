@@ -33,6 +33,7 @@ from stark_spark.operators.dedup import (exact_dups, lsh_candidate_pairs,
                                          ngram_jaccard_pairs,
                                          simhash_near_pairs)
 from stark_spark.operators.join import st_join, within_distance_join
+from stark_spark.operators.sampling import BUCKETS as SAMPLE_BUCKETS
 from stark_spark.operators.knn import knn, knn_join
 from stark_spark.operators.similarity import (brute_force_topk,
                                               cosine_dup_pairs, ivf_topk)
@@ -797,6 +798,48 @@ def _q_pii_scrub(spark, sf):
                         F.md5(T.pii_scrub(F.col("t"))).alias("scrub_md5")))
 
 
+def _q_sample_deterministic(spark, sf):
+    """Reproducible hash sampling + leakage-free split: the two
+    row-local curation primitives (no shuffle; membership is a pure
+    function of the key, so re-runs and corpus growth agree)."""
+    from stark_spark.operators.sampling import (deterministic_sample,
+                                                train_test_split)
+    docs = D.load(spark, sf, "documents")
+    out = deterministic_sample(docs, "doc_id", 0.3)
+    return (train_test_split(out, "doc_id", 0.25)
+            .select("doc_id", "source", "split"))
+
+
+def _q_sample_stratified(spark, sf):
+    """Per-stratum deterministic downsampling (the common-language /
+    common-source rebalance every training mix needs)."""
+    from stark_spark.operators.sampling import stratified_sample
+    docs = D.load(spark, sf, "documents")
+    out = stratified_sample(docs, "doc_id", "lang",
+                            {"en": 0.2, "zh": 0.8}, default=0.5)
+    return out.select("doc_id", "lang")
+
+
+def _q_pack_shards(spark, sf):
+    """Token-budget shard packing via the two-phase distributed prefix
+    sum (never a global single-partition window): rows in
+    deterministic hash order, shard = floor(cum_before / capacity)."""
+    from stark_spark.operators.sampling import pack_shards
+    docs = D.load(spark, sf, "documents")
+    docs = docs.withColumn("n_tokens",
+                           T.token_count(F.col("text")).cast("long"))
+    out = pack_shards(docs, "doc_id", "n_tokens", 20000)
+    return out.select("doc_id", "n_tokens", "shard")
+
+
+def _q_length_quantiles(spark, sf):
+    """Exact per-group discrete quantiles (order-statistic pick — no
+    interpolation arithmetic to diverge between engines)."""
+    from stark_spark.operators.sampling import group_quantiles
+    docs = D.load(spark, sf, "documents")
+    return group_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.9])
+
+
 def _emb_queries(spark, sf, n):
     emb = D.load(spark, sf, "embeddings")
     q = (emb.where(F.col("vec_id") < n)
@@ -876,6 +919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _q_lang_distribution,
         "text_repetition": _q_text_repetition,
         "pii_scrub": _q_pii_scrub,
+        "sample_deterministic": _q_sample_deterministic,
+        "sample_stratified": _q_sample_stratified,
+        "pack_shards": _q_pack_shards,
+        "length_quantiles": _q_length_quantiles,
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
@@ -891,6 +938,15 @@ def _simhash_bit_sql(j: int, hcol: str = "h") -> str:
     nib, bit = divmod(j, 4)
     chars = {0: "89abcdef", 1: "4567cdef", 2: "2367abef", 3: "13579bdf"}[bit]
     return f"strpos('{chars}', substr({hcol}, {nib + 1}, 1)) > 0"
+
+
+def _hex7_sql(hcol: str) -> str:
+    """First 7 hex digits of an md5 column as an integer — the DuckDB
+    mirror of `sampling.hash_bucket` (Spark `conv(substring(h,1,7),
+    16,10)`); DuckDB has no base-16 conv, so parse per digit."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hcol}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (6 - i)}" for i in range(7))
 
 
 def _simhash16_sql() -> str:
@@ -1523,6 +1579,62 @@ FROM (
          ELSE '' END AS t
   FROM documents
 ) s""",
+
+        "sample_deterministic": f"""
+WITH h AS (
+  SELECT doc_id, source,
+    md5('|' || CAST(doc_id AS VARCHAR)) AS h1,
+    md5('split|' || CAST(doc_id AS VARCHAR)) AS h2
+  FROM documents
+), b AS (
+  SELECT doc_id, source, {_hex7_sql('h1')} AS bucket,
+         {_hex7_sql('h2')} AS sbucket
+  FROM h
+)
+SELECT doc_id, source,
+  CASE WHEN sbucket < {int(0.25 * SAMPLE_BUCKETS)} THEN 'test'
+       ELSE 'train' END AS split
+FROM b WHERE bucket < {int(0.3 * SAMPLE_BUCKETS)}""",
+
+        "sample_stratified": f"""
+WITH h AS (
+  SELECT doc_id, lang, md5('|' || CAST(doc_id AS VARCHAR)) AS h1
+  FROM documents
+)
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang, {_hex7_sql('h1')} AS bucket FROM h)
+WHERE bucket < CASE lang WHEN 'en' THEN {int(0.2 * SAMPLE_BUCKETS)}
+                         WHEN 'zh' THEN {int(0.8 * SAMPLE_BUCKETS)}
+                         ELSE {int(0.5 * SAMPLE_BUCKETS)} END""",
+
+        "pack_shards": f"""
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    md5('shard|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens, {_hex7_sql('hh')} AS hv FROM h
+), c AS (
+  SELECT doc_id, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY hv, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM b
+)
+SELECT doc_id, n_tokens,
+  CAST(floor((cum - n_tokens) / 20000) AS BIGINT) AS shard
+FROM c""",
+
+        "length_quantiles": """
+WITH r AS (
+  SELECT lang, n_chars AS value,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, q, value
+FROM r JOIN (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE)) qs(q)
+  ON rn = greatest(CAST(ceil(q * n) AS BIGINT), 1)""",
 
         "ann_brute_topk": f"""
 SELECT q_id, vec_id, cos, rank FROM (

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "text_repetition",           # Gopher-style repetition gates
     "dedup_minhash_sigs",        # explode + map-side-combine min
     "dedup_clusters",            # simhash pairs -> CC keep-list
+    "pack_shards",               # two-phase distributed prefix sum
+    "sample_stratified",         # row-local deterministic sampling
     "dedup_simhash",             # 64 native bit-votes
     "ann_brute_topk",            # broadcast + fold dot products
     "ann_ivf_topk",              # bucketed ANN

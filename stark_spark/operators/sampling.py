@@ -1,0 +1,155 @@
+"""Deterministic sampling, splitting, and shard packing for
+training-data pipelines.
+
+Net-new beyond the reference (training-data-pipeline tier, like
+operators/dedup.py). Design constraints:
+
+* **no randomness** — every op derives from ``md5(salt | key)``, so a
+  pipeline re-run (or a DuckDB oracle) reproduces the exact same
+  sample/split/shard assignment. ``rand()`` would be neither
+  re-runnable nor oracle-checkable, and real curation pipelines need
+  reproducible membership anyway (audit, leakage checks, incremental
+  re-runs).
+* **scale shape** — sampling/splitting are stateless row-local
+  filters (no shuffle at all); shard packing is the only op that
+  needs global state (a running sum) and implements it as a
+  two-phase distributed prefix sum, never a single global window.
+
+The hash bucket is the first 7 hex digits of md5 (28 bits) — small
+enough for exact integer arithmetic in both Spark (``conv``) and
+DuckDB (per-digit ``strpos`` parse, see __spark_entry__.py oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: size of the hash-bucket space (28 bits).
+BUCKETS = 1 << 28
+
+
+def hash_bucket(key: Column, *, salt: str = "") -> Column:
+    """Uniform deterministic bucket in ``[0, BUCKETS)`` from a key
+    column. ``salt`` decouples independent decisions made from the
+    same key (sample vs split vs shard order)."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long")
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float, *,
+                         salt: str = "") -> DataFrame:
+    """Keep a reproducible ``fraction`` of rows by key hash.
+
+    Row-local filter — no shuffle, no state; membership is a pure
+    function of (key, salt), so re-runs and incremental extensions of
+    the corpus agree on every row they share. Catalyst pushes the
+    filter to the scan like any other predicate.
+    """
+    return df.where(hash_bucket(F.col(key), salt=salt)
+                    < int(fraction * BUCKETS))
+
+
+def train_test_split(df: DataFrame, key: str, test_fraction: float, *,
+                     salt: str = "split") -> DataFrame:
+    """Adds a ``split`` column ('test' / 'train') by key hash —
+    deterministic, leakage-free (a key always lands on the same side,
+    even across pipeline re-runs and corpus growth)."""
+    test = hash_bucket(F.col(key), salt=salt) < int(test_fraction * BUCKETS)
+    return df.withColumn("split", F.when(test, F.lit("test"))
+                                    .otherwise(F.lit("train")))
+
+
+def stratified_sample(df: DataFrame, key: str, strata_col: str,
+                      fractions: dict[str, float], *,
+                      default: float = 0.0, salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample common
+    languages, keep all rare ones). ``fractions`` maps stratum value →
+    keep fraction; unlisted strata use ``default``. Row-local filter,
+    no shuffle."""
+    thr = F.lit(int(default * BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(int(frac * BUCKETS))).otherwise(thr)
+    return df.where(hash_bucket(F.col(key), salt=salt) < thr)
+
+
+def pack_shards(df: DataFrame, key: str, weight_col: str,
+                capacity: int, *, salt: str = "shard",
+                n_buckets: int = 256) -> DataFrame:
+    """Assign rows to fixed-capacity training shards by a global
+    running sum of ``weight_col`` (e.g. token counts) in deterministic
+    hash order: ``shard = floor(cum_before / capacity)``.
+
+    A naive ``sum() OVER (ORDER BY …)`` is a single-partition global
+    window — the classic scale killer. This is the two-phase
+    distributed prefix sum instead:
+
+    1. bucket rows by the TOP bits of the order hash (so bucket order
+       == global hash order), aggregate one weight total per bucket,
+       and collect just those ``n_buckets`` totals to the driver —
+       a tiny, bounded transfer at any corpus size;
+    2. per-bucket windows (parallel across buckets) compute local
+       running sums; a broadcast join adds each bucket's global
+       offset.
+
+    Rows may straddle a shard boundary (document-level sharding —
+    every row belongs to exactly one shard; shards fill to ≥capacity
+    except the last). Output: input columns + ``shard``.
+    """
+    bucket_width = BUCKETS // n_buckets
+    h = hash_bucket(F.col(key), salt=salt)
+    rows = df.withColumn("_h", h).withColumn(
+        "_bucket", (F.col("_h") / bucket_width).cast("int"))
+
+    totals = (rows.groupBy("_bucket")
+                  .agg(F.sum(weight_col).alias("_total"))
+                  .orderBy("_bucket")
+                  .collect())
+    offset = 0
+    offsets = []
+    for r in totals:
+        offsets.append((r["_bucket"], offset))
+        offset += r["_total"]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offsets, "_bucket int, _offset long")
+
+    w = (Window.partitionBy("_bucket")
+               .orderBy("_h", key)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = rows.withColumn("_cum", F.sum(weight_col).over(w))
+    out = (local.join(F.broadcast(off_df), "_bucket")
+                .withColumn("shard",
+                            F.floor((F.col("_cum") + F.col("_offset")
+                                     - F.col(weight_col))
+                                    / F.lit(capacity)))
+                .drop("_h", "_bucket", "_cum", "_offset"))
+    return out
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    qs: list[float]) -> DataFrame:
+    """Exact discrete quantiles per group (lower order statistic:
+    the value at row ``ceil(q*n)`` of the sorted group — DuckDB's
+    ``quantile_disc`` definition, deterministic on any dtype, no
+    interpolation arithmetic to diverge between engines).
+
+    Scale shape: one shuffle on the group key, per-group sort inside
+    the window — no global ordering. Output: (group, q, value).
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    ranked = (df.select(group_col, value_col)
+                .withColumn("_rn", F.row_number().over(w))
+                .withColumn("_n", F.count("*").over(
+                    Window.partitionBy(group_col))))
+    parts = []
+    for q in qs:
+        pick = F.ceil(F.lit(q) * F.col("_n"))
+        parts.append(ranked.where(F.col("_rn") == F.greatest(pick, F.lit(1)))
+                           .select(F.col(group_col),
+                                   F.lit(q).alias("q"),
+                                   F.col(value_col).alias("value")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,108 @@
+"""Deterministic sampling / splitting / shard-packing tests
+(operators/sampling.py) — verified against exact pandas
+recomputations of the hash arithmetic and the packing invariants.
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stark_spark import datasets as D
+from stark_spark.operators.sampling import (BUCKETS, deterministic_sample,
+                                            group_quantiles, pack_shards,
+                                            stratified_sample,
+                                            train_test_split)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return D.load(spark, sf_dir, "documents").cache()
+
+
+def _bucket(key, salt=""):
+    return int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:7], 16)
+
+
+def test_deterministic_sample_matches_python_hash(docs):
+    got = {r.doc_id for r in
+           deterministic_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want = {k for k in all_ids if _bucket(k) < int(0.3 * BUCKETS)}
+    assert got == want
+    assert 0 < len(got) < len(all_ids)
+
+
+def test_sample_fractions_nest(docs):
+    """Thresholded hash membership is monotone: sample(0.2) is a
+    subset of sample(0.4) — the property that makes incremental
+    corpus growth consistent."""
+    small = {r.doc_id for r in
+             deterministic_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    big = {r.doc_id for r in
+           deterministic_sample(docs, "doc_id", 0.4).select("doc_id").collect()}
+    assert small <= big
+
+
+def test_train_test_split_partitions_and_reproduces(docs):
+    out = train_test_split(docs, "doc_id", 0.25).select("doc_id", "split")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert set(rows) == {r.doc_id for r in docs.select("doc_id").collect()}
+    again = {r.doc_id: r.split for r in
+             train_test_split(docs, "doc_id", 0.25)
+             .select("doc_id", "split").collect()}
+    assert rows == again
+    n_test = sum(1 for s in rows.values() if s == "test")
+    assert 0.15 < n_test / len(rows) < 0.35
+
+
+def test_stratified_sample_respects_per_stratum_thresholds(docs):
+    out = stratified_sample(docs, "doc_id", "lang",
+                            {"en": 0.1, "zh": 0.9}, default=0.5)
+    got = {(r.doc_id, r.lang) for r in out.select("doc_id", "lang").collect()}
+    frac = {"en": 0.1, "zh": 0.9}
+    for r in docs.select("doc_id", "lang").collect():
+        keep = _bucket(r.doc_id) < int(frac.get(r.lang, 0.5) * BUCKETS)
+        assert ((r.doc_id, r.lang) in got) == keep
+
+
+def test_pack_shards_matches_sequential_packing(docs):
+    cap = 20000
+    docs_w = docs.withColumn("w", F.size(F.split(F.col("text"), " "))
+                                   .cast("long"))
+    out = pack_shards(docs_w, "doc_id", "w", cap)
+    got = {r.doc_id: r.shard for r in out.select("doc_id", "shard").collect()}
+
+    rows = sorted(
+        ((_bucket(k, "shard"), k, w) for k, w in
+         ((r.doc_id, r.w) for r in docs_w.select("doc_id", "w").collect())))
+    cum, want = 0, {}
+    for _, k, w in rows:
+        want[k] = cum // cap
+        cum += w
+    assert got == want
+    # every shard except the last spans >= capacity worth of weight
+    shard_tot = {}
+    for _, k, w in rows:
+        shard_tot[want[k]] = shard_tot.get(want[k], 0) + w
+    last = max(shard_tot)
+    assert set(shard_tot) == set(range(last + 1))
+    max_w = max(w for _, _, w in rows)
+    for s, tot in shard_tot.items():
+        if s != last:
+            assert tot >= cap - max_w
+
+
+def test_group_quantiles_match_sorted_pick(docs):
+    qs = [0.25, 0.5, 0.9]
+    got = {(r.lang, r.q): r.value for r in
+           group_quantiles(docs, "lang", "n_chars", qs).collect()}
+    by_lang = {}
+    for r in docs.select("lang", "n_chars").collect():
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        for q in qs:
+            pick = max(math.ceil(q * len(vals)), 1)
+            assert got[(lang, q)] == vals[pick - 1], (lang, q)
