@@ -866,6 +866,25 @@ def _q_ann_dup_pairs(spark, sf):
     return cosine_dup_pairs(emb, 0.4)
 
 
+def _q_ann_knn_join(spark, sf, score="fold"):
+    """All-corpus ANN neighbor graph (top-3 per vector, IVF-bucketed,
+    self excluded) — the scale shape behind embedding dedup and
+    retrieval-index builds; never all-pairs. The oracle gates the
+    fold-scored twin (bit-identical to DuckDB list_reduce); the gemm
+    entry below is the production scorer (per-bucket BLAS matmul),
+    rows-only checked here and rank-equality-gated in pytest."""
+    from stark_spark.operators.similarity import ann_knn_join
+    emb = D.load(spark, sf, "embeddings")
+    cent = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    return ann_knn_join(emb, cent, 3, n_probe=2, score=score)
+
+
+def _q_ann_knn_join_gemm(spark, sf):
+    return _q_ann_knn_join(spark, sf, score="gemm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "st_filter_rect_timed": _q_filter_rect_timed,
@@ -925,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_knn_join": _q_ann_knn_join,
+        "ann_knn_join_gemm": _q_ann_knn_join_gemm,
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
     }
 
@@ -1666,6 +1687,30 @@ SELECT q_id, vec_id, cos, rank FROM (
       ORDER BY {_cos('a.embedding', 'p.q_embedding')} DESC, a.vec_id) AS INT) AS rank
   FROM assigned a JOIN probes p USING (bucket)
 ) t WHERE rank <= 5""",
+
+        "ann_knn_join": f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT v.vec_id, v.embedding, c.vec_id AS bucket,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {_cos('v.embedding', 'c.embedding')} DESC, c.vec_id) AS rn
+    FROM embeddings v, embeddings c WHERE c.vec_id < 8
+  ) t WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_embedding, bucket FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_embedding, c.vec_id AS bucket,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_cos('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rn
+    FROM embeddings q, embeddings c WHERE c.vec_id < 8
+  ) t WHERE rn <= 2
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT p.q_id, a.vec_id, {_cos('a.embedding', 'p.q_embedding')} AS cos,
+    CAST(row_number() OVER (PARTITION BY p.q_id
+      ORDER BY {_cos('a.embedding', 'p.q_embedding')} DESC, a.vec_id) AS INT) AS rank
+  FROM assigned a JOIN probes p USING (bucket)
+  WHERE a.vec_id <> p.q_id
+) t WHERE rank <= 3""",
 
         "ann_cosine_dup_pairs": f"""
 SELECT a.vec_id AS a, b.vec_id AS b,

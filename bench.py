@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_simhash",             # 64 native bit-votes
     "ann_brute_topk",            # broadcast + fold dot products
     "ann_ivf_topk",              # bucketed ANN
+    "ann_knn_join_gemm",         # all-corpus neighbor graph, bucket GEMM
 ]
 
 

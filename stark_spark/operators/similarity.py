@@ -106,6 +106,100 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
              .select(qkey, key, "cos", F.col("_rn").alias("rank")))
 
 
+def ann_knn_join(vectors: DataFrame, centroids: DataFrame, k: int, *,
+                 n_probe: int = 2, key: str = "vec_id",
+                 vec_col: str = "embedding",
+                 score: str = "gemm") -> DataFrame:
+    """ANN k-NN **join**: top-k most-similar OTHER vectors for EVERY
+    vector (not a small query set) — the all-corpus neighbor graph
+    behind embedding dedup, clustering, and retrieval-index builds.
+
+    Scale shape: IVF-bucketed, never all-pairs. Every vector is
+    assigned to its nearest centroid (broadcast pass); as a query it
+    probes its ``n_probe`` nearest buckets; candidates come from one
+    shuffle join on ``bucket``. With C centroids the candidate volume
+    is N·n_probe·(N/C) — choose C ≈ √N (or k-means centroids from
+    `kmeans_centroids`) and the join is N^1.5 instead of N²; hot
+    buckets are AQE-skew-join territory, and bucketed storage
+    (`partitionBy(bucket)`) makes the probe prune at file level.
+
+    ``score`` picks the candidate-scoring engine:
+
+    * ``"gemm"`` (default, the production path): cogrouped
+      `applyInPandas` per bucket — each bucket's vectors cross Arrow
+      ONCE, one BLAS matmul scores every (probe × member) pair, local
+      top-k per query, then a tiny global window merges across the
+      n_probe buckets. 1M interpreted-fold evaluations become a few
+      matrix multiplies (A/B at sf0.1: 18.2s → see bench).
+    * ``"fold"``: native `zip_with`+`aggregate` per candidate pair —
+      slow (higher-order fns are CodegenFallback) but bit-identical to
+      the DuckDB `list_reduce` oracle; the correctness twin.
+      `test_analytics.py` asserts gemm == fold on ranks.
+
+    Output: (q_id, key, cos, rank), self-matches excluded,
+    deterministic tie-break on key.
+    """
+    from pyspark.sql import Window
+    assigned = ivf_assign(vectors, centroids, key=key, vec_col=vec_col)
+    qc = (vectors.select(F.col(key).alias("q_id"),
+                         F.col(vec_col).alias("q_embedding"))
+                 .crossJoin(F.broadcast(centroids))
+                 .withColumn("_cos", cosine(F.col("q_embedding"),
+                                            F.col("c_embedding"))))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.col("c_id"))
+    probes = (qc.withColumn("_rn", F.row_number().over(wq))
+                .where(F.col("_rn") <= n_probe)
+                .select("q_id", "q_embedding", F.col("c_id").alias("bucket")))
+
+    if score == "fold":
+        j = (assigned.join(probes, "bucket")
+                     .where(F.col(key) != F.col("q_id"))
+                     .withColumn("cos", cosine(F.col(vec_col),
+                                               F.col("q_embedding"))))
+        scored = j.select("q_id", key, "cos")
+    else:
+        import numpy as np
+        import pandas as pd
+        key_type = dict(vectors.dtypes)[key]
+
+        def bucket_topk(members: pd.DataFrame,
+                        bucket_probes: pd.DataFrame) -> pd.DataFrame:
+            if members.empty or bucket_probes.empty:
+                return pd.DataFrame({"q_id": [], key: [], "cos": []})
+            M = np.vstack(members[vec_col].to_numpy()).astype(np.float64)
+            Q = np.vstack(bucket_probes["q_embedding"].to_numpy()) \
+                  .astype(np.float64)
+            mids = members[key].to_numpy()
+            qids = bucket_probes["q_id"].to_numpy()
+            cos = (Q @ M.T) / np.outer(np.linalg.norm(Q, axis=1),
+                                       np.linalg.norm(M, axis=1))
+            out_q, out_v, out_c = [], [], []
+            # local top-k per probing query (merge across buckets is
+            # the window below); argsort on (-cos, member id) for the
+            # deterministic tie-break
+            order_ids = np.argsort(mids, kind="stable")
+            for qi in range(len(qids)):
+                row = cos[qi]
+                keep = mids != qids[qi]
+                cand = order_ids[keep[order_ids]]
+                top = cand[np.argsort(-row[cand], kind="stable")[:k]]
+                out_q.extend([qids[qi]] * len(top))
+                out_v.extend(mids[top])
+                out_c.extend(row[top])
+            return pd.DataFrame({"q_id": out_q, key: out_v, "cos": out_c})
+
+        scored = (assigned.groupBy("bucket")
+                  .cogroup(probes.groupBy("bucket"))
+                  .applyInPandas(bucket_topk,
+                                 f"q_id {key_type}, {key} {key_type}, "
+                                 f"cos double"))
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(key))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= k)
+                  .select("q_id", key, "cos", F.col("_rn").alias("rank")))
+
+
 def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
                      key: str = "vec_id", vec_col: str = "embedding",
                      centroids: DataFrame | None = None) -> DataFrame:

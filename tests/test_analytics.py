@@ -271,6 +271,43 @@ def emb(spark, sf_dir):
     return D.load(spark, sf_dir, "embeddings").cache()
 
 
+def test_ann_knn_join_single_bucket_is_exact(spark, emb):
+    """With one centroid every vector lands in one bucket, so the IVF
+    knn-join must equal exact brute force (self excluded)."""
+    from stark_spark.operators.similarity import ann_knn_join
+    sub = emb.where(F.col("vec_id") < 40)
+    cent = sub.limit(1).select(F.col("vec_id").alias("c_id"),
+                               F.col("embedding").alias("c_embedding"))
+    got = ann_knn_join(sub, cent, 3, n_probe=1).toPandas()
+    pdf = sub.select("vec_id", "embedding").toPandas()
+    M = np.vstack(pdf.embedding.to_numpy()).astype(float)
+    norms = np.linalg.norm(M, axis=1)
+    ids = pdf.vec_id.to_numpy()
+    for q_id, grp in got.groupby("q_id"):
+        qi = np.where(ids == q_id)[0][0]
+        cos = (M @ M[qi]) / (norms * norms[qi])
+        order = sorted(zip(-cos, ids))
+        want = [int(v) for c, v in order if v != q_id][:3]
+        assert list(grp.sort_values("rank").vec_id) == want, q_id
+        assert q_id not in set(grp.vec_id)
+
+
+def test_ann_knn_join_gemm_matches_fold(spark, emb):
+    """The production (per-bucket BLAS) scorer must rank identically
+    to the oracle-exact fold scorer; cos agrees to fp noise."""
+    from stark_spark.operators.similarity import ann_knn_join
+    cent = (emb.where(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    fold = ann_knn_join(emb, cent, 3, n_probe=2, score="fold").toPandas()
+    gemm = ann_knn_join(emb, cent, 3, n_probe=2, score="gemm").toPandas()
+    key = ["q_id", "vec_id", "rank"]
+    f = fold.sort_values(key).reset_index(drop=True)
+    g = gemm.sort_values(key).reset_index(drop=True)
+    assert f[key].equals(g[key])
+    assert np.allclose(f.cos, g.cos, atol=1e-12)
+
+
 def _np_cosine_topk(vec_pdf, q, k):
     M = np.vstack(vec_pdf.embedding.to_numpy())
     qv = np.asarray(q)
