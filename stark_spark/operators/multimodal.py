@@ -6,13 +6,20 @@ reference surface is the one-image-per-file raster loader
 
 Design: media rides in a ``content: binary`` column with a typed
 metadata struct; decode / feature-extract / resize / frame-sample are
-``mapInPandas`` passes (Arrow batches, numpy kernels). The decode step
-itself is environment-gated: with PIL/soundfile installed the real
-decoders run; in this container they are replaced by a DETERMINISTIC
-FAKE decoder (clearly marked) that synthesizes pixel/sample arrays
-from the bytes' md5 — every downstream kernel (stats, resize,
-frame sampling) is REAL numpy math and fully tested, so swapping the
-decoder is a one-function change.
+``mapInPandas`` passes (Arrow batches, numpy kernels). Decoder
+resolution order per blob:
+
+1. **PIL**, when installed (any format);
+2. **PNG**: the repo's own pure stdlib/numpy reader
+   (`functions.visualize._png_decode` — 8-bit gray/RGB/RGBA, all five
+   scanline filters) — REAL image decoding with zero native deps,
+   round-trip-tested against the matching in-repo encoder;
+3. anything else: a DETERMINISTIC FAKE (clearly marked) that
+   synthesizes pixels from the bytes' md5, so JPEG/etc. pipelines
+   still exercise the full Spark plumbing in this container.
+
+Every downstream kernel (stats, resize, frame sampling) is REAL numpy
+math regardless of which decoder fired.
 
 At scale: binary payloads never shuffle — all passes are narrow
 projections; metadata-only pipelines should ``select`` away ``content``
@@ -69,6 +76,12 @@ def _decode(content: bytes) -> np.ndarray:
         import io
         from PIL import Image
         return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        from stark_spark.functions.visualize import _png_decode
+        arr = _png_decode(content)
+        if arr.ndim == 2:                       # gray -> RGB
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        return np.ascontiguousarray(arr[:, :, :3])   # RGBA -> RGB
     return _fake_decode_image(content)
 
 

@@ -13,7 +13,8 @@ from pyspark.sql import functions as F
 from stark_spark import datasets as D
 from stark_spark.functions.visualize import render_points
 from stark_spark.operators.multimodal import (audio_features, image_features,
-                                              resize_images, sample_frames)
+                                              read_binary_dir, resize_images,
+                                              sample_frames)
 from stark_spark.partitioner import (GridSpec, partition_hint,
                                      str_partitioner)
 
@@ -98,6 +99,41 @@ def test_audio_features(media):
     out = audio_features(media).collect()
     for r in out:
         assert r.n_samples >= 1000 and r.rms > 0 and r.zero_crossings > 0
+
+
+def test_png_content_decodes_for_real(spark, tmp_path):
+    """PNG blobs take the REAL pure-numpy decode path (the in-repo
+    reader, no PIL): features/resize computed through the full Spark
+    pipeline must equal numpy ground truth on the source arrays —
+    including gray and RGBA flavors (channel-normalized to RGB)."""
+    from stark_spark.functions.visualize import _png_encode
+    rng = np.random.RandomState(7)
+    imgs = {
+        "rgb": rng.randint(0, 256, (11, 7, 3), dtype=np.uint8),
+        "gray": rng.randint(0, 256, (9, 13), dtype=np.uint8),
+        "rgba": rng.randint(0, 256, (5, 6, 4), dtype=np.uint8),
+    }
+    d = tmp_path / "png"
+    d.mkdir()
+    for name, arr in imgs.items():
+        (d / f"{name}.png").write_bytes(_png_encode(arr))
+    df = read_binary_dir(spark, str(d), "*.png")
+    got = {r.path.rsplit("/", 1)[-1][:-4]: r
+           for r in image_features(df).collect()}
+    for name, arr in imgs.items():
+        rgb = (np.repeat(arr[:, :, None], 3, axis=2) if arr.ndim == 2
+               else arr[:, :, :3]).astype(np.float64)
+        r = got[name]
+        assert (r.width, r.height) == (arr.shape[1], arr.shape[0])
+        assert np.allclose(r.mean_rgb, rgb.mean(axis=(0, 1)))
+        assert np.allclose(r.std_rgb, rgb.std(axis=(0, 1)))
+    # resize: nearest-neighbor on the decoded array, bit-exact
+    rz = {r.path.rsplit("/", 1)[-1][:-4]: r
+          for r in resize_images(df, 4, 3).collect()}
+    arr = imgs["rgb"]
+    ji = (np.arange(3) * arr.shape[0] // 3)[:, None]
+    ii = (np.arange(4) * arr.shape[1] // 4)[None, :]
+    assert bytes(rz["rgb"].pixels) == arr[ji, ii].tobytes()
 
 
 # ------------------------------------------------------------- visualize
