@@ -798,6 +798,25 @@ def _q_pii_scrub(spark, sf):
                         F.md5(T.pii_scrub(F.col("t"))).alias("scrub_md5")))
 
 
+def _q_st_semi_join(spark, sf, anti=False):
+    """Spatial semi/anti join (net-new; reference joins are
+    inner-only): events that fall inside ≥1 (semi) / 0 (anti) nation
+    boxes. Points ride the declared-rect fast path (a point is a
+    degenerate rectangle), so the candidate plan is fully native
+    closed-bbox algebra — exact for intersects."""
+    from stark_spark.operators.join import st_semi_join
+    ev = D.st_events(spark, sf, keep_geom=False)
+    boxes = _nation_boxes(spark, sf).drop("geom")
+    out = st_semi_join(ev, boxes, "intersects", left_key="event_id",
+                       anti=anti, grid=GRID, left_rect=True,
+                       right_rect=True)
+    return out.select("event_id", "x", "y")
+
+
+def _q_st_anti_join(spark, sf):
+    return _q_st_semi_join(spark, sf, anti=True)
+
+
 def _q_sample_deterministic(spark, sf):
     """Reproducible hash sampling + leakage-free split: the two
     row-local curation primitives (no shuffle; membership is a pure
@@ -902,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_open": _q_interval_join_open,
         "as_of_join": _q_as_of_join,
         "within_distance_join": _q_within_distance_join,
+        "st_semi_join": _q_st_semi_join,
+        "st_anti_join": _q_st_anti_join,
         "within_distance_filter": _q_within_distance_filter,
         "knn_events": _q_knn_events,
         "knn_weighted_st": _q_knn_weighted_st,
@@ -1212,6 +1233,22 @@ SELECT event_id, value AS x, {EV_Y} AS y FROM events
 WHERE value <= 65.0 AND value >= 35.0
   AND ({EV_Y}) <= 65.0 AND ({EV_Y}) >= 35.0
   AND {dist_q} <= 15.0""",
+
+        "st_semi_join": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE EXISTS (SELECT 1 FROM nation
+  WHERE value >= ((n_nationkey * {PX}) % 1000) / 10.0 - 8.0
+    AND value <= ((n_nationkey * {PX}) % 1000) / 10.0 + 8.0
+    AND ({EV_Y}) >= ((n_nationkey * {PY}) % 1000) / 10.0 - 8.0
+    AND ({EV_Y}) <= ((n_nationkey * {PY}) % 1000) / 10.0 + 8.0)""",
+
+        "st_anti_join": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE NOT EXISTS (SELECT 1 FROM nation
+  WHERE value >= ((n_nationkey * {PX}) % 1000) / 10.0 - 8.0
+    AND value <= ((n_nationkey * {PX}) % 1000) / 10.0 + 8.0
+    AND ({EV_Y}) >= ((n_nationkey * {PY}) % 1000) / 10.0 - 8.0
+    AND ({EV_Y}) <= ((n_nationkey * {PY}) % 1000) / 10.0 + 8.0)""",
 
         "knn_events": f"""
 SELECT event_id, {dist_q} AS dist FROM events

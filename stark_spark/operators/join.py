@@ -206,6 +206,31 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
                    expand, rect_exact).drop("_cell")
 
 
+def st_semi_join(left: DataFrame, right: DataFrame,
+                 predicate: str = "intersects", *, left_key: str,
+                 anti: bool = False, **st_join_kwargs) -> DataFrame:
+    """Spatial semi/anti join: the left rows that have (``anti=False``)
+    or lack (``anti=True``) at least one right match under the ST
+    predicate. Returns LEFT rows unchanged — no right payload, no
+    duplicates.
+
+    Absent in the reference (its joins are inner-only,
+    `SpatialJoinRDD.scala:60-132`); a DataFrame engine gets it almost
+    for free: run the same grid/broadcast candidate+refine plan,
+    reduce to DISTINCT matched left keys (map-side combined — the key
+    set is tiny relative to the pair set), and hash semi/anti join
+    back on the key. AQE broadcasts the key set when small, so the
+    second pass is usually shuffle-free on the left.
+
+    ``st_join_kwargs`` pass through (grid, left_points/right_points,
+    left_rect/right_rect, on_time, broadcast, expand, skew guard).
+    """
+    matched = (st_join(left, right, predicate, **st_join_kwargs)
+               .select(left_key).distinct())
+    return left.join(matched, left_key,
+                     "left_anti" if anti else "left_semi")
+
+
 def _bbox_overlap_expand(suffix: str, d: float) -> Column:
     return ((F.col("xmin") - F.lit(d) <= F.col("xmax" + suffix)) &
             (F.col("xmin" + suffix) <= F.col("xmax") + F.lit(d)) &

@@ -351,3 +351,42 @@ def test_within_distance_join_nonpoint(spark):
     got_b = within_distance_join(a, b, 3.5, points=False, broadcast=True)
     assert {(r.ida, r.idb) for r in got_g.select("ida", "idb").collect()} == want
     assert {(r.ida, r.idb) for r in got_b.select("ida", "idb").collect()} == want
+
+
+def test_semi_anti_join_partition_left(spark, sf_dir):
+    """st_semi_join + anti must partition the left frame, and the semi
+    key set must equal the inner join's distinct matched keys — for
+    both the grid and broadcast physical plans."""
+    from stark_spark.operators.join import st_semi_join
+    ev = D.st_events(spark, sf_dir, keep_geom=False)
+    n = D.load(spark, sf_dir, "nation")
+    PX, PY = 7919, 104729
+    k = F.col("n_nationkey").cast("long")
+    boxes = (n.select("n_nationkey",
+                      ((k * PX % 1000) / 10.0).alias("_bx"),
+                      ((k * PY % 1000) / 10.0).alias("_by"))
+              .select("n_nationkey",
+                      (F.col("_bx") - 8.0).alias("xmin"),
+                      (F.col("_by") - 8.0).alias("ymin"),
+                      (F.col("_bx") + 8.0).alias("xmax"),
+                      (F.col("_by") + 8.0).alias("ymax")))
+    grid = GridSpec(0.0, 0.0, 100.0, 100.0, 10)
+    kw = dict(left_key="event_id", grid=grid, left_rect=True,
+              right_rect=True)
+    semi = {r.event_id for r in
+            st_semi_join(ev, boxes, "intersects", **kw).collect()}
+    anti = {r.event_id for r in
+            st_semi_join(ev, boxes, "intersects", anti=True, **kw).collect()}
+    allk = {r.event_id for r in ev.select("event_id").collect()}
+    assert semi | anti == allk and not (semi & anti)
+
+    inner = {r.event_id for r in
+             st_join(ev, boxes, "intersects", grid=grid, left_rect=True,
+                     right_rect=True).select("event_id").collect()}
+    assert semi == inner and len(semi) > 0 and len(anti) > 0
+
+    bsemi = {r.event_id for r in
+             st_semi_join(ev, boxes, "intersects", left_key="event_id",
+                          broadcast=True, left_rect=True,
+                          right_rect=True).collect()}
+    assert bsemi == semi
