@@ -130,3 +130,37 @@ def grid_repartition(df: DataFrame, grid: GridSpec,
     df = with_cell(df, grid)
     return (df.repartition("cell") if num_partitions is None
             else df.repartition(num_partitions, "cell"))
+
+
+def morton_expr(x: Column, y: Column, *, x0: float, y0: float,
+                x1: float, y1: float, bits: int = 16) -> Column:
+    """Native Morton (z-order) key: quantize (x, y) to ``bits`` levels
+    over the given bounds and interleave the bits (x in the even
+    positions). Pure shift/mask column arithmetic — whole-stage
+    codegen, no UDF.
+
+    Use as a SORT key (`save_partitioned(zorder=True)`): rows near in
+    2-D stay near in file order, so parquet row-group min/max stats
+    stay tight in BOTH dimensions at once — an x-major sort leaves the
+    y stats spanning the whole extent, killing row-group pruning for
+    y-selective queries. This is the standard lakehouse layout trick
+    (Delta/Iceberg `OPTIMIZE ZORDER BY`) expressed as one expression.
+    """
+    assert 1 <= bits <= 16
+
+    def quant(v: Column, lo: float, hi: float) -> Column:
+        q = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(1 << bits))
+        return F.greatest(F.lit(0).cast("long"),
+                          F.least(F.lit((1 << bits) - 1).cast("long"),
+                                  q.cast("long")))
+
+    def spread(v: Column) -> Column:
+        # 16 -> 32 bit spread via the classic magic masks
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    return spread(quant(x, x0, x1)).bitwiseOR(
+        F.shiftleft(spread(quant(y, y0, y1)), 1))

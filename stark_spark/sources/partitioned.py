@@ -46,12 +46,19 @@ MANIFEST = "_stark_manifest"
 def save_partitioned(df: DataFrame, path: str, grid: GridSpec, *,
                      t_buckets: int | None = None,
                      t_range: tuple[int, int] | None = None,
+                     zorder: bool = False,
                      mode: str = "overwrite") -> None:
     """Write an ST frame as cell-partitioned parquet + bounds manifest.
 
     ``t_buckets``/``t_range`` add a second-level temporal partition
     (reference `SpatioTempPartitioner.scala:11-169`: spatial cells,
     then per-cell time ranges).
+
+    ``zorder=True`` sorts rows within each cell file by the Morton key
+    of (xmin, ymin) instead of x-major — row-group min/max stats stay
+    tight in BOTH dimensions, so sub-cell queries skip row groups no
+    matter which axis is selective (matters once cell files hold many
+    row groups, i.e. at real scale).
     """
     out = df.withColumn("cell", grid.cell_expr(F.col("xmin"), F.col("ymin")))
     part_cols = ["cell"]
@@ -70,8 +77,19 @@ def save_partitioned(df: DataFrame, path: str, grid: GridSpec, *,
     # one file per cell (repartition on the dir keys) with rows sorted
     # by bbox so parquet row-group min/max stats stay tight → row-group
     # pruning inside each cell file on top of the dir-level prune
+    if zorder:
+        from stark_spark.partitioner.grid import morton_expr
+        out = out.withColumn("_z", morton_expr(
+            F.col("xmin"), F.col("ymin"), x0=grid.x0, y0=grid.y0,
+            x1=grid.x1, y1=grid.y1))
+        sort_cols, drop = ["_z"], ["_z"]
+    else:
+        sort_cols, drop = ["xmin", "ymin"], []
+    # sort by (dir keys, spatial key): the dynamic-partition writer
+    # requires rows ordered by the partition columns and would insert
+    # its own (non-stable) sort otherwise, destroying the spatial order
     (out.repartition(*[F.col(c) for c in part_cols])
-        .sortWithinPartitions("xmin", "ymin")
+        .sortWithinPartitions(*part_cols, *sort_cols).drop(*drop)
         .write.partitionBy(*part_cols).mode(mode).parquet(path))
 
     # bounds manifest: one agg scan → tiny parquet (the partition_info

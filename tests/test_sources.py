@@ -145,3 +145,55 @@ def test_st_partitioned_two_level_prune(spark, sf_dir, tmp_path):
                      (F.col("t_start") >= tq[0]) & (F.col("t_start") <= tq[1])))
     assert {r.event_id for r in got.select("event_id").collect()} == \
         {r.event_id for r in want.select("event_id").collect()}
+
+
+def test_morton_expr_matches_python(spark):
+    """Native z-order key == reference python bit interleave."""
+    from stark_spark.partitioner.grid import morton_expr
+    import random
+    random.seed(3)
+    pts = [(random.uniform(0, 100), random.uniform(0, 100))
+           for _ in range(200)] + [(0.0, 0.0), (99.999, 99.999)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = [r.z for r in df.select(morton_expr(
+        F.col("x"), F.col("y"), x0=0.0, y0=0.0, x1=100.0, y1=100.0)
+        .alias("z")).collect()]
+
+    def interleave(x, y):
+        qx = min(65535, max(0, int(x / 100.0 * 65536)))
+        qy = min(65535, max(0, int(y / 100.0 * 65536)))
+        z = 0
+        for b in range(16):
+            z |= ((qx >> b) & 1) << (2 * b) | ((qy >> b) & 1) << (2 * b + 1)
+        return z
+    want = [interleave(x, y) for x, y in pts]
+    assert got == want
+
+
+def test_zorder_roundtrip_and_file_order(spark, sf_dir, tmp_path):
+    """zorder=True writes must read back identically (pruned == plain
+    filter) and each cell file must be sorted by the morton key."""
+    from stark_spark.partitioner.grid import morton_expr
+    grid = GridSpec(0.0, 0.0, 100.0, 100.0, 4, 4)
+    cust = D.st_points(spark, sf_dir, "customer", "c_custkey",
+                       keep_geom=False)
+    path = str(tmp_path / "zc")
+    save_partitioned(cust, path, grid, zorder=True)
+
+    q = "POLYGON ((10 10, 40 10, 40 40, 10 40, 10 10))"
+    pruned = read_pruned(spark, path, q, points=True)
+    full = cust.filter(st_predicate(q, "intersects", points=True,
+                                    t_query="any"))
+    assert {r.c_custkey for r in pruned.select("c_custkey").collect()} == \
+           {r.c_custkey for r in full.select("c_custkey").collect()}
+
+    import glob
+    import pyarrow.parquet as pq
+    f = max(glob.glob(f"{path}/cell=*/*.parquet"),
+            key=lambda p: pq.read_metadata(p).num_rows)
+    pdf = pq.read_table(f, columns=["xmin", "ymin"]).to_pandas()
+    zs = [r.z for r in spark.createDataFrame(pdf)
+          .select(morton_expr(F.col("xmin"), F.col("ymin"), x0=0.0,
+                              y0=0.0, x1=100.0, y1=100.0).alias("z"))
+          .collect()]
+    assert zs == sorted(zs) and len(zs) > 10
