@@ -487,6 +487,17 @@ def _q_events_daily(spark, sf):
     return out
 
 
+def _q_sessionize(spark, sf):
+    """Batch sessionization (gaps-and-islands): per-user session ids
+    with a 6h inactivity gap — one key shuffle, two window passes over
+    one sort, all codegen."""
+    from stark_spark.operators.temporal_join import sessionize
+    ev = (D.load(spark, sf, "events")
+            .withColumn("t", F.col("ts").cast("long")))
+    out = sessionize(ev, "user_id", "t", 6 * 3600)
+    return out.select("event_id", "user_id", "t", "session_id")
+
+
 def _q_set_ops(spark, sf):
     """§2.6: set ops are Spark built-ins — union two overlapping event
     subsets, dropDuplicates on the key, aggregate per type."""
@@ -920,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "interval_join_open": _q_interval_join_open,
         "as_of_join": _q_as_of_join,
+        "sessionize": _q_sessionize,
         "within_distance_join": _q_within_distance_join,
         "st_semi_join": _q_st_semi_join,
         "st_anti_join": _q_st_anti_join,
@@ -1227,6 +1239,21 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
         "within_distance_join": f"""
 SELECT c_custkey, s_suppkey, {dist_cs} AS dist
 FROM customer, supplier WHERE {dist_cs} <= 5.0""",
+
+        "sessionize": f"""
+WITH e AS (
+  SELECT event_id, user_id, {EV_T} AS t FROM events
+), s AS (
+  SELECT event_id, user_id, t,
+    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 21600
+         THEN 1 ELSE 0 END AS nw
+  FROM e
+)
+SELECT event_id, user_id, t,
+  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS session_id
+FROM s""",
 
         "within_distance_filter": f"""
 SELECT event_id, value AS x, {EV_Y} AS y FROM events

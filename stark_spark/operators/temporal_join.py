@@ -149,3 +149,34 @@ def as_of_join(left: DataFrame, right: DataFrame, *, on: str,
     drop = (["_t", "_side"] + ["_carry_" + c for c in carried] +
             ["_last_" + c for c in carried])
     return out.drop(*drop)
+
+
+def sessionize(df: DataFrame, key: str, ts_col: str, gap: int, *,
+               session_col: str = "session_id") -> DataFrame:
+    """Assign batch session ids: per ``key``, a new session starts
+    whenever the gap to the previous event exceeds ``gap`` seconds
+    (the batch twin of Structured Streaming's ``session_window``,
+    which only exists as a grouped aggregate — this keeps ROWS,
+    labeling each with its session).
+
+    Physical plan: one shuffle on ``key``, then two window passes over
+    the same (key, ts) sort — lag to flag session starts, running sum
+    to number them — Catalyst reuses one sort for both. Session ids
+    are (key-local, 0-based) and deterministic given a tie-break on
+    event order within equal timestamps (callers with duplicate
+    timestamps per key should pass a composite ts or accept
+    order-by-ts determinism of the SUM, which is unaffected by ties:
+    equal-ts rows always share a session).
+
+    At scale: no global ordering, state per key is the running counter
+    inside the window — the classic gaps-and-islands rewrite, all
+    codegen.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    is_start = (F.when(F.col(ts_col) - F.lag(ts_col).over(w) > gap, 1)
+                 .otherwise(0))
+    df2 = df.withColumn("_new", is_start)
+    wc = (Window.partitionBy(key).orderBy(ts_col)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df2.withColumn(session_col, F.sum("_new").over(wc))
+               .drop("_new"))

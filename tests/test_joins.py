@@ -390,3 +390,22 @@ def test_semi_anti_join_partition_left(spark, sf_dir):
                           broadcast=True, left_rect=True,
                           right_rect=True).collect()}
     assert bsemi == semi
+
+
+def test_sessionize_matches_pandas(spark, sf_dir):
+    from stark_spark.operators.temporal_join import sessionize
+    ev = (D.load(spark, sf_dir, "events")
+            .withColumn("t", F.col("ts").cast("long")))
+    got = {r.event_id: r.session_id for r in
+           sessionize(ev, "user_id", "t", 6 * 3600).collect()}
+    pdf = ev.select("event_id", "user_id", "t").toPandas()
+    want = {}
+    for _, grp in pdf.groupby("user_id"):
+        g = grp.sort_values(["t", "event_id"])
+        sid, prev = 0, None
+        for eid, t in zip(g.event_id, g.t):
+            if prev is not None and t - prev > 6 * 3600:
+                sid += 1
+            want[eid] = sid
+            prev = t
+    assert got == want
