@@ -828,6 +828,36 @@ def _q_st_anti_join(spark, sf):
     return _q_st_semi_join(spark, sf, anti=True)
 
 
+def _eval_corpus(spark, sf):
+    """Synthetic eval set for contamination checks: every 10th doc;
+    half exact copies of train text, half suffix-perturbed (exact
+    hashing must miss those, near-dup banding must still catch
+    them)."""
+    docs = D.load(spark, sf, "documents")
+    return (docs.where(F.col("doc_id") % 10 == 0)
+                .select("doc_id",
+                        F.when(F.col("doc_id") % 20 == 0, F.col("text"))
+                         .otherwise(F.concat(F.col("text"), F.lit(" tail")))
+                         .alias("text")))
+
+
+def _q_contamination_exact(spark, sf):
+    """Train→eval exact-text contamination (benchmark leakage
+    check)."""
+    from stark_spark.operators.dedup import cross_exact_dups
+    docs = D.load(spark, sf, "documents")
+    return cross_exact_dups(docs, _eval_corpus(spark, sf), "doc_id")
+
+
+def _q_contamination_lsh(spark, sf):
+    """Train→eval NEAR-dup contamination candidates — catches the
+    suffix-perturbed eval rows exact hashing misses."""
+    from stark_spark.operators.dedup import cross_lsh_pairs
+    docs = D.load(spark, sf, "documents")
+    return cross_lsh_pairs(docs, _eval_corpus(spark, sf), "doc_id",
+                           n_seeds=4, rows_per_band=1, shingle_k=8)
+
+
 def _q_sample_deterministic(spark, sf):
     """Reproducible hash sampling + leakage-free split: the two
     row-local curation primitives (no shuffle; membership is a pure
@@ -971,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _q_lang_distribution,
         "text_repetition": _q_text_repetition,
         "pii_scrub": _q_pii_scrub,
+        "contamination_exact": _q_contamination_exact,
+        "contamination_lsh": _q_contamination_lsh,
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
         "pack_shards": _q_pack_shards,
@@ -1664,6 +1696,45 @@ FROM (
          ELSE '' END AS t
   FROM documents
 ) s""",
+
+        "contamination_exact": """
+WITH ev AS (
+  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text
+                      ELSE text || ' tail' END AS text
+  FROM documents WHERE doc_id % 10 = 0
+), th AS (
+  SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_train
+  FROM documents GROUP BY 1
+)
+SELECT th.content_hash, e.doc_id, th.n_train
+FROM ev e JOIN th ON th.content_hash = md5(e.text)""",
+
+        "contamination_lsh": f"""
+WITH ev AS (
+  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text
+                      ELSE text || ' tail' END AS text
+  FROM documents WHERE doc_id % 10 = 0
+), sig_t AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS minhash
+  FROM (SELECT doc_id, {_sh(8)} AS sh FROM documents) s,
+       (SELECT unnest(range(0, 4)) AS seed) t
+  GROUP BY doc_id, seed
+), sig_e AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || sh)) AS minhash
+  FROM (SELECT doc_id, {_sh(8)} AS sh FROM ev) s,
+       (SELECT unnest(range(0, 4)) AS seed) t
+  GROUP BY doc_id, seed
+), band_t AS (
+  SELECT doc_id, CAST(seed AS INT) AS band,
+    seed::VARCHAR || ':' || minhash AS bucket
+  FROM sig_t
+), band_e AS (
+  SELECT doc_id, CAST(seed AS INT) AS band,
+    seed::VARCHAR || ':' || minhash AS bucket
+  FROM sig_e
+)
+SELECT DISTINCT t.doc_id AS a, e.doc_id AS b
+FROM band_t t JOIN band_e e ON t.band = e.band AND t.bucket = e.bucket""",
 
         "sample_deterministic": f"""
 WITH h AS (

@@ -72,23 +72,68 @@ def minhash_signature_long(df: DataFrame, key: str, *, n_seeds: int = 8,
               .agg(F.min("h").alias("minhash")))
 
 
+def _band_buckets(df: DataFrame, key: str, *, n_seeds: int,
+                  rows_per_band: int, shingle_k: int,
+                  text_col: str) -> DataFrame:
+    """(key, band, bucket) LSH banding frame — the join key shared by
+    the self-join (`lsh_candidate_pairs`) and the cross-corpus join
+    (`cross_lsh_pairs`)."""
+    sig = minhash_signature_long(df, key, n_seeds=n_seeds,
+                                 shingle_k=shingle_k, text_col=text_col)
+    return (sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+               .groupBy(key, "band")
+               .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                   F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash"))
+               ))).alias("bucket")))
+
+
 def lsh_candidate_pairs(df: DataFrame, key: str, *, n_seeds: int = 8,
                         rows_per_band: int = 2, shingle_k: int = 8,
                         text_col: str = "text") -> DataFrame:
     """LSH banding: docs sharing any band bucket → candidate pairs
     (a < b, deduplicated). Self-join on the band-bucket key only."""
-    sig = minhash_signature_long(df, key, n_seeds=n_seeds,
-                                 shingle_k=shingle_k, text_col=text_col)
-    band = (sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-               .groupBy(key, "band")
-               .agg(F.concat_ws(",", F.sort_array(F.collect_list(
-                   F.concat_ws(":", F.col("seed").cast("string"), F.col("minhash"))
-               ))).alias("bucket")))
+    band = _band_buckets(df, key, n_seeds=n_seeds,
+                         rows_per_band=rows_per_band, shingle_k=shingle_k,
+                         text_col=text_col)
     a = band.select(F.col(key).alias("a"), "band", "bucket")
     b = band.select(F.col(key).alias("b"), "band", "bucket")
     return (a.join(b, ["band", "bucket"])
              .where(F.col("a") < F.col("b"))
              .select("a", "b").distinct())
+
+
+def cross_exact_dups(train: DataFrame, eval_df: DataFrame, key: str, *,
+                     text_col: str = "text") -> DataFrame:
+    """Exact train→eval contamination: each EVAL row whose text hash
+    appears in TRAIN, with the train multiplicity. The leakage check
+    every benchmark-respecting pipeline runs before training.
+
+    Scale shape: train collapses to distinct content hashes first
+    (groupBy, map-side combined) — the join carries one row per
+    DISTINCT train text, and AQE broadcasts it when the hash set is
+    small. Output: (content_hash, eval key, n_train)."""
+    th = (train.select(F.md5(F.col(text_col)).alias("content_hash"))
+               .groupBy("content_hash")
+               .agg(F.count("*").alias("n_train")))
+    rh = eval_df.select(F.col(key), F.md5(F.col(text_col)).alias("content_hash"))
+    return rh.join(th, "content_hash")
+
+
+def cross_lsh_pairs(train: DataFrame, eval_df: DataFrame, key: str, *,
+                    n_seeds: int = 8, rows_per_band: int = 2,
+                    shingle_k: int = 8, text_col: str = "text") -> DataFrame:
+    """NEAR-dup train→eval contamination candidates (catches light
+    paraphrases/suffix edits that exact hashing misses): band both
+    corpora with the same MinHash seeds, join on (band, bucket).
+    Output: (a = train key, b = eval key), deduplicated. Verify with
+    an n-gram Jaccard / simhash pass as for self-dedup."""
+    kw = dict(n_seeds=n_seeds, rows_per_band=rows_per_band,
+              shingle_k=shingle_k, text_col=text_col)
+    a = _band_buckets(train, key, **kw).select(
+        F.col(key).alias("a"), "band", "bucket")
+    b = _band_buckets(eval_df, key, **kw).select(
+        F.col(key).alias("b"), "band", "bucket")
+    return a.join(b, ["band", "bucket"]).select("a", "b").distinct()
 
 
 def dedup_clusters(df: DataFrame, key: str, *,

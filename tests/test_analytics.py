@@ -375,3 +375,30 @@ def test_kmeans_centroids_recover_clusters(spark):
     best = [max(float(np.dot(v, b) / (np.linalg.norm(v) * np.linalg.norm(b)))
                 for v in got.values()) for b in bases]
     assert min(best) > 0.99
+
+
+def test_contamination_cross_corpus(spark, docs):
+    """Exact contamination finds exactly the verbatim-copied eval rows;
+    LSH banding additionally pairs each suffix-perturbed eval row with
+    its train source (what exact hashing structurally misses)."""
+    from stark_spark.operators.dedup import (cross_exact_dups,
+                                             cross_lsh_pairs)
+    ev = (docs.where(F.col("doc_id") % 10 == 0)
+              .select("doc_id",
+                      F.when(F.col("doc_id") % 20 == 0, F.col("text"))
+                       .otherwise(F.concat(F.col("text"), F.lit(" tail")))
+                       .alias("text")))
+    exact = cross_exact_dups(docs, ev, "doc_id").toPandas()
+    copied = {r.doc_id for r in
+              docs.where(F.col("doc_id") % 20 == 0)
+                  .select("doc_id").collect()}
+    assert set(exact.doc_id) == copied
+
+    pairs = {(r.a, r.b) for r in
+             cross_lsh_pairs(docs, ev, "doc_id", n_seeds=4,
+                             rows_per_band=1, shingle_k=8).collect()}
+    perturbed = {r.doc_id for r in
+                 ev.where(F.col("doc_id") % 20 != 0)
+                   .select("doc_id").collect()}
+    caught = {b for a, b in pairs if a == b}
+    assert perturbed <= caught
