@@ -216,3 +216,24 @@ def test_stream_dedup_one_row_per_key(spark, stream_dir):
     assert got.k.value_counts().max() == 1
     # survivors are real input rows (key consistency)
     assert ((got.event_id % 50) == got.k).all()
+
+
+def test_stream_deterministic_sample_and_split(spark, stream_dir):
+    """Sampling/splitting are stateless md5-threshold exprs, so they
+    apply to streams unchanged — micro-batched output must equal the
+    batch computation row-for-row."""
+    from stark_spark.operators.sampling import (deterministic_sample,
+                                                train_test_split)
+    path, schema = stream_dir
+    s = read_event_stream(spark, path, schema, max_files=2)
+    out = train_test_split(
+        deterministic_sample(s, "event_id", 0.3), "event_id", 0.25)
+    name = _run_append(out.select("event_id", "split"))
+    got = {(r.event_id, r.split)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    want = {(r.event_id, r.split) for r in
+            train_test_split(deterministic_sample(ev, "event_id", 0.3),
+                             "event_id", 0.25)
+            .select("event_id", "split").collect()}
+    assert got == want and len(got) > 0
