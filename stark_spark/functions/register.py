@@ -205,3 +205,11 @@ def _register_text_functions(spark: SparkSession) -> None:
     ):
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
                   f"(t STRING) RETURNS {ret} RETURN {body}")
+    # sampling tier: the md5 bucket behind operators/sampling.py, so
+    # `WHERE sample_bucket(key, '') < 0.3 * 268435456` reproduces
+    # deterministic_sample membership from plain SQL
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sample_bucket"
+        "(k STRING, salt STRING) RETURNS BIGINT RETURN "
+        "CAST(conv(substring(md5(concat(salt, '|', k)), 1, 7), 16, 10)"
+        " AS BIGINT)")

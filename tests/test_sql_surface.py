@@ -189,3 +189,22 @@ def test_sql_pii_functions(spark):
     """).first()
     assert row.s == "hi <EMAIL> call <PHONE>"
     assert (row.ne, row.np) == (2, 1)
+
+
+def test_sql_sample_bucket_matches_python_api(spark, sf_dir):
+    """`sample_bucket(key, salt)` from plain SQL == sampling.hash_bucket
+    (so SQL-only users reproduce deterministic_sample membership)."""
+    from stark_spark import datasets as D
+    from stark_spark.operators.sampling import hash_bucket
+    import pyspark.sql.functions as F
+    docs = D.load(spark, sf_dir, "documents").limit(50)
+    docs.createOrReplaceTempView("__docs_sb")
+    got = spark.sql(
+        "SELECT doc_id, sample_bucket(CAST(doc_id AS STRING), '') AS b, "
+        "sample_bucket(CAST(doc_id AS STRING), 'split') AS bs "
+        "FROM __docs_sb").orderBy("doc_id").collect()
+    want = (docs.select(
+        "doc_id", hash_bucket(F.col("doc_id")).alias("b"),
+        hash_bucket(F.col("doc_id"), salt="split").alias("bs"))
+        .orderBy("doc_id").collect())
+    assert got == want
