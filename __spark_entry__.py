@@ -425,6 +425,23 @@ def _q_skyline(spark, sf):
     return out
 
 
+def _q_skyline_st(spark, sf):
+    """Distance-space ST skyline — the reference's actual operator
+    shape (`skyline(ref, distFunc, dominates, …)` PSF:425-494
+    transforms each point to (spatial dist, temporal dist) from a
+    reference object, then takes the Pareto front): events sampled
+    10%, minimized on (euclid dist to (50,50), |t - T0|)."""
+    ev = D.st_events(spark, sf, keep_geom=False) \
+          .where(F.col("event_id") % 10 == 0)
+    dx = F.col("x") - F.lit(50.0)
+    dy = F.col("y") - F.lit(50.0)
+    out = ev.select(
+        "event_id",
+        F.sqrt(dx * dx + dy * dy).alias("d_space"),
+        F.abs(F.col("t_start") - F.lit(1706000000)).alias("d_time"))
+    return skyline(out, "d_space", "d_time")
+
+
 def _q_skyline_angular(spark, sf):
     """Angular-partitioned skyline (reference `skylineAngular`,
     PSF:519-586) — same answer as the plain plan, different stage-1
@@ -972,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline": _q_skyline,
+        "skyline_st": _q_skyline_st,
         "skyline_angular": _q_skyline_angular,
         "dbscan": _q_dbscan,
         "grid_cell_histogram": _q_grid_histogram,
@@ -1370,6 +1388,20 @@ SELECT c_custkey, x, y FROM p
 WHERE NOT EXISTS (
   SELECT 1 FROM p q
   WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))""",
+
+        "skyline_st": f"""
+WITH e AS (
+  SELECT event_id,
+    sqrt((value - 50.0) * (value - 50.0) +
+         (({EV_Y}) - 50.0) * (({EV_Y}) - 50.0)) AS d_space,
+    abs({EV_T} - 1706000000) AS d_time
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT event_id, d_space, d_time FROM e p
+WHERE NOT EXISTS (
+  SELECT 1 FROM e q
+  WHERE q.d_space <= p.d_space AND q.d_time <= p.d_time
+    AND (q.d_space < p.d_space OR q.d_time < p.d_time))""",
 
         # same answer, different physical grouping (angular buckets)
         "skyline_angular": f"""

@@ -48,13 +48,29 @@ def _local_skyline(pdf: pd.DataFrame, x: str, y: str) -> pd.DataFrame:
 
 
 def skyline(df: DataFrame, x: str = "x", y: str = "y",
-            group_col: str | None = None) -> DataFrame:
+            group_col: str | None = None,
+            maximize: tuple = ()) -> DataFrame:
     """Exact 2-D skyline minimizing (x, y).
 
     ``group_col``: optional stage-1 grouping key (angular buckets give
     the reference's `skylineAngular`; default = Spark's physical
     partitioning via a synthetic partition id).
+
+    ``maximize``: dimension names to MAXIMIZE instead of minimize —
+    the common case of the reference's pluggable ``dominates``
+    function (`PSF:425`, `Skyline.centroidDominates`); implemented by
+    negating those columns around the min-min sweep, so every
+    direction combination shares one kernel.
     """
+    flip = [c for c in (x, y) if c in maximize]
+    if flip:
+        inner = df
+        for c in flip:
+            inner = inner.withColumn(c, -F.col(c))
+        out = skyline(inner, x, y, group_col=group_col)
+        for c in flip:
+            out = out.withColumn(c, -F.col(c))
+        return out
     schema = df.schema
 
     def local(pdf: pd.DataFrame) -> pd.DataFrame:

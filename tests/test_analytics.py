@@ -402,3 +402,31 @@ def test_contamination_cross_corpus(spark, docs):
                    .select("doc_id").collect()}
     caught = {b for a, b in pairs if a == b}
     assert perturbed <= caught
+
+
+def test_skyline_maximize_directions(spark):
+    """maximize= flips dominance per dimension (the reference's custom
+    `dominates` use case) — verified against a pandas recompute."""
+    rows = [(i, float((i * 37) % 101), float((i * 61) % 97))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    pdf = df.toPandas()
+
+    def sky(p, fx, fy):
+        keep = []
+        for _, r in p.iterrows():
+            dom = ((fx(p.x) <= fx(r.x)) & (fy(p.y) <= fy(r.y)) &
+                   ((fx(p.x) < fx(r.x)) | (fy(p.y) < fy(r.y)))).any()
+            if not dom:
+                keep.append(r.id)
+        return set(keep)
+
+    got_max = set(skyline(df, maximize=("x", "y")).toPandas().id)
+    assert got_max == sky(pdf, lambda v: -v, lambda v: -v)
+    got_mix = set(skyline(df, maximize=("y",)).toPandas().id)
+    assert got_mix == sky(pdf, lambda v: v, lambda v: -v)
+    # values come back un-negated
+    out = skyline(df, maximize=("x", "y")).toPandas()
+    src = pdf.set_index("id")
+    assert all(src.loc[r.id].x == r.x and src.loc[r.id].y == r.y
+               for _, r in out.iterrows())
