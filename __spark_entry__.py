@@ -909,6 +909,21 @@ def _q_pack_shards(spark, sf):
     return out.select("doc_id", "n_tokens", "shard")
 
 
+def _q_source_heavy_hitters(spark, sf):
+    """Training-mix audit: top-3 sources per language by doc count
+    (heavy hitters per stratum) with the per-language share."""
+    from stark_spark.operators.sampling import top_k_per_group
+    docs = D.load(spark, sf, "documents")
+    counts = (docs.groupBy("lang", "source")
+                  .agg(F.count("*").alias("n_docs")))
+    lang_tot = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    out = top_k_per_group(counts, "lang", "n_docs", 3,
+                          tie_cols=["source"])
+    return (out.join(lang_tot, "lang")
+               .select("lang", "source", "n_docs", "rank",
+                       (F.col("n_docs") / F.col("n_lang")).alias("share")))
+
+
 def _q_length_quantiles(spark, sf):
     """Exact per-group discrete quantiles (order-statistic pick — no
     interpolation arithmetic to diverge between engines)."""
@@ -1025,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "pack_shards": _q_pack_shards,
         "length_quantiles": _q_length_quantiles,
+        "source_heavy_hitters": _q_source_heavy_hitters,
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_knn_join": _q_ann_knn_join,
@@ -1812,6 +1828,22 @@ WITH h AS (
 SELECT doc_id, n_tokens,
   CAST(floor((cum - n_tokens) / 20000) AS BIGINT) AS shard
 FROM c""",
+
+        "source_heavy_hitters": """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang, source
+), t AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+  FROM documents GROUP BY lang
+), r AS (
+  SELECT lang, source, n_docs,
+    CAST(row_number() OVER (PARTITION BY lang
+      ORDER BY n_docs DESC, source) AS INT) AS rank
+  FROM c
+)
+SELECT r.lang, r.source, r.n_docs, r.rank, r.n_docs / t.n_lang AS share
+FROM r JOIN t ON r.lang = t.lang WHERE r.rank <= 3""",
 
         "length_quantiles": """
 WITH r AS (

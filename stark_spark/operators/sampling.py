@@ -153,3 +153,21 @@ def group_quantiles(df: DataFrame, group_col: str, value_col: str,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def top_k_per_group(df: DataFrame, group_col: str, order_col: str,
+                    k: int, *, ascending: bool = False,
+                    tie_cols: list | None = None,
+                    rank_col: str = "rank") -> DataFrame:
+    """Top-k rows per group by ``order_col`` (heavy hitters per
+    stratum — e.g. dominant sources per language when auditing a
+    training mix). One shuffle on the group key, per-group window
+    top-k (Spark's rank filter pushes the limit into the sort).
+    ``tie_cols`` break order ties deterministically (required for
+    reproducible/oracle-checkable output)."""
+    order = [F.col(order_col).asc() if ascending
+             else F.col(order_col).desc()]
+    order += [F.col(c) for c in (tie_cols or [])]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .where(F.col(rank_col) <= k))

@@ -106,3 +106,17 @@ def test_group_quantiles_match_sorted_pick(docs):
         for q in qs:
             pick = max(math.ceil(q * len(vals)), 1)
             assert got[(lang, q)] == vals[pick - 1], (lang, q)
+
+
+def test_top_k_per_group(docs):
+    from stark_spark.operators.sampling import top_k_per_group
+    counts = (docs.groupBy("lang", "source")
+                  .agg(F.count("*").alias("n")))
+    got = top_k_per_group(counts, "lang", "n", 2,
+                          tie_cols=["source"]).toPandas()
+    pdf = counts.toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        want = list(grp.sort_values(["n", "source"],
+                                    ascending=[False, True]).source[:2])
+        g = got[got.lang == lang].sort_values("rank")
+        assert list(g.source) == want and list(g["rank"]) == [1, 2]
