@@ -97,6 +97,43 @@ class STFrame:
         return knn_join(self.df, odf, k, grid=grid, radius=radius,
                         left_key=left_key, **kw)
 
+    def semi_join(self, other: "STFrame | DataFrame",
+                  predicate: str = "intersects", *, left_key: str,
+                  anti: bool = False, **kw) -> "STFrame":
+        """Spatial semi/anti join (net-new vs the reference) — left
+        rows with (without) ≥1 match; payload/row-count of self
+        preserved."""
+        from stark_spark.operators.join import st_semi_join
+        odf = other.df if isinstance(other, STFrame) else other
+        opoints = other.points if isinstance(other, STFrame) else False
+        out = st_semi_join(self.df, odf, predicate, left_key=left_key,
+                           anti=anti, left_points=self.points,
+                           right_points=opoints, **kw)
+        return STFrame(out, points=self.points)
+
+    # -- curation tier (net-new) -------------------------------------------
+    def sample(self, key: str, fraction: float, *,
+               salt: str = "") -> "STFrame":
+        """Deterministic md5-bucket sampling (reproducible across
+        re-runs / corpus growth; zero shuffle)."""
+        from stark_spark.operators.sampling import deterministic_sample
+        return STFrame(deterministic_sample(self.df, key, fraction,
+                                            salt=salt), points=self.points)
+
+    def split(self, key: str, test_fraction: float, *,
+              salt: str = "split") -> "STFrame":
+        """Leakage-free train/test tagging (adds a `split` column)."""
+        from stark_spark.operators.sampling import train_test_split
+        return STFrame(train_test_split(self.df, key, test_fraction,
+                                        salt=salt), points=self.points)
+
+    def sessionize(self, key: str, ts_col: str, gap: int,
+                   **kw) -> "STFrame":
+        """Gaps-and-islands session labeling per key."""
+        from stark_spark.operators.temporal_join import sessionize
+        return STFrame(sessionize(self.df, key, ts_col, gap, **kw),
+                       points=self.points)
+
     # -- analytics (PSF:361-669) -------------------------------------------
     def skyline(self, x: str = "xmin", y: str = "ymin") -> DataFrame:
         from stark_spark.operators.skyline import skyline

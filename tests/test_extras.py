@@ -383,3 +383,32 @@ def test_stframe_visualize_geoms_mode(spark):
                        fill=True, color=(0, 255, 0), flip=False)
     img = _png_decode(png)
     assert (img[3, 3] == [0, 255, 0]).all()
+
+
+def test_stframe_curation_verbs(spark, sf_dir):
+    """Fluent semi_join / sample / split / sessionize stay one lazy
+    plan and match their functional twins."""
+    from stark_spark.api import STFrame
+    from stark_spark.operators.join import st_semi_join
+    from stark_spark.operators.sampling import deterministic_sample
+    ev = D.st_events(spark, sf_dir, keep_geom=False)
+    f = STFrame(ev, points=True)
+    n = D.load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    boxes = (n.select("n_nationkey",
+                      ((k * 7919 % 1000) / 10.0 - 8.0).alias("xmin"),
+                      ((k * 104729 % 1000) / 10.0 - 8.0).alias("ymin"),
+                      ((k * 7919 % 1000) / 10.0 + 8.0).alias("xmax"),
+                      ((k * 104729 % 1000) / 10.0 + 8.0).alias("ymax")))
+    grid = GridSpec(0.0, 0.0, 100.0, 100.0, 8, 8)
+    got = (f.semi_join(boxes, "intersects", left_key="event_id",
+                       grid=grid, left_rect=True, right_rect=True)
+            .sample("event_id", 0.5)
+            .split("event_id", 0.2)
+            .sessionize("user_id", "t_start", 6 * 3600).df)
+    assert {"split", "session_id"} <= set(got.columns)
+    want_n = deterministic_sample(
+        st_semi_join(ev, boxes, "intersects", left_key="event_id",
+                     grid=grid, left_rect=True, right_rect=True),
+        "event_id", 0.5).count()
+    assert got.count() == want_n > 0
