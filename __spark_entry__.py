@@ -974,7 +974,13 @@ def _q_ann_knn_join(spark, sf, score="fold"):
 
 
 def _q_ann_knn_join_gemm(spark, sf):
-    return _q_ann_knn_join(spark, sf, score="gemm")
+    """Production (BLAS-scored) neighbor graph, oracle-gated on the
+    discrete output (q_id, neighbor, rank): ranks are deterministic
+    (tie-break on vec_id) and pytest asserts gemm == fold rank-for-rank;
+    the float cos column itself may differ from the SQL fold in the
+    last ulp (BLAS pairwise summation), so it stays out of the hash."""
+    return (_q_ann_knn_join(spark, sf, score="gemm")
+            .select("q_id", "vec_id", "rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1905,6 +1911,30 @@ WITH assigned AS (
 )
 SELECT q_id, vec_id, cos, rank FROM (
   SELECT p.q_id, a.vec_id, {_cos('a.embedding', 'p.q_embedding')} AS cos,
+    CAST(row_number() OVER (PARTITION BY p.q_id
+      ORDER BY {_cos('a.embedding', 'p.q_embedding')} DESC, a.vec_id) AS INT) AS rank
+  FROM assigned a JOIN probes p USING (bucket)
+  WHERE a.vec_id <> p.q_id
+) t WHERE rank <= 3""",
+
+        "ann_knn_join_gemm": f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT v.vec_id, v.embedding, c.vec_id AS bucket,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {_cos('v.embedding', 'c.embedding')} DESC, c.vec_id) AS rn
+    FROM embeddings v, embeddings c WHERE c.vec_id < 8
+  ) t WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_embedding, bucket FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_embedding, c.vec_id AS bucket,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_cos('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rn
+    FROM embeddings q, embeddings c WHERE c.vec_id < 8
+  ) t WHERE rn <= 2
+)
+SELECT q_id, vec_id, rank FROM (
+  SELECT p.q_id, a.vec_id,
     CAST(row_number() OVER (PARTITION BY p.q_id
       ORDER BY {_cos('a.embedding', 'p.q_embedding')} DESC, a.vec_id) AS INT) AS rank
   FROM assigned a JOIN probes p USING (bucket)

@@ -19,6 +19,8 @@ are concatenated; docs sharing any band bucket become candidates
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -261,22 +263,33 @@ def simhash16(text: Column, *, shingle_k: int = 4) -> Column:
 
 def simhash_fingerprints(df: DataFrame, key: str, *, n_bits: int = 64,
                          shingle_k: int = 4, text_col: str = "text",
-                         out_col: str = "fp") -> DataFrame:
+                         out_col: str = "fp",
+                         engine: str = "arrow") -> DataFrame:
     """(key, fingerprint) frame — the fast path for corpus-scale
     SimHash, bit-identical to the `simhash64`/`simhash16` Column spec
     (property-tested in tests/test_analytics.py).
 
     Why not just `df.select(simhash64(text))`: the fold Column is a
     higher-order-function tree, and Spark HOFs are CodegenFallback —
-    interpreted per-row eval measured ~24ms/doc. This variant is the
-    explode → narrow rows → hash-aggregate shape that stays inside
-    whole-stage codegen end-to-end: explode shingles, md5 once per
-    shingle, project 16 hex nibbles, sum 4 bit-extracts per nibble
-    (n_bits sums, map-side combined), then one majority-vote + weight
-    fold over the count columns. ~100× the fold's throughput.
+    interpreted per-row eval measured ~24ms/doc.
+
+    ``engine`` picks the execution path (same fingerprints either way):
+
+    * ``"arrow"`` (default): one scalar pandas UDF — per doc, md5 each
+      char k-gram (memoized per batch: natural-language shingle sets
+      repeat heavily), ``np.unpackbits`` the digests into an (n, bits)
+      matrix, one column-sum majority vote. The whole doc stays in one
+      Arrow batch — no shingle explode, no 65-column aggregate. A/B at
+      sf0.1: 9.4s (native) → 0.7s.
+    * ``"native"``: the correctness twin — explode shingles, md5 once
+      per shingle, project hex nibbles, sum 4 bit-extracts per nibble
+      (n_bits sums, map-side combined), then one majority-vote +
+      weight fold over the count columns. Everything whole-stage
+      codegen, zero Python — the path that proves the semantics in
+      pure SQL terms (and the shape the DuckDB oracle mirrors).
 
     The input is repartitioned by ``key`` first: it moves the shuffle
-    BEFORE the heavy md5/bit map work (one text-sized shuffle, same
+    BEFORE the heavy hashing work (one text-sized shuffle, same
     bytes as the input) and lets Catalyst drop the post-explode agg
     exchange since the distribution already matches the groupBy.
     Single-file local inputs would otherwise run the whole map stage
@@ -284,6 +297,46 @@ def simhash_fingerprints(df: DataFrame, key: str, *, n_bits: int = 64,
     """
     assert n_bits % 4 == 0 and n_bits <= 64
     spread = _spread_by_key(df, key)
+    if engine == "arrow" and n_bits % 8 == 0:
+        from pyspark.sql.functions import pandas_udf
+
+        n_bytes = n_bits // 8
+        k = shingle_k
+
+        @pandas_udf("long")
+        def _fp(texts: pd.Series) -> pd.Series:
+            import hashlib
+            cache: dict = {}
+            out = np.zeros(len(texts), dtype=np.int64)
+            mask = np.zeros(len(texts), dtype=bool)
+            w = np.uint64(1) << np.arange(n_bits - 1, -1, -1,
+                                          dtype=np.uint64)
+            for idx, t in enumerate(texts):
+                if t is None:
+                    mask[idx] = True
+                    continue
+                n = max(len(t) - (k - 1), 1)
+                digs = bytearray()
+                for i in range(n):
+                    s = t[i:i + k]
+                    d = cache.get(s)
+                    if d is None:
+                        d = hashlib.md5(s.encode()).digest()[:n_bytes]
+                        cache[s] = d
+                    digs += d
+                bits = np.unpackbits(
+                    np.frombuffer(bytes(digs), dtype=np.uint8)
+                      .reshape(n, n_bytes), axis=1)
+                counts = bits.sum(axis=0, dtype=np.int64)
+                fp = w[(counts * 2) >= n].sum(dtype=np.uint64)
+                out[idx] = np.int64(fp.astype(np.int64))
+            res = pd.Series(out)
+            if mask.any():
+                res = res.astype(object)
+                res[mask] = None
+            return res
+
+        return spread.select(key, _fp(F.col(text_col)).alias(out_col))
     sh = spread.select(key, F.explode(shingles(F.col(text_col),
                                                shingle_k)).alias("sh"))
     hx = sh.select(key, F.md5("sh").alias("h"))
@@ -328,17 +381,22 @@ def simhash_near_pairs(df: DataFrame, key: str, *, max_hamming: int = 3,
     fp = simhash_fingerprints(df, key, n_bits=64,
                               text_col=text_col).localCheckpoint()
     band_width = 64 // n_bands
-    bands = []
+    band_exprs = []
     for i in range(n_bands):
         shift = i * band_width
         width = band_width if i < n_bands - 1 else 64 - shift
         expr = F.shiftrightunsigned(F.col("fp"), shift).bitwiseAND(
             F.lit((1 << width) - 1))
-        bands.append(fp.select(key, "fp", F.lit(i).alias("band"),
-                               expr.alias("bucket")))
-    banded = bands[0]
-    for bdf in bands[1:]:
-        banded = banded.unionByName(bdf)
+        band_exprs.append(F.struct(F.lit(i).alias("band"),
+                                   expr.alias("bucket")))
+    # one scan + explode instead of a (d+1)-branch union: same rows,
+    # but the fp frame is read once and the pre-shuffle task count
+    # stays at the input's partitioning (the union shape spawned
+    # (d+1)×partitions map tasks — pure overhead at any scale)
+    banded = (fp.select(key, "fp",
+                        F.explode(F.array(*band_exprs)).alias("bb"))
+                .select(key, "fp", F.col("bb.band").alias("band"),
+                        F.col("bb.bucket").alias("bucket")))
     a = banded.select(F.col(key).alias("a"), F.col("fp").alias("fp_a"),
                       "band", "bucket")
     b = banded.select(F.col(key).alias("b"), F.col("fp").alias("fp_b"),

@@ -234,23 +234,26 @@ def test_minhash_signature_matches_python(docs):
 
 
 def test_simhash_fingerprints_match_column_spec(docs):
-    """The codegen agg fast path must be bit-identical to the
-    fold-Column spec (simhash64/simhash16) for both widths."""
+    """Both fingerprint engines (arrow kernel, codegen agg) must be
+    bit-identical to the fold-Column spec (simhash64/simhash16)."""
     from stark_spark.operators.dedup import (simhash16,
                                              simhash_fingerprints)
     sample = docs.limit(40)
-    fast64 = {r.doc_id: r.fp for r in
-              simhash_fingerprints(sample, "doc_id").collect()}
     spec64 = {r.doc_id: r.fp for r in
               sample.select("doc_id",
                             simhash64(F.col("text")).alias("fp")).collect()}
-    assert fast64 == spec64
-    fast16 = {r.doc_id: r.fp for r in
-              simhash_fingerprints(sample, "doc_id", n_bits=16).collect()}
     spec16 = {r.doc_id: r.fp for r in
               sample.select("doc_id",
                             simhash16(F.col("text")).alias("fp")).collect()}
-    assert fast16 == spec16
+    for engine in ("arrow", "native"):
+        fast64 = {r.doc_id: r.fp for r in
+                  simhash_fingerprints(sample, "doc_id",
+                                       engine=engine).collect()}
+        assert fast64 == spec64, engine
+        fast16 = {r.doc_id: r.fp for r in
+                  simhash_fingerprints(sample, "doc_id", n_bits=16,
+                                       engine=engine).collect()}
+        assert fast16 == spec16, engine
 
 
 def test_simhash_near_pairs(spark, docs):
