@@ -909,6 +909,18 @@ def _q_pack_shards(spark, sf):
     return out.select("doc_id", "n_tokens", "shard")
 
 
+def _q_mix_sources(spark, sf):
+    """Domain reweighting to a target mixture (3:2:1:1 over four
+    sources), max corpus size the targets allow — all-integer
+    threshold arithmetic so the membership is exactly reproducible
+    (operators/sampling.py mix_sources)."""
+    from stark_spark.operators.sampling import mix_sources
+    docs = D.load(spark, sf, "documents")
+    out = mix_sources(docs, "doc_id", "source",
+                      {"src0": 3, "src1": 2, "src2": 1, "src3": 1})
+    return out.select("doc_id", "source")
+
+
 def _q_source_heavy_hitters(spark, sf):
     """Training-mix audit: top-3 sources per language by doc count
     (heavy hitters per stratum) with the per-language share."""
@@ -1044,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_lsh": _q_contamination_lsh,
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
+        "mix_sources": _q_mix_sources,
         "pack_shards": _q_pack_shards,
         "length_quantiles": _q_length_quantiles,
         "source_heavy_hitters": _q_source_heavy_hitters,
@@ -1805,6 +1818,25 @@ SELECT doc_id, source,
   CASE WHEN sbucket < {int(0.25 * SAMPLE_BUCKETS)} THEN 'test'
        ELSE 'train' END AS split
 FROM b WHERE bucket < {int(0.3 * SAMPLE_BUCKETS)}""",
+
+        "mix_sources": f"""
+WITH w(source, w) AS (VALUES ('src0', 3), ('src1', 2),
+                             ('src2', 1), ('src3', 1)),
+cnt AS (
+  SELECT d.source, count(*) AS n FROM documents d
+  JOIN w ON d.source = w.source GROUP BY d.source
+), nout AS (
+  SELECT min((cnt.n * (SELECT sum(w) FROM w)) // w.w) AS n_out
+  FROM cnt JOIN w ON cnt.source = w.source
+), thr AS (
+  SELECT cnt.source,
+    ({SAMPLE_BUCKETS} * ((nout.n_out * w.w) //
+                         (SELECT sum(w) FROM w))) // cnt.n AS t
+  FROM cnt JOIN w ON cnt.source = w.source, nout
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE {_hex7_sql("md5('mix|' || CAST(d.doc_id AS VARCHAR))")} < thr.t""",
 
         "sample_stratified": f"""
 WITH h AS (

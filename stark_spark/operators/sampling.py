@@ -127,6 +127,43 @@ def pack_shards(df: DataFrame, key: str, weight_col: str,
     return out
 
 
+def mix_sources(df: DataFrame, key: str, source_col: str,
+                weights: dict[str, int], *, salt: str = "mix") -> DataFrame:
+    """Reweight a corpus to a target mixture (domain balancing for
+    training data: "2 parts web, 1 part wiki, 1 part code…"), keeping
+    the largest corpus the targets allow.
+
+    ``weights`` maps source value → integer mixture parts; unlisted
+    sources are dropped. With ``W = sum(parts)`` the achievable corpus
+    size is capped by the most over-demanded source:
+    ``N = min_s floor(count_s * W / w_s)``; each source then keeps
+    ``k_s = floor(N * w_s / W)`` rows via the deterministic hash
+    filter (threshold ``floor(BUCKETS * k_s / count_s)``). All-integer
+    arithmetic end-to-end, so a DuckDB oracle reproduces the exact
+    membership — no float rates anywhere.
+
+    Scale shape: one map-side-combined count per source (the column is
+    low-cardinality by construction), a tiny driver collect, then a
+    row-local hash filter with literal thresholds — no shuffle of the
+    data itself, and the filter pushes to the scan like any predicate.
+    """
+    counts = {r[0]: r[1] for r in
+              df.where(F.col(source_col).isin(*weights))
+                .groupBy(source_col).count().collect()}
+    W = sum(weights.values())
+    n_out = min(counts.get(s, 0) * W // w
+                for s, w in weights.items() if w > 0)
+    thr = None
+    for s, w in sorted(weights.items()):
+        t = (BUCKETS * (n_out * w // W) // counts[s]) if counts.get(s) \
+            else 0
+        cond = F.col(source_col) == s
+        thr = F.when(cond, F.lit(t)) if thr is None \
+            else thr.when(cond, F.lit(t))
+    thr = thr.otherwise(F.lit(0))
+    return df.where(hash_bucket(F.col(key), salt=salt) < thr)
+
+
 def group_quantiles(df: DataFrame, group_col: str, value_col: str,
                     qs: list[float]) -> DataFrame:
     """Exact discrete quantiles per group (lower order statistic:

@@ -120,3 +120,27 @@ def test_top_k_per_group(docs):
                                     ascending=[False, True]).source[:2])
         g = got[got.lang == lang].sort_values("rank")
         assert list(g.source) == want and list(g["rank"]) == [1, 2]
+
+
+def test_mix_sources_hits_targets(docs):
+    """Mixture reweighting: kept counts per source approximate the
+    integer targets k_s = floor(N*w_s/W) (hash thresholds are rate
+    approximations — within a few rows at fixture size), membership is
+    a pure function of (key, salt), unlisted sources are dropped."""
+    from stark_spark.operators.sampling import mix_sources
+    weights = {"src0": 3, "src1": 2, "src2": 1, "src3": 1}
+    out = mix_sources(docs, "doc_id", "source", weights)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(weights)
+    counts = {r["source"]: r["n"] for r in
+              docs.where(F.col("source").isin(*weights))
+                  .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    W = sum(weights.values())
+    n_out = min(counts[s] * W // w for s, w in weights.items())
+    for s, w in weights.items():
+        k = n_out * w // W
+        assert abs(got.get(s, 0) - k) <= max(3, k // 4), (s, got.get(s), k)
+    rerun = mix_sources(docs, "doc_id", "source", weights)
+    assert {r.doc_id for r in rerun.select("doc_id").collect()} == \
+           {r.doc_id for r in out.select("doc_id").collect()}
