@@ -4,8 +4,10 @@ from stark_spark.streaming.stream import (read_event_stream, st_stream_filter,
                                           stateful_cell_extremes,
                                           geofence_counts,
                                           stream_dedup,
+                                          stream_sessionize,
                                           st_stream_stream_join)
 
 __all__ = ["read_event_stream", "st_stream_filter", "windowed_cell_counts",
            "windowed_stats", "session_stats", "stateful_cell_extremes",
-           "geofence_counts", "stream_dedup", "st_stream_stream_join"]
+           "geofence_counts", "stream_dedup", "stream_sessionize",
+           "st_stream_stream_join"]

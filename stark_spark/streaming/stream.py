@@ -169,6 +169,90 @@ def stateful_cell_extremes(stream: DataFrame, grid: GridSpec, *,
                                     "update", "NoTimeout"))
 
 
+def stream_sessionize(stream: DataFrame, *, key: str = "user_id",
+                      time_col: str = "ts", gap: int = 7200,
+                      watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization with per-key state — the streaming
+    twin of the batch gaps-and-islands ``sessionize``
+    (operators/temporal_join.py): one output row PER CLOSED SESSION
+    ``(key, sess_start, sess_end, n)``, where a session closes when a
+    larger-than-``gap``-seconds quiet period follows it.
+
+    Unlike the ``session_window`` aggregate (`session_stats`), this is
+    arbitrary stateful logic via ``applyInPandasWithState``: state per
+    key is the open session triple (start, last, n) — O(1) per key —
+    and an EVENT-TIME TIMEOUT set to ``last + gap`` closes idle
+    sessions when the watermark passes, so state is evicted exactly
+    when a session can no longer grow. Sessions that close mid-batch
+    (a later event in the same batch starts the next one) emit
+    immediately.
+
+    At scale: one shuffle per batch on ``key`` into the state store;
+    state volume = number of concurrently-open sessions, independent
+    of history length.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampType)
+
+    out_schema = StructType([
+        StructField("key", LongType()),
+        StructField("sess_start", TimestampType()),
+        StructField("sess_end", TimestampType()),
+        StructField("n", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ])
+    gap_us = gap * 1_000_000
+
+    def _row(k, start_us, last_us, n):
+        return pd.DataFrame(
+            {"key": [k],
+             "sess_start": [pd.Timestamp(start_us, unit="us")],
+             "sess_end": [pd.Timestamp(last_us, unit="us")],
+             "n": [n]})
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _row(key[0], start_us, last_us, n)
+            return
+        ts = pd.concat([pdf[time_col] for pdf in pdfs])
+        us = (ts.astype("int64") // 1_000).sort_values().to_numpy()
+        start_us, last_us, n = state.get if state.exists else (None, 0, 0)
+        closed = []
+        for t in us:
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = max(last_us, t), n + 1
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if start_us is not None and last_us + gap_us <= wm_us:
+            # the timeout we'd set is already in the past (watermark
+            # advanced past it within this batch) — close immediately
+            closed.append((start_us, last_us, n))
+            state.remove()
+        else:
+            state.update((start_us, last_us, n))
+            # ceil to ms so the timeout never fires before last + gap
+            state.setTimeoutTimestamp(-((last_us + gap_us) // -1000))
+        for c in closed:
+            yield _row(key[0], *c)
+
+    s = stream.withWatermark(time_col, watermark)
+    return (s.groupBy(F.col(key))
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "append", "EventTimeTimeout"))
+
+
 def stream_dedup(stream: DataFrame, *, key_cols=("fingerprint",),
                  time_col: str = "ts",
                  watermark: str = "30 minutes") -> DataFrame:

@@ -237,3 +237,69 @@ def test_stream_deterministic_sample_and_split(spark, stream_dir):
                              "event_id", 0.25)
             .select("event_id", "split").collect()}
     assert got == want and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def ordered_stream_dir(spark, tmp_path_factory):
+    """events written as 6 files in EVENT-TIME order (sequential
+    appends so file mtimes are increasing — the file source replays
+    them oldest-first).  Stateful operators need this: a real stream
+    is roughly time-ordered with bounded lateness; the randomly
+    partitioned ``stream_dir`` makes every batch span the whole month,
+    so batch 1 advances the watermark to ~global-max and the engine
+    (correctly) drops batch 2+ as late."""
+    import time
+
+    d = tmp_path_factory.mktemp("ostream") / "events"
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    ev = (ev.withColumn("x", F.col("value"))
+            .withColumn("y", (F.col("user_id").cast("long") * 7919 % 1000) / 10.0))
+    cuts = [r[0] for r in
+            ev.selectExpr("percentile(cast(ts as double), "
+                          "array(1/6, 2/6, 3/6, 4/6, 5/6))").collect()[0]][0:]
+    bounds = [float("-inf")] + list(cuts) + [float("inf")]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        (ev.where((F.col("ts").cast("double") >= lo) &
+                  (F.col("ts").cast("double") < hi))
+           .coalesce(1).write.mode("append").parquet(str(d)))
+        time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+    return str(d), ev.schema
+
+
+def test_stream_sessionize_matches_batch(spark, ordered_stream_dir):
+    """Closed streaming sessions == batch gaps-and-islands sessions
+    (operators.temporal_join.sessionize) for every session the final
+    watermark has closed; open state is held back, and nothing is
+    emitted that batch doesn't know."""
+    from stark_spark.operators.temporal_join import sessionize
+    from stark_spark.streaming import stream_sessionize
+
+    path, schema = ordered_stream_dir
+    s = read_event_stream(spark, path, schema, max_files=1)
+    out = stream_sessionize(s, key="user_id", time_col="ts",
+                            gap=7200, watermark="1 hour")
+    name = _run_append(out)
+    got = {(r.key, str(r.sess_start), str(r.sess_end), r.n)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    ev = ev.withColumn("_es", F.col("ts").cast("long"))
+    lab = sessionize(ev, "user_id", "_es", 7200)
+    batch = (lab.groupBy("user_id", "session_id")
+                .agg(F.min("ts").alias("sess_start"),
+                     F.max("ts").alias("sess_end"),
+                     F.count("*").alias("n")))
+    all_batch = {(r.user_id, str(r.sess_start), str(r.sess_end), r.n)
+                 for r in batch.collect()}
+    # deterministic guarantee: a session followed by a LATER event of
+    # the same key always emits (closed in-stream when that event
+    # arrives); each key's final session may stay in state if no batch
+    # runs after its timeout passes the watermark (availableNow ends).
+    last_per_key = {}
+    for t in all_batch:
+        if t[0] not in last_per_key or t[1] > last_per_key[t[0]][1]:
+            last_per_key[t[0]] = t
+    must_emit = all_batch - set(last_per_key.values())
+    assert must_emit <= got, must_emit - got
+    assert got <= all_batch, got - all_batch
+    assert len(got) > 0
