@@ -462,6 +462,19 @@ def _q_dbscan(spark, sf):
                   grid=GridSpec.unit_grid(100.0, 8))
 
 
+def _q_distance_histogram(spark, sf):
+    """Reference DistanceHistogram parity: per-cell sampled min-NN
+    distance histogram (the DBSCAN eps elbow input). 8×8 grid so cells
+    hold tens of points at sf0.01; n_samples=8 exercises the per-cell
+    sampling path; width 0.25 is exact binary so bucket edges can't
+    drift between engines."""
+    from stark_spark.operators.dbscan import distance_histogram
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    return distance_histogram(cust, 4.0, 16,
+                              grid=GridSpec.unit_grid(100.0, 8),
+                              key="c_custkey", n_samples=8)
+
+
 def _q_grid_histogram(spark, sf):
     ev = D.st_events(spark, sf, keep_geom=False)
     out = (ev.withColumn("cell", GRID.cell_expr(F.col("x"), F.col("y")))
@@ -970,6 +983,43 @@ def _q_ann_dup_pairs(spark, sf):
     return cosine_dup_pairs(emb, 0.4)
 
 
+def _q_ann_brute_gemm(spark, sf):
+    """Production scorer for the exact baseline: one BLAS matmul per
+    Arrow batch against the closure-shipped query matrix. Oracle-gated
+    on the discrete (q_id, vec_id, rank) — the float cos may differ
+    from the SQL fold in the last ulp, so it stays out of the hash
+    (same policy as ann_knn_join_gemm)."""
+    emb, q = _emb_queries(spark, sf, 5)
+    return (brute_force_topk(emb, q, 10, score="gemm")
+            .select("q_id", "vec_id", "rank"))
+
+
+def _q_ann_ivf_gemm(spark, sf):
+    """Production IVF scorer: per-bucket cogrouped BLAS matmul
+    (shared `_gemm_cogroup_topk` kernel). Rank-only hash, as above."""
+    emb, q = _emb_queries(spark, sf, 5)
+    cent = (emb.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    return (ivf_topk(emb, q, cent, 5, n_probe=2, score="gemm")
+            .select("q_id", "vec_id", "rank"))
+
+
+def _q_ann_dup_pairs_ivf_gemm(spark, sf):
+    """Scale path for near-dup pairs: IVF buckets (approximate — pairs
+    split across buckets are missed, by design) + row-blocked per-bucket
+    matmul. Pair-membership-only hash (cos out, same ulp policy);
+    threshold 0.4 is far from any pair's cos at this SF so the
+    boundary can't flip between float paths."""
+    from stark_spark.operators.similarity import cosine_dup_pairs
+    emb = D.load(spark, sf, "embeddings")
+    cent = (emb.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    return (cosine_dup_pairs(emb, 0.4, centroids=cent, score="gemm")
+            .select("a", "b"))
+
+
 def _q_ann_knn_join(spark, sf, score="fold"):
     """All-corpus ANN neighbor graph (top-3 per vector, IVF-bucketed,
     self excluded) — the scale shape behind embedding dedup and
@@ -1025,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_st": _q_skyline_st,
         "skyline_angular": _q_skyline_angular,
         "dbscan": _q_dbscan,
+        "distance_histogram": _q_distance_histogram,
         "grid_cell_histogram": _q_grid_histogram,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "agg_revenue_by_segment": _q_agg_revenue_by_segment,
@@ -1061,10 +1112,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "source_heavy_hitters": _q_source_heavy_hitters,
         "ann_brute_topk": _q_ann_brute,
+        "ann_brute_topk_gemm": _q_ann_brute_gemm,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
         "ann_knn_join": _q_ann_knn_join,
         "ann_knn_join_gemm": _q_ann_knn_join_gemm,
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
+        "ann_dup_pairs_ivf_gemm": _q_ann_dup_pairs_ivf_gemm,
     }
 
 
@@ -1447,6 +1501,36 @@ WHERE NOT EXISTS (
   WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))""",
 
         "dbscan": _dbscan_sql(2.0, 4, "c_custkey", cx, cy, "customer"),
+
+        "distance_histogram": f"""
+WITH p AS (
+  SELECT c_custkey AS k, {cx} AS x, {cy} AS y FROM customer
+), pc AS (
+  SELECT k, x, y,
+    (least(7, greatest(0, CAST(floor(y / 12.5) AS INT)))) * 8
+      + least(7, greatest(0, CAST(floor(x / 12.5) AS INT))) AS cell
+  FROM p
+), s AS (
+  SELECT k, x, y, cell FROM (
+    SELECT k, x, y, cell,
+      row_number() OVER (PARTITION BY cell ORDER BY k) AS rn
+    FROM pc) t
+  WHERE rn <= 8
+), d AS (
+  SELECT a.k,
+    min(sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))) AS mind
+  FROM s a JOIN s b ON a.cell = b.cell AND a.k <> b.k
+  GROUP BY a.k
+), h AS (
+  SELECT least(CAST(floor(mind / 0.25) AS INT), 15) AS bucket,
+    count(*) AS num
+  FROM d GROUP BY 1
+)
+SELECT CAST(r.range AS INT) AS bucket,
+  CAST(r.range AS DOUBLE) * 0.25 AS lb,
+  (CAST(r.range AS DOUBLE) + 1) * 0.25 AS ub,
+  CAST(coalesce(h.num, 0) AS BIGINT) AS num
+FROM range(16) r LEFT JOIN h ON h.bucket = CAST(r.range AS INT)""",
 
         "grid_cell_histogram": f"""
 SELECT {cell('value', EV_Y)} AS cell, count(*) AS n
@@ -1901,6 +1985,51 @@ SELECT q_id, vec_id, cos, rank FROM (
       ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, v.vec_id) AS INT) AS rank
   FROM embeddings v, embeddings q WHERE q.vec_id < 5
 ) t WHERE rank <= 10""",
+
+        "ann_brute_topk_gemm": f"""
+SELECT q_id, vec_id, rank FROM (
+  SELECT q.vec_id AS q_id, v.vec_id,
+    CAST(row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, v.vec_id) AS INT) AS rank
+  FROM embeddings v, embeddings q WHERE q.vec_id < 5
+) t WHERE rank <= 10""",
+
+        "ann_ivf_topk_gemm": f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT v.vec_id, v.embedding, c.vec_id AS bucket,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {_cos('v.embedding', 'c.embedding')} DESC, c.vec_id) AS rn
+    FROM embeddings v, embeddings c WHERE c.vec_id < 4
+  ) t WHERE rn = 1
+), probes AS (
+  SELECT q_id, q_embedding, bucket FROM (
+    SELECT q.vec_id AS q_id, q.embedding AS q_embedding, c.vec_id AS bucket,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY {_cos('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rn
+    FROM embeddings q, embeddings c WHERE q.vec_id < 5 AND c.vec_id < 4
+  ) t WHERE rn <= 2
+)
+SELECT q_id, vec_id, rank FROM (
+  SELECT p.q_id, a.vec_id,
+    CAST(row_number() OVER (PARTITION BY p.q_id
+      ORDER BY {_cos('a.embedding', 'p.q_embedding')} DESC, a.vec_id) AS INT) AS rank
+  FROM assigned a JOIN probes p USING (bucket)
+) t WHERE rank <= 5""",
+
+        "ann_dup_pairs_ivf_gemm": f"""
+WITH assigned AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT v.vec_id, v.embedding, c.vec_id AS bucket,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {_cos('v.embedding', 'c.embedding')} DESC, c.vec_id) AS rn
+    FROM embeddings v, embeddings c WHERE c.vec_id < 4
+  ) t WHERE rn = 1
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM assigned a JOIN assigned b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND {_cos('a.embedding', 'b.embedding')} >= 0.4""",
 
         "ann_ivf_topk": f"""
 WITH assigned AS (

@@ -50,9 +50,11 @@ BENCH_QUERIES = [
     "pack_shards",               # two-phase distributed prefix sum
     "sample_stratified",         # row-local deterministic sampling
     "dedup_simhash",             # 64 native bit-votes
-    "ann_brute_topk",            # broadcast + fold dot products
-    "ann_ivf_topk",              # bucketed ANN
+    "ann_brute_topk_gemm",       # batch-GEMM exact baseline
+    "ann_ivf_topk_gemm",         # bucketed ANN, cogroup GEMM scorer
     "ann_knn_join_gemm",         # all-corpus neighbor graph, bucket GEMM
+    "ann_dup_pairs_ivf_gemm",    # bucketed near-dup pairs, blocked GEMM
+    "distance_histogram",        # per-cell sampled NN-distance histogram
 ]
 
 

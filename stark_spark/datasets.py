@@ -36,9 +36,10 @@ TABLE_SALT: dict[str, tuple[int, int]] = {"orders": (5, 7)}
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-# testdata parquet stores these as TIMESTAMP(NANOS); Spark reads them as
-# long nanos (legacy conf in session.py) — convert back to TimestampType
-# (micro truncation, matching DuckDB's nanos→micros cast).
+# Timestamp columns to normalize to TimestampType (instant) regardless of
+# the driver's parquet encoding: TIMESTAMP(NANOS) reads as long nanos
+# (legacy conf in session.py), timestamp[us] reads as TIMESTAMP_NTZ in
+# Spark 4 — both branches handled in load().
 _TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -65,11 +66,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     _ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in _TS_COLS.get(table, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             # integer div, not /1000: double division rounds at ~1.7e18 ns
             # (ulp 0.25 µs) and can come out 1 µs off DuckDB's exact
             # nanos→micros truncation
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # timestamp[us] parquet reads as TIMESTAMP_NTZ in Spark 4, which
+            # refuses cast→BIGINT / unix_micros. Session TZ is pinned UTC
+            # (_ensure_runtime_confs), so reinterpreting NTZ as an instant is
+            # exact and matches DuckDB's epoch(ts) on the same file.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -375,8 +375,31 @@ def _fill_pixels(poly, bounds, width, height, flip,
     kernel)."""
     from stark_spark.core import geometry as G
 
-    if projection == "mercator":     # fill in pixel space via outline bbox
-        raise NotImplementedError("fill+mercator: render outline instead")
+    if projection == "mercator":
+        # awt fillPolygon parity (Visualization.java:260-296): project
+        # each vertex first, then fill the straight-edge polygon in
+        # PIXEL space — mercator is applied per-vertex, not per-pixel.
+        from stark_spark.core.geometry import _on_ring, _ring_pip
+        rings = []
+        for ring in poly.coords:
+            px, py = _project(ring[:, 0], ring[:, 1], bounds, width,
+                              height, flip, projection)
+            rings.append(np.column_stack([px, py]).astype(np.float64))
+        shell = rings[0]
+        i0 = max(0, int(shell[:, 0].min()))
+        i1 = min(width - 1, int(shell[:, 0].max()))
+        j0 = max(0, int(shell[:, 1].min()))
+        j1 = min(height - 1, int(shell[:, 1].max()))
+        if i1 < i0 or j1 < j0:
+            return np.empty(0, dtype=np.int64)
+        ii, jj = np.meshgrid(np.arange(i0, i1 + 1),
+                             np.arange(j0, j1 + 1))
+        ii, jj = ii.ravel(), jj.ravel()
+        cx, cy = ii + 0.5, jj + 0.5   # pixel centers vs int-coord rings
+        ok = _ring_pip(cx, cy, shell) | _on_ring(cx, cy, shell)
+        for hole in rings[1:]:
+            ok &= ~(_ring_pip(cx, cy, hole) & ~_on_ring(cx, cy, hole))
+        return (jj[ok] * width + ii[ok]).astype(np.int64)
     x0, y0, x1, y1 = bounds
     sx = width / (x1 - x0)
     sy = height / (y1 - y0)

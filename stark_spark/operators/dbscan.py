@@ -304,3 +304,60 @@ def knn_distance_sample(df: DataFrame, k: int, *, x: str = "xmin",
     kth = np.sqrt(d2[:, min(k, d2.shape[1] - 1)])
     kth.sort()
     return kth
+
+
+def distance_histogram(df: DataFrame, max_dist: float, n_buckets: int, *,
+                       grid: GridSpec, key: str, x: str = "xmin",
+                       y: str = "ymin",
+                       n_samples: int = 1000) -> DataFrame:
+    """Nearest-neighbor distance histogram — full parity with the
+    reference's `DistanceHistogram.scala:15-157` / `Histogram.scala`:
+    per grid cell, take ``n_samples`` points, each contributes its min
+    distance to the OTHER samples in its cell; merged global histogram
+    of ``n_buckets`` buckets of width ``max_dist/n_buckets``. The eps
+    elbow input for DBSCAN tuning.
+
+    Documented divergences: the per-cell sample is the ``n_samples``
+    smallest ``key`` values (the reference takes iteration-order-first
+    — nondeterministic), and distances ≥ ``max_dist`` clamp into the
+    last bucket (the reference indexes out of bounds and crashes,
+    `Histogram.scala:27`).
+
+    Scale shape: one shuffle on cell, per-cell work capped at
+    n_samples², output is exactly n_buckets rows (zero-filled).
+    Single-point cells contribute nothing (reference's `size > 1`).
+    """
+    width = max_dist / n_buckets
+    pts = (df.select(F.col(key).alias("_k"),
+                     F.col(x).cast("double").alias("_x"),
+                     F.col(y).cast("double").alias("_y"))
+             .withColumn("_cell", grid.cell_expr(F.col("_x"), F.col("_y"))))
+
+    schema = StructType([StructField("bucket", IntegerType()),
+                         StructField("num", LongType())])
+
+    def cell_hist(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_k", kind="stable").head(n_samples)
+        if len(pdf) < 2:
+            return pd.DataFrame({"bucket": [], "num": []})
+        xs, ys = pdf["_x"].to_numpy(), pdf["_y"].to_numpy()
+        d2 = ((xs[:, None] - xs[None, :]) ** 2 +
+              (ys[:, None] - ys[None, :]) ** 2)
+        np.fill_diagonal(d2, np.inf)
+        # sqrt(min d2) == min sqrt(d2): sqrt is monotone + correctly
+        # rounded, so this matches the oracle's min-over-sqrt exactly
+        dmin = np.sqrt(d2.min(axis=1))
+        b = np.minimum((dmin / width).astype(np.int64), n_buckets - 1)
+        idx, cnt = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": idx.astype(np.int32), "num": cnt})
+
+    hist = (pts.groupBy("_cell").applyInPandas(cell_hist, schema)
+               .groupBy("bucket").agg(F.sum("num").alias("num")))
+    buckets = (df.sparkSession.range(n_buckets)
+                 .select(F.col("id").cast("int").alias("bucket")))
+    return (buckets.join(hist, "bucket", "left")
+                   .select("bucket",
+                           (F.col("bucket") * F.lit(width)).alias("lb"),
+                           ((F.col("bucket") + 1) * F.lit(width)).alias("ub"),
+                           F.coalesce("num", F.lit(0)).cast("long")
+                            .alias("num")))

@@ -29,6 +29,28 @@ from stark_spark.operators.join import _suffix_right
 from stark_spark.partitioner.grid import GridSpec
 
 
+def _estimate_rows(df: DataFrame) -> int:
+    """Row-count estimate from Catalyst plan statistics — no job when
+    the optimizer can answer (parquet footers / CBO / LocalRelation).
+
+    `stats().rowCount()` is an Option[BigInt]; when undefined, derive a
+    coarse estimate from sizeInBytes over a conservative 64 B/row (the
+    consumer only needs order-of-magnitude). A real count() job runs
+    only if the py4j introspection itself fails.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(int(str(rc.get())), 1)
+        size = int(str(stats.sizeInBytes()))
+        if 0 < size < (1 << 62):  # defined (not the default "unknown" max)
+            return max(size // 64, 1)
+    except Exception:
+        pass
+    return max(df.count(), 1)
+
+
 def knn(df: DataFrame, query, k: int, *, points: bool = True,
         dist_col: str = "dist", tie_col: str | None = None,
         distance=None) -> DataFrame:
@@ -75,10 +97,13 @@ def knn_join(left: DataFrame, right: DataFrame, k: int, *,
     """
     if radius is None:
         # density heuristic: radius at which a uniform disk holds ~4k
-        # neighbors (one cheap count; the exact fallback keeps results
-        # correct even when the estimate is off for skewed data)
+        # neighbors. Row count comes from Catalyst plan statistics when
+        # available (free — parquet footer / CBO stats), falling back to
+        # a count job only when the plan can't estimate. radius ∝ n^-1/2
+        # so even a 4× stats error only moves radius 2×, and the exact
+        # fallback keeps results correct regardless.
         import math
-        n = right.count()
+        n = _estimate_rows(right)
         area = (grid.x1 - grid.x0) * (grid.y1 - grid.y0)
         radius = 2.0 * math.sqrt(k * area / (math.pi * max(n, 1)))
 

@@ -40,18 +40,68 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_fold(a, b) / (norm(a) * norm(b))
 
 
+def _local_topk(cos_row, mids, k: int, exclude=None):
+    """Indices of the top-k entries of one query's cosine row with the
+    deterministic (-cos, member id) tie-break; ``exclude`` drops one id
+    (self-match)."""
+    import numpy as np
+    order_ids = np.argsort(mids, kind="stable")
+    if exclude is not None:
+        order_ids = order_ids[mids[order_ids] != exclude]
+    return order_ids[np.argsort(-cos_row[order_ids], kind="stable")[:k]]
+
+
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                      key: str = "vec_id", qkey: str = "q_id",
                      vec_col: str = "embedding",
-                     qvec_col: str = "q_embedding") -> DataFrame:
+                     qvec_col: str = "q_embedding",
+                     score: str = "fold") -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     queries is expected to be small (broadcast): (q_id, q_embedding).
     Output: (q_id, vec_id, cos) with deterministic tie-break on key.
+
+    ``score="gemm"`` is the production scorer: the (small) query matrix
+    rides the task closure, every Arrow batch of vectors is scored by
+    ONE BLAS matmul with a local per-query top-k, and a tiny global
+    window merges across batches — each batch emits ≤ |Q|·k rows, so
+    the merge input is bounded by tasks·|Q|·k regardless of corpus
+    size. ``"fold"`` (default) is the bit-identical-to-DuckDB oracle
+    twin (`zip_with`+`aggregate` left fold).
     """
     from pyspark.sql import Window
-    j = vectors.crossJoin(F.broadcast(queries))
-    j = j.withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+    if score == "gemm":
+        import numpy as np
+        import pandas as pd
+        q_pdf = queries.select(qkey, qvec_col).toPandas()
+        Q = np.vstack(q_pdf[qvec_col].to_numpy()).astype(np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        qids = q_pdf[qkey].to_numpy()
+        key_type = dict(vectors.dtypes)[key]
+        qkey_type = dict(queries.dtypes)[qkey]
+
+        def score_batches(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                cos = Qn @ Mn.T
+                mids = pdf[key].to_numpy()
+                out_q, out_v, out_c = [], [], []
+                for qi in range(len(qids)):
+                    top = _local_topk(cos[qi], mids, k)
+                    out_q.extend([qids[qi]] * len(top))
+                    out_v.extend(mids[top])
+                    out_c.extend(cos[qi][top])
+                yield pd.DataFrame({qkey: out_q, key: out_v, "cos": out_c})
+
+        j = vectors.select(key, vec_col).mapInPandas(
+            score_batches, f"{qkey} {qkey_type}, {key} {key_type}, cos double")
+    else:
+        j = vectors.crossJoin(F.broadcast(queries))
+        j = j.withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col))) \
+             .select(qkey, key, "cos")
     w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
     return (j.withColumn("_rn", F.row_number().over(w))
              .where(F.col("_rn") <= k)
@@ -60,7 +110,8 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
 
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
                key: str = "vec_id", vec_col: str = "embedding",
-               ckey: str = "c_id", cvec_col: str = "c_embedding") -> DataFrame:
+               ckey: str = "c_id", cvec_col: str = "c_embedding",
+               score: str = "fold") -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (broadcast
     the centroid table; one narrow pass + per-key window).
 
@@ -70,8 +121,42 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
     query at sf0.1): the C×dim literal expression tree wrecks codegen
     compile time and the per-row struct fold doesn't vectorize. The
     broadcast crossJoin + window keeps the JVM hash-join fast path.
+
+    ``score="gemm"``: centroid matrix in the task closure, one BLAS
+    matmul + argmax per Arrow batch, NO crossJoin / window / shuffle at
+    all — the scale path when C is large (C ≈ √N means the fold does
+    N·√N interpreted evals). Assignment ties break on (-cos, c_id) in
+    both engines, but the two float paths can disagree in the last ulp
+    on near-ties — oracle-gated queries keep the fold default.
     """
     from pyspark.sql import Window
+    if score == "gemm":
+        import numpy as np
+        import pandas as pd
+        c_pdf = centroids.select(ckey, cvec_col).toPandas()
+        C = np.vstack(c_pdf[cvec_col].to_numpy()).astype(np.float64)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        # pre-sort by c_id so np.argmax's first-wins break == (-cos, c_id)
+        c_order = np.argsort(c_pdf[ckey].to_numpy(), kind="stable")
+        Cn = Cn[c_order]
+        cids = c_pdf[ckey].to_numpy()[c_order]
+        from pyspark.sql.types import StructField, StructType
+        # fresh StructType — .add() would mutate the frame's cached schema
+        out_schema = StructType(
+            list(vectors.schema.fields)
+            + [StructField("bucket", centroids.schema[ckey].dataType)])
+
+        def assign_batches(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                pdf = pdf.copy()
+                pdf["bucket"] = cids[np.argmax(Mn @ Cn.T, axis=1)]
+                yield pdf
+
+        return vectors.mapInPandas(assign_batches, out_schema)
     j = vectors.crossJoin(F.broadcast(centroids))
     j = j.withColumn("_cos", cosine(F.col(vec_col), F.col(cvec_col)))
     w = Window.partitionBy(key).orderBy(F.desc("_cos"), F.col(ckey))
@@ -80,30 +165,88 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
              .select(vectors["*"], F.col(ckey).alias("bucket")))
 
 
+def _gemm_cogroup_topk(assigned: DataFrame, probes: DataFrame, k: int, *,
+                       key: str, key_type: str, vec_col: str,
+                       qkey_type: str,
+                       exclude_self: bool = False) -> DataFrame:
+    """Per-bucket BLAS scoring shared by the gemm paths: cogrouped
+    `applyInPandas` on ``bucket`` — each bucket's members and probing
+    queries cross Arrow ONCE, one matmul scores every (probe × member)
+    pair, local top-k per query. ``probes`` must have columns
+    (q_id, q_embedding, bucket). Returns (q_id, key, cos); callers
+    window-merge across the n_probe buckets."""
+    import numpy as np
+    import pandas as pd
+
+    def bucket_topk(members: pd.DataFrame,
+                    bucket_probes: pd.DataFrame) -> pd.DataFrame:
+        if members.empty or bucket_probes.empty:
+            return pd.DataFrame({"q_id": [], key: [], "cos": []})
+        M = np.vstack(members[vec_col].to_numpy()).astype(np.float64)
+        Q = np.vstack(bucket_probes["q_embedding"].to_numpy()) \
+              .astype(np.float64)
+        mids = members[key].to_numpy()
+        qids = bucket_probes["q_id"].to_numpy()
+        cos = (Q @ M.T) / np.outer(np.linalg.norm(Q, axis=1),
+                                   np.linalg.norm(M, axis=1))
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            top = _local_topk(cos[qi], mids, k,
+                              exclude=qids[qi] if exclude_self else None)
+            out_q.extend([qids[qi]] * len(top))
+            out_v.extend(mids[top])
+            out_c.extend(cos[qi][top])
+        return pd.DataFrame({"q_id": out_q, key: out_v, "cos": out_c})
+
+    return (assigned.groupBy("bucket")
+            .cogroup(probes.groupBy("bucket"))
+            .applyInPandas(bucket_topk,
+                           f"q_id {qkey_type}, {key} {key_type}, "
+                           f"cos double"))
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int, *, n_probe: int = 2, key: str = "vec_id",
              qkey: str = "q_id", vec_col: str = "embedding",
-             qvec_col: str = "q_embedding") -> DataFrame:
+             qvec_col: str = "q_embedding",
+             score: str = "fold") -> DataFrame:
     """IVF approximate top-k: probe the n_probe nearest centroid buckets.
 
     At scale the win is pruning: each query scans |data|·n_probe/C
     instead of |data|. Bucketed vectors can be written
     `partitionBy(bucket)` so the probe prunes at the file level.
+
+    ``score="gemm"`` (production): candidates scored per bucket with
+    one BLAS matmul via the shared cogroup kernel instead of the
+    per-pair interpreted fold — at 100 TB the scoring pass dominates
+    and the fold is ~10-25× slower (measured on ann_knn_join).
+    ``"fold"`` (default) stays bit-identical to the DuckDB oracle.
     """
     from pyspark.sql import Window
-    assigned = ivf_assign(vectors, centroids, key=key, vec_col=vec_col)
+    assigned = ivf_assign(vectors, centroids, key=key, vec_col=vec_col,
+                          score=score)
     qc = queries.crossJoin(F.broadcast(centroids))
     qc = qc.withColumn("_cos", cosine(F.col(qvec_col), F.col("c_embedding")))
     wq = Window.partitionBy(qkey).orderBy(F.desc("_cos"), F.col("c_id"))
     probes = (qc.withColumn("_rn", F.row_number().over(wq))
                 .where(F.col("_rn") <= n_probe)
                 .select(qkey, qvec_col, F.col("c_id").alias("bucket")))
-    j = assigned.join(probes, "bucket")
-    j = j.withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+    if score == "gemm":
+        scored = _gemm_cogroup_topk(
+            assigned.select("bucket", key, vec_col),
+            probes.select(F.col(qkey).alias("q_id"),
+                          F.col(qvec_col).alias("q_embedding"), "bucket"),
+            k, key=key, key_type=dict(vectors.dtypes)[key],
+            vec_col=vec_col, qkey_type=dict(queries.dtypes)[qkey]) \
+            .withColumnRenamed("q_id", qkey)
+    else:
+        scored = (assigned.join(probes, "bucket")
+                  .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+                  .select(qkey, key, "cos"))
     w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
-    return (j.withColumn("_rn", F.row_number().over(w))
-             .where(F.col("_rn") <= k)
-             .select(qkey, key, "cos", F.col("_rn").alias("rank")))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= k)
+                  .select(qkey, key, "cos", F.col("_rn").alias("rank")))
 
 
 def ann_knn_join(vectors: DataFrame, centroids: DataFrame, k: int, *,
@@ -158,41 +301,11 @@ def ann_knn_join(vectors: DataFrame, centroids: DataFrame, k: int, *,
                                                F.col("q_embedding"))))
         scored = j.select("q_id", key, "cos")
     else:
-        import numpy as np
-        import pandas as pd
         key_type = dict(vectors.dtypes)[key]
-
-        def bucket_topk(members: pd.DataFrame,
-                        bucket_probes: pd.DataFrame) -> pd.DataFrame:
-            if members.empty or bucket_probes.empty:
-                return pd.DataFrame({"q_id": [], key: [], "cos": []})
-            M = np.vstack(members[vec_col].to_numpy()).astype(np.float64)
-            Q = np.vstack(bucket_probes["q_embedding"].to_numpy()) \
-                  .astype(np.float64)
-            mids = members[key].to_numpy()
-            qids = bucket_probes["q_id"].to_numpy()
-            cos = (Q @ M.T) / np.outer(np.linalg.norm(Q, axis=1),
-                                       np.linalg.norm(M, axis=1))
-            out_q, out_v, out_c = [], [], []
-            # local top-k per probing query (merge across buckets is
-            # the window below); argsort on (-cos, member id) for the
-            # deterministic tie-break
-            order_ids = np.argsort(mids, kind="stable")
-            for qi in range(len(qids)):
-                row = cos[qi]
-                keep = mids != qids[qi]
-                cand = order_ids[keep[order_ids]]
-                top = cand[np.argsort(-row[cand], kind="stable")[:k]]
-                out_q.extend([qids[qi]] * len(top))
-                out_v.extend(mids[top])
-                out_c.extend(row[top])
-            return pd.DataFrame({"q_id": out_q, key: out_v, "cos": out_c})
-
-        scored = (assigned.groupBy("bucket")
-                  .cogroup(probes.groupBy("bucket"))
-                  .applyInPandas(bucket_topk,
-                                 f"q_id {key_type}, {key} {key_type}, "
-                                 f"cos double"))
+        scored = _gemm_cogroup_topk(
+            assigned.select("bucket", key, vec_col), probes, k,
+            key=key, key_type=key_type, vec_col=vec_col,
+            qkey_type=key_type, exclude_self=True)
 
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col(key))
     return (scored.withColumn("_rn", F.row_number().over(w))
@@ -202,15 +315,56 @@ def ann_knn_join(vectors: DataFrame, centroids: DataFrame, k: int, *,
 
 def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
                      key: str = "vec_id", vec_col: str = "embedding",
-                     centroids: DataFrame | None = None) -> DataFrame:
+                     centroids: DataFrame | None = None,
+                     score: str = "fold") -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
     With ``centroids``: pairs are only searched within IVF buckets
     (approximate but scalable — near-dups almost always share a
     bucket). Without: exact self-join (small data / verification).
+
+    ``score="gemm"`` (bucketed path only): one `applyInPandas` per
+    bucket — members sorted by id, a row-blocked matmul against the
+    bucket matrix (1024-row blocks cap the cos-block memory at
+    1024×|bucket| doubles), upper-triangle mask gives a<b for free.
+    Replaces |bucket|² interpreted fold evals per bucket; giant buckets
+    are the same AQE-skew territory as the fold join.
     """
     if centroids is not None:
-        v = ivf_assign(vectors, centroids, key=key, vec_col=vec_col)
+        v = ivf_assign(vectors, centroids, key=key, vec_col=vec_col,
+                       score=score)
+        if score == "gemm":
+            import numpy as np
+            import pandas as pd
+            key_type = dict(vectors.dtypes)[key]
+
+            def bucket_pairs(members: pd.DataFrame) -> pd.DataFrame:
+                if len(members) < 2:
+                    return pd.DataFrame({"a": [], "b": [], "cos": []})
+                members = members.sort_values(key, kind="stable")
+                M = np.vstack(members[vec_col].to_numpy()) \
+                      .astype(np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                ids = members[key].to_numpy()
+                n = len(ids)
+                out_a, out_b, out_c = [], [], []
+                for i0 in range(0, n, 1024):
+                    i1 = min(i0 + 1024, n)
+                    cos = Mn[i0:i1] @ Mn.T
+                    ii, jj = np.nonzero(cos >= threshold)
+                    up = (ii + i0) < jj  # a<b on sorted ids
+                    ii, jj = ii[up], jj[up]
+                    out_a.extend(ids[ii + i0])
+                    out_b.extend(ids[jj])
+                    out_c.extend(cos[ii, jj])
+                return pd.DataFrame({"a": out_a, "b": out_b,
+                                     "cos": out_c})
+
+            return (v.select("bucket", key, vec_col)
+                     .groupBy("bucket")
+                     .applyInPandas(bucket_pairs,
+                                    f"a {key_type}, b {key_type}, "
+                                    f"cos double"))
         a = v.select(F.col(key).alias("a"), F.col(vec_col).alias("va"), "bucket")
         b = v.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"), "bucket")
         j = a.join(b, "bucket").where(F.col("a") < F.col("b"))

@@ -343,6 +343,30 @@ def test_render_background_overlay_and_jpg(spark, tmp_path):
     assert (tmp_path / "o.jpg").read_bytes() == jpg
 
 
+def test_render_fill_mercator_pixel_exact(spark):
+    """fill+mercator: projection applied per-VERTEX, polygon filled
+    with straight edges in pixel space (Visualization.java:260-296).
+    An axis-aligned lng/lat rect projects to an axis-aligned pixel
+    rect, so the expected pixel set is derivable from the projected
+    corners alone: centers i+0.5 ∈ [px0, px1] → i ∈ [px0, px1-1]."""
+    from stark_spark.functions.visualize import (_png_decode, _project,
+                                                 render_geoms)
+    poly = "POLYGON ((-90 -45, 90 -45, 90 45, -90 45, -90 -45))"
+    sq = _wkt_frame(spark, [(1, poly)])
+    W = H = 64
+    bounds = (-180.0, -85.0, 180.0, 85.0)
+    png = render_geoms(sq, W, H, bounds=bounds, fill=True,
+                       color=(0, 255, 0), projection="mercator")
+    got = _png_decode(png)[:, :, 1] == 255
+    px, py = _project(np.array([-90.0, 90.0]), np.array([-45.0, 45.0]),
+                      bounds, W, H, True, "mercator")
+    i0, i1 = int(px[0]), int(px[1])
+    j0, j1 = int(min(py)), int(max(py))
+    want = np.zeros((H, W), dtype=bool)
+    want[j0:j1, i0:i1] = True
+    assert (got == want).all()
+
+
 def test_render_tiles_colormap(spark):
     from stark_spark.functions.visualize import (_png_decode,
                                                  default_colormap,
