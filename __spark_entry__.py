@@ -777,6 +777,46 @@ def _q_sql_raster_hist(spark, sf):
           SELECT rasterHistogram(data, 0D, 16D, 8) AS h FROM __sql_tiles)""")
 
 
+def _q_partition_spatio_temporal(spark, sf):
+    """SpatioTemp partitioner assignment audit (§2.11 rows 65-66):
+    every event's composite (cell, t_bucket) placement key plus the
+    per-key row count — the exact data placement a 100 TB ingest would
+    `partitionBy` on. Fixed ranges: 32×32 unit grid × 8 one-week
+    buckets from 2024-01-01."""
+    from stark_spark.partitioner.temporal import spatio_temporal_key
+    ev = D.st_events(spark, sf, keep_geom=False)
+    keyed = spatio_temporal_key(ev, GRID, 1704067200, 604800, 8)
+    return (keyed.groupBy("cell", "t_bucket")
+                 .agg(F.count("*").alias("n_rows")))
+
+
+def _q_sql_st_filter(spark, sf):
+    """SQL-surface twin of the containedby filter: proves the
+    REGISTERED st_* functions (register.py), not just the DataFrame
+    path — `SELECT … WHERE st_containedby(geom, st_geomfromwkt(…))`
+    rides the same vectorized kernels."""
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    D.st_events(spark, sf).createOrReplaceTempView("__sql_ev_f")
+    return spark.sql("""
+        SELECT event_id, x, y FROM __sql_ev_f
+        WHERE st_containedby(geom, st_geomfromwkt(
+          'POLYGON ((20 30, 70 30, 70 90, 20 90, 20 30))'))""")
+
+
+def _q_sql_tile_accessors(spark, sf):
+    """SQL-surface tile getters + SMA accessors (§2.7 rows 9-11):
+    ulx/uly are plain column reads on the flat tile schema;
+    r_min/r_max/r_median are the pure-SQL scalar functions."""
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    _ev_tiles(spark, sf).createOrReplaceTempView("__sql_tiles_acc")
+    return spark.sql("""
+        SELECT ulx, uly, r_min(data) AS v_min, r_max(data) AS v_max,
+               r_median(data) AS v_median
+        FROM __sql_tiles_acc""")
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -1020,6 +1060,17 @@ def _q_ann_dup_pairs_ivf_gemm(spark, sf):
             .select("a", "b"))
 
 
+def _q_ann_quantized(spark, sf):
+    """int8-quantized brute-force top-k: quantization is floor(127·v/‖v‖
+    + 0.5) (floor, not round — half-breaking conventions differ across
+    engines), scores are integer dots ≤ 127²·d ≪ 2⁵³ so the float64
+    BLAS matmul is EXACT and the dot_q column itself hash-gates (the
+    float-cos gemm paths can only gate ranks)."""
+    from stark_spark.operators.similarity import ann_quantized_topk
+    emb, q = _emb_queries(spark, sf, 5)
+    return ann_quantized_topk(emb, q, 10)
+
+
 def _q_ann_knn_join(spark, sf, score="fold"):
     """All-corpus ANN neighbor graph (top-3 per vector, IVF-bucketed,
     self excluded) — the scale shape behind embedding dedup and
@@ -1098,6 +1149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "partition_spatio_temporal": _q_partition_spatio_temporal,
+        "sql_st_filter": _q_sql_st_filter,
+        "sql_tile_accessors": _q_sql_tile_accessors,
         "text_profile": _q_text_profile,
         "text_by_source": _q_text_by_source,
         "lang_distribution": _q_lang_distribution,
@@ -1113,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_heavy_hitters": _q_source_heavy_hitters,
         "ann_brute_topk": _q_ann_brute,
         "ann_brute_topk_gemm": _q_ann_brute_gemm,
+        "ann_quantized_topk": _q_ann_quantized,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
         "ann_knn_join": _q_ann_knn_join,
@@ -1681,6 +1736,36 @@ WHERE value >= 10 AND value <= 60
   AND ({EV_Y}) >= 10 AND ({EV_Y}) <= 80
   AND {EV_T} >= 1704067200 AND {EV_T} <= 1704672000""",
 
+        "partition_spatio_temporal": f"""
+SELECT {cell('value', EV_Y)} AS cell,
+  least(7, greatest(0,
+    CAST(floor(({EV_T} - 1704067200) / 604800) AS INT))) AS t_bucket,
+  count(*) AS n_rows
+FROM events GROUP BY 1, 2""",
+
+        "sql_st_filter": f"""
+SELECT event_id, value AS x, {EV_Y} AS y FROM events
+WHERE value > 20 AND value < 70
+  AND ({EV_Y}) > 30 AND ({EV_Y}) < 90""",
+
+        "sql_tile_accessors": f"""
+WITH pix AS (
+  SELECT floor(value / 10.0) AS tx, floor(({EV_Y}) / 10.0) AS ty,
+    floor(value / 1.25) AS ix, floor(({EV_Y}) / 1.25) AS iy,
+    count(*) AS n
+  FROM events GROUP BY 1, 2, 3, 4
+), t AS (
+  SELECT tx, ty, count(*) AS n_occ, min(n) AS mn, max(n) AS mx,
+    list(n ORDER BY n) AS cnts
+  FROM pix GROUP BY tx, ty
+)
+SELECT tx * 10.0 AS ulx, (ty + 1) * 10.0 AS uly,
+  CAST(CASE WHEN n_occ >= 64 THEN mn ELSE 0 END AS BIGINT) AS v_min,
+  CAST(mx AS BIGINT) AS v_max,
+  CAST(CASE WHEN n_occ <= 32 THEN 0
+            ELSE cnts[CAST(n_occ - 32 AS INT)] END AS BIGINT) AS v_median
+FROM t""",
+
         "sql_raster_histogram": f"""
 WITH pix AS (
   SELECT floor(value / 10.0) AS tx, floor(({EV_Y}) / 10.0) AS ty,
@@ -1984,6 +2069,26 @@ SELECT q_id, vec_id, cos, rank FROM (
     CAST(row_number() OVER (PARTITION BY q.vec_id
       ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, v.vec_id) AS INT) AS rank
   FROM embeddings v, embeddings q WHERE q.vec_id < 5
+) t WHERE rank <= 10""",
+
+        "ann_quantized_topk": f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding, x ->
+    CAST(floor(127.0 * x::DOUBLE /
+      sqrt({_DOT.format(a='embedding', b='embedding')}) + 0.5) AS BIGINT))
+    AS q
+  FROM embeddings
+)
+SELECT q_id, vec_id, dot_q, rank FROM (
+  SELECT qq.vec_id AS q_id, v.vec_id,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(list_zip(v.q, qq.q), p -> p[1] * p[2])),
+      (acc, e) -> acc + e) AS dot_q,
+    CAST(row_number() OVER (PARTITION BY qq.vec_id
+      ORDER BY list_reduce(list_prepend(0::BIGINT,
+        list_transform(list_zip(v.q, qq.q), p -> p[1] * p[2])),
+        (acc, e) -> acc + e) DESC, v.vec_id) AS INT) AS rank
+  FROM qv v, qv qq WHERE qq.vec_id < 5
 ) t WHERE rank <= 10""",
 
         "ann_brute_topk_gemm": f"""

@@ -420,3 +420,80 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
                              .alias("c_embedding")))
         cent = cent.localCheckpoint()
     return cent
+
+
+def quantize_embeddings(vectors: DataFrame, *, vec_col: str = "embedding",
+                        out_col: str = "qvec") -> DataFrame:
+    """Symmetric int8 quantization of unit-normalized embeddings:
+    ``q_i = floor(127 * v_i / ||v|| + 0.5)``.
+
+    The training-pipeline storage lever: 4× smaller than float32 on
+    disk and over the shuffle wire, and the integer dot product makes
+    downstream ranking EXACTLY reproducible — no float-summation-order
+    sensitivity at all, so quantized ANN is hash-oracle-checkable
+    including its scores. floor(x+0.5) instead of round(): round()
+    half-breaking conventions differ across engines (numpy half-even,
+    Spark HALF_UP, DuckDB half-away); floor of an identical double is
+    bit-deterministic everywhere.
+
+    Native HOF expression (codegen): quantize ONCE at ingest, store
+    `array<int>`; the scoring passes then never touch floats.
+    """
+    v = F.col(vec_col)
+    nrm = F.sqrt(dot_fold(v, v))
+    q = F.transform(v, lambda x: F.floor(
+        F.lit(127.0) * x.cast("double") / nrm + F.lit(0.5)).cast("long"))
+    return vectors.withColumn(out_col, q)
+
+
+def ann_quantized_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
+                       key: str = "vec_id", qkey: str = "q_id",
+                       vec_col: str = "embedding",
+                       qvec_col: str = "q_embedding") -> DataFrame:
+    """Exact top-k by int8-quantized dot product for each query vector.
+
+    Same shape as `brute_force_topk(score="gemm")` — query matrix in
+    the task closure, one matmul per Arrow batch, bounded batch-local
+    top-k, tiny global window merge — but the scores are INTEGERS:
+    |q_i| ≤ 127 so a d-dim dot is ≤ 127²·d ≪ 2⁵³, float64 BLAS on
+    integer-valued operands is exact, and the emitted `dot_q` column
+    hash-matches the SQL fold bit-for-bit (unlike the float cos paths,
+    which gate rank-only).
+
+    Output: (q_id, vec_id, dot_q, rank), tie-break on key.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qv = quantize_embeddings(queries, vec_col=qvec_col, out_col="_q")
+    q_pdf = qv.select(qkey, "_q").toPandas()
+    Qm = np.vstack(q_pdf["_q"].to_numpy()).astype(np.float64)
+    qids = q_pdf[qkey].to_numpy()
+    key_type = dict(vectors.dtypes)[key]
+    qkey_type = dict(queries.dtypes)[qkey]
+
+    quant = quantize_embeddings(vectors, vec_col=vec_col, out_col="_q") \
+        .select(key, "_q")
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf["_q"].to_numpy()).astype(np.float64)
+            dots = Qm @ M.T          # exact: integer-valued float64
+            mids = pdf[key].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qids)):
+                top = _local_topk(dots[qi], mids, k)
+                out_q.extend([qids[qi]] * len(top))
+                out_v.extend(mids[top])
+                out_d.extend(dots[qi][top].astype(np.int64))
+            yield pd.DataFrame({qkey: out_q, key: out_v, "dot_q": out_d})
+
+    scored = quant.mapInPandas(
+        score_batches, f"{qkey} {qkey_type}, {key} {key_type}, dot_q long")
+    w = Window.partitionBy(qkey).orderBy(F.desc("dot_q"), F.col(key))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= k)
+                  .select(qkey, key, "dot_q", F.col("_rn").alias("rank")))

@@ -433,3 +433,45 @@ def test_skyline_maximize_directions(spark):
     src = pdf.set_index("id")
     assert all(src.loc[r.id].x == r.x and src.loc[r.id].y == r.y
                for _, r in out.iterrows())
+
+
+def test_ann_gemm_variants_match_fold(spark, emb):
+    """brute/ivf/dup-pairs gemm scorers must agree with their fold
+    twins on the discrete output (ranks / pair membership)."""
+    from stark_spark.operators.similarity import (brute_force_topk,
+                                                  cosine_dup_pairs,
+                                                  ivf_topk)
+    q = (emb.where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    cent = (emb.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    key = ["q_id", "vec_id", "rank"]
+    for fn in (lambda s: brute_force_topk(emb, q, 10, score=s),
+               lambda s: ivf_topk(emb, q, cent, 5, n_probe=2, score=s)):
+        f = fn("fold").toPandas().sort_values(key).reset_index(drop=True)
+        g = fn("gemm").toPandas().sort_values(key).reset_index(drop=True)
+        assert f[key].equals(g[key])
+        assert np.allclose(f.cos, g.cos, atol=1e-12)
+    pf = cosine_dup_pairs(emb, 0.4, centroids=cent, score="fold").toPandas()
+    pg = cosine_dup_pairs(emb, 0.4, centroids=cent, score="gemm").toPandas()
+    assert ({(a, b) for a, b in zip(pf.a, pf.b)} ==
+            {(a, b) for a, b in zip(pg.a, pg.b)})
+
+
+def test_ann_quantized_recall(spark, emb):
+    """int8 quantization keeps high top-k agreement with the float
+    ranking (exactness of the integer path is oracle-gated; this
+    checks retrieval quality doesn't collapse)."""
+    from stark_spark.operators.similarity import (ann_quantized_topk,
+                                                  brute_force_topk)
+    q = (emb.where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    fl = brute_force_topk(emb, q, 10).toPandas()
+    qz = ann_quantized_topk(emb, q, 10).toPandas()
+    for q_id, grp in fl.groupby("q_id"):
+        want = set(grp.vec_id)
+        got = set(qz[qz.q_id == q_id].vec_id)
+        assert len(want & got) >= 8, q_id   # ≥80% overlap per query
