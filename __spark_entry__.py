@@ -555,6 +555,19 @@ def _q_dedup_lsh_pairs(spark, sf):
                                shingle_k=8)
 
 
+def _q_dedup_keep_best(spark, sf):
+    """Quality-keeper dedup: same SimHash components as
+    `dedup_clusters`, but keep = argmax(n_chars) per cluster (tie →
+    min doc_id) — "keep the longest copy", the policy training
+    pipelines actually want."""
+    from stark_spark.operators.dedup import (dedup_keep_best,
+                                             simhash_near_pairs)
+    docs = D.load(spark, sf, "documents")
+    pairs = simhash_near_pairs(docs, "doc_id",
+                               max_hamming=3).select("a", "b")
+    return dedup_keep_best(docs, "doc_id", "n_chars", pairs=pairs)
+
+
 def _q_dedup_jaccard(spark, sf):
     docs = D.load(spark, sf, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", shingle_k=8, threshold=0.12)
@@ -775,6 +788,16 @@ def _q_sql_raster_hist(spark, sf):
     return spark.sql("""
         SELECT posexplode(h) AS (bucket, n) FROM (
           SELECT rasterHistogram(data, 0D, 16D, 8) AS h FROM __sql_tiles)""")
+
+
+def _q_viz_lit_pixels(spark, sf):
+    """Oracle gate for the distributed render stage (§2.1 row 12):
+    `lit_pixels` = the whole visualization pipeline minus the trivial
+    driver-side PNG encode (pixel-exact pytest covers that). Linear
+    projection is pure floor arithmetic → SQL-expressible."""
+    from stark_spark.functions.visualize import lit_pixels
+    ev = D.st_events(spark, sf)
+    return lit_pixels(ev, 256, 256, bounds=(0.0, 0.0, 100.0, 100.0))
 
 
 def _q_partition_spatio_temporal(spark, sf):
@@ -1146,9 +1169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_best": _q_dedup_keep_best,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "viz_lit_pixels": _q_viz_lit_pixels,
         "partition_spatio_temporal": _q_partition_spatio_temporal,
         "sql_st_filter": _q_sql_st_filter,
         "sql_tile_accessors": _q_sql_tile_accessors,
@@ -1736,6 +1761,17 @@ WHERE value >= 10 AND value <= 60
   AND ({EV_Y}) >= 10 AND ({EV_Y}) <= 80
   AND {EV_T} >= 1704067200 AND {EV_T} <= 1704672000""",
 
+        "viz_lit_pixels": f"""
+SELECT DISTINCT
+  CAST(floor((100 - ({EV_Y})) * (256.0 / 100.0)) AS BIGINT) * 256
+    + CAST(floor(value * (256.0 / 100.0)) AS BIGINT) AS pix
+FROM events
+WHERE value >= 0 AND value <= 100
+  AND ({EV_Y}) >= 0 AND ({EV_Y}) <= 100
+  AND CAST(floor(value * (256.0 / 100.0)) AS BIGINT) BETWEEN 0 AND 255
+  AND CAST(floor((100 - ({EV_Y})) * (256.0 / 100.0)) AS BIGINT)
+    BETWEEN 0 AND 255""",
+
         "partition_spatio_temporal": f"""
 SELECT {cell('value', EV_Y)} AS cell,
   least(7, greatest(0,
@@ -1828,6 +1864,26 @@ SELECT d.doc_id,
   coalesce(c.comp, d.doc_id) AS rep,
   (coalesce(c.comp, d.doc_id) = d.doc_id) AS keep
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id""",
+
+        "dedup_keep_best": f"""
+WITH RECURSIVE pairs AS ({_simhash64_pairs_sql(3)}
+), sym AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+), reach(node, m) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.node
+), comp AS (
+  SELECT node, min(m) AS comp FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, d.n_chars,
+    coalesce(c.comp, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, rep,
+  row_number() OVER (PARTITION BY rep
+    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+FROM labeled""",
 
         "dedup_ngram_jaccard": f"""
 WITH sh AS (

@@ -166,6 +166,39 @@ def dedup_clusters(df: DataFrame, key: str, *,
                       F.coalesce("comp", F.col(key)).alias("rep"))
               .withColumn("keep", F.col("rep") == F.col(key)))
 
+def dedup_keep_best(df: DataFrame, key: str, score_col: str, *,
+                    pairs: DataFrame | None = None, n_seeds: int = 8,
+                    rows_per_band: int = 2, shingle_k: int = 8,
+                    text_col: str = "text") -> DataFrame:
+    """`dedup_clusters` with a QUALITY keeper policy: inside each
+    near-dup cluster keep the row maximizing ``score_col`` (tie →
+    smallest key) instead of the smallest key — "keep the longest /
+    highest-quality copy", the policy real training pipelines want
+    (min-id keeps whichever shard happened to be crawled first).
+
+    Returns (key, rep, keep): rep is still the min-key canonical id
+    (stable cluster identity under re-scoring); keep marks the
+    score-argmax row. Cost over dedup_clusters: one extra window over
+    the cluster key — no new shuffles of the corpus (the rep join
+    already keyed it).
+    """
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import connected_components
+    if pairs is None:
+        pairs = lsh_candidate_pairs(df, key, n_seeds=n_seeds,
+                                    rows_per_band=rows_per_band,
+                                    shingle_k=shingle_k, text_col=text_col)
+    cc = connected_components(pairs, src="a", dst="b") \
+        .withColumnRenamed("node", key)
+    labeled = (df.select(key, score_col)
+                 .join(cc, key, "left")
+                 .select(F.col(key), F.col(score_col),
+                         F.coalesce("comp", F.col(key)).alias("rep")))
+    w = Window.partitionBy("rep").orderBy(F.desc(score_col), F.col(key))
+    return (labeled.withColumn("keep", F.row_number().over(w) == 1)
+                   .select(key, "rep", "keep"))
+
+
 
 def ngram_jaccard_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
                         threshold: float = 0.5,

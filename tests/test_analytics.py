@@ -475,3 +475,49 @@ def test_ann_quantized_recall(spark, emb):
         want = set(grp.vec_id)
         got = set(qz[qz.q_id == q_id].vec_id)
         assert len(want & got) >= 8, q_id   # ≥80% overlap per query
+
+
+def test_dedup_keep_best(spark, docs):
+    from stark_spark.operators.dedup import dedup_keep_best
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  "a long, b long")
+    got = dedup_keep_best(docs, "doc_id", "n_chars",
+                          pairs=pairs).toPandas()
+    assert len(got) == docs.count()
+    by_id = got.set_index("doc_id")
+    # rep is still min-key; keep marks the n_chars argmax of each cluster
+    assert by_id.loc[[1, 2, 3]].rep.tolist() == [1, 1, 1]
+    nc = {r.doc_id: r.n_chars
+          for r in docs.where(F.col("doc_id").isin([1, 2, 3, 10, 11]))
+                       .collect()}
+    best123 = sorted([1, 2, 3], key=lambda i: (-nc[i], i))[0]
+    best1011 = sorted([10, 11], key=lambda i: (-nc[i], i))[0]
+    kept = set(got[got.keep].doc_id)
+    assert best123 in kept and not ({1, 2, 3} - {best123}) & kept
+    assert best1011 in kept and not ({10, 11} - {best1011}) & kept
+    rest = got[~got.doc_id.isin([1, 2, 3, 10, 11])]
+    assert (rest.rep == rest.doc_id).all() and rest.keep.all()
+
+
+def test_distance_histogram(spark):
+    from stark_spark.operators.dbscan import distance_histogram
+    from stark_spark.partitioner.grid import GridSpec
+    # two cells of a 2×1 grid over [0,20)×[0,10): left cell has points
+    # spaced 1 apart, right cell 2 apart — NN distances 1.0 and 2.0
+    rows = ([(i, float(i), 5.0) for i in range(5)]            # x=0..4
+            + [(100 + i, 10.0 + 2.0 * i, 5.0) for i in range(4)])
+    df = spark.createDataFrame(rows, "id long, xmin double, ymin double")
+    grid = GridSpec(0.0, 0.0, 20.0, 10.0, nx=2, ny=1)
+    got = (distance_histogram(df, 4.0, 8, grid=grid, key="id")
+           .orderBy("bucket").toPandas())
+    assert len(got) == 8
+    assert got.num.sum() == 9
+    # width 0.5: d=1.0 → bucket 2 (5 pts), d=2.0 → bucket 4 (4 pts)
+    assert got.set_index("bucket").num.to_dict() == {
+        0: 0, 1: 0, 2: 5, 3: 0, 4: 4, 5: 0, 6: 0, 7: 0}
+    assert got.lb.tolist() == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5]
+    # sampling cap: with n_samples=2 only 2 points per cell survive
+    capped = (distance_histogram(df, 4.0, 8, grid=grid, key="id",
+                                 n_samples=2)
+              .agg(F.sum("num")).first()[0])
+    assert capped == 4
