@@ -840,6 +840,15 @@ def _q_sql_tile_accessors(spark, sf):
         FROM __sql_tiles_acc""")
 
 
+def _q_events_rollup(spark, sf):
+    """Multi-grain continuous-aggregate rollup in ONE scan: GROUPING
+    SETS expands day/month/year inside a single shuffle with partial
+    aggregation — G× fewer scans than one pass per grain."""
+    from stark_spark.operators.rollup import multi_grain_rollup
+    ev = D.load(spark, sf, "events")
+    return multi_grain_rollup(ev, "ts", "value")
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -1175,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "viz_lit_pixels": _q_viz_lit_pixels,
         "partition_spatio_temporal": _q_partition_spatio_temporal,
+        "events_rollup": _q_events_rollup,
         "sql_st_filter": _q_sql_st_filter,
         "sql_tile_accessors": _q_sql_tile_accessors,
         "text_profile": _q_text_profile,
@@ -1778,6 +1788,22 @@ SELECT {cell('value', EV_Y)} AS cell,
     CAST(floor(({EV_T} - 1704067200) / 604800) AS INT))) AS t_bucket,
   count(*) AS n_rows
 FROM events GROUP BY 1, 2""",
+
+        "events_rollup": """
+WITH t AS (
+  SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS _g_day,
+    CAST(floor(epoch(date_trunc('month', ts))) AS BIGINT) AS _g_month,
+    CAST(floor(epoch(date_trunc('year', ts))) AS BIGINT) AS _g_year,
+    value AS _v
+  FROM events
+)
+SELECT CASE WHEN _g_day IS NOT NULL THEN 'day'
+            WHEN _g_month IS NOT NULL THEN 'month'
+            ELSE 'year' END AS grain,
+  coalesce(_g_day, _g_month, _g_year) AS bucket,
+  count(*) AS n,
+  sum(CAST(round(_v * 100) AS BIGINT)) / 100.0 AS total
+FROM t GROUP BY GROUPING SETS ((_g_day), (_g_month), (_g_year))""",
 
         "sql_st_filter": f"""
 SELECT event_id, value AS x, {EV_Y} AS y FROM events

@@ -521,3 +521,23 @@ def test_distance_histogram(spark):
                                  n_samples=2)
               .agg(F.sum("num")).first()[0])
     assert capped == 4
+
+
+def test_ivf_assign_gemm_is_shuffle_free(spark, emb):
+    """The gemm assign path must plan as scan → mapInPandas with NO
+    Exchange (the fold path needs crossJoin + window = two shuffles);
+    and both engines agree on the assignment for well-separated
+    centroids."""
+    from stark_spark.operators.similarity import ivf_assign
+    cent = (emb.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    g = ivf_assign(emb, cent, score="gemm")
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    f = ivf_assign(emb, cent, score="fold")
+    gp = g.select("vec_id", "bucket").toPandas().set_index("vec_id").bucket
+    fp = f.select("vec_id", "bucket").toPandas().set_index("vec_id").bucket
+    agree = (gp.sort_index() == fp.sort_index()).mean()
+    assert agree > 0.99      # ulp near-ties may flip a rare row

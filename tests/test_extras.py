@@ -436,3 +436,25 @@ def test_stframe_curation_verbs(spark, sf_dir):
                      grid=grid, left_rect=True, right_rect=True),
         "event_id", 0.5).count()
     assert got.count() == want_n > 0
+
+
+def test_multi_grain_rollup_single_scan(spark, sf_dir):
+    """GROUPING SETS rollup: ONE parquet scan feeds all grains (plan
+    has Expand, not one scan per grain), and the day grain equals a
+    plain per-day recompute."""
+    from stark_spark import datasets as D
+    from stark_spark.operators.rollup import multi_grain_rollup
+    ev = D.load(spark, sf_dir, "events")
+    out = multi_grain_rollup(ev, "ts", "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    got_day = {r.bucket: r.n
+               for r in out.where(F.col("grain") == "day").collect()}
+    want = {r.bucket: r.n for r in
+            ev.groupBy(F.date_trunc("DAY", F.col("ts")).cast("long")
+                        .alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got_day == want
+    grains = {r.grain for r in out.select("grain").distinct().collect()}
+    assert grains == {"day", "month", "year"}
