@@ -33,6 +33,21 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+# GPT-2-ish pre-tokenizer approximation: a letters run is one token,
+# each digit its own token, each non-space symbol its own token — the
+# boundaries BPE vocabularies split on. Kept inside the RE2 ∩
+# java.util.regex common dialect so the identical pattern runs in
+# Spark codegen AND the DuckDB oracle (`regexp_extract_all`).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Subword-boundary token count (BPE-ish): a closer proxy for LLM
+    token budgets than whitespace counting — digits and punctuation
+    cost one token each. Native `regexp_count`, no UDF."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
 def avg_token_len(text: Column) -> Column:
     """Mean token length — (chars - spaces) / tokens, exact in SQL."""
     n = token_count(text)

@@ -99,9 +99,11 @@ def raster_filter_vector(tiles: DataFrame, query, *, clip: bool = True,
     return t.mapInPandas(run, _TILE_OUT)
 
 
-def raster_join_vector(tiles: DataFrame, vec: DataFrame, *, grid: GridSpec,
+def raster_join_vector(tiles: DataFrame, vec: DataFrame, *,
+                       grid: GridSpec | None = None,
                        clip: bool = True, suffix: str = "_r",
-                       vec_rect: bool = False) -> DataFrame:
+                       vec_rect: bool = False,
+                       broadcast: bool = False) -> DataFrame:
     """Tiles ⋈ geometries (intersects): grid cell equi-join + bbox
     prefilter; each matched pair yields the tile clipped to the
     geometry (`RasterJoinVectorRDD`). Output: vec payload + clipped
@@ -111,14 +113,19 @@ def raster_join_vector(tiles: DataFrame, vec: DataFrame, *, grid: GridSpec,
     vector side) the join is declared rect × rect and the whole plan is
     native — no refine UDF and no tile geometry column at all. With
     arbitrary vector geometries the tile side carries a box WKB for
-    the pair refine."""
+    the pair refine.
+
+    ``broadcast=True``: dim-sized vector side (boundary tables are
+    typically O(10²) rows) → BNLJ, skipping the cell explode AND both
+    shuffles — the right default whenever vec fits a broadcast."""
     from stark_spark.operators.join import st_join
 
     t = tile_bbox_cols(tiles)
     if not vec_rect:
         t = _with_tile_geom(t)
     joined = st_join(t, vec, "intersects", grid=grid, suffix=suffix,
-                     left_rect=vec_rect, right_rect=vec_rect)
+                     left_rect=vec_rect, right_rect=vec_rect,
+                     broadcast=broadcast)
     if not vec_rect:
         joined = joined.drop("geom")
 
