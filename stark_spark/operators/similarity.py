@@ -497,3 +497,60 @@ def ann_quantized_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     return (scored.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") <= k)
                   .select(qkey, key, "dot_q", F.col("_rn").alias("rank")))
+
+
+def save_ivf_bucketed(vectors: DataFrame, centroids: DataFrame,
+                      path: str, *, key: str = "vec_id",
+                      vec_col: str = "embedding",
+                      score: str = "gemm") -> None:
+    """Persist the corpus IVF-bucketed: `partitionBy(bucket)` parquet
+    plus the centroid table alongside. This is what turns the IVF
+    probe from a filter into a FILE-LEVEL prune — a query touching
+    n_probe of C buckets reads n_probe/C of the files, before any row
+    is deserialized. At 100 TB that's the difference between an index
+    probe and a corpus scan."""
+    assigned = ivf_assign(vectors, centroids, key=key, vec_col=vec_col,
+                          score=score)
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    centroids.write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def ivf_topk_pruned(spark, path: str, queries: DataFrame, k: int, *,
+                    n_probe: int = 2, key: str = "vec_id",
+                    qkey: str = "q_id", vec_col: str = "embedding",
+                    qvec_col: str = "q_embedding",
+                    score: str = "gemm") -> DataFrame:
+    """IVF top-k against a `save_ivf_bucketed` store: probe buckets are
+    resolved against the (tiny) persisted centroid table, then the scan
+    carries `bucket IN (…)` — Catalyst partition-prunes the directories
+    (assert `PartitionFilters` in the plan), so I/O ∝ probed buckets.
+    Scoring engine as in `ivf_topk`."""
+    from pyspark.sql import Window
+    centroids = spark.read.parquet(path + "/_centroids")
+    qc = queries.crossJoin(F.broadcast(centroids))
+    qc = qc.withColumn("_cos", cosine(F.col(qvec_col), F.col("c_embedding")))
+    wq = Window.partitionBy(qkey).orderBy(F.desc("_cos"), F.col("c_id"))
+    probes = (qc.withColumn("_rn", F.row_number().over(wq))
+                .where(F.col("_rn") <= n_probe)
+                .select(qkey, qvec_col, F.col("c_id").alias("bucket")))
+    # the probed bucket set is ≤ |Q|·n_probe ids — driver-side tiny
+    bucket_ids = [r.bucket for r in probes.select("bucket")
+                                          .distinct().collect()]
+    assigned = (spark.read.parquet(path)
+                .where(F.col("bucket").isin(bucket_ids)))
+    if score == "gemm":
+        scored = _gemm_cogroup_topk(
+            assigned.select("bucket", key, vec_col),
+            probes.select(F.col(qkey).alias("q_id"),
+                          F.col(qvec_col).alias("q_embedding"), "bucket"),
+            k, key=key, key_type=dict(assigned.dtypes)[key],
+            vec_col=vec_col, qkey_type=dict(queries.dtypes)[qkey]) \
+            .withColumnRenamed("q_id", qkey)
+    else:
+        scored = (assigned.join(probes, "bucket")
+                  .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+                  .select(qkey, key, "cos"))
+    w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= k)
+                  .select(qkey, key, "cos", F.col("_rn").alias("rank")))

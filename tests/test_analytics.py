@@ -541,3 +541,32 @@ def test_ivf_assign_gemm_is_shuffle_free(spark, emb):
     fp = f.select("vec_id", "bucket").toPandas().set_index("vec_id").bucket
     agree = (gp.sort_index() == fp.sort_index()).mean()
     assert agree > 0.99      # ulp near-ties may flip a rare row
+
+
+def test_ivf_bucketed_store_prunes_files(spark, emb, tmp_path):
+    """save_ivf_bucketed → ivf_topk_pruned: the probe scan must carry
+    a bucket PartitionFilter (file-level prune, not a post-scan
+    filter), and results must equal the in-memory ivf_topk on the
+    same centroids/engine."""
+    from stark_spark.operators.similarity import (ivf_topk,
+                                                  ivf_topk_pruned,
+                                                  save_ivf_bucketed)
+    cent = (emb.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    path = str(tmp_path / "ivf_store")
+    save_ivf_bucketed(emb, cent, path, score="fold")
+    q = (emb.where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    got = ivf_topk_pruned(spark, path, q, 5, n_probe=2, score="fold")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+    after = plan.split("PartitionFilters", 1)[1][:160]
+    assert re.search(r"bucket#\d+ IN \(", after), after
+    want = ivf_topk(emb, q, cent, 5, n_probe=2, score="fold").toPandas()
+    gp = got.toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    wp = want.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert gp[["q_id", "vec_id", "rank"]].equals(
+        wp[["q_id", "vec_id", "rank"]])
