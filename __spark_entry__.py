@@ -642,6 +642,32 @@ def _nation_boxes(spark, sf):
                                         F.col("xmax"), F.col("ymax")))
 
 
+def _q_raster_roundtrip(spark, sf):
+    """Raster sink→source parity (§2.1 rows 8/11/68): event tiles saved
+    with the CSV tile codec (the reference's text format, STC:469-500)
+    AND the RasterGrid-partitioned parquet sink, re-read, and reduced
+    to the per-tile nonzero-pixel census — any codec loss would shift
+    the hash. Oracle recomputes from raw events."""
+    import os
+    from stark_spark.raster.tiles import (load_tiles, save_tiles,
+                                          save_tiles_csv, tiles_from_csv)
+    tag = os.path.basename(sf.rstrip("/"))
+    tiles = _ev_tiles(spark, sf)
+    p_parq = f"/tmp/stark_oracle_tiles_{tag}"
+    p_csv = f"/tmp/stark_oracle_tiles_csv_{tag}"
+    save_tiles(tiles, p_parq, grid=GRID)
+    save_tiles_csv(tiles, p_csv)
+    t1 = load_tiles(spark, p_parq).drop("cell")
+    t2 = tiles_from_csv(spark, p_csv, dtype="bigint")
+    both = t1.unionByName(t2.select(*t1.columns))
+    return (both.select("ulx", "uly",
+                        F.size(F.filter(F.col("data"), lambda p: p != 0))
+                         .alias("n_nonzero"))
+                .groupBy("ulx", "uly")
+                .agg(F.count("*").alias("n_copies"),
+                     F.sum("n_nonzero").alias("nz2")))
+
+
 def _q_raster_join_vector_clip(spark, sf):
     """Raster ⋈ vector with pixel clip (`RasterJoinVectorRDD.scala:
     13-107`): event tiles joined to nation boxes, each match clipped to
@@ -1184,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_join_vector_clip": _q_raster_join_vector_clip,
         "raster_join_raster_sum": _q_raster_join_raster,
         "raster_count_value": _q_raster_count_value,
+        "raster_roundtrip": _q_raster_roundtrip,
         "pruned_read_rect": _q_pruned_read,
         "pruned_join_points": _q_pruned_join,
         "pruned_read_st": _q_pruned_read_st,
@@ -1769,6 +1796,20 @@ WITH pix AS (
   FROM events GROUP BY 1, 2, 3, 4
 )
 SELECT CAST(count(*) AS BIGINT) AS n FROM pix WHERE n = 1""",
+
+        "raster_roundtrip": f"""
+WITH pix AS (
+  SELECT floor(value / 10.0) AS tx, floor(({EV_Y}) / 10.0) AS ty,
+    floor(value / 1.25) AS ix, floor(({EV_Y}) / 1.25) AS iy,
+    count(*) AS n
+  FROM events GROUP BY 1, 2, 3, 4
+), t AS (
+  SELECT tx, ty, count(*) AS n_occ FROM pix GROUP BY tx, ty
+)
+SELECT tx * 10.0 AS ulx, (ty + 1) * 10.0 AS uly,
+  CAST(2 AS BIGINT) AS n_copies,
+  CAST(2 * n_occ AS BIGINT) AS nz2
+FROM t""",
 
         "pruned_read_rect": f"""
 SELECT event_id, value AS x, {EV_Y} AS y FROM events
