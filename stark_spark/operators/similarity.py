@@ -378,7 +378,8 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
 
 def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
                      n_iter: int = 5, key: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     score: str = "fold") -> DataFrame:
     """Distributed Lloyd's k-means → (c_id, c_embedding) centroid table
     for the IVF tier (replaces the deterministic data-sample
     placeholder when retrieval quality matters).
@@ -404,7 +405,8 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
     cent = cent.localCheckpoint()
 
     for _ in range(n_iter):
-        assigned = ivf_assign(vectors, cent, key=key, vec_col=vec_col)
+        assigned = ivf_assign(vectors, cent, key=key, vec_col=vec_col,
+                              score=score)
         means = (assigned
                  .select("bucket", F.posexplode(F.col(vec_col))
                           .alias("pos", "v"))
