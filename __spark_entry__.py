@@ -1143,6 +1143,16 @@ def _q_ann_quantized(spark, sf):
     return ann_quantized_topk(emb, q, 10)
 
 
+def _q_ann_lsh(spark, sf):
+    """Sign-LSH bucketed ANN — the hash-bucket alternative to IVF (no
+    centroid table): deterministic LCG hyperplanes, candidates = the
+    query's own signature bucket, rerank by exact cosine. 4 bits →
+    16 buckets at this SF."""
+    from stark_spark.operators.similarity import ann_lsh_topk
+    emb, q = _emb_queries(spark, sf, 5)
+    return ann_lsh_topk(emb, q, 5, dim=64, n_bits=4)
+
+
 def _q_ann_knn_join(spark, sf, score="fold"):
     """All-corpus ANN neighbor graph (top-3 per vector, IVF-bucketed,
     self excluded) — the scale shape behind embedding dedup and
@@ -1246,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk_gemm": _q_ann_brute_gemm,
         "ann_quantized_topk": _q_ann_quantized,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
         "ann_knn_join": _q_ann_knn_join,
         "ann_knn_join_gemm": _q_ann_knn_join_gemm,
@@ -1321,6 +1332,18 @@ WHERE {ham} <= {max_hamming}"""
 _DOT = ("list_reduce(list_prepend(0.0::DOUBLE, "
         "list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE)), "
         "(acc, v) -> acc + v)")
+
+
+def _lsh_sig_sql(vec_expr: str, dim: int = 64, n_bits: int = 4) -> str:
+    """Sign-LSH signature as SQL — identical LCG hyperplane literals
+    to `similarity.lsh_hyperplanes` (repr() round-trips the doubles)."""
+    from stark_spark.operators.similarity import lsh_hyperplanes
+    parts = []
+    for i, w in enumerate(lsh_hyperplanes(dim, n_bits)):
+        arr = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+        dot = _DOT.format(a=vec_expr, b=arr)
+        parts.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(parts)
 
 
 def _cos(a: str, b: str) -> str:
@@ -2302,6 +2325,22 @@ SELECT q_id, vec_id, cos, rank FROM (
     CAST(row_number() OVER (PARTITION BY p.q_id
       ORDER BY {_cos('a.embedding', 'p.q_embedding')} DESC, a.vec_id) AS INT) AS rank
   FROM assigned a JOIN probes p USING (bucket)
+) t WHERE rank <= 5""",
+
+        "ann_lsh_topk": f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+    {_lsh_sig_sql('embedding')} AS sig
+  FROM embeddings
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q.vec_id AS q_id, v.vec_id,
+    {_cos('v.embedding', 'q.embedding')} AS cos,
+    CAST(row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, v.vec_id)
+      AS INT) AS rank
+  FROM s v JOIN s q ON v.sig = q.sig
+  WHERE q.vec_id < 5 AND v.vec_id <> q.vec_id
 ) t WHERE rank <= 5""",
 
         "ann_knn_join": f"""

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Net-new beyond the reference. Two tiers:
+Net-new beyond the reference. Tiers:
 
 * **brute-force cosine top-k** — exact baseline: broadcast the query
   vectors, one narrow pass computing dot products with native
@@ -12,9 +12,18 @@ Net-new beyond the reference. Two tiers:
   search only the query's ``n_probe`` closest centroid buckets.
   Centroids here are taken deterministically from the data (first C
   vectors by id) so results stay oracle-reproducible; a production
-  deployment would plug k-means centroids in unchanged.
+  deployment would plug k-means centroids in unchanged. Persisted
+  form: `save_ivf_bucketed` / `ivf_topk_pruned` (file-level pruning).
+* **sign-LSH bucketed search** (`ann_lsh_topk`) — the centroid-free
+  alternative: deterministic hyperplane signatures, same-bucket
+  candidates, exact rerank.
+* **int8 quantized retrieval** (`quantize_embeddings` +
+  `ann_quantized_topk`) — 4× smaller, integer scores, exactly
+  reproducible ranking.
 
-Embedding-cosine near-dup pairs ride the same IVF bucketing.
+Every float scoring pass has a BLAS engine (``score="gemm"``) with the
+fold expression kept as the bit-exact oracle twin. Embedding-cosine
+near-dup pairs ride the same IVF bucketing.
 """
 
 from __future__ import annotations
@@ -556,3 +565,55 @@ def ivf_topk_pruned(spark, path: str, queries: DataFrame, k: int, *,
     return (scored.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") <= k)
                   .select(qkey, key, "cos", F.col("_rn").alias("rank")))
+
+
+def lsh_hyperplanes(dim: int, n_bits: int):
+    """Deterministic random-hyperplane set for sign-LSH: an LCG over
+    the flat index, mapped to [-1, 1] — reproducible across engines
+    (the SQL oracle embeds the identical literals), no RNG state."""
+    import numpy as np
+    idx = np.arange(n_bits * dim, dtype=np.int64)
+    vals = ((1103515245 * idx + 12345) % 2001 - 1000) / 1000.0
+    return vals.reshape(n_bits, dim)
+
+
+def lsh_signature(vec, dim: int, n_bits: int) -> Column:
+    """Sign-LSH bucket id (SimHash over the embedding): bit i is the
+    sign of ⟨v, w_i⟩. Fold twin — bit-exact with the SQL oracle; the
+    production signature path is one `signs(V @ W.T)` matmul inside
+    any of the gemm kernels (ulp near-zero dots could flip a bucket
+    between float paths, so oracle-gated queries use the fold)."""
+    planes = lsh_hyperplanes(dim, n_bits)
+    v = F.col(vec) if isinstance(vec, str) else vec
+    sig = None
+    for i, w in enumerate(planes):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        bit = F.when(dot_fold(v, warr) >= 0,
+                     F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
+                 dim: int, n_bits: int = 4, key: str = "vec_id",
+                 qkey: str = "q_id", vec_col: str = "embedding",
+                 qvec_col: str = "q_embedding") -> DataFrame:
+    """LSH-bucketed ANN top-k: the hash-bucket alternative to IVF —
+    no centroid table at all; candidates are the query's own sign-LSH
+    bucket (cosine-similar vectors collide with probability
+    1 - θ/π per bit). Same scale shape as the IVF probe: one equi-join
+    on a small-int bucket key, candidate volume N²/2^b, bucketed
+    storage → file-level pruning. Queries with < k same-bucket
+    neighbors return fewer rows (multi-probe — flipping the
+    lowest-|margin| bits — is the recall knob at scale).
+    """
+    from pyspark.sql import Window
+    v = vectors.withColumn("_sig", lsh_signature(vec_col, dim, n_bits))
+    q = queries.withColumn("_sig", lsh_signature(qvec_col, dim, n_bits))
+    j = (v.join(q, "_sig")
+          .where(F.col(key) != F.col(qkey))
+          .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col))))
+    w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
+    return (j.withColumn("_rn", F.row_number().over(w))
+             .where(F.col("_rn") <= k)
+             .select(qkey, key, "cos", F.col("_rn").alias("rank")))
