@@ -54,7 +54,11 @@ BENCH_QUERIES = [
     "ann_ivf_topk_gemm",         # bucketed ANN, cogroup GEMM scorer
     "ann_knn_join_gemm",         # all-corpus neighbor graph, bucket GEMM
     "ann_dup_pairs_ivf_gemm",    # bucketed near-dup pairs, blocked GEMM
+    "ann_quantized_topk",        # int8 dots, exact integer ranking
+    "ann_lsh_topk",              # sign-LSH bucket + exact rerank
     "distance_histogram",        # per-cell sampled NN-distance histogram
+    "events_rollup",             # GROUPING SETS multi-grain, one scan
+    "token_counts",              # ws + BPE-ish regexp counters
 ]
 
 
