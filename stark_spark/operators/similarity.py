@@ -594,25 +594,68 @@ def lsh_signature(vec, dim: int, n_bits: int) -> Column:
     return sig
 
 
+def _lsh_probe_sigs(vec, dim: int, n_bits: int, n_probe: int) -> Column:
+    """Multi-probe signature array: the query's own signature plus the
+    ``n_probe - 1`` signatures obtained by flipping the bits with the
+    smallest |⟨v, w_i⟩| margin — the bits most likely to be on the
+    wrong side of the hyperplane. All-native Column algebra."""
+    planes = lsh_hyperplanes(dim, n_bits)
+    v = F.col(vec) if isinstance(vec, str) else vec
+    dots = [dot_fold(v, F.array(*[F.lit(float(x)) for x in w]))
+            for w in planes]
+    sig = None
+    for i, d in enumerate(dots):
+        bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+
+    def mask_of(i: Column) -> Column:
+        expr = None
+        for b in range(n_bits):
+            expr = (F.when(i == b, F.lit(1 << b)) if expr is None
+                    else expr.when(i == b, F.lit(1 << b)))
+        return expr
+
+    margins = F.array(*[F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+                        for i, d in enumerate(dots)])
+    flips = F.slice(F.transform(F.array_sort(margins), lambda s: s["i"]),
+                    1, n_probe - 1)
+    flipped = F.transform(flips, lambda i: sig.bitwiseXOR(mask_of(i)))
+    return F.array_union(F.array(sig), flipped)
+
+
 def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
-                 dim: int, n_bits: int = 4, key: str = "vec_id",
-                 qkey: str = "q_id", vec_col: str = "embedding",
+                 dim: int, n_bits: int = 4, n_probe: int = 1,
+                 key: str = "vec_id", qkey: str = "q_id",
+                 vec_col: str = "embedding",
                  qvec_col: str = "q_embedding") -> DataFrame:
     """LSH-bucketed ANN top-k: the hash-bucket alternative to IVF —
-    no centroid table at all; candidates are the query's own sign-LSH
+    no centroid table at all; candidates are the query's sign-LSH
     bucket (cosine-similar vectors collide with probability
     1 - θ/π per bit). Same scale shape as the IVF probe: one equi-join
-    on a small-int bucket key, candidate volume N²/2^b, bucketed
-    storage → file-level pruning. Queries with < k same-bucket
-    neighbors return fewer rows (multi-probe — flipping the
-    lowest-|margin| bits — is the recall knob at scale).
+    on a small-int bucket key, candidate volume N·n_probe·N/2^b,
+    bucketed storage → file-level pruning.
+
+    ``n_probe > 1`` is the recall knob: each query also probes the
+    buckets reached by flipping its lowest-|margin| signature bits
+    (the classic multi-probe trick — recovers near-boundary misses
+    without growing 2^b). A window dedups candidates that appear via
+    several probes before ranking.
     """
     from pyspark.sql import Window
     v = vectors.withColumn("_sig", lsh_signature(vec_col, dim, n_bits))
-    q = queries.withColumn("_sig", lsh_signature(qvec_col, dim, n_bits))
+    if n_probe <= 1:
+        q = queries.withColumn("_sig", lsh_signature(qvec_col, dim, n_bits))
+    else:
+        q = queries.withColumn("_sig", F.explode(
+            _lsh_probe_sigs(qvec_col, dim, n_bits, n_probe)))
     j = (v.join(q, "_sig")
           .where(F.col(key) != F.col(qkey))
           .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col))))
+    if n_probe > 1:
+        # a candidate reached via several probed buckets ranks once
+        wd = Window.partitionBy(qkey, key).orderBy(F.col("cos"))
+        j = j.withColumn("_dup", F.row_number().over(wd)) \
+             .where(F.col("_dup") == 1)
     w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
     return (j.withColumn("_rn", F.row_number().over(w))
              .where(F.col("_rn") <= k)

@@ -570,3 +570,40 @@ def test_ivf_bucketed_store_prunes_files(spark, emb, tmp_path):
     wp = want.sort_values(["q_id", "rank"]).reset_index(drop=True)
     assert gp[["q_id", "vec_id", "rank"]].equals(
         wp[["q_id", "vec_id", "rank"]])
+
+
+def test_ann_lsh_multiprobe_recall(spark, emb):
+    """Multi-probe LSH must never lose recall vs single-probe, and both
+    must only return true same-or-probed-bucket candidates ranked by
+    exact cosine (checked against brute force on the candidate set)."""
+    from stark_spark.operators.similarity import (ann_lsh_topk,
+                                                  brute_force_topk)
+    q = (emb.where(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    truth = brute_force_topk(emb, q, 6).toPandas()
+    p1 = ann_lsh_topk(emb, q, 5, dim=64, n_bits=4, n_probe=1).toPandas()
+    p2 = ann_lsh_topk(emb, q, 5, dim=64, n_bits=4, n_probe=2).toPandas()
+
+    def recall(res):
+        hits = 0
+        for q_id, grp in truth.groupby("q_id"):
+            # exclude self from truth (lsh excludes it)
+            want = [v for v in grp.sort_values("rank").vec_id
+                    if v != q_id][:5]
+            got = set(res[res.q_id == q_id].vec_id)
+            hits += len(got & set(want))
+        return hits
+
+    assert recall(p2) >= recall(p1)
+    # multi-probe candidates are a superset per query
+    for q_id in p1.q_id.unique():
+        a = set(p1[p1.q_id == q_id].vec_id)
+        b = set(p2[p2.q_id == q_id].vec_id)
+        # p2 re-ranks over a superset candidate pool: its top-5 must be
+        # at least as similar as p1's at every rank
+        c1 = p1[p1.q_id == q_id].sort_values("rank").cos.tolist()
+        c2 = p2[p2.q_id == q_id].sort_values("rank").cos.tolist()
+        for i in range(min(len(c1), len(c2))):
+            assert c2[i] >= c1[i] - 1e-12
+        assert len(b) >= len(a)
