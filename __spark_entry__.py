@@ -648,13 +648,15 @@ def _q_raster_roundtrip(spark, sf):
     AND the RasterGrid-partitioned parquet sink, re-read, and reduced
     to the per-tile nonzero-pixel census — any codec loss would shift
     the hash. Oracle recomputes from raw events."""
-    import os
+    import tempfile
     from stark_spark.raster.tiles import (load_tiles, save_tiles,
                                           save_tiles_csv, tiles_from_csv)
-    tag = os.path.basename(sf.rstrip("/"))
     tiles = _ev_tiles(spark, sf)
-    p_parq = f"/tmp/stark_oracle_tiles_{tag}"
-    p_csv = f"/tmp/stark_oracle_tiles_csv_{tag}"
+    # per-call unique dirs: a fixed sf-keyed path races when bench and
+    # the correctness harness overwrite/read the same store concurrently
+    root = tempfile.mkdtemp(prefix="stark_tiles_rt_")
+    p_parq = root + "/parq"
+    p_csv = root + "/csv"
     save_tiles(tiles, p_parq, grid=GRID)
     save_tiles_csv(tiles, p_csv)
     t1 = load_tiles(spark, p_parq).drop("cell")
@@ -1145,12 +1147,13 @@ def _q_ann_quantized(spark, sf):
 
 def _q_ann_lsh(spark, sf):
     """Sign-LSH bucketed ANN — the hash-bucket alternative to IVF (no
-    centroid table): deterministic LCG hyperplanes, candidates = the
-    query's own signature bucket, rerank by exact cosine. 4 bits →
-    16 buckets at this SF."""
+    centroid table): deterministic splitmix64-hash hyperplanes,
+    candidates = the query's own signature bucket, rerank by exact
+    cosine. 4 bits → 16 buckets at this SF. Queries here are corpus
+    rows, so ``exclude_self=True`` (shared id space)."""
     from stark_spark.operators.similarity import ann_lsh_topk
     emb, q = _emb_queries(spark, sf, 5)
-    return ann_lsh_topk(emb, q, 5, dim=64, n_bits=4)
+    return ann_lsh_topk(emb, q, 5, dim=64, n_bits=4, exclude_self=True)
 
 
 def _q_ann_knn_join(spark, sf, score="fold"):
@@ -1178,8 +1181,188 @@ def _q_ann_knn_join_gemm(spark, sf):
             .select("q_id", "vec_id", "rank"))
 
 
+def _q_ann_ivf_pruned(spark, sf):
+    """The 100 TB shape of IVF, oracle-gated end-to-end: the corpus is
+    PERSISTED `partitionBy(bucket)` (`save_ivf_bucketed`), then probed
+    via `ivf_topk_pruned` — the scan carries `bucket IN (probes)` so
+    Catalyst prunes bucket DIRECTORIES (file-level, before any row is
+    read; the `PartitionFilters` plan assertion lives in pytest).
+    Same parameters as `ann_ivf_topk`, fold scorer → identical oracle
+    SQL: the store roundtrip must be a no-op on results."""
+    import tempfile
+    from stark_spark.operators.similarity import (ivf_topk_pruned,
+                                                  save_ivf_bucketed)
+    emb, q = _emb_queries(spark, sf, 5)
+    cent = (emb.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    path = tempfile.mkdtemp(prefix="stark_ivf_store_") + "/store"
+    save_ivf_bucketed(emb, cent, path, score="fold")
+    return ivf_topk_pruned(spark, path, q, 5, n_probe=2, score="fold")
+
+
+# ---------------------------------------------------------------------------
+# streaming oracle-equivalence gates — each replays a bounded stream
+# with trigger(availableNow) into a memory sink and returns a frame
+# that must equal the batch/DuckDB computation exactly. This is the
+# tier's only driver-visible proof (pytest asserts the same equality
+# per-operator; see tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+def _stream_sink(out, mode: str):
+    """Run a bounded streaming frame to completion (availableNow) into
+    a uniquely-named memory sink; return the sink table."""
+    import uuid
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (out.writeStream.format("memory").queryName(name)
+            .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+
+def _q_stream_windowed_stats(spark, sf):
+    """Streaming tumbling-window aggregate == the batch group-by: the
+    events table replayed as file-source micro-batches through
+    `windowed_stats` (1-day windows keyed by event_type) in complete
+    mode — with all aggregate state retained, the final table must be
+    EXACTLY the batch answer regardless of file arrival order."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              windowed_stats)
+    ev = D.load(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="stark_stream_ws_") + "/events"
+    ev.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, ev.schema, max_files=1)
+    out = windowed_stats(s, time_col="ts", window="1 day",
+                         watermark="40 days", keys=("event_type",),
+                         value_col="value")
+    t = _stream_sink(out, "complete")
+    return t.select(F.col("win_start").cast("long").alias("win_start"),
+                    "event_type", "n", "sum_value", "max_cents")
+
+
+def _q_stream_dedup(spark, sf):
+    """Streaming first-arrival dedup == batch DISTINCT on the key
+    columns: `dropDuplicatesWithinWatermark` with a horizon wider than
+    the table's time span keeps every key's state live, so exactly one
+    row per (user_id, event_type) survives — arrival order decides
+    WHICH row, so the gate projects the key columns only."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_dedup)
+    ev = D.load(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="stark_stream_dd_") + "/events"
+    ev.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, ev.schema, max_files=2)
+    out = stream_dedup(s, key_cols=("user_id", "event_type"),
+                       time_col="ts", watermark="40 days")
+    t = _stream_sink(out, "append")
+    return t.select("user_id", "event_type")
+
+
+def _q_stream_sessionize_replay(spark, sf):
+    """Streaming per-key sessionization (applyInPandasWithState with
+    event-time timeouts) == the batch gaps-and-islands sessions: events
+    are replayed in event-time-ordered files (a real stream's shape —
+    the file source replays oldest-mtime first), followed by one
+    far-future SENTINEL event per user so every real session closes
+    in-stream and emits. Timestamps are truncated to whole seconds on
+    write so the streaming microsecond gap math and the oracle's
+    epoch-seconds gap math see identical values."""
+    import os
+    import tempfile
+    from pyspark.sql.functions import date_trunc
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_sessionize)
+    ev = (D.load(spark, sf, "events")
+            .withColumn("ts", date_trunc("second", F.col("ts"))))
+    sent = (ev.select("user_id").distinct()
+              .select(F.lit(-1).cast("long").alias("event_id"),
+                      F.to_timestamp(F.lit("2024-12-01 00:00:00"))
+                       .alias("ts"),
+                      "user_id", F.lit("sentinel").alias("event_type"),
+                      F.lit(0.0).alias("value"),
+                      F.lit("{}").alias("props")))
+    root = tempfile.mkdtemp(prefix="stark_stream_sess_")
+    d = root + "/events"
+    os.makedirs(d)
+    bounds = ["0001-01-01", "2024-01-08", "2024-01-15", "2024-01-22",
+              "2024-01-29", "2024-02-12", "2024-11-30"]
+    slices = [ev.where((F.col("ts") >= F.lit(lo).cast("timestamp")) &
+                       (F.col("ts") < F.lit(hi).cast("timestamp")))
+              for lo, hi in zip(bounds[:-1], bounds[1:])]
+    slices.append(sent.select(*ev.columns))
+    for i, part in enumerate(slices):
+        tmp = f"{root}/p{i}"
+        part.coalesce(1).write.parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = f"{d}/{i:03d}.parquet"
+        os.rename(f"{tmp}/{src}", dst)
+        # explicit increasing mtimes: the file source replays by mtime,
+        # and these must land oldest-event-time-first (no sleeps)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    s = read_event_stream(spark, d, ev.schema, max_files=1)
+    out = stream_sessionize(s, key="user_id", time_col="ts",
+                            gap=7200, watermark="1 hour")
+    t = _stream_sink(out, "append")
+    return (t.where(F.col("sess_start") <
+                    F.to_timestamp(F.lit("2024-11-01 00:00:00")))
+             .select(F.col("key").alias("user_id"),
+                     F.col("sess_start").cast("long").alias("sess_start"),
+                     F.col("sess_end").cast("long").alias("sess_end"),
+                     "n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's oracle run checks the FIRST 50
+    # entries. Rounds 1-3 proved the §2 spine (driver rows in
+    # CORRECTNESS_r01/r03); round 4 front-loads the tier those runs
+    # could never reach — text/sampling/ANN + the round-3/4 gates —
+    # so every query gets a driver-checked row across rounds.
     return {
+        # --- text / quality / language (never driver-checked pre-r4) ---
+        "text_profile": _q_text_profile,
+        "text_by_source": _q_text_by_source,
+        "token_counts": _q_token_counts,
+        "lang_distribution": _q_lang_distribution,
+        "text_repetition": _q_text_repetition,
+        "pii_scrub": _q_pii_scrub,
+        # --- contamination / sampling / packing ---
+        "contamination_exact": _q_contamination_exact,
+        "contamination_lsh": _q_contamination_lsh,
+        "sample_deterministic": _q_sample_deterministic,
+        "sample_stratified": _q_sample_stratified,
+        "mix_sources": _q_mix_sources,
+        "pack_shards": _q_pack_shards,
+        "length_quantiles": _q_length_quantiles,
+        "source_heavy_hitters": _q_source_heavy_hitters,
+        # --- dedup tail ---
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        # --- ANN tier ---
+        "ann_brute_topk": _q_ann_brute,
+        "ann_brute_topk_gemm": _q_ann_brute_gemm,
+        "ann_quantized_topk": _q_ann_quantized,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_pruned_topk": _q_ann_ivf_pruned,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
+        "ann_knn_join": _q_ann_knn_join,
+        "ann_knn_join_gemm": _q_ann_knn_join_gemm,
+        "ann_cosine_dup_pairs": _q_ann_dup_pairs,
+        "ann_dup_pairs_ivf_gemm": _q_ann_dup_pairs_ivf_gemm,
+        # --- round-3 gates without a driver row yet ---
+        "viz_lit_pixels": _q_viz_lit_pixels,
+        "partition_spatio_temporal": _q_partition_spatio_temporal,
+        "events_rollup": _q_events_rollup,
+        "sql_st_filter": _q_sql_st_filter,
+        "sql_tile_accessors": _q_sql_tile_accessors,
+        # --- new round-4 gates: streaming replay equivalence ---
+        "stream_windowed_stats": _q_stream_windowed_stats,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize_replay": _q_stream_sessionize_replay,
+        # --- §2 spine (driver-green in r1/r3 artifacts) ---
         "st_filter_rect_timed": _q_filter_rect_timed,
         "st_filter_polygon_timed": _q_filter_polygon_timed,
         "st_filter_containedby_rect": _q_filter_containedby_rect,
@@ -1230,38 +1413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "viz_lit_pixels": _q_viz_lit_pixels,
-        "partition_spatio_temporal": _q_partition_spatio_temporal,
-        "events_rollup": _q_events_rollup,
-        "sql_st_filter": _q_sql_st_filter,
-        "sql_tile_accessors": _q_sql_tile_accessors,
-        "text_profile": _q_text_profile,
-        "text_by_source": _q_text_by_source,
-        "token_counts": _q_token_counts,
-        "lang_distribution": _q_lang_distribution,
-        "text_repetition": _q_text_repetition,
-        "pii_scrub": _q_pii_scrub,
-        "contamination_exact": _q_contamination_exact,
-        "contamination_lsh": _q_contamination_lsh,
-        "sample_deterministic": _q_sample_deterministic,
-        "sample_stratified": _q_sample_stratified,
-        "mix_sources": _q_mix_sources,
-        "pack_shards": _q_pack_shards,
-        "length_quantiles": _q_length_quantiles,
-        "source_heavy_hitters": _q_source_heavy_hitters,
-        "ann_brute_topk": _q_ann_brute,
-        "ann_brute_topk_gemm": _q_ann_brute_gemm,
-        "ann_quantized_topk": _q_ann_quantized,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
-        "ann_knn_join": _q_ann_knn_join,
-        "ann_knn_join_gemm": _q_ann_knn_join_gemm,
-        "ann_cosine_dup_pairs": _q_ann_dup_pairs,
-        "ann_dup_pairs_ivf_gemm": _q_ann_dup_pairs_ivf_gemm,
     }
 
 
@@ -1868,6 +2019,10 @@ SELECT {cell('value', EV_Y)} AS cell,
   count(*) AS n_rows
 FROM events GROUP BY 1, 2""",
 
+        # `WHERE ts IS NOT NULL` mirrors the Spark side's
+        # `.where(bucket.isNotNull())` (rollup.py) — without it a NULL
+        # ts would emit a grain-'year' NULL-bucket row here that Spark
+        # suppresses, breaking the hash gate.
         "events_rollup": """
 WITH t AS (
   SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS _g_day,
@@ -1875,6 +2030,7 @@ WITH t AS (
     CAST(floor(epoch(date_trunc('year', ts))) AS BIGINT) AS _g_year,
     value AS _v
   FROM events
+  WHERE ts IS NOT NULL
 )
 SELECT CASE WHEN _g_day IS NOT NULL THEN 'day'
             WHEN _g_month IS NOT NULL THEN 'month'
@@ -2027,10 +2183,12 @@ SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
   min(quality) AS min_quality, max(quality) AS max_quality
 FROM t GROUP BY source""",
 
-        "token_counts": r"""
+        # pattern imported from text.py so the two engines can't drift
+        # (explicit whitespace class — see BPE_TOKEN_RE's dialect note)
+        "token_counts": f"""
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+  CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))
     AS INT) AS n_bpe
 FROM documents""",
 
@@ -2397,4 +2555,39 @@ SELECT a.vec_id AS a, b.vec_id AS b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {_cos('a.embedding', 'b.embedding')} >= 0.4""",
     }
+
+    # the bucketed-store probe must be a results no-op vs in-memory IVF:
+    # same parameters, same fold scorer, hence the identical oracle
+    sql["ann_ivf_pruned_topk"] = sql["ann_ivf_topk"]
+
+    # streaming replay gates — each must equal the batch computation
+    sql["stream_windowed_stats"] = """
+SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS win_start,
+  event_type, count(*) AS n,
+  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+  max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+FROM events GROUP BY 1, 2"""
+
+    sql["stream_dedup"] = """
+SELECT DISTINCT user_id, event_type FROM events"""
+
+    # sessions over whole-second timestamps (the replay truncates on
+    # write); gap 7200 s, same gaps-and-islands shape as `sessionize`
+    sql["stream_sessionize_replay"] = f"""
+WITH e AS (
+  SELECT user_id, {EV_T} AS t FROM events
+), s AS (
+  SELECT user_id, t,
+    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 7200
+         THEN 1 ELSE 0 END AS nw
+  FROM e
+), lab AS (
+  SELECT user_id, t,
+    sum(nw) OVER (PARTITION BY user_id ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+)
+SELECT user_id, min(t) AS sess_start, max(t) AS sess_end,
+  CAST(count(*) AS BIGINT) AS n
+FROM lab GROUP BY user_id, sid"""
     return sql

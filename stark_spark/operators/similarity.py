@@ -568,12 +568,23 @@ def ivf_topk_pruned(spark, path: str, queries: DataFrame, k: int, *,
 
 
 def lsh_hyperplanes(dim: int, n_bits: int):
-    """Deterministic random-hyperplane set for sign-LSH: an LCG over
-    the flat index, mapped to [-1, 1] — reproducible across engines
-    (the SQL oracle embeds the identical literals), no RNG state."""
+    """Deterministic random-hyperplane set for sign-LSH: a
+    splitmix64-style finalizer hashed over the flat index, mapped to
+    [-1, 1] — reproducible across engines (the SQL oracle embeds the
+    identical literals), no RNG state. A plain LCG here produced
+    strongly correlated adjacent planes (short mod-cycle); the 64-bit
+    avalanche mix gives per-index values indistinguishable from
+    independent uniforms, so signature bits stay independent and
+    bucket sizes balanced as n_bits/dim grow."""
     import numpy as np
-    idx = np.arange(n_bits * dim, dtype=np.int64)
-    vals = ((1103515245 * idx + 12345) % 2001 - 1000) / 1000.0
+    with np.errstate(over="ignore"):
+        z = (np.arange(n_bits * dim, dtype=np.uint64)
+             + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    # 53 high bits → exact float64 in [0, 1) → [-1, 1)
+    vals = (z >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2 - 1
     return vals.reshape(n_bits, dim)
 
 
@@ -627,13 +638,21 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                  dim: int, n_bits: int = 4, n_probe: int = 1,
                  key: str = "vec_id", qkey: str = "q_id",
                  vec_col: str = "embedding",
-                 qvec_col: str = "q_embedding") -> DataFrame:
+                 qvec_col: str = "q_embedding",
+                 exclude_self: bool = False) -> DataFrame:
     """LSH-bucketed ANN top-k: the hash-bucket alternative to IVF —
     no centroid table at all; candidates are the query's sign-LSH
     bucket (cosine-similar vectors collide with probability
     1 - θ/π per bit). Same scale shape as the IVF probe: one equi-join
     on a small-int bucket key, candidate volume N·n_probe·N/2^b,
     bucketed storage → file-level pruning.
+
+    ``exclude_self`` drops candidates whose ``key`` equals the query's
+    ``qkey`` — only meaningful when queries are drawn from the vector
+    set itself (shared id space, e.g. a neighbor graph over the
+    corpus). It is OFF by default: with independent id spaces an
+    accidental id collision must not drop a valid neighbor (matching
+    ``brute_force_topk``/``ivf_topk`` semantics).
 
     ``n_probe > 1`` is the recall knob: each query also probes the
     buckets reached by flipping its lowest-|margin| signature bits
@@ -648,9 +667,10 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     else:
         q = queries.withColumn("_sig", F.explode(
             _lsh_probe_sigs(qvec_col, dim, n_bits, n_probe)))
-    j = (v.join(q, "_sig")
-          .where(F.col(key) != F.col(qkey))
-          .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col))))
+    j = v.join(q, "_sig")
+    if exclude_self:
+        j = j.where(F.col(key) != F.col(qkey))
+    j = j.withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
     if n_probe > 1:
         # a candidate reached via several probed buckets ranks once
         wd = Window.partitionBy(qkey, key).orderBy(F.col("cos"))

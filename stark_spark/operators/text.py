@@ -38,7 +38,10 @@ def char_count(text: Column) -> Column:
 # boundaries BPE vocabularies split on. Kept inside the RE2 ∩
 # java.util.regex common dialect so the identical pattern runs in
 # Spark codegen AND the DuckDB oracle (`regexp_extract_all`).
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# Whitespace is spelled as an explicit class, not `\s`: Java's \s
+# includes \x0b (vertical tab) while RE2's does not, so the shorthand
+# would silently diverge between the two engines on VT-bearing text.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\r\f\x0b]"
 
 
 def token_count_bpe(text: Column) -> Column:

@@ -582,8 +582,10 @@ def test_ann_lsh_multiprobe_recall(spark, emb):
             .select(F.col("vec_id").alias("q_id"),
                     F.col("embedding").alias("q_embedding")))
     truth = brute_force_topk(emb, q, 6).toPandas()
-    p1 = ann_lsh_topk(emb, q, 5, dim=64, n_bits=4, n_probe=1).toPandas()
-    p2 = ann_lsh_topk(emb, q, 5, dim=64, n_bits=4, n_probe=2).toPandas()
+    p1 = ann_lsh_topk(emb, q, 5, dim=64, n_bits=4, n_probe=1,
+                      exclude_self=True).toPandas()
+    p2 = ann_lsh_topk(emb, q, 5, dim=64, n_bits=4, n_probe=2,
+                      exclude_self=True).toPandas()
 
     def recall(res):
         hits = 0
