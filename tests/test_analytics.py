@@ -572,6 +572,47 @@ def test_ivf_bucketed_store_prunes_files(spark, emb, tmp_path):
         wp[["q_id", "vec_id", "rank"]])
 
 
+def test_ann_recall_floors(spark, emb):
+    """Regression gate on retrieval quality: recall@10 vs the brute
+    oracle for the pruned tiers at their harness parameters. The
+    synthetic embeddings are near-uniform (weak neighborhood
+    structure), so the floors are calibrated to measured levels minus
+    margin rather than an absolute 0.9 — the gate's job is to catch
+    SILENT DECAY: e.g. a hyperplane-generator regression drops LSH to
+    the random-candidate baseline (= probed fraction, 1/16 ≈ 0.06),
+    a probe-selection bug drops IVF toward its probed fraction.
+    Measured on this data (2026-08): lsh p1 0.245, p4 0.515;
+    ivf kmeans-8 probe-4 0.84."""
+    from stark_spark.operators.similarity import (ann_lsh_topk,
+                                                  brute_force_topk,
+                                                  ivf_topk,
+                                                  kmeans_centroids)
+    k = 10
+    q = (emb.where(F.col("vec_id") < 20)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    truth = brute_force_topk(emb, q, k, score="gemm").toPandas()
+    tw = {qid: set(g.vec_id) for qid, g in truth.groupby("q_id")}
+
+    def recall(res):
+        hits = sum(len(set(g.vec_id) & tw[qid])
+                   for qid, g in res.groupby("q_id"))
+        return hits / (len(tw) * k)
+
+    r1 = recall(ann_lsh_topk(emb, q, k, dim=64, n_bits=4,
+                             n_probe=1).toPandas())
+    r4 = recall(ann_lsh_topk(emb, q, k, dim=64, n_bits=4,
+                             n_probe=4).toPandas())
+    assert r1 >= 0.15, f"lsh n_probe=1 recall {r1} — random baseline?"
+    assert r4 >= 0.40, f"lsh n_probe=4 recall {r4}"
+    assert r4 >= r1          # multi-probe must not lose recall
+
+    km = kmeans_centroids(emb, 8, n_iter=5, score="gemm")
+    riv = recall(ivf_topk(emb, q, km, k, n_probe=4,
+                          score="gemm").toPandas())
+    assert riv >= 0.70, f"ivf kmeans-8 n_probe=4 recall {riv}"
+
+
 def test_ann_lsh_multiprobe_recall(spark, emb):
     """Multi-probe LSH must never lose recall vs single-probe, and both
     must only return true same-or-probed-bucket candidates ranked by
