@@ -1201,6 +1201,37 @@ def _q_ann_ivf_pruned(spark, sf):
     return ivf_topk_pruned(spark, path, q, 5, n_probe=2, score="fold")
 
 
+def _q_partition_bsp(spark, sf):
+    """Cost-based BSP partitioner (§2.11 row 63, `BSPartitioner.scala`/
+    `BSP2.scala` equal-cost splits) as an oracle gate: the per-cell
+    histogram is a distributed agg; the recursive most-balanced-split
+    runs on the driver (the histogram is ≤ nx·ny rows at any data
+    scale); the gate emits every leaf's cell-rectangle + cost, which
+    the DuckDB mirror recomputes with the identical split rule
+    (min by (imbalance, axis, boundary), leaf iff cost ≤ max_cost or
+    1×1 cell)."""
+    from stark_spark.partitioner.bsp import assign_bsp_cells
+    ev = D.st_events(spark, sf, keep_geom=False)
+    _, leaves = assign_bsp_cells(ev, GRID, max_cost=500)
+    rows = [(l.cx0, l.cy0, l.cx1, l.cy1, l.cost) for l in leaves]
+    return spark.createDataFrame(
+        rows, "cx0 int, cy0 int, cx1 int, cy1 int, cost bigint")
+
+
+def _q_partition_str(spark, sf):
+    """STR (Sort-Tile-Recursive) partitioner (§2.11 row 64,
+    `RTreePartitioner.scala` bulk-load) as an oracle gate: fit a 3×3
+    tiling over the full customer point set (fraction-1.0 "sample" —
+    the fit is exact, so the DuckDB mirror can reproduce the strip/
+    slab boundaries from (x, y)-ranked positions), then emit the
+    per-partition assignment counts under the fitted boundary CASE."""
+    from stark_spark.partitioner.rtree import str_partitioner
+    pts = D.st_points(spark, sf, "customer", "c_custkey")
+    spec = str_partitioner(pts, 9, x="x", y="y", sample_fraction=1.0)
+    out = pts.withColumn("part", spec.partition_expr(F.col("x"), F.col("y")))
+    return out.groupBy("part").agg(F.count("*").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # streaming oracle-equivalence gates — each replays a bounded stream
 # with trigger(availableNow) into a memory sink and returns a frame
@@ -1358,10 +1389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "sql_st_filter": _q_sql_st_filter,
         "sql_tile_accessors": _q_sql_tile_accessors,
-        # --- new round-4 gates: streaming replay equivalence ---
+        # --- new round-4 gates: streaming replay + partitioners ---
         "stream_windowed_stats": _q_stream_windowed_stats,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize_replay": _q_stream_sessionize_replay,
+        "partition_bsp": _q_partition_bsp,
+        "partition_str": _q_partition_str,
         # --- §2 spine (driver-green in r1/r3 artifacts) ---
         "st_filter_rect_timed": _q_filter_rect_timed,
         "st_filter_polygon_timed": _q_filter_polygon_timed,
@@ -2590,4 +2623,109 @@ WITH e AS (
 SELECT user_id, min(t) AS sess_start, max(t) AS sess_end,
   CAST(count(*) AS BIGINT) AS n
 FROM lab GROUP BY user_id, sid"""
+
+    # BSP equal-cost split mirror: identical rule to bsp.bsp_partitions
+    # — split the longer axis at the most cost-balanced whole-cell
+    # boundary, ties resolved (imbalance, axis x-first, boundary);
+    # leaf iff cost <= 500 or the rect is a single cell.
+    sql["partition_bsp"] = f"""
+WITH RECURSIVE hist AS (
+  SELECT cell % 32 AS hx, cell // 32 AS hy, n FROM (
+    SELECT {cell('value', EV_Y)} AS cell, count(*) AS n FROM events GROUP BY 1
+  ) t
+),
+rects AS (
+  SELECT 0 AS cx0, 0 AS cy0, 32 AS cx1, 32 AS cy1
+  UNION ALL
+  SELECT CASE WHEN c.side = 2 AND w.axis = 0 THEN w.sp ELSE r.cx0 END,
+         CASE WHEN c.side = 2 AND w.axis = 1 THEN w.sp ELSE r.cy0 END,
+         CASE WHEN c.side = 1 AND w.axis = 0 THEN w.sp ELSE r.cx1 END,
+         CASE WHEN c.side = 1 AND w.axis = 1 THEN w.sp ELSE r.cy1 END
+  FROM rects r
+  JOIN LATERAL (
+    SELECT axis, sp FROM (
+      SELECT 0 AS axis, sp,
+        abs(2 * (SELECT coalesce(sum(n), 0) FROM hist
+                 WHERE hx >= r.cx0 AND hx < sp AND hy >= r.cy0 AND hy < r.cy1)
+              - (SELECT coalesce(sum(n), 0) FROM hist
+                 WHERE hx >= r.cx0 AND hx < r.cx1
+                   AND hy >= r.cy0 AND hy < r.cy1)) AS d
+      FROM range(1, 32) t(sp)
+      WHERE sp > r.cx0 AND sp < r.cx1
+        AND r.cx1 - r.cx0 >= r.cy1 - r.cy0 AND r.cx1 - r.cx0 > 1
+      UNION ALL
+      SELECT 1 AS axis, sp,
+        abs(2 * (SELECT coalesce(sum(n), 0) FROM hist
+                 WHERE hx >= r.cx0 AND hx < r.cx1 AND hy >= r.cy0 AND hy < sp)
+              - (SELECT coalesce(sum(n), 0) FROM hist
+                 WHERE hx >= r.cx0 AND hx < r.cx1
+                   AND hy >= r.cy0 AND hy < r.cy1)) AS d
+      FROM range(1, 32) t(sp)
+      WHERE sp > r.cy0 AND sp < r.cy1
+        AND (r.cy1 - r.cy0 > r.cx1 - r.cx0
+             OR NOT (r.cx1 - r.cx0 >= r.cy1 - r.cy0 AND r.cx1 - r.cx0 > 1))
+        AND r.cy1 - r.cy0 > 1
+    ) cand ORDER BY d, axis, sp LIMIT 1
+  ) w ON true
+  JOIN (VALUES (1), (2)) c(side) ON true
+  WHERE (SELECT coalesce(sum(n), 0) FROM hist
+         WHERE hx >= r.cx0 AND hx < r.cx1 AND hy >= r.cy0 AND hy < r.cy1) > 500
+    AND NOT (r.cx1 - r.cx0 = 1 AND r.cy1 - r.cy0 = 1)
+)
+SELECT cx0, cy0, cx1, cy1,
+  CAST((SELECT coalesce(sum(n), 0) FROM hist
+        WHERE hx >= t.cx0 AND hx < t.cx1 AND hy >= t.cy0 AND hy < t.cy1)
+    AS BIGINT) AS cost
+FROM rects t
+WHERE (SELECT coalesce(sum(n), 0) FROM hist
+       WHERE hx >= t.cx0 AND hx < t.cx1 AND hy >= t.cy0 AND hy < t.cy1) <= 500
+   OR (t.cx1 - t.cx0 = 1 AND t.cy1 - t.cy0 = 1)"""
+
+    # STR 3x3 mirror: strip/slab boundaries are the values at
+    # np.array_split start positions under (x, y) rank order — exactly
+    # str_partitioner's lexsort fit at fraction 1.0 — then every point
+    # is assigned through the same boundary CASE as partition_expr.
+    sql["partition_str"] = f"""
+WITH pts AS (
+  SELECT {cx} AS x, {cy} AS y FROM customer
+), nn AS (SELECT count(*) AS n FROM pts),
+ranked AS (
+  SELECT x, y, row_number() OVER (ORDER BY x, y) - 1 AS rn FROM pts
+),
+xstarts AS (
+  SELECT i, i * (n // 3) + least(i, n % 3) AS st FROM range(1, 3) t(i), nn
+),
+xb AS (
+  SELECT s.i, r.x AS xbound FROM xstarts s JOIN ranked r ON r.rn = s.st
+),
+strips AS (
+  SELECT r.x, r.y,
+    (SELECT count(*) FROM xstarts s WHERE r.rn >= s.st) AS si
+  FROM ranked r
+),
+ystats AS (
+  SELECT si, y, row_number() OVER (PARTITION BY si ORDER BY y) - 1 AS yrn,
+    count(*) OVER (PARTITION BY si) AS ns
+  FROM strips
+),
+ystarts AS (
+  SELECT si, j, j * (ns // 3) + least(j, ns % 3) AS st
+  FROM (SELECT DISTINCT si, ns FROM ystats) t, range(1, 3) r(j)
+),
+yb AS (
+  SELECT s.si, s.j, q.y AS ybound
+  FROM ystarts s JOIN ystats q ON q.si = s.si AND q.yrn = s.st
+),
+assign AS (
+  SELECT CASE WHEN p.x < (SELECT xbound FROM xb WHERE i = 1) THEN 0
+              WHEN p.x < (SELECT xbound FROM xb WHERE i = 2) THEN 1
+              ELSE 2 END AS si, p.y
+  FROM pts p
+)
+SELECT CAST(a.si * 3 +
+    CASE WHEN a.y < (SELECT ybound FROM yb WHERE si = a.si AND j = 1) THEN 0
+         WHEN a.y < (SELECT ybound FROM yb WHERE si = a.si AND j = 2) THEN 1
+         ELSE 2 END AS INT) AS part,
+  count(*) AS n
+FROM assign a GROUP BY 1"""
     return sql

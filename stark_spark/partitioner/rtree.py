@@ -81,7 +81,11 @@ def str_partitioner(df: DataFrame, num_partitions: int, *,
     s = max(1, int(np.ceil(np.sqrt(num_partitions))))
     rows = max(1, int(np.ceil(num_partitions / s)))
 
-    order = np.argsort(xs, kind="mergesort")
+    # lexicographic (x, y) order — not x alone: with tied x values an
+    # x-only sort makes strip membership depend on input row order
+    # (partition layout), and the fitted tiling must be reproducible
+    # across cluster layouts (it is also what the SQL oracle mirrors)
+    order = np.lexsort((ys, xs))
     strips = np.array_split(order, s)
     x_bounds = []
     for i in range(len(strips) - 1):
