@@ -19,7 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# the headline subset: every engine tier, nothing quadratic-in-corpus
+# the headline subset: every engine tier, nothing quadratic-in-corpus.
+# PINNED as of round 3 (38 queries): keep this list verbatim so
+# cross-round BENCH_r{N}.json comparisons are a column diff — new
+# gates get appended, never substituted.
 BENCH_QUERIES = [
     "st_filter_rect_timed",      # native-only ST filter
     "st_filter_polygon_timed",   # convex polygon → native half-planes
