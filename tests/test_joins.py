@@ -135,23 +135,30 @@ def test_knn_join_exact(supp, cust):
         want_keys = [int(key) for _, key in order]
         sub = pdf[pdf.s_suppkey == sr.s_suppkey].sort_values(["dist", "c_custkey"])
         assert list(sub.c_custkey) == want_keys, f"suppkey {sr.s_suppkey}"
-    # deliberately-bad radius (forces the fallback tiers for most
-    # rows): results must still be the exact kNN, and the plan must
-    # complete via the ×4-widened re-join + broadcast NLJ — never an
-    # unbounded CartesianProduct (the round-3 hardening item)
-    got2 = knn_join(supp, cust, k, grid=grid, radius=0.5,
-                    left_key="s_suppkey", tie_col="c_custkey")
-    pdf2 = got2.select("s_suppkey", "c_custkey", "dist").toPandas()
-    assert len(pdf2) == len(s) * k
-    for _, sr in s.iterrows():
-        d = np.hypot(c.x - sr.x, c.y - sr.y)
-        want_keys = [int(key) for _, key in sorted(zip(d, c.c_custkey))[:k]]
-        sub = pdf2[pdf2.s_suppkey == sr.s_suppkey] \
-            .sort_values(["dist", "c_custkey"])
-        assert list(sub.c_custkey) == want_keys, f"suppkey {sr.s_suppkey}"
-    plan = got2._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    # deliberately-bad radius (forces the fallback for most rows):
+    # results must still be the exact kNN in BOTH fallback modes —
+    # small-missing broadcast NLJ and the pathological-regime
+    # ×4-widened re-join — and neither plan may contain an unbounded
+    # CartesianProduct (the round-3 hardening item)
+    def check_exact(got_df):
+        pdf2 = got_df.select("s_suppkey", "c_custkey", "dist").toPandas()
+        assert len(pdf2) == len(s) * k
+        for _, sr in s.iterrows():
+            d = np.hypot(c.x - sr.x, c.y - sr.y)
+            want_keys = [int(key)
+                         for _, key in sorted(zip(d, c.c_custkey))[:k]]
+            sub = pdf2[pdf2.s_suppkey == sr.s_suppkey] \
+                .sort_values(["dist", "c_custkey"])
+            assert list(sub.c_custkey) == want_keys, f"key {sr.s_suppkey}"
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+
+    check_exact(knn_join(supp, cust, k, grid=grid, radius=0.5,
+                         left_key="s_suppkey", tie_col="c_custkey"))
+    check_exact(knn_join(supp, cust, k, grid=grid, radius=0.5,
+                         left_key="s_suppkey", tie_col="c_custkey",
+                         fallback_mode="widened"))
 
 
 def test_big_geometry_hybrid_path(spark, sf_dir):
