@@ -270,6 +270,226 @@ def _jpeg_encode(img: np.ndarray) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# baseline JPEG decoder (stdlib/numpy only) — the read side of the
+# encoder above, and the real-decode path for multimodal JPEG columns
+# in containers without PIL. Supports baseline DCT (SOF0), 8-bit
+# quant tables, gray or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling,
+# and restart markers.
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """Entropy-coded-segment reader: de-stuffs FF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise EOFError("jpeg: truncated scan")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0
+            if nxt == 0x00:
+                self.pos += 2          # stuffed FF
+            else:
+                raise EOFError("jpeg: marker in scan")   # caller handles
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self):
+        """Drop partial byte; skip an RSTn marker if present."""
+        self.n = 0
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and \
+                0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return
+
+
+def _huff_decode_table(bits, values):
+    """Canonical Huffman → {(length, code): symbol}."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_read(br: _BitReader, table) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: bad Huffman code")
+
+
+def _recv_extend(br: _BitReader, ln: int) -> int:
+    if ln == 0:
+        return 0
+    v = br.bits(ln)
+    return v if v >= (1 << (ln - 1)) else v - (1 << ln) + 1
+
+
+def _jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 ndarray: (h, w) for grayscale, (h, w, 3)
+    RGB for YCbCr. Raises ValueError on non-baseline streams."""
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None          # [(cid, hs, vs, tq)]
+    w = h = 0
+    restart = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2:pos + seglen]
+        if marker == 0xDB:                       # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq:
+                    tbl = np.frombuffer(body, dtype=">u2", count=64,
+                                        offset=off).astype(np.int32)
+                    off += 128
+                else:
+                    tbl = np.frombuffer(body, dtype=np.uint8, count=64,
+                                        offset=off).astype(np.int32)
+                    off += 64
+                z = np.zeros(64, dtype=np.int32)
+                z[_ZIGZAG] = tbl
+                qt[tq] = z.reshape(8, 8)
+        elif marker == 0xC4:                     # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1:off + 17])
+                n = sum(bits)
+                values = list(body[off + 17:off + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, values)
+                off += 17 + n
+        elif marker == 0xC0:                     # SOF0 baseline
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline SOF")
+        elif marker == 0xDD:                     # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:                     # SOS
+            ns = body[0]
+            scan = {}                            # cid -> (dc_t, ac_t)
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan[cid] = (tt >> 4, tt & 0x0F)
+            return _jpeg_decode_scan(
+                data, pos + seglen, w, h, comps, qt, huff, scan, restart)
+        pos += seglen
+    raise ValueError("jpeg: no scan found")
+
+
+def _jpeg_decode_scan(data, pos, w, h, comps, qt, huff, scan, restart):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append(np.zeros((mcuy * vs * 8, mcux * hs * 8),
+                               dtype=np.float64))
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    idct = _DCT_M.T          # orthonormal: B = M^T C M
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                br.align_to_marker()
+                pred = [0] * len(comps)
+            n_mcu += 1
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_t = huff[(0, scan[cid][0])]
+                ac_t = huff[(1, scan[cid][1])]
+                for by in range(vs):
+                    for bx in range(hs):
+                        q = np.zeros(64, dtype=np.int32)
+                        ln = _huff_read(br, dc_t)
+                        pred[ci] += _recv_extend(br, ln)
+                        q[0] = pred[ci]
+                        i = 1
+                        while i < 64:
+                            rs = _huff_read(br, ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    i += 16
+                                    continue
+                                break            # EOB
+                            i += r
+                            if i > 63:
+                                raise ValueError("jpeg: AC overflow")
+                            q[_ZIGZAG[i]] = _recv_extend(br, s)
+                            i += 1
+                        block = q.reshape(8, 8) * qt[tq]
+                        px = idct @ block @ idct.T
+                        planes[ci][(my * vs + by) * 8:(my * vs + by) * 8 + 8,
+                                   (mx * hs + bx) * 8:(mx * hs + bx) * 8 + 8] \
+                            = px
+    out = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        # upsample to full MCU grid resolution, then crop to (h, w)
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w] + 128.0)
+    if len(out) == 1:
+        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # projections (Visualization.java:260-296)
 # ---------------------------------------------------------------------------
 

@@ -458,3 +458,134 @@ def test_multi_grain_rollup_single_scan(spark, sf_dir):
     assert got_day == want
     grains = {r.grain for r in out.select("grain").distinct().collect()}
     assert grains == {"day", "month", "year"}
+
+
+# ------------------------------------------------- baseline JPEG decoder
+
+
+def _encode_color_jpeg(y, cb, cr, sub=1):
+    """Minimal interleaved YCbCr baseline encoder for decoder tests:
+    one shared quant/Huffman table set (Annex K), luma at (sub, sub)
+    sampling, chroma at 1x1 — sub=1 is 4:4:4, sub=2 is 4:2:0."""
+    import struct
+
+    from stark_spark.functions.visualize import (_AC_L, _BitWriter, _DC_L,
+                                                 _DCT_M, _JPG_QL, _ZIGZAG,
+                                                 _huff_table)
+    h, w = y.shape
+    dc_t, ac_t = _huff_table(*_DC_L), _huff_table(*_AC_L)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def cat(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def put_block(block, ci):
+        coef = _DCT_M @ (block - 128.0) @ _DCT_M.T
+        q = np.round(coef / _JPG_QL).astype(np.int32).ravel()[_ZIGZAG]
+        d = int(q[0]) - pred[ci]
+        pred[ci] = int(q[0])
+        ln = cat(d)
+        bw.write(*dc_t[ln])
+        if ln:
+            bw.write(d if d >= 0 else d + (1 << ln) - 1, ln)
+        run = 0
+        nz = np.nonzero(q[1:])[0]
+        end = (nz[-1] + 2) if len(nz) else 1
+        for i in range(1, end):
+            v = int(q[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.write(*ac_t[0xF0])
+                run -= 16
+            ln = cat(v)
+            bw.write(*ac_t[(run << 4) | ln])
+            bw.write(v if v >= 0 else v + (1 << ln) - 1, ln)
+            run = 0
+        if end < 64:
+            bw.write(*ac_t[0x00])
+
+    def pad8(img, mult):
+        ph, pw = -img.shape[0] % (8 * mult), -img.shape[1] % (8 * mult)
+        return np.pad(img.astype(np.float64), ((0, ph), (0, pw)),
+                      mode="edge")
+
+    yp, cbp, crp = pad8(y, sub), pad8(cb, 1), pad8(cr, 1)
+    if sub == 2:     # chroma planes are half-resolution
+        cbp, crp = cbp[::2, ::2], crp[::2, ::2]
+        cbp, crp = pad8(cbp, 1), pad8(crp, 1)
+    for my in range(yp.shape[0] // (8 * sub)):
+        for mx in range(yp.shape[1] // (8 * sub)):
+            for by in range(sub):
+                for bx in range(sub):
+                    put_block(yp[(my * sub + by) * 8:(my * sub + by) * 8 + 8,
+                                 (mx * sub + bx) * 8:(mx * sub + bx) * 8 + 8],
+                              0)
+            put_block(cbp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], 1)
+            put_block(crp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], 2)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt = bytes([0]) + bytes(int(v) for v in _JPG_QL.ravel()[_ZIGZAG])
+    sof = (bytes([8]) + struct.pack(">HH", h, w) + bytes([3]) +
+           bytes([1, (sub << 4) | sub, 0]) + bytes([2, 0x11, 0]) +
+           bytes([3, 0x11, 0]))
+    dht = (bytes([0x00]) + bytes(_DC_L[0]) + bytes(_DC_L[1]) +
+           bytes([0x10]) + bytes(_AC_L[0]) + bytes(_AC_L[1]))
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (b"\xFF\xD8" +
+            seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00") +
+            seg(0xDB, qt) + seg(0xC0, sof) + seg(0xC4, dht) +
+            seg(0xDA, sos) + bytes(bw.buf) + b"\xFF\xD9")
+
+
+def test_jpeg_decode_roundtrip_gray():
+    """In-repo baseline decoder vs in-repo encoder: smooth content must
+    round-trip within quantization error; odd dims crop correctly."""
+    from stark_spark.functions.visualize import _jpeg_decode, _jpeg_encode
+    x = np.linspace(0, 255, 61)[None, :]
+    y = np.linspace(0, 255, 43)[:, None]
+    img = ((x + y) / 2).astype(np.uint8)
+    dec = _jpeg_decode(_jpeg_encode(img))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_jpeg_decode_color_444_and_420():
+    """YCbCr path: solid-chroma images decode to the analytic RGB for
+    both 4:4:4 and 4:2:0 subsampling."""
+    from stark_spark.functions.visualize import _jpeg_decode
+    h, w = 24, 40
+    yv, cbv, crv = 120.0, 150.0, 100.0
+    yp = np.full((h, w), yv)
+    cb = np.full((h, w), cbv)
+    cr = np.full((h, w), crv)
+    want = np.clip(np.round([
+        yv + 1.402 * (crv - 128),
+        yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128),
+        yv + 1.772 * (cbv - 128)]), 0, 255)
+    for sub in (1, 2):
+        dec = _jpeg_decode(_encode_color_jpeg(yp, cb, cr, sub=sub))
+        assert dec.shape == (h, w, 3)
+        got = dec.reshape(-1, 3).mean(axis=0)
+        assert np.abs(got - want).max() <= 3.0, (sub, got, want)
+
+
+def test_multimodal_decode_jpeg_real():
+    """The multimodal decode seam must route baseline JPEG bytes
+    through the REAL in-repo decoder (not the md5 fake): decoded
+    dims follow the encoded image."""
+    import stark_spark.operators.multimodal as M
+    from stark_spark.functions.visualize import _jpeg_encode
+    if not M.FAKE_DECODE:
+        pytest.skip("PIL present - PIL path covers JPEG")
+    img = np.tile(np.linspace(0, 250, 32).astype(np.uint8), (24, 1))
+    arr = M._decode(_jpeg_encode(img))
+    assert arr.shape == (24, 32, 3)
+    # gray replicated across channels, values near the source ramp
+    assert np.abs(arr[:, :, 0].astype(int) - img.astype(int)).max() <= 6
+    assert (arr[:, :, 0] == arr[:, :, 1]).all()
