@@ -1201,6 +1201,18 @@ def _q_ann_ivf_pruned(spark, sf):
     return ivf_topk_pruned(spark, path, q, 5, n_probe=2, score="fold")
 
 
+def _q_kmeans_exact(spark, sf):
+    """Lloyd's k-means, oracle-gated end-to-end: `exact=True` makes
+    each per-dimension mean an integer-micros sum followed by one IEEE
+    division — order-independent at any parallelism — so two full
+    iterations (broadcast fold-cosine assign → grouped exact means,
+    empty buckets keep their centroid) hash-match a DuckDB unroll of
+    the identical recurrence."""
+    from stark_spark.operators.similarity import kmeans_centroids
+    emb = D.load(spark, sf, "embeddings")
+    return kmeans_centroids(emb, 4, n_iter=2, score="fold", exact=True)
+
+
 def _q_partition_bsp(spark, sf):
     """Cost-based BSP partitioner (§2.11 row 63, `BSPartitioner.scala`/
     `BSP2.scala` equal-cost splits) as an oracle gate: the per-cell
@@ -1395,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_replay": _q_stream_sessionize_replay,
         "partition_bsp": _q_partition_bsp,
         "partition_str": _q_partition_str,
+        "kmeans_exact": _q_kmeans_exact,
         # --- §2 spine (driver-green in r1/r3 artifacts) ---
         "st_filter_rect_timed": _q_filter_rect_timed,
         "st_filter_polygon_timed": _q_filter_polygon_timed,
@@ -2623,6 +2636,45 @@ WITH e AS (
 SELECT user_id, min(t) AS sess_start, max(t) AS sess_end,
   CAST(count(*) AS BIGINT) AS n
 FROM lab GROUP BY user_id, sid"""
+
+    # two unrolled Lloyd iterations; the exact-mean trick (integer
+    # micros sums + one division) makes every intermediate double
+    # bit-identical between engines, so assignments can't drift
+    def _km_assign(cent_cte: str) -> str:
+        return f"""
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT v.vec_id, v.embedding, c.c_id AS bucket,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {_cos('v.embedding', 'c.c_embedding')} DESC, c.c_id) AS rn
+    FROM embeddings v, {cent_cte} c
+  ) t WHERE rn = 1"""
+
+    def _km_update(assign_cte: str, cent_cte: str) -> str:
+        return f"""
+  SELECT {cent_cte}.c_id,
+    coalesce(l.new_emb, {cent_cte}.c_embedding) AS c_embedding
+  FROM {cent_cte} LEFT JOIN (
+    SELECT bucket, list(m ORDER BY pos) AS new_emb FROM (
+      SELECT bucket, pos,
+        CAST(sum(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1000000.0
+                            + 0.5) AS BIGINT)) AS DOUBLE)
+          / (1000000.0::DOUBLE * count(*)) AS m
+      FROM {assign_cte}, range(1, 65) r(pos)
+      GROUP BY bucket, pos
+    ) mm GROUP BY bucket
+  ) l ON l.bucket = {cent_cte}.c_id"""
+
+    sql["kmeans_exact"] = f"""
+WITH c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id,
+         embedding AS c_embedding
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4) i
+), a1 AS ({_km_assign('c0')}
+), c1 AS ({_km_update('a1', 'c0')}
+), a2 AS ({_km_assign('c1')}
+), c2 AS ({_km_update('a2', 'c1')}
+)
+SELECT c_id, c_embedding FROM c2"""
 
     # BSP equal-cost split mirror: identical rule to bsp.bsp_partitions
     # — split the longer axis at the most cost-balanced whole-cell

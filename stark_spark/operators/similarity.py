@@ -388,7 +388,8 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
 def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
                      n_iter: int = 5, key: str = "vec_id",
                      vec_col: str = "embedding",
-                     score: str = "fold") -> DataFrame:
+                     score: str = "fold",
+                     exact: bool = False) -> DataFrame:
     """Distributed Lloyd's k-means → (c_id, c_embedding) centroid table
     for the IVF tier (replaces the deterministic data-sample
     placeholder when retrieval quality matters).
@@ -399,9 +400,13 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
     C-row centroid frame is checkpointed per round so lineage stays
     flat (round-1 lesson: iterative DataFrame loops otherwise stack
     plans). Deterministic given the deterministic init (smallest keys)
-    up to float-summation order in the mean — so k-means centroids are
-    pytest-gated (cluster-recovery + inertia descent), not
-    oracle-gated; the oracle queries keep reproducible centroids.
+    up to float-summation order in the mean; ``exact=True`` removes
+    even that: per-dimension means become
+    ``sum(floor(v·1e6 + 0.5)::bigint) / (1e6 · n)`` — exact integer
+    sums (order-independent at any parallelism) with one final IEEE
+    division, making the whole iteration bit-reproducible and
+    hash-oracle-checkable, at the cost of 1e-6 quantization of the
+    inputs to each mean.
 
     Empty buckets keep their previous centroid (left join + coalesce).
     """
@@ -413,6 +418,14 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
             .select("c_id", F.col(vec_col).alias("c_embedding")))
     cent = cent.localCheckpoint()
 
+    if exact:
+        vq = F.floor(F.col("v").cast("double") * 1000000.0 + F.lit(0.5)) \
+              .cast("bigint")
+        mean_expr = (F.sum(vq).cast("double") /
+                     (F.lit(1000000.0) * F.count(F.lit(1))))
+    else:
+        mean_expr = F.avg(F.col("v").cast("double"))
+
     for _ in range(n_iter):
         assigned = ivf_assign(vectors, cent, key=key, vec_col=vec_col,
                               score=score)
@@ -420,7 +433,7 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
                  .select("bucket", F.posexplode(F.col(vec_col))
                           .alias("pos", "v"))
                  .groupBy("bucket", "pos")
-                 .agg(F.avg(F.col("v").cast("double")).alias("m"))
+                 .agg(mean_expr.alias("m"))
                  .groupBy("bucket")
                  .agg(F.transform(
                       F.array_sort(F.collect_list(F.struct("pos", "m"))),
