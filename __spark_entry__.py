@@ -1207,10 +1207,13 @@ def _q_kmeans_exact(spark, sf):
     division — order-independent at any parallelism — so two full
     iterations (broadcast fold-cosine assign → grouped exact means,
     empty buckets keep their centroid) hash-match a DuckDB unroll of
-    the identical recurrence."""
+    the identical recurrence. Output exploded to (c_id, dim, val)
+    scalar rows — no array column in the hash."""
     from stark_spark.operators.similarity import kmeans_centroids
     emb = D.load(spark, sf, "embeddings")
-    return kmeans_centroids(emb, 4, n_iter=2, score="fold", exact=True)
+    cent = kmeans_centroids(emb, 4, n_iter=2, score="fold", exact=True)
+    return cent.select("c_id", F.posexplode("c_embedding")
+                        .alias("dim", "val"))
 
 
 def _q_partition_bsp(spark, sf):
@@ -2674,7 +2677,8 @@ WITH c0 AS (
 ), a2 AS ({_km_assign('c1')}
 ), c2 AS ({_km_update('a2', 'c1')}
 )
-SELECT c_id, c_embedding FROM c2"""
+SELECT c_id, pos - 1 AS dim, CAST(c_embedding[pos] AS DOUBLE) AS val
+FROM c2, range(1, 65) r(pos)"""
 
     # BSP equal-cost split mirror: identical rule to bsp.bsp_partitions
     # — split the longer axis at the most cost-balanced whole-cell
