@@ -246,22 +246,28 @@ def test_hausdorff_and_interval_distance(spark):
 
 
 def test_multimodal_real_decoder_seam(media, tmp_path):
-    """Contract test for the decode seam (multimodal.py): when PIL is
-    available the REAL decoder must satisfy the same contract the fake
-    does (RGB ndarray, (h, w, 3) uint8). Skips in containers without
-    PIL — the seam itself (bytes → ndarray → features) is exercised
-    either way through _decode."""
+    """Contract test for the decode seam (multimodal.py): a REAL
+    decoder must satisfy the same contract the fake does (RGB ndarray,
+    (h, w, 3) uint8). Without PIL the in-repo PNG reader is the real
+    decoder — round-trip an actual PNG through the seam; with PIL
+    installed, through PIL."""
     import stark_spark.operators.multimodal as M
     if M.FAKE_DECODE:
-        # fake path: deterministic per content, correct shape contract
+        # fake path (unrecognized bytes): deterministic per content
         a = M._decode(b"some image bytes")
         b = M._decode(b"some image bytes")
         c = M._decode(b"other bytes")
         assert a.shape == b.shape and (a == b).all()
         assert a.ndim == 3 and a.shape[2] == 3 and a.dtype == "uint8"
         assert a.shape != c.shape or (a != c).any()
-        pytest.skip("PIL not in container - real-decoder path untested")
-    # real path: round-trip an actual PNG through PIL
+        # real path without PIL: in-repo PNG reader through the seam
+        from stark_spark.functions.visualize import _png_encode
+        src = np.arange(300, dtype="uint8").reshape(10, 10, 3)
+        arr = M._decode(_png_encode(src))
+        assert arr.shape == (10, 10, 3) and arr.dtype == "uint8"
+        assert (arr == src).all()                # PNG is lossless
+        return
+    # real path with PIL: round-trip an actual PNG through PIL
     from PIL import Image
     p = tmp_path / "t.png"
     Image.fromarray(
