@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "distance_histogram",        # per-cell sampled NN-distance histogram
     "events_rollup",             # GROUPING SETS multi-grain, one scan
     "token_counts",              # ws + BPE-ish regexp counters
+    # appended round 4 (list is append-only; the 38 above = r3 verbatim)
+    "partition_bsp",             # histogram agg + driver equal-cost split
+    "kmeans_exact",              # 2 Lloyd rounds, exact integer-micros means
 ]
 
 
