@@ -117,3 +117,31 @@ def test_rect_pip_matches_covers(x0, y0, w, h, px, py):
     pip_strict = bool(G.points_in_polygon(np.array([px]), np.array([py]),
                                           rect, boundary=False)[0])
     assert pip_strict == G.contains(rect, pt)
+
+# ------------------------------------------------- JPEG codec properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=20, deadline=None)
+@given(hst.integers(9, 40), hst.integers(9, 40), hst.integers(0, 2 ** 31 - 1))
+def test_jpeg_roundtrip_bounded_error(h, w, seed):
+    """Any smooth-ish gray image round-trips through the in-repo
+    baseline JPEG encoder+decoder with bounded error; dims (incl.
+    non-multiples of 8) are preserved exactly."""
+    import numpy as np
+
+    from stark_spark.functions.visualize import _jpeg_decode, _jpeg_encode
+    rng = np.random.RandomState(seed)
+    # low-frequency content: random corners, bilinear interior
+    corners = rng.randint(0, 256, (2, 2)).astype(np.float64)
+    yy = np.linspace(0, 1, h)[:, None]
+    xx = np.linspace(0, 1, w)[None, :]
+    img = ((1 - yy) * ((1 - xx) * corners[0, 0] + xx * corners[0, 1]) +
+           yy * ((1 - xx) * corners[1, 0] + xx * corners[1, 1]))
+    img = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    dec = _jpeg_decode(_jpeg_encode(img))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    # quantization error bound for the Annex-K table on smooth content
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
