@@ -1280,7 +1280,7 @@ def _q_stream_windowed_stats(spark, sf):
     ev.repartition(4).write.parquet(d)
     s = read_event_stream(spark, d, ev.schema, max_files=1)
     out = windowed_stats(s, time_col="ts", window="1 day",
-                         watermark="40 days", keys=("event_type",),
+                         watermark="365 days", keys=("event_type",),
                          value_col="value")
     t = _stream_sink(out, "complete")
     return t.select(F.col("win_start").cast("long").alias("win_start"),
@@ -1301,7 +1301,7 @@ def _q_stream_dedup(spark, sf):
     ev.repartition(4).write.parquet(d)
     s = read_event_stream(spark, d, ev.schema, max_files=2)
     out = stream_dedup(s, key_cols=("user_id", "event_type"),
-                       time_col="ts", watermark="40 days")
+                       time_col="ts", watermark="365 days")
     t = _stream_sink(out, "append")
     return t.select("user_id", "event_type")
 
