@@ -371,6 +371,9 @@ def _jpeg_decode(data: bytes) -> np.ndarray:
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:          # fill byte: next byte may be the marker
+            pos -= 1
+            continue
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
