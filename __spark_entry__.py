@@ -1201,6 +1201,41 @@ def _q_ann_ivf_pruned(spark, sf):
     return ivf_topk_pruned(spark, path, q, 5, n_probe=2, score="fold")
 
 
+def _q_stream_st_join(spark, sf):
+    """Stream ⋈ stream spatial join replay == the batch join: even- and
+    odd-id event streams joined on (cell, point equality, |Δt| ≤ 1 h).
+    With a year-wide watermark no buffered row is evicted before
+    availableNow drains both sides, so the emitted matches are exactly
+    the batch (and DuckDB) join result — the time-range condition is
+    what BOUNDS that buffer in production, where the watermark tracks
+    real arrival skew."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              st_stream_stream_join)
+    # lattice coordinates (user-derived, like the customer/supplier
+    # point tables) — value is a continuous measurement, so exact
+    # point equality on it would never match and the gate would be an
+    # empty-result tautology
+    ev = (D.load(spark, sf, "events")
+            .withColumn("x", (F.col("user_id").cast("long") * PX % 1000)
+                             / 10.0)
+            .withColumn("y", (F.col("user_id").cast("long") * PY % 1000)
+                             / 10.0))
+    root = tempfile.mkdtemp(prefix="stark_stream_ssj_")
+    l_path, r_path = root + "/left", root + "/right"
+    ev.where(F.col("event_id") % 2 == 0).repartition(2) \
+      .write.parquet(l_path)
+    ev.where(F.col("event_id") % 2 == 1).repartition(2) \
+      .write.parquet(r_path)
+    schema = ev.schema
+    l = read_event_stream(spark, l_path, schema, max_files=2)
+    r = read_event_stream(spark, r_path, schema, max_files=2)
+    out = st_stream_stream_join(l, r, grid=GRID, watermark="365 days",
+                                time_range="1 hour")
+    t = _stream_sink(out, "append")
+    return t.select("event_id", F.col("event_id_r").alias("match_id"))
+
+
 def _q_kmeans_exact(spark, sf):
     """Lloyd's k-means, oracle-gated end-to-end: `exact=True` makes
     each per-dimension mean an integer-micros sum followed by one IEEE
@@ -1408,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_stats": _q_stream_windowed_stats,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize_replay": _q_stream_sessionize_replay,
+        "stream_st_join": _q_stream_st_join,
         "partition_bsp": _q_partition_bsp,
         "partition_str": _q_partition_str,
         "kmeans_exact": _q_kmeans_exact,
@@ -2619,6 +2655,17 @@ FROM events GROUP BY 1, 2"""
 
     sql["stream_dedup"] = """
 SELECT DISTINCT user_id, event_type FROM events"""
+
+    # stream-stream join replay: even ⋈ odd event ids on exact point
+    # equality within ±1 h (cell equality is implied by the point)
+    sql["stream_st_join"] = f"""
+SELECT a.event_id, b.event_id AS match_id
+FROM events a JOIN events b
+  ON a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND ((a.user_id * {PX}) % 1000) / 10.0 = ((b.user_id * {PX}) % 1000) / 10.0
+ AND ((a.user_id * {PY}) % 1000) / 10.0 = ((b.user_id * {PY}) % 1000) / 10.0
+ AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000"""
 
     # sessions over whole-second timestamps (the replay truncates on
     # write); gap 7200 s, same gaps-and-islands shape as `sessionize`
