@@ -47,6 +47,13 @@ from stark_spark.partitioner.grid import GridSpec
 PX, PY = 7919, 104729
 GRID = GridSpec.unit_grid(100.0, 32)       # the [0,100)² synthetic space
 
+# per-process scratch root for queries that write stores: two
+# concurrent harnesses (bench + correctness) must never overwrite or
+# half-read each other's files (same class of race the raster
+# roundtrip had before round 4)
+import tempfile as _tempfile
+_ORACLE_TMP = _tempfile.mkdtemp(prefix="stark_oracle_")
+
 # SQL fragments for the synthetic coordinates
 def _xy(key: str, salt: tuple[int, int] = (0, 0)) -> tuple[str, str]:
     sx, sy = salt
@@ -728,7 +735,7 @@ def _part_events_path(spark, sf: str) -> str:
     import os
     from stark_spark.sources.partitioned import save_partitioned
     tag = os.path.basename(sf.rstrip("/"))
-    path = f"/tmp/stark_oracle_part_events_{tag}"
+    path = f"{_ORACLE_TMP}/part_events_{tag}"
     if path not in _PART_EVENTS_BUILT:
         ev = D.st_events(spark, sf, keep_geom=False)
         save_partitioned(ev, path, GRID)
@@ -760,8 +767,8 @@ def _q_pruned_join(spark, sf):
     from stark_spark.sources.partitioned import (join_pruned,
                                                  save_partitioned)
     tag = os.path.basename(sf.rstrip("/"))
-    pc = f"/tmp/stark_oracle_part_cust_{tag}"
-    ps = f"/tmp/stark_oracle_part_supp_{tag}"
+    pc = f"{_ORACLE_TMP}/part_cust_{tag}"
+    ps = f"{_ORACLE_TMP}/part_supp_{tag}"
     cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
     supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
     save_partitioned(cust, pc, GRID)
@@ -782,7 +789,7 @@ def _q_pruned_read_st(spark, sf):
     from stark_spark.sources.partitioned import (read_pruned,
                                                  save_partitioned)
     tag = os.path.basename(sf.rstrip("/"))
-    path = f"/tmp/stark_oracle_part_st_{tag}"
+    path = f"{_ORACLE_TMP}/part_st_{tag}"
     if path not in _PART_EVENTS_BUILT:
         ev = D.st_events(spark, sf, keep_geom=False)
         save_partitioned(ev, path, GRID, t_buckets=6)
@@ -1201,6 +1208,26 @@ def _q_ann_ivf_pruned(spark, sf):
     return ivf_topk_pruned(spark, path, q, 5, n_probe=2, score="fold")
 
 
+def _q_zip_join_bucketed(spark, sf):
+    """The reference's `zipJoin` (PSF:325-348, both sides identically
+    partitioned ⇒ no shuffle) as an oracle gate: customer and supplier
+    points bucketed by home cell into managed tables, then the cell
+    equi-join + point-equality refine — planned WITHOUT exchanges
+    (bucketed SMJ; the no-Exchange plan assertion lives in
+    test_sources.py). Result must equal the plain lattice point join."""
+    import uuid
+    from stark_spark.sources.partitioned import (save_bucketed,
+                                                 zip_join_bucketed)
+    cust = D.st_points(spark, sf, "customer", "c_custkey", keep_geom=False)
+    supp = D.st_points(spark, sf, "supplier", "s_suppkey", keep_geom=False)
+    tag = uuid.uuid4().hex[:8]
+    lt, rt = f"zj_cust_{tag}", f"zj_supp_{tag}"
+    save_bucketed(cust, lt, GRID)
+    save_bucketed(supp, rt, GRID)
+    out = zip_join_bucketed(spark, lt, rt, predicate="intersects")
+    return out.select("c_custkey", "s_suppkey")
+
+
 def _q_stream_st_join(spark, sf):
     """Stream ⋈ stream spatial join replay == the batch join: even- and
     odd-id event streams joined on (cell, point equality, |Δt| ≤ 1 h).
@@ -1444,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize_replay": _q_stream_sessionize_replay,
         "stream_st_join": _q_stream_st_join,
+        "zip_join_bucketed": _q_zip_join_bucketed,
         "partition_bsp": _q_partition_bsp,
         "partition_str": _q_partition_str,
         "kmeans_exact": _q_kmeans_exact,
@@ -2655,6 +2683,13 @@ FROM events GROUP BY 1, 2"""
 
     sql["stream_dedup"] = """
 SELECT DISTINCT user_id, event_type FROM events"""
+
+    # bucketed zipJoin must equal the plain lattice point join — the
+    # bucketing is a physical-plan property (no exchanges), not a
+    # semantic one
+    sql["zip_join_bucketed"] = f"""
+SELECT c_custkey, s_suppkey FROM customer, supplier
+WHERE ({cx}) = ({sx}) AND ({cy}) = ({sy})"""
 
     # stream-stream join replay: even ⋈ odd event ids on exact point
     # equality within ±1 h (cell equality is implied by the point)
