@@ -1208,6 +1208,44 @@ def _q_ann_ivf_pruned(spark, sf):
     return ivf_topk_pruned(spark, path, q, 5, n_probe=2, score="fold")
 
 
+def _media_fixture_images():
+    """Deterministic RGB fixtures for the multimodal gate — pure
+    content, no data dependency, so the oracle can embed the expected
+    features as literals computed from the SAME arrays."""
+    import numpy as np
+    out = []
+    for i in range(6):
+        h, w = 8 + 4 * i, 12 + 4 * i
+        arr = ((np.arange(h * w * 3, dtype=np.int64) * (i + 3)) % 251) \
+            .astype("uint8").reshape(h, w, 3)
+        out.append((i, arr))
+    return out
+
+
+def _q_multimodal_features(spark, sf):
+    """`loadNanoFiles` equivalent (STC:561-621) as an oracle gate: a
+    directory of PNGs through the binaryFile source → mapInPandas
+    Arrow decode (the in-repo REAL PNG reader) → per-channel feature
+    stats. Content is deterministic, so the oracle is the literal
+    expected table — a true hash gate over the whole binary-ingest
+    pipeline, independent of ``sf``."""
+    import tempfile
+    from stark_spark.functions.visualize import _png_encode
+    from stark_spark.operators.multimodal import (image_features,
+                                                  read_binary_dir)
+    root = tempfile.mkdtemp(prefix="stark_media_")
+    for i, arr in _media_fixture_images():
+        with open(f"{root}/img_{i}.png", "wb") as f:
+            f.write(_png_encode(arr))
+    feats = image_features(read_binary_dir(spark, root, "*.png"))
+    return feats.select(
+        F.regexp_extract("path", r"img_(\d+)\.png", 1).cast("int")
+         .alias("img_id"),
+        "width", "height",
+        F.element_at("mean_rgb", 1).alias("mean_r"),
+        F.element_at("std_rgb", 3).alias("std_b"))
+
+
 def _q_zip_join_bucketed(spark, sf):
     """The reference's `zipJoin` (PSF:325-348, both sides identically
     partitioned ⇒ no shuffle) as an oracle gate: customer and supplier
@@ -1472,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_replay": _q_stream_sessionize_replay,
         "stream_st_join": _q_stream_st_join,
         "zip_join_bucketed": _q_zip_join_bucketed,
+        "multimodal_features": _q_multimodal_features,
         "partition_bsp": _q_partition_bsp,
         "partition_str": _q_partition_str,
         "kmeans_exact": _q_kmeans_exact,
@@ -2683,6 +2722,27 @@ FROM events GROUP BY 1, 2"""
 
     sql["stream_dedup"] = """
 SELECT DISTINCT user_id, event_type FROM events"""
+
+    # multimodal: expected features computed here from the SAME
+    # deterministic arrays the query encodes — numpy on both sides, so
+    # the doubles are bit-identical; embedded via repr() round-trip
+    rows = []
+    for i, arr in _media_fixture_images():
+        # the EXACT expressions image_features evaluates (same numpy
+        # reduction shape — pairwise-summation order matters for the
+        # last ulp)
+        a = arr.astype("float64")
+        m = a.mean(axis=(0, 1))
+        s = a.std(axis=(0, 1))
+        # string→double cast, not a ::DOUBLE decimal literal: DuckDB
+        # parses bare decimals as DECIMAL first and the
+        # decimal→double hop can land one ulp off repr()'s value
+        rows.append(f"({i}, {arr.shape[1]}, {arr.shape[0]}, "
+                    f"CAST('{float(m[0])!r}' AS DOUBLE), "
+                    f"CAST('{float(s[2])!r}' AS DOUBLE))")
+    sql["multimodal_features"] = (
+        "SELECT * FROM (VALUES " + ", ".join(rows) +
+        ") t(img_id, width, height, mean_r, std_b)")
 
     # bucketed zipJoin must equal the plain lattice point join — the
     # bucketing is a physical-plan property (no exchanges), not a
