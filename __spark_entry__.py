@@ -1009,6 +1009,17 @@ def _q_contamination_lsh(spark, sf):
                            n_seeds=4, rows_per_band=1, shingle_k=8)
 
 
+def _q_contamination_bloom(spark, sf):
+    """Bloom-prefiltered exact contamination — identical rows to
+    `contamination_exact` (the Bloom pass has no false negatives and
+    the closing equi-join removes false positives), but the train scan
+    is filtered through a compact literal bitmap BEFORE any shuffle:
+    the 100 TB decontamination plan shape."""
+    from stark_spark.operators.dedup import cross_bloom_dups
+    docs = D.load(spark, sf, "documents")
+    return cross_bloom_dups(docs, _eval_corpus(spark, sf), "doc_id")
+
+
 def _q_sample_deterministic(spark, sf):
     """Reproducible hash sampling + leakage-free split: the two
     row-local curation primitives (no shuffle; membership is a pure
@@ -1476,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- contamination / sampling / packing ---
         "contamination_exact": _q_contamination_exact,
         "contamination_lsh": _q_contamination_lsh,
+        "contamination_bloom": _q_contamination_bloom,
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
         "mix_sources": _q_mix_sources,
@@ -2412,6 +2424,21 @@ FROM (
 ) s""",
 
         "contamination_exact": """
+WITH ev AS (
+  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text
+                      ELSE text || ' tail' END AS text
+  FROM documents WHERE doc_id % 10 = 0
+), th AS (
+  SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_train
+  FROM documents GROUP BY 1
+)
+SELECT th.content_hash, e.doc_id, th.n_train
+FROM ev e JOIN th ON th.content_hash = md5(e.text)""",
+
+        # Bloom prefilter + exact verify ≡ exact contamination: the
+        # oracle is deliberately the same SQL — the Bloom pass is a
+        # pure physical optimization with zero semantic effect.
+        "contamination_bloom": """
 WITH ev AS (
   SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text
                       ELSE text || ' tail' END AS text

@@ -138,6 +138,81 @@ def cross_lsh_pairs(train: DataFrame, eval_df: DataFrame, key: str, *,
     return a.join(b, ["band", "bucket"]).select("a", "b").distinct()
 
 
+def bloom_build(hashes: list[str], fpp: float = 1e-3):
+    """Build a Bloom filter over md5-hex values. Returns
+    ``(words, m, k)``: 32-bit words (as Python ints), bit count, and
+    hash count, sized for the target false-positive rate.
+
+    Double hashing (Kirsch–Mitzenmacher): position_j = (h1 + j*h2) mod
+    m, where h1/h2 are the first/second 15 hex chars of the md5 — the
+    exact arithmetic `bloom_might_contain` re-derives natively, so the
+    build and the probe agree bit-for-bit."""
+    import math
+    n = max(1, len(hashes))
+    ln2 = math.log(2.0)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (ln2 * ln2))))
+    k = max(1, int(round(m / n * ln2)))
+    words = [0] * ((m + 31) // 32)
+    for hx in hashes:
+        h1 = int(hx[0:15], 16) % m
+        h2 = int(hx[15:30], 16) % m
+        for j in range(k):
+            p = (h1 + j * h2) % m
+            words[p >> 5] |= 1 << (p & 31)
+    return words, m, k
+
+
+def bloom_might_contain(hash_col: Column, words: list[int], m: int,
+                        k: int) -> Column:
+    """Native membership test against a driver-built Bloom filter:
+    ``conv`` + ``pmod`` + ``element_at`` on a literal word array +
+    ``getbit`` — whole-stage-codegen end-to-end, no Python on the
+    scan. 32-bit words keep every value positive in a BIGINT, so no
+    sign-extension subtleties in ``getbit``."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    h1 = F.conv(F.substring(hash_col, 1, 15), 16, 10).cast("long") % m
+    h2 = F.conv(F.substring(hash_col, 16, 15), 16, 10).cast("long") % m
+    cond = F.lit(True)
+    for j in range(k):
+        pos = (h1 + F.lit(j) * h2) % m
+        word = F.element_at(arr, (pos / 32).cast("int") + 1)
+        cond = cond & (F.getbit(word, pos % 32) == 1)
+    return cond
+
+
+def cross_bloom_dups(train: DataFrame, eval_df: DataFrame, key: str, *,
+                     text_col: str = "text", fpp: float = 1e-3) -> DataFrame:
+    """Exact train→eval contamination via a Bloom prefilter — the
+    100 TB decontamination shape. `cross_exact_dups` shuffles every
+    distinct TRAIN hash into a groupBy before the join; here the huge
+    train scan is filtered FIRST through a compact Bloom built over the
+    (small, by contract) eval-hash set, so the shuffle carries only
+    eval-sized + false-positive survivors: ~|eval| + fpp·|train| rows
+    instead of |distinct train|. The final equi-join against the true
+    eval hashes removes Bloom false positives, and no true match is
+    ever dropped (no false negatives), so the result is EXACTLY
+    `cross_exact_dups`' — same oracle, cheaper plan.
+
+    The filter is a literal-array + `getbit` expression (codegen, no
+    Python, no broadcast variable); at ~1M eval rows and fpp=1e-3 the
+    bitmap is ~1.8 MB — beyond that, build with
+    `df.stat.bloomFilter` (JVM tree-aggregate) and apply it via a
+    broadcast join on word index instead of a plan literal.
+
+    Output: (content_hash, <key> of the eval row, n_train)."""
+    ev_hash = F.md5(F.col(text_col))
+    hashes = [r.h for r in
+              eval_df.select(ev_hash.alias("h")).distinct().collect()]
+    words, m, k = bloom_build(hashes, fpp)
+    th = (train.select(F.md5(F.col(text_col)).alias("content_hash"))
+               .where(bloom_might_contain(F.col("content_hash"),
+                                          words, m, k))
+               .groupBy("content_hash")
+               .agg(F.count("*").alias("n_train")))
+    rh = eval_df.select(F.col(key), ev_hash.alias("content_hash"))
+    return rh.join(th, "content_hash")
+
+
 def dedup_clusters(df: DataFrame, key: str, *,
                    pairs: DataFrame | None = None, n_seeds: int = 8,
                    rows_per_band: int = 2, shingle_k: int = 8,

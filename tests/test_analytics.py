@@ -407,6 +407,49 @@ def test_contamination_cross_corpus(spark, docs):
     assert perturbed <= caught
 
 
+def test_contamination_bloom(spark, docs):
+    """Bloom-prefiltered contamination returns EXACTLY the exact-join
+    result (no false negatives by construction; false positives die in
+    the closing equi-join), the prefilter actually prunes the train
+    scan, and the probe is whole-stage codegen — no Python eval, no
+    shuffle before the bitmap test."""
+    from stark_spark.operators.dedup import (bloom_build,
+                                             bloom_might_contain,
+                                             cross_bloom_dups,
+                                             cross_exact_dups)
+    ev = (docs.where(F.col("doc_id") % 10 == 0)
+              .select("doc_id",
+                      F.when(F.col("doc_id") % 20 == 0, F.col("text"))
+                       .otherwise(F.concat(F.col("text"), F.lit(" tail")))
+                       .alias("text")))
+    got = cross_bloom_dups(docs, ev, "doc_id")
+    want = cross_exact_dups(docs, ev, "doc_id").toPandas()
+    gp = got.toPandas()
+    key = lambda p: sorted(map(tuple, p[["content_hash", "doc_id",
+                                         "n_train"]].values.tolist()))
+    assert key(gp) == key(want)
+
+    # the prefilter prunes: survivors << train, and every eval hash
+    # passes its own bloom (zero false negatives)
+    hashes = [r.h for r in
+              ev.select(F.md5("text").alias("h")).distinct().collect()]
+    words, m, k = bloom_build(hashes, fpp=1e-3)
+    train_h = docs.select(F.md5("text").alias("content_hash"))
+    n_total = train_h.count()
+    n_surv = train_h.where(
+        bloom_might_contain(F.col("content_hash"), words, m, k)).count()
+    assert n_surv < n_total * 0.2
+    assert ev.select(F.md5("text").alias("content_hash")).where(
+        ~bloom_might_contain(F.col("content_hash"), words, m, k)
+    ).count() == 0
+
+    plan = train_h.where(
+        bloom_might_contain(F.col("content_hash"), words, m, k)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
+    assert "*(1) Filter" in plan  # '*' = whole-stage codegen stage
+
+
 def test_skyline_maximize_directions(spark):
     """maximize= flips dominance per dimension (the reference's custom
     `dominates` use case) — verified against a pandas recompute."""
