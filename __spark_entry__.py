@@ -878,6 +878,35 @@ def _q_sql_tile_accessors(spark, sf):
         FROM __sql_tiles_acc""")
 
 
+def _q_sql_st_measures(spark, sf):
+    """SQL-surface geometry measures (reference STObject wraps JTS, so
+    getArea/getLength/getCentroid/getEnvelope are its de-facto user
+    surface): per-event triangles with INTEGER vertices make every
+    measure bit-reproducible against the analytic DuckDB formulas —
+    shoelace sums of small ints are exact, and hypot==sqrt on the leg
+    pairs used (verified in test_sql_surface)."""
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    D.load(spark, sf, "events").createOrReplaceTempView("__sql_ev_m")
+    return spark.sql(f"""
+        SELECT event_id,
+          CAST(round(st_area(g) * 10000) AS BIGINT) AS area_q,
+          CAST(round(st_length(g) * 10000) AS BIGINT) AS len_q,
+          CAST(round(st_x(st_centroid(g)) * 10000) AS BIGINT) AS cx_q,
+          CAST(round(st_y(st_centroid(g)) * 10000) AS BIGINT) AS cy_q,
+          CAST(round(st_area(st_envelope(g)) * 10000) AS BIGINT) AS env_q
+        FROM (
+          SELECT event_id, st_geomfromwkt(concat(
+            'POLYGON ((', x, ' ', y, ', ', x + dx, ' ', y, ', ',
+            x, ' ', y + dy, ', ', x, ' ', y, '))')) AS g
+          FROM (
+            SELECT event_id, CAST(floor(value) AS DOUBLE) AS x,
+                   CAST(floor({EV_Y}) AS DOUBLE) AS y,
+                   CAST(1 + event_id % 5 AS DOUBLE) AS dx,
+                   CAST(1 + event_id % 7 AS DOUBLE) AS dy
+            FROM __sql_ev_m WHERE event_id % 13 = 0) t) s""")
+
+
 def _q_events_rollup(spark, sf):
     """Multi-grain continuous-aggregate rollup in ONE scan: GROUPING
     SETS expands day/month/year inside a single shuffle with partial
@@ -1516,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _q_events_rollup,
         "sql_st_filter": _q_sql_st_filter,
         "sql_tile_accessors": _q_sql_tile_accessors,
+        "sql_st_measures": _q_sql_st_measures,
         # --- new round-4 gates: streaming replay + partitioners ---
         "stream_windowed_stats": _q_stream_windowed_stats,
         "stream_dedup": _q_stream_dedup,
@@ -2226,6 +2256,36 @@ SELECT tx * 10.0 AS ulx, (ty + 1) * 10.0 AS uly,
   CAST(CASE WHEN n_occ <= 32 THEN 0
             ELSE cnts[CAST(n_occ - 32 AS INT)] END AS BIGINT) AS v_median
 FROM t""",
+
+        # analytic formulas for the per-event triangles; every vertex
+        # is an integer, so shoelace/centroid sums are exact and the
+        # one-or-two IEEE roundings happen on identical operands in
+        # both engines (len mirrors the kernel's (dx + hyp) + dy
+        # summation order; cx mirrors (Σ(x_i+x_i+1)·cross_i / 3.0) / 2A)
+        "sql_st_measures": f"""
+WITH t AS (
+  SELECT event_id, CAST(floor(value) AS DOUBLE) AS x,
+         CAST(floor({EV_Y}) AS DOUBLE) AS y,
+         CAST(1 + event_id % 5 AS DOUBLE) AS dx,
+         CAST(1 + event_id % 7 AS DOUBLE) AS dy
+  FROM events WHERE event_id % 13 = 0
+), c AS (
+  SELECT event_id, x, y, dx, dy,
+         -dx * y AS c1,
+         (x + dx) * (y + dy) - x * y AS c2,
+         -x * dy AS c3
+  FROM t
+)
+SELECT event_id,
+  CAST(round(dx * dy / 2 * 10000) AS BIGINT) AS area_q,
+  CAST(round((dx + sqrt(dx * dx + dy * dy) + dy) * 10000) AS BIGINT)
+    AS len_q,
+  CAST(round(((x + (x + dx)) * c1 + ((x + dx) + x) * c2 + (x + x) * c3)
+             / 3.0 / (c1 + c2 + c3) * 10000) AS BIGINT) AS cx_q,
+  CAST(round(((y + y) * c1 + (y + (y + dy)) * c2 + ((y + dy) + y) * c3)
+             / 3.0 / (c1 + c2 + c3) * 10000) AS BIGINT) AS cy_q,
+  CAST(round(dx * dy * 10000) AS BIGINT) AS env_q
+FROM c""",
 
         "sql_raster_histogram": f"""
 WITH pix AS (

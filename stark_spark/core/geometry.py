@@ -801,3 +801,102 @@ def _seg_seg_dist(p, q, r, s) -> float:
         cands.append(float(_pts_seg_dist(np.array([pt[0]]), np.array([pt[1]]),
                                          seg[0][0], seg[0][1], seg[1][0], seg[1][1])[0]))
     return min(cands)
+
+
+# ---------------------------------------------------------------------------
+# measures (reference: STObject wraps JTS, so `.getGeo.getArea/getLength/
+# getCentroid/getEnvelope` are part of its de-facto user surface —
+# re-implemented here from the public OGC/JTS definitions)
+# ---------------------------------------------------------------------------
+
+def _ring_signed_area2(ring: np.ndarray) -> float:
+    """Twice the signed shoelace area of a closed ring."""
+    a, b = ring[:-1], ring[1:]
+    return float(np.sum(a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]))
+
+
+def area(g: Geometry) -> float:
+    """Planar area: shell minus holes per polygon; 0 for points/lines."""
+    if g.kind.startswith("MULTI"):
+        return sum(area(p) for p in g.parts())
+    if g.kind != "POLYGON":
+        return 0.0
+    s = abs(_ring_signed_area2(g.coords[0]))
+    for hole in g.coords[1:]:
+        s -= abs(_ring_signed_area2(hole))
+    return 0.5 * s
+
+
+def _ring_length(ring: np.ndarray) -> float:
+    d = np.diff(ring, axis=0)
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def length(g: Geometry) -> float:
+    """JTS getLength: line length; polygon perimeter (all rings,
+    holes included); 0 for points."""
+    if g.kind.startswith("MULTI"):
+        return sum(length(p) for p in g.parts())
+    if g.kind == "POINT":
+        return 0.0
+    if g.kind == "LINESTRING":
+        return _ring_length(g.coords)
+    return sum(_ring_length(r) for r in g.coords)
+
+
+def _centroid_acc(g: Geometry):
+    """(dim, weight, wx, wy) accumulators per part. dim follows JTS:
+    the centroid of a mixed collection uses only the highest-dimension
+    parts (areal > lineal > puntal)."""
+    out = []
+    for p in g.parts():
+        if p.kind == "POINT":
+            out.append((0, 1.0, float(p.coords[0]), float(p.coords[1])))
+        elif p.kind == "LINESTRING":
+            d = np.diff(p.coords, axis=0)
+            seg = np.hypot(d[:, 0], d[:, 1])
+            mid = (p.coords[:-1] + p.coords[1:]) / 2.0
+            out.append((1, float(seg.sum()),
+                        float(np.sum(mid[:, 0] * seg)),
+                        float(np.sum(mid[:, 1] * seg))))
+        else:
+            for i, ring in enumerate(p.coords):
+                a, b = ring[:-1], ring[1:]
+                cross = a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]
+                a2 = float(np.sum(cross))
+                # integral centroid: C = Σ(v_i + v_{i+1})·cross_i / (3·Σcross)
+                cx = float(np.sum((a[:, 0] + b[:, 0]) * cross)) / 3.0
+                cy = float(np.sum((a[:, 1] + b[:, 1]) * cross)) / 3.0
+                sgn = 1.0 if i == 0 else -1.0
+                # normalize ring orientation into the shell/hole sign
+                if a2 < 0:
+                    a2, cx, cy = -a2, -cx, -cy
+                out.append((2, sgn * a2 / 2.0, sgn * cx / 2.0,
+                            sgn * cy / 2.0))
+    return out
+
+
+def centroid(g: Geometry) -> Geometry:
+    """Centroid point (area-weighted for polygons, length-weighted for
+    lines, vertex mean for points; mixed collections use the highest
+    dimension present, like JTS)."""
+    acc = _centroid_acc(g)
+    top = max(d for d, *_ in acc)
+    w = sum(a[1] for a in acc if a[0] == top)
+    wx = sum(a[2] for a in acc if a[0] == top)
+    wy = sum(a[3] for a in acc if a[0] == top)
+    if w == 0:  # degenerate (zero-area polygon / zero-length line)
+        pts = np.vstack([p.coords[0][:-1] if p.kind == "POLYGON"
+                         else np.atleast_2d(p.coords)
+                         for p in g.parts()])
+        return point(float(pts[:, 0].mean()), float(pts[:, 1].mean()))
+    return point(wx / w, wy / w)
+
+
+def envelope(g: Geometry) -> Geometry:
+    """Axis-aligned bounding geometry: the bbox POLYGON, or the POINT
+    itself when the bbox is degenerate."""
+    xmin, ymin, xmax, ymax = g.bbox
+    if xmin == xmax and ymin == ymax:
+        return point(xmin, ymin)
+    return box(xmin, ymin, xmax, ymax)

@@ -18,8 +18,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import (ArrayType, BinaryType, LongType, StructField,
-                               StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, LongType,
+                               StructField, StructType)
 
 from stark_spark.core import geometry as G
 from stark_spark.functions.predicates import (pair_distance_udf,
@@ -96,6 +96,38 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
 
     spark.udf.register("st_geomfromtile",
                        pandas_udf(_geomfromtile, BinaryType()))
+
+    # measures — the reference's STObject wraps JTS, so
+    # `.getGeo.getArea/getLength/getCentroid/getEnvelope[X/Y]` are its
+    # de-facto user surface; Arrow-batched over WKB, numpy kernels
+    # (`core/geometry.py` measures section)
+    def _measure(fn, out_wkb: bool = False):
+        def _m(wkb: pd.Series) -> pd.Series:
+            out = []
+            for b in wkb:
+                if b is None:
+                    out.append(None)
+                    continue
+                v = fn(G.from_wkb(bytes(b)))
+                out.append(G.to_wkb(v) if out_wkb else float(v))
+            return pd.Series(out, dtype=object if out_wkb else "float64")
+        return _m
+
+    spark.udf.register("st_area", pandas_udf(_measure(G.area), DoubleType()))
+    spark.udf.register("st_length",
+                       pandas_udf(_measure(G.length), DoubleType()))
+    spark.udf.register(
+        "st_centroid", pandas_udf(_measure(G.centroid, out_wkb=True),
+                                  BinaryType()))
+    spark.udf.register(
+        "st_envelope", pandas_udf(_measure(G.envelope, out_wkb=True),
+                                  BinaryType()))
+    spark.udf.register(
+        "st_x", pandas_udf(_measure(lambda g: float(g.coords[0])),
+                           DoubleType()))
+    spark.udf.register(
+        "st_y", pandas_udf(_measure(lambda g: float(g.coords[1])),
+                           DoubleType()))
 
     # raster accessors as pure-SQL scalar functions (stay native —
     # reference `STFunction.scala:40-86`, tile getters

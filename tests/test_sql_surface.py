@@ -208,3 +208,55 @@ def test_sql_sample_bucket_matches_python_api(spark, sf_dir):
         hash_bucket(F.col("doc_id"), salt="split").alias("bs"))
         .orderBy("doc_id").collect())
     assert got == want
+
+
+def test_sql_measures(spark):
+    """st_area/st_length/st_centroid/st_envelope/st_x/st_y against
+    hand-computed values (triangle, holed square, line, point)."""
+    import math
+    row = spark.sql("""
+        SELECT st_area(g) AS a, st_length(g) AS l,
+               st_x(st_centroid(g)) AS cx, st_y(st_centroid(g)) AS cy,
+               st_area(st_envelope(g)) AS ea
+        FROM (SELECT st_geomfromwkt('POLYGON ((2 3, 6 3, 2 6, 2 3))') AS g)
+    """).first()
+    assert row.a == 6.0 and row.l == 4 + 3 + 5.0 and row.ea == 12.0
+    assert math.isclose(row.cx, 2 + 4 / 3) and math.isclose(row.cy, 4.0)
+
+    hole = spark.sql("""
+        SELECT st_area(g) AS a, st_length(g) AS l,
+               st_x(st_centroid(g)) AS cx
+        FROM (SELECT st_geomfromwkt(
+          'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))'
+        ) AS g)""").first()
+    assert hole.a == 96.0 and hole.l == 48.0
+    assert math.isclose(hole.cx, (100 * 5 - 4 * 3) / 96)
+
+    ln = spark.sql("""
+        SELECT st_area(g) AS a, st_length(g) AS l,
+               st_x(st_centroid(g)) AS cx, st_y(st_centroid(g)) AS cy
+        FROM (SELECT st_geomfromwkt('LINESTRING (0 0, 3 4, 3 8)') AS g)
+    """).first()
+    assert ln.a == 0.0 and ln.l == 9.0
+    assert math.isclose(ln.cx, (1.5 * 5 + 3 * 4) / 9)
+    assert math.isclose(ln.cy, (2 * 5 + 6 * 4) / 9)
+
+    pt = spark.sql("""
+        SELECT st_length(g) AS l, st_wkt(st_envelope(g)) AS e,
+               st_x(g) AS x, st_y(g) AS y
+        FROM (SELECT st_geomfromwkt('POINT (7 9)') AS g)""").first()
+    assert pt.l == 0.0 and pt.e == "POINT (7 9)"
+    assert (pt.x, pt.y) == (7.0, 9.0)
+
+
+def test_measures_hypot_matches_sqrt():
+    """The sql_st_measures oracle writes sqrt(dx²+dy²) while the
+    kernel uses np.hypot — bit-equal on every leg pair the gate can
+    generate (dx in 1..5, dy in 1..7), which keeps the gate
+    deterministic."""
+    import math
+
+    import numpy as np
+    for a in range(1, 6):
+        for b in range(1, 8):
+            assert np.hypot(float(a), float(b)) == math.sqrt(a * a + b * b)
