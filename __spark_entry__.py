@@ -353,6 +353,18 @@ def _q_knn_events(spark, sf):
     return out.select("event_id", "dist")
 
 
+def _q_knn_manhattan(spark, sf):
+    """kNN under a plugged-in distance Column (the reference's
+    ``distFunc`` parameter, PSF kNN family §2.5) — Manhattan/L1 here,
+    proving the pluggability seam end-to-end against the oracle, not
+    just in pytest."""
+    ev = D.st_events(spark, sf, keep_geom=False)
+    d = F.abs(F.col("x") - F.lit(50.0)) + F.abs(F.col("y") - F.lit(50.0))
+    out = knn(ev, "POINT (50 50)", 40, points=True, tie_col="event_id",
+              distance=d)
+    return out.select("event_id", "dist")
+
+
 def _q_knn_weighted_st(spark, sf):
     """Weighted space+time kNN (reference Distance.scala:118-133
     scalarization): d = 1.0*spatial + 0.001*|t - t0|."""
@@ -1546,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_st_filter": _q_sql_st_filter,
         "sql_tile_accessors": _q_sql_tile_accessors,
         "sql_st_measures": _q_sql_st_measures,
+        "knn_manhattan": _q_knn_manhattan,
         # --- new round-4 gates: streaming replay + partitioners ---
         "stream_windowed_stats": _q_stream_windowed_stats,
         "stream_dedup": _q_stream_dedup,
@@ -1919,6 +1932,12 @@ WHERE NOT EXISTS (SELECT 1 FROM nation
         "knn_events": f"""
 SELECT event_id, {dist_q} AS dist FROM events
 ORDER BY dist, event_id LIMIT 50""",
+
+        # plugged-in L1 distance (reference distFunc): same IEEE op
+        # order as the Spark Column, so dist is bit-identical
+        "knn_manhattan": f"""
+SELECT event_id, abs(value - 50.0) + abs(({EV_Y}) - 50.0) AS dist
+FROM events ORDER BY dist, event_id LIMIT 40""",
 
         # pruned two-phase kNN must equal the full scan
         "pruned_knn": f"""
