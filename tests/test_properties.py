@@ -145,3 +145,80 @@ def test_jpeg_roundtrip_bounded_error(h, w, seed):
     assert dec.shape == img.shape and dec.dtype == np.uint8
     # quantization error bound for the Annex-K table on smooth content
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 12
+
+
+# ------------------------------------------------- geometry measures
+
+def _convex_ring_from(seed: int, n: int) -> np.ndarray:
+    """Deterministic convex polygon: points at sorted angles on varied
+    radii → convex hull is the ring itself after hull cleanup."""
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(1.0, 10.0, n)
+    pts = np.c_[rad * np.cos(ang), rad * np.sin(ang)]
+    # convex hull (gift wrapping via cross-product pruning)
+    hull = []
+    for p in pts[np.lexsort((pts[:, 1], pts[:, 0]))]:
+        while len(hull) >= 2 and np.cross(hull[-1] - hull[-2],
+                                          p - hull[-2]) <= 0:
+            hull.pop()
+        hull.append(p)
+    lower = len(hull) + 1
+    for p in pts[np.lexsort((pts[:, 1], pts[:, 0]))][::-1]:
+        while len(hull) >= lower and np.cross(hull[-1] - hull[-2],
+                                              p - hull[-2]) <= 0:
+            hull.pop()
+        hull.append(p)
+    return np.vstack(hull)
+
+
+@given(st.integers(0, 10_000), st.integers(4, 40))
+@settings(max_examples=60, deadline=None)
+def test_measure_invariants_convex(seed, n):
+    """Random convex polygons: area equals the triangulation-fan sum,
+    the centroid lies inside, the envelope covers the geometry with
+    at-least-equal area, the isoperimetric inequality holds, and every
+    measure survives a WKB roundtrip bit-for-bit."""
+    ring = _convex_ring_from(seed, n)
+    if len(ring) < 4:  # degenerate hull (collinear)
+        return
+    g = G.Geometry("POLYGON", [ring])
+    a, l, c, e = G.area(g), G.length(g), G.centroid(g), G.envelope(g)
+
+    # triangulation fan from vertex 0
+    v0, fan = ring[0], 0.0
+    for i in range(1, len(ring) - 2):
+        d1, d2 = ring[i] - v0, ring[i + 1] - v0
+        fan += 0.5 * abs(d1[0] * d2[1] - d1[1] * d2[0])
+    assert a == pytest.approx(fan, rel=1e-9)
+    assert a > 0 and l > 0
+    assert l * l >= 4 * np.pi * a * (1 - 1e-12)   # isoperimetric
+    assert G.covers(g, c)                          # centroid inside (convex)
+    assert G.covers(e, g) and G.area(e) >= a * (1 - 1e-12)
+    assert e.bbox == g.bbox
+
+    rt = G.from_wkb(G.to_wkb(g))
+    assert (G.area(rt), G.length(rt)) == (a, l)
+    assert G.to_wkb(G.centroid(rt)) == G.to_wkb(c)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_measure_multipolygon_additive(seed):
+    """Disjoint translated copies: area/length sum over parts, and the
+    combined centroid is the area-weighted mean of part centroids."""
+    ring = _convex_ring_from(seed, 12)
+    if len(ring) < 4:
+        return
+    far = ring + np.array([100.0, 7.0])
+    g1 = G.Geometry("POLYGON", [ring])
+    g2 = G.Geometry("POLYGON", [far])
+    mp = G.Geometry("MULTIPOLYGON", [g1, g2])
+    assert G.area(mp) == pytest.approx(G.area(g1) + G.area(g2), rel=1e-12)
+    assert G.length(mp) == pytest.approx(G.length(g1) + G.length(g2),
+                                         rel=1e-12)
+    c, c1, c2 = G.centroid(mp), G.centroid(g1), G.centroid(g2)
+    w1, w2 = G.area(g1), G.area(g2)
+    assert float(c.coords[0]) == pytest.approx(
+        (float(c1.coords[0]) * w1 + float(c2.coords[0]) * w2) / (w1 + w2),
+        rel=1e-9)
