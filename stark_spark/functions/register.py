@@ -122,12 +122,15 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
     spark.udf.register(
         "st_envelope", pandas_udf(_measure(G.envelope, out_wkb=True),
                                   BinaryType()))
-    spark.udf.register(
-        "st_x", pandas_udf(_measure(lambda g: float(g.coords[0])),
-                           DoubleType()))
-    spark.udf.register(
-        "st_y", pandas_udf(_measure(lambda g: float(g.coords[1])),
-                           DoubleType()))
+    def _coord(i):
+        # NaN for non-points (accessors must not throw mid-scan)
+        return lambda g: (float(g.coords[i]) if g.kind == "POINT"
+                          else float("nan"))
+
+    spark.udf.register("st_x", pandas_udf(_measure(_coord(0)),
+                                          DoubleType()))
+    spark.udf.register("st_y", pandas_udf(_measure(_coord(1)),
+                                          DoubleType()))
 
     # raster accessors as pure-SQL scalar functions (stay native —
     # reference `STFunction.scala:40-86`, tile getters

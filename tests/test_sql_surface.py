@@ -260,3 +260,13 @@ def test_measures_hypot_matches_sqrt():
     for a in range(1, 6):
         for b in range(1, 8):
             assert np.hypot(float(a), float(b)) == math.sqrt(a * a + b * b)
+
+
+def test_st_xy_non_point_is_nan(spark):
+    """Coordinate accessors on non-points yield NaN instead of
+    blowing up the whole scan."""
+    import math
+    row = spark.sql("""
+        SELECT st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)')) AS x
+    """).first()
+    assert row.x is None or math.isnan(row.x)
