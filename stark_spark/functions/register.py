@@ -101,8 +101,19 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
     # `.getGeo.getArea/getLength/getCentroid/getEnvelope[X/Y]` are its
     # de-facto user surface; Arrow-batched over WKB, numpy kernels
     # (`core/geometry.py` measures section)
-    def _measure(fn, out_wkb: bool = False):
+    def _all_points(wkb: pd.Series) -> bool:
+        # 21-byte LE WKB ⇒ 2-D point; the dominant batch shape
+        return len(wkb) > 0 and all(
+            b is not None and len(b) == 21 and b[0] == 1 for b in wkb)
+
+    def _measure(fn, out_wkb: bool = False, point_fast=None):
+        """Arrow-batch measure. ``point_fast(xs, ys)`` short-circuits
+        all-point batches with one vectorized numpy pass (points are
+        identity/zero cases for every measure)."""
         def _m(wkb: pd.Series) -> pd.Series:
+            if point_fast is not None and _all_points(wkb):
+                xs, ys = G.decode_points(wkb)
+                return point_fast(wkb, xs, ys)
             out = []
             for b in wkb:
                 if b is None:
@@ -113,24 +124,42 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
             return pd.Series(out, dtype=object if out_wkb else "float64")
         return _m
 
-    spark.udf.register("st_area", pandas_udf(_measure(G.area), DoubleType()))
-    spark.udf.register("st_length",
-                       pandas_udf(_measure(G.length), DoubleType()))
+    def _zeros(wkb, xs, ys):
+        return pd.Series(np.zeros(len(xs)), dtype="float64")
+
+    def _identity(wkb, xs, ys):
+        return pd.Series(list(wkb), dtype=object)
+
     spark.udf.register(
-        "st_centroid", pandas_udf(_measure(G.centroid, out_wkb=True),
+        "st_area", pandas_udf(_measure(G.area, point_fast=_zeros),
+                              DoubleType()))
+    spark.udf.register(
+        "st_length", pandas_udf(_measure(G.length, point_fast=_zeros),
+                                DoubleType()))
+    spark.udf.register(
+        "st_centroid", pandas_udf(_measure(G.centroid, out_wkb=True,
+                                           point_fast=_identity),
                                   BinaryType()))
     spark.udf.register(
-        "st_envelope", pandas_udf(_measure(G.envelope, out_wkb=True),
+        "st_envelope", pandas_udf(_measure(G.envelope, out_wkb=True,
+                                           point_fast=_identity),
                                   BinaryType()))
+
     def _coord(i):
         # NaN for non-points (accessors must not throw mid-scan)
         return lambda g: (float(g.coords[i]) if g.kind == "POINT"
                           else float("nan"))
 
-    spark.udf.register("st_x", pandas_udf(_measure(_coord(0)),
-                                          DoubleType()))
-    spark.udf.register("st_y", pandas_udf(_measure(_coord(1)),
-                                          DoubleType()))
+    spark.udf.register(
+        "st_x", pandas_udf(
+            _measure(_coord(0),
+                     point_fast=lambda w, xs, ys: pd.Series(
+                         xs, dtype="float64")), DoubleType()))
+    spark.udf.register(
+        "st_y", pandas_udf(
+            _measure(_coord(1),
+                     point_fast=lambda w, xs, ys: pd.Series(
+                         ys, dtype="float64")), DoubleType()))
 
     # raster accessors as pure-SQL scalar functions (stay native —
     # reference `STFunction.scala:40-86`, tile getters
