@@ -928,6 +928,17 @@ def _q_events_rollup(spark, sf):
     return multi_grain_rollup(ev, "ts", "value")
 
 
+def _q_events_gapfill(spark, sf):
+    """Timescale-style gap-filled per-key time buckets with LOCF: the
+    continuous-aggregate read shape (empty buckets materialized,
+    measure carried forward). At sf0.01 more than half the lattice is
+    gaps, so the fill path is the hot path, not a corner."""
+    from stark_spark.operators.rollup import time_bucket_gapfill
+    ev = D.load(spark, sf, "events").withColumn(
+        "key", F.col("user_id") % 200)
+    return time_bucket_gapfill(ev, "key", "ts", "value", step_s=21600)
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -1555,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viz_lit_pixels": _q_viz_lit_pixels,
         "partition_spatio_temporal": _q_partition_spatio_temporal,
         "events_rollup": _q_events_rollup,
+        "events_gapfill": _q_events_gapfill,
         "sql_st_filter": _q_sql_st_filter,
         "sql_tile_accessors": _q_sql_tile_accessors,
         "sql_st_measures": _q_sql_st_measures,
@@ -2252,6 +2264,26 @@ SELECT CASE WHEN _g_day IS NOT NULL THEN 'day'
   count(*) AS n,
   sum(CAST(round(_v * 100) AS BIGINT)) / 100.0 AS total
 FROM t GROUP BY GROUPING SETS ((_g_day), (_g_month), (_g_year))""",
+
+        # gap-filled lattice + LOCF: last_value IGNORE NULLS over the
+        # default cumulative frame == Spark last(ignorenulls) window
+        "events_gapfill": """
+WITH g AS (
+  SELECT user_id % 200 AS k,
+    CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS bucket,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), spans AS (
+  SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM g GROUP BY 1
+), lattice AS (
+  SELECT k, unnest(range(lo, hi + 21600, 21600)) AS bucket FROM spans
+)
+SELECT a.k, a.bucket, coalesce(g.n, CAST(0 AS BIGINT)) AS n,
+  last_value(g.sc IGNORE NULLS) OVER (
+    PARTITION BY a.k ORDER BY a.bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c
+FROM lattice a LEFT JOIN g ON a.k = g.k AND a.bucket = g.bucket""",
 
         "sql_st_filter": f"""
 SELECT event_id, value AS x, {EV_Y} AS y FROM events

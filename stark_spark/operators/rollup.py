@@ -49,3 +49,45 @@ def multi_grain_rollup(df: DataFrame, ts_col: str, value_col: str,
     return agg.select(expr.alias("grain"),
                       F.coalesce(*cols).alias("bucket"), "n", "total") \
               .where(F.col("bucket").isNotNull())
+
+
+def time_bucket_gapfill(df: DataFrame, key_col: str, ts_col: str,
+                        value_col: str, *, step_s: int = 86400,
+                        fill: str = "locf") -> DataFrame:
+    """Timescale-style ``time_bucket_gapfill``: per-key equi-width time
+    buckets with the EMPTY buckets materialized, counts zero-filled and
+    the summed measure carried forward (``fill="locf"``) or left NULL
+    (``fill="none"``).
+
+    → (key, bucket, n, filled_c): bucket = epoch-seconds bucket start;
+    filled_c = integer-cents sum (order-independent, oracle-hashable).
+
+    Scale shape: one (key, bucket) hash aggregation; the gap lattice is
+    `sequence(min_b, max_b)` PER KEY (explode is bounded by each key's
+    own span — no global driver-side calendar); LOCF is a per-key
+    ordered window — the partitionBy(key) keeps it off the
+    single-partition global-window anti-pattern. Re-uses the (key)
+    exchange for span + window stages.
+    """
+    b = (F.floor(F.col(ts_col).cast("long") / step_s) * step_s).alias("bucket")
+    g = (df.where(F.col(ts_col).isNotNull())
+           .groupBy(F.col(key_col).alias("k"), b)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col(value_col) * 100).cast("long"))
+                 .alias("sc")))
+    spans = g.groupBy("k").agg(F.min("bucket").alias("lo"),
+                               F.max("bucket").alias("hi"))
+    lattice = spans.select(
+        "k", F.explode(F.sequence(F.col("lo"), F.col("hi"),
+                                  F.lit(step_s))).alias("bucket"))
+    out = (lattice.join(g, ["k", "bucket"], "left")
+                  .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    if fill == "locf":
+        from pyspark.sql import Window
+        w = (Window.partitionBy("k").orderBy("bucket")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+        out = out.withColumn("filled_c",
+                             F.last("sc", ignorenulls=True).over(w))
+    else:
+        out = out.withColumn("filled_c", F.col("sc"))
+    return out.select("k", "bucket", "n", "filled_c")

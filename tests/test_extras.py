@@ -595,3 +595,32 @@ def test_multimodal_decode_jpeg_real():
     # gray replicated across channels, values near the source ramp
     assert np.abs(arr[:, :, 0].astype(int) - img.astype(int)).max() <= 6
     assert (arr[:, :, 0] == arr[:, :, 1]).all()
+
+
+def test_time_bucket_gapfill(spark):
+    """Gap buckets materialize with n=0 and the LOCF value of the last
+    seen bucket; fill='none' leaves the gap measure NULL; per-key spans
+    are independent (no global calendar)."""
+    from stark_spark.operators.rollup import time_bucket_gapfill
+    rows = [("a", 0, 1.0), ("a", 10, 2.0), ("a", 35, 4.0),
+            ("b", 100, 8.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double") \
+              .select("k", F.col("t").cast("timestamp").alias("ts"),
+                      F.col("v").alias("value"))
+    out = {(r.k, r.bucket): (r.n, r.filled_c)
+           for r in time_bucket_gapfill(df, "k", "ts", "value",
+                                        step_s=10).collect()}
+    # key a spans buckets 0..30: 20 is the gap, carries bucket 10's sum
+    assert out[("a", 0)] == (1, 100)
+    assert out[("a", 10)] == (1, 200)
+    assert out[("a", 20)] == (0, 200)
+    assert out[("a", 30)] == (1, 400)
+    # key b has its own 1-bucket span — no lattice bleed from key a
+    assert out[("b", 100)] == (1, 800)
+    assert len(out) == 5
+
+    none = {(r.k, r.bucket): r.filled_c
+            for r in time_bucket_gapfill(df, "k", "ts", "value",
+                                         step_s=10,
+                                         fill="none").collect()}
+    assert none[("a", 20)] is None and none[("a", 30)] == 400
