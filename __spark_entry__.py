@@ -939,6 +939,18 @@ def _q_events_gapfill(spark, sf):
     return time_bucket_gapfill(ev, "key", "ts", "value", step_s=21600)
 
 
+def _q_events_gapfill_interp(spark, sf):
+    """Gap filling with LINEAR interpolation between the surrounding
+    data buckets (trailing gaps fall back to LOCF) — integer-cents
+    endpoints keep the one round() per gap bit-aligned with the
+    oracle's identical expression."""
+    from stark_spark.operators.rollup import time_bucket_gapfill
+    ev = D.load(spark, sf, "events").withColumn(
+        "key", F.col("user_id") % 200)
+    return time_bucket_gapfill(ev, "key", "ts", "value", step_s=21600,
+                               fill="interp")
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -1567,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_spatio_temporal": _q_partition_spatio_temporal,
         "events_rollup": _q_events_rollup,
         "events_gapfill": _q_events_gapfill,
+        "events_gapfill_interp": _q_events_gapfill_interp,
         "sql_st_filter": _q_sql_st_filter,
         "sql_tile_accessors": _q_sql_tile_accessors,
         "sql_st_measures": _q_sql_st_measures,
@@ -2284,6 +2297,46 @@ SELECT a.k, a.bucket, coalesce(g.n, CAST(0 AS BIGINT)) AS n,
     PARTITION BY a.k ORDER BY a.bucket
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c
 FROM lattice a LEFT JOIN g ON a.k = g.k AND a.bucket = g.bucket""",
+
+        # interp mirror: identical operand order as the Spark Column
+        # ((nv-pv)::DOUBLE * Δb / span, then + pv, then round)
+        "events_gapfill_interp": """
+WITH g AS (
+  SELECT user_id % 200 AS k,
+    CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 AS bucket,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), spans AS (
+  SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM g GROUP BY 1
+), lattice AS (
+  SELECT k, unnest(range(lo, hi + 21600, 21600)) AS bucket FROM spans
+), j AS (
+  SELECT a.k, a.bucket, g.n AS gn, g.sc,
+    last_value(g.sc IGNORE NULLS) OVER (
+      PARTITION BY a.k ORDER BY a.bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN g.sc IS NOT NULL THEN g.bucket END
+               IGNORE NULLS) OVER (
+      PARTITION BY a.k ORDER BY a.bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+    first_value(g.sc IGNORE NULLS) OVER (
+      PARTITION BY a.k ORDER BY a.bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN g.sc IS NOT NULL THEN g.bucket END
+                IGNORE NULLS) OVER (
+      PARTITION BY a.k ORDER BY a.bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM lattice a LEFT JOIN g ON a.k = g.k AND a.bucket = g.bucket
+)
+SELECT k, bucket, coalesce(gn, CAST(0 AS BIGINT)) AS n,
+  CASE WHEN sc IS NOT NULL THEN sc
+       WHEN nb IS NULL THEN pv
+       ELSE CAST(round(CAST(pv AS DOUBLE)
+                       + CAST(nv - pv AS DOUBLE) * (bucket - pb)
+                         / (nb - pb)) AS BIGINT)
+  END AS filled_c
+FROM j""",
 
         "sql_st_filter": f"""
 SELECT event_id, value AS x, {EV_Y} AS y FROM events

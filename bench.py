@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     # appended round 4 (list is append-only; the 38 above = r3 verbatim)
     "partition_bsp",             # histogram agg + driver equal-cost split
     "kmeans_exact",              # 2 Lloyd rounds, exact integer-micros means
+    "contamination_bloom",       # codegen bloom prefilter, eval-sized shuffle
+    "events_gapfill",            # per-key bucket lattice + LOCF window
 ]
 
 

@@ -82,12 +82,31 @@ def time_bucket_gapfill(df: DataFrame, key_col: str, ts_col: str,
                                   F.lit(step_s))).alias("bucket"))
     out = (lattice.join(g, ["k", "bucket"], "left")
                   .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
-    if fill == "locf":
+    if fill in ("locf", "interp"):
         from pyspark.sql import Window
-        w = (Window.partitionBy("k").orderBy("bucket")
-                   .rowsBetween(Window.unboundedPreceding, 0))
-        out = out.withColumn("filled_c",
-                             F.last("sc", ignorenulls=True).over(w))
+        wp = (Window.partitionBy("k").orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, 0))
+        locf = F.last("sc", ignorenulls=True).over(wp)
+        if fill == "locf":
+            out = out.withColumn("filled_c", locf)
+        else:
+            # linear interpolation between the surrounding data
+            # buckets; trailing gaps (no next) fall back to LOCF
+            wn = (Window.partitionBy("k").orderBy("bucket")
+                        .rowsBetween(0, Window.unboundedFollowing))
+            db = F.when(F.col("sc").isNotNull(), F.col("bucket"))
+            pv, pb = locf, F.last(db, ignorenulls=True).over(wp)
+            nv = F.first("sc", ignorenulls=True).over(wn)
+            nb = F.first(db, ignorenulls=True).over(wn)
+            interp = F.round(
+                pv.cast("double") +
+                (nv - pv).cast("double") * (F.col("bucket") - pb)
+                / (nb - pb)).cast("long")
+            out = out.withColumn(
+                "filled_c",
+                F.when(F.col("sc").isNotNull(), F.col("sc"))
+                 .when(nb.isNull(), pv)
+                 .otherwise(interp))
     else:
         out = out.withColumn("filled_c", F.col("sc"))
     return out.select("k", "bucket", "n", "filled_c")

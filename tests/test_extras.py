@@ -624,3 +624,19 @@ def test_time_bucket_gapfill(spark):
                                          step_s=10,
                                          fill="none").collect()}
     assert none[("a", 20)] is None and none[("a", 30)] == 400
+
+
+def test_time_bucket_gapfill_interp(spark):
+    """Interp fills gaps on the line between surrounding data buckets;
+    trailing gaps LOCF."""
+    from stark_spark.operators.rollup import time_bucket_gapfill
+    rows = [("a", 0, 1.0), ("a", 30, 4.0)]
+    df = spark.createDataFrame(rows, "k string, t long, v double") \
+              .select("k", F.col("t").cast("timestamp").alias("ts"),
+                      F.col("v").alias("value"))
+    out = {r.bucket: r.filled_c
+           for r in time_bucket_gapfill(df, "k", "ts", "value",
+                                        step_s=10,
+                                        fill="interp").collect()}
+    # 100 → 400 over 3 steps: 200, 300 at the gap buckets
+    assert out == {0: 100, 10: 200, 20: 300, 30: 400}
