@@ -1106,6 +1106,17 @@ def _q_sample_stratified(spark, sf):
     return out.select("doc_id", "lang")
 
 
+def _q_sample_weighted(spark, sf):
+    """Weighted sampling without replacement (A-ES exponential keys):
+    inclusion ∝ n_chars, deterministic md5 uniforms, top-k planned as
+    TakeOrderedAndProject — the size-biased subsample a curation
+    pipeline draws when long documents should be over-represented."""
+    from stark_spark.operators.sampling import weighted_sample
+    docs = D.load(spark, sf, "documents")
+    out = weighted_sample(docs, "doc_id", "n_chars", 200)
+    return out.select("doc_id", "source", "n_chars")
+
+
 def _q_pack_shards(spark, sf):
     """Token-budget shard packing via the two-phase distributed prefix
     sum (never a global single-partition window): rows in
@@ -1554,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_bloom": _q_contamination_bloom,
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
+        "sample_weighted": _q_sample_weighted,
         "mix_sources": _q_mix_sources,
         "pack_shards": _q_pack_shards,
         "length_quantiles": _q_length_quantiles,
@@ -1666,6 +1678,15 @@ def _hex7_sql(hcol: str) -> str:
     return " + ".join(
         f"(strpos('0123456789abcdef', substr({hcol}, {i + 1}, 1)) - 1)"
         f" * {16 ** (6 - i)}" for i in range(7))
+
+
+def _hex13_sql(hcol: str) -> str:
+    """First 13 hex digits as an integer (52 bits — exact in BIGINT and
+    in DOUBLE): the DuckDB mirror of `sampling.weighted_sample`'s
+    uniform source."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({hcol}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (12 - i)}" for i in range(13))
 
 
 def _simhash16_sql() -> str:
@@ -2656,6 +2677,22 @@ SELECT doc_id, source,
   CASE WHEN sbucket < {int(0.25 * SAMPLE_BUCKETS)} THEN 'test'
        ELSE 'train' END AS split
 FROM b WHERE bucket < {int(0.3 * SAMPLE_BUCKETS)}""",
+
+        # A-ES weighted sampling: u is exact binary arithmetic in both
+        # engines (52-bit int + 0.5, divided by 2^52); ln() is the only
+        # libm call and affects selection only via a rank-k boundary tie
+        "sample_weighted": f"""
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+    md5('wsample|' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), u AS (
+  SELECT doc_id, source, n_chars,
+    (CAST({_hex13_sql('hx')} AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+  FROM h
+)
+SELECT doc_id, source, n_chars FROM u
+ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 200""",
 
         "mix_sources": f"""
 WITH w(source, w) AS (VALUES ('src0', 3), ('src1', 2),

@@ -208,3 +208,26 @@ def top_k_per_group(df: DataFrame, group_col: str, order_col: str,
     w = Window.partitionBy(group_col).orderBy(*order)
     return (df.withColumn(rank_col, F.row_number().over(w))
               .where(F.col(rank_col) <= k))
+
+
+def weighted_sample(df: DataFrame, key: str, weight_col: str, k: int, *,
+                    salt: str = "wsample") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): rank rows by ``ln(u) / w`` with ``u`` a 52-bit
+    md5-derived uniform of (salt, key) and take the top k — inclusion
+    probability proportional to weight, reproducible across re-runs
+    and engines (u is exact binary arithmetic; only ln() is libm).
+
+    Scale shape: the key is a narrow native expression and the top-k
+    plans as TakeOrderedAndProject (per-partition heaps + driver
+    merge) — no sort shuffle, no state, works unchanged at any corpus
+    size."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"),
+                       F.col(key).cast("string")))
+    u = ((F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+          + F.lit(0.5)) / F.lit(float(1 << 52)))
+    wk = F.log(u) / F.col(weight_col).cast("double")
+    return (df.withColumn("_wkey", wk)
+              .orderBy(F.desc("_wkey"), F.col(key))
+              .limit(k)
+              .drop("_wkey"))

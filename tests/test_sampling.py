@@ -144,3 +144,32 @@ def test_mix_sources_hits_targets(docs):
     rerun = mix_sources(docs, "doc_id", "source", weights)
     assert {r.doc_id for r in rerun.select("doc_id").collect()} == \
            {r.doc_id for r in out.select("doc_id").collect()}
+
+
+def test_weighted_sample(spark):
+    """A-ES weighted sampling: deterministic under a fixed salt,
+    inclusion frequency tracks weight across salts, and the plan is a
+    TakeOrderedAndProject (no full sort shuffle)."""
+    from stark_spark.operators.sampling import weighted_sample
+    rows = [(i, 9.0 if i < 50 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    out1 = weighted_sample(df, "id", "w", 40, salt="s1")
+    assert [r.id for r in out1.collect()] == \
+        [r.id for r in weighted_sample(df, "id", "w", 40,
+                                       salt="s1").collect()]
+
+    heavy = 0
+    for s in range(12):
+        sel = {r.id for r in
+               weighted_sample(df, "id", "w", 40,
+                               salt=f"t{s}").collect()}
+        assert len(sel) == 40
+        heavy += len([i for i in sel if i < 50])
+    # 50 heavy keys at weight 9 vs 150 light at 1: heavy expected
+    # inclusion ≫ light's. Loose floor: > 55% of selections heavy.
+    assert heavy > 0.55 * 12 * 40
+
+    plan = weighted_sample(df, "id", "w", 40)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
