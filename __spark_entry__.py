@@ -1056,6 +1056,15 @@ def _eval_corpus(spark, sf):
                          .alias("text")))
 
 
+def _q_chunk_documents(spark, sf):
+    """Overlapping token-budget chunking (context-window prep): chunk i
+    covers tokens [i·15, i·15+20) — scan-shaped, explode-only row
+    growth, no shuffle."""
+    from stark_spark.operators.text import chunk_by_tokens
+    docs = D.load(spark, sf, "documents").where(F.col("doc_id") % 5 == 0)
+    return chunk_by_tokens(docs, "doc_id", max_tokens=20, overlap=5)
+
+
 def _q_contamination_exact(spark, sf):
     """Train→eval exact-text contamination (benchmark leakage
     check)."""
@@ -1559,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _q_lang_distribution,
         "text_repetition": _q_text_repetition,
         "pii_scrub": _q_pii_scrub,
+        "chunk_documents": _q_chunk_documents,
         # --- contamination / sampling / packing ---
         "contamination_exact": _q_contamination_exact,
         "contamination_lsh": _q_contamination_lsh,
@@ -2607,6 +2617,27 @@ FROM (
          ELSE '' END AS t
   FROM documents
 ) s""",
+
+        # chunk lattice mirrors the Spark slice arithmetic exactly
+        # (1-based inclusive list slice == slice(start, length))
+        "chunk_documents": """
+WITH t AS (
+  SELECT doc_id, str_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 5 = 0
+), c AS (
+  SELECT doc_id, toks,
+    greatest(1, CAST(floor((len(toks) - 5 + 14) / CAST(15 AS DOUBLE))
+                     AS BIGINT)) AS nc
+  FROM t
+), e AS (
+  SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM c
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+  CAST(len(toks[chunk_id * 15 + 1 : chunk_id * 15 + 20]) AS BIGINT)
+    AS n_chunk_tokens,
+  array_to_string(toks[chunk_id * 15 + 1 : chunk_id * 15 + 20], ' ')
+    AS chunk
+FROM e""",
 
         "contamination_exact": """
 WITH ev AS (

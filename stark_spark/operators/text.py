@@ -230,3 +230,35 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
               .withColumn("quality", quality_score(t))
               .withColumn("lang_guess", lang_guess(t))
               .withColumn("fingerprint", fingerprint(t)))
+
+
+def chunk_by_tokens(df: DataFrame, key: str, text_col: str = "text", *,
+                    max_tokens: int = 64, overlap: int = 8) -> DataFrame:
+    """Split documents into overlapping token-budget chunks — the
+    context-window prep step (pretraining packing / retrieval
+    chunking). Chunk i covers tokens [i·step, i·step + max_tokens)
+    with step = max_tokens − overlap; every doc yields ≥ 1 chunk.
+
+    → (key, chunk_id, n_chunk_tokens, chunk). Fully native
+    (split / sequence / explode / slice / array_join): the explode is
+    the only row growth (≈ n_tokens/step per doc) and there is NO
+    shuffle — chunking stays scan-shaped at any corpus size.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    step = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step))
+         .cast("int"))
+    out = (df.select(F.col(key), toks.alias("_toks"), n.alias("_n"),
+                     F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                      .alias("chunk_id")))
+    piece = F.slice(F.col("_toks"), F.col("chunk_id") * step + 1,
+                    max_tokens)
+    return out.select(
+        key, "chunk_id",
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk"))

@@ -640,3 +640,32 @@ def test_time_bucket_gapfill_interp(spark):
                                         fill="interp").collect()}
     # 100 → 400 over 3 steps: 200, 300 at the gap buckets
     assert out == {0: 100, 10: 200, 20: 300, 30: 400}
+
+
+def test_chunk_by_tokens(spark):
+    """Chunk lattice: step = max_tokens - overlap, trailing partial
+    chunk kept, short docs yield exactly one chunk, adjacent chunks
+    share `overlap` tokens, and the plan is scan-shaped (no
+    Exchange)."""
+    from stark_spark.operators.text import chunk_by_tokens
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, words), (2, "a b")],
+                               "doc_id long, text string")
+    out = chunk_by_tokens(df, "doc_id", max_tokens=10, overlap=4)
+    rows = {(r.doc_id, r.chunk_id): (r.n_chunk_tokens, r.chunk)
+            for r in out.collect()}
+    # doc 1: 25 tokens, step 6 → ceil(21/6)=4 chunks at 0,6,12,18
+    assert {k for k in rows if k[0] == 1} == {(1, i) for i in range(4)}
+    assert rows[(1, 0)][1].split() == [f"w{i}" for i in range(10)]
+    assert rows[(1, 1)][1].split() == [f"w{i}" for i in range(6, 16)]
+    assert rows[(1, 3)] == (7, " ".join(f"w{i}" for i in range(18, 25)))
+    # overlap: last 4 of chunk 0 == first 4 of chunk 1
+    assert rows[(1, 0)][1].split()[-4:] == rows[(1, 1)][1].split()[:4]
+    assert rows[(2, 0)] == (2, "a b")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_by_tokens(df, "doc_id", max_tokens=5, overlap=5)
