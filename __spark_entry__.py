@@ -1186,6 +1186,16 @@ def _q_ann_brute(spark, sf):
     return brute_force_topk(emb, q, 10)
 
 
+def _q_ann_filtered(spark, sf):
+    """Metadata-filtered ANN: the label predicate is a plain `where`
+    BEFORE scoring, so it evaluates inside the scan stage (codegen;
+    sargable parts reach `PushedFilters`) and the GEMM/fold scorer
+    never touches excluded vectors — filtered retrieval costs the
+    filtered fraction, not a post-hoc re-rank of unfiltered top-k."""
+    emb, q = _emb_queries(spark, sf, 5)
+    return brute_force_topk(emb.where(F.col("label") % 3 == 0), q, 10)
+
+
 def _q_ann_ivf(spark, sf):
     emb, q = _emb_queries(spark, sf, 5)
     cent = (emb.where(F.col("vec_id") < 4)
@@ -1586,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         # --- ANN tier ---
         "ann_brute_topk": _q_ann_brute,
+        "ann_filtered_topk": _q_ann_filtered,
         "ann_brute_topk_gemm": _q_ann_brute_gemm,
         "ann_quantized_topk": _q_ann_quantized,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2806,6 +2817,16 @@ SELECT q_id, vec_id, cos, rank FROM (
     CAST(row_number() OVER (PARTITION BY q.vec_id
       ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, v.vec_id) AS INT) AS rank
   FROM embeddings v, embeddings q WHERE q.vec_id < 5
+) t WHERE rank <= 10""",
+
+        # metadata-filtered retrieval: predicate applied BEFORE scoring
+        "ann_filtered_topk": f"""
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q.vec_id AS q_id, v.vec_id, {_cos('v.embedding', 'q.embedding')} AS cos,
+    CAST(row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, v.vec_id) AS INT) AS rank
+  FROM embeddings v, embeddings q
+  WHERE q.vec_id < 5 AND v.label % 3 = 0
 ) t WHERE rank <= 10""",
 
         "ann_quantized_topk": f"""
