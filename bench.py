@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "kmeans_exact",              # 2 Lloyd rounds, exact integer-micros means
     "contamination_bloom",       # codegen bloom prefilter, eval-sized shuffle
     "events_gapfill",            # per-key bucket lattice + LOCF window
+    "chunk_documents",           # native explode/slice chunking, no shuffle
+    "sample_weighted",           # A-ES keys + TakeOrderedAndProject
 ]
 
 
