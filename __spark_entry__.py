@@ -1126,6 +1126,17 @@ def _q_sample_weighted(spark, sf):
     return out.select("doc_id", "source", "n_chars")
 
 
+def _q_sample_weighted_by_source(spark, sf):
+    """Per-source weighted sampling (stratified A-ES): top-40
+    length-biased docs inside every source — one window over the
+    group-key exchange."""
+    from stark_spark.operators.sampling import weighted_sample_by_group
+    docs = D.load(spark, sf, "documents")
+    out = weighted_sample_by_group(docs, "doc_id", "source", "n_chars",
+                                  40)
+    return out.select("doc_id", "source", "n_chars")
+
+
 def _q_pack_shards(spark, sf):
     """Token-budget shard packing via the two-phase distributed prefix
     sum (never a global single-partition window): rows in
@@ -1586,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
         "sample_weighted": _q_sample_weighted,
+        "sample_weighted_by_source": _q_sample_weighted_by_source,
         "mix_sources": _q_mix_sources,
         "pack_shards": _q_pack_shards,
         "length_quantiles": _q_length_quantiles,
@@ -2735,6 +2747,23 @@ WITH h AS (
 )
 SELECT doc_id, source, n_chars FROM u
 ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id LIMIT 200""",
+
+        "sample_weighted_by_source": f"""
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+    md5('wsample|' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+), u AS (
+  SELECT doc_id, source, n_chars,
+    (CAST({_hex13_sql('hx')} AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+  FROM h
+)
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+      ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+  FROM u
+) t WHERE rn <= 40""",
 
         "mix_sources": f"""
 WITH w(source, w) AS (VALUES ('src0', 3), ('src1', 2),

@@ -210,6 +210,16 @@ def top_k_per_group(df: DataFrame, group_col: str, order_col: str,
               .where(F.col(rank_col) <= k))
 
 
+def _aes_key(key: str, weight_col: str, salt: str) -> Column:
+    """Efraimidis–Spirakis exponential key ln(u)/w over an exact
+    52-bit md5 uniform of (salt, key) — rank DESC, take top k."""
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"),
+                       F.col(key).cast("string")))
+    u = ((F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+          + F.lit(0.5)) / F.lit(float(1 << 52)))
+    return F.log(u) / F.col(weight_col).cast("double")
+
+
 def weighted_sample(df: DataFrame, key: str, weight_col: str, k: int, *,
                     salt: str = "wsample") -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
@@ -222,12 +232,22 @@ def weighted_sample(df: DataFrame, key: str, weight_col: str, k: int, *,
     plans as TakeOrderedAndProject (per-partition heaps + driver
     merge) — no sort shuffle, no state, works unchanged at any corpus
     size."""
-    h = F.md5(F.concat(F.lit(salt), F.lit("|"),
-                       F.col(key).cast("string")))
-    u = ((F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
-          + F.lit(0.5)) / F.lit(float(1 << 52)))
-    wk = F.log(u) / F.col(weight_col).cast("double")
-    return (df.withColumn("_wkey", wk)
+    return (df.withColumn("_wkey", _aes_key(key, weight_col, salt))
               .orderBy(F.desc("_wkey"), F.col(key))
               .limit(k)
               .drop("_wkey"))
+
+
+def weighted_sample_by_group(df: DataFrame, key: str, group_col: str,
+                             weight_col: str, k: int, *,
+                             salt: str = "wsample") -> DataFrame:
+    """Per-group weighted sampling without replacement: the A-ES key
+    ranked inside each group (one window over the group-key exchange —
+    the stratified twin of `weighted_sample`, e.g. "top-N docs per
+    source, length-biased")."""
+    w = Window.partitionBy(group_col).orderBy(F.desc("_wkey"),
+                                              F.col(key))
+    return (df.withColumn("_wkey", _aes_key(key, weight_col, salt))
+              .withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <= k)
+              .drop("_wkey", "_rn"))

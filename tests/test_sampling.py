@@ -173,3 +173,22 @@ def test_weighted_sample(spark):
     plan = weighted_sample(df, "id", "w", 40)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_by_group(spark):
+    """Per-group A-ES: exactly k per group (or all if smaller), and
+    within a group the selection equals the global sampler restricted
+    to that group (same keys, same salt)."""
+    from stark_spark.operators.sampling import (weighted_sample,
+                                                weighted_sample_by_group)
+    rows = [(i, "g%d" % (i % 3), float(1 + i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    out = weighted_sample_by_group(df, "id", "grp", "w", 10)
+    pdf = out.toPandas()
+    assert pdf.groupby("grp").size().to_dict() == \
+        {"g0": 10, "g1": 10, "g2": 10}
+    for g in ("g0", "g1", "g2"):
+        solo = weighted_sample(df.where(F.col("grp") == g), "id", "w",
+                               10)
+        assert set(pdf[pdf.grp == g].id) == \
+            {r.id for r in solo.collect()}
