@@ -1594,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_exact": _q_contamination_exact,
         "contamination_lsh": _q_contamination_lsh,
         "contamination_bloom": _q_contamination_bloom,
+        "kmeans_exact": _q_kmeans_exact,
+        "partition_str": _q_partition_str,
         "sample_deterministic": _q_sample_deterministic,
         "sample_stratified": _q_sample_stratified,
         "sample_weighted": _q_sample_weighted,
@@ -1617,7 +1619,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
         "ann_knn_join": _q_ann_knn_join,
         "ann_knn_join_gemm": _q_ann_knn_join_gemm,
-        "ann_cosine_dup_pairs": _q_ann_dup_pairs,
         "ann_dup_pairs_ivf_gemm": _q_ann_dup_pairs_ivf_gemm,
         # --- round-3 gates without a driver row yet ---
         "viz_lit_pixels": _q_viz_lit_pixels,
@@ -1637,8 +1638,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_join_bucketed": _q_zip_join_bucketed,
         "multimodal_features": _q_multimodal_features,
         "partition_bsp": _q_partition_bsp,
-        "partition_str": _q_partition_str,
-        "kmeans_exact": _q_kmeans_exact,
         # --- §2 spine (driver-green in r1/r3 artifacts) ---
         "st_filter_rect_timed": _q_filter_rect_timed,
         "st_filter_polygon_timed": _q_filter_polygon_timed,
@@ -1690,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
+        "ann_cosine_dup_pairs": _q_ann_dup_pairs,
     }
 
 
