@@ -919,6 +919,26 @@ def _q_sql_st_measures(spark, sf):
             FROM __sql_ev_m WHERE event_id % 13 = 0) t) s""")
 
 
+def _q_sql_hull_simplify(spark, sf):
+    """Convex hull + Douglas–Peucker simplification on the SQL surface
+    (JTS getConvexHull / DouglasPeuckerSimplifier — part of the
+    reference STObject's de-facto surface). Fixed inputs whose outputs
+    are hand-derivable; the oracle is the literal expected table, so
+    the gate is independent of the kernel it checks."""
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    return spark.sql("""
+        SELECT id,
+          st_wkt(st_convexhull(st_geomfromwkt(w))) AS hull,
+          st_wkt(st_simplify(st_geomfromwkt(w), 0.5)) AS simple
+        FROM VALUES
+          (1, 'MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2), (1 3))'),
+          (2, 'MULTIPOINT ((0 0), (1 1), (2 2))'),
+          (3, 'POLYGON ((0 0, 2 0, 4 0, 4 4, 0 4, 0 0))'),
+          (4, 'LINESTRING (0 0, 1 0, 2 0, 3 0, 3 3)')
+        AS t(id, w)""")
+
+
 def _q_events_rollup(spark, sf):
     """Multi-grain continuous-aggregate rollup in ONE scan: GROUPING
     SETS expands day/month/year inside a single shuffle with partial
@@ -1629,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_st_filter": _q_sql_st_filter,
         "sql_tile_accessors": _q_sql_tile_accessors,
         "sql_st_measures": _q_sql_st_measures,
+        "sql_hull_simplify": _q_sql_hull_simplify,
         "knn_manhattan": _q_knn_manhattan,
         # --- new round-4 gates: streaming replay + partitioners ---
         "stream_windowed_stats": _q_stream_windowed_stats,
@@ -2414,6 +2435,19 @@ SELECT tx * 10.0 AS ulx, (ty + 1) * 10.0 AS uly,
   CAST(CASE WHEN n_occ <= 32 THEN 0
             ELSE cnts[CAST(n_occ - 32 AS INT)] END AS BIGINT) AS v_median
 FROM t""",
+
+        # literal expected table — every row hand-derivable:
+        # square hull, collinear collapse, collinear-vertex removal,
+        # L-line triangle hull
+        "sql_hull_simplify": """
+SELECT * FROM (VALUES
+  (1, 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+      'MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2), (1 3))'),
+  (2, 'LINESTRING (0 0, 2 2)', 'MULTIPOINT ((0 0), (1 1), (2 2))'),
+  (3, 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))',
+      'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+  (4, 'POLYGON ((0 0, 3 0, 3 3, 0 0))', 'LINESTRING (0 0, 3 0, 3 3)')
+) AS t(id, hull, simple)""",
 
         # analytic formulas for the per-event triangles; every vertex
         # is an integer, so shoelace/centroid sums are exact and the

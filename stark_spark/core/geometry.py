@@ -900,3 +900,89 @@ def envelope(g: Geometry) -> Geometry:
     if xmin == xmax and ymin == ymax:
         return point(xmin, ymin)
     return box(xmin, ymin, xmax, ymax)
+
+
+def _all_vertices(g: Geometry) -> np.ndarray:
+    pts = []
+    for p in g.parts():
+        if p.kind == "POINT":
+            pts.append(np.atleast_2d(np.asarray(p.coords[:2], dtype=float)))
+        elif p.kind == "LINESTRING":
+            pts.append(np.asarray(p.coords, dtype=float))
+        else:
+            for ring in p.coords:
+                pts.append(np.asarray(ring[:-1], dtype=float))
+    return np.vstack(pts)
+
+
+def convex_hull(g: Geometry) -> Geometry:
+    """Convex hull over all vertices (JTS `getConvexHull`): Andrew
+    monotone chain; degenerate inputs collapse to POINT / LINESTRING.
+    Ring is closed and CCW starting from the lexicographically
+    smallest vertex (deterministic output for the oracle)."""
+    pts = np.unique(_all_vertices(g), axis=0)   # lex-sorted unique
+    if len(pts) == 1:
+        return point(float(pts[0, 0]), float(pts[0, 1]))
+    def _chain(p):
+        out = []
+        for v in p:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2],
+                                             v - out[-2]) <= 0:
+                out.pop()
+            out.append(v)
+        return out
+    lower = _chain(pts)
+    upper = _chain(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:   # all collinear
+        return Geometry("LINESTRING",
+                        np.vstack([pts[0], pts[-1]]).astype(float))
+    ring = np.vstack(hull + [hull[0]]).astype(float)
+    return Geometry("POLYGON", [ring])
+
+
+def _dp_keep(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker keep-mask over an open polyline."""
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = pts[a + 1:b]
+        d = _pts_seg_dist(seg[:, 0], seg[:, 1],
+                          pts[a, 0], pts[a, 1], pts[b, 0], pts[b, 1])
+        i = int(np.argmax(d))
+        if d[i] > tol:
+            j = a + 1 + i
+            keep[j] = True
+            stack.append((a, j))
+            stack.append((j, b))
+    return keep
+
+
+def simplify(g: Geometry, tol: float) -> Geometry:
+    """Douglas–Peucker simplification (JTS `DouglasPeuckerSimplifier`
+    semantics: per-part, endpoints kept, NOT topology-preserving).
+    Rings anchor at their stored start vertex; a ring collapsing below
+    4 points is dropped (shell collapse yields an empty-ish polygon
+    fallback: the ring's bbox)."""
+    if g.kind.startswith("MULTI"):
+        return Geometry(g.kind, [simplify(p, tol) for p in g.parts()])
+    if g.kind == "POINT":
+        return g
+    if g.kind == "LINESTRING":
+        pts = np.asarray(g.coords, dtype=float)
+        return Geometry("LINESTRING", pts[_dp_keep(pts, tol)])
+    rings = []
+    for i, ring in enumerate(g.coords):
+        pts = np.asarray(ring, dtype=float)
+        kept = pts[_dp_keep(pts, tol)]
+        if len(kept) >= 4:
+            rings.append(kept)
+        elif i == 0:
+            xmin, ymin, xmax, ymax = g.bbox
+            return box(xmin, ymin, xmax, ymax)
+        # holes that collapse are dropped
+    return Geometry("POLYGON", rings)

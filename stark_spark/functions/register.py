@@ -145,6 +145,24 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
                                            point_fast=_identity),
                                   BinaryType()))
 
+    spark.udf.register(
+        "st_convexhull", pandas_udf(_measure(G.convex_hull,
+                                             out_wkb=True,
+                                             point_fast=_identity),
+                                    BinaryType()))
+
+    def _simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+        out = []
+        for b, t in zip(wkb, tol):
+            if b is None:
+                out.append(None)
+                continue
+            out.append(G.to_wkb(G.simplify(G.from_wkb(bytes(b)),
+                                           float(t))))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("st_simplify", pandas_udf(_simplify, BinaryType()))
+
     def _coord(i):
         # NaN for non-points (accessors must not throw mid-scan)
         return lambda g: (float(g.coords[i]) if g.kind == "POINT"

@@ -222,3 +222,47 @@ def test_measure_multipolygon_additive(seed):
     assert float(c.coords[0]) == pytest.approx(
         (float(c1.coords[0]) * w1 + float(c2.coords[0]) * w2) / (w1 + w2),
         rel=1e-9)
+
+
+@given(st.integers(0, 10_000), st.integers(3, 30))
+@settings(max_examples=50, deadline=None)
+def test_convex_hull_invariants(seed, n):
+    """Hull covers every input point, is convex, and is idempotent."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-10, 10, (n, 2)).round(3)
+    mp = G.Geometry("MULTIPOINT",
+                    [G.point(float(x), float(y)) for x, y in pts])
+    h = G.convex_hull(mp)
+    for x, y in pts:
+        assert G.covers(h, G.point(float(x), float(y)))
+    if h.kind == "POLYGON":
+        assert h.convex_ring() is not None
+        assert G.to_wkb(G.convex_hull(h)) == G.to_wkb(h)
+
+
+@given(st.integers(0, 10_000), st.integers(4, 40),
+       st.floats(0.05, 2.0))
+@settings(max_examples=50, deadline=None)
+def test_simplify_invariants(seed, n, tol):
+    """DP simplification keeps the endpoints, keeps a subset of the
+    original vertices, and every dropped vertex stays within tol of
+    the kept segment it was dropped against."""
+    rng = np.random.default_rng(seed)
+    pts = np.cumsum(rng.uniform(-1, 1, (n, 2)), axis=0).round(3)
+    ln = G.Geometry("LINESTRING", pts)
+    s = G.simplify(ln, tol)
+    kept = np.asarray(s.coords)
+    assert (kept[0] == pts[0]).all() and (kept[-1] == pts[-1]).all()
+    orig = {tuple(p) for p in pts}
+    assert all(tuple(p) in orig for p in kept)
+    # DP guarantee: each original vertex within tol of the simplified
+    # chain segment spanning it
+    ki = [i for i, p in enumerate(pts)
+          if any((p == q).all() for q in kept)]
+    for a, b in zip(ki[:-1], ki[1:]):
+        seg = pts[a + 1:b]
+        if len(seg):
+            d = G._pts_seg_dist(seg[:, 0], seg[:, 1],
+                                pts[a, 0], pts[a, 1],
+                                pts[b, 0], pts[b, 1])
+            assert float(d.max()) <= tol + 1e-9
