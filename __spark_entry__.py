@@ -1629,7 +1629,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         # --- ANN tier ---
-        "ann_brute_topk": _q_ann_brute,
         "ann_filtered_topk": _q_ann_filtered,
         "ann_brute_topk_gemm": _q_ann_brute_gemm,
         "ann_quantized_topk": _q_ann_quantized,
@@ -1711,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_best": _q_dedup_keep_best,
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
+        "ann_brute_topk": _q_ann_brute,
     }
 
 
