@@ -685,9 +685,13 @@ def test_registry_driver_window_packing():
     names = list(entry.queries())
     assert len(entry.oracle_sql()) == len(names)
     seen = set()
-    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r03.json"):
-        p = root / art
-        if p.exists():
-            seen |= set(json.load(open(p)))
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(p))
+        except ValueError:  # crashed-round artifact
+            continue
+        # only rows that actually passed count as "has a driver row"
+        seen |= {k for k, v in rows.items()
+                 if isinstance(v, dict) and v.get("hash_match")}
     stranded = [n for n in names[50:] if n not in seen]
     assert stranded == [], f"never-driver-checked beyond window: {stranded}"
