@@ -527,6 +527,28 @@ def _q_agg_revenue_by_segment(spark, sf):
     return out
 
 
+def _q_agg_revenue_by_nation(spark, sf):
+    """Classic 3-way OLAP rollup (orders ⋈ customer ⋈ nation, revenue
+    per nation-month): the fact table shuffles once on the customer
+    key; nation is a true dim and rides a broadcast — at 100 TB the
+    plan is one fact shuffle + map-side dim hash joins, which is the
+    shape to preserve."""
+    orders = D.load(spark, sf, "orders")
+    cust = D.load(spark, sf, "customer")
+    nation = D.load(spark, sf, "nation")
+    out = (orders
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .groupBy(F.col("n_name"),
+                    F.date_trunc("month", F.col("o_orderdate"))
+                     .cast("long").alias("month"))
+           .agg(F.count("*").alias("n_orders"),
+                (F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")) / 100.0).alias("revenue")))
+    return out
+
+
 def _q_events_daily(spark, sf):
     ev = D.load(spark, sf, "events")
     out = (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
@@ -1523,6 +1545,32 @@ def _q_stream_windowed_stats(spark, sf):
                     "event_type", "n", "sum_value", "max_cents")
 
 
+def _q_stream_geofence(spark, sf):
+    """Streaming geofence rollup == batch point-in-rect counts: the
+    stream-static broadcast spatial join is stateless, so replaying
+    the events as micro-batches through the windowed count (complete
+    mode, watermark wider than the data span) must reproduce the
+    batch answer exactly."""
+    import tempfile
+    from stark_spark.functions.constructors import st_frame
+    from stark_spark.streaming.stream import (geofence_counts,
+                                              read_event_stream)
+    ev = D.st_events(spark, sf, keep_geom=True) \
+          .where(F.col("ts").isNotNull())
+    d = tempfile.mkdtemp(prefix="stark_stream_gf_") + "/events"
+    ev.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, ev.schema, max_files=2)
+    fences = st_frame(spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 50 0, 50 100, 0 100, 0 0))"),
+         (2, "POLYGON ((50 0, 100 0, 100 100, 50 100, 50 0))")],
+        "fence_id int, wkt string"), wkt="wkt")
+    out = geofence_counts(s, fences, window="1 day",
+                          watermark="365 days")
+    t = _stream_sink(out, "complete")
+    return t.select(F.col("win_start").cast("long").alias("win_start"),
+                    "fence_id", "n")
+
+
 def _q_stream_dedup(spark, sf):
     """Streaming first-arrival dedup == batch DISTINCT on the key
     columns: `dropDuplicatesWithinWatermark` with a horizon wider than
@@ -1626,13 +1674,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_heavy_hitters": _q_source_heavy_hitters,
         # --- dedup tail ---
         "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         # --- ANN tier ---
         "ann_filtered_topk": _q_ann_filtered,
         "ann_brute_topk_gemm": _q_ann_brute_gemm,
         "ann_quantized_topk": _q_ann_quantized,
-        "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_pruned_topk": _q_ann_ivf_pruned,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
@@ -1652,6 +1698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_manhattan": _q_knn_manhattan,
         # --- new round-4 gates: streaming replay + partitioners ---
         "stream_windowed_stats": _q_stream_windowed_stats,
+        "agg_revenue_by_nation": _q_agg_revenue_by_nation,
+        "stream_geofence": _q_stream_geofence,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize_replay": _q_stream_sessionize_replay,
         "stream_st_join": _q_stream_st_join,
@@ -1711,6 +1759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
         "ann_brute_topk": _q_ann_brute,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_ivf_topk": _q_ann_ivf,
     }
 
 
@@ -1911,6 +1961,36 @@ SELECT event_id, value AS x, {EV_Y} AS y FROM events
 WHERE value >= 10 AND value <= 60
   AND ({EV_Y}) >= 10 AND ({EV_Y}) <= 80
   AND {EV_T} >= 1704067200 AND {EV_T} <= 1705276800""",
+
+        # stateless broadcast spatial join + windowed count: batch
+        # point-in-rect mirror (coveredby is boundary-inclusive, so
+        # x = 50 lands in BOTH fences)
+                "agg_revenue_by_nation": """
+SELECT n.n_name,
+  CAST(floor(epoch(date_trunc('month', o.o_orderdate))) AS BIGINT)
+    AS month,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    / 100.0 AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2""",
+
+"stream_geofence": f"""
+WITH p AS (
+  SELECT value AS x, ({EV_Y}) AS y,
+    CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS win_start
+  FROM events WHERE ts IS NOT NULL
+), hits AS (
+  SELECT win_start, 1 AS fence_id FROM p
+  WHERE x >= 0 AND x <= 50 AND y >= 0 AND y <= 100
+  UNION ALL
+  SELECT win_start, 2 AS fence_id FROM p
+  WHERE x >= 50 AND x <= 100 AND y >= 0 AND y <= 100
+)
+SELECT win_start, fence_id, CAST(count(*) AS BIGINT) AS n
+FROM hits GROUP BY 1, 2""",
 
         "st_filter_polygon_timed": f"""
 SELECT event_id, value AS x, {EV_Y} AS y FROM events
