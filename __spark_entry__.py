@@ -1571,6 +1571,29 @@ def _q_stream_geofence(spark, sf):
                     "fence_id", "n")
 
 
+def _q_stream_cell_extremes(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState —
+    the reference's accumulator-style aggregate, streamed): running
+    per-cell (count, min, max). The memory sink in update mode keeps
+    every emitted update; state is monotone, so max(n)/min(v_min)/
+    max(v_max) per cell recovers the final state, which must equal
+    the batch per-cell aggregate."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stateful_cell_extremes)
+    ev = D.st_events(spark, sf, keep_geom=True) \
+          .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+    d = tempfile.mkdtemp(prefix="stark_stream_ce_") + "/events"
+    ev.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, ev.schema, max_files=2)
+    out = stateful_cell_extremes(s, GRID)
+    t = _stream_sink(out, "update")
+    return (t.groupBy("cell")
+             .agg(F.max("n").alias("n"),
+                  F.min("v_min").alias("v_min"),
+                  F.max("v_max").alias("v_max")))
+
+
 def _q_stream_dedup(spark, sf):
     """Streaming first-arrival dedup == batch DISTINCT on the key
     columns: `dropDuplicatesWithinWatermark` with a horizon wider than
@@ -1674,7 +1697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_heavy_hitters": _q_source_heavy_hitters,
         # --- dedup tail ---
         "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         # --- ANN tier ---
         "ann_filtered_topk": _q_ann_filtered,
         "ann_brute_topk_gemm": _q_ann_brute_gemm,
@@ -1700,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_stats": _q_stream_windowed_stats,
         "agg_revenue_by_nation": _q_agg_revenue_by_nation,
         "stream_geofence": _q_stream_geofence,
+        "stream_cell_extremes": _q_stream_cell_extremes,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize_replay": _q_stream_sessionize_replay,
         "stream_st_join": _q_stream_st_join,
@@ -1759,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
         "ann_brute_topk": _q_ann_brute,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "ann_ivf_topk": _q_ann_ivf,
     }
@@ -2234,6 +2258,13 @@ FROM range(16) r LEFT JOIN h ON h.bucket = CAST(r.range AS INT)""",
         "grid_cell_histogram": f"""
 SELECT {cell('value', EV_Y)} AS cell, count(*) AS n
 FROM events GROUP BY 1""",
+
+        # stateful-stream replay == batch per-cell aggregate
+        "stream_cell_extremes": f"""
+SELECT {cell('value', EV_Y)} AS cell, CAST(count(*) AS BIGINT) AS n,
+  min(value) AS v_min, max(value) AS v_max
+FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1""",
 
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
