@@ -1594,6 +1594,28 @@ def _q_stream_cell_extremes(spark, sf):
                   F.max("v_max").alias("v_max")))
 
 
+def _q_stream_session_stats(spark, sf):
+    """Native session-window streaming aggregate (gap-based
+    session_window) replayed in complete mode == the batch
+    gaps-and-islands mirror. Compared in exact integer MICROSECONDS
+    (unix_micros / epoch_us) because the synthetic timestamps are
+    fractional — no float boundary ambiguity."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              session_stats)
+    ev = D.load(spark, sf, "events") \
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    d = tempfile.mkdtemp(prefix="stark_stream_ss_") + "/events"
+    ev.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, ev.schema, max_files=2)
+    out = session_stats(s, gap="2 hours", watermark="365 days",
+                        key="user_id")
+    t = _stream_sink(out, "complete")
+    return t.select(F.unix_micros("sess_start").alias("sess_start_us"),
+                    F.unix_micros("sess_end").alias("sess_end_us"),
+                    "user_id", "n")
+
+
 def _q_stream_dedup(spark, sf):
     """Streaming first-arrival dedup == batch DISTINCT on the key
     columns: `dropDuplicatesWithinWatermark` with a horizon wider than
@@ -1696,7 +1718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": _q_length_quantiles,
         "source_heavy_hitters": _q_source_heavy_hitters,
         # --- dedup tail ---
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
         # --- ANN tier ---
         "ann_filtered_topk": _q_ann_filtered,
         "ann_brute_topk_gemm": _q_ann_brute_gemm,
@@ -1723,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_revenue_by_nation": _q_agg_revenue_by_nation,
         "stream_geofence": _q_stream_geofence,
         "stream_cell_extremes": _q_stream_cell_extremes,
+        "stream_session_stats": _q_stream_session_stats,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize_replay": _q_stream_sessionize_replay,
         "stream_st_join": _q_stream_st_join,
@@ -1782,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
         "ann_brute_topk": _q_ann_brute,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2265,6 +2288,29 @@ SELECT {cell('value', EV_Y)} AS cell, CAST(count(*) AS BIGINT) AS n,
   min(value) AS v_min, max(value) AS v_max
 FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
 GROUP BY 1""",
+
+        # session_window replay == gaps-and-islands in exact micros
+        # (break when the gap to the previous event is >= 2 h: the
+        # session interval is [start, last + gap) — boundary exclusive)
+        "stream_session_stats": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), s AS (
+  SELECT user_id, us,
+    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+              >= 7200000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+), g AS (
+  SELECT user_id, us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+)
+SELECT CAST(min(us) AS BIGINT) AS sess_start_us,
+  CAST(max(us) + 7200000000 AS BIGINT) AS sess_end_us,
+  user_id, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY user_id, sid""",
 
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
