@@ -1616,6 +1616,25 @@ def _q_stream_session_stats(spark, sf):
                     "user_id", "n")
 
 
+def _q_stream_cell_counts(spark, sf):
+    """Streaming per-cell windowed histogram (the continuous feed for
+    cost-based partitioning) replayed in complete mode == the batch
+    (day, cell) count."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              windowed_cell_counts)
+    ev = D.st_events(spark, sf, keep_geom=True) \
+          .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    d = tempfile.mkdtemp(prefix="stark_stream_cc_") + "/events"
+    ev.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, ev.schema, max_files=2)
+    out = windowed_cell_counts(s, GRID, window="1 day",
+                               watermark="365 days")
+    t = _stream_sink(out, "complete")
+    return t.select(F.col("win_start").cast("long").alias("win_start"),
+                    "cell", "n")
+
+
 def _q_stream_dedup(spark, sf):
     """Streaming first-arrival dedup == batch DISTINCT on the key
     columns: `dropDuplicatesWithinWatermark` with a horizon wider than
@@ -1699,7 +1718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": _q_text_profile,
         "text_by_source": _q_text_by_source,
         "token_counts": _q_token_counts,
-        "lang_distribution": _q_lang_distribution,
         "text_repetition": _q_text_repetition,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
@@ -1745,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_geofence": _q_stream_geofence,
         "stream_cell_extremes": _q_stream_cell_extremes,
         "stream_session_stats": _q_stream_session_stats,
+        "stream_cell_counts": _q_stream_cell_counts,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize_replay": _q_stream_sessionize_replay,
         "stream_st_join": _q_stream_st_join,
@@ -1804,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
         "ann_brute_topk": _q_ann_brute,
+        "lang_distribution": _q_lang_distribution,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
@@ -2311,6 +2331,12 @@ SELECT CAST(min(us) AS BIGINT) AS sess_start_us,
   CAST(max(us) + 7200000000 AS BIGINT) AS sess_end_us,
   user_id, CAST(count(*) AS BIGINT) AS n
 FROM g GROUP BY user_id, sid""",
+
+        "stream_cell_counts": f"""
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS win_start,
+  {cell('value', EV_Y)} AS cell, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1, 2""",
 
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
