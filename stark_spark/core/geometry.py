@@ -894,11 +894,16 @@ def centroid(g: Geometry) -> Geometry:
 
 
 def envelope(g: Geometry) -> Geometry:
-    """Axis-aligned bounding geometry: the bbox POLYGON, or the POINT
-    itself when the bbox is degenerate."""
+    """Axis-aligned bounding geometry with JTS `getEnvelope` semantics:
+    POINT when both extents collapse, LINESTRING when exactly one
+    does (a horizontal/vertical input), else the bbox POLYGON."""
     xmin, ymin, xmax, ymax = g.bbox
     if xmin == xmax and ymin == ymax:
         return point(xmin, ymin)
+    if xmin == xmax or ymin == ymax:
+        return Geometry("LINESTRING",
+                        np.array([[xmin, ymin], [xmax, ymax]],
+                                 dtype=float))
     return box(xmin, ymin, xmax, ymax)
 
 

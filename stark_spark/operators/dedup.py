@@ -201,6 +201,10 @@ def cross_bloom_dups(train: DataFrame, eval_df: DataFrame, key: str, *,
 
     Output: (content_hash, <key> of the eval row, n_train)."""
     ev_hash = F.md5(F.col(text_col))
+    # eval is read twice (hash collect for the build + the closing
+    # join) — persist it so the eval pipeline computes once; it is the
+    # small side by contract
+    eval_df = eval_df.persist()
     hashes = [r.h for r in
               eval_df.select(ev_hash.alias("h")).distinct().collect()]
     words, m, k = bloom_build(hashes, fpp)

@@ -69,6 +69,8 @@ def time_bucket_gapfill(df: DataFrame, key_col: str, ts_col: str,
     single-partition global-window anti-pattern. Re-uses the (key)
     exchange for span + window stages.
     """
+    if fill not in ("locf", "interp", "none"):
+        raise ValueError(f"unknown fill mode: {fill!r}")
     b = (F.floor(F.col(ts_col).cast("long") / step_s) * step_s).alias("bucket")
     g = (df.where(F.col(ts_col).isNotNull())
            .groupBy(F.col(key_col).alias("k"), b)

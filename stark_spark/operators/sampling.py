@@ -245,9 +245,7 @@ def weighted_sample_by_group(df: DataFrame, key: str, group_col: str,
     ranked inside each group (one window over the group-key exchange —
     the stratified twin of `weighted_sample`, e.g. "top-N docs per
     source, length-biased")."""
-    w = Window.partitionBy(group_col).orderBy(F.desc("_wkey"),
-                                              F.col(key))
-    return (df.withColumn("_wkey", _aes_key(key, weight_col, salt))
-              .withColumn("_rn", F.row_number().over(w))
-              .where(F.col("_rn") <= k)
-              .drop("_wkey", "_rn"))
+    keyed = df.withColumn("_wkey", _aes_key(key, weight_col, salt))
+    return top_k_per_group(keyed, group_col, "_wkey", k,
+                           ascending=False, tie_cols=[key],
+                           rank_col="_rn").drop("_wkey", "_rn")

@@ -253,7 +253,7 @@ def chunk_by_tokens(df: DataFrame, key: str, text_col: str = "text", *,
         F.lit(1),
         F.floor((n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step))
          .cast("int"))
-    out = (df.select(F.col(key), toks.alias("_toks"), n.alias("_n"),
+    out = (df.select(F.col(key), toks.alias("_toks"),
                      F.explode(F.sequence(F.lit(0), n_chunks - 1))
                       .alias("chunk_id")))
     piece = F.slice(F.col("_toks"), F.col("chunk_id") * step + 1,

@@ -270,3 +270,15 @@ def test_st_xy_non_point_is_nan(spark):
         SELECT st_x(st_geomfromwkt('LINESTRING (0 0, 1 1)')) AS x
     """).first()
     assert row.x is None or math.isnan(row.x)
+
+
+def test_envelope_degenerate_line(spark):
+    """JTS getEnvelope semantics for degenerate extents: vertical /
+    horizontal inputs yield a LINESTRING, not a self-coincident
+    polygon ring."""
+    row = spark.sql("""
+        SELECT st_wkt(st_envelope(st_geomfromwkt('LINESTRING (0 0, 0 5)'))) AS v,
+               st_wkt(st_envelope(st_geomfromwkt('LINESTRING (1 2, 6 2)'))) AS h
+    """).first()
+    assert row.v == "LINESTRING (0 0, 0 5)"
+    assert row.h == "LINESTRING (1 2, 6 2)"
