@@ -2059,10 +2059,15 @@ WITH p AS (
 SELECT win_start, fence_id, CAST(count(*) AS BIGINT) AS n
 FROM hits GROUP BY 1, 2""",
 
+        # exact IEEE mirror of the native half-plane conjunction
+        # (predicates.py cross-product form, same operand order) —
+        # the algebraic form value*100 + y*200 <= 20000 disagreed by
+        # one exactly-on-hypotenuse row at sf0.1
         "st_filter_polygon_timed": f"""
 SELECT event_id, value AS x, {EV_Y} AS y FROM events
-WHERE value >= 0 AND ({EV_Y}) >= 0
-  AND value * 100 + ({EV_Y}) * 200 <= 20000
+WHERE 200 * ({EV_Y}) >= 0
+  AND (-200) * ({EV_Y}) - 100 * (value - 200) >= 0
+  AND 100 * value >= 0
   AND {EV_T} >= 1704067200 AND {EV_T} <= 1711929600""",
 
         "st_filter_containedby_rect": f"""
@@ -2403,8 +2408,9 @@ WHERE value >= 10 AND value <= 60
 
         "st_filter_coveredby_poly": f"""
 SELECT event_id, value AS x, {EV_Y} AS y FROM events
-WHERE value >= 0 AND ({EV_Y}) >= 0
-  AND value * 100 + ({EV_Y}) * 200 <= 20000""",
+WHERE 200 * ({EV_Y}) >= 0
+  AND (-200) * ({EV_Y}) - 100 * (value - 200) >= 0
+  AND 100 * value >= 0""",
 
         "raster_join_vector_clip": f"""
 WITH pix AS (
