@@ -266,3 +266,33 @@ def test_simplify_invariants(seed, n, tol):
                                 pts[a, 0], pts[a, 1],
                                 pts[b, 0], pts[b, 1])
             assert float(d.max()) <= tol + 1e-9
+
+
+@given(st.integers(0, 100_000), st.integers(1, 400))
+@settings(max_examples=40, deadline=None)
+def test_bloom_no_false_negatives(seed, n):
+    """Every inserted md5 hash tests positive against the bitmap the
+    Python build produced (the native probe re-derives the identical
+    double-hash arithmetic, covered by the contamination_bloom gate —
+    this pins the build side across sizes), and the bitmap is sized so
+    membership tests of fresh hashes mostly fail."""
+    import hashlib
+
+    from stark_spark.operators.dedup import bloom_build
+    rng = np.random.default_rng(seed)
+    hashes = [hashlib.md5(bytes(rng.bytes(12))).hexdigest()
+              for _ in range(n)]
+    words, m, k = bloom_build(hashes, fpp=1e-3)
+
+    def member(hx):
+        h1 = int(hx[0:15], 16) % m
+        h2 = int(hx[15:30], 16) % m
+        return all(words[((h1 + j * h2) % m) >> 5]
+                   >> (((h1 + j * h2) % m) & 31) & 1
+                   for j in range(k))
+
+    assert all(member(h) for h in hashes)
+    fresh = [hashlib.md5(b"x" + bytes(rng.bytes(12))).hexdigest()
+             for _ in range(200)]
+    fp = sum(member(h) for h in fresh if h not in set(hashes))
+    assert fp <= 10  # fpp=1e-3 target; generous margin for 200 probes
