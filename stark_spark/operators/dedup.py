@@ -146,20 +146,37 @@ def bloom_build(hashes: list[str], fpp: float = 1e-3):
     Double hashing (Kirsch–Mitzenmacher): position_j = (h1 + j*h2) mod
     m, where h1/h2 are the first/second 15 hex chars of the md5 — the
     exact arithmetic `bloom_might_contain` re-derives natively, so the
-    build and the probe agree bit-for-bit."""
+    build and the probe agree bit-for-bit. Guards against the
+    small-filter failure modes of double hashing (positions form an
+    arithmetic progression, so tiny m gives correlated bits; an even
+    step on an even m walks only a coset): m is forced ODD with a
+    2048-bit floor (256 B — free), the step lands in [1, m-1], and k
+    is capped at 16 so the native probe stays a short conjunction."""
     import math
     n = max(1, len(hashes))
     ln2 = math.log(2.0)
-    m = max(64, int(math.ceil(-n * math.log(fpp) / (ln2 * ln2))))
-    k = max(1, int(round(m / n * ln2)))
+    m = max(2048, int(math.ceil(-n * math.log(fpp) / (ln2 * ln2))))
+    m += 1 - (m % 2)
+    k = min(16, max(1, int(round(m / n * ln2))))
     words = [0] * ((m + 31) // 32)
     for hx in hashes:
         h1 = int(hx[0:15], 16) % m
-        h2 = int(hx[15:30], 16) % m
+        h2 = int(hx[15:30], 16) % (m - 1) + 1
         for j in range(k):
             p = (h1 + j * h2) % m
             words[p >> 5] |= 1 << (p & 31)
     return words, m, k
+
+
+def bloom_member(hx: str, words: list[int], m: int, k: int) -> bool:
+    """Driver-side membership twin of `bloom_might_contain` (same
+    double-hash arithmetic as `bloom_build`) — used by tests and for
+    spot checks."""
+    h1 = int(hx[0:15], 16) % m
+    h2 = int(hx[15:30], 16) % (m - 1) + 1
+    return all(
+        words[((h1 + j * h2) % m) >> 5] >> (((h1 + j * h2) % m) & 31) & 1
+        for j in range(k))
 
 
 def bloom_might_contain(hash_col: Column, words: list[int], m: int,
@@ -171,7 +188,8 @@ def bloom_might_contain(hash_col: Column, words: list[int], m: int,
     sign-extension subtleties in ``getbit``."""
     arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
     h1 = F.conv(F.substring(hash_col, 1, 15), 16, 10).cast("long") % m
-    h2 = F.conv(F.substring(hash_col, 16, 15), 16, 10).cast("long") % m
+    h2 = (F.conv(F.substring(hash_col, 16, 15), 16, 10).cast("long")
+          % (m - 1)) + 1
     cond = F.lit(True)
     for j in range(k):
         pos = (h1 + F.lit(j) * h2) % m

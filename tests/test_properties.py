@@ -278,18 +278,14 @@ def test_bloom_no_false_negatives(seed, n):
     membership tests of fresh hashes mostly fail."""
     import hashlib
 
-    from stark_spark.operators.dedup import bloom_build
+    from stark_spark.operators.dedup import bloom_build, bloom_member
     rng = np.random.default_rng(seed)
     hashes = [hashlib.md5(bytes(rng.bytes(12))).hexdigest()
               for _ in range(n)]
     words, m, k = bloom_build(hashes, fpp=1e-3)
 
     def member(hx):
-        h1 = int(hx[0:15], 16) % m
-        h2 = int(hx[15:30], 16) % m
-        return all(words[((h1 + j * h2) % m) >> 5]
-                   >> (((h1 + j * h2) % m) & 31) & 1
-                   for j in range(k))
+        return bloom_member(hx, words, m, k)
 
     assert all(member(h) for h in hashes)
     fresh = [hashlib.md5(b"x" + bytes(rng.bytes(12))).hexdigest()
