@@ -929,10 +929,15 @@ def convex_hull(g: Geometry) -> Geometry:
     if len(pts) == 1:
         return point(float(pts[0, 0]), float(pts[0, 1]))
     def _chain(p):
+        # scalar 2-D cross product written out: np.cross on 2-D
+        # vectors is removed in NumPy >= 2.0
         out = []
         for v in p:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2],
-                                             v - out[-2]) <= 0:
+            while len(out) >= 2:
+                d1 = out[-1] - out[-2]
+                d2 = v - out[-2]
+                if d1[0] * d2[1] - d1[1] * d2[0] > 0:
+                    break
                 out.pop()
             out.append(v)
         return out

@@ -138,6 +138,21 @@ def cross_lsh_pairs(train: DataFrame, eval_df: DataFrame, key: str, *,
     return a.join(b, ["band", "bucket"]).select("a", "b").distinct()
 
 
+def _bloom_sizing(n: int, fpp: float) -> tuple[int, int]:
+    """Shared Bloom geometry for the literal and distributed builds:
+    (m bits, k probes) for ``n`` items at the target false-positive
+    rate. m is forced ODD with a 2048-bit floor (double-hashing
+    degeneracy guard — see `bloom_build`), k capped at 16 so the
+    native probe stays a short conjunction."""
+    import math
+    n = max(1, n)
+    ln2 = math.log(2.0)
+    m = max(2048, int(math.ceil(-n * math.log(fpp) / (ln2 * ln2))))
+    m += 1 - (m % 2)
+    k = min(16, max(1, int(round(m / n * ln2))))
+    return m, k
+
+
 def bloom_build(hashes: list[str], fpp: float = 1e-3):
     """Build a Bloom filter over md5-hex values. Returns
     ``(words, m, k)``: 32-bit words (as Python ints), bit count, and
@@ -152,12 +167,8 @@ def bloom_build(hashes: list[str], fpp: float = 1e-3):
     step on an even m walks only a coset): m is forced ODD with a
     2048-bit floor (256 B — free), the step lands in [1, m-1], and k
     is capped at 16 so the native probe stays a short conjunction."""
-    import math
     n = max(1, len(hashes))
-    ln2 = math.log(2.0)
-    m = max(2048, int(math.ceil(-n * math.log(fpp) / (ln2 * ln2))))
-    m += 1 - (m % 2)
-    k = min(16, max(1, int(round(m / n * ln2))))
+    m, k = _bloom_sizing(n, fpp)
     words = [0] * ((m + 31) // 32)
     for hx in hashes:
         h1 = int(hx[0:15], 16) % m
@@ -198,8 +209,70 @@ def bloom_might_contain(hash_col: Column, words: list[int], m: int,
     return cond
 
 
+def _bloom_h12(hash_col: Column, m: int) -> tuple[Column, Column]:
+    """Native (h1, h2) double-hash pair over an md5-hex column — the
+    exact arithmetic of `bloom_build`, expressed as codegen
+    expressions (conv + pmod on 15-hex-digit = 60-bit chunks)."""
+    h1 = F.conv(F.substring(hash_col, 1, 15), 16, 10).cast("long") % m
+    h2 = (F.conv(F.substring(hash_col, 16, 15), 16, 10).cast("long")
+          % (m - 1)) + 1
+    return h1, h2
+
+
+def bloom_words_df(eval_hashes: DataFrame, m: int, k: int) -> DataFrame:
+    """Distributed Bloom build: explode each eval hash into its k bit
+    positions, then `groupBy(word_idx).agg(bit_or(bit))` — Spark's
+    partial aggregation makes this a genuine JVM tree-aggregate (each
+    task ORs its local bits; the shuffle carries at most m/32 words
+    per task). No driver collect, no plan literal: the eval side can
+    be arbitrarily large.
+
+    Input: a DataFrame with a single md5-hex column ``h`` (distinct
+    not required). Output: (w_idx int, word long) — only word indexes
+    with at least one set bit are present."""
+    h1, h2 = _bloom_h12(F.col("h"), m)
+    pos = F.explode(F.array(*[(h1 + F.lit(j) * h2) % m
+                              for j in range(k)])).alias("pos")
+    return (eval_hashes.select(pos)
+            .select(F.shiftright(F.col("pos"), 5).cast("int").alias("w_idx"),
+                    # F.shiftleft takes only a literal shift; the SQL
+                    # form accepts a column
+                    F.expr("shiftleft(1L, CAST(pos % 32 AS INT))")
+                     .alias("bit"))
+            .groupBy("w_idx")
+            .agg(F.bit_or("bit").alias("word")))
+
+
+def _bloom_probe_joins(scan: DataFrame, hash_col: str,
+                       words_df: DataFrame, m: int, k: int) -> DataFrame:
+    """Probe a distributed Bloom filter with k successive BROADCAST
+    hash joins on word index — the scan side stays 1× (no explode
+    inflation), every join is codegen, and membership short-circuits:
+    after each join the failing ~50% of non-members are filtered out
+    before the next, so the k-join chain costs ~2 joins amortized on
+    the huge side. Missing word index = no bits set = not a member,
+    so a plain INNER join is exact."""
+    h1, h2 = _bloom_h12(F.col(hash_col), m)
+    out = scan.withColumn("_h1", h1).withColumn("_h2", h2)
+    for j in range(k):
+        wj, bj = f"_w{j}", f"_b{j}"
+        out = (out.withColumn("_p", (F.col("_h1") + F.lit(j)
+                                     * F.col("_h2")) % m)
+                  .join(F.broadcast(words_df.select(
+                            F.col("w_idx").alias(wj),
+                            F.col("word").alias(bj))),
+                        F.shiftright(F.col("_p"), 5).cast("int")
+                        == F.col(wj))
+                  .where(F.getbit(F.col(bj),
+                                  (F.col("_p") % 32).cast("int")) == 1)
+                  .drop("_p", wj, bj))
+    return out.drop("_h1", "_h2")
+
+
 def cross_bloom_dups(train: DataFrame, eval_df: DataFrame, key: str, *,
-                     text_col: str = "text", fpp: float = 1e-3) -> DataFrame:
+                     text_col: str = "text", fpp: float = 1e-3,
+                     impl: str = "literal",
+                     eval_count: int | None = None) -> DataFrame:
     """Exact train→eval contamination via a Bloom prefilter — the
     100 TB decontamination shape. `cross_exact_dups` shuffles every
     distinct TRAIN hash into a groupBy before the join; here the huge
@@ -211,26 +284,49 @@ def cross_bloom_dups(train: DataFrame, eval_df: DataFrame, key: str, *,
     ever dropped (no false negatives), so the result is EXACTLY
     `cross_exact_dups`' — same oracle, cheaper plan.
 
-    The filter is a literal-array + `getbit` expression (codegen, no
-    Python, no broadcast variable); at ~1M eval rows and fpp=1e-3 the
-    bitmap is ~1.8 MB — beyond that, build with
-    `df.stat.bloomFilter` (JVM tree-aggregate) and apply it via a
-    broadcast join on word index instead of a plan literal.
+    Two physically-different builds, identical semantics:
+
+    - ``impl="literal"`` (default, small eval sets): driver-built
+      bitmap applied as a literal-array + ``getbit`` expression
+      (codegen, no Python, no broadcast variable). At ~1M eval rows
+      and fpp=1e-3 the bitmap is ~1.8 MB of plan literal — the cap.
+    - ``impl="jvm"`` (large eval sets — full benchmark suites): the
+      filter words are built DISTRIBUTED (`bloom_words_df`: explode
+      into bit positions → bit_or tree-aggregate, no driver collect)
+      and probed via k broadcast hash joins on word index
+      (`_bloom_probe_joins`) — no plan literal at any eval size; the
+      broadcast is m/32 longs (~3.6 MB at 1M eval rows).
+
+    ``eval_count`` skips the sizing count() when the caller already
+    knows |eval| (the jvm path only).
 
     Output: (content_hash, <key> of the eval row, n_train)."""
     ev_hash = F.md5(F.col(text_col))
-    # eval is read twice (hash collect for the build + the closing
-    # join) — persist it so the eval pipeline computes once; it is the
-    # small side by contract
-    eval_df = eval_df.persist()
-    hashes = [r.h for r in
-              eval_df.select(ev_hash.alias("h")).distinct().collect()]
-    words, m, k = bloom_build(hashes, fpp)
-    th = (train.select(F.md5(F.col(text_col)).alias("content_hash"))
-               .where(bloom_might_contain(F.col("content_hash"),
-                                          words, m, k))
-               .groupBy("content_hash")
-               .agg(F.count("*").alias("n_train")))
+    # eval is read more than once (build + closing join). Deliberately
+    # NOT persisted here: an internal cache could never be released by
+    # the caller and would leak storage memory for the session
+    # lifetime when called repeatedly. Re-reading the small-by-contract
+    # eval side is cheaper than a leaked cache; callers that invoke
+    # this in a loop should `eval_df.persist()` themselves and manage
+    # the lifecycle.
+    tr_hash = train.select(F.md5(F.col(text_col)).alias("content_hash"))
+    if impl == "literal":
+        hashes = [r.h for r in
+                  eval_df.select(ev_hash.alias("h")).distinct().collect()]
+        words, m, k = bloom_build(hashes, fpp)
+        filtered = tr_hash.where(
+            bloom_might_contain(F.col("content_hash"), words, m, k))
+    elif impl == "jvm":
+        ev_hashes = eval_df.select(ev_hash.alias("h")).distinct()
+        n = eval_count if eval_count is not None else ev_hashes.count()
+        m, k = _bloom_sizing(n, fpp)
+        filtered = _bloom_probe_joins(tr_hash, "content_hash",
+                                      bloom_words_df(ev_hashes, m, k),
+                                      m, k)
+    else:
+        raise ValueError(f"unknown bloom impl: {impl!r}")
+    th = (filtered.groupBy("content_hash")
+                  .agg(F.count("*").alias("n_train")))
     rh = eval_df.select(F.col(key), ev_hash.alias("content_hash"))
     return rh.join(th, "content_hash")
 

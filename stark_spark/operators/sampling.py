@@ -212,12 +212,32 @@ def top_k_per_group(df: DataFrame, group_col: str, order_col: str,
 
 def _aes_key(key: str, weight_col: str, salt: str) -> Column:
     """Efraimidis–Spirakis exponential key ln(u)/w over an exact
-    52-bit md5 uniform of (salt, key) — rank DESC, take top k."""
+    52-bit md5 uniform of (salt, key) — rank DESC, take top k.
+
+    Cross-engine determinism: ln() is the only libm call, and JVM
+    Math.log vs another engine's libm log can differ by 1 ulp, which
+    could flip a rank-k boundary row. Mitigation: quantize ln(u) onto
+    an exact integer grid (floor(ln(u)·1e6)) BEFORE dividing by the
+    weight — the grid value is an exact small integer in a double, and
+    integer/weight division is correctly-rounded IEEE in every engine,
+    so the ranking keys are bit-identical unless ln(u)·1e6 lands
+    within 1 ulp of an integer (probability ~1e-8 per row). The 1e-6
+    relative quantization of ln leaves A-ES inclusion probabilities
+    unchanged to ~1e-6.
+
+    Weights MUST be > 0 (a negative weight would always rank first and
+    w=0 yields -Inf): enforced with a runtime assertion on the scan."""
     h = F.md5(F.concat(F.lit(salt), F.lit("|"),
                        F.col(key).cast("string")))
     u = ((F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
           + F.lit(0.5)) / F.lit(float(1 << 52)))
-    return F.log(u) / F.col(weight_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    lnq = F.floor(F.log(u) * F.lit(1e6)).cast("double")
+    guard = F.assert_true(
+        w > 0, F.concat(F.lit("weighted sample: non-positive weight in "
+                              f"column '{weight_col}': "),
+                        w.cast("string")))
+    return F.when(guard.isNull(), lnq / w)
 
 
 def weighted_sample(df: DataFrame, key: str, weight_col: str, k: int, *,

@@ -450,6 +450,53 @@ def test_contamination_bloom(spark, docs):
     assert "*(1) Filter" in plan  # '*' = whole-stage codegen stage
 
 
+def test_contamination_bloom_jvm(spark, docs):
+    """The distributed (impl="jvm") Bloom build returns EXACTLY the
+    literal build's rows (both equal exact contamination), with no
+    multi-MB plan literal: the filter words come from an explode →
+    bit_or tree-aggregate DataFrame (no driver collect of hashes) and
+    the probe is k broadcast hash joins on word index. The 100 TB
+    decontamination path for benchmark suites beyond ~1M rows, where
+    the literal-array plan would blow up."""
+    from stark_spark.operators.dedup import (bloom_build, bloom_member,
+                                             bloom_words_df,
+                                             cross_bloom_dups,
+                                             cross_exact_dups)
+    ev = (docs.where(F.col("doc_id") % 10 == 0)
+              .select("doc_id",
+                      F.when(F.col("doc_id") % 20 == 0, F.col("text"))
+                       .otherwise(F.concat(F.col("text"), F.lit(" tail")))
+                       .alias("text")))
+    want = cross_exact_dups(docs, ev, "doc_id")
+    got = cross_bloom_dups(docs, ev, "doc_id", impl="jvm")
+    key = lambda df: sorted((r.content_hash, r.doc_id, r.n_train)
+                            for r in df.collect())
+    assert key(got) == key(want)
+
+    # no plan literal: the literal impl probes via element_at on an
+    # array literal; the jvm impl must not, and its physical plan must
+    # carry broadcast hash joins + getbit probes instead
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "element_at" not in plan
+    assert "BroadcastHashJoin" in plan and "getbit" in plan
+
+    # the distributed build produces bit-identical words to the
+    # driver-side build (same double-hash arithmetic)
+    hashes = [r.h for r in
+              ev.select(F.md5("text").alias("h")).distinct().collect()]
+    words, m, k = bloom_build(hashes, fpp=1e-3)
+    dist = {r.w_idx: r.word for r in bloom_words_df(
+        ev.select(F.md5("text").alias("h")).distinct(), m, k).collect()}
+    lit_words = {i: w for i, w in enumerate(words) if w}
+    assert dist == lit_words
+    # spot-check the shared arithmetic end-to-end
+    assert all(bloom_member(h, words, m, k) for h in hashes[:16])
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cross_bloom_dups(docs, ev, "doc_id", impl="nope")
+
+
 def test_skyline_maximize_directions(spark):
     """maximize= flips dominance per dimension (the reference's custom
     `dominates` use case) — verified against a pandas recompute."""

@@ -673,10 +673,22 @@ def test_chunk_by_tokens(spark):
 
 def test_registry_driver_window_packing():
     """The driver's oracle run checks only the FIRST 50 registry
-    entries. Invariant: every query beyond position 50 must already
-    have a driver-green row in an archived CORRECTNESS artifact —
-    i.e. no never-driver-checked query may sit outside the window."""
+    entries. Two invariants keep every query's driver row fresh:
+
+    1. (ever green) every query beyond position 50 must already have a
+       driver-green row in an archived CORRECTNESS artifact — no
+       never-driver-checked query may sit outside the window;
+    2. (stalest first) the window must hold the entries whose latest
+       driver-green row is OLDEST — formally, the freshest round inside
+       the window is <= the stalest round outside it (never-checked
+       counts as round 0, so new gates are forced into the window).
+
+    When a new CORRECTNESS_r{N}.json lands at the start of a round,
+    invariant 2 deliberately goes red until the registry is rotated:
+    move the stalest 50 queries into positions 1-50 of
+    `__spark_entry__.queries()` — that IS the fix."""
     import json
+    import re
     from pathlib import Path
     root = Path(__file__).resolve().parent.parent
     import sys
@@ -684,14 +696,23 @@ def test_registry_driver_window_packing():
     import __spark_entry__ as entry
     names = list(entry.queries())
     assert len(entry.oracle_sql()) == len(names)
-    seen = set()
+    latest: dict[str, int] = {n: 0 for n in names}
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", p.name).group(1))
         try:
             rows = json.load(open(p))
         except ValueError:  # crashed-round artifact
             continue
         # only rows that actually passed count as "has a driver row"
-        seen |= {k for k, v in rows.items()
-                 if isinstance(v, dict) and v.get("hash_match")}
-    stranded = [n for n in names[50:] if n not in seen]
+        for k, v in rows.items():
+            if k in latest and isinstance(v, dict) and v.get("hash_match"):
+                latest[k] = max(latest[k], rnd)
+    stranded = [n for n in names[50:] if latest[n] == 0]
     assert stranded == [], f"never-driver-checked beyond window: {stranded}"
+    freshest_in = max(latest[n] for n in names[:50])
+    stalest_out = min(latest[n] for n in names[50:])
+    assert freshest_in <= stalest_out, (
+        f"registry window is not stalest-first: a query in positions "
+        f"1-50 was last driver-checked r{freshest_in:02d} while one "
+        f"beyond the window sits at r{stalest_out:02d} — rotate the "
+        f"stalest 50 queries into the front of __spark_entry__.queries()")

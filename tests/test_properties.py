@@ -156,17 +156,20 @@ def _convex_ring_from(seed: int, n: int) -> np.ndarray:
     ang = np.sort(rng.uniform(0, 2 * np.pi, n))
     rad = rng.uniform(1.0, 10.0, n)
     pts = np.c_[rad * np.cos(ang), rad * np.sin(ang)]
-    # convex hull (gift wrapping via cross-product pruning)
+    # convex hull (gift wrapping via cross-product pruning); scalar
+    # 2-D cross written out — np.cross on 2-D is removed in NumPy 2.0
+    def _cross2(d1, d2):
+        return d1[0] * d2[1] - d1[1] * d2[0]
     hull = []
     for p in pts[np.lexsort((pts[:, 1], pts[:, 0]))]:
-        while len(hull) >= 2 and np.cross(hull[-1] - hull[-2],
-                                          p - hull[-2]) <= 0:
+        while len(hull) >= 2 and _cross2(hull[-1] - hull[-2],
+                                         p - hull[-2]) <= 0:
             hull.pop()
         hull.append(p)
     lower = len(hull) + 1
     for p in pts[np.lexsort((pts[:, 1], pts[:, 0]))][::-1]:
-        while len(hull) >= lower and np.cross(hull[-1] - hull[-2],
-                                              p - hull[-2]) <= 0:
+        while len(hull) >= lower and _cross2(hull[-1] - hull[-2],
+                                             p - hull[-2]) <= 0:
             hull.pop()
         hull.append(p)
     return np.vstack(hull)
