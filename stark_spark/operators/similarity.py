@@ -620,30 +620,39 @@ def lsh_signature(vec, dim: int, n_bits: int) -> Column:
 
 def _lsh_probe_sigs(vec, dim: int, n_bits: int, n_probe: int) -> Column:
     """Multi-probe signature array: the query's own signature plus the
-    ``n_probe - 1`` signatures obtained by flipping the bits with the
-    smallest |⟨v, w_i⟩| margin — the bits most likely to be on the
-    wrong side of the hyperplane. All-native Column algebra."""
+    ``n_probe - 1`` buckets reachable by flipping the bit SETS with
+    the smallest total |⟨v, w_i⟩| margin — the standard multi-probe
+    LSH ordering (flip the bits most likely to sit on the wrong side
+    of their hyperplane first). Candidate masks are every non-empty
+    subset of up to 3 bits (single-bit flips alone cap the reachable
+    buckets at n_bits+1, which silently clamps the recall knob);
+    Hamming ≤ 3 yields 1 + C(b,1) + C(b,2) + C(b,3) probe targets —
+    plenty for any practical n_probe, and the mask list is a
+    plan-time literal so the scoring stays all-native Column algebra
+    (one array_sort over ~n_bits³/6 structs per query row)."""
+    from itertools import combinations
     planes = lsh_hyperplanes(dim, n_bits)
     v = F.col(vec) if isinstance(vec, str) else vec
     dots = [dot_fold(v, F.array(*[F.lit(float(x)) for x in w]))
             for w in planes]
+    margins = [F.abs(d) for d in dots]
     sig = None
     for i, d in enumerate(dots):
         bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
 
-    def mask_of(i: Column) -> Column:
-        expr = None
-        for b in range(n_bits):
-            expr = (F.when(i == b, F.lit(1 << b)) if expr is None
-                    else expr.when(i == b, F.lit(1 << b)))
-        return expr
-
-    margins = F.array(*[F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
-                        for i, d in enumerate(dots)])
-    flips = F.slice(F.transform(F.array_sort(margins), lambda s: s["i"]),
+    scored = []
+    for hw in (1, 2, 3):
+        for bits in combinations(range(n_bits), hw):
+            mask = sum(1 << b for b in bits)
+            cost = margins[bits[0]]
+            for b in bits[1:]:
+                cost = cost + margins[b]
+            scored.append(F.struct(cost.alias("m"), F.lit(mask).alias("k")))
+    flips = F.slice(F.transform(F.array_sort(F.array(*scored)),
+                                lambda s: s["k"]),
                     1, n_probe - 1)
-    flipped = F.transform(flips, lambda i: sig.bitwiseXOR(mask_of(i)))
+    flipped = F.transform(flips, lambda mk: sig.bitwiseXOR(mk))
     return F.array_union(F.array(sig), flipped)
 
 

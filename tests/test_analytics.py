@@ -694,13 +694,72 @@ def test_ann_recall_floors(spark, emb):
     r4 = recall(ann_lsh_topk(emb, q, k, dim=64, n_bits=4,
                              n_probe=4).toPandas())
     assert r1 >= 0.15, f"lsh n_probe=1 recall {r1} — random baseline?"
-    assert r4 >= 0.40, f"lsh n_probe=4 recall {r4}"
+    assert r4 >= 0.45, f"lsh n_probe=4 recall {r4}"
     assert r4 >= r1          # multi-probe must not lose recall
+    # Hamming>1 probe masks reach past the single-flip cap of
+    # n_bits+1 buckets: at 3 bits, 6 probes must beat 4-probe
+    r34 = recall(ann_lsh_topk(emb, q, k, dim=64, n_bits=3,
+                              n_probe=4).toPandas())
+    r36 = recall(ann_lsh_topk(emb, q, k, dim=64, n_bits=3,
+                              n_probe=6).toPandas())
+    assert r34 >= 0.65, f"lsh 3-bit n_probe=4 recall {r34}"
+    assert r36 > r34, "extra probes beyond n_bits+1 gained nothing"
 
     km = kmeans_centroids(emb, 8, n_iter=5, score="gemm")
-    riv = recall(ivf_topk(emb, q, km, k, n_probe=4,
+    riv4 = recall(ivf_topk(emb, q, km, k, n_probe=4,
+                           score="gemm").toPandas())
+    riv6 = recall(ivf_topk(emb, q, km, k, n_probe=6,
+                           score="gemm").toPandas())
+    assert riv4 >= 0.70, f"ivf kmeans-8 n_probe=4 recall {riv4}"
+    # quality-level floor at the tuned harness params (measured 0.94
+    # sf0.001 / 0.975 sf0.01)
+    assert riv6 >= 0.90, f"ivf kmeans-8 n_probe=6 recall {riv6}"
+
+
+def test_ann_recall_planted_clusters(spark):
+    """Recall@10 >= 0.9 on data WITH neighborhood structure. The
+    testdata embeddings are near-uniform, so their recall ceiling at a
+    given probed fraction measures the data, not the algorithm; here
+    vectors are planted in tight clusters (40 clusters x 12 members,
+    ~9 degrees intra-cluster angle), so every true top-10 lies inside
+    the query's cluster and an LSH or IVF implementation regression —
+    a broken hyperplane generator, a wrong probe ordering, a
+    centroid-assignment bug — collapses recall far below the 0.9
+    floor instead of hiding inside a loose sanity bound."""
+    import numpy as np
+    from stark_spark.operators.similarity import (ann_lsh_topk,
+                                                  brute_force_topk,
+                                                  ivf_topk,
+                                                  kmeans_centroids)
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 64, 40, 12
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = (np.repeat(centers, per, axis=0)
+            + rng.normal(scale=0.02, size=(n_clusters * per, dim)))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    k = 10
+    q = (emb.where(F.col("vec_id") % per == 0)   # one query per cluster
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    truth = brute_force_topk(emb, q, k, score="gemm").toPandas()
+    tw = {qid: set(g.vec_id) for qid, g in truth.groupby("q_id")}
+
+    def recall(res):
+        hits = sum(len(set(g.vec_id) & tw[qid])
+                   for qid, g in res.groupby("q_id"))
+        return hits / (len(tw) * k)
+
+    rl = recall(ann_lsh_topk(emb, q, k, dim=dim, n_bits=4,
+                             n_probe=4).toPandas())
+    assert rl >= 0.90, f"planted-cluster LSH recall {rl}"
+
+    km = kmeans_centroids(emb, 8, n_iter=5, score="gemm")
+    riv = recall(ivf_topk(emb, q, km, k, n_probe=2,
                           score="gemm").toPandas())
-    assert riv >= 0.70, f"ivf kmeans-8 n_probe=4 recall {riv}"
+    assert riv >= 0.90, f"planted-cluster IVF recall {riv}"
 
 
 def test_ann_lsh_multiprobe_recall(spark, emb):
