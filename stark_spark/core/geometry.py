@@ -303,7 +303,17 @@ def _split_depth(body: str, depth0: int) -> list[str]:
         else:
             cur.append(ch)
     out.append("".join(cur))
-    return [s.strip().lstrip("(").rstrip(")") for s in out]
+    # remove exactly ONE paren layer: the chunk for a polygon with
+    # ring(s) looks like "((x y, ...))" or "((shell)),((hole))" —
+    # stripping every leading paren (the old lstrip bug) exposed the
+    # coordinate list to the next depth-0 comma split, which chopped
+    # each multipolygon ring into single-point rings
+    def _unwrap(s: str) -> str:
+        s = s.strip()
+        if s.startswith("(") and s.endswith(")"):
+            s = s[1:-1]
+        return s.strip()
+    return [_unwrap(s) for s in out]
 
 
 def _close(ring: np.ndarray) -> np.ndarray:
@@ -996,3 +1006,365 @@ def simplify(g: Geometry, tol: float) -> Geometry:
             return box(xmin, ymin, xmax, ymax)
         # holes that collapse are dropped
     return Geometry("POLYGON", rings)
+
+
+# ---------------------------------------------------------------------------
+# batched measures: ragged ring arrays over a WKB batch
+# ---------------------------------------------------------------------------
+# The Arrow-batch measure UDFs (functions/register.py) used to loop
+# `fn(from_wkb(b))` per element — fine for points (which short-circuit
+# through `decode_points`), but Python-per-geometry for polygon/line
+# batches. Here a single cheap header scan per batch lays every ring
+# out as (flat coords, ring pointers, element ids); the measures are
+# then one numpy pass each (`np.add.reduceat` per ring + `np.bincount`
+# per element). Same ragged layout idea as the refine kernels above.
+
+
+class _UnsupportedWkb(Exception):
+    pass
+
+
+def _scan_wkb(mv, off: int, i: int, rings: list, pts: list,
+              buf) -> int:
+    """Collect (buffer, byte offset, npts, elem, is_hole) per ring and
+    (elem, byte offset) per point from one LE 2-D WKB geometry.
+    Raises _UnsupportedWkb on big-endian or Z/M data (the caller falls
+    back to the per-element path)."""
+    if mv[off] != 1:
+        raise _UnsupportedWkb
+    typ = int.from_bytes(mv[off + 1:off + 5], "little")
+    if typ & 0x80000000 or typ >= 1000:
+        raise _UnsupportedWkb
+    off += 5
+    if typ == 1:                                    # POINT
+        pts.append((i, off))
+        return off + 16
+    if typ == 2:                                    # LINESTRING
+        n = int.from_bytes(mv[off:off + 4], "little")
+        off += 4
+        rings.append((buf, off, n, i, False, False))
+        return off + 16 * n
+    if typ == 3:                                    # POLYGON
+        nr = int.from_bytes(mv[off:off + 4], "little")
+        off += 4
+        for r in range(nr):
+            n = int.from_bytes(mv[off:off + 4], "little")
+            off += 4
+            rings.append((buf, off, n, i, r > 0, True))
+            off += 16 * n
+        return off
+    if typ in (4, 5, 6, 7):                         # MULTI* / collection
+        np_ = int.from_bytes(mv[off:off + 4], "little")
+        off += 4
+        for _ in range(np_):
+            off = _scan_wkb(mv, off, i, rings, pts, buf)
+        return off
+    raise _UnsupportedWkb
+
+
+class _RaggedRings:
+    """Batch layout: flat (x, y) for every ring vertex + per-ring and
+    per-point index arrays. `elem` arrays map back to batch rows."""
+
+    __slots__ = ("n", "null", "xy", "ptr", "ring_elem", "ring_hole",
+                 "ring_closed", "pt_elem", "pt_xy")
+
+    def __init__(self, wkbs):
+        wkbs = list(wkbs)          # bytes/bytearray both fine as-is
+        self.n = len(wkbs)
+        self.null = np.fromiter((b is None for b in wkbs),
+                                dtype=bool, count=self.n)
+        lens = np.fromiter((0 if b is None else len(b) for b in wkbs),
+                           dtype=np.int64, count=self.n)
+        joined = b"".join(b for b in wkbs if b is not None)
+        big = np.frombuffer(joined, dtype=np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) \
+            if self.n else np.zeros(0, dtype=np.int64)
+        valid = ~self.null
+        if valid.any() and lens[valid].min() < 9:
+            raise _UnsupportedWkb
+        vi = np.flatnonzero(valid)
+
+        def _u32(off):
+            b4 = big[off[:, None] + np.arange(4)]
+            return (b4.astype(np.int64)
+                    @ np.array([1, 256, 65536, 16777216], dtype=np.int64))
+
+        if len(vi) and (big[starts[vi]] != 1).any():
+            raise _UnsupportedWkb              # big-endian anywhere
+        typ = np.zeros(self.n, dtype=np.int64)
+        typ[vi] = _u32(starts[vi] + 1)
+        if ((typ[vi] < 1) | (typ[vi] > 7)).any():
+            raise _UnsupportedWkb              # Z/M or junk
+
+        # fully vectorized classes: POINT / LINESTRING / 1-ring POLYGON
+        is_pt = valid & (typ == 1)
+        is_ls = valid & (typ == 2)
+        nr = np.zeros(self.n, dtype=np.int64)
+        pg = np.flatnonzero(valid & (typ == 3))
+        if len(pg):
+            nr[pg] = _u32(starts[pg] + 5)
+        is_pg1 = valid & (typ == 3) & (nr == 1)
+        simple = is_pt | is_ls | is_pg1
+        if (lens[is_pt] != 21).any():
+            raise _UnsupportedWkb
+
+        r_off = []      # absolute coord offset per ring (bytes)
+        r_npt = []      # points per ring
+        r_elem = []
+        r_hole = []
+        r_closed = []
+        li = np.flatnonzero(is_ls)
+        if len(li):
+            npt = _u32(starts[li] + 5)
+            if (lens[li] != 9 + 16 * npt).any():
+                raise _UnsupportedWkb
+            r_off.append(starts[li] + 9)
+            r_npt.append(npt)
+            r_elem.append(li)
+            r_hole.append(np.zeros(len(li), dtype=bool))
+            r_closed.append(np.zeros(len(li), dtype=bool))
+        p1 = np.flatnonzero(is_pg1)
+        if len(p1):
+            npt = _u32(starts[p1] + 9)
+            if (lens[p1] != 13 + 16 * npt).any():
+                raise _UnsupportedWkb
+            r_off.append(starts[p1] + 13)
+            r_npt.append(npt)
+            r_elem.append(p1)
+            r_hole.append(np.zeros(len(p1), dtype=bool))
+            r_closed.append(np.ones(len(p1), dtype=bool))
+
+        # the rare complex shapes (multi-ring polygons, MULTI*,
+        # collections) go through the per-element header scan
+        pts: list = []
+        cx = np.flatnonzero(valid & ~simple)
+        if len(cx):
+            rings: list = []
+            for i in cx:
+                cpts: list = []
+                _scan_wkb(memoryview(wkbs[i]), 0, int(i), rings, cpts,
+                          None)
+                pts.extend((int(i), starts[i] + o) for _, o in cpts)
+            if rings:
+                r_off.append(np.array(
+                    [starts[r[3]] + r[1] for r in rings],
+                    dtype=np.int64))
+                r_npt.append(np.array([r[2] for r in rings],
+                                      dtype=np.int64))
+                r_elem.append(np.array([r[3] for r in rings],
+                                       dtype=np.int64))
+                r_hole.append(np.array([r[4] for r in rings],
+                                       dtype=bool))
+                r_closed.append(np.array([r[5] for r in rings],
+                                         dtype=bool))
+        pi = np.flatnonzero(is_pt)
+        pts.extend((int(i), starts[i] + 5) for i in pi)
+
+        if r_off:
+            off = np.concatenate(r_off)
+            npts = np.concatenate(r_npt)
+            self.ring_elem = np.concatenate(r_elem)
+            self.ring_hole = np.concatenate(r_hole)
+            self.ring_closed = np.concatenate(r_closed)
+            # ring order in the flat layout is free (every consumer
+            # goes through ptr / ring_elem): sort by (npts, phase) so
+            # each gather group writes ONE contiguous slice instead of
+            # a scattered fancy assignment
+            order = np.lexsort((off % 8, npts))
+            off = off[order]
+            npts = npts[order]
+            self.ring_elem = self.ring_elem[order]
+            self.ring_hole = self.ring_hole[order]
+            self.ring_closed = self.ring_closed[order]
+            # gather every coordinate into the flat ring layout at
+            # FLOAT64 granularity: WKB coord runs are unaligned (byte
+            # 13 / 9 headers), so eight phase-shifted unaligned <f8
+            # views of the joined buffer cover every possible offset
+            # mod 8 — a ring's doubles are then contiguous in the view
+            # of its phase, and rings sharing a vertex count gather
+            # with one rectangular fancy index (8x fewer indexed
+            # elements than a byte gather). A long tail of distinct
+            # counts falls back to the general ragged byte gather.
+            self.ptr = np.concatenate([[0], np.cumsum(npts)])
+            total = int(self.ptr[-1])
+            uniq = np.unique(npts)
+            if len(uniq) <= 32:
+                view8 = [np.frombuffer(joined, dtype="<f8",
+                                       count=(len(joined) - p) // 8,
+                                       offset=p)
+                         if len(joined) >= p + 8 else np.zeros(0)
+                         for p in range(8)]
+                xyflat = np.empty(total * 2, dtype=np.float64)
+                phase = off % 8
+                fidx = off // 8
+                # rings are (npts, phase)-sorted: each group is a
+                # contiguous run of rings AND a contiguous slice of
+                # xyflat
+                grp = np.flatnonzero(np.diff(npts) | np.diff(phase))
+                bounds = np.concatenate([[0], grp + 1, [len(npts)]])
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    u = int(npts[a])
+                    mat = view8[phase[a]][fidx[a:b][:, None]
+                                          + np.arange(2 * u)]
+                    xyflat[self.ptr[a] * 2:self.ptr[b] * 2] = mat.ravel()
+                self.xy = xyflat.reshape(-1, 2)
+            else:
+                cnt = npts * 16
+                base = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+                idx = (np.arange(total * 16)
+                       + np.repeat(off - base, cnt))
+                self.xy = np.ascontiguousarray(big[idx]).view("<f8") \
+                    .reshape(-1, 2)
+        else:
+            self.xy = np.zeros((0, 2))
+            self.ptr = np.zeros(1, dtype=np.int64)
+            self.ring_elem = np.zeros(0, dtype=np.int64)
+            self.ring_hole = np.zeros(0, dtype=bool)
+            self.ring_closed = np.zeros(0, dtype=bool)
+        self.pt_elem = np.array([p[0] for p in pts], dtype=np.int64)
+        if pts:
+            po = np.array([p[1] for p in pts], dtype=np.int64)
+            self.pt_xy = np.ascontiguousarray(
+                big[po[:, None] + np.arange(16)]).view("<f8")
+        else:
+            self.pt_xy = np.zeros((0, 2))
+
+    def _per_ring(self, seg_vals: np.ndarray) -> np.ndarray:
+        """Sum per-segment values ring-by-ring. seg_vals has one entry
+        per consecutive vertex pair in the FLAT layout (len total-1);
+        the spurious boundary segment joining ring r's last vertex to
+        ring r+1's first is subtracted out."""
+        if len(self.ring_elem) == 0:
+            return np.zeros(0)
+        sums = np.add.reduceat(seg_vals, self.ptr[:-1])
+        if len(self.ring_elem) > 1:
+            sums[:-1] -= seg_vals[self.ptr[1:-1] - 1]
+        # single-vertex final ring: reduceat reads past its range
+        npts = np.diff(self.ptr)
+        sums[npts <= 1] = 0.0
+        return sums
+
+
+def _ragged(wkbs) -> _RaggedRings | None:
+    try:
+        return _RaggedRings(wkbs)
+    except (_UnsupportedWkb, ValueError, IndexError):
+        return None
+
+
+def batch_area(wkbs) -> np.ndarray | None:
+    """Vectorized `area` over a WKB batch (None → unsupported shapes,
+    caller falls back). NaN marks null inputs."""
+    r = _ragged(wkbs)
+    if r is None:
+        return None
+    x, y = r.xy[:, 0], r.xy[:, 1]
+    cross = (x[:-1] * y[1:] - x[1:] * y[:-1]) if len(x) > 1 else \
+        np.zeros(0)
+    ring_a2 = r._per_ring(cross)
+    # open rings (linestrings) have zero area; shells add, holes cut
+    val = np.where(r.ring_closed,
+                   np.where(r.ring_hole, -np.abs(ring_a2),
+                            np.abs(ring_a2)) * 0.5, 0.0)
+    out = np.bincount(r.ring_elem, weights=val, minlength=r.n)
+    out[r.null] = np.nan
+    return out
+
+
+def batch_length(wkbs) -> np.ndarray | None:
+    """Vectorized `length` (line length / polygon perimeter incl.
+    holes) over a WKB batch."""
+    r = _ragged(wkbs)
+    if r is None:
+        return None
+    d = np.diff(r.xy, axis=0) if len(r.xy) > 1 else np.zeros((0, 2))
+    seg = np.hypot(d[:, 0], d[:, 1])
+    ring_len = r._per_ring(seg)
+    out = np.bincount(r.ring_elem, weights=ring_len, minlength=r.n)
+    out[r.null] = np.nan
+    return out
+
+
+def points_to_wkb(xs: np.ndarray, ys: np.ndarray) -> list:
+    """Vectorized POINT WKB assembly: one (n, 21) uint8 matrix, bytes
+    views per row. The reverse of `decode_points`' fast path."""
+    n = len(xs)
+    out = np.zeros((n, 21), dtype=np.uint8)
+    out[:, 0] = 1
+    out[:, 1] = 1
+    out[:, 5:13] = np.ascontiguousarray(
+        np.asarray(xs, dtype="<f8")).view(np.uint8).reshape(n, 8)
+    out[:, 13:21] = np.ascontiguousarray(
+        np.asarray(ys, dtype="<f8")).view(np.uint8).reshape(n, 8)
+    return [r.tobytes() for r in out]
+
+
+def batch_centroid(wkbs) -> list | None:
+    """Vectorized `centroid` over a WKB batch → list of POINT WKBs
+    (None entries for null inputs). Follows the JTS highest-dimension
+    rule per element; elements whose top-dimension weight is zero
+    (degenerate) fall back to the exact per-element path."""
+    r = _ragged(wkbs)
+    if r is None:
+        return None
+    wkbs = list(wkbs)
+    n = r.n
+    x, y = r.xy[:, 0], r.xy[:, 1]
+    if len(x) > 1:
+        cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+        cx3 = (x[:-1] + x[1:]) * cross
+        cy3 = (y[:-1] + y[1:]) * cross
+        d = np.diff(r.xy, axis=0)
+        seg = np.hypot(d[:, 0], d[:, 1])
+        midx = (x[:-1] + x[1:]) * 0.5 * seg
+        midy = (y[:-1] + y[1:]) * 0.5 * seg
+    else:
+        cross = cx3 = cy3 = seg = midx = midy = np.zeros(0)
+    ring_a2 = r._per_ring(cross)
+    ring_cx = r._per_ring(cx3) / 3.0
+    ring_cy = r._per_ring(cy3) / 3.0
+    # normalize orientation, apply hole sign (mirrors _centroid_acc)
+    flip = ring_a2 < 0
+    ring_a2 = np.abs(ring_a2)
+    ring_cx = np.where(flip, -ring_cx, ring_cx)
+    ring_cy = np.where(flip, -ring_cy, ring_cy)
+    sgn = np.where(r.ring_hole, -1.0, 1.0) * np.where(r.ring_closed,
+                                                      1.0, 0.0)
+    aw = np.bincount(r.ring_elem, weights=sgn * ring_a2 / 2.0,
+                     minlength=n)
+    ax = np.bincount(r.ring_elem, weights=sgn * ring_cx / 2.0,
+                     minlength=n)
+    ay = np.bincount(r.ring_elem, weights=sgn * ring_cy / 2.0,
+                     minlength=n)
+    has_area = np.bincount(r.ring_elem[r.ring_closed],
+                           minlength=n) > 0
+    lw = np.bincount(r.ring_elem, weights=r._per_ring(seg),
+                     minlength=n)
+    lx = np.bincount(r.ring_elem, weights=r._per_ring(midx),
+                     minlength=n)
+    ly = np.bincount(r.ring_elem, weights=r._per_ring(midy),
+                     minlength=n)
+    has_line = np.bincount(r.ring_elem, minlength=n) > 0
+    pw = np.bincount(r.pt_elem, minlength=n).astype(float)
+    px = np.bincount(r.pt_elem, weights=r.pt_xy[:, 0], minlength=n)
+    py = np.bincount(r.pt_elem, weights=r.pt_xy[:, 1], minlength=n)
+
+    w = np.where(has_area, aw, np.where(has_line, lw, pw))
+    wx = np.where(has_area, ax, np.where(has_line, lx, px))
+    wy = np.where(has_area, ay, np.where(has_line, ly, py))
+    ok = w != 0
+    cx = np.where(ok, wx / np.where(ok, w, 1.0), np.nan)
+    cy = np.where(ok, wy / np.where(ok, w, 1.0), np.nan)
+    encoded = points_to_wkb(cx, cy)
+    if ok.all() and not r.null.any():     # common case: no tail loop
+        return encoded
+    out = []
+    for i in range(n):
+        if r.null[i]:
+            out.append(None)
+        elif not ok[i]:                   # degenerate: exact fallback
+            out.append(to_wkb(centroid(from_wkb(bytes(wkbs[i])))))
+        else:
+            out.append(encoded[i])
+    return out

@@ -106,14 +106,28 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
         return len(wkb) > 0 and all(
             b is not None and len(b) == 21 and b[0] == 1 for b in wkb)
 
-    def _measure(fn, out_wkb: bool = False, point_fast=None):
+    def _measure(fn, out_wkb: bool = False, point_fast=None,
+                 batch_fast=None):
         """Arrow-batch measure. ``point_fast(xs, ys)`` short-circuits
         all-point batches with one vectorized numpy pass (points are
-        identity/zero cases for every measure)."""
+        identity/zero cases for every measure); ``batch_fast(wkbs)``
+        handles MIXED geometry batches with the ragged-ring kernels
+        (core/geometry.py `batch_area`/`batch_length`/
+        `batch_centroid`) — the per-element from_wkb loop remains only
+        as the fallback for shapes the batch parser declines
+        (big-endian, Z)."""
         def _m(wkb: pd.Series) -> pd.Series:
             if point_fast is not None and _all_points(wkb):
                 xs, ys = G.decode_points(wkb)
                 return point_fast(wkb, xs, ys)
+            if batch_fast is not None:
+                got = batch_fast(wkb)
+                if got is not None:
+                    # nulls: NaN for measures (matching the loop
+                    # path's None→NaN coercion), None for WKB output
+                    return pd.Series(got,
+                                     dtype=object if out_wkb
+                                     else "float64")
             out = []
             for b in wkb:
                 if b is None:
@@ -131,14 +145,17 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
         return pd.Series(list(wkb), dtype=object)
 
     spark.udf.register(
-        "st_area", pandas_udf(_measure(G.area, point_fast=_zeros),
+        "st_area", pandas_udf(_measure(G.area, point_fast=_zeros,
+                                       batch_fast=G.batch_area),
                               DoubleType()))
     spark.udf.register(
-        "st_length", pandas_udf(_measure(G.length, point_fast=_zeros),
+        "st_length", pandas_udf(_measure(G.length, point_fast=_zeros,
+                                         batch_fast=G.batch_length),
                                 DoubleType()))
     spark.udf.register(
         "st_centroid", pandas_udf(_measure(G.centroid, out_wkb=True,
-                                           point_fast=_identity),
+                                           point_fast=_identity,
+                                           batch_fast=G.batch_centroid),
                                   BinaryType()))
     spark.udf.register(
         "st_envelope", pandas_udf(_measure(G.envelope, out_wkb=True,
