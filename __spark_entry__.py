@@ -941,6 +941,47 @@ def _q_sql_st_measures(spark, sf):
             FROM __sql_ev_m WHERE event_id % 13 = 0) t) s""")
 
 
+def _q_sql_st_buffer(spark, sf):
+    """Positive geometric buffer on the SQL surface (core.geometry
+    `buffer`: Minkowski sum with a disc, 8 segments per quadrant —
+    JTS `buffer(d)` semantics). Point buffers are regular 32-gons and
+    axis-aligned rectangle buffers round each corner with exactly
+    8 chords of pi/16, so area and perimeter have CLOSED FORMS the
+    DuckDB oracle evaluates analytically:
+      point:  area = 16*sin(pi/16)*d^2,  perim = 64*d*sin(pi/32)
+      rect:   area = dx*dy + 2*(dx+dy)*d + 16*sin(pi/16)*d^2
+              perim = 2*(dx+dy) + 64*d*sin(pi/32)
+    — the gate checks the whole chain constructor → buffer → measure
+    against geometry-free arithmetic."""
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    D.load(spark, sf, "events").createOrReplaceTempView("__sql_ev_b")
+    return spark.sql(f"""
+        SELECT event_id,
+          CAST(round(st_area(st_buffer(pt, d)) * 10000) AS BIGINT)
+            AS parea_q,
+          CAST(round(st_length(st_buffer(pt, d)) * 10000) AS BIGINT)
+            AS plen_q,
+          CAST(round(st_area(st_buffer(rect, d)) * 10000) AS BIGINT)
+            AS rarea_q,
+          CAST(round(st_length(st_buffer(rect, d)) * 10000) AS BIGINT)
+            AS rlen_q
+        FROM (
+          SELECT event_id, d,
+            st_geomfromwkt(concat('POINT (', x, ' ', y, ')')) AS pt,
+            st_geomfromwkt(concat(
+              'POLYGON ((', x, ' ', y, ', ', x + dx, ' ', y, ', ',
+              x + dx, ' ', y + dy, ', ', x, ' ', y + dy, ', ',
+              x, ' ', y, '))')) AS rect
+          FROM (
+            SELECT event_id, CAST(floor(value) AS DOUBLE) AS x,
+                   CAST(floor({EV_Y}) AS DOUBLE) AS y,
+                   CAST(1 + event_id % 5 AS DOUBLE) AS dx,
+                   CAST(1 + event_id % 7 AS DOUBLE) AS dy,
+                   CAST(1 + event_id % 3 AS DOUBLE) AS d
+            FROM __sql_ev_b WHERE event_id % 13 = 0) t) s""")
+
+
 def _q_sql_hull_simplify(spark, sf):
     """Convex hull + Douglas–Peucker simplification on the SQL surface
     (JTS getConvexHull / DouglasPeuckerSimplifier — part of the
@@ -1766,7 +1807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram": _q_distance_histogram,
         "grid_cell_histogram": _q_grid_histogram,
         "agg_pricing_summary": _q_agg_pricing_summary,
-        "events_daily": _q_events_daily,
         "set_ops_union_distinct": _q_set_ops,
         "raster_rasterize_stats": _q_raster_stats,
         "sql_raster_histogram": _q_sql_raster_hist,
@@ -1784,10 +1824,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-5 gates (never driver-checked → must be in
         # the window per the stalest-first invariant) ---
         "contamination_bloom_jvm": _q_contamination_bloom_jvm,
+        "sql_st_buffer": _q_sql_st_buffer,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
+        "events_daily": _q_events_daily,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -2688,6 +2730,28 @@ SELECT event_id,
              / 3.0 / (c1 + c2 + c3) * 10000) AS BIGINT) AS cy_q,
   CAST(round(dx * dy * 10000) AS BIGINT) AS env_q
 FROM c""",
+
+        # buffer gate: closed-form analytic mirror (no geometry code
+        # in the oracle at all) — see _q_sql_st_buffer docstring
+        "sql_st_buffer": f"""
+WITH t AS (
+  SELECT event_id, CAST(floor(value) AS DOUBLE) AS x,
+         CAST(floor({EV_Y}) AS DOUBLE) AS y,
+         CAST(1 + event_id % 5 AS DOUBLE) AS dx,
+         CAST(1 + event_id % 7 AS DOUBLE) AS dy,
+         CAST(1 + event_id % 3 AS DOUBLE) AS d
+  FROM events WHERE event_id % 13 = 0
+)
+SELECT event_id,
+  CAST(round((16 * sin(pi() / 16) * d * d) * 10000) AS BIGINT)
+    AS parea_q,
+  CAST(round((64 * d * sin(pi() / 32)) * 10000) AS BIGINT) AS plen_q,
+  CAST(round((dx * dy + 2 * (dx + dy) * d
+              + 16 * sin(pi() / 16) * d * d) * 10000) AS BIGINT)
+    AS rarea_q,
+  CAST(round((2 * (dx + dy) + 64 * d * sin(pi() / 32)) * 10000)
+    AS BIGINT) AS rlen_q
+FROM t""",
 
         "sql_raster_histogram": f"""
 WITH pix AS (

@@ -122,6 +122,18 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows; warm {warm[name]}s)",
               file=sys.stderr)
 
+    # contention canary: a fixed 2000^2 f32 GEMM timed on the driver.
+    # Host CPU contention has moved identical bench code by up to 10x
+    # across rounds (PARITY.md); cross-round per-query comparisons
+    # should be auto-discounted when this canary is >2x its
+    # quiet-window value (~0.1 s on this host class).
+    import numpy as _np
+    _a = _np.ones((2000, 2000), dtype=_np.float32)
+    _a @ _a  # warm BLAS threadpool
+    t0 = time.perf_counter()
+    _a @ _a
+    canary = round(time.perf_counter() - t0, 4)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
@@ -131,6 +143,7 @@ def main() -> None:
         "queries": times,
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
+        "canary_gemm_s": canary,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

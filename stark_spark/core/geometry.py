@@ -1368,3 +1368,74 @@ def batch_centroid(wkbs) -> list | None:
         else:
             out.append(encoded[i])
     return out
+
+
+# ---------------------------------------------------------------------------
+# buffer
+# ---------------------------------------------------------------------------
+
+def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
+    """Positive buffer (JTS `buffer(d)` with quadrantSegments=8): the
+    Minkowski sum of the geometry with a disc of radius ``dist``,
+    arcs approximated by inscribed segments (quad_segs per quarter
+    circle, so a POINT buffers to a regular 4*quad_segs-gon).
+
+    Supported: POINT, and CONVEX single-ring POLYGON (the offset
+    polygon: edges pushed outward along their normals, vertices
+    rounded with arcs). The buffered area of the approximation has the
+    closed form  A + P*d + n*sin(2*pi/n)*d^2/2  (n = 4*quad_segs) —
+    the oracle gates and property tests pin it exactly. Concave or
+    holed inputs raise (reference parity note: the reference engine
+    exposes no geometric buffer either — SURVEY/PARITY record
+    within-distance as the predicate-side substitute; this covers the
+    constructive "give me the zone polygon" use).
+    """
+    if not (dist > 0):
+        raise ValueError("buffer: dist must be > 0")
+    n_arc = 4 * int(quad_segs)
+    if g.kind == "POINT":
+        cx, cy = float(g.coords[0]), float(g.coords[1])
+        ang = np.arange(n_arc) * (2 * np.pi / n_arc)
+        ring = np.c_[cx + dist * np.cos(ang), cy + dist * np.sin(ang)]
+        return Geometry("POLYGON", [np.vstack([ring, ring[0]])])
+    if g.kind != "POLYGON" or len(g.coords) != 1:
+        raise ValueError("buffer: only POINT and convex single-ring "
+                         "POLYGON are supported")
+    ring = np.asarray(g.coords[0], dtype=float)[:-1]   # drop closing dup
+    if _ring_signed_area2(np.vstack([ring, ring[0]])) < 0:
+        ring = ring[::-1]                              # force CCW
+    # drop consecutive duplicate vertices
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = np.any(ring[1:] != ring[:-1], axis=1)
+    ring = ring[keep]
+    if len(ring) < 3:
+        raise ValueError("buffer: degenerate ring")
+    d = np.roll(ring, -1, axis=0) - ring               # edge vectors
+    crosses = (d[:, 0] * np.roll(d, -1, axis=0)[:, 1]
+               - d[:, 1] * np.roll(d, -1, axis=0)[:, 0])
+    if (crosses < -1e-12).any():
+        raise ValueError("buffer: ring must be convex")
+    # outward normal of a CCW edge = direction rotated -90deg
+    norm = np.hypot(d[:, 0], d[:, 1])
+    nx, ny = d[:, 1] / norm, -d[:, 0] / norm
+    step = (np.pi / 2) / quad_segs
+    pts = []
+    m = len(ring)
+    for i in range(m):
+        v = ring[i]
+        # offset edge i start at this vertex
+        pts.append(v + dist * np.array([nx[i], ny[i]]))
+        # arc at the NEXT vertex: from normal i to normal i+1 (CCW)
+        j = (i + 1) % m
+        w = ring[j]
+        a0 = np.arctan2(ny[i], nx[i])
+        a1 = np.arctan2(ny[j], nx[j])
+        sweep = (a1 - a0) % (2 * np.pi)
+        pts.append(w + dist * np.array([nx[i], ny[i]]))
+        if sweep > 1e-12:
+            k = int(np.ceil(sweep / step))
+            for t in range(1, k):
+                a = a0 + sweep * t / k
+                pts.append(w + dist * np.array([np.cos(a), np.sin(a)]))
+    out = np.vstack(pts + [pts[0]])
+    return Geometry("POLYGON", [out])

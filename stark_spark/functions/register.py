@@ -180,6 +180,18 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
 
     spark.udf.register("st_simplify", pandas_udf(_simplify, BinaryType()))
 
+    def _buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
+        out = []
+        for b, dv in zip(wkb, dist):
+            if b is None:
+                out.append(None)
+                continue
+            out.append(G.to_wkb(G.buffer(G.from_wkb(bytes(b)),
+                                         float(dv))))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("st_buffer", pandas_udf(_buffer, BinaryType()))
+
     def _coord(i):
         # NaN for non-points (accessors must not throw mid-scan)
         return lambda g: (float(g.coords[i]) if g.kind == "POINT"

@@ -411,3 +411,48 @@ def _timed(fn):
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+@given(st.integers(0, 10_000), st.integers(3, 20),
+       st.floats(0.1, 5.0, allow_nan=False))
+@settings(max_examples=40, deadline=None)
+def test_buffer_invariants_convex(seed, n, dist):
+    """Positive convex buffer: covers the original, area grows by
+    exactly P*d + (inscribed-arc area), and buffering a point gives
+    the regular 32-gon with closed-form area/perimeter."""
+    ring = _convex_ring_from(seed, n)
+    if len(ring) < 4:
+        return
+    g = G.Geometry("POLYGON", [np.vstack([ring, ring[0]])
+                               if not np.array_equal(ring[0], ring[-1])
+                               else ring])
+    b = G.buffer(g, dist)
+    assert G.covers(b, g)
+    # area lower/upper bounds: chords under-approximate the true
+    # Minkowski disc, so A+P*d <= area(b) <= A+P*d+pi*d^2
+    A, P = G.area(g), G.length(g)
+    got = G.area(b)
+    assert got >= A + P * dist - 1e-9 * (1 + got)
+    assert got <= A + P * dist + np.pi * dist * dist + 1e-9 * (1 + got)
+
+    pb = G.buffer(G.point(3.0, -2.0), dist)
+    assert G.area(pb) == pytest.approx(
+        16 * np.sin(np.pi / 16) * dist * dist, rel=1e-12)
+    assert G.length(pb) == pytest.approx(
+        64 * dist * np.sin(np.pi / 32), rel=1e-12)
+    c = G.centroid(pb)
+    assert np.allclose(c.coords, [3.0, -2.0], atol=1e-9)
+
+
+def test_buffer_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        G.buffer(G.point(0, 0), 0.0)
+    with pytest.raises(ValueError):
+        G.buffer(G.point(0, 0), -1.0)
+    concave = G.from_wkt("POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4, 0 0))")
+    with pytest.raises(ValueError):
+        G.buffer(concave, 1.0)
+    holed = G.from_wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0),"
+                       " (2 2, 3 2, 3 3, 2 3, 2 2))")
+    with pytest.raises(ValueError):
+        G.buffer(holed, 1.0)

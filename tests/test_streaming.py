@@ -303,3 +303,57 @@ def test_stream_sessionize_matches_batch(spark, ordered_stream_dir):
     assert must_emit <= got, must_emit - got
     assert got <= all_batch, got - all_batch
     assert len(got) > 0
+
+
+def test_state_store_rows_scale_with_keys(spark, stream_dir):
+    """Statefulness bound: the custom stateful operator's state store
+    must hold one row per KEY (grid cell), not per event — unbounded
+    per-event state is the classic streaming scale killer. Checked
+    against the query's own progress metrics (stateOperators), which
+    is exactly what an operator dashboard alarms on at scale."""
+    path, schema = stream_dir
+    s = read_event_stream(spark, path, schema, max_files=2)
+    out = stateful_cell_extremes(s, GRID)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress
+                if p.get("stateOperators")]
+    assert progress, "no stateful progress recorded"
+    n_events = D.load(spark, "/root/testdata/sf0.001", "events").count()
+    n_cells = 8 * 8
+    for p in progress:
+        for op in p["stateOperators"]:
+            rows = op.get("numRowsTotal", 0)
+            assert rows <= n_cells, (
+                f"state rows {rows} exceed key count {n_cells} — "
+                f"state is accumulating per event, not per key")
+    assert n_events > n_cells  # the bound actually discriminates
+
+
+def test_state_store_rows_scale_with_sessions(spark, ordered_stream_dir):
+    """Sessionize state must hold at most one row per ACTIVE key
+    (user), never per event: closed sessions leave the store (emitted
+    + dropped), so numRowsTotal is bounded by distinct user_ids at
+    every progress point."""
+    from stark_spark.streaming import stream_sessionize
+    path, schema = ordered_stream_dir
+    s = read_event_stream(spark, path, schema, max_files=1)
+    out = stream_sessionize(s, key="user_id", time_col="ts",
+                            gap=7200, watermark="1 hour")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progress, "no stateful progress recorded"
+    ev = D.load(spark, "/root/testdata/sf0.001", "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_events = ev.count()
+    for p in progress:
+        for op in p["stateOperators"]:
+            rows = op.get("numRowsTotal", 0)
+            assert rows <= n_users, (
+                f"state rows {rows} exceed active-key bound {n_users}")
+    assert n_events > n_users
