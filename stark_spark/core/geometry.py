@@ -1439,3 +1439,55 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
                 pts.append(w + dist * np.array([np.cos(a), np.sin(a)]))
     out = np.vstack(pts + [pts[0]])
     return Geometry("POLYGON", [out])
+
+
+def batch_envelope(wkbs) -> list | None:
+    """Vectorized `envelope` over a WKB batch → list of WKBs.
+    bboxes come from one minimum/maximum.reduceat pass per ring plus
+    the point coordinates; non-degenerate boxes are assembled as
+    93-byte POLYGON WKBs in one uint8 matrix. Degenerate envelopes
+    (point / axis-aligned line, rare) fall back per element."""
+    r = _ragged(wkbs)
+    if r is None:
+        return None
+    n = r.n
+    xmin = np.full(n, np.inf)
+    ymin = np.full(n, np.inf)
+    xmax = np.full(n, -np.inf)
+    ymax = np.full(n, -np.inf)
+    if len(r.ring_elem):
+        x, y = r.xy[:, 0], r.xy[:, 1]
+        rxmin = np.minimum.reduceat(x, r.ptr[:-1])
+        rymin = np.minimum.reduceat(y, r.ptr[:-1])
+        rxmax = np.maximum.reduceat(x, r.ptr[:-1])
+        rymax = np.maximum.reduceat(y, r.ptr[:-1])
+        np.minimum.at(xmin, r.ring_elem, rxmin)
+        np.minimum.at(ymin, r.ring_elem, rymin)
+        np.maximum.at(xmax, r.ring_elem, rxmax)
+        np.maximum.at(ymax, r.ring_elem, rymax)
+    if len(r.pt_elem):
+        np.minimum.at(xmin, r.pt_elem, r.pt_xy[:, 0])
+        np.minimum.at(ymin, r.pt_elem, r.pt_xy[:, 1])
+        np.maximum.at(xmax, r.pt_elem, r.pt_xy[:, 0])
+        np.maximum.at(ymax, r.pt_elem, r.pt_xy[:, 1])
+    degen = r.null | (xmin == xmax) | (ymin == ymax) | ~np.isfinite(xmin)
+    # 93-byte box WKB: header(9) + npts(4) + 5 * 16 coord bytes
+    mat = np.zeros((n, 93), dtype=np.uint8)
+    mat[:, 0] = 1
+    mat[:, 1] = 3                               # POLYGON
+    mat[:, 5] = 1                               # 1 ring
+    mat[:, 9] = 5                               # 5 points
+    ring = np.stack([xmin, ymin, xmax, ymin, xmax, ymax,
+                     xmin, ymax, xmin, ymin], axis=1)
+    mat[:, 13:93] = np.ascontiguousarray(
+        ring.astype("<f8")).view(np.uint8).reshape(n, 80)
+    out = []
+    wkbs = list(wkbs)
+    for i in range(n):
+        if r.null[i]:
+            out.append(None)
+        elif degen[i]:
+            out.append(to_wkb(envelope(from_wkb(bytes(wkbs[i])))))
+        else:
+            out.append(mat[i].tobytes())
+    return out

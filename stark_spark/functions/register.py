@@ -159,7 +159,8 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
                                   BinaryType()))
     spark.udf.register(
         "st_envelope", pandas_udf(_measure(G.envelope, out_wkb=True,
-                                           point_fast=_identity),
+                                           point_fast=_identity,
+                                           batch_fast=G.batch_envelope),
                                   BinaryType()))
 
     spark.udf.register(
