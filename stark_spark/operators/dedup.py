@@ -251,7 +251,17 @@ def _bloom_probe_joins(scan: DataFrame, hash_col: str,
     after each join the failing ~50% of non-members are filtered out
     before the next, so the k-join chain costs ~2 joins amortized on
     the huge side. Missing word index = no bits set = not a member,
-    so a plain INNER join is exact."""
+    so a plain INNER join is exact.
+
+    The words pipeline (eval scan → explode → bit_or aggregate) is
+    `localCheckpoint`ed EAGERLY first: without it each of the k
+    broadcasts re-evaluates the whole eval aggregation (verified: 11
+    BroadcastExchanges, zero ReusedExchange — per-join column renames
+    defeat Spark's exchange-reuse canonicalization). The checkpoint
+    materializes m/32 rows once (~450k longs per million eval hashes,
+    a few MB of block storage) and every broadcast reads those
+    blocks."""
+    words_df = words_df.localCheckpoint(eager=True)
     h1, h2 = _bloom_h12(F.col(hash_col), m)
     out = scan.withColumn("_h1", h1).withColumn("_h2", h2)
     for j in range(k):
