@@ -1034,6 +1034,26 @@ def _q_events_gapfill_interp(spark, sf):
                                fill="interp")
 
 
+def _q_vocab_top_k(spark, sf):
+    """Corpus vocabulary build (tokenizer/frequency-cutoff pass):
+    exact token counts, deterministic (count DESC, token ASC) top-100.
+    Explode → map-side-combined hash aggregate →
+    TakeOrderedAndProject."""
+    from stark_spark.operators.text import vocab_top_k
+    docs = D.load(spark, sf, "documents")
+    return vocab_top_k(docs, 100)
+
+
+def _q_doc_logprob(spark, sf):
+    """Unigram LM quality scoring against the corpus' own
+    distribution — the classic perplexity-ish quality filter. Every
+    ln() term is quantized to an exact integer (floor(ln·1e6)) before
+    the per-doc BIGINT sum, so both engines agree exactly."""
+    from stark_spark.operators.text import doc_logprob
+    docs = D.load(spark, sf, "documents")
+    return doc_logprob(docs, "doc_id")
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -1804,10 +1824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": _q_skyline,
         "skyline_angular": _q_skyline_angular,
         "dbscan": _q_dbscan,
-        "distance_histogram": _q_distance_histogram,
         "grid_cell_histogram": _q_grid_histogram,
         "agg_pricing_summary": _q_agg_pricing_summary,
-        "set_ops_union_distinct": _q_set_ops,
         "raster_rasterize_stats": _q_raster_stats,
         "sql_raster_histogram": _q_sql_raster_hist,
         "raster_join_vector_clip": _q_raster_join_vector_clip,
@@ -1825,11 +1843,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window per the stalest-first invariant) ---
         "contamination_bloom_jvm": _q_contamination_bloom_jvm,
         "sql_st_buffer": _q_sql_st_buffer,
+        "vocab_top_k": _q_vocab_top_k,
+        "doc_logprob": _q_doc_logprob,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
         "events_daily": _q_events_daily,
+        "set_ops_union_distinct": _q_set_ops,
+        "distance_histogram": _q_distance_histogram,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -2857,6 +2879,36 @@ WHERE n_common / (x.sz + y.sz - n_common) >= 0.12""",
         "dedup_simhash_pairs": _simhash64_pairs_sql(6),
 
         "text_profile": _text_profile_sql(),
+
+        "vocab_top_k": """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM tok WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 100""",
+
+        # ln quantized to floor(ln*1e6) BIGINT per term BEFORE the
+        # sum — the per-doc total is exact integer arithmetic in both
+        # engines (same cross-engine trick as the A-ES sampling keys)
+        "doc_logprob": """
+WITH tk AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents) t
+  WHERE token <> ''
+), vocab AS (
+  SELECT token, count(*) AS n FROM tk GROUP BY token
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total FROM vocab
+)
+SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(CAST(floor(ln(CAST(vocab.n AS DOUBLE) / tot.total)
+                      * 1000000) AS BIGINT)) AS BIGINT) AS logprob_q
+FROM tk JOIN vocab USING (token), tot
+GROUP BY tk.doc_id""",
 
         "text_by_source": """
 WITH t AS (

@@ -262,3 +262,59 @@ def chunk_by_tokens(df: DataFrame, key: str, text_col: str = "text", *,
         key, "chunk_id",
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk"))
+
+
+def vocab_top_k(df: DataFrame, k: int, *, text_col: str = "text",
+                min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: exact token counts, top-k by (count DESC,
+    token ASC) — the tokenizer-building / frequency-cutoff pass every
+    training pipeline runs before fitting a BPE model.
+
+    Scale shape: explode → hash aggregate with map-side combine (each
+    task pre-counts its tokens, the shuffle carries per-task distinct
+    tokens only), then the global top-k plans as
+    TakeOrderedAndProject — per-partition heaps, no full sort.
+    Output: (token, n)."""
+    tok = (df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+             .where(F.col("token") != ""))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    if min_count > 1:
+        counts = counts.where(F.col("n") >= min_count)
+    return counts.orderBy(F.desc("n"), F.col("token")).limit(k)
+
+
+def doc_logprob(df: DataFrame, key: str, *, text_col: str = "text",
+                vocab: DataFrame | None = None) -> DataFrame:
+    """Unigram log-probability quality score per document (the classic
+    LM-based quality filter: perplexity-ish scoring against the
+    corpus' own unigram distribution, OOV-free by construction since
+    the vocabulary IS the corpus).
+
+    Cross-engine exactness: every ln() is quantized onto an exact
+    integer grid BEFORE summation — per token the score contribution
+    is floor(ln(count/total)·1e6) as a BIGINT, so the per-document sum
+    is exact integer arithmetic in any engine (same trick as the A-ES
+    sampling keys; a 1-ulp libm difference flips a term only when
+    ln·1e6 sits within 1 ulp of an integer).
+
+    Scale shape: one corpus aggregate for counts (map-side combined),
+    broadcast-joined back to the exploded tokens (vocab is
+    |distinct tokens| — broadcast at any realistic corpus; pass a
+    pre-filtered ``vocab`` to cap it), then one groupBy(key) sum.
+    Output: (key, n_tokens, logprob_q) with logprob_q = Σ quantized
+    terms (BIGINT)."""
+    tok = (df.select(F.col(key),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+             .where(F.col("token") != ""))
+    if vocab is None:
+        vocab = tok.groupBy("token").agg(F.count("*").alias("_n"))
+    else:
+        vocab = vocab.select("token", F.col("n").alias("_n"))
+    total = vocab.agg(F.sum("_n")).first()[0]
+    term = F.floor(
+        F.log(F.col("_n").cast("double") / F.lit(float(total)))
+        * F.lit(1e6)).cast("long")
+    return (tok.join(F.broadcast(vocab), "token")
+               .groupBy(key)
+               .agg(F.count("*").alias("n_tokens"),
+                    F.sum(term).alias("logprob_q")))

@@ -799,3 +799,39 @@ def test_ann_lsh_multiprobe_recall(spark, emb):
         for i in range(min(len(c1), len(c2))):
             assert c2[i] >= c1[i] - 1e-12
         assert len(b) >= len(a)
+
+
+def test_vocab_top_k(spark):
+    """Exact counts, deterministic tie order, empty tokens dropped,
+    min_count cutoff, and a TakeOrderedAndProject (no global sort)
+    plan."""
+    from stark_spark.operators.text import vocab_top_k
+    df = spark.createDataFrame(
+        [(1, "a b b  c"), (2, "b c d"), (3, "a  b")],
+        "doc_id long, text string")
+    got = [(r.token, r.n) for r in vocab_top_k(df, 3).collect()]
+    assert got == [("b", 4), ("a", 2), ("c", 2)]    # ties: token ASC
+    cut = {r.token for r in
+           vocab_top_k(df, 10, min_count=2).collect()}
+    assert cut == {"a", "b", "c"}
+    plan = vocab_top_k(df, 3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_doc_logprob(spark):
+    """Quantized unigram logprob: exact integer sums reproduce the
+    hand-computed per-token terms; frequent-token docs score higher
+    (less negative) than rare-token docs of equal length."""
+    import math
+    from stark_spark.operators.text import doc_logprob
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b z")],
+        "doc_id long, text string")
+    # corpus counts: a=6, b=1, z=1, total=8
+    got = {r.doc_id: (r.n_tokens, r.logprob_q)
+           for r in doc_logprob(df, "doc_id").collect()}
+    t = lambda c: math.floor(math.log(c / 8.0) * 1e6)
+    assert got[1] == (4, 4 * t(6))
+    assert got[2] == (4, 2 * t(6) + t(1) + t(1))
+    assert got[1][1] > got[2][1]
