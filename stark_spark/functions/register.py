@@ -182,6 +182,9 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
     spark.udf.register("st_simplify", pandas_udf(_simplify, BinaryType()))
 
     def _buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
+        fast = G.batch_buffer_points(wkb, dist)
+        if fast is not None:
+            return pd.Series(fast, dtype=object)
         out = []
         for b, dv in zip(wkb, dist):
             if b is None:

@@ -489,3 +489,20 @@ def test_batch_envelope_matches_scalar(seed):
             assert e is None
             continue
         assert e == G.to_wkb(G.envelope(G.from_wkb(b)))
+
+
+def test_batch_buffer_points_bit_identical():
+    """The vectorized all-point buffer path produces byte-identical
+    WKB to the scalar `buffer` (same trig arguments, same ring
+    order), declines non-point batches, and rejects d <= 0."""
+    wkbs = [G.to_wkb(G.point(float(i), float(i * 2 % 7)))
+            for i in range(40)]
+    ds = [1.0 + (i % 3) for i in range(40)]
+    got = G.batch_buffer_points(wkbs, ds)
+    assert got is not None
+    for b, d, g in zip(wkbs, ds, got):
+        assert g == G.to_wkb(G.buffer(G.from_wkb(b), d))
+    assert G.batch_buffer_points([G.to_wkb(G.box(0, 0, 1, 1))],
+                                 [1.0]) is None
+    with pytest.raises(ValueError):
+        G.batch_buffer_points(wkbs[:2], [1.0, 0.0])
