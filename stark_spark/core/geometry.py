@@ -1024,9 +1024,8 @@ class _UnsupportedWkb(Exception):
     pass
 
 
-def _scan_wkb(mv, off: int, i: int, rings: list, pts: list,
-              buf) -> int:
-    """Collect (buffer, byte offset, npts, elem, is_hole) per ring and
+def _scan_wkb(mv, off: int, i: int, rings: list, pts: list) -> int:
+    """Collect (byte offset, npts, elem, is_hole, closed) per ring and
     (elem, byte offset) per point from one LE 2-D WKB geometry.
     Raises _UnsupportedWkb on big-endian or Z/M data (the caller falls
     back to the per-element path)."""
@@ -1042,7 +1041,7 @@ def _scan_wkb(mv, off: int, i: int, rings: list, pts: list,
     if typ == 2:                                    # LINESTRING
         n = int.from_bytes(mv[off:off + 4], "little")
         off += 4
-        rings.append((buf, off, n, i, False, False))
+        rings.append((off, n, i, False, False))
         return off + 16 * n
     if typ == 3:                                    # POLYGON
         nr = int.from_bytes(mv[off:off + 4], "little")
@@ -1050,14 +1049,14 @@ def _scan_wkb(mv, off: int, i: int, rings: list, pts: list,
         for r in range(nr):
             n = int.from_bytes(mv[off:off + 4], "little")
             off += 4
-            rings.append((buf, off, n, i, r > 0, True))
+            rings.append((off, n, i, r > 0, True))
             off += 16 * n
         return off
     if typ in (4, 5, 6, 7):                         # MULTI* / collection
         np_ = int.from_bytes(mv[off:off + 4], "little")
         off += 4
         for _ in range(np_):
-            off = _scan_wkb(mv, off, i, rings, pts, buf)
+            off = _scan_wkb(mv, off, i, rings, pts)
         return off
     raise _UnsupportedWkb
 
@@ -1067,11 +1066,12 @@ class _RaggedRings:
     per-point index arrays. `elem` arrays map back to batch rows."""
 
     __slots__ = ("n", "null", "xy", "ptr", "ring_elem", "ring_hole",
-                 "ring_closed", "pt_elem", "pt_xy")
+                 "ring_closed", "pt_elem", "pt_xy", "_vr")
 
     def __init__(self, wkbs):
         wkbs = list(wkbs)          # bytes/bytearray both fine as-is
         self.n = len(wkbs)
+        self._vr = None            # lazy (ring-of-segment, internal)
         self.null = np.fromiter((b is None for b in wkbs),
                                 dtype=bool, count=self.n)
         lens = np.fromiter((0 if b is None else len(b) for b in wkbs),
@@ -1143,20 +1143,19 @@ class _RaggedRings:
             rings: list = []
             for i in cx:
                 cpts: list = []
-                _scan_wkb(memoryview(wkbs[i]), 0, int(i), rings, cpts,
-                          None)
+                _scan_wkb(memoryview(wkbs[i]), 0, int(i), rings, cpts)
                 pts.extend((int(i), starts[i] + o) for _, o in cpts)
             if rings:
                 r_off.append(np.array(
-                    [starts[r[3]] + r[1] for r in rings],
+                    [starts[r[2]] + r[0] for r in rings],
                     dtype=np.int64))
-                r_npt.append(np.array([r[2] for r in rings],
+                r_npt.append(np.array([r[1] for r in rings],
                                       dtype=np.int64))
-                r_elem.append(np.array([r[3] for r in rings],
+                r_elem.append(np.array([r[2] for r in rings],
                                        dtype=np.int64))
-                r_hole.append(np.array([r[4] for r in rings],
+                r_hole.append(np.array([r[3] for r in rings],
                                        dtype=bool))
-                r_closed.append(np.array([r[5] for r in rings],
+                r_closed.append(np.array([r[4] for r in rings],
                                          dtype=bool))
         pi = np.flatnonzero(is_pt)
         pts.extend((int(i), starts[i] + 5) for i in pi)
@@ -1232,18 +1231,28 @@ class _RaggedRings:
 
     def _per_ring(self, seg_vals: np.ndarray) -> np.ndarray:
         """Sum per-segment values ring-by-ring. seg_vals has one entry
-        per consecutive vertex pair in the FLAT layout (len total-1);
-        the spurious boundary segment joining ring r's last vertex to
-        ring r+1's first is subtracted out."""
-        if len(self.ring_elem) == 0:
+        per consecutive vertex pair in the FLAT layout (len total-1).
+        Implemented as a masked weighted bincount over each segment's
+        owning ring: segment i belongs to ring vr[i] iff both its
+        endpoints do (vr[i] == vr[i+1]), which drops the spurious
+        ring-boundary segments AND makes every degenerate shape — a
+        single-vertex ring anywhere in the batch, an all-point batch
+        with zero segments — fall out as 0.0 instead of tripping
+        reduceat's end-of-array indexing. Summation order within a
+        ring matches a sequential left-to-right sum, so results are
+        bit-identical to the scalar kernels."""
+        nr = len(self.ring_elem)
+        if nr == 0:
             return np.zeros(0)
-        sums = np.add.reduceat(seg_vals, self.ptr[:-1])
-        if len(self.ring_elem) > 1:
-            sums[:-1] -= seg_vals[self.ptr[1:-1] - 1]
-        # single-vertex final ring: reduceat reads past its range
-        npts = np.diff(self.ptr)
-        sums[npts <= 1] = 0.0
-        return sums
+        if len(seg_vals) == 0:
+            return np.zeros(nr)
+        if self._vr is None:
+            vr = np.repeat(np.arange(nr), np.diff(self.ptr))
+            self._vr = (vr[:-1], vr[:-1] == vr[1:])
+        ring_of_seg, internal = self._vr
+        return np.bincount(ring_of_seg[internal],
+                           weights=seg_vals[internal],
+                           minlength=nr).astype(np.float64, copy=False)
 
 
 def _ragged(wkbs) -> _RaggedRings | None:
@@ -1267,7 +1276,10 @@ def batch_area(wkbs) -> np.ndarray | None:
     val = np.where(r.ring_closed,
                    np.where(r.ring_hole, -np.abs(ring_a2),
                             np.abs(ring_a2)) * 0.5, 0.0)
-    out = np.bincount(r.ring_elem, weights=val, minlength=r.n)
+    # bincount returns int64 when the weights array is EMPTY (a batch
+    # of points/nulls only) — force float so the NaN marker works
+    out = np.bincount(r.ring_elem, weights=val,
+                      minlength=r.n).astype(np.float64, copy=False)
     out[r.null] = np.nan
     return out
 
@@ -1281,7 +1293,8 @@ def batch_length(wkbs) -> np.ndarray | None:
     d = np.diff(r.xy, axis=0) if len(r.xy) > 1 else np.zeros((0, 2))
     seg = np.hypot(d[:, 0], d[:, 1])
     ring_len = r._per_ring(seg)
-    out = np.bincount(r.ring_elem, weights=ring_len, minlength=r.n)
+    out = np.bincount(r.ring_elem, weights=ring_len,
+                      minlength=r.n).astype(np.float64, copy=False)
     out[r.null] = np.nan
     return out
 
@@ -1505,7 +1518,10 @@ def batch_buffer_points(wkbs, dists, quad_segs: int = 8) -> list | None:
     if n == 0 or not all(b is not None and len(b) == 21 and b[0] == 1
                          for b in wkbs):
         return None
-    d = np.asarray(list(dists), dtype=np.float64)
+    d = np.asarray([np.nan if v is None else float(v) for v in dists],
+                   dtype=np.float64)
+    if np.isnan(d).any():         # null distances → per-element path
+        return None
     if (~(d > 0)).any():
         raise ValueError("buffer: dist must be > 0")
     xs, ys = decode_points(wkbs)

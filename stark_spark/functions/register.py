@@ -170,6 +170,8 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
                                     BinaryType()))
 
     def _simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+        if _all_points(wkb):          # simplify(point) ≡ point
+            return pd.Series(list(wkb), dtype=object)
         out = []
         for b, t in zip(wkb, tol):
             if b is None:
@@ -187,7 +189,10 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
             return pd.Series(fast, dtype=object)
         out = []
         for b, dv in zip(wkb, dist):
-            if b is None:
+            # null geometry OR null distance → null (the file's
+            # convention: accessors must not throw mid-scan)
+            if b is None or dv is None or (isinstance(dv, float)
+                                           and dv != dv):
                 out.append(None)
                 continue
             out.append(G.to_wkb(G.buffer(G.from_wkb(bytes(b)),

@@ -319,6 +319,13 @@ def cross_bloom_dups(train: DataFrame, eval_df: DataFrame, key: str, *,
     # eval side is cheaper than a leaked cache; callers that invoke
     # this in a loop should `eval_df.persist()` themselves and manage
     # the lifecycle.
+    #
+    # PRECONDITION: eval_df must be DETERMINISTIC across evaluations —
+    # the zero-false-negative guarantee compares hashes collected for
+    # the filter build against hashes recomputed in the closing join.
+    # A nondeterministic eval pipeline (seedless sample(), uuid(),
+    # limit over an unordered shuffle, ...) can silently drop matches;
+    # persist()/localCheckpoint() such inputs before calling.
     tr_hash = train.select(F.md5(F.col(text_col)).alias("content_hash"))
     if impl == "literal":
         hashes = [r.h for r in

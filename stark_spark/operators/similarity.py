@@ -618,42 +618,50 @@ def lsh_signature(vec, dim: int, n_bits: int) -> Column:
     return sig
 
 
-def _lsh_probe_sigs(vec, dim: int, n_bits: int, n_probe: int) -> Column:
+def _lsh_probe_masks(n_bits: int, max_structs: int = 4096):
+    """Candidate flip masks for multi-probe ordering: every non-empty
+    bit subset up to Hamming weight 3 (single-bit flips alone cap the
+    reachable buckets at n_bits+1, silently clamping the recall
+    knob), generated full-weight-level at a time and capped at
+    ``max_structs`` so the plan stays bounded at large n_bits (the
+    cap drops whole levels, never part of one, so the margin ordering
+    among generated masks stays exact)."""
+    from itertools import combinations
+    out: list[tuple[int, ...]] = []
+    for hw in (1, 2, 3):
+        level = list(combinations(range(n_bits), hw))
+        if len(out) + len(level) > max_structs and hw > 1:
+            break
+        out.extend(level)
+    return out
+
+
+def _lsh_probe_sigs(margins_col: Column, sig_col: Column,
+                    n_bits: int, n_probe: int) -> Column:
     """Multi-probe signature array: the query's own signature plus the
     ``n_probe - 1`` buckets reachable by flipping the bit SETS with
     the smallest total |⟨v, w_i⟩| margin — the standard multi-probe
     LSH ordering (flip the bits most likely to sit on the wrong side
-    of their hyperplane first). Candidate masks are every non-empty
-    subset of up to 3 bits (single-bit flips alone cap the reachable
-    buckets at n_bits+1, which silently clamps the recall knob);
-    Hamming ≤ 3 yields 1 + C(b,1) + C(b,2) + C(b,3) probe targets —
-    plenty for any practical n_probe, and the mask list is a
-    plan-time literal so the scoring stays all-native Column algebra
-    (one array_sort over ~n_bits³/6 structs per query row)."""
-    from itertools import combinations
-    planes = lsh_hyperplanes(dim, n_bits)
-    v = F.col(vec) if isinstance(vec, str) else vec
-    dots = [dot_fold(v, F.array(*[F.lit(float(x)) for x in w]))
-            for w in planes]
-    margins = [F.abs(d) for d in dots]
-    sig = None
-    for i, d in enumerate(dots):
-        bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+    of their hyperplane first).
 
+    Takes the PRE-PROJECTED margins array column (|⟨v, w_i⟩| per bit)
+    rather than raw dot expressions: each margin subtree is evaluated
+    once in the projection and every scored struct references it as a
+    cheap array element — without this, each of the ~n_bits³/6 masks
+    would embed 1-3 full dim-length fold expressions and the plan
+    would blow up at high n_bits."""
     scored = []
-    for hw in (1, 2, 3):
-        for bits in combinations(range(n_bits), hw):
-            mask = sum(1 << b for b in bits)
-            cost = margins[bits[0]]
-            for b in bits[1:]:
-                cost = cost + margins[b]
-            scored.append(F.struct(cost.alias("m"), F.lit(mask).alias("k")))
+    for bits in _lsh_probe_masks(n_bits):
+        mask = sum(1 << b for b in bits)
+        cost = margins_col[bits[0]]
+        for b in bits[1:]:
+            cost = cost + margins_col[b]
+        scored.append(F.struct(cost.alias("m"), F.lit(mask).alias("k")))
     flips = F.slice(F.transform(F.array_sort(F.array(*scored)),
                                 lambda s: s["k"]),
                     1, n_probe - 1)
-    flipped = F.transform(flips, lambda mk: sig.bitwiseXOR(mk))
-    return F.array_union(F.array(sig), flipped)
+    flipped = F.transform(flips, lambda mk: sig_col.bitwiseXOR(mk))
+    return F.array_union(F.array(sig_col), flipped)
 
 
 def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
@@ -687,8 +695,24 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     if n_probe <= 1:
         q = queries.withColumn("_sig", lsh_signature(qvec_col, dim, n_bits))
     else:
-        q = queries.withColumn("_sig", F.explode(
-            _lsh_probe_sigs(qvec_col, dim, n_bits, n_probe)))
+        # project dots once (margins + signature), THEN score probe
+        # masks off the bound array column — keeps each dim-length
+        # fold out of the ~n_bits^3/6 scored structs
+        planes = lsh_hyperplanes(dim, n_bits)
+        qv = F.col(qvec_col)
+        dots = [dot_fold(qv, F.array(*[F.lit(float(x)) for x in w]))
+                for w in planes]
+        sig = None
+        for i, d in enumerate(dots):
+            bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        q = (queries
+             .withColumn("_margins", F.array(*[F.abs(d) for d in dots]))
+             .withColumn("_sig0", sig)
+             .withColumn("_sig", F.explode(
+                 _lsh_probe_sigs(F.col("_margins"), F.col("_sig0"),
+                                 n_bits, n_probe)))
+             .drop("_margins", "_sig0"))
     j = v.join(q, "_sig")
     if exclude_self:
         j = j.where(F.col(key) != F.col(qkey))

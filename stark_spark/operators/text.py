@@ -310,7 +310,8 @@ def doc_logprob(df: DataFrame, key: str, *, text_col: str = "text",
         vocab = tok.groupBy("token").agg(F.count("*").alias("_n"))
     else:
         vocab = vocab.select("token", F.col("n").alias("_n"))
-    total = vocab.agg(F.sum("_n")).first()[0]
+    total = vocab.agg(F.sum("_n")).first()[0] or 1   # empty corpus →
+    # empty join result with the correct schema, not a plan-time crash
     term = F.floor(
         F.log(F.col("_n").cast("double") / F.lit(float(total)))
         * F.lit(1e6)).cast("long")

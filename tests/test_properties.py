@@ -506,3 +506,37 @@ def test_batch_buffer_points_bit_identical():
                                  [1.0]) is None
     with pytest.raises(ValueError):
         G.batch_buffer_points(wkbs[:2], [1.0, 0.0])
+
+
+def test_batch_measures_degenerate_edges():
+    """Review-found edge cases must not abort the batch path: a point
+    batch containing a NULL (empty weights → int64 bincount), a
+    MULTIPOINT row (zero rings), and a single-vertex LINESTRING (no
+    segments anywhere in its ring) all flow through with the same
+    answers as the scalar kernels."""
+    pt = G.to_wkb(G.point(1, 2))
+    mp = G.to_wkb(G.from_wkt("MULTIPOINT ((1 2), (3 4))"))
+    deg = G.to_wkb(G.from_wkt("LINESTRING (3 4)"))
+    a = G.batch_area([pt, None, mp, deg])
+    l = G.batch_length([pt, None, mp, deg])
+    assert a[0] == 0.0 and np.isnan(a[1]) and a[2] == 0.0 and a[3] == 0.0
+    assert l[0] == 0.0 and np.isnan(l[1]) and l[2] == 0.0 and l[3] == 0.0
+    c = G.batch_centroid([pt, None, mp, deg])
+    assert c[1] is None
+    assert np.allclose(G.from_wkb(c[3]).coords, [3.0, 4.0])
+    # scalar parity for the multipoint centroid (vertex mean)
+    assert c[2] == G.to_wkb(G.centroid(G.from_wkb(mp)))
+
+
+def test_buffer_null_distance_yields_null(spark):
+    """st_buffer must map a NULL distance (or NULL geometry) to NULL,
+    never abort the scan — the file-wide accessor convention."""
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 1.0)], "id long, d double")
+    rows = (df.selectExpr(
+        "id", "st_buffer(st_geomfromwkt(concat('POINT (', id, ' 1)')), d)"
+        " AS b").orderBy("id").collect())
+    assert rows[0].b is not None and rows[2].b is not None
+    assert rows[1].b is None
