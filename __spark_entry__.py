@@ -1196,6 +1196,17 @@ def _q_contamination_bloom(spark, sf):
     return cross_bloom_dups(docs, _eval_corpus(spark, sf), "doc_id")
 
 
+def _q_sample_group_split(spark, sf):
+    """Group-aware train/test split (leakage prevention): the hash is
+    over the GROUP (source), so every doc of a source lands on one
+    side — row-level splitting would leak near-identical provenance
+    across the boundary. Row-local, shuffle-free."""
+    from stark_spark.operators.sampling import group_split
+    docs = D.load(spark, sf, "documents")
+    return group_split(docs, "source", 0.25).select(
+        "doc_id", "source", "split")
+
+
 def _q_contamination_bloom_jvm(spark, sf):
     """Distributed-build Bloom contamination (impl="jvm"): the filter
     words come from an explode → bit_or JVM tree-aggregate (no driver
@@ -1452,6 +1463,67 @@ def _media_fixture_images():
             .astype("uint8").reshape(h, w, 3)
         out.append((i, arr))
     return out
+
+
+def _phash_fixture_images():
+    """Deterministic photo-like fixtures (sums of gaussian blobs —
+    smooth decaying spectra, the regime perceptual hashing is built
+    for): five distinct scenes + two noised near-duplicate copies.
+    Pure content, no data dependency, so the oracle embeds the
+    expected pairs as literals computed from the SAME arrays."""
+    import numpy as np
+
+    def blob(seed, h=60, w=72):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        img = np.zeros((h, w))
+        for _ in range(6):
+            cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+            s = rng.uniform(6, 18)
+            img += rng.uniform(0.4, 1.0) * np.exp(
+                -(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+        img = (img - img.min()) / (img.ptp() + 1e-12) * 255
+        return np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+
+    def noised(arr, seed):
+        rng = np.random.default_rng(seed)
+        out = arr.copy()
+        idx = rng.integers(0, out.size, 3000)
+        out.flat[idx] = np.clip(
+            out.flat[idx].astype(int) + rng.integers(-25, 26, 3000),
+            0, 255).astype(np.uint8)
+        return out
+
+    imgs = {i: blob(i) for i in range(5)}
+    imgs[5] = noised(imgs[0], 100)
+    imgs[6] = noised(imgs[1], 101)
+    return imgs
+
+
+def _q_multimodal_phash_pairs(spark, sf):
+    """Near-duplicate IMAGE detection end-to-end: PNG fixtures through
+    the binaryFile source → executor-side Arrow decode → 64-bit
+    perceptual hash (32x32 DCT median hash) → hamming-banded pair
+    join (`dedup.hamming_near_pairs`, same pigeonhole machinery as
+    SimHash text dedup — never all-pairs). The oracle is the literal
+    expected pair table computed driver-side from the same
+    deterministic arrays (matrix-DCT == naive direct-sum DCT is
+    independently property-tested)."""
+    import tempfile
+    from stark_spark.functions.visualize import _png_encode
+    from stark_spark.operators.multimodal import (image_dup_pairs,
+                                                  read_binary_dir)
+    root = tempfile.mkdtemp(prefix="stark_phash_")
+    for i, arr in _phash_fixture_images().items():
+        with open(f"{root}/img_{i}.png", "wb") as f:
+            f.write(_png_encode(arr))
+    pairs = image_dup_pairs(read_binary_dir(spark, root, "*.png"),
+                            max_hamming=8)
+    aid = F.regexp_extract("a", r"img_(\d+)\.png", 1).cast("int")
+    bid = F.regexp_extract("b", r"img_(\d+)\.png", 1).cast("int")
+    return pairs.select(F.least(aid, bid).alias("a_id"),
+                        F.greatest(aid, bid).alias("b_id"),
+                        F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_multimodal_features(spark, sf):
@@ -1827,9 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cell_histogram": _q_grid_histogram,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "raster_rasterize_stats": _q_raster_stats,
-        "sql_raster_histogram": _q_sql_raster_hist,
         "raster_join_vector_clip": _q_raster_join_vector_clip,
-        "raster_join_raster_sum": _q_raster_join_raster,
         "raster_roundtrip": _q_raster_roundtrip,
         "pruned_read_rect": _q_pruned_read,
         "pruned_join_points": _q_pruned_join,
@@ -1845,6 +1915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_st_buffer": _q_sql_st_buffer,
         "vocab_top_k": _q_vocab_top_k,
         "doc_logprob": _q_doc_logprob,
+        "sample_group_split": _q_sample_group_split,
+        "multimodal_phash_pairs": _q_multimodal_phash_pairs,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
@@ -1852,6 +1924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "set_ops_union_distinct": _q_set_ops,
         "distance_histogram": _q_distance_histogram,
+        "raster_join_raster_sum": _q_raster_join_raster,
+        "sql_raster_histogram": _q_sql_raster_hist,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -3091,6 +3165,16 @@ WITH ev AS (
 SELECT DISTINCT t.doc_id AS a, e.doc_id AS b
 FROM band_t t JOIN band_e e ON t.band = e.band AND t.bucket = e.bucket""",
 
+        "sample_group_split": f"""
+WITH h AS (
+  SELECT doc_id, source, md5('gsplit|' || source) AS hg
+  FROM documents
+)
+SELECT doc_id, source,
+  CASE WHEN {_hex7_sql('hg')} < {int(0.25 * SAMPLE_BUCKETS)}
+       THEN 'test' ELSE 'train' END AS split
+FROM h""",
+
         "sample_deterministic": f"""
 WITH h AS (
   SELECT doc_id, source,
@@ -3434,6 +3518,23 @@ SELECT DISTINCT user_id, event_type FROM events"""
     sql["multimodal_features"] = (
         "SELECT * FROM (VALUES " + ", ".join(rows) +
         ") t(img_id, width, height, mean_r, std_b)")
+
+    # image near-dup pairs: expected (a, b, hamming) computed from the
+    # same deterministic fixture arrays (PNG roundtrip is lossless, so
+    # the executors decode these exact pixels; matrix-DCT == naive
+    # direct-sum DCT is pinned by test_phash_matrix_equals_naive)
+    from itertools import combinations as _comb
+
+    from stark_spark.operators.multimodal import phash64 as _ph
+    hs = {i: _ph(arr) for i, arr in _phash_fixture_images().items()}
+    prow = []
+    for a, b in _comb(sorted(hs), 2):
+        d = bin((hs[a] ^ hs[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 8:
+            prow.append(f"({a}, {b}, {d})")
+    sql["multimodal_phash_pairs"] = (
+        "SELECT * FROM (VALUES " + ", ".join(prow) +
+        ") t(a_id, b_id, hamming)")
 
     # bucketed zipJoin must equal the plain lattice point join — the
     # bucketing is a physical-plan property (no exchanges), not a

@@ -620,16 +620,34 @@ def simhash_near_pairs(df: DataFrame, key: str, *, max_hamming: int = 3,
     frame is (key, int64) — tiny at any corpus size; on a real cluster
     swap for ``checkpoint()`` to reliable storage.
     """
-    n_bands = max_hamming + 1
     fp = simhash_fingerprints(df, key, n_bits=64,
                               text_col=text_col).localCheckpoint()
+    return hamming_near_pairs(fp, key, fp_col="fp",
+                              max_hamming=max_hamming)
+
+
+def hamming_near_pairs(fp_df: DataFrame, key: str, *,
+                       fp_col: str = "fp",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column (SimHash,
+    image perceptual hash, audio fingerprint ...) by hamming distance
+    ≤ max_hamming: pigeonhole banding (two fingerprints within
+    hamming d share at least one of d+1 bands unchanged) → band
+    equi-join → exact bit_count verify inside blocks only. The input
+    frame should be cheap to re-read (checkpoint upstream if it is an
+    aggregate — see `simhash_near_pairs`)."""
+    n_bands = max_hamming + 1
+    fp = fp_df.select(F.col(key), F.col(fp_col).alias("fp"))
     band_width = 64 // n_bands
     band_exprs = []
     for i in range(n_bands):
         shift = i * band_width
         width = band_width if i < n_bands - 1 else 64 - shift
-        expr = F.shiftrightunsigned(F.col("fp"), shift).bitwiseAND(
-            F.lit((1 << width) - 1))
+        if width >= 64:           # max_hamming=0: one full-width band
+            expr = F.col("fp")
+        else:
+            expr = F.shiftrightunsigned(F.col("fp"), shift).bitwiseAND(
+                F.lit((1 << width) - 1))
         band_exprs.append(F.struct(F.lit(i).alias("band"),
                                    expr.alias("bucket")))
     # one scan + explode instead of a (d+1)-branch union: same rows,

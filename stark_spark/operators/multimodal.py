@@ -206,3 +206,90 @@ def audio_features(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA])
 
     return df.select(key_col, content_col).mapInPandas(run, _AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------- phash
+
+def _dct2_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (type-II, norm='ortho')."""
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+_DCT32 = _dct2_matrix(32)
+
+
+def phash64(arr: np.ndarray) -> int:
+    """64-bit perceptual hash (classic pHash recipe): RGB → ITU-R 601
+    luma → 32x32 area-mean resample → orthonormal 2-D DCT-II →
+    top-left 8x8 block → threshold at the median of the 63 non-DC
+    coefficients → 64 bits MSB-first (signed int64, Spark LongType).
+
+    Near-duplicate images (re-encodes, mild noise, small edits) land
+    within a few bits; unrelated images differ in ~32."""
+    a = arr.astype(np.float64)
+    luma = (0.299 * a[..., 0] + 0.587 * a[..., 1]
+            + 0.114 * a[..., 2]) if a.ndim == 3 else a
+    h, w = luma.shape
+    # nearest-upsample tiny axes so every 32-bin is non-empty
+    if h < 32:
+        luma = luma[np.arange(32) * h // 32]
+        h = 32
+    if w < 32:
+        luma = luma[:, np.arange(32) * w // 32]
+        w = 32
+    rbin = np.arange(h) * 32 // h
+    cbin = np.arange(w) * 32 // w
+    rsum = np.zeros((32, w))
+    np.add.at(rsum, rbin, luma)
+    rows = rsum / np.bincount(rbin, minlength=32)[:, None]
+    csum = np.zeros((32, 32))
+    np.add.at(csum.T, cbin, rows.T)
+    small = csum / np.bincount(cbin, minlength=32)[None, :]
+    d = (_DCT32 @ small @ _DCT32.T)[:8, :8].ravel()
+    med = np.median(d[1:])
+    bits = d > med
+    v = 0
+    for j in range(64):
+        if bits[j]:
+            v |= 1 << (63 - j)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+_PHASH_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("phash", LongType()),
+])
+
+
+def image_phash(df: DataFrame, content_col: str = "content",
+                key_col: str = "path") -> DataFrame:
+    """Decode + perceptual hash per image — one narrow Arrow pass over
+    (key, content); output (key, phash int64)."""
+    def run(batches):
+        for pdf in batches:
+            rows = [(key, phash64(_decode(bytes(content))))
+                    for key, content in zip(pdf[key_col],
+                                            pdf[content_col])]
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in _PHASH_SCHEMA])
+
+    return df.select(key_col, content_col).mapInPandas(run, _PHASH_SCHEMA)
+
+
+def image_dup_pairs(df: DataFrame, *, max_hamming: int = 8,
+                    content_col: str = "content",
+                    key_col: str = "path") -> DataFrame:
+    """Near-duplicate IMAGE pairs: perceptual hash each image, then
+    hamming-band the 64-bit hashes exactly like SimHash text dedup
+    (`dedup.hamming_near_pairs`): pigeonhole banding → band equi-join
+    → exact bit_count verify — never all-pairs. Output (a, b,
+    hamming). The phash frame is localCheckpoint'ed so the banded
+    self-join decodes each image once, not 2·(d+1) times."""
+    from stark_spark.operators.dedup import hamming_near_pairs
+    fp = image_phash(df, content_col, key_col).localCheckpoint()
+    return hamming_near_pairs(fp, key_col, fp_col="phash",
+                              max_hamming=max_hamming)

@@ -60,6 +60,21 @@ def train_test_split(df: DataFrame, key: str, test_fraction: float, *,
                                     .otherwise(F.lit("train")))
 
 
+def group_split(df: DataFrame, group_col: str, test_fraction: float, *,
+                salt: str = "gsplit") -> DataFrame:
+    """Group-aware train/test split: the hash is taken over the GROUP
+    key, so every row of a group lands on the same side — the
+    leakage-prevention split when documents share provenance (same
+    source domain, same conversation, same repository) and row-level
+    splitting would leak near-identical content across the boundary.
+    Row-local expression of the group column: no shuffle, no group
+    materialization, deterministic across re-runs and corpus growth."""
+    test = (hash_bucket(F.col(group_col), salt=salt)
+            < int(test_fraction * BUCKETS))
+    return df.withColumn("split", F.when(test, F.lit("test"))
+                                    .otherwise(F.lit("train")))
+
+
 def stratified_sample(df: DataFrame, key: str, strata_col: str,
                       fractions: dict[str, float], *,
                       default: float = 0.0, salt: str = "") -> DataFrame:

@@ -540,3 +540,96 @@ def test_buffer_null_distance_yields_null(spark):
         " AS b").orderBy("id").collect())
     assert rows[0].b is not None and rows[2].b is not None
     assert rows[1].b is None
+
+
+def test_phash_matrix_equals_naive():
+    """The production perceptual hash (matrix DCT) must equal an
+    independent naive direct-sum DCT-II implementation bit-for-bit on
+    photo-like fixtures — this is what lets the driver gate embed
+    phash64-computed literals as its oracle."""
+    from stark_spark.operators.multimodal import phash64
+
+    def blob(seed, h=60, w=72):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        img = np.zeros((h, w))
+        for _ in range(6):
+            cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+            s = rng.uniform(6, 18)
+            img += rng.uniform(0.4, 1.0) * np.exp(
+                -(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+        img = (img - img.min()) / (img.ptp() + 1e-12) * 255
+        return np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+
+    def phash_naive(arr):
+        a = arr.astype(np.float64)
+        luma = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+        h, w = luma.shape
+        rbin = np.arange(h) * 32 // h
+        cbin = np.arange(w) * 32 // w
+        rsum = np.zeros((32, w))
+        np.add.at(rsum, rbin, luma)
+        rows = rsum / np.bincount(rbin, minlength=32)[:, None]
+        csum = np.zeros((32, 32))
+        np.add.at(csum.T, cbin, rows.T)
+        small = csum / np.bincount(cbin, minlength=32)[None, :]
+        n = 32
+        d = np.zeros((8, 8))
+        for k in range(8):
+            for l in range(8):
+                ck = np.sqrt((1 if k == 0 else 2) / n)
+                cl = np.sqrt((1 if l == 0 else 2) / n)
+                s = 0.0
+                for m in range(n):
+                    for p in range(n):
+                        s += (small[m, p]
+                              * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+                              * np.cos(np.pi * (2 * p + 1) * l / (2 * n)))
+                d[k, l] = ck * cl * s
+        dd = d.ravel()
+        med = np.median(dd[1:])
+        v = 0
+        for j in range(64):
+            if dd[j] > med:
+                v |= 1 << (63 - j)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for seed in range(5):
+        img = blob(seed)
+        assert phash64(img) == phash_naive(img)
+
+
+def test_phash_near_dup_discrimination():
+    """Perceptual-hash contract on photo-like content: pixel noise and
+    a JPEG re-encode stay within a few bits; unrelated scenes differ
+    by ~32 of 64."""
+    from stark_spark.functions.visualize import _jpeg_decode, _jpeg_encode
+    from stark_spark.operators.multimodal import phash64
+
+    def blob(seed, h=64, w=80):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        img = np.zeros((h, w))
+        for _ in range(6):
+            cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+            s = rng.uniform(6, 18)
+            img += rng.uniform(0.4, 1.0) * np.exp(
+                -(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+        img = (img - img.min()) / (img.ptp() + 1e-12) * 255
+        return np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    a = blob(0)
+    rng = np.random.default_rng(9)
+    b = a.copy()
+    idx = rng.integers(0, b.size, 3000)
+    b.flat[idx] = np.clip(b.flat[idx].astype(int)
+                          + rng.integers(-25, 26, 3000), 0, 255) \
+        .astype(np.uint8)
+    assert ham(phash64(a), phash64(b)) <= 8
+    je = _jpeg_decode(_jpeg_encode(a))
+    if je.ndim == 2:
+        je = np.repeat(je[:, :, None], 3, axis=2)
+    assert ham(phash64(a), phash64(je)) <= 8
+    assert ham(phash64(a), phash64(blob(1))) >= 16
+    assert ham(phash64(a), phash64(blob(2))) >= 16

@@ -192,3 +192,20 @@ def test_weighted_sample_by_group(spark):
                                10)
         assert set(pdf[pdf.grp == g].id) == \
             {r.id for r in solo.collect()}
+
+
+def test_group_split_no_leakage(spark, docs):
+    """Every group lands wholly on one side; fractions are roughly
+    honored at the GROUP level; deterministic across calls."""
+    from stark_spark.operators.sampling import group_split
+    out = group_split(docs, "source", 0.3)
+    sides = (out.groupBy("source")
+                .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r.k == 1 for r in sides)
+    again = group_split(docs, "source", 0.3)
+    assert (out.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count() == 0)
+    n_test_groups = (out.where(F.col("split") == "test")
+                        .select("source").distinct().count())
+    n_groups = out.select("source").distinct().count()
+    assert 0 <= n_test_groups < n_groups
