@@ -1526,6 +1526,52 @@ def _q_multimodal_phash_pairs(spark, sf):
                         F.col("hamming").cast("long").alias("hamming"))
 
 
+def _afp_fixture_waves():
+    """Deterministic tone-mixture waveforms (sine stacks with a slow
+    amplitude envelope): four distinct recordings + two noised
+    near-duplicate copies, written as REAL raw 16-bit PCM."""
+    import numpy as np
+
+    def tone(seed, n=8000):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / 8000.0
+        w = sum(rng.uniform(0.2, 1.0)
+                * np.sin(2 * np.pi * rng.uniform(80, 2000) * t
+                         + rng.uniform(0, 6)) for _ in range(5))
+        env = np.interp(np.arange(n), np.linspace(0, n, 12),
+                        rng.uniform(0.2, 1.0, 12))
+        w = w * env
+        return w / np.abs(w).max() * 0.8
+
+    waves = {i: tone(i) for i in range(4)}
+    for src, dst, seed in ((0, 4, 50), (1, 5, 51)):
+        rng = np.random.default_rng(seed)
+        waves[dst] = waves[src] + rng.normal(0, 0.01, len(waves[src]))
+    return {i: (w * 32767).astype("<i2") for i, w in waves.items()}
+
+
+def _q_multimodal_audio_pairs(spark, sf):
+    """Near-duplicate AUDIO detection end-to-end: raw-PCM fixtures
+    through the binaryFile source → executor-side REAL PCM decode →
+    64-bit energy-delta fingerprint (gain-invariant) → hamming-banded
+    pair join (same pigeonhole machinery as SimHash/pHash). Oracle =
+    literal expected pairs from the same deterministic arrays."""
+    import tempfile
+    from stark_spark.operators.multimodal import (audio_dup_pairs,
+                                                  read_binary_dir)
+    root = tempfile.mkdtemp(prefix="stark_afp_")
+    for i, pcm in _afp_fixture_waves().items():
+        with open(f"{root}/clip_{i}.pcm", "wb") as f:
+            f.write(pcm.tobytes())
+    pairs = audio_dup_pairs(read_binary_dir(spark, root, "*.pcm"),
+                            max_hamming=8)
+    aid = F.regexp_extract("a", r"clip_(\d+)\.pcm", 1).cast("int")
+    bid = F.regexp_extract("b", r"clip_(\d+)\.pcm", 1).cast("int")
+    return pairs.select(F.least(aid, bid).alias("a_id"),
+                        F.greatest(aid, bid).alias("b_id"),
+                        F.col("hamming").cast("long").alias("hamming"))
+
+
 def _q_multimodal_features(spark, sf):
     """`loadNanoFiles` equivalent (STC:561-621) as an oracle gate: a
     directory of PNGs through the binaryFile source → mapInPandas
@@ -1899,7 +1945,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cell_histogram": _q_grid_histogram,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "raster_rasterize_stats": _q_raster_stats,
-        "raster_join_vector_clip": _q_raster_join_vector_clip,
         "raster_roundtrip": _q_raster_roundtrip,
         "pruned_read_rect": _q_pruned_read,
         "pruned_join_points": _q_pruned_join,
@@ -1917,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_logprob": _q_doc_logprob,
         "sample_group_split": _q_sample_group_split,
         "multimodal_phash_pairs": _q_multimodal_phash_pairs,
+        "multimodal_audio_pairs": _q_multimodal_audio_pairs,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
@@ -1926,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_histogram": _q_distance_histogram,
         "raster_join_raster_sum": _q_raster_join_raster,
         "sql_raster_histogram": _q_sql_raster_hist,
+        "raster_join_vector_clip": _q_raster_join_vector_clip,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -3534,6 +3581,23 @@ SELECT DISTINCT user_id, event_type FROM events"""
             prow.append(f"({a}, {b}, {d})")
     sql["multimodal_phash_pairs"] = (
         "SELECT * FROM (VALUES " + ", ".join(prow) +
+        ") t(a_id, b_id, hamming)")
+
+    # audio near-dup pairs: same literal-oracle scheme — raw PCM
+    # decode is exact (frombuffer), fingerprints recomputed here from
+    # the same int16 arrays
+    from stark_spark.operators.multimodal import (audio_fingerprint64
+                                                  as _afp,
+                                                  decode_pcm16 as _pcm)
+    ahs = {i: _afp(_pcm(w.tobytes()))
+           for i, w in _afp_fixture_waves().items()}
+    arow = []
+    for a, b in _comb(sorted(ahs), 2):
+        d = bin((ahs[a] ^ ahs[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 8:
+            arow.append(f"({a}, {b}, {d})")
+    sql["multimodal_audio_pairs"] = (
+        "SELECT * FROM (VALUES " + ", ".join(arow) +
         ") t(a_id, b_id, hamming)")
 
     # bucketed zipJoin must equal the plain lattice point join — the

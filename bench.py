@@ -69,6 +69,13 @@ BENCH_QUERIES = [
     "events_gapfill",            # per-key bucket lattice + LOCF window
     "chunk_documents",           # native explode/slice chunking, no shuffle
     "sample_weighted",           # A-ES keys + TakeOrderedAndProject
+    # appended round 5
+    "contamination_bloom_jvm",   # distributed bloom build + broadcast probes
+    "sql_st_buffer",             # buffer -> measures SQL chain (batched UDFs)
+    "vocab_top_k",               # explode + combine + TakeOrdered vocab
+    "doc_logprob",               # unigram LM scoring, broadcast vocab join
+    "sample_group_split",        # group-hash split, row-local
+    "multimodal_phash_pairs",    # decode + phash + hamming-band join
 ]
 
 

@@ -633,3 +633,35 @@ def test_phash_near_dup_discrimination():
     assert ham(phash64(a), phash64(je)) <= 8
     assert ham(phash64(a), phash64(blob(1))) >= 16
     assert ham(phash64(a), phash64(blob(2))) >= 16
+
+
+def test_audio_fingerprint_invariants():
+    """Energy-delta audio fingerprint: exactly gain-invariant, stable
+    under mild additive noise and 16-bit PCM quantization, ~32/64
+    bits apart for unrelated tone mixtures."""
+    from stark_spark.operators.multimodal import (audio_fingerprint64,
+                                                  decode_pcm16)
+
+    def tone(seed, n=8000):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / 8000.0
+        w = sum(rng.uniform(0.2, 1.0)
+                * np.sin(2 * np.pi * rng.uniform(80, 2000) * t
+                         + rng.uniform(0, 6)) for _ in range(5))
+        env = np.interp(np.arange(n), np.linspace(0, n, 12),
+                        rng.uniform(0.2, 1.0, 12))
+        w = w * env
+        return w / np.abs(w).max() * 0.8
+
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    a = tone(0)
+    fa = audio_fingerprint64(a)
+    assert ham(fa, audio_fingerprint64(3.0 * a)) == 0      # gain
+    noisy = a + np.random.default_rng(5).normal(0, 0.01, len(a))
+    assert ham(fa, audio_fingerprint64(noisy)) <= 8        # noise
+    pcm = (a * 32767).astype("<i2").tobytes()
+    assert ham(fa, audio_fingerprint64(decode_pcm16(pcm))) <= 4
+    assert ham(fa, audio_fingerprint64(tone(1))) >= 16
+    assert ham(fa, audio_fingerprint64(tone(2))) >= 16
+    # short input pads, never crashes
+    audio_fingerprint64(np.ones(10))
