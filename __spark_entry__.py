@@ -1572,6 +1572,67 @@ def _q_multimodal_audio_pairs(spark, sf):
                         F.col("hamming").cast("long").alias("hamming"))
 
 
+def _rvid_fixture_videos():
+    """Deterministic RVID raw-video fixtures: three distinct 'pan'
+    clips (rolled variants of a gaussian-blob scene) + one noised
+    near-duplicate copy of clip 0."""
+    import numpy as np
+
+    def blob(seed, h=48, w=64):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        img = np.zeros((h, w))
+        for _ in range(6):
+            cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+            s = rng.uniform(5, 15)
+            img += rng.uniform(0.4, 1.0) * np.exp(
+                -(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+        img = (img - img.min()) / (img.ptp() + 1e-12) * 255
+        return np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+
+    def vid(seed, n=8):
+        base = blob(seed)
+        return np.stack([np.roll(base, 2 * i, axis=1)
+                         for i in range(n)])
+
+    vids = {i: vid(i) for i in range(3)}
+    noisy = vids[0].copy()
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, noisy.size, 20000)
+    noisy.flat[idx] = np.clip(
+        noisy.flat[idx].astype(int) + rng.integers(-20, 21, 20000),
+        0, 255).astype(np.uint8)
+    vids[3] = noisy
+    return vids
+
+
+def _q_multimodal_video_pairs(spark, sf):
+    """Near-duplicate VIDEO detection end-to-end: RVID raw-video
+    fixtures through the binaryFile source → executor-side REAL frame
+    decode → per-sampled-frame perceptual hash → banded frame-pair
+    join → per-video-pair evidence aggregation (>= 2 matching frames).
+    Oracle = the exact expected pair table computed driver-side (the
+    pigeonhole banding finds EVERY frame pair within the hamming
+    bound, so the output is a pure function of the fixture arrays)."""
+    import tempfile
+    from stark_spark.operators.multimodal import (encode_rawvideo,
+                                                  read_binary_dir,
+                                                  video_dup_pairs)
+    root = tempfile.mkdtemp(prefix="stark_rvid_")
+    for i, v in _rvid_fixture_videos().items():
+        with open(f"{root}/v_{i}.rvid", "wb") as f:
+            f.write(encode_rawvideo(v))
+    pairs = video_dup_pairs(read_binary_dir(spark, root, "*.rvid"),
+                            max_hamming=8, min_frames=2)
+    aid = F.regexp_extract("a", r"v_(\d+)\.rvid", 1).cast("int")
+    bid = F.regexp_extract("b", r"v_(\d+)\.rvid", 1).cast("int")
+    return pairs.select(
+        F.least(aid, bid).alias("a_id"),
+        F.greatest(aid, bid).alias("b_id"),
+        F.col("n_frames_matched").cast("long").alias("n_frames_matched"),
+        F.col("min_hamming").cast("long").alias("min_hamming"))
+
+
 def _q_multimodal_features(spark, sf):
     """`loadNanoFiles` equivalent (STC:561-621) as an oracle gate: a
     directory of PNGs through the binaryFile source → mapInPandas
@@ -1936,7 +1997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_anti_join": _q_st_anti_join,
         "within_distance_filter": _q_within_distance_filter,
         "knn_events": _q_knn_events,
-        "knn_weighted_st": _q_knn_weighted_st,
         "knn_hausdorff_st": _q_knn_hausdorff_st,
         "knn_join": _q_knn_join,
         "skyline": _q_skyline,
@@ -1963,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_split": _q_sample_group_split,
         "multimodal_phash_pairs": _q_multimodal_phash_pairs,
         "multimodal_audio_pairs": _q_multimodal_audio_pairs,
+        "multimodal_video_pairs": _q_multimodal_video_pairs,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
@@ -1973,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_join_raster_sum": _q_raster_join_raster,
         "sql_raster_histogram": _q_sql_raster_hist,
         "raster_join_vector_clip": _q_raster_join_vector_clip,
+        "knn_weighted_st": _q_knn_weighted_st,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -3599,6 +3661,24 @@ SELECT DISTINCT user_id, event_type FROM events"""
     sql["multimodal_audio_pairs"] = (
         "SELECT * FROM (VALUES " + ", ".join(arow) +
         ") t(a_id, b_id, hamming)")
+
+    # video near-dup pairs: brute-force the expected frame-pair set
+    # here (the pigeonhole banding finds EVERY pair within the bound,
+    # so the distributed output is a pure function of the arrays)
+    from stark_spark.operators.multimodal import phash64 as _ph64
+    vfp = {}
+    for i, stack in _rvid_fixture_videos().items():
+        vfp[i] = [_ph64(stack[f]) for f in range(0, len(stack), 2)]
+    vrow = []
+    for a, b in _comb(sorted(vfp), 2):
+        hs2 = [bin((x ^ y) & ((1 << 64) - 1)).count("1")
+               for x in vfp[a] for y in vfp[b]]
+        hits = [h for h in hs2 if h <= 8]
+        if len(hits) >= 2:
+            vrow.append(f"({a}, {b}, {len(hits)}, {min(hits)})")
+    sql["multimodal_video_pairs"] = (
+        "SELECT * FROM (VALUES " + ", ".join(vrow) +
+        ") t(a_id, b_id, n_frames_matched, min_hamming)")
 
     # bucketed zipJoin must equal the plain lattice point join — the
     # bucketing is a physical-plan property (no exchanges), not a

@@ -665,3 +665,45 @@ def test_audio_fingerprint_invariants():
     assert ham(fa, audio_fingerprint64(tone(2))) >= 16
     # short input pads, never crashes
     audio_fingerprint64(np.ones(10))
+
+
+def test_rawvideo_roundtrip_and_dedup_kernel():
+    """RVID container roundtrips bit-exactly; frame-level phashes of a
+    noised copy match the original within the hamming bound on every
+    sampled frame, while distinct clips never produce >= 2 frame
+    matches."""
+    from stark_spark.operators.multimodal import (decode_rawvideo,
+                                                  encode_rawvideo,
+                                                  phash64)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (5, 20, 24, 3)).astype(np.uint8)
+    assert (decode_rawvideo(encode_rawvideo(frames)) == frames).all()
+    with pytest.raises(ValueError):
+        decode_rawvideo(b"nope" + b"\0" * 32)
+
+    def blob(seed, h=48, w=64):
+        r = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        img = np.zeros((h, w))
+        for _ in range(6):
+            cx, cy = r.uniform(0, w), r.uniform(0, h)
+            s = r.uniform(5, 15)
+            img += r.uniform(0.4, 1.0) * np.exp(
+                -(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+        img = (img - img.min()) / (img.ptp() + 1e-12) * 255
+        return np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+
+    vid = np.stack([np.roll(blob(0), 2 * i, axis=1) for i in range(8)])
+    noisy = vid.copy()
+    idx = rng.integers(0, noisy.size, 20000)
+    noisy.flat[idx] = np.clip(noisy.flat[idx].astype(int)
+                              + rng.integers(-20, 21, 20000),
+                              0, 255).astype(np.uint8)
+    other = np.stack([np.roll(blob(1), 2 * i, axis=1) for i in range(8)])
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    same = sum(ham(phash64(vid[f]), phash64(noisy[f])) <= 8
+               for f in range(0, 8, 2))
+    diff = sum(1 for f in range(0, 8, 2) for g in range(0, 8, 2)
+               if ham(phash64(vid[f]), phash64(other[g])) <= 8)
+    assert same == 4
+    assert diff <= 1
