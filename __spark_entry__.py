@@ -1907,6 +1907,24 @@ def _q_stream_dedup(spark, sf):
     return t.select("user_id", "event_type")
 
 
+def _q_stream_contamination(spark, sf):
+    """Streaming decontamination at ingest: documents replayed as a
+    file stream through the stateless Bloom prefilter (driver-built
+    over the static eval corpus, pure codegen expression — zero
+    streaming state) + closing stream-static equi-join. Must flag
+    EXACTLY the rows the batch contamination check flags."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_contamination)
+    docs = D.load(spark, sf, "documents")
+    d = tempfile.mkdtemp(prefix="stark_stream_ct_") + "/docs"
+    docs.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, docs.schema, max_files=2)
+    out = stream_contamination(s, _eval_corpus(spark, sf))
+    t = _stream_sink(out, "append")
+    return t.select("doc_id", "content_hash")
+
+
 def _q_stream_sessionize_replay(spark, sf):
     """Streaming per-key sessionization (applyInPandasWithState with
     event-time timeouts) == the batch gaps-and-islands sessions: events
@@ -1988,7 +2006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_join_grid_points": _q_join_grid_points,
         "st_join_broadcast_points": _q_join_broadcast_points,
         "st_join_poly_contains": _q_join_poly_contains,
-        "st_join_expand_temporal": _q_join_expand_temporal,
         "interval_join": _q_interval_join,
         "as_of_join": _q_as_of_join,
         "sessionize": _q_sessionize,
@@ -2024,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_pairs": _q_multimodal_phash_pairs,
         "multimodal_audio_pairs": _q_multimodal_audio_pairs,
         "multimodal_video_pairs": _q_multimodal_video_pairs,
+        "stream_contamination": _q_stream_contamination,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
@@ -2035,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_raster_histogram": _q_sql_raster_hist,
         "raster_join_vector_clip": _q_raster_join_vector_clip,
         "knn_weighted_st": _q_knn_weighted_st,
+        "st_join_expand_temporal": _q_join_expand_temporal,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -3231,6 +3250,21 @@ WITH ev AS (
 )
 SELECT th.content_hash, e.doc_id, th.n_train
 FROM ev e JOIN th ON th.content_hash = md5(e.text)""",
+
+        # streaming ingest decontamination == batch: the Bloom filter
+        # is a pure physical prefilter and the stream replays the
+        # whole table, so flagged rows are exactly the train rows
+        # whose text appears in the eval corpus
+        "stream_contamination": """
+WITH ev AS (
+  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text
+                      ELSE text || ' tail' END AS text
+  FROM documents WHERE doc_id % 10 = 0
+), evh AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM ev
+)
+SELECT d.doc_id, md5(d.text) AS content_hash
+FROM documents d JOIN evh ON md5(d.text) = evh.content_hash""",
 
         # Same SQL again: the jvm (distributed build + broadcast-join
         # probe) impl is a physically different plan with identical

@@ -310,3 +310,29 @@ def st_stream_stream_join(left: DataFrame, right: DataFrame, *,
             (F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {time_range}")) &
             (F.col(left_x) == F.col(rx)) & (F.col(left_y) == F.col(ry)))
     return l.join(r, cond, "inner").drop("_cell", "_cell_r", lt, rt)
+
+
+def stream_contamination(stream: DataFrame, eval_df: DataFrame, *,
+                         key: str = "doc_id", text_col: str = "text",
+                         fpp: float = 1e-3) -> DataFrame:
+    """Decontaminate a document STREAM at ingest — the streaming twin
+    of `dedup.cross_bloom_dups`: a driver-built Bloom bitmap over the
+    static eval corpus runs as a STATELESS codegen filter inside each
+    micro-batch (no streaming state at all — the filter is a pure
+    expression), so ~fpp of clean traffic survives to the closing
+    stream-static equi-join against the true eval hashes, which
+    removes the false positives. Output: the contaminated stream rows
+    (key, content_hash) — exactly the rows a batch recheck would flag,
+    caught before they ever land in the corpus."""
+    from stark_spark.operators.dedup import (bloom_build,
+                                             bloom_might_contain)
+    ev_hash = F.md5(F.col(text_col))
+    hashes = [r.h for r in
+              eval_df.select(ev_hash.alias("h")).distinct().collect()]
+    words, m, k = bloom_build(hashes, fpp)
+    flagged = (stream.withColumn("content_hash", F.md5(F.col(text_col)))
+                     .where(bloom_might_contain(F.col("content_hash"),
+                                                words, m, k)))
+    truth = eval_df.select(ev_hash.alias("content_hash")).distinct()
+    return flagged.join(truth, "content_hash") \
+                  .select(key, "content_hash")

@@ -357,3 +357,35 @@ def test_state_store_rows_scale_with_sessions(spark, ordered_stream_dir):
             assert rows <= n_users, (
                 f"state rows {rows} exceed active-key bound {n_users}")
     assert n_events > n_users
+
+
+def test_stream_contamination_matches_batch(spark, tmp_path):
+    """Streaming Bloom decontamination flags exactly the rows the
+    batch check flags, with ZERO streaming state (stateless filter +
+    stream-static join — no stateOperators in progress)."""
+    from stark_spark.streaming.stream import stream_contamination
+    docs = D.load(spark, "/root/testdata/sf0.001", "documents")
+    ev = (docs.where(F.col("doc_id") % 10 == 0)
+              .select("doc_id",
+                      F.when(F.col("doc_id") % 20 == 0, F.col("text"))
+                       .otherwise(F.concat(F.col("text"),
+                                           F.lit(" tail")))
+                       .alias("text")))
+    d = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(d)
+    s = (spark.readStream.schema(docs.schema)
+         .option("maxFilesPerTrigger", 1).parquet(d))
+    out = stream_contamination(s, ev)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.content_hash)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    want = {(r.doc_id, r.h) for r in
+            docs.withColumn("h", F.md5("text"))
+                .join(ev.select(F.md5("text").alias("h")).distinct(),
+                      "h").select("doc_id", "h").collect()}
+    assert got == want and len(got) > 0
+    for p in q.recentProgress:
+        assert not p.get("stateOperators"), "unexpected streaming state"
