@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "doc_logprob",               # unigram LM scoring, broadcast vocab join
     "sample_group_split",        # group-hash split, row-local
     "multimodal_phash_pairs",    # decode + phash + hamming-band join
+    "multimodal_audio_pairs",    # PCM decode + energy-delta fp + bands
+    "multimodal_video_pairs",    # frame phash + pair-evidence agg
+    "stream_contamination",      # stateless bloom filter on a stream
 ]
 
 
