@@ -300,12 +300,17 @@ def image_dup_pairs(df: DataFrame, *, max_hamming: int = 8,
 def decode_pcm16(content: bytes) -> np.ndarray:
     """REAL audio decode for raw 16-bit little-endian PCM (no codec
     library required) → float64 samples in [-1, 1)."""
-    return np.frombuffer(content, dtype="<i2").astype(np.float64) / 32768.0
+    n = len(content) - (len(content) % 2)   # tolerate a truncated tail
+    return np.frombuffer(content, dtype="<i2", count=n // 2) \
+        .astype(np.float64) / 32768.0
 
 
 def _decode_audio(content: bytes, path: str) -> np.ndarray:
     if path.endswith((".pcm", ".raw")):
-        return decode_pcm16(content)
+        try:
+            return decode_pcm16(content)
+        except ValueError:
+            pass      # corrupt file → deterministic fake, like images
     # container formats (wav/mp3/flac) need codec libs this
     # environment lacks: deterministic fake keeps the plumbing real
     h = hashlib.md5(content).digest()
@@ -393,6 +398,8 @@ def decode_rawvideo(content: bytes) -> np.ndarray:
     if content[:4] != _RVID_MAGIC:
         raise ValueError("not an RVID stream")
     n, h, w = struct.unpack_from("<III", content, 4)
+    if len(content) < 16 + n * h * w * 3:
+        raise ValueError("truncated RVID stream")
     return np.frombuffer(content, dtype=np.uint8, count=n * h * w * 3,
                          offset=16).reshape(n, h, w, 3)
 
@@ -416,8 +423,13 @@ def video_frame_phash(df: DataFrame, every_n: int = 2, *,
             rows = []
             for key, content in zip(pdf[key_col], pdf[content_col]):
                 b = bytes(content)
+                stack = None
                 if b[:4] == _RVID_MAGIC:
-                    stack = decode_rawvideo(b)
+                    try:
+                        stack = decode_rawvideo(b)
+                    except ValueError:
+                        stack = None   # corrupt stream → fake frames
+                if stack is not None:
                     for fno in range(0, len(stack), every_n):
                         rows.append((key, fno, phash64(stack[fno])))
                 else:
@@ -454,8 +466,11 @@ def video_dup_pairs(df: DataFrame, *, max_hamming: int = 8,
           .localCheckpoint())
     pairs = hamming_near_pairs(fp, "vf", fp_col="phash",
                                max_hamming=max_hamming)
-    va = F.substring_index(F.col("a"), "#", 1)
-    vb = F.substring_index(F.col("b"), "#", 1)
+    # recover the video by stripping only the TRAILING '#<frame>'
+    # segment — a path may itself contain '#' (URL-derived corpora),
+    # so substring_index at the FIRST '#' would corrupt identity
+    va = F.regexp_replace(F.col("a"), r"#\d+$", "")
+    vb = F.regexp_replace(F.col("b"), r"#\d+$", "")
     return (pairs.select(F.least(va, vb).alias("va"),
                          F.greatest(va, vb).alias("vb"), "hamming")
                  .where(F.col("va") != F.col("vb"))

@@ -68,11 +68,10 @@ def group_split(df: DataFrame, group_col: str, test_fraction: float, *,
     source domain, same conversation, same repository) and row-level
     splitting would leak near-identical content across the boundary.
     Row-local expression of the group column: no shuffle, no group
-    materialization, deterministic across re-runs and corpus growth."""
-    test = (hash_bucket(F.col(group_col), salt=salt)
-            < int(test_fraction * BUCKETS))
-    return df.withColumn("split", F.when(test, F.lit("test"))
-                                    .otherwise(F.lit("train")))
+    materialization, deterministic across re-runs and corpus growth.
+    Same machinery as `train_test_split` — only the hashed column (a
+    group key instead of the row key) and the salt differ."""
+    return train_test_split(df, group_col, test_fraction, salt=salt)
 
 
 def stratified_sample(df: DataFrame, key: str, strata_col: str,

@@ -323,7 +323,17 @@ def stream_contamination(stream: DataFrame, eval_df: DataFrame, *,
     stream-static equi-join against the true eval hashes, which
     removes the false positives. Output: the contaminated stream rows
     (key, content_hash) — exactly the rows a batch recheck would flag,
-    caught before they ever land in the corpus."""
+    caught before they ever land in the corpus.
+
+    PRECONDITION (as for `dedup.cross_bloom_dups`): eval_df must be
+    deterministic — its hashes are collected ONCE here and reused for
+    both the filter and the closing join, so unlike the batch twin a
+    nondeterministic eval cannot skew results, but the collected
+    snapshot is what every micro-batch is checked against.
+
+    The truth side of the stream-static join is built from the
+    ALREADY-COLLECTED hashes (a local relation) — the eval pipeline
+    is never re-evaluated per micro-batch."""
     from stark_spark.operators.dedup import (bloom_build,
                                              bloom_might_contain)
     ev_hash = F.md5(F.col(text_col))
@@ -333,6 +343,7 @@ def stream_contamination(stream: DataFrame, eval_df: DataFrame, *,
     flagged = (stream.withColumn("content_hash", F.md5(F.col(text_col)))
                      .where(bloom_might_contain(F.col("content_hash"),
                                                 words, m, k)))
-    truth = eval_df.select(ev_hash.alias("content_hash")).distinct()
+    truth = stream.sparkSession.createDataFrame(
+        [(h,) for h in hashes], "content_hash string")
     return flagged.join(truth, "content_hash") \
                   .select(key, "content_hash")

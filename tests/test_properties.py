@@ -707,3 +707,65 @@ def test_rawvideo_roundtrip_and_dedup_kernel():
                if ham(phash64(vid[f]), phash64(other[g])) <= 8)
     assert same == 4
     assert diff <= 1
+
+
+def test_video_key_paths_with_hash_char(spark, tmp_path):
+    """Regression: a '#' inside the video FILENAME must not corrupt
+    video identity in video_dup_pairs (the frame key joins path and
+    frame number with '#'; recovery strips only the trailing
+    segment)."""
+    from stark_spark.operators.multimodal import (encode_rawvideo,
+                                                  read_binary_dir,
+                                                  video_dup_pairs)
+
+    def blob(seed, h=48, w=64):
+        r = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        img = np.zeros((h, w))
+        for _ in range(6):
+            cx, cy = r.uniform(0, w), r.uniform(0, h)
+            s = r.uniform(5, 15)
+            img += r.uniform(0.4, 1.0) * np.exp(
+                -(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+        img = (img - img.min()) / (img.ptp() + 1e-12) * 255
+        return np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+
+    vid = np.stack([np.roll(blob(0), 2 * i, axis=1) for i in range(8)])
+    noisy = vid.copy()
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, noisy.size, 20000)
+    noisy.flat[idx] = np.clip(noisy.flat[idx].astype(int)
+                              + rng.integers(-20, 21, 20000),
+                              0, 255).astype(np.uint8)
+    other = np.stack([np.roll(blob(1), 2 * i, axis=1)
+                      for i in range(8)])
+    d = tmp_path / "vids"
+    d.mkdir()
+    # '#' in the filenames (URL-derived corpora do this)
+    (d / "clip#1.rvid").write_bytes(encode_rawvideo(vid))
+    (d / "clip#2.rvid").write_bytes(encode_rawvideo(noisy))
+    (d / "clip#3.rvid").write_bytes(encode_rawvideo(other))
+    out = video_dup_pairs(read_binary_dir(spark, str(d), "*.rvid"),
+                          max_hamming=8, min_frames=2).collect()
+    assert len(out) == 1
+    names = {out[0].a.rsplit("/", 1)[-1], out[0].b.rsplit("/", 1)[-1]}
+    assert names == {"clip%231.rvid", "clip%232.rvid"} or \
+        names == {"clip#1.rvid", "clip#2.rvid"}
+
+
+def test_corrupt_media_fall_back_not_abort(spark, tmp_path):
+    """A truncated PCM/RVID file must degrade to the deterministic
+    fake decode (like corrupt JPEGs), never abort the job."""
+    from stark_spark.operators.multimodal import (audio_fingerprint,
+                                                  read_binary_dir,
+                                                  video_frame_phash)
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "bad.pcm").write_bytes(b"\x01\x02\x03")      # odd length
+    (d / "bad.rvid").write_bytes(b"RVID" + b"\xff" * 12)  # huge header
+    afp = audio_fingerprint(read_binary_dir(spark, str(d),
+                                            "*.pcm")).collect()
+    assert len(afp) == 1 and afp[0].afp is not None
+    vfp = video_frame_phash(read_binary_dir(spark, str(d),
+                                            "*.rvid")).collect()
+    assert len(vfp) >= 1
