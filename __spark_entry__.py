@@ -1054,6 +1054,17 @@ def _q_doc_logprob(spark, sf):
     return doc_logprob(docs, "doc_id")
 
 
+def _q_bm25_topk(spark, sf):
+    """BM25 lexical retrieval (the sparse twin of the ANN tier):
+    top-25 docs for a 3-term query. idf and each term contribution
+    are quantized to exact integers before the per-doc sum, so the
+    score is aggregation-order-independent and the oracle matches
+    bit-for-bit."""
+    from stark_spark.operators.text import bm25_topk
+    docs = D.load(spark, sf, "documents")
+    return bm25_topk(docs, "doc_id", ["join", "filter", "merge"], 25)
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -1999,7 +2010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- §2 spine, last driver-checked r03 ---
         "st_filter_rect_timed": _q_filter_rect_timed,
         "st_filter_polygon_timed": _q_filter_polygon_timed,
-        "st_filter_both_or_neither": _q_filter_both_or_neither,
         "st_filter_intervals": _q_filter_intervals,
         "st_filter_coveredby_poly": _q_filter_coveredby_poly,
         "st_filter_z_range": _q_filter_z_range,
@@ -2042,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_pairs": _q_multimodal_audio_pairs,
         "multimodal_video_pairs": _q_multimodal_video_pairs,
         "stream_contamination": _q_stream_contamination,
+        "bm25_topk": _q_bm25_topk,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
@@ -2054,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_join_vector_clip": _q_raster_join_vector_clip,
         "knn_weighted_st": _q_knn_weighted_st,
         "st_join_expand_temporal": _q_join_expand_temporal,
+        "st_filter_both_or_neither": _q_filter_both_or_neither,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -3081,6 +3093,52 @@ WHERE n_common / (x.sz + y.sz - n_common) >= 0.12""",
         "dedup_simhash_pairs": _simhash64_pairs_sql(6),
 
         "text_profile": _text_profile_sql(),
+
+        # BM25: idf and per-term contributions quantized to exact
+        # integers before the per-doc sum (aggregation-order-proof);
+        # every double literal CAST(... AS DOUBLE) to dodge DuckDB's
+        # DECIMAL literal typing; operation order mirrors the Spark
+        # expression tree exactly
+        "bm25_topk": """
+WITH tk AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents) t
+  WHERE token <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id
+), st AS (
+  SELECT count(*) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), qt AS (
+  SELECT * FROM tk WHERE token IN ('join', 'filter', 'merge')
+), idf AS (
+  SELECT token,
+    CAST(floor(ln((CAST(st.n AS DOUBLE) - nd + CAST(0.5 AS DOUBLE))
+                   / (nd + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * 1000000) AS BIGINT) AS idf_q
+  FROM (SELECT token, count(DISTINCT doc_id) AS nd
+        FROM qt GROUP BY token) f, st
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY doc_id, token
+)
+SELECT tf.doc_id, CAST(any_value(dl.dl) AS BIGINT) AS n_tokens,
+  CAST(sum(CAST(floor(
+    CAST(idf_q AS DOUBLE)
+    * (CAST(tf AS DOUBLE)
+       / (CAST(tf AS DOUBLE)
+          + CAST(1.2 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE)
+               + (CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE))
+                 / st.avgdl)))
+    * CAST(1000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS score_q
+FROM tf
+JOIN dl ON tf.doc_id = dl.doc_id
+JOIN idf ON tf.token = idf.token, st
+GROUP BY tf.doc_id
+ORDER BY score_q DESC, tf.doc_id
+LIMIT 25""",
 
         "vocab_top_k": """
 WITH tok AS (

@@ -319,3 +319,64 @@ def doc_logprob(df: DataFrame, key: str, *, text_col: str = "text",
                .groupBy(key)
                .agg(F.count("*").alias("n_tokens"),
                     F.sum(term).alias("logprob_q")))
+
+
+def bm25_topk(df: DataFrame, key: str, query_terms: list[str], k: int,
+              *, text_col: str = "text", k1: float = 1.2,
+              b: float = 0.75) -> DataFrame:
+    """BM25 lexical retrieval over the corpus — the sparse twin of the
+    dense ANN tier (classic Okapi BM25: idf-weighted, length-
+    normalized term-frequency saturation).
+
+    Cross-engine exactness: idf per term is quantized to
+    floor(ln(...)·1e6) (an exact integer), each term's contribution is
+    quantized to floor(idf_q · saturation · 1e3) as a BIGINT, and the
+    per-document score is the SUM OF INTEGERS — exact under any
+    aggregation order, so the oracle matches bit-for-bit (double sums
+    would be shuffle-order-dependent).
+
+    Scale shape: tokens explode but are immediately filtered to the
+    query's terms (a tiny IN list pushed into the scan stage), doc
+    lengths come from the same pass, the per-term document frequencies
+    are one small aggregate, and the global top-k plans as
+    TakeOrderedAndProject. Output: (key, n_tokens, score_q)."""
+    terms = sorted(set(query_terms))
+    tok = df.select(F.col(key), F.explode(tokens(F.col(text_col)))
+                    .alias("token")).where(F.col("token") != "")
+    dl = tok.groupBy(key).agg(F.count("*").alias("_dl"))
+    stats = dl.agg(F.count("*").alias("n"),
+                   F.sum("_dl").alias("tot")).first()
+    n_docs, total = stats.n, stats.tot
+    if not n_docs:
+        return (df.select(F.col(key),
+                          F.lit(0).cast("long").alias("n_tokens"),
+                          F.lit(0).cast("long").alias("score_q"))
+                  .limit(0))
+    avgdl = float(total) / float(n_docs)       # exact int/int division
+    qt = tok.where(F.col("token").isin(terms))
+    dfreq = {r.token: r.nd for r in
+             qt.groupBy("token")
+               .agg(F.countDistinct(key).alias("nd")).collect()}
+    import math
+    idf_q = {t: math.floor(math.log(
+        (n_docs - nd + 0.5) / (nd + 0.5) + 1.0) * 1e6)
+        for t, nd in dfreq.items()}
+    tf = qt.groupBy(key, "token").agg(F.count("*").alias("_tf"))
+    idf_col = F.lit(0)
+    for t, q in sorted(idf_q.items()):
+        idf_col = F.when(F.col("token") == t, F.lit(q)) \
+                   .otherwise(idf_col)
+    sat = (F.col("_tf").cast("double")
+           / (F.col("_tf").cast("double")
+              + F.lit(k1) * (F.lit(1.0 - b)
+                             + F.lit(b) * F.col("_dl").cast("double")
+                             / F.lit(avgdl))))
+    contrib = F.floor(idf_col.cast("double") * sat * F.lit(1e3)) \
+        .cast("long")
+    return (tf.join(dl, key)
+              .withColumn("_c", contrib)
+              .groupBy(key)
+              .agg(F.any_value("_dl").alias("n_tokens"),
+                   F.sum("_c").alias("score_q"))
+              .orderBy(F.desc("score_q"), F.col(key))
+              .limit(k))

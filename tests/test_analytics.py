@@ -835,3 +835,31 @@ def test_doc_logprob(spark):
     assert got[1] == (4, 4 * t(6))
     assert got[2] == (4, 2 * t(6) + t(1) + t(1))
     assert got[1][1] > got[2][1]
+
+
+def test_bm25_topk(spark):
+    """BM25 quantized scoring matches a hand-computed reference on a
+    tiny corpus; rarer terms outrank common ones; the top-k plans as
+    TakeOrderedAndProject; empty corpus yields an empty frame."""
+    import math
+    from stark_spark.operators.text import bm25_topk
+    df = spark.createDataFrame(
+        [(1, "data spark data engine"), (2, "spark engine"),
+         (3, "cats dogs"), (4, "data data data data data data")],
+        "doc_id long, text string")
+    out = bm25_topk(df, "doc_id", ["data", "spark"], 4)
+    rows = {r.doc_id: (r.n_tokens, r.score_q) for r in out.collect()}
+    idf = math.floor(math.log(2.0) * 1e6)     # both terms: nd=2, N=4
+
+    def sat(tf, dl):
+        return tf / (tf + 1.2 * (0.25 + 0.75 * dl / 3.5))
+
+    want1 = (math.floor(idf * sat(2, 4) * 1e3)
+             + math.floor(idf * sat(1, 4) * 1e3))
+    assert rows[1] == (4, want1)
+    assert 3 not in rows                      # no query term
+    assert rows[1][1] > rows[4][1] > 0        # tf saturation works
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    empty = bm25_topk(df.where("doc_id > 99"), "doc_id", ["data"], 3)
+    assert empty.count() == 0
