@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "multimodal_audio_pairs",    # PCM decode + energy-delta fp + bands
     "multimodal_video_pairs",    # frame phash + pair-evidence agg
     "stream_contamination",      # stateless bloom filter on a stream
+    "bm25_topk",                 # sparse retrieval, quantized scores
 ]
 
 

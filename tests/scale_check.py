@@ -72,6 +72,11 @@ QUERIES = [
     "agg_pricing_summary",
     "grid_cell_histogram",
     "sample_weighted_by_source",
+    # round-5 late additions, all linear-output
+    "vocab_top_k",
+    "doc_logprob",
+    "bm25_topk",
+    "sample_group_split",
 ]
 
 

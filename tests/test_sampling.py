@@ -209,3 +209,35 @@ def test_group_split_no_leakage(spark, docs):
                         .select("source").distinct().count())
     n_groups = out.select("source").distinct().count()
     assert 0 <= n_test_groups < n_groups
+
+
+def test_temperature_weights_and_mix(spark):
+    """alpha=0.5 damps head domains: a 10000:100:1 corpus gets parts
+    proportional to sqrt — small sources are upweighted relative to
+    natural share; alpha=1 keeps proportions, alpha=0 is uniform; the
+    parts drive mix_sources end-to-end."""
+    from stark_spark.operators.sampling import (mix_sources,
+                                                temperature_weights)
+    counts = {"web": 10000, "wiki": 100, "code": 1}
+    w5 = temperature_weights(counts, 0.5)
+    # sqrt: 100 : 10 : 1 → scaled by 1000/100
+    assert w5 == {"web": 1000, "wiki": 100, "code": 10}
+    w1 = temperature_weights(counts, 1.0)
+    assert w1["web"] == 1000 and w1["wiki"] == 10 and w1["code"] == 1
+    w0 = temperature_weights(counts, 0.0)
+    assert set(w0.values()) == {1000}
+    # natural-share comparison: sqrt damping lifts wiki's share from
+    # 100/10101 (~1%) to 10/1011 (~1%)... relative lift vs web:
+    assert w5["wiki"] / w5["web"] > counts["wiki"] / counts["web"]
+
+    # end-to-end: parts feed mix_sources and keep per-source rows
+    # proportional to the parts (within hash-threshold granularity)
+    rows = [(i, "a" if i < 900 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    parts = temperature_weights({"a": 900, "b": 100}, 0.5)
+    out = mix_sources(df, "doc_id", "source", parts)
+    got = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    # parts a:b = 1000:333 → achievable corpus limited by b; per-source
+    # keeps follow the integer-threshold formula of mix_sources
+    assert got["a"] > got["b"] > 0
+    assert got["a"] / got["b"] < 900 / 100   # damped vs natural ratio
