@@ -190,6 +190,11 @@ def temperature_weights(counts: dict[str, int], alpha: float = 0.5, *,
     exactly reproducible anywhere since IEEE sqrt is correctly
     rounded)."""
     import math
+    # zero-count sources are EXCLUDED, not given a token part: a part
+    # of 1 for an empty source would drive mix_sources' achievable
+    # corpus to zero (n_out = min includes 0*W//w) and silently drop
+    # everything
+    counts = {s: c for s, c in counts.items() if c > 0}
     if not counts:
         return {}
     powed = {s: math.pow(c, alpha) if alpha != 0.5 else math.sqrt(c)

@@ -335,48 +335,57 @@ def bm25_topk(df: DataFrame, key: str, query_terms: list[str], k: int,
     aggregation order, so the oracle matches bit-for-bit (double sums
     would be shuffle-order-dependent).
 
-    Scale shape: tokens explode but are immediately filtered to the
-    query's terms (a tiny IN list pushed into the scan stage), doc
-    lengths come from the same pass, the per-term document frequencies
-    are one small aggregate, and the global top-k plans as
-    TakeOrderedAndProject. Output: (key, n_tokens, score_q)."""
+    Scale shape: NO explode and NO groupBy anywhere — per-document
+    term frequencies and lengths are higher-order array expressions in
+    one narrow projection, corpus statistics (N, total length, every
+    per-term document frequency) come from ONE combined aggregate
+    (single collect), and scoring is row-local with driver-computed
+    idf literals, so the whole operator is two codegen scans + a
+    TakeOrderedAndProject top-k. Output: (key, n_tokens, score_q)."""
+    import math
     terms = sorted(set(query_terms))
-    tok = df.select(F.col(key), F.explode(tokens(F.col(text_col)))
-                    .alias("token")).where(F.col("token") != "")
-    dl = tok.groupBy(key).agg(F.count("*").alias("_dl"))
-    stats = dl.agg(F.count("*").alias("n"),
-                   F.sum("_dl").alias("tot")).first()
-    n_docs, total = stats.n, stats.tot
-    if not n_docs:
+    toks = tokens(F.col(text_col))
+    dl_expr = F.size(F.filter(toks, lambda w: w != F.lit("")))
+
+    def tf_expr(t: str):
+        return F.size(F.filter(toks, lambda w: w == F.lit(t)))
+
+    base = df.select(F.col(key), dl_expr.alias("_dl"),
+                     *[tf_expr(t).alias(f"_tf{i}")
+                       for i, t in enumerate(terms)]) \
+             .where(F.col("_dl") > 0)
+    aggs = [F.count("*").alias("n"), F.sum("_dl").alias("tot")]
+    aggs += [F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"nd{i}")
+             for i in range(len(terms))]
+    stats = base.agg(*aggs).first()
+    if not stats.n:
         return (df.select(F.col(key),
                           F.lit(0).cast("long").alias("n_tokens"),
                           F.lit(0).cast("long").alias("score_q"))
                   .limit(0))
-    avgdl = float(total) / float(n_docs)       # exact int/int division
-    qt = tok.where(F.col("token").isin(terms))
-    dfreq = {r.token: r.nd for r in
-             qt.groupBy("token")
-               .agg(F.countDistinct(key).alias("nd")).collect()}
-    import math
-    idf_q = {t: math.floor(math.log(
-        (n_docs - nd + 0.5) / (nd + 0.5) + 1.0) * 1e6)
-        for t, nd in dfreq.items()}
-    tf = qt.groupBy(key, "token").agg(F.count("*").alias("_tf"))
-    idf_col = F.lit(0)
-    for t, q in sorted(idf_q.items()):
-        idf_col = F.when(F.col("token") == t, F.lit(q)) \
-                   .otherwise(idf_col)
-    sat = (F.col("_tf").cast("double")
-           / (F.col("_tf").cast("double")
-              + F.lit(k1) * (F.lit(1.0 - b)
-                             + F.lit(b) * F.col("_dl").cast("double")
-                             / F.lit(avgdl))))
-    contrib = F.floor(idf_col.cast("double") * sat * F.lit(1e3)) \
-        .cast("long")
-    return (tf.join(dl, key)
-              .withColumn("_c", contrib)
-              .groupBy(key)
-              .agg(F.any_value("_dl").alias("n_tokens"),
-                   F.sum("_c").alias("score_q"))
-              .orderBy(F.desc("score_q"), F.col(key))
-              .limit(k))
+    n_docs = stats.n
+    avgdl = float(stats.tot) / float(n_docs)   # exact int/int division
+    idf_q = [math.floor(math.log(
+        (n_docs - stats[f"nd{i}"] + 0.5) / (stats[f"nd{i}"] + 0.5)
+        + 1.0) * 1e6) for i in range(len(terms))]
+
+    def contrib(i: int):
+        tf = F.col(f"_tf{i}").cast("double")
+        sat = tf / (tf + F.lit(k1)
+                    * (F.lit(1.0 - b)
+                       + F.lit(b) * F.col("_dl").cast("double")
+                       / F.lit(avgdl)))
+        c = F.floor(F.lit(idf_q[i]).cast("double") * sat
+                    * F.lit(1e3)).cast("long")
+        return F.when(F.col(f"_tf{i}") > 0, c).otherwise(F.lit(0))
+
+    score = F.lit(0).cast("long")
+    any_tf = F.lit(0)
+    for i in range(len(terms)):
+        score = score + contrib(i)
+        any_tf = any_tf + F.col(f"_tf{i}")
+    return (base.where(any_tf > 0)
+                .select(F.col(key), F.col("_dl").alias("n_tokens"),
+                        score.alias("score_q"))
+                .orderBy(F.desc("score_q"), F.col(key))
+                .limit(k))

@@ -226,9 +226,13 @@ def test_temperature_weights_and_mix(spark):
     assert w1["web"] == 1000 and w1["wiki"] == 10 and w1["code"] == 1
     w0 = temperature_weights(counts, 0.0)
     assert set(w0.values()) == {1000}
-    # natural-share comparison: sqrt damping lifts wiki's share from
-    # 100/10101 (~1%) to 10/1011 (~1%)... relative lift vs web:
+    # sqrt damping lifts wiki's part ratio vs web from the natural
+    # 100/10000 = 1% to 100/1000 = 10%
     assert w5["wiki"] / w5["web"] > counts["wiki"] / counts["web"]
+    # zero-count sources are excluded, never given a token part
+    assert temperature_weights({"web": 100, "empty": 0}) == \
+        {"web": 1000}
+    assert temperature_weights({"empty": 0}) == {}
 
     # end-to-end: parts feed mix_sources and keep per-source rows
     # proportional to the parts (within hash-threshold granularity)
