@@ -365,6 +365,25 @@ def _q_knn_manhattan(spark, sf):
     return out.select("event_id", "dist")
 
 
+def _q_knn_haversine(spark, sf):
+    """kNN under the GEODESIC distance (haversine `distFunc`): events
+    mapped to lat/lon, ranked by great-circle km to a query point.
+    The ranking key is the distance quantized to integer micro-km, so
+    both engines order identically despite libm trig (a 1-ulp sin/cos
+    difference cannot flip an integer rank except within 1e-9 of a
+    grid boundary)."""
+    from stark_spark.functions.distance import haversine_distance
+    from stark_spark.operators.knn import knn
+    ev = D.st_events(spark, sf, keep_geom=False)
+    lat = F.col("y") - F.lit(50.0)
+    lon = F.col("x") * F.lit(3.6) - F.lit(180.0)
+    d = haversine_distance(lat, lon, F.lit(10.0), F.lit(20.0))
+    dq = F.round(d * F.lit(1e6)).cast("long")
+    out = knn(ev, "POINT (0 0)", 15, points=True, tie_col="event_id",
+              distance=dq)
+    return out.select("event_id", F.col("dist").alias("d_q"))
+
+
 def _q_knn_weighted_st(spark, sf):
     """Weighted space+time kNN (reference Distance.scala:118-133
     scalarization): d = 1.0*spatial + 0.001*|t - t0|."""
@@ -2009,7 +2028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         # --- §2 spine, last driver-checked r03 ---
         "st_filter_rect_timed": _q_filter_rect_timed,
-        "st_filter_polygon_timed": _q_filter_polygon_timed,
         "st_filter_intervals": _q_filter_intervals,
         "st_filter_coveredby_poly": _q_filter_coveredby_poly,
         "st_filter_z_range": _q_filter_z_range,
@@ -2053,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_pairs": _q_multimodal_video_pairs,
         "stream_contamination": _q_stream_contamination,
         "bm25_topk": _q_bm25_topk,
+        "knn_haversine": _q_knn_haversine,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
@@ -2066,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_weighted_st": _q_knn_weighted_st,
         "st_join_expand_temporal": _q_join_expand_temporal,
         "st_filter_both_or_neither": _q_filter_both_or_neither,
+        "st_filter_polygon_timed": _q_filter_polygon_timed,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -2489,6 +2509,33 @@ ORDER BY dist, event_id LIMIT 50""",
         "knn_manhattan": f"""
 SELECT event_id, abs(value - 50.0) + abs(({EV_Y}) - 50.0) AS dist
 FROM events ORDER BY dist, event_id LIMIT 40""",
+
+        # haversine mirrors the Spark expression tree operand-for-
+        # operand (explicit radian literal, x*x not pow); the integer
+        # micro-km quantization makes the rank libm-proof
+        "knn_haversine": f"""
+WITH g AS (
+  SELECT event_id,
+    (({EV_Y}) - CAST(5.0E1 AS DOUBLE)) AS lat,
+    (value * CAST(3.6 AS DOUBLE) - CAST(1.8E2 AS DOUBLE)) AS lon
+  FROM events
+), h AS (
+  SELECT event_id,
+    sin(((CAST(1.0E1 AS DOUBLE) - lat)
+         * CAST('0.017453292519943295' AS DOUBLE)) / 2) AS sla,
+    sin(((CAST(2.0E1 AS DOUBLE) - lon)
+         * CAST('0.017453292519943295' AS DOUBLE)) / 2) AS slo,
+    cos(lat * CAST('0.017453292519943295' AS DOUBLE)) AS cl1,
+    cos(CAST(1.0E1 AS DOUBLE)
+        * CAST('0.017453292519943295' AS DOUBLE)) AS cl2
+  FROM g
+)
+SELECT event_id,
+  CAST(round(
+    (CAST('12742.0176' AS DOUBLE)
+     * asin(sqrt(sla * sla + cl1 * cl2 * slo * slo)))
+    * CAST(1.0E6 AS DOUBLE)) AS BIGINT) AS d_q
+FROM h ORDER BY d_q, event_id LIMIT 15""",
 
         # pruned two-phase kNN must equal the full scan
         "pruned_knn": f"""

@@ -186,3 +186,24 @@ def interval_distance(x: Column, y: Column, xmin: Column, ymin: Column,
     return F.struct(
         F.sqrt(dx * dx + dy * dy).alias("dmin"),
         F.sqrt(fx * fx + fy * fy).alias("dmax"))
+
+
+def haversine_distance(lat1: Column, lon1: Column, lat2: Column,
+                       lon2: Column, *,
+                       radius_km: float = 6371.0088) -> Column:
+    """Great-circle distance in km (haversine) — a pure native trig
+    expression (codegen, no UDF), the geodesic `distFunc` for
+    lat/lon data where planar euclidean is wrong.
+
+    Written with an explicit degree→radian literal and x*x instead of
+    pow so a SQL oracle can mirror the exact operation order; sin /
+    cos / asin / sqrt are correctly-rounded-enough libm calls in both
+    engines, and gates should rank/compare on a quantized value."""
+    import math
+    rad = F.lit(math.pi / 180.0)
+    dla = (lat2 - lat1) * rad
+    dlo = (lon2 - lon1) * rad
+    sla = F.sin(dla / 2)
+    slo = F.sin(dlo / 2)
+    a = sla * sla + F.cos(lat1 * rad) * F.cos(lat2 * rad) * slo * slo
+    return F.lit(2.0 * radius_km) * F.asin(F.sqrt(a))

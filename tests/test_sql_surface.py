@@ -282,3 +282,44 @@ def test_envelope_degenerate_line(spark):
     """).first()
     assert row.v == "LINESTRING (0 0, 0 5)"
     assert row.h == "LINESTRING (1 2, 6 2)"
+
+
+def test_haversine_known_distances(spark):
+    """Great-circle sanity against published city distances (±0.5%)
+    and metric properties: zero at identity, symmetric, antipodal =
+    half circumference."""
+    from stark_spark.functions.distance import haversine_distance
+    import math
+    rows = [
+        # Berlin -> Paris ~878 km
+        (52.5200, 13.4050, 48.8566, 2.3522, 878.0),
+        # London -> New York ~5570 km
+        (51.5074, -0.1278, 40.7128, -74.0060, 5570.0),
+        # identity
+        (10.0, 20.0, 10.0, 20.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(a, b, c, d) for a, b, c, d, _ in rows],
+        "la1 double, lo1 double, la2 double, lo2 double")
+    got = [r.d for r in df.select(haversine_distance(
+        F.col("la1"), F.col("lo1"), F.col("la2"), F.col("lo2"))
+        .alias("d")).collect()]
+    for (row, g) in zip(rows, got):
+        want = row[-1]
+        if want == 0.0:
+            assert g == 0.0
+        else:
+            assert abs(g - want) / want < 0.005
+    # symmetry
+    rev = df.select(haversine_distance(
+        F.col("la2"), F.col("lo2"), F.col("la1"), F.col("lo1"))
+        .alias("d")).collect()
+    for a, b in zip(got, [r.d for r in rev]):
+        assert a == b or abs(a - b) < 1e-9
+    # antipodal ~ pi * R
+    anti = spark.createDataFrame([(0.0, 0.0, 0.0, 180.0)],
+                                 "la1 double, lo1 double, la2 double, lo2 double")
+    d = anti.select(haversine_distance(F.col("la1"), F.col("lo1"),
+                                       F.col("la2"), F.col("lo2"))
+                    .alias("d")).first().d
+    assert abs(d - math.pi * 6371.0088) < 1.0
