@@ -28,7 +28,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 
 # 10x tables: key offsets keep every residue class the gates filter on
 # (doc_id % 20, event_id % 13 ...) represented identically per replica
