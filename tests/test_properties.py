@@ -769,3 +769,56 @@ def test_corrupt_media_fall_back_not_abort(spark, tmp_path):
     vfp = video_frame_phash(read_binary_dir(spark, str(d),
                                             "*.rvid")).collect()
     assert len(vfp) >= 1
+
+
+@given(st.integers(0, 100_000))
+@settings(max_examples=60, deadline=None)
+def test_multi_geometry_codec_roundtrips(seed):
+    """WKT and WKB roundtrips over randomly composed MULTI*
+    geometries (this round's MULTIPOLYGON ring-split bug motivates
+    fuzzing the whole family): parse(encode(g)) == g for both codecs,
+    and area/length survive both roundtrips exactly."""
+    rng = np.random.default_rng(seed)
+
+    def rand_poly():
+        ring = _convex_ring_from(int(rng.integers(0, 10_000)),
+                                 int(rng.integers(4, 10)))
+        ring = np.round(ring + rng.uniform(-50, 50, 2), 3)
+        return G.Geometry("POLYGON", [np.vstack([ring, ring[0]])])
+
+    def rand_line():
+        pts = np.round(rng.uniform(-99, 99,
+                                   (int(rng.integers(2, 7)), 2)), 3)
+        return G.Geometry("LINESTRING", pts)
+
+    kind = int(rng.integers(0, 4))
+    n = int(rng.integers(1, 4))
+    if kind == 0:
+        g = G.Geometry("MULTIPOLYGON", [rand_poly() for _ in range(n)])
+    elif kind == 1:
+        g = G.Geometry("MULTILINESTRING",
+                       [rand_line() for _ in range(n)])
+    elif kind == 2:
+        g = G.Geometry("MULTIPOINT",
+                       [G.point(*np.round(rng.uniform(-99, 99, 2), 3))
+                        for _ in range(n)])
+    else:                       # polygon with a hole
+        outer = np.array([[0, 0], [40, 0], [40, 40], [0, 40], [0, 0]],
+                         float)
+        hx, hy = rng.uniform(5, 25, 2)
+        hole = np.array([[hx, hy], [hx + 5, hy], [hx + 5, hy + 5],
+                         [hx, hy + 5], [hx, hy]], float)
+        g = G.Geometry("POLYGON", [outer, hole])
+
+    via_wkt = G.from_wkt(G.to_wkt(g))
+    via_wkb = G.from_wkb(G.to_wkb(g))
+    assert G.area(via_wkt) == pytest.approx(G.area(g), rel=1e-12,
+                                            abs=1e-12)
+    assert G.length(via_wkt) == pytest.approx(G.length(g), rel=1e-12,
+                                              abs=1e-12)
+    assert G.to_wkb(via_wkb) == G.to_wkb(g)
+    assert G.to_wkt(via_wkt) == G.to_wkt(g)
+    # batch kernels agree on the composed shapes too
+    ba = G.batch_area([G.to_wkb(g)])
+    assert ba is not None and ba[0] == pytest.approx(G.area(g),
+                                                     rel=1e-9)
