@@ -384,6 +384,31 @@ def _q_knn_haversine(spark, sf):
     return out.select("event_id", F.col("dist").alias("d_q"))
 
 
+def _q_trajectory_stats(spark, sf):
+    """Per-entity trajectory summaries (point count, time span, total
+    path length) over the (ts, event_id)-ordered hops — each hop
+    quantized to integer micro-units before the per-user sum so the
+    totals are exact under any aggregation order."""
+    from stark_spark.operators.trajectory import trajectory_stats
+    ev = D.st_events(spark, sf, keep_geom=False)
+    return trajectory_stats(ev, "user_id", ts_col="t_start",
+                            x="x", y="y", tie_col="event_id")
+
+
+def _q_od_matrix(spark, sf):
+    """Daily origin→destination flows on an 8x8 grid: first/last cell
+    per (user, epoch-day) by deterministic (ts, event_id) order, then
+    counts per (origin, dest, day)."""
+    from stark_spark.operators.trajectory import od_matrix
+    ev = D.st_events(spark, sf, keep_geom=False)
+    cell = (F.floor(F.col("x") / F.lit(12.5))
+            + F.lit(8) * F.floor(F.col("y") / F.lit(12.5))) \
+        .cast("long")
+    day = F.floor(F.col("t_start") / F.lit(86400)).cast("long")
+    return od_matrix(ev, cell, "user_id", ts_col="t_start",
+                     tie_col="event_id", bucket=day)
+
+
 def _q_knn_weighted_st(spark, sf):
     """Weighted space+time kNN (reference Distance.scala:118-133
     scalarization): d = 1.0*spatial + 0.001*|t - t0|."""
@@ -2036,11 +2061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_join_poly_contains": _q_join_poly_contains,
         "interval_join": _q_interval_join,
         "as_of_join": _q_as_of_join,
-        "sessionize": _q_sessionize,
         "within_distance_join": _q_within_distance_join,
         "st_semi_join": _q_st_semi_join,
         "st_anti_join": _q_st_anti_join,
-        "within_distance_filter": _q_within_distance_filter,
         "knn_events": _q_knn_events,
         "knn_hausdorff_st": _q_knn_hausdorff_st,
         "knn_join": _q_knn_join,
@@ -2072,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_contamination": _q_stream_contamination,
         "bm25_topk": _q_bm25_topk,
         "knn_haversine": _q_knn_haversine,
+        "trajectory_stats": _q_trajectory_stats,
+        "od_matrix": _q_od_matrix,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
@@ -2086,6 +2111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_join_expand_temporal": _q_join_expand_temporal,
         "st_filter_both_or_neither": _q_filter_both_or_neither,
         "st_filter_polygon_timed": _q_filter_polygon_timed,
+        "sessionize": _q_sessionize,
+        "within_distance_filter": _q_within_distance_filter,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -2541,6 +2568,52 @@ FROM h ORDER BY d_q, event_id LIMIT 15""",
         "pruned_knn": f"""
 SELECT event_id, {dist_q} AS dist FROM events
 ORDER BY dist, event_id LIMIT 50""",
+
+        # trajectory hops quantized to integer micro-units before the
+        # per-user sum (aggregation-order-proof); (ts, event_id) order
+        # pins ties
+        "trajectory_stats": f"""
+WITH t AS (
+  SELECT event_id, user_id, value AS x, ({EV_Y}) AS y,
+         {EV_T} AS ts
+  FROM events
+), h AS (
+  SELECT user_id, ts,
+    COALESCE(CAST(round(sqrt(
+      (x - lag(x) OVER w) * (x - lag(x) OVER w)
+      + (y - lag(y) OVER w) * (y - lag(y) OVER w)) * 1000000.0)
+      AS BIGINT), 0) AS hq
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+  min(ts) AS t_start, max(ts) AS t_end,
+  CAST(sum(hq) AS BIGINT) AS path_q
+FROM h GROUP BY user_id""",
+
+        "od_matrix": f"""
+WITH t AS (
+  SELECT event_id, user_id,
+    CAST(floor(value / 12.5)
+         + 8 * floor((({EV_Y})) / 12.5) AS BIGINT) AS cell,
+    {EV_T} AS ts,
+    CAST(floor(({EV_T}) / 86400.0) AS BIGINT) AS bucket
+  FROM events
+), r AS (
+  SELECT user_id, bucket, cell, ts, event_id,
+    row_number() OVER (PARTITION BY user_id, bucket
+                       ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY user_id, bucket
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+), od AS (
+  SELECT a.user_id, a.bucket, a.cell AS origin, d.cell AS dest
+  FROM r a JOIN r d
+    ON a.user_id = d.user_id AND a.bucket = d.bucket
+  WHERE a.rn_a = 1 AND d.rn_d = 1
+)
+SELECT origin, dest, CAST(count(*) AS BIGINT) AS n, bucket
+FROM od GROUP BY origin, dest, bucket""",
 
         "knn_weighted_st": f"""
 SELECT event_id,

@@ -429,3 +429,45 @@ def test_sessionize_matches_pandas(spark, sf_dir):
             want[eid] = sid
             prev = t
     assert got == want
+
+
+def test_trajectory_stats_hand_check(spark):
+    """Path lengths, spans and counts match a hand computation,
+    including a ts collision broken by the tie column."""
+    from stark_spark.operators.trajectory import trajectory_stats
+    rows = [
+        (1, 10, 100, 0.0, 0.0), (2, 10, 200, 3.0, 4.0),   # ts tie
+        (3, 10, 300, 3.0, 8.0),
+        (4, 20, 100, 1.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, x double, y double")
+    got = {r.user_id: (r.n_points, r.t_start, r.t_end, r.path_q)
+           for r in trajectory_stats(df, "user_id", ts_col="t",
+                                     tie_col="event_id").collect()}
+    # user 10: hops 5.0 (tie order by event_id) then 4.0 → 9.0
+    assert got[10] == (3, 100, 300, 9_000_000)
+    assert got[20] == (1, 100, 100, 0)
+
+
+def test_od_matrix_first_last(spark):
+    """Origin/dest are the first/last cells by (ts, tie) per bucket;
+    counts aggregate entities."""
+    from pyspark.sql import functions as F
+    from stark_spark.operators.trajectory import od_matrix
+    rows = [
+        (1, 1, 0, 5.0, 5.0), (2, 1, 50, 30.0, 5.0),
+        (3, 2, 10, 5.0, 5.0), (4, 2, 60, 30.0, 5.0),
+        (5, 3, 90000, 90.0, 90.0),                 # next day bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, x double, y double")
+    cell = (F.floor(F.col("x") / F.lit(12.5))
+            + F.lit(8) * F.floor(F.col("y") / F.lit(12.5))).cast("long")
+    day = F.floor(F.col("t") / F.lit(86400)).cast("long")
+    got = {(r.origin, r.dest, r.bucket): r.n
+           for r in od_matrix(df, cell, "user_id", ts_col="t",
+                              tie_col="event_id",
+                              bucket=day).collect()}
+    assert got[(0, 2, 0)] == 2          # users 1 and 2: cell 0 → 2
+    assert got[(63, 63, 1)] == 1        # user 3, single point
