@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "multimodal_video_pairs",    # frame phash + pair-evidence agg
     "stream_contamination",      # stateless bloom filter on a stream
     "bm25_topk",                 # sparse retrieval, quantized scores
+    "knn_haversine",             # geodesic distFunc, quantized rank
+    "trajectory_stats",          # per-entity ordered-window hops
+    "od_matrix",                 # first/last-cell flows per day
 ]
 
 
