@@ -409,6 +409,18 @@ def _q_od_matrix(spark, sf):
                      tie_col="event_id", bucket=day)
 
 
+def _q_stay_points(spark, sf):
+    """Dwell detection (chain-rule stay points): gaps-and-islands over
+    per-user ordered hops — runs whose every hop stays within radius
+    10, kept when spanning >= 1 hour. Centroids from micro-quantized
+    integer sums (bit-exact oracle)."""
+    from stark_spark.operators.trajectory import stay_points
+    ev = D.st_events(spark, sf, keep_geom=False)
+    return stay_points(ev, "user_id", ts_col="t_start", x="x", y="y",
+                       tie_col="event_id", radius=10.0,
+                       min_dwell=3600)
+
+
 def _q_knn_weighted_st(spark, sf):
     """Weighted space+time kNN (reference Distance.scala:118-133
     scalarization): d = 1.0*spatial + 0.001*|t - t0|."""
@@ -2063,7 +2075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "as_of_join": _q_as_of_join,
         "within_distance_join": _q_within_distance_join,
         "st_semi_join": _q_st_semi_join,
-        "st_anti_join": _q_st_anti_join,
         "knn_events": _q_knn_events,
         "knn_hausdorff_st": _q_knn_hausdorff_st,
         "knn_join": _q_knn_join,
@@ -2097,6 +2108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_haversine": _q_knn_haversine,
         "trajectory_stats": _q_trajectory_stats,
         "od_matrix": _q_od_matrix,
+        "stay_points": _q_stay_points,
         # ---- position 51+: r03-green siblings of in-window queries
         # (same code paths — rotate into the window next round) ----
         "st_filter_containedby_rect": _q_filter_containedby_rect,
@@ -2113,6 +2125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_filter_polygon_timed": _q_filter_polygon_timed,
         "sessionize": _q_sessionize,
         "within_distance_filter": _q_within_distance_filter,
+        "st_anti_join": _q_st_anti_join,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -2614,6 +2627,36 @@ WITH t AS (
 )
 SELECT origin, dest, CAST(count(*) AS BIGINT) AS n, bucket
 FROM od GROUP BY origin, dest, bucket""",
+
+        "stay_points": f"""
+WITH t AS (
+  SELECT event_id, user_id, value AS x, ({EV_Y}) AS y,
+         {EV_T} AS ts
+  FROM events
+), h AS (
+  SELECT user_id, event_id, ts, x, y,
+    sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+         + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS hop
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), l AS (
+  SELECT user_id, ts, x, y,
+    sum(CASE WHEN hop IS NULL OR hop > CAST(10.0 AS DOUBLE)
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS lab
+  FROM h
+), runs AS (
+  SELECT user_id, lab, min(ts) AS stay_start, max(ts) AS stay_end,
+    CAST(count(*) AS BIGINT) AS n_points,
+    CAST(sum(CAST(round(x * 1000000.0) AS BIGINT)) AS BIGINT) AS sx,
+    CAST(sum(CAST(round(y * 1000000.0) AS BIGINT)) AS BIGINT) AS sy
+  FROM l GROUP BY user_id, lab
+)
+SELECT user_id, stay_start, stay_end, n_points,
+  CAST(floor(sx / n_points) AS BIGINT) AS cx_q,
+  CAST(floor(sy / n_points) AS BIGINT) AS cy_q
+FROM runs WHERE stay_end - stay_start >= 3600""",
 
         "knn_weighted_st": f"""
 SELECT event_id,

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "knn_haversine",             # geodesic distFunc, quantized rank
     "trajectory_stats",          # per-entity ordered-window hops
     "od_matrix",                 # first/last-cell flows per day
+    "stay_points",               # gaps-and-islands dwell detection
 ]
 
 

@@ -69,3 +69,52 @@ def od_matrix(df: DataFrame, cell: Column, key: str = "user_id", *,
     if bucket is not None:
         out = out.withColumnRenamed("_b", "bucket")
     return out
+
+
+def stay_points(df: DataFrame, key: str = "user_id", *,
+                ts_col: str = "t", x: str = "x", y: str = "y",
+                tie_col: str, radius: float = 5.0,
+                min_dwell: int = 3600) -> DataFrame:
+    """Stay-point (dwell) detection under the CHAIN rule: a dwell is
+    a maximal run of consecutive points where every hop to the next
+    point stays within ``radius``, kept when the run spans at least
+    ``min_dwell`` seconds — "where did this entity linger", the other
+    half of movement analysis next to `od_matrix`. (The chain rule is
+    the window-friendly variant of anchor-based stay detection: it
+    can only split a slow drift into several dwells, never merge two
+    distinct ones.)
+
+    Spark shape: the classic gaps-and-islands rewrite — a per-entity
+    ordered window flags hops that exceed the radius, a running sum
+    of flags labels the runs, one aggregate per (entity, run) emits
+    the dwell windows. One shuffle on the entity key. Output: (key,
+    stay_start, stay_end, n_points, cx_q, cy_q) with centroid
+    coordinates in micro-units (per-point coords are quantized to
+    BIGINT before the mean so the oracle is bit-exact)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tie_col))
+    # distance from previous point (chain hop) — a simple, exactly
+    # SQL-mirrorable break rule: break when the hop exceeds radius
+    dx = F.col(x) - F.lag(x).over(w)
+    dy = F.col(y) - F.lag(y).over(w)
+    hop = F.sqrt(dx * dx + dy * dy)
+    brk = F.when(hop.isNull() | (hop > F.lit(radius)), 1).otherwise(0)
+    lab = F.sum(brk).over(
+        Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tie_col))
+              .rowsBetween(Window.unboundedPreceding, 0))
+    xq = F.round(F.col(x) * F.lit(1e6)).cast("long")
+    yq = F.round(F.col(y) * F.lit(1e6)).cast("long")
+    runs = (df.withColumn("_lab", lab)
+              .withColumn("_xq", xq).withColumn("_yq", yq)
+              .groupBy(key, "_lab")
+              .agg(F.min(ts_col).alias("stay_start"),
+                   F.max(ts_col).alias("stay_end"),
+                   F.count("*").alias("n_points"),
+                   F.sum("_xq").alias("_sx"),
+                   F.sum("_yq").alias("_sy")))
+    return (runs.where((F.col("stay_end") - F.col("stay_start"))
+                       >= F.lit(min_dwell))
+                .select(key, "stay_start", "stay_end", "n_points",
+                        F.floor(F.col("_sx") / F.col("n_points"))
+                         .cast("long").alias("cx_q"),
+                        F.floor(F.col("_sy") / F.col("n_points"))
+                         .cast("long").alias("cy_q")))

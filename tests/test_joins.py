@@ -471,3 +471,28 @@ def test_od_matrix_first_last(spark):
                               bucket=day).collect()}
     assert got[(0, 2, 0)] == 2          # users 1 and 2: cell 0 → 2
     assert got[(63, 63, 1)] == 1        # user 3, single point
+
+
+def test_stay_points_hand_check(spark):
+    """Chain-rule dwells: runs split where a hop exceeds the radius;
+    short dwells are dropped; centroids are micro-quantized means."""
+    from stark_spark.operators.trajectory import stay_points
+    rows = [
+        # user 1: dwell at ~ (0,0) for 2h, jump, dwell 10min (dropped)
+        (1, 1, 0,     0.0, 0.0), (2, 1, 3600,  1.0, 0.0),
+        (3, 1, 7200,  2.0, 0.0),
+        (4, 1, 7800, 50.0, 0.0),                      # hop 48 -> break
+        (5, 1, 8000, 51.0, 0.0),
+        # user 2: single point
+        (6, 2, 0, 9.0, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, t long, x double, y double")
+    got = {(r.user_id, r.stay_start): r
+           for r in stay_points(df, "user_id", ts_col="t",
+                                tie_col="event_id", radius=5.0,
+                                min_dwell=3600).collect()}
+    assert set(got) == {(1, 0)}
+    r = got[(1, 0)]
+    assert (r.stay_end, r.n_points) == (7200, 3)
+    assert r.cx_q == 1_000_000 and r.cy_q == 0   # mean x = 1.0
