@@ -2573,7 +2573,8 @@ WITH g AS (
 SELECT event_id,
   CAST(round(
     (CAST('12742.0176' AS DOUBLE)
-     * asin(sqrt(sla * sla + cl1 * cl2 * slo * slo)))
+     * asin(sqrt(least(sla * sla + cl1 * cl2 * slo * slo,
+                       CAST(1.0 AS DOUBLE)))))
     * CAST(1.0E6 AS DOUBLE)) AS BIGINT) AS d_q
 FROM h ORDER BY d_q, event_id LIMIT 15""",
 

@@ -205,5 +205,9 @@ def haversine_distance(lat1: Column, lon1: Column, lat2: Column,
     dlo = (lon2 - lon1) * rad
     sla = F.sin(dla / 2)
     slo = F.sin(dlo / 2)
-    a = sla * sla + F.cos(lat1 * rad) * F.cos(lat2 * rad) * slo * slo
+    # clamp: near-antipodal pairs can push the intermediate to
+    # 1 + few-ulp, making sqrt(a) > 1 and asin return NaN
+    a = F.least(sla * sla
+                + F.cos(lat1 * rad) * F.cos(lat2 * rad) * slo * slo,
+                F.lit(1.0))
     return F.lit(2.0 * radius_km) * F.asin(F.sqrt(a))

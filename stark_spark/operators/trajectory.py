@@ -80,9 +80,12 @@ def stay_points(df: DataFrame, key: str = "user_id", *,
     point stays within ``radius``, kept when the run spans at least
     ``min_dwell`` seconds — "where did this entity linger", the other
     half of movement analysis next to `od_matrix`. (The chain rule is
-    the window-friendly variant of anchor-based stay detection: it
-    can only split a slow drift into several dwells, never merge two
-    distinct ones.)
+    the window-friendly variant of anchor-based stay detection; its
+    known bias: a SLOW drift whose every hop stays under the radius is
+    reported as one long "dwell" with unbounded total displacement,
+    and two sites connected by sub-radius transit merge — pick the
+    radius against sampling cadence × realistic movement speed, or
+    post-filter on the centroid spread.)
 
     Spark shape: the classic gaps-and-islands rewrite — a per-entity
     ordered window flags hops that exceed the radius, a running sum
@@ -91,7 +94,7 @@ def stay_points(df: DataFrame, key: str = "user_id", *,
     stay_start, stay_end, n_points, cx_q, cy_q) with centroid
     coordinates in micro-units (per-point coords are quantized to
     BIGINT before the mean so the oracle is bit-exact)."""
-    w = Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tie_col))
+    w = Window.partitionBy(key).orderBy(*_ord(ts_col, tie_col))
     # distance from previous point (chain hop) — a simple, exactly
     # SQL-mirrorable break rule: break when the hop exceeds radius
     dx = F.col(x) - F.lag(x).over(w)
@@ -99,8 +102,7 @@ def stay_points(df: DataFrame, key: str = "user_id", *,
     hop = F.sqrt(dx * dx + dy * dy)
     brk = F.when(hop.isNull() | (hop > F.lit(radius)), 1).otherwise(0)
     lab = F.sum(brk).over(
-        Window.partitionBy(key).orderBy(F.col(ts_col), F.col(tie_col))
-              .rowsBetween(Window.unboundedPreceding, 0))
+        w.rowsBetween(Window.unboundedPreceding, 0))
     xq = F.round(F.col(x) * F.lit(1e6)).cast("long")
     yq = F.round(F.col(y) * F.lit(1e6)).cast("long")
     runs = (df.withColumn("_lab", lab)

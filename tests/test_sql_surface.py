@@ -323,3 +323,19 @@ def test_haversine_known_distances(spark):
                                        F.col("la2"), F.col("lo2"))
                     .alias("d")).first().d
     assert abs(d - math.pi * 6371.0088) < 1.0
+
+
+def test_haversine_antipodal_clamp(spark):
+    """Near-antipodal pairs whose intermediate exceeds 1.0 by a few
+    ulp must yield a finite distance (the clamp), not NaN."""
+    from stark_spark.functions.distance import haversine_distance
+    import math
+    df = spark.createDataFrame(
+        [(-57.581279115547, 147.13249997482114,
+          57.58127911582699, -32.867500024954154)],
+        "la1 double, lo1 double, la2 double, lo2 double")
+    d = df.select(haversine_distance(F.col("la1"), F.col("lo1"),
+                                     F.col("la2"), F.col("lo2"))
+                  .alias("d")).first().d
+    assert d == d                      # not NaN
+    assert abs(d - math.pi * 6371.0088) < 1.0
