@@ -51,6 +51,24 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("st_coveredby", pair_predicate_udf("coveredby"))
     spark.udf.register("st_distance", pair_distance_udf())
 
+    # geodesic distance as a SQL-BODY function (Spark SQL scalar UDF:
+    # CREATE FUNCTION ... RETURN <expr>) — inlined into the plan, so
+    # it stays whole-stage codegen, unlike a Python UDF. Mirrors
+    # functions.distance.haversine_distance exactly (clamped
+    # intermediate included).
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION st_haversine(
+            lat1 DOUBLE, lon1 DOUBLE, lat2 DOUBLE, lon2 DOUBLE)
+        RETURNS DOUBLE
+        RETURN 12742.0176D * asin(sqrt(least(
+            sin((lat2 - lat1) * 0.017453292519943295D / 2)
+              * sin((lat2 - lat1) * 0.017453292519943295D / 2)
+            + cos(lat1 * 0.017453292519943295D)
+              * cos(lat2 * 0.017453292519943295D)
+              * sin((lon2 - lon1) * 0.017453292519943295D / 2)
+              * sin((lon2 - lon1) * 0.017453292519943295D / 2),
+            1.0D)))""")
+
     # st_sto(wkt, epoch_sec[, epoch_end]) → ST struct (reference
     # `STConstructor.scala:98-148` MakeSTObject: WKT + date → STObject)
     _STO = StructType([StructField("geom", BinaryType()),

@@ -339,3 +339,26 @@ def test_haversine_antipodal_clamp(spark):
                   .alias("d")).first().d
     assert d == d                      # not NaN
     assert abs(d - math.pi * 6371.0088) < 1.0
+
+
+def test_sql_haversine_matches_column_api(spark):
+    """st_haversine is a SQL-BODY function (inlined, no Python eval)
+    and bit-equal to the Column API, clamp included."""
+    from stark_spark.functions.distance import haversine_distance
+    pairs = [(52.5200, 13.4050, 48.8566, 2.3522),
+             (0.0, 0.0, 0.0, 180.0),
+             (-57.581279115547, 147.13249997482114,
+              57.58127911582699, -32.867500024954154)]   # clamp case
+    df = spark.createDataFrame(pairs,
+                               "a double, b double, c double, d double")
+    api = [r.v for r in df.select(haversine_distance(
+        F.col("a"), F.col("b"), F.col("c"), F.col("d"))
+        .alias("v")).collect()]
+    df.createOrReplaceTempView("__hav")
+    sql = [r.v for r in spark.sql(
+        "SELECT st_haversine(a, b, c, d) AS v FROM __hav").collect()]
+    assert api == sql
+    plan = spark.sql("SELECT st_haversine(1.0,2.0,3.0,4.0) AS d") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
