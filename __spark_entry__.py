@@ -2055,7 +2055,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nothing beyond position 50 lacks a prior green driver row, and
     # the window holds the stalest entries.
     return {
-        # --- oldest driver rows (r01/r02 artifacts) ---
+        # --- latest driver-green row: r03 ---
+        "st_filter_containedby_rect": _q_filter_containedby_rect,
+        "raster_count_value": _q_raster_count_value,
+        "events_daily": _q_events_daily,
+        "set_ops_union_distinct": _q_set_ops,
+        "distance_histogram": _q_distance_histogram,
+        "raster_join_raster_sum": _q_raster_join_raster,
+        "sql_raster_histogram": _q_sql_raster_hist,
+        "raster_join_vector_clip": _q_raster_join_vector_clip,
+        "knn_weighted_st": _q_knn_weighted_st,
+        "st_join_expand_temporal": _q_join_expand_temporal,
+        "st_filter_both_or_neither": _q_filter_both_or_neither,
+        "st_filter_polygon_timed": _q_filter_polygon_timed,
+        "sessionize": _q_sessionize,
+        "within_distance_filter": _q_within_distance_filter,
+        "st_anti_join": _q_st_anti_join,
+        "interval_join_open": _q_interval_join_open,
+        "knn_join_sparse": _q_knn_join_sparse,
+        "skyline_st": _q_skyline_st,
+        "raster_histogram": _q_raster_hist,
+        "agg_revenue_by_segment": _q_agg_revenue_by_segment,
+        "dedup_keep_best": _q_dedup_keep_best,
+        # --- latest driver-green row: r04 ---
+        "text_profile": _q_text_profile,
+        "text_by_source": _q_text_by_source,
+        "token_counts": _q_token_counts,
+        "text_repetition": _q_text_repetition,
+        "pii_scrub": _q_pii_scrub,
+        "chunk_documents": _q_chunk_documents,
+        "contamination_exact": _q_contamination_exact,
+        "contamination_lsh": _q_contamination_lsh,
+        "contamination_bloom": _q_contamination_bloom,
+        "kmeans_exact": _q_kmeans_exact,
+        "partition_str": _q_partition_str,
+        "sample_deterministic": _q_sample_deterministic,
+        "sample_stratified": _q_sample_stratified,
+        "sample_weighted": _q_sample_weighted,
+        "sample_weighted_by_source": _q_sample_weighted_by_source,
+        "mix_sources": _q_mix_sources,
+        "pack_shards": _q_pack_shards,
+        "length_quantiles": _q_length_quantiles,
+        "source_heavy_hitters": _q_source_heavy_hitters,
+        "ann_filtered_topk": _q_ann_filtered,
+        "ann_brute_topk_gemm": _q_ann_brute_gemm,
+        "ann_quantized_topk": _q_ann_quantized,
+        "ann_ivf_pruned_topk": _q_ann_ivf_pruned,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
+        "ann_knn_join": _q_ann_knn_join,
+        "ann_knn_join_gemm": _q_ann_knn_join_gemm,
+        "ann_dup_pairs_ivf_gemm": _q_ann_dup_pairs_ivf_gemm,
+        "viz_lit_pixels": _q_viz_lit_pixels,
+        "partition_spatio_temporal": _q_partition_spatio_temporal,
+        "events_rollup": _q_events_rollup,
+        "events_gapfill": _q_events_gapfill,
+        "events_gapfill_interp": _q_events_gapfill_interp,
+        "sql_st_filter": _q_sql_st_filter,
+        "sql_tile_accessors": _q_sql_tile_accessors,
+        "sql_st_measures": _q_sql_st_measures,
+        "sql_hull_simplify": _q_sql_hull_simplify,
+        "knn_manhattan": _q_knn_manhattan,
+        "stream_windowed_stats": _q_stream_windowed_stats,
+        "agg_revenue_by_nation": _q_agg_revenue_by_nation,
+        "stream_geofence": _q_stream_geofence,
+        "stream_cell_extremes": _q_stream_cell_extremes,
+        "stream_session_stats": _q_stream_session_stats,
+        "stream_cell_counts": _q_stream_cell_counts,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize_replay": _q_stream_sessionize_replay,
+        "stream_st_join": _q_stream_st_join,
+        "zip_join_bucketed": _q_zip_join_bucketed,
+        "multimodal_features": _q_multimodal_features,
+        "partition_bsp": _q_partition_bsp,
+        # --- latest driver-green row: r05 ---
         "ann_cosine_dup_pairs": _q_ann_dup_pairs,
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
@@ -2063,7 +2136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_simhash": _q_dedup_simhash,
-        # --- §2 spine, last driver-checked r03 ---
         "st_filter_rect_timed": _q_filter_rect_timed,
         "st_filter_intervals": _q_filter_intervals,
         "st_filter_coveredby_poly": _q_filter_coveredby_poly,
@@ -2093,8 +2165,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": _q_dedup_minhash,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_clusters": _q_dedup_clusters,
-        # --- new round-5 gates (never driver-checked → must be in
-        # the window per the stalest-first invariant) ---
         "contamination_bloom_jvm": _q_contamination_bloom_jvm,
         "sql_st_buffer": _q_sql_st_buffer,
         "vocab_top_k": _q_vocab_top_k,
@@ -2109,84 +2179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stats": _q_trajectory_stats,
         "od_matrix": _q_od_matrix,
         "stay_points": _q_stay_points,
-        # ---- position 51+: r03-green siblings of in-window queries
-        # (same code paths — rotate into the window next round) ----
-        "st_filter_containedby_rect": _q_filter_containedby_rect,
-        "raster_count_value": _q_raster_count_value,
-        "events_daily": _q_events_daily,
-        "set_ops_union_distinct": _q_set_ops,
-        "distance_histogram": _q_distance_histogram,
-        "raster_join_raster_sum": _q_raster_join_raster,
-        "sql_raster_histogram": _q_sql_raster_hist,
-        "raster_join_vector_clip": _q_raster_join_vector_clip,
-        "knn_weighted_st": _q_knn_weighted_st,
-        "st_join_expand_temporal": _q_join_expand_temporal,
-        "st_filter_both_or_neither": _q_filter_both_or_neither,
-        "st_filter_polygon_timed": _q_filter_polygon_timed,
-        "sessionize": _q_sessionize,
-        "within_distance_filter": _q_within_distance_filter,
-        "st_anti_join": _q_st_anti_join,
-        "interval_join_open": _q_interval_join_open,
-        "knn_join_sparse": _q_knn_join_sparse,
-        "skyline_st": _q_skyline_st,
-        "raster_histogram": _q_raster_hist,
-        "agg_revenue_by_segment": _q_agg_revenue_by_segment,
-        "dedup_keep_best": _q_dedup_keep_best,
-        # --- r04-green: text / quality / language ---
-        "text_profile": _q_text_profile,
-        "text_by_source": _q_text_by_source,
-        "token_counts": _q_token_counts,
-        "text_repetition": _q_text_repetition,
-        "pii_scrub": _q_pii_scrub,
-        "chunk_documents": _q_chunk_documents,
-        # --- r04-green: contamination / sampling / packing ---
-        "contamination_exact": _q_contamination_exact,
-        "contamination_lsh": _q_contamination_lsh,
-        "contamination_bloom": _q_contamination_bloom,
-        "kmeans_exact": _q_kmeans_exact,
-        "partition_str": _q_partition_str,
-        "sample_deterministic": _q_sample_deterministic,
-        "sample_stratified": _q_sample_stratified,
-        "sample_weighted": _q_sample_weighted,
-        "sample_weighted_by_source": _q_sample_weighted_by_source,
-        "mix_sources": _q_mix_sources,
-        "pack_shards": _q_pack_shards,
-        "length_quantiles": _q_length_quantiles,
-        "source_heavy_hitters": _q_source_heavy_hitters,
-        # --- r04-green: ANN tier ---
-        "ann_filtered_topk": _q_ann_filtered,
-        "ann_brute_topk_gemm": _q_ann_brute_gemm,
-        "ann_quantized_topk": _q_ann_quantized,
-        "ann_ivf_pruned_topk": _q_ann_ivf_pruned,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
-        "ann_knn_join": _q_ann_knn_join,
-        "ann_knn_join_gemm": _q_ann_knn_join_gemm,
-        "ann_dup_pairs_ivf_gemm": _q_ann_dup_pairs_ivf_gemm,
-        # --- r04-green: viz / partitioners / SQL surface / rollup ---
-        "viz_lit_pixels": _q_viz_lit_pixels,
-        "partition_spatio_temporal": _q_partition_spatio_temporal,
-        "events_rollup": _q_events_rollup,
-        "events_gapfill": _q_events_gapfill,
-        "events_gapfill_interp": _q_events_gapfill_interp,
-        "sql_st_filter": _q_sql_st_filter,
-        "sql_tile_accessors": _q_sql_tile_accessors,
-        "sql_st_measures": _q_sql_st_measures,
-        "sql_hull_simplify": _q_sql_hull_simplify,
-        "knn_manhattan": _q_knn_manhattan,
-        # --- r04-green: streaming + remaining gates ---
-        "stream_windowed_stats": _q_stream_windowed_stats,
-        "agg_revenue_by_nation": _q_agg_revenue_by_nation,
-        "stream_geofence": _q_stream_geofence,
-        "stream_cell_extremes": _q_stream_cell_extremes,
-        "stream_session_stats": _q_stream_session_stats,
-        "stream_cell_counts": _q_stream_cell_counts,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize_replay": _q_stream_sessionize_replay,
-        "stream_st_join": _q_stream_st_join,
-        "zip_join_bucketed": _q_zip_join_bucketed,
-        "multimodal_features": _q_multimodal_features,
-        "partition_bsp": _q_partition_bsp,
     }
 
 
