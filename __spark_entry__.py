@@ -1992,6 +1992,25 @@ def _q_stream_contamination(spark, sf):
     return t.select("doc_id", "content_hash")
 
 
+def _q_stream_contamination_jvm(spark, sf):
+    """Streaming decontamination, distributed-build flavor: the Bloom
+    words are built JVM-side (explode → bit_or tree-aggregate, no
+    driver collect, no plan literal) and probed inside each
+    micro-batch via k broadcast stream-static joins — the ingest-time
+    shape that scales past ~1M eval rows. Same flagged set as the
+    literal impl and the batch check."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_contamination)
+    docs = D.load(spark, sf, "documents")
+    d = tempfile.mkdtemp(prefix="stark_stream_cj_") + "/docs"
+    docs.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, docs.schema, max_files=2)
+    out = stream_contamination(s, _eval_corpus(spark, sf), impl="jvm")
+    t = _stream_sink(out, "append")
+    return t.select("doc_id", "content_hash")
+
+
 def _q_stream_sessionize_replay(spark, sf):
     """Streaming per-key sessionization (applyInPandasWithState with
     event-time timeouts) == the batch gaps-and-islands sessions: events
@@ -2055,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nothing beyond position 50 lacks a prior green driver row, and
     # the window holds the stalest entries.
     return {
+        # --- never driver-checked (new round-6 gates) ---
+        "stream_contamination_jvm": _q_stream_contamination_jvm,
         # --- latest driver-green row: r03 ---
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
@@ -3470,6 +3491,20 @@ FROM ev e JOIN th ON th.content_hash = md5(e.text)""",
         # whole table, so flagged rows are exactly the train rows
         # whose text appears in the eval corpus
         "stream_contamination": """
+WITH ev AS (
+  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text
+                      ELSE text || ' tail' END AS text
+  FROM documents WHERE doc_id % 10 = 0
+), evh AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM ev
+)
+SELECT d.doc_id, md5(d.text) AS content_hash
+FROM documents d JOIN evh ON md5(d.text) = evh.content_hash""",
+
+        # Same SQL: the jvm streaming impl (distributed words build +
+        # per-micro-batch broadcast probe joins) is a physically
+        # different plan with identical semantics
+        "stream_contamination_jvm": """
 WITH ev AS (
   SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text
                       ELSE text || ' tail' END AS text

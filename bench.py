@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "trajectory_stats",          # per-entity ordered-window hops
     "od_matrix",                 # first/last-cell flows per day
     "stay_points",               # gaps-and-islands dwell detection
+    # appended round 6
+    "stream_contamination_jvm",  # distributed-bloom stream decontamination
 ]
 
 
@@ -120,9 +122,27 @@ def main() -> None:
          _W.partitionBy("g").orderBy("id")))
      .where(_F.col("rn") <= 2).count())
 
+    # contention canary: a fixed 2000^2 f32 GEMM timed on the driver.
+    # Host CPU contention has moved identical bench code by up to 10x
+    # across rounds (PARITY.md); the r5 judge's ask: one sample per run
+    # can't catch mid-run oscillation, so sample the canary NEXT TO
+    # EVERY QUERY — cross-round per-query deltas are discountable
+    # exactly when that query's adjacent canary is >2x the quiet-window
+    # value (~0.05 s on this host class).
+    import numpy as _np
+    _a = _np.ones((2000, 2000), dtype=_np.float32)
+    _a @ _a  # warm BLAS threadpool
+
+    def _canary() -> float:
+        t0 = time.perf_counter()
+        _a @ _a
+        return round(time.perf_counter() - t0, 4)
+
     qs = entry.queries()
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
+    canaries: dict[str, float] = {}
+    c_prev = _canary()
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.perf_counter()
@@ -134,20 +154,13 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows; warm {warm[name]}s)",
-              file=sys.stderr)
-
-    # contention canary: a fixed 2000^2 f32 GEMM timed on the driver.
-    # Host CPU contention has moved identical bench code by up to 10x
-    # across rounds (PARITY.md); cross-round per-query comparisons
-    # should be auto-discounted when this canary is >2x its
-    # quiet-window value (~0.1 s on this host class).
-    import numpy as _np
-    _a = _np.ones((2000, 2000), dtype=_np.float32)
-    _a @ _a  # warm BLAS threadpool
-    t0 = time.perf_counter()
-    _a @ _a
-    canary = round(time.perf_counter() - t0, 4)
+        c_now = _canary()
+        # worst adjacent sample brackets this query's measurement
+        canaries[name] = max(c_prev, c_now)
+        c_prev = c_now
+        print(f"# {name}: {times[name]}s ({n} rows; warm {warm[name]}s; "
+              f"canary {canaries[name]}s)", file=sys.stderr)
+    canary = c_prev
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -159,6 +172,8 @@ def main() -> None:
         "queries_warm": warm,
         "value_warm": round(sum(warm.values()), 3),
         "canary_gemm_s": canary,
+        "canary_per_query": canaries,
+        "canary_max_s": max(canaries.values()),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

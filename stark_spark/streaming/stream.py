@@ -314,36 +314,69 @@ def st_stream_stream_join(left: DataFrame, right: DataFrame, *,
 
 def stream_contamination(stream: DataFrame, eval_df: DataFrame, *,
                          key: str = "doc_id", text_col: str = "text",
-                         fpp: float = 1e-3) -> DataFrame:
+                         fpp: float = 1e-3,
+                         impl: str = "literal") -> DataFrame:
     """Decontaminate a document STREAM at ingest — the streaming twin
-    of `dedup.cross_bloom_dups`: a driver-built Bloom bitmap over the
-    static eval corpus runs as a STATELESS codegen filter inside each
-    micro-batch (no streaming state at all — the filter is a pure
-    expression), so ~fpp of clean traffic survives to the closing
+    of `dedup.cross_bloom_dups`: a Bloom prefilter over the static
+    eval corpus runs STATELESS inside each micro-batch (no streaming
+    state at all), so ~fpp of clean traffic survives to the closing
     stream-static equi-join against the true eval hashes, which
     removes the false positives. Output: the contaminated stream rows
     (key, content_hash) — exactly the rows a batch recheck would flag,
     caught before they ever land in the corpus.
 
-    PRECONDITION (as for `dedup.cross_bloom_dups`): eval_df must be
-    deterministic — its hashes are collected ONCE here and reused for
-    both the filter and the closing join, so unlike the batch twin a
-    nondeterministic eval cannot skew results, but the collected
-    snapshot is what every micro-batch is checked against.
+    Two physically-different builds, identical semantics (mirroring
+    the batch twin's ``impl`` switch):
 
-    The truth side of the stream-static join is built from the
-    ALREADY-COLLECTED hashes (a local relation) — the eval pipeline
-    is never re-evaluated per micro-batch."""
-    from stark_spark.operators.dedup import (bloom_build,
-                                             bloom_might_contain)
+    - ``impl="literal"`` (default, small eval sets): driver-built
+      bitmap applied as a literal-array + ``getbit`` codegen
+      expression; caps at ~1M eval rows (~1.8 MB of plan literal).
+      PRECONDITION: eval_df must be deterministic — its hashes are
+      collected ONCE here and reused for both the filter and the
+      closing join; the collected snapshot is what every micro-batch
+      is checked against.
+    - ``impl="jvm"`` (large eval sets — full benchmark suites): the
+      filter words are built DISTRIBUTED (`dedup.bloom_words_df`:
+      explode into bit positions → bit_or tree-aggregate, no driver
+      collect, no plan literal at any eval size) and probed inside
+      each micro-batch via k broadcast stream-static joins on word
+      index (`dedup._bloom_probe_joins` — still stateless: every
+      join's static side is a checkpointed local-block frame). The
+      eval hash set is `localCheckpoint`ed ONCE up front and serves
+      as BOTH the filter source and the closing-join truth side, so
+      the determinism precondition disappears and the eval pipeline
+      is never re-evaluated per micro-batch — each batch reads the
+      checkpoint blocks.
+
+    At scale: the closing stream-static join shuffles only Bloom
+    survivors (~fpp of each batch + true matches), so ingest
+    decontamination against a 100M-row eval suite is a broadcast-probe
+    chain plus an eval-sized equi-join — the same 100 TB shape as the
+    batch path."""
+    from stark_spark.operators.dedup import (_bloom_probe_joins,
+                                             _bloom_sizing, bloom_build,
+                                             bloom_might_contain,
+                                             bloom_words_df)
     ev_hash = F.md5(F.col(text_col))
-    hashes = [r.h for r in
-              eval_df.select(ev_hash.alias("h")).distinct().collect()]
-    words, m, k = bloom_build(hashes, fpp)
-    flagged = (stream.withColumn("content_hash", F.md5(F.col(text_col)))
-                     .where(bloom_might_contain(F.col("content_hash"),
-                                                words, m, k)))
-    truth = stream.sparkSession.createDataFrame(
-        [(h,) for h in hashes], "content_hash string")
+    hashed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    if impl == "literal":
+        hashes = [r.h for r in
+                  eval_df.select(ev_hash.alias("h")).distinct().collect()]
+        words, m, k = bloom_build(hashes, fpp)
+        flagged = hashed.where(bloom_might_contain(
+            F.col("content_hash"), words, m, k))
+        truth = stream.sparkSession.createDataFrame(
+            [(h,) for h in hashes], "content_hash string")
+    elif impl == "jvm":
+        ev_hashes = (eval_df.select(ev_hash.alias("h")).distinct()
+                     .localCheckpoint(eager=True))
+        n = ev_hashes.count()
+        m, k = _bloom_sizing(n, fpp)
+        flagged = _bloom_probe_joins(hashed, "content_hash",
+                                     bloom_words_df(ev_hashes, m, k),
+                                     m, k)
+        truth = ev_hashes.select(F.col("h").alias("content_hash"))
+    else:
+        raise ValueError(f"unknown bloom impl: {impl!r}")
     return flagged.join(truth, "content_hash") \
                   .select(key, "content_hash")

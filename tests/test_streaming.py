@@ -359,10 +359,13 @@ def test_state_store_rows_scale_with_sessions(spark, ordered_stream_dir):
     assert n_events > n_users
 
 
-def test_stream_contamination_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("impl", ["literal", "jvm"])
+def test_stream_contamination_matches_batch(spark, tmp_path, impl):
     """Streaming Bloom decontamination flags exactly the rows the
     batch check flags, with ZERO streaming state (stateless filter +
-    stream-static join — no stateOperators in progress)."""
+    stream-static join — no stateOperators in progress). Both the
+    driver-built literal bitmap and the distributed-build jvm probe
+    chain produce identical results."""
     from stark_spark.streaming.stream import stream_contamination
     docs = D.load(spark, "/root/testdata/sf0.001", "documents")
     ev = (docs.where(F.col("doc_id") % 10 == 0)
@@ -375,7 +378,7 @@ def test_stream_contamination_matches_batch(spark, tmp_path):
     docs.repartition(3).write.parquet(d)
     s = (spark.readStream.schema(docs.schema)
          .option("maxFilesPerTrigger", 1).parquet(d))
-    out = stream_contamination(s, ev)
+    out = stream_contamination(s, ev, impl=impl)
     name = f"t_{uuid.uuid4().hex[:8]}"
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
