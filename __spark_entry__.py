@@ -1618,22 +1618,34 @@ def _afp_fixture_waves():
 
 
 def _q_multimodal_audio_pairs(spark, sf):
-    """Near-duplicate AUDIO detection end-to-end: raw-PCM fixtures
-    through the binaryFile source → executor-side REAL PCM decode →
-    64-bit energy-delta fingerprint (gain-invariant) → hamming-banded
-    pair join (same pigeonhole machinery as SimHash/pHash). Oracle =
-    literal expected pairs from the same deterministic arrays."""
+    """Near-duplicate AUDIO detection end-to-end: fixtures written as
+    REAL RIFF/WAVE PCM16 files (canonical 44-byte-header container,
+    chunk-walk decode) mixed with headerless raw PCM16 files through
+    the binaryFile source → executor-side REAL decode (magic
+    sniffing picks the container) → 64-bit energy-delta fingerprint
+    (gain-invariant) → hamming-banded pair join (same pigeonhole
+    machinery as SimHash/pHash). The mixed-container fixture proves
+    the two decode paths yield the identical waveform: the expected
+    near-dup pairs span a .wav/.pcm boundary. Oracle = literal
+    expected pairs from the same deterministic arrays."""
     import tempfile
     from stark_spark.operators.multimodal import (audio_dup_pairs,
+                                                  encode_wav,
                                                   read_binary_dir)
     root = tempfile.mkdtemp(prefix="stark_afp_")
+    # container split chosen so BOTH expected near-dup pairs (0,4) and
+    # (1,5) cross a .wav/.pcm boundary
     for i, pcm in _afp_fixture_waves().items():
-        with open(f"{root}/clip_{i}.pcm", "wb") as f:
-            f.write(pcm.tobytes())
-    pairs = audio_dup_pairs(read_binary_dir(spark, root, "*.pcm"),
+        if i in (0, 3, 5):
+            with open(f"{root}/clip_{i}.wav", "wb") as f:
+                f.write(encode_wav(pcm))
+        else:
+            with open(f"{root}/clip_{i}.pcm", "wb") as f:
+                f.write(pcm.tobytes())
+    pairs = audio_dup_pairs(read_binary_dir(spark, root, "*.{wav,pcm}"),
                             max_hamming=8)
-    aid = F.regexp_extract("a", r"clip_(\d+)\.pcm", 1).cast("int")
-    bid = F.regexp_extract("b", r"clip_(\d+)\.pcm", 1).cast("int")
+    aid = F.regexp_extract("a", r"clip_(\d+)\.(wav|pcm)", 1).cast("int")
+    bid = F.regexp_extract("b", r"clip_(\d+)\.(wav|pcm)", 1).cast("int")
     return pairs.select(F.least(aid, bid).alias("a_id"),
                         F.greatest(aid, bid).alias("b_id"),
                         F.col("hamming").cast("long").alias("hamming"))

@@ -305,14 +305,70 @@ def decode_pcm16(content: bytes) -> np.ndarray:
         .astype(np.float64) / 32768.0
 
 
+def decode_wav(content: bytes) -> np.ndarray:
+    """REAL decode for the canonical RIFF/WAVE container (PCM16, the
+    universal interchange format — no codec library required): walk
+    the chunk list (word-aligned), read `fmt ` + `data`, reject
+    non-PCM / non-16-bit encodings, downmix multichannel to mono by
+    per-frame channel mean → float64 samples in [-1, 1)."""
+    import struct
+    if (len(content) < 12 or content[:4] != b"RIFF"
+            or content[8:12] != b"WAVE"):
+        raise ValueError("not a RIFF/WAVE file")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos:pos + 4]
+        size = struct.unpack("<I", content[pos + 4:pos + 8])[0]
+        body = content[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)    # odd-sized chunks are padded
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch = struct.unpack("<HH", fmt[:4])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if audio_fmt != 1 or bits != 16 or n_ch < 1:
+        raise ValueError(
+            f"unsupported WAV encoding: fmt={audio_fmt} bits={bits}")
+    s = decode_pcm16(data)
+    if n_ch > 1:
+        s = s[:len(s) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return s
+
+
+def encode_wav(samples: np.ndarray, *, rate: int = 8000,
+               n_ch: int = 1) -> bytes:
+    """Encode int16 samples (interleaved if n_ch > 1) as a canonical
+    44-byte-header RIFF/WAVE PCM16 file — the inverse of
+    `decode_wav`, used by fixtures and tests."""
+    import struct
+    s = np.asarray(samples, dtype="<i2").tobytes()
+    block = 2 * n_ch
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(s)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, rate,
+                                   rate * block, block, 16)
+           + b"data" + struct.pack("<I", len(s)))
+    return hdr + s
+
+
 def _decode_audio(content: bytes, path: str) -> np.ndarray:
-    if path.endswith((".pcm", ".raw")):
+    if content[:4] == b"RIFF":           # sniff magic, not extension
+        try:
+            return decode_wav(content)
+        except ValueError:
+            pass      # corrupt/compressed wav → deterministic fake
+    elif path.endswith((".pcm", ".raw")):
         try:
             return decode_pcm16(content)
         except ValueError:
             pass      # corrupt file → deterministic fake, like images
-    # container formats (wav/mp3/flac) need codec libs this
-    # environment lacks: deterministic fake keeps the plumbing real
+    else:
+        # compressed containers (mp3/flac/ogg) need codec libs this
+        # environment lacks: deterministic fake keeps the plumbing real
+        pass
     h = hashlib.md5(content).digest()
     rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
     return rng.standard_normal(1000 + h[4] % 1000)

@@ -775,6 +775,60 @@ def test_corrupt_media_fall_back_not_abort(spark, tmp_path):
     assert len(vfp) >= 1
 
 
+def test_wav_decode_seam(spark, tmp_path):
+    """RIFF/WAV decode: the canonical PCM16 container and the same
+    samples as headerless raw PCM yield the IDENTICAL waveform (so
+    identical fingerprints across a mixed-container corpus); stereo
+    downmixes to the per-frame channel mean; odd-sized chunks are
+    word-aligned-skipped; non-PCM encodings and truncated headers
+    fall back to the deterministic fake instead of aborting."""
+    import struct
+    from stark_spark.operators.multimodal import (audio_fingerprint,
+                                                  decode_pcm16,
+                                                  decode_wav,
+                                                  encode_wav,
+                                                  read_binary_dir)
+    rng = np.random.default_rng(7)
+    mono = (rng.uniform(-0.5, 0.5, 4000) * 32767).astype("<i2")
+    # container equivalence, end-to-end through the Spark source
+    d = tmp_path / "wav"
+    d.mkdir()
+    (d / "a.wav").write_bytes(encode_wav(mono))
+    (d / "a.pcm").write_bytes(mono.tobytes())
+    fps = {r.path.rsplit("/", 1)[-1]: r.afp
+           for r in audio_fingerprint(
+               read_binary_dir(spark, str(d), "*.{wav,pcm}")).collect()}
+    assert fps["a.wav"] == fps["a.pcm"]
+    # local decode equivalence + dtype
+    assert np.array_equal(decode_wav(encode_wav(mono)),
+                          decode_pcm16(mono.tobytes()))
+    # stereo downmix = per-frame channel mean
+    stereo = np.empty(2 * len(mono), dtype="<i2")
+    stereo[0::2], stereo[1::2] = mono, mono
+    assert np.allclose(decode_wav(encode_wav(stereo, n_ch=2)),
+                       decode_pcm16(mono.tobytes()))
+    # chunk walk: a LIST chunk with an ODD size before data must be
+    # skipped with pad-byte alignment
+    body = encode_wav(mono)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    hacked = body[:12] + extra + body[12:]
+    hacked = hacked[:4] + struct.pack(
+        "<I", len(hacked) - 8) + hacked[8:]
+    assert np.array_equal(decode_wav(hacked), decode_wav(body))
+    # rejection paths
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxx")                       # truncated
+    float_fmt = bytearray(encode_wav(mono))
+    float_fmt[20:22] = struct.pack("<H", 3)           # IEEE float fmt
+    with pytest.raises(ValueError):
+        decode_wav(bytes(float_fmt))
+    # ...but through the seam they degrade to the fake, not abort
+    (d / "b.wav").write_bytes(bytes(float_fmt))
+    out = audio_fingerprint(
+        read_binary_dir(spark, str(d), "*.wav")).collect()
+    assert len(out) == 2 and all(r.afp is not None for r in out)
+
+
 @given(st.integers(0, 100_000))
 @settings(max_examples=60, deadline=None)
 def test_multi_geometry_codec_roundtrips(seed):
