@@ -1121,6 +1121,23 @@ def _q_bm25_topk(spark, sf):
     return bm25_topk(docs, "doc_id", ["join", "filter", "merge"], 25)
 
 
+def _q_bm25_multi_topk(spark, sf):
+    """Many-query BM25 in one corpus pass: a (query_id, terms) frame
+    — the sparse twin of the dense tier's many-query brute_force
+    shape. One corpus token explode pruned by the broadcast query
+    vocabulary, driver-quantized idf literals, integer score sums,
+    window top-k per query. Query q3 carries a duplicated term to
+    pin the set semantics (duplicates count once)."""
+    from stark_spark.operators.text import bm25_multi_topk
+    docs = D.load(spark, sf, "documents")
+    qs = spark.createDataFrame(
+        [("q1", ["join", "filter", "merge"]),
+         ("q2", ["data", "stream"]),
+         ("q3", ["index", "scan", "scan"])],
+        "query_id string, terms array<string>")
+    return bm25_multi_topk(docs, "doc_id", qs, 10)
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -2088,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (new round-6 gates) ---
         "stream_contamination_jvm": _q_stream_contamination_jvm,
+        "bm25_multi_topk": _q_bm25_multi_topk,
         # --- latest driver-green row: r03 ---
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
@@ -3328,6 +3346,63 @@ JOIN idf ON tf.token = idf.token, st
 GROUP BY tf.doc_id
 ORDER BY score_q DESC, tf.doc_id
 LIMIT 25""",
+
+        # many-query BM25: same quantization scheme, scored per
+        # (query, doc) with a window top-k per query; the q CTE lists
+        # DISTINCT (query, term) pairs — the Spark side's duplicated
+        # 'scan' in q3 must collapse to the same set
+        "bm25_multi_topk": """
+WITH q(query_id, token) AS (
+  VALUES ('q1', 'join'), ('q1', 'filter'), ('q1', 'merge'),
+         ('q2', 'data'), ('q2', 'stream'),
+         ('q3', 'index'), ('q3', 'scan')
+), tk AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents) t
+  WHERE token <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id
+), st AS (
+  SELECT count(*) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), vocab AS (
+  SELECT DISTINCT token FROM q
+), qt AS (
+  SELECT tk.* FROM tk JOIN vocab USING (token)
+), idf AS (
+  SELECT token,
+    CAST(floor(ln((CAST(st.n AS DOUBLE) - nd + CAST(0.5 AS DOUBLE))
+                   / (nd + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * 1000000) AS BIGINT) AS idf_q
+  FROM (SELECT token, count(DISTINCT doc_id) AS nd
+        FROM qt GROUP BY token) f, st
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY doc_id, token
+), sc AS (
+  SELECT q.query_id, tf.doc_id,
+    CAST(any_value(dl.dl) AS BIGINT) AS n_tokens,
+    CAST(sum(CAST(floor(
+      CAST(idf_q AS DOUBLE)
+      * (CAST(tf AS DOUBLE)
+         / (CAST(tf AS DOUBLE)
+            + CAST(1.2 AS DOUBLE)
+              * (CAST(0.25 AS DOUBLE)
+                 + (CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE))
+                   / st.avgdl)))
+      * CAST(1000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS score_q
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.token = idf.token
+  JOIN q ON tf.token = q.token, st
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, n_tokens, score_q FROM (
+  SELECT sc.*, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rn
+  FROM sc) r
+WHERE rn <= 10""",
 
         "vocab_top_k": """
 WITH tok AS (

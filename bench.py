@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "stay_points",               # gaps-and-islands dwell detection
     # appended round 6
     "stream_contamination_jvm",  # distributed-bloom stream decontamination
+    "bm25_multi_topk",           # many-query sparse retrieval, one pass
 ]
 
 

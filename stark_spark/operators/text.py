@@ -389,3 +389,99 @@ def bm25_topk(df: DataFrame, key: str, query_terms: list[str], k: int,
                         score.alias("score_q"))
                 .orderBy(F.desc("score_q"), F.col(key))
                 .limit(k))
+
+
+def bm25_multi_topk(df: DataFrame, key: str, queries: DataFrame, k: int,
+                    *, query_col: str = "query_id",
+                    terms_col: str = "terms", text_col: str = "text",
+                    k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Many-query BM25 retrieval — the sparse twin of the dense tier's
+    `brute_force_topk` many-query shape: ``queries`` is a DataFrame
+    (query_id, terms array<string>), and every query gets its own
+    top-k document list in ONE pass over the corpus.
+
+    Scale shape (the 100 TB retrieval plan):
+
+    * the query side is dim-sized BY CONTRACT (like ANN query
+      vectors): its exploded (query, term) pairs and the distinct
+      term vocabulary are BROADCAST, never shuffled;
+    * the corpus explodes into tokens ONCE, and the broadcast
+      vocabulary semi-join prunes that stream to query-term hits
+      before the only corpus-keyed shuffle (groupBy (doc, term));
+      documents containing no query term never leave their scan task;
+    * corpus statistics (N, total length) come from one combined
+      aggregate on a no-explode projection; per-term document
+      frequencies come from the (already tiny) hits frame;
+    * idf is computed on the DRIVER from those |vocab| counts with
+      the same floor(ln(...)*1e6) integer quantization as
+      `bm25_topk` (Python libm, matching the oracle's ln — the JVM's
+      Math.log may round differently at quantization boundaries) and
+      rejoined as a broadcast literal frame;
+    * per-(query, doc) scores are SUMS OF INTEGERS — exact under any
+      aggregation order — and the final top-k per query is one
+      window over the scored hits (partition = query_id).
+
+    Duplicate terms within a query count once (set semantics, as in
+    `bm25_topk`). Output: (query_id, <key>, n_tokens, score_q),
+    k rows per query (ties broken by ascending key)."""
+    import math
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    toks = tokens(F.col(text_col))
+    dl_expr = F.size(F.filter(toks, lambda w: w != F.lit("")))
+    base = (df.select(F.col(key), dl_expr.alias("_dl"), toks.alias("_tk"))
+              .where(F.col("_dl") > 0))
+
+    qterms = (queries.select(F.col(query_col).alias("_qid"),
+                             F.explode(terms_col).alias("_term"))
+                     .distinct())
+    vocab = qterms.select("_term").distinct()
+
+    # corpus stats: one combined aggregate, no explode
+    stats = base.agg(F.count("*").alias("n"),
+                     F.sum("_dl").alias("tot")).first()
+    if not stats.n:
+        qs = queries.select(F.col(query_col)).limit(0)
+        return (qs.crossJoin(df.select(F.col(key)).limit(0))
+                  .withColumn("n_tokens", F.lit(0).cast("long"))
+                  .withColumn("score_q", F.lit(0).cast("long")))
+    n_docs, avgdl = stats.n, float(stats.tot) / float(stats.n)
+
+    # inverted-index hits: explode -> broadcast vocab prune -> one
+    # corpus-keyed shuffle; _dl rides along (constant per key)
+    tf = (base.select(F.col(key), F.col("_dl"),
+                      F.explode("_tk").alias("_term"))
+              .where(F.col("_term") != "")
+              .join(F.broadcast(vocab), "_term")
+              .groupBy(F.col(key), F.col("_term"))
+              .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl")))
+
+    # per-term document frequency -> driver-quantized idf literals
+    nd = {r._term: r.nd for r in
+          tf.groupBy("_term").agg(F.count("*").alias("nd")).collect()}
+    idf = spark.createDataFrame(
+        [(t, math.floor(math.log(
+            (n_docs - c + 0.5) / (c + 0.5) + 1.0) * 1e6))
+         for t, c in nd.items()],
+        "_term string, _idf_q long")
+
+    sat = (F.col("_tf").cast("double")
+           / (F.col("_tf").cast("double")
+              + F.lit(k1) * (F.lit(1.0 - b)
+                             + F.lit(b) * F.col("_dl").cast("double")
+                             / F.lit(avgdl))))
+    contrib = F.floor(F.col("_idf_q").cast("double") * sat
+                      * F.lit(1e3)).cast("long")
+    scored = (tf.join(F.broadcast(idf), "_term")
+                .join(F.broadcast(qterms), "_term")
+                .groupBy(F.col("_qid"), F.col(key))
+                .agg(F.sum(contrib).alias("score_q"),
+                     F.max("_dl").alias("n_tokens")))
+    w = Window.partitionBy("_qid").orderBy(F.desc("score_q"),
+                                           F.col(key).asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= k)
+                  .select(F.col("_qid").alias(query_col), F.col(key),
+                          F.col("n_tokens"), F.col("score_q")))

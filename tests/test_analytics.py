@@ -863,3 +863,36 @@ def test_bm25_topk(spark):
     assert "TakeOrderedAndProject" in plan
     empty = bm25_topk(df.where("doc_id > 99"), "doc_id", ["data"], 3)
     assert empty.count() == 0
+
+
+def test_bm25_multi_topk(spark):
+    """Many-query BM25: each query's ranking equals the single-query
+    operator's on the same corpus (same quantization, same top-k
+    order); duplicate terms within a query count once; the query/
+    vocab/idf sides are broadcast (no sort-merge join anywhere);
+    empty corpus yields an empty frame with the output schema."""
+    from stark_spark.operators.text import bm25_multi_topk, bm25_topk
+    df = spark.createDataFrame(
+        [(1, "data spark data engine"), (2, "spark engine"),
+         (3, "cats dogs"), (4, "data data data data data data"),
+         (5, "dogs chase cats fast")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [("a", ["data", "spark"]), ("b", ["cats", "dogs", "dogs"]),
+         ("c", ["nothing_matches"])],
+        "query_id string, terms array<string>")
+    out = bm25_multi_topk(df, "doc_id", qs, 3)
+    got = {(r.query_id, r.doc_id): (r.n_tokens, r.score_q)
+           for r in out.collect()}
+    for qid, terms in (("a", ["data", "spark"]), ("b", ["cats", "dogs"])):
+        single = {r.doc_id: (r.n_tokens, r.score_q)
+                  for r in bm25_topk(df, "doc_id", terms, 3).collect()}
+        multi = {d: v for (q, d), v in got.items() if q == qid}
+        assert multi == single, (qid, multi, single)
+    assert not any(q == "c" for q, _ in got)  # zero-hit query: no rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    empty = bm25_multi_topk(df.where("doc_id > 99"), "doc_id", qs, 3)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "doc_id", "n_tokens", "score_q"]
