@@ -1007,6 +1007,12 @@ def _q_sql_st_buffer(spark, sf):
       point:  area = 16*sin(pi/16)*d^2,  perim = 64*d*sin(pi/32)
       rect:   area = dx*dy + 2*(dx+dy)*d + 16*sin(pi/16)*d^2
               perim = 2*(dx+dy) + 64*d*sin(pi/32)
+    — and a CONCAVE L-shape (one 90-degree reflex vertex: the offset
+    edges trim to the miter intersection instead of an arc) whose
+    closed forms subtract the miter square and two edge trims:
+      L:      area = 3*dx*dy + 4*(dx+dy)*dc - dc^2
+                     + 5*(8*sin(pi/16)/2)*dc^2
+              perim = 4*(dx+dy) - 2*dc + 80*dc*sin(pi/32)
     — the gate checks the whole chain constructor → buffer → measure
     against geometry-free arithmetic."""
     from stark_spark.functions.register import register_sql_functions
@@ -1021,20 +1027,31 @@ def _q_sql_st_buffer(spark, sf):
           CAST(round(st_area(st_buffer(rect, d)) * 10000) AS BIGINT)
             AS rarea_q,
           CAST(round(st_length(st_buffer(rect, d)) * 10000) AS BIGINT)
-            AS rlen_q
+            AS rlen_q,
+          CAST(round(st_area(st_buffer(ell, dc)) * 10000) AS BIGINT)
+            AS larea_q,
+          CAST(round(st_length(st_buffer(ell, dc)) * 10000) AS BIGINT)
+            AS llen_q
         FROM (
-          SELECT event_id, d,
+          SELECT event_id, d, dc,
             st_geomfromwkt(concat('POINT (', x, ' ', y, ')')) AS pt,
             st_geomfromwkt(concat(
               'POLYGON ((', x, ' ', y, ', ', x + dx, ' ', y, ', ',
               x + dx, ' ', y + dy, ', ', x, ' ', y + dy, ', ',
-              x, ' ', y, '))')) AS rect
+              x, ' ', y, '))')) AS rect,
+            st_geomfromwkt(concat(
+              'POLYGON ((', x, ' ', y, ', ', x + 2 * dx, ' ', y, ', ',
+              x + 2 * dx, ' ', y + dy, ', ', x + dx, ' ', y + dy,
+              ', ', x + dx, ' ', y + 2 * dy, ', ', x, ' ',
+              y + 2 * dy, ', ', x, ' ', y, '))')) AS ell
           FROM (
             SELECT event_id, CAST(floor(value) AS DOUBLE) AS x,
                    CAST(floor({EV_Y}) AS DOUBLE) AS y,
                    CAST(1 + event_id % 5 AS DOUBLE) AS dx,
                    CAST(1 + event_id % 7 AS DOUBLE) AS dy,
-                   CAST(1 + event_id % 3 AS DOUBLE) AS d
+                   CAST(1 + event_id % 3 AS DOUBLE) AS d,
+                   CAST(least(1 + event_id % 5, 1 + event_id % 7)
+                        AS DOUBLE) / 2 AS dc
             FROM __sql_ev_b WHERE event_id % 13 = 0) t) s""")
 
 
@@ -3182,7 +3199,9 @@ WITH t AS (
          CAST(floor({EV_Y}) AS DOUBLE) AS y,
          CAST(1 + event_id % 5 AS DOUBLE) AS dx,
          CAST(1 + event_id % 7 AS DOUBLE) AS dy,
-         CAST(1 + event_id % 3 AS DOUBLE) AS d
+         CAST(1 + event_id % 3 AS DOUBLE) AS d,
+         CAST(least(1 + event_id % 5, 1 + event_id % 7) AS DOUBLE) / 2
+           AS dc
   FROM events WHERE event_id % 13 = 0
 )
 SELECT event_id,
@@ -3193,7 +3212,12 @@ SELECT event_id,
               + 16 * sin(pi() / 16) * d * d) * 10000) AS BIGINT)
     AS rarea_q,
   CAST(round((2 * (dx + dy) + 64 * d * sin(pi() / 32)) * 10000)
-    AS BIGINT) AS rlen_q
+    AS BIGINT) AS rlen_q,
+  CAST(round((3 * dx * dy + 4 * (dx + dy) * dc - dc * dc
+              + 5 * (8 * sin(pi() / 16) / 2) * dc * dc) * 10000)
+    AS BIGINT) AS larea_q,
+  CAST(round((4 * (dx + dy) - 2 * dc + 80 * dc * sin(pi() / 32))
+             * 10000) AS BIGINT) AS llen_q
 FROM t""",
 
         "sql_raster_histogram": f"""

@@ -1393,15 +1393,31 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     arcs approximated by inscribed segments (quad_segs per quarter
     circle, so a POINT buffers to a regular 4*quad_segs-gon).
 
-    Supported: POINT, and CONVEX single-ring POLYGON (the offset
-    polygon: edges pushed outward along their normals, vertices
-    rounded with arcs). The buffered area of the approximation has the
-    closed form  A + P*d + n*sin(2*pi/n)*d^2/2  (n = 4*quad_segs) —
-    the oracle gates and property tests pin it exactly. Concave or
-    holed inputs raise (reference parity note: the reference engine
-    exposes no geometric buffer either — SURVEY/PARITY record
-    within-distance as the predicate-side substitute; this covers the
-    constructive "give me the zone polygon" use).
+    Supported:
+
+    * POINT — regular 4*quad_segs-gon;
+    * SIMPLE single-ring POLYGON, convex or CONCAVE — the offset
+      polygon: edges pushed outward along their normals, CONVEX
+      vertices rounded with arcs, REFLEX (concave) vertices joined at
+      the intersection of the adjacent offset edge lines (the offset
+      edges are trimmed — exactly the boundary of the true Minkowski
+      sum as long as the offset curve stays simple). If ``dist``
+      exceeds the concavity depth the offset curve self-intersects
+      globally; that is detected (O(n^2) segment check + trim
+      validity) and raises — an honest refusal, never a bowtie ring;
+    * MULTIPOINT / MULTIPOLYGON — per-part buffering, returned as a
+      MULTIPOLYGON when the part buffers are PAIRWISE DISJOINT
+      (bbox + separation pre-check); overlapping part buffers would
+      need a polygon union and raise.
+
+    For a convex input the buffered area has the closed form
+    A + P*d + n*sin(2*pi/n)*d^2/2 (n = 4*quad_segs); with reflex
+    vertices each contributes its (negative-turn) miter trim instead
+    of an arc — the sql_st_buffer oracle pins an L-shape's closed
+    form exactly. Holed polygons raise (reference parity note: the
+    reference engine exposes no geometric buffer either — SURVEY/
+    PARITY record within-distance as the predicate-side substitute;
+    this covers the constructive "give me the zone polygon" use).
     """
     if not (dist > 0):
         raise ValueError("buffer: dist must be > 0")
@@ -1411,9 +1427,19 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
         ang = np.arange(n_arc) * (2 * np.pi / n_arc)
         ring = np.c_[cx + dist * np.cos(ang), cy + dist * np.sin(ang)]
         return Geometry("POLYGON", [np.vstack([ring, ring[0]])])
+    if g.kind in ("MULTIPOINT", "MULTIPOLYGON"):
+        parts = [buffer(p, dist, quad_segs) for p in g.parts()]
+        rings = [np.asarray(p.coords[0], dtype=float) for p in parts]
+        for i in range(len(rings)):
+            for j in range(i + 1, len(rings)):
+                if _rings_may_touch(rings[i], rings[j]):
+                    raise ValueError(
+                        "buffer: part buffers overlap — polygon union "
+                        "not supported; buffer parts separately")
+        return Geometry("MULTIPOLYGON", parts)
     if g.kind != "POLYGON" or len(g.coords) != 1:
-        raise ValueError("buffer: only POINT and convex single-ring "
-                         "POLYGON are supported")
+        raise ValueError("buffer: only POINT, MULTIPOINT, single-ring "
+                         "POLYGON and MULTIPOLYGON are supported")
     ring = np.asarray(g.coords[0], dtype=float)[:-1]   # drop closing dup
     if _ring_signed_area2(np.vstack([ring, ring[0]])) < 0:
         ring = ring[::-1]                              # force CCW
@@ -1424,34 +1450,138 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     if len(ring) < 3:
         raise ValueError("buffer: degenerate ring")
     d = np.roll(ring, -1, axis=0) - ring               # edge vectors
-    crosses = (d[:, 0] * np.roll(d, -1, axis=0)[:, 1]
-               - d[:, 1] * np.roll(d, -1, axis=0)[:, 0])
-    if (crosses < -1e-12).any():
-        raise ValueError("buffer: ring must be convex")
     # outward normal of a CCW edge = direction rotated -90deg
     norm = np.hypot(d[:, 0], d[:, 1])
     nx, ny = d[:, 1] / norm, -d[:, 0] / norm
+    m = len(ring)
+    # turn at vertex j (between edge j-1 and edge j): reflex iff the
+    # cross product of consecutive edge vectors is negative
+    crosses = (np.roll(d, 1, axis=0)[:, 0] * d[:, 1]
+               - np.roll(d, 1, axis=0)[:, 1] * d[:, 0])
+    reflex = crosses < -1e-12
+    # miter point at each reflex vertex: intersection of the two
+    # adjacent offset edge LINES (trims both offset edges)
+    miter = {}
+    for j in np.nonzero(reflex)[0]:
+        i = (j - 1) % m
+        p = ring[j] + dist * np.array([nx[i], ny[i]])   # on offset line i
+        q = ring[j] + dist * np.array([nx[j], ny[j]])   # on offset line j
+        denom = d[i, 0] * d[j, 1] - d[i, 1] * d[j, 0]
+        if abs(denom) < 1e-12 * norm[i] * norm[j]:
+            raise ValueError("buffer: degenerate reflex vertex "
+                             "(collinear fold)")
+        t = ((q[0] - p[0]) * d[j, 1] - (q[1] - p[1]) * d[j, 0]) / denom
+        miter[j] = p + t * d[i]
     step = (np.pi / 2) / quad_segs
     pts = []
-    m = len(ring)
     for i in range(m):
-        v = ring[i]
-        # offset edge i start at this vertex
-        pts.append(v + dist * np.array([nx[i], ny[i]]))
-        # arc at the NEXT vertex: from normal i to normal i+1 (CCW)
         j = (i + 1) % m
-        w = ring[j]
-        a0 = np.arctan2(ny[i], nx[i])
-        a1 = np.arctan2(ny[j], nx[j])
-        sweep = (a1 - a0) % (2 * np.pi)
-        pts.append(w + dist * np.array([nx[i], ny[i]]))
-        if sweep > 1e-12:
-            k = int(np.ceil(sweep / step))
-            for t in range(1, k):
-                a = a0 + sweep * t / k
-                pts.append(w + dist * np.array([np.cos(a), np.sin(a)]))
-    out = np.vstack(pts + [pts[0]])
+        start = miter[i] if reflex[i] else \
+            ring[i] + dist * np.array([nx[i], ny[i]])
+        end = miter[j] if reflex[j] else \
+            ring[j] + dist * np.array([nx[i], ny[i]])
+        # trimmed offset edge must still advance along the edge
+        # direction, else dist exceeds the local concavity depth
+        if (end - start) @ d[i] <= 1e-12 * norm[i]:
+            raise ValueError("buffer: dist too large for concavity "
+                             "(offset edge fully consumed)")
+        pts.append(start)
+        pts.append(end)
+        if not reflex[j]:
+            # arc at the NEXT vertex: from normal i to normal j (CCW)
+            w = ring[j]
+            a0 = np.arctan2(ny[i], nx[i])
+            a1 = np.arctan2(ny[j], nx[j])
+            sweep = (a1 - a0) % (2 * np.pi)
+            if sweep > 1e-12:
+                k = int(np.ceil(sweep / step))
+                for t in range(1, k):
+                    a = a0 + sweep * t / k
+                    pts.append(w + dist * np.array([np.cos(a),
+                                                    np.sin(a)]))
+    arr = np.vstack(pts)
+    # drop consecutive duplicates introduced by shared miter points
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = np.any(np.abs(arr[1:] - arr[:-1]) > 1e-12, axis=1)
+    arr = arr[keep]
+    if reflex.any() and not _ring_is_simple(arr):
+        raise ValueError("buffer: dist too large for concavity "
+                         "(offset curve self-intersects)")
+    out = np.vstack([arr, arr[0]])
     return Geometry("POLYGON", [out])
+
+
+def _parts_of(g: Geometry):
+    """Split a MULTI* geometry into its single-part Geometries."""
+    if g.kind == "MULTIPOINT":
+        return [Geometry("POINT", np.asarray(p, dtype=float))
+                for p in np.asarray(g.coords, dtype=float).reshape(-1, 2)]
+    if g.kind == "MULTIPOLYGON":
+        out = []
+        for rings in g.coords:
+            if len(rings) != 1:
+                raise ValueError("buffer: holed polygon part")
+            out.append(Geometry("POLYGON",
+                                [np.asarray(rings[0], dtype=float)]))
+        return out
+    raise ValueError(f"buffer: cannot split {g.kind}")
+
+
+def _rings_may_touch(a: np.ndarray, b: np.ndarray) -> bool:
+    """Conservative overlap check between two buffered-part rings:
+    bbox intersection, then any segment-pair intersection or either
+    ring's first vertex inside the other (containment)."""
+    if (a[:, 0].max() < b[:, 0].min() or b[:, 0].max() < a[:, 0].min()
+            or a[:, 1].max() < b[:, 1].min()
+            or b[:, 1].max() < a[:, 1].min()):
+        return False
+    if _point_in_ring(a[0], b) or _point_in_ring(b[0], a):
+        return True
+    return _any_segment_intersection(a, b)
+
+
+def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:
+    x, y = float(pt[0]), float(pt[1])
+    xs, ys = ring[:-1, 0], ring[:-1, 1]
+    xe, ye = ring[1:, 0], ring[1:, 1]
+    crossing = ((ys > y) != (ye > y))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = xs + (y - ys) * (xe - xs) / (ye - ys)
+    return bool(np.count_nonzero(crossing & (xi > x)) % 2)
+
+
+def _segments_properly_intersect(p1, p2, q1, q2) -> bool:
+    def orient(a, b, c):
+        v = ((b[0] - a[0]) * (c[1] - a[1])
+             - (b[1] - a[1]) * (c[0] - a[0]))
+        return 0 if abs(v) < 1e-12 else (1 if v > 0 else -1)
+    o1, o2 = orient(p1, p2, q1), orient(p1, p2, q2)
+    o3, o4 = orient(q1, q2, p1), orient(q1, q2, p2)
+    return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
+
+
+def _any_segment_intersection(a: np.ndarray, b: np.ndarray) -> bool:
+    for i in range(len(a) - 1):
+        for j in range(len(b) - 1):
+            if _segments_properly_intersect(a[i], a[i + 1],
+                                            b[j], b[j + 1]):
+                return True
+    return False
+
+
+def _ring_is_simple(arr: np.ndarray) -> bool:
+    """O(n^2) simplicity check on an OPEN ring (closing edge
+    implied): no two non-adjacent edges properly intersect."""
+    n = len(arr)
+    seg = [(arr[i], arr[(i + 1) % n]) for i in range(n)]
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:       # adjacent through closure
+                continue
+            if _segments_properly_intersect(seg[i][0], seg[i][1],
+                                            seg[j][0], seg[j][1]):
+                return False
+    return True
 
 
 def batch_envelope(wkbs) -> list | None:

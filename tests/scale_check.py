@@ -77,7 +77,103 @@ QUERIES = [
     "doc_logprob",
     "bm25_topk",
     "sample_group_split",
+    # round-6 additions: trajectory family (one shuffle on the entity
+    # key, per-entity windows — linear), geodesic kNN (constant
+    # output, linear oracle), many-query BM25
+    "trajectory_stats",
+    "od_matrix",
+    "stay_points",
+    "knn_haversine",
+    "bm25_multi_topk",
 ]
+
+
+def multimodal_scale_check(replicas: int) -> bool:
+    """Scale exercise for the image near-dup path: REPLICAS
+    independent fixture sets (per-replica seeds — no cross-replica
+    near-dups by construction, so output stays linear) through the
+    real PNG decode + phash + hamming-banding join, compared against
+    a brute-force phash pair set computed locally from the same
+    arrays. At 100 replicas this is 700 images and a ~245k-pair
+    brute-force reference."""
+    import tempfile
+    from itertools import combinations
+
+    from stark_spark import get_session
+    from stark_spark.functions.visualize import _png_encode
+    from stark_spark.operators.multimodal import (image_dup_pairs,
+                                                  phash64,
+                                                  read_binary_dir)
+
+    root = tempfile.mkdtemp(prefix="stark_phash_scale_")
+    hashes = {}
+    for r in range(replicas):
+        imgs = _replica_images(r)
+        for i, arr in imgs.items():
+            key = r * 10 + i
+            with open(f"{root}/img_{key}.png", "wb") as f:
+                f.write(_png_encode(arr))
+            hashes[key] = phash64(arr)
+    want = set()
+    for a, b in combinations(sorted(hashes), 2):
+        d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if d <= 8:
+            want.add((a, b, d))
+
+    from pyspark.sql import functions as F
+    spark = get_session("scale_mm", master="local[32]",
+                        shuffle_partitions=32)
+    pairs = image_dup_pairs(read_binary_dir(spark, root, "*.png"),
+                            max_hamming=8)
+    aid = F.regexp_extract("a", r"img_(\d+)\.png", 1).cast("int")
+    bid = F.regexp_extract("b", r"img_(\d+)\.png", 1).cast("int")
+    got = {(r.a, r.b, r.h) for r in
+           pairs.select(F.least(aid, bid).alias("a"),
+                        F.greatest(aid, bid).alias("b"),
+                        F.col("hamming").alias("h")).collect()}
+    ok = got == want
+    status = "PASS" if ok else "FAIL"
+    print(f"{status} multimodal_phash_scale: {len(got)} pairs over "
+          f"{len(hashes)} images ({replicas} replicas)", file=sys.stderr)
+    if not ok:
+        print(f"  spark-only: {sorted(got - want)[:5]}", file=sys.stderr)
+        print(f"  brute-only: {sorted(want - got)[:5]}", file=sys.stderr)
+    spark.stop()
+    return ok
+
+
+def _replica_images(rep: int):
+    """Per-replica image set with the driver fixture's SHAPE (5
+    distinct scenes + 2 noised near-dup copies) but replica-unique
+    seeds, so near-dups exist only within a replica."""
+    import numpy as np
+
+    def blob(seed, h=48, w=64):
+        rng = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(float)
+        img = np.zeros((h, w))
+        for _ in range(6):
+            cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+            s = rng.uniform(5, 15)
+            img += rng.uniform(0.4, 1.0) * np.exp(
+                -(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+        img = (img - img.min()) / (img.ptp() + 1e-12) * 255
+        return np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+
+    def noised(arr, seed):
+        rng = np.random.default_rng(seed)
+        out = arr.copy()
+        idx = rng.integers(0, out.size, 3000)
+        out.flat[idx] = np.clip(
+            out.flat[idx].astype(int) + rng.integers(-25, 26, 3000),
+            0, 255).astype(np.uint8)
+        return out
+
+    off = 1000 + rep * 17
+    imgs = {i: blob(off + i) for i in range(5)}
+    imgs[5] = noised(imgs[0], off + 100)
+    imgs[6] = noised(imgs[1], off + 101)
+    return imgs
 
 
 def synthesize(workdir: str) -> None:
@@ -111,6 +207,8 @@ def main() -> int:
     rc = oracle_check.run(workdir, only=QUERIES)
     print(f"# scale spot-run over {len(QUERIES)} queries in "
           f"{time.time()-t0:.1f}s rc={rc}", file=sys.stderr)
+    if not multimodal_scale_check(REPLICAS):
+        rc = rc or 1
     return rc
 
 

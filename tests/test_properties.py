@@ -454,13 +454,100 @@ def test_buffer_rejects_bad_inputs():
         G.buffer(G.point(0, 0), 0.0)
     with pytest.raises(ValueError):
         G.buffer(G.point(0, 0), -1.0)
-    concave = G.from_wkt("POLYGON ((0 0, 4 0, 2 1, 4 4, 0 4, 0 0))")
-    with pytest.raises(ValueError):
-        G.buffer(concave, 1.0)
     holed = G.from_wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0),"
                        " (2 2, 3 2, 3 3, 2 3, 2 2))")
     with pytest.raises(ValueError):
         G.buffer(holed, 1.0)
+    # dist beyond the concavity depth: honest refusal, never a bowtie
+    ell = G.from_wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+    with pytest.raises(ValueError):
+        G.buffer(ell, 2.0)
+    # overlapping part buffers need a polygon union -> refuse
+    with pytest.raises(ValueError):
+        G.buffer(G.from_wkt("MULTIPOINT ((0 0), (1 0))"), 2.0)
+
+
+def test_buffer_concave_l_shape_closed_form():
+    """Concave single-ring buffer (the r5 honest-limitation gap): an
+    L-shape with one 90-degree reflex vertex has the hand-derived
+    closed forms
+      area  = A + P*d - d^2 + 5*(8*sin(pi/16)/2)*d^2
+      perim = P - 2*d + 80*d*sin(pi/32)
+    (five convex corners arc with 8 chords each; the reflex corner
+    trims both offset edges by d to the miter intersection — exactly
+    the union boundary of the edge rectangles). The engine must hit
+    them to 1e-12 relative, and the buffer must cover the original
+    and every point within 0.99*d of it (chord sagitta < 0.005*d),
+    and exclude every point farther than d (chords only shrink)."""
+    ell = G.from_wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
+    for d in (0.25, 0.5, 1.0):
+        b = G.buffer(ell, d)
+        A, P = G.area(ell), G.length(ell)
+        assert G.area(b) == pytest.approx(
+            A + P * d - d * d + 5 * (8 * np.sin(np.pi / 16) / 2)
+            * d * d, rel=1e-12)
+        assert G.length(b) == pytest.approx(
+            P - 2 * d + 80 * d * np.sin(np.pi / 32), rel=1e-12)
+        ring = np.asarray(ell.coords[0], dtype=float)
+        bring = np.asarray(b.coords[0], dtype=float)
+        rng = np.random.default_rng(5)
+        pts = rng.uniform(-2, 6, (400, 2))
+        for p in pts:
+            dist = _dist_to_poly(p, ring)
+            if dist <= 0.99 * d:
+                assert G._point_in_ring(p, bring), (p, dist, d)
+            elif dist > d:
+                assert not G._point_in_ring(p, bring), (p, dist, d)
+
+
+def _dist_to_poly(p, ring):
+    """Distance from a point to a closed-ring polygon (0 inside)."""
+    if G._point_in_ring(p, ring):
+        return 0.0
+    best = np.inf
+    for i in range(len(ring) - 1):
+        a, b = ring[i], ring[i + 1]
+        ab = b - a
+        t = np.clip(((p - a) @ ab) / (ab @ ab), 0, 1)
+        best = min(best, float(np.hypot(*(p - (a + t * ab)))))
+    return best
+
+
+@given(st.integers(0, 10_000), st.floats(0.05, 0.35))
+@settings(max_examples=40, deadline=None)
+def test_buffer_concave_star_invariants(seed, dfrac):
+    """Random star-shaped (radial) polygons — simple by construction,
+    usually concave: buffer covers the original, area is bounded by
+    A <= area(b) <= A + P*d + pi*d^2 (Minkowski upper bound; reflex
+    miters only subtract), sampled points within 0.99*d are inside
+    and points beyond d are outside, and the output ring is simple.
+    Deep concavities where the offset self-intersects must RAISE,
+    never return a bowtie."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 12))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    if np.min(np.diff(ang, append=ang[0] + 2 * np.pi)) < 0.15:
+        return
+    rad = rng.uniform(1.0, 3.0, n)
+    ring = np.c_[rad * np.cos(ang), rad * np.sin(ang)]
+    g = G.Geometry("POLYGON", [np.vstack([ring, ring[0]])])
+    d = dfrac * rad.min()
+    try:
+        b = G.buffer(g, d)
+    except ValueError:
+        return                      # honest refusal on deep concavity
+    A, P = G.area(g), G.length(g)
+    got = G.area(b)
+    assert A < got <= A + P * d + np.pi * d * d + 1e-9 * (1 + got)
+    bring = np.asarray(b.coords[0], dtype=float)
+    assert G._ring_is_simple(bring[:-1])
+    cring = np.vstack([ring, ring[0]])
+    for p in rng.uniform(-3.5, 3.5, (60, 2)):
+        dist = _dist_to_poly(p, cring)
+        if dist <= 0.99 * d:
+            assert G._point_in_ring(p, bring), (p, dist, d)
+        elif dist > d:
+            assert not G._point_in_ring(p, bring), (p, dist, d)
 
 
 @given(st.integers(0, 10_000))
