@@ -2393,9 +2393,22 @@ def _dbscan_sql(eps: float, min_pts: int, key: str, x: str, y: str,
     return f"""
 WITH RECURSIVE pts AS (
   SELECT {key} AS k, {x} AS x, {y} AS y FROM {table}
+), cells AS (
+  -- bounded-eps blocking (mirrors the engine's cell+halo build): a
+  -- point's eps-neighbors all lie in its 3x3 block of eps-sized
+  -- cells, so probe 9 cell keys and hash-join on the cell instead of
+  -- the O(n^2) all-pairs theta-join
+  SELECT k, x, y, CAST(floor(x / {eps}) AS BIGINT) AS cx,
+         CAST(floor(y / {eps}) AS BIGINT) AS cy
+  FROM pts
+), probe AS (
+  SELECT c.k, c.x, c.y, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+  FROM cells c,
+       (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
 ), nbr AS (
-  SELECT a.k AS ka, b.k AS kb FROM pts a JOIN pts b
-  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {eps * eps}
+  SELECT a.k AS ka, b.k AS kb
+  FROM probe a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {eps * eps}
 ), core AS (
   SELECT ka AS k FROM nbr GROUP BY ka HAVING count(*) >= {min_pts}
 ), cedge AS (

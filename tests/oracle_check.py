@@ -60,7 +60,75 @@ def frame_hash(pdf: pd.DataFrame) -> tuple[int, tuple, str]:
     return len(pdf), tuple(cols), h
 
 
-def run(sf_dir: str, only: list[str] | None = None) -> int:
+# --- chunked comparator (quadratic-output queries at scale) ----------------
+#
+# The default comparator collects both full result sets; a 10x
+# interval_join materializes ~3.6 GiB and breaks maxResultSize. The
+# chunked path never holds a full result anywhere: each row's
+# canonical string (same _canon_cell rules) is sha256'd and the
+# 128-bit truncations are summed — a COMMUTATIVE accumulation, so
+# Spark can reduce it per Arrow batch in the executors (mapInPandas
+# runs this very module's canonicalization — bit-identical rules)
+# and DuckDB streams record-batch chunks through the same function.
+
+_MASK128 = (1 << 128) - 1
+
+
+def _rows_digest(pdf: pd.DataFrame, cols: list[str]) -> tuple[int, int]:
+    tot = 0
+    n = 0
+    for row in pdf[cols].itertuples(index=False, name=None):
+        s = "\t".join(_canon_cell(v) for v in row)
+        tot = (tot + int.from_bytes(
+            hashlib.sha256(s.encode()).digest()[:16], "big")) & _MASK128
+        n += 1
+    return n, tot
+
+
+def spark_chunked_hash(df) -> tuple[int, tuple, str]:
+    """Distributed commutative frame hash: executors canonicalize and
+    digest their own Arrow batches; the driver sums |partitions|
+    partials. No full collect at any point."""
+    cols = sorted(df.columns)
+
+    # the executor cannot import tests/oracle_check — ship this
+    # module's functions by VALUE so the canonicalization rules in
+    # the closure are literally these ones
+    from pyspark import cloudpickle
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+    def digest(batches):
+        tot = 0
+        n = 0
+        for pdf in batches:
+            bn, bt = _rows_digest(pdf, cols)
+            n += bn
+            tot = (tot + bt) & _MASK128
+        yield pd.DataFrame({"n": [n], "h": [f"{tot:032x}"]})
+
+    parts = df.mapInPandas(digest, "n long, h string").collect()
+    n = sum(r.n for r in parts)
+    tot = sum(int(r.h, 16) for r in parts) & _MASK128
+    return n, tuple(cols), f"{tot:032x}"
+
+
+def duck_chunked_hash(cur) -> tuple[int, tuple, str]:
+    """Streaming commutative frame hash over a DuckDB result cursor."""
+    first = cur.fetch_df_chunk()
+    cols = sorted(first.columns)
+    n = 0
+    tot = 0
+    pdf = first
+    while pdf is not None and len(pdf):
+        bn, bt = _rows_digest(pdf, cols)
+        n += bn
+        tot = (tot + bt) & _MASK128
+        pdf = cur.fetch_df_chunk()
+    return n, tuple(cols), f"{tot:032x}"
+
+
+def run(sf_dir: str, only: list[str] | None = None,
+        chunked: set[str] | None = None) -> int:
     import __spark_entry__ as entry
     from stark_spark import get_session
 
@@ -76,6 +144,28 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if chunked and name in chunked:
+            # never collect the full result on either side
+            try:
+                sn, sc, sh = spark_chunked_hash(fn(spark, sf_dir))
+            except Exception as e:
+                print(f"FAIL {name}: spark error: {str(e)[:200]}")
+                failures += 1
+                continue
+            try:
+                dn, dc, dh = duck_chunked_hash(con.execute(oracles[name]))
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+                failures += 1
+                continue
+            if (sn, sc, sh) == (dn, dc, dh):
+                print(f"PASS {name}: {sn} rows chunked-hash={sh[:12]}")
+            else:
+                print(f"FAIL {name}: chunked mismatch "
+                      f"rows {sn}/{dn} cols {sc}/{dc} hash {sh[:12]}/"
+                      f"{dh[:12]}")
+                failures += 1
             continue
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()

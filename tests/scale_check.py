@@ -54,12 +54,20 @@ SCALED = {
 }
 
 # shuffle-heaviest queries whose oracles AND result sets stay
-# linear-ish. Excluded by necessity, not preference: the dbscan
-# oracle is an O(n^2) recursive CTE, and interval_join's OUTPUT is
-# quadratic in event density (at 10x the same time range each
-# interval overlaps 10x more partners → ~100x rows; 3.6 GiB/task
-# exceeded maxResultSize in the collect-based comparator).
+# linear-ish. Round-6 removes both prior exclusions: the dbscan
+# oracle's neighbor join is now blocked by eps-sized cells (same
+# halo shape as the engine — no more O(n^2) theta-join; honest note:
+# dbscan's INPUT is customer, which the synthesizer does not
+# replicate — fixed-eps DBSCAN percolates into one giant component
+# as density grows, so the entry proves oracle tractability, not
+# engine growth), and interval_join's quadratic OUTPUT (~100x rows
+# at 10x density; 3.6 GiB broke the collect-based comparator) now
+# streams through the CHUNKED commutative-hash comparator — no full
+# collect on either engine.
+CHUNKED = {"interval_join"}
 QUERIES = [
+    "dbscan",
+    "interval_join",
     "dedup_exact",
     "dedup_minhash_sigs",
     "dedup_simhash",
@@ -204,7 +212,7 @@ def main() -> int:
     synthesize(workdir)
     import oracle_check
     t0 = time.time()
-    rc = oracle_check.run(workdir, only=QUERIES)
+    rc = oracle_check.run(workdir, only=QUERIES, chunked=CHUNKED)
     print(f"# scale spot-run over {len(QUERIES)} queries in "
           f"{time.time()-t0:.1f}s rc={rc}", file=sys.stderr)
     if not multimodal_scale_check(REPLICAS):
