@@ -66,21 +66,61 @@ def frame_hash(pdf: pd.DataFrame) -> tuple[int, tuple, str]:
 # interval_join materializes ~3.6 GiB and breaks maxResultSize. The
 # chunked path never holds a full result anywhere: each row's
 # canonical string (same _canon_cell rules) is sha256'd and the
-# 128-bit truncations are summed — a COMMUTATIVE accumulation, so
+# 64-bit truncations are summed mod 2^64 — a COMMUTATIVE, batch-
+# split-independent accumulation, so
 # Spark can reduce it per Arrow batch in the executors (mapInPandas
 # runs this very module's canonicalization — bit-identical rules)
 # and DuckDB streams record-batch chunks through the same function.
 
-_MASK128 = (1 << 128) - 1
+_MASK64 = (1 << 64) - 1
 
 
 def _rows_digest(pdf: pd.DataFrame, cols: list[str]) -> tuple[int, int]:
+    """Commutative digest of a batch: VECTORIZED via
+    pandas.util.hash_pandas_object (stable fixed-key siphash — the
+    same values on the Spark-Arrow and DuckDB sides) after width
+    normalization (int32 vs int64 etc. hash differently; the string
+    comparator was immune, this one normalizes). Falls back to the
+    row-at-a-time _canon_cell/sha256 path for exotic cell types
+    (bytes / lists / Decimal), which hash_pandas_object cannot
+    canonicalize portably."""
+    pdf = pdf[cols]
+    n = len(pdf)
+    if n == 0:
+        return 0, 0
+    norm = {}
+    for c in cols:
+        s = pdf[c]
+        k = s.dtype.kind
+        if k in "iu":
+            norm[c] = s.astype("int64")
+        elif k == "f":
+            norm[c] = s.astype("float64")
+        elif k == "b":
+            norm[c] = s.astype("int64")
+        elif k == "M":
+            norm[c] = s.astype("datetime64[ns]").astype("int64")
+        elif k == "O":
+            probe = s.dropna()
+            v = probe.iloc[0] if len(probe) else ""
+            if isinstance(v, str):
+                norm[c] = s
+            else:                       # bytes / list / Decimal ...
+                return _rows_digest_slow(pdf, cols)
+        else:
+            return _rows_digest_slow(pdf, cols)
+    hp = pd.util.hash_pandas_object(pd.DataFrame(norm), index=False)
+    tot = int(hp.to_numpy().astype(np.uint64).sum(dtype=np.uint64))
+    return n, tot
+
+
+def _rows_digest_slow(pdf: pd.DataFrame, cols: list[str]) -> tuple[int, int]:
     tot = 0
     n = 0
     for row in pdf[cols].itertuples(index=False, name=None):
         s = "\t".join(_canon_cell(v) for v in row)
         tot = (tot + int.from_bytes(
-            hashlib.sha256(s.encode()).digest()[:16], "big")) & _MASK128
+            hashlib.sha256(s.encode()).digest()[:8], "big")) & _MASK64
         n += 1
     return n, tot
 
@@ -103,13 +143,24 @@ def spark_chunked_hash(df) -> tuple[int, tuple, str]:
         for pdf in batches:
             bn, bt = _rows_digest(pdf, cols)
             n += bn
-            tot = (tot + bt) & _MASK128
-        yield pd.DataFrame({"n": [n], "h": [f"{tot:032x}"]})
+            tot = (tot + bt) & _MASK64
+        yield pd.DataFrame({"n": [n], "h": [f"{tot:016x}"]})
 
-    parts = df.mapInPandas(digest, "n long, h string").collect()
+    # quadratic-output queries EXPLODE after their last shuffle; AQE
+    # coalesces the digest stage from pre-explosion size estimates
+    # (observed: a 1B-row interval_join squeezed into 4 tasks, one
+    # straggler). Pin coalescing off for the digest run.
+    spark = df.sparkSession
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        parts = df.mapInPandas(digest, "n long, h string").collect()
+    finally:
+        spark.conf.set(coalesce_key, prev)
     n = sum(r.n for r in parts)
-    tot = sum(int(r.h, 16) for r in parts) & _MASK128
-    return n, tuple(cols), f"{tot:032x}"
+    tot = sum(int(r.h, 16) for r in parts) & _MASK64
+    return n, tuple(cols), f"{tot:016x}"
 
 
 def duck_chunked_hash(cur) -> tuple[int, tuple, str]:
@@ -122,9 +173,9 @@ def duck_chunked_hash(cur) -> tuple[int, tuple, str]:
     while pdf is not None and len(pdf):
         bn, bt = _rows_digest(pdf, cols)
         n += bn
-        tot = (tot + bt) & _MASK128
+        tot = (tot + bt) & _MASK64
         pdf = cur.fetch_df_chunk()
-    return n, tuple(cols), f"{tot:032x}"
+    return n, tuple(cols), f"{tot:016x}"
 
 
 def run(sf_dir: str, only: list[str] | None = None,
