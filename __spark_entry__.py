@@ -1720,25 +1720,36 @@ def _rvid_fixture_videos():
 
 
 def _q_multimodal_video_pairs(spark, sf):
-    """Near-duplicate VIDEO detection end-to-end: RVID raw-video
-    fixtures through the binaryFile source → executor-side REAL frame
-    decode → per-sampled-frame perceptual hash → banded frame-pair
-    join → per-video-pair evidence aggregation (>= 2 matching frames).
-    Oracle = the exact expected pair table computed driver-side (the
-    pigeonhole banding finds EVERY frame pair within the hamming
-    bound, so the output is a pure function of the fixture arrays)."""
+    """Near-duplicate VIDEO detection end-to-end: fixtures written as
+    REAL uncompressed RIFF/AVI files (BI_RGB 24-bit DIB frames,
+    chunk-tree decode) mixed with RVID raw-video streams through the
+    binaryFile source → executor-side REAL frame decode (magic
+    sniffing picks the container) → per-sampled-frame perceptual hash
+    → banded frame-pair join → per-video-pair evidence aggregation
+    (>= 2 matching frames). The expected near-dup pair (0,3) crosses
+    the .avi/.rvid boundary, proving both decode paths yield the
+    identical frames. Oracle = the exact expected pair table computed
+    driver-side (the pigeonhole banding finds EVERY frame pair within
+    the hamming bound, so the output is a pure function of the
+    fixture arrays)."""
     import tempfile
-    from stark_spark.operators.multimodal import (encode_rawvideo,
+    from stark_spark.operators.multimodal import (encode_avi,
+                                                  encode_rawvideo,
                                                   read_binary_dir,
                                                   video_dup_pairs)
     root = tempfile.mkdtemp(prefix="stark_rvid_")
     for i, v in _rvid_fixture_videos().items():
-        with open(f"{root}/v_{i}.rvid", "wb") as f:
-            f.write(encode_rawvideo(v))
-    pairs = video_dup_pairs(read_binary_dir(spark, root, "*.rvid"),
+        if i in (0, 2):
+            with open(f"{root}/v_{i}.avi", "wb") as f:
+                f.write(encode_avi(v))
+        else:
+            with open(f"{root}/v_{i}.rvid", "wb") as f:
+                f.write(encode_rawvideo(v))
+    pairs = video_dup_pairs(read_binary_dir(spark, root,
+                                            "*.{rvid,avi}"),
                             max_hamming=8, min_frames=2)
-    aid = F.regexp_extract("a", r"v_(\d+)\.rvid", 1).cast("int")
-    bid = F.regexp_extract("b", r"v_(\d+)\.rvid", 1).cast("int")
+    aid = F.regexp_extract("a", r"v_(\d+)\.(rvid|avi)", 1).cast("int")
+    bid = F.regexp_extract("b", r"v_(\d+)\.(rvid|avi)", 1).cast("int")
     return pairs.select(
         F.least(aid, bid).alias("a_id"),
         F.greatest(aid, bid).alias("b_id"),

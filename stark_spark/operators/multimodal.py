@@ -460,6 +460,99 @@ def decode_rawvideo(content: bytes) -> np.ndarray:
                          offset=16).reshape(n, h, w, 3)
 
 
+def decode_avi(content: bytes) -> np.ndarray:
+    """REAL decode for UNCOMPRESSED AVI (RIFF 'AVI ' container,
+    BI_RGB 24-bit DIB frames — the codec-free interchange form every
+    video tool can emit): walk the nested RIFF chunk tree, read the
+    stream format (BITMAPINFOHEADER in 'strf'), then every '00db' /
+    '00dc' frame in the 'movi' LIST. DIB rows are bottom-up BGR with
+    4-byte row padding; output is top-down RGB (n, h, w, 3) uint8.
+    Compressed AVIs (biCompression != 0) raise."""
+    import struct
+    if (len(content) < 12 or content[:4] != b"RIFF"
+            or content[8:12] != b"AVI "):
+        raise ValueError("not a RIFF/AVI file")
+    dims: list[tuple[int, int]] = []
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            body_end = min(pos + 8 + size, end)
+            if cid == b"LIST" and body_end >= pos + 12:
+                ltype = buf[pos + 8:pos + 12]
+                walk(buf, pos + 12, body_end,
+                     in_movi or ltype == b"movi")
+            elif cid == b"strf" and size >= 40:
+                (bi_size, w, h, planes, bits, comp) = struct.unpack(
+                    "<IiiHHI", buf[pos + 8:pos + 28])
+                if comp != 0 or bits != 24:
+                    raise ValueError(
+                        f"unsupported AVI: compression={comp} "
+                        f"bits={bits} (BI_RGB 24-bit only)")
+                dims.append((w, abs(h)))
+            elif in_movi and cid[2:4] in (b"db", b"dc"):
+                frames.append(buf[pos + 8:body_end])
+            pos += 8 + size + (size & 1)       # chunks word-aligned
+
+    walk(content, 12, len(content), False)
+    if not dims or not frames:
+        raise ValueError("AVI missing strf/movi frames")
+    w, h = dims[0]
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        if len(fb) < stride * h:
+            raise ValueError("truncated AVI frame")
+        rows = np.frombuffer(fb, dtype=np.uint8,
+                             count=stride * h).reshape(h, stride)
+        bgr = rows[:, :w * 3].reshape(h, w, 3)
+        out[i] = bgr[::-1, :, ::-1]            # bottom-up BGR → RGB
+    return out
+
+
+def encode_avi(frames: np.ndarray, *, fps: int = 25) -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB stack as a minimal
+    uncompressed AVI (BI_RGB 24-bit '00db' frames, bottom-up BGR
+    rows padded to 4 bytes) — the inverse of `decode_avi`, used by
+    fixtures and tests."""
+    import struct
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]                 # top-down RGB → DIB
+        row = np.zeros((h, stride), dtype=np.uint8)
+        row[:, :w * 3] = bgr.reshape(h, w * 3)
+        frame_bytes.append(row.tobytes())
+    fsize = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, fsize * fps, 0, 0x10,
+                       n, 0, 1, fsize, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<I", 0)
+            + struct.pack("<HHI", 0, 0, 0)
+            + struct.pack("<7I", 1, fps, 0, n, fsize, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize,
+                       0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh)
+                     + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb)
+                                 for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 _VFP_SCHEMA = StructType([
     StructField("path", StringType()),
     StructField("frame_no", IntegerType()),
@@ -470,8 +563,9 @@ _VFP_SCHEMA = StructType([
 def video_frame_phash(df: DataFrame, every_n: int = 2, *,
                       content_col: str = "content",
                       key_col: str = "path") -> DataFrame:
-    """Per-sampled-frame perceptual hashes: RVID streams decode for
-    real; other containers synthesize deterministic fake frames (as
+    """Per-sampled-frame perceptual hashes: RVID streams and
+    uncompressed RIFF/AVI files decode for real (magic-sniffed);
+    compressed containers synthesize deterministic fake frames (as
     `sample_frames`). Row growth happens inside the Arrow batch.
     Output (key, frame_no, phash)."""
     def run(batches):
@@ -485,6 +579,11 @@ def video_frame_phash(df: DataFrame, every_n: int = 2, *,
                         stack = decode_rawvideo(b)
                     except ValueError:
                         stack = None   # corrupt stream → fake frames
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        stack = decode_avi(b)
+                    except ValueError:
+                        stack = None   # compressed/corrupt → fake
                 if stack is not None:
                     for fno in range(0, len(stack), every_n):
                         rows.append((key, fno, phash64(stack[fno])))

@@ -916,6 +916,46 @@ def test_wav_decode_seam(spark, tmp_path):
     assert len(out) == 2 and all(r.afp is not None for r in out)
 
 
+def test_avi_decode_seam(spark, tmp_path):
+    """Uncompressed RIFF/AVI decode: the DIB container (bottom-up BGR
+    rows, 4-byte stride padding) and the same frames as an RVID
+    stream yield IDENTICAL frame phashes end-to-end through the
+    Spark source; compressed AVIs raise locally and degrade to the
+    deterministic fake through the seam."""
+    import struct
+    from stark_spark.operators.multimodal import (decode_avi,
+                                                  decode_rawvideo,
+                                                  encode_avi,
+                                                  encode_rawvideo,
+                                                  read_binary_dir,
+                                                  video_frame_phash)
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, (6, 31, 45, 3), dtype=np.uint8)
+    assert np.array_equal(decode_avi(encode_avi(frames)), frames)
+    assert np.array_equal(decode_rawvideo(encode_rawvideo(frames)),
+                          frames)
+    d = tmp_path / "vid"
+    d.mkdir()
+    (d / "a.avi").write_bytes(encode_avi(frames))
+    (d / "a.rvid").write_bytes(encode_rawvideo(frames))
+    fps = {}
+    for r in video_frame_phash(
+            read_binary_dir(spark, str(d), "*.{avi,rvid}")).collect():
+        fps.setdefault(r.path.rsplit("/", 1)[-1], {})[r.frame_no] = \
+            r.phash
+    assert fps["a.avi"] == fps["a.rvid"] and len(fps["a.avi"]) == 3
+    # compressed container: local raise, seam fallback
+    avi = bytearray(encode_avi(frames))
+    i = avi.find(b"strf")
+    avi[i + 8 + 16:i + 8 + 20] = struct.pack("<I", 1)
+    with pytest.raises(ValueError):
+        decode_avi(bytes(avi))
+    (d / "b.avi").write_bytes(bytes(avi))
+    out = video_frame_phash(
+        read_binary_dir(spark, str(d), "b.avi")).collect()
+    assert len(out) >= 1 and all(r.phash is not None for r in out)
+
+
 @given(st.integers(0, 100_000))
 @settings(max_examples=60, deadline=None)
 def test_multi_geometry_codec_roundtrips(seed):
