@@ -1286,6 +1286,18 @@ def _q_contamination_lsh(spark, sf):
                            n_seeds=4, rows_per_band=1, shingle_k=8)
 
 
+def _q_contamination_ngrams(spark, sf):
+    """Token-13-gram train→eval contamination (the GPT-3/PaLM
+    decontamination rule): EXACT window matching, so — unlike the
+    probabilistic LSH candidates — every suffix-perturbed eval row is
+    caught deterministically (its pre-tail windows still match), with
+    the count of distinct matching windows per train doc."""
+    from stark_spark.operators.dedup import cross_ngram_contamination
+    docs = D.load(spark, sf, "documents")
+    return cross_ngram_contamination(docs, _eval_corpus(spark, sf),
+                                     "doc_id", n=13)
+
+
 def _q_contamination_bloom(spark, sf):
     """Bloom-prefiltered exact contamination — identical rows to
     `contamination_exact` (the Bloom pass has no false negatives and
@@ -2134,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-checked (new round-6 gates) ---
         "stream_contamination_jvm": _q_stream_contamination_jvm,
         "bm25_multi_topk": _q_bm25_multi_topk,
+        "contamination_ngrams": _q_contamination_ngrams,
         # --- latest driver-green row: r03 ---
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
@@ -3635,6 +3648,35 @@ WITH ev AS (
 )
 SELECT d.doc_id, md5(d.text) AS content_hash
 FROM documents d JOIN evh ON md5(d.text) = evh.content_hash""",
+
+        # token-13-gram decontamination: EXACT window matching via
+        # per-doc distinct shingle hashes; DuckDB mirrors the native
+        # filter/sequence/slice/md5 expression chain with
+        # list_filter + correlated unnest(range) + list slicing
+        "contamination_ngrams": """
+WITH ev AS (
+  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text
+                      ELSE text || ' tail' END AS text
+  FROM documents WHERE doc_id % 10 = 0
+), evt AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM ev
+), evsh AS (
+  SELECT DISTINCT md5(array_to_string(tk[i:i+12], ' ')) AS h
+  FROM evt, unnest(range(1, len(tk) - 11)) u(i)
+  WHERE len(tk) >= 13
+), trt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+    AS tk
+  FROM documents
+), trsh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+12], ' ')) AS h
+  FROM trt, unnest(range(1, len(tk) - 11)) u(i)
+  WHERE len(tk) >= 13
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+FROM trsh t JOIN evsh USING (h)
+GROUP BY t.doc_id""",
 
         # Same SQL: the jvm streaming impl (distributed words build +
         # per-micro-batch broadcast probe joins) is a physically

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     # appended round 6
     "stream_contamination_jvm",  # distributed-bloom stream decontamination
     "bm25_multi_topk",           # many-query sparse retrieval, one pass
+    "contamination_ngrams",      # 13-gram exact decontamination
 ]
 
 

@@ -121,6 +121,47 @@ def cross_exact_dups(train: DataFrame, eval_df: DataFrame, key: str, *,
     return rh.join(th, "content_hash")
 
 
+def _shingle_hashes(text_col: Column, n: int) -> Column:
+    """Array of md5 hashes of every n-TOKEN window (whitespace
+    tokens, empties dropped) — all native expressions: filter +
+    sequence + transform(slice → concat_ws → md5). Docs shorter than
+    n tokens yield an empty array."""
+    toks = F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))) \
+          .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.md5(
+        F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def cross_ngram_contamination(train: DataFrame, eval_df: DataFrame,
+                              key: str, *, n: int = 13,
+                              text_col: str = "text") -> DataFrame:
+    """Token-n-gram train→eval contamination — the standard
+    benchmark-decontamination rule (flag a train doc if ANY of its
+    n-token windows appears anywhere in the eval corpus; n=13 is the
+    GPT-3/PaLM convention): catches partial inclusions and suffix
+    edits that full-text hashing misses and that MinHash banding only
+    finds probabilistically — this check is EXACT.
+
+    Scale shape: shingle windows are native array expressions (no
+    Python); each side explodes to per-doc DISTINCT shingle hashes
+    (array_distinct BEFORE the explode, so a doc's repeated n-gram
+    costs one row); the eval side collapses to a distinct hash set
+    (small by contract — AQE broadcasts it under the threshold) and
+    the only corpus-sized shuffle is the per-train-doc hit count.
+    Output: (<key>, n_hit_shingles) — train docs with >= 1 matching
+    window, with the count of their DISTINCT windows found in eval."""
+    sh = _shingle_hashes(F.col(text_col), n)
+    ev_sh = (eval_df.select(F.explode(F.array_distinct(sh)).alias("h"))
+                    .distinct())
+    tr_sh = train.select(F.col(key),
+                         F.explode(F.array_distinct(sh)).alias("h"))
+    return (tr_sh.join(ev_sh, "h")
+                 .groupBy(key)
+                 .agg(F.count("*").alias("n_hit_shingles")))
+
+
 def cross_lsh_pairs(train: DataFrame, eval_df: DataFrame, key: str, *,
                     n_seeds: int = 8, rows_per_band: int = 2,
                     shingle_k: int = 8, text_col: str = "text") -> DataFrame:

@@ -93,6 +93,7 @@ QUERIES = [
     "stay_points",
     "knn_haversine",
     "bm25_multi_topk",
+    "contamination_ngrams",
 ]
 
 

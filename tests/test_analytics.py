@@ -407,6 +407,39 @@ def test_contamination_cross_corpus(spark, docs):
     assert perturbed <= caught
 
 
+def test_contamination_ngrams(spark):
+    """Token-13-gram decontamination semantics on a hand-built
+    corpus: a train doc sharing exactly one 13-token window with eval
+    is flagged with n_hit_shingles=1; a repeated window in one doc
+    counts ONCE (per-doc distinct); sub-13-token docs never match;
+    every window of a verbatim copy is a hit; and the plan keeps the
+    shingle expansion native (no Python UDF) with the eval side
+    broadcast."""
+    from stark_spark.operators.dedup import cross_ngram_contamination
+    w = [f"t{i}" for i in range(30)]
+    ev_text = " ".join(w[:13])                       # one 13-window
+    train = spark.createDataFrame(
+        [(1, " ".join(w[:20])),                      # windows 1..8 incl hit
+         (2, " ".join(w[:13]) + " " + " ".join(w[:13])),  # hit twice
+         (3, " ".join(w[:12])),                      # too short
+         (4, " ".join(w[10:30])),                    # no shared window
+         (5, ev_text)],                              # verbatim copy
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(100, ev_text)], "doc_id long, text string")
+    out = cross_ngram_contamination(train, ev, "doc_id", n=13)
+    got = {r.doc_id: r.n_hit_shingles for r in out.collect()}
+    assert got == {1: 1, 2: 1, 5: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # a train doc sharing MANY windows reports the distinct count
+    ev2 = spark.createDataFrame([(100, " ".join(w[:15]))],
+                                "doc_id long, text string")
+    out2 = {r.doc_id: r.n_hit_shingles
+            for r in cross_ngram_contamination(
+                train, ev2, "doc_id", n=13).collect()}
+    assert out2[1] == 3                              # windows at 1,2,3
+
+
 def test_contamination_bloom(spark, docs):
     """Bloom-prefiltered contamination returns EXACTLY the exact-join
     result (no false negatives by construction; false positives die in
