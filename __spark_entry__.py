@@ -2061,6 +2061,25 @@ def _q_stream_contamination(spark, sf):
     return t.select("doc_id", "content_hash")
 
 
+def _q_stream_contamination_ngrams(spark, sf):
+    """Streaming 13-gram decontamination at ingest: documents
+    replayed as a file stream explode into per-doc distinct window
+    hashes (native exprs) and join the checkpointed static eval
+    shingle set — stateless stream-static join, zero streaming
+    state. Output = every (doc, matching window) pair, exactly the
+    batch rule's hit set."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_contamination_ngrams)
+    docs = D.load(spark, sf, "documents")
+    d = tempfile.mkdtemp(prefix="stark_stream_cn_") + "/docs"
+    docs.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, docs.schema, max_files=2)
+    out = stream_contamination_ngrams(s, _eval_corpus(spark, sf), n=13)
+    t = _stream_sink(out, "append")
+    return t.select("doc_id", "h")
+
+
 def _q_stream_contamination_jvm(spark, sf):
     """Streaming decontamination, distributed-build flavor: the Bloom
     words are built JVM-side (explode → bit_or tree-aggregate, no
@@ -2147,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_contamination_jvm": _q_stream_contamination_jvm,
         "bm25_multi_topk": _q_bm25_multi_topk,
         "contamination_ngrams": _q_contamination_ngrams,
+        "stream_contamination_ngrams": _q_stream_contamination_ngrams,
         # --- latest driver-green row: r03 ---
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
@@ -3677,6 +3697,33 @@ WITH ev AS (
 SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
 FROM trsh t JOIN evsh USING (h)
 GROUP BY t.doc_id""",
+
+        # streaming twin: the stream replays the whole table and the
+        # join is stateless, so the flagged (doc, window) pairs are
+        # exactly the batch rule's hit set
+        "stream_contamination_ngrams": """
+WITH ev AS (
+  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text
+                      ELSE text || ' tail' END AS text
+  FROM documents WHERE doc_id % 10 = 0
+), evt AS (
+  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS tk
+  FROM ev
+), evsh AS (
+  SELECT DISTINCT md5(array_to_string(tk[i:i+12], ' ')) AS h
+  FROM evt, unnest(range(1, len(tk) - 11)) u(i)
+  WHERE len(tk) >= 13
+), trt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+    AS tk
+  FROM documents
+), trsh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+12], ' ')) AS h
+  FROM trt, unnest(range(1, len(tk) - 11)) u(i)
+  WHERE len(tk) >= 13
+)
+SELECT t.doc_id, t.h
+FROM trsh t JOIN evsh USING (h)""",
 
         # Same SQL: the jvm streaming impl (distributed words build +
         # per-micro-batch broadcast probe joins) is a physically

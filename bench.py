@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "stream_contamination_jvm",  # distributed-bloom stream decontamination
     "bm25_multi_topk",           # many-query sparse retrieval, one pass
     "contamination_ngrams",      # 13-gram exact decontamination
+    "stream_contamination_ngrams",  # stateless 13-gram ingest filter
 ]
 
 

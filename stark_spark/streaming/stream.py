@@ -380,3 +380,33 @@ def stream_contamination(stream: DataFrame, eval_df: DataFrame, *,
         raise ValueError(f"unknown bloom impl: {impl!r}")
     return flagged.join(truth, "content_hash") \
                   .select(key, "content_hash")
+
+
+def stream_contamination_ngrams(stream: DataFrame, eval_df: DataFrame,
+                                *, key: str = "doc_id",
+                                text_col: str = "text",
+                                n: int = 13) -> DataFrame:
+    """Token-n-gram decontamination AT INGEST — the streaming twin of
+    `dedup.cross_ngram_contamination` (the GPT-3/PaLM 13-gram rule):
+    each arriving document explodes into its per-doc DISTINCT n-token
+    window hashes (native expressions inside the micro-batch) and
+    joins the static eval shingle set — a STATELESS stream-static
+    equi-join, so there is zero streaming state and nothing to evict.
+
+    The eval shingle set is built once (per-doc distinct → global
+    distinct) and `localCheckpoint`ed, so micro-batches re-read its
+    blocks instead of re-evaluating the eval pipeline.
+
+    Output: one row per (doc, matching window) — (<key>, h). The
+    per-doc distinct explode makes (key, h) unique, so downstream
+    consumers can count hits per doc with a plain batch aggregate
+    (an in-stream groupBy would force stateful complete/update mode
+    for no ingest-side benefit)."""
+    from stark_spark.operators.dedup import _shingle_hashes
+    sh = _shingle_hashes(F.col(text_col), n)
+    ev_sh = (eval_df.select(F.explode(F.array_distinct(sh)).alias("h"))
+                    .distinct()
+                    .localCheckpoint(eager=True))
+    tr = stream.select(F.col(key),
+                       F.explode(F.array_distinct(sh)).alias("h"))
+    return tr.join(ev_sh, "h").select(key, "h")

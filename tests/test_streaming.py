@@ -392,3 +392,38 @@ def test_stream_contamination_matches_batch(spark, tmp_path, impl):
     assert got == want and len(got) > 0
     for p in q.recentProgress:
         assert not p.get("stateOperators"), "unexpected streaming state"
+
+
+def test_stream_contamination_ngrams_matches_batch(spark, tmp_path):
+    """Streaming 13-gram decontamination emits exactly the batch
+    rule's (doc, matching window) pairs with ZERO streaming state."""
+    from stark_spark.operators.dedup import cross_ngram_contamination
+    from stark_spark.streaming.stream import stream_contamination_ngrams
+    docs = D.load(spark, "/root/testdata/sf0.001", "documents")
+    ev = (docs.where(F.col("doc_id") % 10 == 0)
+              .select("doc_id",
+                      F.when(F.col("doc_id") % 20 == 0, F.col("text"))
+                       .otherwise(F.concat(F.col("text"),
+                                           F.lit(" tail")))
+                       .alias("text")))
+    d = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(d)
+    s = (spark.readStream.schema(docs.schema)
+         .option("maxFilesPerTrigger", 1).parquet(d))
+    out = stream_contamination_ngrams(s, ev, n=13)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.doc_id, r.h)
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    # batch twin: per-doc hit COUNTS must equal the pair multiplicity
+    want_counts = {r.doc_id: r.n_hit_shingles for r in
+                   cross_ngram_contamination(docs, ev, "doc_id",
+                                             n=13).collect()}
+    got_counts: dict = {}
+    for doc, _h in got:
+        got_counts[doc] = got_counts.get(doc, 0) + 1
+    assert got_counts == want_counts and len(got) > 0
+    for p in q.recentProgress:
+        assert not p.get("stateOperators"), "unexpected streaming state"
