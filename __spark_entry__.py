@@ -1508,6 +1508,21 @@ def _q_ann_quantized(spark, sf):
     return ann_quantized_topk(emb, q, 10)
 
 
+def _q_ann_pq_topk(spark, sf):
+    """Product-quantization ANN (ADC): 8 subspaces x 8 codes trained
+    by exact-integer Lloyd's (the `kmeans_exact` determinism scheme
+    per subspace), corpus encoded to 8 codes per vector, queries
+    scored via floor(d2*1e6) BIGINT lookup tables — the per-vector
+    score is a sum of 8 integers, so the adc_q column itself
+    hash-gates (like the int8 path; the float-cos paths can only gate
+    ranks). The 100 TB shape: vectors compress 32x (64 float32 -> 8
+    bytes) and scoring never touches the original floats."""
+    from stark_spark.operators.similarity import pq_topk, pq_train
+    emb, q = _emb_queries(spark, sf, 5)
+    cb = pq_train(emb, dim=64, m_sub=8, n_codes=8, n_iter=2)
+    return pq_topk(emb, q, cb, 10)
+
+
 def _q_ann_lsh(spark, sf):
     """Sign-LSH bucketed ANN — the hash-bucket alternative to IVF (no
     centroid table): deterministic splitmix64-hash hyperplanes,
@@ -2167,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multi_topk": _q_bm25_multi_topk,
         "contamination_ngrams": _q_contamination_ngrams,
         "stream_contamination_ngrams": _q_stream_contamination_ngrams,
+        "ann_pq_topk": _q_ann_pq_topk,
         # --- latest driver-green row: r03 ---
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
@@ -4251,6 +4267,75 @@ FROM lab GROUP BY user_id, sid"""
       GROUP BY bucket, pos
     ) mm GROUP BY bucket
   ) l ON l.bucket = {cent_cte}.c_id"""
+
+    # --- PQ (ADC) mirror: per-subspace exact-integer Lloyd's, argmin
+    # encode, floor(d2*1e6) BIGINT lookup scoring. Every double op
+    # copies the Spark/Python term order (left-associated chains), so
+    # the adc_q column hash-gates bit-exactly.
+    def _pq_d2(vexpr: str, cwexpr: str, off: str) -> str:
+        return " + ".join(
+            f"(CAST({vexpr}[{off} + {i}] AS DOUBLE) - {cwexpr}[{i}])"
+            f" * (CAST({vexpr}[{off} + {i}] AS DOUBLE) - {cwexpr}[{i}])"
+            for i in range(1, 9))
+
+    def _pq_assign(cb: str) -> str:
+        d2 = _pq_d2("v.embedding", "cb.cw", "cb.sub_id * 8")
+        return f"""
+  SELECT vec_id, sub_id, c_id AS code FROM (
+    SELECT v.vec_id, cb.sub_id, cb.c_id,
+      row_number() OVER (PARTITION BY v.vec_id, cb.sub_id
+                         ORDER BY {d2}, cb.c_id) AS rn
+    FROM embeddings v, {cb} cb) t WHERE rn = 1"""
+
+    def _pq_update(a: str, cb: str) -> str:
+        return f"""
+  SELECT {cb}.sub_id, {cb}.c_id, coalesce(l.new_cw, {cb}.cw) AS cw
+  FROM {cb} LEFT JOIN (
+    SELECT sub_id, code, list(m ORDER BY pos) AS new_cw FROM (
+      SELECT a.sub_id, a.code, r.pos,
+        CAST(sum(CAST(floor(CAST(v.embedding[a.sub_id * 8 + r.pos]
+                                 AS DOUBLE)
+                            * CAST(1000000.0 AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE)) AS BIGINT))
+             AS DOUBLE)
+          / (CAST(1000000.0 AS DOUBLE) * count(*)) AS m
+      FROM {a} a JOIN embeddings v USING (vec_id), range(1, 9) r(pos)
+      GROUP BY 1, 2, 3) mm GROUP BY 1, 2) l
+  ON l.sub_id = {cb}.sub_id AND l.code = {cb}.c_id"""
+
+    sql["ann_pq_topk"] = f"""
+WITH init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_id, embedding
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT 8) t
+), cb0 AS (
+  SELECT s.sub_id, c_id,
+         list_transform(embedding[s.sub_id * 8 + 1 : s.sub_id * 8 + 8],
+                        x -> CAST(x AS DOUBLE)) AS cw
+  FROM init, (SELECT unnest(range(0, 8)) AS sub_id) s
+), a1 AS ({_pq_assign('cb0')}
+), cb1 AS ({_pq_update('a1', 'cb0')}
+), a2 AS ({_pq_assign('cb1')}
+), cb2 AS ({_pq_update('a2', 'cb1')}
+), enc AS ({_pq_assign('cb2')}
+), q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  WHERE vec_id < 5
+), dq AS (
+  SELECT q_id, cb.sub_id, cb.c_id AS code,
+    CAST(floor(({_pq_d2('qe', 'cb.cw', 'cb.sub_id * 8')})
+               * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS dqv
+  FROM q, cb2 cb
+), sc AS (
+  SELECT q_id, e.vec_id, CAST(sum(dqv) AS BIGINT) AS adc_q
+  FROM enc e JOIN dq ON e.sub_id = dq.sub_id AND e.code = dq.code
+  GROUP BY q_id, e.vec_id
+)
+SELECT q_id, vec_id, adc_q FROM (
+  SELECT sc.*, row_number() OVER (
+    PARTITION BY q_id ORDER BY adc_q, vec_id) AS rn
+  FROM sc) t
+WHERE rn <= 10"""
 
     sql["kmeans_exact"] = f"""
 WITH c0 AS (

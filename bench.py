@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "bm25_multi_topk",           # many-query sparse retrieval, one pass
     "contamination_ngrams",      # 13-gram exact decontamination
     "stream_contamination_ngrams",  # stateless 13-gram ingest filter
+    "ann_pq_topk",               # PQ/ADC: 32x-compressed integer scoring
 ]
 
 

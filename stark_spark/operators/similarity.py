@@ -726,3 +726,152 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     return (j.withColumn("_rn", F.row_number().over(w))
              .where(F.col("_rn") <= k)
              .select(qkey, key, "cos", F.col("_rn").alias("rank")))
+
+
+# ------------------------------------------------------------------ PQ (ADC)
+
+def _pq_l2_lit(vec: Column, off: int, codeword) -> Column:
+    """Squared L2 distance between a sub-vector slice (native
+    element_at) and a LITERAL codeword — an explicit left-associated
+    term chain, so Python, DuckDB and this codegen expression all
+    produce the bit-identical double."""
+    e = F.lit(0.0)
+    for i, c in enumerate(codeword):
+        t = (F.element_at(vec, off + i + 1).cast("double")
+             - F.lit(float(c)))
+        e = e + t * t
+    return e
+
+
+def _pq_code_expr(vec: Column, s: int, codebook) -> Column:
+    """Code (argmin codeword, first-min tie-break = smallest c_id) of
+    subspace ``s`` — all native: an array of literal-distance
+    expressions + array_position(array_min)."""
+    dsub = len(codebook[s][0])
+    d2s = F.array(*[_pq_l2_lit(vec, s * dsub, cw) for cw in codebook[s]])
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+
+def pq_train(vectors: DataFrame, *, dim: int = 64, m_sub: int = 8,
+             n_codes: int = 8, n_iter: int = 2, key: str = "vec_id",
+             vec_col: str = "embedding") -> list:
+    """Product-quantization codebooks: split the d-dim space into
+    ``m_sub`` subspaces and run exact-integer Lloyd's k-means in each
+    — the memory-compression lever for 100 TB ANN (a 64-dim float32
+    vector becomes m_sub=8 BYTES; the scoring pass never touches the
+    original vectors).
+
+    Determinism contract (hash-oracle-checkable like `kmeans_exact`):
+    init = the first ``n_codes`` vectors by key, sliced; assignment =
+    squared L2 with a left-associated term chain and first-min
+    tie-break; update = floor(v·1e6 + 0.5) BIGINT sums / (1e6·n) —
+    exact under any aggregation order; empty codes keep their previous
+    codeword.
+
+    Plan per iteration: codes are LITERAL-codebook native expressions
+    (zero join, zero shuffle — the codebook is m_sub·n_codes·dsub
+    doubles, small BY CONSTRUCTION); the single shuffle is the
+    (sub, code, pos) exact-integer mean aggregate (map-side combined,
+    ≤ m_sub·n_codes·dsub groups). Returns the plain-Python codebook
+    ``[m_sub][n_codes][dsub]`` — pass it to `pq_encode`/`pq_topk`.
+
+    SIZE LIMIT (honest): the literal-expression encode generates
+    m_sub·n_codes·dsub distance terms per row; beyond ~1-2k terms
+    (e.g. 8x32x8) Catalyst codegen compile time dominates. Typical
+    PQ codebooks at that size should switch to a broadcast-join
+    encode (codebook as a frame, min_by aggregation) — not
+    implemented here; the 8x8..8x16 range this covers is the
+    cheap-sketch regime."""
+    dsub = dim // m_sub
+    init = (vectors.orderBy(key).limit(n_codes)
+            .select(vec_col).collect())
+    cb = [[[float(r[0][s * dsub + i]) for i in range(dsub)]
+           for r in init] for s in range(m_sub)]
+    vec = F.col(vec_col)
+    for _ in range(n_iter):
+        subs = F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub_id"),
+                     _pq_code_expr(vec, s, cb).alias("code"))
+            for s in range(m_sub)])).alias("sc")
+        rows = (vectors.select(vec, subs)
+                .select("sc.sub_id", "sc.code",
+                        F.posexplode(F.slice(
+                            vec, F.col("sc.sub_id") * dsub + 1, dsub))
+                        .alias("pos", "v"))
+                .groupBy("sub_id", "code", "pos")
+                .agg((F.sum(F.floor(F.col("v").cast("double")
+                                    * 1000000.0 + F.lit(0.5))
+                            .cast("bigint")).cast("double")
+                      / (F.lit(1000000.0) * F.count(F.lit(1))))
+                     .alias("m"))
+                .collect())
+        new = [[list(cw) for cw in sub] for sub in cb]
+        for r in rows:
+            new[r.sub_id][r.code][r.pos] = r.m
+        cb = new
+    return cb
+
+
+def pq_encode(vectors: DataFrame, codebook: list, *,
+              vec_col: str = "embedding",
+              out_col: str = "codes") -> DataFrame:
+    """Attach the PQ code array (m_sub ints) — pure literal-codebook
+    native expressions, zero shuffle; store this instead of the
+    vectors for the compressed index."""
+    vec = F.col(vec_col)
+    return vectors.withColumn(out_col, F.array(*[
+        _pq_code_expr(vec, s, codebook)
+        for s in range(len(codebook))]))
+
+
+def pq_topk(vectors: DataFrame, queries: DataFrame, codebook: list,
+            k: int, *, key: str = "vec_id", vec_col: str = "embedding",
+            q_key: str = "q_id", q_vec: str = "q_embedding") -> DataFrame:
+    """PQ top-k by ASYMMETRIC DISTANCE (ADC): per query, per subspace,
+    the distances to the n_codes codewords collapse to a lookup table
+    quantized to floor(d2·1e6) BIGINTs (driver-computed — queries are
+    dim-sized BY CONTRACT like every ANN query side); each corpus
+    vector's score is the SUM OF m_sub INTEGER table entries selected
+    by its codes — exact under any order, so scores hash-gate like the
+    int8 path. The scan never reads the original vectors' floats at
+    scoring time (codes only): the 100 TB shape is `pq_encode` once,
+    then ADC over the 8-byte codes.
+
+    Output: (q_id, <key>, adc_q), k rows per query, ties by key."""
+    import math
+
+    from pyspark.sql import Window
+
+    m_sub = len(codebook)
+    dsub = len(codebook[0][0])
+    qrows = queries.select(q_key, q_vec).collect()
+    enc = pq_encode(vectors, codebook, vec_col=vec_col) \
+        .select(key, "codes")
+
+    def score_expr(qv):
+        score = F.lit(0).cast("long")
+        for s in range(m_sub):
+            dq = []
+            for cw in codebook[s]:
+                d2 = 0.0
+                for i in range(dsub):
+                    t = qv[s * dsub + i] - cw[i]
+                    d2 = d2 + t * t
+                dq.append(math.floor(d2 * 1000000.0))
+            tbl = F.array(*[F.lit(x).cast("long") for x in dq])
+            score = score + F.element_at(
+                tbl, F.element_at("codes", s + 1) + 1)
+        return score
+
+    # one plan: codes are computed once per row, then a per-query
+    # struct array explodes into (q_id, adc) — no N-way union that
+    # would re-embed the literal-codebook code expressions per query
+    qs = F.explode(F.array(*[
+        F.struct(F.lit(qr[0]).alias(q_key),
+                 score_expr([float(x) for x in qr[1]]).alias("adc_q"))
+        for qr in qrows])).alias("qs")
+    out = enc.select(F.col(key), qs).select("qs.*", key)
+    w = Window.partitionBy(q_key).orderBy(F.asc("adc_q"), F.asc(key))
+    return (out.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") <= k)
+               .select(q_key, key, "adc_q"))

@@ -794,6 +794,68 @@ def test_ann_recall_planted_clusters(spark):
                           score="gemm").toPandas())
     assert riv >= 0.90, f"planted-cluster IVF recall {riv}"
 
+    # PQ/ADC: 8x8 codebooks = a 48-bit sketch of a 64-dim vector —
+    # unlike LSH/IVF (exact rerank over a candidate list) PQ ranks by
+    # QUANTIZED distance, so some true top-10 tail members land
+    # outside even on tight clusters. Floor calibrated to the
+    # measured level (0.84 on this fixture, 2026-08) minus margin:
+    # the gate catches implementation regressions (a codebook-slice
+    # or code-assignment bug collapses recall to ~0.1), not the
+    # method's inherent distortion.
+    from stark_spark.operators.similarity import pq_topk, pq_train
+    cb = pq_train(emb, dim=dim, m_sub=8, n_codes=8, n_iter=2)
+    rpq = recall(pq_topk(emb, q, cb, k).toPandas())
+    assert rpq >= 0.78, f"planted-cluster PQ recall {rpq}"
+
+
+def test_ann_pq_adc_exact_and_shape(spark, emb):
+    """PQ correctness pins: (1) every adc_q equals the NumPy/pure-
+    Python reference ADC (identical floor(d2*1e6) tables and code
+    assignment) — integer equality, no tolerance; (2) codes are
+    m_sub ints in [0, n_codes); (3) the scoring plan never joins or
+    shuffles before the top-k window (literal tables + one explode)."""
+    import math
+
+    import numpy as np
+    from stark_spark.operators.similarity import (pq_encode, pq_topk,
+                                                  pq_train)
+    k = 10
+    q = (emb.where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    cb = pq_train(emb, dim=64, m_sub=8, n_codes=8, n_iter=2)
+    assert len(cb) == 8 and all(len(s) == 8 for s in cb)
+    enc = pq_encode(emb, cb).select("vec_id", "codes").toPandas()
+    assert all(len(c) == 8 and all(0 <= x < 8 for x in c)
+               for c in enc.codes)
+    codes = dict(zip(enc.vec_id, enc.codes))
+    V = {r.vec_id: [float(x) for x in r.embedding]
+         for r in emb.collect()}
+    out = pq_topk(emb, q, cb, k)
+    pdf = out.toPandas()
+    assert set(pdf.q_id) == set(range(5))
+    for _, r in pdf.iterrows():
+        qv = V[r.q_id]
+        want = 0
+        for s in range(8):
+            dq = []
+            for cw in cb[s]:
+                d2 = 0.0
+                for i in range(8):
+                    t = qv[s * 8 + i] - cw[i]
+                    d2 = d2 + t * t
+                dq.append(math.floor(d2 * 1e6))
+            want += dq[codes[r.vec_id][s]]
+        assert want == r.adc_q, (r.q_id, r.vec_id)
+    out.count()     # let AQE finalize before reading the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "== Final Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # the window
+    # the top-k is pushed below the shuffle (per-partition heaps)
+    assert "WindowGroupLimit" in plan
+
 
 def test_ann_lsh_multiprobe_recall(spark, emb):
     """Multi-probe LSH must never lose recall vs single-probe, and both
