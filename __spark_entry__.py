@@ -1286,6 +1286,17 @@ def _q_contamination_lsh(spark, sf):
                            n_seeds=4, rows_per_band=1, shingle_k=8)
 
 
+def _q_boilerplate_ratio(spark, sf):
+    """Window-granular self-dedup signal: per-doc fraction of
+    distinct 13-token windows that repeat verbatim in >= 2 documents
+    corpus-wide (headers/footers/templates — the boilerplate a
+    pipeline strips before training). Counts and the floor(1e6·b/w)
+    quantized ratio hash-gate exactly."""
+    from stark_spark.operators.dedup import doc_boilerplate_ratio
+    docs = D.load(spark, sf, "documents")
+    return doc_boilerplate_ratio(docs, "doc_id", n=13, min_docs=2)
+
+
 def _q_contamination_ngrams(spark, sf):
     """Token-13-gram train→eval contamination (the GPT-3/PaLM
     decontamination rule): EXACT window matching, so — unlike the
@@ -2183,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngrams": _q_contamination_ngrams,
         "stream_contamination_ngrams": _q_stream_contamination_ngrams,
         "ann_pq_topk": _q_ann_pq_topk,
+        "boilerplate_ratio": _q_boilerplate_ratio,
         # --- latest driver-green row: r03 ---
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
@@ -3713,6 +3725,34 @@ WITH ev AS (
 SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit_shingles
 FROM trsh t JOIN evsh USING (h)
 GROUP BY t.doc_id""",
+
+        # window-granular self-dedup: per-doc distinct 13-gram windows,
+        # boilerplate = windows in >= 2 docs, exact integer-quantized
+        # ratio (floor(1e6*b/w): (1e6*b) is exact in double, one IEEE
+        # division, both engines left-assoc)
+        "boilerplate_ratio": """
+WITH trt AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+    AS tk
+  FROM documents
+), trsh AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+12], ' ')) AS h
+  FROM trt, unnest(range(1, len(tk) - 11)) u(i)
+  WHERE len(tk) >= 13
+), boiler AS (
+  SELECT h FROM trsh GROUP BY h HAVING count(*) >= 2
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+  FROM trsh GROUP BY doc_id
+), hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+  FROM trsh t JOIN boiler USING (h)
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, p.n_windows, h.n_boiler,
+  CAST(floor(CAST(1000000.0 AS DOUBLE) * h.n_boiler / p.n_windows)
+       AS BIGINT) AS ratio_q
+FROM hits h JOIN per_doc p USING (doc_id)""",
 
         # streaming twin: the stream replays the whole table and the
         # join is stateless, so the flagged (doc, window) pairs are

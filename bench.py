@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "contamination_ngrams",      # 13-gram exact decontamination
     "stream_contamination_ngrams",  # stateless 13-gram ingest filter
     "ann_pq_topk",               # PQ/ADC: 32x-compressed integer scoring
+    "boilerplate_ratio",         # window-granular self-dedup signal
 ]
 
 

@@ -162,6 +162,59 @@ def cross_ngram_contamination(train: DataFrame, eval_df: DataFrame,
                  .agg(F.count("*").alias("n_hit_shingles")))
 
 
+def boilerplate_ngrams(df: DataFrame, *, n: int = 13,
+                       min_docs: int = 2,
+                       text_col: str = "text") -> DataFrame:
+    """Corpus-wide repeated n-token windows — the boilerplate
+    detector (headers, footers, license blocks, templated spans
+    repeat VERBATIM across documents; near-dup banding works at doc
+    granularity, this works at window granularity): every n-token
+    window appearing in >= min_docs DISTINCT documents. One corpus
+    pass: native shingle expressions (see `_shingle_hashes`), per-doc
+    distinct BEFORE the explode, one groupBy(hash) count — map-side
+    combined, so the shuffle carries one row per distinct window per
+    doc. Output: (h, n_docs)."""
+    sh = _shingle_hashes(F.col(text_col), n)
+    return (df.select(F.explode(F.array_distinct(sh)).alias("h"))
+              .groupBy("h")
+              .agg(F.count("*").alias("n_docs"))
+              .where(F.col("n_docs") >= min_docs))
+
+
+def doc_boilerplate_ratio(df: DataFrame, key: str, *, n: int = 13,
+                          min_docs: int = 2,
+                          text_col: str = "text") -> DataFrame:
+    """Per-document boilerplate score: the fraction of a doc's
+    distinct n-token windows that are corpus-wide boilerplate
+    (`boilerplate_ngrams`) — the window-granular quality signal a
+    100 TB pipeline thresholds on before training. ratio is
+    quantized to floor(1e6·n_boiler/n_windows) (exact integer
+    division of two counts — aggregation-order-proof). Docs shorter
+    than n tokens have no windows and are excluded.
+
+    Scale shape: two shuffles on the window hash (the per-doc
+    distinct explode, then the hit join against the boilerplate set
+    — AQE broadcasts that set when it is small) plus the per-doc
+    count aggregate. Output: (<key>, n_windows, n_boiler, ratio_q)
+    for docs with at least one boilerplate window."""
+    sh = _shingle_hashes(F.col(text_col), n)
+    doc_sh = df.select(F.col(key),
+                       F.explode(F.array_distinct(sh)).alias("h"))
+    boiler = boilerplate_ngrams(df, n=n, min_docs=min_docs,
+                                text_col=text_col).select("h")
+    per_doc = (doc_sh.groupBy(key)
+                     .agg(F.count("*").alias("n_windows")))
+    hits = (doc_sh.join(boiler, "h")
+                  .groupBy(key)
+                  .agg(F.count("*").alias("n_boiler")))
+    return (hits.join(per_doc, key)
+                .select(F.col(key), F.col("n_windows"),
+                        F.col("n_boiler"),
+                        F.floor(F.lit(1000000.0) * F.col("n_boiler")
+                                / F.col("n_windows"))
+                         .cast("long").alias("ratio_q")))
+
+
 def cross_lsh_pairs(train: DataFrame, eval_df: DataFrame, key: str, *,
                     n_seeds: int = 8, rows_per_band: int = 2,
                     shingle_k: int = 8, text_col: str = "text") -> DataFrame:

@@ -94,6 +94,7 @@ QUERIES = [
     "knn_haversine",
     "bm25_multi_topk",
     "contamination_ngrams",
+    "boilerplate_ratio",
 ]
 
 

@@ -440,6 +440,39 @@ def test_contamination_ngrams(spark):
     assert out2[1] == 3                              # windows at 1,2,3
 
 
+def test_boilerplate_ngrams(spark):
+    """Window-granular self-dedup: a 13-token span shared verbatim by
+    three docs is boilerplate (n_docs=3); a window repeated WITHIN one
+    doc counts once; unique docs produce no boilerplate; ratios are
+    the exact quantized fraction of a doc's distinct windows."""
+    from stark_spark.operators.dedup import (boilerplate_ngrams,
+                                             doc_boilerplate_ratio)
+    w = [f"t{i}" for i in range(40)]
+    span = " ".join(w[:13])                  # the shared footer
+    train = spark.createDataFrame(
+        [(1, " ".join(w[20:40]) + " " + span),   # 8+13... windows
+         (2, span + " " + " ".join(w[25:40])),
+         (3, span + " " + span),                 # footer twice: once
+         (4, " ".join(w[14:27]))],               # unique 13 tokens
+        "doc_id long, text string")
+    b = {r.h: r.n_docs for r in
+         boilerplate_ngrams(train, n=13, min_docs=2).collect()}
+    # shared windows: within doc1's tail+span and doc2's span+head
+    # overlap region only `span` itself is common to >= 2 docs
+    import hashlib
+    span_h = hashlib.md5(span.encode()).hexdigest()
+    assert b[span_h] == 3                    # docs 1, 2, 3 — not 4
+    r = {x.doc_id: (x.n_windows, x.n_boiler, x.ratio_q) for x in
+         doc_boilerplate_ratio(train, "doc_id", n=13,
+                               min_docs=2).collect()}
+    assert 4 not in r                        # no boilerplate window
+    # doc 2: 16 distinct windows (28 tokens); how many are boiler
+    # depends on overlaps — pin exact invariants instead:
+    for d, (nw, nb, rq) in r.items():
+        assert 1 <= nb <= nw
+        assert rq == int(1000000.0 * nb / nw)
+
+
 def test_contamination_bloom(spark, docs):
     """Bloom-prefiltered contamination returns EXACTLY the exact-join
     result (no false negatives by construction; false positives die in
