@@ -421,6 +421,21 @@ def _q_stay_points(spark, sf):
                        min_dwell=3600)
 
 
+def _q_colocation_pairs(spark, sf):
+    """Co-location detection: user pairs meeting (same 8x8 cell,
+    |dt| <= 30 min) at least twice, with meeting counts and first/
+    last meeting times. The 3-adjacent-bin explode makes the join a
+    pure (cell, bin) equi-join — each qualifying event pair counted
+    exactly once."""
+    from stark_spark.operators.trajectory import colocation_pairs
+    ev = D.st_events(spark, sf, keep_geom=False)
+    cell = (F.floor(F.col("x") / F.lit(12.5))
+            + F.lit(8) * F.floor(F.col("y") / F.lit(12.5))) \
+        .cast("long")
+    return colocation_pairs(ev, cell, "user_id", ts_col="t_start",
+                            time_window=1800, min_meetings=2)
+
+
 def _q_knn_weighted_st(spark, sf):
     """Weighted space+time kNN (reference Distance.scala:118-133
     scalarization): d = 1.0*spatial + 0.001*|t - t0|."""
@@ -2195,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_contamination_ngrams": _q_stream_contamination_ngrams,
         "ann_pq_topk": _q_ann_pq_topk,
         "boilerplate_ratio": _q_boilerplate_ratio,
+        "colocation_pairs": _q_colocation_pairs,
         # --- latest driver-green row: r03 ---
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
@@ -2749,6 +2765,30 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
   min(ts) AS t_start, max(ts) AS t_end,
   CAST(sum(hq) AS BIGINT) AS path_q
 FROM h GROUP BY user_id""",
+
+        # co-location: blocked (cell, bin) equi-join mirror — the
+        # 3-bin probe explode matches each qualifying event pair once
+        "colocation_pairs": f"""
+WITH t AS (
+  SELECT user_id,
+    CAST(floor(value / 12.5)
+         + 8 * floor((({EV_Y})) / 12.5) AS BIGINT) AS cell,
+    {EV_T} AS ts,
+    CAST(floor(({EV_T}) / 1800.0) AS BIGINT) AS bin
+  FROM events
+), probe AS (
+  SELECT user_id, cell, ts, bin + dd.d AS jb
+  FROM t, (VALUES (-1), (0), (1)) dd(d)
+), p AS (
+  SELECT a.user_id AS a, b.user_id AS b, a.ts AS ta, b.ts AS tb
+  FROM probe a JOIN t b ON a.cell = b.cell AND a.jb = b.bin
+  WHERE a.user_id < b.user_id AND abs(a.ts - b.ts) <= 1800
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_meetings,
+  least(min(ta), min(tb)) AS t_first,
+  greatest(max(ta), max(tb)) AS t_last
+FROM p GROUP BY a, b
+HAVING count(*) >= 2""",
 
         "od_matrix": f"""
 WITH t AS (

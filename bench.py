@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "stream_contamination_ngrams",  # stateless 13-gram ingest filter
     "ann_pq_topk",               # PQ/ADC: 32x-compressed integer scoring
     "boilerplate_ratio",         # window-granular self-dedup signal
+    "colocation_pairs",          # rendezvous detection, binned equi-join
 ]
 
 

@@ -120,3 +120,44 @@ def stay_points(df: DataFrame, key: str = "user_id", *,
                          .cast("long").alias("cx_q"),
                         F.floor(F.col("_sy") / F.col("n_points"))
                          .cast("long").alias("cy_q")))
+
+
+def colocation_pairs(df: DataFrame, cell: Column, key: str = "user_id",
+                     *, ts_col: str = "t", time_window: int = 3600,
+                     min_meetings: int = 1) -> DataFrame:
+    """Co-location (rendezvous) detection: pairs of DISTINCT entities
+    observed in the SAME grid cell within ``time_window`` seconds —
+    the contact/encounter primitive of movement analytics. A
+    "meeting" is an event pair (one event from each entity) with
+    equal cell and |t_a − t_b| <= time_window; the pair is reported
+    with its meeting count and first/last meeting times.
+
+    Scale shape: time is binned at time_window width and the LEFT
+    side explodes to its 3 adjacent bins, so the join is a pure
+    equi-join on (cell, bin) — every qualifying event pair matches
+    EXACTLY ONCE (only one exploded bin equals the right event's
+    bin), never an all-pairs theta join; skew is bounded by cell
+    population within a 3-window band. Output: (a, b, n_meetings,
+    t_first, t_last), a < b."""
+    t = F.col(ts_col).cast("long")
+    b = F.floor(t / F.lit(time_window)).cast("long")
+    base = df.select(F.col(key).alias("_k"), cell.alias("_c"),
+                     t.alias("_t"), b.alias("_b"))
+    left = base.select(
+        F.col("_k").alias("a"), F.col("_c"), F.col("_t").alias("_ta"),
+        F.explode(F.array(F.col("_b") - 1, F.col("_b"),
+                          F.col("_b") + 1)).alias("_jb"))
+    right = base.select(F.col("_k").alias("b"), F.col("_c"),
+                        F.col("_t").alias("_tb"),
+                        F.col("_b").alias("_jb"))
+    pairs = (left.join(right, ["_c", "_jb"])
+                 .where((F.col("a") < F.col("b"))
+                        & (F.abs(F.col("_ta") - F.col("_tb"))
+                           <= F.lit(time_window))))
+    return (pairs.groupBy("a", "b")
+                 .agg(F.count("*").alias("n_meetings"),
+                      F.least(F.min("_ta"), F.min("_tb"))
+                       .alias("t_first"),
+                      F.greatest(F.max("_ta"), F.max("_tb"))
+                       .alias("t_last"))
+                 .where(F.col("n_meetings") >= min_meetings))

@@ -64,7 +64,8 @@ SCALED = {
 # at 10x density; 3.6 GiB broke the collect-based comparator) now
 # streams through the CHUNKED commutative-hash comparator — no full
 # collect on either engine.
-CHUNKED = {"interval_join"}
+# colocation output grows ~quadratically with cell density
+CHUNKED = {"interval_join", "colocation_pairs"}
 QUERIES = [
     "dbscan",
     "interval_join",
@@ -95,6 +96,7 @@ QUERIES = [
     "bm25_multi_topk",
     "contamination_ngrams",
     "boilerplate_ratio",
+    "colocation_pairs",
 ]
 
 

@@ -496,3 +496,36 @@ def test_stay_points_hand_check(spark):
     r = got[(1, 0)]
     assert (r.stay_end, r.n_points) == (7200, 3)
     assert r.cx_q == 1_000_000 and r.cy_q == 0   # mean x = 1.0
+
+
+def test_colocation_pairs_hand_check(spark):
+    """Co-location semantics: pairs need same cell AND |dt| within
+    the window (bin-boundary-crossing meetings must still match via
+    the adjacent-bin probe); each qualifying event pair counts
+    exactly once; same-entity events never pair; min_meetings
+    filters."""
+    from stark_spark.operators.trajectory import colocation_pairs
+    rows = [
+        # users 1,2 meet twice in cell (0) — second meeting crosses
+        # a 100s-bin boundary (t=195 vs t=205)
+        (1, 10, 0.0, 0.0), (2, 20, 0.0, 0.0),        # dt=10 ok
+        (1, 195, 0.0, 0.0), (2, 205, 0.0, 0.0),      # dt=10, bins 1|2
+        # user 3 same cell but far in time
+        (3, 5000, 0.0, 0.0),
+        # users 1,3 same time, different cell
+        (3, 10, 50.0, 50.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, x, y) for i, (u, t, x, y) in enumerate(rows)],
+        "event_id long, user_id long, t long, x double, y double")
+    cell = (F.floor(F.col("x") / F.lit(10.0))
+            + F.lit(8) * F.floor(F.col("y") / F.lit(10.0))).cast("long")
+    got = {(r.a, r.b): (r.n_meetings, r.t_first, r.t_last)
+           for r in colocation_pairs(df, cell, "user_id", ts_col="t",
+                                     time_window=100,
+                                     min_meetings=1).collect()}
+    assert got == {(1, 2): (2, 10, 205)}
+    # min_meetings=3 filters the pair out
+    assert colocation_pairs(df, cell, "user_id", ts_col="t",
+                            time_window=100,
+                            min_meetings=3).count() == 0
