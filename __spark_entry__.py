@@ -1170,6 +1170,67 @@ def _q_bm25_multi_topk(spark, sf):
     return bm25_multi_topk(docs, "doc_id", qs, 10)
 
 
+def _q_rrf_fusion_topk(spark, sf):
+    """Hybrid retrieval: BM25 (sparse) top-50 and embedding-cosine
+    (dense) top-50 for the same information need, fused by reciprocal
+    rank (RRF, Cormack et al. 2009). Each side contributes the exact
+    integer floor(1e9/(60+rank)); the fused score is a BIGINT sum, so
+    the oracle matches bit-for-bit. The doc_id↔vec_id identity is the
+    testdata's 1:1 row alignment."""
+    from pyspark.sql import Window
+    from stark_spark.operators.similarity import (brute_force_topk,
+                                                  rrf_fuse)
+    from stark_spark.operators.text import bm25_topk
+    docs = D.load(spark, sf, "documents")
+    sparse = bm25_topk(docs, "doc_id", ["join", "filter", "merge"], 50)
+    ws = Window.orderBy(F.desc("score_q"), F.col("doc_id").asc())
+    sparse = sparse.withColumn("rank", F.row_number().over(ws))
+    emb, q = _emb_queries(spark, sf, 1)
+    dense = (brute_force_topk(emb, q, 50)
+             .select(F.col("vec_id").alias("doc_id"), "rank"))
+    return rrf_fuse(sparse, dense, 20, key="doc_id")
+
+
+def _q_quality_filter_gopher(spark, sf):
+    """Gopher-rule curation report: four doc-level heuristic flags
+    (length band, mean-word-length band, %-alphabetic, stopword
+    presence) + the conjunctive keep verdict. Every comparison is an
+    integer cross-multiplication — no float thresholds anywhere."""
+    from stark_spark.operators.text import quality_filter_gopher
+    docs = D.load(spark, sf, "documents")
+    return quality_filter_gopher(docs, "doc_id")
+
+
+def _q_perplexity_buckets(spark, sf):
+    """CCNet-style head/middle/tail bucketing: unigram-LM cost per
+    token (exact-integer `div`), then ntile(3) per language under a
+    total order — the standard LM-quality tiering pass before
+    sampling training data."""
+    from stark_spark.operators.text import perplexity_buckets
+    docs = D.load(spark, sf, "documents")
+    return perplexity_buckets(docs, "doc_id")
+
+
+def _q_vocab_freq_spectrum(spark, sf):
+    """Zipf frequency-of-frequencies over the corpus vocabulary (the
+    c=1 row is the hapax count): two cascaded map-side-combined hash
+    aggregates, bounded output."""
+    from stark_spark.operators.text import vocab_freq_spectrum
+    docs = D.load(spark, sf, "documents")
+    return vocab_freq_spectrum(docs)
+
+
+def _q_dedup_containment(spark, sf):
+    """Directed shingle-containment pairs (|A∩B|/|A| ≥ 80%) — the
+    asymmetric dedup signal that catches quote-inclusion / partial
+    copies whose symmetric Jaccard stays below any dedup threshold.
+    Integer cross-multiplied threshold; both directions emitted."""
+    from stark_spark.operators.dedup import containment_pairs
+    docs = D.load(spark, sf, "documents")
+    return containment_pairs(docs, "doc_id", shingle_k=8,
+                             threshold_pct=80)
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -2204,6 +2265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window holds the stalest entries.
     return {
         # --- never driver-checked (new round-6 gates) ---
+        "rrf_fusion_topk": _q_rrf_fusion_topk,
+        "quality_filter_gopher": _q_quality_filter_gopher,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "vocab_freq_spectrum": _q_vocab_freq_spectrum,
+        "dedup_containment": _q_dedup_containment,
         "stream_contamination_jvm": _q_stream_contamination_jvm,
         "bm25_multi_topk": _q_bm25_multi_topk,
         "contamination_ngrams": _q_contamination_ngrams,
@@ -3552,6 +3618,161 @@ SELECT query_id, doc_id, n_tokens, score_q FROM (
     PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rn
   FROM sc) r
 WHERE rn <= 10""",
+
+        # hybrid retrieval: BM25 top-50 and cosine top-50 fused by
+        # reciprocal rank; each side contributes the exact integer
+        # floor(1e9/(60+rank)), so rrf_q is a BIGINT sum
+        "rrf_fusion_topk": f"""
+WITH tk AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents) t
+  WHERE token <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id
+), st AS (
+  SELECT count(*) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM dl
+), qt AS (
+  SELECT * FROM tk WHERE token IN ('join', 'filter', 'merge')
+), idf AS (
+  SELECT token,
+    CAST(floor(ln((CAST(st.n AS DOUBLE) - nd + CAST(0.5 AS DOUBLE))
+                   / (nd + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * 1000000) AS BIGINT) AS idf_q
+  FROM (SELECT token, count(DISTINCT doc_id) AS nd
+        FROM qt GROUP BY token) f, st
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY doc_id, token
+), bm AS (
+  SELECT tf.doc_id,
+    CAST(sum(CAST(floor(
+      CAST(idf_q AS DOUBLE)
+      * (CAST(tf AS DOUBLE)
+         / (CAST(tf AS DOUBLE)
+            + CAST(1.2 AS DOUBLE)
+              * (CAST(0.25 AS DOUBLE)
+                 + (CAST(0.75 AS DOUBLE) * CAST(dl.dl AS DOUBLE))
+                   / st.avgdl)))
+      * CAST(1000 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS score_q
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN idf ON tf.token = idf.token, st
+  GROUP BY tf.doc_id
+  ORDER BY score_q DESC, tf.doc_id
+  LIMIT 50
+), sparse AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY score_q DESC, doc_id) AS INT) AS rank_sparse
+  FROM bm
+), dense AS (
+  SELECT doc_id, rank_dense FROM (
+    SELECT v.vec_id AS doc_id,
+      CAST(row_number() OVER (
+        ORDER BY {_cos('v.embedding', 'q.embedding')} DESC,
+                 v.vec_id) AS INT) AS rank_dense
+    FROM embeddings v, embeddings q WHERE q.vec_id = 0) x
+  WHERE rank_dense <= 50
+)
+SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+  s.rank_sparse, d.rank_dense,
+  CAST(coalesce(CAST(floor(1000000000.0
+         / (60 + s.rank_sparse)) AS BIGINT), 0)
+     + coalesce(CAST(floor(1000000000.0
+         / (60 + d.rank_dense)) AS BIGINT), 0) AS BIGINT) AS rrf_q
+FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+ORDER BY rrf_q DESC, doc_id
+LIMIT 20""",
+
+        # Gopher-rule curation report: every comparison is an integer
+        # cross-multiplication (no float thresholds to straddle a
+        # rounding boundary); list exprs keep one row per document
+        "quality_filter_gopher": """
+WITH b AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+    length(replace(text, ' ', '')) AS chars,
+    len(list_filter(string_split(text, ' '),
+        x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_distinct(list_filter(string_split(text, ' '),
+        x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+                           x)))) AS stops
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  (n >= 20 AND n <= 100000) AS flag_len,
+  (chars >= n * 3 AND chars <= n * 10) AS flag_word_len,
+  (alpha * 5 >= n * 4) AS flag_alpha,
+  (stops >= 2) AS flag_stop,
+  (n >= 20 AND n <= 100000 AND chars >= n * 3 AND chars <= n * 10
+   AND alpha * 5 >= n * 4 AND stops >= 2) AS keep
+FROM b""",
+
+        # CCNet tiers: cost_q = (−logprob_q·1000) // n_tokens — both
+        # operands positive so DuckDB's // (floor) and Spark's div
+        # (truncate) agree exactly; ntile under a total order
+        "perplexity_buckets": """
+WITH tk AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents) t
+  WHERE token <> ''
+), vocab AS (
+  SELECT token, count(*) AS n FROM tk GROUP BY token
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS total FROM vocab
+), lp AS (
+  SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CAST(floor(ln(CAST(vocab.n AS DOUBLE) / tot.total)
+                        * 1000000) AS BIGINT)) AS BIGINT) AS logprob_q
+  FROM tk JOIN vocab USING (token), tot
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id, d.lang, lp.n_tokens,
+  CAST(((-lp.logprob_q) * 1000) // lp.n_tokens AS BIGINT) AS cost_q,
+  CAST(ntile(3) OVER (PARTITION BY d.lang
+    ORDER BY ((-lp.logprob_q) * 1000) // lp.n_tokens ASC,
+             d.doc_id ASC) AS INT) AS bucket
+FROM documents d JOIN lp ON d.doc_id = lp.doc_id""",
+
+        "vocab_freq_spectrum": """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token, count(*) AS c FROM tok WHERE token <> ''
+  GROUP BY token
+)
+SELECT CAST(c AS BIGINT) AS n_occurrences,
+  CAST(count(*) AS BIGINT) AS n_types
+FROM vocab GROUP BY c
+ORDER BY n_occurrences
+LIMIT 100""",
+
+        # directed containment |A∩B|/|A|: integer cross-multiplied
+        # threshold, both directions emitted from each undirected pair
+        "dedup_containment": """
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh FROM
+    (SELECT doc_id, unnest(list_transform(
+       range(1, greatest(length(text) - 7, 1) + 1),
+       i -> substr(text, i, 8))) AS sh FROM documents) t
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), directed AS (
+  SELECT a AS src, b AS sup, n_common FROM inter
+  UNION ALL
+  SELECT b AS src, a AS sup, n_common FROM inter
+)
+SELECT d.src, d.sup, CAST(d.n_common AS BIGINT) AS n_common,
+  CAST(sz.sz AS BIGINT) AS sz_src,
+  d.n_common / sz.sz AS containment
+FROM directed d JOIN sz ON sz.doc_id = d.src
+WHERE d.n_common * 100 >= sz.sz * 80""",
 
         "vocab_top_k": """
 WITH tok AS (

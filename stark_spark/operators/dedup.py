@@ -762,3 +762,55 @@ def hamming_near_pairs(fp_df: DataFrame, key: str, *,
     return (cand.withColumn("hamming", hamming)
                 .where(F.col("hamming") <= max_hamming)
                 .select("a", "b", "hamming"))
+
+
+def containment_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
+                      threshold_pct: int = 80,
+                      text_col: str = "text",
+                      candidates: DataFrame | None = None) -> DataFrame:
+    """Directed near-superset pairs by shingle CONTAINMENT
+    ``|A∩B| / |A|`` — the asymmetric cousin of Jaccard (Broder 1997):
+    a short document quoted inside a long one scores ~1.0 on
+    containment while its Jaccard stays tiny, so this is the operator
+    that catches quote-inclusion / partial-copy dedup cases Jaccard
+    misses. Emits BOTH directions (a⊂b and b⊂a are different facts).
+
+    Exactness: the threshold test is the integer cross-multiplication
+    ``100·n_common ≥ threshold_pct·sz`` — no float threshold; the
+    reported ``containment`` is a ratio of two exact ints (identical
+    IEEE division in any engine).
+
+    Scale shape: identical to `ngram_jaccard_pairs` — pass LSH
+    ``candidates`` at scale so the shingle self-join never sees a
+    common-shingle blow-up; candidate-driven cost is
+    O(|candidates| × shingles/doc). Output: (src, sup, n_common,
+    sz_src, containment) where ``src`` is the (possibly) contained
+    doc and ``sup`` the (possible) superset."""
+    sh = (_spread_by_key(df, key)
+          .select(key,
+                  F.explode(shingles(F.col(text_col), shingle_k)).alias("sh"))
+          .distinct())
+    sizes = sh.groupBy(key).agg(F.count("*").alias("sz"))
+    if candidates is not None:
+        ia = (candidates.select("a", "b")
+                        .join(sh.select(F.col(key).alias("a"), "sh"), "a"))
+        inter = (ia.join(sh.select(F.col(key).alias("b"), "sh"),
+                         ["b", "sh"])
+                   .groupBy("a", "b").agg(F.count("*").alias("n_common")))
+    else:
+        a = sh.select(F.col(key).alias("a"), "sh")
+        b = sh.select(F.col(key).alias("b"), "sh")
+        inter = (a.join(b, "sh").where(F.col("a") < F.col("b"))
+                  .groupBy("a", "b").agg(F.count("*").alias("n_common")))
+    # undirected candidate pairs -> two directed containment facts
+    directed = inter.select(
+        F.col("a").alias("src"), F.col("b").alias("sup"), "n_common"
+    ).unionByName(inter.select(
+        F.col("b").alias("src"), F.col("a").alias("sup"), "n_common"))
+    szs = sizes.select(F.col(key).alias("src"), F.col("sz").alias("sz_src"))
+    out = (directed.join(szs, "src")
+                   .where(F.col("n_common") * F.lit(100)
+                          >= F.col("sz_src") * F.lit(threshold_pct))
+                   .withColumn("containment",
+                               F.col("n_common") / F.col("sz_src")))
+    return out.select("src", "sup", "n_common", "sz_src", "containment")

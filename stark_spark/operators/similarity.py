@@ -875,3 +875,38 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, codebook: list,
     return (out.withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") <= k)
                .select(q_key, key, "adc_q"))
+
+
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int, *,
+             key: str = "doc_id", rank_col: str = "rank",
+             k_rrf: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists — the
+    standard hybrid-retrieval combiner (Cormack et al. 2009): fuse a
+    sparse (BM25) and a dense (embedding-cosine) ranking without
+    score calibration, since only RANKS enter the formula.
+
+    Cross-engine exactness: each list contributes
+    ``floor(1e9 / (k_rrf + rank))`` — an exact BIGINT for every
+    integer rank — so the fused score is a sum of integers, identical
+    under any join/aggregation order. A document absent from one list
+    contributes 0 from that side (the textbook convention).
+
+    Scale shape: both inputs are top-N lists (bounded by contract —
+    N·|queries| rows, nothing corpus-sized), so the fusion is a
+    full-outer equi-join of two tiny frames + one TakeOrderedAndProject.
+    At 100 TB the expensive part is PRODUCING the lists (BM25's
+    pruned inverted pass, ANN's GEMM scan); fusing them is free.
+    Output: (key, rank_sparse, rank_dense, rrf_q) top-k by
+    (rrf_q DESC, key)."""
+    contrib = (lambda c: F.when(c.isNotNull(),
+                                F.floor(F.lit(1e9) /
+                                        (F.lit(k_rrf) + c).cast("double"))
+                                 .cast("long"))
+               .otherwise(F.lit(0).cast("long")))
+    a = ranked_a.select(F.col(key), F.col(rank_col).alias("rank_sparse"))
+    b = ranked_b.select(F.col(key), F.col(rank_col).alias("rank_dense"))
+    fused = (a.join(b, on=key, how="full_outer")
+              .select(F.col(key), "rank_sparse", "rank_dense",
+                      (contrib(F.col("rank_sparse"))
+                       + contrib(F.col("rank_dense"))).alias("rrf_q")))
+    return fused.orderBy(F.desc("rrf_q"), F.col(key).asc()).limit(k)

@@ -485,3 +485,114 @@ def bm25_multi_topk(df: DataFrame, key: str, queries: DataFrame, k: int,
                   .where(F.col("_rn") <= k)
                   .select(F.col("_qid").alias(query_col), F.col(key),
                           F.col("n_tokens"), F.col("score_q")))
+
+
+# --- composite curation filters (Gopher / CCNet style) ---------------
+
+
+def gopher_flags(text: Column, *, min_tokens: int = 20,
+                 max_tokens: int = 100_000) -> dict[str, Column]:
+    """Per-rule boolean flags of a Gopher-style quality gate (Rae et
+    al. 2021's doc-level heuristics, re-expressed over the whitespace
+    tokenizer). EVERY comparison is integer-vs-integer — the mean-
+    word-length band [3,10] is tested as ``3·n ≤ chars ≤ 10·n``
+    instead of dividing, and the ≥80%-alphabetic rule as
+    ``5·alpha ≥ 4·n`` — so the flags are exact in any engine, with
+    no float thresholds to straddle a rounding boundary.
+
+    Scale shape: one narrow codegen projection per document — no
+    shuffle, no UDF; at 100 TB this is a map-only pass that fuses
+    into the scan."""
+    toks = tokens(text)
+    n = F.size(F.filter(toks, lambda w: w != F.lit("")))
+    chars = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(s) for s in STOPWORDS])))
+    return {
+        "flag_len": (n >= F.lit(min_tokens)) & (n <= F.lit(max_tokens)),
+        "flag_word_len": (chars >= n * F.lit(3)) & (chars <= n * F.lit(10)),
+        "flag_alpha": alpha * F.lit(5) >= n * F.lit(4),
+        "flag_stop": stops >= F.lit(2),
+    }
+
+
+def quality_filter_gopher(df: DataFrame, key: str,
+                          text_col: str = "text", *,
+                          min_tokens: int = 20,
+                          max_tokens: int = 100_000) -> DataFrame:
+    """Gopher-rule curation verdict per document: the four rule flags
+    plus the conjunctive ``keep``. Returns every document (the
+    curation REPORT — filtering is ``.where('keep')``).
+
+    Output: (key, n_tokens, flag_len, flag_word_len, flag_alpha,
+    flag_stop, keep)."""
+    t = F.col(text_col)
+    fl = gopher_flags(t, min_tokens=min_tokens, max_tokens=max_tokens)
+    toks = tokens(t)
+    n = F.size(F.filter(toks, lambda w: w != F.lit("")))
+    keep = fl["flag_len"] & fl["flag_word_len"] & fl["flag_alpha"] \
+        & fl["flag_stop"]
+    return df.select(
+        F.col(key), n.cast("long").alias("n_tokens"),
+        fl["flag_len"].alias("flag_len"),
+        fl["flag_word_len"].alias("flag_word_len"),
+        fl["flag_alpha"].alias("flag_alpha"),
+        fl["flag_stop"].alias("flag_stop"),
+        keep.alias("keep"))
+
+
+def perplexity_buckets(df: DataFrame, key: str, *,
+                       text_col: str = "text",
+                       lang_col: str = "lang",
+                       n_buckets: int = 3) -> DataFrame:
+    """CCNet-style perplexity bucketing: score each document against
+    the corpus' own unigram LM (`doc_logprob`), normalize by length,
+    and split each language into ``n_buckets`` quality tiers
+    (head / middle / tail for the default 3).
+
+    Cross-engine exactness: the normalized score is
+    ``cost_q = (−logprob_q · 1000) div n_tokens`` — BOTH operands
+    positive, so Spark's ``div`` (truncate) and the oracle's ``//``
+    (floor) agree exactly; `ntile` is then deterministic under the
+    total order (cost_q, key).
+
+    Scale shape: doc_logprob is one corpus aggregate + broadcast vocab
+    join + per-doc integer sum; the ntile window shuffles once on the
+    language key. Per-language skew (one language dominating the
+    corpus) is the known hazard at 100 TB — the production variant
+    ranks via a two-pass quantile-sketch cut instead of a single
+    window; this operator is the exact small-partition form.
+    Output: (key, lang, n_tokens, cost_q, bucket)."""
+    from pyspark.sql import Window
+    lp = doc_logprob(df, key, text_col=text_col)
+    base = (df.select(F.col(key), F.col(lang_col).alias("lang"))
+              .join(lp, key))
+    cost = F.expr("(-logprob_q) * 1000 div n_tokens")
+    w = Window.partitionBy("lang").orderBy(F.col("cost_q").asc(),
+                                           F.col(key).asc())
+    return (base.withColumn("cost_q", cost.cast("long"))
+                .withColumn("bucket", F.ntile(n_buckets).over(w))
+                .select(key, "lang", "n_tokens", "cost_q", "bucket"))
+
+
+def vocab_freq_spectrum(df: DataFrame, *, text_col: str = "text",
+                        max_rows: int = 100) -> DataFrame:
+    """Token frequency-of-frequencies (the Zipf spectrum): for each
+    occurrence count c, how many distinct token types occur exactly c
+    times. The c=1 row is the hapax count — the standard signal for
+    tokenizer vocabulary sizing and Good-Turing smoothing mass.
+
+    Scale shape: explode → two cascaded map-side-combined hash
+    aggregates (token counts, then count-of-counts over the already
+    |vocab|-sized frame) → TakeOrderedAndProject for the bounded
+    output. Output: (n_occurrences, n_types), ``max_rows`` smallest
+    counts (the spectrum head — the tail is the top-k vocab's job)."""
+    tok = (df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+             .where(F.col("token") != ""))
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    return (counts.groupBy("c").agg(F.count("*").alias("n_types"))
+                  .select(F.col("c").alias("n_occurrences"), "n_types")
+                  .orderBy(F.col("n_occurrences").asc())
+                  .limit(max_rows))

@@ -1024,3 +1024,106 @@ def test_bm25_multi_topk(spark):
     empty = bm25_multi_topk(df.where("doc_id > 99"), "doc_id", qs, 3)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "doc_id", "n_tokens", "score_q"]
+
+
+def test_rrf_fuse(spark):
+    """RRF fusion: hand-computed integer contributions; a doc present
+    in only one list gets 0 from the missing side; output is top-k by
+    (rrf_q DESC, key)."""
+    from stark_spark.operators.similarity import rrf_fuse
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(11, 1), (13, 2)],
+                              "doc_id long, rank int")
+    out = rrf_fuse(a, b, 10, key="doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+
+    def c(rank):
+        import math
+        return math.floor(1e9 / (60 + rank))
+
+    assert rows[11].rrf_q == c(2) + c(1)      # both lists
+    assert rows[10].rrf_q == c(1)             # sparse only
+    assert rows[10].rank_dense is None
+    assert rows[13].rrf_q == c(2)             # dense only
+    order = [r.doc_id for r in out.collect()]
+    assert order[0] == 11                     # highest fused score
+    assert sorted(order) == [10, 11, 12, 13]
+
+
+def test_quality_filter_gopher(spark):
+    """Each Gopher rule flips on its own boundary: a good doc passes
+    all four; a too-short doc fails flag_len only; a no-stopword doc
+    fails flag_stop; a digit-heavy doc fails flag_alpha; long-word
+    spam fails flag_word_len."""
+    from stark_spark.operators.text import quality_filter_gopher
+    good = "the cat sat of the mat and dogs ran to the park in fine " \
+           "form is what we say here today"           # 20 tokens
+    short = "the of brief"
+    nostop = "cats dogs run fast here there every day " * 3
+    digits = "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0 the of"
+    longwords = ("pneumonoultramicroscopic volcanoconiosis " * 10
+                 + "the of")
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, nostop), (4, digits),
+         (5, longwords)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           quality_filter_gopher(df, "doc_id").collect()}
+    assert out[1].keep and all([out[1].flag_len, out[1].flag_word_len,
+                                out[1].flag_alpha, out[1].flag_stop])
+    assert not out[2].flag_len and not out[2].keep
+    assert not out[3].flag_stop and not out[3].keep
+    assert not out[4].flag_alpha and not out[4].keep
+    assert not out[5].flag_word_len and not out[5].keep
+
+
+def test_perplexity_buckets(spark):
+    """cost_q is the exact integer (−logprob_q·1000) div n_tokens;
+    buckets split each language into tiers with the repetitive
+    (low-cost) doc in bucket 1 and the rare-token doc in the top."""
+    from stark_spark.operators.text import doc_logprob, perplexity_buckets
+    rows = [(1, "a a a a a a", "en"), (2, "a a a b b c", "en"),
+            (3, "x y z q w v", "en"), (4, "k k k k", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in
+           perplexity_buckets(df, "doc_id").collect()}
+    lp = {r.doc_id: r for r in doc_logprob(df, "doc_id").collect()}
+    for d in (1, 2, 3, 4):
+        assert out[d].cost_q == (-lp[d].logprob_q) * 1000 // lp[d].n_tokens
+    assert out[1].bucket == 1                 # most predictable en doc
+    assert out[3].bucket == 3                 # rarest tokens
+    assert out[4].bucket == 1                 # own language partition
+
+
+def test_vocab_freq_spectrum(spark):
+    """Hand-computed count-of-counts: hapax row first."""
+    from stark_spark.operators.text import vocab_freq_spectrum
+    df = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c d")], "doc_id long, text string")
+    # counts: a=1 b=2 c=4 d=1  -> spectrum: 1→2 types, 2→1, 4→1
+    out = [(r.n_occurrences, r.n_types)
+           for r in vocab_freq_spectrum(df).collect()]
+    assert out == [(1, 2), (2, 1), (4, 1)]
+
+
+def test_containment_pairs(spark):
+    """A short doc quoted inside a long one scores containment 1.0
+    (direction src=short) while the reverse direction fails the
+    threshold; candidate-driven path returns the same facts."""
+    from stark_spark.operators.dedup import containment_pairs
+    short = "the quick brown fox jumps over the lazy dog"
+    long_ = short + " and then some entirely different tail content " \
+                    "about completely other things follows here"
+    other = "unrelated text with no shared substring material at all"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)],
+        "doc_id long, text string")
+    out = containment_pairs(df, "doc_id", shingle_k=8, threshold_pct=90)
+    rows = [(r.src, r.sup, r.containment) for r in out.collect()]
+    assert len(rows) == 1 and rows[0][0] == 1 and rows[0][1] == 2
+    assert rows[0][2] == 1.0                  # every shingle contained
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+    out2 = containment_pairs(df, "doc_id", shingle_k=8,
+                             threshold_pct=90, candidates=cand)
+    assert [(r.src, r.sup, r.containment) for r in out2.collect()] == rows
