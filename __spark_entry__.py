@@ -1231,6 +1231,57 @@ def _q_dedup_containment(spark, sf):
                              threshold_pct=80)
 
 
+def _q_pmi_collocations(spark, sf):
+    """Phrase mining: top-50 adjacent-word collocations by PMI with a
+    min-count-5 support floor. One ln per surviving bigram over a
+    ratio of exact counts, quantized floor(ln·1e6) — the doc_logprob
+    libm posture; everything else is integer counting."""
+    from stark_spark.operators.text import pmi_collocations
+    docs = D.load(spark, sf, "documents")
+    return pmi_collocations(docs, 50, min_count=5)
+
+
+def _q_tfidf_top_terms(spark, sf):
+    """Per-document keyword extraction: top-3 terms by tf·idf_q where
+    idf_q is one quantized ln per TERM and the score is an exact
+    BIGINT product — bit-stable ranking in any engine."""
+    from stark_spark.operators.text import tfidf_top_terms
+    docs = D.load(spark, sf, "documents")
+    return tfidf_top_terms(docs, "doc_id", k_per_doc=3)
+
+
+def _q_distinct_kmv(spark, sf):
+    """KMV (bottom-k) distinct-count sketch over the corpus token
+    vocabulary: 52-bit md5 grid, k=64 smallest distinct hashes,
+    estimate = (k−1)·2^52 div kth — deterministic, mergeable, and
+    the bottom-k plans as TakeOrderedAndProject (per-partition heaps,
+    nothing corpus-sized to the driver)."""
+    from stark_spark.operators.sketch import distinct_kmv
+    from stark_spark.operators.text import tokens
+    docs = D.load(spark, sf, "documents")
+    tok = (docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+               .where(F.col("token") != ""))
+    return distinct_kmv(tok, "token", 64)
+
+
+def _q_stream_quality_filter(spark, sf):
+    """Ingest-time quality gate: documents replayed as a file stream
+    through the stateless Gopher-rule flags (pure codegen inside each
+    micro-batch, zero streaming state); emits the REJECT stream —
+    exactly the rows the batch gate marks keep=false."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_quality_filter)
+    docs = D.load(spark, sf, "documents")
+    d = tempfile.mkdtemp(prefix="stark_stream_qf_") + "/docs"
+    docs.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, docs.schema, max_files=2)
+    out = stream_quality_filter(s)
+    t = _stream_sink(out, "append")
+    return t.select("doc_id", "n_tokens", "flag_len", "flag_word_len",
+                    "flag_alpha", "flag_stop")
+
+
 def _q_text_profile(spark, sf):
     docs = D.load(spark, sf, "documents")
     out = T.text_profile(docs)
@@ -2266,6 +2317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (new round-6 gates) ---
         "rrf_fusion_topk": _q_rrf_fusion_topk,
+        "pmi_collocations": _q_pmi_collocations,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "distinct_kmv": _q_distinct_kmv,
+        "stream_quality_filter": _q_stream_quality_filter,
         "quality_filter_gopher": _q_quality_filter_gopher,
         "perplexity_buckets": _q_perplexity_buckets,
         "vocab_freq_spectrum": _q_vocab_freq_spectrum,
@@ -3748,6 +3803,109 @@ SELECT CAST(c AS BIGINT) AS n_occurrences,
 FROM vocab GROUP BY c
 ORDER BY n_occurrences
 LIMIT 100""",
+
+        # PMI over a ratio of exact counts: identical float expression
+        # tree in both engines (one ln, quantized floor(ln*1e6))
+        "pmi_collocations": """
+WITH sp AS (
+  SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+), uni AS (
+  SELECT token, count(*) AS cw FROM (
+    SELECT unnest(sp) AS token FROM sp) t
+  WHERE token <> ''
+  GROUP BY token
+), n1 AS (
+  SELECT CAST(sum(cw) AS BIGINT) AS n1 FROM uni
+), bgx AS (
+  SELECT unnest(list_transform(range(1, len(sp)),
+                               i -> [sp[i], sp[i + 1]])) AS pr
+  FROM sp
+), bg AS (
+  SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n_pair FROM bgx
+  WHERE pr[1] <> '' AND pr[2] <> ''
+  GROUP BY 1, 2
+), n2 AS (
+  SELECT CAST(sum(n_pair) AS BIGINT) AS n2 FROM bg
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+  CAST(floor(ln(
+    (CAST(n_pair AS DOUBLE) * CAST(n1.n1 AS DOUBLE)
+     * CAST(n1.n1 AS DOUBLE))
+    / (CAST(a.cw AS DOUBLE) * CAST(b.cw AS DOUBLE)
+       * CAST(n2.n2 AS DOUBLE))) * 1000000) AS BIGINT) AS pmi_q
+FROM bg JOIN uni a ON a.token = bg.w1
+        JOIN uni b ON b.token = bg.w2, n1, n2
+WHERE n_pair >= 5
+ORDER BY pmi_q DESC, w1, w2
+LIMIT 50""",
+
+        # idf quantized per TERM, score = exact BIGINT product tf*idf_q;
+        # N counts ALL documents (even token-less), matching the Spark
+        # side's distinct-key count over the full frame
+        "tfidf_top_terms": """
+WITH tk AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents) t
+  WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tk GROUP BY 1, 2
+), idf AS (
+  SELECT token,
+    CAST(floor(ln(
+      CAST((SELECT count(DISTINCT doc_id) FROM documents) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS idf_q
+  FROM tf GROUP BY token
+)
+SELECT doc_id, token, tf, score_q, rank FROM (
+  SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+    CAST(tf.tf * idf.idf_q AS BIGINT) AS score_q,
+    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      ORDER BY tf.tf * idf.idf_q DESC, tf.token) AS INT) AS rank
+  FROM tf JOIN idf USING (token)) r
+WHERE rank <= 3""",
+
+        # KMV bottom-k sketch on the 52-bit md5 grid: min-k of a set
+        # is merge-order-free, estimate is one BIGINT floor division
+        "distinct_kmv": f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), hs AS (
+  SELECT DISTINCT {_hex13_sql('h32')} AS h FROM (
+    SELECT md5(token) AS h32 FROM tok WHERE token <> '') t
+), bk AS (
+  SELECT h FROM hs ORDER BY h LIMIT 64
+)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+  CAST(max(h) AS BIGINT) AS kth_min,
+  CAST(CASE WHEN count(*) < 64 OR max(h) <= 0 THEN count(*)
+       ELSE (count(*) - 1) * 4503599627370496 // max(h)
+       END AS BIGINT) AS estimate
+FROM bk""",
+
+        # streaming twin of quality_filter_gopher: the REJECT stream —
+        # batch rule rows with keep=false, minus the keep column
+        "stream_quality_filter": """
+WITH b AS (
+  SELECT doc_id,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+    length(replace(text, ' ', '')) AS chars,
+    len(list_filter(string_split(text, ' '),
+        x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_distinct(list_filter(string_split(text, ' '),
+        x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+                           x)))) AS stops
+  FROM documents
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  (n >= 20 AND n <= 100000) AS flag_len,
+  (chars >= n * 3 AND chars <= n * 10) AS flag_word_len,
+  (alpha * 5 >= n * 4) AS flag_alpha,
+  (stops >= 2) AS flag_stop
+FROM b
+WHERE NOT (n >= 20 AND n <= 100000 AND chars >= n * 3
+           AND chars <= n * 10 AND alpha * 5 >= n * 4
+           AND stops >= 2)""",
 
         # directed containment |A∩B|/|A|: integer cross-multiplied
         # threshold, both directions emitted from each undirected pair

@@ -92,6 +92,13 @@ BENCH_QUERIES = [
     "ann_pq_topk",               # PQ/ADC: 32x-compressed integer scoring
     "boilerplate_ratio",         # window-granular self-dedup signal
     "colocation_pairs",          # rendezvous detection, binned equi-join
+    "rrf_fusion_topk",           # BM25 + dense cosine hybrid fusion
+    "quality_filter_gopher",     # integer-crossed rule gate, map-only
+    "perplexity_buckets",        # LM cost div + per-lang ntile tiers
+    "vocab_freq_spectrum",       # cascaded count-of-counts aggregates
+    "tfidf_top_terms",           # keyword extraction, broadcast idf
+    "pmi_collocations",          # phrase mining, two explode+agg passes
+    "distinct_kmv",              # bottom-k sketch, TakeOrdered bottom-k
 ]
 
 

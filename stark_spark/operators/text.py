@@ -596,3 +596,82 @@ def vocab_freq_spectrum(df: DataFrame, *, text_col: str = "text",
                   .select(F.col("c").alias("n_occurrences"), "n_types")
                   .orderBy(F.col("n_occurrences").asc())
                   .limit(max_rows))
+
+
+def pmi_collocations(df: DataFrame, k: int = 50, *,
+                     text_col: str = "text",
+                     min_count: int = 5) -> DataFrame:
+    """Top-k word collocations by pointwise mutual information —
+    the classic phrase-mining pass (Church & Hanks 1990) used to
+    decide which adjacent pairs become single tokens.
+
+    PMI = ln( p(ab) / (p(a)·p(b)) ) computed as ONE ln over a ratio
+    of exact counts, then quantized to floor(ln·1e6) BIGINT — the
+    same libm-boundary posture as `doc_logprob` (a 1-ulp ln
+    difference only matters when ln·1e6 sits within an ulp of an
+    integer). Empty tokens are excluded from both the unigram and
+    bigram vocabularies.
+
+    Scale shape: two explode→hash-aggregate passes (unigrams,
+    bigrams; both map-side combined), two scalar totals from one
+    aggregate each, then a vocab-sized broadcast join of unigram
+    counts onto the bigram frame and a TakeOrderedAndProject top-k.
+    Nothing is corpus-quadratic. Output: (w1, w2, n_pair, pmi_q)."""
+    toks = tokens(F.col(text_col))
+    uni = (df.select(F.explode(toks).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").agg(F.count("*").alias("cw")))
+    bg = (df.select(F.explode(word_bigrams(F.col(text_col))).alias("bg"))
+            .withColumn("w1", F.element_at(F.split("bg", " "), 1))
+            .withColumn("w2", F.element_at(F.split("bg", " "), 2))
+            .where((F.col("w1") != "") & (F.col("w2") != ""))
+            .groupBy("w1", "w2").agg(F.count("*").alias("n_pair")))
+    n1 = uni.agg(F.sum("cw")).first()[0] or 1
+    n2 = bg.agg(F.sum("n_pair")).first()[0] or 1
+    ca = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cb"))
+    ratio = (F.col("n_pair").cast("double") * F.lit(float(n1))
+             * F.lit(float(n1))
+             / (F.col("ca").cast("double") * F.col("cb").cast("double")
+                * F.lit(float(n2))))
+    return (bg.where(F.col("n_pair") >= min_count)
+              .join(F.broadcast(ca), "w1")
+              .join(F.broadcast(cb), "w2")
+              .select("w1", "w2", "n_pair",
+                      F.floor(F.log(ratio) * F.lit(1e6))
+                       .cast("long").alias("pmi_q"))
+              .orderBy(F.desc("pmi_q"), F.col("w1"), F.col("w2"))
+              .limit(k))
+
+
+def tfidf_top_terms(df: DataFrame, key: str, *, text_col: str = "text",
+                    k_per_doc: int = 3) -> DataFrame:
+    """Per-document keyword extraction: top-k terms by TF·IDF.
+
+    Exactness: idf_q = floor(ln(N/df_t)·1e6) is one quantized ln per
+    TERM (vocab-sized, not corpus-sized), and the score is the BIGINT
+    product tf·idf_q — exact integer arithmetic past that point, so
+    ranking and output are bit-stable in any engine.
+
+    Scale shape: explode → groupBy(key, token) for tf (map-side
+    combined), per-term document frequency from that same frame,
+    broadcast idf join, one window over the document key. Output:
+    (key, token, tf, score_q, rank)."""
+    from pyspark.sql import Window
+    tok = (df.select(F.col(key),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+             .where(F.col("token") != ""))
+    tf = tok.groupBy(key, "token").agg(F.count("*").alias("tf"))
+    n_docs = df.select(key).distinct().count()
+    idf = (tf.groupBy("token").agg(F.count("*").alias("df_t"))
+             .select("token",
+                     F.floor(F.log(F.lit(float(n_docs))
+                                   / F.col("df_t").cast("double"))
+                             * F.lit(1e6)).cast("long").alias("idf_q")))
+    w = Window.partitionBy(key).orderBy(
+        F.desc("score_q"), F.col("token").asc())
+    return (tf.join(F.broadcast(idf), "token")
+              .withColumn("score_q", F.col("tf") * F.col("idf_q"))
+              .withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k_per_doc)
+              .select(key, "token", "tf", "score_q", "rank"))

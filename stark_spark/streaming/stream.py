@@ -410,3 +410,35 @@ def stream_contamination_ngrams(stream: DataFrame, eval_df: DataFrame,
     tr = stream.select(F.col(key),
                        F.explode(F.array_distinct(sh)).alias("h"))
     return tr.join(ev_sh, "h").select(key, "h")
+
+
+def stream_quality_filter(stream: DataFrame, *, key: str = "doc_id",
+                          text_col: str = "text",
+                          min_tokens: int = 20,
+                          max_tokens: int = 100_000) -> DataFrame:
+    """Ingest-time quality gating: the Gopher-rule flags
+    (`operators.text.gopher_flags`) are pure codegen column
+    expressions, so they run INSIDE each micro-batch with zero
+    streaming state — the curation shape where junk is dropped at the
+    firehose before it ever reaches storage or a shuffle.
+
+    Emits the REJECT stream (documents failing any rule) with the
+    per-rule flags — the quarantine-sink side of the pipeline; the
+    keep side is the complement filter on the same expressions.
+    Output: (key, n_tokens, flag_len, flag_word_len, flag_alpha,
+    flag_stop)."""
+    from stark_spark.operators.text import gopher_flags, tokens
+    t = F.col(text_col)
+    fl = gopher_flags(t, min_tokens=min_tokens, max_tokens=max_tokens)
+    n = F.size(F.filter(tokens(t), lambda w: w != F.lit("")))
+    keep = (fl["flag_len"] & fl["flag_word_len"] & fl["flag_alpha"]
+            & fl["flag_stop"])
+    return (stream.select(
+                F.col(key), n.cast("long").alias("n_tokens"),
+                fl["flag_len"].alias("flag_len"),
+                fl["flag_word_len"].alias("flag_word_len"),
+                fl["flag_alpha"].alias("flag_alpha"),
+                fl["flag_stop"].alias("flag_stop"),
+                keep.alias("_keep"))
+            .where(~F.col("_keep"))
+            .drop("_keep"))

@@ -1127,3 +1127,71 @@ def test_containment_pairs(spark):
     out2 = containment_pairs(df, "doc_id", shingle_k=8,
                              threshold_pct=90, candidates=cand)
     assert [(r.src, r.sup, r.containment) for r in out2.collect()] == rows
+
+
+def test_pmi_collocations(spark):
+    """A bigram that always co-occurs gets the max PMI; support floor
+    prunes rare pairs; hand-check the quantized value."""
+    import math
+    from stark_spark.operators.text import pmi_collocations
+    rows = [(i, "strong coffee here now") for i in range(5)] \
+        + [(100 + i, "weak tea strong will") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in
+           pmi_collocations(df, 50, min_count=5).collect()}
+    # 'strong coffee' occurs 5x; strong=10, coffee=5; N1=40, N2=30
+    want = math.floor(math.log((5 * 40.0 * 40.0)
+                               / (10.0 * 5.0 * 30.0)) * 1e6)
+    assert out[("strong", "coffee")].pmi_q == want
+    assert ("weak", "tea") in out            # 5 occurrences passes floor
+    assert ("coffee", "here") in out
+    # every pair with support < 5 pruned
+    assert all(r.n_pair >= 5 for r in out.values())
+
+
+def test_tfidf_top_terms(spark):
+    """The doc-specific term outranks corpus-wide terms; score is the
+    exact integer tf*idf_q; ≤ k terms per doc."""
+    import math
+    from stark_spark.operators.text import tfidf_top_terms
+    df = spark.createDataFrame(
+        [(1, "shared shared unique unique unique"),
+         (2, "shared shared shared other"),
+         (3, "shared filler words here")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(df, "doc_id", k_per_doc=2)
+    rows = [(r.doc_id, r.token, r.tf, r.score_q, r.rank)
+            for r in out.collect()]
+    by_doc = {}
+    for d, tok, tf, s, rk in rows:
+        by_doc.setdefault(d, []).append((rk, tok, tf, s))
+    assert by_doc[1][0][1] == "unique"        # rank-1 for doc 1
+    idf_unique = math.floor(math.log(3.0 / 1.0) * 1e6)
+    assert by_doc[1][0][3] == 3 * idf_unique
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # 'shared' appears in all 3 docs -> idf_q = floor(ln(1)*1e6) = 0
+    assert all(s == 0 for d, tok, tf, s, rk in rows if tok == "shared")
+
+
+def test_distinct_kmv(spark):
+    """Below k the sketch is exact; above k the estimate lands within
+    a loose relative band of the truth (deterministic, so the band is
+    a fixed fact of the fixture, not a flake)."""
+    from stark_spark.operators.sketch import distinct_kmv
+    small = spark.createDataFrame([(i % 10,) for i in range(100)],
+                                  "v long")
+    r = distinct_kmv(small, "v", 64).first()
+    assert (r.k_used, r.estimate) == (10, 10)
+    big = spark.createDataFrame([(i % 3000,) for i in range(6000)],
+                                "v long")
+    r2 = distinct_kmv(big, "v", 64).first()
+    assert r2.k_used == 64
+    assert 1500 <= r2.estimate <= 6000       # ~1/sqrt(64) rel. error
+    # mergeability: union of two halves == sketch of the whole
+    h1 = spark.createDataFrame([(i,) for i in range(0, 1500)], "v long")
+    h2 = spark.createDataFrame([(i,) for i in range(1500, 3000)], "v long")
+    ru = distinct_kmv(h1.unionByName(h2), "v", 64).first()
+    rw = distinct_kmv(
+        spark.createDataFrame([(i,) for i in range(3000)], "v long"),
+        "v", 64).first()
+    assert (ru.kth_min, ru.estimate) == (rw.kth_min, rw.estimate)
