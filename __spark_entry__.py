@@ -1231,6 +1231,24 @@ def _q_dedup_containment(spark, sf):
                              threshold_pct=80)
 
 
+def _q_pagerank_handoff(spark, sf):
+    """PageRank over the event-stream handoff graph (edge u→v when v
+    emits the next event of the same type after u): 3 iterations of
+    PURE-INTEGER mass — r div deg edge carry, (x·85) div 100 damping,
+    dangling mass dm div N — so the iterative result is bit-exact
+    against the oracle's unrolled CTE chain. One rank⋈edges shuffle
+    + one combined sum per round, localCheckpoint caps lineage."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import pagerank
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("user_id").alias("src"),
+                       F.lead("user_id").over(w).alias("dst"))
+               .where(F.col("dst").isNotNull()
+                      & (F.col("src") != F.col("dst"))))
+    return pagerank(edges, n_iter=3)
+
+
 def _q_pmi_collocations(spark, sf):
     """Phrase mining: top-50 adjacent-word collocations by PMI with a
     min-count-5 support floor. One ln per surviving bigram over a
@@ -2317,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (new round-6 gates) ---
         "rrf_fusion_topk": _q_rrf_fusion_topk,
+        "pagerank_handoff": _q_pagerank_handoff,
         "pmi_collocations": _q_pmi_collocations,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "distinct_kmv": _q_distinct_kmv,
@@ -2468,6 +2487,50 @@ def _simhash_bit_sql(j: int, hcol: str = "h") -> str:
     nib, bit = divmod(j, 4)
     chars = {0: "89abcdef", 1: "4567cdef", 2: "2367abef", 3: "13579bdf"}[bit]
     return f"strpos('{chars}', substr({hcol}, {nib + 1}, 1)) > 0"
+
+
+def _pagerank_sql(n_iter: int = 3) -> str:
+    """Unrolled integer-PageRank CTE chain — the DuckDB mirror of
+    `graph.pagerank` (pure BIGINT mass: r div deg edge carry,
+    (x*85)//100 damping, dangling mass redistributed as dm//N)."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+      lead(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS dst
+    FROM events) t
+  WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT node, 1000000000000 // nn.n AS r FROM nodes, nn
+)"""
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""", c{i} AS (
+  SELECT e.dst AS node, sum(r{p}.r // deg.deg) AS m
+  FROM e JOIN r{p} ON r{p}.node = e.src
+         JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+), d{i} AS (
+  SELECT coalesce(sum(r{p}.r), 0) AS dm
+  FROM r{p} LEFT JOIN deg ON deg.src = r{p}.node
+  WHERE deg.src IS NULL
+), r{i} AS (
+  SELECT nodes.node,
+    ((150000000000 // nn.n)
+     + ((coalesce(c{i}.m, 0) + (d{i}.dm // nn.n)) * 85) // 100) AS r
+  FROM nodes LEFT JOIN c{i} USING (node), nn, d{i}
+)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_q FROM r{n_iter}""")
+    return "".join(parts)
 
 
 def _hex7_sql(hcol: str) -> str:
@@ -3803,6 +3866,10 @@ SELECT CAST(c AS BIGINT) AS n_occurrences,
 FROM vocab GROUP BY c
 ORDER BY n_occurrences
 LIMIT 100""",
+
+        # iterative tier: integer PageRank, unrolled 3-iteration CTE
+        # chain — bit-exact because NO float mass exists anywhere
+        "pagerank_handoff": _pagerank_sql(3),
 
         # PMI over a ratio of exact counts: identical float expression
         # tree in both engines (one ln, quantized floor(ln*1e6))

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",           # keyword extraction, broadcast idf
     "pmi_collocations",          # phrase mining, two explode+agg passes
     "distinct_kmv",              # bottom-k sketch, TakeOrdered bottom-k
+    "pagerank_handoff",          # integer PageRank, 1 shuffle per round
 ]
 
 

@@ -79,3 +79,54 @@ def connected_components(edges: DataFrame, *, src: str = "a",
         if changed == 0:
             break
     return comp
+
+
+def pagerank(edges: DataFrame, *, n_iter: int = 3,
+             src: str = "src", dst: str = "dst",
+             scale: int = 1_000_000_000_000) -> DataFrame:
+    """Distributed PageRank with PURE-INTEGER mass — the iterative-
+    algorithm tier's flagship, built so the result is bit-exact in
+    any engine (no float mass anywhere):
+
+    * ranks live on a ``scale`` integer grid (BIGINT micro-mass);
+    * each edge carries ``r div out_deg`` (integer floor division —
+      the truncation dust is deterministically lost, documented);
+    * damping is the integer form ``(x·85) div 100``;
+    * dangling mass (nodes with no out-edges) is redistributed as
+      ``(Σ dangling r) div N`` inside the damped term.
+
+    Scale shape: per iteration ONE shuffle — join ranks onto edges by
+    src (both sides hash-partitioned on the node key; a real
+    deployment pre-partitions both and reuses the exchange), then a
+    map-side-combined sum by dst; the dangling total is a scalar
+    aggregate; ``localCheckpoint()`` per round caps lineage (same
+    discipline as `connected_components`). O(n_iter) rounds,
+    O(|E|) rows moved per round — the standard Spark PageRank shape
+    without GraphX. Output: (node, rank_q)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .distinct().localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+              .unionByName(e.select(F.col("dst").alias("node")))
+              .distinct().localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_q"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base_q = (scale * 15 // 100) // n       # exact python ints
+    r = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = (e.join(r.withColumnRenamed("node", "src"), "src")
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("r div deg").alias("c"))
+                    .groupBy("node").agg(F.sum("c").alias("m")))
+        dangling = (r.join(deg, r["node"] == deg["src"], "left_anti")
+                     .agg(F.sum("r")).first()[0]) or 0
+        share = dangling // n
+        r = (nodes.join(contrib, "node", "left")
+                  .select("node",
+                          (F.lit(base_q)
+                           + F.expr(f"(coalesce(m, 0L) + {share}L) * 85 "
+                                    f"div 100")).cast("long").alias("r"))
+                  .localCheckpoint())
+    return r.select("node", F.col("r").alias("rank_q"))

@@ -1195,3 +1195,41 @@ def test_distinct_kmv(spark):
         spark.createDataFrame([(i,) for i in range(3000)], "v long"),
         "v", 64).first()
     assert (ru.kth_min, ru.estimate) == (rw.kth_min, rw.estimate)
+
+
+def test_pagerank_integer(spark):
+    """Hand-computed integer PageRank on a 3-node cycle + dangling
+    node; mass conservation within truncation dust; higher in-degree
+    => higher rank on a star graph."""
+    from stark_spark.operators.graph import pagerank
+    S = 1_000_000_000_000
+    # cycle 1->2->3->1 plus 4->1 (no dangling nodes: share = 0)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long")
+    out = {r.node: r.rank_q for r in pagerank(edges, n_iter=1).collect()}
+    n = 4
+    r0 = S // n
+    base = (S * 15 // 100) // n
+    assert out[1] == base + (r0 + r0) * 85 // 100   # in from 3 and 4
+    assert out[2] == base + r0 * 85 // 100
+    assert out[3] == out[2]
+    assert out[4] == base                           # no in-edges
+    # dangling redistribution: 1->2->3, 3 has no out-edges
+    d_edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                    "src long, dst long")
+    d_out = {r.node: r.rank_q
+             for r in pagerank(d_edges, n_iter=1).collect()}
+    dn = 3
+    d_r0 = S // dn
+    d_base = (S * 15 // 100) // dn
+    d_share = d_r0 // dn                            # node 3's mass / N
+    assert d_out[1] == d_base + d_share * 85 // 100
+    assert d_out[2] == d_base + (d_r0 + d_share) * 85 // 100
+    # mass conservation up to integer-division dust
+    assert S - 400 <= sum(out.values()) <= S
+    # star: everyone points at 9 -> 9 dominates after 3 rounds
+    star = spark.createDataFrame([(i, 9) for i in range(1, 9)]
+                                 + [(9, 1)], "src long, dst long")
+    ranks = {r.node: r.rank_q for r in pagerank(star, n_iter=3).collect()}
+    assert ranks[9] == max(ranks.values())
+    assert ranks[9] > 5 * ranks[2]
