@@ -1231,6 +1231,79 @@ def _q_dedup_containment(spark, sf):
                              threshold_pct=80)
 
 
+def _q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape (top unshipped orders by revenue): the classic
+    fact⋈fact⋈dim shuffle benchmark. Date filters push to both scans,
+    the segment-filtered customer side broadcasts, revenue rides the
+    cents grid (round(x·100) BIGINT) so the aggregate is exact."""
+    cust = (D.load(spark, sf, "customer")
+             .where(F.col("c_mktsegment") == "BUILDING"))
+    orders = (D.load(spark, sf, "orders")
+               .where(F.col("o_orderdate")
+                      < F.to_timestamp(F.lit("1998-01-01"))))
+    li = (D.load(spark, sf, "lineitem")
+           .where(F.col("l_shipdate")
+                  > F.to_timestamp(F.lit("1998-01-01"))))
+    rev_c = F.sum(F.round(F.col("l_extendedprice")
+                          * (F.lit(1.0) - F.col("l_discount"))
+                          * 100).cast("bigint"))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(cust),
+                    F.col("o_custkey") == F.col("c_custkey"))
+              .groupBy("l_orderkey", "o_orderdate")
+              .agg((rev_c / 100.0).alias("revenue"))
+              .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+              .limit(10))
+
+
+def _q_tpch_q18(spark, sf):
+    """TPC-H Q18 shape (large-quantity orders): the group-then-
+    semi-join pattern — lineitem pre-aggregates per order (map-side
+    combined; quantities cast to BIGINT so the sum is exact), the
+    HAVING survivor set joins back to orders + broadcast customer."""
+    li = D.load(spark, sf, "lineitem")
+    orders = D.load(spark, sf, "orders")
+    cust = D.load(spark, sf, "customer")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum(F.col("l_quantity").cast("long"))
+                   .alias("sum_qty"))
+             .where(F.col("sum_qty") > 250))
+    return (orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+                  .join(F.broadcast(cust),
+                        F.col("o_custkey") == F.col("c_custkey"))
+                  .select("c_name", "o_orderkey", "o_orderdate",
+                          "o_totalprice", "sum_qty")
+                  .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+                  .limit(100))
+
+
+def _q_salted_join_events(spark, sf):
+    """Skew-resilient join: events (5 event types = 5 maximally hot
+    keys) salted 16 ways against the per-type dim frame — each hot
+    key's rows spread over 16 tasks instead of one. The salt cancels
+    out of the result, so the oracle is the PLAIN join; the closing
+    aggregate keeps the gate output tiny while the join itself runs
+    over every event row."""
+    from stark_spark.operators.skew import salted_join
+    ev = D.load(spark, sf, "events")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_n"))
+    j = salted_join(ev, dim, ["event_type"], n_salts=16)
+    return (j.groupBy("event_type", "type_n")
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                    .alias("value_c")))
+
+
+def _q_events_outliers(spark, sf):
+    """Robust per-type outlier detection: |value − median| > 3·MAD on
+    the exact cents grid — medians are order statistics, the flag is
+    integer comparison, nothing floats. Two window passes over one
+    per-type shuffle."""
+    from stark_spark.operators.anomaly import robust_outliers
+    ev = D.load(spark, sf, "events")
+    return robust_outliers(ev, "event_type", "value", "event_id", k=3)
+
+
 def _q_pagerank_handoff(spark, sf):
     """PageRank over the event-stream handoff graph (edge u→v when v
     emits the next event of the same type after u): 3 iterations of
@@ -2335,6 +2408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (new round-6 gates) ---
         "rrf_fusion_topk": _q_rrf_fusion_topk,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q18": _q_tpch_q18,
+        "salted_join_events": _q_salted_join_events,
+        "events_outliers": _q_events_outliers,
         "pagerank_handoff": _q_pagerank_handoff,
         "pmi_collocations": _q_pmi_collocations,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -3870,6 +3947,76 @@ LIMIT 100""",
         # iterative tier: integer PageRank, unrolled 3-iteration CTE
         # chain — bit-exact because NO float mass exists anywhere
         "pagerank_handoff": _pagerank_sql(3),
+
+        "tpch_q3": """
+SELECT l_orderkey, o_orderdate,
+  sum(CAST(round(l_extendedprice
+                 * (CAST(1.0 AS DOUBLE) - l_discount) * 100)
+      AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+
+        # DuckDB sum(BIGINT) -> HUGEINT: cast back (round-1 lesson)
+        "tpch_q18": """
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 250) b
+  ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100""",
+
+        # the salt cancels out of the join result: plain-join oracle
+        "salted_join_events": """
+WITH dim AS (
+  SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type
+)
+SELECT e.event_type, dim.type_n, count(*) AS n,
+  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM events e JOIN dim ON e.event_type = dim.event_type
+GROUP BY e.event_type, dim.type_n""",
+
+        # lower medians as order statistics on the cents grid; the
+        # outlier test is pure integer comparison
+        "events_outliers": """
+WITH base AS (
+  SELECT event_id, event_type,
+    CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), med AS (
+  SELECT event_type, value_c AS med_c FROM (
+    SELECT event_type, value_c,
+      row_number() OVER (PARTITION BY event_type
+                         ORDER BY value_c, event_id) AS rn,
+      count(*) OVER (PARTITION BY event_type) AS n
+    FROM base) t
+  WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT base.event_id, base.event_type, base.value_c, med.med_c,
+    abs(base.value_c - med.med_c) AS dev
+  FROM base JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, dev AS mad_c FROM (
+    SELECT event_type, dev,
+      row_number() OVER (PARTITION BY event_type
+                         ORDER BY dev, event_id) AS rn,
+      count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev) t
+  WHERE rn = (n + 1) // 2
+)
+SELECT dev.event_id, dev.event_type, dev.value_c, dev.med_c,
+  mad.mad_c, dev.dev
+FROM dev JOIN mad USING (event_type)
+WHERE dev.dev > 3 * mad.mad_c""",
 
         # PMI over a ratio of exact counts: identical float expression
         # tree in both engines (one ln, quantized floor(ln*1e6))

@@ -100,6 +100,10 @@ BENCH_QUERIES = [
     "pmi_collocations",          # phrase mining, two explode+agg passes
     "distinct_kmv",              # bottom-k sketch, TakeOrdered bottom-k
     "pagerank_handoff",          # integer PageRank, 1 shuffle per round
+    "tpch_q3",                   # fact-fact-dim shuffle join benchmark
+    "tpch_q18",                  # group-then-join HAVING survivors
+    "salted_join_events",        # 16-way salted hot-key equi-join
+    "events_outliers",           # median/MAD windows on cents grid
 ]
 
 

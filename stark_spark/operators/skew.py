@@ -1,0 +1,48 @@
+"""Skew-resilient join utilities.
+
+Hot keys are the classic large-cluster failure: one reducer gets a
+whole key's rows while the rest idle. AQE's skew-join split handles
+sort-merge joins after the fact; SALTING handles it by construction
+and also works for the build side of hash joins: the fact side gets a
+deterministic salt in [0, n_salts), the dim side is exploded into
+n_salts replicas, and the join key becomes (key, salt) — a key's rows
+now spread over n_salts tasks no matter how hot it is.
+
+The salt must be DETERMINISTIC (this repo's no-randomness rule —
+results are oracle-checked), but need not be reproducible across
+engines: it cancels out of the join result entirely (every fact row
+matches exactly its own salt's dim replica), so the oracle is the
+plain unsalted join. `xxhash64` over the fact row's columns gives a
+uniform spread with zero extra state.
+
+Cost model: the dim side is replicated n_salts× — use for dim tables
+(or pre-aggregated frames) orders of magnitude smaller than the fact
+side, which is exactly the regime where skew hurts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_salt"
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, on: list[str], *,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Equi-join ``fact ⋈ dim`` on ``on`` with an n_salts-way salted
+    key, result identical to the plain join (row-for-row: each fact
+    row matches exactly one replica of its dim row).
+
+    ``how``: "inner" or "left" (dim-side semantics of other join
+    types don't survive replication; they raise)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if _SALT in fact.columns or _SALT in dim.columns:
+        raise ValueError(f"column {_SALT!r} already present")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
+                  F.lit(n_salts)).cast("int")
+    f = fact.withColumn(_SALT, salt)
+    d = dim.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return f.join(d, on + [_SALT], how).drop(_SALT)

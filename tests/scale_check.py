@@ -97,6 +97,18 @@ QUERIES = [
     "contamination_ngrams",
     "boilerplate_ratio",
     "colocation_pairs",
+    # round-6 second batch: curation/retrieval tier, all linear-output
+    # (dedup_containment stays out — its oracle self-joins shingles;
+    # pagerank_handoff stays out of the DEFAULT list for oracle cost:
+    # the DuckDB mirror re-evaluates the 20M-row lead() window CTE
+    # once per iteration reference — run it explicitly when needed)
+    "quality_filter_gopher",
+    "perplexity_buckets",
+    "tfidf_top_terms",
+    "pmi_collocations",
+    "vocab_freq_spectrum",
+    "distinct_kmv",
+    "rrf_fusion_topk",
 ]
 
 

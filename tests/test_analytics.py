@@ -1233,3 +1233,58 @@ def test_pagerank_integer(spark):
     ranks = {r.node: r.rank_q for r in pagerank(star, n_iter=3).collect()}
     assert ranks[9] == max(ranks.values())
     assert ranks[9] > 5 * ranks[2]
+
+
+def test_salted_join(spark):
+    """Salted join equals the plain join row-for-row (inner and
+    left); the physical join keys include the salt; a hot key's rows
+    actually spread across salts."""
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.skew import salted_join
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)],
+        "id long, k string, v double")
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2), ("warm", 3)],
+                                "k string, w int")
+    plain = fact.join(dim, "k").select("id", "k", "v", "w")
+    salted = salted_join(fact, dim, ["k"], n_salts=8) \
+        .select("id", "k", "v", "w")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    # left join keeps unmatched fact rows exactly once
+    fact2 = fact.unionByName(spark.createDataFrame(
+        [(9999, "ghost", 0.0)], "id long, k string, v double"))
+    left = salted_join(fact2, dim, ["k"], n_salts=8, how="left")
+    assert left.where("k = 'ghost'").count() == 1
+    assert left.count() == fact2.count()
+    # the hot key's rows really do carry >1 distinct salt
+    from stark_spark.operators.skew import _SALT
+    f = fact.withColumn(_SALT, F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)))
+    n_salts_used = (f.where("k = 'hot'")
+                     .select(_SALT).distinct().count())
+    assert n_salts_used >= 6
+    import pytest
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], how="full")
+
+
+def test_robust_outliers(spark):
+    """Hand-built group: median/MAD on the cents grid; the planted
+    spike is flagged, the bulk is not; ties break deterministically."""
+    from stark_spark.operators.anomaly import robust_outliers
+    rows = [(i, "a", 10.0 + (i % 5) / 100.0) for i in range(20)]
+    rows.append((100, "a", 99.0))            # spike: |9900-1002| >> 3*MAD
+    rows += [(200 + i, "b", 50.0) for i in range(5)]  # MAD=0 group
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = robust_outliers(df, "event_type", "value", "event_id", k=3)
+    got = {(r.event_id, r.event_type): r for r in out.collect()}
+    assert (100, "a") in got
+    spike = got[(100, "a")]
+    assert spike.value_c == 9900
+    assert spike.med_c == 1002               # lower median of 21 values
+    assert spike.mad_c == 1                  # devs: 0,1,2 pattern
+    # constant group b: MAD 0, no deviations -> nothing flagged
+    assert not any(t == "b" for _, t in got)
+    assert len(got) == 1
