@@ -1231,6 +1231,50 @@ def _q_dedup_containment(spark, sf):
                              threshold_pct=80)
 
 
+def _roundtrip_fidelity(back):
+    """Stable fidelity projection: identity columns + text digest —
+    equal hashes prove the format roundtrip was byte-faithful."""
+    return back.select("doc_id", "lang", "source", "n_chars",
+                       F.md5("text").alias("text_md5"))
+
+
+def _q_jsonl_roundtrip(spark, sf):
+    """JSONL (the LLM-corpus interchange format) sink→source
+    roundtrip: documents written as JSON-lines and re-read FAILFAST
+    with an explicit schema must match the parquet original
+    byte-for-byte (md5 of every text). Permissive-mode silent-NULL
+    corruption is exactly what this gate would catch."""
+    import tempfile
+    from stark_spark.sources.formats import read_jsonl, write_jsonl
+    docs = D.load(spark, sf, "documents")
+    d = tempfile.mkdtemp(prefix="stark_fmt_") + "/docs_jsonl"
+    write_jsonl(docs, d)
+    return _roundtrip_fidelity(read_jsonl(spark, d, docs.schema))
+
+
+def _q_csv_roundtrip(spark, sf):
+    """Quoted/escaped CSV roundtrip (multiLine read): free text with
+    embedded delimiters must survive the quoting discipline."""
+    import tempfile
+    from stark_spark.sources.formats import read_csv, write_csv
+    docs = D.load(spark, sf, "documents")
+    d = tempfile.mkdtemp(prefix="stark_fmt_") + "/docs_csv"
+    write_csv(docs, d)
+    return _roundtrip_fidelity(read_csv(spark, d, docs.schema))
+
+
+def _q_orc_roundtrip(spark, sf):
+    """ORC roundtrip: the Hive-estate columnar format through Spark's
+    native vectorized reader (stripe stats give parquet-style
+    pushdown for free)."""
+    import tempfile
+    from stark_spark.sources.formats import read_orc, write_orc
+    docs = D.load(spark, sf, "documents")
+    d = tempfile.mkdtemp(prefix="stark_fmt_") + "/docs_orc"
+    write_orc(docs, d)
+    return _roundtrip_fidelity(read_orc(spark, d))
+
+
 def _q_tpch_q3(spark, sf):
     """TPC-H Q3 shape (top unshipped orders by revenue): the classic
     fact⋈fact⋈dim shuffle benchmark. Date filters push to both scans,
@@ -2408,6 +2452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (new round-6 gates) ---
         "rrf_fusion_topk": _q_rrf_fusion_topk,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
         "tpch_q3": _q_tpch_q3,
         "tpch_q18": _q_tpch_q18,
         "salted_join_events": _q_salted_join_events,
@@ -3947,6 +3994,18 @@ LIMIT 100""",
         # iterative tier: integer PageRank, unrolled 3-iteration CTE
         # chain — bit-exact because NO float mass exists anywhere
         "pagerank_handoff": _pagerank_sql(3),
+
+        # format roundtrips: the oracle is the parquet original — the
+        # Spark side must read back EXACTLY what it wrote
+        "jsonl_roundtrip": """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents""",
+        "csv_roundtrip": """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents""",
+        "orc_roundtrip": """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents""",
 
         "tpch_q3": """
 SELECT l_orderkey, o_orderdate,

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "tpch_q18",                  # group-then-join HAVING survivors
     "salted_join_events",        # 16-way salted hot-key equi-join
     "events_outliers",           # median/MAD windows on cents grid
+    "jsonl_roundtrip",           # JSONL sink+source, FAILFAST schema
+    "orc_roundtrip",             # ORC sink+source, native vectorized
 ]
 
 
