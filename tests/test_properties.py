@@ -1010,3 +1010,75 @@ def test_multi_geometry_codec_roundtrips(seed):
     ba = G.batch_area([G.to_wkb(g)])
     assert ba is not None and ba[0] == pytest.approx(G.area(g),
                                                      rel=1e-9)
+
+
+# --- round-6 curation-tier properties --------------------------------
+
+
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+       st.integers(8, 64))
+@settings(max_examples=20, deadline=None)
+def test_kmv_pure_python_properties(vals, k):
+    """Engine-free invariants of the KMV estimator math: below-k
+    exactness and scale-free determinism of the bottom-k set (the
+    Spark operator applies the same md5 grid; this pins the math)."""
+    import hashlib
+    hs = sorted({int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+                 for v in vals})
+    n_distinct = len(hs)
+    bottom = hs[:k]
+    if n_distinct < k:                       # exact regime
+        assert len(bottom) == n_distinct
+    else:
+        est = (k - 1) * (1 << 52) // bottom[-1]
+        # 52-bit uniform hashes: estimate within a generous 5x band
+        assert n_distinct // 5 <= est <= n_distinct * 5
+    # mergeability: bottom-k of union == bottom-k of concatenated
+    half = vals[: len(vals) // 2], vals[len(vals) // 2:]
+    merged = sorted(set().union(*[
+        {int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+         for v in h} for h in half]))[:k]
+    assert merged == bottom
+
+
+@given(st.lists(st.tuples(st.integers(0, 49), st.integers(0, 49)),
+                min_size=1, max_size=60))
+@settings(max_examples=10, deadline=None)
+def test_salted_join_equals_plain(spark, pairs):
+    """salted_join ≡ plain join on arbitrary (possibly hot-keyed)
+    integer frames, inner and left."""
+    from stark_spark.operators.skew import salted_join
+    fact = spark.createDataFrame(
+        [(i, a) for i, (a, _) in enumerate(pairs)], "id long, k long")
+    from pyspark.sql import functions as F
+    dim = (spark.createDataFrame([(b,) for _, b in pairs], "k long")
+           .distinct().withColumn("w", (F.col("k") * 7) % 13))
+    for how in ("inner", "left"):
+        plain = fact.join(dim, "k", how).select("id", "k", "w")
+        salted = salted_join(fact, dim, ["k"], n_salts=4, how=how) \
+            .select("id", "k", "w")
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, salted.collect()))
+
+
+@given(st.integers(0, 2 ** 31 - 1), st.integers(1, 6))
+@settings(max_examples=10, deadline=None)
+def test_pagerank_mass_conserved(spark, seed, n_iter):
+    """Total rank mass stays within integer-division dust of the
+    scale on random graphs (dust ≤ nodes + edges + 2 per round)."""
+    import random
+    rng = random.Random(seed)
+    n = rng.randint(2, 12)
+    edges = {(rng.randint(0, n - 1), rng.randint(0, n - 1))
+             for _ in range(rng.randint(1, 3 * n))}
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        edges = [(0, 1)]
+    from stark_spark.operators.graph import pagerank
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = pagerank(df, n_iter=n_iter)
+    S = 1_000_000_000_000
+    total = sum(r.rank_q for r in out.collect())
+    n_nodes = out.count()
+    dust_bound = n_iter * (n_nodes + len(edges) + 2) + n_nodes
+    assert S - dust_bound * 100 <= total <= S
