@@ -1238,6 +1238,17 @@ def _roundtrip_fidelity(back):
                        F.md5("text").alias("text_md5"))
 
 
+def _q_events_table_profile(spark, sf):
+    """Validate-before-ingest profile of the events table: ONE
+    combined aggregate over one scan (row count + per-column null and
+    exact-distinct counts), unpivoted in-plan to the report shape.
+    All integers — bit-stable anywhere."""
+    from stark_spark.operators.profile import table_profile
+    ev = D.load(spark, sf, "events")
+    return table_profile(
+        ev, ["event_id", "user_id", "event_type", "value"])
+
+
 def _q_jsonl_roundtrip(spark, sf):
     """JSONL (the LLM-corpus interchange format) sink→source
     roundtrip: documents written as JSON-lines and re-read FAILFAST
@@ -2452,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (new round-6 gates) ---
         "rrf_fusion_topk": _q_rrf_fusion_topk,
+        "events_table_profile": _q_events_table_profile,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
@@ -3994,6 +4006,27 @@ LIMIT 100""",
         # iterative tier: integer PageRank, unrolled 3-iteration CTE
         # chain — bit-exact because NO float mass exists anywhere
         "pagerank_handoff": _pagerank_sql(3),
+
+        # one-pass profile: every metric an exact integer
+        "events_table_profile": """
+SELECT column_name, n, n_null, n_distinct FROM (
+  SELECT 'event_id' AS column_name, count(*) AS n,
+    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_null,
+    count(DISTINCT event_id) AS n_distinct FROM events
+  UNION ALL
+  SELECT 'user_id', count(*),
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    count(DISTINCT user_id) FROM events
+  UNION ALL
+  SELECT 'event_type', count(*),
+    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    count(DISTINCT event_type) FROM events
+  UNION ALL
+  SELECT 'value', count(*),
+    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+    count(DISTINCT value) FROM events
+) t""",
 
         # format roundtrips: the oracle is the parquet original — the
         # Spark side must read back EXACTLY what it wrote

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "events_outliers",           # median/MAD windows on cents grid
     "jsonl_roundtrip",           # JSONL sink+source, FAILFAST schema
     "orc_roundtrip",             # ORC sink+source, native vectorized
+    "events_table_profile",      # one-pass multi-distinct profile
 ]
 
 

@@ -1288,3 +1288,19 @@ def test_robust_outliers(spark):
     # constant group b: MAD 0, no deviations -> nothing flagged
     assert not any(t == "b" for _, t in got)
     assert len(got) == 1
+
+
+def test_table_profile(spark):
+    """One-pass profile: nulls counted, NULL excluded from distinct,
+    one aggregate in the plan (single scan)."""
+    from stark_spark.operators.profile import table_profile
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "x long, s string")
+    out = {r.column_name: r for r in table_profile(df).collect()}
+    assert out["x"].n == 4 and out["x"].n_null == 1
+    assert out["x"].n_distinct == 3
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+    plan = table_profile(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Scan ") <= 1          # one pass over the data
