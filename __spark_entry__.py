@@ -2451,6 +2451,134 @@ def _q_stream_sessionize_replay(spark, sf):
                      "n"))
 
 
+def _q_funnel_steps(spark, sf):
+    """Ordered-step conversion funnel view→click→purchase over the
+    events stream: min-timestamp chain semantics computed in ONE
+    user-key shuffle via a JVM array fold (the k-join form the oracle
+    uses costs k shuffles). Exact integers: users + ppm conversion."""
+    from stark_spark.operators.funnel import funnel
+    ev = D.load(spark, sf, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+def _q_cohort_retention(spark, sf):
+    """Weekly cohort retention triangle: users bucketed by first-event
+    epoch-week, counted distinct per later week — integer epoch-day
+    buckets so floor = truncate in both engines. One groupBy(user) +
+    one co-partitioned join back + one count-distinct."""
+    from stark_spark.operators.funnel import cohort_retention
+    ev = D.load(spark, sf, "events")
+    return cohort_retention(ev, period_days=7)
+
+
+def _q_event_transitions(spark, sf):
+    """First-order Markov transition matrix of the event stream:
+    lead() per user over (ts, event_id), counts + ppm probabilities —
+    exact integers end-to-end, one window shuffle."""
+    from stark_spark.operators.funnel import event_transitions
+    ev = D.load(spark, sf, "events")
+    return event_transitions(ev)
+
+
+def _q_ohlc_hourly(spark, sf):
+    """Hourly OHLC candles per event type: open/close picked by
+    min/max over a (ts_us, event_id, value_c) struct — deterministic
+    ties, cents-grid values, one map-side-combinable shuffle."""
+    from stark_spark.operators.timeseries import ohlc_bars
+    ev = D.load(spark, sf, "events")
+    return ohlc_bars(ev, bucket_hours=1)
+
+
+def _q_triangle_count(spark, sf):
+    """Triangle census of the user handoff graph (same edge
+    derivation as `pagerank_handoff`): degree-ordered node-iterator —
+    orientation bounds every out-neighborhood at O(√m), so the wedge
+    join survives celebrity skew; the oracle uses plain id-ordering,
+    which counts the same triangles."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import triangle_count
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("user_id").alias("src"),
+                       F.lead("user_id").over(w).alias("dst"))
+               .where(F.col("dst").isNotNull()
+                      & (F.col("src") != F.col("dst"))))
+    return triangle_count(edges)
+
+
+def _q_fk_orphans(spark, sf):
+    """Referential-integrity audit across the star schema: orphan FK
+    rows (LEFT ANTI vs broadcast parent keys) + parent coverage (LEFT
+    SEMI) for four relationships in one report — the
+    validate-before-ingest pass `events_table_profile` doesn't cover."""
+    from functools import reduce
+    from stark_spark.operators.profile import fk_check
+    li = D.load(spark, sf, "lineitem")
+    orders = D.load(spark, sf, "orders")
+    cust = D.load(spark, sf, "customer")
+    part = D.load(spark, sf, "part")
+    supp = D.load(spark, sf, "supplier")
+    reports = [
+        fk_check(li, "l_orderkey", orders, "o_orderkey",
+                 relationship="lineitem.l_orderkey->orders"),
+        fk_check(li, "l_partkey", part, "p_partkey",
+                 relationship="lineitem.l_partkey->part"),
+        fk_check(li, "l_suppkey", supp, "s_suppkey",
+                 relationship="lineitem.l_suppkey->supplier"),
+        fk_check(orders, "o_custkey", cust, "c_custkey",
+                 relationship="orders.o_custkey->customer"),
+    ]
+    return reduce(lambda x, y: x.unionByName(y), reports)
+
+
+def _q_fuzzy_name_pairs(spark, sf):
+    """Entity-resolution fuzzy self-join on part names: distinct-value
+    vocabulary (the small frame) blocked on the last token, refined by
+    Catalyst's built-in levenshtein ≤ 2, canonical (a < b) pairs with
+    row-support counts. Blocking is part of the contract — the oracle
+    mirrors it."""
+    from stark_spark.operators.fuzzy import fuzzy_self_pairs
+    part = D.load(spark, sf, "part")
+    return fuzzy_self_pairs(
+        part, "p_name",
+        block_fn=lambda c: F.regexp_extract(c, "([^ ]+)$", 1),
+        max_dist=2)
+
+
+def _q_tpch_q5(spark, sf):
+    """TPC-H Q5 shape (local-supplier volume): the 6-table star join —
+    fact⋈fact on orderkey, customer and supplier pinned to the SAME
+    nation (the classic co-nation equi-conjunct), nation+region
+    broadcast dims, date-range filter pushed to the orders scan,
+    cents-grid revenue."""
+    li = D.load(spark, sf, "lineitem")
+    orders = (D.load(spark, sf, "orders")
+               .where((F.col("o_orderdate")
+                       >= F.to_timestamp(F.lit("1996-01-01")))
+                      & (F.col("o_orderdate")
+                         < F.to_timestamp(F.lit("1997-01-01")))))
+    cust = D.load(spark, sf, "customer")
+    supp = D.load(spark, sf, "supplier")
+    nation = D.load(spark, sf, "nation")
+    region = D.load(spark, sf, "region")
+    rev_c = F.sum(F.round(F.col("l_extendedprice")
+                          * (F.lit(1.0) - F.col("l_discount"))
+                          * 100).cast("bigint"))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(cust, (F.col("o_custkey") == F.col("c_custkey"))
+                    & (F.col("c_nationkey") == F.col("s_nationkey")))
+              .join(F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .where(F.col("r_name").isin("ASIA", "AFRICA"))
+              .groupBy("r_name", "n_name")
+              .agg(rev_c.alias("revenue_c"),
+                   F.count("*").alias("n_items")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's oracle run checks the FIRST 50
     # entries. The window rotates every round toward the queries whose
@@ -2462,6 +2590,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window holds the stalest entries.
     return {
         # --- never driver-checked (new round-6 gates) ---
+        "funnel_steps": _q_funnel_steps,
+        "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
+        "ohlc_hourly": _q_ohlc_hourly,
+        "triangle_count": _q_triangle_count,
+        "fk_orphans": _q_fk_orphans,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "tpch_q5": _q_tpch_q5,
         "rrf_fusion_topk": _q_rrf_fusion_topk,
         "events_table_profile": _q_events_table_profile,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -2863,6 +2999,189 @@ def oracle_sql() -> dict[str, str]:
         return f"({cye}) * 32 + ({cxe})"
 
     sql = {
+        # min-ts chain as chained CTEs (the k-join form; the engine's
+        # one-shuffle greedy fold provably computes the same reach)
+        "funnel_steps": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+       GROUP BY e.user_id),
+c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+             (SELECT count(*) FROM s2) AS u2,
+             (SELECT count(*) FROM s3) AS u3)
+SELECT 1 AS step, 'view' AS step_name, CAST(u1 AS BIGINT) AS users,
+  CAST(CASE WHEN u1 > 0 THEN u1 * 1000000 // u1 ELSE 0 END AS BIGINT)
+    AS conv_ppm FROM c
+UNION ALL
+SELECT 2, 'click', CAST(u2 AS BIGINT),
+  CAST(CASE WHEN u1 > 0 THEN u2 * 1000000 // u1 ELSE 0 END AS BIGINT)
+  FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(u3 AS BIGINT),
+  CAST(CASE WHEN u1 > 0 THEN u3 * 1000000 // u1 ELSE 0 END AS BIGINT)
+  FROM c""",
+
+        # integer epoch-week buckets: positive, so // == Spark div
+        "cohort_retention": """
+WITH ev AS (SELECT user_id AS u,
+                   epoch_us(ts) // 604800000000 AS period FROM events),
+c AS (SELECT u, min(period) AS cohort_period FROM ev GROUP BY u)
+SELECT c.cohort_period, ev.period - c.cohort_period AS period_offset,
+  CAST(count(DISTINCT ev.u) AS BIGINT) AS active_users
+FROM ev JOIN c USING (u)
+GROUP BY c.cohort_period, period_offset""",
+
+        "event_transitions": """
+WITH p AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS to_type
+  FROM events),
+g AS (SELECT from_type, to_type, count(*) AS n FROM p
+      WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+    AS p_ppm
+FROM g""",
+
+        # open/close: row_number mirror of the engine's min/max over
+        # a (us, event_id, value_c) struct — event_id makes ties moot
+        "ohlc_hourly": """
+WITH b AS (
+  SELECT event_type AS series, epoch_us(ts) // 3600000000 AS bucket,
+         epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+o AS (SELECT series, bucket, vc FROM (
+    SELECT series, bucket, vc, row_number() OVER (
+      PARTITION BY series, bucket ORDER BY us, event_id) AS rn FROM b) t
+  WHERE rn = 1),
+c AS (SELECT series, bucket, vc FROM (
+    SELECT series, bucket, vc, row_number() OVER (
+      PARTITION BY series, bucket ORDER BY us DESC, event_id DESC)
+      AS rn FROM b) t
+  WHERE rn = 1),
+g AS (SELECT series, bucket, max(vc) AS high_c, min(vc) AS low_c,
+        count(*) AS n, CAST(sum(vc) AS BIGINT) AS vol_c
+      FROM b GROUP BY series, bucket)
+SELECT g.series, g.bucket, o.vc AS open_c, g.high_c, g.low_c,
+       c.vc AS close_c, g.n, g.vol_c
+FROM g JOIN o USING (series, bucket) JOIN c USING (series, bucket)""",
+
+        # id-ordered triangle join — counts the same triangles the
+        # engine's degree-ordered orientation does
+        "triangle_count": """
+WITH raw AS (
+  SELECT user_id AS src,
+    lead(user_id) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS dst
+  FROM events),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE dst IS NOT NULL AND src <> dst),
+deg AS (SELECT a AS node, count(*) AS deg FROM
+        (SELECT a FROM e UNION ALL SELECT b FROM e) t(a) GROUP BY a),
+tri AS (SELECT count(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       FROM deg)
+SELECT st.n_nodes, st.n_edges, st.n_wedges,
+  CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+  CAST(CASE WHEN st.n_wedges > 0
+       THEN tri.n_triangles * 3 * 1000000 // st.n_wedges
+       ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM st, tri""",
+
+        # NULL FK rows are orphans (NOT EXISTS is true for them) but
+        # excluded from orphan_keys (count DISTINCT skips NULL) —
+        # mirrors the engine's LEFT ANTI + countDistinct
+        "fk_orphans": """
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS child_rows,
+  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS BIGINT) AS orphan_rows,
+  CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey))
+    AS BIGINT) AS orphan_keys,
+  CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+    AS parents_total,
+  CAST((SELECT count(DISTINCT o_orderkey) FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS BIGINT)
+    AS parents_referenced
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+  CAST((SELECT count(DISTINCT l_partkey) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+  CAST((SELECT count(DISTINCT p_partkey) FROM part) AS BIGINT),
+  CAST((SELECT count(DISTINCT p_partkey) FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    AS BIGINT),
+  CAST((SELECT count(DISTINCT l_suppkey) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT),
+  CAST((SELECT count(DISTINCT s_suppkey) FROM supplier) AS BIGINT),
+  CAST((SELECT count(DISTINCT s_suppkey) FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)) AS BIGINT)
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+  CAST((SELECT count(*) FROM orders) AS BIGINT),
+  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS BIGINT),
+  CAST((SELECT count(DISTINCT o_custkey) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+  CAST((SELECT count(DISTINCT c_custkey) FROM customer) AS BIGINT),
+  CAST((SELECT count(DISTINCT c_custkey) FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS BIGINT)""",
+
+        # blocking (last token) is part of the operator contract
+        "fuzzy_name_pairs": """
+WITH v AS (SELECT p_name AS name, count(*) AS n FROM part
+           GROUP BY p_name),
+vb AS (SELECT name, n, regexp_extract(name, '([^ ]+)$', 1) AS blk
+       FROM v)
+SELECT a.name AS name_a, b.name AS name_b,
+  CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+FROM vb a JOIN vb b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2""",
+
+        "tpch_q5": """
+SELECT r_name, n_name,
+  CAST(sum(CAST(round(l_extendedprice
+                      * (CAST(1.0 AS DOUBLE) - l_discount) * 100)
+           AS BIGINT)) AS BIGINT) AS revenue_c,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'AFRICA')
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY r_name, n_name""",
+
         "st_filter_rect_timed": f"""
 SELECT event_id, value AS x, {EV_Y} AS y FROM events
 WHERE value >= 10 AND value <= 60

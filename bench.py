@@ -107,6 +107,15 @@ BENCH_QUERIES = [
     "jsonl_roundtrip",           # JSONL sink+source, FAILFAST schema
     "orc_roundtrip",             # ORC sink+source, native vectorized
     "events_table_profile",      # one-pass multi-distinct profile
+    # round-6 session-3 additions (append-only)
+    "funnel_steps",              # one-shuffle array-fold funnel
+    "cohort_retention",          # cohort assign + co-partitioned join
+    "event_transitions",         # Markov matrix, one window shuffle
+    "ohlc_hourly",               # OHLC resample, map-side combinable
+    "triangle_count",            # degree-ordered wedge join census
+    "fk_orphans",                # 4x anti/semi-join integrity audit
+    "fuzzy_name_pairs",          # blocked levenshtein ER self-join
+    "tpch_q5",                   # 6-table star join, co-nation conjunct
 ]
 
 

@@ -1,0 +1,138 @@
+"""Behavioral analytics over event streams: ordered-step funnels,
+cohort retention, and next-event (Markov) transition matrices.
+
+These are the standard product-analytics queries every event pipeline
+runs (the reference's event tier stops at sessionization —
+`SpatialRDDFunctions.scala` has no behavioral layer — so this extends
+§2.9 the same way the dedup/ANN tiers do).
+
+Scale posture shared by all three:
+
+* exactly ONE shuffle on the entity key (`user_id`) does the heavy
+  lifting; everything after operates on per-entity aggregates or a
+  tiny report frame.
+* `funnel` folds each user's event list with a JVM-native
+  `aggregate()` lambda over a sorted array — the alternative (one
+  join per funnel step) costs k shuffles; the fold costs one. The
+  per-user array is bounded by that user's matching-event count,
+  the same bound sessionization already accepts.
+* every output number is an exact integer (counts, micro-epoch
+  timestamps, ppm ratios via positive integer division), so results
+  are bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_US_PER_DAY = 86_400_000_000
+
+
+def funnel(df: DataFrame, steps: list[str], *, user: str = "user_id",
+           ts: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Ordered-step conversion funnel: ``(step, step_name, users,
+    conv_ppm)`` — users that reached step k, where "reached" means the
+    min-timestamp chain t₁ = min ts of step 1, t₂ = min ts of step 2
+    with ts > t₁ (strict), … Semantics identical to the classic
+    chained-subquery form; computed here in ONE shuffle:
+
+    1. filter to funnel event types (pushed to the scan),
+    2. per user: sorted (ts, step_idx) array, folded left-to-right by
+       a greedy scan (greedy earliest-advance provably attains the
+       min-ts chain, so "levels reached" matches the k-join form),
+    3. explode reach-levels and count — a |steps|-row report.
+
+    ``conv_ppm`` = users·10⁶ div users(step 1) (exact integer)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    step_idx = F.when(F.col(type_col) == steps[0], 0)
+    for i, s in enumerate(steps[1:], start=1):
+        step_idx = step_idx.when(F.col(type_col) == s, i)
+    evs = (df.where(F.col(type_col).isin(list(steps)))
+             .select(F.col(user).alias("u"),
+                     F.unix_micros(F.col(ts)).alias("us"),
+                     step_idx.cast("int").alias("si")))
+    arr = F.sort_array(F.collect_list(F.struct("us", "si")))
+    init = F.struct(F.lit(0).cast("int").alias("reached"),
+                    F.lit(-1).cast("long").alias("last_us"))
+    fold = F.aggregate(
+        arr, init,
+        lambda acc, x: F.when(
+            (x["si"] == acc["reached"])
+            & ((acc["reached"] == F.lit(0)) | (x["us"] > acc["last_us"])),
+            F.struct((acc["reached"] + F.lit(1)).cast("int")
+                     .alias("reached"),
+                     x["us"].alias("last_us"))).otherwise(acc))
+    per_user = (evs.groupBy("u")
+                   .agg(fold.getField("reached").alias("reached")))
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # returning empty — users that reached nothing must be dropped
+    # before the explode, not by it
+    counts = (per_user.where(F.col("reached") >= 1)
+              .select(F.explode(F.sequence(F.lit(1), F.col("reached")))
+                       .alias("step"))
+              .groupBy("step").agg(F.count("*").alias("users")))
+    spark = df.sparkSession
+    names = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string")
+    first = counts.where(F.col("step") == 1).select(
+        F.col("users").alias("_u1"))
+    return (names.join(counts, "step", "left")
+                 .crossJoin(F.broadcast(first))
+                 .select("step", "step_name",
+                         F.coalesce(F.col("users"), F.lit(0))
+                          .cast("long").alias("users"),
+                         F.when(F.col("_u1") > 0,
+                                F.expr("coalesce(users, 0L) * 1000000 "
+                                       "div _u1"))
+                          .otherwise(F.lit(0)).cast("long")
+                          .alias("conv_ppm")))
+
+
+def cohort_retention(df: DataFrame, *, user: str = "user_id",
+                     ts: str = "ts",
+                     period_days: int = 7) -> DataFrame:
+    """Cohort retention triangle: ``(cohort_period, period_offset,
+    active_users)`` — users bucketed by the period of their FIRST
+    event, counted distinct in every later period they appear in.
+    Periods are integer epoch-day buckets (``epoch_us div (days·day)``
+    — positive, so floor = truncate in every engine).
+
+    Shape: one groupBy(user) for the cohort assignment, one
+    co-partitioned join back (same key — no second exchange of the
+    fact side under AQE), one count-distinct by (cohort, offset)."""
+    us_per = period_days * _US_PER_DAY
+    ev = df.select(F.col(user).alias("u"),
+                   F.expr(f"unix_micros({ts}) div {us_per}")
+                    .alias("period"))
+    cohort = ev.groupBy("u").agg(F.min("period").alias("cohort_period"))
+    return (ev.join(cohort, "u")
+              .groupBy("cohort_period",
+                       (F.col("period") - F.col("cohort_period"))
+                       .alias("period_offset"))
+              .agg(F.countDistinct("u").alias("active_users")))
+
+
+def event_transitions(df: DataFrame, *, user: str = "user_id",
+                      ts: str = "ts", type_col: str = "event_type",
+                      tie_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    ``(from_type, to_type, n, p_ppm)`` where next = lead() over each
+    user's (ts, tie) order and p_ppm = n·10⁶ div Σn(from_type) —
+    exact integers end-to-end. One window shuffle on the user key,
+    then a |types|²-row aggregate."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(user).orderBy(ts, tie_col)
+    pairs = (df.select(F.col(type_col).alias("from_type"),
+                       F.lead(type_col).over(w).alias("to_type"))
+               .where(F.col("to_type").isNotNull())
+               .groupBy("from_type", "to_type")
+               .agg(F.count("*").alias("n")))
+    totals = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.expr("n * 1000000").cast("long").alias("_num"),
+        F.sum("n").over(totals).alias("_den")
+    ).select("from_type", "to_type", "n",
+             F.expr("_num div _den").cast("long").alias("p_ppm"))

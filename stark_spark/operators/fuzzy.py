@@ -1,0 +1,62 @@
+"""Fuzzy (approximate-string) matching — the entity-resolution join.
+
+Record linkage at scale is always blocking + refine: a cheap
+deterministic BLOCK key bounds the candidate pairs (the all-pairs
+cross product is the scale killer), then an edit-distance REFINE
+keeps true matches. Same filter-refine discipline as the spatial tier
+(`functions/predicates.py`), applied to strings.
+
+Everything stays JVM-side: `levenshtein()` is a Catalyst built-in
+(codegen'd Wagner–Fischer), the block join is a plain equi-join
+(broadcast when one side is dim-sized), so no Python touches the hot
+path. The blocking key is part of the operator's CONTRACT (pairs in
+different blocks are never compared — standard ER semantics), which
+is what makes the result deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame, left_col: str,
+               right_col: str, *, block_left: Column,
+               block_right: Column, max_dist: int = 2,
+               broadcast_right: bool = False) -> DataFrame:
+    """All (left, right) pairs whose block keys are equal and
+    ``levenshtein(left_col, right_col) <= max_dist``. Adds a ``dist``
+    column. Block columns must not collide with data columns."""
+    lf = left.withColumn("_blk", block_left)
+    rf = right.withColumn("_blk", block_right)
+    if broadcast_right:
+        rf = F.broadcast(rf)
+    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    return (lf.join(rf, "_blk")
+              .where(dist <= max_dist)
+              .withColumn("dist", dist.cast("int"))
+              .drop("_blk"))
+
+
+def fuzzy_self_pairs(df: DataFrame, col: str, *, block_fn,
+                     max_dist: int = 2) -> DataFrame:
+    """Near-duplicate VALUE pairs within one column: distinct values
+    with their row-support counts, blocked by ``block_fn(value_col)``
+    (a Column → Column builder), refined by edit distance, emitted
+    canonically as ``(name_a, name_b, dist, n_a, n_b)`` with
+    name_a < name_b. The distinct-first step is the vocabulary trick:
+    dedup entity NAMES (small frame) instead of rows (huge), then map
+    back by join if row-level pairs are needed."""
+    vals = (df.groupBy(F.col(col).alias("name"))
+              .agg(F.count("*").alias("n"))
+              .withColumn("_blk", block_fn(F.col("name"))))
+    a = vals.select(F.col("name").alias("name_a"),
+                    F.col("n").alias("n_a"), "_blk")
+    b = vals.select(F.col("name").alias("name_b"),
+                    F.col("n").alias("n_b"), "_blk")
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (a.join(b, "_blk")
+             .where((F.col("name_a") < F.col("name_b"))
+                    & (dist <= max_dist))
+             .select("name_a", "name_b", dist.cast("int").alias("dist"),
+                     "n_a", "n_b"))

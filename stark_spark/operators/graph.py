@@ -81,6 +81,74 @@ def connected_components(edges: DataFrame, *, src: str = "a",
     return comp
 
 
+def triangle_count(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle census of the undirected simple graph induced
+    by ``edges``: one row ``(n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_ppm)`` — all exact integers (clustering_ppm =
+    3·triangles·10⁶ div wedges, the global clustering coefficient on
+    the ppm grid).
+
+    Physical strategy — the degree-ordered node-iterator (the
+    standard distributed triangle count, e.g. Suri & Vassilvitskii's
+    MR algorithm): orient every undirected edge from the endpoint
+    with the SMALLER (degree, node) key to the larger. Each triangle
+    then has exactly one source-of-two-out-edges vertex, and every
+    out-neighborhood is O(√m), which bounds the wedge join's fan-out
+    no matter how skewed raw degrees are (a celebrity node of degree
+    d would otherwise fan out d² wedge rows). Two self-joins on the
+    oriented edge frame — both plain equi-joins Catalyst can plan —
+    and one scalar aggregate. Orientation changes the join cost, not
+    the count, so the oracle can use the simpler id-ordering."""
+    e = (edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+              .where(F.col("x") != F.col("y"))
+              .select(F.least("x", "y").alias("a"),
+                      F.greatest("x", "y").alias("b"))
+              .distinct().localCheckpoint())
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg")) \
+             .select(F.col("a").alias("node"), "deg")
+    # orient by (deg, node): u -> v iff key(u) < key(v)
+    keyed = (sym.join(deg.withColumnRenamed("node", "a")
+                         .withColumnRenamed("deg", "dega"), "a")
+                .join(deg.select(F.col("node").alias("b"),
+                                 F.col("deg").alias("degb")), "b")
+                .where((F.col("dega") < F.col("degb"))
+                       | ((F.col("dega") == F.col("degb"))
+                          & (F.col("a") < F.col("b"))))
+                .select(F.col("a").alias("u"), F.col("b").alias("v"),
+                        F.col("degb").alias("kv_deg"))
+                .localCheckpoint())
+    # wedges u->v, u->w with key(v) < key(w); close with v->w
+    lo = keyed.select(F.col("u").alias("wu"), F.col("v").alias("wv"),
+                      F.col("kv_deg").alias("wv_deg"))
+    hi = keyed.select(F.col("u").alias("wu"), F.col("v").alias("ww"),
+                      F.col("kv_deg").alias("ww_deg"))
+    wedges = (lo.join(hi, "wu")
+                .where((F.col("wv_deg") < F.col("ww_deg"))
+                       | ((F.col("wv_deg") == F.col("ww_deg"))
+                          & (F.col("wv") < F.col("ww")))))
+    closing = keyed.select(F.col("u").alias("wv"),
+                           F.col("v").alias("ww"))
+    tri = wedges.join(closing, ["wv", "ww"]).agg(
+        F.count("*").alias("n_triangles"))
+    stats = (deg.agg(F.count("*").alias("n_nodes"),
+                     F.expr("sum(deg) div 2").cast("long")
+                      .alias("n_edges"),
+                     F.sum(F.expr("deg * (deg - 1) div 2"))
+                      .alias("n_wedges")))
+    return (stats.crossJoin(tri)
+                 .select("n_nodes", "n_edges", "n_wedges",
+                         F.col("n_triangles").cast("long")
+                          .alias("n_triangles"),
+                         F.when(F.col("n_wedges") > 0,
+                                F.expr("n_triangles * 3 * 1000000 "
+                                       "div n_wedges"))
+                          .otherwise(F.lit(0)).cast("long")
+                          .alias("clustering_ppm")))
+
+
 def pagerank(edges: DataFrame, *, n_iter: int = 3,
              src: str = "src", dst: str = "dst",
              scale: int = 1_000_000_000_000) -> DataFrame:

@@ -41,3 +41,38 @@ def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
                        f"AS (column_name, n_null, n_distinct)"))
             .select("column_name", F.col("_n").alias("n"),
                     "n_null", "n_distinct"))
+
+
+def fk_check(child: DataFrame, fk: str, parent: DataFrame,
+             pk: str, *, relationship: str,
+             broadcast_parent_keys: bool = True) -> DataFrame:
+    """Referential-integrity audit for one child→parent relationship:
+    one row ``(relationship, child_rows, orphan_rows, orphan_keys,
+    parents_total, parents_referenced)``.
+
+    * orphans: child rows whose FK has no parent — a LEFT ANTI join
+      against the parent's distinct key column (broadcast when the
+      key set fits, which it does for every dim table; set
+      ``broadcast_parent_keys=False`` for fact→fact checks so the
+      anti-join shuffles instead).
+    * coverage: distinct FK values ∩ parent keys via LEFT SEMI —
+      "childless parents" (parents_total − parents_referenced) is the
+      usual early warning that a feed dropped a partition.
+
+    All counts are exact; NULL FKs count as orphan rows (a NULL
+    reference violates the constraint) but not as orphan_keys."""
+    keys = parent.select(F.col(pk).alias("_pk")).distinct()
+    anti_keys = F.broadcast(keys) if broadcast_parent_keys else keys
+    orphans = child.join(anti_keys, child[fk] == F.col("_pk"),
+                         "left_anti")
+    referenced = keys.join(child.select(F.col(fk).alias("_pk"))
+                                .distinct(), "_pk", "left_semi")
+    a = child.agg(F.count("*").alias("child_rows"))
+    b = orphans.agg(F.count("*").alias("orphan_rows"),
+                    F.countDistinct(fk).alias("orphan_keys"))
+    c = keys.agg(F.count("*").alias("parents_total"))
+    d = referenced.agg(F.count("*").alias("parents_referenced"))
+    return (a.crossJoin(b).crossJoin(c).crossJoin(d)
+             .select(F.lit(relationship).alias("relationship"),
+                     "child_rows", "orphan_rows", "orphan_keys",
+                     "parents_total", "parents_referenced"))

@@ -1,0 +1,48 @@
+"""Time-bar resampling (OHLC candles) over event streams.
+
+The canonical market-data / metrics rollup: per (series, time bucket)
+emit open / high / low / close / volume. Complements the temporal
+tier's `sessionize` and gap-fill: those reshape rows, this aggregates
+them onto a regular time grid.
+
+Exactness: values ride the cents grid (`round(v·100)` BIGINT); open
+and close are picked by min/max over a (ts_us, tie, value) struct —
+Spark orders structs lexicographically, so a unique tie column makes
+the pick deterministic and oracle-mirrorable with row_number() — the
+same first/last idiom the trajectory tier uses
+(`operators/trajectory.py`). One shuffle on (series, bucket); every
+aggregate is map-side combinable, so a 100 TB resample is one pass +
+one exchange of the already-reduced per-bucket rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_US_PER_HOUR = 3_600_000_000
+
+
+def ohlc_bars(df: DataFrame, *, series: str = "event_type",
+              ts: str = "ts", value: str = "value",
+              tie_col: str = "event_id",
+              bucket_hours: int = 1) -> DataFrame:
+    """``(series, bucket, open_c, high_c, low_c, close_c, n, vol_c)``
+    per (series, ``bucket_hours``-hour epoch bucket); *_c columns are
+    exact cents (BIGINT)."""
+    us_per = bucket_hours * _US_PER_HOUR
+    base = df.select(
+        F.col(series).alias("series"),
+        F.expr(f"unix_micros({ts}) div {us_per}").alias("bucket"),
+        F.unix_micros(F.col(ts)).alias("_us"),
+        F.col(tie_col).alias("_tie"),
+        F.round(F.col(value) * 100).cast("long").alias("_vc"))
+    first = F.min(F.struct("_us", "_tie", "_vc"))
+    last = F.max(F.struct("_us", "_tie", "_vc"))
+    return (base.groupBy("series", "bucket")
+                .agg(first.getField("_vc").alias("open_c"),
+                     F.max("_vc").alias("high_c"),
+                     F.min("_vc").alias("low_c"),
+                     last.getField("_vc").alias("close_c"),
+                     F.count("*").alias("n"),
+                     F.sum("_vc").alias("vol_c")))

@@ -109,6 +109,15 @@ QUERIES = [
     "vocab_freq_spectrum",
     "distinct_kmv",
     "rrf_fusion_topk",
+    # round-6 session-3: behavioral tier — all one-key-shuffle linear;
+    # triangle_count's oracle self-join stays tractable because the
+    # handoff graph is node-bounded (users), not row-bounded
+    "funnel_steps",
+    "cohort_retention",
+    "event_transitions",
+    "ohlc_hourly",
+    "triangle_count",
+    "tpch_q5",
 ]
 
 

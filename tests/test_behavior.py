@@ -1,0 +1,186 @@
+"""Hand-computed fixtures for the behavioral-analytics tier (funnel,
+cohort retention, transitions, OHLC bars), the graph triangle census,
+referential-integrity audit, and fuzzy matching."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_funnel_min_ts_chain(spark):
+    """Greedy fold == chained-min semantics: strict-after ordering,
+    out-of-order prefixes recovered, same-timestamp steps NOT chained,
+    non-funnel types ignored."""
+    from stark_spark.operators.funnel import funnel
+    rows = [
+        # u1: clean chain -> reached 3
+        (1, _ts("2024-01-01T00:00:01"), "view"),
+        (1, _ts("2024-01-01T00:00:02"), "click"),
+        (1, _ts("2024-01-01T00:00:03"), "purchase"),
+        # u2: purchase without click -> reached 1
+        (2, _ts("2024-01-01T00:00:05"), "view"),
+        (2, _ts("2024-01-01T00:00:06"), "purchase"),
+        # u3: early click before first view doesn't count; the later
+        # full chain does -> reached 3
+        (3, _ts("2024-01-01T00:00:01"), "click"),
+        (3, _ts("2024-01-01T00:00:02"), "view"),
+        (3, _ts("2024-01-01T00:00:03"), "click"),
+        (3, _ts("2024-01-01T00:00:04"), "purchase"),
+        # u4: purchase first, view later -> reached 1
+        (4, _ts("2024-01-01T00:00:01"), "purchase"),
+        (4, _ts("2024-01-01T00:00:09"), "view"),
+        # u5: click at the SAME instant as view fails strict >, the
+        # later click passes -> reached 2
+        (5, _ts("2024-01-01T00:00:04"), "view"),
+        (5, _ts("2024-01-01T00:00:04"), "click"),
+        (5, _ts("2024-01-01T00:00:05"), "click"),
+        # u6: only noise -> contributes to no step
+        (6, _ts("2024-01-01T00:00:01"), "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step: r for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert [out[k].step_name for k in (1, 2, 3)] == \
+        ["view", "click", "purchase"]
+    assert (out[1].users, out[2].users, out[3].users) == (5, 3, 2)
+    assert (out[1].conv_ppm, out[2].conv_ppm, out[3].conv_ppm) == \
+        (1_000_000, 600_000, 400_000)
+    with pytest.raises(ValueError):
+        funnel(df, [])
+
+
+def test_cohort_retention_daily(spark):
+    from stark_spark.operators.funnel import cohort_retention
+    rows = [
+        (1, _ts("1970-01-01T05:00:00")),   # cohort day 0
+        (1, _ts("1970-01-03T01:00:00")),   # offset 2
+        (2, _ts("1970-01-02T00:00:00")),   # cohort day 1
+        (2, _ts("1970-01-02T23:59:59")),   # same day -> offset 0 once
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_period, r.period_offset): r.active_users
+           for r in cohort_retention(df, period_days=1).collect()}
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_event_transitions_ppm(spark):
+    from stark_spark.operators.funnel import event_transitions
+    rows = [
+        (1, 1, _ts("2024-01-01T00:00:01"), "a"),
+        (2, 1, _ts("2024-01-01T00:00:02"), "b"),
+        (3, 1, _ts("2024-01-01T00:00:03"), "b"),
+        (4, 2, _ts("2024-01-01T00:00:01"), "a"),
+        (5, 2, _ts("2024-01-01T00:00:02"), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    got = {(r.from_type, r.to_type): (r.n, r.p_ppm)
+           for r in event_transitions(df).collect()}
+    assert got == {("a", "b"): (1, 500_000), ("a", "c"): (1, 500_000),
+                   ("b", "b"): (1, 1_000_000)}
+
+
+def test_ohlc_bars_hand(spark):
+    from stark_spark.operators.timeseries import ohlc_bars
+    rows = [  # one series, one hour bucket (hour 473391 of the epoch)
+        (1, "s", _ts("2024-01-01T00:10:00"), 5.00),
+        (2, "s", _ts("2024-01-01T00:20:00"), 9.50),
+        (3, "s", _ts("2024-01-01T00:30:00"), 1.25),
+        (4, "s", _ts("2024-01-01T00:40:00"), 7.00),
+        # second bucket, single row: open == close
+        (5, "s", _ts("2024-01-01T01:40:00"), 2.00),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, "
+              "value double")
+    out = {r.bucket: r for r in ohlc_bars(df, bucket_hours=1).collect()}
+    b0 = out[473_352]                        # 2024-01-01T00 epoch-hour
+    assert (b0.open_c, b0.high_c, b0.low_c, b0.close_c) == \
+        (500, 950, 125, 700)
+    assert (b0.n, b0.vol_c) == (4, 500 + 950 + 125 + 700)
+    b1 = out[473_353]
+    assert (b1.open_c, b1.close_c, b1.n) == (200, 200, 1)
+
+
+def test_ohlc_same_timestamp_tiebreak(spark):
+    """Equal timestamps: the tie column decides open/close
+    deterministically."""
+    from stark_spark.operators.timeseries import ohlc_bars
+    t = _ts("2024-01-01T00:10:00")
+    df = spark.createDataFrame(
+        [(2, "s", t, 8.0), (1, "s", t, 3.0)],
+        "event_id long, event_type string, ts timestamp, value double")
+    r = ohlc_bars(df).collect()[0]
+    assert (r.open_c, r.close_c) == (300, 800)
+
+
+def test_triangle_count_hand(spark):
+    """Path-plus-triangle graph fed as dirty directed multi-edges:
+    canonicalization dedups, the census matches hand math."""
+    from stark_spark.operators.graph import triangle_count
+    edges = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 4), (4, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 4, 1)
+    # degs 2,2,3,1 -> wedges 1+1+3+0 = 5; 3*1e6*1//5
+    assert r.n_wedges == 5 and r.clustering_ppm == 600_000
+
+
+def test_triangle_count_k4(spark):
+    from stark_spark.operators.graph import triangle_count
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_edges, r.n_triangles) == (6, 4)
+    # K4: every wedge closes -> clustering exactly 1.0
+    assert r.clustering_ppm == 1_000_000
+
+
+def test_fk_check_orphans_and_coverage(spark):
+    from stark_spark.operators.profile import fk_check
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (5,), (None,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = fk_check(child, "fk", parent, "pk", relationship="t").collect()[0]
+    assert r.relationship == "t"
+    assert (r.child_rows, r.orphan_rows, r.orphan_keys) == (5, 2, 1)
+    assert (r.parents_total, r.parents_referenced) == (3, 2)
+
+
+def test_fuzzy_self_pairs_blocked(spark):
+    from stark_spark.operators.fuzzy import fuzzy_self_pairs
+    vals = (["small ring"] * 2 + ["smell ring", "big bolt", "bog bolt"]
+            + ["ring fort"])   # 'fort' block: alone, no pair
+    df = spark.createDataFrame([(v,) for v in vals], "p_name string")
+    out = fuzzy_self_pairs(
+        df, "p_name",
+        block_fn=lambda c: F.regexp_extract(c, "([^ ]+)$", 1),
+        max_dist=2)
+    got = {(r.name_a, r.name_b): (r.dist, r.n_a, r.n_b)
+           for r in out.collect()}
+    assert got == {("small ring", "smell ring"): (1, 2, 1),
+                   ("big bolt", "bog bolt"): (1, 1, 1)}
+
+
+def test_fuzzy_join_threshold(spark):
+    from stark_spark.operators.fuzzy import fuzzy_join
+    left = spark.createDataFrame(
+        [("acme corp",), ("zenith ltd",)], "lname string")
+    right = spark.createDataFrame(
+        [("acme corp.",), ("acme inc",), ("zebra ltd",)], "rname string")
+    out = fuzzy_join(
+        left, right, "lname", "rname",
+        block_left=F.substring("lname", 1, 2),
+        block_right=F.substring("rname", 1, 2),
+        max_dist=2, broadcast_right=True)
+    got = {(r.lname, r.rname): r.dist for r in out.collect()}
+    # 'acme corp'~'acme corp.' dist 1; 'acme corp'~'acme inc' dist 4
+    # (out); 'zenith ltd'~'zebra ltd' dist 4 (out)
+    assert got == {("acme corp", "acme corp."): 1}
