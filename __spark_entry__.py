@@ -2579,6 +2579,58 @@ def _q_tpch_q5(spark, sf):
                    F.count("*").alias("n_items")))
 
 
+def _q_funnel_latency(spark, sf):
+    """Time-to-convert percentiles (p50/p90/p99) for the full
+    view→click→purchase chain: the funnel fold threads the chain-start
+    timestamp through its state, exact order-statistic ranks
+    ⌈n·p/100⌉ on the converted-users frame."""
+    from stark_spark.operators.funnel import funnel_latency
+    ev = D.load(spark, sf, "events")
+    return funnel_latency(ev, ["view", "click", "purchase"])
+
+
+def _q_cusum_alerts(spark, sf):
+    """Closed-form CUSUM changepoint alerts per event type: the
+    sequential recursion s=max(0, s+(x−k)) rewritten as prefix-sum
+    minus running-min — two stacked windows over ONE key shuffle,
+    exact cents integers (k=$60, h=$200)."""
+    from stark_spark.operators.anomaly import cusum_alerts
+    ev = D.load(spark, sf, "events")
+    return cusum_alerts(ev, "event_type", "ts", "value", "event_id",
+                        k_c=6000, h_c=20000)
+
+
+def _q_rolling_24h(spark, sf):
+    """Trailing-24h rolling count + cents-sum per user via a RANGE
+    window frame on the micro-epoch axis — one key shuffle, no range
+    self-join; equal-timestamp peers included symmetrically (ANSI
+    RANGE frame semantics in both engines)."""
+    from stark_spark.operators.timeseries import rolling_window_sum
+    ev = D.load(spark, sf, "events")
+    return rolling_window_sum(ev, hours=24)
+
+
+def _q_stream_ohlc(spark, sf):
+    """Streaming OHLC candles == the batch resample: events replayed
+    as file-source micro-batches; open/close are min/max over an
+    (event-time, tie, cents) struct — order-insensitive aggregates,
+    so ANY arrival order converges to the batch answer (complete mode
+    retains all window state, as in `stream_windowed_stats`)."""
+    import tempfile
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_ohlc)
+    ev = D.load(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="stark_stream_ohlc_") + "/events"
+    ev.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, ev.schema, max_files=2)
+    out = stream_ohlc(s, window="1 hour", watermark="365 days")
+    t = _stream_sink(out, "complete")
+    return t.select(
+        "series",
+        F.expr("unix_micros(win_start) div 3600000000").alias("bucket"),
+        "open_c", "high_c", "low_c", "close_c", "n", "vol_c")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's oracle run checks the FIRST 50
     # entries. The window rotates every round toward the queries whose
@@ -2591,6 +2643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-checked (new round-6 gates) ---
         "funnel_steps": _q_funnel_steps,
+        "funnel_latency": _q_funnel_latency,
+        "cusum_alerts": _q_cusum_alerts,
+        "rolling_24h": _q_rolling_24h,
+        "stream_ohlc": _q_stream_ohlc,
         "cohort_retention": _q_cohort_retention,
         "event_transitions": _q_event_transitions,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -3048,6 +3104,66 @@ SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
   CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
     AS p_ppm
 FROM g""",
+
+        # exact order-statistic percentile ranks ⌈n·p/100⌉ on the
+        # converted-users latency frame (min-ts chain as in
+        # funnel_steps; greedy fold start == s1.t, end == s3.t)
+        "funnel_latency": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+       GROUP BY e.user_id),
+lat AS (SELECT s3.user_id AS u,
+          epoch_us(s3.t) - epoch_us(s1.t) AS latency_us
+        FROM s3 JOIN s1 ON s3.user_id = s1.user_id),
+r AS (SELECT latency_us,
+        row_number() OVER (ORDER BY latency_us, u) AS rn,
+        count(*) OVER () AS n
+      FROM lat)
+SELECT pct, latency_us, CAST(n AS BIGINT) AS n_converted
+FROM r JOIN (VALUES (50), (90), (99)) p(pct)
+  ON rn = (n * pct + 99) // 100
+ORDER BY pct""",
+
+        # CUSUM closed form: s_i = P_i - min(0, running-min P);
+        # identical window stack, pure integers
+        "cusum_alerts": """
+WITH base AS (
+  SELECT event_id, event_type, ts,
+    CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events),
+p AS (
+  SELECT event_id, event_type, ts, value_c,
+    sum(value_c - 6000) OVER (PARTITION BY event_type
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pf
+  FROM base),
+s AS (
+  SELECT event_id, event_type, value_c,
+    pf - least(0, min(pf) OVER (PARTITION BY event_type
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s_c
+  FROM p)
+SELECT event_id, event_type, value_c, CAST(s_c AS BIGINT) AS s_c
+FROM s WHERE s_c > 20000""",
+
+        # ANSI RANGE frame: equal-ts peers included in both engines
+        "rolling_24h": """
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+    CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id, user_id, ts_us, value_c,
+  CAST(count(*) OVER w AS BIGINT) AS roll_n,
+  CAST(sum(value_c) OVER w AS BIGINT) AS roll_sum_c
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""",
 
         # open/close: row_number mirror of the engine's min/max over
         # a (us, event_id, value_c) struct — event_id makes ties moot
@@ -5538,4 +5654,6 @@ SELECT CAST(a.si * 3 +
          ELSE 2 END AS INT) AS part,
   count(*) AS n
 FROM assign a GROUP BY 1"""
+    # the streaming OHLC replay must equal the batch resample exactly
+    sql["stream_ohlc"] = sql["ohlc_hourly"]
     return sql

@@ -116,6 +116,10 @@ BENCH_QUERIES = [
     "fk_orphans",                # 4x anti/semi-join integrity audit
     "fuzzy_name_pairs",          # blocked levenshtein ER self-join
     "tpch_q5",                   # 6-table star join, co-nation conjunct
+    "funnel_latency",            # fold + order-stat percentile ranks
+    "cusum_alerts",              # closed-form CUSUM, 2 stacked windows
+    "rolling_24h",               # RANGE-frame trailing aggregate
+    "stream_ohlc",               # streaming replay == batch resample
 ]
 
 

@@ -55,3 +55,36 @@ def robust_outliers(df: DataFrame, group: str, value: str, key: str, *,
     return (dev.join(F.broadcast(mad), group)
                .where(F.col("dev") > F.lit(k) * F.col("mad_c"))
                .select(key, group, "value_c", "med_c", "mad_c", "dev"))
+
+
+def cusum_alerts(df, key: str, ts: str, value: str, tie_col: str, *,
+                 k_c: int, h_c: int):
+    """One-sided CUSUM changepoint detector per key, in CLOSED FORM.
+
+    The textbook recursion s_i = max(0, s_{i-1} + (x_i − k)) looks
+    sequential (a per-row loop — the scale killer), but has the exact
+    closed form s_i = P_i − min(0, min_{j≤i} P_j) where P is the
+    running prefix sum of (x_i − k): two stacked window functions over
+    ONE shuffle on the key, no recursion, no Python. Values ride the
+    cents grid, so s is an exact integer and the alert predicate
+    (s > h) is integer comparison — bit-stable in any engine.
+
+    ``k_c`` (reference/slack, cents) tunes what counts as drift;
+    ``h_c`` (decision threshold, cents) tunes sensitivity. Output:
+    alert rows (tie, key, value_c, s_c) — rows where the accumulated
+    positive drift since the last reset exceeds h_c."""
+    from pyspark.sql import Window
+    vc = F.round(F.col(value) * 100).cast("long")
+    base = df.select(F.col(tie_col), F.col(key), vc.alias("value_c"),
+                     F.col(ts).alias("_ts"))
+    p = F.sum(F.col("value_c") - F.lit(k_c)).over(
+        Window.partitionBy(key).orderBy("_ts", tie_col)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = base.withColumn("_p", p)
+    run_min = F.min("_p").over(
+        Window.partitionBy(key).orderBy("_ts", tie_col)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = out.withColumn(
+        "s_c", F.col("_p") - F.least(F.lit(0).cast("long"), run_min))
+    return (out.where(F.col("s_c") > h_c)
+               .select(tie_col, key, "value_c", "s_c"))

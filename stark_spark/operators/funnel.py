@@ -136,3 +136,62 @@ def event_transitions(df: DataFrame, *, user: str = "user_id",
         F.sum("n").over(totals).alias("_den")
     ).select("from_type", "to_type", "n",
              F.expr("_num div _den").cast("long").alias("p_ppm"))
+
+
+def funnel_latency(df: DataFrame, steps: list[str], *,
+                   user: str = "user_id", ts: str = "ts",
+                   type_col: str = "event_type",
+                   percentiles: tuple[int, ...] = (50, 90, 99)) -> DataFrame:
+    """Time-to-convert distribution: for users completing the FULL
+    min-ts chain (see `funnel`), latency = t_k − t₁ in micro-seconds;
+    report EXACT order-statistic percentiles — rank ⌈n·p/100⌉ under
+    (latency, user) total order, the same lower-order-stat convention
+    the median/MAD detector uses — plus the converted-user count.
+
+    Same one-shuffle fold as `funnel` with the chain-start timestamp
+    threaded through the state; the percentile pick runs on the
+    converted-users frame (cohort-sized, not event-sized), so the
+    single-partition rank window is bounded by ENTITY cardinality —
+    the frame a 100 TB run would also reduce to. Output:
+    (pct, latency_us, n_converted)."""
+    from pyspark.sql import Window
+    if not steps:
+        raise ValueError("funnel_latency needs at least one step")
+    step_idx = F.when(F.col(type_col) == steps[0], 0)
+    for i, s in enumerate(steps[1:], start=1):
+        step_idx = step_idx.when(F.col(type_col) == s, i)
+    evs = (df.where(F.col(type_col).isin(list(steps)))
+             .select(F.col(user).alias("u"),
+                     F.unix_micros(F.col(ts)).alias("us"),
+                     step_idx.cast("int").alias("si")))
+    arr = F.sort_array(F.collect_list(F.struct("us", "si")))
+    init = F.struct(F.lit(0).cast("int").alias("reached"),
+                    F.lit(-1).cast("long").alias("last_us"),
+                    F.lit(-1).cast("long").alias("first_us"))
+    fold = F.aggregate(
+        arr, init,
+        lambda acc, x: F.when(
+            (x["si"] == acc["reached"])
+            & ((acc["reached"] == F.lit(0)) | (x["us"] > acc["last_us"])),
+            F.struct((acc["reached"] + F.lit(1)).cast("int")
+                     .alias("reached"),
+                     x["us"].alias("last_us"),
+                     F.when(acc["reached"] == F.lit(0), x["us"])
+                      .otherwise(acc["first_us"]).alias("first_us"))
+        ).otherwise(acc))
+    done = (evs.groupBy("u").agg(fold.alias("st"))
+               .where(F.col("st.reached") == len(steps))
+               .select("u", (F.col("st.last_us") - F.col("st.first_us"))
+                       .alias("latency_us")))
+    n = F.count("*").over(Window.partitionBy())
+    rn = F.row_number().over(
+        Window.partitionBy().orderBy("latency_us", "u"))
+    ranked = done.select("latency_us", rn.alias("rn"), n.alias("n"))
+    spark = df.sparkSession
+    pcts = spark.createDataFrame([(p,) for p in percentiles], "pct int")
+    return (ranked.crossJoin(F.broadcast(pcts))
+                  .where(F.col("rn")
+                         == F.expr("(n * pct + 99) div 100"))
+                  .select("pct", "latency_us",
+                          F.col("n").alias("n_converted"))
+                  .orderBy("pct"))

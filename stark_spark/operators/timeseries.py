@@ -46,3 +46,32 @@ def ohlc_bars(df: DataFrame, *, series: str = "event_type",
                      last.getField("_vc").alias("close_c"),
                      F.count("*").alias("n"),
                      F.sum("_vc").alias("vol_c")))
+
+
+def rolling_window_sum(df: DataFrame, *, key: str = "user_id",
+                       ts: str = "ts", value: str = "value",
+                       tie_col: str = "event_id",
+                       hours: int = 24) -> DataFrame:
+    """Trailing event-time rolling aggregate per key: for every row,
+    count + exact cents-sum of that key's rows in the closed interval
+    [t − hours, t]. A RANGE window frame on the micro-epoch axis —
+    one shuffle on the key, no self-join (the naive form is a range
+    self-join that re-reads the fact table twice and explodes
+    pair-wise; the frame form is a single sorted scan per key).
+
+    Ties: a RANGE frame includes ALL peer rows with the same
+    event-time in both Spark and ANSI SQL, so equal-timestamp rows see
+    each other symmetrically — deterministic without a tie column in
+    the frame itself (``tie_col`` only stabilizes output identity).
+
+    Output: (tie, key, ts_us, value_c, roll_n, roll_sum_c)."""
+    from pyspark.sql import Window
+    span = hours * _US_PER_HOUR
+    base = df.select(F.col(tie_col), F.col(key),
+                     F.unix_micros(F.col(ts)).alias("ts_us"),
+                     F.round(F.col(value) * 100).cast("long")
+                      .alias("value_c"))
+    w = (Window.partitionBy(key).orderBy("ts_us")
+         .rangeBetween(-span, 0))
+    return (base.withColumn("roll_n", F.count("*").over(w))
+                .withColumn("roll_sum_c", F.sum("value_c").over(w)))

@@ -442,3 +442,39 @@ def stream_quality_filter(stream: DataFrame, *, key: str = "doc_id",
                 keep.alias("_keep"))
             .where(~F.col("_keep"))
             .drop("_keep"))
+
+
+def stream_ohlc(stream: DataFrame, *, series: str = "event_type",
+                time_col: str = "ts", value: str = "value",
+                tie_col: str = "event_id", window: str = "1 hour",
+                watermark: str = "1 hour") -> DataFrame:
+    """Streaming OHLC candles per (series, tumbling window) — the
+    streaming twin of `operators.timeseries.ohlc_bars`.
+
+    The reason OHLC is safe to compute on a stream at all: open/close
+    are NOT "first/last to arrive" but min/max over a (event-time,
+    tie, cents) struct — order-insensitive, associative aggregates, so
+    the result is identical under any micro-batch arrival order and
+    matches the batch operator bit-for-bit once the window closes.
+    All state is per-(series, window) aggregate state, bounded by the
+    watermark horizon.
+
+    Output: (win_start, win_end, series, open_c, high_c, low_c,
+    close_c, n, vol_c) — *_c on the exact cents grid."""
+    us = F.unix_micros(F.col(time_col))
+    vc = F.round(F.col(value) * 100).cast("long")
+    pick = F.struct(us.alias("us"), F.col(tie_col).alias("tie"),
+                    vc.alias("vc"))
+    return (stream.withWatermark(time_col, watermark)
+            .groupBy(F.window(F.col(time_col), window).alias("win"),
+                     F.col(series).alias("series"))
+            .agg(F.min(pick).getField("vc").alias("open_c"),
+                 F.max(vc).alias("high_c"),
+                 F.min(vc).alias("low_c"),
+                 F.max(pick).getField("vc").alias("close_c"),
+                 F.count("*").alias("n"),
+                 F.sum(vc).alias("vol_c"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"),
+                    "series", "open_c", "high_c", "low_c", "close_c",
+                    "n", "vol_c"))

@@ -184,3 +184,70 @@ def test_fuzzy_join_threshold(spark):
     # 'acme corp'~'acme corp.' dist 1; 'acme corp'~'acme inc' dist 4
     # (out); 'zenith ltd'~'zebra ltd' dist 4 (out)
     assert got == {("acme corp", "acme corp."): 1}
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The window closed form s_i = P_i − min(0, min P_j) must equal
+    the textbook recursion s_i = max(0, s_{i-1} + (x_i − k)) on a
+    value series with resets and bursts."""
+    from stark_spark.operators.anomaly import cusum_alerts
+    vals = [50.0, 80.0, 90.0, 10.0, 10.0, 95.0, 99.0, 99.0, 20.0,
+            99.0, 99.0, 99.0, 1.0]
+    k_c, h_c = 6000, 3000
+    rows = [(i, "a", _ts(f"2024-01-01T00:00:{i:02d}"), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, "
+              "value double")
+    got = {r.event_id: r.s_c for r in
+           cusum_alerts(df, "event_type", "ts", "value", "event_id",
+                        k_c=k_c, h_c=h_c).collect()}
+    # brute-force recursion
+    s, expect = 0, {}
+    for i, v in enumerate(vals):
+        s = max(0, s + int(round(v * 100)) - k_c)
+        if s > h_c:
+            expect[i] = s
+    assert got == expect and len(expect) >= 3
+
+
+def test_rolling_window_sum_ties_and_span(spark):
+    from stark_spark.operators.timeseries import rolling_window_sum
+    rows = [
+        (1, 7, _ts("2024-01-01T00:00:00"), 1.00),
+        (2, 7, _ts("2024-01-01T12:00:00"), 2.00),
+        # two rows at the SAME instant: each sees the other (RANGE peers)
+        (3, 7, _ts("2024-01-02T00:00:00"), 4.00),
+        (4, 7, _ts("2024-01-02T00:00:00"), 8.00),
+        # 24h + 1us after row 1: row 1 out of range, rows 2-4 in
+        (5, 7, _ts("2024-01-02T00:00:00.000001"), 16.00),
+        (6, 8, _ts("2024-01-01T12:00:00"), 32.00),  # other key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: (r.roll_n, r.roll_sum_c)
+           for r in rolling_window_sum(df, hours=24).collect()}
+    assert got[1] == (1, 100)
+    assert got[2] == (2, 300)
+    assert got[3] == (4, 1500) and got[4] == (4, 1500)  # peers symmetric
+    assert got[5] == (4, 3000)                          # row 1 aged out
+    assert got[6] == (1, 3200)                          # key isolation
+
+
+def test_funnel_latency_percentiles(spark):
+    """Hand case: 4 converters with latencies 1s,2s,3s,4s ->
+    p50 = rank ceil(4*.5)=2 (2s), p90 = rank ceil(3.6)=4 (4s)."""
+    from stark_spark.operators.funnel import funnel_latency
+    rows = []
+    for u, lat in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+        rows.append((u, _ts("2024-01-01T00:00:00"), "view"))
+        rows.append((u, _ts(f"2024-01-01T00:00:{lat:02d}"), "purchase"))
+    rows.append((9, _ts("2024-01-01T00:00:00"), "view"))  # non-converter
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    out = {r.pct: r for r in
+           funnel_latency(df, ["view", "purchase"],
+                          percentiles=(50, 90)).collect()}
+    assert out[50].latency_us == 2_000_000
+    assert out[90].latency_us == 4_000_000
+    assert out[50].n_converted == 4
