@@ -2631,6 +2631,36 @@ def _q_stream_ohlc(spark, sf):
         "open_c", "high_c", "low_c", "close_c", "n", "vol_c")
 
 
+def _q_time_weighted_avg(spark, sf):
+    """Time-weighted average value per event type (step-function hold
+    until the next observation): Σ v·dt div span, exact BIGINT
+    cents·µs — the irregular-sampling metric a plain AVG gets wrong.
+    One lead() window + one aggregate on the key shuffle."""
+    from stark_spark.operators.timeseries import time_weighted_avg
+    ev = D.load(spark, sf, "events")
+    return time_weighted_avg(ev)
+
+
+def _q_attribution_last_touch(spark, sf):
+    """Last-touch attribution: each purchase credited to the user's
+    most recent prior non-purchase event type via an ignore-nulls
+    last() over a [unbounded, -1] frame — the carry-forward scan, no
+    self-join. Conversions without a prior touch credit 'direct'."""
+    from stark_spark.operators.funnel import attribution_last_touch
+    ev = D.load(spark, sf, "events")
+    return attribution_last_touch(ev, conversion="purchase")
+
+
+def _q_key_skew_report(spark, sf):
+    """Join-planning skew profile of candidate key columns: hottest
+    key share (ppm) + quantized entropy mass per column — the
+    measurement that decides between a plain, broadcast, or salted
+    join before the shuffle runs."""
+    from stark_spark.operators.skew import key_skew_report
+    ev = D.load(spark, sf, "events")
+    return key_skew_report(ev, ["user_id", "event_type"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's oracle run checks the FIRST 50
     # entries. The window rotates every round toward the queries whose
@@ -2647,6 +2677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_alerts": _q_cusum_alerts,
         "rolling_24h": _q_rolling_24h,
         "stream_ohlc": _q_stream_ohlc,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "attribution_last_touch": _q_attribution_last_touch,
+        "key_skew_report": _q_key_skew_report,
         "cohort_retention": _q_cohort_retention,
         "event_transitions": _q_event_transitions,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -3151,6 +3184,62 @@ s AS (
   FROM p)
 SELECT event_id, event_type, value_c, CAST(s_c AS BIGINT) AS s_c
 FROM s WHERE s_c > 20000""",
+
+        # Σ v·dt telescopes: bounded by max_value·span — no overflow
+        "time_weighted_avg": """
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+    CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events),
+h AS (
+  SELECT event_type, value_c, ts_us,
+    lead(ts_us) OVER (PARTITION BY event_type
+                      ORDER BY ts_us, event_id) - ts_us AS dt_us
+  FROM base)
+SELECT event_type, count(*) AS n,
+  CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+  CAST(CASE WHEN max(ts_us) - min(ts_us) > 0
+       THEN sum(value_c * dt_us) // (max(ts_us) - min(ts_us))
+       END AS BIGINT) AS twa_c
+FROM h GROUP BY event_type""",
+
+        # ignore-nulls last_value over the [unbounded, -1] frame ==
+        # the engine's carry-forward scan
+        "attribution_last_touch": """
+WITH t AS (
+  SELECT event_type, value,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events)
+SELECT coalesce(touch, 'direct') AS channel,
+  count(*) AS n_conversions,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM t WHERE event_type = 'purchase'
+GROUP BY coalesce(touch, 'direct')""",
+
+        # per-key ln quantized to BIGINT before the order-free sum
+        "key_skew_report": """
+WITH c1 AS (SELECT user_id AS k, count(*) AS cnt FROM events
+            GROUP BY user_id),
+c2 AS (SELECT event_type AS k, count(*) AS cnt FROM events
+       GROUP BY event_type),
+r AS (
+  SELECT 'user_id' AS column_name, CAST(sum(cnt) AS BIGINT) AS n,
+    count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_key_n,
+    CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000)
+                        AS BIGINT)) AS BIGINT) AS c_lnc_q
+  FROM c1
+  UNION ALL
+  SELECT 'event_type', CAST(sum(cnt) AS BIGINT), count(*),
+    CAST(max(cnt) AS BIGINT),
+    CAST(sum(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000)
+                        AS BIGINT)) AS BIGINT)
+  FROM c2)
+SELECT column_name, n, n_keys, max_key_n,
+  CAST(max_key_n * 1000000 // n AS BIGINT) AS top_share_ppm, c_lnc_q
+FROM r""",
 
         # ANSI RANGE frame: equal-ts peers included in both engines
         "rolling_24h": """

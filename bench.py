@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     "cusum_alerts",              # closed-form CUSUM, 2 stacked windows
     "rolling_24h",               # RANGE-frame trailing aggregate
     "stream_ohlc",               # streaming replay == batch resample
+    "time_weighted_avg",         # lead-window step integral
+    "attribution_last_touch",    # ignore-nulls carry-forward window
+    "key_skew_report",           # pre-join skew + entropy profile
 ]
 
 

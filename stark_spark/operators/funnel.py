@@ -195,3 +195,32 @@ def funnel_latency(df: DataFrame, steps: list[str], *,
                   .select("pct", "latency_us",
                           F.col("n").alias("n_converted"))
                   .orderBy("pct"))
+
+
+def attribution_last_touch(df: DataFrame, *,
+                           conversion: str = "purchase",
+                           user: str = "user_id", ts: str = "ts",
+                           type_col: str = "event_type",
+                           tie_col: str = "event_id",
+                           value: str = "value") -> DataFrame:
+    """Last-touch marketing attribution: every conversion event is
+    credited to the user's most recent PRIOR non-conversion event type
+    (strictly before in (ts, tie) order; conversions with no prior
+    touch credit 'direct'). One window shuffle on the user key — the
+    frame [unbounded, -1 row] with ignore-nulls last() is the exact
+    "carry the latest touch forward" scan, no self-join.
+
+    Output: (channel, n_conversions, revenue_c) — conversion value on
+    the cents grid."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy(user).orderBy(ts, tie_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.last(F.when(F.col(type_col) != conversion,
+                          F.col(type_col)), ignorenulls=True).over(w)
+    return (df.withColumn("_touch", touch)
+              .where(F.col(type_col) == conversion)
+              .groupBy(F.coalesce(F.col("_touch"), F.lit("direct"))
+                        .alias("channel"))
+              .agg(F.count("*").alias("n_conversions"),
+                   F.sum(F.round(F.col(value) * 100).cast("long"))
+                    .alias("revenue_c")))

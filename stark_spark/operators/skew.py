@@ -46,3 +46,34 @@ def salted_join(fact: DataFrame, dim: DataFrame, on: list[str], *,
     d = dim.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     return f.join(d, on + [_SALT], how).drop(_SALT)
+
+
+def key_skew_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pre-shuffle skew profile — the measurement that decides whether
+    a join key needs `salted_join` (or AQE skew splitting) BEFORE the
+    job runs: per candidate key column, row count, distinct keys, the
+    hottest key's row count and its share (ppm), and a quantized
+    Shannon-entropy mass Σ cᵢ·⌊ln(cᵢ)·10⁶⌋ (monotone in concentration;
+    each per-key term is quantized to BIGINT before the order-free
+    sum, the repo's libm posture — H = ln(N) − mass/(N·10⁶)).
+
+    One groupBy per column (the per-key count IS the thing being
+    measured, there is no cheaper exact form; for estimate-grade use
+    swap in the KMV sketch). All report numbers are exact integers.
+    Output: (column_name, n, n_keys, max_key_n, top_share_ppm,
+    c_lnc_q)."""
+    out = None
+    for c in cols:
+        counts = df.groupBy(F.col(c)).agg(F.count("*").alias("cnt"))
+        rep = counts.agg(
+            F.sum("cnt").alias("n"),
+            F.count("*").alias("n_keys"),
+            F.max("cnt").alias("max_key_n"),
+            F.sum(F.expr("cnt * CAST(floor(ln(CAST(cnt AS DOUBLE)) "
+                         "* 1000000) AS BIGINT)")).alias("c_lnc_q"),
+        ).select(F.lit(c).alias("column_name"), "n", "n_keys",
+                 "max_key_n",
+                 F.expr("max_key_n * 1000000 div n")
+                  .alias("top_share_ppm"), "c_lnc_q")
+        out = rep if out is None else out.unionByName(rep)
+    return out

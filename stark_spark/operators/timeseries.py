@@ -75,3 +75,41 @@ def rolling_window_sum(df: DataFrame, *, key: str = "user_id",
          .rangeBetween(-span, 0))
     return (base.withColumn("roll_n", F.count("*").over(w))
                 .withColumn("roll_sum_c", F.sum("value_c").over(w)))
+
+
+def time_weighted_avg(df: DataFrame, *, key: str = "event_type",
+                      ts: str = "ts", value: str = "value",
+                      tie_col: str = "event_id") -> DataFrame:
+    """Time-weighted average per key: each observation holds until the
+    next one (left-continuous step function), so
+    TWA = Σ vᵢ·(tᵢ₊₁ − tᵢ) div (t_last − t_first) — the metric that
+    makes irregular samples comparable (a plain AVG over-weights
+    bursts).
+
+    Exactness + overflow honesty: the weighted sum is BIGINT
+    cents·micro-seconds; Σdt telescopes to the key's SPAN, so the sum
+    is bounded by max_value_c · span_us (≈1.3e17 for $490 over a
+    month) — far under BIGINT, but a multi-year span at large values
+    approaches 2⁶³: switch ``ts`` to milli-epoch upstream for decade
+    spans. Single-observation keys have span 0 and report NULL (the
+    step function is undefined), mirrored by an explicit CASE.
+
+    One shuffle on the key: lead() window for the holding interval,
+    then one aggregate. Output: (key, n, span_us, twa_c)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(key).orderBy("ts_us", tie_col)
+    base = df.select(F.col(key), F.col(tie_col),
+                     F.unix_micros(F.col(ts)).alias("ts_us"),
+                     F.round(F.col(value) * 100).cast("long")
+                      .alias("value_c"))
+    held = base.withColumn(
+        "dt_us", F.lead("ts_us").over(w) - F.col("ts_us"))
+    return (held.groupBy(key)
+                .agg(F.count("*").alias("n"),
+                     (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+                     F.sum(F.col("value_c") * F.col("dt_us"))
+                      .alias("_wsum"))
+                .select(key, "n", "span_us",
+                        F.when(F.col("span_us") > 0,
+                               F.expr("_wsum div span_us"))
+                         .cast("long").alias("twa_c")))

@@ -124,6 +124,9 @@ QUERIES = [
     "funnel_latency",
     "cusum_alerts",
     "rolling_24h",
+    "time_weighted_avg",
+    "attribution_last_touch",
+    "key_skew_report",
 ]
 
 

@@ -251,3 +251,60 @@ def test_funnel_latency_percentiles(spark):
     assert out[50].latency_us == 2_000_000
     assert out[90].latency_us == 4_000_000
     assert out[50].n_converted == 4
+
+
+def test_time_weighted_avg_hand(spark):
+    """v=10 held 3s then v=40 held 1s -> TWA = (1000*3e6 + 4000*1e6)
+    div 4e6 = 1750 cents; the final observation has no holding
+    interval; single-row key reports NULL."""
+    from stark_spark.operators.timeseries import time_weighted_avg
+    rows = [
+        (1, "a", _ts("2024-01-01T00:00:00"), 10.0),
+        (2, "a", _ts("2024-01-01T00:00:03"), 40.0),
+        (3, "a", _ts("2024-01-01T00:00:04"), 999.0),  # no hold period
+        (4, "b", _ts("2024-01-01T00:00:00"), 5.0),    # span 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, "
+              "value double")
+    got = {r.event_type: r for r in time_weighted_avg(df).collect()}
+    assert got["a"].twa_c == 1750 and got["a"].span_us == 4_000_000
+    assert got["a"].n == 3
+    assert got["b"].twa_c is None and got["b"].span_us == 0
+
+
+def test_attribution_last_touch_hand(spark):
+    from stark_spark.operators.funnel import attribution_last_touch
+    rows = [
+        # u1: view -> click -> purchase(20) => click credited
+        (1, 1, _ts("2024-01-01T00:00:01"), "view", 0.0),
+        (2, 1, _ts("2024-01-01T00:00:02"), "click", 0.0),
+        (3, 1, _ts("2024-01-01T00:00:03"), "purchase", 20.0),
+        # u1 second purchase right after: still click (purchases are
+        # never touches)
+        (4, 1, _ts("2024-01-01T00:00:04"), "purchase", 5.0),
+        # u2: cold purchase => direct
+        (5, 2, _ts("2024-01-01T00:00:01"), "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    got = {r.channel: (r.n_conversions, r.revenue_c)
+           for r in attribution_last_touch(df).collect()}
+    assert got == {"click": (2, 2500), "direct": (1, 700)}
+
+
+def test_key_skew_report_hand(spark):
+    """Uniform key vs hot key: shares and entropy mass by hand
+    (counts 1 have ln=0; floor(ln(3)*1e6) = 1098612)."""
+    from stark_spark.operators.skew import key_skew_report
+    rows = [("a", "x"), ("b", "x"), ("c", "x"), ("c", "y"), ("c", "z")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {r.column_name: r for r in
+           key_skew_report(df, ["k", "v"]).collect()}
+    k = got["k"]           # counts: a=1 b=1 c=3
+    assert (k.n, k.n_keys, k.max_key_n) == (5, 3, 3)
+    assert k.top_share_ppm == 600_000
+    assert k.c_lnc_q == 3 * 1_098_612
+    v = got["v"]           # counts: x=3 y=1 z=1
+    assert (v.n_keys, v.max_key_n, v.c_lnc_q) == (3, 3, 3 * 1_098_612)
