@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "time_weighted_avg",         # lead-window step integral
     "attribution_last_touch",    # ignore-nulls carry-forward window
     "key_skew_report",           # pre-join skew + entropy profile
+    "fuzzy_canonical_names",     # ER closure + canonical election
+    "stream_outliers",           # batch-fit thresholds scored at ingest
 ]
 
 

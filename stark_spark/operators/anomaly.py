@@ -46,15 +46,31 @@ def robust_outliers(df: DataFrame, group: str, value: str, key: str, *,
     base = df.select(
         F.col(key), F.col(group),
         F.round(F.col(value) * 100).cast("long").alias("value_c"))
+    th = robust_thresholds(df, group, value, key)
+    return (base.join(F.broadcast(th), group)
+                .withColumn("dev",
+                            F.abs(F.col("value_c") - F.col("med_c")))
+                .where(F.col("dev") > F.lit(k) * F.col("mad_c"))
+                .select(key, group, "value_c", "med_c", "mad_c", "dev"))
+
+
+def robust_thresholds(df: DataFrame, group: str, value: str,
+                      key: str) -> DataFrame:
+    """The offline 'model' behind `robust_outliers`: per-group
+    ``(group, med_c, mad_c)`` on the cents grid (lower medians as
+    order statistics, tie-broken by ``key``). Fit once on the batch
+    corpus, then score anywhere — including statelessly at ingest
+    (`streaming.stream.stream_score_outliers`)."""
+    base = df.select(
+        F.col(key), F.col(group),
+        F.round(F.col(value) * 100).cast("long").alias("value_c"))
     med = _lower_median(base, group, "value_c", key) \
         .withColumnRenamed("med", "med_c")
     dev = (base.join(F.broadcast(med), group)
                .withColumn("dev", F.abs(F.col("value_c") - F.col("med_c"))))
     mad = _lower_median(dev, group, "dev", key) \
         .withColumnRenamed("med", "mad_c")
-    return (dev.join(F.broadcast(mad), group)
-               .where(F.col("dev") > F.lit(k) * F.col("mad_c"))
-               .select(key, group, "value_c", "med_c", "mad_c", "dev"))
+    return med.join(mad, group)
 
 
 def cusum_alerts(df, key: str, ts: str, value: str, tie_col: str, *,

@@ -60,3 +60,37 @@ def fuzzy_self_pairs(df: DataFrame, col: str, *, block_fn,
                     & (dist <= max_dist))
              .select("name_a", "name_b", dist.cast("int").alias("dist"),
                      "n_a", "n_b"))
+
+
+def fuzzy_canonicalize(df: DataFrame, col: str, *, block_fn,
+                       max_dist: int = 2) -> DataFrame:
+    """Full entity-resolution pass over one column: fuzzy pairs
+    (`fuzzy_self_pairs`) become an undirected match graph, connected
+    components merge transitive matches (A~B, B~C ⇒ one entity even
+    when levenshtein(A,C) > max_dist — the standard ER closure), and
+    each component elects a CANONICAL surface form: highest row
+    support, ties to the lexicographically smaller name (encoded as
+    ``min(struct(-n, name))`` — one deterministic aggregate).
+
+    Output: (name, n, canonical, is_canonical) for every distinct
+    value. Scale shape: everything runs on the distinct-value
+    vocabulary; components via `operators.graph.connected_components`
+    (driver union-find under the size guard, hash-min label
+    propagation above it)."""
+    from stark_spark.operators.graph import connected_components
+    pairs = fuzzy_self_pairs(df, col, block_fn=block_fn,
+                             max_dist=max_dist)
+    vals = df.groupBy(F.col(col).alias("name")).agg(
+        F.count("*").alias("n"))
+    comp = connected_components(
+        pairs.select(F.col("name_a").alias("a"),
+                     F.col("name_b").alias("b")),
+        nodes=vals.select("name"))
+    labeled = vals.join(comp.withColumnRenamed("node", "name"), "name")
+    canon = (labeled.groupBy("comp")
+             .agg(F.min(F.struct((-F.col("n")).alias("negn"), "name"))
+                   .getField("name").alias("canonical")))
+    return (labeled.join(canon, "comp")
+                   .select("name", "n", "canonical",
+                           (F.col("name") == F.col("canonical"))
+                            .alias("is_canonical")))

@@ -478,3 +478,26 @@ def stream_ohlc(stream: DataFrame, *, series: str = "event_type",
                     F.col("win.end").alias("win_end"),
                     "series", "open_c", "high_c", "low_c", "close_c",
                     "n", "vol_c"))
+
+
+def stream_score_outliers(stream: DataFrame, thresholds: DataFrame, *,
+                          key: str = "event_id",
+                          group: str = "event_type",
+                          value: str = "value", k: int = 3) -> DataFrame:
+    """Model-apply at ingest: per-group robust thresholds fit OFFLINE
+    (`operators.anomaly.robust_thresholds` — median/MAD on the cents
+    grid) broadcast onto the stream; alert rows emitted inside each
+    micro-batch with ZERO streaming state — a stream-static broadcast
+    join plus a codegen integer filter. This is the standard
+    train-offline / score-at-the-firehose split: the stream never
+    recomputes the medians, so no unbounded state, no watermark
+    needed, and the alert set equals the batch detector's on the same
+    rows. Output: (key, group, value_c, med_c, mad_c, dev)."""
+    base = stream.select(
+        F.col(key), F.col(group),
+        F.round(F.col(value) * 100).cast("long").alias("value_c"))
+    return (base.join(F.broadcast(thresholds), group)
+                .withColumn("dev",
+                            F.abs(F.col("value_c") - F.col("med_c")))
+                .where(F.col("dev") > F.lit(k) * F.col("mad_c"))
+                .select(key, group, "value_c", "med_c", "mad_c", "dev"))

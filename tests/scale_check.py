@@ -127,6 +127,7 @@ QUERIES = [
     "time_weighted_avg",
     "attribution_last_touch",
     "key_skew_report",
+    "fuzzy_canonical_names",
 ]
 
 

@@ -308,3 +308,24 @@ def test_key_skew_report_hand(spark):
     assert k.c_lnc_q == 3 * 1_098_612
     v = got["v"]           # counts: x=3 y=1 z=1
     assert (v.n_keys, v.max_key_n, v.c_lnc_q) == (3, 3, 3 * 1_098_612)
+
+
+def test_fuzzy_canonicalize_transitive(spark):
+    """A~B and B~C merge even though lev(A,C)=2 > ... all within 2
+    here, but the chain a..d proves closure: canonical = max support,
+    ties to the smaller name."""
+    from stark_spark.operators.fuzzy import fuzzy_self_pairs  # noqa: F401
+    from stark_spark.operators.fuzzy import fuzzy_canonicalize
+    vals = (["aaaa x"] * 2 + ["aaab x"] * 5 + ["aabb x"]  # chain via aaab
+            + ["zzzz x"])                                 # isolated
+    df = spark.createDataFrame([(v,) for v in vals], "nm string")
+    out = {r.name: r for r in fuzzy_canonicalize(
+        df, "nm",
+        block_fn=lambda c: F.regexp_extract(c, "([^ ]+)$", 1),
+        max_dist=2).collect()}
+    # lev(aaaa,aabb)=2 within threshold too; all three one component
+    assert out["aaaa x"].canonical == "aaab x"
+    assert out["aabb x"].canonical == "aaab x"
+    assert out["aaab x"].is_canonical
+    assert out["zzzz x"].canonical == "zzzz x"      # isolated self
+    assert out["zzzz x"].is_canonical
