@@ -618,14 +618,20 @@ def pmi_collocations(df: DataFrame, k: int = 50, *,
     counts onto the bigram frame and a TakeOrderedAndProject top-k.
     Nothing is corpus-quadratic. Output: (w1, w2, n_pair, pmi_q)."""
     toks = tokens(F.col(text_col))
+    # localCheckpoint: both count frames are VOCAB-sized but each is
+    # consumed 2-3 times below (scalar total + join side[s]) — without
+    # the materialization every consumer re-runs its corpus explode
+    # (5 full passes total; measured 5.9 s vs 1.5 s at sf0.1)
     uni = (df.select(F.explode(toks).alias("w"))
              .where(F.col("w") != "")
-             .groupBy("w").agg(F.count("*").alias("cw")))
+             .groupBy("w").agg(F.count("*").alias("cw"))
+             .localCheckpoint())
     bg = (df.select(F.explode(word_bigrams(F.col(text_col))).alias("bg"))
             .withColumn("w1", F.element_at(F.split("bg", " "), 1))
             .withColumn("w2", F.element_at(F.split("bg", " "), 2))
             .where((F.col("w1") != "") & (F.col("w2") != ""))
-            .groupBy("w1", "w2").agg(F.count("*").alias("n_pair")))
+            .groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+            .localCheckpoint())
     n1 = uni.agg(F.sum("cw")).first()[0] or 1
     n2 = bg.agg(F.sum("n_pair")).first()[0] or 1
     ca = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))
