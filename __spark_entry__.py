@@ -2693,6 +2693,51 @@ def _q_stream_outliers(spark, sf):
     return _stream_sink(out, "append")
 
 
+def _q_date_partitioned_read(spark, sf):
+    """Hive date-partitioned event store: write events under
+    .../event_date=D/, read back a 6-day range — the predicate
+    resolves against DIRECTORY names at planning time
+    (PartitionFilters; plan + files-read asserted in pytest), the
+    canonical time-series retention/pruning layout."""
+    import tempfile
+    from stark_spark.sources.formats import (read_date_partitioned,
+                                             write_date_partitioned)
+    ev = D.load(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="stark_datepart_") + "/events"
+    write_date_partitioned(ev, d)
+    out = read_date_partitioned(spark, d, start="2024-01-10",
+                                end="2024-01-15")
+    return out.select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        F.col("event_date").cast("string").alias("event_date"))
+
+
+def _q_merge_upsert(spark, sf):
+    """CDC apply (latest-wins merge): a synthetic change feed — every
+    10th event corrected (+$1, 1h-later version), a sparse insert set
+    with fresh keys — merged onto the base by max(version), ties to
+    the update side. One key shuffle; the oracle mirrors the
+    row_number pick exactly."""
+    from stark_spark.operators.merge import merge_upsert
+    ev = (D.load(spark, sf, "events")
+           .select("event_id", "ts", "user_id", "event_type", "value"))
+    upd = (ev.where(F.col("event_id") % 10 == 0)
+             .withColumn("value", F.col("value") + F.lit(1.0))
+             .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+             .withColumn("event_type", F.lit("corrected")))
+    ins = (ev.where(F.col("event_id") % 1000 == 7)
+             .withColumn("event_id",
+                         F.col("event_id") + F.lit(100000000)))
+    merged = merge_upsert(ev, upd.unionByName(ins), ["event_id"],
+                          version_col="ts")
+    return merged.select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's oracle run checks the FIRST 50
     # entries. The window rotates every round toward the queries whose
@@ -2714,6 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_report": _q_key_skew_report,
         "fuzzy_canonical_names": _q_fuzzy_canonical_names,
         "stream_outliers": _q_stream_outliers,
+        "date_partitioned_read": _q_date_partitioned_read,
+        "merge_upsert": _q_merge_upsert,
         "cohort_retention": _q_cohort_retention,
         "event_transitions": _q_event_transitions,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -3403,6 +3450,40 @@ SELECT a.name AS name_a, b.name AS name_b,
   CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
 FROM vb a JOIN vb b ON a.blk = b.blk AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 2""",
+
+        # the partition column is derived (to_date(ts) in UTC, pinned
+        # session TZ) — the oracle filters the ORIGINAL rows by the
+        # same derivation
+        "date_partitioned_read": """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+  CAST(round(value * 100) AS BIGINT) AS value_c,
+  CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+  AND CAST(ts AS DATE) <= DATE '2024-01-15'""",
+
+        # latest-wins: row_number over (version DESC, src DESC) —
+        # identical pick to the engine's merge
+        "merge_upsert": """
+WITH base AS (
+  SELECT event_id, ts, user_id, event_type, value, 0 AS src
+  FROM events),
+upd AS (
+  SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id,
+    'corrected' AS event_type, value + CAST(1.0 AS DOUBLE) AS value,
+    1 AS src
+  FROM events WHERE event_id % 10 = 0),
+ins AS (
+  SELECT event_id + 100000000 AS event_id, ts, user_id, event_type,
+    value, 1 AS src
+  FROM events WHERE event_id % 1000 = 7),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        ORDER BY ts DESC, src DESC) AS rn FROM u)
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+  CAST(round(value * 100) AS BIGINT) AS value_c
+FROM r WHERE rn = 1""",
 
         # ER closure: recursive min-reachability over the fuzzy-pair
         # graph (the dedup_clusters pattern), canonical = (max n,

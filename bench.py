@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "key_skew_report",           # pre-join skew + entropy profile
     "fuzzy_canonical_names",     # ER closure + canonical election
     "stream_outliers",           # batch-fit thresholds scored at ingest
+    "date_partitioned_read",     # hive-layout directory pruning
+    "merge_upsert",              # latest-wins CDC apply
 ]
 
 

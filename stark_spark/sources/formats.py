@@ -78,3 +78,33 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC carries its own schema and min/max stripe stats — filters
     push down like parquet's, so no explicit schema needed."""
     return spark.read.orc(path)
+
+
+def write_date_partitioned(df: DataFrame, path: str, *,
+                           ts_col: str = "ts",
+                           part_col: str = "event_date",
+                           n_files_per_day: int = 2) -> None:
+    """Hive-partitioned event-time layout (``.../event_date=D/``) —
+    the canonical 100 TB event-store layout: a date predicate prunes
+    whole DIRECTORIES before any file is opened, time-ordered ingest
+    appends new partitions without touching old ones, and retention
+    is a directory drop. ``repartition(date)`` keeps each day's rows
+    in few files (the small-files problem is the other half of this
+    layout's discipline)."""
+    from pyspark.sql import functions as F
+    out = df.withColumn(part_col, F.to_date(F.col(ts_col)))
+    (out.repartition(n_files_per_day, F.col(part_col))
+        .write.mode("overwrite").partitionBy(part_col).parquet(path))
+
+
+def read_date_partitioned(spark: SparkSession, path: str, *,
+                          start: str, end: str,
+                          part_col: str = "event_date") -> DataFrame:
+    """Read back with an inclusive date-range predicate that Spark
+    resolves at PLANNING time against the directory names
+    (PartitionFilters — asserted in tests/test_sources). The
+    partition column comes back as DATE."""
+    from pyspark.sql import functions as F
+    return (spark.read.parquet(path)
+            .where((F.col(part_col) >= F.lit(start).cast("date"))
+                   & (F.col(part_col) <= F.lit(end).cast("date"))))

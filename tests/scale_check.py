@@ -128,6 +128,7 @@ QUERIES = [
     "attribution_last_touch",
     "key_skew_report",
     "fuzzy_canonical_names",
+    "merge_upsert",
 ]
 
 

@@ -329,3 +329,48 @@ def test_fuzzy_canonicalize_transitive(spark):
     assert out["aaab x"].is_canonical
     assert out["zzzz x"].canonical == "zzzz x"      # isolated self
     assert out["zzzz x"].is_canonical
+
+
+def test_merge_upsert_semantics(spark):
+    from stark_spark.operators.merge import merge_upsert
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 10, "c")],
+        "k long, ver long, v string")
+    upd = spark.createDataFrame(
+        [(2, 20, "b2"),    # newer version wins
+         (3, 10, "c2"),    # SAME version: update side wins the tie
+         (4, 5, "d")],     # insert
+        "k long, ver long, v string")
+    got = {r.k: (r.ver, r.v) for r in
+           merge_upsert(base, upd, ["k"], version_col="ver").collect()}
+    assert got == {1: (10, "a"), 2: (20, "b2"), 3: (10, "c2"),
+                   4: (5, "d")}
+
+
+def test_date_partitioned_pruning(spark, tmp_path):
+    """Directory-level pruning proof: a 2-day predicate over a 10-day
+    layout must open only those days' files (input_file_name is the
+    ground truth for what was actually read) and carry
+    PartitionFilters in the plan."""
+    from datetime import datetime, timedelta
+
+    from stark_spark.sources.formats import (read_date_partitioned,
+                                             write_date_partitioned)
+    t0 = datetime(2024, 3, 1)
+    rows = [(i, t0 + timedelta(hours=6 * i)) for i in range(40)]  # 10 days
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    path = str(tmp_path / "datepart")
+    write_date_partitioned(df, path)
+    out = read_date_partitioned(spark, path, start="2024-03-04",
+                                end="2024-03-05")
+    got = out.select("event_id",
+                     F.input_file_name().alias("f")).collect()
+    assert {r.event_id for r in got} == \
+        {i for i in range(40)
+         if datetime(2024, 3, 4) <= t0 + timedelta(hours=6 * i)
+         < datetime(2024, 3, 6)}
+    dirs = {r.f.split("event_date=")[1].split("/")[0] for r in got}
+    assert dirs == {"2024-03-04", "2024-03-05"}   # only 2 of 10 days
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in \
+        plan.split("PartitionFilters")[1][:300]
