@@ -2738,6 +2738,32 @@ def _q_merge_upsert(spark, sf):
         F.round(F.col("value") * 100).cast("long").alias("value_c"))
 
 
+def _q_common_neighbors(spark, sf):
+    """Link prediction on the handoff graph: top-20 NOT-yet-linked
+    node pairs by shared-neighbor count — symmetric wedge join, pair
+    count, LEFT ANTI vs the edge set, fully-ordered top-k."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import common_neighbors
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("user_id").alias("src"),
+                       F.lead("user_id").over(w).alias("dst"))
+               .where(F.col("dst").isNotNull()
+                      & (F.col("src") != F.col("dst"))))
+    return common_neighbors(edges, k=20)
+
+
+def _q_keyness_by_source(spark, sf):
+    """Distinctive vocabulary per document source: top-10 terms by
+    smoothed log-odds ratio vs the rest of the corpus (Monroe et al.
+    keyness) — exact counts, two quantized lns per qualifying term,
+    one corpus explode total."""
+    from stark_spark.operators.text import keyness_log_odds
+    docs = D.load(spark, sf, "documents")
+    return keyness_log_odds(docs, group_col="source", k=10,
+                            min_count=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's oracle run checks the FIRST 50
     # entries. The window rotates every round toward the queries whose
@@ -2761,6 +2787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_outliers": _q_stream_outliers,
         "date_partitioned_read": _q_date_partitioned_read,
         "merge_upsert": _q_merge_upsert,
+        "common_neighbors": _q_common_neighbors,
+        "keyness_by_source": _q_keyness_by_source,
         "cohort_retention": _q_cohort_retention,
         "event_transitions": _q_event_transitions,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -3450,6 +3478,56 @@ SELECT a.name AS name_a, b.name AS name_b,
   CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
 FROM vb a JOIN vb b ON a.blk = b.blk AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 2""",
+
+        # symmetric wedge join == common-neighbor count; anti-join
+        # removes existing links; full order makes top-k deterministic
+        "common_neighbors": """
+WITH raw AS (
+  SELECT user_id AS src,
+    lead(user_id) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS dst
+  FROM events),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE dst IS NOT NULL AND src <> dst),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+cand AS (
+  SELECT s1.b AS a, s2.b AS b, count(*) AS n_common
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  GROUP BY s1.b, s2.b),
+nc AS (SELECT c.a, c.b, c.n_common FROM cand c
+       WHERE NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.a = c.a AND e.b = c.b))
+SELECT a, b, CAST(n_common AS BIGINT) AS n_common FROM nc
+ORDER BY n_common DESC, a, b LIMIT 20""",
+
+        # per-term quantized lns subtracted AFTER flooring (the pmi /
+        # doc_logprob libm posture)
+        "keyness_by_source": """
+WITH tok AS (
+  SELECT source, token, count(*) AS c FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS token
+    FROM documents) t
+  WHERE token <> '' GROUP BY source, token),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g FROM tok
+        GROUP BY source),
+gl AS (SELECT token, CAST(sum(c) AS BIGINT) AS c_all FROM tok
+       GROUP BY token),
+na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM tok),
+sc AS (
+  SELECT tok.source, tok.token, tok.c,
+    CAST(floor(ln(CAST(tok.c + 1 AS DOUBLE)
+                  / CAST(tot.n_g - tok.c + 1 AS DOUBLE))
+               * 1000000.0) AS BIGINT)
+    - CAST(floor(ln(CAST(gl.c_all - tok.c + 1 AS DOUBLE)
+                    / CAST(na.n_all - tot.n_g
+                           - (gl.c_all - tok.c) + 1 AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS score_q
+  FROM tok JOIN tot USING (source) JOIN gl USING (token), na
+  WHERE tok.c >= 10)
+SELECT source, token, CAST(c AS BIGINT) AS c, score_q FROM (
+  SELECT sc.*, row_number() OVER (PARTITION BY source
+    ORDER BY score_q DESC, token) AS rn FROM sc) t
+WHERE rn <= 10""",
 
         # the partition column is derived (to_date(ts) in UTC, pinned
         # session TZ) — the oracle filters the ORIGINAL rows by the

@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "stream_outliers",           # batch-fit thresholds scored at ingest
     "date_partitioned_read",     # hive-layout directory pruning
     "merge_upsert",              # latest-wins CDC apply
+    "common_neighbors",          # wedge-join link prediction
+    "keyness_by_source",         # log-odds distinctive vocabulary
 ]
 
 

@@ -149,6 +149,39 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
                           .alias("clustering_ppm")))
 
 
+def common_neighbors(edges: DataFrame, *, k: int = 20,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """Link prediction by common-neighbor count (the strongest simple
+    predictor — Liben-Nowell & Kleinberg 2003): for node pairs NOT
+    already linked, how many neighbors they share; top-k candidates.
+
+    Shape: canonical undirected edges → symmetric adjacency → wedge
+    join on the shared endpoint (pairs (v, w), v < w, per common
+    neighbor u), count per pair (map-side combined), LEFT ANTI against
+    the existing edge set, TakeOrdered top-k with a full deterministic
+    order. The wedge join is the same O(Σ deg²) primitive the triangle
+    census bounds with degree ordering — here the count per pair IS
+    the output, so both orientations' wedges are needed and the plain
+    symmetric join is the correct form (cap skew upstream by degree
+    if a celebrity hub dominates). Output: (a, b, n_common)."""
+    e = (edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+              .where(F.col("x") != F.col("y"))
+              .select(F.least("x", "y").alias("a"),
+                      F.greatest("x", "y").alias("b"))
+              .distinct().localCheckpoint())
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    lo = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    hi = sym.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    cand = (lo.join(hi, "u")
+              .where(F.col("v") < F.col("w"))
+              .groupBy(F.col("v").alias("a"), F.col("w").alias("b"))
+              .agg(F.count("*").alias("n_common")))
+    return (cand.join(e, ["a", "b"], "left_anti")
+                .orderBy(F.desc("n_common"), "a", "b")
+                .limit(k))
+
+
 def pagerank(edges: DataFrame, *, n_iter: int = 3,
              src: str = "src", dst: str = "dst",
              scale: int = 1_000_000_000_000) -> DataFrame:

@@ -681,3 +681,54 @@ def tfidf_top_terms(df: DataFrame, key: str, *, text_col: str = "text",
               .withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k_per_doc)
               .select(key, "token", "tf", "score_q", "rank"))
+
+
+def keyness_log_odds(df: DataFrame, *, group_col: str = "source",
+                     text_col: str = "text", k: int = 10,
+                     min_count: int = 10) -> DataFrame:
+    """Distinctive-vocabulary mining: per group, the top-k terms most
+    over-represented vs the REST of the corpus, scored by the
+    smoothed log-odds ratio (the keyness statistic of Monroe et al.
+    2008 with +1 smoothing):
+
+        score = ln((c_g+1)/(n_g−c_g+1)) − ln((c_r+1)/(n_r−c_r+1))
+
+    Exactness: every count is an exact integer; each ln runs on the
+    identical double ratio in both engines and is quantized to
+    floor(ln·10⁶) BIGINT BEFORE the subtraction — the repo's libm
+    posture (divergence only matters at a rank boundary within 1
+    ulp). Support floor ``min_count`` keeps noise terms out.
+
+    Scale shape: ONE corpus explode into (group, token) counts
+    (map-side combined, localCheckpoint'ed — three consumers);
+    group totals and global per-token totals both derive from that
+    count frame (vocab-sized aggregates, no second corpus pass);
+    final ranking is a per-group window over the qualifying vocab.
+    Output: (group, token, c, score_q), k rows per group."""
+    from pyspark.sql import Window
+    g = group_col
+    tok = (df.select(F.col(g),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+             .where(F.col("token") != "")
+             .groupBy(g, "token").agg(F.count("*").alias("c"))
+             .localCheckpoint())
+    totals = tok.groupBy(g).agg(F.sum("c").alias("n_g"))
+    glob = tok.groupBy("token").agg(F.sum("c").alias("c_all"))
+    n_all = tok.agg(F.sum("c")).first()[0] or 1
+    lnq = (lambda num, den:
+           F.floor(F.log(num.cast("double") / den.cast("double"))
+                   * F.lit(1e6)).cast("long"))
+    scored = (tok.join(F.broadcast(totals), g)
+                 .join(glob, "token")
+                 .where(F.col("c") >= min_count)
+                 .select(g, "token", "c",
+                         (lnq(F.col("c") + 1,
+                              F.col("n_g") - F.col("c") + 1)
+                          - lnq(F.col("c_all") - F.col("c") + 1,
+                                F.lit(n_all) - F.col("n_g")
+                                - (F.col("c_all") - F.col("c")) + 1))
+                         .alias("score_q")))
+    w = Window.partitionBy(g).orderBy(F.desc("score_q"), "token")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= k)
+                  .select(g, "token", "c", "score_q"))

@@ -129,6 +129,7 @@ QUERIES = [
     "key_skew_report",
     "fuzzy_canonical_names",
     "merge_upsert",
+    "keyness_by_source",
 ]
 
 

@@ -374,3 +374,37 @@ def test_date_partitioned_pruning(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "event_date" in \
         plan.split("PartitionFilters")[1][:300]
+
+
+def test_common_neighbors_hand(spark):
+    """Star + one edge: hub 0 links 1..4; 1-2 already linked. Top
+    candidates are the remaining leaf pairs (1 common neighbor: the
+    hub), existing edges excluded; pair (1,2) also shares hub but is
+    linked -> absent."""
+    from stark_spark.operators.graph import common_neighbors
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): r.n_common
+           for r in common_neighbors(df, k=10).collect()}
+    assert (1, 2) not in got
+    assert got[(3, 4)] == 1 and got[(1, 3)] == 1 and got[(2, 4)] == 1
+    # (1,2) linked; remaining leaf pairs: (1,3),(1,4),(2,3),(2,4),(3,4)
+    assert len(got) == 5
+    # 0 pairs with nothing (its neighbors are leaves with deg<=2 but
+    # share no second neighbor with 0 except via 1-2 edge: (0,x)
+    # linked already) — no (0,*) rows
+    assert not any(a == 0 for a, _ in got)
+
+
+def test_keyness_log_odds_hand(spark):
+    """Group A over-uses 'zebra'; the smoothed log-odds puts zebra on
+    top for A and not for B."""
+    from stark_spark.operators.text import keyness_log_odds
+    rows = [("A", "zebra zebra zebra zebra zebra common common"),
+            ("A", "zebra zebra zebra zebra zebra common common"),
+            ("B", "plain plain plain plain plain common common"),
+            ("B", "plain plain plain plain plain common common")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = keyness_log_odds(df, group_col="source", k=1, min_count=2)
+    got = {r.source: r.token for r in out.collect()}
+    assert got == {"A": "zebra", "B": "plain"}
