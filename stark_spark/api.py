@@ -180,3 +180,87 @@ class STFrame:
         DataFrame-returning calls come back plain (re-wrap explicitly
         if the ST columns survived the transformation)."""
         return getattr(self.df, name)
+
+
+class EventFrame:
+    """Fluent surface for the behavioral-analytics tier — the event
+    (user_id, ts, event_type, value)-shaped twin of :class:`STFrame`.
+    Every verb delegates to ``operators/`` and returns a plain
+    DataFrame (these are terminal report shapes); column names are
+    configurable once at wrap time instead of per call.
+
+        evf = EventFrame(df)            # defaults match the events table
+        evf.funnel(["view", "click", "purchase"])
+        evf.retention(period_days=7)
+        evf.ohlc(bucket_hours=1)
+        evf.outliers(k=3)
+    """
+
+    def __init__(self, df: DataFrame, *, user: str = "user_id",
+                 ts: str = "ts", type_col: str = "event_type",
+                 value: str = "value", tie_col: str = "event_id"):
+        self.df = df
+        self._u, self._t = user, ts
+        self._ty, self._v, self._id = type_col, value, tie_col
+
+    def funnel(self, steps: list[str]) -> DataFrame:
+        from stark_spark.operators.funnel import funnel
+        return funnel(self.df, steps, user=self._u, ts=self._t,
+                      type_col=self._ty)
+
+    def funnel_latency(self, steps: list[str],
+                       percentiles=(50, 90, 99)) -> DataFrame:
+        from stark_spark.operators.funnel import funnel_latency
+        return funnel_latency(self.df, steps, user=self._u, ts=self._t,
+                              type_col=self._ty, percentiles=percentiles)
+
+    def retention(self, *, period_days: int = 7) -> DataFrame:
+        from stark_spark.operators.funnel import cohort_retention
+        return cohort_retention(self.df, user=self._u, ts=self._t,
+                                period_days=period_days)
+
+    def transitions(self) -> DataFrame:
+        from stark_spark.operators.funnel import event_transitions
+        return event_transitions(self.df, user=self._u, ts=self._t,
+                                 type_col=self._ty, tie_col=self._id)
+
+    def attribution(self, *, conversion: str) -> DataFrame:
+        from stark_spark.operators.funnel import attribution_last_touch
+        return attribution_last_touch(self.df, conversion=conversion,
+                                      user=self._u, ts=self._t,
+                                      type_col=self._ty,
+                                      tie_col=self._id, value=self._v)
+
+    def ohlc(self, *, bucket_hours: int = 1) -> DataFrame:
+        from stark_spark.operators.timeseries import ohlc_bars
+        return ohlc_bars(self.df, series=self._ty, ts=self._t,
+                         value=self._v, tie_col=self._id,
+                         bucket_hours=bucket_hours)
+
+    def rolling(self, *, hours: int = 24) -> DataFrame:
+        from stark_spark.operators.timeseries import rolling_window_sum
+        return rolling_window_sum(self.df, key=self._u, ts=self._t,
+                                  value=self._v, tie_col=self._id,
+                                  hours=hours)
+
+    def time_weighted_avg(self) -> DataFrame:
+        from stark_spark.operators.timeseries import time_weighted_avg
+        return time_weighted_avg(self.df, key=self._ty, ts=self._t,
+                                 value=self._v, tie_col=self._id)
+
+    def outliers(self, *, k: int = 3) -> DataFrame:
+        from stark_spark.operators.anomaly import robust_outliers
+        return robust_outliers(self.df, self._ty, self._v, self._id,
+                               k=k)
+
+    def cusum(self, *, k_c: int, h_c: int) -> DataFrame:
+        from stark_spark.operators.anomaly import cusum_alerts
+        return cusum_alerts(self.df, self._ty, self._t, self._v,
+                            self._id, k_c=k_c, h_c=h_c)
+
+    def sessionize(self, gap: int) -> DataFrame:
+        from stark_spark.operators.temporal_join import sessionize
+        return sessionize(self.df, self._u, self._t, gap)
+
+    def __getattr__(self, name):
+        return getattr(self.df, name)

@@ -408,3 +408,30 @@ def test_keyness_log_odds_hand(spark):
     out = keyness_log_odds(df, group_col="source", k=1, min_count=2)
     got = {r.source: r.token for r in out.collect()}
     assert got == {"A": "zebra", "B": "plain"}
+
+
+def test_event_frame_fluent(spark):
+    """EventFrame verbs delegate to the operator modules with the
+    wrap-time column config."""
+    from stark_spark.api import EventFrame
+    rows = [
+        (1, 1, _ts("2024-01-01T00:00:01"), "view", 1.0),
+        (2, 1, _ts("2024-01-01T00:00:02"), "purchase", 10.0),
+        (3, 2, _ts("2024-01-01T00:00:01"), "view", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    evf = EventFrame(df)
+    f = {r.step: r.users for r in
+         evf.funnel(["view", "purchase"]).collect()}
+    assert f == {1: 2, 2: 1}
+    tr = {(r.from_type, r.to_type): r.n
+          for r in evf.transitions().collect()}
+    assert tr == {("view", "purchase"): 1}
+    att = {r.channel: r.revenue_c
+           for r in evf.attribution(conversion="purchase").collect()}
+    assert att == {"view": 1000}
+    assert evf.ohlc().count() == 2          # two series
+    assert evf.rolling(hours=1).count() == 3
+    assert evf.count() == 3                 # __getattr__ passthrough
