@@ -76,8 +76,12 @@ def funnel(df: DataFrame, steps: list[str], *, user: str = "user_id",
     spark = df.sparkSession
     names = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string")
-    first = counts.where(F.col("step") == 1).select(
-        F.col("users").alias("_u1"))
+    # scalar via agg-on-possibly-empty: when NO user reaches step 1
+    # the filtered frame has zero rows, and a bare select would
+    # annihilate the crossJoin (the report must still show 0s) —
+    # caught by the Hypothesis property test
+    first = counts.where(F.col("step") == 1).agg(
+        F.coalesce(F.max("users"), F.lit(0).cast("long")).alias("_u1"))
     return (names.join(counts, "step", "left")
                  .crossJoin(F.broadcast(first))
                  .select("step", "step_name",

@@ -1082,3 +1082,43 @@ def test_pagerank_mass_conserved(spark, seed, n_iter):
     n_nodes = out.count()
     dust_bound = n_iter * (n_nodes + len(edges) + 2) + n_nodes
     assert S - dust_bound * 100 <= total <= S
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 3),            # user
+              st.integers(0, 50),           # second offset (ties likely)
+              st.integers(0, 3)),           # event type index
+    min_size=1, max_size=40))
+def test_funnel_fold_equals_chained_min(spark, evs):
+    """Property: the one-shuffle greedy fold == the k-join min-ts
+    chain (t1 = min ts of s1; t_k = min ts of s_k strictly after
+    t_{k-1}) on arbitrary event soups with duplicate timestamps and
+    out-of-order steps."""
+    from datetime import datetime, timedelta
+
+    from stark_spark.operators.funnel import funnel
+    types = ["s0", "s1", "s2", "noise"]
+    steps = ["s0", "s1", "s2"]
+    t0 = datetime(2024, 1, 1)
+    rows = [(u, t0 + timedelta(seconds=sec), types[ti])
+            for u, sec, ti in evs]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: r.users for r in funnel(df, steps).collect()}
+
+    # brute force: per user, chained filtered mins
+    by_user = {}
+    for u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    expect = {1: 0, 2: 0, 3: 0}
+    for u, es in by_user.items():
+        prev = None
+        for i, s in enumerate(steps):
+            cand = [t for t, ty in es if ty == s
+                    and (prev is None if i == 0 else t > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            expect[i + 1] += 1
+    assert got == expect
