@@ -1122,3 +1122,30 @@ def test_funnel_fold_equals_chained_min(spark, evs):
             prev = min(cand)
             expect[i + 1] += 1
     assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 1),            # key
+              st.integers(0, 30),           # hour offset (ties likely)
+              st.integers(-500, 500)),      # value cents
+    min_size=1, max_size=25))
+def test_rolling_range_frame_equals_bruteforce(spark, evs):
+    """Property: the RANGE-frame rolling sum == the O(n²) definition
+    'all rows of my key within [t − 24h, t]' — including equal-ts
+    peers seeing each other symmetrically."""
+    from datetime import datetime, timedelta
+
+    from stark_spark.operators.timeseries import rolling_window_sum
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, u, t0 + timedelta(hours=h), c / 100.0)
+            for i, (u, h, c) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: (r.roll_n, r.roll_sum_c)
+           for r in rolling_window_sum(df, hours=24).collect()}
+    for i, (u, h, c) in enumerate(evs):
+        within = [(uj, hj, cj) for uj, hj, cj in evs
+                  if uj == u and h - 24 <= hj <= h]
+        assert got[i] == (len(within),
+                          sum(cj for _, _, cj in within)), (i, evs)
