@@ -2764,6 +2764,20 @@ def _q_keyness_by_source(spark, sf):
                             min_count=10)
 
 
+def _q_seasonal_outliers(spark, sf):
+    """Seasonality-aware anomaly detection: the robust median/MAD
+    detector against a (type × hour-of-day) baseline — a value normal
+    at peak hour is an anomaly at 3am. Pure operator composition: a
+    derived composite key into `robust_outliers`; epoch-hour mod 24
+    is exact integer time-of-day in both engines."""
+    from stark_spark.operators.anomaly import robust_outliers
+    ev = (D.load(spark, sf, "events")
+           .withColumn("season", F.concat_ws(
+               "#", F.col("event_type"),
+               F.expr("(unix_micros(ts) div 3600000000) % 24"))))
+    return robust_outliers(ev, "season", "value", "event_id", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's oracle run checks the FIRST 50
     # entries. The window rotates every round toward the queries whose
@@ -2789,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": _q_merge_upsert,
         "common_neighbors": _q_common_neighbors,
         "keyness_by_source": _q_keyness_by_source,
+        "seasonal_outliers": _q_seasonal_outliers,
         "cohort_retention": _q_cohort_retention,
         "event_transitions": _q_event_transitions,
         "ohlc_hourly": _q_ohlc_hourly,
@@ -3478,6 +3493,40 @@ SELECT a.name AS name_a, b.name AS name_b,
   CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
 FROM vb a JOIN vb b ON a.blk = b.blk AND a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 2""",
+
+        # robust_outliers against a (type x hour-of-day) composite key
+        "seasonal_outliers": """
+WITH base AS (
+  SELECT event_id,
+    event_type || '#' ||
+      CAST(epoch_us(ts) // 3600000000 % 24 AS VARCHAR) AS season,
+    CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events
+), med AS (
+  SELECT season, value_c AS med_c FROM (
+    SELECT season, value_c,
+      row_number() OVER (PARTITION BY season
+                         ORDER BY value_c, event_id) AS rn,
+      count(*) OVER (PARTITION BY season) AS n
+    FROM base) t
+  WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT base.event_id, base.season, base.value_c, med.med_c,
+    abs(base.value_c - med.med_c) AS dev
+  FROM base JOIN med USING (season)
+), mad AS (
+  SELECT season, dev AS mad_c FROM (
+    SELECT season, dev,
+      row_number() OVER (PARTITION BY season
+                         ORDER BY dev, event_id) AS rn,
+      count(*) OVER (PARTITION BY season) AS n
+    FROM dev) t
+  WHERE rn = (n + 1) // 2
+)
+SELECT dev.event_id, dev.season, dev.value_c, dev.med_c,
+  mad.mad_c, dev.dev
+FROM dev JOIN mad USING (season)
+WHERE dev.dev > 3 * mad.mad_c""",
 
         # symmetric wedge join == common-neighbor count; anti-join
         # removes existing links; full order makes top-k deterministic

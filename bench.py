@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "merge_upsert",              # latest-wins CDC apply
     "common_neighbors",          # wedge-join link prediction
     "keyness_by_source",         # log-odds distinctive vocabulary
+    "seasonal_outliers",         # hour-of-day median/MAD baseline
 ]
 
 

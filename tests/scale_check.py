@@ -130,6 +130,7 @@ QUERIES = [
     "fuzzy_canonical_names",
     "merge_upsert",
     "keyness_by_source",
+    "seasonal_outliers",
 ]
 
 
