@@ -1410,6 +1410,79 @@ def _q_distinct_kmv(spark, sf):
     return distinct_kmv(tok, "token", 64)
 
 
+def _q_distinct_hll(spark, sf):
+    """HyperLogLog distinct (l_orderkey,l_partkey) per returnflag PLUS
+    the union-merged 'ALL' sketch — the merged row comes from
+    register-wise max of the per-flag register tables (hll_merge), so
+    the gate proves mergeability, not just the estimator.  All state
+    is integer (md5 grid, bin()-based leading-zero rank, exact
+    harmonic sum S = Σ2^(52−M_j)); the one float step α·m²·2^52/S is
+    operand-order-mirrored in the oracle."""
+    from stark_spark.operators.sketch import (hll_estimate, hll_merge,
+                                              hll_registers)
+    li = D.load(spark, sf, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("scope"),
+        F.concat_ws("|", F.col("l_orderkey"), F.col("l_partkey"))
+         .alias("key"))
+    regs = hll_registers(vals, "key", ("scope",))
+    per = hll_estimate(regs, ("scope",))
+    merged = hll_merge(regs.drop("scope"))
+    all_row = (hll_estimate(merged)
+               .withColumn("scope", F.lit("ALL")))
+    return per.unionByName(all_row.select(*per.columns))
+
+
+def _q_bitmap_overlap(spark, sf):
+    """Bitmap-index audience overlap: members are (user, active-day)
+    pairs encoded injectively as user_id·8192 + days-since-2020, packed
+    into 64-bit words per event_type; pairwise intersection/union/
+    Jaccard via bit_count(a AND b) summed over the word equi-join.
+    The oracle verifies SEMANTICS (exact distinct intersections) —
+    the packing itself is engine-internal, as in Druid/Pinot."""
+    from stark_spark.operators.bitmap import bitmap_build, bitmap_overlap
+    ev = D.load(spark, sf, "events")
+    el = (F.col("user_id").cast("long") * 8192
+          + F.datediff(F.col("ts").cast("date"),
+                       F.to_date(F.lit("2020-01-01"))).cast("long"))
+    bm = bitmap_build(ev, ["event_type"], el)
+    return bitmap_overlap(bm, "event_type")
+
+
+def _q_tpch_q21(spark, sf):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    semi+anti self-join sandwich on lineitem — EXISTS another supplier
+    on the order, NOT EXISTS another supplier who also flagged — with
+    the fact side filtered first and both dim joins broadcast.  The
+    testdata lacks receipt/commit dates, so 'late' is l_returnflag='R'
+    (structure-preserving adaptation; the reference plan shape —
+    equi-key + residual-inequality semi/anti joins — is identical)."""
+    li = D.load(spark, sf, "lineitem")
+    orders = D.load(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    supp = D.load(spark, sf, "supplier")
+    nation = D.load(spark, sf, "nation")
+    l1 = (li.where(F.col("l_returnflag") == "R")
+            .join(orders.select("o_orderkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (li.where(F.col("l_returnflag") == "R")
+            .select(F.col("l_orderkey").alias("k3"),
+                    F.col("l_suppkey").alias("s3")))
+    cand = (l1.join(l2, (F.col("k2") == F.col("l_orderkey"))
+                    & (F.col("s2") != F.col("l_suppkey")), "leftsemi")
+              .join(l3, (F.col("k3") == F.col("l_orderkey"))
+                    & (F.col("s3") != F.col("l_suppkey")), "leftanti"))
+    return (cand.join(F.broadcast(supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+                .join(F.broadcast(nation),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .where(F.col("n_name").isin("NATION_3", "NATION_7"))
+                .groupBy("n_name", "s_name")
+                .agg(F.count("*").alias("numwait")))
+
+
 def _q_stream_quality_filter(spark, sf):
     """Ingest-time quality gate: documents replayed as a file stream
     through the stateless Gopher-rule flags (pure codegen inside each
@@ -2789,6 +2862,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window holds the stalest entries.
     return {
         # --- never driver-checked (new round-6 gates) ---
+        "distinct_hll": _q_distinct_hll,
+        "bitmap_overlap": _q_bitmap_overlap,
+        "tpch_q21": _q_tpch_q21,
         "funnel_steps": _q_funnel_steps,
         "funnel_latency": _q_funnel_latency,
         "cusum_alerts": _q_cusum_alerts,
@@ -4986,6 +5062,99 @@ SELECT CAST(count(*) AS BIGINT) AS k_used,
        ELSE (count(*) - 1) * 4503599627370496 // max(h)
        END AS BIGINT) AS estimate
 FROM bk""",
+
+        # HyperLogLog on the same md5 grid: integer registers
+        # (register = h%256, rho = 45 − bitlen(suffix)), exact
+        # harmonic sum, one operand-order-mirrored float division;
+        # 'ALL' is the union merge (register-wise max) of the per-flag
+        # sketches — same math, so one CTE serves both via UNION ALL
+        "distinct_hll": f"""
+WITH vals AS (
+  SELECT l_returnflag AS scope,
+    md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR))
+      AS h32
+  FROM lineitem
+), h AS (
+  SELECT scope, {_hex13_sql('h32')} AS h FROM vals
+), scoped AS (
+  SELECT scope, h FROM h UNION ALL SELECT 'ALL' AS scope, h FROM h
+), reg AS (
+  SELECT scope, h % 256 AS register,
+    45 - length(ltrim(bin(h // 256), '0')) AS rho
+  FROM scoped
+), mx AS (
+  SELECT scope, register, max(rho) AS max_rho
+  FROM reg GROUP BY scope, register
+), agg AS (
+  SELECT scope, count(*) AS n_present,
+    CAST(sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS BIGINT) AS s_present
+  FROM mx GROUP BY scope
+), est AS (
+  SELECT scope,
+    CAST(256 - n_present AS BIGINT) AS v_zero,
+    CAST(s_present + (256 - n_present) * 4503599627370496 AS BIGINT)
+      AS s_scaled
+  FROM agg
+), raw AS (
+  SELECT scope, v_zero, s_scaled,
+    CAST(round(((CAST(0.7182725932495458 AS DOUBLE)
+                 * CAST(65536 AS DOUBLE)) * CAST(4503599627370496 AS DOUBLE))
+         / CAST(s_scaled AS DOUBLE)) AS BIGINT) AS raw_est
+  FROM est
+)
+SELECT scope, CAST(256 AS BIGINT) AS n_registers, v_zero, s_scaled,
+  CASE WHEN v_zero > 0 AND raw_est * 2 <= 1280
+       THEN CAST(round(CAST(256 AS DOUBLE)
+                 * ln(CAST(256 AS DOUBLE) / CAST(v_zero AS DOUBLE)))
+                 AS BIGINT)
+       ELSE raw_est END AS estimate
+FROM raw""",
+
+        # bitmap overlap verified SEMANTICALLY: exact distinct
+        # (user, day) intersection counts — the word packing is
+        # engine-internal and injective, so popcounts must agree
+        "bitmap_overlap": """
+WITH m AS (
+  SELECT DISTINCT event_type, user_id, CAST(ts AS DATE) AS d FROM events
+), card AS (
+  SELECT event_type, count(*) AS c FROM m GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+    count(*) AS n_common
+  FROM m a JOIN m b ON a.user_id = b.user_id AND a.d = b.d
+    AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ca.event_type AS seg_a, cb.event_type AS seg_b,
+  CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+  CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+  CAST(ca.c + cb.c - COALESCE(i.n_common, 0) AS BIGINT) AS n_union,
+  CAST(CASE WHEN ca.c + cb.c - COALESCE(i.n_common, 0) = 0 THEN 0
+       ELSE COALESCE(i.n_common, 0) * 10000
+            // (ca.c + cb.c - COALESCE(i.n_common, 0)) END AS BIGINT)
+    AS jaccard_bp
+FROM card ca JOIN card cb ON ca.event_type < cb.event_type
+LEFT JOIN inter i
+  ON i.seg_a = ca.event_type AND i.seg_b = cb.event_type""",
+
+        # Q21 shape: EXISTS/NOT-EXISTS self-join sandwich (late =
+        # l_returnflag='R'; testdata has no receipt/commit dates)
+        "tpch_q21": """
+SELECT n_name, s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_3', 'NATION_7')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY n_name, s_name""",
 
         # streaming twin of quality_filter_gopher: the REJECT stream —
         # batch rule rows with keep=false, minus the keep column

@@ -130,6 +130,10 @@ BENCH_QUERIES = [
     "common_neighbors",          # wedge-join link prediction
     "keyness_by_source",         # log-odds distinctive vocabulary
     "seasonal_outliers",         # hour-of-day median/MAD baseline
+    # round-6 session-4 additions (append-only)
+    "distinct_hll",              # HLL registers, 256-key groupBy
+    "bitmap_overlap",            # packed-word audience intersection
+    "tpch_q21",                  # semi+anti self-join sandwich
 ]
 
 

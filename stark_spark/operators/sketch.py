@@ -60,3 +60,103 @@ def distinct_kmv(df: DataFrame, col: str, k: int = 64) -> DataFrame:
         F.expr(f"(k_used - 1) * {HASH_SPACE}L div kth_min"))
     return agg.select("k_used", "kth_min",
                       est.cast("long").alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) on the same deterministic 52-bit
+# md5 grid.  Unlike library HLLs (randomized seeds, opaque register
+# blobs) every piece here is an integer a second engine can recompute:
+# register index = low p bits, rho = leading-zero rank of the
+# remaining (52-p)-bit suffix, and the harmonic sum is kept EXACT as
+# the integer  S = Σ_j 2^(52 − M_j)  (zero registers contribute 2^52),
+# so the only float work is the final  α·m²·2^52 / S  division —
+# one literal multiply chain mirrored operand-for-operand in the
+# DuckDB oracle.  Mergeability is register-wise max, which groupBy-max
+# already is: union of shards == sketch of union, bit-for-bit.
+#
+# Scale shape: one map-side-combined groupBy on the register id
+# (m keys total, m = 2^p), then a single m-row aggregate.  Nothing
+# corpus-sized shuffles; per-source sketches merge with one more
+# m-key max — the shape a 100 TB distinct-count actually runs.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                      # m = 256 registers (~6.5% std error)
+HLL_M = 1 << HLL_P
+HLL_SUFFIX_BITS = HASH_BITS - HLL_P          # 44
+# alpha_256 = 0.7213/(1 + 1.079/256); the literal is embedded (not
+# recomputed) so Spark and the oracle parse the identical double.
+HLL_ALPHA = "0.7182725932495458"
+
+
+def hll_registers(df: DataFrame, col: str,
+                  group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-(group, register) max-rho table — the mergeable sketch state.
+
+    rho of a suffix w (44 bits) = 44 − bit_length(w) + 1, computed
+    without libm via ``length(ltrim(bin(w),'0'))`` (bin() of 0 is
+    "0" → length 0 → rho 45, the all-zero-suffix case, no branch
+    needed).  Registers never observed are absent here; the
+    estimator accounts for them as zeros.
+    """
+    h = kmv_hash(F.col(col)).alias("h")
+    base = df.select(*group_cols, h)
+    reg = (base
+           .withColumn("register", F.expr(f"h % {HLL_M}L").cast("long"))
+           .withColumn("suffix", F.expr(f"h div {HLL_M}L"))
+           .withColumn(
+               "rho",
+               (F.lit(HLL_SUFFIX_BITS + 1)
+                - F.length(F.expr(
+                    "trim(LEADING '0' FROM bin(suffix))"))).cast("long")))
+    return (reg.groupBy(*group_cols, "register")
+               .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_merge(*sketches: DataFrame,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Union-merge register tables: register-wise max. Exact: the
+    merged sketch equals the sketch of the unioned inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy(*group_cols, "register")
+               .agg(F.max("max_rho").alias("max_rho")))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Estimate from a register table.
+
+    Output per group: (n_registers, v_zero, s_scaled, estimate).
+    s_scaled = Σ 2^(52−M_j) + v_zero·2^52 — exact BIGINT (≤ 2^60 for
+    p=8).  estimate = round(α·m²·2^52 / S) with the small-range
+    linear-counting branch m·ln(m/V) when raw ≤ 5/2·m and V>0
+    (quantized to BIGINT; ln() is the one libm call, same accepted
+    1-ulp-at-a-rounding-boundary risk as sampling's A-ES keys).
+    """
+    agg = (registers.groupBy(*group_cols)
+           .agg(F.count("*").alias("n_present"),
+                F.sum(F.expr(f"shiftleft(1L, {HASH_BITS} - max_rho)"))
+                 .alias("s_present")))
+    m, a = HLL_M, HLL_ALPHA
+    out = (agg
+           .withColumn("v_zero", (F.lit(m) - F.col("n_present")).cast("long"))
+           .withColumn("s_scaled",
+                       F.expr(f"s_present + v_zero * {HASH_SPACE}L"))
+           .withColumn("raw_est", F.expr(
+               f"CAST(round((({a} * {float(m * m)!r}) * {float(HASH_SPACE)!r})"
+               f" / CAST(s_scaled AS DOUBLE)) AS BIGINT)"))
+           .withColumn("estimate", F.expr(
+               f"CASE WHEN v_zero > 0 AND raw_est * 2 <= {5 * m}"
+               f" THEN CAST(round({float(m)!r} *"
+               f" ln({float(m)!r} / CAST(v_zero AS DOUBLE))) AS BIGINT)"
+               f" ELSE raw_est END")))
+    return out.select(*group_cols,
+                      F.lit(m).cast("long").alias("n_registers"),
+                      "v_zero", "s_scaled", "estimate")
+
+
+def distinct_hll(df: DataFrame, col: str,
+                 group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """HyperLogLog distinct-count of ``df[col]`` (optionally per group)."""
+    return hll_estimate(hll_registers(df, col, group_cols), group_cols)

@@ -131,6 +131,12 @@ QUERIES = [
     "merge_upsert",
     "keyness_by_source",
     "seasonal_outliers",
+    # round-6 session-4: sketch/bitmap/relational — HLL is a 256-key
+    # groupBy (constant output), bitmap overlap is linear in distinct
+    # (segment, member) words, Q21 is the semi+anti self-join pair
+    "distinct_hll",
+    "bitmap_overlap",
+    "tpch_q21",
 ]
 
 

@@ -1197,6 +1197,61 @@ def test_distinct_kmv(spark):
     assert (ru.kth_min, ru.estimate) == (rw.kth_min, rw.estimate)
 
 
+def test_distinct_hll(spark):
+    """HLL estimate lands within the m=256 error band on a 20k-distinct
+    fixture (deterministic fixture → fixed fact, not a flake); the
+    small-cardinality path takes linear counting and is near-exact;
+    register-wise merge of two halves equals the sketch of the whole
+    bit-for-bit (registers AND estimate)."""
+    from stark_spark.operators.sketch import (distinct_hll, hll_estimate,
+                                              hll_merge, hll_registers)
+    big = spark.createDataFrame([(i % 20000,) for i in range(40000)],
+                                "v long")
+    r = distinct_hll(big, "v").first()
+    # ~6.5% std error at m=256; allow 4 sigma
+    assert abs(r.estimate - 20000) <= 20000 * 0.26
+    assert r.v_zero == 0 and r.n_registers == 256
+    small = spark.createDataFrame([(i % 100,) for i in range(500)],
+                                  "v long")
+    rs = distinct_hll(small, "v").first()
+    assert rs.v_zero > 0                      # linear-counting regime
+    assert abs(rs.estimate - 100) <= 15
+    # mergeability: max-merge of half-sketches == sketch of union
+    h1 = spark.createDataFrame([(i,) for i in range(0, 10000)], "v long")
+    h2 = spark.createDataFrame([(i,) for i in range(5000, 20000)], "v long")
+    merged = hll_merge(hll_registers(h1, "v"), hll_registers(h2, "v"))
+    whole = hll_registers(h1.unionByName(h2), "v")
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, whole.collect())))
+    assert (hll_estimate(merged).first().estimate
+            == hll_estimate(whole).first().estimate)
+
+
+def test_bitmap_overlap(spark):
+    """Bitmap popcounts equal exact distinct counts, including the
+    sign-bit word (element % 64 == 63 packs into the BIGINT sign bit);
+    overlap matrix matches hand-computed intersections and keeps
+    empty-intersection pairs."""
+    from stark_spark.operators.bitmap import (bitmap_build,
+                                              bitmap_cardinality,
+                                              bitmap_overlap)
+    from pyspark.sql import functions as F
+    rows = ([("a", i) for i in range(0, 100)]          # a: 0..99
+            + [("b", i) for i in range(50, 150)]       # b: 50..149
+            + [("c", i) for i in range(200, 210)]      # c: disjoint
+            + [("a", 63), ("b", 127)])                 # dup + sign bits
+    df = spark.createDataFrame(rows, "seg string, el long")
+    bm = bitmap_build(df, ["seg"], F.col("el"))
+    card = {r.seg: r.cardinality
+            for r in bitmap_cardinality(bm, ["seg"]).collect()}
+    assert card == {"a": 100, "b": 100, "c": 10}
+    ov = {(r.seg_a, r.seg_b): (r.n_common, r.n_union, r.jaccard_bp)
+          for r in bitmap_overlap(bm, "seg").collect()}
+    assert ov[("a", "b")] == (50, 150, 50 * 10000 // 150)
+    assert ov[("a", "c")] == (0, 110, 0)
+    assert ov[("b", "c")] == (0, 110, 0)
+
+
 def test_pagerank_integer(spark):
     """Hand-computed integer PageRank on a 3-node cycle + dangling
     node; mass conservation within truncation dust; higher in-degree
