@@ -1483,6 +1483,321 @@ def _q_tpch_q21(spark, sf):
                 .agg(F.count("*").alias("numwait")))
 
 
+# ---------------------------------------------------------------------------
+# PENDING gates (round-6 session-4): the driver window holds exactly
+# 50 never-checked entries, so these six are staged here — fully
+# implemented, oracle'd, and comparator-verified by
+# tests/test_extras.py::test_pending_gates_oracle_parity — and get
+# promoted into queries() at the round-7 rotation when slots free up.
+# ---------------------------------------------------------------------------
+
+
+def _pq_price_quantiles_hdr(spark, sf):
+    """HDR (high-dynamic-range) quantile sketch over lineitem price
+    cents: deterministic integer bucketing (exponent + 5 mantissa
+    bits, ≤3.1% relative error), one bounded groupBy + one window
+    over ≤2k buckets — the mergeable latency-histogram shape; nearest
+    -rank p50/p90/p99/p99.99 read off the bucket CDF."""
+    from stark_spark.operators.histogram import (hdr_histogram,
+                                                 hdr_quantiles)
+    li = D.load(spark, sf, "lineitem")
+    cents = li.select(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long").alias("v"))
+    return hdr_quantiles(hdr_histogram(cents, "v", 5),
+                         [5000, 9000, 9900, 9999])
+
+
+def _pq_parts_overlap_kmv(spark, sf):
+    """KMV set algebra (Beyer et al. 2007): union/intersection/Jaccard
+    estimates for the part sets shipped in 1996 vs 1997, from two
+    bottom-128 sketches — the sketch-level set operations HLL cannot
+    do.  All integers on the md5 grid; k-row frames only."""
+    from stark_spark.operators.sketch import kmv_set_ops, kmv_sketch
+    li = D.load(spark, sf, "lineitem")
+    a = li.where(F.year("l_shipdate") == 1996).select("l_partkey")
+    b = li.where(F.year("l_shipdate") == 1997).select("l_partkey")
+    return kmv_set_ops(kmv_sketch(a, "l_partkey", 128),
+                       kmv_sketch(b, "l_partkey", 128), 128)
+
+
+def _pq_scd2_user_state(spark, sf):
+    """Type-2 SCD build over the event feed: each user's event_type
+    as a tracked attribute — consecutive identical states collapse
+    (gaps-and-islands), versions carry half-open [valid_from,
+    valid_to) with NULL-open current rows.  One key shuffle, two
+    ordered windows, no joins."""
+    from stark_spark.operators.merge import scd2_build
+    ev = D.load(spark, sf, "events").select("user_id", "ts", "event_type")
+    out = scd2_build(ev, ["user_id"], ts_col="ts", attrs=["event_type"])
+    return out.withColumn("is_current", F.col("is_current").cast("int"))
+
+
+def _pq_attribution_linear(spark, sf):
+    """Linear multi-touch attribution: every purchase splits 10000
+    credit basis points and its cents revenue equally over the user's
+    touches since their previous purchase, remainder to the earliest
+    touch — exact-integer conservation (Σ credit = 10000·purchases).
+    One window pass + one co-partitioned equi-join on the user key."""
+    from stark_spark.operators.funnel import attribution_linear
+    ev = D.load(spark, sf, "events")
+    return attribution_linear(ev)
+
+
+_ZBITS = 8
+_ZX_RANGE = (0.0, 2048.0)     # user_id grid
+_ZY_RANGE = (0.0, 4096.0)     # days-since-2020 grid
+
+
+def _pq_zorder_events(spark, sf):
+    """Morton (Z-order) layout keys over (user_id, activity day) —
+    the multi-dimensional file-clustering key behind OPTIMIZE ZORDER:
+    declared ranges → 8-bit grids → bit interleave, all row-local
+    integer ops (the float scale factor is a shared literal the
+    oracle mirrors operand-for-operand)."""
+    from stark_spark.functions.zorder import zorder_key
+    ev = D.load(spark, sf, "events")
+    day = F.datediff(F.col("ts").cast("date"),
+                     F.to_date(F.lit("2020-01-01")))
+    z = zorder_key([F.col("user_id"), day], [_ZX_RANGE, _ZY_RANGE],
+                   bits=_ZBITS)
+    return ev.select("event_id", z.alias("zkey"))
+
+
+def _pq_user_retention_km(spark, sf):
+    """Kaplan-Meier retention: per-user observed lifetime in days
+    (first→last event), churned = last activity >7 days before the
+    corpus's final day, else right-censored.  Exact integer risk
+    sets; survival in quantized log space (micro-nats, each factor
+    rounded BEFORE the cumulative sum — the repo's standard
+    quantized-ln pattern)."""
+    from stark_spark.operators.survival import kaplan_meier
+    ev = D.load(spark, sf, "events")
+    per = (ev.groupBy("user_id")
+             .agg(F.min(F.col("ts").cast("date")).alias("d0"),
+                  F.max(F.col("ts").cast("date")).alias("d1")))
+    mx = per.agg(F.max("d1").alias("dm"))
+    obs = (per.crossJoin(F.broadcast(mx))
+              .select(F.datediff("d1", "d0").cast("long")
+                       .alias("duration"),
+                      (F.datediff("dm", "d1") > 7).cast("long")
+                       .alias("event")))
+    return kaplan_meier(obs)
+
+
+def pending_queries():
+    return {
+        "price_quantiles_hdr": _pq_price_quantiles_hdr,
+        "parts_overlap_kmv": _pq_parts_overlap_kmv,
+        "scd2_user_state": _pq_scd2_user_state,
+        "attribution_linear": _pq_attribution_linear,
+        "zorder_events": _pq_zorder_events,
+        "user_retention_km": _pq_user_retention_km,
+    }
+
+
+def _zorder_interleave_sql(x: str, y: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({x} >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"(({y} >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def pending_oracle_sql() -> dict[str, str]:
+    # DuckDB mirrors for pending_queries() — same conventions as
+    # oracle_sql(): integers everywhere, float ops operand-order-
+    # mirrored, ln() quantized to BIGINT before any summation.
+    zx = repr(255 / 2048.0)        # exact binary scale factors
+    zy = repr(255 / 4096.0)
+    return {
+        # HDR bucket/bounds decode mirrored in DuckDB dialect
+        # (// for div, ltrim(s,'0'), >>/<< shifts); nearest-rank
+        # ceil via the sign-free (a+9999)//10000
+        "price_quantiles_hdr": """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+), b AS (
+  SELECT CASE WHEN v < 32 THEN v
+         ELSE (length(ltrim(bin(v), '0')) - 1 - 5) * 32
+              + (v >> CAST(length(ltrim(bin(v), '0')) - 1 - 5 AS INT))
+         END AS bucket
+  FROM v
+), hist AS (
+  SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist
+), cdf AS (
+  SELECT bucket,
+    CAST(sum(cnt) OVER (ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM hist
+), qs(q_bp) AS (
+  VALUES (5000), (9000), (9900), (9999)
+), sel AS (
+  SELECT q_bp, min(bucket) AS bucket, min(n) AS n
+  FROM cdf, tot, qs
+  WHERE cum >= (q_bp * n + 9999) // 10000
+  GROUP BY q_bp
+)
+SELECT CAST(q_bp AS INT) AS q_bp,
+  CAST(CASE WHEN bucket < 32 THEN bucket
+       ELSE ((bucket % 32 + 32) + 1) << CAST(bucket // 32 - 1 AS INT)
+       END - CASE WHEN bucket < 32 THEN 0 ELSE 1 END AS BIGINT)
+    AS estimate,
+  n
+FROM sel""",
+
+        "parts_overlap_kmv": f"""
+WITH ha AS (
+  SELECT DISTINCT {_hex13_sql('h32')} AS h FROM (
+    SELECT md5(CAST(l_partkey AS VARCHAR)) AS h32 FROM lineitem
+    WHERE year(l_shipdate) = 1996) t
+), hb AS (
+  SELECT DISTINCT {_hex13_sql('h32')} AS h FROM (
+    SELECT md5(CAST(l_partkey AS VARCHAR)) AS h32 FROM lineitem
+    WHERE year(l_shipdate) = 1997) t
+), sa AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+   sb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+   m AS (
+  SELECT COALESCE(sa.h, sb.h) AS h,
+    CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+    CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM sa FULL OUTER JOIN sb ON sa.h = sb.h
+), l AS (SELECT * FROM m ORDER BY h LIMIT 128),
+   agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k_used,
+    CAST(max(h) AS BIGINT) AS kth_min,
+    CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM l
+), est AS (
+  SELECT *, CAST(CASE WHEN k_used < 128 OR kth_min <= 0 THEN k_used
+       ELSE (k_used - 1) * 4503599627370496 // kth_min END AS BIGINT)
+    AS union_est
+  FROM agg
+)
+SELECT k_used, kth_min, n_both, union_est,
+  CAST(n_both * union_est // k_used AS BIGINT) AS inter_est,
+  CAST(n_both * 10000 // k_used AS BIGINT) AS jaccard_bp
+FROM est""",
+
+        # gaps-and-islands SCD2; IS DISTINCT FROM == eqNullSafe
+        "scd2_user_state": """
+WITH s AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), i AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM s
+), v AS (
+  SELECT user_id, island, any_value(event_type) AS event_type,
+    min(ts) AS valid_from
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id, event_type, valid_from,
+  lead(valid_from) OVER w2 AS valid_to,
+  CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END
+       AS INT) AS is_current
+FROM v
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""",
+
+        "attribution_linear": """
+WITH r AS (
+  SELECT user_id, ts, event_id, event_type,
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM events
+), convs AS (
+  SELECT user_id, seg AS cidx, cents FROM r WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, ts, event_id, event_type, seg + 1 AS cidx
+  FROM r WHERE event_type <> 'purchase'
+), j AS (
+  SELECT t.event_type AS channel, c.cents,
+    row_number() OVER (PARTITION BY t.user_id, t.cidx
+                       ORDER BY t.ts, t.event_id) AS rn,
+    count(*) OVER (PARTITION BY t.user_id, t.cidx) AS n
+  FROM touches t JOIN convs c
+    ON c.user_id = t.user_id AND c.cidx = t.cidx
+), per AS (
+  SELECT channel,
+    10000 // n + CASE WHEN rn = 1 THEN 10000 % n ELSE 0 END AS credit,
+    cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END AS rev
+  FROM j
+), cred AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+    CAST(sum(credit) AS BIGINT) AS credit_bp,
+    CAST(sum(rev) AS BIGINT) AS revenue_c
+  FROM per GROUP BY channel
+), direct AS (
+  SELECT 'direct' AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+    CAST(count(*) * 10000 AS BIGINT) AS credit_bp,
+    CAST(COALESCE(sum(c.cents), 0) AS BIGINT) AS revenue_c
+  FROM convs c
+  LEFT JOIN (SELECT DISTINCT user_id, cidx FROM touches) t
+    ON t.user_id = c.user_id AND t.cidx = c.cidx
+  WHERE t.user_id IS NULL
+  HAVING count(*) > 0
+)
+SELECT * FROM cred UNION ALL SELECT * FROM direct""",
+
+        "zorder_events": f"""
+WITH g AS (
+  SELECT event_id,
+    CAST(floor((least(greatest(CAST(user_id AS DOUBLE),
+                               CAST(0 AS DOUBLE)),
+                      CAST(2048 AS DOUBLE)) - CAST(0 AS DOUBLE))
+         * CAST({zx} AS DOUBLE)) AS BIGINT) AS sx,
+    CAST(floor((least(greatest(CAST(date_diff('day', DATE '2020-01-01',
+                                    CAST(ts AS DATE)) AS DOUBLE),
+                               CAST(0 AS DOUBLE)),
+                      CAST(4096 AS DOUBLE)) - CAST(0 AS DOUBLE))
+         * CAST({zy} AS DOUBLE)) AS BIGINT) AS sy
+  FROM events
+)
+SELECT event_id,
+  CAST({_zorder_interleave_sql('sx', 'sy', _ZBITS)} AS BIGINT) AS zkey
+FROM g""",
+
+        "user_retention_km": """
+WITH pu AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY user_id
+), mx AS (SELECT max(d1) AS dm FROM pu),
+   obs AS (
+  SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
+    CASE WHEN date_diff('day', d1, dm) > 7 THEN 1 ELSE 0 END AS e
+  FROM pu, mx
+), per_t AS (
+  SELECT t, CAST(sum(e) AS BIGINT) AS n_events,
+    CAST(sum(1 - e) AS BIGINT) AS n_censored,
+    CAST(count(*) AS BIGINT) AS n_obs
+  FROM obs GROUP BY t
+), rk AS (
+  SELECT *, CAST(sum(n_obs) OVER (ORDER BY t
+    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+    AS n_risk
+  FROM per_t
+), tm AS (
+  SELECT *, CASE WHEN n_events = 0 THEN CAST(0 AS BIGINT)
+    WHEN n_risk = n_events THEN CAST(-4611686018427387904 AS BIGINT)
+    ELSE CAST(round(1000000.0 * ln(CAST(n_risk - n_events AS DOUBLE)
+         / CAST(n_risk AS DOUBLE))) AS BIGINT) END AS term
+  FROM rk
+)
+SELECT t, n_risk, n_events, n_censored,
+  CAST(greatest(sum(term) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    -4611686018427387904) AS BIGINT) AS log_surv_q6
+FROM tm""",
+    }
+
+
 def _q_stream_quality_filter(spark, sf):
     """Ingest-time quality gate: documents replayed as a file stream
     through the stateless Gopher-rule flags (pure codegen inside each

@@ -228,3 +228,78 @@ def attribution_last_touch(df: DataFrame, *,
               .agg(F.count("*").alias("n_conversions"),
                    F.sum(F.round(F.col(value) * 100).cast("long"))
                     .alias("revenue_c")))
+
+
+def attribution_linear(df: DataFrame, *,
+                       conversion: str = "purchase",
+                       user: str = "user_id", ts: str = "ts",
+                       type_col: str = "event_type",
+                       tie_col: str = "event_id",
+                       value: str = "value") -> DataFrame:
+    """Linear multi-touch attribution: every conversion splits its
+    credit EQUALLY across all non-conversion touches on the user's
+    path since their previous conversion (exclusive) — the standard
+    linear model, next to `attribution_last_touch`'s winner-takes-all.
+
+    Exact-integer conservation: each conversion carries 10000 credit
+    basis points and its cents-grid revenue; a path of n touches gets
+    ``x div n`` each with the REMAINDER assigned to the earliest touch
+    (deterministic tie rule), so per-conversion totals conserve
+    exactly — Σ credit_bp over the output = 10000 · n_conversions.
+    Pathless conversions credit 'direct' in full.
+
+    Plan shape: ONE window pass on the user key assigns every row its
+    conversion-segment index (running count of conversions), then
+    touches equi-join conversions on (user, segment) — co-partitioned
+    by the same key, no self-join explosion, no per-row Python.
+
+    Output: (channel, n_touches, credit_bp, revenue_c).
+    """
+    from pyspark.sql import Window
+    w = (Window.partitionBy(user).orderBy(ts, tie_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    is_conv = F.col(type_col) == conversion
+    seg = F.sum(is_conv.cast("int")).over(w).alias("_seg")
+    rows = df.select(user, ts, tie_col, type_col, value, seg)
+    convs = (rows.where(F.col(type_col) == conversion)
+                 .select(F.col(user).alias("_u"),
+                         F.col("_seg").alias("_cidx"),
+                         F.round(F.col(value) * 100).cast("long")
+                          .alias("_cents")))
+    touches = (rows.where(F.col(type_col) != conversion)
+                   .select(user, ts, tie_col, type_col,
+                           (F.col("_seg") + 1).alias("_cidx")))
+    wt = (Window.partitionBy(user, "_cidx").orderBy(ts, tie_col))
+    joined = (touches
+              .join(convs, (touches[user] == convs["_u"])
+                    & (touches["_cidx"] == convs["_cidx"]))
+              .drop(convs["_cidx"]).drop("_u")
+              .withColumn("_rn", F.row_number().over(wt))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy(user, "_cidx"))))
+    per_touch = (joined.withColumn(
+        "credit_bp",
+        F.expr("10000 div _n")
+        + F.when(F.col("_rn") == 1, F.expr("10000 % _n")).otherwise(0))
+        .withColumn(
+        "rev_c",
+        F.expr("_cents div _n")
+        + F.when(F.col("_rn") == 1, F.expr("_cents % _n")).otherwise(0)))
+    credited = (per_touch.groupBy(F.col(type_col).alias("channel"))
+                .agg(F.count("*").alias("n_touches"),
+                     F.sum("credit_bp").cast("long").alias("credit_bp"),
+                     F.sum("rev_c").cast("long").alias("revenue_c")))
+    # conversions whose path had no touches → full credit to 'direct'
+    direct = (convs.join(touches.select(F.col(user).alias("_u"),
+                                        "_cidx").distinct(),
+                         ["_u", "_cidx"], "left_anti")
+                   .agg(F.count("*").alias("n_touches"),
+                        (F.count("*") * 10000).alias("credit_bp"),
+                        F.sum("_cents").alias("revenue_c"))
+                   .select(F.lit("direct").alias("channel"),
+                           F.col("n_touches").cast("long"),
+                           F.col("credit_bp").cast("long"),
+                           F.coalesce(F.col("revenue_c"), F.lit(0))
+                            .cast("long").alias("revenue_c"))
+                   .where(F.col("n_touches") > 0))
+    return credited.unionByName(direct)

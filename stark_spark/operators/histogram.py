@@ -1,0 +1,123 @@
+"""HDR-style mergeable quantile histogram (all-integer, bit-exact).
+
+The 100 TB quantile problem: exact order statistics need a global
+sort or a two-phase rank search per quantile; sketches (t-digest,
+KLL) answer any quantile from a tiny mergeable summary but are
+randomized.  The HdrHistogram family (Tene's High Dynamic Range
+histogram, the latency-pipeline standard) is the DETERMINISTIC
+member: bucket a non-negative integer value by (exponent, top
+``sub_bits`` mantissa bits), giving bounded RELATIVE error
+2^-sub_bits with a bucket count that grows only logarithmically with
+the value range.  Every operation here is integer bit arithmetic —
+reproducible in any engine, so the sketch itself can be
+oracle-verified, not just its answers.
+
+- bucket(v) for v < 2^s is v itself (small values are EXACT);
+  otherwise e = bit_length(v)-1 and the bucket packs
+  (e-s)·2^s + (v >> (e-s)), i.e. the leading 1+s bits of v.
+- bucket bounds reconstruct by reversing the shift; estimates can be
+  the bucket's lo / hi / midpoint — all integers.
+- Merge = per-bucket count sum (groupBy-sum is already the shape).
+- Quantile q (basis points) = value bound of the first bucket whose
+  cumulative count reaches ceil(n·q/10000) — nearest-rank applied to
+  the sketch.
+
+Scale shape: one map-side-combined groupBy on the bucket id (at most
+(64−s)·2^s keys — ~1.9k for s=5 over the full BIGINT range), then an
+ordered window over that BOUNDED bucket frame for the CDF.  Nothing
+row-scale ever shuffles; per-shard histograms union-merge with one
+more bounded groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hdr_bucket_sql(col: str, sub_bits: int = 5) -> str:
+    """SQL expression for the HDR bucket id of non-negative BIGINT
+    ``col`` — kept as a plain string so the DuckDB oracle can embed
+    the IDENTICAL expression (bin()/trim bit-length, shiftright)."""
+    s = sub_bits
+    bl = f"length(trim(LEADING '0' FROM bin({col})))"
+    return (f"CASE WHEN {col} < {1 << s} THEN {col} "
+            f"ELSE ({bl} - 1 - {s}) * {1 << s} "
+            f"+ shiftright({col}, CAST({bl} - 1 - {s} AS INT)) END")
+
+
+def hdr_bounds_sql(bucket: str, sub_bits: int = 5) -> tuple[str, str]:
+    """SQL expressions for the inclusive (lo, hi) bounds of a bucket."""
+    s = sub_bits
+    # bucket = (e-s)·2^s + mant with mant ∈ [2^s, 2^(s+1)), so the
+    # exponent part is (bucket div 2^s) − 1, not bucket div 2^s
+    e = f"(({bucket} div {1 << s}) - 1)"             # e - s
+    mant = f"({bucket} % {1 << s} + {1 << s})"       # 1+s leading bits
+    lo = (f"CASE WHEN {bucket} < {1 << s} THEN {bucket} "
+          f"ELSE shiftleft({mant}, CAST({e} AS INT)) END")
+    hi = (f"CASE WHEN {bucket} < {1 << s} THEN {bucket} "
+          f"ELSE shiftleft({mant} + 1, CAST({e} AS INT)) - 1 END")
+    return lo, hi
+
+
+def hdr_histogram(df: DataFrame, col: str, sub_bits: int = 5) -> DataFrame:
+    """Histogram of non-negative BIGINT ``df[col]``: one row per
+    occupied bucket, (bucket, lo, hi, cnt).  Negative input violates
+    the contract and raises in-plan (no silent clamping)."""
+    guarded = F.when(F.col(col) < 0, F.expr(
+        f"raise_error('hdr_histogram: negative value in {col}')")
+    ).otherwise(F.col(col).cast("long")).alias("v")
+    hist = (df.select(guarded)
+              .select(F.expr(hdr_bucket_sql("v", sub_bits)).cast("long")
+                       .alias("bucket"))
+              .groupBy("bucket")
+              .agg(F.count("*").alias("cnt")))
+    lo, hi = hdr_bounds_sql("bucket", sub_bits)
+    return hist.select("bucket",
+                       F.expr(lo).cast("long").alias("lo"),
+                       F.expr(hi).cast("long").alias("hi"),
+                       "cnt")
+
+
+def hdr_merge(*hists: DataFrame) -> DataFrame:
+    """Union-merge histograms: per-bucket count sum (bounds ride
+    along — they are a pure function of the bucket id)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return (out.groupBy("bucket", "lo", "hi")
+               .agg(F.sum("cnt").alias("cnt")))
+
+
+def hdr_quantiles(hist: DataFrame, quantiles_bp: list[int],
+                  value: str = "hi") -> DataFrame:
+    """Nearest-rank quantiles from a histogram.
+
+    For each q in basis points: the first bucket, in value order,
+    whose cumulative count reaches ceil(n·q/10000); the estimate is
+    that bucket's ``value`` bound ("hi" = conservative upper bound,
+    "lo", or "mid").  The single-partition window is over the BOUNDED
+    bucket frame (≤ ~2k rows) — safe by construction, not accident.
+    """
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val = {"lo": F.col("lo"), "hi": F.col("hi"),
+           "mid": (F.col("lo")
+                   + F.expr("(hi - lo) div 2")).cast("long")}[value]
+    cdf = (hist.withColumn("cum", F.sum("cnt").over(w))
+               .withColumn("n", F.sum("cnt").over(
+                   Window.rowsBetween(Window.unboundedPreceding,
+                                      Window.unboundedFollowing)))
+               .withColumn("val", val)
+               .select("bucket", "val", "cum", "n"))
+    qs = (hist.sparkSession.range(1)
+              .select(F.explode(F.array(
+                  *[F.lit(int(q)) for q in quantiles_bp])).alias("q_bp")))
+    ranked = (cdf.crossJoin(F.broadcast(qs))
+                 # ceil(n·q/1e4) for positives; (a+9999) div 10000 is
+                 # trunc/floor-agnostic, so any engine mirrors it
+                 .withColumn("rank",
+                             F.expr("(q_bp * n + 9999) div 10000"))
+                 .where(F.col("cum") >= F.col("rank")))
+    return (ranked.groupBy("q_bp")
+                  .agg(F.min_by("val", "bucket").alias("estimate"),
+                       F.min("n").alias("n")))

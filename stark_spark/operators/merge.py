@@ -32,3 +32,50 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str],
              .withColumn("_rn", F.row_number().over(w))
              .where(F.col("_rn") == 1)
              .drop("_rn", "_src"))
+
+
+def scd2_build(changes: DataFrame, keys: list[str], *, ts_col: str,
+               attrs: list[str],
+               collapse_unchanged: bool = True) -> DataFrame:
+    """Build a Type-2 slowly-changing dimension from a change feed.
+
+    Input: one row per observed state (key..., ts, attrs...); (key,
+    ts) must be unique — the standard CDC feed contract. Output: one
+    row per VERSION with half-open validity
+    [valid_from, valid_to) — valid_to NULL on the current row — plus
+    is_current. With ``collapse_unchanged`` (default), consecutive
+    rows whose attrs did not change fold into one interval
+    (gaps-and-islands: lag-compare flag → running island sum), so
+    re-stated identical snapshots don't fragment history.
+
+    Plan shape: one shuffle on the key; two ordered windows over each
+    key's (small) change history; no joins. This is the dimension-
+    build step every warehouse runs — expressed deterministically so
+    an oracle can replay it.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    state = F.struct(*[F.col(a) for a in attrs])
+    if collapse_unchanged:
+        prev = F.lag(state).over(w)
+        # null-safe compare: NULL attr values are real states (a pair
+        # of equal NULLs is "unchanged", NULL vs value is a change)
+        changed = (~prev.eqNullSafe(state)).cast("int")
+        island = F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        versions = (changes
+                    .withColumn("_island", island)
+                    .groupBy(*keys, "_island")
+                    .agg(F.min(ts_col).alias("valid_from"),
+                         *[F.first(a).alias(a) for a in attrs]))
+    else:
+        versions = (changes
+                    .select(*keys, F.col(ts_col).alias("valid_from"),
+                            *attrs))
+    w2 = Window.partitionBy(*keys).orderBy("valid_from")
+    return (versions
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .drop("_island")
+            .select(*keys, *attrs, "valid_from", "valid_to",
+                    "is_current"))

@@ -160,3 +160,63 @@ def distinct_hll(df: DataFrame, col: str,
                  group_cols: tuple[str, ...] = ()) -> DataFrame:
     """HyperLogLog distinct-count of ``df[col]`` (optionally per group)."""
     return hll_estimate(hll_registers(df, col, group_cols), group_cols)
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (Beyer et al., SIGMOD 2007).  HLL unions trivially
+# but cannot intersect; the KMV sketch can do BOTH from the same
+# bottom-k state: take L = bottom-k of the union of two sketches'
+# hash sets, estimate |A∪B| from L's k-th minimum exactly as
+# `distinct_kmv` does, and estimate Jaccard as the fraction of L's
+# members present in both input sketches.  Every quantity is an
+# integer (hash sets, counts, floor divisions) — bit-reproducible.
+#
+# Scale shape: sketches are k rows each; all set algebra here runs on
+# two k-row frames (driver-scale constants), never on the raw data.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Bottom-k distinct-hash sketch of ``df[col]`` — the mergeable
+    state behind `distinct_kmv` (one column ``h``, ≤ k rows)."""
+    return (df.select(kmv_hash(F.col(col)).alias("h"))
+              .distinct()
+              .orderBy(F.col("h").asc())
+              .limit(k))
+
+
+def kmv_set_ops(sketch_a: DataFrame, sketch_b: DataFrame,
+                k: int = 64) -> DataFrame:
+    """Union / intersection / Jaccard estimates from two bottom-k
+    sketches (one output row).
+
+    L = bottom-k of the merged hash sets; with K = |L| and
+    kth = max(L): union_est follows the KMV estimator (exact when
+    K < k — the merged sketch saw every distinct hash); n_both counts
+    L's members present in BOTH sketches; jaccard_bp = n_both·10000
+    div K and inter_est = n_both·union_est div K (floor semantics,
+    documented).  All integers.
+    """
+    a = sketch_a.select("h").withColumn("in_a", F.lit(1))
+    b = sketch_b.select("h").withColumn("in_b", F.lit(1))
+    merged = (a.join(b, "h", "full_outer")
+               .select("h",
+                       F.coalesce("in_a", F.lit(0)).alias("in_a"),
+                       F.coalesce("in_b", F.lit(0)).alias("in_b"))
+               .orderBy(F.col("h").asc())
+               .limit(k))
+    agg = merged.agg(
+        F.count("*").alias("k_used"),
+        F.max("h").alias("kth_min"),
+        F.sum(F.expr("in_a * in_b")).cast("long").alias("n_both"))
+    exact_small = (F.col("k_used") < F.lit(k)) | (F.col("kth_min") <= 0)
+    union_est = F.when(
+        exact_small, F.col("k_used")
+    ).otherwise(F.expr(f"(k_used - 1) * {HASH_SPACE}L div kth_min"))
+    return (agg.withColumn("union_est", union_est.cast("long"))
+               .withColumn("inter_est",
+                           F.expr("n_both * union_est div k_used"))
+               .withColumn("jaccard_bp",
+                           F.expr("n_both * 10000 div k_used"))
+               .select("k_used", "kth_min", "n_both", "union_est",
+                       "inter_est", "jaccard_bp"))

@@ -179,7 +179,7 @@ def duck_chunked_hash(cur) -> tuple[int, tuple, str]:
 
 
 def run(sf_dir: str, only: list[str] | None = None,
-        chunked: set[str] | None = None) -> int:
+        chunked: set[str] | None = None, pending: bool = False) -> int:
     import __spark_entry__ as entry
     from stark_spark import get_session
 
@@ -190,8 +190,10 @@ def run(sf_dir: str, only: list[str] | None = None,
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = entry.queries()
-    oracles = entry.oracle_sql()
+    # pending=True checks the STAGED gates (window-slot overflow that
+    # rotates into queries() next round) with the identical comparator
+    qs = entry.pending_queries() if pending else entry.queries()
+    oracles = entry.pending_oracle_sql() if pending else entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -262,6 +264,8 @@ def run(sf_dir: str, only: list[str] | None = None,
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    pending = "--pending" in args
+    args = [a for a in args if a != "--pending"]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a] or None
-    sys.exit(1 if run(sf, only) else 0)
+    sys.exit(1 if run(sf, only, pending=pending) else 0)

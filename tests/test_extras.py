@@ -785,3 +785,22 @@ def test_format_roundtrips_hostile_content(spark):
     # docstring); everything else round-trips exactly
     csv_want = [(i, None if t == '\\N' else t) for i, t in want]
     assert got(read_csv(spark, f"{root}/c", df.schema)) == csv_want
+
+
+def test_pending_gates_oracle_parity():
+    """The staged (window-overflow) gates in
+    `__spark_entry__.pending_queries()` must pass the EXACT driver
+    comparator against their DuckDB oracles today — being outside the
+    driver's 50-entry window is a scheduling fact, not a correctness
+    waiver. Runs at sf0.001 for suite speed; the full sf0.01/sf0.1
+    runs are a session-end checklist item (`python
+    tests/oracle_check.py --pending [sf_dir]`)."""
+    import __spark_entry__ as entry
+    from tests import oracle_check
+
+    pend = entry.pending_queries()
+    assert set(pend) == set(entry.pending_oracle_sql())
+    # pending names must not collide with live registry names
+    assert not set(pend) & set(entry.queries())
+    rc = oracle_check.run("/root/testdata/sf0.001", pending=True)
+    assert rc == 0

@@ -1,0 +1,259 @@
+"""Round-6 session-4 operator batch: HDR quantile histogram, KMV set
+algebra, SCD2 dimension build, linear attribution, Z-order layout,
+Kaplan-Meier survival.  (Driver gates for these are staged in
+`__spark_entry__.pending_queries()` — promoted into `queries()` at
+the round-7 rotation when window slots free up; see
+test_extras.py::test_pending_gates_oracle_parity for the comparator
+run that checks them against their DuckDB oracles TODAY.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+# --------------------------------------------------------------------------
+# HDR histogram
+# --------------------------------------------------------------------------
+
+def test_hdr_bucket_exact_and_relative_error(spark):
+    """Small values are exact buckets; large values land in a bucket
+    whose bounds contain them with relative width ≤ 2^-sub_bits."""
+    from stark_spark.operators.histogram import hdr_histogram
+    vals = [0, 1, 31, 32, 33, 100, 1000, 12345, 10**12, (1 << 62) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = {r.bucket: r for r in hdr_histogram(df, "v", 5).collect()}
+    total = sum(r.cnt for r in rows.values())
+    assert total == len(vals)
+    for r in rows.values():
+        assert r.lo <= r.hi
+        if r.lo < 32:                       # exact region
+            assert r.lo == r.hi == r.bucket
+        else:                                # bounded relative width
+            assert (r.hi - r.lo + 1) <= max(1, r.lo // 32 + 1)
+    # every input value is inside some bucket's [lo, hi]
+    for v in vals:
+        assert any(r.lo <= v <= r.hi for r in rows.values())
+
+
+def test_hdr_negative_raises(spark):
+    from stark_spark.operators.histogram import hdr_histogram
+    df = spark.createDataFrame([(-1,)], "v long")
+    with pytest.raises(Exception, match="negative"):
+        hdr_histogram(df, "v").collect()
+
+
+def test_hdr_quantiles_vs_exact(spark):
+    """On a deterministic long-tailed fixture the sketch quantile's
+    bucket CONTAINS the exact nearest-rank quantile (hi ≥ exact ≥ lo
+    — the HDR guarantee), and merge of two halves equals the whole."""
+    from stark_spark.operators.histogram import (hdr_histogram, hdr_merge,
+                                                 hdr_quantiles)
+    vals = [((i * i) % 97) * (i % 13 + 1) * 17 + i % 7 for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    hist = hdr_histogram(df, "v", 5)
+    out = {r.q_bp: r.estimate
+           for r in hdr_quantiles(hist, [5000, 9000, 9900]).collect()}
+    sv = sorted(vals)
+    for q_bp, est in out.items():
+        exact = sv[math.ceil(len(sv) * q_bp / 10000) - 1]
+        assert exact <= est                      # "hi" is conservative
+        assert est <= exact + max(1, exact // 16)   # within one bucket
+    h1 = hdr_histogram(
+        spark.createDataFrame([(v,) for v in vals[:2500]], "v long"), "v", 5)
+    h2 = hdr_histogram(
+        spark.createDataFrame([(v,) for v in vals[2500:]], "v long"), "v", 5)
+    merged = {(r.bucket, r.cnt) for r in hdr_merge(h1, h2).collect()}
+    whole = {(r.bucket, r.cnt) for r in hist.collect()}
+    assert merged == whole
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra
+# --------------------------------------------------------------------------
+
+def test_kmv_set_ops_small_exact(spark):
+    """Below k the union sketch sees everything: union/intersection
+    estimates are EXACT and Jaccard is the true ratio."""
+    from stark_spark.operators.sketch import kmv_set_ops, kmv_sketch
+    a = spark.createDataFrame([(i,) for i in range(30)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "v long")
+    r = kmv_set_ops(kmv_sketch(a, "v", 64), kmv_sketch(b, "v", 64), 64).first()
+    assert (r.k_used, r.n_both, r.union_est, r.inter_est) == (50, 10, 50, 10)
+    assert r.jaccard_bp == 10 * 10000 // 50
+
+
+def test_kmv_set_ops_estimates(spark):
+    """Above k: estimates land within a loose deterministic band of
+    truth (fixture fixed ⇒ fact, not flake): |A|=|B|=4000 with 2000
+    shared → union 6000, intersection 2000, Jaccard 1/3."""
+    from stark_spark.operators.sketch import kmv_set_ops, kmv_sketch
+    a = spark.createDataFrame([(i,) for i in range(4000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(2000, 6000)], "v long")
+    r = kmv_set_ops(kmv_sketch(a, "v", 256), kmv_sketch(b, "v", 256),
+                    256).first()
+    assert r.k_used == 256
+    assert 4500 <= r.union_est <= 7500
+    assert 1300 <= r.inter_est <= 2700
+    assert 2200 <= r.jaccard_bp <= 4500
+
+
+# --------------------------------------------------------------------------
+# SCD2 build
+# --------------------------------------------------------------------------
+
+def test_scd2_build_basic(spark):
+    from stark_spark.operators.merge import scd2_build
+    rows = [
+        ("k1", 1, "a"), ("k1", 2, "a"),      # restated, must collapse
+        ("k1", 3, "b"), ("k1", 5, "a"),      # back to 'a' = NEW version
+        ("k2", 4, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, attr string")
+    out = sorted(
+        scd2_build(df, ["k"], ts_col="ts", attrs=["attr"]).collect(),
+        key=lambda r: (r.k, r.valid_from))
+    got = [(r.k, r.attr, r.valid_from, r.valid_to, r.is_current)
+           for r in out]
+    assert got == [
+        ("k1", "a", 1, 3, False),
+        ("k1", "b", 3, 5, False),
+        ("k1", "a", 5, None, True),
+        ("k2", "x", 4, None, True),
+    ]
+
+
+def test_scd2_null_attrs_and_no_collapse(spark):
+    from stark_spark.operators.merge import scd2_build
+    rows = [("k", 1, None), ("k", 2, None), ("k", 3, "v"), ("k", 4, None)]
+    df = spark.createDataFrame(rows, "k string, ts long, attr string")
+    out = scd2_build(df, ["k"], ts_col="ts", attrs=["attr"]).collect()
+    # NULL==NULL is "unchanged" (collapse), NULL vs value is a change
+    assert [(r.attr, r.valid_from) for r in
+            sorted(out, key=lambda r: r.valid_from)] == [
+        (None, 1), ("v", 3), (None, 4)]
+    out2 = scd2_build(df, ["k"], ts_col="ts", attrs=["attr"],
+                      collapse_unchanged=False).collect()
+    assert len(out2) == 4
+
+
+# --------------------------------------------------------------------------
+# Linear attribution
+# --------------------------------------------------------------------------
+
+def test_attribution_linear_conservation_and_split(spark):
+    from stark_spark.operators.funnel import attribution_linear
+    # user u1: view, click, purchase(30.00) → 5000/5000 bp,
+    #          then ad, purchase(10.00)     → ad gets all 10000
+    # user u2: purchase(7.00) with no touches → direct
+    rows = [
+        Row(user_id=1, event_id=1, ts=1.0, event_type="view", value=0.0),
+        Row(user_id=1, event_id=2, ts=2.0, event_type="click", value=0.0),
+        Row(user_id=1, event_id=3, ts=3.0, event_type="purchase", value=30.0),
+        Row(user_id=1, event_id=4, ts=4.0, event_type="ad", value=0.0),
+        Row(user_id=1, event_id=5, ts=5.0, event_type="purchase", value=10.0),
+        Row(user_id=2, event_id=6, ts=1.0, event_type="purchase", value=7.0),
+    ]
+    out = {r.channel: r for r in
+           attribution_linear(spark.createDataFrame(rows)).collect()}
+    assert out["view"].credit_bp == 5000 and out["click"].credit_bp == 5000
+    assert out["ad"].credit_bp == 10000
+    assert out["direct"].credit_bp == 10000
+    assert out["direct"].revenue_c == 700
+    # conservation: 3 conversions × 10000 bp, revenue = 4700 cents
+    assert sum(r.credit_bp for r in out.values()) == 30000
+    assert sum(r.revenue_c for r in out.values()) == 4700
+
+
+def test_attribution_linear_remainder_to_earliest(spark):
+    from stark_spark.operators.funnel import attribution_linear
+    rows = [Row(user_id=1, event_id=i, ts=float(i),
+                event_type=t, value=v)
+            for i, (t, v) in enumerate(
+                [("a", 0.0), ("b", 0.0), ("c", 0.0),
+                 ("purchase", 1.00)])]
+    out = {r.channel: r.credit_bp for r in
+           attribution_linear(spark.createDataFrame(rows)).collect()}
+    # 10000 div 3 = 3333 each, remainder 1 to earliest touch 'a'
+    assert out == {"a": 3334, "b": 3333, "c": 3333}
+
+
+# --------------------------------------------------------------------------
+# Z-order layout
+# --------------------------------------------------------------------------
+
+def test_zorder_key_interleaves(spark):
+    from stark_spark.functions.zorder import zorder_key
+    df = spark.createDataFrame([(3, 5)], "x long, y long")
+    # 2-bit grid over [0,4): x=3→0b11 at even positions, y=3... use
+    # known small case: bits=2, ranges [0,4): x=3→grid 2? grid scale:
+    # floor((3-0)*3/4)=2 (0b10), y scaled floor(5*... clamp to 4)=3
+    k = df.select(zorder_key([F.col("x"), F.col("y")],
+                             [(0, 4), (0, 4)], bits=2).alias("z")).first().z
+    xg, yg = 2, 3                      # 0b10, 0b11 after clamp+scale
+    want = sum(((xg >> b) & 1) << (2 * b) for b in range(2)) \
+        + sum(((yg >> b) & 1) << (2 * b + 1) for b in range(2))
+    assert k == want
+
+
+def test_zorder_layout_prunes_better_than_linear(spark):
+    """The point of Z-order: a 2-D box predicate overlaps FEWER
+    range-partitions than under single-column ordering."""
+    from stark_spark.functions.zorder import layout_by_zorder
+    pts = [(i % 64, i // 64) for i in range(4096)]        # 64x64 grid
+    df = spark.createDataFrame(pts, "x long, y long")
+    _, stats = layout_by_zorder(df, ["x", "y"],
+                                [(0, 64), (0, 64)], n_files=16)
+    zstats = stats.collect()
+    lin = (df.repartitionByRange(16, "x")
+             .withColumn("_pid", F.spark_partition_id())
+             .groupBy("_pid")
+             .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                  F.min("y").alias("min_y"), F.max("y").alias("max_y"))
+             ).collect()
+
+    def touched(rows, qx, qy):
+        return sum(1 for r in rows
+                   if r["min_x"] <= qx[1] and r["max_x"] >= qx[0]
+                   and r["min_y"] <= qy[1] and r["max_y"] >= qy[0])
+
+    # y-only predicate: x-ordered layout prunes NOTHING (every x-range
+    # stripe spans all y); z-order keeps y locality too
+    assert touched(lin, (0, 63), (4, 12)) == 16
+    assert touched(zstats, (0, 63), (4, 12)) <= 8
+    # small 2-D box: z-order must not be worse than the x-only layout
+    assert (touched(zstats, (4, 12), (4, 12))
+            <= touched(lin, (4, 12), (4, 12)))
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier
+# --------------------------------------------------------------------------
+
+def test_kaplan_meier_textbook(spark):
+    """Hand-computed product-limit curve with censoring (the classic
+    6-subject example): risk sets shrink by BOTH events and censored
+    exits; censored-only times contribute factor 1."""
+    from stark_spark.operators.survival import kaplan_meier
+    # durations: events at 1 (x2), 3; censored at 2, 4; event at 5
+    rows = [(1, 1), (1, 1), (2, 0), (3, 1), (4, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "duration long, event long")
+    out = {r.t: r for r in kaplan_meier(df).collect()}
+    assert (out[1].n_risk, out[1].n_events) == (6, 2)
+    assert (out[2].n_risk, out[2].n_events, out[2].n_censored) == (4, 0, 1)
+    assert (out[3].n_risk, out[3].n_events) == (3, 1)
+    assert (out[5].n_risk, out[5].n_events) == (1, 1)
+    # survival: t1 4/6, t2 same, t3 ×2/3, t5 hits zero
+    s1 = round(1e6 * math.log(4 / 6))
+    s3 = s1 + round(1e6 * math.log(2 / 3))
+    assert out[1].log_surv_q6 == s1
+    assert out[2].log_surv_q6 == s1
+    assert out[3].log_surv_q6 == s3
+    assert out[5].log_surv_q6 == -(1 << 62)      # S(t)=0 sentinel
+    # monotone non-increasing
+    ts = sorted(out)
+    assert all(out[a].log_surv_q6 >= out[b].log_surv_q6
+               for a, b in zip(ts, ts[1:]))
