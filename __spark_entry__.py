@@ -1584,6 +1584,75 @@ def _pq_user_retention_km(spark, sf):
     return kaplan_meier(obs)
 
 
+def _pq_event_sequences(spark, sf):
+    """Consecutive event-type trigram mining (path analysis): two
+    leads over one per-user sorted window, then a bounded
+    (|types|³-key) map-side-combined count."""
+    from stark_spark.operators.funnel import event_sequences
+    return event_sequences(D.load(spark, sf, "events"), length=3)
+
+
+def _pq_lineitem_corr(spark, sf):
+    """Pearson correlation matrix over lineitem's numeric grid
+    (quantity, whole-dollar price, discount %, tax %): every moment
+    from ONE exact-integer aggregate pass; per-pair normalization is
+    a single mirrored double chain (sqrt is IEEE-correctly-rounded,
+    so it is engine-safe), quantized to 1e-6."""
+    from stark_spark.operators.profile import correlation_matrix
+    li = D.load(spark, sf, "lineitem").select(
+        F.round(F.col("l_quantity")).cast("long").alias("quantity"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("price_usd"),
+        F.round(F.col("l_discount") * 100).cast("long")
+         .alias("discount_pct"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"))
+    return correlation_matrix(
+        li, ["quantity", "price_usd", "discount_pct", "tax_pct"])
+
+
+def _pq_drift_psi_value(spark, sf):
+    """Population Stability Index of the event-value distribution,
+    month-half vs month-half: exact bin counts, add-one smoothing,
+    per-bin quantized-ln PSI terms — the drift monitor every
+    production feature pipeline runs between batches."""
+    from stark_spark.operators.drift import psi_drift
+    ev = D.load(spark, sf, "events")
+    return psi_drift(
+        ev,
+        split=F.dayofmonth("ts") <= 15,
+        bin_col=F.least(F.expr(
+            "CAST(round(value * 100) AS BIGINT) div 5000"), F.lit(9)))
+
+
+def _pq_chi2_type_dow(spark, sf):
+    """Chi-square contingency of event_type × weekday — categorical
+    drift/independence screening; exact cell counts, expected and
+    chi² terms quantized to 1e-6 from mirrored double chains."""
+    from stark_spark.operators.drift import chi2_contingency
+    ev = D.load(spark, sf, "events")
+    return chi2_contingency(ev, row_key=F.col("event_type"),
+                            col_key=F.dayofweek("ts").alias("dow"))
+
+
+def _pq_postings_index(spark, sf):
+    """Inverted-index build over the document corpus: (token, df,
+    sorted posting list) — the materialized sparse-retrieval artifact;
+    lists are bounded per token, never corpus-wide."""
+    from stark_spark.operators.text import postings_index
+    return postings_index(D.load(spark, sf, "documents"))
+
+
+def _pq_order_price_bins(spark, sf):
+    """Per-priority equal-frequency binning of order totals
+    (optimizer-statistics / feature-discretization shape): exact
+    discrete boundary quantiles per group, value-based assignment
+    (ties collapse deterministically), per-bin count/min/max."""
+    from stark_spark.operators.sampling import equi_depth_bins
+    o = D.load(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    return equi_depth_bins(o, "o_orderpriority", "cents", 10)
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1592,7 +1661,49 @@ def pending_queries():
         "attribution_linear": _pq_attribution_linear,
         "zorder_events": _pq_zorder_events,
         "user_retention_km": _pq_user_retention_km,
+        "event_sequences_3": _pq_event_sequences,
+        "lineitem_corr": _pq_lineitem_corr,
+        "drift_psi_value": _pq_drift_psi_value,
+        "chi2_type_dow": _pq_chi2_type_dow,
+        "postings_index": _pq_postings_index,
+        "order_price_bins": _pq_order_price_bins,
     }
+
+
+def _corr_oracle_sql() -> str:
+    """DuckDB mirror of profile.correlation_matrix on lineitem's
+    integer grid — the corr expression text matches the operator's
+    operand order exactly (sqrt is IEEE-correctly-rounded, safe)."""
+    cols = {"quantity": "round(l_quantity)",
+            "price_usd": "round(l_extendedprice)",
+            "discount_pct": "round(l_discount * 100)",
+            "tax_pct": "round(l_tax * 100)"}
+    names = list(cols)
+    moments = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in names:
+        moments.append(f"CAST(sum({c}) AS BIGINT) AS s_{c}")
+        moments.append(f"CAST(sum({c} * {c}) AS BIGINT) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1:]]
+    for a, b in pairs:
+        moments.append(f"CAST(sum({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    # integer grid first, then moments, so sums are exact BIGINTs
+    ints = ", ".join(f"CAST({expr} AS BIGINT) AS {c}"
+                     for c, expr in cols.items())
+    selects = []
+    for a, b in pairs:
+        corr = (f"CAST(round(1000000.0 * ("
+                f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+                f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+                f")) AS BIGINT)")
+        selects.append(f"SELECT '{a}' AS var_x, '{b}' AS var_y, n, "
+                       f"{corr} AS corr_q6 FROM m")
+    return (f"WITH i AS (SELECT {ints} FROM lineitem),\n"
+            f"m AS (SELECT {', '.join(moments)} FROM i)\n"
+            + "\nUNION ALL\n".join(selects))
 
 
 def _zorder_interleave_sql(x: str, y: str, bits: int) -> str:
@@ -1795,6 +1906,104 @@ SELECT t, n_risk, n_events, n_censored,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
     -4611686018427387904) AS BIGINT) AS log_surv_q6
 FROM tm""",
+
+        "event_sequences_3": """
+WITH s AS (
+  SELECT event_type AS step_1,
+    lead(event_type, 1) OVER w AS step_2,
+    lead(event_type, 2) OVER w AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT step_1, step_2, step_3, count(*) AS n_occurrences
+FROM s WHERE step_3 IS NOT NULL
+GROUP BY step_1, step_2, step_3""",
+
+        "lineitem_corr": _corr_oracle_sql(),
+
+        # PSI mirror: expression text identical to drift.psi_drift
+        "drift_psi_value": """
+WITH b AS (
+  SELECT least(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS bin,
+    CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS is_a
+  FROM events
+), counts AS (
+  SELECT bin, CAST(sum(is_a) AS BIGINT) AS n_a,
+    CAST(sum(1 - is_a) AS BIGINT) AS n_b
+  FROM b GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+    CAST(sum(n_b) AS BIGINT) AS tot_b,
+    CAST(count(*) AS BIGINT) AS k
+  FROM counts
+)
+SELECT bin, n_a, n_b,
+  CAST(round(1000000.0 * (
+    (CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + k * 1 AS DOUBLE)
+     - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + k * 1 AS DOUBLE))
+    * ln((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + k * 1 AS DOUBLE))
+         / (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + k * 1 AS DOUBLE)))
+  )) AS BIGINT) AS psi_term_q6
+FROM counts, tot""",
+
+        "chi2_type_dow": """
+WITH cells AS (
+  SELECT event_type AS r,
+    CAST(date_part('dow', ts) + 1 AS INT) AS c,
+    CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT r, CAST(sum(n) AS BIGINT) AS n_r FROM cells GROUP BY r),
+   ct AS (SELECT c, CAST(sum(n) AS BIGINT) AS n_c FROM cells GROUP BY c),
+   g AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM cells)
+SELECT cells.r, cells.c, n,
+  CAST(round(1000000.0 * (CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)
+       / CAST(n_tot AS DOUBLE))) AS BIGINT) AS expected_q6,
+  CAST(round(1000000.0 *
+    ((CAST(n AS DOUBLE) - (CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)
+        / CAST(n_tot AS DOUBLE)))
+     * (CAST(n AS DOUBLE) - (CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)
+        / CAST(n_tot AS DOUBLE)))
+     / (CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE)
+        / CAST(n_tot AS DOUBLE)))) AS BIGINT) AS chi2_term_q6
+FROM cells JOIN rt ON cells.r = rt.r
+JOIN ct ON cells.c = ct.c CROSS JOIN g""",
+
+        "postings_index": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents) t
+  WHERE token <> ''
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+  list(doc_id ORDER BY doc_id) AS postings
+FROM tok GROUP BY token""",
+
+        # boundary ranks use CAST(q AS DOUBLE)·n — the DOUBLE product
+        # (not DuckDB's exact DECIMAL) to mirror Spark's float ceil
+        "order_price_bins": """
+WITH o AS (
+  SELECT o_orderpriority AS g, o_orderkey,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), r AS (
+  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+    count(*) OVER (PARTITION BY g) AS n
+  FROM o
+), b AS (
+  SELECT g, v AS bnd
+  FROM r JOIN (VALUES (0.1), (0.2), (0.3), (0.4), (0.5), (0.6),
+               (0.7), (0.8), (0.9)) AS qv(q)
+    ON rn = greatest(CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT), 1)
+), a AS (
+  SELECT o.g, o.o_orderkey, any_value(o.v) AS v,
+    CAST(sum(CASE WHEN o.v > b.bnd THEN 1 ELSE 0 END) AS INT) AS bin
+  FROM o JOIN b ON b.g = o.g
+  GROUP BY o.g, o.o_orderkey
+)
+SELECT g AS o_orderpriority, bin, CAST(count(*) AS BIGINT) AS n,
+  min(v) AS min_v, max(v) AS max_v
+FROM a GROUP BY g, bin""",
     }
 
 

@@ -303,3 +303,28 @@ def attribution_linear(df: DataFrame, *,
                             .cast("long").alias("revenue_c"))
                    .where(F.col("n_touches") > 0))
     return credited.unionByName(direct)
+
+
+def event_sequences(df: DataFrame, *, length: int = 3,
+                    user: str = "user_id", ts: str = "ts",
+                    type_col: str = "event_type",
+                    tie_col: str = "event_id") -> DataFrame:
+    """Frequent consecutive event-type sequences (path mining): every
+    run of ``length`` consecutive events per user becomes one
+    n-gram; output each observed sequence with its support count.
+
+    One window shuffle on the user key (``length−1`` leads over the
+    same sorted frame share one sort); counting is a map-side-combined
+    groupBy on the bounded sequence space (|types|^length keys).
+
+    Output: (step_1..step_N, n_occurrences).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(user).orderBy(ts, tie_col)
+    steps = [F.col(type_col).alias("step_1")]
+    for i in range(1, length):
+        steps.append(F.lead(type_col, i).over(w).alias(f"step_{i + 1}"))
+    grams = (df.select(*steps)
+               .where(F.col(f"step_{length}").isNotNull()))
+    return (grams.groupBy(*[f"step_{i + 1}" for i in range(length)])
+                 .agg(F.count("*").alias("n_occurrences")))

@@ -76,3 +76,48 @@ def fk_check(child: DataFrame, fk: str, parent: DataFrame,
              .select(F.lit(relationship).alias("relationship"),
                      "child_rows", "orphan_rows", "orphan_keys",
                      "parents_total", "parents_referenced"))
+
+
+def correlation_matrix(df, cols: list[str]) -> "DataFrame":
+    """Pearson correlation for every pair of integer-grid columns.
+
+    ONE pass computes every moment (Σx, Σx², Σxy for all pairs —
+    map-side combined, nothing but the 1-row moment frame leaves the
+    executors); the pair rows are then built from that single row.
+    Inputs must already be integers on a caller-chosen grid (dollars,
+    cents, percent) so the moment sums are EXACT BIGINTs; the only
+    float work is the final normalized quotient per pair —
+    numerator/denominator assembled in DOUBLE with a fixed operand
+    order and one sqrt (IEEE-correctly-rounded, engine-safe), then
+    quantized: corr_q6 = round(1e6·r).
+
+    Output: (var_x, var_y, n, corr_q6) for x < y in ``cols`` order.
+    """
+    from pyspark.sql import functions as F
+    aggs = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = df.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        corr = (
+            "CAST(round(1000000.0 * ("
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))"
+            ")) AS BIGINT)")
+        rows.append(m.select(F.lit(a).alias("var_x"),
+                             F.lit(b).alias("var_y"),
+                             F.col("n").cast("long").alias("n"),
+                             F.expr(corr).alias("corr_q6")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -308,3 +308,33 @@ def weighted_sample_by_group(df: DataFrame, key: str, group_col: str,
     return top_k_per_group(keyed, group_col, "_wkey", k,
                            ascending=False, tie_cols=[key],
                            rank_col="_rn").drop("_wkey", "_rn")
+
+
+def equi_depth_bins(df: DataFrame, group_col: str, value_col: str,
+                    n_bins: int = 10) -> DataFrame:
+    """Per-group equal-frequency binning (optimizer-statistics /
+    feature-discretization shape): boundaries are the exact discrete
+    k/n-quantiles from `group_quantiles` (value at rank ⌈q·n⌉ — no
+    interpolation), assignment is value-based — bin = number of
+    boundaries strictly below the value — so ties collapse into one
+    bin deterministically (honest equi-depth: with heavy ties, bins
+    are uneven and that is the truth of the data).
+
+    One group-key shuffle for the boundary quantiles, a broadcast of
+    the groups×(n_bins−1) boundary frame, then one counting groupBy.
+    Output: (group, bin, n, min_v, max_v).
+    """
+    qs = [k / n_bins for k in range(1, n_bins)]
+    bounds = (group_quantiles(df.select(group_col, value_col),
+                              group_col, value_col, qs)
+              .groupBy(group_col)
+              .agg(F.sort_array(F.collect_list("value")).alias("_bnds")))
+    binned = (df.select(group_col, F.col(value_col).alias("_v"))
+                .join(F.broadcast(bounds), group_col)
+                .withColumn("bin", F.aggregate(
+                    "_bnds", F.lit(0),
+                    lambda acc, b: acc + (F.col("_v") > b).cast("int"))))
+    return (binned.groupBy(group_col, "bin")
+                  .agg(F.count("*").alias("n"),
+                       F.min("_v").alias("min_v"),
+                       F.max("_v").alias("max_v")))

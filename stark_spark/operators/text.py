@@ -732,3 +732,27 @@ def keyness_log_odds(df: DataFrame, *, group_col: str = "source",
     return (scored.withColumn("_rn", F.row_number().over(w))
                   .where(F.col("_rn") <= k)
                   .select(g, "token", "c", "score_q"))
+
+
+def postings_index(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Inverted index build: one row per token with its document
+    frequency and the full sorted posting list — the materialized
+    artifact behind the sparse-retrieval tier (bm25/tf-idf score at
+    query time against exactly this shape).
+
+    Scale shape: explode → distinct (map-side combined) → one groupBy
+    on the token; posting lists are arrays ONLY per token (bounded by
+    df), never a corpus-wide collect.  At web scale the list column
+    shards naturally by token ranges on write.
+
+    Output: (token, df, postings sorted ascending).
+    """
+    tok = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(tokens(F.col(text_col))).alias("token"))
+               .where(F.col("token") != "")
+               .distinct())
+    return (tok.groupBy("token")
+               .agg(F.count("*").cast("long").alias("df"),
+                    F.sort_array(F.collect_list("doc_id"))
+                     .alias("postings")))

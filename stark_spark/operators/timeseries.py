@@ -113,3 +113,97 @@ def time_weighted_avg(df: DataFrame, *, key: str = "event_type",
                         F.when(F.col("span_us") > 0,
                                F.expr("_wsum div span_us"))
                          .cast("long").alias("twa_c")))
+
+
+def autocorrelation(df: DataFrame, *, value_col: str, order_col: str,
+                    lags: list[int]) -> DataFrame:
+    """Autocorrelation of a regularly-indexed integer series at the
+    given lags (the model-identification diagnostic for any metric
+    series: seasonality shows as spikes at the period).
+
+    The series must be integer-valued on a gapless integer index
+    (resample first — e.g. hourly counts). For each lag L the moments
+    over the n−L overlapping pairs (Σx, Σy, Σx², Σy², Σxy) are EXACT
+    BIGINTs from one self-join on index+L (co-partitioned equi-join,
+    no window over the whole series); the Pearson quotient is the
+    one mirrored double chain, quantized to 1e-6.
+
+    Output: (lag, n_pairs, acf_q6).
+    """
+    base = df.select(F.col(order_col).cast("long").alias("i"),
+                     F.col(value_col).cast("long").alias("x"))
+    parts = []
+    for lag in lags:
+        lead = base.select((F.col("i") - lag).alias("i"),
+                           F.col("x").alias("y"))
+        m = (base.join(lead, "i")
+                 .agg(F.count("*").alias("n"),
+                      F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                      F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                      F.sum(F.col("y") * F.col("y")).alias("syy"),
+                      F.sum(F.col("x") * F.col("y")).alias("sxy")))
+        corr = (
+            "CAST(round(1000000.0 * ("
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            ")) AS BIGINT)")
+        parts.append(m.select(F.lit(lag).alias("lag"),
+                              F.col("n").cast("long").alias("n_pairs"),
+                              F.expr(corr).alias("acf_q6")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def seasonal_naive_backtest(df: DataFrame, *, key: str, ts: str,
+                            value_expr, split_day: str,
+                            period_hours: int = 168) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (ŷ_t = y_{t−period}) —
+    the baseline every forecasting system must beat, evaluated the
+    way a production backtest runs: train on history before
+    ``split_day``, score each test hour against the LAST same-phase
+    train hour, report exact integer MAE/bias on the value grid.
+
+    All arithmetic is integer (cents sums, counts, abs/diff); the
+    only division is the final mean, kept as (sum, n) pairs PLUS a
+    floor-divided mae_c/bias_c so the row is self-contained.
+
+    Output per key: (key, n_test_hours, mae_c, bias_c).
+    """
+    hours = (df.select(F.col(key).alias("k"),
+                       F.expr(f"unix_micros({ts}) div 3600000000")
+                        .alias("h"),
+                       value_expr.cast("long").alias("v"))
+               .groupBy("k", "h").agg(F.sum("v").alias("hv")))
+    split_h = F.expr(
+        f"unix_micros(to_timestamp('{split_day}')) div 3600000000")
+    hours = hours.withColumn("_split", split_h)
+    train = hours.where(F.col("h") < F.col("_split"))
+    test = hours.where(F.col("h") >= F.col("_split"))
+    # last same-phase train hour: phase = h % period; max train h per
+    # (key, phase) — a bounded (keys × period) frame, broadcast back
+    last_phase = (train
+                  .withColumn("phase", F.expr(f"h % {period_hours}"))
+                  .groupBy("k", "phase")
+                  .agg(F.max("h").alias("h_train")))
+    train_vals = train.select(F.col("k"), F.col("h").alias("h_train"),
+                              F.col("hv").alias("v_hat"))
+    scored = (test
+              .withColumn("phase", F.expr(f"h % {period_hours}"))
+              .join(F.broadcast(last_phase), ["k", "phase"])
+              .join(train_vals, ["k", "h_train"]))
+    # bias can be negative: use FLOOR division ((a − pmod(a,n)) div n
+    # is exact-integer floor semantics, matching SQL's `//`), not
+    # Spark's truncating `div`
+    return (scored.groupBy(F.col("k").alias(key))
+            .agg(F.count("*").cast("long").alias("n_test_hours"),
+                 F.expr("CAST(sum(abs(hv - v_hat)) div count(*) AS BIGINT)")
+                  .alias("mae_c"),
+                 F.expr("CAST((sum(hv - v_hat)"
+                        " - pmod(sum(hv - v_hat), count(*)))"
+                        " div count(*) AS BIGINT)").alias("bias_c")))

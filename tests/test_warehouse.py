@@ -257,3 +257,104 @@ def test_kaplan_meier_textbook(spark):
     ts = sorted(out)
     assert all(out[a].log_surv_q6 >= out[b].log_surv_q6
                for a, b in zip(ts, ts[1:]))
+
+
+# --------------------------------------------------------------------------
+# Batch 2: sequences, correlation, drift, chi2, postings, binning
+# --------------------------------------------------------------------------
+
+def test_event_sequences_trigrams(spark):
+    from stark_spark.operators.funnel import event_sequences
+    rows = [Row(user_id=1, event_id=i, ts=float(i), event_type=t,
+                value=0.0)
+            for i, t in enumerate(["a", "b", "c", "a", "b"])]
+    rows += [Row(user_id=2, event_id=10, ts=1.0, event_type="a",
+                 value=0.0),
+             Row(user_id=2, event_id=11, ts=2.0, event_type="b",
+                 value=0.0)]     # too short for a trigram
+    out = {(r.step_1, r.step_2, r.step_3): r.n_occurrences
+           for r in event_sequences(spark.createDataFrame(rows),
+                                    length=3).collect()}
+    assert out == {("a", "b", "c"): 1, ("b", "c", "a"): 1,
+                   ("c", "a", "b"): 1}
+
+
+def test_correlation_matrix_vs_numpy(spark):
+    import numpy as np
+    from stark_spark.operators.profile import correlation_matrix
+    rng = [(i, 2 * i + 3, (i * 7) % 13) for i in range(50)]
+    df = spark.createDataFrame(rng, "x long, y long, z long")
+    out = {(r.var_x, r.var_y): r.corr_q6 / 1e6
+           for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    a = np.array(rng, dtype=float)
+    for (i, vx), (j, vy) in [((0, "x"), (1, "y")), ((0, "x"), (2, "z")),
+                             ((1, "y"), (2, "z"))]:
+        want = np.corrcoef(a[:, i], a[:, j])[0, 1]
+        assert abs(out[(vx, vy)] - want) < 1e-5
+    assert out[("x", "y")] == 1.0            # exact linear
+
+
+def test_psi_drift_identical_halves_zero(spark):
+    from stark_spark.operators.drift import psi_drift
+    from pyspark.sql import functions as F
+    rows = [(i % 5, s) for i in range(100) for s in (0, 1)]
+    df = spark.createDataFrame(rows, "b long, s int")
+    out = psi_drift(df, split=F.col("s") == 1,
+                    bin_col=F.col("b")).collect()
+    assert all(r.psi_term_q6 == 0 for r in out)       # no drift
+    # shifted distribution → strictly positive total PSI
+    rows2 = ([(i % 5, 1) for i in range(100)]
+             + [((i % 5 + 1) % 5 if i % 3 else i % 5, 0)
+                for i in range(100)])
+    df2 = spark.createDataFrame(rows2, "b long, s int")
+    out2 = psi_drift(df2, split=F.col("s") == 1, bin_col=F.col("b"))
+    assert sum(r.psi_term_q6 for r in out2.collect()) > 0
+
+
+def test_chi2_contingency_independent_uniform(spark):
+    import math
+    from stark_spark.operators.drift import chi2_contingency
+    from pyspark.sql import functions as F
+    # perfectly balanced table → observed == expected → all terms 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi2_contingency(df, row_key=F.col("a"), col_key=F.col("b"))
+    rs = out.collect()
+    assert all(r.chi2_term_q6 == 0 for r in rs)
+    assert all(r.expected_q6 == 25_000_000 for r in rs)
+    # hand-computed 2x2: cells 30/20/20/30 → chi2 = 4.0
+    rows2 = ([("x", "u")] * 30 + [("x", "v")] * 20
+             + [("y", "u")] * 20 + [("y", "v")] * 30)
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    total = sum(r.chi2_term_q6 for r in chi2_contingency(
+        df2, row_key=F.col("a"), col_key=F.col("b")).collect())
+    assert math.isclose(total / 1e6, 4.0, abs_tol=1e-5)
+
+
+def test_postings_index_sorted_bounded(spark):
+    from stark_spark.operators.text import postings_index
+    docs = spark.createDataFrame(
+        [(2, "b a b"), (1, "a c"), (3, "a")],
+        "doc_id long, text string")
+    out = {r.token: (r.df, list(r.postings))
+           for r in postings_index(docs).collect()}
+    assert out == {"a": (3, [1, 2, 3]), "b": (1, [2]), "c": (1, [1])}
+
+
+def test_equi_depth_bins_balanced_and_ties(spark):
+    from stark_spark.operators.sampling import equi_depth_bins
+    df = spark.createDataFrame([("g", i) for i in range(100)],
+                               "g string, v long")
+    out = sorted(equi_depth_bins(df, "g", "v", 10).collect(),
+                 key=lambda r: r.bin)
+    assert [r.n for r in out] == [10] * 10          # distinct values
+    assert [r.min_v for r in out] == [0, 10, 20, 30, 40,
+                                      50, 60, 70, 80, 90]
+    # heavy ties: one value dominating collapses into ONE bin
+    tied = spark.createDataFrame([("g", 5)] * 90 + [("g", i)
+                                                    for i in range(10)],
+                                 "g string, v long")
+    out2 = equi_depth_bins(tied, "g", "v", 4).collect()
+    big = [r for r in out2 if r.min_v <= 5 <= r.max_v]
+    assert sum(r.n for r in out2) == 100
+    assert max(r.n for r in big) >= 90              # the tie bin
