@@ -1653,6 +1653,61 @@ def _pq_order_price_bins(spark, sf):
     return equi_depth_bins(o, "o_orderpriority", "cents", 10)
 
 
+def _pq_ab_ztest_purchase(spark, sf):
+    """Experiment readout: users hash-split (md5 parity — the
+    deterministic assignment every experimentation platform uses)
+    into two arms, converted = ever purchased; exact counts + the
+    pooled two-proportion z quantized to 1e-6."""
+    from stark_spark.operators.drift import two_proportion_ztest
+    ev = D.load(spark, sf, "events")
+    per = (ev.groupBy("user_id")
+             .agg(F.max((F.col("event_type") == "purchase").cast("int"))
+                   .alias("c")))
+    arm = F.expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1),"
+                 " 16, 10) AS INT) % 2")
+    return two_proportion_ztest(per, arm=arm, converted=F.col("c"))
+
+
+_ACF_LAGS = [1, 24, 168]
+
+
+def _pq_hourly_acf(spark, sf):
+    """Autocorrelation of the hourly event-count series at lags 1 h /
+    1 day / 1 week — seasonality diagnostics; exact integer moments
+    from per-lag co-partitioned self-joins, one mirrored double
+    quotient per lag."""
+    from stark_spark.operators.timeseries import autocorrelation
+    ev = D.load(spark, sf, "events")
+    hours = (ev.select(F.expr("unix_micros(ts) div 3600000000")
+                        .alias("h"))
+               .groupBy("h").agg(F.count("*").alias("x")))
+    return autocorrelation(hours, value_col="x", order_col="h",
+                           lags=_ACF_LAGS)
+
+
+def _pq_forecast_snaive(spark, sf):
+    """Seasonal-naive backtest (ŷ_t = y at the last same hour-of-week
+    in train): per event_type hourly cents series split at Jan 24,
+    exact integer MAE and floor-divided bias — the baseline every
+    forecaster must beat, evaluated the way production backtests
+    run."""
+    from stark_spark.operators.timeseries import seasonal_naive_backtest
+    ev = D.load(spark, sf, "events")
+    return seasonal_naive_backtest(
+        ev, key="event_type", ts="ts",
+        value_expr=F.round(F.col("value") * 100),
+        split_day="2024-01-24", period_hours=168)
+
+
+def _pq_rfm_segments(spark, sf):
+    """RFM segmentation of purchasers: exact per-user recency/
+    frequency/monetary integers, equal-frequency 1-5 scores from
+    exact discrete quantile boundaries (ties collapse value-
+    deterministically), one row per occupied segment."""
+    from stark_spark.operators.profile import rfm_segments
+    return rfm_segments(D.load(spark, sf, "events"))
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1667,6 +1722,10 @@ def pending_queries():
         "chi2_type_dow": _pq_chi2_type_dow,
         "postings_index": _pq_postings_index,
         "order_price_bins": _pq_order_price_bins,
+        "ab_ztest_purchase": _pq_ab_ztest_purchase,
+        "hourly_acf": _pq_hourly_acf,
+        "forecast_snaive": _pq_forecast_snaive,
+        "rfm_segments": _pq_rfm_segments,
     }
 
 
@@ -1704,6 +1763,30 @@ def _corr_oracle_sql() -> str:
     return (f"WITH i AS (SELECT {ints} FROM lineitem),\n"
             f"m AS (SELECT {', '.join(moments)} FROM i)\n"
             + "\nUNION ALL\n".join(selects))
+
+
+def _acf_oracle_sql() -> str:
+    """DuckDB mirror of timeseries.autocorrelation on hourly counts —
+    per-lag moment joins, corr chain text identical to the operator."""
+    corr = ("CAST(round(1000000.0 * ("
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+            ")) AS BIGINT)")
+    parts = []
+    for lag in _ACF_LAGS:
+        parts.append(f"""
+SELECT {lag} AS lag, n AS n_pairs, {corr} AS acf_q6 FROM (
+  SELECT CAST(count(*) AS BIGINT) n, CAST(sum(x) AS BIGINT) sx,
+    CAST(sum(y) AS BIGINT) sy, CAST(sum(x * x) AS BIGINT) sxx,
+    CAST(sum(y * y) AS BIGINT) syy, CAST(sum(x * y) AS BIGINT) sxy
+  FROM (SELECT a.x AS x, b.x AS y FROM s a JOIN s b ON b.i = a.i + {lag}))""")
+    return ("WITH s AS (SELECT epoch_us(ts) // 3600000000 AS i,"
+            " CAST(count(*) AS BIGINT) AS x FROM events GROUP BY i)"
+            + "\nUNION ALL\n".join(parts))
 
 
 def _zorder_interleave_sql(x: str, y: str, bits: int) -> str:
@@ -2004,6 +2087,108 @@ WITH o AS (
 SELECT g AS o_orderpriority, bin, CAST(count(*) AS BIGINT) AS n,
   min(v) AS min_v, max(v) AS max_v
 FROM a GROUP BY g, bin""",
+
+        # md5-parity arm assignment + pooled two-proportion z, chain
+        # text identical to drift.two_proportion_ztest
+        "ab_ztest_purchase": """
+WITH per AS (
+  SELECT user_id,
+    CAST((strpos('0123456789abcdef',
+          substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 AS INT)
+      AS a,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT CAST(sum(1 - a) AS BIGINT) AS n_a,
+    CAST(sum((1 - a) * c) AS BIGINT) AS x_a,
+    CAST(sum(a) AS BIGINT) AS n_b,
+    CAST(sum(a * c) AS BIGINT) AS x_b
+  FROM per
+)
+SELECT n_a, x_a, n_b, x_b,
+  CAST(CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 0
+  ELSE round(1000000.0 * (
+    (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+     - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+    / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+    * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+  )) END AS BIGINT) AS z_q6
+FROM agg""",
+
+        "hourly_acf": _acf_oracle_sql(),
+
+        # hourly cents resample → last same-phase train hour →
+        # integer MAE / floor-div bias (// floors, matching the
+        # operator's pmod floor-division)
+        "forecast_snaive": """
+WITH hours AS (
+  SELECT event_type AS k, epoch_us(ts) // 3600000000 AS h,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hv
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT epoch_us(TIMESTAMP '2024-01-24 00:00:00') // 3600000000 AS s
+), train AS (SELECT hours.* FROM hours, sp WHERE h < s),
+   test AS (SELECT hours.* FROM hours, sp WHERE h >= s),
+   lp AS (
+  SELECT k, h % 168 AS phase, max(h) AS h_train
+  FROM train GROUP BY k, h % 168
+), scored AS (
+  SELECT t.k, t.hv, tr.hv AS v_hat
+  FROM test t
+  JOIN lp ON lp.k = t.k AND lp.phase = t.h % 168
+  JOIN train tr ON tr.k = t.k AND tr.h = lp.h_train
+)
+SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_test_hours,
+  CAST(CAST(sum(abs(hv - v_hat)) AS BIGINT) // count(*) AS BIGINT)
+    AS mae_c,
+  CAST(CAST(sum(hv - v_hat) AS BIGINT) // count(*) AS BIGINT)
+    AS bias_c
+FROM scored GROUP BY k""",
+
+        # per-dim boundaries at rank ceil(double(q)·n); scores count
+        # strict-greater boundaries (recency inverted)
+        "rfm_segments": """
+WITH ev AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d,
+    CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), per AS (
+  SELECT u, max(d) AS last_d, CAST(count(*) AS BIGINT) AS freq,
+    CAST(sum(c) AS BIGINT) AS mon
+  FROM ev GROUP BY u
+), mx AS (SELECT max(last_d) AS dm FROM per),
+   p2 AS (
+  SELECT u, CAST(date_diff('day', last_d, dm) AS BIGINT) AS rec,
+    freq, mon
+  FROM per, mx
+), qv(q) AS (VALUES (0.2), (0.4), (0.6), (0.8)),
+   r_rec AS (SELECT rec AS v, row_number() OVER (ORDER BY rec) AS rn,
+             count(*) OVER () AS n FROM p2),
+   b_rec AS (SELECT v FROM r_rec JOIN qv
+             ON rn = greatest(CAST(ceil(CAST(q AS DOUBLE) * n)
+                              AS BIGINT), 1)),
+   r_frq AS (SELECT freq AS v, row_number() OVER (ORDER BY freq) AS rn,
+             count(*) OVER () AS n FROM p2),
+   b_frq AS (SELECT v FROM r_frq JOIN qv
+             ON rn = greatest(CAST(ceil(CAST(q AS DOUBLE) * n)
+                              AS BIGINT), 1)),
+   r_mon AS (SELECT mon AS v, row_number() OVER (ORDER BY mon) AS rn,
+             count(*) OVER () AS n FROM p2),
+   b_mon AS (SELECT v FROM r_mon JOIN qv
+             ON rn = greatest(CAST(ceil(CAST(q AS DOUBLE) * n)
+                              AS BIGINT), 1)),
+   s AS (
+  SELECT u, mon,
+    5 - (SELECT count(*) FROM b_rec WHERE p2.rec > b_rec.v) AS s_rec,
+    1 + (SELECT count(*) FROM b_frq WHERE p2.freq > b_frq.v) AS s_frq,
+    1 + (SELECT count(*) FROM b_mon WHERE p2.mon > b_mon.v) AS s_mon
+  FROM p2
+)
+SELECT concat(s_rec, s_frq, s_mon) AS rfm,
+  CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(mon) AS BIGINT) AS monetary_c_sum
+FROM s GROUP BY concat(s_rec, s_frq, s_mon)""",
     }
 
 

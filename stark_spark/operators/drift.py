@@ -86,3 +86,34 @@ def chi2_contingency(df: DataFrame, *, row_key: Column, col_key: Column
             f"((CAST(n AS DOUBLE) - ({expected}))"
             f" * (CAST(n AS DOUBLE) - ({expected})) / ({expected})))"
             f" AS BIGINT)").alias("chi2_term_q6"))
+
+
+def two_proportion_ztest(df: DataFrame, *, arm: Column,
+                         converted: Column) -> DataFrame:
+    """Two-proportion z-test — the experimentation-platform readout.
+
+    Input: one row per unit with ``arm`` (0/1) and ``converted``
+    (0/1).  Output one row: (n_a, x_a, n_b, x_b, z_q6) with
+    z = (pa − pb) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) under the pooled
+    estimate — counts exact from one aggregate, the z quotient a
+    single mirrored double chain quantized to 1e-6 (sqrt is
+    IEEE-exact).  Degenerate pools (p̂ ∈ {0,1}: zero variance) report
+    the 0 sentinel rather than a NaN.
+    """
+    agg = (df.select(arm.cast("int").alias("a"),
+                     converted.cast("int").alias("c"))
+             .agg(F.sum(F.expr("1 - a")).cast("long").alias("n_a"),
+                  F.sum(F.expr("(1 - a) * c")).cast("long").alias("x_a"),
+                  F.sum("a").cast("long").alias("n_b"),
+                  F.sum(F.expr("a * c")).cast("long").alias("x_b")))
+    z = (
+        "CAST(CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 0"
+        " ELSE round(1000000.0 * ("
+        "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / sqrt((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+        " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+        ")) END AS BIGINT)")
+    return agg.select("n_a", "x_a", "n_b", "x_b",
+                      F.expr(z).alias("z_q6"))

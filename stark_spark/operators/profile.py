@@ -121,3 +121,62 @@ def correlation_matrix(df, cols: list[str]) -> "DataFrame":
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def rfm_segments(df, *, user: str = "user_id", ts: str = "ts",
+                 type_col: str = "event_type", value: str = "value",
+                 conversion: str = "purchase",
+                 n_bins: int = 5) -> "DataFrame":
+    """RFM (recency / frequency / monetary) customer segmentation.
+
+    Per user over their conversion events: recency = days from last
+    conversion to the corpus max day, frequency = conversion count,
+    monetary = cents sum — exact integers.  Each dimension is scored
+    1..n_bins by equal-frequency boundaries (exact discrete quantiles
+    of the per-user frame; value-based assignment so ties collapse
+    deterministically — recency scores INVERTED so higher = more
+    recent).  Output one row per occupied segment: (rfm, n_users,
+    monetary_c_sum).
+
+    Scale note: the boundary quantiles sort the per-USER aggregate
+    (entity-count-sized, not event-count-sized); at extreme user
+    counts the HDR sketch (operators.histogram) supplies boundaries
+    instead — same assignment step.
+    """
+    from pyspark.sql import functions as F
+    from stark_spark.operators.sampling import group_quantiles
+    ev = (df.where(F.col(type_col) == conversion)
+            .select(F.col(user).alias("u"),
+                    F.col(ts).cast("date").alias("d"),
+                    F.round(F.col(value) * 100).cast("long").alias("c")))
+    per = (ev.groupBy("u")
+             .agg(F.max("d").alias("last_d"),
+                  F.count("*").cast("long").alias("freq"),
+                  F.sum("c").alias("mon")))
+    mx = per.agg(F.max("last_d").alias("dm"))
+    per = (per.crossJoin(F.broadcast(mx))
+              .select("u", F.datediff("dm", "last_d").cast("long")
+                            .alias("rec"),
+                      "freq", "mon"))
+    qs = [k / n_bins for k in range(1, n_bins)]
+    scored = per
+    for dim, invert in (("rec", True), ("freq", False), ("mon", False)):
+        bnds = (group_quantiles(
+                    per.select(F.lit("g").alias("_g"), dim), "_g", dim, qs)
+                .groupBy("_g")
+                .agg(F.sort_array(F.collect_list("value"))
+                      .alias(f"_b_{dim}")))
+        scored = (scored.withColumn("_g", F.lit("g"))
+                        .join(F.broadcast(bnds), "_g").drop("_g"))
+
+        def _binner(d):
+            return lambda acc, b: acc + (F.col(d) > b).cast("int")
+
+        raw = F.aggregate(f"_b_{dim}", F.lit(0), _binner(dim))
+        score = (F.lit(n_bins) - raw) if invert else (raw + F.lit(1))
+        scored = (scored.withColumn(f"s_{dim}", score)
+                        .drop(f"_b_{dim}"))
+    seg = F.concat_ws("", "s_rec", "s_freq", "s_mon")
+    return (scored.groupBy(seg.alias("rfm"))
+                  .agg(F.count("*").cast("long").alias("n_users"),
+                       F.sum("mon").cast("long").alias("monetary_c_sum")))

@@ -197,13 +197,12 @@ def seasonal_naive_backtest(df: DataFrame, *, key: str, ts: str,
               .withColumn("phase", F.expr(f"h % {period_hours}"))
               .join(F.broadcast(last_phase), ["k", "phase"])
               .join(train_vals, ["k", "h_train"]))
-    # bias can be negative: use FLOOR division ((a − pmod(a,n)) div n
-    # is exact-integer floor semantics, matching SQL's `//`), not
-    # Spark's truncating `div`
+    # bias can be negative: Spark's `div` and DuckDB's `//` BOTH
+    # truncate toward zero (verified −1995 vs −1994 during gate
+    # bring-up), so plain integer division mirrors exactly
     return (scored.groupBy(F.col("k").alias(key))
             .agg(F.count("*").cast("long").alias("n_test_hours"),
                  F.expr("CAST(sum(abs(hv - v_hat)) div count(*) AS BIGINT)")
                   .alias("mae_c"),
-                 F.expr("CAST((sum(hv - v_hat)"
-                        " - pmod(sum(hv - v_hat), count(*)))"
-                        " div count(*) AS BIGINT)").alias("bias_c")))
+                 F.expr("CAST(sum(hv - v_hat) div count(*) AS BIGINT)")
+                  .alias("bias_c")))

@@ -358,3 +358,91 @@ def test_equi_depth_bins_balanced_and_ties(spark):
     big = [r for r in out2 if r.min_v <= 5 <= r.max_v]
     assert sum(r.n for r in out2) == 100
     assert max(r.n for r in big) >= 90              # the tie bin
+
+
+# --------------------------------------------------------------------------
+# Batch 3: experimentation + time-series
+# --------------------------------------------------------------------------
+
+def test_two_proportion_ztest_hand(spark):
+    import math
+    from stark_spark.operators.drift import two_proportion_ztest
+    # arm A: 30/100 convert; arm B: 20/100 → classic pooled z
+    rows = ([(0, 1)] * 30 + [(0, 0)] * 70 + [(1, 1)] * 20 + [(1, 0)] * 80)
+    df = spark.createDataFrame(rows, "arm int, c int")
+    r = two_proportion_ztest(df, arm=F.col("arm"),
+                             converted=F.col("c")).first()
+    assert (r.n_a, r.x_a, r.n_b, r.x_b) == (100, 30, 100, 20)
+    p = 50 / 200
+    want = (0.3 - 0.2) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert abs(r.z_q6 / 1e6 - want) < 1e-5
+    # degenerate: nobody converts → 0 sentinel, not NaN
+    dz = two_proportion_ztest(
+        spark.createDataFrame([(0, 0), (1, 0)], "arm int, c int"),
+        arm=F.col("arm"), converted=F.col("c")).first()
+    assert dz.z_q6 == 0
+
+
+def test_autocorrelation_periodic_series(spark):
+    from stark_spark.operators.timeseries import autocorrelation
+    # perfect period-4 series → acf(4)=1, acf(2)=-1 (antiphase)
+    series = [(i, [3, 7, 3, 1][i % 4] + 10) for i in range(400)]
+    df = spark.createDataFrame(series, "i long, x long")
+    out = {r.lag: r.acf_q6 / 1e6
+           for r in autocorrelation(df, value_col="x", order_col="i",
+                                    lags=[1, 2, 4]).collect()}
+    assert out[4] == 1.0
+    import numpy as np
+    xs = np.array([v for _, v in series], dtype=float)
+    for lag in (1, 2):
+        want = np.corrcoef(xs[:-lag], xs[lag:])[0, 1]
+        assert abs(out[lag] - want) < 1e-5
+
+
+def test_seasonal_naive_backtest_exact(spark):
+    from stark_spark.operators.timeseries import seasonal_naive_backtest
+    # 2 keys, hourly events over 3 "weeks" of a 2-hour period, split
+    # so the last week is test; per-phase train value is the LAST one
+    rows = [("k", f"1970-01-01 {h:02d}:00:00",
+             float(10 + (h % 2) + h // 4))                    # drifting
+            for h in range(12)]
+    df = (spark.createDataFrame(rows,
+                                "event_type string, ts string,"
+                                " value double")
+               .withColumn("ts", F.to_timestamp("ts")))
+    out = seasonal_naive_backtest(
+        df, key="event_type", ts="ts",
+        value_expr=F.round(F.col("value") * 100),
+        split_day="1970-01-01 08:00:00", period_hours=2).collect()
+    r = out[0]
+    # train hours 0..7 (phases: last at h=6 →1200+200, h=7 →1100+100
+    # +200): v_hat per phase = value at h 6 (1300-ish) / h 7; test
+    # hours 8..11 drift +100 per 4h → exact MAE hand-derivable
+    vals = {h: round((10 + (h % 2) + h // 4) * 100) for h in range(12)}
+    err = [abs(vals[h] - vals[6 if h % 2 == 0 else 7])
+           for h in range(8, 12)]
+    assert r.n_test_hours == 4
+    assert r.mae_c == sum(err) // 4
+
+
+def test_rfm_segments_hand(spark):
+    from stark_spark.operators.profile import rfm_segments
+    # three purchasers with clearly ordered R/F/M; one non-purchaser
+    rows = []
+    for u, (days, freq, amount) in enumerate(
+            [(0, 5, 100.0), (3, 2, 10.0), (9, 1, 1.0)]):
+        for k in range(freq):
+            rows.append(Row(user_id=u, event_id=u * 10 + k,
+                            ts=f"2024-01-{20 - days:02d} 00:00:00",
+                            event_type="purchase", value=amount))
+    rows.append(Row(user_id=9, event_id=99, ts="2024-01-20 00:00:00",
+                    event_type="view", value=0.0))
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.to_timestamp("ts"))
+    out = {r.rfm: (r.n_users, r.monetary_c_sum)
+           for r in rfm_segments(df, n_bins=3).collect()}
+    # user0: most recent, most frequent, biggest → "333"
+    # user2: least recent/frequent/smallest → "111"
+    assert out["333"] == (1, 5 * 10000)
+    assert out["111"] == (1, 100)
+    assert sum(n for n, _ in out.values()) == 3   # non-purchaser absent
