@@ -1708,6 +1708,74 @@ def _pq_rfm_segments(spark, sf):
     return rfm_segments(D.load(spark, sf, "events"))
 
 
+def _pq_data_expectations(spark, sf):
+    """Declarative data-quality contract (validate-before-publish):
+    orders + lineitem rules — uniqueness, ranges, regex, referential
+    integrity — folded into one conditional-aggregate scan per table
+    plus an anti-join per FK; output is the |rules|-row report a CI
+    asserts on."""
+    from stark_spark.operators.expectations import expectations_report
+    orders = D.load(spark, sf, "orders")
+    li = D.load(spark, sf, "lineitem")
+    ro = expectations_report(orders, [
+        {"kind": "unique", "cols": ["o_orderkey"]},
+        {"kind": "range", "col": "o_totalprice", "lo": 0.0,
+         "hi": 600000.0},
+        {"kind": "regex", "col": "o_orderstatus", "pattern": "^[OFP]$"},
+        {"kind": "not_null", "col": "o_custkey"},
+    ])
+    rl = expectations_report(li, [
+        {"kind": "fk", "col": "l_orderkey", "ref": orders,
+         "ref_col": "o_orderkey"},
+        {"kind": "range", "col": "l_discount", "lo": 0.0, "hi": 0.05},
+        {"kind": "regex", "col": "l_returnflag", "pattern": "^[ANR]$"},
+    ])
+    return (ro.select(F.concat(F.lit("orders."), F.col("rule"))
+                       .alias("rule"), "n_checked", "n_violations")
+              .unionByName(
+                  rl.select(F.concat(F.lit("lineitem."), F.col("rule"))
+                             .alias("rule"), "n_checked",
+                            "n_violations")))
+
+
+_CUBE_SETS = [("event_type", "day"), ("event_type",), ("day",), ()]
+
+
+def _pq_cube_users_hll(spark, sf):
+    """Sketch-partitioned distinct-user CUBE: HLL registers built
+    ONCE over (event_type, day-of-month, user), then every grouping
+    set re-aggregates them with a register-wise max — the rollup
+    never touches raw data again.  Valid because HLL merge IS max;
+    the oracle recomputes each level from scratch and must agree
+    bit-for-bit."""
+    from stark_spark.operators.sketch import hll_registers, hll_rollup
+    ev = D.load(spark, sf, "events").select(
+        "event_type", F.dayofmonth("ts").alias("day"), "user_id")
+    regs = hll_registers(ev, "user_id", ("event_type", "day"))
+    return hll_rollup(regs, ["event_type", "day"], _CUBE_SETS)
+
+
+def _pq_scd2_pit_enrich(spark, sf):
+    """Point-in-time dimension enrichment (the feature-store
+    leakage-free join): every purchase gets the user's non-purchase
+    state VALID AT purchase time — the as-of union-sweep over the
+    SCD2 versions (version rows sort before equal-ts facts; facts
+    before any version keep NULL, because using later state would
+    leak the future)."""
+    from stark_spark.operators.merge import point_in_time_join, scd2_build
+    ev = D.load(spark, sf, "events")
+    purch = (ev.where(F.col("event_type") == "purchase")
+               .select("event_id", "user_id", "ts",
+                       F.round(F.col("value") * 100).cast("long")
+                        .alias("cents")))
+    states = (ev.where(F.col("event_type") != "purchase")
+                .select("user_id", "ts",
+                        F.col("event_type").alias("state")))
+    dim = scd2_build(states, ["user_id"], ts_col="ts", attrs=["state"])
+    return point_in_time_join(purch, dim, keys=["user_id"],
+                              fact_ts="ts", attrs=["state"])
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1726,6 +1794,9 @@ def pending_queries():
         "hourly_acf": _pq_hourly_acf,
         "forecast_snaive": _pq_forecast_snaive,
         "rfm_segments": _pq_rfm_segments,
+        "data_expectations": _pq_data_expectations,
+        "cube_users_hll": _pq_cube_users_hll,
+        "scd2_pit_enrich": _pq_scd2_pit_enrich,
     }
 
 
@@ -1763,6 +1834,55 @@ def _corr_oracle_sql() -> str:
     return (f"WITH i AS (SELECT {ints} FROM lineitem),\n"
             f"m AS (SELECT {', '.join(moments)} FROM i)\n"
             + "\nUNION ALL\n".join(selects))
+
+
+def _hll_cube_sql() -> str:
+    """DuckDB mirror of the sketch-partitioned distinct-user cube:
+    each grouping level recomputes the full HLL pipeline from raw
+    rows — agreeing bit-for-bit with Spark's register re-aggregation
+    proves merge==max correctness, not just estimator parity."""
+    est_case = """
+  CASE WHEN v_zero > 0 AND raw_est * 2 <= 1280
+       THEN CAST(round(CAST(256 AS DOUBLE)
+                 * ln(CAST(256 AS DOUBLE) / CAST(v_zero AS DOUBLE)))
+                 AS BIGINT)
+       ELSE raw_est END AS estimate"""
+    levels = []
+    for keep in [("event_type", "day"), ("event_type",), ("day",), ()]:
+        kl = list(keep)
+        gb = (" GROUP BY " + ", ".join(kl)) if kl else ""
+        sel_keep = (", ".join(kl) + ", ") if kl else ""
+        dims_out = ", ".join(
+            (f"CAST({d} AS VARCHAR) AS {d}" if d in keep
+             else f"CAST(NULL AS VARCHAR) AS {d}")
+            for d in ("event_type", "day"))
+        levels.append(f"""
+SELECT {dims_out}, '{",".join(kl)}' AS level,
+  CAST(256 AS BIGINT) AS n_registers, v_zero, s_scaled, {est_case}
+FROM (
+  SELECT {sel_keep}
+    CAST(256 - count(*) AS BIGINT) AS v_zero,
+    CAST(CAST(sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS BIGINT)
+         + (256 - count(*)) * 4503599627370496 AS BIGINT) AS s_scaled,
+    CAST(round(((CAST(0.7182725932495458 AS DOUBLE)
+                 * CAST(65536 AS DOUBLE))
+                * CAST(4503599627370496 AS DOUBLE))
+         / CAST(CAST(sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS BIGINT)
+                + (256 - count(*)) * 4503599627370496 AS DOUBLE))
+         AS BIGINT) AS raw_est
+  FROM (
+    SELECT {sel_keep} h % 256 AS register,
+      max(45 - length(ltrim(bin(h // 256), '0'))) AS max_rho
+    FROM hh GROUP BY {", ".join(kl + ["register"])})
+  {gb or " "})""")
+    return (f"""
+WITH src AS (
+  SELECT event_type, date_part('day', ts) AS day,
+    md5(CAST(user_id AS VARCHAR)) AS h32
+  FROM events
+), hh AS (
+  SELECT event_type, day, {_hex13_sql('h32')} AS h FROM src
+)""" + "\nUNION ALL\n".join(levels))
 
 
 def _acf_oracle_sql() -> str:
@@ -2189,6 +2309,81 @@ SELECT concat(s_rec, s_frq, s_mon) AS rfm,
   CAST(count(*) AS BIGINT) AS n_users,
   CAST(sum(mon) AS BIGINT) AS monetary_c_sum
 FROM s GROUP BY concat(s_rec, s_frq, s_mon)""",
+
+        # each rule mirrored as its own aggregate; NULL comparisons
+        # drop out of FILTERs exactly as they do from Spark's
+        # boolean-cast sums
+        "data_expectations": """
+SELECT 'orders.unique:o_orderkey' AS rule,
+  CAST(count(*) AS BIGINT) AS n_checked,
+  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders.range:o_totalprice', CAST(count(o_totalprice) AS BIGINT),
+  CAST(count(*) FILTER (o_totalprice < 0 OR o_totalprice > 600000)
+       AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders.regex:o_orderstatus',
+  CAST(count(o_orderstatus) AS BIGINT),
+  CAST(count(*) FILTER (o_orderstatus IS NOT NULL
+       AND NOT regexp_matches(o_orderstatus, '^[OFP]$')) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orders.not_null:o_custkey', CAST(count(*) AS BIGINT),
+  CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem.fk:l_orderkey', CAST(count(l_orderkey) AS BIGINT),
+  CAST(count(*) FILTER (l_orderkey IS NOT NULL AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.range:l_discount', CAST(count(l_discount) AS BIGINT),
+  CAST(count(*) FILTER (l_discount < 0.0 OR l_discount > 0.05)
+       AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.regex:l_returnflag',
+  CAST(count(l_returnflag) AS BIGINT),
+  CAST(count(*) FILTER (l_returnflag IS NOT NULL
+       AND NOT regexp_matches(l_returnflag, '^[ANR]$')) AS BIGINT)
+FROM lineitem""",
+
+        "cube_users_hll": _hll_cube_sql(),
+
+        # SCD2 versions (non-purchase states) + interval-predicate
+        # join — must equal Spark's as-of union-sweep exactly
+        "scd2_pit_enrich": """
+WITH st AS (
+  SELECT user_id, ts, event_type AS state FROM events
+  WHERE event_type <> 'purchase'
+), s AS (
+  SELECT user_id, ts, state,
+    CASE WHEN lag(state) OVER w IS DISTINCT FROM state
+         THEN 1 ELSE 0 END AS chg
+  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), i AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM s
+), v AS (
+  SELECT user_id, any_value(state) AS state, min(ts) AS valid_from
+  FROM i GROUP BY user_id, island
+), v2 AS (
+  SELECT user_id, state, valid_from,
+    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      AS valid_to
+  FROM v
+), p AS (
+  SELECT event_id, user_id, ts,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.cents, v2.state
+FROM p LEFT JOIN v2 ON v2.user_id = p.user_id
+  AND v2.valid_from <= p.ts
+  AND (v2.valid_to IS NULL OR p.ts < v2.valid_to)""",
     }
 
 

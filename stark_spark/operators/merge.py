@@ -79,3 +79,45 @@ def scd2_build(changes: DataFrame, keys: list[str], *, ts_col: str,
             .drop("_island")
             .select(*keys, *attrs, "valid_from", "valid_to",
                     "is_current"))
+
+
+def point_in_time_join(facts: DataFrame, dim: DataFrame, *,
+                       keys: list[str], fact_ts: str,
+                       valid_from: str = "valid_from",
+                       attrs: list[str]) -> DataFrame:
+    """Point-in-time (leakage-free) dimension enrichment: each fact
+    row gets the SCD2 version valid at its timestamp — the
+    feature-store join that prevents training-serving skew (using
+    today's dimension for yesterday's fact leaks the future).
+
+    Because SCD2 versions are non-overlapping and half-open per key,
+    "the version where valid_from ≤ ts < valid_to" is exactly "the
+    LAST version starting at or before ts" — so this is the as-of
+    union-sweep: one window over (key, time) with version rows
+    sorted BEFORE equal-timestamp facts, carrying attrs forward with
+    ignore-nulls last().  One shuffle on the key, no interval join,
+    no valid_to needed.  Facts before the first version keep NULL
+    attrs (explicitly: unknowable at the time is NULL, not the
+    earliest version — that too would leak).
+    """
+    from pyspark.sql import Window
+    fcols = facts.columns
+    f = facts.select(*fcols, F.col(fact_ts).alias("_t"),
+                     F.lit(1).alias("_is_fact"),
+                     *[F.lit(None).cast(dim.schema[a].dataType)
+                        .alias(f"_a_{a}") for a in attrs])
+    d_full = dim.select(
+        *[F.col(c) if c in keys
+          else F.lit(None).cast(facts.schema[c].dataType).alias(c)
+          for c in fcols],
+        F.col(valid_from).alias("_t"),
+        F.lit(0).alias("_is_fact"),
+        *[F.col(a).alias(f"_a_{a}") for a in attrs])
+    w = (Window.partitionBy(*keys).orderBy("_t", "_is_fact")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [F.last(f"_a_{a}", ignorenulls=True).over(w).alias(a)
+               for a in attrs]
+    return (f.unionByName(d_full)
+             .select(*fcols, F.col("_is_fact"), *carried)
+             .where(F.col("_is_fact") == 1)
+             .drop("_is_fact"))

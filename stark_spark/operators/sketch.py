@@ -220,3 +220,38 @@ def kmv_set_ops(sketch_a: DataFrame, sketch_b: DataFrame,
                            F.expr("n_both * 10000 div k_used"))
                .select("k_used", "kth_min", "n_both", "union_est",
                        "inter_est", "jaccard_bp"))
+
+
+def hll_rollup(registers: DataFrame, dims: list[str],
+               grouping_sets: list[tuple[str, ...]]) -> DataFrame:
+    """Sketch-partitioned distinct-count CUBE: ONE register table,
+    re-aggregated (register-wise max) for every grouping set — the
+    100 TB pattern where the expensive pass over raw data runs once
+    and every rollup level is a bounded-keyspace max.  Valid because
+    HLL merge IS max: max over a finer partition of the data equals
+    the sketch of the coarser slice, exactly.
+
+    Output per grouping set: the ``dims`` columns (NULL where rolled
+    up), ``level`` = comma-joined kept dims ('' = grand total), and
+    the standard estimate columns.
+    """
+    outs = []
+    for gs in grouping_sets:
+        keep = [d for d in dims if d in gs]
+        merged = (registers.groupBy(*keep, "register")
+                           .agg(F.max("max_rho").alias("max_rho")))
+        est = hll_estimate(merged, tuple(keep))
+        sel = []
+        for d in dims:
+            if d in gs:
+                sel.append(F.col(d).cast("string").alias(d))
+            else:
+                sel.append(F.lit(None).cast("string").alias(d))
+        sel.append(F.lit(",".join(keep)).alias("level"))
+        sel += [F.col(c) for c in
+                ("n_registers", "v_zero", "s_scaled", "estimate")]
+        outs.append(est.select(*sel))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -446,3 +446,64 @@ def test_rfm_segments_hand(spark):
     assert out["333"] == (1, 5 * 10000)
     assert out["111"] == (1, 100)
     assert sum(n for n, _ in out.values()) == 3   # non-purchaser absent
+
+
+# --------------------------------------------------------------------------
+# Batch 4: expectations, HLL cube, point-in-time join
+# --------------------------------------------------------------------------
+
+def test_expectations_report_hand(spark):
+    from stark_spark.operators.expectations import expectations_report
+    df = spark.createDataFrame(
+        [(1, 5, "A"), (2, 50, "B"), (2, None, "bad"), (4, -1, None)],
+        "k long, v long, s string")
+    ref = spark.createDataFrame([(1,), (2,)], "k long")
+    out = {r.rule: (r.n_checked, r.n_violations)
+           for r in expectations_report(df, [
+               {"kind": "unique", "cols": ["k"]},
+               {"kind": "not_null", "col": "v"},
+               {"kind": "range", "col": "v", "lo": 0, "hi": 10},
+               {"kind": "regex", "col": "s", "pattern": "^[AB]$"},
+               {"kind": "fk", "col": "k", "ref": ref, "ref_col": "k"},
+           ]).collect()}
+    assert out["unique:k"] == (4, 1)
+    assert out["not_null:v"] == (4, 1)
+    assert out["range:v"] == (3, 2)          # NULL not checked; 50, -1
+    assert out["regex:s"] == (3, 1)          # 'bad'
+    assert out["fk:k"] == (4, 1)             # k=4 orphan
+
+
+def test_hll_rollup_equals_direct(spark):
+    """Register re-aggregation (merge == max) must give the SAME
+    estimate as sketching each rollup slice from scratch."""
+    from stark_spark.operators.sketch import (distinct_hll, hll_registers,
+                                              hll_rollup)
+    rows = [(chr(97 + i % 3), i % 4, i % 500) for i in range(3000)]
+    df = spark.createDataFrame(rows, "a string, b long, v long")
+    regs = hll_registers(df, "v", ("a", "b"))
+    cube = hll_rollup(regs, ["a", "b"], [("a",), ()])
+    got_a = {r.a: r.estimate for r in cube.collect() if r.level == "a"}
+    want_a = {r.a: r.estimate
+              for r in distinct_hll(df, "v", ("a",)).collect()}
+    assert got_a == want_a
+    got_tot = [r.estimate for r in cube.collect() if r.level == ""][0]
+    assert got_tot == distinct_hll(df, "v").first().estimate
+
+
+def test_point_in_time_join_no_leakage(spark):
+    from stark_spark.operators.merge import point_in_time_join, scd2_build
+    dim_feed = spark.createDataFrame(
+        [("u", 10, "bronze"), ("u", 20, "silver"), ("u", 30, "gold")],
+        "k string, t long, tier string")
+    dim = scd2_build(dim_feed, ["k"], ts_col="t", attrs=["tier"])
+    facts = spark.createDataFrame(
+        [("u", 5, 1), ("u", 10, 2), ("u", 25, 3), ("u", 99, 4)],
+        "k string, t long, fid long")
+    out = {r.fid: r.tier
+           for r in point_in_time_join(
+               facts, dim, keys=["k"], fact_ts="t",
+               attrs=["tier"]).collect()}
+    # before any version → NULL (not bronze! that would leak);
+    # AT a version boundary → the new version (half-open intervals);
+    # after the last → current
+    assert out == {1: None, 2: "bronze", 3: "silver", 4: "gold"}
