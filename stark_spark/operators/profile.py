@@ -153,11 +153,16 @@ def rfm_segments(df, *, user: str = "user_id", ts: str = "ts",
              .agg(F.max("d").alias("last_d"),
                   F.count("*").cast("long").alias("freq"),
                   F.sum("c").alias("mon")))
+    # per is consumed by three boundary computations plus the
+    # scoring join — pin the (user-count-sized) frame once instead of
+    # re-running the event aggregate per consumer
+    per = per.localCheckpoint(eager=True)
     mx = per.agg(F.max("last_d").alias("dm"))
     per = (per.crossJoin(F.broadcast(mx))
               .select("u", F.datediff("dm", "last_d").cast("long")
                             .alias("rec"),
-                      "freq", "mon"))
+                      "freq", "mon")
+              .localCheckpoint(eager=True))
     qs = [k / n_bins for k in range(1, n_bins)]
     scored = per
     for dim, invert in (("rec", True), ("freq", False), ("mon", False)):

@@ -235,6 +235,10 @@ def hll_rollup(registers: DataFrame, dims: list[str],
     up), ``level`` = comma-joined kept dims ('' = grand total), and
     the standard estimate columns.
     """
+    # every grouping set re-aggregates the same register table:
+    # pin it once (bounded: groups × m rows), or the raw-data sketch
+    # pass re-runs per level — defeating the whole point
+    registers = registers.localCheckpoint(eager=True)
     outs = []
     for gs in grouping_sets:
         keep = [d for d in dims if d in gs]

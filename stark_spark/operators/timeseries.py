@@ -132,6 +132,10 @@ def autocorrelation(df: DataFrame, *, value_col: str, order_col: str,
     """
     base = df.select(F.col(order_col).cast("long").alias("i"),
                      F.col(value_col).cast("long").alias("x"))
+    # each lag consumes base twice (probe + shifted side): pin the
+    # resampled series once or Catalyst re-runs the upstream
+    # aggregate 2·|lags| times (the pmi repeated-scan lesson)
+    base = base.localCheckpoint(eager=True)
     parts = []
     for lag in lags:
         lead = base.select((F.col("i") - lag).alias("i"),
@@ -180,6 +184,10 @@ def seasonal_naive_backtest(df: DataFrame, *, key: str, ts: str,
                         .alias("h"),
                        value_expr.cast("long").alias("v"))
                .groupBy("k", "h").agg(F.sum("v").alias("hv")))
+    # four consumers (train filter, test filter, phase max, forecast
+    # values) would each re-run the hourly resample: pin it once —
+    # the frame is bounded by keys × hours, not by event volume
+    hours = hours.localCheckpoint(eager=True)
     split_h = F.expr(
         f"unix_micros(to_timestamp('{split_day}')) div 3600000000")
     hours = hours.withColumn("_split", split_h)
