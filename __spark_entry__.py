@@ -1776,6 +1776,57 @@ def _pq_scd2_pit_enrich(spark, sf):
                               fact_ts="ts", attrs=["state"])
 
 
+def _pq_table_diff_orders(spark, sf):
+    """Dataset reconciliation: orders vs a deterministically-mutated
+    copy (every-7th price bump, every-13th priority rewrite, every-
+    97th key dropped, sparse key-shifted inserts) — FULL OUTER key
+    join, null-safe per-column change counts, one aggregate; the
+    report a migration signs off on."""
+    from stark_spark.operators.merge import table_diff
+    orders = D.load(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    other = (orders.where(k % 97 != 0)
+             .withColumn("o_totalprice",
+                         F.when(k % 7 == 0,
+                                F.col("o_totalprice") + 10.0)
+                          .otherwise(F.col("o_totalprice")))
+             .withColumn("o_orderpriority",
+                         F.when(k % 13 == 0, F.lit("CHANGED"))
+                          .otherwise(F.col("o_orderpriority")))
+             .unionByName(
+                 orders.where(k % 1000 == 3)
+                       .withColumn("o_orderkey", k + 50000000)))
+    return table_diff(orders, other, ["o_orderkey"],
+                      ["o_totalprice", "o_orderstatus",
+                       "o_orderpriority"])
+
+
+def _pq_basket_lift_pairs(spark, sf):
+    """Market-basket association over (user, day) baskets of event
+    types: exact pair/single/basket counts from one co-partitioned
+    within-basket self-join, lift quantized to 1e-6 — 'frequently
+    done together' on the bounded item vocabulary."""
+    from stark_spark.operators.basket import basket_lift_pairs
+    ev = D.load(spark, sf, "events")
+    return basket_lift_pairs(
+        ev, basket=[F.col("user_id"), F.col("ts").cast("date")],
+        item=F.col("event_type"))
+
+
+def _pq_value_percent_rank(spark, sf):
+    """Rank-normalized feature scaling: per event_type, each event's
+    cents value → (RANK−1)·10000 div (n−1) — the outlier-proof
+    [0,10000] scaling; RANK gives ties identical scores with no tie
+    column needed."""
+    from stark_spark.operators.profile import percent_rank_features
+    ev = D.load(spark, sf, "events").select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return percent_rank_features(ev, group_col="event_type",
+                                 value_col="cents",
+                                 id_cols=["event_id"])
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1797,6 +1848,9 @@ def pending_queries():
         "data_expectations": _pq_data_expectations,
         "cube_users_hll": _pq_cube_users_hll,
         "scd2_pit_enrich": _pq_scd2_pit_enrich,
+        "table_diff_orders": _pq_table_diff_orders,
+        "basket_lift_pairs": _pq_basket_lift_pairs,
+        "value_percent_rank": _pq_value_percent_rank,
     }
 
 
@@ -2384,6 +2438,91 @@ SELECT p.event_id, p.user_id, p.ts, p.cents, v2.state
 FROM p LEFT JOIN v2 ON v2.user_id = p.user_id
   AND v2.valid_from <= p.ts
   AND (v2.valid_to IS NULL OR p.ts < v2.valid_to)""",
+
+        "table_diff_orders": """
+WITH other AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+         ELSE o_totalprice END AS o_totalprice,
+    o_orderstatus,
+    CASE WHEN o_orderkey % 13 = 0 THEN 'CHANGED'
+         ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 50000000, o_totalprice, o_orderstatus,
+    o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 = 3
+), j AS (
+  SELECT b.o_orderkey AS bk, o.o_orderkey AS ok,
+    b.o_totalprice IS DISTINCT FROM o.o_totalprice AS ch_p,
+    b.o_orderstatus IS DISTINCT FROM o.o_orderstatus AS ch_s,
+    b.o_orderpriority IS DISTINCT FROM o.o_orderpriority AS ch_r
+  FROM orders b FULL OUTER JOIN other o
+    ON b.o_orderkey = o.o_orderkey
+), c AS (
+  SELECT
+    CAST(count(*) FILTER (bk IS NULL) AS BIGINT) AS added,
+    CAST(count(*) FILTER (ok IS NULL) AS BIGINT) AS removed,
+    CAST(count(*) FILTER (bk IS NOT NULL AND ok IS NOT NULL
+         AND NOT (ch_p OR ch_s OR ch_r)) AS BIGINT) AS unchanged,
+    CAST(count(*) FILTER (bk IS NOT NULL AND ok IS NOT NULL
+         AND (ch_p OR ch_s OR ch_r)) AS BIGINT) AS changed_rows,
+    CAST(count(*) FILTER (bk IS NOT NULL AND ok IS NOT NULL AND ch_p)
+         AS BIGINT) AS ch_price,
+    CAST(count(*) FILTER (bk IS NOT NULL AND ok IS NOT NULL AND ch_s)
+         AS BIGINT) AS ch_status,
+    CAST(count(*) FILTER (bk IS NOT NULL AND ok IS NOT NULL AND ch_r)
+         AS BIGINT) AS ch_prio
+  FROM j
+)
+SELECT '_added' AS item, added AS n FROM c
+UNION ALL SELECT '_removed', removed FROM c
+UNION ALL SELECT '_unchanged', unchanged FROM c
+UNION ALL SELECT '_changed_rows', changed_rows FROM c
+UNION ALL SELECT 'col:o_totalprice', ch_price FROM c
+UNION ALL SELECT 'col:o_orderstatus', ch_status FROM c
+UNION ALL SELECT 'col:o_orderpriority', ch_prio FROM c""",
+
+        "basket_lift_pairs": """
+WITH m AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+    event_type AS item
+  FROM events
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+    CAST(count(*) AS BIGINT) AS n_ab
+  FROM m a JOIN m b ON a.user_id = b.user_id AND a.d = b.d
+    AND a.item < b.item
+  GROUP BY a.item, b.item
+), singles AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_i FROM m GROUP BY item
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_baskets
+  FROM (SELECT DISTINCT user_id, d FROM m)
+)
+SELECT item_a, item_b, n_ab, sa.n_i AS n_a, sb.n_i AS n_b, n_baskets,
+  CAST(round(1000000.0 * ((CAST(n_baskets AS DOUBLE)
+       * CAST(n_ab AS DOUBLE))
+       / (CAST(sa.n_i AS DOUBLE) * CAST(sb.n_i AS DOUBLE))))
+       AS BIGINT) AS lift_q6
+FROM pairs
+JOIN singles sa ON sa.item = pairs.item_a
+JOIN singles sb ON sb.item = pairs.item_b
+CROSS JOIN total""",
+
+        "value_percent_rank": """
+WITH e AS (
+  SELECT event_id, event_type,
+    CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, event_type, cents AS value_c,
+  CAST(CASE WHEN count(*) OVER (PARTITION BY event_type) <= 1 THEN 0
+       ELSE (rank() OVER (PARTITION BY event_type ORDER BY cents) - 1)
+            * 10000
+            // (count(*) OVER (PARTITION BY event_type) - 1)
+       END AS BIGINT) AS pr_bp
+FROM e""",
     }
 
 

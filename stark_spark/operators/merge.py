@@ -121,3 +121,52 @@ def point_in_time_join(facts: DataFrame, dim: DataFrame, *,
              .select(*fcols, F.col("_is_fact"), *carried)
              .where(F.col("_is_fact") == 1)
              .drop("_is_fact"))
+
+
+def table_diff(base: DataFrame, other: DataFrame, keys: list[str],
+               compare_cols: list[str]) -> DataFrame:
+    """Dataset reconciliation (the Datafold-style diff a migration or
+    backfill is signed off on): one FULL OUTER join on the key, then
+    exact counts — rows only in ``base`` (removed), only in ``other``
+    (added), present in both with every compared column equal
+    (unchanged), and per-column change counts for rows present in
+    both (null-safe: NULL→value and value→NULL count as changes,
+    NULL→NULL does not).
+
+    Output: (item, n) rows — '_added', '_removed', '_unchanged',
+    '_changed_rows', then 'col:<name>' per compared column.  One
+    shuffle (the key join); every count folds into ONE aggregate over
+    the joined frame.
+    """
+    b = base.select(*keys, *[F.col(c).alias(f"_b_{c}")
+                             for c in compare_cols],
+                    F.lit(1).alias("_in_b"))
+    o = other.select(*keys, *[F.col(c).alias(f"_o_{c}")
+                              for c in compare_cols],
+                     F.lit(1).alias("_in_o"))
+    j = b.join(o, keys, "full_outer")
+    both = F.col("_in_b").isNotNull() & F.col("_in_o").isNotNull()
+    col_changed = {
+        c: (both & ~F.col(f"_b_{c}").eqNullSafe(F.col(f"_o_{c}")))
+        for c in compare_cols}
+    any_changed = None
+    for c in compare_cols:
+        any_changed = (col_changed[c] if any_changed is None
+                       else (any_changed | col_changed[c]))
+    aggs = [
+        F.sum((F.col("_in_o").isNull()).cast("long")).alias("_removed"),
+        F.sum((F.col("_in_b").isNull()).cast("long")).alias("_added"),
+        F.sum((both & ~any_changed).cast("long")).alias("_unchanged"),
+        F.sum((both & any_changed).cast("long")).alias("_changed_rows"),
+    ]
+    for c in compare_cols:
+        aggs.append(F.sum(col_changed[c].cast("long")).alias(f"_ch_{c}"))
+    one = j.agg(*aggs)
+    items = [("_added", "_added"), ("_removed", "_removed"),
+             ("_unchanged", "_unchanged"),
+             ("_changed_rows", "_changed_rows")]
+    items += [(f"col:{c}", f"_ch_{c}") for c in compare_cols]
+    stack = ", ".join(f"'{name}', {col}" for name, col in items)
+    return one.select(F.expr(
+        f"stack({len(items)}, {stack}) AS (item, n)")).select(
+        "item", F.col("n").cast("long").alias("n"))

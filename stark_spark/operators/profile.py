@@ -185,3 +185,28 @@ def rfm_segments(df, *, user: str = "user_id", ts: str = "ts",
     return (scored.groupBy(seg.alias("rfm"))
                   .agg(F.count("*").cast("long").alias("n_users"),
                        F.sum("mon").cast("long").alias("monetary_c_sum")))
+
+
+def percent_rank_features(df, *, group_col: str, value_col: str,
+                          id_cols: list[str]) -> "DataFrame":
+    """Rank-normalize a feature per group: pr_bp = (RANK−1)·10000 div
+    (n−1) — the distribution-free [0,10000] feature scaling that
+    survives outliers and distribution drift (ranks, not values).
+    RANK() gives ties identical scores (deterministic without a tie
+    column); single-row groups score 0 by convention.
+
+    One shuffle on the group key; per-group window sort — the
+    standard feature-prep shape.  Output: id_cols + (group, value_c,
+    pr_bp).
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy("value_c")
+    n = F.count("*").over(Window.partitionBy(group_col))
+    return (df.select(*id_cols, group_col,
+                      F.col(value_col).alias("value_c"))
+              .withColumn("_rk", F.rank().over(w))
+              .withColumn("_n", n)
+              .withColumn("pr_bp", F.expr(
+                  "CASE WHEN _n <= 1 THEN 0L"
+                  " ELSE (_rk - 1) * 10000 div (_n - 1) END"))
+              .drop("_rk", "_n"))

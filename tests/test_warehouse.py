@@ -507,3 +507,94 @@ def test_point_in_time_join_no_leakage(spark):
     # AT a version boundary → the new version (half-open intervals);
     # after the last → current
     assert out == {1: None, 2: "bronze", 3: "silver", 4: "gold"}
+
+
+# --------------------------------------------------------------------------
+# Batch 5: reconciliation, basket lift, rank normalization
+# --------------------------------------------------------------------------
+
+def test_table_diff_hand(spark):
+    from stark_spark.operators.merge import table_diff
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, None), (4, 40, "d")],
+        "k long, v long, s string")
+    other = spark.createDataFrame(
+        [(1, 10, "a"),            # unchanged
+         (2, 99, "b"),            # v changed
+         (3, 30, "x"),            # NULL -> value = change
+         (5, 50, "e")],           # added; k=4 removed
+        "k long, v long, s string")
+    out = {r.item: r.n
+           for r in table_diff(base, other, ["k"], ["v", "s"]).collect()}
+    assert out == {"_added": 1, "_removed": 1, "_unchanged": 1,
+                   "_changed_rows": 2, "col:v": 1, "col:s": 1}
+
+
+def test_basket_lift_hand(spark):
+    from stark_spark.operators.basket import basket_lift_pairs
+    # 4 baskets: {a,b} {a,b} {a} {b,c} → n_ab(a,b)=2, lift=4*2/(3*3)
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (2, "b"),
+            (3, "a"), (4, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    out = {(r.item_a, r.item_b): r
+           for r in basket_lift_pairs(
+               df, basket=[F.col("bk")], item=F.col("item")).collect()}
+    ab = out[("a", "b")]
+    assert (ab.n_ab, ab.n_a, ab.n_b, ab.n_baskets) == (2, 3, 3, 4)
+    assert ab.lift_q6 == round(1e6 * (4 * 2) / (3 * 3))
+    assert out[("b", "c")].n_ab == 1
+    assert ("a", "c") not in out                 # never co-occur
+
+
+def test_percent_rank_ties_and_bounds(spark):
+    from stark_spark.operators.profile import percent_rank_features
+    rows = [(i, "g", v) for i, v in enumerate([10, 20, 20, 30])]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = {r.id: r.pr_bp
+           for r in percent_rank_features(
+               df, group_col="g", value_col="v",
+               id_cols=["id"]).collect()}
+    # ranks: 1, 2, 2, 4 → (rk-1)*10000 div 3
+    assert out == {0: 0, 1: 3333, 2: 3333, 3: 10000}
+    single = percent_rank_features(
+        spark.createDataFrame([(9, "g", 5)], "id long, g string, v long"),
+        group_col="g", value_col="v", id_cols=["id"]).first()
+    assert single.pr_bp == 0
+
+
+# --------------------------------------------------------------------------
+# Plan-shape assertions (scale posture): the new operators must keep
+# the plans they were designed around, not just the answers.
+# --------------------------------------------------------------------------
+
+def test_plan_shapes_session4(spark):
+    import __spark_entry__ as e
+    sf = "/root/testdata/sf0.001"
+
+    # Q21: the semi+anti sandwich with broadcast dims
+    q21 = e.queries()["tpch_q21"](spark, sf)
+    plan = q21._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+    # zorder keys are row-local: NO exchange anywhere in the plan
+    zk = e.pending_queries()["zorder_events"](spark, sf)
+    zplan = zk._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in zplan
+
+    # HDR histogram: partial (map-side) aggregation before the
+    # bucket exchange — two HashAggregate levels
+    from stark_spark.operators.histogram import hdr_histogram
+    from pyspark.sql import functions as F
+    h = hdr_histogram(
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+             .select(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long").alias("v")), "v")
+    hplan = h._jdf.queryExecution().executedPlan().toString()
+    assert hplan.count("HashAggregate") >= 2
+
+    # correlation matrix: moments come from ONE aggregate over ONE
+    # scan (no join in the plan at all)
+    corr = e.pending_queries()["lineitem_corr"](spark, sf)
+    cplan = corr._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in cplan
