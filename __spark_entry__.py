@@ -1827,6 +1827,27 @@ def _pq_value_percent_rank(spark, sf):
                                  id_cols=["event_id"])
 
 
+def _pq_ols_price_qty(spark, sf):
+    """Per-nation OLS price-vs-quantity fit (price elasticity shape):
+    lineitem ⋈ broadcast supplier ⋈ broadcast nation, then the whole
+    regression reduces to ONE map-side-combined moments aggregate per
+    nation — exact BIGINT sufficient statistics, one mirrored DOUBLE
+    normal-equation chain, q6-quantized slope/intercept/R²."""
+    from stark_spark.operators.regress import ols_by_group
+    li = D.load(spark, sf, "lineitem")
+    sup = D.load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = D.load(spark, sf, "nation").select("n_nationkey", "n_name")
+    pts = (li.join(F.broadcast(sup),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(nat),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .select(F.col("n_name"),
+                     F.round(F.col("l_quantity")).cast("long").alias("x"),
+                     F.round(F.col("l_extendedprice")).cast("long")
+                      .alias("y")))
+    return ols_by_group(pts, group_cols=["n_name"], x_col="x", y_col="y")
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1851,6 +1872,7 @@ def pending_queries():
         "table_diff_orders": _pq_table_diff_orders,
         "basket_lift_pairs": _pq_basket_lift_pairs,
         "value_percent_rank": _pq_value_percent_rank,
+        "ols_price_qty": _pq_ols_price_qty,
     }
 
 
@@ -2523,6 +2545,54 @@ SELECT event_id, event_type, cents AS value_c,
             // (count(*) OVER (PARTITION BY event_type) - 1)
        END AS BIGINT) AS pr_bp
 FROM e""",
+
+        "ols_price_qty": """
+WITH pts AS (
+  SELECT n_name,
+    CAST(round(l_quantity) AS BIGINT) AS x,
+    CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+), m AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * x) AS BIGINT) AS sxx,
+    CAST(sum(y * y) AS BIGINT) AS syy,
+    CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pts GROUP BY n_name
+)
+SELECT n_name, n,
+  CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+    THEN CAST(round(1000000.0 * (((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))) AS BIGINT)
+  END AS slope_q6,
+  CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+    THEN CAST(round(1000000.0 * (((CAST(sy AS DOUBLE)
+       - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)))) AS BIGINT)
+  END AS intercept_q6,
+  CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+       AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+    THEN CAST(round(1000000.0 * ((((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+       / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))))) AS BIGINT)
+  END AS r2_q6
+FROM m""",
     }
 
 

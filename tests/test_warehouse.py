@@ -598,3 +598,27 @@ def test_plan_shapes_session4(spark):
     corr = e.pending_queries()["lineitem_corr"](spark, sf)
     cplan = corr._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in cplan
+
+
+def test_ols_by_group_hand(spark):
+    """Closed-form fit on a hand dataset: group 'a' is y=2x+3 exactly
+    (slope 2, intercept 3, R²=1), 'b' has zero x-variance (all fit
+    columns NULL), 'c' has slope but zero y-variance never occurs with
+    nonzero slope, so instead check a single-point group is NULL."""
+    from stark_spark.operators.regress import ols_by_group
+    rows = [("a", 1, 5), ("a", 2, 7), ("a", 3, 9), ("a", 10, 23),
+            ("b", 4, 1), ("b", 4, 2), ("b", 4, 3),
+            ("c", 7, 7)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in
+           ols_by_group(df, group_cols=["g"], x_col="x", y_col="y")
+           .collect()}
+    assert out["a"].slope_q6 == 2_000_000
+    assert out["a"].intercept_q6 == 3_000_000
+    assert out["a"].r2_q6 == 1_000_000
+    assert out["b"].slope_q6 is None and out["b"].r2_q6 is None
+    assert out["c"].slope_q6 is None and out["c"].n == 1
+    # one aggregate over one scan — the minimal-shuffle fit
+    plan = (ols_by_group(df, group_cols=["g"], x_col="x", y_col="y")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan and plan.count("Scan") <= 2
