@@ -1848,6 +1848,30 @@ def _pq_ols_price_qty(spark, sf):
     return ols_by_group(pts, group_cols=["n_name"], x_col="x", y_col="y")
 
 
+_CMS_W, _CMS_D = 512, 4
+
+
+def _pq_cms_user_counts(spark, sf):
+    """Count-Min sketch point queries: build the w·d cell frame over
+    the event stream's user_id (ONE map-side-combined groupBy onto
+    ≤2048 cells — sketch size is independent of input volume), then
+    estimate counts for a fixed key list via d broadcast cell probes.
+    Joined against exact counts: est ≥ exact row-by-row (the CMS
+    overestimate guarantee, visible in the gate output)."""
+    from stark_spark.operators.sketch import cms_build, cms_estimate
+    ev = D.load(spark, sf, "events")
+    sketch = cms_build(ev, "user_id", width=_CMS_W, depth=_CMS_D)
+    keys = spark.range(0, 25).select(F.col("id").alias("user_id"))
+    est = cms_estimate(sketch, keys, "user_id",
+                       width=_CMS_W, depth=_CMS_D)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    return (est.join(exact, "user_id", "left")
+               .select(F.col("user_id").cast("long").alias("user_id"),
+                       F.col("est").cast("long").alias("est"),
+                       F.coalesce(F.col("exact"), F.lit(0))
+                        .cast("long").alias("exact")))
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1873,6 +1897,7 @@ def pending_queries():
         "basket_lift_pairs": _pq_basket_lift_pairs,
         "value_percent_rank": _pq_value_percent_rank,
         "ols_price_qty": _pq_ols_price_qty,
+        "cms_user_counts": _pq_cms_user_counts,
     }
 
 
@@ -2593,6 +2618,39 @@ SELECT n_name, n,
        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))))) AS BIGINT)
   END AS r2_q6
 FROM m""",
+
+        "cms_user_counts": f"""
+WITH rows_d AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+src AS (
+  SELECT r, md5('cms' || CAST(r AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)) AS h
+  FROM events CROSS JOIN rows_d
+), cells AS (
+  SELECT CAST(r AS BIGINT) AS row,
+    CAST(({_hex13_sql('h')}) % {_CMS_W} AS BIGINT) AS bucket,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM src GROUP BY 1, 2
+), keys AS (
+  SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 25)
+), ph AS (
+  SELECT user_id, r, md5('cms' || CAST(r AS VARCHAR) || ':'
+                         || CAST(user_id AS VARCHAR)) AS h
+  FROM keys CROSS JOIN rows_d
+), probes AS (
+  SELECT user_id, CAST(r AS BIGINT) AS row,
+    CAST(({_hex13_sql('h')}) % {_CMS_W} AS BIGINT) AS bucket
+  FROM ph
+), est AS (
+  SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+  FROM probes LEFT JOIN cells USING (row, bucket)
+  GROUP BY user_id
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+  FROM events GROUP BY user_id
+)
+SELECT est.user_id, est.est,
+  CAST(coalesce(exact.exact, 0) AS BIGINT) AS exact
+FROM est LEFT JOIN exact USING (user_id)""",
     }
 
 

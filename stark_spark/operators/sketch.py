@@ -259,3 +259,64 @@ def hll_rollup(registers: DataFrame, dims: list[str],
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+# frequency sketch: d independent hash rows of w counters; the
+# estimate for a key is the MIN of its d counters, an overestimate
+# with error ≤ εN (ε = e/w) at confidence 1−δ (δ = e^−d).  As with
+# KMV/HLL above, every hash is deterministic md5 (row-salted), so the
+# sketch — cell for cell — and every estimate is bit-reproducible in
+# any engine.
+#
+# Scale shape: the build is ONE map-side-combined groupBy onto w·d
+# cells (a few thousand keys regardless of input volume — partial
+# aggregation collapses each task's contribution to ≤ w·d rows before
+# the shuffle); merging shard sketches is cell-wise sum, which that
+# same groupBy already is.  Queries join a key-list frame against the
+# broadcast cell frame — never against the data.
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Deterministic bucket of ``value`` in hash row ``row``."""
+    h = F.md5(F.concat(F.lit(f"cms{row}:"), value.cast("string")))
+    return (F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+            % F.lit(width)).cast("long")
+
+
+def cms_build(df: DataFrame, col: str, *, width: int = 1024,
+              depth: int = 4) -> DataFrame:
+    """Build the (row, bucket, cnt) cell frame — ≤ width·depth rows."""
+    rows = F.array(*[
+        F.struct(F.lit(d).cast("long").alias("row"),
+                 _cms_bucket(F.col(col), d, width).alias("bucket"))
+        for d in range(depth)])
+    return (df.select(F.explode(rows).alias("c"))
+              .groupBy(F.col("c.row").alias("row"),
+                       F.col("c.bucket").alias("bucket"))
+              .agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str, *,
+                 width: int = 1024, depth: int = 4) -> DataFrame:
+    """Point-query estimates for every key in ``keys[col]``.
+
+    Output: (col, est) with est = min over the key's d counters
+    (0 where a counter cell was never touched).  ``sketch`` is
+    broadcast — it is at most width·depth rows by construction.
+    """
+    probes = keys.select(
+        F.col(col),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).cast("long").alias("row"),
+                     _cms_bucket(F.col(col), d, width).alias("bucket"))
+            for d in range(depth)])).alias("p"))
+    j = probes.join(F.broadcast(sketch),
+                    (F.col("p.row") == F.col("row"))
+                    & (F.col("p.bucket") == F.col("bucket")),
+                    "left")
+    return (j.groupBy(col)
+             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                   .alias("est")))

@@ -622,3 +622,27 @@ def test_ols_by_group_hand(spark):
     plan = (ols_by_group(df, group_cols=["g"], x_col="x", y_col="y")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan and plan.count("Scan") <= 2
+
+
+def test_cms_overestimate_and_merge(spark):
+    """CMS invariants: est >= exact for every key; union-of-sketches
+    == sketch-of-union cell-for-cell (mergeability); cell count <= w*d."""
+    from stark_spark.operators.sketch import cms_build, cms_estimate
+    a = spark.range(0, 400).select((F.col("id") % 37).alias("k"))
+    b = spark.range(0, 300).select((F.col("id") % 11).alias("k"))
+    w, d = 32, 3                       # tiny grid to force collisions
+    sa, sb = cms_build(a, "k", width=w, depth=d), cms_build(b, "k", width=w, depth=d)
+    s_all = cms_build(a.unionAll(b), "k", width=w, depth=d)
+    merged = (sa.unionByName(sb).groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt")))
+    assert (merged.exceptAll(s_all).count() == 0
+            and s_all.exceptAll(merged).count() == 0)
+    assert s_all.count() <= w * d
+    keys = spark.range(0, 37).select(F.col("id").alias("k"))
+    est = {r.k: r.est for r in
+           cms_estimate(s_all, keys, "k", width=w, depth=d).collect()}
+    exact = {r.k: r.n for r in a.unionAll(b).groupBy("k")
+             .agg(F.count("*").alias("n")).collect()}
+    assert all(est[k] >= exact.get(k, 0) for k in est)
+    # with w=32 collisions are guaranteed: some key must overestimate
+    assert any(est[k] > exact.get(k, 0) for k in est)
