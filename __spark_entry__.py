@@ -1872,6 +1872,18 @@ def _pq_cms_user_counts(spark, sf):
                         .cast("long").alias("exact")))
 
 
+def _pq_jaccard_prefix_pairs(spark, sf):
+    """Exact set-similarity self-join with prefix filtering: every
+    doc pair whose whitespace-token Jaccard ≥ 0.95, found by joining
+    only on each doc's rarest-token prefix (AllPairs/SSJoin) — the
+    deterministic, no-miss complement to the MinHash-LSH path; the
+    oracle brute-forces all pairs, so a PASS proves the prefix filter
+    lost nothing."""
+    from stark_spark.operators.dedup import jaccard_prefix_join
+    docs = D.load(spark, sf, "documents")
+    return jaccard_prefix_join(docs, "doc_id", threshold=0.95)
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1898,6 +1910,7 @@ def pending_queries():
         "value_percent_rank": _pq_value_percent_rank,
         "ols_price_qty": _pq_ols_price_qty,
         "cms_user_counts": _pq_cms_user_counts,
+        "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
     }
 
 
@@ -2651,6 +2664,28 @@ src AS (
 SELECT est.user_id, est.est,
   CAST(coalesce(exact.exact, 0) AS BIGINT) AS exact
 FROM est LEFT JOIN exact USING (user_id)""",
+
+        "jaccard_prefix_pairs": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, t AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT ta.doc_id AS a, tb.doc_id AS b,
+    CAST(count(*) AS BIGINT) AS n_common
+  FROM tok ta JOIN tok tb
+    ON ta.tok = tb.tok AND ta.doc_id < tb.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+  CAST(1000000 * n_common // (sa.sz + sb.sz - n_common) AS BIGINT)
+    AS jaccard_q6
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE 1000000 * n_common // (sa.sz + sb.sz - n_common) >= 950000""",
     }
 
 

@@ -547,6 +547,75 @@ def ngram_jaccard_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
               .select("a", "b", "n_common", "sz_a", "sz_b", "jaccard")
 
 
+def jaccard_prefix_join(df: DataFrame, key: str, *,
+                        threshold: float = 0.6,
+                        text_col: str = "text") -> DataFrame:
+    """EXACT token-set similarity self-join via prefix filtering
+    (Chaudhuri et al. SSJoin 2006 / Bayardo et al. AllPairs 2007) —
+    the deterministic complement to the MinHash-LSH tier: every pair
+    with Jaccard ≥ threshold is returned, no probabilistic misses.
+
+    The scale trick: a pair with J ≥ t must share a token inside each
+    side's PREFIX — the first ``|d| − floor(t·|d|) + 1`` tokens when
+    every doc orders its tokens by ascending document frequency
+    (rarest first, ties on the token string: a global total order).
+    So the candidate join runs on prefix tokens only — the rarest in
+    the corpus, which is what bounds the per-token bucket fan-out —
+    instead of the classic any-shared-token self-join whose hottest
+    bucket is the corpus's most COMMON token. Candidates are then
+    verified with exact intersection counts.
+
+    All-integer output contract: jaccard_q6 = (10⁶·|∩|) div |∪|, so
+    the threshold decision is integer division — bit-reproducible in
+    any engine. The prefix length is computed against (t_q6−1)/10⁶ so
+    integer-boundary pairs the q6 rule accepts can never be missed by
+    the float prefix arithmetic.
+
+    Output: (a, b, n_common, sz_a, sz_b, jaccard_q6), a < b.
+    """
+    t_q6 = int(round(threshold * 1_000_000))
+    t_eff = (t_q6 - 1) / 1_000_000.0
+    tok = (_spread_by_key(df, key)
+           .select(key, F.explode(F.split(F.col(text_col), " "))
+                         .alias("tok"))
+           .distinct())
+    freq = tok.groupBy("tok").agg(F.count("*").alias("df_tok"))
+    ranked = tok.join(freq, "tok")
+    per_doc = (ranked.groupBy(key)
+               .agg(F.array_sort(F.collect_list(
+                        F.struct("df_tok", "tok"))).alias("ts"),
+                    F.count("*").alias("sz")))
+    prefix_len = (F.col("sz")
+                  - F.floor(F.lit(t_eff) * F.col("sz")) + 1).cast("int")
+    pref = per_doc.select(
+        key, "sz",
+        F.explode(F.slice(F.col("ts.tok"), F.lit(1), prefix_len))
+         .alias("tok"))
+    a = pref.select(F.col(key).alias("a"), "tok")
+    b = pref.select(F.col(key).alias("b"), "tok")
+    cand = (a.join(b, "tok").where(F.col("a") < F.col("b"))
+             .select("a", "b").distinct())
+    ia = cand.join(tok.select(F.col(key).alias("a"), "tok"), "a")
+    inter = (ia.join(tok.select(F.col(key).alias("b"), "tok"),
+                     ["b", "tok"])
+               .groupBy("a", "b").agg(F.count("*").alias("n_common")))
+    sizes = per_doc.select(key, "sz")
+    out = (inter
+           .join(sizes.select(F.col(key).alias("a"),
+                              F.col("sz").alias("sz_a")), "a")
+           .join(sizes.select(F.col(key).alias("b"),
+                              F.col("sz").alias("sz_b")), "b")
+           .withColumn("jaccard_q6",
+                       F.expr("1000000 * n_common div "
+                              "(sz_a + sz_b - n_common)")))
+    return (out.where(F.col("jaccard_q6") >= t_q6)
+               .select("a", "b",
+                       F.col("n_common").cast("long").alias("n_common"),
+                       F.col("sz_a").cast("long").alias("sz_a"),
+                       F.col("sz_b").cast("long").alias("sz_b"),
+                       F.col("jaccard_q6").cast("long").alias("jaccard_q6")))
+
+
 def _simhash_bits(text: Column, shingle_k: int, n_bits: int) -> Column:
     """SimHash fingerprint via ONE fold over the shingle hashes.
 

@@ -646,3 +646,35 @@ def test_cms_overestimate_and_merge(spark):
     assert all(est[k] >= exact.get(k, 0) for k in est)
     # with w=32 collisions are guaranteed: some key must overestimate
     assert any(est[k] > exact.get(k, 0) for k in est)
+
+
+def test_jaccard_prefix_join_no_misses(spark):
+    """Prefix filtering must be LOSSLESS: result equals the brute-force
+    all-pairs integer-Jaccard join on hand data with boundary cases
+    (exact-threshold pair, disjoint pair, identical pair)."""
+    from stark_spark.operators.dedup import jaccard_prefix_join
+    docs = [
+        (1, "a b c d e"),            # with 2: 4/6 = 0.666...
+        (2, "a b c d x"),
+        (3, "a b c d e"),            # identical to 1 -> J = 1
+        (4, "p q r s t"),            # disjoint from 1-3
+        (5, "a b c"),                # subset: with 1 J = 3/5 = 0.6 exact
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.a, r.b): r.jaccard_q6
+           for r in jaccard_prefix_join(df, "doc_id",
+                                        threshold=0.6).collect()}
+    # brute force in python
+    sets = {k: set(t.split(" ")) for k, t in docs}
+    want = {}
+    ks = sorted(sets)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            jq = 1_000_000 * inter // union
+            if jq >= 600_000:
+                want[(a, b)] = jq
+    assert got == want
+    assert got[(1, 5)] == 600_000        # exact-boundary pair kept
+    assert (1, 4) not in got
