@@ -1884,6 +1884,15 @@ def _pq_jaccard_prefix_pairs(spark, sf):
     return jaccard_prefix_join(docs, "doc_id", threshold=0.95)
 
 
+def _pq_bpe_merge_pairs(spark, sf):
+    """BPE tokenizer-training merge round: top-50 adjacent character
+    pairs weighted by word frequency — pair generation over the
+    distinct-word VOCAB (never the corpus), the shape real BPE
+    trainers run at corpus scale."""
+    from stark_spark.operators.text import bpe_merge_pairs
+    return bpe_merge_pairs(D.load(spark, sf, "documents"), 50)
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1911,6 +1920,7 @@ def pending_queries():
         "ols_price_qty": _pq_ols_price_qty,
         "cms_user_counts": _pq_cms_user_counts,
         "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
+        "bpe_merge_pairs": _pq_bpe_merge_pairs,
     }
 
 
@@ -2686,6 +2696,24 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE 1000000 * n_common // (sa.sz + sb.sz - n_common) >= 950000""",
+
+        "bpe_merge_pairs": """
+WITH toks AS (
+  SELECT lower(t) AS w
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE regexp_matches(lower(t), '^[a-z]+$') AND length(t) >= 2
+), words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+), pairs AS (
+  -- DuckDB can't correlate generate_series bounds: fixed 1..128
+  -- grid + filter (no [a-z]+ token in the corpus exceeds 129 chars)
+  SELECT substring(w, CAST(i AS INT), 2) AS pair, c
+  FROM words, generate_series(1, 128) t(i)
+  WHERE i <= length(w) - 1
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 50""",
     }
 
 

@@ -598,6 +598,41 @@ def vocab_freq_spectrum(df: DataFrame, *, text_col: str = "text",
                   .limit(max_rows))
 
 
+def bpe_merge_pairs(df: DataFrame, k: int = 50, *,
+                    text_col: str = "text") -> DataFrame:
+    """One BPE-training merge round: the top-k adjacent character
+    pairs across the corpus, weighted by word frequency — the count
+    that picks each merge in byte-pair-encoding tokenizer training
+    (Sennrich et al. 2016).
+
+    The scale trick is the same one every real BPE trainer uses:
+    pair generation runs over the DISTINCT-WORD vocabulary (each word
+    contributes its pairs × its corpus frequency), never over the
+    corpus — so after one map-side-combined word-count aggregate, all
+    remaining work is vocabulary-sized. Iterating the full training
+    loop re-applies the winning merge to the vocab frame (vocab-sized
+    per round) and re-runs this count; this operator is that round's
+    engine. Output: (pair, cnt), ties broken on the pair string.
+
+    Words are lowercased ASCII-letter runs (``^[a-z]+$`` after
+    lower()), so the pair alphabet — and the oracle mirror — is
+    unambiguous."""
+    words = (df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+               .select(F.lower(F.col("t")).alias("w"))
+               .where(F.col("w").rlike("^[a-z]+$")
+                      & (F.length("w") >= 2))
+               .groupBy("w").agg(F.count("*").alias("c")))
+    pairs = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(w) - 1),"
+            " i -> substring(w, i, 2))")).alias("pair"),
+        F.col("c"))
+    return (pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
+                 .orderBy(F.desc("cnt"), F.asc("pair"))
+                 .limit(k)
+                 .select("pair", F.col("cnt").cast("long").alias("cnt")))
+
+
 def pmi_collocations(df: DataFrame, k: int = 50, *,
                      text_col: str = "text",
                      min_count: int = 5) -> DataFrame:

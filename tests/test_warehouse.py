@@ -678,3 +678,13 @@ def test_jaccard_prefix_join_no_misses(spark):
     assert got == want
     assert got[(1, 5)] == 600_000        # exact-boundary pair kept
     assert (1, 4) not in got
+
+
+def test_bpe_merge_pairs_hand(spark):
+    """Weighted adjacent-pair counts: 'aaab'x2 contributes aa twice
+    per occurrence; non-letter and 1-char tokens are excluded."""
+    from stark_spark.operators.text import bpe_merge_pairs
+    df = spark.createDataFrame(
+        [(1, "aaab aaab cd X9 z")], "doc_id long, text string")
+    got = [(r.pair, r.cnt) for r in bpe_merge_pairs(df, 10).collect()]
+    assert got == [("aa", 4), ("ab", 2), ("cd", 1)]
