@@ -1893,6 +1893,24 @@ def _pq_bpe_merge_pairs(spark, sf):
     return bpe_merge_pairs(D.load(spark, sf, "documents"), 50)
 
 
+def _pq_bfs_reach(spark, sf):
+    """4-hop blast radius over the event handoff graph (same edge
+    derivation as `pagerank_handoff`): multi-source frontier BFS from
+    user_ids < 5 — each round joins only the new frontier against the
+    edge list, so total work is the k-hop ball, not visited×deg."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import bfs_hops
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("user_id").alias("src"),
+                       F.lead("user_id").over(w).alias("dst"))
+               .where(F.col("dst").isNotNull()
+                      & (F.col("src") != F.col("dst"))))
+    sources = (ev.select(F.col("user_id").alias("node"))
+                 .where(F.col("node") < 5).distinct())
+    return bfs_hops(edges, sources, n_rounds=4)
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1921,6 +1939,7 @@ def pending_queries():
         "cms_user_counts": _pq_cms_user_counts,
         "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
         "bpe_merge_pairs": _pq_bpe_merge_pairs,
+        "bfs_reach": _pq_bfs_reach,
     }
 
 
@@ -2039,6 +2058,35 @@ def _zorder_interleave_sql(x: str, y: str, bits: int) -> str:
         terms.append(f"(({x} >> {b}) & 1) * {1 << (2 * b)}")
         terms.append(f"(({y} >> {b}) & 1) * {1 << (2 * b + 1)}")
     return " + ".join(terms)
+
+
+def _bfs_sql(n_rounds: int = 4) -> str:
+    """Unrolled multi-source BFS CTE chain — the DuckDB mirror of
+    `graph.bfs_hops` over the handoff graph (level k = new frontier,
+    visited set accumulated per level)."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+      lead(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS dst
+    FROM events) t
+  WHERE dst IS NOT NULL AND src <> dst
+), r0 AS (
+  SELECT DISTINCT user_id AS node FROM events WHERE user_id < 5
+), v0 AS (SELECT node FROM r0)"""
+    parts = [head]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        parts.append(f""", r{i} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM e JOIN r{p} ON e.src = r{p}.node
+  WHERE e.dst NOT IN (SELECT node FROM v{p})
+), v{i} AS (SELECT node FROM v{p} UNION SELECT node FROM r{i})""")
+    levels = "\nUNION ALL ".join(
+        f"SELECT node, CAST({i} AS BIGINT) AS hop FROM r{i}"
+        for i in range(n_rounds + 1))
+    return "".join(parts) + "\n" + levels
 
 
 def pending_oracle_sql() -> dict[str, str]:
@@ -2714,6 +2762,8 @@ WITH toks AS (
 SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
 FROM pairs GROUP BY pair
 ORDER BY cnt DESC, pair ASC LIMIT 50""",
+
+        "bfs_reach": _bfs_sql(4),
     }
 
 

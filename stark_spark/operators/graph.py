@@ -234,3 +234,42 @@ def pagerank(edges: DataFrame, *, n_iter: int = 3,
                                     f"div 100")).cast("long").alias("r"))
                   .localCheckpoint())
     return r.select("node", F.col("r").alias("rank_q"))
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame, *,
+             n_rounds: int = 4, src: str = "src",
+             dst: str = "dst", node: str = "node") -> DataFrame:
+    """Multi-source BFS: minimum hop distance from the source set,
+    expanded ``n_rounds`` levels (k-hop neighborhood / blast-radius
+    queries). Output: (node, hop) — every node within n_rounds, hop =
+    its first-discovery level (sources at 0).
+
+    Frontier form — the shape that survives large graphs: each round
+    joins only the NEWLY discovered frontier against the edge list
+    (one equi-join shuffle on the node key), anti-joins the visited
+    set, and ``localCheckpoint()``s so iterative lineage can't grow.
+    Work per round is O(frontier·avg_deg), not O(visited·deg); total
+    rows moved ≈ edges within the k-hop ball, the BFS lower bound.
+    The early-exit count() per round is a driver scalar, not a
+    collect. Set semantics throughout (distinct frontiers), so the
+    result is deterministic at any parallelism.
+    """
+    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+              .where(F.col("_s") != F.col("_d"))
+              .distinct().localCheckpoint())
+    dist = (sources.select(F.col(node).alias("node"))
+                   .distinct()
+                   .select("node", F.lit(0).cast("long").alias("hop"))
+                   .localCheckpoint())
+    frontier = dist.select("node")
+    for level in range(1, n_rounds + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["_s"])
+                       .select(F.col("_d").alias("node")).distinct())
+        new = (nxt.join(dist, "node", "left_anti")
+                  .select("node", F.lit(level).cast("long").alias("hop"))
+                  .localCheckpoint())
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new.select("node")
+    return dist

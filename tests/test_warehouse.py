@@ -688,3 +688,18 @@ def test_bpe_merge_pairs_hand(spark):
         [(1, "aaab aaab cd X9 z")], "doc_id long, text string")
     got = [(r.pair, r.cnt) for r in bpe_merge_pairs(df, 10).collect()]
     assert got == [("aa", 4), ("ab", 2), ("cd", 1)]
+
+
+def test_bfs_hops_hand(spark):
+    """Chain + branch + unreachable + early-exit: min-hop semantics,
+    source nodes at 0 even when also reachable later."""
+    from stark_spark.operators.graph import bfs_hops
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 1),   # cycle back
+         (7, 8)],                                          # unreachable
+        "src long, dst long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hop
+           for r in bfs_hops(edges, srcs, n_rounds=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3, 5: 4}
+    # early exit: 10 rounds requested, frontier dies after 4
