@@ -1911,6 +1911,34 @@ def _pq_bfs_reach(spark, sf):
     return bfs_hops(edges, sources, n_rounds=4)
 
 
+def _pq_stream_cms_counts(spark, sf):
+    """Streaming CMS == batch CMS == DuckDB: events replayed as
+    file-source micro-batches through the streaming Count-Min cell
+    aggregation (state ≤ w·d cells — bounded for any stream length),
+    then the SAME broadcast point queries as `cms_user_counts` run on
+    the final sink table. The oracle is the batch mirror, so a PASS
+    proves streaming arrival order cannot move a single counter."""
+    import tempfile
+    from stark_spark.operators.sketch import cms_estimate
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_cms)
+    ev = D.load(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="stark_stream_cms_") + "/events"
+    ev.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, ev.schema, max_files=2)
+    sketch = _stream_sink(stream_cms(s, "user_id", width=_CMS_W,
+                                     depth=_CMS_D), "complete")
+    keys = spark.range(0, 25).select(F.col("id").alias("user_id"))
+    est = cms_estimate(sketch, keys, "user_id",
+                       width=_CMS_W, depth=_CMS_D)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact"))
+    return (est.join(exact, "user_id", "left")
+               .select(F.col("user_id").cast("long").alias("user_id"),
+                       F.col("est").cast("long").alias("est"),
+                       F.coalesce(F.col("exact"), F.lit(0))
+                        .cast("long").alias("exact")))
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1940,6 +1968,7 @@ def pending_queries():
         "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
         "bpe_merge_pairs": _pq_bpe_merge_pairs,
         "bfs_reach": _pq_bfs_reach,
+        "stream_cms_counts": _pq_stream_cms_counts,
     }
 
 
@@ -2087,6 +2116,43 @@ WITH e AS (
         f"SELECT node, CAST({i} AS BIGINT) AS hop FROM r{i}"
         for i in range(n_rounds + 1))
     return "".join(parts) + "\n" + levels
+
+
+def _cms_oracle_sql() -> str:
+    """Batch-CMS DuckDB mirror — shared by cms_user_counts and its
+    streaming twin (streaming cell sums are order-insensitive)."""
+    return f"""
+WITH rows_d AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+src AS (
+  SELECT r, md5('cms' || CAST(r AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)) AS h
+  FROM events CROSS JOIN rows_d
+), cells AS (
+  SELECT CAST(r AS BIGINT) AS row,
+    CAST(({_hex13_sql('h')}) % {_CMS_W} AS BIGINT) AS bucket,
+    CAST(count(*) AS BIGINT) AS cnt
+  FROM src GROUP BY 1, 2
+), keys AS (
+  SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 25)
+), ph AS (
+  SELECT user_id, r, md5('cms' || CAST(r AS VARCHAR) || ':'
+                         || CAST(user_id AS VARCHAR)) AS h
+  FROM keys CROSS JOIN rows_d
+), probes AS (
+  SELECT user_id, CAST(r AS BIGINT) AS row,
+    CAST(({_hex13_sql('h')}) % {_CMS_W} AS BIGINT) AS bucket
+  FROM ph
+), est AS (
+  SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
+  FROM probes LEFT JOIN cells USING (row, bucket)
+  GROUP BY user_id
+), exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+  FROM events GROUP BY user_id
+)
+SELECT est.user_id, est.est,
+  CAST(coalesce(exact.exact, 0) AS BIGINT) AS exact
+FROM est LEFT JOIN exact USING (user_id)"""
 
 
 def pending_oracle_sql() -> dict[str, str]:
@@ -2690,38 +2756,8 @@ SELECT n_name, n,
   END AS r2_q6
 FROM m""",
 
-        "cms_user_counts": f"""
-WITH rows_d AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
-src AS (
-  SELECT r, md5('cms' || CAST(r AS VARCHAR) || ':'
-                || CAST(user_id AS VARCHAR)) AS h
-  FROM events CROSS JOIN rows_d
-), cells AS (
-  SELECT CAST(r AS BIGINT) AS row,
-    CAST(({_hex13_sql('h')}) % {_CMS_W} AS BIGINT) AS bucket,
-    CAST(count(*) AS BIGINT) AS cnt
-  FROM src GROUP BY 1, 2
-), keys AS (
-  SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 25)
-), ph AS (
-  SELECT user_id, r, md5('cms' || CAST(r AS VARCHAR) || ':'
-                         || CAST(user_id AS VARCHAR)) AS h
-  FROM keys CROSS JOIN rows_d
-), probes AS (
-  SELECT user_id, CAST(r AS BIGINT) AS row,
-    CAST(({_hex13_sql('h')}) % {_CMS_W} AS BIGINT) AS bucket
-  FROM ph
-), est AS (
-  SELECT user_id, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS est
-  FROM probes LEFT JOIN cells USING (row, bucket)
-  GROUP BY user_id
-), exact AS (
-  SELECT user_id, CAST(count(*) AS BIGINT) AS exact
-  FROM events GROUP BY user_id
-)
-SELECT est.user_id, est.est,
-  CAST(coalesce(exact.exact, 0) AS BIGINT) AS exact
-FROM est LEFT JOIN exact USING (user_id)""",
+        "cms_user_counts": _cms_oracle_sql(),
+
 
         "jaccard_prefix_pairs": """
 WITH tok AS (
@@ -2764,6 +2800,7 @@ FROM pairs GROUP BY pair
 ORDER BY cnt DESC, pair ASC LIMIT 50""",
 
         "bfs_reach": _bfs_sql(4),
+        "stream_cms_counts": _cms_oracle_sql(),
     }
 
 

@@ -501,3 +501,27 @@ def stream_score_outliers(stream: DataFrame, thresholds: DataFrame, *,
                             F.abs(F.col("value_c") - F.col("med_c")))
                 .where(F.col("dev") > F.lit(k) * F.col("mad_c"))
                 .select(key, group, "value_c", "med_c", "mad_c", "dev"))
+
+
+def stream_cms(stream: DataFrame, col: str, *, width: int = 512,
+               depth: int = 4) -> DataFrame:
+    """Streaming Count-Min sketch — the frequency sketch at the
+    firehose: the batch `sketch.cms_build` cell aggregation run as a
+    streaming aggregation. Because a CMS cell is a plain SUM (counts
+    are associative and commutative), ANY micro-batch arrival order
+    converges to the batch sketch bit-for-bit, and the state store
+    holds at most width·depth counter cells — bounded regardless of
+    throughput or stream lifetime, no watermark needed. This is the
+    canonical "unbounded keys, bounded memory" streaming pattern:
+    track frequencies of arbitrarily many distinct keys in O(w·d)
+    state, answer point queries with `sketch.cms_estimate` against
+    the (tiny, always-current) sink table."""
+    from stark_spark.operators.sketch import _cms_bucket
+    rows = F.array(*[
+        F.struct(F.lit(d).cast("long").alias("row"),
+                 _cms_bucket(F.col(col), d, width).alias("bucket"))
+        for d in range(depth)])
+    return (stream.select(F.explode(rows).alias("c"))
+                  .groupBy(F.col("c.row").alias("row"),
+                           F.col("c.bucket").alias("bucket"))
+                  .agg(F.count("*").alias("cnt")))

@@ -427,3 +427,31 @@ def test_stream_contamination_ngrams_matches_batch(spark, tmp_path):
     assert got_counts == want_counts and len(got) > 0
     for p in q.recentProgress:
         assert not p.get("stateOperators"), "unexpected streaming state"
+
+
+def test_stream_cms_state_bounded_and_equals_batch(spark, stream_dir):
+    """Streaming CMS: state store never exceeds width·depth cells
+    (bounded memory for unbounded keys), and the final sketch equals
+    the batch cms_build cell-for-cell — counts are associative sums,
+    so arrival order cannot move a counter."""
+    from stark_spark.operators.sketch import cms_build
+    from stark_spark.streaming.stream import stream_cms
+    path, schema = stream_dir
+    w, d = 64, 3
+    s = read_event_stream(spark, path, schema, max_files=2)
+    out = stream_cms(s, "user_id", width=w, depth=d)
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progress, "no stateful progress recorded"
+    for p in progress:
+        for op in p["stateOperators"]:
+            assert op.get("numRowsTotal", 0) <= w * d
+    got = {(r.row, r.bucket): r.cnt
+           for r in spark.table(name).collect()}
+    ev = spark.read.schema(schema).parquet(path)
+    want = {(r.row, r.bucket): r.cnt
+            for r in cms_build(ev, "user_id", width=w, depth=d).collect()}
+    assert got == want and len(got) > 0
