@@ -1939,6 +1939,27 @@ def _pq_stream_cms_counts(spark, sf):
                         .cast("long").alias("exact")))
 
 
+def _pq_sssp_latency(spark, sf):
+    """4-edge-bounded shortest handoff latency: the handoff graph
+    weighted by the MINIMUM observed gap (µs) per edge, relaxed 4
+    Bellman-Ford rounds from user_ids < 5 — min-latency reach, exact
+    BIGINT distances mirrored by the oracle's unrolled CTE chain."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import sssp_bounded
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    hops = (ev.select(F.col("user_id").alias("src"),
+                      F.lead("user_id").over(w).alias("dst"),
+                      (F.lead(us).over(w) - us).alias("gap"))
+              .where(F.col("dst").isNotNull()
+                     & (F.col("src") != F.col("dst"))))
+    edges = hops.groupBy("src", "dst").agg(F.min("gap").alias("w"))
+    sources = (ev.select(F.col("user_id").alias("node"))
+                 .where(F.col("node") < 5).distinct())
+    return sssp_bounded(edges, sources, n_rounds=4)
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1969,6 +1990,7 @@ def pending_queries():
         "bpe_merge_pairs": _pq_bpe_merge_pairs,
         "bfs_reach": _pq_bfs_reach,
         "stream_cms_counts": _pq_stream_cms_counts,
+        "sssp_latency": _pq_sssp_latency,
     }
 
 
@@ -2153,6 +2175,38 @@ src AS (
 SELECT est.user_id, est.est,
   CAST(coalesce(exact.exact, 0) AS BIGINT) AS exact
 FROM est LEFT JOIN exact USING (user_id)"""
+
+
+def _sssp_sql(n_rounds: int = 4) -> str:
+    """Unrolled Bellman-Ford CTE chain — the DuckDB mirror of
+    `graph.sssp_bounded` over the min-gap handoff graph."""
+    head = """
+WITH e AS (
+  SELECT src, dst, CAST(min(gap) AS BIGINT) AS w FROM (
+    SELECT user_id AS src,
+      lead(user_id) OVER win AS dst,
+      lead(epoch_us(ts)) OVER win - epoch_us(ts) AS gap
+    FROM events
+    WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)) t
+  WHERE dst IS NOT NULL AND src <> dst
+  GROUP BY src, dst
+), d0 AS (
+  SELECT DISTINCT user_id AS node, CAST(0 AS BIGINT) AS dist
+  FROM events WHERE user_id < 5
+)"""
+    parts = [head]
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        parts.append(f""", c{i} AS (
+  SELECT e.dst AS node, d{p}.dist + e.w AS dist
+  FROM d{p} JOIN e ON e.src = d{p}.node
+), d{i} AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist
+  FROM (SELECT * FROM d{p} UNION ALL SELECT * FROM c{i})
+  GROUP BY node
+)""")
+    return ("".join(parts)
+            + f" SELECT node, dist FROM d{n_rounds}")
 
 
 def pending_oracle_sql() -> dict[str, str]:
@@ -2801,6 +2855,7 @@ ORDER BY cnt DESC, pair ASC LIMIT 50""",
 
         "bfs_reach": _bfs_sql(4),
         "stream_cms_counts": _cms_oracle_sql(),
+        "sssp_latency": _sssp_sql(4),
     }
 
 

@@ -273,3 +273,44 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, *,
         dist = dist.unionByName(new).localCheckpoint()
         frontier = new.select("node")
     return dist
+
+
+def sssp_bounded(edges: DataFrame, sources: DataFrame, *,
+                 n_rounds: int = 4, src: str = "src", dst: str = "dst",
+                 weight: str = "w", node: str = "node") -> DataFrame:
+    """Multi-source shortest path over non-negative integer weights,
+    bounded to paths of ≤ ``n_rounds`` edges — distributed
+    Bellman-Ford, the relaxation twin of `bfs_hops`.
+
+    Each round is one equi-join of the current distance frame onto
+    the edge list (shuffle on the node key) followed by a
+    map-side-combined min per destination; distances stay exact
+    BIGINTs, so the k-round result is deterministic in any engine.
+    ``localCheckpoint()`` per round caps iterative lineage;
+    convergence short-circuits on two scalar aggregates (row count +
+    Σdist unchanged ⇒ no relaxation succeeded — sound because a
+    successful relaxation strictly lowers some node's distance or
+    adds a node, which moves one of the two).
+
+    Output: (node, dist) for every node reachable within n_rounds
+    edges; dist = min total weight over such paths.
+    """
+    e = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"),
+                      F.col(weight).cast("long").alias("_w"))
+              .localCheckpoint())
+    dist = (sources.select(F.col(node).alias("node")).distinct()
+                   .select("node", F.lit(0).cast("long").alias("dist"))
+                   .localCheckpoint())
+    sig = dist.agg(F.count("*"), F.sum("dist")).first()
+    for _ in range(n_rounds):
+        cand = (dist.join(e, dist["node"] == e["_s"])
+                    .select(F.col("_d").alias("node"),
+                            (F.col("dist") + F.col("_w")).alias("dist")))
+        dist = (dist.unionByName(cand)
+                    .groupBy("node").agg(F.min("dist").alias("dist"))
+                    .localCheckpoint())
+        new_sig = dist.agg(F.count("*"), F.sum("dist")).first()
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return dist

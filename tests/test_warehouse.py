@@ -703,3 +703,23 @@ def test_bfs_hops_hand(spark):
            for r in bfs_hops(edges, srcs, n_rounds=10).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 6: 2, 4: 3, 5: 4}
     # early exit: 10 rounds requested, frontier dies after 4
+
+
+def test_sssp_bounded_hand(spark):
+    """Relaxation semantics: cheaper 3-edge path beats direct edge;
+    round bound excludes longer paths; early exit on convergence."""
+    from stark_spark.operators.graph import sssp_bounded
+    edges = spark.createDataFrame(
+        [(1, 5, 100), (1, 2, 10), (2, 3, 10), (3, 5, 10),   # 1->5: 30
+         (5, 6, 1), (6, 7, 1), (7, 8, 1), (8, 9, 1)],
+        "src long, dst long, w long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist
+           for r in sssp_bounded(edges, srcs, n_rounds=4).collect()}
+    assert got[5] == 30                   # multi-hop beats direct 100
+    # 6 via the cheap path is 4 edges (31); 7/8 only via direct 1->5
+    assert got == {1: 0, 2: 10, 3: 20, 5: 30, 6: 31, 7: 102, 8: 103}
+    assert 9 not in got                   # needs 5 edges minimum
+    full = {r.node: r.dist
+            for r in sssp_bounded(edges, srcs, n_rounds=20).collect()}
+    assert full[9] == 34                  # converged: 30 + 4
