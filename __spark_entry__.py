@@ -1960,6 +1960,25 @@ def _pq_sssp_latency(spark, sf):
     return sssp_bounded(edges, sources, n_rounds=4)
 
 
+def _pq_golden_record(spark, sf):
+    """Survivorship merge per user: each attribute independently
+    takes its latest NON-NULL observation (purchase cents vs non-
+    purchase event type live on different rows) — ONE map-side-
+    combined aggregate, no window, no self-join."""
+    from stark_spark.operators.merge import golden_record
+    ev = D.load(spark, sf, "events")
+    src = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+         .alias("last_purchase_c"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type"))
+         .alias("last_other_type"))
+    return golden_record(src, ["user_id"], ts_col="ts",
+                         tie_col="event_id",
+                         attrs=["last_purchase_c", "last_other_type"])
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -1991,6 +2010,7 @@ def pending_queries():
         "bfs_reach": _pq_bfs_reach,
         "stream_cms_counts": _pq_stream_cms_counts,
         "sssp_latency": _pq_sssp_latency,
+        "golden_record": _pq_golden_record,
     }
 
 
@@ -2856,6 +2876,32 @@ ORDER BY cnt DESC, pair ASC LIMIT 50""",
         "bfs_reach": _bfs_sql(4),
         "stream_cms_counts": _cms_oracle_sql(),
         "sssp_latency": _sssp_sql(4),
+
+        "golden_record": """
+WITH src AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'purchase'
+         THEN CAST(round(value * 100) AS BIGINT) END AS pc,
+    CASE WHEN event_type <> 'purchase' THEN event_type END AS ot
+  FROM events
+), a1 AS (
+  SELECT user_id,
+    first(pc ORDER BY ts DESC, event_id DESC) AS last_purchase_c
+  FROM src WHERE pc IS NOT NULL GROUP BY user_id
+), a2 AS (
+  SELECT user_id,
+    first(ot ORDER BY ts DESC, event_id DESC) AS last_other_type
+  FROM src WHERE ot IS NOT NULL GROUP BY user_id
+), ls AS (
+  SELECT user_id,
+    first(ts ORDER BY ts DESC, event_id DESC) AS last_seen_ts
+  FROM src GROUP BY user_id
+)
+SELECT ls.user_id, a1.last_purchase_c, a2.last_other_type,
+  ls.last_seen_ts
+FROM ls
+LEFT JOIN a1 USING (user_id)
+LEFT JOIN a2 USING (user_id)""",
     }
 
 

@@ -170,3 +170,32 @@ def table_diff(base: DataFrame, other: DataFrame, keys: list[str],
     return one.select(F.expr(
         f"stack({len(items)}, {stack}) AS (item, n)")).select(
         "item", F.col("n").cast("long").alias("n"))
+
+
+def golden_record(df: DataFrame, keys: list[str], *, ts_col: str,
+                  tie_col: str, attrs: list[str]) -> DataFrame:
+    """Survivorship merge (the MDM "golden record"): one row per
+    entity where EACH attribute independently takes its most recent
+    NON-NULL observation — unlike `merge_upsert`, which keeps whole
+    rows, this fuses columns across rows (the newest row may have a
+    NULL phone while an older row has it; the golden record keeps
+    both bests).
+
+    Per attribute: max over (ts, tie, value) structs restricted to
+    non-null values — associative/commutative, so ONE map-side-
+    combined aggregate per entity computes every column, no window,
+    no self-join, deterministic under any parallelism (``tie_col``
+    breaks exact-ts ties totally). Output: keys + attrs +
+    last_seen_ts (newest observation of any attribute).
+    """
+    aggs = []
+    for a in attrs:
+        pick = F.when(
+            F.col(a).isNotNull(),
+            F.struct(F.col(ts_col).alias("ts"),
+                     F.col(tie_col).alias("tie"),
+                     F.col(a).alias("v")))
+        aggs.append(F.max(pick).getField("v").alias(a))
+    aggs.append(F.max(F.struct(F.col(ts_col), F.col(tie_col)))
+                 .getField(ts_col).alias("last_seen_ts"))
+    return df.groupBy(*keys).agg(*aggs)

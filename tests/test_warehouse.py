@@ -723,3 +723,28 @@ def test_sssp_bounded_hand(spark):
     full = {r.node: r.dist
             for r in sssp_bounded(edges, srcs, n_rounds=20).collect()}
     assert full[9] == 34                  # converged: 30 + 4
+
+
+def test_golden_record_fuses_columns(spark):
+    """Survivorship: newest row has NULL phone, older row has it —
+    the golden record keeps both bests; whole-row latest-wins would
+    lose the phone."""
+    from stark_spark.operators.merge import golden_record
+    rows = [
+        (1, 100, 1, "a@x.io", None),
+        (1, 200, 2, None, "555"),       # newer, email NULL
+        (1, 150, 3, "b@x.io", None),    # older than 200, newer than 100
+        (2, 50, 4, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, ts long, eid long, email string, phone string")
+    got = {r.uid: r for r in
+           golden_record(df, ["uid"], ts_col="ts", tie_col="eid",
+                         attrs=["email", "phone"]).collect()}
+    assert got[1].email == "b@x.io" and got[1].phone == "555"
+    assert got[1].last_seen_ts == 200
+    assert got[2].email is None and got[2].phone is None
+    plan = (golden_record(df, ["uid"], ts_col="ts", tie_col="eid",
+                          attrs=["email", "phone"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan and "Join" not in plan
