@@ -1979,6 +1979,77 @@ def _pq_golden_record(spark, sf):
                          attrs=["last_purchase_c", "last_other_type"])
 
 
+_HDR_CUBE_DIMS = ["l_returnflag", "l_linestatus"]
+_HDR_CUBE_SETS = [("l_returnflag", "l_linestatus"),
+                  ("l_returnflag",), ()]
+_HDR_CUBE_QS = [5000, 9900]
+
+
+def _pq_latency_cube_hdr(spark, sf):
+    """p50/p99 price cube from ONE histogram pass: grouped HDR cells
+    over lineitem cents, re-aggregated (bucket-wise SUM — histogram
+    merge is addition) for (flag,status) / (flag) / grand-total
+    levels, nearest-rank picks off each group's bucket CDF — the
+    percentile CUBE that is only computable at 100 TB because rollup
+    levels reuse the sketch instead of re-scanning raw data."""
+    from stark_spark.operators.histogram import hdr_grouped, hdr_rollup
+    li = D.load(spark, sf, "lineitem")
+    src = li.select(*_HDR_CUBE_DIMS,
+                    F.round(F.col("l_extendedprice") * 100)
+                     .cast("long").alias("cents"))
+    cells = hdr_grouped(src, "cents", _HDR_CUBE_DIMS, 5)
+    return hdr_rollup(cells, _HDR_CUBE_DIMS, _HDR_CUBE_SETS,
+                      _HDR_CUBE_QS)
+
+
+def _hdr_cube_sql() -> str:
+    """DuckDB mirror of the HDR percentile cube: per grouping set the
+    same bucket re-aggregation + per-group CDF + nearest-rank pick,
+    bucket/bound arithmetic identical to histogram.hdr_bucket_sql."""
+    bucket = ("CASE WHEN v < 32 THEN v "
+              "ELSE (length(ltrim(bin(v), '0')) - 1 - 5) * 32 "
+              "+ (v >> CAST(length(ltrim(bin(v), '0')) - 1 - 5 AS INT)) "
+              "END")
+    hi = ("CAST(CASE WHEN bucket < 32 THEN bucket "
+          "ELSE ((bucket % 32 + 32) + 1) << CAST(bucket // 32 - 1 AS INT) "
+          "END - CASE WHEN bucket < 32 THEN 0 ELSE 1 END AS BIGINT)")
+    levels = []
+    for gs in _HDR_CUBE_SETS:
+        keep = [d for d in _HDR_CUBE_DIMS if d in gs]
+        kl = (", ".join(keep) + ", ") if keep else ""
+        pb = ("PARTITION BY " + ", ".join(keep)) if keep else ""
+        dims_out = ", ".join(
+            (f"CAST({d} AS VARCHAR) AS {d}" if d in gs
+             else f"CAST(NULL AS VARCHAR) AS {d}")
+            for d in _HDR_CUBE_DIMS)
+        levels.append(f"""
+SELECT {dims_out}, '{",".join(keep)}' AS level,
+  CAST(q_bp AS INT) AS q_bp, CAST(n AS BIGINT) AS n, {hi} AS estimate
+FROM (
+  SELECT {kl}q_bp, min(bucket) AS bucket, min(n) AS n
+  FROM (
+    SELECT {kl}bucket, cnt,
+      sum(cnt) OVER ({pb} ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      sum(cnt) OVER ({pb}) AS n
+    FROM (SELECT {kl}bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+          FROM cells GROUP BY {kl}bucket)
+  ) c, qs
+  WHERE cum >= (q_bp * n + 9999) // 10000
+  GROUP BY {kl}q_bp)""")
+    return (f"""
+WITH v AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+), b AS (
+  SELECT l_returnflag, l_linestatus, {bucket} AS bucket FROM v
+), cells AS (
+  SELECT l_returnflag, l_linestatus, bucket,
+    CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2, 3
+), qs(q_bp) AS (VALUES {", ".join(f"({q})" for q in _HDR_CUBE_QS)})"""
+            + "\nUNION ALL".join(levels))
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2011,6 +2082,7 @@ def pending_queries():
         "stream_cms_counts": _pq_stream_cms_counts,
         "sssp_latency": _pq_sssp_latency,
         "golden_record": _pq_golden_record,
+        "latency_cube_hdr": _pq_latency_cube_hdr,
     }
 
 
@@ -2902,6 +2974,8 @@ SELECT ls.user_id, a1.last_purchase_c, a2.last_other_type,
 FROM ls
 LEFT JOIN a1 USING (user_id)
 LEFT JOIN a2 USING (user_id)""",
+
+        "latency_cube_hdr": _hdr_cube_sql(),
     }
 
 

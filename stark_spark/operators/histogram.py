@@ -121,3 +121,84 @@ def hdr_quantiles(hist: DataFrame, quantiles_bp: list[int],
     return (ranked.groupBy("q_bp")
                   .agg(F.min_by("val", "bucket").alias("estimate"),
                        F.min("n").alias("n")))
+
+
+def hdr_grouped(df: DataFrame, col: str, dims: list[str],
+                sub_bits: int = 5) -> DataFrame:
+    """Per-(dims, bucket) HDR cell table — the mergeable grouped
+    histogram state: ONE map-side-combined aggregate over raw rows;
+    everything downstream (rollup levels, quantiles) runs on this
+    bounded frame (≤ groups × ~2k buckets)."""
+    guarded = F.when(F.col(col) < 0, F.expr(
+        f"raise_error('hdr_grouped: negative value in {col}')")
+    ).otherwise(F.col(col).cast("long")).alias("v")
+    cells = (df.select(*dims, guarded)
+               .select(*dims,
+                       F.expr(hdr_bucket_sql("v", sub_bits)).cast("long")
+                        .alias("bucket"))
+               .groupBy(*dims, "bucket")
+               .agg(F.count("*").alias("cnt")))
+    lo, hi = hdr_bounds_sql("bucket", sub_bits)
+    return cells.select(*dims, "bucket",
+                        F.expr(lo).cast("long").alias("lo"),
+                        F.expr(hi).cast("long").alias("hi"), "cnt")
+
+
+def hdr_rollup(cells: DataFrame, dims: list[str],
+               grouping_sets: list[tuple[str, ...]],
+               quantiles_bp: list[int], *,
+               value: str = "hi") -> DataFrame:
+    """Latency-percentile CUBE from ONE histogram pass: the grouped
+    cell table re-aggregates (bucket-wise count SUM — histogram merge
+    IS addition) for every grouping set, then nearest-rank quantiles
+    read off each group's bucket CDF.  The sketch twin of
+    `sketch.hll_rollup`: expensive pass over raw data once, every
+    rollup level bounded-keyspace work — the only way a p99 cube is
+    computable at 100 TB without re-scanning per level.
+
+    Output: dims (NULL where rolled up), level, q_bp, n, estimate.
+    """
+    from pyspark.sql import Window
+    cells = cells.localCheckpoint(eager=True)
+    val = {"lo": F.col("lo"), "hi": F.col("hi"),
+           "mid": (F.col("lo")
+                   + F.expr("(hi - lo) div 2")).cast("long")}[value]
+    qs = (cells.sparkSession.range(1)
+               .select(F.explode(F.array(
+                   *[F.lit(int(q)) for q in quantiles_bp])).alias("q_bp")))
+    outs = []
+    for gs in grouping_sets:
+        keep = [d for d in dims if d in gs]
+        h = (cells.groupBy(*keep, "bucket")
+                  .agg(F.min("lo").alias("lo"), F.min("hi").alias("hi"),
+                       F.sum("cnt").alias("cnt")))
+        wc = (Window.partitionBy(*keep).orderBy("bucket")
+                    .rowsBetween(Window.unboundedPreceding, 0))
+        wn = (Window.partitionBy(*keep)
+                    .rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing))
+        cdf = (h.withColumn("cum", F.sum("cnt").over(wc))
+                .withColumn("n", F.sum("cnt").over(wn))
+                .withColumn("val", val))
+        ranked = (cdf.crossJoin(F.broadcast(qs))
+                     .withColumn("rank",
+                                 F.expr("(q_bp * n + 9999) div 10000"))
+                     .where(F.col("cum") >= F.col("rank")))
+        sel = []
+        for d in dims:
+            if d in gs:
+                sel.append(F.col(d).cast("string").alias(d))
+            else:
+                sel.append(F.lit(None).cast("string").alias(d))
+        outs.append(
+            ranked.groupBy(*keep, "q_bp")
+                  .agg(F.min_by("val", "bucket").alias("estimate"),
+                       F.min("n").alias("n"))
+                  .select(*sel, F.lit(",".join(keep)).alias("level"),
+                          "q_bp", F.col("n").cast("long").alias("n"),
+                          F.col("estimate").cast("long")
+                           .alias("estimate")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -265,6 +265,7 @@ PENDING_SCALE = [
     "bfs_reach",
     "sssp_latency",
     "golden_record",
+    "latency_cube_hdr",
 ]
 
 

@@ -748,3 +748,34 @@ def test_golden_record_fuses_columns(spark):
                           attrs=["email", "phone"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_hdr_rollup_levels_consistent(spark):
+    """Cube invariants on hand data: the grand-total level equals
+    hdr_quantiles on the ungrouped histogram, and every level's
+    per-group n sums to the total row count."""
+    from stark_spark.operators.histogram import (hdr_grouped,
+                                                 hdr_histogram,
+                                                 hdr_quantiles,
+                                                 hdr_rollup)
+    rows = [("a", "x", v * 7 + 3) for v in range(200)]
+    rows += [("b", "x", v * 13 + 1) for v in range(100)]
+    rows += [("b", "y", v * 3) for v in range(50)]
+    df = spark.createDataFrame(rows, "g string, h string, v long")
+    cells = hdr_grouped(df, "v", ["g", "h"], 5)
+    cube = hdr_rollup(cells, ["g", "h"],
+                      [("g", "h"), ("g",), ()], [5000, 9900])
+    out = cube.collect()
+    total = {(r.q_bp): (r.n, r.estimate)
+             for r in out if r.level == ""}
+    flat = {r.q_bp: (r.n, r.estimate)
+            for r in hdr_quantiles(hdr_histogram(df, "v", 5),
+                                   [5000, 9900]).collect()}
+    assert total == flat
+    assert all(r.n == 350 for r in out if r.level == "")
+    lv_gh = [r for r in out if r.level == "g,h"]
+    assert {(r.g, r.h) for r in lv_gh} == {("a", "x"), ("b", "x"),
+                                           ("b", "y")}
+    # per-group n: 200/100/50 at both quantiles
+    ns = {(r.g, r.h, r.q_bp): r.n for r in lv_gh}
+    assert ns[("a", "x", 5000)] == 200 and ns[("b", "y", 9900)] == 50
