@@ -2050,6 +2050,15 @@ WITH v AS (
             + "\nUNION ALL".join(levels))
 
 
+def _pq_doc_logprob_bigram(spark, sf):
+    """Bigram-LM quality scoring (add-one smoothing): the next-order
+    filter after the unigram `doc_logprob` — word-salad documents
+    keep a fluent unigram score but crater here. Every ln() term
+    quantized to BIGINT micro-nats before the per-doc sum."""
+    from stark_spark.operators.text import doc_logprob_bigram
+    return doc_logprob_bigram(D.load(spark, sf, "documents"), "doc_id")
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2083,6 +2092,7 @@ def pending_queries():
         "sssp_latency": _pq_sssp_latency,
         "golden_record": _pq_golden_record,
         "latency_cube_hdr": _pq_latency_cube_hdr,
+        "doc_logprob_bigram": _pq_doc_logprob_bigram,
     }
 
 
@@ -2976,6 +2986,36 @@ LEFT JOIN a1 USING (user_id)
 LEFT JOIN a2 USING (user_id)""",
 
         "latency_cube_hdr": _hdr_cube_sql(),
+
+        "doc_logprob_bigram": """
+WITH lsts AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '')
+    AS lst
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(lst) - 1),
+                          i -> lst[i] || ' ' || lst[i + 1])) AS pair
+  FROM lsts WHERE len(lst) >= 2
+), tk AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+  WHERE token <> ''
+), uni AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cu FROM tk GROUP BY token
+), vv AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+), big AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS cb FROM pairs GROUP BY pair
+)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(CAST(floor(ln(CAST(big.cb + 1 AS DOUBLE)
+       / CAST(uni.cu + vv.v AS DOUBLE)) * 1000000) AS BIGINT))
+    AS BIGINT) AS logprob2_q
+FROM pairs p
+JOIN big USING (pair)
+JOIN uni ON uni.token = split_part(p.pair, ' ', 1), vv
+GROUP BY p.doc_id""",
     }
 
 

@@ -321,6 +321,49 @@ def doc_logprob(df: DataFrame, key: str, *, text_col: str = "text",
                     F.sum(term).alias("logprob_q")))
 
 
+def doc_logprob_bigram(df: DataFrame, key: str, *,
+                       text_col: str = "text") -> DataFrame:
+    """Bigram LM quality score per document with add-one smoothing:
+    Σ ln((c(a,b)+1)/(c(a)+V)) over the doc's adjacent token pairs —
+    the next-order LM filter after `doc_logprob` (catches shuffled-
+    word salad a unigram model scores as fluent).
+
+    Same cross-engine exactness contract as `doc_logprob`: each term
+    quantizes to floor(ln·1e6) BIGINT micro-nats BEFORE the per-doc
+    sum, so aggregation order cannot move the result.
+
+    Scale shape: bigram generation is a per-row array transform (no
+    window, no shuffle); corpus statistics are two map-side-combined
+    aggregates (bigram counts, unigram counts — both vocabulary-
+    sized); scoring joins doc bigrams to the two count frames on
+    their vocab keys. V (distinct unigrams) is one driver scalar.
+    Output: (key, n_bigrams, logprob2_q)."""
+    arr = "filter(split(%s, ' '), t -> t <> '')" % text_col
+    pair_expr = (f"CASE WHEN size({arr}) >= 2 THEN "
+                 f"transform(sequence(1, size({arr}) - 1), "
+                 f"i -> concat(element_at({arr}, i), ' ', "
+                 f"element_at({arr}, i + 1))) "
+                 f"ELSE array() END")
+    pairs = df.select(F.col(key),
+                      F.explode(F.expr(pair_expr)).alias("pair"))
+    uni = (df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+             .where(F.col("token") != "")
+             .groupBy("token").agg(F.count("*").alias("cu")))
+    v = uni.count()
+    big = pairs.groupBy("pair").agg(F.count("*").alias("cb"))
+    first_tok = F.expr("substring_index(pair, ' ', 1)").alias("token")
+    term = F.expr(
+        f"CAST(floor(ln(CAST(cb + 1 AS DOUBLE)"
+        f" / CAST(cu + {v} AS DOUBLE)) * 1000000) AS BIGINT)")
+    return (pairs
+            .join(F.broadcast(big), "pair")
+            .withColumn("token", first_tok)
+            .join(F.broadcast(uni), "token")
+            .groupBy(key)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum(term).alias("logprob2_q")))
+
+
 def bm25_topk(df: DataFrame, key: str, query_terms: list[str], k: int,
               *, text_col: str = "text", k1: float = 1.2,
               b: float = 0.75) -> DataFrame:

@@ -266,6 +266,7 @@ PENDING_SCALE = [
     "sssp_latency",
     "golden_record",
     "latency_cube_hdr",
+    "doc_logprob_bigram",
 ]
 
 
