@@ -258,7 +258,12 @@ def run(sf_dir: str, only: list[str] | None = None,
             failures += 1
         else:
             print(f"PASS {name}: {sn} rows hash={sh[:12]}")
-    spark.stop()
+    # NOTE: run() must NOT stop the session — get_session() is
+    # getOrCreate, so when called in-process (pytest's
+    # test_pending_gates_oracle_parity, scale_check) the session is
+    # SHARED with the caller's fixtures; stopping it here killed
+    # every later test module with "Cannot call methods on a stopped
+    # SparkContext". The CLI path below owns its session and stops it.
     return failures
 
 
@@ -268,4 +273,7 @@ if __name__ == "__main__":
     args = [a for a in args if a != "--pending"]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a] or None
-    sys.exit(1 if run(sf, only, pending=pending) else 0)
+    rc = 1 if run(sf, only, pending=pending) else 0
+    from stark_spark import get_session
+    get_session("oracle-check", shuffle_partitions=16).stop()
+    sys.exit(rc)
