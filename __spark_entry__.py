@@ -2059,6 +2059,24 @@ def _pq_doc_logprob_bigram(spark, sf):
     return doc_logprob_bigram(D.load(spark, sf, "documents"), "doc_id")
 
 
+def _pq_pivot_type_dow(spark, sf):
+    """Explicit-values pivot (crosstab): event counts per type x
+    day-of-week. The values list is DECLARED, which is the only
+    scale-correct form — pivot without values runs an extra distinct
+    job over the pivot column before planning. One map-side-combined
+    aggregate; columns are plan-time constants."""
+    ev = D.load(spark, sf, "events")
+    dow = F.dayofweek(F.col("ts"))          # 1=Sunday .. 7=Saturday
+    piv = (ev.select("event_type", dow.alias("dow"))
+             .groupBy("event_type")
+             .pivot("dow", list(range(1, 8)))
+             .count())
+    return piv.select(
+        "event_type",
+        *[F.coalesce(F.col(str(d)), F.lit(0)).cast("long")
+           .alias(f"d{d}") for d in range(1, 8)])
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2093,6 +2111,7 @@ def pending_queries():
         "golden_record": _pq_golden_record,
         "latency_cube_hdr": _pq_latency_cube_hdr,
         "doc_logprob_bigram": _pq_doc_logprob_bigram,
+        "pivot_type_dow": _pq_pivot_type_dow,
     }
 
 
@@ -3016,6 +3035,17 @@ FROM pairs p
 JOIN big USING (pair)
 JOIN uni ON uni.token = split_part(p.pair, ' ', 1), vv
 GROUP BY p.doc_id""",
+
+        "pivot_type_dow": """
+SELECT event_type,
+  CAST(count(*) FILTER (dayofweek(ts) + 1 = 1) AS BIGINT) AS d1,
+  CAST(count(*) FILTER (dayofweek(ts) + 1 = 2) AS BIGINT) AS d2,
+  CAST(count(*) FILTER (dayofweek(ts) + 1 = 3) AS BIGINT) AS d3,
+  CAST(count(*) FILTER (dayofweek(ts) + 1 = 4) AS BIGINT) AS d4,
+  CAST(count(*) FILTER (dayofweek(ts) + 1 = 5) AS BIGINT) AS d5,
+  CAST(count(*) FILTER (dayofweek(ts) + 1 = 6) AS BIGINT) AS d6,
+  CAST(count(*) FILTER (dayofweek(ts) + 1 = 7) AS BIGINT) AS d7
+FROM events GROUP BY event_type""",
     }
 
 

@@ -267,6 +267,7 @@ PENDING_SCALE = [
     "golden_record",
     "latency_cube_hdr",
     "doc_logprob_bigram",
+    "pivot_type_dow",
 ]
 
 
