@@ -2077,6 +2077,46 @@ def _pq_pivot_type_dow(spark, sf):
            .alias(f"d{d}") for d in range(1, 8)])
 
 
+def _pq_min_cost_supplier(spark, sf):
+    """TPC-H Q2's decorrelation shape (no partsupp table in this
+    dataset, so lineitem plays the offer table): per part the minimum
+    price-cents offer, joined back to keep exactly the argmin rows —
+    the correlated-subquery-to-aggregate-join rewrite every planner
+    performs, expressed directly. Two shuffles on the part key (AQE
+    broadcasts the per-part min frame when small)."""
+    li = D.load(spark, sf, "lineitem")
+    offers = li.select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+         .alias("price_c"))
+    mins = (offers.groupBy("l_partkey")
+                  .agg(F.min("price_c").alias("min_c")))
+    return (offers.join(mins, "l_partkey")
+                  .where(F.col("price_c") == F.col("min_c"))
+                  .select("l_partkey", "l_suppkey", "price_c")
+                  .distinct())
+
+
+def _pq_cumulative_reach(spark, sf):
+    """Cumulative distinct-user reach per day WITHOUT a quadratic
+    re-scan: distinct = each user counts once at their FIRST-SEEN day
+    (one user-key aggregate), daily new-user counts, then a running
+    sum over the bounded day frame — the DAU/reach curve shape."""
+    ev = D.load(spark, sf, "events")
+    first_seen = (ev.groupBy("user_id")
+                    .agg(F.min(F.col("ts").cast("date")).alias("day")))
+    daily = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    from pyspark.sql import Window
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # global window over the BOUNDED day frame (#days rows) — safe by
+    # construction, same rationale as hdr_quantiles
+    return (daily.withColumn("cum_users",
+                             F.sum("new_users").over(w))
+                 .select(F.col("day").cast("string").alias("day"),
+                         F.col("new_users").cast("long").alias("new_users"),
+                         F.col("cum_users").cast("long").alias("cum_users")))
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2112,6 +2152,8 @@ def pending_queries():
         "latency_cube_hdr": _pq_latency_cube_hdr,
         "doc_logprob_bigram": _pq_doc_logprob_bigram,
         "pivot_type_dow": _pq_pivot_type_dow,
+        "min_cost_supplier": _pq_min_cost_supplier,
+        "cumulative_reach": _pq_cumulative_reach,
     }
 
 
@@ -3046,6 +3088,31 @@ SELECT event_type,
   CAST(count(*) FILTER (dayofweek(ts) + 1 = 6) AS BIGINT) AS d6,
   CAST(count(*) FILTER (dayofweek(ts) + 1 = 7) AS BIGINT) AS d7
 FROM events GROUP BY event_type""",
+
+        "min_cost_supplier": """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+), mins AS (
+  SELECT l_partkey, min(price_c) AS min_c FROM offers GROUP BY l_partkey
+)
+SELECT DISTINCT offers.l_partkey, offers.l_suppkey, offers.price_c
+FROM offers JOIN mins USING (l_partkey)
+WHERE offers.price_c = mins.min_c""",
+
+        "cumulative_reach": """
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+  GROUP BY user_id
+), daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY day
+)
+SELECT CAST(day AS VARCHAR) AS day, new_users,
+  CAST(sum(new_users) OVER (ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_users
+FROM daily""",
     }
 
 

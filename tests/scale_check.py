@@ -268,6 +268,8 @@ PENDING_SCALE = [
     "latency_cube_hdr",
     "doc_logprob_bigram",
     "pivot_type_dow",
+    "min_cost_supplier",
+    "cumulative_reach",
 ]
 
 
