@@ -1149,3 +1149,43 @@ def test_rolling_range_frame_equals_bruteforce(spark, evs):
                   if uj == u and h - 24 <= hj <= h]
         assert got[i] == (len(within),
                           sum(cj for _, _, cj in within)), (i, evs)
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join: losslessness property
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 2 ** 31 - 1),
+       st.integers(6, 14),        # corpus size
+       st.sampled_from([500_000, 700_000, 800_000, 950_000]))
+def test_jaccard_prefix_join_lossless_property(spark, seed, n_docs, t_q6):
+    """For ANY corpus and threshold, the prefix-filtered join must
+    equal brute force exactly — the AllPairs prefix bound is a
+    theorem; this drives it over random skewed vocabularies and
+    every awkward threshold (including pairs landing exactly on the
+    integer-division boundary)."""
+    import numpy as np
+    from stark_spark.operators.dedup import jaccard_prefix_join
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(n_docs):
+        k = int(rng.integers(1, 8))
+        toks = sorted(set(rng.choice(vocab, size=k).tolist()))
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.a, r.b): r.jaccard_q6
+           for r in jaccard_prefix_join(
+               df, "doc_id", threshold=t_q6 / 1e6).collect()}
+    sets = {i: set(t.split(" ")) for i, t in docs}
+    want = {}
+    ks = sorted(sets)
+    for x, a in enumerate(ks):
+        for b in ks[x + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            jq = 1_000_000 * inter // union
+            if jq >= t_q6:
+                want[(a, b)] = jq
+    assert got == want
