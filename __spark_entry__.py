@@ -2117,6 +2117,25 @@ def _pq_cumulative_reach(spark, sf):
                          F.col("cum_users").cast("long").alias("cum_users")))
 
 
+def _pq_stream_hll_users(spark, sf):
+    """Streaming HLL == batch HLL == DuckDB: events replayed as
+    micro-batches through the streaming register aggregation (state
+    ≤ 256 rows — distinct counting with BOUNDED memory for unbounded
+    key cardinality), estimate computed from the final sink table.
+    Register max is associative, so arrival order cannot move a
+    register; the oracle recomputes the full pipeline from raw rows."""
+    import tempfile
+    from stark_spark.operators.sketch import hll_estimate
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_hll)
+    ev = D.load(spark, sf, "events")
+    d = tempfile.mkdtemp(prefix="stark_stream_hll_") + "/events"
+    ev.repartition(4).write.parquet(d)
+    s = read_event_stream(spark, d, ev.schema, max_files=2)
+    regs = _stream_sink(stream_hll(s, "user_id"), "complete")
+    return hll_estimate(regs)
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2154,6 +2173,7 @@ def pending_queries():
         "pivot_type_dow": _pq_pivot_type_dow,
         "min_cost_supplier": _pq_min_cost_supplier,
         "cumulative_reach": _pq_cumulative_reach,
+        "stream_hll_users": _pq_stream_hll_users,
     }
 
 
@@ -3113,6 +3133,35 @@ SELECT CAST(day AS VARCHAR) AS day, new_users,
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
     AS cum_users
 FROM daily""",
+
+        "stream_hll_users": f"""
+WITH src AS (
+  SELECT md5(CAST(user_id AS VARCHAR)) AS h32 FROM events
+), hh AS (
+  SELECT {_hex13_sql('h32')} AS h FROM src
+), regs AS (
+  SELECT h % 256 AS register,
+    max(45 - length(ltrim(bin(h // 256), '0'))) AS max_rho
+  FROM hh GROUP BY register
+), agg AS (
+  SELECT CAST(256 - count(*) AS BIGINT) AS v_zero,
+    CAST(CAST(sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS BIGINT)
+         + (256 - count(*)) * 4503599627370496 AS BIGINT) AS s_scaled,
+    CAST(round(((CAST(0.7182725932495458 AS DOUBLE)
+                 * CAST(65536 AS DOUBLE))
+                * CAST(4503599627370496 AS DOUBLE))
+         / CAST(CAST(sum(CAST(1 AS BIGINT) << (52 - max_rho)) AS BIGINT)
+                + (256 - count(*)) * 4503599627370496 AS DOUBLE))
+         AS BIGINT) AS raw_est
+  FROM regs
+)
+SELECT CAST(256 AS BIGINT) AS n_registers, v_zero, s_scaled,
+  CASE WHEN v_zero > 0 AND raw_est * 2 <= 1280
+       THEN CAST(round(CAST(256 AS DOUBLE)
+                 * ln(CAST(256 AS DOUBLE) / CAST(v_zero AS DOUBLE)))
+                 AS BIGINT)
+       ELSE raw_est END AS estimate
+FROM agg""",
     }
 
 

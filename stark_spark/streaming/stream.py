@@ -525,3 +525,30 @@ def stream_cms(stream: DataFrame, col: str, *, width: int = 512,
                   .groupBy(F.col("c.row").alias("row"),
                            F.col("c.bucket").alias("bucket"))
                   .agg(F.count("*").alias("cnt")))
+
+
+def stream_hll(stream: DataFrame, col: str,
+               group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Streaming HyperLogLog registers — distinct counting at the
+    firehose with bounded state: the batch `sketch.hll_registers`
+    aggregation (per-(group, register) max-rho) run as a streaming
+    aggregation. HLL merge IS register-wise max — associative and
+    commutative — so any micro-batch arrival order converges to the
+    batch register table bit-for-bit, and state is capped at
+    groups × 256 rows regardless of how many distinct keys flow
+    through. Feed the (tiny, always-current) sink table to
+    `sketch.hll_estimate` for the estimate."""
+    from stark_spark.operators.sketch import (HLL_M, HLL_SUFFIX_BITS,
+                                              kmv_hash)
+    h = kmv_hash(F.col(col)).alias("h")
+    base = stream.select(*group_cols, h)
+    reg = (base
+           .withColumn("register", F.expr(f"h % {HLL_M}L").cast("long"))
+           .withColumn("suffix", F.expr(f"h div {HLL_M}L"))
+           .withColumn(
+               "rho",
+               (F.lit(HLL_SUFFIX_BITS + 1)
+                - F.length(F.expr(
+                    "trim(LEADING '0' FROM bin(suffix))"))).cast("long")))
+    return (reg.groupBy(*group_cols, "register")
+               .agg(F.max("rho").alias("max_rho")))

@@ -455,3 +455,29 @@ def test_stream_cms_state_bounded_and_equals_batch(spark, stream_dir):
     want = {(r.row, r.bucket): r.cnt
             for r in cms_build(ev, "user_id", width=w, depth=d).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_hll_state_bounded_and_equals_batch(spark, stream_dir):
+    """Streaming HLL: state ≤ 256 registers for ANY key cardinality,
+    and the final register table equals the batch hll_registers
+    bit-for-bit (register max is associative)."""
+    from stark_spark.operators.sketch import hll_registers
+    from stark_spark.streaming.stream import stream_hll
+    path, schema = stream_dir
+    s = read_event_stream(spark, path, schema, max_files=2)
+    out = stream_hll(s, "user_id")
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    assert progress, "no stateful progress recorded"
+    for p in progress:
+        for op in p["stateOperators"]:
+            assert op.get("numRowsTotal", 0) <= 256
+    got = {(r.register, r.max_rho)
+           for r in spark.table(name).collect()}
+    ev = spark.read.schema(schema).parquet(path)
+    want = {(r.register, r.max_rho)
+            for r in hll_registers(ev, "user_id").collect()}
+    assert got == want and len(got) > 0
