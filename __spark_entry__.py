@@ -2136,6 +2136,79 @@ def _pq_stream_hll_users(spark, sf):
     return hll_estimate(regs)
 
 
+def _pq_ppr_handoff(spark, sf):
+    """Personalized PageRank from the user_id<5 seed set over the
+    handoff graph: teleport + dangling mass return ONLY to the seeds
+    — pure-BIGINT proximity scores, bit-exact vs the unrolled CTE
+    chain. Same per-round cost as global PageRank."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import personalized_pagerank
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("user_id").alias("src"),
+                       F.lead("user_id").over(w).alias("dst"))
+               .where(F.col("dst").isNotNull()
+                      & (F.col("src") != F.col("dst"))))
+    seeds = (ev.select(F.col("user_id").alias("node"))
+               .where(F.col("node") < 5).distinct())
+    return personalized_pagerank(edges, seeds, n_iter=3)
+
+
+def _ppr_sql(n_iter: int = 3) -> str:
+    """Unrolled personalized-PageRank CTE chain — the DuckDB mirror
+    of `graph.personalized_pagerank` over the handoff graph with the
+    user_id<5 seed set."""
+    head = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT user_id AS src,
+      lead(user_id) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS dst
+    FROM events) t
+  WHERE dst IS NOT NULL AND src <> dst
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), s AS (
+  SELECT node FROM (
+    SELECT DISTINCT user_id AS node FROM events WHERE user_id < 5) q
+  JOIN nodes USING (node)
+), ns AS (
+  SELECT count(*) AS n FROM s
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT nodes.node,
+    CASE WHEN s.node IS NOT NULL THEN 1000000000000 // ns.n
+         ELSE 0 END AS r
+  FROM nodes LEFT JOIN s USING (node), ns
+)"""
+    parts = [head]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""", c{i} AS (
+  SELECT e.dst AS node, sum(r{p}.r // deg.deg) AS m
+  FROM e JOIN r{p} ON r{p}.node = e.src
+         JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+), d{i} AS (
+  SELECT coalesce(sum(r{p}.r), 0) AS dm
+  FROM r{p} LEFT JOIN deg ON deg.src = r{p}.node
+  WHERE deg.src IS NULL
+), r{i} AS (
+  SELECT nodes.node,
+    CASE WHEN s.node IS NOT NULL THEN (150000000000 // ns.n)
+         ELSE 0 END
+    + ((coalesce(c{i}.m, 0)
+        + CASE WHEN s.node IS NOT NULL THEN d{i}.dm // ns.n
+               ELSE 0 END) * 85) // 100 AS r
+  FROM nodes LEFT JOIN c{i} USING (node) LEFT JOIN s USING (node),
+       ns, d{i}
+)""")
+    parts.append(f"""
+SELECT node, CAST(r AS BIGINT) AS rank_q FROM r{n_iter}""")
+    return "".join(parts)
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2174,6 +2247,7 @@ def pending_queries():
         "min_cost_supplier": _pq_min_cost_supplier,
         "cumulative_reach": _pq_cumulative_reach,
         "stream_hll_users": _pq_stream_hll_users,
+        "ppr_handoff": _pq_ppr_handoff,
     }
 
 
@@ -3162,6 +3236,8 @@ SELECT CAST(256 AS BIGINT) AS n_registers, v_zero, s_scaled,
                  AS BIGINT)
        ELSE raw_est END AS estimate
 FROM agg""",
+
+        "ppr_handoff": _ppr_sql(3),
     }
 
 

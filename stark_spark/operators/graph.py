@@ -314,3 +314,62 @@ def sssp_bounded(edges: DataFrame, sources: DataFrame, *,
             break
         sig = new_sig
     return dist
+
+
+def personalized_pagerank(edges: DataFrame, sources: DataFrame, *,
+                          n_iter: int = 3, src: str = "src",
+                          dst: str = "dst", node: str = "node",
+                          scale: int = 1_000_000_000_000) -> DataFrame:
+    """Personalized PageRank: teleportation restricted to a SOURCE
+    set (Haveliwala 2002) — proximity-to-the-seed scoring, the graph
+    primitive behind who-to-follow / related-item ranking. Same
+    pure-BIGINT mass discipline as `pagerank` (bit-exact vs an
+    unrolled CTE chain): initial and teleport mass split ``scale div
+    |S|`` over the sources; the damped term and the dangling-mass
+    redistribution also return to the sources only.
+
+    Per iteration: ONE rank⋈edges shuffle + a map-side-combined sum
+    by dst + one scalar dangling aggregate — identical cost to global
+    PageRank; the source frame is node-keyed and joins broadcast.
+    Output: (node, rank_q) over all graph nodes (0 = unreachable
+    from the seed under n_iter damped hops).
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .distinct().localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+              .unionByName(e.select(F.col("dst").alias("node")))
+              .distinct().localCheckpoint())
+    s_nodes = (sources.select(F.col(node).alias("node")).distinct()
+                      .join(nodes, "node").localCheckpoint())
+    ns = s_nodes.count()
+    if ns == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_q"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base_q = (scale * 15 // 100) // ns
+    is_src = s_nodes.select("node", F.lit(1).alias("_s"))
+    r = (nodes.join(F.broadcast(is_src), "node", "left")
+              .select("node",
+                      F.when(F.col("_s").isNotNull(),
+                             F.lit(scale // ns)).otherwise(F.lit(0))
+                       .cast("long").alias("r")))
+    for _ in range(n_iter):
+        contrib = (e.join(r.withColumnRenamed("node", "src"), "src")
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("r div deg").alias("c"))
+                    .groupBy("node").agg(F.sum("c").alias("m")))
+        dangling = (r.join(deg, r["node"] == deg["src"], "left_anti")
+                     .agg(F.sum("r")).first()[0]) or 0
+        share = dangling // ns
+        r = (nodes.join(contrib, "node", "left")
+                  .join(F.broadcast(is_src), "node", "left")
+                  .select(
+                      "node",
+                      (F.when(F.col("_s").isNotNull(), F.lit(base_q))
+                        .otherwise(F.lit(0))
+                       + F.expr(
+                           f"(coalesce(m, 0L) + IF(_s IS NOT NULL,"
+                           f" {share}L, 0L)) * 85 div 100"))
+                      .cast("long").alias("r"))
+                  .localCheckpoint())
+    return r.select("node", F.col("r").alias("rank_q"))

@@ -836,3 +836,25 @@ def test_bpe_train_matches_reference(spark):
     assert (hm[0].left, hm[0].right, hm[0].cnt) == ("a", "a", 4)
     # after merge: 'aaa' -> [aa, a] so round 2 sees (aa,a):2, (a,b):1
     assert (hm[1].left, hm[1].right, hm[1].cnt) == ("aa", "a", 2)
+
+
+def test_personalized_pagerank_mass_locality(spark):
+    """Seeded PPR sanity on a hand graph: mass concentrates near the
+    seed; a node unreachable from the seed gets rank 0; seeds with no
+    in-links still hold their teleport mass."""
+    from stark_spark.operators.graph import personalized_pagerank
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),      # cycle with the seed
+         (9, 8), (8, 9)],             # far component
+        "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.rank_q
+           for r in personalized_pagerank(edges, seeds,
+                                          n_iter=30).collect()}
+    assert got[8] == 0 and got[9] == 0       # unreachable from seed
+    # converged fixpoint: r1 = 0.15/(1-0.85^3), proximity ordering
+    assert got[1] > got[2] > got[3] > 0
+    # empty seed set (seed not in graph) -> all zeros
+    empty = personalized_pagerank(
+        edges, spark.createDataFrame([(77,)], "node long"), n_iter=2)
+    assert all(r.rank_q == 0 for r in empty.collect())
