@@ -2209,6 +2209,31 @@ SELECT node, CAST(r AS BIGINT) AS rank_q FROM r{n_iter}""")
     return "".join(parts)
 
 
+def _pq_schema_evolution_read(spark, sf):
+    """Schema-evolution read: two parquet batches written under an
+    EVOLVED schema (a column added later) read back with
+    mergeSchema=true — old rows surface the new column as NULL, the
+    exact contract a 100 TB lake depends on when producers upgrade.
+    The oracle recomputes the union from the source table, so the
+    whole write→merge-read path is hash-gated."""
+    import tempfile
+    ev = D.load(spark, sf, "events")
+    base = ev.select("event_id",
+                     F.round(F.col("value") * 100).cast("long")
+                      .alias("cents"),
+                     "event_type", "user_id")
+    old = (base.where(F.col("user_id") % 2 == 0)
+               .select("event_id", "cents"))
+    new = (base.where(F.col("user_id") % 2 == 1)
+               .select("event_id", "cents", "event_type"))
+    d = tempfile.mkdtemp(prefix="stark_schevo_")
+    old.write.parquet(d + "/v0")
+    new.write.parquet(d + "/v1")
+    out = (spark.read.option("mergeSchema", "true")
+                .parquet(d + "/v0", d + "/v1"))
+    return out.select("event_id", "cents", "event_type")
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2248,6 +2273,7 @@ def pending_queries():
         "cumulative_reach": _pq_cumulative_reach,
         "stream_hll_users": _pq_stream_hll_users,
         "ppr_handoff": _pq_ppr_handoff,
+        "schema_evolution_read": _pq_schema_evolution_read,
     }
 
 
@@ -3238,6 +3264,15 @@ SELECT CAST(256 AS BIGINT) AS n_registers, v_zero, s_scaled,
 FROM agg""",
 
         "ppr_handoff": _ppr_sql(3),
+
+        "schema_evolution_read": """
+SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+  CAST(NULL AS VARCHAR) AS event_type
+FROM events WHERE user_id % 2 = 0
+UNION ALL
+SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+  event_type
+FROM events WHERE user_id % 2 = 1""",
     }
 
 
