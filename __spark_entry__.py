@@ -2234,6 +2234,17 @@ def _pq_schema_evolution_read(spark, sf):
     return out.select("event_id", "cents", "event_type")
 
 
+def _pq_funnel_steps_24h(spark, sf):
+    """Horizon funnel (windowFunnel semantics): view→click→purchase
+    counted only within 24 h of each user's FIRST view — the anchored
+    conversion-deadline form; same one-shuffle greedy fold as
+    `funnel_steps`, with the deadline carried in the fold state."""
+    from stark_spark.operators.funnel import funnel
+    ev = D.load(spark, sf, "events")
+    return funnel(ev, ["view", "click", "purchase"],
+                  window_us=24 * 3600 * 1_000_000)
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2274,6 +2285,7 @@ def pending_queries():
         "stream_hll_users": _pq_stream_hll_users,
         "ppr_handoff": _pq_ppr_handoff,
         "schema_evolution_read": _pq_schema_evolution_read,
+        "funnel_steps_24h": _pq_funnel_steps_24h,
     }
 
 
@@ -3273,6 +3285,35 @@ UNION ALL
 SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
   event_type
 FROM events WHERE user_id % 2 = 1""",
+
+        "funnel_steps_24h": """
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t,
+                   min(epoch_us(ts)) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t, s1.t1 AS t1
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+         AND epoch_us(e.ts) <= s1.t1 + 86400000000
+       GROUP BY e.user_id, s1.t1),
+s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+         AND epoch_us(e.ts) <= s2.t1 + 86400000000
+       GROUP BY e.user_id),
+c AS (SELECT (SELECT count(*) FROM s1) AS u1,
+             (SELECT count(*) FROM s2) AS u2,
+             (SELECT count(*) FROM s3) AS u3)
+SELECT 1 AS step, 'view' AS step_name, CAST(u1 AS BIGINT) AS users,
+  CAST(CASE WHEN u1 > 0 THEN u1 * 1000000 // u1 ELSE 0 END AS BIGINT)
+    AS conv_ppm FROM c
+UNION ALL
+SELECT 2, 'click', CAST(u2 AS BIGINT),
+  CAST(CASE WHEN u1 > 0 THEN u2 * 1000000 // u1 ELSE 0 END AS BIGINT)
+  FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(u3 AS BIGINT),
+  CAST(CASE WHEN u1 > 0 THEN u3 * 1000000 // u1 ELSE 0 END AS BIGINT)
+  FROM c""",
     }
 
 

@@ -30,7 +30,8 @@ _US_PER_DAY = 86_400_000_000
 
 
 def funnel(df: DataFrame, steps: list[str], *, user: str = "user_id",
-           ts: str = "ts", type_col: str = "event_type") -> DataFrame:
+           ts: str = "ts", type_col: str = "event_type",
+           window_us: int | None = None) -> DataFrame:
     """Ordered-step conversion funnel: ``(step, step_name, users,
     conv_ppm)`` — users that reached step k, where "reached" means the
     min-timestamp chain t₁ = min ts of step 1, t₂ = min ts of step 2
@@ -43,7 +44,14 @@ def funnel(df: DataFrame, steps: list[str], *, user: str = "user_id",
        min-ts chain, so "levels reached" matches the k-join form),
     3. explode reach-levels and count — a |steps|-row report.
 
-    ``conv_ppm`` = users·10⁶ div users(step 1) (exact integer)."""
+    ``conv_ppm`` = users·10⁶ div users(step 1) (exact integer).
+
+    ``window_us``: optional conversion horizon (µs) ANCHORED at the
+    user's first step-1 event — steps beyond the first count only
+    within [t₁, t₁+window] (the windowFunnel semantics product
+    analytics wants: "converted within 24 h of first view"). Greedy
+    earliest-advance remains optimal because t₁ is fixed by
+    definition and every later deadline is t₁-relative."""
     if not steps:
         raise ValueError("funnel needs at least one step")
     step_idx = F.when(F.col(type_col) == steps[0], 0)
@@ -55,15 +63,25 @@ def funnel(df: DataFrame, steps: list[str], *, user: str = "user_id",
                      step_idx.cast("int").alias("si")))
     arr = F.sort_array(F.collect_list(F.struct("us", "si")))
     init = F.struct(F.lit(0).cast("int").alias("reached"),
-                    F.lit(-1).cast("long").alias("last_us"))
-    fold = F.aggregate(
-        arr, init,
-        lambda acc, x: F.when(
-            (x["si"] == acc["reached"])
-            & ((acc["reached"] == F.lit(0)) | (x["us"] > acc["last_us"])),
+                    F.lit(-1).cast("long").alias("last_us"),
+                    F.lit(-1).cast("long").alias("first_us"))
+    def _advance(acc, x):
+        ok = (x["si"] == acc["reached"]) & (
+            (acc["reached"] == F.lit(0)) | (x["us"] > acc["last_us"]))
+        if window_us is not None:
+            ok = ok & ((acc["reached"] == F.lit(0))
+                       | (x["us"] <= acc["first_us"]
+                          + F.lit(int(window_us))))
+        return F.when(
+            ok,
             F.struct((acc["reached"] + F.lit(1)).cast("int")
                      .alias("reached"),
-                     x["us"].alias("last_us"))).otherwise(acc))
+                     x["us"].alias("last_us"),
+                     F.when(acc["reached"] == F.lit(0), x["us"])
+                      .otherwise(acc["first_us"]).alias("first_us"))
+        ).otherwise(acc)
+
+    fold = F.aggregate(arr, init, _advance)
     per_user = (evs.groupBy("u")
                    .agg(fold.getField("reached").alias("reached")))
     # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of

@@ -270,6 +270,8 @@ PENDING_SCALE = [
     "pivot_type_dow",
     "min_cost_supplier",
     "cumulative_reach",
+    "funnel_steps_24h",
+    "schema_evolution_read",
 ]
 
 

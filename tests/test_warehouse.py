@@ -858,3 +858,27 @@ def test_personalized_pagerank_mass_locality(spark):
     empty = personalized_pagerank(
         edges, spark.createDataFrame([(77,)], "node long"), n_iter=2)
     assert all(r.rank_q == 0 for r in empty.collect())
+
+
+def test_funnel_window_horizon(spark):
+    """Anchored-horizon funnel: u1 converts inside the window, u2's
+    click lands after t1+window (depth 1), u3 clicks in-window but
+    purchases out (depth 2)."""
+    from pyspark.sql import Row
+    import datetime as dt
+    from stark_spark.operators.funnel import funnel
+    t0 = dt.datetime(2024, 1, 1)
+    def r(u, s, t): return Row(user_id=u, event_type=s,
+                               ts=t0 + dt.timedelta(seconds=t))
+    rows = [r(1, "view", 0), r(1, "click", 10), r(1, "purchase", 20),
+            r(2, "view", 0), r(2, "click", 120),
+            r(3, "view", 0), r(3, "click", 30), r(3, "purchase", 300)]
+    df = spark.createDataFrame(rows)
+    out = {x.step: x.users
+           for x in funnel(df, ["view", "click", "purchase"],
+                           window_us=60 * 1_000_000).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+    # without a window u1 and u3 fully convert (u2 never purchases)
+    full = {x.step: x.users
+            for x in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert full == {1: 3, 2: 3, 3: 2}
