@@ -256,8 +256,10 @@ def synthesize(workdir: str) -> None:
 # jaccard_prefix_pairs (its oracle brute-forces ALL doc pairs by
 # design — the losslessness proof — which is O(n²) in docs and the
 # replica texts are near-dups by construction, so output is quadratic
-# too); stream_cms_counts (streaming-harness startup dominates; its
-# batch twin cms_user_counts runs here and is cell-identical).
+# too); stream_cms_counts / stream_hll_users (streaming-harness
+# startup dominates and each run rewrites the 10x events as a temp
+# stream source; their batch twins run here and are cell/register-
+# identical — both were run once manually at 10x: PASS).
 PENDING_SCALE = [
     "ols_price_qty",
     "cms_user_counts",
@@ -272,6 +274,7 @@ PENDING_SCALE = [
     "cumulative_reach",
     "funnel_steps_24h",
     "schema_evolution_read",
+    "ppr_handoff",
 ]
 
 
