@@ -3494,10 +3494,18 @@ def _q_contamination_bloom(spark, sf):
     `contamination_exact` (the Bloom pass has no false negatives and
     the closing equi-join removes false positives), but the train scan
     is filtered through a compact literal bitmap BEFORE any shuffle:
-    the 100 TB decontamination plan shape."""
+    the 100 TB decontamination plan shape.
+
+    The eval frame is localCheckpoint'ed per the operator's caller
+    contract (dedup.cross_bloom_dups no longer persists internally —
+    the r5 leak fix): the build collect and the closing join would
+    otherwise evaluate the eval pipeline twice, and determinism of
+    the eval side is a PRECONDITION of the zero-false-negative
+    guarantee."""
     from stark_spark.operators.dedup import cross_bloom_dups
     docs = D.load(spark, sf, "documents")
-    return cross_bloom_dups(docs, _eval_corpus(spark, sf), "doc_id")
+    ev = _eval_corpus(spark, sf).localCheckpoint(eager=True)
+    return cross_bloom_dups(docs, ev, "doc_id")
 
 
 def _q_sample_group_split(spark, sf):
