@@ -2245,6 +2245,33 @@ def _pq_funnel_steps_24h(spark, sf):
                   window_us=24 * 3600 * 1_000_000)
 
 
+def _pq_agg_delta_apply(spark, sf):
+    """Incremental view maintenance: the per-(status,priority) order
+    aggregate state from the pre-1996 facts, folded forward with the
+    1996+ rows as a CDC delta (every 7th a delete of a pre-1996 row)
+    — result must equal nothing-up-my-sleeve SQL over the same union,
+    fact table untouched."""
+    from stark_spark.operators.merge import agg_delta_apply
+    o = D.load(spark, sf, "orders").select(
+        "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate"), F.col("o_orderkey"))
+    base_rows = o.where(F.year("o_orderdate") < 1996)
+    base = (base_rows.groupBy("o_orderstatus", "o_orderpriority")
+                     .agg(F.count("*").alias("n"),
+                          F.sum("cents").alias("sum_v")))
+    inserts = (o.where(F.year("o_orderdate") >= 1996)
+                .select("o_orderstatus", "o_orderpriority", "cents",
+                        F.lit(1).alias("op")))
+    deletes = (base_rows.where(F.col("o_orderkey") % 7 == 0)
+                        .select("o_orderstatus", "o_orderpriority",
+                                "cents", F.lit(-1).alias("op")))
+    delta = inserts.unionByName(deletes)
+    return agg_delta_apply(base, delta,
+                           ["o_orderstatus", "o_orderpriority"],
+                           value_col="cents", op_col="op")
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2286,6 +2313,7 @@ def pending_queries():
         "ppr_handoff": _pq_ppr_handoff,
         "schema_evolution_read": _pq_schema_evolution_read,
         "funnel_steps_24h": _pq_funnel_steps_24h,
+        "agg_delta_apply": _pq_agg_delta_apply,
     }
 
 
@@ -3314,6 +3342,25 @@ UNION ALL
 SELECT 3, 'purchase', CAST(u3 AS BIGINT),
   CAST(CASE WHEN u1 > 0 THEN u3 * 1000000 // u1 ELSE 0 END AS BIGINT)
   FROM c""",
+
+        "agg_delta_apply": """
+WITH o AS (
+  SELECT o_orderstatus, o_orderpriority,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    o_orderdate, o_orderkey
+  FROM orders
+), survivors AS (
+  SELECT * FROM o
+  WHERE date_part('year', o_orderdate) >= 1996
+  UNION ALL
+  SELECT * FROM o
+  WHERE date_part('year', o_orderdate) < 1996 AND o_orderkey % 7 <> 0
+)
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_v
+FROM survivors
+GROUP BY o_orderstatus, o_orderpriority
+HAVING count(*) > 0""",
     }
 
 

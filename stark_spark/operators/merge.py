@@ -199,3 +199,40 @@ def golden_record(df: DataFrame, keys: list[str], *, ts_col: str,
     aggs.append(F.max(F.struct(F.col(ts_col), F.col(tie_col)))
                  .getField(ts_col).alias("last_seen_ts"))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def agg_delta_apply(base_aggs: DataFrame, delta: DataFrame,
+                    keys: list[str], *, value_col: str,
+                    op_col: str | None = None) -> DataFrame:
+    """Incremental aggregate maintenance (IVM): fold a CDC delta into
+    a persisted (keys, n, sum_v) aggregate WITHOUT re-scanning the
+    fact table — the view-maintenance identity for distributive
+    aggregates: new_state = base ⊕ aggregate(delta), where deletes
+    contribute negatively (``op_col`` = +1 insert / −1 delete).
+
+    Shape: one map-side-combined aggregate over the (small) delta +
+    one key-equi outer join against the base state — at 100 TB the
+    fact table is never touched, only state ∝ |groups| and work ∝
+    |delta|. Groups whose count reaches 0 drop out (fully-deleted).
+    Only distributive/algebraic aggregates maintain this way (n, sum,
+    and anything derived: avg = sum/n); min/max need a re-scan on
+    delete — deliberately not offered here.
+
+    Output: keys + (n, sum_v), the new aggregate state.
+    """
+    sign = (F.col(op_col).cast("long") if op_col
+            else F.lit(1).cast("long"))
+    d = (delta.groupBy(*keys)
+              .agg(F.sum(sign).alias("_dn"),
+                   F.sum(sign * F.col(value_col)).alias("_ds")))
+    b = base_aggs.select(*keys, F.col("n").alias("_bn"),
+                         F.col("sum_v").alias("_bs"))
+    merged = (b.join(d, keys, "full_outer")
+               .select(*keys,
+                       (F.coalesce("_bn", F.lit(0))
+                        + F.coalesce("_dn", F.lit(0))).alias("n"),
+                       (F.coalesce("_bs", F.lit(0))
+                        + F.coalesce("_ds", F.lit(0))).alias("sum_v")))
+    return (merged.where(F.col("n") > 0)
+                  .select(*keys, F.col("n").cast("long").alias("n"),
+                          F.col("sum_v").cast("long").alias("sum_v")))

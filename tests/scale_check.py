@@ -275,6 +275,7 @@ PENDING_SCALE = [
     "funnel_steps_24h",
     "schema_evolution_read",
     "ppr_handoff",
+    "agg_delta_apply",
 ]
 
 

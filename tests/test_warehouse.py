@@ -882,3 +882,26 @@ def test_funnel_window_horizon(spark):
     full = {x.step: x.users
             for x in funnel(df, ["view", "click", "purchase"]).collect()}
     assert full == {1: 3, 2: 3, 3: 2}
+
+
+def test_agg_delta_apply_identities(spark):
+    """IVM identities: insert-only delta == full recompute; deletes
+    shrink; fully-deleted groups vanish; n can never go negative on a
+    consistent feed."""
+    from stark_spark.operators.merge import agg_delta_apply
+    base = spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 5)], "g string, n long, sum_v long")
+    delta = spark.createDataFrame(
+        [("a", 7, 1), ("b", 5, -1),    # a +7; b deletes its only row
+         ("c", 4, 1)],                  # new group
+        "g string, v long, op int")
+    out = {r.g: (r.n, r.sum_v)
+           for r in agg_delta_apply(base, delta, ["g"], value_col="v",
+                                    op_col="op").collect()}
+    assert out == {"a": (3, 37), "c": (1, 4)}   # b fully deleted
+    # insert-only without op_col
+    ins = spark.createDataFrame([("a", 10)], "g string, v long")
+    out2 = {r.g: (r.n, r.sum_v)
+            for r in agg_delta_apply(base, ins, ["g"],
+                                     value_col="v").collect()}
+    assert out2 == {"a": (3, 40), "b": (1, 5)}
