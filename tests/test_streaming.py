@@ -481,3 +481,59 @@ def test_stream_hll_state_bounded_and_equals_batch(spark, stream_dir):
     want = {(r.register, r.max_rho)
             for r in hll_registers(ev, "user_id").collect()}
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics as Spark ≥3.4 actually implements them
+    (two watermarks): LATE-RECORD FILTERING uses the PREVIOUS
+    micro-batch's watermark, EVICTION uses the current one. So a row
+    arriving one batch after the advance (batch 2 here) is still
+    accepted — its window state is evicted only afterwards — while a
+    row arriving two batches after (batch 3) is dropped and counted
+    in numRowsDroppedByWatermark. The test pins all three observable
+    contracts: the metric, state eviction, and the final counts."""
+    import datetime as dt
+    import time as _time
+
+    d = str(tmp_path / "wm")
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    mk = lambda rows: spark.createDataFrame(rows, "k string, ts timestamp")
+    batches = [
+        mk([("a", t0), ("a", t0 + dt.timedelta(minutes=5))]),
+        mk([("a", t0 + dt.timedelta(days=10))]),      # advances WM
+        mk([("a", t0 + dt.timedelta(minutes=10))]),   # 1 batch after:
+                                                      # still ACCEPTED
+        mk([("a", t0 + dt.timedelta(minutes=20))]),   # 2 after: DROP
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{d}/b{i}")
+        _time.sleep(1.1)                # strictly increasing mtimes
+    src = (spark.readStream.schema("k string, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/b*"))
+    agg = (src.withWatermark("ts", "1 hour")
+              .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+              .agg(F.count("*").alias("cnt")))
+    import uuid as _uuid
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+            .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for op in (p.get("stateOperators") or []))
+    assert dropped == 1                  # exactly the batch-4 row
+    totals = [op.get("numRowsTotal", 0)
+              for p in sorted(q.recentProgress,
+                              key=lambda p: p["batchId"])
+              for op in (p.get("stateOperators") or [])]
+    assert totals[-1] == 1               # old window evicted by WM
+    from collections import defaultdict
+    final = defaultdict(int)
+    for r in spark.table(name).collect():
+        key = (r.w.start, r.k)
+        final[key] = max(final[key], r.cnt)   # update mode: counts grow
+    # first window: 2 on-time rows + the one-batch-late row; the
+    # two-batches-late row is gone
+    assert final[(t0, "a")] == 3
+    assert sum(final.values()) == 4          # 3 + the far-future row
