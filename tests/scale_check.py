@@ -99,9 +99,9 @@ QUERIES = [
     "colocation_pairs",
     # round-6 second batch: curation/retrieval tier, all linear-output
     # (dedup_containment stays out — its oracle self-joins shingles;
-    # pagerank_handoff stays out of the DEFAULT list for oracle cost:
-    # the DuckDB mirror re-evaluates the 20M-row lead() window CTE
-    # once per iteration reference — run it explicitly when needed)
+    # pagerank_handoff re-admitted session 5: the feared per-iteration
+    # CTE re-evaluation measured fine at 10x — PASS in minutes)
+    "pagerank_handoff",
     "quality_filter_gopher",
     "perplexity_buckets",
     "tfidf_top_terms",
