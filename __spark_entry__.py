@@ -2272,6 +2272,19 @@ def _pq_agg_delta_apply(spark, sf):
                            value_col="cents", op_col="op")
 
 
+def _pq_ann_recall_eval(spark, sf):
+    """Retrieval measurement: IVF ANN scored against the exact
+    brute-force ground truth — per-query recall@5 and MRR of the true
+    top-1, q6 integers. Composes the two existing gated pipelines;
+    the oracle composes their DuckDB mirrors, so the metric itself is
+    hash-gated."""
+    from stark_spark.operators.similarity import rank_eval
+    qs = queries()
+    retrieved = qs["ann_ivf_topk"](spark, sf)
+    truth = qs["ann_brute_topk"](spark, sf)
+    return rank_eval(retrieved, truth, k=5)
+
+
 def pending_queries():
     return {
         "price_quantiles_hdr": _pq_price_quantiles_hdr,
@@ -2314,6 +2327,7 @@ def pending_queries():
         "schema_evolution_read": _pq_schema_evolution_read,
         "funnel_steps_24h": _pq_funnel_steps_24h,
         "agg_delta_apply": _pq_agg_delta_apply,
+        "ann_recall_eval": _pq_ann_recall_eval,
     }
 
 
@@ -2530,6 +2544,33 @@ WITH e AS (
 )""")
     return ("".join(parts)
             + f" SELECT node, dist FROM d{n_rounds}")
+
+
+def _ann_recall_eval_sql() -> str:
+    """Composes the ann_ivf_topk and ann_brute_topk DuckDB mirrors
+    (verbatim, as nested-WITH subqueries) and evaluates recall@5 +
+    MRR on them — the oracle measures the same two gated pipelines
+    the Spark side composes."""
+    live = oracle_sql()
+    return f"""
+WITH ret AS ({live['ann_ivf_topk']}),
+tru AS ({live['ann_brute_topk']}),
+tk AS (SELECT q_id, vec_id FROM tru WHERE rank <= 5),
+hits AS (
+  SELECT ret.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ret JOIN tk USING (q_id, vec_id) GROUP BY ret.q_id
+), top1 AS (SELECT q_id, vec_id FROM tru WHERE rank = 1),
+pos AS (
+  SELECT ret.q_id, min(ret.rank) AS p
+  FROM ret JOIN top1 USING (q_id, vec_id) GROUP BY ret.q_id
+), base AS (SELECT DISTINCT q_id FROM tru)
+SELECT base.q_id,
+  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(1000000 * coalesce(hits.n_hits, 0) // 5 AS BIGINT)
+    AS recall_q6,
+  CAST(CASE WHEN pos.p IS NULL THEN 0
+       ELSE 1000000 // pos.p END AS BIGINT) AS mrr_q6
+FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 
 def pending_oracle_sql() -> dict[str, str]:
@@ -3361,6 +3402,8 @@ SELECT o_orderstatus, o_orderpriority,
 FROM survivors
 GROUP BY o_orderstatus, o_orderpriority
 HAVING count(*) > 0""",
+
+        "ann_recall_eval": _ann_recall_eval_sql(),
     }
 
 

@@ -943,3 +943,40 @@ def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame, k: int, *,
                       (contrib(F.col("rank_sparse"))
                        + contrib(F.col("rank_dense"))).alias("rrf_q")))
     return fused.orderBy(F.desc("rrf_q"), F.col(key).asc()).limit(k)
+
+
+def rank_eval(retrieved: DataFrame, truth: DataFrame, *, k: int,
+              query_col: str = "q_id", item_col: str = "vec_id",
+              rank_col: str = "rank") -> DataFrame:
+    """IR evaluation: recall@k and MRR-of-the-true-top-1 for a
+    retrieval run against exact ground truth — the measurement
+    operator that closes the ANN loop (retrieval without a recall
+    number is a guess). All-integer outputs on the q6 grid.
+
+    Per query: n_hits = |retrieved ∩ true top-k|; recall_q6 =
+    10⁶·n_hits div k; mrr_q6 = 10⁶ div (position of the true #1 item
+    in the retrieved ranking), 0 when absent. Shape: two equi-joins
+    keyed on (query, item) / item + one combined per-query aggregate
+    — works on evaluation frames of any size (both sides are top-k
+    projections, k·|queries| rows, never the corpus).
+
+    Output: (query_col, n_hits, recall_q6, mrr_q6).
+    """
+    q, it, rk = query_col, item_col, rank_col
+    tk = truth.where(F.col(rk) <= k).select(q, it)
+    ret = retrieved.select(q, it, rk)
+    hits = (ret.join(tk, [q, it])
+               .groupBy(q).agg(F.count("*").alias("n_hits")))
+    top1 = truth.where(F.col(rk) == 1).select(q, it)
+    pos = (ret.join(top1, [q, it])
+              .groupBy(q).agg(F.min(rk).alias("_pos")))
+    base = truth.select(q).distinct()
+    return (base.join(hits, q, "left").join(pos, q, "left")
+                .select(F.col(q),
+                        F.coalesce("n_hits", F.lit(0)).cast("long")
+                         .alias("n_hits"),
+                        F.expr(f"1000000 * coalesce(n_hits, 0L) div {k}")
+                         .cast("long").alias("recall_q6"),
+                        F.expr("CASE WHEN _pos IS NULL THEN 0L "
+                               "ELSE 1000000 div _pos END")
+                         .cast("long").alias("mrr_q6")))

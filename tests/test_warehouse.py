@@ -905,3 +905,23 @@ def test_agg_delta_apply_identities(spark):
             for r in agg_delta_apply(base, ins, ["g"],
                                      value_col="v").collect()}
     assert out2 == {"a": (3, 40), "b": (1, 5)}
+
+
+def test_rank_eval_hand(spark):
+    """recall@k + MRR on hand rankings: perfect, partial (true #1
+    missing), and empty retrievals."""
+    from stark_spark.operators.similarity import rank_eval
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2), (2, 22, 3),
+         (3, 30, 1), (3, 31, 2), (3, 32, 3)],
+        "q_id long, vec_id long, rank long")
+    ret = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),      # perfect
+         (2, 22, 1), (2, 99, 2), (2, 20, 3)],     # 2/3, top1 at pos 3
+        "q_id long, vec_id long, rank long")       # q3: nothing
+    got = {r.q_id: (r.n_hits, r.recall_q6, r.mrr_q6)
+           for r in rank_eval(ret, truth, k=3).collect()}
+    assert got[1] == (3, 1_000_000, 1_000_000)
+    assert got[2] == (2, 666_666, 333_333)
+    assert got[3] == (0, 0, 0)
