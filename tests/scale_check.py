@@ -276,6 +276,7 @@ PENDING_SCALE = [
     "schema_evolution_read",
     "ppr_handoff",
     "agg_delta_apply",
+    "ann_recall_eval",
 ]
 
 
