@@ -2286,49 +2286,10 @@ def _pq_ann_recall_eval(spark, sf):
 
 
 def pending_queries():
-    return {
-        "price_quantiles_hdr": _pq_price_quantiles_hdr,
-        "parts_overlap_kmv": _pq_parts_overlap_kmv,
-        "scd2_user_state": _pq_scd2_user_state,
-        "attribution_linear": _pq_attribution_linear,
-        "zorder_events": _pq_zorder_events,
-        "user_retention_km": _pq_user_retention_km,
-        "event_sequences_3": _pq_event_sequences,
-        "lineitem_corr": _pq_lineitem_corr,
-        "drift_psi_value": _pq_drift_psi_value,
-        "chi2_type_dow": _pq_chi2_type_dow,
-        "postings_index": _pq_postings_index,
-        "order_price_bins": _pq_order_price_bins,
-        "ab_ztest_purchase": _pq_ab_ztest_purchase,
-        "hourly_acf": _pq_hourly_acf,
-        "forecast_snaive": _pq_forecast_snaive,
-        "rfm_segments": _pq_rfm_segments,
-        "data_expectations": _pq_data_expectations,
-        "cube_users_hll": _pq_cube_users_hll,
-        "scd2_pit_enrich": _pq_scd2_pit_enrich,
-        "table_diff_orders": _pq_table_diff_orders,
-        "basket_lift_pairs": _pq_basket_lift_pairs,
-        "value_percent_rank": _pq_value_percent_rank,
-        "ols_price_qty": _pq_ols_price_qty,
-        "cms_user_counts": _pq_cms_user_counts,
-        "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
-        "bpe_merge_pairs": _pq_bpe_merge_pairs,
-        "bfs_reach": _pq_bfs_reach,
-        "stream_cms_counts": _pq_stream_cms_counts,
-        "sssp_latency": _pq_sssp_latency,
-        "golden_record": _pq_golden_record,
-        "latency_cube_hdr": _pq_latency_cube_hdr,
-        "doc_logprob_bigram": _pq_doc_logprob_bigram,
-        "pivot_type_dow": _pq_pivot_type_dow,
-        "min_cost_supplier": _pq_min_cost_supplier,
-        "cumulative_reach": _pq_cumulative_reach,
-        "stream_hll_users": _pq_stream_hll_users,
-        "ppr_handoff": _pq_ppr_handoff,
-        "schema_evolution_read": _pq_schema_evolution_read,
-        "funnel_steps_24h": _pq_funnel_steps_24h,
-        "agg_delta_apply": _pq_agg_delta_apply,
-        "ann_recall_eval": _pq_ann_recall_eval,
-    }
+    # Staged gates awaiting a driver-window slot. Emptied at the
+    # round-7 rotation (all 41 prior entries promoted into
+    # queries()); new gates minted this round stage here first.
+    return {}
 
 
 def _corr_oracle_sql() -> str:
@@ -2551,7 +2512,7 @@ def _ann_recall_eval_sql() -> str:
     (verbatim, as nested-WITH subqueries) and evaluates recall@5 +
     MRR on them — the oracle measures the same two gated pipelines
     the Spark side composes."""
-    live = oracle_sql()
+    live = _base_oracle_sql()
     return f"""
 WITH ret AS ({live['ann_ivf_topk']}),
 tru AS ({live['ann_brute_topk']}),
@@ -2574,6 +2535,13 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 
 def pending_oracle_sql() -> dict[str, str]:
+    # Mirrors for pending_queries() — emptied at the r7 rotation
+    # (prior entries live on in _promoted_oracle_sql_r6, merged
+    # into oracle_sql()).
+    return {}
+
+
+def _promoted_oracle_sql_r6() -> dict[str, str]:
     # DuckDB mirrors for pending_queries() — same conventions as
     # oracle_sql(): integers everywhere, float ops operand-order-
     # mirrored, ln() quantized to BIGINT before any summation.
@@ -4793,57 +4761,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # nothing beyond position 50 lacks a prior green driver row, and
     # the window holds the stalest entries.
     return {
-        # --- never driver-checked (new round-6 gates) ---
-        "distinct_hll": _q_distinct_hll,
-        "bitmap_overlap": _q_bitmap_overlap,
-        "tpch_q21": _q_tpch_q21,
-        "funnel_steps": _q_funnel_steps,
-        "funnel_latency": _q_funnel_latency,
-        "cusum_alerts": _q_cusum_alerts,
-        "rolling_24h": _q_rolling_24h,
-        "stream_ohlc": _q_stream_ohlc,
-        "time_weighted_avg": _q_time_weighted_avg,
-        "attribution_last_touch": _q_attribution_last_touch,
-        "key_skew_report": _q_key_skew_report,
-        "fuzzy_canonical_names": _q_fuzzy_canonical_names,
-        "stream_outliers": _q_stream_outliers,
-        "date_partitioned_read": _q_date_partitioned_read,
-        "merge_upsert": _q_merge_upsert,
-        "common_neighbors": _q_common_neighbors,
-        "keyness_by_source": _q_keyness_by_source,
-        "seasonal_outliers": _q_seasonal_outliers,
-        "cohort_retention": _q_cohort_retention,
-        "event_transitions": _q_event_transitions,
-        "ohlc_hourly": _q_ohlc_hourly,
-        "triangle_count": _q_triangle_count,
-        "fk_orphans": _q_fk_orphans,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "tpch_q5": _q_tpch_q5,
-        "rrf_fusion_topk": _q_rrf_fusion_topk,
-        "events_table_profile": _q_events_table_profile,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q18": _q_tpch_q18,
-        "salted_join_events": _q_salted_join_events,
-        "events_outliers": _q_events_outliers,
-        "pagerank_handoff": _q_pagerank_handoff,
-        "pmi_collocations": _q_pmi_collocations,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "distinct_kmv": _q_distinct_kmv,
-        "stream_quality_filter": _q_stream_quality_filter,
-        "quality_filter_gopher": _q_quality_filter_gopher,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "vocab_freq_spectrum": _q_vocab_freq_spectrum,
-        "dedup_containment": _q_dedup_containment,
-        "stream_contamination_jvm": _q_stream_contamination_jvm,
-        "bm25_multi_topk": _q_bm25_multi_topk,
-        "contamination_ngrams": _q_contamination_ngrams,
-        "stream_contamination_ngrams": _q_stream_contamination_ngrams,
-        "ann_pq_topk": _q_ann_pq_topk,
-        "boilerplate_ratio": _q_boilerplate_ratio,
-        "colocation_pairs": _q_colocation_pairs,
+        # --- never driver-checked (new gates) ---
+        "price_quantiles_hdr": _pq_price_quantiles_hdr,
+        "parts_overlap_kmv": _pq_parts_overlap_kmv,
+        "scd2_user_state": _pq_scd2_user_state,
+        "attribution_linear": _pq_attribution_linear,
+        "zorder_events": _pq_zorder_events,
+        "user_retention_km": _pq_user_retention_km,
+        "event_sequences_3": _pq_event_sequences,
+        "lineitem_corr": _pq_lineitem_corr,
+        "drift_psi_value": _pq_drift_psi_value,
+        "chi2_type_dow": _pq_chi2_type_dow,
+        "postings_index": _pq_postings_index,
+        "order_price_bins": _pq_order_price_bins,
+        "ab_ztest_purchase": _pq_ab_ztest_purchase,
+        "hourly_acf": _pq_hourly_acf,
+        "forecast_snaive": _pq_forecast_snaive,
+        "rfm_segments": _pq_rfm_segments,
+        "data_expectations": _pq_data_expectations,
+        "cube_users_hll": _pq_cube_users_hll,
+        "scd2_pit_enrich": _pq_scd2_pit_enrich,
+        "table_diff_orders": _pq_table_diff_orders,
+        "basket_lift_pairs": _pq_basket_lift_pairs,
+        "value_percent_rank": _pq_value_percent_rank,
+        "ols_price_qty": _pq_ols_price_qty,
+        "cms_user_counts": _pq_cms_user_counts,
+        "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
+        "bpe_merge_pairs": _pq_bpe_merge_pairs,
+        "bfs_reach": _pq_bfs_reach,
+        "stream_cms_counts": _pq_stream_cms_counts,
+        "sssp_latency": _pq_sssp_latency,
+        "golden_record": _pq_golden_record,
+        "latency_cube_hdr": _pq_latency_cube_hdr,
+        "doc_logprob_bigram": _pq_doc_logprob_bigram,
+        "pivot_type_dow": _pq_pivot_type_dow,
+        "min_cost_supplier": _pq_min_cost_supplier,
+        "cumulative_reach": _pq_cumulative_reach,
+        "stream_hll_users": _pq_stream_hll_users,
+        "ppr_handoff": _pq_ppr_handoff,
+        "schema_evolution_read": _pq_schema_evolution_read,
+        "funnel_steps_24h": _pq_funnel_steps_24h,
+        "agg_delta_apply": _pq_agg_delta_apply,
+        "ann_recall_eval": _pq_ann_recall_eval,
         # --- latest driver-green row: r03 ---
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
@@ -4968,6 +4927,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_stats": _q_trajectory_stats,
         "od_matrix": _q_od_matrix,
         "stay_points": _q_stay_points,
+        # --- latest driver-green row: r06 ---
+        "distinct_hll": _q_distinct_hll,
+        "bitmap_overlap": _q_bitmap_overlap,
+        "tpch_q21": _q_tpch_q21,
+        "funnel_steps": _q_funnel_steps,
+        "funnel_latency": _q_funnel_latency,
+        "cusum_alerts": _q_cusum_alerts,
+        "rolling_24h": _q_rolling_24h,
+        "stream_ohlc": _q_stream_ohlc,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "attribution_last_touch": _q_attribution_last_touch,
+        "key_skew_report": _q_key_skew_report,
+        "fuzzy_canonical_names": _q_fuzzy_canonical_names,
+        "stream_outliers": _q_stream_outliers,
+        "date_partitioned_read": _q_date_partitioned_read,
+        "merge_upsert": _q_merge_upsert,
+        "common_neighbors": _q_common_neighbors,
+        "keyness_by_source": _q_keyness_by_source,
+        "seasonal_outliers": _q_seasonal_outliers,
+        "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
+        "ohlc_hourly": _q_ohlc_hourly,
+        "triangle_count": _q_triangle_count,
+        "fk_orphans": _q_fk_orphans,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "tpch_q5": _q_tpch_q5,
+        "rrf_fusion_topk": _q_rrf_fusion_topk,
+        "events_table_profile": _q_events_table_profile,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q18": _q_tpch_q18,
+        "salted_join_events": _q_salted_join_events,
+        "events_outliers": _q_events_outliers,
+        "pagerank_handoff": _q_pagerank_handoff,
+        "pmi_collocations": _q_pmi_collocations,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "distinct_kmv": _q_distinct_kmv,
+        "stream_quality_filter": _q_stream_quality_filter,
+        "quality_filter_gopher": _q_quality_filter_gopher,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "vocab_freq_spectrum": _q_vocab_freq_spectrum,
+        "dedup_containment": _q_dedup_containment,
+        "stream_contamination_jvm": _q_stream_contamination_jvm,
+        "bm25_multi_topk": _q_bm25_multi_topk,
+        "contamination_ngrams": _q_contamination_ngrams,
+        "stream_contamination_ngrams": _q_stream_contamination_ngrams,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "boilerplate_ratio": _q_boilerplate_ratio,
+        "colocation_pairs": _q_colocation_pairs,
     }
 
 
@@ -5204,7 +5214,7 @@ LEFT JOIN core_cluster cc ON cc.k = p.k
 LEFT JOIN border b ON b.k = p.k"""
 
 
-def oracle_sql() -> dict[str, str]:
+def _base_oracle_sql() -> dict[str, str]:
     cx, cy = _xy("c_custkey")
     sx, sy = _xy("s_suppkey")
     px0 = "((p_partkey * 37) % 900) / 10.0 + 0.05::DOUBLE"
@@ -8123,4 +8133,10 @@ FROM assign a GROUP BY 1"""
     # ingest-time scoring against batch-fit thresholds must equal the
     # batch detector on the same rows
     sql["stream_outliers"] = sql["events_outliers"]
+    return sql
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _base_oracle_sql()
+    sql.update(_promoted_oracle_sql_r6())
     return sql

@@ -137,6 +137,23 @@ QUERIES = [
     "distinct_hll",
     "bitmap_overlap",
     "tpch_q21",
+    # r7-promoted (formerly PENDING_SCALE; same linear oracles)
+    "ols_price_qty",
+    "cms_user_counts",
+    "bpe_merge_pairs",
+    "bfs_reach",
+    "sssp_latency",
+    "golden_record",
+    "latency_cube_hdr",
+    "doc_logprob_bigram",
+    "pivot_type_dow",
+    "min_cost_supplier",
+    "cumulative_reach",
+    "funnel_steps_24h",
+    "schema_evolution_read",
+    "ppr_handoff",
+    "agg_delta_apply",
+    "ann_recall_eval",
 ]
 
 
@@ -260,24 +277,8 @@ def synthesize(workdir: str) -> None:
 # startup dominates and each run rewrites the 10x events as a temp
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
-PENDING_SCALE = [
-    "ols_price_qty",
-    "cms_user_counts",
-    "bpe_merge_pairs",
-    "bfs_reach",
-    "sssp_latency",
-    "golden_record",
-    "latency_cube_hdr",
-    "doc_logprob_bigram",
-    "pivot_type_dow",
-    "min_cost_supplier",
-    "cumulative_reach",
-    "funnel_steps_24h",
-    "schema_evolution_read",
-    "ppr_handoff",
-    "agg_delta_apply",
-    "ann_recall_eval",
-]
+PENDING_SCALE = []  # emptied at the r7 rotation (entries promoted
+# into QUERIES below); new staged gates append here
 
 
 def main() -> int:
