@@ -2289,7 +2289,9 @@ def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-7 rotation (all 41 prior entries promoted into
     # queries()); new gates minted this round stage here first.
-    return {}
+    return {
+        "common_neighbors_capped": _pq_common_neighbors_capped,
+    }
 
 
 def _corr_oracle_sql() -> str:
@@ -2538,7 +2540,34 @@ def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — emptied at the r7 rotation
     # (prior entries live on in _promoted_oracle_sql_r6, merged
     # into oracle_sql()).
-    return {}
+    return {
+        # identical to the common_neighbors mirror except sym is
+        # capped per node to the 8 smallest-id neighbors via the same
+        # row_number window the operator uses; the anti-join (NOT
+        # EXISTS) still probes the FULL edge set e
+        "common_neighbors_capped": """
+WITH raw AS (
+  SELECT user_id AS src,
+    lead(user_id) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS dst
+  FROM events),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE dst IS NOT NULL AND src <> dst),
+sym AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+    FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e) s) t
+  WHERE rn <= 8),
+cand AS (
+  SELECT s1.b AS a, s2.b AS b, count(*) AS n_common
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  GROUP BY s1.b, s2.b),
+nc AS (SELECT c.a, c.b, c.n_common FROM cand c
+       WHERE NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.a = c.a AND e.b = c.b))
+SELECT a, b, CAST(n_common AS BIGINT) AS n_common FROM nc
+ORDER BY n_common DESC, a, b LIMIT 20""",
+    }
 
 
 def _promoted_oracle_sql_r6() -> dict[str, str]:
@@ -4724,6 +4753,23 @@ def _q_common_neighbors(spark, sf):
                .where(F.col("dst").isNotNull()
                       & (F.col("src") != F.col("dst"))))
     return common_neighbors(edges, k=20)
+
+
+def _pq_common_neighbors_capped(spark, sf):
+    """Hub-capped link prediction (r6 verdict ask #3): same handoff
+    graph as `common_neighbors`, but each node keeps only its 8
+    smallest-id neighbors for wedge formation — the deterministic
+    degree cap that bounds the O(Σ deg²) wedge fan-out on power-law
+    graphs. The anti-join still sees the full edge set."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import common_neighbors
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("user_id").alias("src"),
+                       F.lead("user_id").over(w).alias("dst"))
+               .where(F.col("dst").isNotNull()
+                      & (F.col("src") != F.col("dst"))))
+    return common_neighbors(edges, k=20, max_degree=8)
 
 
 def _q_keyness_by_source(spark, sf):

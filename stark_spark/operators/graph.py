@@ -150,7 +150,8 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
 
 
 def common_neighbors(edges: DataFrame, *, k: int = 20,
-                     src: str = "src", dst: str = "dst") -> DataFrame:
+                     src: str = "src", dst: str = "dst",
+                     max_degree: int | None = None) -> DataFrame:
     """Link prediction by common-neighbor count (the strongest simple
     predictor — Liben-Nowell & Kleinberg 2003): for node pairs NOT
     already linked, how many neighbors they share; top-k candidates.
@@ -164,8 +165,16 @@ def common_neighbors(edges: DataFrame, *, k: int = 20,
     row-count the join wastes on the v > w half), count per pair
     (map-side combined), LEFT ANTI against the existing edge set,
     TakeOrdered top-k with a full deterministic order. O(Σ deg²) is
-    inherent to exact common-neighbor counting; cap hub degrees
-    upstream if a celebrity node dominates. Output: (a, b,
+    inherent to exact common-neighbor counting — on a power-law graph
+    one celebrity node fans deg² wedge rows through a single shuffle
+    key, so ``max_degree`` bounds it: each node keeps only its
+    ``max_degree`` SMALLEST-ID neighbors for wedge formation (a
+    deterministic, engine-reproducible selection — an oracle mirrors
+    it with the same row_number window). The approximation contract:
+    pair counts become "common neighbors among each endpoint's kept
+    adjacency" (a lower bound on the true count); the anti-join still
+    uses the FULL edge set, so already-linked pairs never surface.
+    Cost drops from O(Σ deg²) to O(n · max_degree²). Output: (a, b,
     n_common)."""
     e = (edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
               .where(F.col("x") != F.col("y"))
@@ -174,6 +183,11 @@ def common_neighbors(edges: DataFrame, *, k: int = 20,
               .distinct().localCheckpoint())
     sym = e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
+    if max_degree is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("a").orderBy("b")
+        sym = (sym.withColumn("_rn", F.row_number().over(w))
+                  .where(F.col("_rn") <= int(max_degree)).drop("_rn"))
     lo = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
     hi = sym.select(F.col("a").alias("u"), F.col("b").alias("w"))
     cand = (lo.join(hi, "u")

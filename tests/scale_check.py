@@ -211,6 +211,70 @@ def multimodal_scale_check(replicas: int) -> bool:
     return ok
 
 
+def capped_cn_skew_check(workdir: str, n_edges: int) -> bool:
+    """Skew exercise for common_neighbors(max_degree): a synthetic
+    graph where ONE celebrity node owns 10% of all edges (deg = E/10,
+    so the uncapped wedge fan-out through it alone is (E/10)^2 = 1e10
+    at E=1M — the pathology the cap exists for). With max_degree=16
+    the plan is O(n*16^2); verified row-for-row against a DuckDB
+    mirror using the identical row_number cap. Edges are hash-
+    deterministic so both engines see the same graph."""
+    import duckdb
+
+    edges_path = f"{workdir}/cn_skew_edges.parquet"
+    m = max(n_edges // 5, 100)       # background node universe
+    con = duckdb.connect()
+    con.execute(f"""
+COPY (
+  SELECT 0::BIGINT AS src, (i + 1)::BIGINT AS dst
+  FROM range({n_edges // 10}) t(i)
+  UNION ALL
+  SELECT 1 + (i * 2654435761) % {m}, 1 + (i * 40503 + 17) % {m}
+  FROM range({n_edges - n_edges // 10}) t(i)
+  WHERE 1 + (i * 2654435761) % {m} <> 1 + (i * 40503 + 17) % {m}
+) TO '{edges_path}' (FORMAT PARQUET)""")
+    mirror = f"""
+WITH raw AS (SELECT src, dst FROM read_parquet('{edges_path}')),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+sym AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn
+    FROM (SELECT a, b FROM e UNION ALL SELECT b, a FROM e) s) t
+  WHERE rn <= 16),
+cand AS (
+  SELECT s1.b AS a, s2.b AS b, count(*) AS n_common
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  GROUP BY s1.b, s2.b),
+nc AS (SELECT c.a, c.b, c.n_common FROM cand c
+       WHERE NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.a = c.a AND e.b = c.b))
+SELECT a, b, CAST(n_common AS BIGINT) AS n_common FROM nc
+ORDER BY n_common DESC, a, b LIMIT 50"""
+    want = con.execute(mirror).fetchall()
+    con.close()
+
+    from stark_spark import get_session
+    from stark_spark.operators.graph import common_neighbors
+
+    spark = get_session("cn_skew_scale", master="local[32]",
+                        shuffle_partitions=32)
+    t0 = time.time()
+    got = [(r.a, r.b, r.n_common) for r in
+           common_neighbors(spark.read.parquet(edges_path), k=50,
+                            max_degree=16).collect()]
+    ok = got == [tuple(w) for w in want]
+    status = "PASS" if ok else "FAIL"
+    print(f"{status} capped_cn_skew: {len(got)} rows over {n_edges} "
+          f"edges (celebrity deg {n_edges // 10}) in "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
+    if not ok:
+        print(f"  spark: {got[:3]}\n  duck:  {want[:3]}",
+              file=sys.stderr)
+    spark.stop()
+    return ok
+
+
 def _replica_images(rep: int):
     """Per-replica image set with the driver fixture's SHAPE (5
     distinct scenes + 2 noised near-dup copies) but replica-unique
@@ -287,11 +351,17 @@ def main() -> int:
     import oracle_check
     t0 = time.time()
     rc = oracle_check.run(workdir, only=QUERIES, chunked=CHUNKED)
-    rc2 = oracle_check.run(workdir, only=PENDING_SCALE, pending=True)
-    rc = rc or rc2
+    if PENDING_SCALE:
+        rc2 = oracle_check.run(workdir, only=PENDING_SCALE,
+                               pending=True)
+        rc = rc or rc2
     print(f"# scale spot-run over {len(QUERIES)}+{len(PENDING_SCALE)} "
           f"queries in {time.time()-t0:.1f}s rc={rc}", file=sys.stderr)
     if not multimodal_scale_check(REPLICAS):
+        rc = rc or 1
+    # 100k-edge celebrity node per 1M edges: the cap is what keeps
+    # the wedge join off the (E/10)^2 cliff
+    if not capped_cn_skew_check(workdir, n_edges=100_000 * REPLICAS):
         rc = rc or 1
     return rc
 

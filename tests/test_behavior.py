@@ -396,6 +396,25 @@ def test_common_neighbors_hand(spark):
     assert not any(a == 0 for a, _ in got)
 
 
+def test_common_neighbors_max_degree(spark):
+    """Hub cap: node 0 links 1..6, node 10 links 1 and 2. With
+    max_degree=3 the hub keeps only its smallest-id neighbors
+    {1,2,3}, so candidate pairs involving 4..6 vanish, (1,2) still
+    counts both common neighbors (0 kept by both, 10 has deg 2), and
+    counts are a lower bound of the uncapped run."""
+    from stark_spark.operators.graph import common_neighbors
+    edges = [(0, i) for i in range(1, 7)] + [(10, 1), (10, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.a, r.b): r.n_common
+           for r in common_neighbors(df, k=50, max_degree=3).collect()}
+    # (0,10) share kept neighbors 1 and 2 (wedges through the leaves)
+    assert got == {(0, 10): 2, (1, 2): 2, (1, 3): 1, (2, 3): 1}
+    full = {(r.a, r.b): r.n_common
+            for r in common_neighbors(df, k=50).collect()}
+    assert all(full[p] >= c for p, c in got.items())
+    assert (1, 4) in full and (1, 4) not in got
+
+
 def test_keyness_log_odds_hand(spark):
     """Group A over-uses 'zebra'; the smoothed log-odds puts zebra on
     top for A and not for B."""
