@@ -47,6 +47,53 @@ def _local_skyline(pdf: pd.DataFrame, x: str, y: str) -> pd.DataFrame:
     return s.iloc[keep]
 
 
+#: stage-1 survivor count above which the global merge switches from
+#: the single-task coalesce(1) sweep to the distributed range merge
+GLOBAL_MERGE_LIMIT = 100_000
+
+
+def _merge_distributed(local_sky: DataFrame, x: str, y: str,
+                       schema, n_parts: int = 32) -> DataFrame:
+    """Exact distributed skyline merge for LARGE stage-1 fronts (an
+    anti-correlated corpus makes every point a skyline point, so the
+    coalesce(1) sweep would put O(n) rows in one task).
+
+    Range-partition survivors by (x, y), sweep each partition
+    locally, then filter across partitions with a prefix-min of y:
+    a point p can only be dominated by a lexicographically smaller
+    point q (q.x <= p.x), which lives in an earlier partition (or
+    p's own, handled by the local sweep) — p survives iff
+    p.y < min(y) over all earlier partitions. Equal (x, y) ties
+    hash to one partition (range partitioning is a deterministic
+    function of the key), so tie-keeping is purely local. The only
+    driver-side data is one (partition, min_y) row per partition."""
+    ranged = local_sky.repartitionByRange(
+        n_parts, F.col(x), F.col(y))
+
+    def local2(it):
+        chunks = list(it)
+        if chunks:
+            yield _local_skyline(pd.concat(chunks, ignore_index=True),
+                                 x, y)
+
+    swept = (ranged.mapInPandas(local2, schema=schema)
+                   .withColumn("_pid", F.spark_partition_id())
+                   .localCheckpoint())
+    mins = swept.groupBy("_pid").agg(F.min(y).alias("_my")).collect()
+    prefix: dict[int, object] = {}
+    run = None
+    for r in sorted(mins, key=lambda r: r["_pid"]):
+        prefix[r["_pid"]] = run
+        run = r["_my"] if run is None else min(run, r["_my"])
+    keep = F.lit(False)
+    for pid, before in prefix.items():
+        this = F.col("_pid") == F.lit(pid)
+        if before is not None:
+            this = this & (F.col(y) < F.lit(before))
+        keep = keep | this
+    return swept.where(keep).drop("_pid")
+
+
 def skyline(df: DataFrame, x: str = "x", y: str = "y",
             group_col: str | None = None,
             maximize: tuple = ()) -> DataFrame:
@@ -80,7 +127,10 @@ def skyline(df: DataFrame, x: str = "x", y: str = "y",
         staged = df.withColumn("_g", F.spark_partition_id())
     else:
         staged = df.withColumn("_g", F.col(group_col))
-    local_sky = staged.groupBy("_g").applyInPandas(local, schema=schema)
+    local_sky = (staged.groupBy("_g").applyInPandas(local, schema=schema)
+                       .localCheckpoint())
+    if local_sky.count() > GLOBAL_MERGE_LIMIT:
+        return _merge_distributed(local_sky, x, y, schema)
 
     def global_pass(it):
         chunks = list(it)

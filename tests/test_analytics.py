@@ -53,6 +53,37 @@ def test_skyline_many_plans(spark):
     assert set(skyline(rep).select("id").toPandas().id) == want
 
 
+def test_skyline_distributed_merge_anticorrelated(spark, monkeypatch):
+    """Adversarial stage-1 blow-up: an anti-correlated corpus (strictly
+    descending staircase, every point Pareto-optimal) makes the local
+    fronts O(n), which would funnel everything through the coalesce(1)
+    merge task. With GLOBAL_MERGE_LIMIT forced low the operator must
+    take the distributed range-merge path and return the identical
+    (full) skyline; a second corpus with dominated rows checks the
+    cross-partition prefix-min filter actually drops them."""
+    from stark_spark.operators import skyline as S
+    monkeypatch.setattr(S, "GLOBAL_MERGE_LIMIT", 100)
+    # staircase: all 2000 points mutually non-dominating
+    rows = [(i, float(i), float(2000 - i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x double, y double") \
+              .repartition(16)
+    got = set(S.skyline(df).select("id").toPandas().id)
+    assert got == set(range(2000))
+    # dominated shadow: each staircase point duplicated at (+0.5, +0.5)
+    rows2 = rows + [(10_000 + i, xi + 0.5, yi + 0.5)
+                    for i, xi, yi in rows]
+    df2 = spark.createDataFrame(rows2, "id long, x double, y double") \
+               .repartition(16)
+    got2 = set(S.skyline(df2).select("id").toPandas().id)
+    assert got2 == set(range(2000))
+    # tie semantics survive the distributed path: exact duplicates kept
+    rows3 = rows + [(20_000 + i, xi, yi) for i, xi, yi in rows[:50]]
+    df3 = spark.createDataFrame(rows3, "id long, x double, y double") \
+               .repartition(16)
+    got3 = set(S.skyline(df3).select("id").toPandas().id)
+    assert got3 == set(range(2000)) | {20_000 + i for i in range(50)}
+
+
 # ---------------------------------------------------------------- dbscan
 
 def _naive_dbscan(xs, ys, eps, min_pts):
