@@ -4029,22 +4029,44 @@ def _rvid_fixture_videos():
         noisy.flat[idx].astype(int) + rng.integers(-20, 21, 20000),
         0, 255).astype(np.uint8)
     vids[3] = noisy
-    return vids
+    vids[4] = vids[1].copy()   # MJPEG twin of clip 1 (the lossy
+    return vids                # codec itself is the "noise")
+
+
+#: on-disk container per fixture video: DIB-AVI / RVID raw / MJPEG-AVI
+_VIDEO_FIXTURE_CODECS = {0: "avi", 1: "rvid", 2: "mjpg",
+                         3: "rvid", 4: "mjpg"}
+
+
+def _video_fixture_effective():
+    """Frame stacks as they exist ON DISK (post-codec): MJPG frames
+    are JPEG-lossy (luminance-only baseline), so the oracle must
+    phash the deterministic encode→decode roundtrip, not the source
+    arrays."""
+    from stark_spark.operators.multimodal import decode_avi, encode_avi
+    out = {}
+    for i, v in _rvid_fixture_videos().items():
+        if _VIDEO_FIXTURE_CODECS[i] == "mjpg":
+            out[i] = decode_avi(encode_avi(v, codec="MJPG"))
+        else:
+            out[i] = v
+    return out
 
 
 def _q_multimodal_video_pairs(spark, sf):
-    """Near-duplicate VIDEO detection end-to-end: fixtures written as
-    REAL uncompressed RIFF/AVI files (BI_RGB 24-bit DIB frames,
-    chunk-tree decode) mixed with RVID raw-video streams through the
-    binaryFile source → executor-side REAL frame decode (magic
-    sniffing picks the container) → per-sampled-frame perceptual hash
-    → banded frame-pair join → per-video-pair evidence aggregation
-    (>= 2 matching frames). The expected near-dup pair (0,3) crosses
-    the .avi/.rvid boundary, proving both decode paths yield the
-    identical frames. Oracle = the exact expected pair table computed
-    driver-side (the pigeonhole banding finds EVERY frame pair within
-    the hamming bound, so the output is a pure function of the
-    fixture arrays)."""
+    """Near-duplicate VIDEO detection end-to-end across THREE real
+    containers: uncompressed DIB-AVI, MJPEG-AVI (per-frame baseline
+    JPEGs through the in-repo stdlib codec), and RVID raw streams —
+    binaryFile source → executor-side REAL frame decode (magic +
+    biCompression sniffing picks the path) → per-sampled-frame
+    perceptual hash → banded frame-pair join → per-video-pair
+    evidence aggregation (>= 2 matching frames). Expected pairs:
+    (0,3) crosses DIB-AVI/RVID, (1,4) crosses RVID/MJPEG-AVI (video 4
+    is clip 1 recompressed — JPEG loss is the only difference, phash
+    absorbs it). Oracle = the exact expected pair table computed
+    driver-side from the POST-CODEC frame stacks (the pigeonhole
+    banding finds EVERY frame pair within the hamming bound, so the
+    output is a pure function of the on-disk bytes)."""
     import tempfile
     from stark_spark.operators.multimodal import (encode_avi,
                                                   encode_rawvideo,
@@ -4052,9 +4074,13 @@ def _q_multimodal_video_pairs(spark, sf):
                                                   video_dup_pairs)
     root = tempfile.mkdtemp(prefix="stark_rvid_")
     for i, v in _rvid_fixture_videos().items():
-        if i in (0, 2):
+        codec = _VIDEO_FIXTURE_CODECS[i]
+        if codec == "avi":
             with open(f"{root}/v_{i}.avi", "wb") as f:
                 f.write(encode_avi(v))
+        elif codec == "mjpg":
+            with open(f"{root}/v_{i}.avi", "wb") as f:
+                f.write(encode_avi(v, codec="MJPG"))
         else:
             with open(f"{root}/v_{i}.rvid", "wb") as f:
                 f.write(encode_rawvideo(v))
@@ -7910,7 +7936,7 @@ SELECT DISTINCT user_id, event_type FROM events"""
     # so the distributed output is a pure function of the arrays)
     from stark_spark.operators.multimodal import phash64 as _ph64
     vfp = {}
-    for i, stack in _rvid_fixture_videos().items():
+    for i, stack in _video_fixture_effective().items():
         vfp[i] = [_ph64(stack[f]) for f in range(0, len(stack), 2)]
     vrow = []
     for a, b in _comb(sorted(vfp), 2):

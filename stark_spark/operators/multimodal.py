@@ -460,19 +460,29 @@ def decode_rawvideo(content: bytes) -> np.ndarray:
                          offset=16).reshape(n, h, w, 3)
 
 
+_MJPG_FOURCC = 0x47504A4D        # b"MJPG" as little-endian uint32
+
+
 def decode_avi(content: bytes) -> np.ndarray:
-    """REAL decode for UNCOMPRESSED AVI (RIFF 'AVI ' container,
-    BI_RGB 24-bit DIB frames — the codec-free interchange form every
-    video tool can emit): walk the nested RIFF chunk tree, read the
+    """REAL decode for RIFF/AVI: walk the nested chunk tree, read the
     stream format (BITMAPINFOHEADER in 'strf'), then every '00db' /
-    '00dc' frame in the 'movi' LIST. DIB rows are bottom-up BGR with
-    4-byte row padding; output is top-down RGB (n, h, w, 3) uint8.
-    Compressed AVIs (biCompression != 0) raise."""
+    '00dc' frame in the 'movi' LIST. Two codecs:
+
+    * **BI_RGB 24-bit DIB** (biCompression=0) — the codec-free
+      interchange form; rows are bottom-up BGR with 4-byte padding.
+    * **MJPG** — each frame is a standalone baseline JPEG, decoded
+      with the in-repo stdlib/numpy JPEG reader
+      (`functions/visualize._jpeg_decode`). Frames must carry their
+      own DHT segments (the common form; AVIs relying on the implied
+      default tables raise from the JPEG layer). Grayscale frames
+      are replicated to 3 channels.
+
+    Output is top-down RGB (n, h, w, 3) uint8; other codecs raise."""
     import struct
     if (len(content) < 12 or content[:4] != b"RIFF"
             or content[8:12] != b"AVI "):
         raise ValueError("not a RIFF/AVI file")
-    dims: list[tuple[int, int]] = []
+    dims: list[tuple[int, int, int]] = []
     frames: list[bytes] = []
 
     def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
@@ -487,11 +497,12 @@ def decode_avi(content: bytes) -> np.ndarray:
             elif cid == b"strf" and size >= 40:
                 (bi_size, w, h, planes, bits, comp) = struct.unpack(
                     "<IiiHHI", buf[pos + 8:pos + 28])
-                if comp != 0 or bits != 24:
+                if comp not in (0, _MJPG_FOURCC) or (
+                        comp == 0 and bits != 24):
                     raise ValueError(
                         f"unsupported AVI: compression={comp} "
-                        f"bits={bits} (BI_RGB 24-bit only)")
-                dims.append((w, abs(h)))
+                        f"bits={bits} (BI_RGB 24-bit or MJPG only)")
+                dims.append((w, abs(h), comp))
             elif in_movi and cid[2:4] in (b"db", b"dc"):
                 frames.append(buf[pos + 8:body_end])
             pos += 8 + size + (size & 1)       # chunks word-aligned
@@ -499,7 +510,18 @@ def decode_avi(content: bytes) -> np.ndarray:
     walk(content, 12, len(content), False)
     if not dims or not frames:
         raise ValueError("AVI missing strf/movi frames")
-    w, h = dims[0]
+    w, h, comp = dims[0]
+    if comp == _MJPG_FOURCC:
+        from stark_spark.functions.visualize import _jpeg_decode
+        decoded = []
+        for fb in frames:
+            arr = _jpeg_decode(bytes(fb))
+            if arr.ndim == 2:
+                arr = np.repeat(arr[:, :, None], 3, axis=2)
+            decoded.append(arr)
+        if len({a.shape for a in decoded}) != 1:
+            raise ValueError("AVI MJPG frames disagree on size")
+        return np.stack(decoded)
     stride = (w * 3 + 3) & ~3
     out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
     for i, fb in enumerate(frames):
@@ -512,22 +534,35 @@ def decode_avi(content: bytes) -> np.ndarray:
     return out
 
 
-def encode_avi(frames: np.ndarray, *, fps: int = 25) -> bytes:
-    """Encode an (n, h, w, 3) uint8 RGB stack as a minimal
-    uncompressed AVI (BI_RGB 24-bit '00db' frames, bottom-up BGR
-    rows padded to 4 bytes) — the inverse of `decode_avi`, used by
-    fixtures and tests."""
+def encode_avi(frames: np.ndarray, *, fps: int = 25,
+               codec: str = "DIB") -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB stack as a minimal AVI — the
+    inverse of `decode_avi`, used by fixtures and tests.
+
+    ``codec="DIB"``: BI_RGB 24-bit '00db' frames (bottom-up BGR rows
+    padded to 4 bytes, lossless). ``codec="MJPG"``: each frame is a
+    standalone baseline JPEG from the in-repo encoder (luminance-only
+    — the honest limitation of the stdlib codec — so a decode
+    roundtrip returns the gray image replicated to RGB; lossy, but
+    phash-stable)."""
     import struct
     n, h, w, c = frames.shape
     assert c == 3 and frames.dtype == np.uint8
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unsupported codec {codec!r}")
     stride = (w * 3 + 3) & ~3
     frame_bytes = []
-    for f in frames:
-        bgr = f[::-1, :, ::-1]                 # top-down RGB → DIB
-        row = np.zeros((h, stride), dtype=np.uint8)
-        row[:, :w * 3] = bgr.reshape(h, w * 3)
-        frame_bytes.append(row.tobytes())
-    fsize = stride * h
+    if codec == "MJPG":
+        from stark_spark.functions.visualize import _jpeg_encode
+        frame_bytes = [_jpeg_encode(f) for f in frames]
+    else:
+        for f in frames:
+            bgr = f[::-1, :, ::-1]             # top-down RGB → DIB
+            row = np.zeros((h, stride), dtype=np.uint8)
+            row[:, :w * 3] = bgr.reshape(h, w * 3)
+            frame_bytes.append(row.tobytes())
+    fsize = (stride * h if codec == "DIB"
+             else max(len(fb) for fb in frame_bytes))
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -536,18 +571,21 @@ def encode_avi(frames: np.ndarray, *, fps: int = 25) -> bytes:
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
+    handler = b"DIB " if codec == "DIB" else b"MJPG"
+    bi_comp = 0 if codec == "DIB" else _MJPG_FOURCC
+    frame_cid = b"00db" if codec == "DIB" else b"00dc"
     avih = struct.pack("<14I", 1_000_000 // fps, fsize * fps, 0, 0x10,
                        n, 0, 1, fsize, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<I", 0)
+    strh = (b"vids" + handler + struct.pack("<I", 0)
             + struct.pack("<HHI", 0, 0, 0)
             + struct.pack("<7I", 1, fps, 0, n, fsize, 0, 0)
             + struct.pack("<4H", 0, 0, w, h))
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize,
-                       0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, bi_comp,
+                       fsize, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh)
                      + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb)
+    movi = lst(b"movi", b"".join(chunk(frame_cid, fb)
                                  for fb in frame_bytes))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -956,6 +956,55 @@ def test_avi_decode_seam(spark, tmp_path):
     assert len(out) >= 1 and all(r.phash is not None for r in out)
 
 
+def test_avi_mjpeg_decode_seam(spark, tmp_path):
+    """MJPEG-in-AVI: per-frame baseline JPEGs through the in-repo
+    codec. Lossy (luminance-only), so the contract is phash
+    stability, not bit equality: a smooth scene roundtrips within
+    hamming 8 of the original per frame, and the Spark seam decodes
+    the MJPG container for REAL (phashes equal the local roundtrip
+    exactly). Unknown fourccs still raise."""
+    import struct
+    from stark_spark.operators.multimodal import (decode_avi,
+                                                  encode_avi,
+                                                  phash64,
+                                                  read_binary_dir,
+                                                  video_frame_phash)
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:40, 0:56].astype(float)
+    img = np.zeros((40, 56))
+    for _ in range(5):
+        cx, cy = rng.uniform(0, 56), rng.uniform(0, 40)
+        s = rng.uniform(5, 12)
+        img += rng.uniform(0.4, 1.0) * np.exp(
+            -(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s)))
+    img = (img - img.min()) / (img.ptp() + 1e-12) * 255
+    base = np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+    frames = np.stack([np.roll(base, 3 * i, axis=1) for i in range(6)])
+
+    mj = encode_avi(frames, codec="MJPG")
+    dec = decode_avi(mj)
+    assert dec.shape == frames.shape and dec.dtype == np.uint8
+    # grayscale JPEG replicated to 3 identical channels
+    assert np.array_equal(dec[..., 0], dec[..., 1])
+    for i in range(len(frames)):
+        ham = bin(phash64(frames[i]) ^ phash64(dec[i])).count("1")
+        assert ham <= 8, (i, ham)
+
+    d = tmp_path / "mjpg"
+    d.mkdir()
+    (d / "m.avi").write_bytes(mj)
+    got = {r.frame_no: r.phash for r in video_frame_phash(
+        read_binary_dir(spark, str(d), "*.avi")).collect()}
+    want = {f: phash64(dec[f]) for f in range(0, 6, 2)}
+    assert got == want
+    # unknown fourcc ('XVID') raises locally
+    bad = bytearray(mj)
+    i = bad.find(b"strf")
+    bad[i + 8 + 16:i + 8 + 20] = b"XVID"
+    with pytest.raises(ValueError):
+        decode_avi(bytes(bad))
+
+
 @given(st.integers(0, 100_000))
 @settings(max_examples=60, deadline=None)
 def test_multi_geometry_codec_roundtrips(seed):
