@@ -2285,12 +2285,73 @@ def _pq_ann_recall_eval(spark, sf):
     return rank_eval(retrieved, truth, k=5)
 
 
+def _pq_ann_recall_pq(spark, sf):
+    """Measured PQ compression/recall tradeoff (r6 verdict ask #6):
+    ADC is lossy BY CONSTRUCTION (8-byte codes for 256-byte vectors),
+    so its recall must be a number, not a claim — recall@5 + MRR of
+    the PQ-ADC ranking vs the exact brute-force truth. PQ emits ADC
+    scores, not ranks; the rank is derived with the operator's own
+    tie order (adc_q asc, vec_id asc), mirrored in the oracle."""
+    from pyspark.sql import Window
+    from stark_spark.operators.similarity import rank_eval
+    qs = queries()
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_q"),
+                                           F.asc("vec_id"))
+    retrieved = (qs["ann_pq_topk"](spark, sf)
+                 .withColumn("rank", F.row_number().over(w)))
+    truth = qs["ann_brute_topk"](spark, sf)
+    return rank_eval(retrieved, truth, k=5)
+
+
+def _pq_ann_recall_lsh(spark, sf):
+    """Measured sign-LSH recall: the LSH gate retrieves with
+    exclude_self=True (queries are corpus rows), so the fair truth is
+    the brute top-k WITHOUT the query itself, re-ranked — otherwise
+    every query would be docked for "missing" its own row."""
+    from pyspark.sql import Window
+    from stark_spark.operators.similarity import rank_eval
+    qs = queries()
+    retrieved = qs["ann_lsh_topk"](spark, sf)
+    w = Window.partitionBy("q_id").orderBy("rank")
+    truth = (qs["ann_brute_topk"](spark, sf)
+             .where(F.col("vec_id") != F.col("q_id"))
+             .withColumn("rank", F.row_number().over(w)))
+    return rank_eval(retrieved, truth, k=5)
+
+
+def _rank_eval_sql(ret_cte: str, tru_cte: str, k: int) -> str:
+    """DuckDB mirror of similarity.rank_eval over two composed CTEs
+    (each must yield (q_id, vec_id, rank)) — the shared tail behind
+    every ann_recall_* oracle."""
+    return f"""
+WITH ret AS ({ret_cte}),
+tru AS ({tru_cte}),
+tk AS (SELECT q_id, vec_id FROM tru WHERE rank <= {k}),
+hits AS (
+  SELECT ret.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ret JOIN tk USING (q_id, vec_id) GROUP BY ret.q_id
+), top1 AS (SELECT q_id, vec_id FROM tru WHERE rank = 1),
+pos AS (
+  SELECT ret.q_id, min(ret.rank) AS p
+  FROM ret JOIN top1 USING (q_id, vec_id) GROUP BY ret.q_id
+), base AS (SELECT DISTINCT q_id FROM tru)
+SELECT base.q_id,
+  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(1000000 * coalesce(hits.n_hits, 0) // {k} AS BIGINT)
+    AS recall_q6,
+  CAST(CASE WHEN pos.p IS NULL THEN 0
+       ELSE 1000000 // pos.p END AS BIGINT) AS mrr_q6
+FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-7 rotation (all 41 prior entries promoted into
     # queries()); new gates minted this round stage here first.
     return {
         "common_neighbors_capped": _pq_common_neighbors_capped,
+        "ann_recall_pq": _pq_ann_recall_pq,
+        "ann_recall_lsh": _pq_ann_recall_lsh,
     }
 
 
@@ -2540,7 +2601,24 @@ def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — emptied at the r7 rotation
     # (prior entries live on in _promoted_oracle_sql_r6, merged
     # into oracle_sql()).
+    live = _base_oracle_sql()
+    ret_pq = f"""SELECT q_id, vec_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY adc_q, vec_id) AS rank
+    FROM ({live['ann_pq_topk']}) r0"""
+    tru_brute = (f"SELECT q_id, vec_id, rank "
+                 f"FROM ({live['ann_brute_topk']}) t0")
+    ret_lsh = (f"SELECT q_id, vec_id, rank "
+               f"FROM ({live['ann_lsh_topk']}) r0")
+    tru_noself = f"""SELECT q_id, vec_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY rank) AS rank
+    FROM ({live['ann_brute_topk']}) t0 WHERE vec_id <> q_id"""
     return {
+        # rank derived with the PQ operator's tie order; truth = the
+        # exact brute mirror verbatim
+        "ann_recall_pq": _rank_eval_sql(ret_pq, tru_brute, 5),
+        # LSH retrieves with exclude_self, so truth drops the query's
+        # own row and re-ranks
+        "ann_recall_lsh": _rank_eval_sql(ret_lsh, tru_noself, 5),
         # identical to the common_neighbors mirror except sym is
         # capped per node to the 8 smallest-id neighbors via the same
         # row_number window the operator uses; the anti-join (NOT

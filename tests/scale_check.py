@@ -341,8 +341,13 @@ def synthesize(workdir: str) -> None:
 # startup dominates and each run rewrites the 10x events as a temp
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
-PENDING_SCALE = []  # emptied at the r7 rotation (entries promoted
-# into QUERIES below); new staged gates append here
+PENDING_SCALE = [
+    # r7-minted staged gates (linear oracles: capped wedge join;
+    # recall evals are 5-query top-k compositions)
+    "common_neighbors_capped",
+    "ann_recall_pq",
+    "ann_recall_lsh",
+]
 
 
 def main() -> int:
