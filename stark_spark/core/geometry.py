@@ -1430,12 +1430,19 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     if g.kind in ("MULTIPOINT", "MULTIPOLYGON"):
         parts = [buffer(p, dist, quad_segs) for p in g.parts()]
         rings = [np.asarray(p.coords[0], dtype=float) for p in parts]
-        for i in range(len(rings)):
-            for j in range(i + 1, len(rings)):
-                if _rings_may_touch(rings[i], rings[j]):
-                    raise ValueError(
-                        "buffer: part buffers overlap — polygon union "
-                        "not supported; buffer parts separately")
+        overlap = any(
+            _rings_may_touch(rings[i], rings[j])
+            for i in range(len(rings))
+            for j in range(i + 1, len(rings)))
+        if overlap:
+            # dissolve overlapping part buffers into their true union
+            # (boundary trace; raises on degenerate contact or a
+            # union-enclosed hole — honest refusal, never a bowtie)
+            merged = _union_rings(rings)
+            if len(merged) == 1:
+                return Geometry("POLYGON", [merged[0]])
+            return Geometry("MULTIPOLYGON",
+                            [Geometry("POLYGON", [r]) for r in merged])
         return Geometry("MULTIPOLYGON", parts)
     if g.kind != "POLYGON" or len(g.coords) != 1:
         raise ValueError("buffer: only POINT, MULTIPOINT, single-ring "
@@ -1538,6 +1545,158 @@ def _rings_may_touch(a: np.ndarray, b: np.ndarray) -> bool:
     if _point_in_ring(a[0], b) or _point_in_ring(b[0], a):
         return True
     return _any_segment_intersection(a, b)
+
+
+def _seg_cross_uv(p, q, r, s, eps: float = 1e-9):
+    """Proper (interior-interior) crossing of segments pq and rs:
+    returns (t, u) parameters, (None, None) when they don't properly
+    cross, and raises on degenerate contact — collinear overlap or a
+    crossing through an endpoint — which the boundary-trace union
+    cannot stitch reliably."""
+    dpx, dpy = q[0] - p[0], q[1] - p[1]
+    drx, dry = s[0] - r[0], s[1] - r[1]
+    den = dpx * dry - dpy * drx
+    scale = max(abs(dpx) + abs(dpy), abs(drx) + abs(dry), eps)
+    if abs(den) < eps * scale * scale:
+        # parallel: degenerate only if collinear AND overlapping
+        c1 = (r[0] - p[0]) * dpy - (r[1] - p[1]) * dpx
+        if abs(c1) < eps * scale * scale:
+            L2 = dpx * dpx + dpy * dpy
+            if L2 > 0:
+                t0 = ((r[0] - p[0]) * dpx + (r[1] - p[1]) * dpy) / L2
+                t1 = ((s[0] - p[0]) * dpx + (s[1] - p[1]) * dpy) / L2
+                if min(t0, t1) < 1 - eps and max(t0, t1) > eps:
+                    raise ValueError(
+                        "buffer union: collinear overlapping edges "
+                        "(degenerate contact)")
+        return None, None
+    t = ((r[0] - p[0]) * dry - (r[1] - p[1]) * drx) / den
+    u = ((r[0] - p[0]) * dpy - (r[1] - p[1]) * dpx) / den
+    if -eps <= t <= 1 + eps and -eps <= u <= 1 + eps:
+        on_end = (abs(t) < eps or abs(t - 1) < eps
+                  or abs(u) < eps or abs(u - 1) < eps)
+        if on_end:
+            raise ValueError("buffer union: boundaries touch at a "
+                             "vertex (degenerate contact)")
+        return t, u
+    return None, None
+
+
+def _arc_midpoint(pts: np.ndarray) -> np.ndarray:
+    """Point at half the arc's polyline length (always interior to a
+    segment, never a shared crossing endpoint)."""
+    seg = np.diff(pts, axis=0)
+    lens = np.hypot(seg[:, 0], seg[:, 1])
+    half = lens.sum() / 2.0
+    acc = 0.0
+    for i, ln in enumerate(lens):
+        if acc + ln >= half and ln > 0:
+            f = (half - acc) / ln
+            return pts[i] + f * seg[i]
+        acc += ln
+    return pts[len(pts) // 2]
+
+
+def _union_rings(rings: list) -> list:
+    """Union of simple CCW rings (closed, first == last): the
+    boundary-trace algorithm — split every ring at its proper
+    crossings with the others, keep the arcs lying outside all other
+    rings, stitch them back into loops. Exact for transversal
+    contact; raises (honest refusal) on degenerate contact and when
+    the union would enclose a hole (a stitched CW loop). Rings fully
+    inside another are absorbed; disjoint rings pass through.
+    Returns a list of closed CCW rings."""
+    opens = [np.asarray(r[:-1], dtype=float) for r in rings]
+    m = len(opens)
+    cross_pts: list = []
+    per_ring: list = [[] for _ in range(m)]
+    for a in range(m):
+        ra = opens[a]
+        na = len(ra)
+        for b in range(a + 1, m):
+            rb = opens[b]
+            nb = len(rb)
+            # bbox prune per edge pair is O(1); rings are O(100) pts
+            for i in range(na):
+                p, q = ra[i], ra[(i + 1) % na]
+                lox, hix = min(p[0], q[0]), max(p[0], q[0])
+                loy, hiy = min(p[1], q[1]), max(p[1], q[1])
+                for j in range(nb):
+                    r_, s_ = rb[j], rb[(j + 1) % nb]
+                    if (max(r_[0], s_[0]) < lox or min(r_[0], s_[0]) > hix
+                            or max(r_[1], s_[1]) < loy
+                            or min(r_[1], s_[1]) > hiy):
+                        continue
+                    t, u = _seg_cross_uv(p, q, r_, s_)
+                    if t is None:
+                        continue
+                    xid = len(cross_pts)
+                    cross_pts.append(p + t * (q - p))
+                    per_ring[a].append((i, t, xid))
+                    per_ring[b].append((j, u, xid))
+
+    arcs: list = []          # (start_xid, end_xid, pts)
+    standalone: list = []
+    for k in range(m):
+        ring = opens[k]
+        n = len(ring)
+        evs = per_ring[k]
+        if not evs:
+            pt = ring[0]
+            inside = any(
+                _point_in_ring(pt, np.vstack([opens[k2], opens[k2][:1]]))
+                for k2 in range(m) if k2 != k)
+            if not inside:
+                standalone.append(np.vstack([ring, ring[:1]]))
+            continue
+        evs.sort(key=lambda e: (e[0], e[1]))
+        for idx in range(len(evs)):
+            i0, t0, x0 = evs[idx]
+            i1, t1, x1 = evs[(idx + 1) % len(evs)]
+            if i1 == i0 and t1 > t0 and idx + 1 < len(evs):
+                mids: list = []
+            else:
+                cnt = (i1 - i0) % n
+                if cnt == 0:
+                    cnt = n
+                mids = [ring[(i0 + 1 + s) % n] for s in range(cnt)]
+            pts = np.vstack([cross_pts[x0]] + mids + [cross_pts[x1]])
+            mid = _arc_midpoint(pts)
+            outside_all = not any(
+                _point_in_ring(mid, np.vstack([opens[k2], opens[k2][:1]]))
+                for k2 in range(m) if k2 != k)
+            if outside_all:
+                arcs.append((x0, x1, pts))
+
+    out_map: dict = {}
+    for x0, x1, pts in arcs:
+        if x0 in out_map:
+            raise ValueError("buffer union: tangential contact — two "
+                             "boundary arcs leave one crossing")
+        out_map[x0] = (x1, pts)
+    loops: list = []
+    visited: set = set()
+    for start in list(out_map):
+        if start in visited:
+            continue
+        cur = start
+        pieces: list = []
+        while True:
+            visited.add(cur)
+            nxt, pts = out_map[cur]
+            pieces.append(pts[:-1])
+            cur = nxt
+            if cur == start:
+                break
+            if cur in visited or cur not in out_map:
+                raise ValueError("buffer union: open boundary chain "
+                                 "(degenerate contact)")
+        loop = np.vstack(pieces + [pieces[0][:1]])
+        if _ring_signed_area2(loop) < 0:
+            raise ValueError("buffer union: result would enclose a "
+                             "hole — not supported")
+        loops.append(loop)
+    return loops + standalone
 
 
 def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:

@@ -211,6 +211,104 @@ def multimodal_scale_check(replicas: int) -> bool:
     return ok
 
 
+def stream_st_join_state_check(workdir: str) -> bool:
+    """10x scale proof for the stream-stream ST join (r6 verdict ask
+    #7): replay the even/odd event streams IN EVENT-TIME ORDER through
+    a production-shaped watermark (2 h, not the gate's drain-everything
+    365 d) and assert (a) the emitted match count equals the batch
+    join — in-order arrival means nothing is ever late — and (b) the
+    join state stays bounded by the live window: with 12 time-ordered
+    files per side, peak buffered rows <= ~2 batches + the 3 h
+    (watermark + range) tail, far below the 'buffer everything'
+    failure mode the watermark exists to prevent."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stark_spark import get_session
+    from stark_spark.partitioner.grid import GridSpec
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              st_stream_stream_join)
+
+    spark = get_session("stream_ssj_scale", master="local[32]",
+                        shuffle_partitions=32)
+    ev = (spark.read.parquet(f"{workdir}/events.parquet")
+          .withColumn("x", (F.col("user_id").cast("long") * 7919
+                            % 1000) / 10.0)
+          .withColumn("y", (F.col("user_id").cast("long") * 104729
+                            % 1000) / 10.0)
+          .select("event_id", "ts", "user_id", "x", "y"))
+    grid = GridSpec(32, 32, 0.0, 0.0, 100.0, 100.0)
+
+    # batch reference (same condition the stream join refines to)
+    l_b = ev.where(F.col("event_id") % 2 == 0)
+    r_b = ev.where(F.col("event_id") % 2 == 1)
+    rb = (r_b.withColumnRenamed("event_id", "event_id_r")
+             .withColumnRenamed("ts", "ts_r")
+             .withColumnRenamed("user_id", "user_id_r")
+             .withColumnRenamed("x", "x_r")
+             .withColumnRenamed("y", "y_r"))
+    want = (l_b.join(rb, (F.col("x") == F.col("x_r"))
+                     & (F.col("y") == F.col("y_r"))
+                     & (F.col("ts_r") >= F.col("ts")
+                        - F.expr("INTERVAL 1 HOUR"))
+                     & (F.col("ts_r") <= F.col("ts")
+                        + F.expr("INTERVAL 1 HOUR"))).count())
+
+    # 12 time-ordered files per side (sequential writes => ascending
+    # mtimes => the file source replays them in event-time order)
+    root = tempfile.mkdtemp(prefix="stark_ssj_scale_")
+    n_files = 12
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.select(
+        F.min(ts_us).alias("lo"), F.max(ts_us).alias("hi")).first()
+    span_us = bounds.hi - bounds.lo + 1
+    sliced = ev.withColumn(
+        "_slice", F.least(F.lit(n_files - 1),
+                          F.floor((ts_us - F.lit(bounds.lo))
+                                  / F.lit(span_us / n_files))
+                          .cast("int"))).localCheckpoint()
+    per_side_batch = []
+    for i in range(n_files):
+        chunk = sliced.where(F.col("_slice") == i).drop("_slice")
+        chunk.where(F.col("event_id") % 2 == 0).coalesce(1) \
+             .write.mode("append").parquet(f"{root}/left")
+        chunk.where(F.col("event_id") % 2 == 1).coalesce(1) \
+             .write.mode("append").parquet(f"{root}/right")
+        per_side_batch.append(chunk.count())
+    schema = ev.schema
+    l = read_event_stream(spark, f"{root}/left", schema, max_files=1)
+    r = read_event_stream(spark, f"{root}/right", schema, max_files=1)
+    out = st_stream_stream_join(l, r, grid=grid, watermark="2 hours",
+                                time_range="1 hour")
+    counts = []
+
+    def sink(bdf, _bid):
+        counts.append(bdf.count())
+
+    q = (out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True).start())
+    q.awaitTermination(1800)
+    peaks = [sum(op["numRowsTotal"] for op in p["stateOperators"])
+             for p in q.recentProgress if p["stateOperators"]]
+    got = sum(counts)
+    peak = max(peaks) if peaks else 0
+    # bound: <= 2 in-flight batches of buffered rows + slack for the
+    # (watermark + range) tail straddling a file boundary
+    bound = 2 * max(per_side_batch) + 20_000
+    ok = got == want and 0 < peak <= bound
+    status = "PASS" if ok else "FAIL"
+    print(f"{status} stream_st_join_state: matches {got} (batch "
+          f"{want}), peak state rows {peak} <= bound {bound} "
+          f"(total input {sum(per_side_batch)}, "
+          f"{len(peaks)} progress samples)", file=sys.stderr)
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    return ok
+
+
 def capped_cn_skew_check(workdir: str, n_edges: int) -> bool:
     """Skew exercise for common_neighbors(max_degree): a synthetic
     graph where ONE celebrity node owns 10% of all edges (deg = E/10,
@@ -367,6 +465,10 @@ def main() -> int:
     # 100k-edge celebrity node per 1M edges: the cap is what keeps
     # the wedge join off the (E/10)^2 cliff
     if not capped_cn_skew_check(workdir, n_edges=100_000 * REPLICAS):
+        rc = rc or 1
+    # stream-stream ST join under a production watermark: match count
+    # must equal the batch join, state must stay window-bounded
+    if not stream_st_join_state_check(workdir):
         rc = rc or 1
     return rc
 
