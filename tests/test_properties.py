@@ -462,9 +462,71 @@ def test_buffer_rejects_bad_inputs():
     ell = G.from_wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
     with pytest.raises(ValueError):
         G.buffer(ell, 2.0)
-    # overlapping part buffers need a polygon union -> refuse
+    # a union that would enclose a hole: honest refusal — a ring of
+    # overlapping discs around the origin
+    import math
+    ringpts = ", ".join(
+        f"({3 * math.cos(i * math.pi / 4)} {3 * math.sin(i * math.pi / 4)})"
+        for i in range(8))
     with pytest.raises(ValueError):
-        G.buffer(G.from_wkt("MULTIPOINT ((0 0), (1 0))"), 2.0)
+        G.buffer(G.from_wkt(f"MULTIPOINT ({ringpts})"), 1.3)
+
+
+def test_buffer_multi_union_overlap():
+    """MULTI* part buffers that overlap dissolve into their true union
+    (r6 verdict ask #10). Pins: area(buffer(multi)) < sum of the part
+    buffers exactly when they overlap (== when disjoint); the two-disc
+    union matches the analytic 2*pi - lens closed form within the
+    32-gon approximation; chained overlaps collapse to ONE polygon;
+    a part swallowed by another's buffer is absorbed."""
+    import math
+    disc = G.area(G.buffer(G.point(0, 0), 1.0))
+    u = G.buffer(G.from_wkt("MULTIPOINT ((0 0), (1 0))"), 1.0)
+    assert u.kind == "POLYGON"
+    assert G.area(u) < 2 * disc
+    lens = 2 * math.acos(0.5) - 0.5 * math.sqrt(3)
+    want = 2 * math.pi - lens
+    assert abs(G.area(u) - want) < 0.02 * want
+    # disjoint: exact equality, both parts kept
+    far = G.buffer(G.from_wkt("MULTIPOINT ((0 0), (5 0))"), 1.0)
+    assert far.kind == "MULTIPOLYGON"
+    assert abs(G.area(far) - 2 * disc) < 1e-9
+    # chain of three overlapping discs -> one simple polygon, area
+    # strictly between one disc and the disjoint sum
+    chain = G.buffer(
+        G.from_wkt("MULTIPOINT ((0 0), (1.2 0), (2.4 0))"), 1.0)
+    assert chain.kind == "POLYGON"
+    assert disc < G.area(chain) < 3 * disc
+    # absorption: a part whose buffer lies inside another's vanishes
+    mpoly = G.from_wkt(
+        "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)),"
+        " ((4 4, 5 4, 5 5, 4 5, 4 4)))")
+    big = G.buffer(
+        G.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"), 1.0)
+    assert abs(G.area(G.buffer(mpoly, 1.0)) - G.area(big)) < 1e-9
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=40, deadline=None)
+def test_buffer_multi_union_area_bound(seed):
+    """Property (r6 verdict ask #10): for random overlapping
+    MULTIPOINT fixtures, area(buffer(multi)) <= sum of the part-buffer
+    areas, and >= the largest single part. Degenerate contacts (exact
+    tangency the boundary trace refuses) are skipped, never wrong."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 6))
+    pts = rng.uniform(0, 3, size=(n, 2))
+    wkt = "MULTIPOINT (" + ", ".join(
+        f"({p[0]} {p[1]})" for p in pts) + ")"
+    try:
+        u = G.buffer(G.from_wkt(wkt), 1.0)
+    except ValueError:
+        return            # honest refusal on degenerate contact
+    disc = G.area(G.buffer(G.point(0, 0), 1.0))
+    a = G.area(u)
+    assert a <= n * disc + 1e-9
+    assert a >= disc - 1e-9
 
 
 def test_buffer_concave_l_shape_closed_form():
