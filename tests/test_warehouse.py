@@ -578,7 +578,7 @@ def test_plan_shapes_session4(spark):
     assert "BroadcastHashJoin" in plan
 
     # zorder keys are row-local: NO exchange anywhere in the plan
-    zk = e.pending_queries()["zorder_events"](spark, sf)
+    zk = e.queries()["zorder_events"](spark, sf)
     zplan = zk._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in zplan
 
@@ -595,7 +595,7 @@ def test_plan_shapes_session4(spark):
 
     # correlation matrix: moments come from ONE aggregate over ONE
     # scan (no join in the plan at all)
-    corr = e.pending_queries()["lineitem_corr"](spark, sf)
+    corr = e.queries()["lineitem_corr"](spark, sf)
     cplan = corr._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in cplan
 
