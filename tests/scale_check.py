@@ -449,7 +449,16 @@ PENDING_SCALE = [
 
 
 def main() -> int:
-    workdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfbig"
+    # usage: scale_check.py [workdir] [--replicas N]
+    #   the weekly-equivalent full 100x run (r6 verdict ask #9):
+    #   python tests/scale_check.py /tmp/sfbig100 --replicas 100
+    global REPLICAS
+    args = sys.argv[1:]
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        REPLICAS = int(args[i + 1])
+        del args[i:i + 2]
+    workdir = args[0] if args else "/tmp/sfbig"
     synthesize(workdir)
     import oracle_check
     t0 = time.time()
