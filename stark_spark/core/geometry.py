@@ -1606,7 +1606,12 @@ def _union_rings(rings: list) -> list:
     the union would enclose a hole (a stitched CW loop). Rings fully
     inside another are absorbed; disjoint rings pass through.
     Returns a list of closed CCW rings."""
-    opens = [np.asarray(r[:-1], dtype=float) for r in rings]
+    uniq: list = []
+    for r in rings:
+        if not any(r.shape == u.shape and np.array_equal(r, u)
+                   for u in uniq):
+            uniq.append(r)
+    opens = [np.asarray(r[:-1], dtype=float) for r in uniq]
     m = len(opens)
     cross_pts: list = []
     per_ring: list = [[] for _ in range(m)]
