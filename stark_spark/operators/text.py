@@ -338,14 +338,19 @@ def doc_logprob_bigram(df: DataFrame, key: str, *,
     sized); scoring joins doc bigrams to the two count frames on
     their vocab keys. V (distinct unigrams) is one driver scalar.
     Output: (key, n_bigrams, logprob2_q)."""
-    arr = "filter(split(%s, ' '), t -> t <> '')" % text_col
-    pair_expr = (f"CASE WHEN size({arr}) >= 2 THEN "
-                 f"transform(sequence(1, size({arr}) - 1), "
-                 f"i -> concat(element_at({arr}, i), ' ', "
-                 f"element_at({arr}, i + 1))) "
-                 f"ELSE array() END")
-    pairs = df.select(F.col(key),
-                      F.explode(F.expr(pair_expr)).alias("pair"))
+    # hoist the token array into a column so each element_at in the
+    # transform lambda indexes a materialized array instead of
+    # re-evaluating filter(split(text)) per element (O(tokens^2)/doc)
+    pair_expr = ("CASE WHEN size(_toks) >= 2 THEN "
+                 "transform(sequence(1, size(_toks) - 1), "
+                 "i -> concat(element_at(_toks, i), ' ', "
+                 "element_at(_toks, i + 1))) "
+                 "ELSE array() END")
+    pairs = (df.select(F.col(key),
+                       F.expr(f"filter(split({text_col}, ' '), "
+                              "t -> t <> '')").alias("_toks"))
+               .select(F.col(key),
+                       F.explode(F.expr(pair_expr)).alias("pair")))
     uni = (df.select(F.explode(tokens(F.col(text_col))).alias("token"))
              .where(F.col("token") != "")
              .groupBy("token").agg(F.count("*").alias("cu")))
