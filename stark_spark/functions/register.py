@@ -308,9 +308,12 @@ def _register_text_functions(spark: SparkSession) -> None:
             f"('the','a','of','and','to','in','is'))) / {n}")
     punct = (f"(length(t) - length(regexp_replace(t, '[^\\\\w\\\\s]', '')))"
              f" / length(t)")
-    bg = (f"transform(sequence(1, {n} - 1), "
-          f"i -> concat_ws(' ', element_at({toks}, i), "
-          f"element_at({toks}, i + 1)))")
+    # zip_with over two slices: each slice materializes the split
+    # once, so bigram generation is O(tokens) per row (the transform/
+    # element_at form re-runs the split per element — O(tokens^2))
+    bg = (f"zip_with(slice({toks}, 1, {n} - 1), "
+          f"slice({toks}, 2, {n} - 1), "
+          f"(a, b) -> concat_ws(' ', a, b))")
     ttr = f"size(array_distinct({toks})) / {n}"
     toptok = (f"array_max(transform(array_distinct({toks}), "
               f"x -> size(filter({toks}, y -> y = x)))) / {n}")

@@ -154,13 +154,18 @@ def top_token_ratio(text: Column) -> Column:
 
 def word_bigrams(text: Column) -> Column:
     """Adjacent word pairs joined by one space; empty for 1-token docs
-    (guarded — ``sequence(1, 0)`` would count DOWN in Spark)."""
+    (guarded — ``sequence(1, 0)`` would count DOWN in Spark).
+
+    Shape: zip_with over two slices of the token array — each slice
+    materializes the array once, so the pass is O(tokens) per row.
+    (The transform(sequence)/element_at form re-evaluates the token
+    split per ELEMENT — O(tokens^2) per doc; fixing the same pattern
+    in doc_logprob_bigram measured 4.6x at sf0.1.)"""
     toks = tokens(text)
     n = F.size(toks)
-    return F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i),
-                              F.element_at(toks, i + 1)))
+    return F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))
     ).otherwise(F.array().cast("array<string>"))
 
 
