@@ -121,17 +121,34 @@ def cross_exact_dups(train: DataFrame, eval_df: DataFrame, key: str, *,
     return rh.join(th, "content_hash")
 
 
-def _shingle_hashes(text_col: Column, n: int) -> Column:
-    """Array of md5 hashes of every n-TOKEN window (whitespace
-    tokens, empties dropped) — all native expressions: filter +
+def _shingle_hashes(toks: Column, n: int) -> Column:
+    """Array of md5 hashes of every n-TOKEN window over an ALREADY-
+    MATERIALIZED token-array column — all native expressions:
     sequence + transform(slice → concat_ws → md5). Docs shorter than
-    n tokens yield an empty array."""
-    toks = F.filter(F.split(text_col, " "), lambda t: t != F.lit(""))
+    n tokens yield an empty array.
+
+    ``toks`` must be an attribute reference (hoist the
+    filter(split(...)) into a withColumn first — see
+    `_doc_shingle_rows`): an inline expression would re-run the
+    split per WINDOW inside the transform lambda, O(tokens^2)/doc."""
     idx = F.when(F.size(toks) >= n,
                  F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))) \
           .otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.md5(
         F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def _doc_shingle_rows(df: DataFrame, n: int, text_col: str,
+                      *keep_cols: str) -> DataFrame:
+    """Per-row DISTINCT n-token-window hashes exploded to rows
+    (keep_cols..., h) with the token array hoisted once per row."""
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda t: t != F.lit(""))
+    return (df.withColumn("_toks", toks)
+              .select(*keep_cols,
+                      F.explode(F.array_distinct(
+                          _shingle_hashes(F.col("_toks"), n)))
+                       .alias("h")))
 
 
 def cross_ngram_contamination(train: DataFrame, eval_df: DataFrame,
@@ -152,11 +169,8 @@ def cross_ngram_contamination(train: DataFrame, eval_df: DataFrame,
     the only corpus-sized shuffle is the per-train-doc hit count.
     Output: (<key>, n_hit_shingles) — train docs with >= 1 matching
     window, with the count of their DISTINCT windows found in eval."""
-    sh = _shingle_hashes(F.col(text_col), n)
-    ev_sh = (eval_df.select(F.explode(F.array_distinct(sh)).alias("h"))
-                    .distinct())
-    tr_sh = train.select(F.col(key),
-                         F.explode(F.array_distinct(sh)).alias("h"))
+    ev_sh = _doc_shingle_rows(eval_df, n, text_col).distinct()
+    tr_sh = _doc_shingle_rows(train, n, text_col, key)
     return (tr_sh.join(ev_sh, "h")
                  .groupBy(key)
                  .agg(F.count("*").alias("n_hit_shingles")))
@@ -174,8 +188,7 @@ def boilerplate_ngrams(df: DataFrame, *, n: int = 13,
     distinct BEFORE the explode, one groupBy(hash) count — map-side
     combined, so the shuffle carries one row per distinct window per
     doc. Output: (h, n_docs)."""
-    sh = _shingle_hashes(F.col(text_col), n)
-    return (df.select(F.explode(F.array_distinct(sh)).alias("h"))
+    return (_doc_shingle_rows(df, n, text_col)
               .groupBy("h")
               .agg(F.count("*").alias("n_docs"))
               .where(F.col("n_docs") >= min_docs))
@@ -202,9 +215,7 @@ def doc_boilerplate_ratio(df: DataFrame, key: str, *, n: int = 13,
     5.0 s vs 1.4 s at sf0.1.) Output: (<key>, n_windows, n_boiler,
     ratio_q) for docs with at least one boilerplate window."""
     from pyspark.sql import Window
-    sh = _shingle_hashes(F.col(text_col), n)
-    doc_sh = df.select(F.col(key),
-                       F.explode(F.array_distinct(sh)).alias("h"))
+    doc_sh = _doc_shingle_rows(df, n, text_col, key)
     n_docs = F.count("*").over(Window.partitionBy("h"))
     return (doc_sh.withColumn("_nd", n_docs)
                   .groupBy(key)

@@ -402,13 +402,11 @@ def stream_contamination_ngrams(stream: DataFrame, eval_df: DataFrame,
     consumers can count hits per doc with a plain batch aggregate
     (an in-stream groupBy would force stateful complete/update mode
     for no ingest-side benefit)."""
-    from stark_spark.operators.dedup import _shingle_hashes
-    sh = _shingle_hashes(F.col(text_col), n)
-    ev_sh = (eval_df.select(F.explode(F.array_distinct(sh)).alias("h"))
-                    .distinct()
-                    .localCheckpoint(eager=True))
-    tr = stream.select(F.col(key),
-                       F.explode(F.array_distinct(sh)).alias("h"))
+    from stark_spark.operators.dedup import _doc_shingle_rows
+    ev_sh = (_doc_shingle_rows(eval_df, n, text_col)
+             .distinct()
+             .localCheckpoint(eager=True))
+    tr = _doc_shingle_rows(stream, n, text_col, key)
     return tr.join(ev_sh, "h").select(key, "h")
 
 
