@@ -2319,6 +2319,46 @@ def _pq_ann_recall_lsh(spark, sf):
     return rank_eval(retrieved, truth, k=5)
 
 
+def _pq_sql_st_union(spark, sf):
+    """Constructive polygon union on the SQL surface (`st_union`, the
+    boundary-trace engine behind the MULTI*-buffer dissolve): per
+    part, two equal integer-sided rectangles overlapping at a corner
+    (offset dx < w, dy < h, so contact is transversal) — the union is
+    an octagon whose area and perimeter have CLOSED FORMS the DuckDB
+    oracle evaluates arithmetically:
+      area = 2*w*h - (w-dx)*(h-dy)
+      perimeter = 4*(w+h) - 2*((w-dx) + (h-dy))
+    All coordinates are integer-valued doubles, so the shoelace sum
+    is exact and the BIGINT casts are lossless — the gate hash-checks
+    constructor → union → measure end-to-end."""
+    from stark_spark.functions.constructors import st_box
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    k = F.col("p_partkey")
+    p = (D.load(spark, sf, "part").where(k <= 200)
+         .select("p_partkey",
+                 (k * 37 % 50).cast("double").alias("x0"),
+                 (k * 71 % 50).cast("double").alias("y0"),
+                 (k % 5 + 4).cast("double").alias("w"),
+                 (k % 7 + 3).cast("double").alias("h"),
+                 (k % 3 + 1).cast("double").alias("dx"),
+                 (k % 2 + 1).cast("double").alias("dy")))
+    boxes = p.select(
+        "p_partkey",
+        st_box(F.col("x0"), F.col("y0"),
+               F.col("x0") + F.col("w"),
+               F.col("y0") + F.col("h")).alias("ga"),
+        st_box(F.col("x0") + F.col("dx"), F.col("y0") + F.col("dy"),
+               F.col("x0") + F.col("dx") + F.col("w"),
+               F.col("y0") + F.col("dy") + F.col("h")).alias("gb"))
+    boxes.createOrReplaceTempView("__sql_union_boxes")
+    return spark.sql("""
+        SELECT p_partkey,
+          CAST(st_area(st_union(ga, gb)) AS BIGINT) AS uarea,
+          CAST(st_length(st_union(ga, gb)) AS BIGINT) AS ulen
+        FROM __sql_union_boxes""")
+
+
 def _rank_eval_sql(ret_cte: str, tru_cte: str, k: int) -> str:
     """DuckDB mirror of similarity.rank_eval over two composed CTEs
     (each must yield (q_id, vec_id, rank)) — the shared tail behind
@@ -2352,6 +2392,7 @@ def pending_queries():
         "common_neighbors_capped": _pq_common_neighbors_capped,
         "ann_recall_pq": _pq_ann_recall_pq,
         "ann_recall_lsh": _pq_ann_recall_lsh,
+        "sql_st_union": _pq_sql_st_union,
     }
 
 
@@ -2619,6 +2660,19 @@ def pending_oracle_sql() -> dict[str, str]:
         # LSH retrieves with exclude_self, so truth drops the query's
         # own row and re-ranks
         "ann_recall_lsh": _rank_eval_sql(ret_lsh, tru_noself, 5),
+        # union octagon closed forms (integer rectangles, corner
+        # overlap): area = 2wh - (w-dx)(h-dy),
+        # perimeter = 4(w+h) - 2((w-dx)+(h-dy))
+        "sql_st_union": """
+WITH p AS (
+  SELECT p_partkey,
+    p_partkey % 5 + 4 AS w, p_partkey % 7 + 3 AS h,
+    p_partkey % 3 + 1 AS dx, p_partkey % 2 + 1 AS dy
+  FROM part WHERE p_partkey <= 200)
+SELECT p_partkey,
+  CAST(2 * w * h - (w - dx) * (h - dy) AS BIGINT) AS uarea,
+  CAST(4 * (w + h) - 2 * ((w - dx) + (h - dy)) AS BIGINT) AS ulen
+FROM p""",
         # identical to the common_neighbors mirror except sym is
         # capped per node to the 8 smallest-id neighbors via the same
         # row_number window the operator uses; the anti-join (NOT

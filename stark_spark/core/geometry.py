@@ -1704,6 +1704,51 @@ def _union_rings(rings: list) -> list:
     return loops + standalone
 
 
+def _norm_ccw_ring(coords: np.ndarray) -> np.ndarray:
+    """Closed ring → closed CCW ring with consecutive duplicate
+    vertices dropped (the normalization `buffer` applies)."""
+    ring = np.asarray(coords, dtype=float)[:-1]
+    if _ring_signed_area2(np.vstack([ring, ring[:1]])) < 0:
+        ring = ring[::-1]
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = np.any(ring[1:] != ring[:-1], axis=1)
+    ring = ring[keep]
+    if len(ring) < 3:
+        raise ValueError("union: degenerate ring")
+    return np.vstack([ring, ring[:1]])
+
+
+def union(a: Geometry, b: Geometry) -> Geometry:
+    """Constructive union of simple (single-ring, hole-free)
+    POLYGONs / MULTIPOLYGONs — the OGC `ST_Union` for the polygon
+    class this kernel supports. Same boundary-trace engine as the
+    MULTI*-buffer dissolve (`_union_rings`): exact for transversal
+    contact; raises on degenerate contact (shared/collinear edges,
+    vertex touching) and when the union would enclose a hole. Holed
+    inputs and non-polygon kinds raise — an honest subset, matching
+    `buffer`'s contract."""
+    rings: list = []
+    for g in (a, b):
+        if g.kind == "POLYGON":
+            if len(g.coords) != 1:
+                raise ValueError("union: holed polygons unsupported")
+            rings.append(_norm_ccw_ring(g.coords[0]))
+        elif g.kind == "MULTIPOLYGON":
+            for p in g.parts():
+                if len(p.coords) != 1:
+                    raise ValueError(
+                        "union: holed polygons unsupported")
+                rings.append(_norm_ccw_ring(p.coords[0]))
+        else:
+            raise ValueError(f"union: {g.kind} unsupported "
+                             "(POLYGON/MULTIPOLYGON only)")
+    merged = _union_rings(rings)
+    if len(merged) == 1:
+        return Geometry("POLYGON", [merged[0]])
+    return Geometry("MULTIPOLYGON",
+                    [Geometry("POLYGON", [r]) for r in merged])
+
+
 def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:
     x, y = float(pt[0]), float(pt[1])
     xs, ys = ring[:-1, 0], ring[:-1, 1]

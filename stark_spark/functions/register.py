@@ -219,6 +219,21 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
 
     spark.udf.register("st_buffer", pandas_udf(_buffer, BinaryType()))
 
+    def _union(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        # constructive polygon union (simple hole-free inputs; the
+        # boundary-trace engine raises on degenerate contact — the
+        # honest contract documented on core.geometry.union)
+        out = []
+        for ba, bb in zip(wa, wb):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            out.append(G.to_wkb(G.union(G.from_wkb(bytes(ba)),
+                                        G.from_wkb(bytes(bb)))))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("st_union", pandas_udf(_union, BinaryType()))
+
     def _coord(i):
         # NaN for non-points (accessors must not throw mid-scan)
         return lambda g: (float(g.coords[i]) if g.kind == "POINT"

@@ -445,6 +445,7 @@ PENDING_SCALE = [
     "common_neighbors_capped",
     "ann_recall_pq",
     "ann_recall_lsh",
+    "sql_st_union",
 ]
 
 

@@ -506,6 +506,35 @@ def test_buffer_multi_union_overlap():
     assert abs(G.area(G.buffer(mpoly, 1.0)) - G.area(big)) < 1e-9
 
 
+def test_union_polygons():
+    """Constructive `union` (core.geometry): corner-overlap closed
+    form, commutativity, containment absorption, disjoint →
+    MULTIPOLYGON, idempotence, MULTIPOLYGON input chains, and honest
+    refusals for degenerate shared edges and non-polygon kinds."""
+    a = G.from_wkt("POLYGON ((0 0, 6 0, 6 5, 0 5, 0 0))")
+    b = G.from_wkt("POLYGON ((2 2, 8 2, 8 7, 2 7, 2 2))")
+    u = G.union(a, b)
+    assert u.kind == "POLYGON" and G.area(u) == 48.0   # 30+30-12
+    assert G.length(u) == 4 * (6 + 5) - 2 * (4 + 3)
+    assert G.area(G.union(b, a)) == 48.0
+    c = G.from_wkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert G.area(G.union(a, c)) == 30.0               # absorbed
+    d = G.from_wkt(
+        "POLYGON ((100 100, 101 100, 101 101, 100 101, 100 100))")
+    ud = G.union(a, d)
+    assert ud.kind == "MULTIPOLYGON" and G.area(ud) == 31.0
+    assert G.area(G.union(a, a)) == 30.0               # idempotent
+    m = G.from_wkt("MULTIPOLYGON (((0 0, 3 0, 3 3, 0 3, 0 0)),"
+                   " ((2 2, 5 2, 5 5, 2 5, 2 2)))")
+    um = G.union(m, G.from_wkt("POLYGON ((4 4, 7 4, 7 7, 4 7, 4 4))"))
+    assert um.kind == "POLYGON" and G.area(um) == 25.0
+    shared = G.from_wkt("POLYGON ((6 0, 12 0, 12 5, 6 5, 6 0))")
+    with pytest.raises(ValueError):
+        G.union(a, shared)
+    with pytest.raises(ValueError):
+        G.union(a, G.point(1, 1))
+
+
 @given(st.integers(0, 10_000))
 @settings(max_examples=40, deadline=None)
 def test_buffer_multi_union_area_bound(seed):
