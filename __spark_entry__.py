@@ -2320,17 +2320,20 @@ def _pq_ann_recall_lsh(spark, sf):
 
 
 def _pq_sql_st_union(spark, sf):
-    """Constructive polygon union on the SQL surface (`st_union`, the
-    boundary-trace engine behind the MULTI*-buffer dissolve): per
-    part, two equal integer-sided rectangles overlapping at a corner
-    (offset dx < w, dy < h, so contact is transversal) — the union is
-    an octagon whose area and perimeter have CLOSED FORMS the DuckDB
-    oracle evaluates arithmetically:
-      area = 2*w*h - (w-dx)*(h-dy)
-      perimeter = 4*(w+h) - 2*((w-dx) + (h-dy))
-    All coordinates are integer-valued doubles, so the shoelace sum
-    is exact and the BIGINT casts are lossless — the gate hash-checks
-    constructor → union → measure end-to-end."""
+    """Constructive polygon overlay on the SQL surface (`st_union` +
+    `st_intersection`, the boundary-trace engine behind the MULTI*-
+    buffer dissolve): per part, two equal integer-sided rectangles
+    overlapping at a corner (offset dx < w, dy < h, so contact is
+    transversal) — the union is an octagon and the intersection a
+    rectangle, both with CLOSED FORMS the DuckDB oracle evaluates
+    arithmetically:
+      union:        area = 2*w*h - (w-dx)*(h-dy)
+                    perimeter = 4*(w+h) - 2*((w-dx)+(h-dy))
+      intersection: area = (w-dx)*(h-dy)
+                    perimeter = 2*((w-dx)+(h-dy))
+    All coordinates are integer-valued doubles, so the shoelace sums
+    are exact and the BIGINT casts lossless — the gate hash-checks
+    constructor → overlay → measure end-to-end."""
     from stark_spark.functions.constructors import st_box
     from stark_spark.functions.register import register_sql_functions
     register_sql_functions(spark)
@@ -2355,7 +2358,9 @@ def _pq_sql_st_union(spark, sf):
     return spark.sql("""
         SELECT p_partkey,
           CAST(st_area(st_union(ga, gb)) AS BIGINT) AS uarea,
-          CAST(st_length(st_union(ga, gb)) AS BIGINT) AS ulen
+          CAST(st_length(st_union(ga, gb)) AS BIGINT) AS ulen,
+          CAST(st_area(st_intersection(ga, gb)) AS BIGINT) AS iarea,
+          CAST(st_length(st_intersection(ga, gb)) AS BIGINT) AS ilen
         FROM __sql_union_boxes""")
 
 
@@ -2671,7 +2676,9 @@ WITH p AS (
   FROM part WHERE p_partkey <= 200)
 SELECT p_partkey,
   CAST(2 * w * h - (w - dx) * (h - dy) AS BIGINT) AS uarea,
-  CAST(4 * (w + h) - 2 * ((w - dx) + (h - dy)) AS BIGINT) AS ulen
+  CAST(4 * (w + h) - 2 * ((w - dx) + (h - dy)) AS BIGINT) AS ulen,
+  CAST((w - dx) * (h - dy) AS BIGINT) AS iarea,
+  CAST(2 * ((w - dx) + (h - dy)) AS BIGINT) AS ilen
 FROM p""",
         # identical to the common_neighbors mirror except sym is
         # capped per node to the 8 smallest-id neighbors via the same

@@ -1598,14 +1598,27 @@ def _arc_midpoint(pts: np.ndarray) -> np.ndarray:
 
 
 def _union_rings(rings: list) -> list:
-    """Union of simple CCW rings (closed, first == last): the
-    boundary-trace algorithm — split every ring at its proper
-    crossings with the others, keep the arcs lying outside all other
-    rings, stitch them back into loops. Exact for transversal
-    contact; raises (honest refusal) on degenerate contact and when
-    the union would enclose a hole (a stitched CW loop). Rings fully
-    inside another are absorbed; disjoint rings pass through.
-    Returns a list of closed CCW rings."""
+    """Union of simple CCW rings — see `_trace_rings`."""
+    return _trace_rings(rings, "union")
+
+
+def _trace_rings(rings: list, mode: str) -> list:
+    """Boundary-trace overlay of simple CCW rings (closed,
+    first == last): split every ring at its proper crossings with the
+    others, keep the arcs on the RESULT boundary, stitch loops.
+
+    mode="union": keep arcs lying outside all other rings; a ring
+    with no crossings survives unless it sits inside another
+    (absorbed); disjoint rings pass through. mode="intersection":
+    keep arcs lying inside ALL other rings; a crossing-free ring
+    survives only when inside all others; disjoint input → [].
+
+    Exact for transversal contact; raises (honest refusal) on
+    degenerate contact and when a stitched loop comes out CW (a hole
+    for union; impossible-by-construction for intersection of simply
+    connected inputs, so CW there means degeneracy). Returns a list
+    of closed CCW rings."""
+    want_inside = mode == "intersection"
     uniq: list = []
     for r in rings:
         if not any(r.shape == u.shape and np.array_equal(r, u)
@@ -1648,10 +1661,14 @@ def _union_rings(rings: list) -> list:
         evs = per_ring[k]
         if not evs:
             pt = ring[0]
-            inside = any(
+            inside_all = all(
                 _point_in_ring(pt, np.vstack([opens[k2], opens[k2][:1]]))
                 for k2 in range(m) if k2 != k)
-            if not inside:
+            inside_any = (m > 1) and any(
+                _point_in_ring(pt, np.vstack([opens[k2], opens[k2][:1]]))
+                for k2 in range(m) if k2 != k)
+            keep_ring = inside_all if want_inside else not inside_any
+            if keep_ring:
                 standalone.append(np.vstack([ring, ring[:1]]))
             continue
         evs.sort(key=lambda e: (e[0], e[1]))
@@ -1667,16 +1684,18 @@ def _union_rings(rings: list) -> list:
                 mids = [ring[(i0 + 1 + s) % n] for s in range(cnt)]
             pts = np.vstack([cross_pts[x0]] + mids + [cross_pts[x1]])
             mid = _arc_midpoint(pts)
-            outside_all = not any(
+            others_inside = [
                 _point_in_ring(mid, np.vstack([opens[k2], opens[k2][:1]]))
-                for k2 in range(m) if k2 != k)
-            if outside_all:
+                for k2 in range(m) if k2 != k]
+            keep_arc = (all(others_inside) if want_inside
+                        else not any(others_inside))
+            if keep_arc:
                 arcs.append((x0, x1, pts))
 
     out_map: dict = {}
     for x0, x1, pts in arcs:
         if x0 in out_map:
-            raise ValueError("buffer union: tangential contact — two "
+            raise ValueError("polygon overlay: tangential contact — two "
                              "boundary arcs leave one crossing")
         out_map[x0] = (x1, pts)
     loops: list = []
@@ -1694,12 +1713,14 @@ def _union_rings(rings: list) -> list:
             if cur == start:
                 break
             if cur in visited or cur not in out_map:
-                raise ValueError("buffer union: open boundary chain "
+                raise ValueError("polygon overlay: open boundary chain "
                                  "(degenerate contact)")
         loop = np.vstack(pieces + [pieces[0][:1]])
         if _ring_signed_area2(loop) < 0:
-            raise ValueError("buffer union: result would enclose a "
-                             "hole — not supported")
+            raise ValueError(
+                "polygon overlay: CW loop — " +
+                ("union would enclose a hole (not supported)"
+                 if not want_inside else "degenerate intersection"))
         loops.append(loop)
     return loops + standalone
 
@@ -1743,6 +1764,31 @@ def union(a: Geometry, b: Geometry) -> Geometry:
             raise ValueError(f"union: {g.kind} unsupported "
                              "(POLYGON/MULTIPOLYGON only)")
     merged = _union_rings(rings)
+    if len(merged) == 1:
+        return Geometry("POLYGON", [merged[0]])
+    return Geometry("MULTIPOLYGON",
+                    [Geometry("POLYGON", [r]) for r in merged])
+
+
+def intersection(a: Geometry, b: Geometry) -> Geometry | None:
+    """Constructive intersection of two simple (single-ring,
+    hole-free) POLYGONs — the OGC `ST_Intersection` for the polygon
+    class this kernel supports. Same boundary-trace engine as
+    `union`, keeping the arcs INSIDE the other ring. Returns None for
+    an empty intersection (the SQL surface maps it to NULL — the
+    engine has no empty-geometry value). A polygon fully inside the
+    other comes back whole; multiple intersection components return a
+    MULTIPOLYGON. Raises on degenerate contact and non-POLYGON /
+    holed inputs."""
+    rings: list = []
+    for g in (a, b):
+        if g.kind != "POLYGON" or len(g.coords) != 1:
+            raise ValueError("intersection: simple single-ring "
+                             "POLYGONs only")
+        rings.append(_norm_ccw_ring(g.coords[0]))
+    merged = _trace_rings(rings, "intersection")
+    if not merged:
+        return None
     if len(merged) == 1:
         return Geometry("POLYGON", [merged[0]])
     return Geometry("MULTIPOLYGON",

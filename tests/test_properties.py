@@ -535,6 +535,39 @@ def test_union_polygons():
         G.union(a, G.point(1, 1))
 
 
+def test_intersection_polygons():
+    """Constructive `intersection`: corner-overlap closed form and
+    the complement identity area(A)+area(B) == area(A∪B)+area(A∩B);
+    containment returns the inner polygon whole; disjoint → None;
+    idempotence; a U-shape × bar producing TWO components; degenerate
+    shared edges and non-polygons raise."""
+    a = G.from_wkt("POLYGON ((0 0, 6 0, 6 5, 0 5, 0 0))")
+    b = G.from_wkt("POLYGON ((2 2, 8 2, 8 7, 2 7, 2 2))")
+    i = G.intersection(a, b)
+    assert i.kind == "POLYGON" and G.area(i) == 12.0
+    assert G.length(i) == 2 * (4 + 3)
+    assert G.area(G.intersection(b, a)) == 12.0
+    assert (G.area(a) + G.area(b)
+            == G.area(G.union(a, b)) + G.area(i))
+    c = G.from_wkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert G.area(G.intersection(a, c)) == 1.0
+    assert G.area(G.intersection(c, a)) == 1.0
+    d = G.from_wkt(
+        "POLYGON ((100 100, 101 100, 101 101, 100 101, 100 100))")
+    assert G.intersection(a, d) is None
+    assert G.area(G.intersection(a, a)) == 30.0
+    u = G.from_wkt("POLYGON ((0 0, 1 0, 1 4, 3 4, 3 0, 4 0, 4 6, "
+                   "0 6, 0 0))")
+    bar = G.from_wkt("POLYGON ((-1 1, 5 1, 5 3, -1 3, -1 1))")
+    ii = G.intersection(u, bar)
+    assert ii.kind == "MULTIPOLYGON" and G.area(ii) == 4.0
+    shared = G.from_wkt("POLYGON ((6 0, 12 0, 12 5, 6 5, 6 0))")
+    with pytest.raises(ValueError):
+        G.intersection(a, shared)
+    with pytest.raises(ValueError):
+        G.intersection(a, G.point(1, 1))
+
+
 @given(st.integers(0, 10_000))
 @settings(max_examples=40, deadline=None)
 def test_buffer_multi_union_area_bound(seed):
