@@ -2331,6 +2331,8 @@ def _pq_sql_st_union(spark, sf):
                     perimeter = 4*(w+h) - 2*((w-dx)+(h-dy))
       intersection: area = (w-dx)*(h-dy)
                     perimeter = 2*((w-dx)+(h-dy))
+      difference:   area = w*h - (w-dx)*(h-dy)
+                    perimeter = 2*(w+h)  (a corner cut preserves it)
     All coordinates are integer-valued doubles, so the shoelace sums
     are exact and the BIGINT casts lossless — the gate hash-checks
     constructor → overlay → measure end-to-end."""
@@ -2360,7 +2362,9 @@ def _pq_sql_st_union(spark, sf):
           CAST(st_area(st_union(ga, gb)) AS BIGINT) AS uarea,
           CAST(st_length(st_union(ga, gb)) AS BIGINT) AS ulen,
           CAST(st_area(st_intersection(ga, gb)) AS BIGINT) AS iarea,
-          CAST(st_length(st_intersection(ga, gb)) AS BIGINT) AS ilen
+          CAST(st_length(st_intersection(ga, gb)) AS BIGINT) AS ilen,
+          CAST(st_area(st_difference(ga, gb)) AS BIGINT) AS darea,
+          CAST(st_length(st_difference(ga, gb)) AS BIGINT) AS dlen
         FROM __sql_union_boxes""")
 
 
@@ -2678,7 +2682,9 @@ SELECT p_partkey,
   CAST(2 * w * h - (w - dx) * (h - dy) AS BIGINT) AS uarea,
   CAST(4 * (w + h) - 2 * ((w - dx) + (h - dy)) AS BIGINT) AS ulen,
   CAST((w - dx) * (h - dy) AS BIGINT) AS iarea,
-  CAST(2 * ((w - dx) + (h - dy)) AS BIGINT) AS ilen
+  CAST(2 * ((w - dx) + (h - dy)) AS BIGINT) AS ilen,
+  CAST(w * h - (w - dx) * (h - dy) AS BIGINT) AS darea,
+  CAST(2 * (w + h) AS BIGINT) AS dlen
 FROM p""",
         # identical to the common_neighbors mirror except sym is
         # capped per node to the 8 smallest-id neighbors via the same

@@ -1612,6 +1612,10 @@ def _trace_rings(rings: list, mode: str) -> list:
     (absorbed); disjoint rings pass through. mode="intersection":
     keep arcs lying inside ALL other rings; a crossing-free ring
     survives only when inside all others; disjoint input → [].
+    mode="difference" (exactly two rings, A \\ B): keep A's arcs
+    outside B plus B's arcs inside A walked in REVERSE (they bound
+    the removed region); A fully inside B → []; B fully inside A
+    (no crossings) → an annulus, refused like any other hole.
 
     Exact for transversal contact; raises (honest refusal) on
     degenerate contact and when a stitched loop comes out CW (a hole
@@ -1619,6 +1623,7 @@ def _trace_rings(rings: list, mode: str) -> list:
     connected inputs, so CW there means degeneracy). Returns a list
     of closed CCW rings."""
     want_inside = mode == "intersection"
+    diff = mode == "difference"
     uniq: list = []
     for r in rings:
         if not any(r.shape == u.shape and np.array_equal(r, u)
@@ -1626,6 +1631,12 @@ def _trace_rings(rings: list, mode: str) -> list:
             uniq.append(r)
     opens = [np.asarray(r[:-1], dtype=float) for r in uniq]
     m = len(opens)
+    if diff:
+        if len(rings) != 2:
+            raise ValueError("polygon overlay: difference takes "
+                             "exactly two rings")
+        if m == 1:                 # identical inputs → empty
+            return []
     cross_pts: list = []
     per_ring: list = [[] for _ in range(m)]
     for a in range(m):
@@ -1667,7 +1678,18 @@ def _trace_rings(rings: list, mode: str) -> list:
             inside_any = (m > 1) and any(
                 _point_in_ring(pt, np.vstack([opens[k2], opens[k2][:1]]))
                 for k2 in range(m) if k2 != k)
-            keep_ring = inside_all if want_inside else not inside_any
+            if diff:
+                if k == 1:
+                    if inside_any:
+                        raise ValueError(
+                            "polygon overlay: difference would "
+                            "enclose a hole — not supported")
+                    keep_ring = False
+                else:
+                    keep_ring = not inside_any
+            else:
+                keep_ring = (inside_all if want_inside
+                             else not inside_any)
             if keep_ring:
                 standalone.append(np.vstack([ring, ring[:1]]))
             continue
@@ -1687,10 +1709,18 @@ def _trace_rings(rings: list, mode: str) -> list:
             others_inside = [
                 _point_in_ring(mid, np.vstack([opens[k2], opens[k2][:1]]))
                 for k2 in range(m) if k2 != k]
-            keep_arc = (all(others_inside) if want_inside
-                        else not any(others_inside))
-            if keep_arc:
-                arcs.append((x0, x1, pts))
+            if diff:
+                if k == 0 and not any(others_inside):
+                    arcs.append((x0, x1, pts))
+                elif k == 1 and all(others_inside):
+                    # subtrahend boundary inside A bounds the removed
+                    # region — walked in reverse on the result
+                    arcs.append((x1, x0, pts[::-1]))
+            else:
+                keep_arc = (all(others_inside) if want_inside
+                            else not any(others_inside))
+                if keep_arc:
+                    arcs.append((x0, x1, pts))
 
     out_map: dict = {}
     for x0, x1, pts in arcs:
@@ -1787,6 +1817,30 @@ def intersection(a: Geometry, b: Geometry) -> Geometry | None:
                              "POLYGONs only")
         rings.append(_norm_ccw_ring(g.coords[0]))
     merged = _trace_rings(rings, "intersection")
+    if not merged:
+        return None
+    if len(merged) == 1:
+        return Geometry("POLYGON", [merged[0]])
+    return Geometry("MULTIPOLYGON",
+                    [Geometry("POLYGON", [r]) for r in merged])
+
+
+def difference(a: Geometry, b: Geometry) -> Geometry | None:
+    """Constructive difference A \\ B of two simple (single-ring,
+    hole-free) POLYGONs — the OGC `ST_Difference` for the polygon
+    class this kernel supports: A's boundary outside B stitched with
+    B's boundary inside A walked in reverse. Returns None when A is
+    covered by B (empty result; NULL on the SQL surface). Raises on
+    degenerate contact, when the result would be an annulus (B
+    strictly inside A — a holed polygon this kernel cannot
+    represent), and for non-POLYGON / holed inputs."""
+    rings: list = []
+    for g in (a, b):
+        if g.kind != "POLYGON" or len(g.coords) != 1:
+            raise ValueError("difference: simple single-ring "
+                             "POLYGONs only")
+        rings.append(_norm_ccw_ring(g.coords[0]))
+    merged = _trace_rings(rings, "difference")
     if not merged:
         return None
     if len(merged) == 1:

@@ -250,6 +250,22 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
     spark.udf.register("st_intersection",
                        pandas_udf(_intersection, BinaryType()))
 
+    def _difference(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        # NULL input OR A covered by B → NULL; annulus results raise
+        # (honest refusal — the kernel has no holed polygons)
+        out = []
+        for ba, bb in zip(wa, wb):
+            if ba is None or bb is None:
+                out.append(None)
+                continue
+            g = G.difference(G.from_wkb(bytes(ba)),
+                             G.from_wkb(bytes(bb)))
+            out.append(None if g is None else G.to_wkb(g))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("st_difference",
+                       pandas_udf(_difference, BinaryType()))
+
     def _coord(i):
         # NaN for non-points (accessors must not throw mid-scan)
         return lambda g: (float(g.coords[i]) if g.kind == "POINT"

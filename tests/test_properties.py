@@ -568,6 +568,35 @@ def test_intersection_polygons():
         G.intersection(a, G.point(1, 1))
 
 
+def test_difference_polygons():
+    """Constructive `difference` A \\ B: corner-cut closed forms (a
+    corner cut preserves the perimeter), the partition identity
+    area(A\\B) + area(A∩B) == area(A); covered → None; annulus (B
+    strictly inside A) → honest raise; disjoint → A unchanged;
+    identical → None; a bar through a U splits into multiple
+    components."""
+    a = G.from_wkt("POLYGON ((0 0, 6 0, 6 5, 0 5, 0 0))")
+    b = G.from_wkt("POLYGON ((2 2, 8 2, 8 7, 2 7, 2 2))")
+    d = G.difference(a, b)
+    assert d.kind == "POLYGON" and G.area(d) == 18.0
+    assert G.length(d) == 2 * (6 + 5)
+    assert G.area(d) + G.area(G.intersection(a, b)) == G.area(a)
+    assert G.area(G.difference(b, a)) == 18.0
+    c = G.from_wkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert G.difference(c, a) is None                   # covered
+    with pytest.raises(ValueError):
+        G.difference(a, c)                              # annulus
+    far = G.from_wkt(
+        "POLYGON ((100 100, 101 100, 101 101, 100 101, 100 100))")
+    assert G.area(G.difference(a, far)) == 30.0
+    assert G.difference(a, a) is None
+    u = G.from_wkt("POLYGON ((0 0, 1 0, 1 4, 3 4, 3 0, 4 0, 4 6, "
+                   "0 6, 0 0))")
+    bar = G.from_wkt("POLYGON ((-1 1, 5 1, 5 3, -1 3, -1 1))")
+    dd = G.difference(u, bar)
+    assert dd.kind == "MULTIPOLYGON" and G.area(dd) == 12.0
+
+
 @given(st.integers(0, 10_000))
 @settings(max_examples=40, deadline=None)
 def test_buffer_multi_union_area_bound(seed):
