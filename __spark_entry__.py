@@ -2368,6 +2368,33 @@ def _pq_sql_st_union(spark, sf):
         FROM __sql_union_boxes""")
 
 
+def _pq_dissolve_zones(spark, sf):
+    """GIS dissolve (per-group constructive union, one boundary-trace
+    pass over ALL the group's rings): each of 20 zones is a staggered
+    chain of 6x4 boxes (box r at x=4r, y=r%2 — consecutive boxes
+    overlap a 2x3 rectangle, non-consecutive are disjoint, no
+    collinear edges), so the dissolved area has the CLOSED FORM
+    24*k - 6*(k-1) for a k-member chain and exactly one region. All
+    coordinates integer-valued — lossless BIGINT casts."""
+    from pyspark.sql import Window
+    from stark_spark.functions.constructors import st_box
+    from stark_spark.functions.register import register_sql_functions
+    from stark_spark.operators.overlay import dissolve
+    register_sql_functions(spark)
+    w = Window.partitionBy("g").orderBy("p_partkey")
+    base = (D.load(spark, sf, "part").where(F.col("p_partkey") <= 400)
+            .select((F.col("p_partkey") % 20).alias("g"), "p_partkey")
+            .withColumn("r", F.row_number().over(w) - 1))
+    r = F.col("r").cast("double")
+    boxes = base.select(
+        "g", st_box(4 * r, r % 2, 4 * r + 6, r % 2 + 4).alias("geom"))
+    return (dissolve(boxes, "g")
+            .select("g",
+                    F.expr("CAST(st_area(geom) AS BIGINT)")
+                     .alias("uarea"),
+                    F.col("n_parts").cast("long").alias("n_parts")))
+
+
 def _rank_eval_sql(ret_cte: str, tru_cte: str, k: int) -> str:
     """DuckDB mirror of similarity.rank_eval over two composed CTEs
     (each must yield (q_id, vec_id, rank)) — the shared tail behind
@@ -2402,6 +2429,7 @@ def pending_queries():
         "ann_recall_pq": _pq_ann_recall_pq,
         "ann_recall_lsh": _pq_ann_recall_lsh,
         "sql_st_union": _pq_sql_st_union,
+        "dissolve_zones": _pq_dissolve_zones,
     }
 
 
@@ -2686,6 +2714,14 @@ SELECT p_partkey,
   CAST(w * h - (w - dx) * (h - dy) AS BIGINT) AS darea,
   CAST(2 * (w + h) AS BIGINT) AS dlen
 FROM p""",
+        # k-member staggered chain: area 24k - 6(k-1), one region
+        "dissolve_zones": """
+WITH p AS (SELECT p_partkey % 20 AS g FROM part WHERE p_partkey <= 400),
+r AS (SELECT g, count(*) AS k FROM p GROUP BY g)
+SELECT CAST(g AS BIGINT) AS g,
+  CAST(24 * k - 6 * (k - 1) AS BIGINT) AS uarea,
+  CAST(1 AS BIGINT) AS n_parts
+FROM r""",
         # identical to the common_neighbors mirror except sym is
         # capped per node to the 8 smallest-id neighbors via the same
         # row_number window the operator uses; the anti-join (NOT

@@ -446,6 +446,7 @@ PENDING_SCALE = [
     "ann_recall_pq",
     "ann_recall_lsh",
     "sql_st_union",
+    "dissolve_zones",
 ]
 
 

@@ -568,6 +568,31 @@ def test_intersection_polygons():
         G.intersection(a, G.point(1, 1))
 
 
+def test_dissolve_operator(spark):
+    """Per-group constructive union (`operators.overlay.dissolve`):
+    a staggered 3-box chain dissolves to ONE region with the
+    inclusion-exclusion area; disjoint boxes stay two regions; NULL
+    geometries drop; MULTIPOLYGON members contribute their parts."""
+    from stark_spark.operators.overlay import dissolve
+    rows = []
+    for (x0, y0) in [(0, 0), (2, 1), (4, 0)]:
+        rows.append(("A", G.to_wkb(G.box(x0, y0, x0 + 3, y0 + 2))))
+    rows.append(("B", G.to_wkb(G.box(0, 0, 1, 1))))
+    rows.append(("B", G.to_wkb(G.box(5, 5, 6, 6))))
+    rows.append(("C", G.to_wkb(G.box(0, 0, 2, 2))))
+    rows.append(("C", None))
+    df = spark.createDataFrame(rows, "g string, geom binary")
+    out = {r.g: r for r in dissolve(df, "g").collect()}
+    a = G.from_wkb(bytes(out["A"].geom))
+    assert (a.kind == "POLYGON" and G.area(a) == 16.0
+            and out["A"].n_parts == 1)
+    b = G.from_wkb(bytes(out["B"].geom))
+    assert (b.kind == "MULTIPOLYGON" and G.area(b) == 2.0
+            and out["B"].n_parts == 2)
+    c = G.from_wkb(bytes(out["C"].geom))
+    assert G.area(c) == 4.0 and out["C"].n_parts == 1
+
+
 def test_difference_polygons():
     """Constructive `difference` A \\ B: corner-cut closed forms (a
     corner cut preserves the perimeter), the partition identity
