@@ -1636,9 +1636,16 @@ def _pq_chi2_type_dow(spark, sf):
 def _pq_postings_index(spark, sf):
     """Inverted-index build over the document corpus: (token, df,
     sorted posting list) — the materialized sparse-retrieval artifact;
-    lists are bounded per token, never corpus-wide."""
+    lists are bounded per token, never corpus-wide. The gate encodes
+    the posting list as a space-joined string because the driver
+    comparator cannot hash array cells; the operator itself
+    (operators/text.py postings_index) returns the real array<long>."""
     from stark_spark.operators.text import postings_index
-    return postings_index(D.load(spark, sf, "documents"))
+    idx = postings_index(D.load(spark, sf, "documents"))
+    return idx.select(
+        "token", "df",
+        F.array_join(F.expr("transform(postings, x -> cast(x as string))"),
+                     " ").alias("postings"))
 
 
 def _pq_order_price_bins(spark, sf):
@@ -2422,15 +2429,9 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
-    # round-7 rotation (all 41 prior entries promoted into
-    # queries()); new gates minted this round stage here first.
-    return {
-        "common_neighbors_capped": _pq_common_neighbors_capped,
-        "ann_recall_pq": _pq_ann_recall_pq,
-        "ann_recall_lsh": _pq_ann_recall_lsh,
-        "sql_st_union": _pq_sql_st_union,
-        "dissolve_zones": _pq_dissolve_zones,
-    }
+    # round-8 rotation (the 5 r7 entries promoted into queries());
+    # new gates minted this round stage here first.
+    return {}
 
 
 def _corr_oracle_sql() -> str:
@@ -2676,9 +2677,17 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 
 def pending_oracle_sql() -> dict[str, str]:
-    # Mirrors for pending_queries() — emptied at the r7 rotation
-    # (prior entries live on in _promoted_oracle_sql_r6, merged
+    # Mirrors for pending_queries() — emptied at the r8 rotation
+    # (prior entries live on in _promoted_oracle_sql_r7/_r6, merged
     # into oracle_sql()).
+    return {}
+
+
+def _promoted_oracle_sql_r7() -> dict[str, str]:
+    # DuckDB mirrors for the gates promoted at the r8 rotation (the
+    # r7 staged cohort). Kept as its own function: the ann_recall
+    # mirrors compose _base_oracle_sql() entries, so they cannot live
+    # inside _base_oracle_sql() itself (infinite recursion).
     live = _base_oracle_sql()
     ret_pq = f"""SELECT q_id, vec_id, row_number() OVER (
       PARTITION BY q_id ORDER BY adc_q, vec_id) AS rank
@@ -3013,7 +3022,7 @@ WITH tok AS (
   WHERE token <> ''
 )
 SELECT token, CAST(count(*) AS BIGINT) AS df,
-  list(doc_id ORDER BY doc_id) AS postings
+  string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS postings
 FROM tok GROUP BY token""",
 
         # boundary ranks use CAST(q AS DOUBLE)·n — the DOUBLE product
@@ -5015,57 +5024,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window holds the stalest entries.
     return {
         # --- never driver-checked (new gates) ---
-        "price_quantiles_hdr": _pq_price_quantiles_hdr,
-        "parts_overlap_kmv": _pq_parts_overlap_kmv,
-        "scd2_user_state": _pq_scd2_user_state,
-        "attribution_linear": _pq_attribution_linear,
-        "zorder_events": _pq_zorder_events,
-        "user_retention_km": _pq_user_retention_km,
-        "event_sequences_3": _pq_event_sequences,
-        "lineitem_corr": _pq_lineitem_corr,
-        "drift_psi_value": _pq_drift_psi_value,
-        "chi2_type_dow": _pq_chi2_type_dow,
+        "common_neighbors_capped": _pq_common_neighbors_capped,
+        "ann_recall_pq": _pq_ann_recall_pq,
+        "ann_recall_lsh": _pq_ann_recall_lsh,
+        "sql_st_union": _pq_sql_st_union,
+        "dissolve_zones": _pq_dissolve_zones,
         "postings_index": _pq_postings_index,
-        "order_price_bins": _pq_order_price_bins,
-        "ab_ztest_purchase": _pq_ab_ztest_purchase,
-        "hourly_acf": _pq_hourly_acf,
-        "forecast_snaive": _pq_forecast_snaive,
-        "rfm_segments": _pq_rfm_segments,
-        "data_expectations": _pq_data_expectations,
-        "cube_users_hll": _pq_cube_users_hll,
-        "scd2_pit_enrich": _pq_scd2_pit_enrich,
-        "table_diff_orders": _pq_table_diff_orders,
-        "basket_lift_pairs": _pq_basket_lift_pairs,
-        "value_percent_rank": _pq_value_percent_rank,
-        "ols_price_qty": _pq_ols_price_qty,
-        "cms_user_counts": _pq_cms_user_counts,
-        "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
-        "bpe_merge_pairs": _pq_bpe_merge_pairs,
-        "bfs_reach": _pq_bfs_reach,
-        "stream_cms_counts": _pq_stream_cms_counts,
-        "sssp_latency": _pq_sssp_latency,
-        "golden_record": _pq_golden_record,
-        "latency_cube_hdr": _pq_latency_cube_hdr,
-        "doc_logprob_bigram": _pq_doc_logprob_bigram,
-        "pivot_type_dow": _pq_pivot_type_dow,
-        "min_cost_supplier": _pq_min_cost_supplier,
-        "cumulative_reach": _pq_cumulative_reach,
-        "stream_hll_users": _pq_stream_hll_users,
-        "ppr_handoff": _pq_ppr_handoff,
-        "schema_evolution_read": _pq_schema_evolution_read,
-        "funnel_steps_24h": _pq_funnel_steps_24h,
-        "agg_delta_apply": _pq_agg_delta_apply,
-        "ann_recall_eval": _pq_ann_recall_eval,
         # --- latest driver-green row: r03 ---
-        "st_filter_containedby_rect": _q_filter_containedby_rect,
-        "raster_count_value": _q_raster_count_value,
-        "events_daily": _q_events_daily,
-        "set_ops_union_distinct": _q_set_ops,
-        "distance_histogram": _q_distance_histogram,
-        "raster_join_raster_sum": _q_raster_join_raster,
-        "sql_raster_histogram": _q_sql_raster_hist,
-        "raster_join_vector_clip": _q_raster_join_vector_clip,
-        "knn_weighted_st": _q_knn_weighted_st,
         "st_join_expand_temporal": _q_join_expand_temporal,
         "st_filter_both_or_neither": _q_filter_both_or_neither,
         "st_filter_polygon_timed": _q_filter_polygon_timed,
@@ -5231,6 +5196,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "boilerplate_ratio": _q_boilerplate_ratio,
         "colocation_pairs": _q_colocation_pairs,
+        # --- latest driver-green row: r07 ---
+        "price_quantiles_hdr": _pq_price_quantiles_hdr,
+        "parts_overlap_kmv": _pq_parts_overlap_kmv,
+        "scd2_user_state": _pq_scd2_user_state,
+        "attribution_linear": _pq_attribution_linear,
+        "zorder_events": _pq_zorder_events,
+        "user_retention_km": _pq_user_retention_km,
+        "event_sequences_3": _pq_event_sequences,
+        "lineitem_corr": _pq_lineitem_corr,
+        "drift_psi_value": _pq_drift_psi_value,
+        "chi2_type_dow": _pq_chi2_type_dow,
+        "order_price_bins": _pq_order_price_bins,
+        "ab_ztest_purchase": _pq_ab_ztest_purchase,
+        "hourly_acf": _pq_hourly_acf,
+        "forecast_snaive": _pq_forecast_snaive,
+        "rfm_segments": _pq_rfm_segments,
+        "data_expectations": _pq_data_expectations,
+        "cube_users_hll": _pq_cube_users_hll,
+        "scd2_pit_enrich": _pq_scd2_pit_enrich,
+        "table_diff_orders": _pq_table_diff_orders,
+        "basket_lift_pairs": _pq_basket_lift_pairs,
+        "value_percent_rank": _pq_value_percent_rank,
+        "ols_price_qty": _pq_ols_price_qty,
+        "cms_user_counts": _pq_cms_user_counts,
+        "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
+        "bpe_merge_pairs": _pq_bpe_merge_pairs,
+        "bfs_reach": _pq_bfs_reach,
+        "stream_cms_counts": _pq_stream_cms_counts,
+        "sssp_latency": _pq_sssp_latency,
+        "golden_record": _pq_golden_record,
+        "latency_cube_hdr": _pq_latency_cube_hdr,
+        "doc_logprob_bigram": _pq_doc_logprob_bigram,
+        "pivot_type_dow": _pq_pivot_type_dow,
+        "min_cost_supplier": _pq_min_cost_supplier,
+        "cumulative_reach": _pq_cumulative_reach,
+        "stream_hll_users": _pq_stream_hll_users,
+        "ppr_handoff": _pq_ppr_handoff,
+        "schema_evolution_read": _pq_schema_evolution_read,
+        "funnel_steps_24h": _pq_funnel_steps_24h,
+        "agg_delta_apply": _pq_agg_delta_apply,
+        "ann_recall_eval": _pq_ann_recall_eval,
+        "st_filter_containedby_rect": _q_filter_containedby_rect,
+        "raster_count_value": _q_raster_count_value,
+        "events_daily": _q_events_daily,
+        "set_ops_union_distinct": _q_set_ops,
+        "distance_histogram": _q_distance_histogram,
+        "raster_join_raster_sum": _q_raster_join_raster,
+        "sql_raster_histogram": _q_sql_raster_hist,
+        "raster_join_vector_clip": _q_raster_join_vector_clip,
+        "knn_weighted_st": _q_knn_weighted_st,
     }
 
 
@@ -8392,4 +8407,5 @@ FROM assign a GROUP BY 1"""
 def oracle_sql() -> dict[str, str]:
     sql = _base_oracle_sql()
     sql.update(_promoted_oracle_sql_r6())
+    sql.update(_promoted_oracle_sql_r7())
     return sql

@@ -176,6 +176,12 @@ BENCH_QUERIES = [
     "funnel_steps_24h",
     "agg_delta_apply",
     "ann_recall_eval",
+    # r8-promoted gates (staged in r7)
+    "common_neighbors_capped",
+    "ann_recall_pq",
+    "ann_recall_lsh",
+    "sql_st_union",
+    "dissolve_zones",
 ]
 
 

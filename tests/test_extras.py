@@ -804,3 +804,31 @@ def test_pending_gates_oracle_parity():
     assert not set(pend) & set(entry.queries())
     rc = oracle_check.run("/root/testdata/sf0.001", pending=True)
     assert rc == 0
+
+
+def test_no_gate_returns_array_columns(spark):
+    """The driver's comparator canonicalizes results via pandas
+    sort_values + hashing, which CRASHES on array/map cells
+    ("unhashable type: 'numpy.ndarray'" — the r7 `postings_index`
+    red row). Every gate whose output can reach the driver must
+    therefore emit scalars only; operators may return arrays, but the
+    GATE re-encodes them (e.g. array_join). Checked over the driver
+    window (first 50 — where every new gate lands first under the
+    stalest-first rotation) plus all staged gates."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    targets = dict(list(entry.queries().items())[:50])
+    targets.update(entry.pending_queries())
+    offenders = {}
+    for name, fn in targets.items():
+        df = fn(spark, sf)
+        cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType))]
+        if cols:
+            offenders[name] = cols
+    assert offenders == {}, (
+        f"gates returning driver-unhashable array/map columns: "
+        f"{offenders} — re-encode with array_join in gate + oracle")

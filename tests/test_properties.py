@@ -1385,17 +1385,23 @@ def test_rolling_range_frame_equals_bruteforce(spark, evs):
 @settings(max_examples=8, deadline=None)
 @given(st.integers(0, 2 ** 31 - 1),
        st.integers(6, 14),        # corpus size
-       st.sampled_from([500_000, 700_000, 800_000, 950_000]))
-def test_jaccard_prefix_join_lossless_property(spark, seed, n_docs, t_q6):
+       st.sampled_from([500_000, 700_000, 800_000, 950_000]),
+       st.integers(3, 12))        # vocabulary size — small vocabs pin
+                                  # the degenerate-prefix regime where
+                                  # the AllPairs length filter (not
+                                  # the prefix) does the pruning
+def test_jaccard_prefix_join_lossless_property(spark, seed, n_docs,
+                                               t_q6, n_vocab):
     """For ANY corpus and threshold, the prefix-filtered join must
-    equal brute force exactly — the AllPairs prefix bound is a
-    theorem; this drives it over random skewed vocabularies and
+    equal brute force exactly — the AllPairs prefix bound AND the
+    length filter are theorems (both are identities on the result
+    set); this drives them over random skewed vocabularies and
     every awkward threshold (including pairs landing exactly on the
     integer-division boundary)."""
     import numpy as np
     from stark_spark.operators.dedup import jaccard_prefix_join
     rng = np.random.default_rng(seed)
-    vocab = [f"w{i}" for i in range(12)]
+    vocab = [f"w{i}" for i in range(n_vocab)]
     docs = []
     for i in range(n_docs):
         k = int(rng.integers(1, 8))
