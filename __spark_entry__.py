@@ -2402,6 +2402,135 @@ def _pq_dissolve_zones(spark, sf):
                     F.col("n_parts").cast("long").alias("n_parts")))
 
 
+def _pq_sql_st_difference_annulus(spark, sf):
+    """Holed-polygon constructive overlay on the SQL surface (r8: the
+    boundary-trace kernel now REPRESENTS holes instead of refusing —
+    the last semantic gap vs the reference's JTS surface,
+    STObject.scala:209-233): per part, an outer w-square minus an
+    inner v-square strictly inside it (v = w-2, offset 1) is an
+    ANNULUS; the holed result then feeds back into the overlay:
+      darea = w² - v²            dlen = 4w + 4v   (annulus)
+      iarea = w² - v²   (holed ∩ plain: A ∩ annulus = annulus)
+      island = v²       (A \\ annulus = the hole region, B's hole
+                         returning as an island)
+      uarea = w² - v² + 4  (holed ∪ disjoint 2-square, hole kept)
+    All coordinates integer-valued doubles — shoelace sums exact,
+    BIGINT casts lossless."""
+    from stark_spark.functions.constructors import st_box
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    k = F.col("p_partkey")
+    x0, y0 = F.col("x0"), F.col("y0")
+    w = F.col("w")
+    p = (D.load(spark, sf, "part").where(k <= 200)
+         .select("p_partkey",
+                 (k * 37 % 50).cast("double").alias("x0"),
+                 (k * 71 % 50).cast("double").alias("y0"),
+                 (k % 5 + 4).cast("double").alias("w")))
+    # every pairing below is transversal or strictly nested — shared/
+    # collinear boundaries stay an honest kernel refusal by contract
+    boxes = p.select(
+        "p_partkey",
+        st_box(x0, y0, x0 + w, y0 + w).alias("ga"),
+        st_box(x0 + 1, y0 + 1, x0 + w - 1, y0 + w - 1).alias("gb"),
+        st_box(x0 + w + 3, y0, x0 + w + 5, y0 + 2).alias("gc"),
+        st_box(x0 - 1, y0 - 1, x0 + 2, y0 + 2).alias("gd"),
+        st_box(x0 - 2, y0 - 2, x0 + w + 2, y0 + w + 2).alias("gbig"))
+    boxes.createOrReplaceTempView("__sql_annulus_boxes")
+    return spark.sql("""
+        WITH ann AS (
+          SELECT p_partkey, ga, gc, gd, gbig,
+                 st_difference(ga, gb) AS annulus
+          FROM __sql_annulus_boxes)
+        SELECT p_partkey,
+          CAST(st_area(annulus) AS BIGINT) AS darea,
+          CAST(st_length(annulus) AS BIGINT) AS dlen,
+          CAST(st_area(st_intersection(annulus, gd)) AS BIGINT)
+            AS iarea,
+          CAST(st_area(st_difference(gbig, annulus)) AS BIGINT)
+            AS island,
+          CAST(st_area(st_union(annulus, gc)) AS BIGINT) AS uarea,
+          CAST(st_area(st_union(annulus, gd)) AS BIGINT) AS uarea2
+        FROM ann""")
+
+
+def _pq_ann_recall_lsh_mp(spark, sf):
+    """Multi-probe LSH recall — the PRODUCTION config (r7 verdict ask
+    #5): the staged 1-probe gate measured recall 0.12 (honest but not
+    what users run); this gate measures n_probe=4 (each query also
+    probes the 3 buckets reachable by flipping its lowest-|margin|
+    signature bit sets). Truth = brute top-k without the query's own
+    row, re-ranked (exclude_self retrieval)."""
+    from pyspark.sql import Window
+    from stark_spark.operators.similarity import ann_lsh_topk, rank_eval
+    emb, q = _emb_queries(spark, sf, 5)
+    retrieved = ann_lsh_topk(emb, q, 5, dim=64, n_bits=4, n_probe=4,
+                             exclude_self=True)
+    w = Window.partitionBy("q_id").orderBy("rank")
+    truth = (queries()["ann_brute_topk"](spark, sf)
+             .where(F.col("vec_id") != F.col("q_id"))
+             .withColumn("rank", F.row_number().over(w)))
+    return rank_eval(retrieved, truth, k=5)
+
+
+def _lsh_mp_topk_sql(n_probe: int = 4, dim: int = 64, n_bits: int = 4,
+                     k: int = 5, n_q: int = 5) -> str:
+    """DuckDB mirror of the multi-probe LSH retrieval: identical
+    hyperplane literals, margins = |dot| per bit computed with the
+    same left fold, flip masks = every non-empty bit subset of
+    Hamming weight ≤ 3 scored by ascending-bit margin sums (adding
+    0.0 for absent bits is IEEE-exact, preserving the operator's
+    left association), ties on (cost, mask) like the operator's
+    array_sort on struct(m, k)."""
+    from stark_spark.operators.similarity import lsh_hyperplanes
+    dots = []
+    for w in lsh_hyperplanes(dim, n_bits):
+        arr = "[" + ", ".join(repr(float(x)) for x in w) + "]"
+        dots.append(_DOT.format(a="embedding", b=arr))
+    d_cols = ",\n    ".join(f"({d}) AS d{i}" for i, d in enumerate(dots))
+    sig = " + ".join(f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)"
+                     for i in range(n_bits))
+    cost = " + ".join(
+        f"(CASE WHEN m.mask & {1 << i} != 0 THEN abs(q.d{i}) "
+        f"ELSE 0.0::DOUBLE END)" for i in range(n_bits))
+    masks = ", ".join(f"({m})" for m in range(1, 2 ** n_bits)
+                      if bin(m).count("1") <= 3)
+    return f"""
+WITH emb0 AS (
+  SELECT vec_id, embedding, {d_cols}
+  FROM embeddings
+), s AS (
+  SELECT vec_id, embedding, {sig} AS sig FROM emb0
+), masks(mask) AS (VALUES {masks}),
+flips AS (
+  SELECT q_id, mask FROM (
+    SELECT q.vec_id AS q_id, m.mask,
+      row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY {cost}, m.mask) AS rn
+    FROM emb0 q CROSS JOIN masks m WHERE q.vec_id < {n_q}
+  ) t WHERE rn <= {n_probe - 1}
+), probes AS (
+  SELECT vec_id AS q_id, sig AS psig FROM s WHERE vec_id < {n_q}
+  UNION
+  SELECT f.q_id, xor(s.sig, f.mask) AS psig
+  FROM flips f JOIN s ON s.vec_id = f.q_id
+), cand AS (
+  SELECT DISTINCT p.q_id, v.vec_id
+  FROM probes p JOIN s v ON v.sig = p.psig
+  WHERE v.vec_id <> p.q_id
+)
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT c.q_id, c.vec_id,
+    {_cos('v.embedding', 'q.embedding')} AS cos,
+    CAST(row_number() OVER (PARTITION BY c.q_id
+      ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, c.vec_id)
+      AS INT) AS rank
+  FROM cand c
+  JOIN embeddings v ON v.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.q_id
+) t WHERE rank <= {k}"""
+
+
 def _rank_eval_sql(ret_cte: str, tru_cte: str, k: int) -> str:
     """DuckDB mirror of similarity.rank_eval over two composed CTEs
     (each must yield (q_id, vec_id, rank)) — the shared tail behind
@@ -2431,7 +2560,10 @@ def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-8 rotation (the 5 r7 entries promoted into queries());
     # new gates minted this round stage here first.
-    return {}
+    return {
+        "sql_st_difference_annulus": _pq_sql_st_difference_annulus,
+        "ann_recall_lsh_mp": _pq_ann_recall_lsh_mp,
+    }
 
 
 def _corr_oracle_sql() -> str:
@@ -2677,10 +2809,35 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 
 def pending_oracle_sql() -> dict[str, str]:
-    # Mirrors for pending_queries() — emptied at the r8 rotation
-    # (prior entries live on in _promoted_oracle_sql_r7/_r6, merged
-    # into oracle_sql()).
-    return {}
+    # Mirrors for pending_queries() — prior cohorts live on in
+    # _promoted_oracle_sql_r7/_r6, merged into oracle_sql().
+    live = _base_oracle_sql()
+    tru_noself = f"""SELECT q_id, vec_id, row_number() OVER (
+      PARTITION BY q_id ORDER BY rank) AS rank
+    FROM ({live['ann_brute_topk']}) t0 WHERE vec_id <> q_id"""
+    return {
+        # annulus closed forms (w-square minus centered (w-2)-square):
+        #   darea = w²-(w-2)² = 4w-4        dlen = 8w-8
+        #   iarea: annulus ∩ corner 3-box gd = 2·2 - 1·1 = 3
+        #   island: (w+4)-frame minus annulus = (w+4)²-w² + (w-2)²
+        #           (the annulus hole returns as an ISLAND)
+        #   uarea: ∪ disjoint 2-box = 4w-4+4;  uarea2: ∪ gd (overlap
+        #           3, hole shrinks) = 4w-4 + 9 - 3
+        "sql_st_difference_annulus": """
+WITH p AS (
+  SELECT p_partkey, p_partkey % 5 + 4 AS w
+  FROM part WHERE p_partkey <= 200)
+SELECT p_partkey,
+  CAST(4*w - 4 AS BIGINT) AS darea,
+  CAST(8*w - 8 AS BIGINT) AS dlen,
+  CAST(3 AS BIGINT) AS iarea,
+  CAST((w+4)*(w+4) - w*w + (w-2)*(w-2) AS BIGINT) AS island,
+  CAST(4*w AS BIGINT) AS uarea,
+  CAST(4*w + 2 AS BIGINT) AS uarea2
+FROM p""",
+        "ann_recall_lsh_mp": _rank_eval_sql(
+            _lsh_mp_topk_sql(), tru_noself, 5),
+    }
 
 
 def _promoted_oracle_sql_r7() -> dict[str, str]:

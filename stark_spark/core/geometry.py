@@ -1436,13 +1436,10 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
             for j in range(i + 1, len(rings)))
         if overlap:
             # dissolve overlapping part buffers into their true union
-            # (boundary trace; raises on degenerate contact or a
-            # union-enclosed hole — honest refusal, never a bowtie)
-            merged = _union_rings(rings)
-            if len(merged) == 1:
-                return Geometry("POLYGON", [merged[0]])
-            return Geometry("MULTIPOLYGON",
-                            [Geometry("POLYGON", [r]) for r in merged])
+            # (boundary trace; raises on degenerate contact — honest
+            # refusal, never a bowtie; a union-enclosed courtyard
+            # comes back as a HOLED polygon)
+            return _geom_from_polys(_union_rings(rings))
         return Geometry("MULTIPOLYGON", parts)
     if g.kind != "POLYGON" or len(g.coords) != 1:
         raise ValueError("buffer: only POINT, MULTIPOINT, single-ring "
@@ -1598,51 +1595,90 @@ def _arc_midpoint(pts: np.ndarray) -> np.ndarray:
 
 
 def _union_rings(rings: list) -> list:
-    """Union of simple CCW rings — see `_trace_rings`."""
-    return _trace_rings(rings, "union")
+    """Union of simple closed rings (each a hole-free polygon) — see
+    `_trace_polys`. Returns POLYGONS: a list of ring-lists
+    [shell, *holes]; a union CAN enclose a hole (e.g. a ring of
+    overlapping buffers around a courtyard)."""
+    return _trace_polys([[r] for r in rings], "union")
 
 
-def _trace_rings(rings: list, mode: str) -> list:
-    """Boundary-trace overlay of simple CCW rings (closed,
-    first == last): split every ring at its proper crossings with the
-    others, keep the arcs on the RESULT boundary, stitch loops.
+def _trace_polys(polys: list, mode: str) -> list:
+    """Boundary-trace overlay of VALID polygons. Each input polygon is
+    a ring-list [shell, *holes] of closed rings (first == last) with
+    shell CCW and holes CW (`_norm_poly` produces this and validates
+    simplicity / non-crossing / hole containment), so the polygon's
+    interior lies to the LEFT of every boundary ring walked in stored
+    order. The engine splits every ring at its proper crossings with
+    rings of OTHER polygons, keeps the arcs on the RESULT boundary,
+    stitches loops, and classifies each output loop by orientation:
+    CCW → shell, CW → hole (assigned to the innermost containing
+    shell). Returns a list of polygons in the same representation.
 
-    mode="union": keep arcs lying outside all other rings; a ring
-    with no crossings survives unless it sits inside another
-    (absorbed); disjoint rings pass through. mode="intersection":
-    keep arcs lying inside ALL other rings; a crossing-free ring
-    survives only when inside all others; disjoint input → [].
-    mode="difference" (exactly two rings, A \\ B): keep A's arcs
-    outside B plus B's arcs inside A walked in REVERSE (they bound
-    the removed region); A fully inside B → []; B fully inside A
-    (no crossings) → an annulus, refused like any other hole.
+    mode="union" (any number of polygons): keep arcs not inside any
+    other polygon; a crossing-free ring survives unless it sits
+    inside another polygon's interior (point-set membership — a ring
+    inside another's HOLE is kept). mode="intersection" (two
+    polygons): keep arcs inside the other; disjoint input → [].
+    mode="difference" (exactly two, A \\ B = A ∩ complement(B)): keep
+    A's arcs outside B plus B's arcs inside A walked in REVERSE; B
+    strictly inside A yields an annulus (B's shell reversed becomes a
+    hole of A) and B's holes inside A come back as islands.
 
     Exact for transversal contact; raises (honest refusal) on
-    degenerate contact and when a stitched loop comes out CW (a hole
-    for union; impossible-by-construction for intersection of simply
-    connected inputs, so CW there means degeneracy). Returns a list
-    of closed CCW rings."""
+    degenerate contact (shared/collinear edges, vertex touching,
+    tangency). Membership tests are even-odd over a polygon's rings —
+    exactly shell-minus-holes for valid polygons."""
     want_inside = mode == "intersection"
     diff = mode == "difference"
+
+    def _poly_eq(p, q):
+        return (len(p) == len(q)
+                and all(r.shape == s.shape and np.array_equal(r, s)
+                        for r, s in zip(p, q)))
+
     uniq: list = []
-    for r in rings:
-        if not any(r.shape == u.shape and np.array_equal(r, u)
-                   for u in uniq):
-            uniq.append(r)
-    opens = [np.asarray(r[:-1], dtype=float) for r in uniq]
-    m = len(opens)
+    for p in polys:
+        if not any(_poly_eq(p, u) for u in uniq):
+            uniq.append(p)
     if diff:
-        if len(rings) != 2:
+        if len(polys) != 2:
             raise ValueError("polygon overlay: difference takes "
-                             "exactly two rings")
-        if m == 1:                 # identical inputs → empty
+                             "exactly two polygons")
+        if len(uniq) == 1:         # identical inputs → empty
             return []
+    if want_inside:
+        if len(polys) != 2:
+            raise ValueError("polygon overlay: intersection takes "
+                             "exactly two polygons")
+        if len(uniq) == 1:         # identical inputs → themselves
+            return [list(uniq[0])]
+
+    m = len(uniq)
+    owner: list = []               # ring index → polygon index
+    opens: list = []               # open rings, stored orientation
+    for pi, p in enumerate(uniq):
+        for r in p:
+            owner.append(pi)
+            opens.append(np.asarray(r[:-1], dtype=float))
+    nr = len(opens)
+    closed = [np.vstack([r, r[:1]]) for r in opens]
+    poly_rings: list = [[] for _ in range(m)]
+    for k, pi in enumerate(owner):
+        poly_rings[pi].append(k)
+
+    def _in_poly(pt, pi: int) -> bool:
+        # even-odd over the polygon's rings = shell minus holes
+        cnt = sum(_point_in_ring(pt, closed[k]) for k in poly_rings[pi])
+        return cnt % 2 == 1
+
     cross_pts: list = []
-    per_ring: list = [[] for _ in range(m)]
-    for a in range(m):
+    per_ring: list = [[] for _ in range(nr)]
+    for a in range(nr):
         ra = opens[a]
         na = len(ra)
-        for b in range(a + 1, m):
+        for b in range(a + 1, nr):
+            if owner[a] == owner[b]:
+                continue           # same-polygon rings never cross
             rb = opens[b]
             nb = len(rb)
             # bbox prune per edge pair is O(1); rings are O(100) pts
@@ -1665,33 +1701,30 @@ def _trace_rings(rings: list, mode: str) -> list:
                     per_ring[b].append((j, u, xid))
 
     arcs: list = []          # (start_xid, end_xid, pts)
-    standalone: list = []
-    for k in range(m):
+    standalone: list = []    # kept crossing-free rings (closed)
+    for k in range(nr):
         ring = opens[k]
         n = len(ring)
+        ok = owner[k]
+        others = [pi for pi in range(m) if pi != ok]
         evs = per_ring[k]
         if not evs:
             pt = ring[0]
-            inside_all = all(
-                _point_in_ring(pt, np.vstack([opens[k2], opens[k2][:1]]))
-                for k2 in range(m) if k2 != k)
-            inside_any = (m > 1) and any(
-                _point_in_ring(pt, np.vstack([opens[k2], opens[k2][:1]]))
-                for k2 in range(m) if k2 != k)
+            inside = [_in_poly(pt, pi) for pi in others]
             if diff:
-                if k == 1:
-                    if inside_any:
-                        raise ValueError(
-                            "polygon overlay: difference would "
-                            "enclose a hole — not supported")
-                    keep_ring = False
-                else:
-                    keep_ring = not inside_any
+                if ok == 1:
+                    # subtrahend ring inside A survives REVERSED:
+                    # B's shell → a hole of A (annulus), B's hole →
+                    # an island (complement(B) includes B's holes)
+                    if any(inside):
+                        standalone.append(closed[k][::-1].copy())
+                    continue
+                keep_ring = not any(inside)
             else:
-                keep_ring = (inside_all if want_inside
-                             else not inside_any)
+                keep_ring = (all(inside) if want_inside
+                             else not any(inside))
             if keep_ring:
-                standalone.append(np.vstack([ring, ring[:1]]))
+                standalone.append(closed[k])
             continue
         evs.sort(key=lambda e: (e[0], e[1]))
         for idx in range(len(evs)):
@@ -1706,13 +1739,11 @@ def _trace_rings(rings: list, mode: str) -> list:
                 mids = [ring[(i0 + 1 + s) % n] for s in range(cnt)]
             pts = np.vstack([cross_pts[x0]] + mids + [cross_pts[x1]])
             mid = _arc_midpoint(pts)
-            others_inside = [
-                _point_in_ring(mid, np.vstack([opens[k2], opens[k2][:1]]))
-                for k2 in range(m) if k2 != k]
+            others_inside = [_in_poly(mid, pi) for pi in others]
             if diff:
-                if k == 0 and not any(others_inside):
+                if ok == 0 and not any(others_inside):
                     arcs.append((x0, x1, pts))
-                elif k == 1 and all(others_inside):
+                elif ok == 1 and all(others_inside):
                     # subtrahend boundary inside A bounds the removed
                     # region — walked in reverse on the result
                     arcs.append((x1, x0, pts[::-1]))
@@ -1745,108 +1776,156 @@ def _trace_rings(rings: list, mode: str) -> list:
             if cur in visited or cur not in out_map:
                 raise ValueError("polygon overlay: open boundary chain "
                                  "(degenerate contact)")
-        loop = np.vstack(pieces + [pieces[0][:1]])
-        if _ring_signed_area2(loop) < 0:
-            raise ValueError(
-                "polygon overlay: CW loop — " +
-                ("union would enclose a hole (not supported)"
-                 if not want_inside else "degenerate intersection"))
-        loops.append(loop)
-    return loops + standalone
+        loops.append(np.vstack(pieces + [pieces[0][:1]]))
+
+    # classify by orientation, then nest holes under their innermost
+    # containing shell (islands are CCW → their own polygon)
+    shells: list = []
+    holes: list = []
+    for r in loops + standalone:
+        a2 = _ring_signed_area2(r)
+        if a2 > 0:
+            shells.append(r)
+        elif a2 < 0:
+            holes.append(r)
+        else:
+            raise ValueError("polygon overlay: zero-area loop "
+                             "(degenerate contact)")
+    result: list = [[s] for s in shells]
+    for h in holes:
+        cands = [i for i, s in enumerate(shells)
+                 if _point_in_ring(h[0], s)]
+        if not cands:
+            raise ValueError("polygon overlay: hole outside every "
+                             "shell (degenerate contact)")
+        best = min(cands,
+                   key=lambda i: abs(_ring_signed_area2(shells[i])))
+        result[best].append(h)
+    return result
 
 
-def _norm_ccw_ring(coords: np.ndarray) -> np.ndarray:
-    """Closed ring → closed CCW ring with consecutive duplicate
-    vertices dropped (the normalization `buffer` applies)."""
+def _norm_ring(coords: np.ndarray, ccw: bool = True) -> np.ndarray:
+    """Closed ring → closed SIMPLE ring with the requested
+    orientation and consecutive duplicate vertices dropped (the
+    normalization `buffer` applies). Raises on self-intersecting
+    rings — a non-simple input would otherwise produce silently
+    wrong overlay output, breaking the kernel's honest-refusal
+    contract."""
     ring = np.asarray(coords, dtype=float)[:-1]
-    if _ring_signed_area2(np.vstack([ring, ring[:1]])) < 0:
-        ring = ring[::-1]
     keep = np.ones(len(ring), dtype=bool)
     keep[1:] = np.any(ring[1:] != ring[:-1], axis=1)
     ring = ring[keep]
+    if len(ring) >= 2 and np.array_equal(ring[0], ring[-1]):
+        ring = ring[:-1]
     if len(ring) < 3:
         raise ValueError("union: degenerate ring")
+    if not _ring_is_simple(ring):
+        raise ValueError("polygon overlay: self-intersecting ring "
+                         "(non-simple polygon)")
+    if (_ring_signed_area2(np.vstack([ring, ring[:1]])) < 0) == ccw:
+        ring = ring[::-1]
     return np.vstack([ring, ring[:1]])
 
 
-def union(a: Geometry, b: Geometry) -> Geometry:
-    """Constructive union of simple (single-ring, hole-free)
-    POLYGONs / MULTIPOLYGONs — the OGC `ST_Union` for the polygon
-    class this kernel supports. Same boundary-trace engine as the
-    MULTI*-buffer dissolve (`_union_rings`): exact for transversal
-    contact; raises on degenerate contact (shared/collinear edges,
-    vertex touching) and when the union would enclose a hole. Holed
-    inputs and non-polygon kinds raise — an honest subset, matching
-    `buffer`'s contract."""
-    rings: list = []
-    for g in (a, b):
-        if g.kind == "POLYGON":
-            if len(g.coords) != 1:
-                raise ValueError("union: holed polygons unsupported")
-            rings.append(_norm_ccw_ring(g.coords[0]))
-        elif g.kind == "MULTIPOLYGON":
-            for p in g.parts():
-                if len(p.coords) != 1:
-                    raise ValueError(
-                        "union: holed polygons unsupported")
-                rings.append(_norm_ccw_ring(p.coords[0]))
-        else:
-            raise ValueError(f"union: {g.kind} unsupported "
-                             "(POLYGON/MULTIPOLYGON only)")
-    merged = _union_rings(rings)
-    if len(merged) == 1:
-        return Geometry("POLYGON", [merged[0]])
+def _norm_ccw_ring(coords: np.ndarray) -> np.ndarray:
+    """Closed ring → closed CCW simple ring (see `_norm_ring`)."""
+    return _norm_ring(coords, ccw=True)
+
+
+def _norm_poly(coords_list: list) -> list:
+    """Geometry POLYGON coords → validated [shell CCW, *holes CW].
+    Raises on non-simple rings, rings of the same polygon that
+    properly cross, and holes outside the shell — the invalid inputs
+    that would silently corrupt the boundary trace (which only
+    crosses rings of DIFFERENT polygons)."""
+    shell = _norm_ring(coords_list[0], ccw=True)
+    rings = [shell] + [_norm_ring(h, ccw=False)
+                       for h in coords_list[1:]]
+    for i in range(len(rings)):
+        ri = rings[i]
+        for j in range(i + 1, len(rings)):
+            rj = rings[j]
+            for a in range(len(ri) - 1):
+                for b in range(len(rj) - 1):
+                    if _segments_properly_intersect(
+                            ri[a], ri[a + 1], rj[b], rj[b + 1]):
+                        raise ValueError("polygon overlay: invalid "
+                                         "polygon (rings cross)")
+    for h in rings[1:]:
+        if not _point_in_ring(h[0], shell):
+            raise ValueError("polygon overlay: invalid polygon "
+                             "(hole outside shell)")
+    return rings
+
+
+def _overlay_polys_of(g: "Geometry", op: str) -> list:
+    """Geometry → list of validated polygons for `_trace_polys`."""
+    if g.kind == "POLYGON":
+        return [_norm_poly(g.coords)]
+    if g.kind == "MULTIPOLYGON":
+        return [_norm_poly(p.coords) for p in g.parts()]
+    raise ValueError(f"{op}: {g.kind} unsupported "
+                     "(POLYGON/MULTIPOLYGON only)")
+
+
+def _geom_from_polys(polys: list) -> "Geometry | None":
+    """[ [shell, *holes], ... ] → Geometry (None for empty)."""
+    if not polys:
+        return None
+    if len(polys) == 1:
+        return Geometry("POLYGON", list(polys[0]))
     return Geometry("MULTIPOLYGON",
-                    [Geometry("POLYGON", [r]) for r in merged])
+                    [Geometry("POLYGON", list(p)) for p in polys])
+
+
+def union(a: Geometry, b: Geometry) -> Geometry:
+    """Constructive union of POLYGONs / MULTIPOLYGONs, holes
+    included — the OGC `ST_Union` for the polygon class this kernel
+    supports (reference gets the same surface from JTS,
+    STObject.scala:209-233). Same boundary-trace engine as the
+    MULTI*-buffer dissolve (`_trace_polys`): exact for transversal
+    contact; raises on degenerate contact (shared/collinear edges,
+    vertex touching) and on invalid (self-intersecting) rings.
+    A union that encloses a courtyard returns a holed polygon."""
+    polys = _overlay_polys_of(a, "union") + _overlay_polys_of(b, "union")
+    out = _geom_from_polys(_trace_polys(polys, "union"))
+    assert out is not None     # a union of non-empty inputs is non-empty
+    return out
 
 
 def intersection(a: Geometry, b: Geometry) -> Geometry | None:
-    """Constructive intersection of two simple (single-ring,
-    hole-free) POLYGONs — the OGC `ST_Intersection` for the polygon
-    class this kernel supports. Same boundary-trace engine as
-    `union`, keeping the arcs INSIDE the other ring. Returns None for
-    an empty intersection (the SQL surface maps it to NULL — the
-    engine has no empty-geometry value). A polygon fully inside the
-    other comes back whole; multiple intersection components return a
-    MULTIPOLYGON. Raises on degenerate contact and non-POLYGON /
-    holed inputs."""
-    rings: list = []
+    """Constructive intersection of two POLYGONs (holes included) —
+    the OGC `ST_Intersection` for the polygon class this kernel
+    supports. Same boundary-trace engine as `union`, keeping the
+    arcs INSIDE the other polygon's point-set (shell minus holes).
+    Returns None for an empty intersection (the SQL surface maps it
+    to NULL — the engine has no empty-geometry value). A polygon
+    fully inside the other comes back whole; multiple intersection
+    components return a MULTIPOLYGON. Raises on degenerate contact,
+    invalid rings, and non-POLYGON inputs."""
     for g in (a, b):
-        if g.kind != "POLYGON" or len(g.coords) != 1:
-            raise ValueError("intersection: simple single-ring "
-                             "POLYGONs only")
-        rings.append(_norm_ccw_ring(g.coords[0]))
-    merged = _trace_rings(rings, "intersection")
-    if not merged:
-        return None
-    if len(merged) == 1:
-        return Geometry("POLYGON", [merged[0]])
-    return Geometry("MULTIPOLYGON",
-                    [Geometry("POLYGON", [r]) for r in merged])
+        if g.kind != "POLYGON":
+            raise ValueError("intersection: POLYGONs only")
+    return _geom_from_polys(
+        _trace_polys([_norm_poly(a.coords), _norm_poly(b.coords)],
+                     "intersection"))
 
 
 def difference(a: Geometry, b: Geometry) -> Geometry | None:
-    """Constructive difference A \\ B of two simple (single-ring,
-    hole-free) POLYGONs — the OGC `ST_Difference` for the polygon
-    class this kernel supports: A's boundary outside B stitched with
-    B's boundary inside A walked in reverse. Returns None when A is
-    covered by B (empty result; NULL on the SQL surface). Raises on
-    degenerate contact, when the result would be an annulus (B
-    strictly inside A — a holed polygon this kernel cannot
-    represent), and for non-POLYGON / holed inputs."""
-    rings: list = []
+    """Constructive difference A \\ B of two POLYGONs (holes
+    included) — the OGC `ST_Difference` for the polygon class this
+    kernel supports: A's boundary outside B stitched with B's
+    boundary inside A walked in reverse. Returns None when A is
+    covered by B (empty result; NULL on the SQL surface). B strictly
+    inside A returns an ANNULUS (holed polygon); B's holes inside A
+    come back as islands. Raises on degenerate contact, invalid
+    rings, and non-POLYGON inputs."""
     for g in (a, b):
-        if g.kind != "POLYGON" or len(g.coords) != 1:
-            raise ValueError("difference: simple single-ring "
-                             "POLYGONs only")
-        rings.append(_norm_ccw_ring(g.coords[0]))
-    merged = _trace_rings(rings, "difference")
-    if not merged:
-        return None
-    if len(merged) == 1:
-        return Geometry("POLYGON", [merged[0]])
-    return Geometry("MULTIPOLYGON",
-                    [Geometry("POLYGON", [r]) for r in merged])
+        if g.kind != "POLYGON":
+            raise ValueError("difference: POLYGONs only")
+    return _geom_from_polys(
+        _trace_polys([_norm_poly(a.coords), _norm_poly(b.coords)],
+                     "difference"))
 
 
 def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:

@@ -220,9 +220,9 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
     spark.udf.register("st_buffer", pandas_udf(_buffer, BinaryType()))
 
     def _union(wa: pd.Series, wb: pd.Series) -> pd.Series:
-        # constructive polygon union (simple hole-free inputs; the
+        # constructive polygon union, holes included (r8); the
         # boundary-trace engine raises on degenerate contact — the
-        # honest contract documented on core.geometry.union)
+        # honest contract documented on core.geometry.union
         out = []
         for ba, bb in zip(wa, wb):
             if ba is None or bb is None:
@@ -251,8 +251,8 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
                        pandas_udf(_intersection, BinaryType()))
 
     def _difference(wa: pd.Series, wb: pd.Series) -> pd.Series:
-        # NULL input OR A covered by B → NULL; annulus results raise
-        # (honest refusal — the kernel has no holed polygons)
+        # NULL input OR A covered by B → NULL; B strictly inside A
+        # returns a real ANNULUS (holed polygon) since r8
         out = []
         for ba, bb in zip(wa, wb):
             if ba is None or bb is None:

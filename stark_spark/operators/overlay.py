@@ -6,8 +6,10 @@ constructive geometry — SURVEY §2.7 note); the kernel is
 `st_union` / `st_intersection` / `st_difference` and the MULTI*-buffer
 dissolve. Honest contract inherited from the kernel: exact for
 transversal contact, raises on degenerate contact (shared/collinear
-edges, vertex touching, tangency) and on results this kernel cannot
-represent (holes/annuli).
+edges, vertex touching, tangency) and on invalid (self-intersecting)
+rings. Holed polygons are supported on both sides since r8: inputs
+may carry holes, and a dissolve that encloses a courtyard returns a
+holed polygon.
 """
 
 from __future__ import annotations
@@ -29,8 +31,9 @@ def dissolve(df: DataFrame, group_col: str,
     per-group work is O((Σ ring points)²) in the crossing scan —
     bounded by the group's geometry count, never corpus-wide. NULL
     geometries are dropped; a group with only NULLs emits nothing.
-    Output: (group_col, geom [WKB POLYGON/MULTIPOLYGON], n_parts —
-    the number of disjoint regions after dissolving).
+    Output: (group_col, geom [WKB POLYGON/MULTIPOLYGON, holes
+    preserved/produced], n_parts — the number of disjoint regions
+    after dissolving).
     """
     from stark_spark.core import geometry as G
 
@@ -41,34 +44,17 @@ def dissolve(df: DataFrame, group_col: str,
     ])
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        rings = []
+        polys = []
         for wkb in pdf[geom_col]:
             if wkb is None:
                 continue
             g = G.from_wkb(bytes(wkb))
-            if g.kind == "POLYGON":
-                if len(g.coords) != 1:
-                    raise ValueError("dissolve: holed polygons "
-                                     "unsupported")
-                rings.append(G._norm_ccw_ring(g.coords[0]))
-            elif g.kind == "MULTIPOLYGON":
-                for p in g.parts():
-                    if len(p.coords) != 1:
-                        raise ValueError("dissolve: holed polygons "
-                                         "unsupported")
-                    rings.append(G._norm_ccw_ring(p.coords[0]))
-            else:
-                raise ValueError(f"dissolve: {g.kind} unsupported")
-        if not rings:
+            polys.extend(G._overlay_polys_of(g, "dissolve"))
+        if not polys:
             return pdf.iloc[0:0][[group_col]].assign(
                 geom=None, n_parts=0)
-        merged = G._trace_rings(rings, "union")
-        if len(merged) == 1:
-            out = G.Geometry("POLYGON", [merged[0]])
-        else:
-            out = G.Geometry(
-                "MULTIPOLYGON",
-                [G.Geometry("POLYGON", [r]) for r in merged])
+        merged = G._trace_polys(polys, "union")
+        out = G._geom_from_polys(merged)
         return pd.DataFrame({group_col: [pdf[group_col].iloc[0]],
                              "geom": [G.to_wkb(out)],
                              "n_parts": [len(merged)]})

@@ -462,14 +462,21 @@ def test_buffer_rejects_bad_inputs():
     ell = G.from_wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
     with pytest.raises(ValueError):
         G.buffer(ell, 2.0)
-    # a union that would enclose a hole: honest refusal — a ring of
-    # overlapping discs around the origin
+    # a union that encloses a courtyard — a ring of overlapping discs
+    # around the origin — now returns a HOLED polygon (r8: the
+    # boundary-trace engine represents holes instead of refusing)
     import math
     ringpts = ", ".join(
         f"({3 * math.cos(i * math.pi / 4)} {3 * math.sin(i * math.pi / 4)})"
         for i in range(8))
-    with pytest.raises(ValueError):
-        G.buffer(G.from_wkt(f"MULTIPOINT ({ringpts})"), 1.3)
+    ring_buf = G.buffer(G.from_wkt(f"MULTIPOINT ({ringpts})"), 1.3)
+    assert ring_buf.kind == "POLYGON" and len(ring_buf.coords) == 2
+    # the origin sits in the courtyard; a disc center is covered
+    assert not G.covers(ring_buf, G.point(0, 0))
+    assert G.covers(ring_buf, G.point(3, 0))
+    # area < 8 full discs (overlap), > one disc
+    disc = math.pi * 1.3 ** 2
+    assert disc < G.area(ring_buf) < 8 * disc
 
 
 def test_buffer_multi_union_overlap():
@@ -597,7 +604,7 @@ def test_difference_polygons():
     """Constructive `difference` A \\ B: corner-cut closed forms (a
     corner cut preserves the perimeter), the partition identity
     area(A\\B) + area(A∩B) == area(A); covered → None; annulus (B
-    strictly inside A) → honest raise; disjoint → A unchanged;
+    strictly inside A) → a REAL holed polygon (r8); disjoint → A unchanged;
     identical → None; a bar through a U splits into multiple
     components."""
     a = G.from_wkt("POLYGON ((0 0, 6 0, 6 5, 0 5, 0 0))")
@@ -609,8 +616,12 @@ def test_difference_polygons():
     assert G.area(G.difference(b, a)) == 18.0
     c = G.from_wkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
     assert G.difference(c, a) is None                   # covered
-    with pytest.raises(ValueError):
-        G.difference(a, c)                              # annulus
+    ann = G.difference(a, c)                            # annulus
+    assert ann.kind == "POLYGON" and len(ann.coords) == 2
+    assert G.area(ann) == 30.0 - 1.0
+    assert G.length(ann) == 2 * (6 + 5) + 4             # shell + hole
+    assert not G.covers(ann, G.point(1.5, 1.5))         # in the hole
+    assert G.covers(ann, G.point(0.5, 0.5))
     far = G.from_wkt(
         "POLYGON ((100 100, 101 100, 101 101, 100 101, 100 100))")
     assert G.area(G.difference(a, far)) == 30.0
@@ -1422,3 +1433,68 @@ def test_jaccard_prefix_join_lossless_property(spark, seed, n_docs,
             if jq >= t_q6:
                 want[(a, b)] = jq
     assert got == want
+
+
+def _rand_holed_box(rng, x0, y0):
+    """Random axis-aligned box with 0-2 random holes, all coordinates
+    continuous draws (collinear contact has measure zero)."""
+    w, h = rng.uniform(6, 12), rng.uniform(6, 12)
+    shell = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h),
+             (x0, y0)]
+    rings = ["(" + ", ".join(f"{x} {y}" for x, y in shell) + ")"]
+    for _ in range(int(rng.integers(0, 3))):
+        hw, hh = rng.uniform(0.8, w / 4), rng.uniform(0.8, h / 4)
+        hx = x0 + rng.uniform(0.3, w - hw - 0.3)
+        hy = y0 + rng.uniform(0.3, h - hh - 0.3)
+        hole = [(hx, hy), (hx + hw, hy), (hx + hw, hy + hh),
+                (hx, hy + hh), (hx, hy)]
+        rings.append("(" + ", ".join(f"{x} {y}" for x, y in hole) + ")")
+    return G.from_wkt("POLYGON (" + ", ".join(rings) + ")")
+
+
+def _member(g, x, y):
+    """Even-odd point-set membership (shell minus holes, parts OR-ed)."""
+    if g is None:
+        return False
+    from stark_spark.core.geometry import _point_in_ring
+    pt = np.array([x, y])
+
+    def one(p):
+        return sum(bool(_point_in_ring(pt, np.asarray(r, float)))
+                   for r in p.coords) % 2 == 1
+    if g.kind == "POLYGON":
+        return one(g)
+    return any(one(p) for p in g.parts())
+
+
+@given(st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_overlay_holed_inclusion_exclusion(seed):
+    """Holed-polygon overlay invariants (r8 — the kernel now
+    REPRESENTS holes instead of refusing): for random holed boxes A,
+    B — partition area(A∩B) + area(A\\B) == area(A);
+    inclusion–exclusion area(A∪B) == area(A) + area(B) − area(A∩B);
+    and point-set semantics on a grid of probe points (union = OR,
+    intersection = AND, difference = AND NOT). Hole rings crossing
+    the other shell, annuli, islands-in-holes all arise here."""
+    rng = np.random.default_rng(seed)
+    a = _rand_holed_box(rng, 0.0, 0.0)
+    # offset drawn so the shells overlap partially, nest, or disjoin
+    b = _rand_holed_box(rng, rng.uniform(-8, 8), rng.uniform(-8, 8))
+    try:
+        u, i, d = G.union(a, b), G.intersection(a, b), G.difference(a, b)
+    except ValueError:
+        return                        # measure-zero degenerate draw
+    ai, bi = G.area(a), G.area(b)
+    ii = G.area(i) if i is not None else 0.0
+    di = G.area(d) if d is not None else 0.0
+    assert abs(di + ii - ai) < 1e-6 * max(ai, 1.0)
+    assert abs(G.area(u) - (ai + bi - ii)) < 1e-6 * max(ai + bi, 1.0)
+    xs = np.linspace(-8.37, 21.13, 24)
+    ys = np.linspace(-8.71, 21.29, 24)
+    for x in xs:
+        for y in ys:
+            A, B = _member(a, x, y), _member(b, x, y)
+            assert _member(u, x, y) == (A or B)
+            assert _member(i, x, y) == (A and B)
+            assert _member(d, x, y) == (A and not B)
