@@ -285,10 +285,13 @@ def main() -> None:
     try:
         import glob
         import re as _re
+        # only the two driver-written artifact families stamp the
+        # round — an unrelated *_rN.json must not shift it
         rounds = [int(m.group(1)) for p in
                   glob.glob(os.path.join(os.path.dirname(
                       os.path.abspath(__file__)), "*_r*.json"))
-                  if "BENCH_LOCAL" not in os.path.basename(p)
+                  if _re.match(r"(BENCH|CORRECTNESS)_r\d+\.json$",
+                               os.path.basename(p))
                   and (m := _re.search(r"_r(\d+)\.json$", p))]
         n = max(rounds, default=0) + 1
         dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),

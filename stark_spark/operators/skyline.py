@@ -127,10 +127,7 @@ def skyline(df: DataFrame, x: str = "x", y: str = "y",
         staged = df.withColumn("_g", F.spark_partition_id())
     else:
         staged = df.withColumn("_g", F.col(group_col))
-    local_sky = (staged.groupBy("_g").applyInPandas(local, schema=schema)
-                       .localCheckpoint())
-    if local_sky.count() > GLOBAL_MERGE_LIMIT:
-        return _merge_distributed(local_sky, x, y, schema)
+    local_sky = staged.groupBy("_g").applyInPandas(local, schema=schema)
 
     def global_pass(it):
         chunks = list(it)
@@ -139,6 +136,25 @@ def skyline(df: DataFrame, x: str = "x", y: str = "y",
         rows = pd.concat(chunks, ignore_index=True)
         yield _local_skyline(rows, x, y)
 
+    # Merge-path choice needs the stage-1 front size, but materializing
+    # the front (localCheckpoint + count) costs an extra eager job even
+    # for tiny inputs. Cheap gate first: Catalyst's optimized-plan size
+    # estimate is free (file-size based, no job); at a conservative
+    # ≥1 byte/row, an input under GLOBAL_MERGE_LIMIT bytes cannot emit
+    # a front over the limit — go straight to the one-job coalesce(1)
+    # sweep. Large/unknown estimates pay the exact count on the
+    # materialized front (cheap once checkpointed) and pick exactly.
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan()
+                        .stats().sizeInBytes())
+    except Exception:
+        est_bytes = None
+    if est_bytes is not None and est_bytes < GLOBAL_MERGE_LIMIT:
+        return local_sky.coalesce(1).mapInPandas(global_pass,
+                                                 schema=schema)
+    local_sky = local_sky.localCheckpoint()
+    if local_sky.count() > GLOBAL_MERGE_LIMIT:
+        return _merge_distributed(local_sky, x, y, schema)
     return local_sky.coalesce(1).mapInPandas(global_pass, schema=schema)
 
 
