@@ -154,6 +154,16 @@ QUERIES = [
     "ppr_handoff",
     "agg_delta_apply",
     "ann_recall_eval",
+    # r8-promoted (formerly PENDING_SCALE; same linear oracles).
+    # NOTE (r7 verdict ask #6): the UNCAPPED common_neighbors gate
+    # stays OUT of scale lists by design — exact O(Σ deg²) semantics
+    # are its point and the capped variant below carries the scale
+    # story (plus the dedicated celebrity-node check in main()).
+    "common_neighbors_capped",
+    "ann_recall_pq",
+    "ann_recall_lsh",
+    "sql_st_union",
+    "dissolve_zones",
 ]
 
 
@@ -440,13 +450,10 @@ def synthesize(workdir: str) -> None:
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
 PENDING_SCALE = [
-    # r7-minted staged gates (linear oracles: capped wedge join;
-    # recall evals are 5-query top-k compositions)
-    "common_neighbors_capped",
-    "ann_recall_pq",
-    "ann_recall_lsh",
-    "sql_st_union",
-    "dissolve_zones",
+    # r8-minted staged gates (linear oracles: closed-form annulus
+    # arithmetic; 5-query multi-probe top-k composition)
+    "sql_st_difference_annulus",
+    "ann_recall_lsh_mp",
 ]
 
 
