@@ -600,23 +600,39 @@ def jaccard_prefix_join(df: DataFrame, key: str, *,
                   - F.floor(F.lit(t_eff) * F.col("sz")) + 1).cast("int")
     pref = per_doc.select(
         key, "sz",
-        F.explode(F.slice(F.col("ts.tok"), F.lit(1), prefix_len))
-         .alias("tok"))
-    # AllPairs length filter (Bayardo et al. 2007 §3.1): J ≥ t forces
-    # n_common ≤ min(sz) and union ≥ max(sz), so 10⁶·min(sz) ≥
-    # t_q6·max(sz) — an IDENTITY on the result set that prunes the
-    # candidate join itself. Decisive on skewed/small vocabularies
-    # where "rare-token" prefixes degenerate into huge buckets (a
-    # 31-token corpus measured 11.3M → 2.2M candidates, 3.6× wall).
+        F.posexplode(F.slice(F.col("ts.tok"), F.lit(1), prefix_len))
+         .alias("pos", "tok"))
+    # Two candidate-side prunes, both IDENTITIES on the result set:
+    # 1. AllPairs length filter (Bayardo et al. 2007 §3.1): J ≥ t
+    #    forces n_common ≤ min(sz) and union ≥ max(sz), so
+    #    10⁶·min(sz) ≥ t_q6·max(sz) — inside the join itself.
+    #    Decisive on skewed/small vocabularies where "rare-token"
+    #    prefixes degenerate into huge buckets (a 31-token corpus
+    #    measured 11.3M → 2.2M candidates, 3.6× wall).
+    # 2. PPJoin positional filter (Xiao et al. 2008 §3): at the pair's
+    #    FIRST shared prefix token (0-based positions i, j in the
+    #    df-sorted token lists) the overlap is bounded by
+    #    min(sz_a − i, sz_b − j); a qualifying pair needs
+    #    n·(10⁶+t_q6) ≥ t_q6·(sz_a+sz_b), so pairs whose best bound
+    #    misses that are dropped BEFORE the verify join. max() over
+    #    occurrences equals the first occurrence (positions only
+    #    grow), and the groupBy replaces the old distinct() — same
+    #    shuffle, strictly fewer verify probes.
     a = pref.select(F.col(key).alias("a"), F.col("sz").alias("sz_pa"),
-                    "tok")
+                    F.col("pos").alias("pos_a"), "tok")
     b = pref.select(F.col(key).alias("b"), F.col("sz").alias("sz_pb"),
-                    "tok")
+                    F.col("pos").alias("pos_b"), "tok")
     cand = (a.join(b, "tok")
              .where((F.col("a") < F.col("b"))
                     & (F.col("sz_pa") * 1_000_000 >= F.col("sz_pb") * t_q6)
                     & (F.col("sz_pb") * 1_000_000 >= F.col("sz_pa") * t_q6))
-             .select("a", "b").distinct())
+             .groupBy("a", "b", "sz_pa", "sz_pb")
+             .agg(F.max(F.least(F.col("sz_pa") - F.col("pos_a"),
+                                F.col("sz_pb") - F.col("pos_b")))
+                   .alias("_ub"))
+             .where(F.col("_ub") * (1_000_000 + t_q6)
+                    >= (F.col("sz_pa") + F.col("sz_pb")) * t_q6)
+             .select("a", "b"))
     ia = cand.join(tok.select(F.col(key).alias("a"), "tok"), "a")
     inter = (ia.join(tok.select(F.col(key).alias("b"), "tok"),
                      ["b", "tok"])
