@@ -1901,14 +1901,18 @@ def intersection(a: Geometry, b: Geometry) -> Geometry | None:
     Returns None for an empty intersection (the SQL surface maps it
     to NULL — the engine has no empty-geometry value). A polygon
     fully inside the other comes back whole; multiple intersection
-    components return a MULTIPOLYGON. Raises on degenerate contact,
-    invalid rings, and non-POLYGON inputs."""
-    for g in (a, b):
-        if g.kind != "POLYGON":
-            raise ValueError("intersection: POLYGONs only")
-    return _geom_from_polys(
-        _trace_polys([_norm_poly(a.coords), _norm_poly(b.coords)],
-                     "intersection"))
+    components return a MULTIPOLYGON. MULTIPOLYGON inputs compose
+    part-wise: parts of a valid MULTIPOLYGON are disjoint, so
+    A ∩ B = ⊎ᵢⱼ (aᵢ ∩ bⱼ) — the pieces are mutually disjoint and
+    concatenate without a union pass. Raises on degenerate contact,
+    invalid rings, and non-polygon kinds."""
+    pa = _overlay_polys_of(a, "intersection")
+    pb = _overlay_polys_of(b, "intersection")
+    pieces: list = []
+    for p in pa:
+        for q in pb:
+            pieces.extend(_trace_polys([p, q], "intersection"))
+    return _geom_from_polys(pieces)
 
 
 def difference(a: Geometry, b: Geometry) -> Geometry | None:
@@ -1918,14 +1922,25 @@ def difference(a: Geometry, b: Geometry) -> Geometry | None:
     boundary inside A walked in reverse. Returns None when A is
     covered by B (empty result; NULL on the SQL surface). B strictly
     inside A returns an ANNULUS (holed polygon); B's holes inside A
-    come back as islands. Raises on degenerate contact, invalid
-    rings, and non-POLYGON inputs."""
-    for g in (a, b):
-        if g.kind != "POLYGON":
-            raise ValueError("difference: POLYGONs only")
-    return _geom_from_polys(
-        _trace_polys([_norm_poly(a.coords), _norm_poly(b.coords)],
-                     "difference"))
+    come back as islands. MULTIPOLYGON inputs compose part-wise:
+    A \\ B folds each part of A through the parts of B sequentially
+    (aᵢ \\ b₁ \\ b₂ …, each step distributing over the accumulated
+    disjoint pieces); surviving pieces of distinct aᵢ stay disjoint
+    and concatenate. Raises on degenerate contact, invalid rings,
+    and non-polygon kinds."""
+    pb = _overlay_polys_of(b, "difference")
+    out: list = []
+    for p in _overlay_polys_of(a, "difference"):
+        pieces = [p]
+        for q in pb:
+            nxt: list = []
+            for piece in pieces:
+                nxt.extend(_trace_polys([piece, q], "difference"))
+            pieces = nxt
+            if not pieces:
+                break
+        out.extend(pieces)
+    return _geom_from_polys(out)
 
 
 def _point_in_ring(pt: np.ndarray, ring: np.ndarray) -> bool:

@@ -1498,3 +1498,33 @@ def test_overlay_holed_inclusion_exclusion(seed):
             assert _member(u, x, y) == (A or B)
             assert _member(i, x, y) == (A and B)
             assert _member(d, x, y) == (A and not B)
+
+
+def test_overlay_multipolygon_partwise():
+    """MULTIPOLYGON intersection/difference compose part-wise (r8):
+    disjoint parts make the pieces disjoint, so results concatenate
+    without a union pass; difference folds each minuend part through
+    the subtrahend parts sequentially. Holed pieces (annuli) survive
+    the fold."""
+    A = G.from_wkt("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+                   "((10 0, 14 0, 14 4, 10 4, 10 0)))")
+    B = G.from_wkt("POLYGON ((2 2, 12 2, 12 6, 2 6, 2 2))")
+    i = G.intersection(A, B)          # two 2x2 corner bites
+    assert i.kind == "MULTIPOLYGON" and G.area(i) == 8.0
+    assert G.area(G.difference(A, B)) == 24.0
+    d2 = G.difference(B, A)           # notched bar stays connected
+    assert d2.kind == "POLYGON" and G.area(d2) == 32.0
+    # MULTIPOLYGON minus MULTIPOLYGON: each part gets a hole
+    C = G.from_wkt("MULTIPOLYGON (((1 1, 3 1, 3 3, 1 3, 1 1)), "
+                   "((11 1, 13 1, 13 3, 11 3, 11 1)))")
+    d3 = G.difference(A, C)
+    assert G.area(d3) == 24.0
+    assert all(len(p.coords) == 2 for p in d3.parts())
+    # self-intersection of a MULTIPOLYGON is itself
+    assert G.area(G.intersection(A, A)) == 32.0
+    # a subtrahend covering one whole part kills just that part
+    D = G.from_wkt("POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))")
+    d4 = G.difference(A, D)
+    assert d4.kind == "POLYGON" and G.area(d4) == 16.0
+    # inclusion-exclusion holds for the multipolygon pair
+    assert G.area(G.union(A, B)) == G.area(A) + G.area(B) - G.area(i)
