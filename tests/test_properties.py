@@ -1528,3 +1528,29 @@ def test_overlay_multipolygon_partwise():
     assert d4.kind == "POLYGON" and G.area(d4) == 16.0
     # inclusion-exclusion holds for the multipolygon pair
     assert G.area(G.union(A, B)) == G.area(A) + G.area(B) - G.area(i)
+
+
+def test_overlay_invalid_polygon_refusals():
+    """The r8 validation surface: self-intersecting rings, rings of
+    the same polygon that cross, and holes outside the shell must
+    RAISE (the silently-wrong-output paths the r7 advice flagged) —
+    while valid holed inputs sail through."""
+    sq = G.from_wkt("POLYGON ((20 0, 24 0, 24 4, 20 4, 20 0))")
+    bowtie = G.from_wkt("POLYGON ((0 0, 4 4, 4 0, 0 4, 0 0))")
+    with pytest.raises(ValueError, match="self-intersecting"):
+        G.union(bowtie, sq)
+    hole_crosses_shell = G.from_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+        "(2 2, 6 2, 6 3, 2 3, 2 2))")
+    with pytest.raises(ValueError, match="rings cross"):
+        G.union(hole_crosses_shell, sq)
+    hole_outside = G.from_wkt(
+        "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+        "(8 8, 9 8, 9 9, 8 9, 8 8))")
+    with pytest.raises(ValueError, match="hole outside shell"):
+        G.union(hole_outside, sq)
+    # valid holed input passes the same gate
+    ok = G.from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+                    "(1 1, 2 1, 2 2, 1 2, 1 1))")
+    u = G.union(ok, sq)
+    assert G.area(u) == 15.0 + 16.0
