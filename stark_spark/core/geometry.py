@@ -1665,10 +1665,27 @@ def _trace_polys(polys: list, mode: str) -> list:
     poly_rings: list = [[] for _ in range(m)]
     for k, pi in enumerate(owner):
         poly_rings[pi].append(k)
+    # bbox prunes keep an m-way union near-linear for tile/chain
+    # topologies (a dissolve group's rings mostly touch neighbors):
+    # ring-pair crossing scans and point-membership tests both skip
+    # on one rectangle comparison.
+    rbox = [(float(r[:, 0].min()), float(r[:, 1].min()),
+             float(r[:, 0].max()), float(r[:, 1].max())) for r in opens]
+    pbox: list = []
+    for pi in range(m):
+        bs = [rbox[k] for k in poly_rings[pi]]
+        pbox.append((min(b[0] for b in bs), min(b[1] for b in bs),
+                     max(b[2] for b in bs), max(b[3] for b in bs)))
 
     def _in_poly(pt, pi: int) -> bool:
         # even-odd over the polygon's rings = shell minus holes
-        cnt = sum(_point_in_ring(pt, closed[k]) for k in poly_rings[pi])
+        bx = pbox[pi]
+        x, y = float(pt[0]), float(pt[1])
+        if x < bx[0] or x > bx[2] or y < bx[1] or y > bx[3]:
+            return False
+        cnt = sum(_point_in_ring(pt, closed[k]) for k in poly_rings[pi]
+                  if rbox[k][0] <= x <= rbox[k][2]
+                  and rbox[k][1] <= y <= rbox[k][3])
         return cnt % 2 == 1
 
     cross_pts: list = []
@@ -1676,9 +1693,14 @@ def _trace_polys(polys: list, mode: str) -> list:
     for a in range(nr):
         ra = opens[a]
         na = len(ra)
+        abox = rbox[a]
         for b in range(a + 1, nr):
             if owner[a] == owner[b]:
                 continue           # same-polygon rings never cross
+            bbox_ = rbox[b]
+            if (bbox_[2] < abox[0] or bbox_[0] > abox[2]
+                    or bbox_[3] < abox[1] or bbox_[1] > abox[3]):
+                continue           # disjoint ring envelopes
             rb = opens[b]
             nb = len(rb)
             # bbox prune per edge pair is O(1); rings are O(100) pts
