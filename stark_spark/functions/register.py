@@ -340,6 +340,26 @@ RETURNS {typ} RETURN b.{field}""")
 
     spark.udf.register("rasterHistogram", _raster_hist)
 
+    # st_union_agg — SQL-surface dissolve: a grouped-agg pandas UDF
+    # unioning ALL the group's polygons in one boundary-trace pass
+    # (same kernel as operators/overlay.dissolve; NULLs dropped,
+    # all-NULL group → NULL). SELECT zone, st_union_agg(geom) ...
+    # GROUP BY zone. Holes are first-class (r8).
+    @pandas_udf(BinaryType())
+    def _union_agg(wkbs: pd.Series) -> bytes:
+        polys = []
+        for wkb in wkbs:
+            if wkb is None:
+                continue
+            polys.extend(G._overlay_polys_of(G.from_wkb(bytes(wkb)),
+                                             "st_union_agg"))
+        if not polys:
+            return None
+        return G.to_wkb(G._geom_from_polys(G._trace_polys(polys,
+                                                          "union")))
+
+    spark.udf.register("st_union_agg", _union_agg)
+
     _register_text_functions(spark)
 
 

@@ -362,3 +362,34 @@ def test_sql_haversine_matches_column_api(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_st_union_agg_dissolve(spark):
+    """st_union_agg: SQL-surface dissolve (grouped-agg pandas UDF on
+    the boundary-trace kernel). Zone 0: a 2-box overlap chain with
+    closed-form union area 24*2 - 6 = 42; zone 1: four bars framing a
+    courtyard — the union is a HOLED polygon (area by
+    inclusion-exclusion on the grid oracle = 132); zone 2: all-NULL →
+    NULL."""
+    register_sql_functions(spark)
+    rows = []
+    # zone 0: staggered chain of two 6x4 boxes (overlap 2x3)
+    rows.append((0, "POLYGON ((0 0, 6 0, 6 4, 0 4, 0 0))"))
+    rows.append((0, "POLYGON ((4 1, 10 1, 10 5, 4 5, 4 1))"))
+    # zone 1: frame bars (transversal contact, courtyard hole)
+    rows.append((1, "POLYGON ((-1 -1, 11 -1, 11 2, -1 2, -1 -1))"))
+    rows.append((1, "POLYGON ((-1 8, 11 8, 11 11, -1 11, -1 8))"))
+    rows.append((1, "POLYGON ((-2 -2, 1 -2, 1 12, -2 12, -2 -2))"))
+    rows.append((1, "POLYGON ((9 -2, 12 -2, 12 12, 9 12, 9 -2))"))
+    rows.append((2, None))
+    df = spark.createDataFrame(rows, "g long, wkt string")
+    df.createOrReplaceTempView("__uagg")
+    got = {r.g: (r.a, r.n) for r in spark.sql("""
+        SELECT g,
+          st_area(st_union_agg(st_geomfromwkt(wkt))) AS a,
+          st_wkt(st_union_agg(st_geomfromwkt(wkt))) AS n
+        FROM __uagg GROUP BY g""").collect()}
+    assert got[0][0] == 42.0
+    assert got[1][0] == 132.0
+    assert got[1][1].startswith("POLYGON") and got[1][1].count("(") >= 3
+    assert got[2] == (None, None)
