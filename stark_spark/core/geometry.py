@@ -1387,6 +1387,123 @@ def batch_centroid(wkbs) -> list | None:
 # buffer
 # ---------------------------------------------------------------------------
 
+def _clip_halfplane(pts: np.ndarray, a: float, b: float,
+                    c: float) -> np.ndarray:
+    """Sutherland–Hodgman: clip an open convex CCW ring to the
+    half-plane a·x + b·y <= c. Returns the (possibly empty) open
+    ring."""
+    out: list = []
+    n = len(pts)
+    for i in range(n):
+        p, q = pts[i], pts[(i + 1) % n]
+        fp = a * p[0] + b * p[1] - c
+        fq = a * q[0] + b * q[1] - c
+        if fp <= 0:
+            out.append(p)
+        if (fp < 0) != (fq < 0) and fp != fq:
+            t = fp / (fp - fq)
+            out.append(p + t * (q - p))
+    return np.asarray(out, dtype=float) if out else np.empty((0, 2))
+
+
+def _erode_ring(ring: np.ndarray, d: float,
+                quad_segs: int) -> np.ndarray | None:
+    """Morphological erosion of the region bounded by a SIMPLE closed
+    CCW ring: the set of points at distance >= d from the complement.
+    Returns a closed CCW ring, or None when the region erodes away.
+
+    CONVEX rings are exact: erosion of a convex polygon is the
+    intersection of its edges' inward half-planes (edges may vanish
+    from the result; the region vanishes iff the inradius < d) —
+    computed by successive half-plane clipping, no arcs exist.
+
+    NON-CONVEX rings use the symmetric offset construction (miter at
+    convex vertices = intersection of adjacent inward offset lines;
+    arc of radius d at REFLEX vertices, the clockwise-sweeping dual
+    of the dilation arc). If d exceeds the local feature size the
+    offset edge is consumed or the curve self-intersects (the region
+    would SPLIT — a topology change this kernel cannot trace) and it
+    raises, the same honest-refusal contract as dilation's concavity
+    check."""
+    pts = np.asarray(ring, dtype=float)[:-1]
+    keep = np.ones(len(pts), dtype=bool)
+    keep[1:] = np.any(pts[1:] != pts[:-1], axis=1)
+    pts = pts[keep]
+    if len(pts) < 3:
+        raise ValueError("buffer: degenerate ring")
+    ev = np.roll(pts, -1, axis=0) - pts
+    norm = np.hypot(ev[:, 0], ev[:, 1])
+    nx, ny = ev[:, 1] / norm, -ev[:, 0] / norm     # outward normals
+    crosses = (np.roll(ev, 1, axis=0)[:, 0] * ev[:, 1]
+               - np.roll(ev, 1, axis=0)[:, 1] * ev[:, 0])
+    m = len(pts)
+    if np.all(crosses > -1e-12):                   # convex: exact clip
+        cur = pts
+        for i in range(m):
+            # inward half-plane of edge i: n·x <= n·p_i - d
+            c = nx[i] * pts[i][0] + ny[i] * pts[i][1] - d
+            cur = _clip_halfplane(cur, nx[i], ny[i], c)
+            if len(cur) < 3:
+                return None
+        if abs(_ring_signed_area2(np.vstack([cur, cur[:1]]))) < 1e-18:
+            return None
+        return np.vstack([cur, cur[:1]])
+    reflex = crosses < -1e-12
+    step = (np.pi / 2) / quad_segs
+    miter: dict = {}
+    for j in np.nonzero(~reflex)[0]:               # convex → miter
+        i = (j - 1) % m
+        p = pts[j] - d * np.array([nx[i], ny[i]])
+        q = pts[j] - d * np.array([nx[j], ny[j]])
+        denom = ev[i, 0] * ev[j, 1] - ev[i, 1] * ev[j, 0]
+        if abs(denom) < 1e-12 * norm[i] * norm[j]:
+            if np.hypot(*(p - q)) < 1e-9 * max(1.0, d):
+                miter[j] = p                       # collinear vertex
+                continue
+            raise ValueError("buffer: degenerate convex vertex "
+                             "(collinear fold)")
+        t = ((q[0] - p[0]) * ev[j, 1] - (q[1] - p[1]) * ev[j, 0]) / denom
+        miter[j] = p + t * ev[i]
+    out: list = []
+    for i in range(m):
+        j = (i + 1) % m
+        start = miter[i] if not reflex[i] else \
+            pts[i] - d * np.array([nx[i], ny[i]])
+        end = miter[j] if not reflex[j] else \
+            pts[j] - d * np.array([nx[i], ny[i]])
+        if (end - start) @ ev[i] <= 1e-12 * norm[i]:
+            raise ValueError("buffer: erosion exceeds local feature "
+                             "size (offset edge consumed — region "
+                             "would split or vanish non-convexly)")
+        out.append(start)
+        out.append(end)
+        if reflex[j]:
+            # clockwise arc at the reflex vertex from -n_i to -n_j
+            w = pts[j]
+            a0 = np.arctan2(ny[i], nx[i])
+            a1 = np.arctan2(ny[j], nx[j])
+            sweep = (a0 - a1) % (2 * np.pi)
+            if sweep > 1e-12:
+                k = int(np.ceil(sweep / step))
+                for t in range(1, k):
+                    a = a0 - sweep * t / k
+                    out.append(w - d * np.array([np.cos(a),
+                                                 np.sin(a)]))
+    arr = np.vstack(out)
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = np.any(np.abs(arr[1:] - arr[:-1]) > 1e-12, axis=1)
+    arr = arr[keep]
+    if len(arr) < 3:
+        return None
+    if _ring_signed_area2(np.vstack([arr, arr[:1]])) <= 0:
+        return None
+    if not _ring_is_simple(arr):
+        raise ValueError("buffer: erosion exceeds local feature size "
+                         "(offset curve self-intersects — region "
+                         "would split)")
+    return np.vstack([arr, arr[:1]])
+
+
 def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     """Positive buffer (JTS `buffer(d)` with quadrantSegments=8): the
     Minkowski sum of the geometry with a disc of radius ``dist``,
@@ -1414,14 +1531,64 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     A + P*d + n*sin(2*pi/n)*d^2/2 (n = 4*quad_segs); with reflex
     vertices each contributes its (negative-turn) miter trim instead
     of an arc — the sql_st_buffer oracle pins an L-shape's closed
-    form exactly. Holed polygons raise (reference parity note: the
-    reference engine exposes no geometric buffer either — SURVEY/
-    PARITY record within-distance as the predicate-side substitute;
-    this covers the constructive "give me the zone polygon" use).
+    form exactly. Reference parity note: the reference engine exposes
+    no geometric buffer at all — SURVEY/PARITY record within-distance
+    as the predicate-side substitute; this covers the constructive
+    "give me the zone polygon" use.
+
+    r8 extensions (JTS-shaped): HOLED polygons are supported — a
+    positive buffer dilates the shell and ERODES each hole by
+    ``dist`` (holes that erode away vanish); NEGATIVE ``dist`` is
+    morphological erosion — the shell erodes (convex shells exactly
+    via half-plane clipping, non-convex via the dual offset
+    construction; see `_erode_ring`) and holes DILATE. Returns None
+    when the geometry erodes away entirely (the SQL surface maps it
+    to NULL). Erosions/dilations that would change topology (split a
+    region, merge holes, or breach the shell) raise — the kernel's
+    honest-refusal contract.
     """
-    if not (dist > 0):
-        raise ValueError("buffer: dist must be > 0")
+    if dist == 0 or not np.isfinite(dist):
+        raise ValueError("buffer: dist must be a nonzero finite value")
     n_arc = 4 * int(quad_segs)
+    if dist < 0:
+        if g.kind in ("POINT", "MULTIPOINT"):
+            return None                  # points erode to nothing
+        if g.kind == "MULTIPOLYGON":
+            parts = [buffer(p, dist, quad_segs) for p in g.parts()]
+            parts = [p for p in parts if p is not None]
+            if not parts:
+                return None
+            if len(parts) == 1:
+                return parts[0]
+            return Geometry("MULTIPOLYGON", parts)
+        if g.kind != "POLYGON":
+            raise ValueError(f"buffer: cannot erode {g.kind}")
+        d = -float(dist)
+        shell = _erode_ring(_norm_ring(g.coords[0], ccw=True), d,
+                            quad_segs)
+        if shell is None:
+            return None
+        # holes DILATE under erosion; they must stay inside the
+        # eroded shell and pairwise separate, else the topology
+        # changes (hole merge / shell breach) — honest refusal
+        holes: list = []
+        for h in g.coords[1:]:
+            hr = np.asarray(
+                buffer(Geometry("POLYGON",
+                                [_norm_ring(h, ccw=True)]),
+                       d, quad_segs).coords[0], dtype=float)
+            holes.append(hr)
+        for i in range(len(holes)):
+            for j in range(i + 1, len(holes)):
+                if _rings_may_touch(holes[i], holes[j]):
+                    raise ValueError("buffer: erosion merges holes "
+                                     "(topology change)")
+        for h in holes:
+            if not all(_point_in_ring(p, shell) for p in h[:-1]):
+                raise ValueError("buffer: dilated hole breaches the "
+                                 "eroded shell (topology change)")
+        return Geometry("POLYGON",
+                        [shell] + [h[::-1] for h in holes])
     if g.kind == "POINT":
         cx, cy = float(g.coords[0]), float(g.coords[1])
         ang = np.arange(n_arc) * (2 * np.pi / n_arc)
@@ -1429,21 +1596,47 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
         return Geometry("POLYGON", [np.vstack([ring, ring[0]])])
     if g.kind in ("MULTIPOINT", "MULTIPOLYGON"):
         parts = [buffer(p, dist, quad_segs) for p in g.parts()]
-        rings = [np.asarray(p.coords[0], dtype=float) for p in parts]
-        overlap = any(
-            _rings_may_touch(rings[i], rings[j])
-            for i in range(len(rings))
-            for j in range(i + 1, len(rings)))
-        if overlap:
-            # dissolve overlapping part buffers into their true union
-            # (boundary trace; raises on degenerate contact — honest
-            # refusal, never a bowtie; a union-enclosed courtyard
-            # comes back as a HOLED polygon)
-            return _geom_from_polys(_union_rings(rings))
-        return Geometry("MULTIPOLYGON", parts)
-    if g.kind != "POLYGON" or len(g.coords) != 1:
-        raise ValueError("buffer: only POINT, MULTIPOINT, single-ring "
-                         "POLYGON and MULTIPOLYGON are supported")
+        if all(len(p.coords) == 1 for p in parts):
+            rings = [np.asarray(p.coords[0], dtype=float)
+                     for p in parts]
+            overlap = any(
+                _rings_may_touch(rings[i], rings[j])
+                for i in range(len(rings))
+                for j in range(i + 1, len(rings)))
+            if overlap:
+                # dissolve overlapping part buffers into their true
+                # union (boundary trace; raises on degenerate contact
+                # — honest refusal, never a bowtie; a union-enclosed
+                # courtyard comes back as a HOLED polygon)
+                return _geom_from_polys(_union_rings(rings))
+            return Geometry("MULTIPOLYGON", parts)
+        # holed part buffers: dissolve via the full polygon overlay
+        polys = [_norm_poly(p.coords) for p in parts]
+        disjoint = all(
+            not _rings_may_touch(np.asarray(polys[i][0]),
+                                 np.asarray(polys[j][0]))
+            for i in range(len(polys)) for j in range(i + 1, len(polys)))
+        if disjoint:
+            return Geometry("MULTIPOLYGON", parts)
+        return _geom_from_polys(_trace_polys(polys, "union"))
+    if g.kind != "POLYGON":
+        raise ValueError("buffer: only POINT, MULTIPOINT, POLYGON "
+                         "and MULTIPOLYGON are supported")
+    if len(g.coords) > 1:
+        # holed polygon, positive buffer: shell dilates, holes erode
+        shell_geom = buffer(Geometry("POLYGON",
+                                     [np.asarray(g.coords[0],
+                                                 dtype=float)]),
+                            dist, quad_segs)
+        holes = []
+        for h in g.coords[1:]:
+            hr = _erode_ring(_norm_ring(h, ccw=True), float(dist),
+                             quad_segs)
+            if hr is not None:          # hole survives, shrunken
+                holes.append(hr[::-1])
+        return Geometry("POLYGON",
+                        [np.asarray(shell_geom.coords[0],
+                                    dtype=float)] + holes)
     ring = np.asarray(g.coords[0], dtype=float)[:-1]   # drop closing dup
     if _ring_signed_area2(np.vstack([ring, ring[0]])) < 0:
         ring = ring[::-1]                              # force CCW
@@ -2078,7 +2271,10 @@ def batch_buffer_points(wkbs, dists, quad_segs: int = 8) -> list | None:
     if np.isnan(d).any():         # null distances → per-element path
         return None
     if (~(d > 0)).any():
-        raise ValueError("buffer: dist must be > 0")
+        # non-positive distances take the per-element path, which
+        # shares `buffer`'s contract (negative → erosion/None for
+        # points; zero → raise)
+        return None
     xs, ys = decode_points(wkbs)
     n_arc = 4 * int(quad_segs)
     ang = np.arange(n_arc) * (2 * np.pi / n_arc)

@@ -213,8 +213,9 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
                                            and dv != dv):
                 out.append(None)
                 continue
-            out.append(G.to_wkb(G.buffer(G.from_wkb(bytes(b)),
-                                         float(dv))))
+            buf = G.buffer(G.from_wkb(bytes(b)), float(dv))
+            # negative dist may erode the geometry away → NULL
+            out.append(None if buf is None else G.to_wkb(buf))
         return pd.Series(out, dtype=object)
 
     spark.udf.register("st_buffer", pandas_udf(_buffer, BinaryType()))

@@ -452,12 +452,13 @@ def test_buffer_invariants_convex(seed, n, dist):
 def test_buffer_rejects_bad_inputs():
     with pytest.raises(ValueError):
         G.buffer(G.point(0, 0), 0.0)
-    with pytest.raises(ValueError):
-        G.buffer(G.point(0, 0), -1.0)
+    # r8: negative dist is EROSION — a point erodes to None
+    assert G.buffer(G.point(0, 0), -1.0) is None
+    # r8: holed polygons buffer (shell dilates, holes erode)
     holed = G.from_wkt("POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0),"
                        " (2 2, 3 2, 3 3, 2 3, 2 2))")
-    with pytest.raises(ValueError):
-        G.buffer(holed, 1.0)
+    assert len(G.buffer(holed, 0.2).coords) == 2
+    assert len(G.buffer(holed, 1.0).coords) == 1   # hole erodes away
     # dist beyond the concavity depth: honest refusal, never a bowtie
     ell = G.from_wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
     with pytest.raises(ValueError):
@@ -784,8 +785,12 @@ def test_batch_buffer_points_bit_identical():
         assert g == G.to_wkb(G.buffer(G.from_wkb(b), d))
     assert G.batch_buffer_points([G.to_wkb(G.box(0, 0, 1, 1))],
                                  [1.0]) is None
+    # non-positive distances decline the fast path (the per-element
+    # path raises on zero, erodes on negative — r8 contract)
+    assert G.batch_buffer_points(wkbs[:2], [1.0, 0.0]) is None
+    assert G.batch_buffer_points(wkbs[:2], [1.0, -1.0]) is None
     with pytest.raises(ValueError):
-        G.batch_buffer_points(wkbs[:2], [1.0, 0.0])
+        G.buffer(G.from_wkb(wkbs[0]), 0.0)
 
 
 def test_batch_measures_degenerate_edges():
@@ -1554,3 +1559,74 @@ def test_overlay_invalid_polygon_refusals():
                     "(1 1, 2 1, 2 2, 1 2, 1 1))")
     u = G.union(ok, sq)
     assert G.area(u) == 15.0 + 16.0
+
+
+def test_buffer_negative_erosion():
+    """r8 JTS-shaped buffer extensions: negative dist = morphological
+    erosion. Rectangles erode EXACTLY (convex → half-plane clipping):
+    area (w-2d)(h-2d); full erosion → None; points erode to None;
+    a convex edge shorter than its neighbors' trims VANISHES from the
+    result (not an error); non-convex erosion uses the dual offset
+    construction and RAISES when the region would split."""
+    r = G.from_wkt("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))")
+    e = G.buffer(r, -1.0)
+    assert G.area(e) == 32.0 and G.length(e) == 24.0
+    assert G.buffer(r, -3.0) is None          # min(w,h)/2 reached
+    assert G.buffer(r, -2.99) is not None
+    assert G.buffer(G.point(1, 1), -0.5) is None
+    # convex pentagon with a tiny cut corner: the cut edge vanishes
+    p = G.from_wkt("POLYGON ((0 0, 9.8 0, 10 0.2, 10 10, 0 10, 0 0))")
+    pe = G.buffer(p, -1.0)
+    assert pe is not None and 63.9 < G.area(pe) <= 64.0 + 1e-9
+    # L-shape erodes (reflex vertex gets the clockwise arc dual)
+    ell = G.from_wkt("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
+    eL = G.buffer(ell, -0.5)
+    assert 8.9 < G.area(eL) < 9.2             # ~9 + reflex-arc sliver
+    # a U-bar whose bottom strap is thinner than 2d would SPLIT
+    u = G.from_wkt("POLYGON ((0 0, 7 0, 7 5, 4 5, 4 1, 3 1, 3 5, "
+                   "0 5, 0 0))")
+    with pytest.raises(ValueError, match="split"):
+        G.buffer(u, -0.8)
+    # closing (dilate then erode) re-covers the rectangle up to the
+    # inscribed-arc approximation sliver
+    cl = G.buffer(G.buffer(r, 1.0), -1.0)
+    assert abs(G.area(cl) - 60.0) < 0.05
+    # opening (erode then dilate) rounds the corners: 60 - (4-π)d²
+    import math
+    op = G.buffer(G.buffer(r, -1.0), 1.0)
+    assert abs(G.area(op) - (60.0 - (4 - math.pi))) < 0.05
+
+
+def test_buffer_holed_polygons():
+    """r8: buffer of HOLED polygons. Positive dist dilates the shell
+    and erodes each hole EXACTLY (rectangular holes stay rectangles —
+    convex erosion has no arcs), so area(buffer(holed)) ==
+    area(buffer(shell)) − (v−2d)²; holes erode away at d ≥ v/2.
+    Negative dist erodes the shell and DILATES holes:
+    area == (w−2d)² − area(buffer(hole, +d)); hole-merge and
+    shell-breach topology changes raise. MULTIPOLYGON erosion drops
+    fully-eroded parts."""
+    holed = G.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+                       "(3 3, 7 3, 7 7, 3 7, 3 3))")
+    shell = G.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    hole = G.from_wkt("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")
+    b = G.buffer(holed, 0.5)
+    assert len(b.coords) == 2
+    assert abs(G.area(b) - (G.area(G.buffer(shell, 0.5)) - 9.0)) < 1e-9
+    assert len(G.buffer(holed, 2.1).coords) == 1      # hole vanishes
+    nb = G.buffer(holed, -0.5)
+    assert len(nb.coords) == 2
+    want = 81.0 - G.area(G.buffer(hole, 0.5))
+    assert abs(G.area(nb) - want) < 1e-9
+    with pytest.raises(ValueError, match="breach"):
+        G.buffer(holed, -1.6)
+    two_holes = G.from_wkt(
+        "POLYGON ((0 0, 12 0, 12 6, 0 6, 0 0), "
+        "(2 2, 4 2, 4 4, 2 4, 2 2), (8 2, 10 2, 10 4, 8 4, 8 2))")
+    with pytest.raises(ValueError, match="merges holes"):
+        G.buffer(two_holes, -2.2)
+    m = G.from_wkt("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+                   "((20 0, 21 0, 21 1, 20 1, 20 0)))")
+    me = G.buffer(m, -1.0)
+    assert me.kind == "POLYGON" and G.area(me) == 64.0
+    assert G.buffer(m, -6.0) is None
