@@ -2556,6 +2556,67 @@ SELECT base.q_id,
 FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 
+def _pq_sql_st_buffer_erode(spark, sf):
+    """Negative-distance buffer (morphological erosion, r8) + holed
+    buffer on the SQL surface, all closed forms:
+      earea/elen: rectangle w×h eroded by 1 → (w-2)(h-2) exactly
+        (convex erosion = half-plane clipping, no arcs);
+      evan: eroded by 2 → NULL iff min(w,h) <= 4 (full erosion maps
+        to SQL NULL), else (w-4)(h-4); NULL encoded as -1;
+      hshrink: the hole-erosion identity — st_area(buffer(shell,.5))
+        − st_area(buffer(holed,.5)) = (v-1)² where v = w-2 is the
+        hole side. EXACT in doubles: both results carry the
+        IDENTICAL dilated shell ring (same code path, same input),
+        so the float shell areas cancel and the difference is the
+        eroded hole's integer-valued shoelace (±0.5 coords are
+        binary-exact)."""
+    from stark_spark.functions.constructors import st_box
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    k = F.col("p_partkey")
+    x0, y0 = F.col("x0"), F.col("y0")
+    w, h = F.col("w"), F.col("h")
+    p = (D.load(spark, sf, "part").where(k <= 200)
+         .select("p_partkey",
+                 (k * 37 % 50).cast("double").alias("x0"),
+                 (k * 71 % 50).cast("double").alias("y0"),
+                 (k % 5 + 4).cast("double").alias("w"),
+                 (k % 7 + 3).cast("double").alias("h")))
+    def _i(col):
+        return col.cast("int").cast("string")
+
+    # the holed square: shell w×w with a (w-2)×(w-2) hole at offset 1,
+    # built via WKT so the gate also drives the holed constructor path
+    hwkt = F.concat(
+        F.lit("POLYGON (("),
+        _i(x0), F.lit(" "), _i(y0), F.lit(", "),
+        _i(x0 + w), F.lit(" "), _i(y0), F.lit(", "),
+        _i(x0 + w), F.lit(" "), _i(y0 + w), F.lit(", "),
+        _i(x0), F.lit(" "), _i(y0 + w), F.lit(", "),
+        _i(x0), F.lit(" "), _i(y0), F.lit("), ("),
+        _i(x0 + 1), F.lit(" "), _i(y0 + 1), F.lit(", "),
+        _i(x0 + w - 1), F.lit(" "), _i(y0 + 1), F.lit(", "),
+        _i(x0 + w - 1), F.lit(" "), _i(y0 + w - 1), F.lit(", "),
+        _i(x0 + 1), F.lit(" "), _i(y0 + w - 1), F.lit(", "),
+        _i(x0 + 1), F.lit(" "), _i(y0 + 1), F.lit("))"))
+    boxes = p.select(
+        "p_partkey",
+        st_box(x0, y0, x0 + w, y0 + h).alias("gr"),
+        st_box(x0, y0, x0 + w, y0 + w).alias("gs"),
+        hwkt.alias("hwkt"))
+    boxes.createOrReplaceTempView("__sql_erode_boxes")
+    return spark.sql("""
+        SELECT p_partkey,
+          CAST(st_area(st_buffer(gr, -1.0)) AS BIGINT) AS earea,
+          CAST(st_length(st_buffer(gr, -1.0)) AS BIGINT) AS elen,
+          CAST(coalesce(st_area(st_buffer(gr, -2.0)), -1) AS BIGINT)
+            AS evan,
+          CAST(st_area(st_buffer(gs, 0.5))
+               - st_area(st_buffer(st_geomfromwkt(hwkt), 0.5))
+               AS BIGINT) AS hshrink
+        FROM __sql_erode_boxes""")
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-8 rotation (the 5 r7 entries promoted into queries());
@@ -2563,6 +2624,7 @@ def pending_queries():
     return {
         "sql_st_difference_annulus": _pq_sql_st_difference_annulus,
         "ann_recall_lsh_mp": _pq_ann_recall_lsh_mp,
+        "sql_st_buffer_erode": _pq_sql_st_buffer_erode,
     }
 
 
@@ -2837,6 +2899,20 @@ SELECT p_partkey,
 FROM p""",
         "ann_recall_lsh_mp": _rank_eval_sql(
             _lsh_mp_topk_sql(), tru_noself, 5),
+        # erosion closed forms: rectangle minus 1 per side; full
+        # erosion (min side <= 2d) → NULL → -1; hole-shrink identity
+        # (v-2·0.5)² with v = w-2
+        "sql_st_buffer_erode": """
+WITH p AS (
+  SELECT p_partkey, p_partkey % 5 + 4 AS w, p_partkey % 7 + 3 AS h
+  FROM part WHERE p_partkey <= 200)
+SELECT p_partkey,
+  CAST((w-2)*(h-2) AS BIGINT) AS earea,
+  CAST(2*(w-2) + 2*(h-2) AS BIGINT) AS elen,
+  CAST(CASE WHEN least(w, h) <= 4 THEN -1
+       ELSE (w-4)*(h-4) END AS BIGINT) AS evan,
+  CAST((w-3)*(w-3) AS BIGINT) AS hshrink
+FROM p""",
     }
 
 

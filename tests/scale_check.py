@@ -450,10 +450,11 @@ def synthesize(workdir: str) -> None:
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
 PENDING_SCALE = [
-    # r8-minted staged gates (linear oracles: closed-form annulus
-    # arithmetic; 5-query multi-probe top-k composition)
+    # r8-minted staged gates (linear oracles: closed-form annulus /
+    # erosion arithmetic; 5-query multi-probe top-k composition)
     "sql_st_difference_annulus",
     "ann_recall_lsh_mp",
+    "sql_st_buffer_erode",
 ]
 
 
