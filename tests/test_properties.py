@@ -1630,3 +1630,49 @@ def test_buffer_holed_polygons():
     me = G.buffer(m, -1.0)
     assert me.kind == "POLYGON" and G.area(me) == 64.0
     assert G.buffer(m, -6.0) is None
+
+
+@given(st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_erosion_convex_grid_oracle(seed):
+    """Convex erosion is exact half-plane clipping: for a random
+    convex polygon (hull of random points) and random d, the eroded
+    region must equal {p : p inside AND dist(p, boundary) >= d} —
+    checked on a probe grid (points within 1e-9 of the eroded
+    boundary skipped; the clip is exact, so no approximation band is
+    needed beyond float dust). Eroding by more than the inradius
+    returns None, and then the grid must contain no qualifying
+    point deeper than d."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 10, size=(rng.integers(4, 10), 2))
+    hull = G.convex_hull(G.from_wkt(
+        "MULTIPOINT (" + ", ".join(f"({x} {y})" for x, y in pts) + ")"))
+    if hull.kind != "POLYGON":
+        return
+    ring = np.asarray(hull.coords[0], dtype=float)
+    d = float(rng.uniform(0.1, 2.5))
+    eroded = G.buffer(hull, -d)
+
+    def bdist(x, y):
+        from stark_spark.core.geometry import _pts_seg_dist
+        best = np.inf
+        for i in range(len(ring) - 1):
+            best = min(best, float(_pts_seg_dist(
+                np.array([x]), np.array([y]),
+                ring[i][0], ring[i][1],
+                ring[i + 1][0], ring[i + 1][1])[0]))
+        return best
+
+    from stark_spark.core.geometry import _point_in_ring
+    er = (np.asarray(eroded.coords[0], dtype=float)
+          if eroded is not None else None)
+    for x in np.linspace(-0.7, 10.7, 18):
+        for y in np.linspace(-0.9, 10.9, 18):
+            inside = _point_in_ring(np.array([x, y]), ring)
+            dist = bdist(x, y)
+            if abs(dist - d) < 1e-9:
+                continue
+            want = inside and dist > d
+            got = (er is not None
+                   and _point_in_ring(np.array([x, y]), er))
+            assert got == want, (seed, x, y, d, inside, dist)
