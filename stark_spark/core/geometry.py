@@ -1522,10 +1522,15 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
       exceeds the concavity depth the offset curve self-intersects
       globally; that is detected (O(n^2) segment check + trim
       validity) and raises — an honest refusal, never a bowtie ring;
-    * MULTIPOINT / MULTIPOLYGON — per-part buffering, returned as a
-      MULTIPOLYGON when the part buffers are PAIRWISE DISJOINT
-      (bbox + separation pre-check); overlapping part buffers would
-      need a polygon union and raise.
+    * LINESTRING — the stroke/corridor polygon: the polyline's
+      Minkowski disc sum computed as the dilation of its degenerate
+      flat ring (forward + reverse walk) — round end caps and bend
+      arcs fall out of the same arc/miter machinery; hairpins
+      tighter than ``dist`` raise;
+    * MULTIPOINT / MULTILINESTRING / MULTIPOLYGON — per-part
+      buffering, returned as a MULTIPOLYGON when the part buffers
+      are PAIRWISE DISJOINT; overlapping part buffers dissolve into
+      their true union via the boundary-trace overlay.
 
     For a convex input the buffered area has the closed form
     A + P*d + n*sin(2*pi/n)*d^2/2 (n = 4*quad_segs); with reflex
@@ -1551,8 +1556,9 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
         raise ValueError("buffer: dist must be a nonzero finite value")
     n_arc = 4 * int(quad_segs)
     if dist < 0:
-        if g.kind in ("POINT", "MULTIPOINT"):
-            return None                  # points erode to nothing
+        if g.kind in ("POINT", "MULTIPOINT",
+                      "LINESTRING", "MULTILINESTRING"):
+            return None                  # no interior → erodes away
         if g.kind == "MULTIPOLYGON":
             parts = [buffer(p, dist, quad_segs) for p in g.parts()]
             parts = [p for p in parts if p is not None]
@@ -1594,6 +1600,50 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
         ang = np.arange(n_arc) * (2 * np.pi / n_arc)
         ring = np.c_[cx + dist * np.cos(ang), cy + dist * np.sin(ang)]
         return Geometry("POLYGON", [np.vstack([ring, ring[0]])])
+    if g.kind == "LINESTRING":
+        # stroke/corridor buffer: the polyline's Minkowski disc sum is
+        # the dilation of its degenerate FLAT RING (forward + reverse
+        # walk, zero enclosed area) — end caps and bend arcs fall out
+        # of the same arc/miter treatment (the 180° end vertex is
+        # non-reflex → a half-circle cap; each interior bend is reflex
+        # on one side, convex on the other). d beyond the local bend
+        # radius raises via the standard offset-validity checks.
+        pts = np.asarray(g.coords, dtype=float)
+        keep = np.ones(len(pts), dtype=bool)
+        keep[1:] = np.any(pts[1:] != pts[:-1], axis=1)
+        pts = pts[keep]
+        if len(pts) < 2:
+            raise ValueError("buffer: degenerate LINESTRING")
+        if len(pts) == 2:
+            # two-point capsule built directly: rectangle + two
+            # half-circle caps with the standard arc discretization
+            p0, p1 = pts[0], pts[1]
+            ev = p1 - p0
+            ln = float(np.hypot(*ev))
+            nxy = np.array([ev[1], -ev[0]]) / ln
+            a0 = np.arctan2(nxy[1], nxy[0])
+            k = 2 * int(quad_segs)
+            cap1 = [p1 + dist * np.array([np.cos(a0 + np.pi * t / k),
+                                          np.sin(a0 + np.pi * t / k)])
+                    for t in range(k + 1)]
+            a1 = a0 + np.pi
+            cap0 = [p0 + dist * np.array([np.cos(a1 + np.pi * t / k),
+                                          np.sin(a1 + np.pi * t / k)])
+                    for t in range(k + 1)]
+            arr = np.vstack(cap1 + cap0)
+            return Geometry("POLYGON", [np.vstack([arr, arr[:1]])])
+        flat = np.vstack([pts, pts[-2:0:-1], pts[:1]])
+        return buffer(Geometry("POLYGON", [flat]), dist, quad_segs)
+    if g.kind == "MULTILINESTRING":
+        parts = [buffer(p, dist, quad_segs) for p in g.parts()]
+        rings = [np.asarray(p.coords[0], dtype=float) for p in parts]
+        overlap = any(
+            _rings_may_touch(rings[i], rings[j])
+            for i in range(len(rings))
+            for j in range(i + 1, len(rings)))
+        if overlap:
+            return _geom_from_polys(_union_rings(rings))
+        return Geometry("MULTIPOLYGON", parts)
     if g.kind in ("MULTIPOINT", "MULTIPOLYGON"):
         parts = [buffer(p, dist, quad_segs) for p in g.parts()]
         if all(len(p.coords) == 1 for p in parts):
@@ -1620,8 +1670,8 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
             return Geometry("MULTIPOLYGON", parts)
         return _geom_from_polys(_trace_polys(polys, "union"))
     if g.kind != "POLYGON":
-        raise ValueError("buffer: only POINT, MULTIPOINT, POLYGON "
-                         "and MULTIPOLYGON are supported")
+        raise ValueError("buffer: only POINT, LINESTRING, POLYGON "
+                         "and their MULTI* kinds are supported")
     if len(g.coords) > 1:
         # holed polygon, positive buffer: shell dilates, holes erode
         shell_geom = buffer(Geometry("POLYGON",

@@ -1676,3 +1676,46 @@ def test_erosion_convex_grid_oracle(seed):
             got = (er is not None
                    and _point_in_ring(np.array([x, y]), er))
             assert got == want, (seed, x, y, d, inside, dist)
+
+
+def test_buffer_linestring_corridor():
+    """r8: LINESTRING buffer (route corridor) — the polyline stroke is
+    the dilation of its degenerate flat ring, so end caps (180° arcs)
+    and bend arcs come from the standard offset machinery. Two-point
+    capsule matches L·2d + (polygonal) πd²; bends verified by a
+    distance-to-polyline grid oracle; hairpins too tight for d raise;
+    MULTILINESTRING dissolves crossing corridors; negative dist →
+    None (no interior)."""
+    import math
+    cap = G.buffer(G.from_wkt("LINESTRING (0 0, 10 0)"), 2.0)
+    assert cap.kind == "POLYGON"
+    assert abs(G.area(cap) - (40 + math.pi * 4)) < 0.35
+    line = G.from_wkt("LINESTRING (0 0, 6 0, 6 5)")
+    buf = G.buffer(line, 1.0)
+    ring = np.asarray(buf.coords[0], dtype=float)
+    from stark_spark.core.geometry import _point_in_ring, _pts_seg_dist
+    pl = np.array([[0, 0], [6, 0], [6, 5]], dtype=float)
+
+    def pldist(x, y):
+        best = np.inf
+        for i in range(len(pl) - 1):
+            best = min(best, float(_pts_seg_dist(
+                np.array([x]), np.array([y]),
+                pl[i][0], pl[i][1], pl[i + 1][0], pl[i + 1][1])[0]))
+        return best
+
+    for x in np.linspace(-2.3, 8.3, 24):
+        for y in np.linspace(-2.1, 7.4, 24):
+            d = pldist(x, y)
+            if abs(d - 1.0) < 0.03:
+                continue            # inscribed-arc approximation band
+            assert (d < 1.0) == bool(
+                _point_in_ring(np.array([x, y]), ring)), (x, y, d)
+    with pytest.raises(ValueError):
+        G.buffer(G.from_wkt("LINESTRING (0 0, 10 0, 0 0.5)"), 2.0)
+    m = G.buffer(G.from_wkt(
+        "MULTILINESTRING ((0 0, 6 0), (3 -3, 3 3))"), 0.5)
+    assert m.kind == "POLYGON"      # crossing corridors dissolve
+    a_cap = 6.0 + math.pi * 0.25
+    assert abs(G.area(m) - (2 * a_cap - 1.0)) < 0.25
+    assert G.buffer(G.from_wkt("LINESTRING (0 0, 4 0)"), -1.0) is None
