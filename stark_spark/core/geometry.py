@@ -917,6 +917,62 @@ def envelope(g: Geometry) -> Geometry:
     return box(xmin, ymin, xmax, ymax)
 
 
+def boundary(g: Geometry) -> Geometry | None:
+    """OGC/JTS `getBoundary`: POINT/MULTIPOINT → empty (None — the
+    engine has no empty-geometry value; the SQL surface maps it to
+    NULL); LINESTRING → MULTIPOINT of its endpoints (empty for a
+    closed line); MULTILINESTRING → mod-2 union of part endpoints;
+    POLYGON → its ring(s) as LINESTRING/MULTILINESTRING;
+    MULTIPOLYGON → MULTILINESTRING of every ring of every part."""
+    if g.kind in ("POINT", "MULTIPOINT"):
+        return None
+    if g.kind in ("LINESTRING", "MULTILINESTRING"):
+        from collections import Counter
+        ends: Counter = Counter()
+        for p in g.parts():
+            c = np.asarray(p.coords, dtype=float)
+            if np.array_equal(c[0], c[-1]):
+                continue                       # closed line: no boundary
+            ends[(float(c[0][0]), float(c[0][1]))] += 1
+            ends[(float(c[-1][0]), float(c[-1][1]))] += 1
+        pts = sorted(pt for pt, n in ends.items() if n % 2 == 1)
+        if not pts:
+            return None
+        if len(pts) == 1:
+            return point(*pts[0])
+        return Geometry("MULTIPOINT", [point(x, y) for x, y in pts])
+    rings: list = []
+    for p in g.parts():
+        for r in p.coords:
+            rings.append(np.asarray(r, dtype=float))
+    if len(rings) == 1:
+        return Geometry("LINESTRING", rings[0])
+    return Geometry("MULTILINESTRING",
+                    [Geometry("LINESTRING", r) for r in rings])
+
+
+def num_points(g: Geometry) -> int:
+    """JTS `getNumPoints`: vertex count as stored (rings include
+    their closing duplicate, matching JTS/PostGIS ST_NPoints)."""
+    if g.kind == "POINT":
+        return 1
+    if g.kind == "LINESTRING":
+        return len(g.coords)
+    if g.kind.startswith("MULTI"):
+        return sum(num_points(p) for p in g.parts())
+    return sum(len(r) for r in g.coords)
+
+
+def num_rings(g: Geometry) -> int:
+    """PostGIS `ST_NRings`: total ring count (exterior + interior)
+    summed over all polygon parts; 0 for non-areal kinds."""
+    if g.kind == "POLYGON":
+        return len(g.coords)
+    if g.kind == "MULTIPOLYGON":
+        return sum(num_rings(p) for p in g.parts())
+    return 0
+
+
 def _all_vertices(g: Geometry) -> np.ndarray:
     pts = []
     for p in g.parts():

@@ -201,6 +201,33 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
 
     spark.udf.register("st_simplify", pandas_udf(_simplify, BinaryType()))
 
+    def _boundary(wkb: pd.Series) -> pd.Series:
+        # OGC getBoundary; empty boundary (points, closed lines) → NULL
+        out = []
+        for b in wkb:
+            if b is None:
+                out.append(None)
+                continue
+            g = G.boundary(G.from_wkb(bytes(b)))
+            out.append(None if g is None else G.to_wkb(g))
+        return pd.Series(out, dtype=object)
+
+    spark.udf.register("st_boundary", pandas_udf(_boundary, BinaryType()))
+
+    def _npoints(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else G.num_points(G.from_wkb(bytes(b)))
+             for b in wkb], dtype="object")
+
+    spark.udf.register("st_npoints", pandas_udf(_npoints, LongType()))
+
+    def _nrings(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if b is None else G.num_rings(G.from_wkb(bytes(b)))
+             for b in wkb], dtype="object")
+
+    spark.udf.register("st_nrings", pandas_udf(_nrings, LongType()))
+
     def _buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
         fast = G.batch_buffer_points(wkb, dist)
         if fast is not None:

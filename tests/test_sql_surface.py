@@ -393,3 +393,37 @@ def test_st_union_agg_dissolve(spark):
     assert got[1][0] == 132.0
     assert got[1][1].startswith("POLYGON") and got[1][1].count("(") >= 3
     assert got[2] == (None, None)
+
+
+def test_st_boundary_npoints_nrings(spark):
+    """OGC accessor trio (r8): st_boundary (points → NULL, polygon →
+    ring lines, holed polygon → MULTILINESTRING, open line →
+    endpoint MULTIPOINT, closed line → NULL), st_npoints (as-stored
+    counts incl. ring closure), st_nrings (PostGIS semantics:
+    exterior + interior over all parts)."""
+    register_sql_functions(spark)
+    rows = [
+        (0, "POINT (1 2)"),
+        (1, "LINESTRING (0 0, 4 0, 4 3)"),
+        (2, "LINESTRING (0 0, 4 0, 4 3, 0 0)"),          # closed
+        (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        (4, "POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), "
+            "(2 2, 3 2, 3 3, 2 3, 2 2))"),
+        (5, "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+            "((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+    ]
+    df = spark.createDataFrame(rows, "i long, wkt string")
+    df.createOrReplaceTempView("__acc")
+    got = {r.i: (r.b, r.np, r.nr) for r in spark.sql("""
+        SELECT i,
+          st_wkt(st_boundary(st_geomfromwkt(wkt))) AS b,
+          st_npoints(st_geomfromwkt(wkt)) AS np,
+          st_nrings(st_geomfromwkt(wkt)) AS nr
+        FROM __acc""").collect()}
+    assert got[0] == (None, 1, 0)
+    assert got[1][0].startswith("MULTIPOINT") and got[1][1:] == (3, 0)
+    assert got[2] == (None, 4, 0)
+    assert got[3][0].startswith("LINESTRING") and got[3][1:] == (5, 1)
+    assert got[4][0].startswith("MULTILINESTRING")
+    assert got[4][1:] == (10, 2)
+    assert got[5][1:] == (10, 2)
