@@ -2619,14 +2619,9 @@ def _pq_sql_st_buffer_erode(spark, sf):
 
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
-    # round-8 rotation (the 5 r7 entries promoted into queries());
+    # round-9 rotation (the 3 r8 entries promoted into queries());
     # new gates minted this round stage here first.
-    return {
-        "sql_st_difference_annulus": _pq_sql_st_difference_annulus,
-        "ann_recall_lsh_mp": _pq_ann_recall_lsh_mp,
-        "sql_st_buffer_erode": _pq_sql_st_buffer_erode,
-    }
-
+    return {}
 
 def _corr_oracle_sql() -> str:
     """DuckDB mirror of profile.correlation_matrix on lineitem's
@@ -2872,7 +2867,14 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — prior cohorts live on in
-    # _promoted_oracle_sql_r7/_r6, merged into oracle_sql().
+    # _promoted_oracle_sql_r8/_r7/_r6, merged into oracle_sql().
+    return {}
+
+
+def _promoted_oracle_sql_r8() -> dict[str, str]:
+    # DuckDB mirrors for the gates promoted at the r9 rotation (the
+    # r8 staged cohort). Composes _base_oracle_sql() entries, so it
+    # cannot live inside _base_oracle_sql() itself.
     live = _base_oracle_sql()
     tru_noself = f"""SELECT q_id, vec_id, row_number() OVER (
       PARTITION BY q_id ORDER BY rank) AS rank
@@ -5257,58 +5259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window holds the stalest entries.
     return {
         # --- never driver-checked (new gates) ---
-        "common_neighbors_capped": _pq_common_neighbors_capped,
-        "ann_recall_pq": _pq_ann_recall_pq,
-        "ann_recall_lsh": _pq_ann_recall_lsh,
-        "sql_st_union": _pq_sql_st_union,
-        "dissolve_zones": _pq_dissolve_zones,
-        "postings_index": _pq_postings_index,
-        # --- latest driver-green row: r03 ---
-        "st_join_expand_temporal": _q_join_expand_temporal,
-        "st_filter_both_or_neither": _q_filter_both_or_neither,
-        "st_filter_polygon_timed": _q_filter_polygon_timed,
-        "sessionize": _q_sessionize,
-        "within_distance_filter": _q_within_distance_filter,
-        "st_anti_join": _q_st_anti_join,
-        "interval_join_open": _q_interval_join_open,
-        "knn_join_sparse": _q_knn_join_sparse,
-        "skyline_st": _q_skyline_st,
-        "raster_histogram": _q_raster_hist,
-        "agg_revenue_by_segment": _q_agg_revenue_by_segment,
-        "dedup_keep_best": _q_dedup_keep_best,
+        "sql_st_difference_annulus": _pq_sql_st_difference_annulus,
+        "ann_recall_lsh_mp": _pq_ann_recall_lsh_mp,
+        "sql_st_buffer_erode": _pq_sql_st_buffer_erode,
         # --- latest driver-green row: r04 ---
-        "text_profile": _q_text_profile,
-        "text_by_source": _q_text_by_source,
-        "token_counts": _q_token_counts,
-        "text_repetition": _q_text_repetition,
-        "pii_scrub": _q_pii_scrub,
-        "chunk_documents": _q_chunk_documents,
-        "contamination_exact": _q_contamination_exact,
-        "contamination_lsh": _q_contamination_lsh,
-        "contamination_bloom": _q_contamination_bloom,
-        "kmeans_exact": _q_kmeans_exact,
-        "partition_str": _q_partition_str,
-        "sample_deterministic": _q_sample_deterministic,
-        "sample_stratified": _q_sample_stratified,
-        "sample_weighted": _q_sample_weighted,
-        "sample_weighted_by_source": _q_sample_weighted_by_source,
-        "mix_sources": _q_mix_sources,
-        "pack_shards": _q_pack_shards,
-        "length_quantiles": _q_length_quantiles,
-        "source_heavy_hitters": _q_source_heavy_hitters,
-        "ann_filtered_topk": _q_ann_filtered,
-        "ann_brute_topk_gemm": _q_ann_brute_gemm,
-        "ann_quantized_topk": _q_ann_quantized,
-        "ann_ivf_pruned_topk": _q_ann_ivf_pruned,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
-        "ann_knn_join": _q_ann_knn_join,
-        "ann_knn_join_gemm": _q_ann_knn_join_gemm,
-        "ann_dup_pairs_ivf_gemm": _q_ann_dup_pairs_ivf_gemm,
-        "viz_lit_pixels": _q_viz_lit_pixels,
-        "partition_spatio_temporal": _q_partition_spatio_temporal,
-        "events_rollup": _q_events_rollup,
-        "events_gapfill": _q_events_gapfill,
         "events_gapfill_interp": _q_events_gapfill_interp,
         "sql_st_filter": _q_sql_st_filter,
         "sql_tile_accessors": _q_sql_tile_accessors,
@@ -5479,6 +5433,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_raster_histogram": _q_sql_raster_hist,
         "raster_join_vector_clip": _q_raster_join_vector_clip,
         "knn_weighted_st": _q_knn_weighted_st,
+        # --- latest driver-green row: r08 ---
+        "common_neighbors_capped": _pq_common_neighbors_capped,
+        "ann_recall_pq": _pq_ann_recall_pq,
+        "ann_recall_lsh": _pq_ann_recall_lsh,
+        "sql_st_union": _pq_sql_st_union,
+        "dissolve_zones": _pq_dissolve_zones,
+        "postings_index": _pq_postings_index,
+        "st_join_expand_temporal": _q_join_expand_temporal,
+        "st_filter_both_or_neither": _q_filter_both_or_neither,
+        "st_filter_polygon_timed": _q_filter_polygon_timed,
+        "sessionize": _q_sessionize,
+        "within_distance_filter": _q_within_distance_filter,
+        "st_anti_join": _q_st_anti_join,
+        "interval_join_open": _q_interval_join_open,
+        "knn_join_sparse": _q_knn_join_sparse,
+        "skyline_st": _q_skyline_st,
+        "raster_histogram": _q_raster_hist,
+        "agg_revenue_by_segment": _q_agg_revenue_by_segment,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "text_profile": _q_text_profile,
+        "text_by_source": _q_text_by_source,
+        "token_counts": _q_token_counts,
+        "text_repetition": _q_text_repetition,
+        "pii_scrub": _q_pii_scrub,
+        "chunk_documents": _q_chunk_documents,
+        "contamination_exact": _q_contamination_exact,
+        "contamination_lsh": _q_contamination_lsh,
+        "contamination_bloom": _q_contamination_bloom,
+        "kmeans_exact": _q_kmeans_exact,
+        "partition_str": _q_partition_str,
+        "sample_deterministic": _q_sample_deterministic,
+        "sample_stratified": _q_sample_stratified,
+        "sample_weighted": _q_sample_weighted,
+        "sample_weighted_by_source": _q_sample_weighted_by_source,
+        "mix_sources": _q_mix_sources,
+        "pack_shards": _q_pack_shards,
+        "length_quantiles": _q_length_quantiles,
+        "source_heavy_hitters": _q_source_heavy_hitters,
+        "ann_filtered_topk": _q_ann_filtered,
+        "ann_brute_topk_gemm": _q_ann_brute_gemm,
+        "ann_quantized_topk": _q_ann_quantized,
+        "ann_ivf_pruned_topk": _q_ann_ivf_pruned,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk_gemm": _q_ann_ivf_gemm,
+        "ann_knn_join": _q_ann_knn_join,
+        "ann_knn_join_gemm": _q_ann_knn_join_gemm,
+        "ann_dup_pairs_ivf_gemm": _q_ann_dup_pairs_ivf_gemm,
+        "viz_lit_pixels": _q_viz_lit_pixels,
+        "partition_spatio_temporal": _q_partition_spatio_temporal,
+        "events_rollup": _q_events_rollup,
+        "events_gapfill": _q_events_gapfill,
     }
 
 
@@ -8641,4 +8646,5 @@ def oracle_sql() -> dict[str, str]:
     sql = _base_oracle_sql()
     sql.update(_promoted_oracle_sql_r6())
     sql.update(_promoted_oracle_sql_r7())
+    sql.update(_promoted_oracle_sql_r8())
     return sql

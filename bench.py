@@ -182,6 +182,10 @@ BENCH_QUERIES = [
     "ann_recall_lsh",
     "sql_st_union",
     "dissolve_zones",
+    # r9-promoted gates (staged in r8)
+    "sql_st_difference_annulus",
+    "ann_recall_lsh_mp",
+    "sql_st_buffer_erode",
 ]
 
 

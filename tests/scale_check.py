@@ -164,6 +164,10 @@ QUERIES = [
     "ann_recall_lsh",
     "sql_st_union",
     "dissolve_zones",
+    # r9-promoted (formerly PENDING_SCALE; closed-form/linear oracles)
+    "sql_st_difference_annulus",
+    "ann_recall_lsh_mp",
+    "sql_st_buffer_erode",
 ]
 
 
@@ -450,11 +454,7 @@ def synthesize(workdir: str) -> None:
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
 PENDING_SCALE = [
-    # r8-minted staged gates (linear oracles: closed-form annulus /
-    # erosion arithmetic; 5-query multi-probe top-k composition)
-    "sql_st_difference_annulus",
-    "ann_recall_lsh_mp",
-    "sql_st_buffer_erode",
+    # (empty — the r8 staged cohort promoted at the r9 rotation)
 ]
 
 
