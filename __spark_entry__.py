@@ -2617,11 +2617,50 @@ def _pq_sql_st_buffer_erode(spark, sf):
         FROM __sql_erode_boxes""")
 
 
+def _pq_dissolve_adjacent_tiles(spark, sf):
+    """r9 headline gate: dissolve of an EDGE-ADJACENT tiling — the
+    canonical GIS dissolve input the kernel refused before r9 (the
+    shared-edge degenerate contact, core/geometry.py `_trace_polys`;
+    the reference inherits this from JTS overlay,
+    STObject.scala:209-233). Each of 20 zones is a k×k tiling of
+    UNIT squares (k = g%3 + 2) filled row-by-row with n =
+    min(rows, k²) tiles, every interior edge shared by exactly two
+    tiles and every interior vertex by four. Closed forms for the
+    dissolved region (q = n div k, rem = n mod k):
+      area = n;  ONE part;  perimeter = 2(k+q) when rem = 0,
+      2n+2 when q = 0, else 2k + 2q + 2.
+    Integer coordinates — shoelace sums exact, BIGINT lossless."""
+    from pyspark.sql import Window
+    from stark_spark.functions.constructors import st_box
+    from stark_spark.functions.register import register_sql_functions
+    from stark_spark.operators.overlay import dissolve
+    register_sql_functions(spark)
+    w = Window.partitionBy("g").orderBy("p_partkey")
+    base = (D.load(spark, sf, "part").where(F.col("p_partkey") <= 400)
+            .select((F.col("p_partkey") % 20).alias("g"), "p_partkey")
+            .withColumn("r", F.row_number().over(w) - 1)
+            .withColumn("k", F.col("g") % 3 + 2)
+            .where(F.col("r") < F.col("k") * F.col("k")))
+    x = (F.col("r") % F.col("k")).cast("double")
+    y = F.floor(F.col("r") / F.col("k")).cast("double")
+    boxes = base.select("g", st_box(x, y, x + 1, y + 1).alias("geom"))
+    return (dissolve(boxes, "g")
+            .select(F.col("g").cast("long").alias("g"),
+                    F.expr("CAST(st_area(geom) AS BIGINT)")
+                     .alias("uarea"),
+                    F.expr("CAST(st_length(geom) AS BIGINT)")
+                     .alias("ulen"),
+                    F.col("n_parts").cast("long").alias("n_parts")))
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-9 rotation (the 3 r8 entries promoted into queries());
     # new gates minted this round stage here first.
-    return {}
+    return {
+        "dissolve_adjacent_tiles": _pq_dissolve_adjacent_tiles,
+    }
+
 
 def _corr_oracle_sql() -> str:
     """DuckDB mirror of profile.correlation_matrix on lineitem's
@@ -2868,7 +2907,26 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — prior cohorts live on in
     # _promoted_oracle_sql_r8/_r7/_r6, merged into oracle_sql().
-    return {}
+    return {
+        # adjacent-tiling dissolve closed forms (see the gate
+        # docstring: q = n div k, rem = n mod k)
+        "dissolve_adjacent_tiles": """
+WITH c AS (
+  SELECT p_partkey % 20 AS g, count(*) AS rows_avail
+  FROM part WHERE p_partkey <= 400 GROUP BY 1),
+k AS (
+  SELECT g, g % 3 + 2 AS k,
+         least(rows_avail, (g % 3 + 2) * (g % 3 + 2)) AS n
+  FROM c),
+q AS (SELECT g, k, n, n // k AS q, n % k AS rem FROM k)
+SELECT CAST(g AS BIGINT) AS g,
+  CAST(n AS BIGINT) AS uarea,
+  CAST(CASE WHEN rem = 0 THEN 2 * (k + q)
+            WHEN q = 0 THEN 2 * n + 2
+            ELSE 2 * k + 2 * q + 2 END AS BIGINT) AS ulen,
+  CAST(1 AS BIGINT) AS n_parts
+FROM q""",
+    }
 
 
 def _promoted_oracle_sql_r8() -> dict[str, str]:

@@ -1843,39 +1843,106 @@ def _rings_may_touch(a: np.ndarray, b: np.ndarray) -> bool:
     return _any_segment_intersection(a, b)
 
 
-def _seg_cross_uv(p, q, r, s, eps: float = 1e-9):
-    """Proper (interior-interior) crossing of segments pq and rs:
-    returns (t, u) parameters, (None, None) when they don't properly
-    cross, and raises on degenerate contact — collinear overlap or a
-    crossing through an endpoint — which the boundary-trace union
-    cannot stitch reliably."""
+def _seg_events(p, q, r, s, eps: float = 1e-9):
+    """All contact events between segments pq and rs, as a list of
+    (t, u, (x, y)) with t the parameter on pq and u on rs, both in
+    [0, 1]. Covers every contact class: a proper crossing (one
+    event, same point arithmetic as the pre-r9 kernel — bit-stable),
+    an endpoint touch / T-junction (one event, the point SNAPPED to
+    the exact endpoint coordinates so node identity across pairs is
+    float-exact for shared vertices), and a collinear overlap (two
+    events — the overlap interval's endpoints, each of which is an
+    exact endpoint of one of the segments). Disjoint segments → []."""
     dpx, dpy = q[0] - p[0], q[1] - p[1]
     drx, dry = s[0] - r[0], s[1] - r[1]
     den = dpx * dry - dpy * drx
     scale = max(abs(dpx) + abs(dpy), abs(drx) + abs(dry), eps)
-    if abs(den) < eps * scale * scale:
-        # parallel: degenerate only if collinear AND overlapping
+    tol2 = eps * scale * scale
+
+    def _u_of(pt) -> float:
+        L2 = drx * drx + dry * dry
+        if L2 <= 0:
+            return 0.0
+        u = ((pt[0] - r[0]) * drx + (pt[1] - r[1]) * dry) / L2
+        if abs(u) < eps:
+            return 0.0
+        if abs(u - 1) < eps:
+            return 1.0
+        return u
+
+    if abs(den) < tol2:
+        # parallel: contact only if collinear AND the projections of
+        # rs onto pq overlap [0, 1]
         c1 = (r[0] - p[0]) * dpy - (r[1] - p[1]) * dpx
-        if abs(c1) < eps * scale * scale:
-            L2 = dpx * dpx + dpy * dpy
-            if L2 > 0:
-                t0 = ((r[0] - p[0]) * dpx + (r[1] - p[1]) * dpy) / L2
-                t1 = ((s[0] - p[0]) * dpx + (s[1] - p[1]) * dpy) / L2
-                if min(t0, t1) < 1 - eps and max(t0, t1) > eps:
-                    raise ValueError(
-                        "buffer union: collinear overlapping edges "
-                        "(degenerate contact)")
-        return None, None
+        if abs(c1) >= tol2:
+            return []
+        L2 = dpx * dpx + dpy * dpy
+        if L2 <= 0:
+            return []
+        t_r = ((r[0] - p[0]) * dpx + (r[1] - p[1]) * dpy) / L2
+        t_s = ((s[0] - p[0]) * dpx + (s[1] - p[1]) * dpy) / L2
+        lo_t, lo_pt = min((t_r, r), (t_s, s), key=lambda e: e[0])
+        hi_t, hi_pt = max((t_r, r), (t_s, s), key=lambda e: e[0])
+        if hi_t < -eps or lo_t > 1 + eps:
+            return []
+        evs = []
+        # overlap-interval endpoints, each an EXACT endpoint of pq
+        # or rs (never an interpolated point)
+        if lo_t < eps:
+            lo_t, lo_pt = 0.0, p
+        if hi_t > 1 - eps:
+            hi_t, hi_pt = 1.0, q
+        evs.append((lo_t, _u_of(lo_pt), (float(lo_pt[0]),
+                                         float(lo_pt[1]))))
+        if hi_t - lo_t > eps:
+            evs.append((hi_t, _u_of(hi_pt), (float(hi_pt[0]),
+                                             float(hi_pt[1]))))
+        return evs
     t = ((r[0] - p[0]) * dry - (r[1] - p[1]) * drx) / den
     u = ((r[0] - p[0]) * dpy - (r[1] - p[1]) * dpx) / den
-    if -eps <= t <= 1 + eps and -eps <= u <= 1 + eps:
-        on_end = (abs(t) < eps or abs(t - 1) < eps
-                  or abs(u) < eps or abs(u - 1) < eps)
-        if on_end:
-            raise ValueError("buffer union: boundaries touch at a "
-                             "vertex (degenerate contact)")
-        return t, u
-    return None, None
+    if t < -eps or t > 1 + eps or u < -eps or u > 1 + eps:
+        return []
+    if abs(t) < eps:
+        t, pt = 0.0, p
+    elif abs(t - 1) < eps:
+        t, pt = 1.0, q
+    elif abs(u) < eps:
+        u, pt = 0.0, r
+    elif abs(u - 1) < eps:
+        u, pt = 1.0, s
+    else:
+        pt = (p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1]))
+    if abs(u) < eps:
+        u = 0.0
+    elif abs(u - 1) < eps:
+        u = 1.0
+    return [(t, u, (float(pt[0]), float(pt[1])))]
+
+
+class _Nodes:
+    """Tolerance-merging point index for the overlay's planar
+    subdivision: ring vertices register first (so nodes carry EXACT
+    input coordinates), computed crossings merge into an existing
+    node when within tol (three concurrent edges can produce the
+    same point twice with a 1-ulp spread)."""
+
+    def __init__(self, tol: float):
+        self.tol = tol
+        self.pts: list = []
+        self._buck: dict = {}
+
+    def add(self, x: float, y: float) -> int:
+        kx, ky = round(x / self.tol), round(y / self.tol)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                for nid in self._buck.get((kx + dx, ky + dy), ()):
+                    px, py = self.pts[nid]
+                    if abs(px - x) <= self.tol and abs(py - y) <= self.tol:
+                        return nid
+        nid = len(self.pts)
+        self.pts.append((float(x), float(y)))
+        self._buck.setdefault((kx, ky), []).append(nid)
+        return nid
 
 
 def _arc_midpoint(pts: np.ndarray) -> np.ndarray:
@@ -1902,31 +1969,56 @@ def _union_rings(rings: list) -> list:
 
 
 def _trace_polys(polys: list, mode: str) -> list:
-    """Boundary-trace overlay of VALID polygons. Each input polygon is
-    a ring-list [shell, *holes] of closed rings (first == last) with
-    shell CCW and holes CW (`_norm_poly` produces this and validates
-    simplicity / non-crossing / hole containment), so the polygon's
-    interior lies to the LEFT of every boundary ring walked in stored
-    order. The engine splits every ring at its proper crossings with
-    rings of OTHER polygons, keeps the arcs on the RESULT boundary,
-    stitches loops, and classifies each output loop by orientation:
-    CCW → shell, CW → hole (assigned to the innermost containing
-    shell). Returns a list of polygons in the same representation.
+    """Noded planar-subdivision overlay of VALID polygons. Each input
+    polygon is a ring-list [shell, *holes] of closed rings (first ==
+    last) with shell CCW and holes CW (`_norm_poly` produces this and
+    validates simplicity / non-crossing / hole containment), so the
+    polygon's interior lies to the LEFT of every boundary ring walked
+    in stored order. Since r9 the engine handles DEGENERATE contact —
+    shared/collinear edges, vertex touching (T-junctions, figure-
+    eight), tangency — with regularized (area) semantics, matching
+    what the reference inherits from JTS overlay for the same inputs
+    (STObject.scala:209-233):
 
-    mode="union" (any number of polygons): keep arcs not inside any
-    other polygon; a crossing-free ring survives unless it sits
-    inside another polygon's interior (point-set membership — a ring
-    inside another's HOLE is kept). mode="intersection" (two
-    polygons): keep arcs inside the other; disjoint input → [].
-    mode="difference" (exactly two, A \\ B = A ∩ complement(B)): keep
-    A's arcs outside B plus B's arcs inside A walked in REVERSE; B
+    1. NODE: every ring vertex and every pairwise contact between
+       edges of different polygons (proper crossing, endpoint touch,
+       collinear-overlap endpoints — `_seg_events`) becomes a node;
+       edges split at their nodes into straight sub-edges, so
+       coincident boundary stretches become IDENTICAL node pairs.
+    2. CLASSIFY each undirected segment by per-polygon side coverage:
+       a polygon with a boundary sub-edge on the segment covers the
+       side to the LEFT of its stored direction; any other polygon
+       covers both sides or neither (midpoint even-odd test — safe,
+       a noded sub-edge interior meets no boundary). Mode combines
+       coverage (union = OR, intersection = AND, difference =
+       A AND NOT B); a segment is result boundary iff exactly one
+       side is covered, emitted directed with the covered side LEFT.
+       Shared edges with interiors on opposite sides vanish (interior
+       seam); with interiors on the same side emit ONCE.
+    3. TRACE: loops stitch with the face-tracing rule — after edge
+       (a→b), continue with the outgoing edge at b first CLOCKWISE
+       from the reversed direction (b→a) — which resolves tangential
+       and multi-way nodes (a figure-eight union comes back as two
+       shells touching at the node). Loops revisiting a node are
+       pinch-split into simple rings (a subtracted notch touching the
+       boundary at one point yields shell + touching hole, as JTS
+       does). CCW loop → shell, CW → hole (nested under its innermost
+       containing shell).
+
+    mode="union" (any number of polygons); a contact-free ring
+    survives unless it sits inside another polygon's interior
+    (point-set membership — a ring inside another's HOLE is kept;
+    this legacy path also keeps output arrays bit-identical to the
+    pre-r9 kernel for contact-free rings). mode="intersection" (two
+    polygons): disjoint input → []; inputs meeting ONLY along
+    boundary → [] (regularized — the shared line has no area).
+    mode="difference" (exactly two, A \\ B = A ∩ complement(B)); B
     strictly inside A yields an annulus (B's shell reversed becomes a
     hole of A) and B's holes inside A come back as islands.
 
-    Exact for transversal contact; raises (honest refusal) on
-    degenerate contact (shared/collinear edges, vertex touching,
-    tangency). Membership tests are even-odd over a polygon's rings —
-    exactly shell-minus-holes for valid polygons."""
+    Remaining honest refusals are numeric backstops only: zero-area
+    output loops, inconsistent stitching, open boundary chains —
+    contact at the eps resolution limit, not a semantic class."""
     want_inside = mode == "intersection"
     diff = mode == "difference"
 
@@ -1987,8 +2079,14 @@ def _trace_polys(polys: list, mode: str) -> list:
                   and rbox[k][1] <= y <= rbox[k][3])
         return cnt % 2 == 1
 
-    cross_pts: list = []
-    per_ring: list = [[] for _ in range(nr)]
+    # ---- 1. NODE: ring vertices + pairwise contact events ----
+    span = 1.0
+    for r in opens:
+        span = max(span, float(np.abs(r).max()))
+    nodes = _Nodes(1e-9 * span)
+    ring_nodes = [[nodes.add(float(x), float(y)) for x, y in r]
+                  for r in opens]
+    events: list = [[] for _ in range(nr)]   # ring → (edge_i, t, nid)
     for a in range(nr):
         ra = opens[a]
         na = len(ra)
@@ -2007,97 +2105,135 @@ def _trace_polys(polys: list, mode: str) -> list:
                 p, q = ra[i], ra[(i + 1) % na]
                 lox, hix = min(p[0], q[0]), max(p[0], q[0])
                 loy, hiy = min(p[1], q[1]), max(p[1], q[1])
+                if (hix < bbox_[0] or lox > bbox_[2]
+                        or hiy < bbox_[1] or loy > bbox_[3]):
+                    continue
                 for j in range(nb):
                     r_, s_ = rb[j], rb[(j + 1) % nb]
                     if (max(r_[0], s_[0]) < lox or min(r_[0], s_[0]) > hix
                             or max(r_[1], s_[1]) < loy
                             or min(r_[1], s_[1]) > hiy):
                         continue
-                    t, u = _seg_cross_uv(p, q, r_, s_)
-                    if t is None:
-                        continue
-                    xid = len(cross_pts)
-                    cross_pts.append(p + t * (q - p))
-                    per_ring[a].append((i, t, xid))
-                    per_ring[b].append((j, u, xid))
+                    for t, u, pt in _seg_events(p, q, r_, s_):
+                        nid = nodes.add(pt[0], pt[1])
+                        events[a].append((i, t, nid))
+                        events[b].append((j, u, nid))
 
-    arcs: list = []          # (start_xid, end_xid, pts)
-    standalone: list = []    # kept crossing-free rings (closed)
+    # ---- contact-free rings: legacy single-membership handling
+    # (keeps output arrays bit-identical to the pre-r9 kernel) ----
+    standalone: list = []    # kept contact-free rings (closed)
     for k in range(nr):
+        if events[k]:
+            continue
         ring = opens[k]
-        n = len(ring)
         ok = owner[k]
         others = [pi for pi in range(m) if pi != ok]
-        evs = per_ring[k]
-        if not evs:
-            pt = ring[0]
-            inside = [_in_poly(pt, pi) for pi in others]
-            if diff:
-                if ok == 1:
-                    # subtrahend ring inside A survives REVERSED:
-                    # B's shell → a hole of A (annulus), B's hole →
-                    # an island (complement(B) includes B's holes)
-                    if any(inside):
-                        standalone.append(closed[k][::-1].copy())
-                    continue
-                keep_ring = not any(inside)
-            else:
-                keep_ring = (all(inside) if want_inside
-                             else not any(inside))
-            if keep_ring:
-                standalone.append(closed[k])
-            continue
-        evs.sort(key=lambda e: (e[0], e[1]))
-        for idx in range(len(evs)):
-            i0, t0, x0 = evs[idx]
-            i1, t1, x1 = evs[(idx + 1) % len(evs)]
-            if i1 == i0 and t1 > t0 and idx + 1 < len(evs):
-                mids: list = []
-            else:
-                cnt = (i1 - i0) % n
-                if cnt == 0:
-                    cnt = n
-                mids = [ring[(i0 + 1 + s) % n] for s in range(cnt)]
-            pts = np.vstack([cross_pts[x0]] + mids + [cross_pts[x1]])
-            mid = _arc_midpoint(pts)
-            others_inside = [_in_poly(mid, pi) for pi in others]
-            if diff:
-                if ok == 0 and not any(others_inside):
-                    arcs.append((x0, x1, pts))
-                elif ok == 1 and all(others_inside):
-                    # subtrahend boundary inside A bounds the removed
-                    # region — walked in reverse on the result
-                    arcs.append((x1, x0, pts[::-1]))
-            else:
-                keep_arc = (all(others_inside) if want_inside
-                            else not any(others_inside))
-                if keep_arc:
-                    arcs.append((x0, x1, pts))
+        pt = ring[0]
+        inside = [_in_poly(pt, pi) for pi in others]
+        if diff:
+            if ok == 1:
+                # subtrahend ring inside A survives REVERSED:
+                # B's shell → a hole of A (annulus), B's hole →
+                # an island (complement(B) includes B's holes)
+                if any(inside):
+                    standalone.append(closed[k][::-1].copy())
+                continue
+            keep_ring = not any(inside)
+        else:
+            keep_ring = (all(inside) if want_inside
+                         else not any(inside))
+        if keep_ring:
+            standalone.append(closed[k])
 
-    out_map: dict = {}
-    for x0, x1, pts in arcs:
-        if x0 in out_map:
-            raise ValueError("polygon overlay: tangential contact — two "
-                             "boundary arcs leave one crossing")
-        out_map[x0] = (x1, pts)
-    loops: list = []
-    visited: set = set()
-    for start in list(out_map):
-        if start in visited:
+    # ---- 2. sub-edges, then per-segment side-coverage ----
+    npts = nodes.pts
+    seg_dirs: dict = {}        # (lo,hi) → {(pi, na, nb)}
+    for k in range(nr):
+        if not events[k]:
             continue
-        cur = start
-        pieces: list = []
-        while True:
-            visited.add(cur)
-            nxt, pts = out_map[cur]
-            pieces.append(pts[:-1])
-            cur = nxt
-            if cur == start:
-                break
-            if cur in visited or cur not in out_map:
-                raise ValueError("polygon overlay: open boundary chain "
-                                 "(degenerate contact)")
-        loops.append(np.vstack(pieces + [pieces[0][:1]]))
+        ring = opens[k]
+        n = len(ring)
+        pi = owner[k]
+        per_edge: dict = {
+            i: [(0.0, ring_nodes[k][i]), (1.0, ring_nodes[k][(i + 1) % n])]
+            for i in range(n)}
+        for i, t, nid in events[k]:
+            per_edge[i].append((t, nid))
+        for i in range(n):
+            prev = None
+            for t, nid in sorted(per_edge[i], key=lambda e: e[0]):
+                if prev is not None and nid != prev:
+                    lo, hi = (prev, nid) if prev < nid else (nid, prev)
+                    seg_dirs.setdefault((lo, hi), set()).add(
+                        (pi, prev, nid))
+                prev = nid
+
+    bedges: list = []          # directed result edges (na, nb)
+    for (lo, hi), dirs in seg_dirs.items():
+        # cov[pi] = [covers-left, covers-right] of the lo→hi direction
+        cov = [[False, False] for _ in range(m)]
+        on_seg = set()
+        for pi, na, _nb in dirs:
+            on_seg.add(pi)
+            cov[pi][0 if na == lo else 1] = True
+        mid = np.array([(npts[lo][0] + npts[hi][0]) / 2.0,
+                        (npts[lo][1] + npts[hi][1]) / 2.0])
+        for pi in range(m):
+            if pi not in on_seg and _in_poly(mid, pi):
+                cov[pi][0] = cov[pi][1] = True
+        if diff:
+            covl = cov[0][0] and not cov[1][0]
+            covr = cov[0][1] and not cov[1][1]
+        elif want_inside:
+            covl = cov[0][0] and cov[1][0]
+            covr = cov[0][1] and cov[1][1]
+        else:
+            covl = any(c[0] for c in cov)
+            covr = any(c[1] for c in cov)
+        if covl == covr:
+            continue               # interior seam or fully outside
+        bedges.append((lo, hi) if covl else (hi, lo))
+
+    # ---- 3. face tracing (clockwise-most rule), pinch-split ----
+    loops: list = []
+    if bedges:
+        out_at: dict = {}
+        angs: list = []
+        for eid, (na, nb) in enumerate(bedges):
+            a_ = float(np.arctan2(npts[nb][1] - npts[na][1],
+                                  npts[nb][0] - npts[na][0]))
+            angs.append(a_)
+            out_at.setdefault(na, []).append((a_, eid))
+        two_pi = 2.0 * np.pi
+        nxt: list = [0] * len(bedges)
+        for eid, (na, nb) in enumerate(bedges):
+            rev = angs[eid] + np.pi            # direction b→a
+            outs = out_at.get(nb)
+            if not outs:
+                raise ValueError("polygon overlay: open boundary "
+                                 "chain (unresolved contact)")
+            best = min(outs, key=lambda e: ((rev - e[0]) % two_pi)
+                       or two_pi)
+            nxt[eid] = best[1]
+        if len(set(nxt)) != len(bedges):
+            raise ValueError("polygon overlay: inconsistent boundary "
+                             "stitching (unresolved contact)")
+        seen = [False] * len(bedges)
+        for e0 in range(len(bedges)):
+            if seen[e0]:
+                continue
+            path: list = []
+            e = e0
+            while not seen[e]:
+                seen[e] = True
+                path.append(bedges[e][0])
+                e = nxt[e]
+            for cyc in _pinch_split(path):
+                if len(cyc) < 3:
+                    raise ValueError("polygon overlay: degenerate "
+                                     "output loop (unresolved contact)")
+                loops.append(np.array([npts[c] for c in cyc]
+                                      + [npts[cyc[0]]], dtype=float))
 
     # classify by orientation, then nest holes under their innermost
     # containing shell (islands are CCW → their own polygon)
@@ -2111,18 +2247,46 @@ def _trace_polys(polys: list, mode: str) -> list:
             holes.append(r)
         else:
             raise ValueError("polygon overlay: zero-area loop "
-                             "(degenerate contact)")
+                             "(unresolved contact)")
     result: list = [[s] for s in shells]
     for h in holes:
+        # probe with the first edge's midpoint: sub-edge interiors
+        # meet no node, so the probe is never ON a candidate shell
+        # even when the hole TOUCHES its shell at a pinch node
+        probe = (h[0] + h[1]) / 2.0
         cands = [i for i, s in enumerate(shells)
-                 if _point_in_ring(h[0], s)]
+                 if _point_in_ring(probe, s)]
         if not cands:
             raise ValueError("polygon overlay: hole outside every "
-                             "shell (degenerate contact)")
+                             "shell (unresolved contact)")
         best = min(cands,
                    key=lambda i: abs(_ring_signed_area2(shells[i])))
         result[best].append(h)
     return result
+
+
+def _pinch_split(path: list) -> list:
+    """Split a closed node walk (which may revisit nodes at pinch
+    points) into simple node cycles; the walk closes implicitly
+    (last → first). A revisited node extracts the enclosed sub-walk
+    as its own cycle — e.g. a subtracted notch touching the boundary
+    at one point becomes shell + touching hole."""
+    out: list = []
+    cur: list = []
+    pos: dict = {}
+    for nid in path:
+        if nid in pos:
+            i = pos[nid]
+            sub = cur[i:]
+            out.append(sub)
+            for x in sub:
+                pos.pop(x, None)
+            del cur[i:]
+        pos[nid] = len(cur)
+        cur.append(nid)
+    if cur:
+        out.append(cur)
+    return out
 
 
 def _norm_ring(coords: np.ndarray, ccw: bool = True) -> np.ndarray:

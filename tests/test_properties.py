@@ -517,8 +517,9 @@ def test_buffer_multi_union_overlap():
 def test_union_polygons():
     """Constructive `union` (core.geometry): corner-overlap closed
     form, commutativity, containment absorption, disjoint →
-    MULTIPOLYGON, idempotence, MULTIPOLYGON input chains, and honest
-    refusals for degenerate shared edges and non-polygon kinds."""
+    MULTIPOLYGON, idempotence, MULTIPOLYGON input chains, shared-edge
+    and corner-touch contact (r9: degenerate contact dissolves
+    correctly instead of raising), and non-polygon refusal."""
     a = G.from_wkt("POLYGON ((0 0, 6 0, 6 5, 0 5, 0 0))")
     b = G.from_wkt("POLYGON ((2 2, 8 2, 8 7, 2 7, 2 2))")
     u = G.union(a, b)
@@ -536,9 +537,15 @@ def test_union_polygons():
                    " ((2 2, 5 2, 5 5, 2 5, 2 2)))")
     um = G.union(m, G.from_wkt("POLYGON ((4 4, 7 4, 7 7, 4 7, 4 4))"))
     assert um.kind == "POLYGON" and G.area(um) == 25.0
+    # r9: shared-edge (degenerate-contact) union WORKS — two abutting
+    # rectangles dissolve into one, the interior seam vanishing
     shared = G.from_wkt("POLYGON ((6 0, 12 0, 12 5, 6 5, 6 0))")
-    with pytest.raises(ValueError):
-        G.union(a, shared)
+    us = G.union(a, shared)
+    assert us.kind == "POLYGON" and G.area(us) == 60.0
+    assert G.length(us) == 2 * (12 + 5)
+    # corner touch (figure-eight): two shells meeting at one point
+    fig8 = G.union(a, G.from_wkt("POLYGON ((6 5, 8 5, 8 7, 6 7, 6 5))"))
+    assert fig8.kind == "MULTIPOLYGON" and G.area(fig8) == 34.0
     with pytest.raises(ValueError):
         G.union(a, G.point(1, 1))
 
@@ -547,8 +554,8 @@ def test_intersection_polygons():
     """Constructive `intersection`: corner-overlap closed form and
     the complement identity area(A)+area(B) == area(A∪B)+area(A∩B);
     containment returns the inner polygon whole; disjoint → None;
-    idempotence; a U-shape × bar producing TWO components; degenerate
-    shared edges and non-polygons raise."""
+    idempotence; a U-shape × bar producing TWO components; shared-edge
+    contact is regularized to empty (r9); non-polygons raise."""
     a = G.from_wkt("POLYGON ((0 0, 6 0, 6 5, 0 5, 0 0))")
     b = G.from_wkt("POLYGON ((2 2, 8 2, 8 7, 2 7, 2 2))")
     i = G.intersection(a, b)
@@ -569,9 +576,10 @@ def test_intersection_polygons():
     bar = G.from_wkt("POLYGON ((-1 1, 5 1, 5 3, -1 3, -1 1))")
     ii = G.intersection(u, bar)
     assert ii.kind == "MULTIPOLYGON" and G.area(ii) == 4.0
+    # r9: boundary-only contact is REGULARIZED — the shared line has
+    # no area, so the intersection is empty (None)
     shared = G.from_wkt("POLYGON ((6 0, 12 0, 12 5, 6 5, 6 0))")
-    with pytest.raises(ValueError):
-        G.intersection(a, shared)
+    assert G.intersection(a, shared) is None
     with pytest.raises(ValueError):
         G.intersection(a, G.point(1, 1))
 
@@ -1533,6 +1541,93 @@ def test_overlay_multipolygon_partwise():
     assert d4.kind == "POLYGON" and G.area(d4) == 16.0
     # inclusion-exclusion holds for the multipolygon pair
     assert G.area(G.union(A, B)) == G.area(A) + G.area(B) - G.area(i)
+
+
+def test_overlay_degenerate_contact_classes():
+    """r9 kernel upgrade (noded planar subdivision): every
+    degenerate-contact class the old boundary trace refused now
+    computes with regularized semantics — k×k adjacent tilings
+    dissolve to one square, corner touch (figure-eight) yields two
+    shells, a 4-square checkerboard closes to the full square,
+    partial-edge abutment (T-junctions), a plug exactly filling an
+    annulus hole, a subtracted notch touching the boundary at one
+    point (pinch → shell + touching hole), and boundary-only
+    intersection regularizing to empty."""
+    for k in (2, 3, 5):
+        tiles = [G._norm_poly(G.box(i, j, i + 1, j + 1).coords)
+                 for i in range(k) for j in range(k)]
+        out = G._trace_polys(tiles, "union")
+        assert len(out) == 1 and len(out[0]) == 1
+        gm = G._geom_from_polys(out)
+        assert G.area(gm) == k * k and G.length(gm) == 4 * k
+    u = G.union(G.box(0, 0, 1, 1), G.box(1, 1, 2, 2))
+    assert (u.kind == "MULTIPOLYGON" and G.area(u) == 2.0
+            and G.length(u) == 8.0)
+    mp1 = G.Geometry("MULTIPOLYGON", [G.box(0, 0, 1, 1),
+                                      G.box(1, 1, 2, 2)])
+    mp2 = G.Geometry("MULTIPOLYGON", [G.box(1, 0, 2, 1),
+                                      G.box(0, 1, 1, 2)])
+    full = G.union(mp1, mp2)
+    assert (full.kind == "POLYGON" and G.area(full) == 4.0
+            and G.length(full) == 8.0)
+    t = G.union(G.box(0, 0, 2, 1), G.box(0.5, 1, 1.5, 2))
+    assert G.area(t) == 3.0 and G.length(t) == 8.0
+    ann = G.difference(G.box(0, 0, 4, 4), G.box(1, 1, 3, 3))
+    plug = G.union(ann, G.box(1, 1, 3, 3))
+    assert plug.kind == "POLYGON" and len(plug.coords) == 1
+    assert G.area(plug) == 16.0 and G.length(plug) == 16.0
+    dia = G.from_wkt("POLYGON ((1 2.5, 1.5 2, 2 2.5, 1.5 3, 1 2.5))")
+    pac = G.difference(G.box(0, 0, 3, 3), dia)
+    assert pac.kind == "POLYGON" and len(pac.coords) == 2
+    assert G.area(pac) == 8.5
+    assert G.intersection(G.box(0, 0, 1, 1), G.box(1, 0, 2, 1)) is None
+    assert G.intersection(G.box(0, 0, 1, 1), G.box(1, 1, 2, 2)) is None
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=60, deadline=None)
+def test_overlay_integer_boxes_degenerate_contact(seed):
+    """r9: overlay invariants on INTEGER-coordinate holed boxes,
+    where shared edges, partial overlaps, T-junctions and vertex
+    touches are COMMON (not measure-zero as in the continuous draw
+    above): partition area(A∩B) + area(A\\B) == area(A), inclusion–
+    exclusion, and point-set semantics on an off-integer probe grid.
+    The pre-r9 kernel refused most of these draws; now every one
+    must COMPUTE — no try/except escape hatch."""
+    rng = np.random.default_rng(seed)
+
+    def ibox(dx, dy):
+        x0 = int(rng.integers(0, 6)) + dx
+        y0 = int(rng.integers(0, 6)) + dy
+        w = int(rng.integers(2, 7))
+        h = int(rng.integers(2, 7))
+        rings = [np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                           [x0, y0 + h], [x0, y0]], float)]
+        if w >= 4 and h >= 4 and rng.random() < 0.6:
+            hw = int(rng.integers(1, w - 2))
+            hh = int(rng.integers(1, h - 2))
+            hx, hy = x0 + 1, y0 + 1
+            rings.append(np.array(
+                [[hx, hy], [hx, hy + hh], [hx + hw, hy + hh],
+                 [hx + hw, hy], [hx, hy]], float))
+        return G.Geometry("POLYGON", rings)
+
+    a = ibox(0, 0)
+    b = ibox(int(rng.integers(-7, 8)), int(rng.integers(-7, 8)))
+    u = G.union(a, b)
+    i = G.intersection(a, b)
+    d = G.difference(a, b)
+    ai, bi = G.area(a), G.area(b)
+    ii = G.area(i) if i is not None else 0.0
+    di = G.area(d) if d is not None else 0.0
+    assert abs(di + ii - ai) < 1e-9 * max(ai, 1.0)
+    assert abs(G.area(u) - (ai + bi - ii)) < 1e-9 * max(ai + bi, 1.0)
+    for x in np.linspace(-7.63, 13.87, 22):
+        for y in np.linspace(-7.41, 13.91, 22):
+            A, B = _member(a, x, y), _member(b, x, y)
+            assert _member(u, x, y) == (A or B), (x, y)
+            assert _member(i, x, y) == (A and B), (x, y)
+            assert _member(d, x, y) == (A and not B), (x, y)
 
 
 def test_overlay_invalid_polygon_refusals():
