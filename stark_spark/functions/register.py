@@ -248,9 +248,9 @@ RETURN st_sto(w, unix_date(make_date(y, m, d)) * CAST(86400 AS BIGINT))""")
     spark.udf.register("st_buffer", pandas_udf(_buffer, BinaryType()))
 
     def _union(wa: pd.Series, wb: pd.Series) -> pd.Series:
-        # constructive polygon union, holes included (r8); the
-        # boundary-trace engine raises on degenerate contact — the
-        # honest contract documented on core.geometry.union
+        # constructive polygon union, holes included (r8); since
+        # r9 the noded overlay computes degenerate contact (shared
+        # edges, vertex touch) — see core.geometry.union
         out = []
         for ba, bb in zip(wa, wb):
             if ba is None or bb is None:

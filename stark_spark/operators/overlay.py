@@ -2,13 +2,13 @@
 
 Net-new vs the reference (STARK exposes predicates/joins but no
 constructive geometry — SURVEY §2.7 note); the kernel is
-`core.geometry._trace_rings`, the same boundary-trace engine behind
+`core.geometry._trace_polys`, the same noded-overlay engine behind
 `st_union` / `st_intersection` / `st_difference` and the MULTI*-buffer
-dissolve. Honest contract inherited from the kernel: exact for
-transversal contact, raises on degenerate contact (shared/collinear
-edges, vertex touching, tangency) and on invalid (self-intersecting)
-rings. Holed polygons are supported on both sides since r8: inputs
-may carry holes, and a dissolve that encloses a courtyard returns a
+dissolve. Since r9 degenerate contact computes — EDGE-ADJACENT
+tilings (the canonical dissolve input) merge their seams, vertex
+touches resolve — and only invalid (self-intersecting) rings raise.
+Holed polygons are supported on both sides since r8: inputs may
+carry holes, and a dissolve that encloses a courtyard returns a
 holed polygon.
 """
 
@@ -53,7 +53,11 @@ def dissolve(df: DataFrame, group_col: str,
         if not polys:
             return pdf.iloc[0:0][[group_col]].assign(
                 geom=None, n_parts=0)
-        merged = G._trace_polys(polys, "union")
+        # ≤64 polygons: one direct overlay pass (bit-stable with the
+        # pre-r9 path); larger groups: KD pairwise-merge tree —
+        # O(N log N · local) instead of the one-shot O(N²) crossing
+        # scan, the 100 TB straggler guard (r8 verdict ask #4)
+        merged = G._union_tree(polys)
         out = G._geom_from_polys(merged)
         return pd.DataFrame({group_col: [pdf[group_col].iloc[0]],
                              "geom": [G.to_wkb(out)],
