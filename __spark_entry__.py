@@ -2653,12 +2653,61 @@ def _pq_dissolve_adjacent_tiles(spark, sf):
                     F.col("n_parts").cast("long").alias("n_parts")))
 
 
+def _pq_sql_st_buffer_erode_split(spark, sf):
+    """r9 erosion upgrade gate: a negative buffer past a region's
+    WAIST returns the surviving parts as a MULTIPOLYGON instead of
+    raising (core/geometry.py `_erode_ring` → `_untangle_offset`,
+    matching JTS buffer(-d)). Per part row, a dumbbell of two w×h
+    lobes joined by a 2-wide, 4-long neck (integer vertices, neck at
+    c = h div 2, mouth walls ≥ 2 > d) eroded by d = 1.5:
+      sarea  = floor area = 2(w−3)(h−3) — each lobe erodes to the
+               exact rectangle (w−3)(h−3) plus a mouth bulge bounded
+               by the reflex arcs; the two bulges sum to ≈0.5018 < 1,
+               so the BIGINT truncation is the closed form;
+      snrings = 2 (two shells, no holes — the split happened);
+      svan   = erode by h (≥ both half-dims): full vanish → NULL,
+               encoded -1."""
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    k = F.col("p_partkey")
+    p = (D.load(spark, sf, "part").where(k <= 200)
+         .select("p_partkey",
+                 (k % 5 + 4).cast("int").alias("w"),
+                 (k % 7 + 6).cast("int").alias("h")))
+    p = p.withColumn("c", (F.col("h") / 2).cast("int")) \
+         .withColumn("x2", F.col("w") + 4) \
+         .withColumn("x3", F.col("w") * 2 + 4)
+    wkt = F.format_string(
+        "POLYGON ((0 0, %d 0, %d %d, %d %d, %d 0, %d 0, %d %d, "
+        "%d %d, %d %d, %d %d, %d %d, 0 %d, 0 0))",
+        F.col("w"), F.col("w"), F.col("c") - 1,
+        F.col("x2"), F.col("c") - 1, F.col("x2"),
+        F.col("x3"), F.col("x3"), F.col("h"),
+        F.col("x2"), F.col("h"), F.col("x2"), F.col("c") + 1,
+        F.col("w"), F.col("c") + 1, F.col("w"), F.col("h"),
+        F.col("h"))
+    p.select("p_partkey", wkt.alias("wkt"),
+             F.col("h").cast("double").alias("hd")) \
+     .createOrReplaceTempView("__sql_erode_split")
+    return spark.sql("""
+        SELECT p_partkey,
+          CAST(st_area(st_buffer(st_geomfromwkt(wkt), -1.5))
+               AS BIGINT) AS sarea,
+          CAST(st_nrings(st_buffer(st_geomfromwkt(wkt), -1.5))
+               AS BIGINT) AS snrings,
+          CAST(coalesce(
+               st_area(st_buffer(st_geomfromwkt(wkt), -hd)), -1)
+               AS BIGINT) AS svan
+        FROM __sql_erode_split""")
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-9 rotation (the 3 r8 entries promoted into queries());
     # new gates minted this round stage here first.
     return {
         "dissolve_adjacent_tiles": _pq_dissolve_adjacent_tiles,
+        "sql_st_buffer_erode_split": _pq_sql_st_buffer_erode_split,
     }
 
 
@@ -2926,6 +2975,16 @@ SELECT CAST(g AS BIGINT) AS g,
             ELSE 2 * k + 2 * q + 2 END AS BIGINT) AS ulen,
   CAST(1 AS BIGINT) AS n_parts
 FROM q""",
+        # split-waist erosion closed forms (see gate docstring)
+        "sql_st_buffer_erode_split": """
+WITH p AS (
+  SELECT p_partkey, p_partkey % 5 + 4 AS w, p_partkey % 7 + 6 AS h
+  FROM part WHERE p_partkey <= 200)
+SELECT p_partkey,
+  CAST(2 * (w - 3) * (h - 3) AS BIGINT) AS sarea,
+  CAST(2 AS BIGINT) AS snrings,
+  CAST(-1 AS BIGINT) AS svan
+FROM p""",
     }
 
 

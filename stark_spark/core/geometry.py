@@ -1463,10 +1463,13 @@ def _clip_halfplane(pts: np.ndarray, a: float, b: float,
 
 
 def _erode_ring(ring: np.ndarray, d: float,
-                quad_segs: int) -> np.ndarray | None:
+                quad_segs: int) -> list:
     """Morphological erosion of the region bounded by a SIMPLE closed
     CCW ring: the set of points at distance >= d from the complement.
-    Returns a closed CCW ring, or None when the region erodes away.
+    Returns a LIST of closed CCW rings — the surviving parts ([] when
+    the region erodes away; more than one when the erosion SPLITS the
+    region at a waist, r8 verdict ask #3 — JTS `buffer(-d)` returns
+    the same MULTIPOLYGON).
 
     CONVEX rings are exact: erosion of a convex polygon is the
     intersection of its edges' inward half-planes (edges may vanish
@@ -1476,11 +1479,12 @@ def _erode_ring(ring: np.ndarray, d: float,
     NON-CONVEX rings use the symmetric offset construction (miter at
     convex vertices = intersection of adjacent inward offset lines;
     arc of radius d at REFLEX vertices, the clockwise-sweeping dual
-    of the dilation arc). If d exceeds the local feature size the
-    offset edge is consumed or the curve self-intersects (the region
-    would SPLIT — a topology change this kernel cannot trace) and it
-    raises, the same honest-refusal contract as dilation's concavity
-    check."""
+    of the dilation arc). A SELF-INTERSECTING offset curve means the
+    region splits: `_untangle_offset` nodes the curve against itself
+    and keeps the simple positive loops (the inverted pockets between
+    crossings are the over-eroded waist). The remaining refusal is an
+    offset edge CONSUMED by its miters (d beyond the local concavity
+    feature size — a vanish this construction cannot localize)."""
     pts = np.asarray(ring, dtype=float)[:-1]
     keep = np.ones(len(pts), dtype=bool)
     keep[1:] = np.any(pts[1:] != pts[:-1], axis=1)
@@ -1500,10 +1504,10 @@ def _erode_ring(ring: np.ndarray, d: float,
             c = nx[i] * pts[i][0] + ny[i] * pts[i][1] - d
             cur = _clip_halfplane(cur, nx[i], ny[i], c)
             if len(cur) < 3:
-                return None
+                return []
         if abs(_ring_signed_area2(np.vstack([cur, cur[:1]]))) < 1e-18:
-            return None
-        return np.vstack([cur, cur[:1]])
+            return []
+        return [np.vstack([cur, cur[:1]])]
     reflex = crosses < -1e-12
     step = (np.pi / 2) / quad_segs
     miter: dict = {}
@@ -1520,44 +1524,173 @@ def _erode_ring(ring: np.ndarray, d: float,
                              "(collinear fold)")
         t = ((q[0] - p[0]) * ev[j, 1] - (q[1] - p[1]) * ev[j, 0]) / denom
         miter[j] = p + t * ev[i]
-    out: list = []
-    for i in range(m):
-        j = (i + 1) % m
-        start = miter[i] if not reflex[i] else \
-            pts[i] - d * np.array([nx[i], ny[i]])
-        end = miter[j] if not reflex[j] else \
-            pts[j] - d * np.array([nx[i], ny[i]])
-        if (end - start) @ ev[i] <= 1e-12 * norm[i]:
-            raise ValueError("buffer: erosion exceeds local feature "
-                             "size (offset edge consumed — region "
-                             "would split or vanish non-convexly)")
-        out.append(start)
-        out.append(end)
-        if reflex[j]:
-            # clockwise arc at the reflex vertex from -n_i to -n_j
-            w = pts[j]
-            a0 = np.arctan2(ny[i], nx[i])
-            a1 = np.arctan2(ny[j], nx[j])
-            sweep = (a0 - a1) % (2 * np.pi)
-            if sweep > 1e-12:
-                k = int(np.ceil(sweep / step))
-                for t in range(1, k):
-                    a = a0 - sweep * t / k
-                    out.append(w - d * np.array([np.cos(a),
-                                                 np.sin(a)]))
-    arr = np.vstack(out)
-    keep = np.ones(len(arr), dtype=bool)
-    keep[1:] = np.any(np.abs(arr[1:] - arr[:-1]) > 1e-12, axis=1)
-    arr = arr[keep]
+    def _build(strict: bool) -> np.ndarray:
+        out: list = []
+        for i in range(m):
+            j = (i + 1) % m
+            start = miter[i] if not reflex[i] else \
+                pts[i] - d * np.array([nx[i], ny[i]])
+            end = miter[j] if not reflex[j] else \
+                pts[j] - d * np.array([nx[i], ny[i]])
+            if strict and (end - start) @ ev[i] <= 1e-12 * norm[i]:
+                raise ValueError("buffer: erosion exceeds local "
+                                 "feature size (offset edge consumed)")
+            out.append(start)
+            out.append(end)
+            if reflex[j]:
+                # clockwise arc at the reflex vertex from -n_i to -n_j
+                w = pts[j]
+                a0 = np.arctan2(ny[i], nx[i])
+                a1 = np.arctan2(ny[j], nx[j])
+                sweep = (a0 - a1) % (2 * np.pi)
+                if sweep > 1e-12:
+                    k = int(np.ceil(sweep / step))
+                    for t in range(1, k):
+                        a = a0 - sweep * t / k
+                        out.append(w - d * np.array([np.cos(a),
+                                                     np.sin(a)]))
+        arr = np.vstack(out)
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = np.any(np.abs(arr[1:] - arr[:-1]) > 1e-12, axis=1)
+        return arr[keep]
+
+    try:
+        arr = _build(strict=True)
+        permissive = False
+    except ValueError:
+        # an offset edge was CONSUMED by its miters (d beyond the
+        # local concavity feature size): rebuild permissively —
+        # reversed edges make the curve self-intersect MORE, and the
+        # untangle + distance verification below sorts it out (a
+        # fully-vanishing non-convex region comes back [], a deep
+        # waist split comes back as its surviving parts)
+        arr = _build(strict=False)
+        permissive = True
     if len(arr) < 3:
-        return None
-    if _ring_signed_area2(np.vstack([arr, arr[:1]])) <= 0:
-        return None
-    if not _ring_is_simple(arr):
-        raise ValueError("buffer: erosion exceeds local feature size "
-                         "(offset curve self-intersects — region "
-                         "would split)")
-    return np.vstack([arr, arr[:1]])
+        return []
+    closed_ = np.vstack([arr, arr[:1]])
+    if _ring_is_simple(arr):
+        loops = [closed_] if _ring_signed_area2(closed_) > 0 else []
+        if not permissive:
+            return loops
+    else:
+        # the offset curve self-intersects — the region SPLITS at a
+        # waist (r9); untangle into its simple positive loops,
+        # matching JTS buffer(-d) up to arc discretization
+        loops = _untangle_offset(closed_)
+    # verify every kept loop really lies at distance >= d from the
+    # input boundary (vertex-sampled): untangling a curve with
+    # consumed/reversed edges can leave ARTIFACT loops generated by
+    # non-adjacent features. Legit vertices sit within the inscribed-
+    # chord sag of the true offset (crossings of two sagging chords:
+    # <= 2·d·(1−cos(step/2))); artifacts sit a FRACTION of d inside.
+    # Strict mode promised exactness — an artifact there raises;
+    # permissive mode drops it.
+    sag = d * (1.0 - np.cos(step / 2.0))
+    floor = d - 2.0 * sag - 1e-9 * d
+    ring_orig = np.vstack([pts, pts[:1]])
+    kept: list = []
+    dropped: list = []
+    for lp in loops:
+        dmin = min(_min_dist_to_ring(v, ring_orig) for v in lp[:-1])
+        if dmin >= floor:
+            kept.append(lp)
+        elif not permissive:
+            raise ValueError("buffer: erosion offset loop fails the "
+                             "distance check (unresolved topology)")
+        else:
+            dropped.append(lp)
+    # permissive honesty probe: a dropped artifact loop is only safe
+    # to discard if NO interior sample of it is genuinely eroded
+    # space (>= d from the boundary, inside the input, not already
+    # covered by a kept loop). Deep erosions whose surviving region
+    # the offset decomposition cannot attribute RAISE instead of
+    # silently under-reporting.
+    for lp in dropped:
+        c = lp[:-1].mean(axis=0)
+        samples = [c] + [(v + c) / 2.0 for v in lp[:-1]]
+        for s in samples:
+            if (_point_in_ring(s, ring_orig)
+                    and _min_dist_to_ring(s, ring_orig) >= d
+                    and not any(_point_in_ring(s, k) for k in kept)):
+                raise ValueError("buffer: erosion survivor the offset "
+                                 "decomposition cannot attribute "
+                                 "(d far beyond local feature size)")
+    return kept
+
+
+def _min_dist_to_ring(pt: np.ndarray, ring: np.ndarray) -> float:
+    """Min distance from a point to a closed ring's segments."""
+    a, b = ring[:-1], ring[1:]
+    ab = b - a
+    L2 = (ab * ab).sum(axis=1)
+    ap = pt - a
+    t = np.clip((ap * ab).sum(axis=1) / np.where(L2 > 0, L2, 1.0),
+                0.0, 1.0)
+    dv = a + t[:, None] * ab - pt
+    return float(np.sqrt((dv * dv).sum(axis=1).min()))
+
+
+def _untangle_offset(arr: np.ndarray) -> list:
+    """Decompose a self-intersecting CLOSED offset curve into its
+    SIMPLE positive (CCW) loops — the surviving parts of an erosion
+    that splits the region. The curve is noded against itself
+    (`_seg_events` over non-adjacent edge pairs), the single closed
+    walk is re-threaded through the nodes, and `_pinch_split` cuts it
+    at every revisited node; loops with positive area are the parts,
+    the inverted (CW) pockets between crossings are the over-eroded
+    waist and are discarded. Kept loops must be pairwise disjoint —
+    overlap would mean winding > 1, an erosion this construction
+    cannot attribute, and raises (honest refusal retained for the
+    truly pathological)."""
+    pts = arr[:-1]
+    n = len(pts)
+    span = max(1.0, float(np.abs(pts).max()))
+    nodes = _Nodes(1e-9 * span)
+    vid = [nodes.add(float(x), float(y)) for x, y in pts]
+    per_edge: dict = {i: [] for i in range(n)}
+    boxes = [(min(pts[i][0], pts[(i + 1) % n][0]),
+              min(pts[i][1], pts[(i + 1) % n][1]),
+              max(pts[i][0], pts[(i + 1) % n][0]),
+              max(pts[i][1], pts[(i + 1) % n][1])) for i in range(n)]
+    for i in range(n):
+        p, q = pts[i], pts[(i + 1) % n]
+        bi = boxes[i]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue               # adjacent through closure
+            bj = boxes[j]
+            if (bj[2] < bi[0] or bj[0] > bi[2]
+                    or bj[3] < bi[1] or bj[1] > bi[3]):
+                continue
+            for t, u, pt in _seg_events(p, q, pts[j], pts[(j + 1) % n]):
+                nid = nodes.add(pt[0], pt[1])
+                per_edge[i].append((t, nid))
+                per_edge[j].append((u, nid))
+    walk: list = []
+    for i in range(n):
+        walk.append(vid[i])
+        for _t, nid in sorted(per_edge[i], key=lambda e: e[0]):
+            walk.append(nid)
+    walk = [w for k, w in enumerate(walk) if w != walk[k - 1]]
+    out: list = []
+    for cyc in _pinch_split(walk):
+        if len(cyc) < 3:
+            continue
+        ring = np.array([nodes.pts[c] for c in cyc]
+                        + [nodes.pts[cyc[0]]], dtype=float)
+        if _ring_signed_area2(ring) <= 1e-12 * span * span:
+            continue                   # inverted pocket or sliver
+        if not _ring_is_simple(ring[:-1]):
+            raise ValueError("buffer: erosion offset loop stays "
+                             "non-simple (unresolved topology)")
+        out.append(ring)
+    for i in range(len(out)):
+        for j in range(i + 1, len(out)):
+            if _rings_may_touch(out[i], out[j]):
+                raise ValueError("buffer: erosion parts overlap "
+                                 "(winding > 1 — unresolved topology)")
+    return out
 
 
 def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
@@ -1626,12 +1759,12 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
         if g.kind != "POLYGON":
             raise ValueError(f"buffer: cannot erode {g.kind}")
         d = -float(dist)
-        shell = _erode_ring(_norm_ring(g.coords[0], ccw=True), d,
-                            quad_segs)
-        if shell is None:
+        shells = _erode_ring(_norm_ring(g.coords[0], ccw=True), d,
+                             quad_segs)
+        if not shells:
             return None
-        # holes DILATE under erosion; they must stay inside the
-        # eroded shell and pairwise separate, else the topology
+        # holes DILATE under erosion; they must stay inside ONE
+        # eroded shell part and pairwise separate, else the topology
         # changes (hole merge / shell breach) — honest refusal
         holes: list = []
         for h in g.coords[1:]:
@@ -1645,12 +1778,25 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
                 if _rings_may_touch(holes[i], holes[j]):
                     raise ValueError("buffer: erosion merges holes "
                                      "(topology change)")
+        part_holes: list = [[] for _ in shells]
         for h in holes:
-            if not all(_point_in_ring(p, shell) for p in h[:-1]):
+            inside = [i for i, s in enumerate(shells)
+                      if all(_point_in_ring(p, s) for p in h[:-1])]
+            # vertex containment alone misses a straight hole edge
+            # crossing a shell notch mid-span (r8 advice #1): also
+            # require NO segment-level crossing with the kept shell
+            if (len(inside) != 1
+                    or _any_segment_intersection(h, shells[inside[0]])):
                 raise ValueError("buffer: dilated hole breaches the "
                                  "eroded shell (topology change)")
-        return Geometry("POLYGON",
-                        [shell] + [h[::-1] for h in holes])
+            part_holes[inside[0]].append(h[::-1])
+        parts = [Geometry("POLYGON", [s] + ph)
+                 for s, ph in zip(shells, part_holes)]
+        if len(parts) == 1:
+            return parts[0]
+        # the erosion SPLIT the region at a waist (r9): the surviving
+        # parts come back as a MULTIPOLYGON, as JTS buffer(-d) does
+        return Geometry("MULTIPOLYGON", parts)
     if g.kind == "POINT":
         cx, cy = float(g.coords[0]), float(g.coords[1])
         ang = np.arange(n_arc) * (2 * np.pi / n_arc)
@@ -1736,9 +1882,10 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
                             dist, quad_segs)
         holes = []
         for h in g.coords[1:]:
-            hr = _erode_ring(_norm_ring(h, ccw=True), float(dist),
-                             quad_segs)
-            if hr is not None:          # hole survives, shrunken
+            # a hole may survive shrunken, vanish, or SPLIT into
+            # several smaller holes (r9 — eroding a waisted hole)
+            for hr in _erode_ring(_norm_ring(h, ccw=True),
+                                  float(dist), quad_segs):
                 holes.append(hr[::-1])
         return Geometry("POLYGON",
                         [np.asarray(shell_geom.coords[0],

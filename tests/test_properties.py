@@ -1662,7 +1662,10 @@ def test_buffer_negative_erosion():
     area (w-2d)(h-2d); full erosion → None; points erode to None;
     a convex edge shorter than its neighbors' trims VANISHES from the
     result (not an error); non-convex erosion uses the dual offset
-    construction and RAISES when the region would split."""
+    construction; r9: a region that SPLITS at a waist returns its
+    parts as a MULTIPOLYGON (untangled offset curve), full erosion
+    returns None, and only unattributable deep-erosion survivors
+    still refuse."""
     r = G.from_wkt("POLYGON ((0 0, 10 0, 10 6, 0 6, 0 0))")
     e = G.buffer(r, -1.0)
     assert G.area(e) == 32.0 and G.length(e) == 24.0
@@ -1677,11 +1680,25 @@ def test_buffer_negative_erosion():
     ell = G.from_wkt("POLYGON ((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
     eL = G.buffer(ell, -0.5)
     assert 8.9 < G.area(eL) < 9.2             # ~9 + reflex-arc sliver
-    # a U-bar whose bottom strap is thinner than 2d would SPLIT
+    # a U-bar whose bottom strap is thinner than 2d SPLITS into its
+    # two arms (r9: a real MULTIPOLYGON, as JTS buffer(-d) — the
+    # pre-r9 kernel refused here)
     u = G.from_wkt("POLYGON ((0 0, 7 0, 7 5, 4 5, 4 1, 3 1, 3 5, "
                    "0 5, 0 0))")
-    with pytest.raises(ValueError, match="split"):
-        G.buffer(u, -0.8)
+    eu = G.buffer(u, -0.8)
+    assert eu.kind == "MULTIPOLYGON" and len(eu.parts()) == 2
+    # two 1.4 x 3.4 arm erosions + small mouth bulges at the strap
+    assert 2 * 1.4 * 3.4 <= G.area(eu) < 2 * 1.4 * 3.4 + 0.1
+    # deep erosion where a survivor exists but the offset
+    # decomposition cannot attribute it still refuses honestly
+    db = G.from_wkt("POLYGON ((0 0, 6 0, 6 2, 10 2, 10 0, 16 0, "
+                    "16 6, 10 6, 10 4, 6 4, 6 6, 0 6, 0 0))")
+    e15 = G.buffer(db, -1.5)           # waist split: two lobes
+    assert e15.kind == "MULTIPOLYGON" and len(e15.parts()) == 2
+    assert abs(G.area(e15) - 18.501773) < 1e-4
+    assert G.buffer(db, -3.5) is None  # erodes away entirely
+    with pytest.raises(ValueError, match="cannot attribute"):
+        G.buffer(db, -2.9)             # tiny survivor, deep erosion
     # closing (dilate then erode) re-covers the rectangle up to the
     # inscribed-arc approximation sliver
     cl = G.buffer(G.buffer(r, 1.0), -1.0)
