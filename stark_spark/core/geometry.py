@@ -938,8 +938,9 @@ def boundary(g: Geometry) -> Geometry | None:
         pts = sorted(pt for pt, n in ends.items() if n % 2 == 1)
         if not pts:
             return None
-        if len(pts) == 1:
-            return point(*pts[0])
+        # JTS BoundaryOp / PostGIS ST_Boundary always type a lineal
+        # boundary as MULTIPOINT, even with a single point (r8
+        # advice #3) — matching the reference's inherited JTS type
         return Geometry("MULTIPOINT", [point(x, y) for x, y in pts])
     rings: list = []
     for p in g.parts():

@@ -139,17 +139,20 @@ def skyline(df: DataFrame, x: str = "x", y: str = "y",
     # Merge-path choice needs the stage-1 front size, but materializing
     # the front (localCheckpoint + count) costs an extra eager job even
     # for tiny inputs. Cheap gate first: Catalyst's optimized-plan size
-    # estimate is free (file-size based, no job); at a conservative
-    # ≥1 byte/row, an input under GLOBAL_MERGE_LIMIT bytes cannot emit
-    # a front over the limit — go straight to the one-job coalesce(1)
-    # sweep. Large/unknown estimates pay the exact count on the
-    # materialized front (cheap once checkpointed) and pick exactly.
+    # estimate is free (file-size based, no job). The estimate is
+    # COMPRESSED on-disk size for file scans — RLE/dictionary parquet
+    # can sit well under 1 byte/row (r8 advice #2) — so demand an 8×
+    # margin (est·8 < LIMIT) before skipping the exact count. The
+    # residual window (input >8× compressed AND front over the limit)
+    # degrades to one slow single-task merge — a resource risk only,
+    # never a wrong result. Large/unknown estimates pay the exact
+    # count on the materialized front and pick exactly.
     try:
         est_bytes = int(df._jdf.queryExecution().optimizedPlan()
                         .stats().sizeInBytes())
     except Exception:
         est_bytes = None
-    if est_bytes is not None and est_bytes < GLOBAL_MERGE_LIMIT:
+    if est_bytes is not None and est_bytes * 8 < GLOBAL_MERGE_LIMIT:
         return local_sky.coalesce(1).mapInPandas(global_pass,
                                                  schema=schema)
     local_sky = local_sky.localCheckpoint()
