@@ -2474,7 +2474,8 @@ def _pq_ann_recall_lsh_mp(spark, sf):
 
 
 def _lsh_mp_topk_sql(n_probe: int = 4, dim: int = 64, n_bits: int = 4,
-                     k: int = 5, n_q: int = 5) -> str:
+                     k: int = 5, n_q: int = 5, src: str = "embeddings",
+                     q_pred: str | None = None) -> str:
     """DuckDB mirror of the multi-probe LSH retrieval: identical
     hyperplane literals, margins = |dot| per bit computed with the
     same left fold, flip masks = every non-empty bit subset of
@@ -2495,10 +2496,12 @@ def _lsh_mp_topk_sql(n_probe: int = 4, dim: int = 64, n_bits: int = 4,
         f"ELSE 0.0::DOUBLE END)" for i in range(n_bits))
     masks = ", ".join(f"({m})" for m in range(1, 2 ** n_bits)
                       if bin(m).count("1") <= 3)
+    if q_pred is None:
+        q_pred = f"vec_id < {n_q}"
     return f"""
 WITH emb0 AS (
   SELECT vec_id, embedding, {d_cols}
-  FROM embeddings
+  FROM {src}
 ), s AS (
   SELECT vec_id, embedding, {sig} AS sig FROM emb0
 ), masks(mask) AS (VALUES {masks}),
@@ -2507,10 +2510,10 @@ flips AS (
     SELECT q.vec_id AS q_id, m.mask,
       row_number() OVER (PARTITION BY q.vec_id
                          ORDER BY {cost}, m.mask) AS rn
-    FROM emb0 q CROSS JOIN masks m WHERE q.vec_id < {n_q}
+    FROM emb0 q CROSS JOIN masks m WHERE q.{q_pred}
   ) t WHERE rn <= {n_probe - 1}
 ), probes AS (
-  SELECT vec_id AS q_id, sig AS psig FROM s WHERE vec_id < {n_q}
+  SELECT vec_id AS q_id, sig AS psig FROM s WHERE {q_pred}
   UNION
   SELECT f.q_id, xor(s.sig, f.mask) AS psig
   FROM flips f JOIN s ON s.vec_id = f.q_id
@@ -2526,8 +2529,8 @@ SELECT q_id, vec_id, cos, rank FROM (
       ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, c.vec_id)
       AS INT) AS rank
   FROM cand c
-  JOIN embeddings v ON v.vec_id = c.vec_id
-  JOIN embeddings q ON q.vec_id = c.q_id
+  JOIN {src} v ON v.vec_id = c.vec_id
+  JOIN {src} q ON q.vec_id = c.q_id
 ) t WHERE rank <= {k}"""
 
 
@@ -2701,6 +2704,86 @@ def _pq_sql_st_buffer_erode_split(spark, sf):
         FROM __sql_erode_split""")
 
 
+def _planted_corpus(spark, sf):
+    """Deterministic planted-cluster corpus derived from the
+    embeddings table (r8 verdict ask #5): 40 unit-normalized centers
+    (vec_id < 40) × 12 members each; member vector = center +
+    md5-seeded uniform noise in (−0.02, 0.02) per coordinate (the
+    52-bit `sample_weighted` uniform — exact in BIGINT and DOUBLE in
+    both engines), so the DuckDB mirror reproduces the corpus
+    BIT-FOR-BIT. Intra-cluster spread ≈0.09 ≪ inter-center ≈√2: every
+    true top-10 lies inside the query's cluster, so the gate carries
+    the recall number users would see on clustered data (the pytest
+    planted-cluster floors, now driver-visible)."""
+    base = (D.load(spark, sf, "embeddings")
+            .where(F.col("vec_id") < 40)
+            .select(F.col("vec_id").alias("cid"), "embedding")
+            .withColumn("nrm", F.expr(
+                "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
+                "(acc, x) -> acc + x * x))")))
+    mem = base.crossJoin(
+        spark.range(12).select(F.col("id").alias("j")))
+    vec = F.expr(
+        "transform(sequence(0, 63), i -> "
+        "element_at(embedding, i + 1) / nrm "
+        "+ ((CAST(conv(substring(md5(concat('pl', "
+        "CAST(pvid AS STRING), '_', CAST(i AS STRING))), 1, 13), "
+        "16, 10) AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+        "/ CAST(4503599627370496 AS DOUBLE)) * CAST(0.04 AS DOUBLE) "
+        "- CAST(0.02 AS DOUBLE))")
+    return (mem.withColumn("pvid",
+                           (F.col("cid") * 12 + F.col("j"))
+                           .cast("long"))
+               .select(F.col("pvid").alias("vec_id"),
+                       vec.alias("embedding")))
+
+
+def _pq_ann_recall_planted(spark, sf):
+    """Planted-cluster ANN recall as a DRIVER-VISIBLE gate (r8
+    verdict ask #5): multi-probe LSH (n_bits=4, n_probe=4 — the
+    production config) retrieving top-10 over the deterministic
+    planted corpus (`_planted_corpus`), truth = exact brute cosine
+    top-10 without the query's own row. On clustered data the recall
+    is the number users would see (≫ the honest 0.36 the same config
+    scores on the near-uniform raw embeddings)."""
+    from pyspark.sql import Window
+    from stark_spark.operators.similarity import (ann_lsh_topk,
+                                                  brute_force_topk,
+                                                  rank_eval)
+    emb = _planted_corpus(spark, sf)
+    q = (emb.where(F.col("vec_id") % 12 == 0)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    retrieved = ann_lsh_topk(emb, q, 10, dim=64, n_bits=4, n_probe=4,
+                             exclude_self=True)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    truth = (brute_force_topk(emb, q, 11, score="fold")
+             .where(F.col("vec_id") != F.col("q_id"))
+             .withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= 10))
+    return rank_eval(retrieved, truth, k=10)
+
+
+def _planted_sql() -> str:
+    """DuckDB mirror of `_planted_corpus` — identical fold/noise
+    arithmetic (decimal literals cast to DOUBLE, 52-bit md5 uniform,
+    left-fold self-dot for the center norm)."""
+    self_dot = _DOT.format(a="embedding", b="embedding")
+    noise_md5 = ("md5('pl' || CAST(c.cid * 12 + j.j AS VARCHAR) "
+                 "|| '_' || CAST(i AS VARCHAR))")
+    noise = (f"((CAST(({_hex13_sql(noise_md5)}) AS DOUBLE) "
+             "+ CAST(0.5 AS DOUBLE)) "
+             "/ CAST(4503599627370496 AS DOUBLE)) "
+             "* CAST(0.04 AS DOUBLE) - CAST(0.02 AS DOUBLE)")
+    return f"""
+  SELECT c.cid * 12 + j.j AS vec_id,
+    list_transform(generate_series(0, 63), i ->
+      embedding[i + 1] / nrm + {noise}) AS embedding
+  FROM (SELECT vec_id AS cid, embedding, sqrt({self_dot}) AS nrm
+        FROM embeddings WHERE vec_id < 40) c
+  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) j"""
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-9 rotation (the 3 r8 entries promoted into queries());
@@ -2708,6 +2791,7 @@ def pending_queries():
     return {
         "dissolve_adjacent_tiles": _pq_dissolve_adjacent_tiles,
         "sql_st_buffer_erode_split": _pq_sql_st_buffer_erode_split,
+        "ann_recall_planted": _pq_ann_recall_planted,
     }
 
 
@@ -2985,6 +3069,18 @@ SELECT p_partkey,
   CAST(2 AS BIGINT) AS snrings,
   CAST(-1 AS BIGINT) AS svan
 FROM p""",
+        "ann_recall_planted": _rank_eval_sql(
+            _lsh_mp_topk_sql(n_probe=4, k=10,
+                             src=f"({_planted_sql()})",
+                             q_pred="vec_id % 12 = 0"),
+            f"""SELECT q_id, vec_id, rank FROM (
+  SELECT q.vec_id AS q_id, v.vec_id,
+    CAST(row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY {_cos('v.embedding', 'q.embedding')} DESC, v.vec_id)
+      AS INT) AS rank
+  FROM ({_planted_sql()}) q
+  JOIN ({_planted_sql()}) v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id % 12 = 0) t WHERE rank <= 10""", 10),
     }
 
 

@@ -454,7 +454,11 @@ def synthesize(workdir: str) -> None:
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
 PENDING_SCALE = [
-    # (empty — the r8 staged cohort promoted at the r9 rotation)
+    # r9-minted staged gates (closed-form tiling/erosion arithmetic;
+    # fixed-size planted corpus — all linear oracles)
+    "dissolve_adjacent_tiles",
+    "sql_st_buffer_erode_split",
+    "ann_recall_planted",
 ]
 
 
