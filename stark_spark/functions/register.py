@@ -383,8 +383,10 @@ RETURNS {typ} RETURN b.{field}""")
                                              "st_union_agg"))
         if not polys:
             return None
-        return G.to_wkb(G._geom_from_polys(G._trace_polys(polys,
-                                                          "union")))
+        # _union_tree: ≤64 polygons = the direct single-pass overlay
+        # (bit-stable); larger groups take the KD merge tree — same
+        # 100 TB straggler guard as operators/overlay.dissolve (r9)
+        return G.to_wkb(G._geom_from_polys(G._union_tree(polys)))
 
     spark.udf.register("st_union_agg", _union_agg)
 
