@@ -1525,7 +1525,9 @@ def _erode_ring(ring: np.ndarray, d: float,
                              "(collinear fold)")
         t = ((q[0] - p[0]) * ev[j, 1] - (q[1] - p[1]) * ev[j, 0]) / denom
         miter[j] = p + t * ev[i]
-    def _build(strict: bool) -> np.ndarray:
+    def _build_mitered() -> np.ndarray:
+        # trimmed mitered offset: EXACT for erosions that stay simple
+        # (the fast path); raises when a miter consumes its edge
         out: list = []
         for i in range(m):
             j = (i + 1) % m
@@ -1533,7 +1535,7 @@ def _erode_ring(ring: np.ndarray, d: float,
                 pts[i] - d * np.array([nx[i], ny[i]])
             end = miter[j] if not reflex[j] else \
                 pts[j] - d * np.array([nx[i], ny[i]])
-            if strict and (end - start) @ ev[i] <= 1e-12 * norm[i]:
+            if (end - start) @ ev[i] <= 1e-12 * norm[i]:
                 raise ValueError("buffer: erosion exceeds local "
                                  "feature size (offset edge consumed)")
             out.append(start)
@@ -1555,69 +1557,76 @@ def _erode_ring(ring: np.ndarray, d: float,
         keep[1:] = np.any(np.abs(arr[1:] - arr[:-1]) > 1e-12, axis=1)
         return arr[keep]
 
+    def _build_raw() -> np.ndarray:
+        # the RAW offset curve of Chen & McMains 2005: FULL edge
+        # translates (no trimming — adjacent translates cross at the
+        # would-be miter) joined by a radius-d arc at EVERY vertex,
+        # swept along the vertex's turn: clockwise at reflex vertices
+        # (real erosion arcs), counter-clockwise at convex ones (the
+        # backward connector whose pocket winds <= 0). For this curve
+        # the true eroded region is EXACTLY {p : winding >= 1},
+        # consumed/reversed edges included.
+        out: list = []
+        for i in range(m):
+            j = (i + 1) % m
+            out.append(pts[i] - d * np.array([nx[i], ny[i]]))
+            out.append(pts[j] - d * np.array([nx[i], ny[i]]))
+            a0 = np.arctan2(ny[i], nx[i])
+            a1 = np.arctan2(ny[j], nx[j])
+            w = pts[j]
+            if crosses[j] < -1e-12:          # reflex: clockwise
+                sweep = (a0 - a1) % (2 * np.pi)
+                if sweep > 1e-12:
+                    k = int(np.ceil(sweep / step))
+                    for t in range(1, k):
+                        a = a0 - sweep * t / k
+                        out.append(w - d * np.array([np.cos(a),
+                                                     np.sin(a)]))
+            elif crosses[j] > 1e-12:         # convex: counter-cw
+                sweep = (a1 - a0) % (2 * np.pi)
+                if sweep > 1e-12:
+                    k = int(np.ceil(sweep / step))
+                    for t in range(1, k):
+                        a = a0 + sweep * t / k
+                        out.append(w - d * np.array([np.cos(a),
+                                                     np.sin(a)]))
+        arr = np.vstack(out)
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = np.any(np.abs(arr[1:] - arr[:-1]) > 1e-12, axis=1)
+        if np.all(np.abs(arr[-1] - arr[0]) <= 1e-12):
+            keep[-1] = False
+        return arr[keep]
+
     try:
-        arr = _build(strict=True)
-        permissive = False
+        arr = _build_mitered()
+        if _ring_is_simple(arr):
+            closed_ = np.vstack([arr, arr[:1]])
+            return [closed_] if _ring_signed_area2(closed_) > 0 else []
     except ValueError:
-        # an offset edge was CONSUMED by its miters (d beyond the
-        # local concavity feature size): rebuild permissively —
-        # reversed edges make the curve self-intersect MORE, and the
-        # untangle + distance verification below sorts it out (a
-        # fully-vanishing non-convex region comes back [], a deep
-        # waist split comes back as its surviving parts)
-        arr = _build(strict=False)
-        permissive = True
+        pass
+    # the mitered curve is consumed or self-intersects — the region
+    # SPLITS at a waist or partially/fully vanishes. Rebuild as the
+    # RAW arc-connected curve and recover exactly {winding >= 1},
+    # the true offset region (Chen & McMains 2005), matching JTS
+    # buffer(-d) up to arc discretization.
+    arr = _build_raw()
     if len(arr) < 3:
         return []
     closed_ = np.vstack([arr, arr[:1]])
-    if _ring_is_simple(arr):
-        loops = [closed_] if _ring_signed_area2(closed_) > 0 else []
-        if not permissive:
-            return loops
-    else:
-        # the offset curve self-intersects — the region SPLITS at a
-        # waist (r9); untangle into its simple positive loops,
-        # matching JTS buffer(-d) up to arc discretization
-        loops = _untangle_offset(closed_)
-    # verify every kept loop really lies at distance >= d from the
-    # input boundary (vertex-sampled): untangling a curve with
-    # consumed/reversed edges can leave ARTIFACT loops generated by
-    # non-adjacent features. Legit vertices sit within the inscribed-
-    # chord sag of the true offset (crossings of two sagging chords:
-    # <= 2·d·(1−cos(step/2))); artifacts sit a FRACTION of d inside.
-    # Strict mode promised exactness — an artifact there raises;
-    # permissive mode drops it.
+    ring_orig = np.vstack([pts, pts[:1]])
+    loops = _winding_decompose(closed_, ring_orig, d, step)
+    # numeric backstop (never silent): a kept face is true-region by
+    # classification, so its boundary vertices must sit at >= d from
+    # the input minus the inscribed-chord sag (a crossing of two
+    # sagging chords can sit up to 2·d·(1−cos(step/2)) inside)
     sag = d * (1.0 - np.cos(step / 2.0))
     floor = d - 2.0 * sag - 1e-9 * d
-    ring_orig = np.vstack([pts, pts[:1]])
-    kept: list = []
-    dropped: list = []
     for lp in loops:
         dmin = min(_min_dist_to_ring(v, ring_orig) for v in lp[:-1])
-        if dmin >= floor:
-            kept.append(lp)
-        elif not permissive:
-            raise ValueError("buffer: erosion offset loop fails the "
-                             "distance check (unresolved topology)")
-        else:
-            dropped.append(lp)
-    # permissive honesty probe: a dropped artifact loop is only safe
-    # to discard if NO interior sample of it is genuinely eroded
-    # space (>= d from the boundary, inside the input, not already
-    # covered by a kept loop). Deep erosions whose surviving region
-    # the offset decomposition cannot attribute RAISE instead of
-    # silently under-reporting.
-    for lp in dropped:
-        c = lp[:-1].mean(axis=0)
-        samples = [c] + [(v + c) / 2.0 for v in lp[:-1]]
-        for s in samples:
-            if (_point_in_ring(s, ring_orig)
-                    and _min_dist_to_ring(s, ring_orig) >= d
-                    and not any(_point_in_ring(s, k) for k in kept)):
-                raise ValueError("buffer: erosion survivor the offset "
-                                 "decomposition cannot attribute "
-                                 "(d far beyond local feature size)")
-    return kept
+        if dmin < floor:
+            raise ValueError("buffer: erosion part fails the distance "
+                             "backstop (numeric resolution)")
+    return loops
 
 
 def _min_dist_to_ring(pt: np.ndarray, ring: np.ndarray) -> float:
@@ -1632,18 +1641,51 @@ def _min_dist_to_ring(pt: np.ndarray, ring: np.ndarray) -> float:
     return float(np.sqrt((dv * dv).sum(axis=1).min()))
 
 
-def _untangle_offset(arr: np.ndarray) -> list:
-    """Decompose a self-intersecting CLOSED offset curve into its
-    SIMPLE positive (CCW) loops — the surviving parts of an erosion
-    that splits the region. The curve is noded against itself
-    (`_seg_events` over non-adjacent edge pairs), the single closed
-    walk is re-threaded through the nodes, and `_pinch_split` cuts it
-    at every revisited node; loops with positive area are the parts,
-    the inverted (CW) pockets between crossings are the over-eroded
-    waist and are discarded. Kept loops must be pairwise disjoint —
-    overlap would mean winding > 1, an erosion this construction
-    cannot attribute, and raises (honest refusal retained for the
-    truly pathological)."""
+def _winding(pt, curve: np.ndarray) -> int:
+    """Winding number of a closed polyline around a point (Sunday's
+    signed-crossing form). The point must be OFF the curve."""
+    x, y = float(pt[0]), float(pt[1])
+    a, b = curve[:-1], curve[1:]
+    up = (a[:, 1] <= y) & (b[:, 1] > y)
+    dn = (a[:, 1] > y) & (b[:, 1] <= y)
+    cr = ((b[:, 0] - a[:, 0]) * (y - a[:, 1])
+          - (b[:, 1] - a[:, 1]) * (x - a[:, 0]))
+    return int(np.count_nonzero(up & (cr > 0))
+               - np.count_nonzero(dn & (cr < 0)))
+
+
+def _dist_point_seg(x: float, y: float, a, b) -> float:
+    ax, ay = a
+    bx, by = b
+    dx, dy = bx - ax, by - ay
+    l2 = dx * dx + dy * dy
+    t = 0.0 if l2 <= 0 else max(0.0, min(1.0, ((x - ax) * dx
+                                               + (y - ay) * dy) / l2))
+    return float(np.hypot(ax + t * dx - x, ay + t * dy - y))
+
+
+def _winding_decompose(arr: np.ndarray, ring_orig: np.ndarray,
+                       d: float, step: float) -> list:
+    """Erosion parts from the RAW self-intersecting offset curve, in
+    the spirit of Chen & McMains 2005 ("Polygon Offsetting by
+    Computing Winding Numbers"): self-node the curve (`_seg_events`
+    over non-adjacent edge pairs), count the DIRECTED multiplicity of
+    every noded segment, get the left-side winding by ray casting
+    from a clearance-displaced midpoint (right side = left − net
+    multiplicity), keep segments where exactly one side winds >= 1
+    oriented covered-left, and face-trace into loops
+    (`_trace_loops`). {winding >= 1} CONTAINS the true region but can
+    carry spurious pockets under deeply-consumed edges (verified
+    empirically — a d≫feature-size dumbbell leaves a +1 pocket at
+    the neck center inside a −1 sea), so each traced FACE is then
+    classified by THE DEFINITION on one interior sample — inside the
+    input ring and at distance >= d (minus the inscribed-chord sag)
+    from it. Faces are uniform: the true erosion boundary is a
+    subset of the arrangement, so no face straddles it. A face
+    thinner than the sag band can drop — the same resolution limit
+    as JTS's quadrant-segment discretization. A CW loop (a hole in a
+    part) classifying TRUE raises — erosion of a simply-connected
+    region has simply-connected parts."""
     pts = arr[:-1]
     n = len(pts)
     span = max(1.0, float(np.abs(pts).max()))
@@ -1668,29 +1710,75 @@ def _untangle_offset(arr: np.ndarray) -> list:
                 nid = nodes.add(pt[0], pt[1])
                 per_edge[i].append((t, nid))
                 per_edge[j].append((u, nid))
-    walk: list = []
+    seg_mult: dict = {}        # (lo,hi) → [m_forward, m_backward]
     for i in range(n):
-        walk.append(vid[i])
-        for _t, nid in sorted(per_edge[i], key=lambda e: e[0]):
-            walk.append(nid)
-    walk = [w for k, w in enumerate(walk) if w != walk[k - 1]]
-    out: list = []
-    for cyc in _pinch_split(walk):
-        if len(cyc) < 3:
+        evs = ([(0.0, vid[i]), (1.0, vid[(i + 1) % n])]
+               + per_edge[i])
+        prev = None
+        for _t, nid in sorted(evs, key=lambda e: e[0]):
+            if prev is not None and nid != prev:
+                lo, hi = (prev, nid) if prev < nid else (nid, prev)
+                mult = seg_mult.setdefault((lo, hi), [0, 0])
+                mult[0 if prev == lo else 1] += 1
+            prev = nid
+    npts = nodes.pts
+    segs = list(seg_mult.items())
+    bedges: list = []
+    for si, ((lo, hi), (mf, mb)) in enumerate(segs):
+        ax, ay = npts[lo]
+        bx, by = npts[hi]
+        mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
+        clear = np.inf
+        for sj, ((lo2, hi2), _m2) in enumerate(segs):
+            if sj == si:
+                continue
+            clear = min(clear, _dist_point_seg(mx, my, npts[lo2],
+                                               npts[hi2]))
+        dx, dy = bx - ax, by - ay
+        ln = float(np.hypot(dx, dy))
+        if not np.isfinite(clear) or clear <= 0 or ln <= 0:
+            raise ValueError("buffer: erosion winding resolution "
+                             "failed (coincident geometry)")
+        delta = min(clear, ln) / 2.0
+        w_left = _winding((mx - dy / ln * delta, my + dx / ln * delta),
+                          arr)
+        w_right = w_left - (mf - mb)
+        covl, covr = w_left >= 1, w_right >= 1
+        if covl == covr:
             continue
-        ring = np.array([nodes.pts[c] for c in cyc]
-                        + [nodes.pts[cyc[0]]], dtype=float)
-        if _ring_signed_area2(ring) <= 1e-12 * span * span:
-            continue                   # inverted pocket or sliver
-        if not _ring_is_simple(ring[:-1]):
-            raise ValueError("buffer: erosion offset loop stays "
-                             "non-simple (unresolved topology)")
-        out.append(ring)
-    for i in range(len(out)):
-        for j in range(i + 1, len(out)):
-            if _rings_may_touch(out[i], out[j]):
-                raise ValueError("buffer: erosion parts overlap "
-                                 "(winding > 1 — unresolved topology)")
+        bedges.append((lo, hi) if covl else (hi, lo))
+    sag = d * (1.0 - np.cos(step / 2.0))
+    floor = d - 2.0 * sag - 1e-9 * d
+
+    def _face_sample(lp: np.ndarray):
+        # interior point of the face left of the loop's first edge:
+        # its midpoint displaced by half the clearance to any other
+        # arrangement segment (its own segment measures ~0 — skipped)
+        mx, my = (lp[0] + lp[1]) / 2.0
+        clear = np.inf
+        for (lo2, hi2), _m2 in segs:
+            dd_ = _dist_point_seg(mx, my, npts[lo2], npts[hi2])
+            if dd_ > 1e-12 * span:
+                clear = min(clear, dd_)
+        dx, dy = lp[1][0] - lp[0][0], lp[1][1] - lp[0][1]
+        ln = float(np.hypot(dx, dy))
+        if not np.isfinite(clear) or clear <= 0 or ln <= 0:
+            raise ValueError("buffer: erosion face resolution failed "
+                             "(coincident geometry)")
+        delta = min(clear, ln) / 2.0
+        return np.array([mx - dy / ln * delta, my + dx / ln * delta])
+
+    out: list = []
+    for lp in _trace_loops(bedges, npts):
+        s = _face_sample(lp)
+        keep = (_point_in_ring(s, ring_orig)
+                and _min_dist_to_ring(s, ring_orig) >= floor)
+        if not keep:
+            continue                   # spurious winding pocket
+        if _ring_signed_area2(lp) <= 0:
+            raise ValueError("buffer: erosion produced a hole "
+                             "(numeric resolution)")
+        out.append(lp)
     return out
 
 
@@ -2365,45 +2453,7 @@ def _trace_polys(polys: list, mode: str) -> list:
         bedges.append((lo, hi) if covl else (hi, lo))
 
     # ---- 3. face tracing (clockwise-most rule), pinch-split ----
-    loops: list = []
-    if bedges:
-        out_at: dict = {}
-        angs: list = []
-        for eid, (na, nb) in enumerate(bedges):
-            a_ = float(np.arctan2(npts[nb][1] - npts[na][1],
-                                  npts[nb][0] - npts[na][0]))
-            angs.append(a_)
-            out_at.setdefault(na, []).append((a_, eid))
-        two_pi = 2.0 * np.pi
-        nxt: list = [0] * len(bedges)
-        for eid, (na, nb) in enumerate(bedges):
-            rev = angs[eid] + np.pi            # direction b→a
-            outs = out_at.get(nb)
-            if not outs:
-                raise ValueError("polygon overlay: open boundary "
-                                 "chain (unresolved contact)")
-            best = min(outs, key=lambda e: ((rev - e[0]) % two_pi)
-                       or two_pi)
-            nxt[eid] = best[1]
-        if len(set(nxt)) != len(bedges):
-            raise ValueError("polygon overlay: inconsistent boundary "
-                             "stitching (unresolved contact)")
-        seen = [False] * len(bedges)
-        for e0 in range(len(bedges)):
-            if seen[e0]:
-                continue
-            path: list = []
-            e = e0
-            while not seen[e]:
-                seen[e] = True
-                path.append(bedges[e][0])
-                e = nxt[e]
-            for cyc in _pinch_split(path):
-                if len(cyc) < 3:
-                    raise ValueError("polygon overlay: degenerate "
-                                     "output loop (unresolved contact)")
-                loops.append(np.array([npts[c] for c in cyc]
-                                      + [npts[cyc[0]]], dtype=float))
+    loops = _trace_loops(bedges, npts)
 
     # classify by orientation, then nest holes under their innermost
     # containing shell (islands are CCW → their own polygon)
@@ -2433,6 +2483,57 @@ def _trace_polys(polys: list, mode: str) -> list:
                    key=lambda i: abs(_ring_signed_area2(shells[i])))
         result[best].append(h)
     return result
+
+
+def _trace_loops(bedges: list, npts: list) -> list:
+    """Stitch directed boundary edges (each oriented interior-LEFT)
+    into closed loops with the clockwise-most face-tracing rule:
+    after edge (a→b), continue with the outgoing edge at b first
+    CLOCKWISE from the reversed direction (b→a) — resolving
+    tangential and multi-way nodes. Loops revisiting a node are
+    pinch-split into simple rings. Returns closed coordinate rings
+    (CCW = shell, CW = hole, by construction)."""
+    loops: list = []
+    if not bedges:
+        return loops
+    out_at: dict = {}
+    angs: list = []
+    for eid, (na, nb) in enumerate(bedges):
+        a_ = float(np.arctan2(npts[nb][1] - npts[na][1],
+                              npts[nb][0] - npts[na][0]))
+        angs.append(a_)
+        out_at.setdefault(na, []).append((a_, eid))
+    two_pi = 2.0 * np.pi
+    nxt: list = [0] * len(bedges)
+    for eid, (na, nb) in enumerate(bedges):
+        rev = angs[eid] + np.pi            # direction b→a
+        outs = out_at.get(nb)
+        if not outs:
+            raise ValueError("polygon overlay: open boundary "
+                             "chain (unresolved contact)")
+        best = min(outs, key=lambda e: ((rev - e[0]) % two_pi)
+                   or two_pi)
+        nxt[eid] = best[1]
+    if len(set(nxt)) != len(bedges):
+        raise ValueError("polygon overlay: inconsistent boundary "
+                         "stitching (unresolved contact)")
+    seen = [False] * len(bedges)
+    for e0 in range(len(bedges)):
+        if seen[e0]:
+            continue
+        path: list = []
+        e = e0
+        while not seen[e]:
+            seen[e] = True
+            path.append(bedges[e][0])
+            e = nxt[e]
+        for cyc in _pinch_split(path):
+            if len(cyc) < 3:
+                raise ValueError("polygon overlay: degenerate "
+                                 "output loop (unresolved contact)")
+            loops.append(np.array([npts[c] for c in cyc]
+                                  + [npts[cyc[0]]], dtype=float))
+    return loops
 
 
 def _pinch_split(path: list) -> list:

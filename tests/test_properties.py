@@ -1689,16 +1689,19 @@ def test_buffer_negative_erosion():
     assert eu.kind == "MULTIPOLYGON" and len(eu.parts()) == 2
     # two 1.4 x 3.4 arm erosions + small mouth bulges at the strap
     assert 2 * 1.4 * 3.4 <= G.area(eu) < 2 * 1.4 * 3.4 + 0.1
-    # deep erosion where a survivor exists but the offset
-    # decomposition cannot attribute it still refuses honestly
+    # erosion is TOTAL (r9, Chen & McMains winding decomposition):
+    # waist split, deep-erosion tiny survivors, and full vanish all
+    # compute — no refusal class left, only numeric backstops
     db = G.from_wkt("POLYGON ((0 0, 6 0, 6 2, 10 2, 10 0, 16 0, "
                     "16 6, 10 6, 10 4, 6 4, 6 6, 0 6, 0 0))")
     e15 = G.buffer(db, -1.5)           # waist split: two lobes
     assert e15.kind == "MULTIPOLYGON" and len(e15.parts()) == 2
     assert abs(G.area(e15) - 18.501773) < 1e-4
-    assert G.buffer(db, -3.5) is None  # erodes away entirely
-    with pytest.raises(ValueError, match="cannot attribute"):
-        G.buffer(db, -2.9)             # tiny survivor, deep erosion
+    e29 = G.buffer(db, -2.9)           # deep: two tiny survivors
+    assert e29.kind == "MULTIPOLYGON" and len(e29.parts()) == 2
+    assert abs(G.area(e29) - 2 * 0.074457) < 1e-3
+    assert G.buffer(db, -3.01) is None  # exact vanish threshold
+    assert G.buffer(db, -3.5) is None   # erodes away entirely
     # closing (dilate then erode) re-covers the rectangle up to the
     # inscribed-arc approximation sliver
     cl = G.buffer(G.buffer(r, 1.0), -1.0)
@@ -1707,6 +1710,40 @@ def test_buffer_negative_erosion():
     import math
     op = G.buffer(G.buffer(r, -1.0), 1.0)
     assert abs(G.area(op) - (60.0 - (4 - math.pi))) < 0.05
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=30, deadline=None)
+def test_erosion_grid_oracle_past_split(seed):
+    """r9: erosion is TOTAL (winding decomposition) — for random
+    dumbbells and random depths spanning simple, waist-split and
+    fully-vanished regimes, the point-set membership of
+    buffer(g, −d) equals the definition: inside g AND at distance
+    ≥ d from its boundary. Probes within the arc-discretization band
+    of the threshold are skipped (inscribed chords sit ~0.005·d
+    inside the true circles)."""
+    from stark_spark.core.geometry import _min_dist_to_ring
+    rng = np.random.default_rng(seed)
+    w = int(rng.integers(4, 9))
+    h = int(rng.integers(6, 13))
+    c = h // 2
+    x2, x3 = w + 4, 2 * w + 4
+    wkt = (f"POLYGON ((0 0, {w} 0, {w} {c - 1}, {x2} {c - 1}, "
+           f"{x2} 0, {x3} 0, {x3} {h}, {x2} {h}, {x2} {c + 1}, "
+           f"{w} {c + 1}, {w} {h}, 0 {h}, 0 0))")
+    g = G.from_wkt(wkt)
+    ring = np.asarray(g.coords[0], dtype=float)
+    d = float(rng.uniform(0.3, h))
+    e = G.buffer(g, -d)                 # must COMPUTE for every d
+    band = 0.05 * d
+    for x in np.linspace(0.13, x3 - 0.11, 18):
+        for y in np.linspace(0.17, h - 0.12, 12):
+            pt = np.array([x, y])
+            dist = _min_dist_to_ring(pt, ring)
+            if abs(dist - d) < band:
+                continue
+            want = _member(g, x, y) and dist >= d
+            assert _member(e, x, y) == want, (x, y, d, dist)
 
 
 def test_buffer_holed_polygons():
