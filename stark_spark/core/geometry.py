@@ -1665,7 +1665,8 @@ def _dist_point_seg(x: float, y: float, a, b) -> float:
 
 
 def _winding_decompose(arr: np.ndarray, ring_orig: np.ndarray,
-                       d: float, step: float) -> list:
+                       d: float, step: float,
+                       dilate: bool = False) -> list:
     """Erosion parts from the RAW self-intersecting offset curve, in
     the spirit of Chen & McMains 2005 ("Polygon Offsetting by
     Computing Winding Numbers"): self-node the curve (`_seg_events`
@@ -1771,12 +1772,18 @@ def _winding_decompose(arr: np.ndarray, ring_orig: np.ndarray,
     out: list = []
     for lp in _trace_loops(bedges, npts):
         s = _face_sample(lp)
-        keep = (_point_in_ring(s, ring_orig)
-                and _min_dist_to_ring(s, ring_orig) >= floor)
+        inside = _point_in_ring(s, ring_orig)
+        dist = _min_dist_to_ring(s, ring_orig)
+        if dilate:
+            # dilation face: within d of the region (inside counts)
+            keep = inside or dist <= floor
+        else:
+            # erosion face: inside AND at least d from the boundary
+            keep = inside and dist >= floor
         if not keep:
             continue                   # spurious winding pocket
         if _ring_signed_area2(lp) <= 0:
-            raise ValueError("buffer: erosion produced a hole "
+            raise ValueError("buffer: offset produced a hole "
                              "(numeric resolution)")
         out.append(lp)
     return out
@@ -1998,56 +2005,117 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     crosses = (np.roll(d, 1, axis=0)[:, 0] * d[:, 1]
                - np.roll(d, 1, axis=0)[:, 1] * d[:, 0])
     reflex = crosses < -1e-12
-    # miter point at each reflex vertex: intersection of the two
-    # adjacent offset edge LINES (trims both offset edges)
-    miter = {}
-    for j in np.nonzero(reflex)[0]:
-        i = (j - 1) % m
-        p = ring[j] + dist * np.array([nx[i], ny[i]])   # on offset line i
-        q = ring[j] + dist * np.array([nx[j], ny[j]])   # on offset line j
-        denom = d[i, 0] * d[j, 1] - d[i, 1] * d[j, 0]
-        if abs(denom) < 1e-12 * norm[i] * norm[j]:
-            raise ValueError("buffer: degenerate reflex vertex "
-                             "(collinear fold)")
-        t = ((q[0] - p[0]) * d[j, 1] - (q[1] - p[1]) * d[j, 0]) / denom
-        miter[j] = p + t * d[i]
     step = (np.pi / 2) / quad_segs
-    pts = []
-    for i in range(m):
-        j = (i + 1) % m
-        start = miter[i] if reflex[i] else \
-            ring[i] + dist * np.array([nx[i], ny[i]])
-        end = miter[j] if reflex[j] else \
-            ring[j] + dist * np.array([nx[i], ny[i]])
-        # trimmed offset edge must still advance along the edge
-        # direction, else dist exceeds the local concavity depth
-        if (end - start) @ d[i] <= 1e-12 * norm[i]:
-            raise ValueError("buffer: dist too large for concavity "
-                             "(offset edge fully consumed)")
-        pts.append(start)
-        pts.append(end)
-        if not reflex[j]:
-            # arc at the NEXT vertex: from normal i to normal j (CCW)
-            w = ring[j]
+
+    def _dil_mitered() -> np.ndarray:
+        # trimmed offset: miters at REFLEX vertices, arcs at convex —
+        # EXACT while the offset curve stays simple (the fast path);
+        # raises when dist exceeds the local concavity depth
+        miter = {}
+        for j in np.nonzero(reflex)[0]:
+            i = (j - 1) % m
+            p = ring[j] + dist * np.array([nx[i], ny[i]])
+            q = ring[j] + dist * np.array([nx[j], ny[j]])
+            denom = d[i, 0] * d[j, 1] - d[i, 1] * d[j, 0]
+            if abs(denom) < 1e-12 * norm[i] * norm[j]:
+                raise ValueError("buffer: degenerate reflex vertex "
+                                 "(collinear fold)")
+            t = ((q[0] - p[0]) * d[j, 1]
+                 - (q[1] - p[1]) * d[j, 0]) / denom
+            miter[j] = p + t * d[i]
+        pts = []
+        for i in range(m):
+            j = (i + 1) % m
+            start = miter[i] if reflex[i] else \
+                ring[i] + dist * np.array([nx[i], ny[i]])
+            end = miter[j] if reflex[j] else \
+                ring[j] + dist * np.array([nx[i], ny[i]])
+            # trimmed offset edge must still advance along the edge
+            # direction, else dist exceeds the local concavity depth
+            if (end - start) @ d[i] <= 1e-12 * norm[i]:
+                raise ValueError("buffer: dist too large for "
+                                 "concavity (offset edge consumed)")
+            pts.append(start)
+            pts.append(end)
+            if not reflex[j]:
+                # arc at the NEXT vertex: normal i → normal j (CCW)
+                w = ring[j]
+                a0 = np.arctan2(ny[i], nx[i])
+                a1 = np.arctan2(ny[j], nx[j])
+                sweep = (a1 - a0) % (2 * np.pi)
+                if sweep > 1e-12:
+                    k = int(np.ceil(sweep / step))
+                    for t in range(1, k):
+                        a = a0 + sweep * t / k
+                        pts.append(w + dist * np.array([np.cos(a),
+                                                        np.sin(a)]))
+        arr = np.vstack(pts)
+        # drop consecutive duplicates from shared miter points
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = np.any(np.abs(arr[1:] - arr[:-1]) > 1e-12, axis=1)
+        return arr[keep]
+
+    def _dil_raw() -> np.ndarray:
+        # the RAW outward-offset curve (Chen & McMains 2005): FULL
+        # edge translates joined by a radius-dist arc at EVERY
+        # vertex — counter-clockwise at convex (real dilation arcs),
+        # clockwise at reflex (backward connectors whose pockets
+        # wind <= 0); handles hairpins and over-deep concavities
+        pts = []
+        for i in range(m):
+            j = (i + 1) % m
+            pts.append(ring[i] + dist * np.array([nx[i], ny[i]]))
+            pts.append(ring[j] + dist * np.array([nx[i], ny[i]]))
             a0 = np.arctan2(ny[i], nx[i])
             a1 = np.arctan2(ny[j], nx[j])
-            sweep = (a1 - a0) % (2 * np.pi)
-            if sweep > 1e-12:
-                k = int(np.ceil(sweep / step))
-                for t in range(1, k):
-                    a = a0 + sweep * t / k
-                    pts.append(w + dist * np.array([np.cos(a),
-                                                    np.sin(a)]))
-    arr = np.vstack(pts)
-    # drop consecutive duplicates introduced by shared miter points
-    keep = np.ones(len(arr), dtype=bool)
-    keep[1:] = np.any(np.abs(arr[1:] - arr[:-1]) > 1e-12, axis=1)
-    arr = arr[keep]
-    if reflex.any() and not _ring_is_simple(arr):
-        raise ValueError("buffer: dist too large for concavity "
-                         "(offset curve self-intersects)")
-    out = np.vstack([arr, arr[0]])
-    return Geometry("POLYGON", [out])
+            w = ring[j]
+            if crosses[j] < -1e-12:              # reflex: cw back
+                sweep = (a0 - a1) % (2 * np.pi)
+                if sweep > 1e-12:
+                    k = int(np.ceil(sweep / step))
+                    for t in range(1, k):
+                        a = a0 - sweep * t / k
+                        pts.append(w + dist * np.array([np.cos(a),
+                                                        np.sin(a)]))
+            else:                                # convex OR 180° cap
+                # crosses == 0 with opposite normals is a flat-ring
+                # hairpin endpoint: the ccw π-sweep IS the end cap
+                sweep = (a1 - a0) % (2 * np.pi)
+                if sweep > 1e-12:
+                    k = int(np.ceil(sweep / step))
+                    for t in range(1, k):
+                        a = a0 + sweep * t / k
+                        pts.append(w + dist * np.array([np.cos(a),
+                                                        np.sin(a)]))
+        arr = np.vstack(pts)
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = np.any(np.abs(arr[1:] - arr[:-1]) > 1e-12, axis=1)
+        if np.all(np.abs(arr[-1] - arr[0]) <= 1e-12):
+            keep[-1] = False
+        return arr[keep]
+
+    try:
+        arr = _dil_mitered()
+        if not (reflex.any() and not _ring_is_simple(arr)):
+            out = np.vstack([arr, arr[0]])
+            return Geometry("POLYGON", [out])
+    except ValueError:
+        pass
+    # dist exceeds the local concavity depth (or a hairpin folds the
+    # offset): rebuild as the raw arc-connected curve and recover the
+    # dilation as its winding-classified faces — total, like erosion
+    arr = _dil_raw()
+    ring_closed = np.vstack([ring, ring[:1]])
+    loops = _winding_decompose(np.vstack([arr, arr[:1]]), ring_closed,
+                               float(dist), step, dilate=True)
+    if not loops:
+        raise ValueError("buffer: dilation produced no region "
+                         "(numeric resolution)")
+    if len(loops) == 1:
+        return Geometry("POLYGON", [loops[0]])
+    # tangential pinch only — parts meeting at isolated points
+    return Geometry("MULTIPOLYGON",
+                    [Geometry("POLYGON", [lp]) for lp in loops])
 
 
 def _parts_of(g: Geometry):

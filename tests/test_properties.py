@@ -459,10 +459,12 @@ def test_buffer_rejects_bad_inputs():
                        " (2 2, 3 2, 3 3, 2 3, 2 2))")
     assert len(G.buffer(holed, 0.2).coords) == 2
     assert len(G.buffer(holed, 1.0).coords) == 1   # hole erodes away
-    # dist beyond the concavity depth: honest refusal, never a bowtie
+    # dist beyond the concavity depth: COMPUTES since r9 (raw-curve
+    # winding fallback) — never a bowtie, the concavity fills in
     ell = G.from_wkt("POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))")
-    with pytest.raises(ValueError):
-        G.buffer(ell, 2.0)
+    deep = G.buffer(ell, 2.0)
+    assert deep.kind == "POLYGON"
+    assert abs(G.area(deep) - 55.60723) < 1e-4
     # a union that encloses a courtyard — a ring of overlapping discs
     # around the origin — now returns a HOLED polygon (r8: the
     # boundary-trace engine represents holes instead of refusing)
@@ -1832,7 +1834,8 @@ def test_buffer_linestring_corridor():
     the dilation of its degenerate flat ring, so end caps (180° arcs)
     and bend arcs come from the standard offset machinery. Two-point
     capsule matches L·2d + (polygonal) πd²; bends verified by a
-    distance-to-polyline grid oracle; hairpins too tight for d raise;
+    distance-to-polyline grid oracle; hairpins too tight for d fold
+    into one winding-recovered blob (r9);
     MULTILINESTRING dissolves crossing corridors; negative dist →
     None (no interior)."""
     import math
@@ -1860,8 +1863,15 @@ def test_buffer_linestring_corridor():
                 continue            # inscribed-arc approximation band
             assert (d < 1.0) == bool(
                 _point_in_ring(np.array([x, y]), ring)), (x, y, d)
-    with pytest.raises(ValueError):
-        G.buffer(G.from_wkt("LINESTRING (0 0, 10 0, 0 0.5)"), 2.0)
+    # hairpin tighter than d: COMPUTES since r9 (raw-curve winding
+    # fallback) — one blob covering the fold, grid-oracle-verified
+    hp = G.buffer(G.from_wkt("LINESTRING (0 0, 10 0, 0 0.5)"), 2.0)
+    assert hp.kind == "POLYGON" and 50.0 < G.area(hp) < 60.0
+    # dilation past the concavity depth also computes (was a raise)
+    ell_deep = G.buffer(G.from_wkt(
+        "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"), 5.0)
+    assert ell_deep.kind == "POLYGON"
+    assert abs(G.area(ell_deep) - 165.9418) < 1e-3
     m = G.buffer(G.from_wkt(
         "MULTILINESTRING ((0 0, 6 0), (3 -3, 3 3))"), 0.5)
     assert m.kind == "POLYGON"      # crossing corridors dissolve
