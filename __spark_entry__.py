@@ -2784,6 +2784,60 @@ def _planted_sql() -> str:
   CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) j"""
 
 
+def _pq_sql_st_degenerate_contact(spark, sf):
+    """r9 degenerate-contact semantics on the SQL surface, all
+    integer closed forms (the noded overlay kernel — shared edges,
+    vertex touch, pinch — exercised through st_union /
+    st_difference / st_intersection / st_nrings):
+      f8area/f8len/f8rings: corner-touching squares (figure-eight)
+        union to a 2-shell MULTIPOLYGON — 2s², 8s, 2 rings;
+      farea/frings: the 4-square checkerboard (two figure-eights
+        unioned) CLOSES to the full 2s-square — 4s², 1 ring;
+      darea: difference with an edge-abutting subtrahend leaves A
+        unchanged — s²;
+      iarea: boundary-only intersection regularizes to empty (NULL,
+        encoded −1);
+      pacarea/pacrings: subtracting a diamond that touches the top
+        edge at ONE point pinches into shell + touching hole —
+        w² − 2, 2 rings."""
+    from stark_spark.functions.constructors import st_box
+    from stark_spark.functions.register import register_sql_functions
+    register_sql_functions(spark)
+    k = F.col("p_partkey")
+    s = (k % 4 + 2).cast("double")
+    w = (k % 4 + 4).cast("int")
+    dia = F.format_string(
+        "POLYGON ((1 %d, 2 %d, 3 %d, 2 %d, 1 %d))",
+        w - 1, w - 2, w - 1, w, w - 1)
+    p = (D.load(spark, sf, "part").where(k <= 200)
+         .select("p_partkey",
+                 st_box(F.lit(0.0), F.lit(0.0), s, s).alias("a"),
+                 st_box(s, s, s * 2, s * 2).alias("b"),
+                 st_box(s, F.lit(0.0), s * 2, s).alias("c"),
+                 st_box(F.lit(0.0), s, s, s * 2).alias("dd"),
+                 st_box(F.lit(0.0), F.lit(0.0), w.cast("double"),
+                        w.cast("double")).alias("aw"),
+                 dia.alias("diawkt")))
+    p.createOrReplaceTempView("__sql_degen")
+    return spark.sql("""
+        SELECT p_partkey,
+          CAST(st_area(st_union(a, b)) AS BIGINT) AS f8area,
+          CAST(st_length(st_union(a, b)) AS BIGINT) AS f8len,
+          CAST(st_nrings(st_union(a, b)) AS BIGINT) AS f8rings,
+          CAST(st_area(st_union(st_union(a, b), st_union(c, dd)))
+               AS BIGINT) AS farea,
+          CAST(st_nrings(st_union(st_union(a, b), st_union(c, dd)))
+               AS BIGINT) AS frings,
+          CAST(st_area(st_difference(a, c)) AS BIGINT) AS darea,
+          CAST(coalesce(st_area(st_intersection(a, c)), -1)
+               AS BIGINT) AS iarea,
+          CAST(st_area(st_difference(aw, st_geomfromwkt(diawkt)))
+               AS BIGINT) AS pacarea,
+          CAST(st_nrings(st_difference(aw, st_geomfromwkt(diawkt)))
+               AS BIGINT) AS pacrings
+        FROM __sql_degen""")
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-9 rotation (the 3 r8 entries promoted into queries());
@@ -2792,6 +2846,7 @@ def pending_queries():
         "dissolve_adjacent_tiles": _pq_dissolve_adjacent_tiles,
         "sql_st_buffer_erode_split": _pq_sql_st_buffer_erode_split,
         "ann_recall_planted": _pq_ann_recall_planted,
+        "sql_st_degenerate_contact": _pq_sql_st_degenerate_contact,
     }
 
 
@@ -3081,6 +3136,22 @@ FROM p""",
   FROM ({_planted_sql()}) q
   JOIN ({_planted_sql()}) v ON v.vec_id <> q.vec_id
   WHERE q.vec_id % 12 = 0) t WHERE rank <= 10""", 10),
+        # degenerate-contact closed forms (see the gate docstring)
+        "sql_st_degenerate_contact": """
+WITH p AS (
+  SELECT p_partkey, p_partkey % 4 + 2 AS s, p_partkey % 4 + 4 AS w
+  FROM part WHERE p_partkey <= 200)
+SELECT p_partkey,
+  CAST(2 * s * s AS BIGINT) AS f8area,
+  CAST(8 * s AS BIGINT) AS f8len,
+  CAST(2 AS BIGINT) AS f8rings,
+  CAST(4 * s * s AS BIGINT) AS farea,
+  CAST(1 AS BIGINT) AS frings,
+  CAST(s * s AS BIGINT) AS darea,
+  CAST(-1 AS BIGINT) AS iarea,
+  CAST(w * w - 2 AS BIGINT) AS pacarea,
+  CAST(2 AS BIGINT) AS pacrings
+FROM p""",
     }
 
 

@@ -459,6 +459,7 @@ PENDING_SCALE = [
     "dissolve_adjacent_tiles",
     "sql_st_buffer_erode_split",
     "ann_recall_planted",
+    "sql_st_degenerate_contact",
 ]
 
 
