@@ -1771,20 +1771,33 @@ def _winding_decompose(arr: np.ndarray, ring_orig: np.ndarray,
 
     out: list = []
     for lp in _trace_loops(bedges, npts):
-        s = _face_sample(lp)
-        inside = _point_in_ring(s, ring_orig)
-        dist = _min_dist_to_ring(s, ring_orig)
         if dilate:
-            # dilation face: within d of the region (inside counts)
-            keep = inside or dist <= floor
+            # OUTWARD offsets are the proven Chen & McMains case —
+            # {winding >= 1} IS the dilation (no consumed edges), so
+            # the winding filter suffices; backstop: every boundary
+            # vertex must sit within the chord-sag band of d
+            dbad = max(abs(_min_dist_to_ring(v, ring_orig) - d)
+                       for v in lp[:-1])
+            if dbad > 2.0 * sag + 1e-9 * d:
+                raise ValueError("buffer: dilation boundary off the "
+                                 "distance band (numeric resolution)")
+            keep = True
         else:
-            # erosion face: inside AND at least d from the boundary
-            keep = inside and dist >= floor
+            # INWARD offsets carry spurious {w >= 1} pockets under
+            # deeply-consumed edges: classify the face by THE
+            # DEFINITION on one interior sample
+            s = _face_sample(lp)
+            keep = (_point_in_ring(s, ring_orig)
+                    and _min_dist_to_ring(s, ring_orig) >= floor)
         if not keep:
             continue                   # spurious winding pocket
-        if _ring_signed_area2(lp) <= 0:
-            raise ValueError("buffer: offset produced a hole "
-                             "(numeric resolution)")
+        a2 = _ring_signed_area2(lp)
+        if a2 == 0 or (a2 < 0 and not dilate):
+            # erosion of a simply-connected region has simply-
+            # connected parts; dilation CAN close a corridor around
+            # a courtyard, so CW holes are legal there
+            raise ValueError("buffer: offset produced a hole or "
+                             "zero-area loop (numeric resolution)")
         out.append(lp)
     return out
 
@@ -2105,17 +2118,38 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     # offset): rebuild as the raw arc-connected curve and recover the
     # dilation as its winding-classified faces — total, like erosion
     arr = _dil_raw()
+    closed_ = np.vstack([arr, arr[:1]])
+    if _ring_signed_area2(closed_) < 0:
+        # flat rings (polyline corridors) have no intrinsic
+        # orientation — normalize so the corridor winds positive
+        closed_ = closed_[::-1].copy()
     ring_closed = np.vstack([ring, ring[:1]])
-    loops = _winding_decompose(np.vstack([arr, arr[:1]]), ring_closed,
+    loops = _winding_decompose(closed_, ring_closed,
                                float(dist), step, dilate=True)
-    if not loops:
+    shells = [lp for lp in loops if _ring_signed_area2(lp) > 0]
+    holes = [lp for lp in loops if _ring_signed_area2(lp) < 0]
+    if not shells:
         raise ValueError("buffer: dilation produced no region "
                          "(numeric resolution)")
-    if len(loops) == 1:
-        return Geometry("POLYGON", [loops[0]])
+    polys = [[s] for s in shells]
+    for hh in holes:
+        # a corridor can close around a COURTYARD: nest the hole
+        # under its innermost containing shell (probe = first-edge
+        # midpoint, never a node)
+        probe = (hh[0] + hh[1]) / 2.0
+        cands = [i for i, s_ in enumerate(shells)
+                 if _point_in_ring(probe, s_)]
+        if not cands:
+            raise ValueError("buffer: dilation hole outside every "
+                             "shell (numeric resolution)")
+        best = min(cands,
+                   key=lambda i: abs(_ring_signed_area2(shells[i])))
+        polys[best].append(hh)
+    if len(polys) == 1:
+        return Geometry("POLYGON", list(polys[0]))
     # tangential pinch only — parts meeting at isolated points
     return Geometry("MULTIPOLYGON",
-                    [Geometry("POLYGON", [lp]) for lp in loops])
+                    [Geometry("POLYGON", list(p)) for p in polys])
 
 
 def _parts_of(g: Geometry):

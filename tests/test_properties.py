@@ -649,18 +649,17 @@ def test_difference_polygons():
 def test_buffer_multi_union_area_bound(seed):
     """Property (r6 verdict ask #10): for random overlapping
     MULTIPOINT fixtures, area(buffer(multi)) <= sum of the part-buffer
-    areas, and >= the largest single part. Degenerate contacts (exact
-    tangency the boundary trace refuses) are skipped, never wrong."""
+    areas, and >= the largest single part. Since r9 every draw must
+    COMPUTE — tangency and shared-vertex contact are handled by the
+    noded overlay, no refusal escape hatch."""
     import numpy as np
     rng = np.random.default_rng(seed)
     n = int(rng.integers(2, 6))
     pts = rng.uniform(0, 3, size=(n, 2))
     wkt = "MULTIPOINT (" + ", ".join(
         f"({p[0]} {p[1]})" for p in pts) + ")"
-    try:
-        u = G.buffer(G.from_wkt(wkt), 1.0)
-    except ValueError:
-        return            # honest refusal on degenerate contact
+    # r9: degenerate contact computes — no refusal escape hatch left
+    u = G.buffer(G.from_wkt(wkt), 1.0)
     disc = G.area(G.buffer(G.point(0, 0), 1.0))
     a = G.area(u)
     assert a <= n * disc + 1e-9
@@ -1746,6 +1745,66 @@ def test_erosion_grid_oracle_past_split(seed):
                 continue
             want = _member(g, x, y) and dist >= d
             assert _member(e, x, y) == want, (x, y, d, dist)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_dilation_total_random_polylines(seed):
+    """r9: polyline corridor buffers are TOTAL — random 4-6 point
+    polylines (hairpins and tight zigzags arise freely) at random
+    widths must all COMPUTE, and membership equals the definition
+    dist(p, polyline) <= d on an off-band probe grid."""
+    from stark_spark.core.geometry import _min_dist_to_ring
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 7))
+    pts = rng.uniform(0, 4, size=(n, 2)).round(2)
+    # drop consecutive duplicates the construction would reject
+    keep = [0] + [i for i in range(1, n)
+                  if not np.array_equal(pts[i], pts[i - 1])]
+    pts = pts[keep]
+    if len(pts) < 2:
+        return
+    wkt = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    d = float(rng.uniform(0.3, 2.5))
+    g = G.buffer(G.from_wkt(wkt), d)          # must compute
+    flat = np.vstack([pts, pts[-2:0:-1], pts[:1]]) if len(pts) > 2 \
+        else np.vstack([pts, pts[:1]])
+    for x in np.linspace(-2.13, 6.11, 16):
+        for y in np.linspace(-2.07, 6.09, 16):
+            pt = np.array([x, y])
+            dist = _min_dist_to_ring(pt, flat)
+            if abs(dist - d) < 0.06 * d:
+                continue
+            assert _member(g, x, y) == (dist <= d), (x, y, d, dist)
+
+
+@given(st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_dilation_total_past_concavity(seed):
+    """r9: polygon dilation is TOTAL past the concavity depth — the
+    dumbbell family at random (possibly huge) dist must compute, and
+    membership equals inside OR dist <= d on an off-band grid."""
+    from stark_spark.core.geometry import _min_dist_to_ring
+    rng = np.random.default_rng(seed)
+    w = int(rng.integers(4, 9))
+    h = int(rng.integers(6, 13))
+    c = h // 2
+    x2, x3 = w + 4, 2 * w + 4
+    wkt = (f"POLYGON ((0 0, {w} 0, {w} {c - 1}, {x2} {c - 1}, "
+           f"{x2} 0, {x3} 0, {x3} {h}, {x2} {h}, {x2} {c + 1}, "
+           f"{w} {c + 1}, {w} {h}, 0 {h}, 0 0))")
+    g = G.from_wkt(wkt)
+    ring = np.asarray(g.coords[0], dtype=float)
+    d = float(rng.uniform(0.3, 6.0))
+    out = G.buffer(g, d)                      # must compute
+    for x in np.linspace(-6.13, x3 + 6.1, 20):
+        for y in np.linspace(-6.07, h + 6.05, 14):
+            pt = np.array([x, y])
+            dist = _min_dist_to_ring(pt, ring)
+            if abs(dist - d) < 0.06 * d:
+                continue
+            want = _member(g, x, y) or dist <= d
+            assert _member(out, x, y) == want, (x, y, d, dist)
 
 
 def test_buffer_holed_polygons():
