@@ -1947,14 +1947,27 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
         return buffer(Geometry("POLYGON", [flat]), dist, quad_segs)
     if g.kind == "MULTILINESTRING":
         parts = [buffer(p, dist, quad_segs) for p in g.parts()]
-        rings = [np.asarray(p.coords[0], dtype=float) for p in parts]
+        # corridor parts may be HOLED (a closed-loop part encloses a
+        # courtyard) or MULTIPOLYGON (pinched hairpin): flatten to
+        # validated polygons and dissolve through the full overlay —
+        # the old rings-only union dropped courtyard holes (r9 fix)
+        polys: list = []
+        for p in parts:
+            if p.kind == "POLYGON":
+                polys.append(_norm_poly(p.coords))
+            else:
+                polys.extend(_norm_poly(q.coords) for q in p.parts())
+        if len(polys) == 1:
+            return parts[0]
         overlap = any(
-            _rings_may_touch(rings[i], rings[j])
-            for i in range(len(rings))
-            for j in range(i + 1, len(rings)))
+            _rings_may_touch(np.asarray(polys[i][0]),
+                             np.asarray(polys[j][0]))
+            for i in range(len(polys))
+            for j in range(i + 1, len(polys)))
         if overlap:
-            return _geom_from_polys(_union_rings(rings))
-        return Geometry("MULTIPOLYGON", parts)
+            return _geom_from_polys(_union_tree(polys))
+        return Geometry("MULTIPOLYGON",
+                        [Geometry("POLYGON", list(pp)) for pp in polys])
     if g.kind in ("MULTIPOINT", "MULTIPOLYGON"):
         parts = [buffer(p, dist, quad_segs) for p in g.parts()]
         if all(len(p.coords) == 1 for p in parts):
@@ -1971,15 +1984,24 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
                 # back as a HOLED polygon)
                 return _geom_from_polys(_union_rings(rings))
             return Geometry("MULTIPOLYGON", parts)
-        # holed part buffers: dissolve via the full polygon overlay
-        polys = [_norm_poly(p.coords) for p in parts]
+        # holed/multi part buffers: flatten to validated polygons and
+        # dissolve via the full overlay (a part's buffer may itself
+        # be a MULTIPOLYGON since the r9 pinch handling)
+        polys = []
+        for p in parts:
+            if p.kind == "POLYGON":
+                polys.append(_norm_poly(p.coords))
+            else:
+                polys.extend(_norm_poly(q.coords) for q in p.parts())
         disjoint = all(
             not _rings_may_touch(np.asarray(polys[i][0]),
                                  np.asarray(polys[j][0]))
             for i in range(len(polys)) for j in range(i + 1, len(polys)))
         if disjoint:
-            return Geometry("MULTIPOLYGON", parts)
-        return _geom_from_polys(_trace_polys(polys, "union"))
+            return Geometry("MULTIPOLYGON",
+                            [Geometry("POLYGON", list(pp))
+                             for pp in polys])
+        return _geom_from_polys(_union_tree(polys))
     if g.kind != "POLYGON":
         raise ValueError("buffer: only POINT, LINESTRING, POLYGON "
                          "and their MULTI* kinds are supported")

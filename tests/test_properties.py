@@ -1747,6 +1747,33 @@ def test_erosion_grid_oracle_past_split(seed):
             assert _member(e, x, y) == want, (x, y, d, dist)
 
 
+def test_corridor_closed_loop_courtyard():
+    """r9: a CLOSED-loop polyline corridor encloses a courtyard —
+    the buffer is a real ANNULUS (the winding assembly nests the CW
+    loop as a hole), and the MULTILINESTRING dissolve preserves the
+    hole (the pre-fix rings-only union silently dropped it)."""
+    import math
+    loop = G.from_wkt("LINESTRING (0 0, 6 0, 6 6, 0 6, 0 0)")
+    cor = G.buffer(loop, 0.5)
+    assert cor.kind == "POLYGON" and len(cor.coords) == 2
+    want = (49 - (4 - math.pi) * 0.25) - 25      # rounded ring − hole
+    assert abs(G.area(cor) - want) < 0.02
+    # a second part's corridor reaching INTO the courtyard shrinks
+    # the hole but must not erase it
+    ml = G.from_wkt("MULTILINESTRING ((0 0, 6 0, 6 6, 0 6, 0 0), "
+                    "(-1 3, 3 3))")
+    m = G.buffer(ml, 0.5)
+    assert m.kind == "POLYGON" and len(m.coords) == 2
+    assert not G.covers(m, G.point(4.5, 4.5))    # still in the hole
+    assert G.covers(m, G.point(2.0, 3.0))        # on the inner strip
+    # disjoint parts: MULTIPOLYGON keeps the holed part's hole
+    ml2 = G.from_wkt("MULTILINESTRING ((0 0, 6 0, 6 6, 0 6, 0 0), "
+                     "(20 0, 24 0))")
+    m2 = G.buffer(ml2, 0.5)
+    assert (m2.kind == "MULTIPOLYGON"
+            and sorted(len(p.coords) for p in m2.parts()) == [1, 2])
+
+
 @given(st.integers(0, 10_000))
 @settings(max_examples=25, deadline=None)
 def test_dilation_total_random_polylines(seed):
