@@ -2840,14 +2840,9 @@ def _pq_sql_st_degenerate_contact(spark, sf):
 
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
-    # round-9 rotation (the 3 r8 entries promoted into queries());
+    # round-10 rotation (the 4 r9 entries promoted into queries());
     # new gates minted this round stage here first.
-    return {
-        "dissolve_adjacent_tiles": _pq_dissolve_adjacent_tiles,
-        "sql_st_buffer_erode_split": _pq_sql_st_buffer_erode_split,
-        "ann_recall_planted": _pq_ann_recall_planted,
-        "sql_st_degenerate_contact": _pq_sql_st_degenerate_contact,
-    }
+    return {}
 
 
 def _corr_oracle_sql() -> str:
@@ -3094,7 +3089,14 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — prior cohorts live on in
-    # _promoted_oracle_sql_r8/_r7/_r6, merged into oracle_sql().
+    # _promoted_oracle_sql_r9/_r8/_r7/_r6, merged into oracle_sql().
+    return {}
+
+
+def _promoted_oracle_sql_r9() -> dict[str, str]:
+    # DuckDB mirrors for the gates promoted at the r10 rotation (the
+    # r9 staged cohort). Own function: the planted-recall mirror
+    # composes module-level SQL builders.
     return {
         # adjacent-tiling dissolve closed forms (see the gate
         # docstring: q = n div k, rem = n mod k)
@@ -5543,58 +5545,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window holds the stalest entries.
     return {
         # --- never driver-checked (new gates) ---
-        "sql_st_difference_annulus": _pq_sql_st_difference_annulus,
-        "ann_recall_lsh_mp": _pq_ann_recall_lsh_mp,
-        "sql_st_buffer_erode": _pq_sql_st_buffer_erode,
-        # --- latest driver-green row: r04 ---
-        "events_gapfill_interp": _q_events_gapfill_interp,
-        "sql_st_filter": _q_sql_st_filter,
-        "sql_tile_accessors": _q_sql_tile_accessors,
-        "sql_st_measures": _q_sql_st_measures,
-        "sql_hull_simplify": _q_sql_hull_simplify,
-        "knn_manhattan": _q_knn_manhattan,
-        "stream_windowed_stats": _q_stream_windowed_stats,
-        "agg_revenue_by_nation": _q_agg_revenue_by_nation,
-        "stream_geofence": _q_stream_geofence,
-        "stream_cell_extremes": _q_stream_cell_extremes,
-        "stream_session_stats": _q_stream_session_stats,
-        "stream_cell_counts": _q_stream_cell_counts,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize_replay": _q_stream_sessionize_replay,
-        "stream_st_join": _q_stream_st_join,
-        "zip_join_bucketed": _q_zip_join_bucketed,
-        "multimodal_features": _q_multimodal_features,
-        "partition_bsp": _q_partition_bsp,
+        "dissolve_adjacent_tiles": _pq_dissolve_adjacent_tiles,
+        "sql_st_buffer_erode_split": _pq_sql_st_buffer_erode_split,
+        "ann_recall_planted": _pq_ann_recall_planted,
+        "sql_st_degenerate_contact": _pq_sql_st_degenerate_contact,
         # --- latest driver-green row: r05 ---
-        "ann_cosine_dup_pairs": _q_ann_dup_pairs,
-        "ann_brute_topk": _q_ann_brute,
-        "ann_ivf_topk": _q_ann_ivf,
-        "lang_distribution": _q_lang_distribution,
-        "dedup_ngram_jaccard": _q_dedup_jaccard,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "dedup_simhash": _q_dedup_simhash,
-        "st_filter_rect_timed": _q_filter_rect_timed,
-        "st_filter_intervals": _q_filter_intervals,
-        "st_filter_coveredby_poly": _q_filter_coveredby_poly,
-        "st_filter_z_range": _q_filter_z_range,
-        "st_join_grid_points": _q_join_grid_points,
-        "st_join_broadcast_points": _q_join_broadcast_points,
-        "st_join_poly_contains": _q_join_poly_contains,
-        "interval_join": _q_interval_join,
-        "as_of_join": _q_as_of_join,
-        "within_distance_join": _q_within_distance_join,
-        "st_semi_join": _q_st_semi_join,
-        "knn_events": _q_knn_events,
-        "knn_hausdorff_st": _q_knn_hausdorff_st,
-        "knn_join": _q_knn_join,
-        "skyline": _q_skyline,
-        "skyline_angular": _q_skyline_angular,
-        "dbscan": _q_dbscan,
-        "grid_cell_histogram": _q_grid_histogram,
-        "agg_pricing_summary": _q_agg_pricing_summary,
-        "raster_rasterize_stats": _q_raster_stats,
-        "raster_roundtrip": _q_raster_roundtrip,
-        "pruned_read_rect": _q_pruned_read,
         "pruned_join_points": _q_pruned_join,
         "pruned_read_st": _q_pruned_read_st,
         "pruned_knn": _q_pruned_knn,
@@ -5768,6 +5723,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_spatio_temporal": _q_partition_spatio_temporal,
         "events_rollup": _q_events_rollup,
         "events_gapfill": _q_events_gapfill,
+        # --- latest driver-green row: r09 ---
+        "sql_st_difference_annulus": _pq_sql_st_difference_annulus,
+        "ann_recall_lsh_mp": _pq_ann_recall_lsh_mp,
+        "sql_st_buffer_erode": _pq_sql_st_buffer_erode,
+        "events_gapfill_interp": _q_events_gapfill_interp,
+        "sql_st_filter": _q_sql_st_filter,
+        "sql_tile_accessors": _q_sql_tile_accessors,
+        "sql_st_measures": _q_sql_st_measures,
+        "sql_hull_simplify": _q_sql_hull_simplify,
+        "knn_manhattan": _q_knn_manhattan,
+        "stream_windowed_stats": _q_stream_windowed_stats,
+        "agg_revenue_by_nation": _q_agg_revenue_by_nation,
+        "stream_geofence": _q_stream_geofence,
+        "stream_cell_extremes": _q_stream_cell_extremes,
+        "stream_session_stats": _q_stream_session_stats,
+        "stream_cell_counts": _q_stream_cell_counts,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize_replay": _q_stream_sessionize_replay,
+        "stream_st_join": _q_stream_st_join,
+        "zip_join_bucketed": _q_zip_join_bucketed,
+        "multimodal_features": _q_multimodal_features,
+        "partition_bsp": _q_partition_bsp,
+        "ann_cosine_dup_pairs": _q_ann_dup_pairs,
+        "ann_brute_topk": _q_ann_brute,
+        "ann_ivf_topk": _q_ann_ivf,
+        "lang_distribution": _q_lang_distribution,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_simhash": _q_dedup_simhash,
+        "st_filter_rect_timed": _q_filter_rect_timed,
+        "st_filter_intervals": _q_filter_intervals,
+        "st_filter_coveredby_poly": _q_filter_coveredby_poly,
+        "st_filter_z_range": _q_filter_z_range,
+        "st_join_grid_points": _q_join_grid_points,
+        "st_join_broadcast_points": _q_join_broadcast_points,
+        "st_join_poly_contains": _q_join_poly_contains,
+        "interval_join": _q_interval_join,
+        "as_of_join": _q_as_of_join,
+        "within_distance_join": _q_within_distance_join,
+        "st_semi_join": _q_st_semi_join,
+        "knn_events": _q_knn_events,
+        "knn_hausdorff_st": _q_knn_hausdorff_st,
+        "knn_join": _q_knn_join,
+        "skyline": _q_skyline,
+        "skyline_angular": _q_skyline_angular,
+        "dbscan": _q_dbscan,
+        "grid_cell_histogram": _q_grid_histogram,
+        "agg_pricing_summary": _q_agg_pricing_summary,
+        "raster_rasterize_stats": _q_raster_stats,
+        "raster_roundtrip": _q_raster_roundtrip,
+        "pruned_read_rect": _q_pruned_read,
     }
 
 
@@ -8931,4 +8937,5 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_promoted_oracle_sql_r6())
     sql.update(_promoted_oracle_sql_r7())
     sql.update(_promoted_oracle_sql_r8())
+    sql.update(_promoted_oracle_sql_r9())
     return sql

@@ -186,6 +186,10 @@ BENCH_QUERIES = [
     "sql_st_difference_annulus",
     "ann_recall_lsh_mp",
     "sql_st_buffer_erode",
+    "dissolve_adjacent_tiles",
+    "sql_st_buffer_erode_split",
+    "ann_recall_planted",
+    "sql_st_degenerate_contact",
 ]
 
 

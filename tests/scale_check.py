@@ -168,6 +168,12 @@ QUERIES = [
     "sql_st_difference_annulus",
     "ann_recall_lsh_mp",
     "sql_st_buffer_erode",
+    # r10-promoted (formerly PENDING_SCALE; closed-form tiling/erosion
+    # arithmetic, fixed-size planted corpus — all linear oracles)
+    "dissolve_adjacent_tiles",
+    "sql_st_buffer_erode_split",
+    "ann_recall_planted",
+    "sql_st_degenerate_contact",
 ]
 
 
@@ -453,14 +459,7 @@ def synthesize(workdir: str) -> None:
 # startup dominates and each run rewrites the 10x events as a temp
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
-PENDING_SCALE = [
-    # r9-minted staged gates (closed-form tiling/erosion arithmetic;
-    # fixed-size planted corpus — all linear oracles)
-    "dissolve_adjacent_tiles",
-    "sql_st_buffer_erode_split",
-    "ann_recall_planted",
-    "sql_st_degenerate_contact",
-]
+PENDING_SCALE = []
 
 
 def main() -> int:
