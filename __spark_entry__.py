@@ -2659,7 +2659,7 @@ def _pq_dissolve_adjacent_tiles(spark, sf):
 def _pq_sql_st_buffer_erode_split(spark, sf):
     """r9 erosion upgrade gate: a negative buffer past a region's
     WAIST returns the surviving parts as a MULTIPOLYGON instead of
-    raising (core/geometry.py `_erode_ring` → `_untangle_offset`,
+    raising (core/geometry.py `_erode_ring` → `_winding_decompose`,
     matching JTS buffer(-d)). Per part row, a dumbbell of two w×h
     lobes joined by a 2-wide, 4-long neck (integer vertices, neck at
     c = h div 2, mouth walls ≥ 2 > d) eroded by d = 1.5:

@@ -1481,9 +1481,10 @@ def _erode_ring(ring: np.ndarray, d: float,
     convex vertices = intersection of adjacent inward offset lines;
     arc of radius d at REFLEX vertices, the clockwise-sweeping dual
     of the dilation arc). A SELF-INTERSECTING offset curve means the
-    region splits: `_untangle_offset` nodes the curve against itself
-    and keeps the simple positive loops (the inverted pockets between
-    crossings are the over-eroded waist). The remaining refusal is an
+    region splits: `_winding_decompose` nodes the curve against
+    itself and keeps the faces that classify inside-and-deep-enough
+    (the inverted pockets between crossings are the over-eroded
+    waist). The remaining refusal is an
     offset edge CONSUMED by its miters (d beyond the local concavity
     feature size — a vanish this construction cannot localize)."""
     pts = np.asarray(ring, dtype=float)[:-1]
@@ -1654,16 +1655,6 @@ def _winding(pt, curve: np.ndarray) -> int:
                - np.count_nonzero(dn & (cr < 0)))
 
 
-def _dist_point_seg(x: float, y: float, a, b) -> float:
-    ax, ay = a
-    bx, by = b
-    dx, dy = bx - ax, by - ay
-    l2 = dx * dx + dy * dy
-    t = 0.0 if l2 <= 0 else max(0.0, min(1.0, ((x - ax) * dx
-                                               + (y - ay) * dy) / l2))
-    return float(np.hypot(ax + t * dx - x, ay + t * dy - y))
-
-
 def _winding_decompose(arr: np.ndarray, ring_orig: np.ndarray,
                        d: float, step: float,
                        dilate: bool = False) -> list:
@@ -1724,17 +1715,32 @@ def _winding_decompose(arr: np.ndarray, ring_orig: np.ndarray,
             prev = nid
     npts = nodes.pts
     segs = list(seg_mult.items())
+    # vectorized point→segment clearance over the WHOLE arrangement:
+    # the interpreted per-midpoint double loop was O(S²) Python —
+    # a latency cliff on high-vertex fallback curves
+    seg_a = np.asarray([npts[lo] for (lo, _hi), _m in segs],
+                       dtype=float).reshape(-1, 2)
+    seg_b = np.asarray([npts[hi] for (_lo, hi), _m in segs],
+                       dtype=float).reshape(-1, 2)
+    seg_d = seg_b - seg_a
+    seg_l2 = (seg_d * seg_d).sum(axis=1)
+    seg_l2safe = np.where(seg_l2 > 0.0, seg_l2, 1.0)
+
+    def _clear_dists(mx: float, my: float) -> np.ndarray:
+        t = np.clip(((mx - seg_a[:, 0]) * seg_d[:, 0]
+                     + (my - seg_a[:, 1]) * seg_d[:, 1]) / seg_l2safe,
+                    0.0, 1.0)
+        return np.hypot(seg_a[:, 0] + t * seg_d[:, 0] - mx,
+                        seg_a[:, 1] + t * seg_d[:, 1] - my)
+
     bedges: list = []
     for si, ((lo, hi), (mf, mb)) in enumerate(segs):
         ax, ay = npts[lo]
         bx, by = npts[hi]
         mx, my = (ax + bx) / 2.0, (ay + by) / 2.0
-        clear = np.inf
-        for sj, ((lo2, hi2), _m2) in enumerate(segs):
-            if sj == si:
-                continue
-            clear = min(clear, _dist_point_seg(mx, my, npts[lo2],
-                                               npts[hi2]))
+        dd_all = _clear_dists(mx, my)
+        dd_all[si] = np.inf
+        clear = float(dd_all.min()) if len(dd_all) > 1 else np.inf
         dx, dy = bx - ax, by - ay
         ln = float(np.hypot(dx, dy))
         if not np.isfinite(clear) or clear <= 0 or ln <= 0:
@@ -1756,11 +1762,9 @@ def _winding_decompose(arr: np.ndarray, ring_orig: np.ndarray,
         # its midpoint displaced by half the clearance to any other
         # arrangement segment (its own segment measures ~0 — skipped)
         mx, my = (lp[0] + lp[1]) / 2.0
-        clear = np.inf
-        for (lo2, hi2), _m2 in segs:
-            dd_ = _dist_point_seg(mx, my, npts[lo2], npts[hi2])
-            if dd_ > 1e-12 * span:
-                clear = min(clear, dd_)
+        dd_all = _clear_dists(float(mx), float(my))
+        dd_all[dd_all <= 1e-12 * span] = np.inf
+        clear = float(dd_all.min()) if len(dd_all) else np.inf
         dx, dy = lp[1][0] - lp[0][0], lp[1][1] - lp[0][1]
         ln = float(np.hypot(dx, dy))
         if not np.isfinite(clear) or clear <= 0 or ln <= 0:
@@ -1859,7 +1863,12 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
             return None                  # no interior → erodes away
         if g.kind == "MULTIPOLYGON":
             parts = [buffer(p, dist, quad_segs) for p in g.parts()]
-            parts = [p for p in parts if p is not None]
+            # a part's erosion can itself be a MULTIPOLYGON (waist
+            # split) — flatten, else the result would nest 0106
+            # inside 0106 (invalid OGC WKB)
+            parts = [q for p in parts if p is not None
+                     for q in (p.parts() if p.kind == "MULTIPOLYGON"
+                               else [p])]
             if not parts:
                 return None
             if len(parts) == 1:
@@ -1876,12 +1885,26 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
         # eroded shell part and pairwise separate, else the topology
         # changes (hole merge / shell breach) — honest refusal
         holes: list = []
+        islands: list = []       # courtyard survivors (see below)
+        island_parent: list = []
         for h in g.coords[1:]:
-            hr = np.asarray(
-                buffer(Geometry("POLYGON",
-                                [_norm_ring(h, ccw=True)]),
-                       d, quad_segs).coords[0], dtype=float)
-            holes.append(hr)
+            hd = buffer(Geometry("POLYGON",
+                                 [_norm_ring(h, ccw=True)]),
+                        d, quad_segs)
+            if hd.kind != "POLYGON":
+                # dilation of a connected region is connected;
+                # anything else is a kernel invariant violation
+                raise ValueError("buffer: hole dilation produced "
+                                 "disconnected parts")
+            holes.append(np.asarray(hd.coords[0], dtype=float))
+            # a hole whose neck closes under dilation encloses a
+            # COURTYARD it does not cover: material there deeper
+            # than d from every boundary survives as a separate
+            # part (an island), exactly the courtyard face
+            for c in hd.coords[1:]:
+                islands.append(_norm_ring(np.asarray(c, dtype=float),
+                                          ccw=True))
+                island_parent.append(len(holes) - 1)
         for i in range(len(holes)):
             for j in range(i + 1, len(holes)):
                 if _rings_may_touch(holes[i], holes[j]):
@@ -1899,8 +1922,22 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
                 raise ValueError("buffer: dilated hole breaches the "
                                  "eroded shell (topology change)")
             part_holes[inside[0]].append(h[::-1])
+        # an island must be free of every OTHER dilated hole (its
+        # own parent ring may legally share the pinch node with it);
+        # a hole nested inside a courtyard would demand recursive
+        # annulus subtraction — honest refusal
+        for c, par in zip(islands, island_parent):
+            for j, hr in enumerate(holes):
+                if j == par:
+                    continue
+                if (_rings_may_touch(c, hr)
+                        or all(_point_in_ring(p, c) for p in hr[:-1])):
+                    raise ValueError("buffer: hole dilation nests "
+                                     "another hole inside a courtyard "
+                                     "(topology change)")
         parts = [Geometry("POLYGON", [s] + ph)
                  for s, ph in zip(shells, part_holes)]
+        parts += [Geometry("POLYGON", [c]) for c in islands]
         if len(parts) == 1:
             return parts[0]
         # the erosion SPLIT the region at a waist (r9): the surviving
@@ -2011,7 +2048,16 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
                                      [np.asarray(g.coords[0],
                                                  dtype=float)]),
                             dist, quad_segs)
-        holes = []
+        if shell_geom.kind != "POLYGON":
+            # dilation of a connected region is connected
+            raise ValueError("buffer: shell dilation produced "
+                             "disconnected parts")
+        # the shell dilation may CLOSE a neck and mint courtyard
+        # holes of its own (a flask mouth sealing shut); they are
+        # outside the original shell ring, so disjoint from every
+        # eroded original hole — keep them all
+        holes = [np.asarray(c, dtype=float)
+                 for c in shell_geom.coords[1:]]
         for h in g.coords[1:]:
             # a hole may survive shrunken, vanish, or SPLIT into
             # several smaller holes (r9 — eroding a waisted hole)

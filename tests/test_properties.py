@@ -1869,6 +1869,82 @@ def test_buffer_holed_polygons():
     assert G.buffer(m, -6.0) is None
 
 
+def test_buffer_holed_shell_dilation_courtyard():
+    """r10 (advice fix): positive buffer of a HOLED polygon whose
+    shell dilation seals a flask neck must keep the courtyard hole
+    the dilation mints — coords[0]-only dropped it silently. With a
+    tiny original hole that erodes away, the holed result must equal
+    the shell-only result exactly."""
+    flask = ("POLYGON ((0 0, 10 0, 10 10, 5.5 10, 5.5 7, 8 7, 8 3, "
+             "2 3, 2 7, 4.5 7, 4.5 10, 0 10, 0 0)")
+    shell_only = G.buffer(G.from_wkt(flask + ")"), 1.0)
+    assert shell_only.kind == "POLYGON" and len(shell_only.coords) == 2
+    holed = G.buffer(G.from_wkt(
+        flask + ", (1 1, 1.4 1, 1.4 1.4, 1 1.4, 1 1))"), 1.0)
+    assert holed.kind == "POLYGON" and len(holed.coords) == 2
+    assert abs(G.area(holed) - G.area(shell_only)) < 1e-9
+    # a SURVIVING original hole coexists with the minted courtyard
+    # (d=0.7 still seals the 1-wide neck; the 2×2 hole erodes to
+    # exactly (2−1.4)² = 0.36)
+    holed2 = G.buffer(G.from_wkt(
+        flask + ", (0.5 0.5, 2.5 0.5, 2.5 2.5, 0.5 2.5, 0.5 0.5))"),
+        0.7)
+    assert len(holed2.coords) == 3
+    shell07 = G.buffer(G.from_wkt(flask + ")"), 0.7)
+    assert abs((G.area(shell07) - G.area(holed2)) - 0.36) < 1e-9
+
+
+def test_buffer_erosion_courtyard_island():
+    """r10 (advice fix): eroding a polygon whose HOLE is a slit
+    annulus (C-shape) seals the slit — material deeper than d inside
+    the enclosed courtyard survives as a SEPARATE island part, not
+    silently subtracted. Island ≈ the 6×6 erosion core [7,13]² plus
+    the sub-sag gap-corner bulge."""
+    p = G.from_wkt(
+        "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), "
+        "(4 4, 16 4, 16 16, 10.5 16, 10.5 14, 14 14, 14 6, 6 6, "
+        "6 14, 9.5 14, 9.5 16, 4 16, 4 4))")
+    r = G.buffer(p, -1.0)
+    assert r.kind == "MULTIPOLYGON" and len(r.parts()) == 2
+    frame, island = sorted(r.parts(), key=G.area, reverse=True)
+    assert len(frame.coords) == 2 and len(island.coords) == 1
+    assert 36.0 <= G.area(island) < 36.2
+    # frame = 18² minus the dilated-hole enclosure ([3,17]² with
+    # four rounded corners): 324 − (196 − 4(1 − π·qs-gon)) ± channel
+    assert 128.5 < G.area(frame) < 129.5
+    # a second hole nested inside the courtyard demands recursive
+    # annulus subtraction — honest refusal (the pairwise enclosure
+    # check fires as "merges holes"; the island "nests" guard is the
+    # backstop invariant)
+    nested = G.from_wkt(
+        "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), "
+        "(4 4, 16 4, 16 16, 10.5 16, 10.5 14, 14 14, 14 6, 6 6, "
+        "6 14, 9.5 14, 9.5 16, 4 16, 4 4), "
+        "(9.8 9.8, 10.2 9.8, 10.2 10.2, 9.8 10.2, 9.8 9.8))")
+    with pytest.raises(ValueError, match="merges holes|nests"):
+        G.buffer(nested, -1.0)
+
+
+def test_buffer_multipolygon_erosion_flattens_waist_splits():
+    """r10 (advice fix): buffer(MULTIPOLYGON, −d) where a part splits
+    at a waist must flatten the split parts — nesting MULTIPOLYGON
+    inside MULTIPOLYGON emits invalid OGC WKB."""
+    def dumbbell(y0):
+        return (f"((0 {y0}, 5 {y0}, 5 {y0 + 2}, 9 {y0 + 2}, 9 {y0}, "
+                f"14 {y0}, 14 {y0 + 7}, 9 {y0 + 7}, 9 {y0 + 4}, "
+                f"5 {y0 + 4}, 5 {y0 + 7}, 0 {y0 + 7}, 0 {y0}))")
+    single = G.buffer(G.from_wkt("POLYGON " + dumbbell(0)), -1.5)
+    assert single.kind == "MULTIPOLYGON" and len(single.parts()) == 2
+    mp = G.buffer(G.from_wkt(
+        "MULTIPOLYGON (" + dumbbell(0) + ", " + dumbbell(20) + ")"),
+        -1.5)
+    assert mp.kind == "MULTIPOLYGON" and len(mp.parts()) == 4
+    assert all(q.kind == "POLYGON" for q in mp.parts())
+    assert abs(G.area(mp) - 2 * G.area(single)) < 1e-9
+    # flattened output round-trips through WKT
+    assert G.from_wkt(G.to_wkt(mp)).kind == "MULTIPOLYGON"
+
+
 @given(st.integers(0, 2 ** 31 - 1))
 @settings(max_examples=25, deadline=None)
 def test_erosion_convex_grid_oracle(seed):
