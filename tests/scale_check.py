@@ -51,6 +51,24 @@ SCALED = {
     "lineitem": """
         SELECT * REPLACE (l_orderkey + r * 60000000 AS l_orderkey)
         FROM read_parquet('{src}/lineitem.parquet'), range({n}) t(r)""",
+    # r10: embeddings scale too (verdict ask #3 — the ANN tier gets
+    # end-to-end 10x/100x proof instead of fixed-size pro-forma runs).
+    # Replica vectors are the originals under a per-replica CYCLIC
+    # COORDINATE SHIFT (gcd(7,64)=1 → all 10/100 shifts distinct):
+    # norms are preserved exactly, replicas decorrelate from the
+    # originals (no near-dup inflation — outputs of the scaled gates
+    # stay linear), and r=0 is bit-identical to the canonical table.
+    # The vec_id offset keeps query (vec_id<5) and centroid
+    # (vec_id<4/8) selections pinned to replica-0 rows, so oracles
+    # stay O(|corpus|), never O(|corpus|²).
+    "embeddings": """
+        SELECT vec_id + r * 20000020 AS vec_id,
+               CASE WHEN r = 0 THEN embedding
+                    ELSE list_transform(range(64),
+                         i -> embedding[1 + ((i + r*7) % 64)])::FLOAT[]
+               END AS embedding,
+               label
+        FROM read_parquet('{src}/embeddings.parquet'), range({n}) t(r)""",
 }
 
 # shuffle-heaviest queries whose oracles AND result sets stay
@@ -174,6 +192,22 @@ QUERIES = [
     "sql_st_buffer_erode_split",
     "ann_recall_planted",
     "sql_st_degenerate_contact",
+    # r10: the embeddings tier at true 10x cardinality (the table now
+    # scales — see SCALED). Every entry here has a CORPUS-LINEAR
+    # oracle: queries/centroids are pinned to replica-0 (vec_id<8),
+    # so brute/IVF/LSH/PQ oracles are |Q|x|corpus| with |Q|=5.
+    # Excluded, with reasons: ann_knn_join(+gemm) and the dup_pairs
+    # family — every vector is a query there, so the DuckDB oracle is
+    # O(n²/n_buckets) (~100M 64-dim folds at 10x); their scale story
+    # is the kernel-level GEMM checks + fixed-size gate parity.
+    "ann_brute_topk",
+    "ann_filtered_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "ann_lsh_topk",
+    "ann_pq_topk",
+    "ann_ivf_pruned_topk",
+    "ann_recall_lsh_mp",
 ]
 
 
@@ -229,6 +263,61 @@ def multimodal_scale_check(replicas: int) -> bool:
         print(f"  brute-only: {sorted(want - got)[:5]}", file=sys.stderr)
     spark.stop()
     return ok
+
+
+def ivf_prune_plan_check(workdir: str) -> bool:
+    """r10 (verdict ask #3): the IVF file-prune plan assertion at 10x
+    file counts — save_ivf_bucketed over the SCALED embeddings, then
+    assert the probe scan still carries a bucket PartitionFilter
+    (directory-level prune BEFORE any row is read) and that the store
+    roundtrip is a no-op on results vs the in-memory ivf_topk."""
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stark_spark import get_session
+    from stark_spark.operators.similarity import (ivf_topk,
+                                                  ivf_topk_pruned,
+                                                  save_ivf_bucketed)
+
+    spark = get_session("scale_ivf", master="local[32]",
+                        shuffle_partitions=32)
+    emb = spark.read.parquet(f"{workdir}/embeddings.parquet")
+    cent = (emb.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("c_id"),
+                       F.col("embedding").alias("c_embedding")))
+    q = (emb.where(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_embedding")))
+    path = tempfile.mkdtemp(prefix="scale_ivf_store_") + "/store"
+    try:
+        t0 = time.time()
+        save_ivf_bucketed(emb, cent, path, score="fold")
+        got = ivf_topk_pruned(spark, path, q, 5, n_probe=2,
+                              score="fold")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters" not in plan or not re.search(
+                r"bucket#\d+ IN \(", plan.split("PartitionFilters",
+                                                1)[1][:160]):
+            print("# ivf_prune_plan_check FAIL: no bucket "
+                  "PartitionFilter in plan", file=sys.stderr)
+            return False
+        gp = (got.toPandas().sort_values(["q_id", "rank"])
+                 .reset_index(drop=True))
+        wp = (ivf_topk(emb, q, cent, 5, n_probe=2, score="fold")
+              .toPandas().sort_values(["q_id", "rank"])
+              .reset_index(drop=True))
+        ok = gp[["q_id", "vec_id", "rank"]].equals(
+            wp[["q_id", "vec_id", "rank"]])
+        n = emb.count()
+        print(f"# ivf_prune_plan_check: {n} vectors, PartitionFilters "
+              f"present, store==memory {ok}, {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        return bool(ok)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
 def stream_st_join_state_check(workdir: str) -> bool:
@@ -492,6 +581,9 @@ def main() -> int:
     # stream-stream ST join under a production watermark: match count
     # must equal the batch join, state must stay window-bounded
     if not stream_st_join_state_check(workdir):
+        rc = rc or 1
+    # IVF directory prune must survive 10x file counts (r10 ask #3)
+    if not ivf_prune_plan_check(workdir):
         rc = rc or 1
     return rc
 
