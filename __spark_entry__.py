@@ -2838,11 +2838,30 @@ def _pq_sql_st_degenerate_contact(spark, sf):
         FROM __sql_degen""")
 
 
+def _pq_ann_pq_topk_batch(spark, sf):
+    """r10 batch-query ADC kernel gate (verdict ask #4): same corpus,
+    queries, codebook and k as `ann_pq_topk`, scored through
+    `score="batch"` (similarity.py `_pq_topk_batch` — the ADC lookup
+    tables for ALL queries ship once per Arrow batch, vectorized
+    int64 gathers, per-batch partial top-k, constant plan size) —
+    the production path for 100+-query batches (measured at sf0.1:
+    literal 21.0 s vs batch 1.2 s warm at 100 queries, 98.7 s vs
+    1.4 s at 400). Scores are the same exact BIGINTs, so this gate
+    REUSES the `ann_pq_topk` oracle SQL verbatim — a hash-exact proof
+    that the two scoring paths are interchangeable."""
+    from stark_spark.operators.similarity import pq_topk, pq_train
+    emb, q = _emb_queries(spark, sf, 5)
+    cb = pq_train(emb, dim=64, m_sub=8, n_codes=8, n_iter=2)
+    return pq_topk(emb, q, cb, 10, score="batch")
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-10 rotation (the 4 r9 entries promoted into queries());
     # new gates minted this round stage here first.
-    return {}
+    return {
+        "ann_pq_topk_batch": _pq_ann_pq_topk_batch,
+    }
 
 
 def _corr_oracle_sql() -> str:
@@ -3090,7 +3109,11 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — prior cohorts live on in
     # _promoted_oracle_sql_r9/_r8/_r7/_r6, merged into oracle_sql().
-    return {}
+    # The batch ADC kernel produces bit-identical BIGINT scores to
+    # the literal path, so its mirror IS the ann_pq_topk oracle.
+    return {
+        "ann_pq_topk_batch": _base_oracle_sql()["ann_pq_topk"],
+    }
 
 
 def _promoted_oracle_sql_r9() -> dict[str, str]:

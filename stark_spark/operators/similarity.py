@@ -854,9 +854,76 @@ def pq_encode(vectors: DataFrame, codebook: list, *,
     return vectors.join(codes, key)
 
 
+def _pq_adc_tables(qrows: list, codebook: list):
+    """Integer ADC lookup tables T[q][sub][code] = floor(d2·1e6), with
+    the squared-distance accumulation LEFT-ASSOCIATED in plain Python
+    floats — the exact arithmetic `pq_topk`'s literal expressions use,
+    so both scoring paths produce bit-identical BIGINT scores."""
+    import math
+
+    import numpy as np
+
+    m_sub = len(codebook)
+    dsub = len(codebook[0][0])
+    T = np.empty((len(qrows), m_sub, len(codebook[0])), dtype=np.int64)
+    for qi, qr in enumerate(qrows):
+        qv = [float(x) for x in qr[1]]
+        for s in range(m_sub):
+            for ci, cw in enumerate(codebook[s]):
+                d2 = 0.0
+                for i in range(dsub):
+                    t = qv[s * dsub + i] - cw[i]
+                    d2 = d2 + t * t
+                T[qi, s, ci] = math.floor(d2 * 1000000.0)
+    return T
+
+
+def _pq_topk_batch(enc: DataFrame, qrows: list, codebook: list, k: int,
+                   *, key: str, key_type: str, q_key: str,
+                   qkey_type: str) -> DataFrame:
+    """Batch-query ADC scorer: ONE mapInPandas over the codes frame;
+    the integer lookup tables for ALL queries ship once in the task
+    closure, each Arrow batch is scored with vectorized int64 gathers
+    (S[q, row] = Σ_s T[q, s, codes[row, s]]), and only the per-batch
+    per-query top-k survives — plan size is CONSTANT in |queries|
+    (the literal-expression path grows O(|Q|·m_sub·n_codes)). Scores
+    are the same exact BIGINTs, so ranks and adc_q match the literal
+    path bit-for-bit; callers window-merge the partials."""
+    import numpy as np
+    import pandas as pd
+
+    m_sub = len(codebook)
+    T = _pq_adc_tables(qrows, codebook)
+    qids = [qr[0] for qr in qrows]
+    nq = len(qids)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf[key].to_numpy()
+            S = np.zeros((nq, len(ids)), dtype=np.int64)
+            for s in range(m_sub):
+                S += T[:, s, :][:, C[:, s]]
+            out_q, out_v, out_a = [], [], []
+            for qi in range(nq):
+                top = np.lexsort((ids, S[qi]))[:k]
+                out_q.extend([qids[qi]] * len(top))
+                out_v.extend(ids[top])
+                out_a.extend(S[qi][top])
+            yield pd.DataFrame({q_key: out_q, key: out_v,
+                                "adc_q": out_a})
+
+    return enc.mapInPandas(
+        score_batches,
+        f"{q_key} {qkey_type}, {key} {key_type}, adc_q long")
+
+
 def pq_topk(vectors: DataFrame, queries: DataFrame, codebook: list,
             k: int, *, key: str = "vec_id", vec_col: str = "embedding",
-            q_key: str = "q_id", q_vec: str = "q_embedding") -> DataFrame:
+            q_key: str = "q_id", q_vec: str = "q_embedding",
+            score: str = "lit") -> DataFrame:
     """PQ top-k by ASYMMETRIC DISTANCE (ADC): per query, per subspace,
     the distances to the n_codes codewords collapse to a lookup table
     quantized to floor(d2·1e6) BIGINTs (driver-computed — queries are
@@ -866,6 +933,13 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, codebook: list,
     int8 path. The scan never reads the original vectors' floats at
     scoring time (codes only): the 100 TB shape is `pq_encode` once,
     then ADC over the 8-byte codes.
+
+    ``score="lit"`` (default) embeds one literal table expression per
+    query — bit-exact, codegen, right for gate-sized query sets, but
+    the PLAN grows O(|Q|·m_sub·n_codes). ``score="batch"`` ships the
+    tables once per Arrow batch through `_pq_topk_batch` — identical
+    integer scores (rank- and adc-equality pinned in pytest), constant
+    plan size: the production path for 100+-query batches.
 
     Output: (q_id, <key>, adc_q), k rows per query, ties by key."""
     import math
@@ -880,6 +954,16 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, codebook: list,
     # keeps the per-query lookup plan from re-running the encode join
     enc = pq_encode(vectors, codebook, key=key, vec_col=vec_col) \
         .select(key, "codes").localCheckpoint()
+    if score == "batch":
+        scored = _pq_topk_batch(
+            enc, qrows, codebook, k, key=key,
+            key_type=dict(vectors.dtypes)[key], q_key=q_key,
+            qkey_type=dict(queries.dtypes)[q_key])
+        w = Window.partitionBy(q_key).orderBy(F.asc("adc_q"),
+                                              F.asc(key))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                      .where(F.col("_rn") <= k)
+                      .select(q_key, key, "adc_q"))
 
     def score_expr(qv):
         score = F.lit(0).cast("long")

@@ -548,7 +548,11 @@ def synthesize(workdir: str) -> None:
 # startup dominates and each run rewrites the 10x events as a temp
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
-PENDING_SCALE = []
+PENDING_SCALE = [
+    # r10-minted: batch ADC kernel, same corpus-linear oracle as
+    # ann_pq_topk (reused verbatim — bit-identical integer scores)
+    "ann_pq_topk_batch",
+]
 
 
 def main() -> int:

@@ -921,6 +921,45 @@ def test_ann_pq_adc_exact_and_shape(spark, emb):
     assert "WindowGroupLimit" in plan
 
 
+def test_ann_pq_batch_kernel_equals_literal(spark, emb):
+    """r10 (verdict ask #4): the batch-query ADC kernel
+    (`score="batch"` — tables ship once per Arrow batch, vectorized
+    int64 gathers, per-batch partial top-k) must equal the literal-
+    expression path ROW FOR ROW — same (q_id, vec_id) ranks AND the
+    same exact adc_q BIGINTs — at gate size and at a 100-query
+    production batch. The batch plan must stay CONSTANT in |queries|:
+    no per-query expressions, one mapInPandas + the top-k window."""
+    from stark_spark.operators.similarity import pq_topk, pq_train
+
+    cb = pq_train(emb, dim=64, m_sub=8, n_codes=8, n_iter=2)
+
+    def q_of(n):
+        return (emb.where(F.col("vec_id") < n)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_embedding")))
+
+    for nq in (5, 100):
+        # astype: the literal path types q_id from F.lit (int32);
+        # the batch path keeps the input column type (int64)
+        lit = (pq_topk(emb, q_of(nq), cb, 10).toPandas()
+               .astype("int64")
+               .sort_values(["q_id", "adc_q", "vec_id"])
+               .reset_index(drop=True))
+        bat = (pq_topk(emb, q_of(nq), cb, 10, score="batch").toPandas()
+               .astype("int64")
+               .sort_values(["q_id", "adc_q", "vec_id"])
+               .reset_index(drop=True))
+        assert lit.equals(bat), f"batch != literal at {nq} queries"
+    # constant plan: the 100-query batch plan string must not grow
+    # with |Q| (the literal path embeds 64 table arrays per query)
+    p100 = pq_topk(emb, q_of(100), cb, 10, score="batch") \
+        ._jdf.queryExecution().executedPlan().toString()
+    p5 = pq_topk(emb, q_of(5), cb, 10, score="batch") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert abs(len(p100) - len(p5)) < 200
+    assert "Join" not in p100
+
+
 def test_ann_lsh_multiprobe_recall(spark, emb):
     """Multi-probe LSH must never lose recall vs single-probe, and both
     must only return true same-or-probed-bucket candidates ranked by
