@@ -832,3 +832,18 @@ def test_no_gate_returns_array_columns(spark):
     assert offenders == {}, (
         f"gates returning driver-unhashable array/map columns: "
         f"{offenders} — re-encode with array_join in gate + oracle")
+
+
+def test_dissolve_640k_floor(spark):
+    """r10 (verdict ask #5): kernel-regression tripwire with a NUMBER
+    — the 32×20k adjacent-tiling dissolve (640,000 edge-sharing unit
+    boxes through groupBy → applyInPandas → `_union_tree`) must stay
+    row-exact AND under 90 s on local[32] (r9 measured 39.5 s; the
+    pre-r9 one-shot kernel refused this input class at N=2). A kernel
+    edit that degrades the KD merge tree or the noded overlay shows
+    up here before it shows up in gate wall-times."""
+    import dissolve_scale_check
+
+    rc, dt = dissolve_scale_check.run(32, 20_000)
+    assert rc == 0
+    assert dt < 90.0, f"640k dissolve took {dt:.1f}s (floor 90s)"
