@@ -451,3 +451,46 @@ def _register_text_functions(spark: SparkSession) -> None:
         "(k STRING, salt STRING) RETURNS BIGINT RETURN "
         "CAST(conv(substring(md5(concat(salt, '|', k)), 1, 7), 16, 10)"
         " AS BIGINT)")
+    # --- dedup/retrieval signature primitives (r9 verdict ask #8):
+    # the minhash/simhash/bm25 tiers callable from plain spark.sql,
+    # formula-identical to the operators (equality-tested in
+    # tests/test_sql_surface.py). These are the SPEC twins — per-doc
+    # HOF expressions; corpus-scale runs use the operators'
+    # explode/groupBy (minhash) and Arrow (simhash) plans.
+    sh = "transform(sequence(1, greatest(length(t) - ({k} - 1), 1)), " \
+         "i -> substring(t, i, {k}))"
+    # one MinHash register: min over char-k-gram shingles of
+    # md5(seed|shingle) — dedup.minhash_signature_long's cell value
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION minhash"
+        "(t STRING, seed INT, k INT) RETURNS STRING RETURN "
+        "array_min(transform(" + sh.format(k="k") + ", "
+        "s -> md5(concat(CAST(seed AS STRING), '|', s))))")
+    # 16-bit SimHash: per-bit majority vote over md5(shingle) bits,
+    # MSB-first nibble expansion — dedup.simhash16's exact fold
+    nsh = "greatest(length(t) - (k - 1), 1)"
+    bits = ("flatten(transform(sequence(1, 4), p -> "
+            "transform(sequence(3, 0, -1), j -> "
+            "CAST(shiftright(CAST(conv(substring(h, p, 1), 16, 10) "
+            "AS INT), j) & 1 AS INT))))")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION simhash16"
+        "(t STRING, k INT) RETURNS BIGINT RETURN "
+        "aggregate(zip_with("
+        "aggregate(transform(" + sh.format(k="k") + ", s -> md5(s)), "
+        "array_repeat(0, 16), "
+        "(acc, h) -> zip_with(acc, " + bits + ", (a, b) -> a + b)), "
+        "sequence(15, 0, -1), "
+        f"(c, j) -> IF(c * 2 >= {nsh}, "
+        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v)")
+    # one BM25 term contribution: floor((idf_q · saturation) · 1e3)
+    # BIGINT — text.bm25_topk's contrib() with identical operand order
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION bm25_contrib"
+        "(tf BIGINT, dl BIGINT, idf_q BIGINT, avgdl DOUBLE, "
+        "k1 DOUBLE, b DOUBLE) RETURNS BIGINT RETURN "
+        "IF(tf > 0, CAST(floor(CAST(idf_q AS DOUBLE) * "
+        "(CAST(tf AS DOUBLE) / (CAST(tf AS DOUBLE) + k1 * "
+        "((1.0D - b) + b * CAST(dl AS DOUBLE) / avgdl))) "
+        "* 1000.0D) AS BIGINT), CAST(0 AS BIGINT))")
