@@ -385,11 +385,60 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
     return j.where(F.col("cos") >= threshold).select("a", "b", "cos")
 
 
+def _kmeans_local(vecs: list, n_centroids: int, n_iter: int) -> list:
+    """Driver-side replica of `kmeans_centroids(exact=True,
+    score="fold")` — the same IEEE operation sequence as the cluster
+    path, so the centroid table is bit-identical (pytest-pinned):
+
+    * cosine = left-fold dot / (sqrt(left-fold ‖a‖²) · sqrt(left-fold
+      ‖b‖²)), accumulated elementwise over positions = the zip_with/
+      aggregate chains term for term;
+    * assignment: np.argmax first-wins over centroids in c_id order =
+      the (-cos, c_id) row_number tie-break;
+    * update: floor(v·1e6 + 0.5) int64 sums / (1e6 · n), one float64
+      division — `exact=True`'s order-independent integer means;
+    * empty buckets keep their previous centroid.
+    """
+    import numpy as np
+
+    V = np.asarray(vecs, dtype=np.float64)
+    n, dim = V.shape
+    cb = [list(map(float, V[i])) for i in range(n_centroids)]
+    vna = np.zeros(n)
+    for i in range(dim):
+        vna = vna + V[:, i] * V[:, i]
+    vna = np.sqrt(vna)
+    for _ in range(n_iter):
+        C = np.asarray(cb, dtype=np.float64)
+        cnb = np.zeros(n_centroids)
+        for i in range(dim):
+            cnb = cnb + C[:, i] * C[:, i]
+        cnb = np.sqrt(cnb)
+        dots = np.zeros((n, n_centroids))
+        for i in range(dim):
+            dots = dots + V[:, i][:, None] * C[:, i][None, :]
+        cos = dots / (vna[:, None] * cnb[None, :])
+        buckets = np.argmax(cos, axis=1)
+        vq = np.floor(V * 1000000.0 + 0.5).astype(np.int64)
+        new = [list(cw) for cw in cb]
+        for c in range(n_centroids):
+            m = buckets == c
+            cnt = int(m.sum())
+            if cnt == 0:
+                continue
+            sums = vq[m].sum(axis=0)
+            new[c] = [float(sums[i]) / (1000000.0 * cnt)
+                      for i in range(dim)]
+        cb = new
+    return cb
+
+
 def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
                      n_iter: int = 5, key: str = "vec_id",
                      vec_col: str = "embedding",
                      score: str = "fold",
-                     exact: bool = False) -> DataFrame:
+                     exact: bool = False,
+                     local_max: int = 65536) -> DataFrame:
     """Distributed Lloyd's k-means → (c_id, c_embedding) centroid table
     for the IVF tier (replaces the deterministic data-sample
     placeholder when retrieval quality matters).
@@ -409,8 +458,25 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
     inputs to each mean.
 
     Empty buckets keep their previous centroid (left join + coalesce).
+
+    Small-input fast path (``exact=True`` + ``score="fold"`` + at most
+    ``local_max`` rows): the identical Lloyd's runs driver-side in one
+    ordered collect — bit-equal by construction (same left-associated
+    cosine folds, same (-cos, c_id) tie-break, same integer means;
+    pytest-pinned against the distributed path). Training inputs are
+    bounded by design (train on a sample, assign the corpus), so at
+    100 TB this path still holds for the trainer while `ivf_assign`
+    does the cluster-scale work. ``local_max=0`` forces distributed.
     """
     from pyspark.sql import Window
+
+    if (exact and score == "fold" and local_max
+            and vectors.count() <= local_max):
+        rows = (vectors.orderBy(key).select(vec_col).collect())
+        cb = _kmeans_local([r[0] for r in rows], n_centroids, n_iter)
+        return vectors.sparkSession.createDataFrame(
+            [(i, cw) for i, cw in enumerate(cb)],
+            "c_id int, c_embedding array<double>")
 
     w = Window.orderBy(key)
     cent = (vectors.orderBy(key).limit(n_centroids)
@@ -782,9 +848,55 @@ def _pq_assign_codes(subv: DataFrame, cb_df: DataFrame, *,
                       .alias("code")))
 
 
+def _pq_train_local(vecs: list, dim: int, m_sub: int, n_codes: int,
+                    n_iter: int) -> list:
+    """Driver-side replica of the distributed exact-integer PQ Lloyd's
+    — the SAME IEEE operation sequence, so the codebook is
+    bit-identical to the cluster path (pinned by pytest equality on
+    both paths):
+
+    * assignment d2: elementwise ``acc = acc + t*t`` looped over the
+      dsub positions = the zip_with/aggregate fold's left-associated
+      chain from 0.0, term for term;
+    * tie-break: np.argmin takes the FIRST minimum = min(struct(d2,
+      code))'s smallest-code rule (codes are in index order);
+    * update: floor(v·1e6 + 0.5) int64 sums (exact at any order)
+      / (1e6 · n) with one final float64 division — the identical
+      scalar arithmetic;
+    * empty codes keep their previous codeword.
+    """
+    import numpy as np
+
+    dsub = dim // m_sub
+    V = np.asarray(vecs, dtype=np.float64)
+    cb = [[[float(V[c, s * dsub + i]) for i in range(dsub)]
+           for c in range(n_codes)] for s in range(m_sub)]
+    for _ in range(n_iter):
+        new = [[list(cw) for cw in sub] for sub in cb]
+        for s in range(m_sub):
+            Vs = V[:, s * dsub:(s + 1) * dsub]
+            C = np.asarray(cb[s], dtype=np.float64)
+            acc = np.zeros((V.shape[0], n_codes))
+            for i in range(dsub):
+                t = Vs[:, i][:, None] - C[:, i][None, :]
+                acc = acc + t * t
+            codes = np.argmin(acc, axis=1)
+            vq = np.floor(Vs * 1000000.0 + 0.5).astype(np.int64)
+            for c in range(n_codes):
+                m = codes == c
+                cnt = int(m.sum())
+                if cnt == 0:
+                    continue
+                sums = vq[m].sum(axis=0)
+                new[s][c] = [float(sums[i]) / (1000000.0 * cnt)
+                             for i in range(dsub)]
+        cb = new
+    return cb
+
+
 def pq_train(vectors: DataFrame, *, dim: int = 64, m_sub: int = 8,
              n_codes: int = 8, n_iter: int = 2, key: str = "vec_id",
-             vec_col: str = "embedding") -> list:
+             vec_col: str = "embedding", local_max: int = 65536) -> list:
     """Product-quantization codebooks: split the d-dim space into
     ``m_sub`` subspaces and run exact-integer Lloyd's k-means in each
     — the memory-compression lever for 100 TB ANN (a 64-dim float32
@@ -805,9 +917,21 @@ def pq_train(vectors: DataFrame, *, dim: int = 64, m_sub: int = 8,
     aggregate (map-side combined, ≤ m_sub·n_codes·dsub groups). The
     sub-vector frame is localCheckpoint'ed once and reused across
     iterations. Returns the plain-Python codebook
-    ``[m_sub][n_codes][dsub]`` — pass it to `pq_encode`/`pq_topk`."""
+    ``[m_sub][n_codes][dsub]`` — pass it to `pq_encode`/`pq_topk`.
+
+    Training inputs are bounded by design (train on a sample; encode
+    the corpus — the FAISS contract), so when the frame is at most
+    ``local_max`` rows the identical Lloyd's runs driver-side in one
+    collect (`_pq_train_local` — bit-equal by construction, pytest-
+    pinned against this path). ``local_max=0`` forces the distributed
+    path; the 100 TB shape trains on a ≤64k sample either way and
+    spends its cluster on `pq_encode` + ADC scans."""
     dsub = dim // m_sub
     spark = vectors.sparkSession
+    if local_max and vectors.count() <= local_max:
+        rows = vectors.orderBy(key).select(vec_col).collect()
+        return _pq_train_local([r[0] for r in rows], dim, m_sub,
+                               n_codes, n_iter)
     init = (vectors.orderBy(key).limit(n_codes)
             .select(vec_col).collect())
     cb = [[[float(r[0][s * dsub + i]) for i in range(dsub)]

@@ -921,6 +921,37 @@ def test_ann_pq_adc_exact_and_shape(spark, emb):
     assert "WindowGroupLimit" in plan
 
 
+def test_kmeans_local_fastpath_bit_equal(spark, emb):
+    """`kmeans_centroids(exact=True, score="fold")`'s driver-side
+    small-input fast path must equal the distributed path (forced via
+    local_max=0) bit for bit — same cosine folds, same (-cos, c_id)
+    tie-break, same integer means. Exact == on every float."""
+    from stark_spark.operators.similarity import kmeans_centroids
+
+    fast = kmeans_centroids(emb, 4, n_iter=2, score="fold", exact=True)
+    dist = kmeans_centroids(emb, 4, n_iter=2, score="fold", exact=True,
+                            local_max=0)
+    f = {r.c_id: list(r.c_embedding) for r in fast.collect()}
+    d = {r.c_id: [float(x) for x in r.c_embedding]
+         for r in dist.collect()}
+    assert f == d
+
+
+def test_pq_train_local_fastpath_bit_equal(spark, emb):
+    """The driver-side small-input Lloyd's (`_pq_train_local`, taken
+    when rows ≤ local_max) must return a codebook BIT-IDENTICAL to
+    the distributed path (local_max=0 forces it): same left-
+    associated d2 chains, same first-min tie-break, same
+    floor(v·1e6+0.5) integer means. Floats compared with ==, not
+    approx — the contract is exact IEEE equality."""
+    from stark_spark.operators.similarity import pq_train
+
+    fast = pq_train(emb, dim=64, m_sub=8, n_codes=8, n_iter=2)
+    dist = pq_train(emb, dim=64, m_sub=8, n_codes=8, n_iter=2,
+                    local_max=0)
+    assert fast == dist
+
+
 def test_ann_pq_batch_kernel_equals_literal(spark, emb):
     """r10 (verdict ask #4): the batch-query ADC kernel
     (`score="batch"` — tables ship once per Arrow batch, vectorized
