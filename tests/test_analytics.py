@@ -921,6 +921,36 @@ def test_ann_pq_adc_exact_and_shape(spark, emb):
     assert "WindowGroupLimit" in plan
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_trainer_fastpaths_bit_equal_random(spark, seed):
+    """Fast-path/distributed bit-equality on ADVERSARIAL random data:
+    float32-quantized values (what a real embedding column holds),
+    plus duplicated rows (forces exact distance ties through the
+    first-min/smallest-code tie-break on BOTH paths)."""
+    import numpy as np
+    from stark_spark.operators.similarity import (kmeans_centroids,
+                                                  pq_train)
+
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(120, 64)).astype(np.float32)
+    V[60:] = V[:60]                       # exact duplicates → ties
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    fast = pq_train(df, dim=64, m_sub=8, n_codes=8, n_iter=2)
+    dist = pq_train(df, dim=64, m_sub=8, n_codes=8, n_iter=2,
+                    local_max=0)
+    assert fast == dist
+
+    kf = kmeans_centroids(df, 4, n_iter=2, score="fold", exact=True)
+    kd = kmeans_centroids(df, 4, n_iter=2, score="fold", exact=True,
+                          local_max=0)
+    f = {r.c_id: list(r.c_embedding) for r in kf.collect()}
+    d = {r.c_id: [float(x) for x in r.c_embedding]
+         for r in kd.collect()}
+    assert f == d
+
+
 def test_kmeans_local_fastpath_bit_equal(spark, emb):
     """`kmeans_centroids(exact=True, score="fold")`'s driver-side
     small-input fast path must equal the distributed path (forced via
