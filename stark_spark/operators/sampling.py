@@ -211,24 +211,25 @@ def group_quantiles(df: DataFrame, group_col: str, value_col: str,
     interpolation arithmetic to diverge between engines).
 
     Scale shape: one shuffle on the group key, per-group sort inside
-    the window — no global ordering. Output: (group, q, value).
+    the window — no global ordering, and ONE window pass for every
+    requested quantile: each ranked row keeps the (possibly several)
+    q's whose pick position ``greatest(ceil(q·n), 1)`` is its own rank
+    (array filter + explode — a per-q where/union re-ran the whole
+    window sort per quantile). Output: (group, q, value).
     """
     w = Window.partitionBy(group_col).orderBy(value_col)
     ranked = (df.select(group_col, value_col)
                 .withColumn("_rn", F.row_number().over(w))
                 .withColumn("_n", F.count("*").over(
                     Window.partitionBy(group_col))))
-    parts = []
-    for q in qs:
-        pick = F.ceil(F.lit(q) * F.col("_n"))
-        parts.append(ranked.where(F.col("_rn") == F.greatest(pick, F.lit(1)))
-                           .select(F.col(group_col),
-                                   F.lit(q).alias("q"),
-                                   F.col(value_col).alias("value")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    qarr = F.array(*[F.lit(q) for q in qs])
+    hit = F.filter(qarr, lambda q: F.col("_rn")
+                   == F.greatest(F.ceil(q * F.col("_n")), F.lit(1)))
+    return (ranked.withColumn("_qs", hit)
+                  .where(F.size("_qs") > 0)
+                  .select(F.col(group_col),
+                          F.explode("_qs").alias("q"),
+                          F.col(value_col).alias("value")))
 
 
 def top_k_per_group(df: DataFrame, group_col: str, order_col: str,
