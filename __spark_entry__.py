@@ -63,8 +63,13 @@ _FAST_TMP = ("/dev/shm" if _os.path.isdir("/dev/shm")
              and _os.access("/dev/shm", _os.W_OK) else None)
 
 
+_SCRATCH_DIRS: list = []
+
+
 def _mkdtemp(prefix: str) -> str:
-    return _tempfile.mkdtemp(prefix=prefix, dir=_FAST_TMP)
+    d = _tempfile.mkdtemp(prefix=prefix, dir=_FAST_TMP)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 # stream-replay source dirs, materialized ONCE per (sf, tag, nparts)
@@ -83,16 +88,17 @@ def _replay_dir(df: DataFrame, sf: str, tag: str, nparts: int = 4) -> str:
     return _REPLAY_DIRS[k]
 
 
-def _cleanup_replay_dirs() -> None:
-    # tmpfs is RAM — don't leave replay parquet behind after the
-    # harness process exits
+def _cleanup_scratch_dirs() -> None:
+    # tmpfs is RAM — don't leave replay/checkpoint parquet behind
+    # after the harness process exits (covers every _mkdtemp dir:
+    # replay sources, stream-stream inputs, sessionize slices)
     import shutil
-    for d in _REPLAY_DIRS.values():
-        shutil.rmtree(_os.path.dirname(d), ignore_errors=True)
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 import atexit as _atexit
-_atexit.register(_cleanup_replay_dirs)
+_atexit.register(_cleanup_scratch_dirs)
 
 # SQL fragments for the synthetic coordinates
 def _xy(key: str, salt: tuple[int, int] = (0, 0)) -> tuple[str, str]:
