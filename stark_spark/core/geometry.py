@@ -1806,6 +1806,101 @@ def _winding_decompose(arr: np.ndarray, ring_orig: np.ndarray,
     return out
 
 
+class _HoledTopologyChange(ValueError):
+    """Internal signal: holed-polygon erosion changes topology (hole
+    breaches shell / holes merge / hole nests in a courtyard). The
+    fast ring-containment composition cannot express the result;
+    `buffer` catches this and recomputes through the constructive
+    overlay (`difference`), which handles every such case."""
+
+
+def _erode_holed_overlay(shells: list, holes, d: float,
+                         quad_segs: int) -> "Geometry | None":
+    """Erosion of a holed polygon as pure set algebra:
+    erode(shell) \\ ⋃ dilate(hole) — the noded-overlay `difference`
+    folds each dilated hole through the surviving pieces, so shell
+    breaches, hole merges, courtyard islands and nested-courtyard
+    cases all COMPUTE (sequential subtraction equals subtracting the
+    union, overlapping subtrahends included). Slower than the ring
+    composition fast path, which is why it only runs when that path
+    signals a topology change."""
+    res = _geom_from_polys([[s] for s in shells])
+    for h in holes:
+        hd = buffer(Geometry("POLYGON", [_norm_ring(h, ccw=True)]),
+                    d, quad_segs)
+        res = difference(res, hd)
+        if res is None:
+            return None
+    return res
+
+
+def _erode_holed_fast(g: "Geometry", shells: list, d: float,
+                      quad_segs: int) -> "Geometry":
+    """Ring-composition erosion of a holed polygon (see `buffer`):
+    dilate each hole, require it inside exactly one eroded shell
+    part and pairwise separate, compose rings directly — no noding.
+    Raises `_HoledTopologyChange` when the composition cannot
+    express the result (caller falls back to the overlay)."""
+    holes: list = []
+    islands: list = []       # courtyard survivors (see below)
+    island_parent: list = []
+    for h in g.coords[1:]:
+        hd = buffer(Geometry("POLYGON",
+                             [_norm_ring(h, ccw=True)]),
+                    d, quad_segs)
+        if hd.kind != "POLYGON":
+            # dilation of a connected region is connected;
+            # anything else is a kernel invariant violation
+            raise ValueError("buffer: hole dilation produced "
+                             "disconnected parts")
+        holes.append(np.asarray(hd.coords[0], dtype=float))
+        # a hole whose neck closes under dilation encloses a
+        # COURTYARD it does not cover: material there deeper
+        # than d from every boundary survives as a separate
+        # part (an island), exactly the courtyard face
+        for c in hd.coords[1:]:
+            islands.append(_norm_ring(np.asarray(c, dtype=float),
+                                      ccw=True))
+            island_parent.append(len(holes) - 1)
+    for i in range(len(holes)):
+        for j in range(i + 1, len(holes)):
+            if _rings_may_touch(holes[i], holes[j]):
+                raise _HoledTopologyChange("erosion merges holes")
+    part_holes: list = [[] for _ in shells]
+    for h in holes:
+        inside = [i for i, s in enumerate(shells)
+                  if all(_point_in_ring(p, s) for p in h[:-1])]
+        # vertex containment alone misses a straight hole edge
+        # crossing a shell notch mid-span (r8 advice #1): also
+        # require NO segment-level crossing with the kept shell
+        if (len(inside) != 1
+                or _any_segment_intersection(h, shells[inside[0]])):
+            raise _HoledTopologyChange("dilated hole breaches the "
+                                       "eroded shell")
+        part_holes[inside[0]].append(h[::-1])
+    # an island must be free of every OTHER dilated hole (its
+    # own parent ring may legally share the pinch node with it);
+    # a hole nested inside a courtyard needs recursive annulus
+    # subtraction — exactly what the overlay fallback does
+    for c, par in zip(islands, island_parent):
+        for j, hr in enumerate(holes):
+            if j == par:
+                continue
+            if (_rings_may_touch(c, hr)
+                    or all(_point_in_ring(p, c) for p in hr[:-1])):
+                raise _HoledTopologyChange("hole dilation nests "
+                                           "another hole inside a "
+                                           "courtyard")
+    parts = [Geometry("POLYGON", [s] + ph)
+             for s, ph in zip(shells, part_holes)]
+    parts += [Geometry("POLYGON", [c]) for c in islands]
+    if len(parts) == 1:
+        return parts[0]
+    # the erosion SPLIT the region at a waist (r9): the surviving
+    # parts come back as a MULTIPOLYGON, as JTS buffer(-d) does
+    return Geometry("MULTIPOLYGON", parts)
+
+
 def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     """Positive buffer (JTS `buffer(d)` with quadrantSegments=8): the
     Minkowski sum of the geometry with a disc of radius ``dist``,
@@ -1850,9 +1945,13 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     via half-plane clipping, non-convex via the dual offset
     construction; see `_erode_ring`) and holes DILATE. Returns None
     when the geometry erodes away entirely (the SQL surface maps it
-    to NULL). Erosions/dilations that would change topology (split a
-    region, merge holes, or breach the shell) raise — the kernel's
-    honest-refusal contract.
+    to NULL). Topology changes COMPUTE: waist splits return
+    MULTIPOLYGON parts (r9), and holed-polygon erosions whose ring
+    composition breaks (hole breaches the shell, holes merge, a hole
+    nests inside a courtyard) fall back to the constructive overlay
+    erode(shell) \\ ⋃ dilate(hole) (r10, `_erode_holed_overlay`) —
+    the buffer surface has no semantic refusal class left; remaining
+    raises are degenerate inputs and internal invariants only.
     """
     if dist == 0 or not np.isfinite(dist):
         raise ValueError("buffer: dist must be a nonzero finite value")
@@ -1881,68 +1980,17 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
                              quad_segs)
         if not shells:
             return None
-        # holes DILATE under erosion; they must stay inside ONE
-        # eroded shell part and pairwise separate, else the topology
-        # changes (hole merge / shell breach) — honest refusal
-        holes: list = []
-        islands: list = []       # courtyard survivors (see below)
-        island_parent: list = []
-        for h in g.coords[1:]:
-            hd = buffer(Geometry("POLYGON",
-                                 [_norm_ring(h, ccw=True)]),
-                        d, quad_segs)
-            if hd.kind != "POLYGON":
-                # dilation of a connected region is connected;
-                # anything else is a kernel invariant violation
-                raise ValueError("buffer: hole dilation produced "
-                                 "disconnected parts")
-            holes.append(np.asarray(hd.coords[0], dtype=float))
-            # a hole whose neck closes under dilation encloses a
-            # COURTYARD it does not cover: material there deeper
-            # than d from every boundary survives as a separate
-            # part (an island), exactly the courtyard face
-            for c in hd.coords[1:]:
-                islands.append(_norm_ring(np.asarray(c, dtype=float),
-                                          ccw=True))
-                island_parent.append(len(holes) - 1)
-        for i in range(len(holes)):
-            for j in range(i + 1, len(holes)):
-                if _rings_may_touch(holes[i], holes[j]):
-                    raise ValueError("buffer: erosion merges holes "
-                                     "(topology change)")
-        part_holes: list = [[] for _ in shells]
-        for h in holes:
-            inside = [i for i, s in enumerate(shells)
-                      if all(_point_in_ring(p, s) for p in h[:-1])]
-            # vertex containment alone misses a straight hole edge
-            # crossing a shell notch mid-span (r8 advice #1): also
-            # require NO segment-level crossing with the kept shell
-            if (len(inside) != 1
-                    or _any_segment_intersection(h, shells[inside[0]])):
-                raise ValueError("buffer: dilated hole breaches the "
-                                 "eroded shell (topology change)")
-            part_holes[inside[0]].append(h[::-1])
-        # an island must be free of every OTHER dilated hole (its
-        # own parent ring may legally share the pinch node with it);
-        # a hole nested inside a courtyard would demand recursive
-        # annulus subtraction — honest refusal
-        for c, par in zip(islands, island_parent):
-            for j, hr in enumerate(holes):
-                if j == par:
-                    continue
-                if (_rings_may_touch(c, hr)
-                        or all(_point_in_ring(p, c) for p in hr[:-1])):
-                    raise ValueError("buffer: hole dilation nests "
-                                     "another hole inside a courtyard "
-                                     "(topology change)")
-        parts = [Geometry("POLYGON", [s] + ph)
-                 for s, ph in zip(shells, part_holes)]
-        parts += [Geometry("POLYGON", [c]) for c in islands]
-        if len(parts) == 1:
-            return parts[0]
-        # the erosion SPLIT the region at a waist (r9): the surviving
-        # parts come back as a MULTIPOLYGON, as JTS buffer(-d) does
-        return Geometry("MULTIPOLYGON", parts)
+        # holes DILATE under erosion. Fast path: each dilated hole
+        # stays inside ONE eroded shell part and pairwise separate —
+        # pure ring composition, no noding. Any topology change
+        # (hole merge / shell breach / courtyard nesting) signals
+        # `_HoledTopologyChange` and the constructive overlay
+        # recomputes the same set algebra totally.
+        try:
+            return _erode_holed_fast(g, shells, d, quad_segs)
+        except _HoledTopologyChange:
+            return _erode_holed_overlay(shells, g.coords[1:], d,
+                                        quad_segs)
     if g.kind == "POINT":
         cx, cy = float(g.coords[0]), float(g.coords[1])
         ang = np.arange(n_arc) * (2 * np.pi / n_arc)

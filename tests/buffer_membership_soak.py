@@ -1,0 +1,146 @@
+"""Membership-sampling soak for the r10 advice-fix buffer paths:
+holed-polygon dilation (courtyard holes must survive/fill by the
+distance rule), negative buffers that split and mint islands, and
+structural validity (no nested MULTIPOLYGON, WKT roundtrip parses).
+
+Oracle: for p not near the boundary, p ∈ buffer(g, d>0) iff
+dist(p, g) ≤ d, with dist(p, g) = 0 inside g (outside its holes) and
+min segment distance otherwise. Tolerance covers arc sagitta."""
+import sys
+import numpy as np
+sys.path.insert(0, "/root/repo")
+from stark_spark.core import geometry as G
+
+
+def seg_dist(p, a, b):
+    ab = b - a
+    t = float(np.dot(p - a, ab)) / max(float(np.dot(ab, ab)), 1e-300)
+    t = min(1.0, max(0.0, t))
+    return float(np.hypot(*(p - (a + t * ab))))
+
+
+def rings_of(g):
+    out = []
+    for part in g.parts():
+        if part.kind == "POLYGON":
+            out.append([np.asarray(r, float) for r in part.coords])
+    return out
+
+
+def pip(p, ring):
+    # even-odd
+    x, y = p
+    inside = False
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        if (y1 > y) != (y2 > y):
+            xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if xi > x:
+                inside = not inside
+    return inside
+
+
+def member(p, g):
+    for rs in rings_of(g):
+        if pip(p, rs[0]) and not any(pip(p, h) for h in rs[1:]):
+            return True
+    return False
+
+
+def dist_to(p, g):
+    if member(p, g):
+        return 0.0
+    d = float("inf")
+    for rs in rings_of(g):
+        for r in rs:
+            for i in range(len(r) - 1):
+                d = min(d, seg_dist(np.asarray(p, float), r[i], r[i + 1]))
+    return d
+
+
+def no_nested_multi(g):
+    if not g.kind.startswith("MULTI"):
+        return True
+    return all(not part.kind.startswith("MULTI") for part in g.parts())
+
+
+rng = np.random.default_rng(20260816)
+fails = 0
+draws = 0
+
+def check_buffer(g, d, tag):
+    global fails, draws
+    b = G.buffer(g, d)
+    draws += 1
+    if d > 0 and b is None:
+        print(f"FAIL {tag}: positive buffer returned None"); fails += 1; return
+    if b is None:
+        return
+    assert no_nested_multi(b), f"{tag}: nested MULTI"
+    G.from_wkt(G.to_wkt(b))   # WKT roundtrip parses
+    # membership sampling
+    xmin, ymin, xmax, ymax = g.bbox
+    pad = abs(d) + 1.0
+    tol = 0.12 * abs(d) + 0.03
+    bad = 0
+    for _ in range(40):
+        p = (rng.uniform(xmin - pad, xmax + pad),
+             rng.uniform(ymin - pad, ymax + pad))
+        dist = dist_to(p, g)
+        if d > 0:
+            want_in, want_out = dist < d - tol, dist > d + tol
+        else:
+            # erosion: p in result iff p inside g with clearance > |d|
+            inside = member(p, g)
+            clear = dist_to_boundary = None
+            # clearance = distance to boundary when inside
+            db = min(seg_dist(np.asarray(p, float), r[i], r[i+1])
+                     for rs in rings_of(g) for r in rs
+                     for i in range(len(r)-1))
+            want_in = inside and db > abs(d) + tol
+            want_out = (not inside) or db < abs(d) - tol
+        got = member(p, b)
+        if (want_in and not got) or (want_out and got):
+            bad += 1
+    if bad:
+        print(f"FAIL {tag}: {bad}/40 membership mismatches (d={d:.3f})")
+        fails += 1
+
+# family 1: holed rectangles (courtyard survival / fill)
+for t in range(150):
+    W, H = rng.uniform(6, 14), rng.uniform(6, 14)
+    hx, hy = rng.uniform(1.5, W - 3), rng.uniform(1.5, H - 3)
+    hw, hh = rng.uniform(1.0, min(3.0, W - hx - 1.2)), rng.uniform(1.0, min(3.0, H - hy - 1.2))
+    wkt = (f"POLYGON ((0 0, {W} 0, {W} {H}, 0 {H}, 0 0), "
+           f"({hx} {hy}, {hx} {hy+hh}, {hx+hw} {hy+hh}, {hx+hw} {hy}, {hx} {hy}))")
+    g = G.from_wkt(wkt)
+    d = rng.uniform(0.1, 2.2) * (1 if rng.random() < 0.7 else -1)
+    check_buffer(g, d, f"holed#{t}")
+
+# family 2: dumbbells (waist split under erosion, island-free dilation)
+for t in range(100):
+    r1, r2 = rng.uniform(2, 4), rng.uniform(2, 4)
+    neck = rng.uniform(0.4, 1.6)
+    L = rng.uniform(8, 14)
+    wkt = (f"POLYGON ((0 0, 0 {r1}, {L/2 - 1} {neck/2 + r1/2}, "
+           f"{L/2 - 1} {neck}, {L/2 + 1} {neck}, {L/2 + 1} {neck/2 + r2/2}, "
+           f"{L} {r2}, {L} 0, 0 0))")
+    g = G.from_wkt(wkt)
+    d = rng.uniform(0.1, 1.4) * (1 if rng.random() < 0.5 else -1)
+    check_buffer(g, d, f"dumbbell#{t}")
+
+# family 3: MULTIPOLYGON negative buffer (nested-MULTI flatten fix)
+for t in range(80):
+    shapes = []
+    for i in range(2):
+        x0, y0 = i * 30.0, 0.0
+        W, H, neck = rng.uniform(6, 10), rng.uniform(3, 5), rng.uniform(0.4, 1.2)
+        shapes.append(f"(({x0} {y0}, {x0} {y0+H}, {x0+W/2-1} {y0+neck}, "
+                      f"{x0+W/2+1} {y0+neck}, {x0+W} {y0+H}, {x0+W} {y0}, {x0} {y0}))")
+    g = G.from_wkt("MULTIPOLYGON (" + ", ".join(shapes) + ")")
+    d = -rng.uniform(0.2, 1.0)
+    check_buffer(g, d, f"multi-erode#{t}")
+
+print(f"# soak: {draws} draws, {fails} failures")
+sys.exit(1 if fails else 0)

@@ -449,6 +449,38 @@ def test_buffer_invariants_convex(seed, n, dist):
     assert np.allclose(c.coords, [3.0, -2.0], atol=1e-9)
 
 
+def test_erode_holed_topology_changes_compute():
+    """r10: holed-polygon erosion whose ring composition breaks
+    topology now COMPUTES via the overlay fallback (erode(shell) \\
+    ⋃ dilate(hole)) instead of raising — the last refusal class on
+    the buffer surface (found by tests/buffer_membership_soak.py).
+
+    Case 1 — BREACH: a corner hole whose dilation crosses the eroded
+    shell; the result is the eroded shell with a notch, one part.
+    Case 2 — HOLE MERGE: two holes whose dilations touch; the merged
+    cavity splits the band between them out of the interior."""
+    g = G.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+                   " (1 1, 1 4, 4 4, 4 1, 1 1))")
+    b = G.buffer(g, -0.8)
+    shell_area = (10 - 2 * 0.8) ** 2
+    assert 0 < G.area(b) < shell_area
+    # membership probes (clearance rule: in(b) iff depth > 0.8)
+    for p, want in [((9.0, 9.0), True),    # deep interior
+                    ((2.5, 2.5), False),   # inside the hole
+                    ((0.9, 0.9), False),   # pinched corner strip
+                    ((2.5, 5.2), True)]:   # 1.2 above the hole edge
+        assert G.intersects(G.point(*p), b) is want, p
+
+    m = G.from_wkt("POLYGON ((0 0, 12 0, 12 6, 0 6, 0 0),"
+                   " (2 2, 2 4, 5 4, 5 2, 2 2),"
+                   " (5.6 2, 5.6 4, 9 4, 9 2, 5.6 2))")
+    bm = G.buffer(m, -0.4)                 # dilated holes touch
+    assert G.area(bm) > 0
+    assert not G.intersects(G.point(5.3, 3.0), bm)   # merged cavity
+    assert G.intersects(G.point(1.0, 1.0), bm)       # survives left
+    assert G.intersects(G.point(10.5, 3.0), bm)      # survives right
+
+
 def test_buffer_rejects_bad_inputs():
     with pytest.raises(ValueError):
         G.buffer(G.point(0, 0), 0.0)
@@ -1841,8 +1873,8 @@ def test_buffer_holed_polygons():
     area(buffer(shell)) − (v−2d)²; holes erode away at d ≥ v/2.
     Negative dist erodes the shell and DILATES holes:
     area == (w−2d)² − area(buffer(hole, +d)); hole-merge and
-    shell-breach topology changes raise. MULTIPOLYGON erosion drops
-    fully-eroded parts."""
+    shell-breach topology changes COMPUTE through the overlay
+    fallback (r10). MULTIPOLYGON erosion drops fully-eroded parts."""
     holed = G.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
                        "(3 3, 7 3, 7 7, 3 7, 3 3))")
     shell = G.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
@@ -1855,13 +1887,19 @@ def test_buffer_holed_polygons():
     assert len(nb.coords) == 2
     want = 81.0 - G.area(G.buffer(hole, 0.5))
     assert abs(G.area(nb) - want) < 1e-9
-    with pytest.raises(ValueError, match="breach"):
-        G.buffer(holed, -1.6)
+    # r10: a breach COMPUTES via the overlay fallback — at −1.6 the
+    # dilated hole covers the eroded shell except four corner
+    # slivers (depth > 1.6 survives only on the corner diagonals)
+    br = G.buffer(holed, -1.6)
+    assert br.kind == "MULTIPOLYGON" and len(br.parts()) == 4
+    assert G.intersects(G.point(1.7, 1.7), br)
+    assert not G.intersects(G.point(5.0, 1.7), br)   # band too thin
     two_holes = G.from_wkt(
         "POLYGON ((0 0, 12 0, 12 6, 0 6, 0 0), "
         "(2 2, 4 2, 4 4, 2 4, 2 2), (8 2, 10 2, 10 4, 8 4, 8 2))")
-    with pytest.raises(ValueError, match="merges holes"):
-        G.buffer(two_holes, -2.2)
+    # r10: merging hole dilations COMPUTE — here they cover the whole
+    # eroded shell (no point is 2.2 deep), so the region erodes away
+    assert G.buffer(two_holes, -2.2) is None
     m = G.from_wkt("MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
                    "((20 0, 21 0, 21 1, 20 1, 20 0)))")
     me = G.buffer(m, -1.0)
@@ -1912,17 +1950,22 @@ def test_buffer_erosion_courtyard_island():
     # frame = 18² minus the dilated-hole enclosure ([3,17]² with
     # four rounded corners): 324 − (196 − 4(1 − π·qs-gon)) ± channel
     assert 128.5 < G.area(frame) < 129.5
-    # a second hole nested inside the courtyard demands recursive
-    # annulus subtraction — honest refusal (the pairwise enclosure
-    # check fires as "merges holes"; the island "nests" guard is the
-    # backstop invariant)
+    # r10: a second hole nested inside the courtyard COMPUTES via the
+    # overlay fallback's recursive annulus subtraction: the island is
+    # itself a HOLED polygon carrying the nested hole's dilation
     nested = G.from_wkt(
         "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), "
         "(4 4, 16 4, 16 16, 10.5 16, 10.5 14, 14 14, 14 6, 6 6, "
         "6 14, 9.5 14, 9.5 16, 4 16, 4 4), "
         "(9.8 9.8, 10.2 9.8, 10.2 10.2, 9.8 10.2, 9.8 9.8))")
-    with pytest.raises(ValueError, match="merges holes|nests"):
-        G.buffer(nested, -1.0)
+    nb = G.buffer(nested, -1.0)
+    assert nb.kind == "MULTIPOLYGON" and len(nb.parts()) == 2
+    assert all(len(p.coords) == 2 for p in nb.parts())  # both holed
+    assert G.intersects(G.point(2.0, 2.0), nb)       # frame
+    assert not G.intersects(G.point(5.0, 10.0), nb)  # big hole band
+    assert G.intersects(G.point(7.5, 10.0), nb)      # courtyard island
+    assert not G.intersects(G.point(10.0, 10.0), nb)  # nested hole
+    assert not G.intersects(G.point(10.0, 9.0), nb)  # depth 0.8 < 1
 
 
 def test_buffer_multipolygon_erosion_flattens_waist_splits():
