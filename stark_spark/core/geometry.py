@@ -2268,22 +2268,6 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
                     [Geometry("POLYGON", list(p)) for p in polys])
 
 
-def _parts_of(g: Geometry):
-    """Split a MULTI* geometry into its single-part Geometries."""
-    if g.kind == "MULTIPOINT":
-        return [Geometry("POINT", np.asarray(p, dtype=float))
-                for p in np.asarray(g.coords, dtype=float).reshape(-1, 2)]
-    if g.kind == "MULTIPOLYGON":
-        out = []
-        for rings in g.coords:
-            if len(rings) != 1:
-                raise ValueError("buffer: holed polygon part")
-            out.append(Geometry("POLYGON",
-                                [np.asarray(rings[0], dtype=float)]))
-        return out
-    raise ValueError(f"buffer: cannot split {g.kind}")
-
-
 def _rings_may_touch(a: np.ndarray, b: np.ndarray) -> bool:
     """Conservative overlap check between two buffered-part rings:
     bbox intersection, then any segment-pair intersection or either
