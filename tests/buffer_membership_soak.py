@@ -142,5 +142,20 @@ for t in range(80):
     d = -rng.uniform(0.2, 1.0)
     check_buffer(g, d, f"multi-erode#{t}")
 
+# family 4: TWO-hole rectangles under erosion (hole-merge class —
+# the dilated holes can touch, cover the band, or split the region)
+for t in range(80):
+    W, H = rng.uniform(10, 16), rng.uniform(5, 9)
+    h1x = rng.uniform(1.5, W / 2 - 2.5)
+    h2x = rng.uniform(W / 2 + 0.5, W - 3.5)
+    hy = rng.uniform(1.5, H - 3.5)
+    hw = rng.uniform(1.0, 2.0)
+    wkt = (f"POLYGON ((0 0, {W} 0, {W} {H}, 0 {H}, 0 0), "
+           f"({h1x} {hy}, {h1x} {hy+hw}, {h1x+hw} {hy+hw}, {h1x+hw} {hy}, {h1x} {hy}), "
+           f"({h2x} {hy}, {h2x} {hy+hw}, {h2x+hw} {hy+hw}, {h2x+hw} {hy}, {h2x} {hy}))")
+    g = G.from_wkt(wkt)
+    d = -rng.uniform(0.2, 2.0)
+    check_buffer(g, d, f"twohole#{t}")
+
 print(f"# soak: {draws} draws, {fails} failures")
 sys.exit(1 if fails else 0)
