@@ -1918,12 +1918,15 @@ def buffer(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
       sum as long as the offset curve stays simple). If ``dist``
       exceeds the concavity depth the offset curve self-intersects
       globally; that is detected (O(n^2) segment check + trim
-      validity) and raises — an honest refusal, never a bowtie ring;
+      validity) and the dilation is rebuilt from the raw
+      arc-connected curve via winding-classified faces (r9 — total,
+      like erosion; deep concavities and courtyard mints compute);
     * LINESTRING — the stroke/corridor polygon: the polyline's
       Minkowski disc sum computed as the dilation of its degenerate
       flat ring (forward + reverse walk) — round end caps and bend
       arcs fall out of the same arc/miter machinery; hairpins
-      tighter than ``dist`` raise;
+      tighter than ``dist`` compute through the same winding
+      fallback;
     * MULTIPOINT / MULTILINESTRING / MULTIPOLYGON — per-part
       buffering, returned as a MULTIPOLYGON when the part buffers
       are PAIRWISE DISJOINT; overlapping part buffers dissolve into
