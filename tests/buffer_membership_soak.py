@@ -49,6 +49,10 @@ def member(p, g):
 
 
 def dist_to(p, g):
+    if g.kind == "LINESTRING":
+        c = np.asarray(g.coords, float)
+        return min(seg_dist(np.asarray(p, float), c[i], c[i + 1])
+                   for i in range(len(c) - 1))
     if member(p, g):
         return 0.0
     d = float("inf")
@@ -156,6 +160,20 @@ for t in range(80):
     g = G.from_wkt(wkt)
     d = -rng.uniform(0.2, 2.0)
     check_buffer(g, d, f"twohole#{t}")
+
+# family 5: polyline corridors incl. hairpins (dilation winding path)
+for t in range(100):
+    n = int(rng.integers(3, 9))
+    pts = np.cumsum(rng.uniform(-3, 3, size=(n, 2)), axis=0)
+    if rng.random() < 0.4:                  # force a hairpin
+        pts = np.vstack([pts, pts[-2] + rng.uniform(-0.3, 0.3, 2)])
+    if any(np.hypot(*(pts[i + 1] - pts[i])) < 1e-6
+           for i in range(len(pts) - 1)):
+        continue
+    wkt = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+    g = G.from_wkt(wkt)
+    d = rng.uniform(0.15, 1.5)
+    check_buffer(g, d, f"corridor#{t}")
 
 print(f"# soak: {draws} draws, {fails} failures")
 sys.exit(1 if fails else 0)
