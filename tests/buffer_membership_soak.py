@@ -175,5 +175,38 @@ for t in range(100):
     d = rng.uniform(0.15, 1.5)
     check_buffer(g, d, f"corridor#{t}")
 
+# family 6: overlay algebra identities on random holed boxes —
+# area(A)+area(B) == area(A∪B)+area(A∩B) and
+# area(A\B) == area(A) − area(A∩B). Half the draws use INTEGER
+# coordinates to force degenerate shared-edge/vertex contact.
+def holed_box(rng, integral):
+    x0, y0 = rng.uniform(0, 8, 2)
+    W, H = rng.uniform(3, 8), rng.uniform(3, 8)
+    if integral:
+        x0, y0, W, H = round(x0), round(y0), max(3, round(W)), max(3, round(H))
+    hx, hy = x0 + W * 0.3, y0 + H * 0.3
+    hw, hh = W * 0.3, H * 0.3
+    return G.from_wkt(
+        f"POLYGON (({x0} {y0}, {x0+W} {y0}, {x0+W} {y0+H}, {x0} {y0+H}, {x0} {y0}), "
+        f"({hx} {hy}, {hx} {hy+hh}, {hx+hw} {hy+hh}, {hx+hw} {hy}, {hx} {hy}))")
+
+
+for t in range(150):
+    integral = t % 2 == 0
+    A, B = holed_box(rng, integral), holed_box(rng, integral)
+    draws += 1
+    aA, aB = G.area(A), G.area(B)
+    U = G.union(A, B)
+    I = G.intersection(A, B)
+    D = G.difference(A, B)
+    aU = G.area(U)
+    aI = G.area(I) if I is not None else 0.0
+    aD = G.area(D) if D is not None else 0.0
+    tol = 1e-9 * max(aA + aB, 1.0)
+    if abs((aA + aB) - (aU + aI)) > tol or abs(aD - (aA - aI)) > tol:
+        print(f"FAIL overlay#{t}: A+B={aA+aB:.9f} U+I={aU+aI:.9f} "
+              f"D={aD:.9f} A-I={aA-aI:.9f}")
+        fails += 1
+
 print(f"# soak: {draws} draws, {fails} failures")
 sys.exit(1 if fails else 0)
