@@ -396,6 +396,30 @@ def test_common_neighbors_hand(spark):
     assert not any(a == 0 for a, _ in got)
 
 
+def test_common_neighbors_local_fastpath_equal(spark):
+    """The driver-side Gram-matrix fast path (uncapped, small node
+    set) must return EXACTLY the distributed wedge join's rows
+    (local_max=0 forces it) — random graph with parallel/reversed
+    duplicate edges and an isolated-ish tail."""
+    import numpy as np
+    from stark_spark.operators.graph import common_neighbors
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (400, 2))
+             if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = sorted(map(tuple, common_neighbors(df, k=25).collect()))
+    dist = sorted(map(tuple,
+                      common_neighbors(df, k=25, local_max=0).collect()))
+    assert fast == dist and len(fast) == 25
+    # the hand-star semantics hold on the distributed path too
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)], "src long, dst long")
+    got = {(r.a, r.b): r.n_common
+           for r in common_neighbors(star, k=10, local_max=0).collect()}
+    assert (1, 2) not in got and got[(3, 4)] == 1 and len(got) == 5
+
+
 def test_common_neighbors_max_degree(spark):
     """Hub cap: node 0 links 1..6, node 10 links 1 and 2. With
     max_degree=3 the hub keeps only its smallest-id neighbors
