@@ -96,8 +96,17 @@ def test_pack_shards_matches_sequential_packing(docs):
 
 def test_group_quantiles_match_sorted_pick(docs):
     qs = [0.25, 0.5, 0.9]
-    got = {(r.lang, r.q): r.value for r in
-           group_quantiles(docs, "lang", "n_chars", qs).collect()}
+    out = group_quantiles(docs, "lang", "n_chars", qs)
+    got = {(r.lang, r.q): r.value for r in out.collect()}
+    # plan lock (r10): ONE sorted pass serves every requested q (the
+    # rank and count Window nodes share one Sort/Exchange) — the old
+    # per-q where/union form re-ran the sort once per quantile
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "== Final Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Sort ") == 1
+    assert plan.count("Exchange") == 1
+    assert "Union" not in plan
     by_lang = {}
     for r in docs.select("lang", "n_chars").collect():
         by_lang.setdefault(r.lang, []).append(r.n_chars)
