@@ -1849,10 +1849,12 @@ def _erode_holed_fast(g: "Geometry", shells: list, d: float,
                              [_norm_ring(h, ccw=True)]),
                     d, quad_segs)
         if hd.kind != "POLYGON":
-            # dilation of a connected region is connected;
-            # anything else is a kernel invariant violation
-            raise ValueError("buffer: hole dilation produced "
-                             "disconnected parts")
+            # dilation of a connected region is connected; if the
+            # winding fallback ever classifies a numeric edge case
+            # as MULTI parts, the overlay fallback still computes
+            # the erosion correctly — recoverable, not fatal
+            raise _HoledTopologyChange("hole dilation produced "
+                                       "disconnected parts")
         holes.append(np.asarray(hd.coords[0], dtype=float))
         # a hole whose neck closes under dilation encloses a
         # COURTYARD it does not cover: material there deeper

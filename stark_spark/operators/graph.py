@@ -187,7 +187,7 @@ def _common_neighbors_local(spark, sym_rows, e_rows, k: int,
 def common_neighbors(edges: DataFrame, *, k: int = 20,
                      src: str = "src", dst: str = "dst",
                      max_degree: int | None = None,
-                     local_max: int = 4096) -> DataFrame:
+                     local_max: int = 2048) -> DataFrame:
     """Link prediction by common-neighbor count (the strongest simple
     predictor — Liben-Nowell & Kleinberg 2003): for node pairs NOT
     already linked, how many neighbors they share; top-k candidates.
@@ -220,7 +220,8 @@ def common_neighbors(edges: DataFrame, *, k: int = 20,
     shuffle is pure overhead when the whole pair matrix fits in one
     BLAS call — 3.5 s vs 4.9 s warm at sf0.1). With ``max_degree``
     the distributed join is already O(n·cap²) and wins (0.7 s vs
-    2.0 s), so the cap keeps it. ``local_max=0`` forces the
+    2.0 s), so the cap keeps it. The default 2048 bounds the three
+    dense driver matrices to ~35 MB each. ``local_max=0`` forces the
     distributed join; node sets past the threshold (the 100 TB
     regime — users are the nodes) take it automatically."""
     e = (edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
@@ -237,12 +238,15 @@ def common_neighbors(edges: DataFrame, *, k: int = 20,
                   .where(F.col("_rn") <= int(max_degree)).drop("_rn"))
     # fast path only when the wedge volume is unbounded: with a
     # degree cap the distributed join is already O(n·cap²) and beats
-    # the collect (A/B-measured 0.7 s vs 2.0 s at sf0.1)
+    # the collect (A/B-measured 0.7 s vs 2.0 s at sf0.1). Gate
+    # probes are bounded: node count reads at most local_max+1
+    # distinct endpoints, and |sym| = 2|e| exactly (e is canonical
+    # a<b distinct, so e and its swap are disjoint)
     if local_max and max_degree is None:
         nd = (e.select(F.col("a").alias("n"))
                .unionByName(e.select(F.col("b").alias("n")))
-               .distinct().count())
-        if nd <= local_max and sym.count() <= 5_000_000:
+               .distinct().limit(local_max + 1).count())
+        if nd <= local_max and 2 * e.count() <= 5_000_000:
             return _common_neighbors_local(
                 edges.sparkSession,
                 [(r.a, r.b) for r in sym.collect()],

@@ -403,6 +403,9 @@ def _kmeans_local(vecs: list, n_centroids: int, n_iter: int) -> list:
 
     V = np.asarray(vecs, dtype=np.float64)
     n, dim = V.shape
+    # fewer rows than centroids: mirror the distributed init's
+    # orderBy.limit degradation (shorter centroid table, no crash)
+    n_centroids = min(n_centroids, n)
     cb = [list(map(float, V[i])) for i in range(n_centroids)]
     vna = np.zeros(n)
     for i in range(dim):
@@ -471,7 +474,7 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
     from pyspark.sql import Window
 
     if (exact and score == "fold" and local_max
-            and vectors.count() <= local_max):
+            and vectors.limit(local_max + 1).count() <= local_max):
         rows = (vectors.orderBy(key).select(vec_col).collect())
         cb = _kmeans_local([r[0] for r in rows], n_centroids, n_iter)
         return vectors.sparkSession.createDataFrame(
@@ -869,6 +872,9 @@ def _pq_train_local(vecs: list, dim: int, m_sub: int, n_codes: int,
 
     dsub = dim // m_sub
     V = np.asarray(vecs, dtype=np.float64)
+    # fewer rows than codewords: the distributed init (orderBy.limit)
+    # yields a shorter codebook — mirror it, don't crash
+    n_codes = min(n_codes, len(V))
     cb = [[[float(V[c, s * dsub + i]) for i in range(dsub)]
            for c in range(n_codes)] for s in range(m_sub)]
     for _ in range(n_iter):
@@ -928,7 +934,10 @@ def pq_train(vectors: DataFrame, *, dim: int = 64, m_sub: int = 8,
     spends its cluster on `pq_encode` + ADC scans."""
     dsub = dim // m_sub
     spark = vectors.sparkSession
-    if local_max and vectors.count() <= local_max:
+    # bounded gate probe: reads at most local_max+1 rows (a full
+    # count() would scan the whole corpus just to reject the path)
+    if local_max and (vectors.limit(local_max + 1).count()
+                      <= local_max):
         rows = vectors.orderBy(key).select(vec_col).collect()
         return _pq_train_local([r[0] for r in rows], dim, m_sub,
                                n_codes, n_iter)

@@ -97,7 +97,6 @@ def check_buffer(g, d, tag):
         else:
             # erosion: p in result iff p inside g with clearance > |d|
             inside = member(p, g)
-            clear = dist_to_boundary = None
             # clearance = distance to boundary when inside
             db = min(seg_dist(np.asarray(p, float), r[i], r[i+1])
                      for rs in rings_of(g) for r in rs

@@ -921,6 +921,30 @@ def test_ann_pq_adc_exact_and_shape(spark, emb):
     assert "WindowGroupLimit" in plan
 
 
+def test_trainer_fastpaths_short_input(spark):
+    """Fewer rows than codewords/centroids: both paths degrade the
+    same way (shorter codebook/centroid table via the ordered-init
+    limit), bit-equal — the fast path must not crash where the
+    distributed path degrades gracefully."""
+    from stark_spark.operators.similarity import (kmeans_centroids,
+                                                  pq_train)
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(64)])
+            for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = pq_train(df, dim=64, m_sub=8, n_codes=8, n_iter=2)
+    dist = pq_train(df, dim=64, m_sub=8, n_codes=8, n_iter=2,
+                    local_max=0)
+    assert fast == dist and len(fast[0]) == 3
+    kf = kmeans_centroids(df, 4, n_iter=2, score="fold", exact=True)
+    kd = kmeans_centroids(df, 4, n_iter=2, score="fold", exact=True,
+                          local_max=0)
+    f = {r.c_id: list(r.c_embedding) for r in kf.collect()}
+    d = {r.c_id: [float(x) for x in r.c_embedding]
+         for r in kd.collect()}
+    assert f == d and len(f) == 3
+
+
 @pytest.mark.parametrize("seed", [1, 2, 3])
 def test_trainer_fastpaths_bit_equal_random(spark, seed):
     """Fast-path/distributed bit-equality on ADVERSARIAL random data:
