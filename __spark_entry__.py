@@ -76,16 +76,29 @@ def _mkdtemp(prefix: str) -> str:
 # per process: a production stream's source already exists before the
 # query runs — rewriting the identical bounded replay for every gate
 # is per-gate scaffolding cost, shared here exactly like _ORACLE_TMP.
+#
+# TAG REGISTRY (keep in sync when adding tags — the cache key ignores
+# the DataFrame argument, so every caller of a tag MUST pass the same
+# frame; reuse asserts the schema as a cheap no-job tripwire):
+#   "events"    — D.events(spark, sf), unfiltered
+#   "st_events" — D.st_events(spark, sf), keep_geom=True, unfiltered
+#   "docs"      — D.documents(spark, sf), unfiltered
 _REPLAY_DIRS: dict = {}
 
 
 def _replay_dir(df: DataFrame, sf: str, tag: str, nparts: int = 4) -> str:
     k = (sf, tag, nparts)
+    schema = df.schema.simpleString()
     if k not in _REPLAY_DIRS:
         d = _mkdtemp(f"stark_replay_{tag}_") + "/data"
         df.repartition(nparts).write.parquet(d)
-        _REPLAY_DIRS[k] = d
-    return _REPLAY_DIRS[k]
+        _REPLAY_DIRS[k] = (d, schema)
+    path, cached_schema = _REPLAY_DIRS[k]
+    assert schema == cached_schema, (
+        f"_replay_dir tag {tag!r} reused with a different frame "
+        f"schema: {schema} != cached {cached_schema} — see the tag "
+        f"registry above; pick a new tag for a different frame")
+    return path
 
 
 def _cleanup_scratch_dirs() -> None:
@@ -2826,6 +2839,108 @@ def _planted_sql() -> str:
   CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) j"""
 
 
+def _planted_knn_corpus(spark, sf):
+    """CORPUS-LINEAR planted-cluster corpus for the ANN-JOIN family
+    (r10 verdict ask #4): every 48th embeddings row is a cluster
+    center (unit-normalized) with 12 members = center + md5-seeded
+    uniform noise in (−0.02, 0.02) per coordinate — the same exact
+    52-bit arithmetic as `_planted_corpus`, salt 'pk', so the DuckDB
+    mirror reproduces it BIT-FOR-BIT. Member id = cid·12 + j, so
+    ``vec_id div 12`` recovers the true cluster — the PLANTED TRUTH
+    that lets the oracle skip the O(n·C) argmax: intra-cluster cos
+    ≈ 0.999 vs inter-center ≲ 0.8, so both engines' nearest-centroid
+    assignment provably equals the construction. Unlike
+    `_planted_corpus` (fixed 40 centers) this scales WITH the table:
+    n/48 centers × 12 members — the oracle stays O(n·12) at any
+    replica count."""
+    base = (D.load(spark, sf, "embeddings")
+            .where(F.col("vec_id") % 48 == 0)
+            .select(F.col("vec_id").alias("cid"), "embedding")
+            # products in DOUBLE: the column is array<float>, and a
+            # float32 x*x differs from the mirror's ::DOUBLE product
+            # at ~1e-9 — visible in the hashed cos (unlike the
+            # rank-quantized recall gate, which tolerates it)
+            .withColumn("nrm", F.expr(
+                "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), "
+                "(acc, x) -> acc + CAST(x AS DOUBLE) "
+                "* CAST(x AS DOUBLE)))")))
+    mem = base.crossJoin(
+        spark.range(12).select(F.col("id").alias("j")))
+    vec = F.expr(
+        "transform(sequence(0, 63), i -> "
+        "element_at(embedding, i + 1) / nrm "
+        "+ ((CAST(conv(substring(md5(concat('pk', "
+        "CAST(pvid AS STRING), '_', CAST(i AS STRING))), 1, 13), "
+        "16, 10) AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+        "/ CAST(4503599627370496 AS DOUBLE)) * CAST(0.04 AS DOUBLE) "
+        "- CAST(0.02 AS DOUBLE))")
+    return (mem.withColumn("pvid",
+                           (F.col("cid") * 12 + F.col("j"))
+                           .cast("long"))
+               .select(F.col("pvid").alias("vec_id"),
+                       vec.alias("embedding")))
+
+
+def _pq_ann_knn_join_planted(spark, sf):
+    """`ann_knn_join` with a LINEAR oracle (r10 verdict ask #4 — the
+    last proof gap: the raw-corpus knn-join oracle is O(n²/buckets),
+    untestable at 10x). On the planted corpus the true bucket of
+    every member is known by construction (`vec_id div 12`), so the
+    mirror joins ONLY within clusters — O(n·12) at any scale — and
+    any assignment/probe/rank deviation in either engine surfaces as
+    a hash mismatch. n_probe=1 keeps the probe set planted-known too.
+    Production mix under test: BLAS assignment + probes
+    (``assign_score="gemm"`` — safe here because planted margins,
+    ~0.999 vs ≲0.8, dwarf BLAS-vs-fold ulp noise) with fold candidate
+    scoring (bit-identical to DuckDB list_reduce, so `cos` stays in
+    the hash). Rank equality vs `brute_force_topk` on the same corpus
+    is pytest-pinned (`test_analytics.py`)."""
+    from stark_spark.operators.similarity import ann_knn_join
+    emb = _planted_knn_corpus(spark, sf)
+    cent = (D.load(spark, sf, "embeddings")
+            .where(F.col("vec_id") % 48 == 0)
+            .select(F.col("vec_id").cast("long").alias("c_id"),
+                    F.col("embedding").alias("c_embedding")))
+    return ann_knn_join(emb, cent, 3, n_probe=1, score="fold",
+                        assign_score="gemm")
+
+
+def _planted_knn_sql() -> str:
+    """DuckDB mirror of `_planted_knn_corpus` — identical fold/noise
+    arithmetic to `_planted_sql`, salt 'pk', centers every 48th row."""
+    self_dot = _DOT.format(a="embedding", b="embedding")
+    noise_md5 = ("md5('pk' || CAST(c.cid * 12 + j.j AS VARCHAR) "
+                 "|| '_' || CAST(i AS VARCHAR))")
+    noise = (f"((CAST(({_hex13_sql(noise_md5)}) AS DOUBLE) "
+             "+ CAST(0.5 AS DOUBLE)) "
+             "/ CAST(4503599627370496 AS DOUBLE)) "
+             "* CAST(0.04 AS DOUBLE) - CAST(0.02 AS DOUBLE)")
+    return f"""
+  SELECT c.cid * 12 + j.j AS vec_id,
+    list_transform(generate_series(0, 63), i ->
+      embedding[i + 1] / nrm + {noise}) AS embedding
+  FROM (SELECT vec_id AS cid, embedding, sqrt({self_dot}) AS nrm
+        FROM embeddings WHERE vec_id % 48 = 0) c
+  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) j"""
+
+
+def _ann_knn_join_planted_sql() -> str:
+    """Planted-truth knn-join mirror: bucket = vec_id div 12 BY
+    CONSTRUCTION (no argmax) — candidates join within cluster only,
+    O(n·12); cos and rank mirror the fold scorer exactly."""
+    cosmq = _cos("m.embedding", "q.embedding")
+    return f"""
+WITH corpus AS ({_planted_knn_sql()})
+SELECT q_id, vec_id, cos, rank FROM (
+  SELECT q.vec_id AS q_id, m.vec_id AS vec_id,
+    {cosmq} AS cos,
+    CAST(row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY {cosmq} DESC, m.vec_id) AS INT) AS rank
+  FROM corpus q JOIN corpus m
+    ON q.vec_id // 12 = m.vec_id // 12 AND m.vec_id <> q.vec_id
+) t WHERE rank <= 3"""
+
+
 def _pq_sql_st_degenerate_contact(spark, sf):
     """r9 degenerate-contact semantics on the SQL surface, all
     integer closed forms (the noded overlay kernel — shared edges,
@@ -2899,10 +3014,10 @@ def _pq_ann_pq_topk_batch(spark, sf):
 
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
-    # round-10 rotation (the 4 r9 entries promoted into queries());
-    # new gates minted this round stage here first.
+    # round-11 rotation (`ann_pq_topk_batch` promoted into
+    # queries()); new gates minted this round stage here first.
     return {
-        "ann_pq_topk_batch": _pq_ann_pq_topk_batch,
+        "ann_knn_join_planted": _pq_ann_knn_join_planted,
     }
 
 
@@ -3150,9 +3265,19 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — prior cohorts live on in
-    # _promoted_oracle_sql_r9/_r8/_r7/_r6, merged into oracle_sql().
-    # The batch ADC kernel produces bit-identical BIGINT scores to
-    # the literal path, so its mirror IS the ann_pq_topk oracle.
+    # _promoted_oracle_sql_r10/_r9/_r8/_r7/_r6, merged into
+    # oracle_sql(). The planted knn-join mirror is the O(n·12)
+    # planted-truth form (no argmax) — see _ann_knn_join_planted_sql.
+    return {
+        "ann_knn_join_planted": _ann_knn_join_planted_sql(),
+    }
+
+
+def _promoted_oracle_sql_r10() -> dict[str, str]:
+    # DuckDB mirror for the gate promoted at the r11 rotation (the
+    # r10 staged cohort). The batch ADC kernel produces bit-identical
+    # BIGINT scores to the literal path, so its mirror IS the
+    # ann_pq_topk oracle.
     return {
         "ann_pq_topk_batch": _base_oracle_sql()["ann_pq_topk"],
     }
@@ -5602,58 +5727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window holds the stalest entries.
     return {
         # --- never driver-checked (new gates) ---
-        "dissolve_adjacent_tiles": _pq_dissolve_adjacent_tiles,
-        "sql_st_buffer_erode_split": _pq_sql_st_buffer_erode_split,
-        "ann_recall_planted": _pq_ann_recall_planted,
-        "sql_st_degenerate_contact": _pq_sql_st_degenerate_contact,
-        # --- latest driver-green row: r05 ---
-        "pruned_join_points": _q_pruned_join,
-        "pruned_read_st": _q_pruned_read_st,
-        "pruned_knn": _q_pruned_knn,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_sigs": _q_dedup_minhash,
-        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "contamination_bloom_jvm": _q_contamination_bloom_jvm,
-        "sql_st_buffer": _q_sql_st_buffer,
-        "vocab_top_k": _q_vocab_top_k,
-        "doc_logprob": _q_doc_logprob,
-        "sample_group_split": _q_sample_group_split,
-        "multimodal_phash_pairs": _q_multimodal_phash_pairs,
-        "multimodal_audio_pairs": _q_multimodal_audio_pairs,
-        "multimodal_video_pairs": _q_multimodal_video_pairs,
-        "stream_contamination": _q_stream_contamination,
-        "bm25_topk": _q_bm25_topk,
-        "knn_haversine": _q_knn_haversine,
-        "trajectory_stats": _q_trajectory_stats,
-        "od_matrix": _q_od_matrix,
-        "stay_points": _q_stay_points,
+        "ann_pq_topk_batch": _pq_ann_pq_topk_batch,
         # --- latest driver-green row: r06 ---
-        "distinct_hll": _q_distinct_hll,
-        "bitmap_overlap": _q_bitmap_overlap,
-        "tpch_q21": _q_tpch_q21,
-        "funnel_steps": _q_funnel_steps,
-        "funnel_latency": _q_funnel_latency,
-        "cusum_alerts": _q_cusum_alerts,
-        "rolling_24h": _q_rolling_24h,
-        "stream_ohlc": _q_stream_ohlc,
-        "time_weighted_avg": _q_time_weighted_avg,
-        "attribution_last_touch": _q_attribution_last_touch,
-        "key_skew_report": _q_key_skew_report,
-        "fuzzy_canonical_names": _q_fuzzy_canonical_names,
-        "stream_outliers": _q_stream_outliers,
-        "date_partitioned_read": _q_date_partitioned_read,
-        "merge_upsert": _q_merge_upsert,
-        "common_neighbors": _q_common_neighbors,
-        "keyness_by_source": _q_keyness_by_source,
-        "seasonal_outliers": _q_seasonal_outliers,
-        "cohort_retention": _q_cohort_retention,
-        "event_transitions": _q_event_transitions,
-        "ohlc_hourly": _q_ohlc_hourly,
-        "triangle_count": _q_triangle_count,
-        "fk_orphans": _q_fk_orphans,
-        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
-        "tpch_q5": _q_tpch_q5,
         "rrf_fusion_topk": _q_rrf_fusion_topk,
         "events_table_profile": _q_events_table_profile,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
@@ -5831,6 +5906,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_rasterize_stats": _q_raster_stats,
         "raster_roundtrip": _q_raster_roundtrip,
         "pruned_read_rect": _q_pruned_read,
+        # --- latest driver-green row: r10 ---
+        "dissolve_adjacent_tiles": _pq_dissolve_adjacent_tiles,
+        "sql_st_buffer_erode_split": _pq_sql_st_buffer_erode_split,
+        "ann_recall_planted": _pq_ann_recall_planted,
+        "sql_st_degenerate_contact": _pq_sql_st_degenerate_contact,
+        "pruned_join_points": _q_pruned_join,
+        "pruned_read_st": _q_pruned_read_st,
+        "pruned_knn": _q_pruned_knn,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sigs": _q_dedup_minhash,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "contamination_bloom_jvm": _q_contamination_bloom_jvm,
+        "sql_st_buffer": _q_sql_st_buffer,
+        "vocab_top_k": _q_vocab_top_k,
+        "doc_logprob": _q_doc_logprob,
+        "sample_group_split": _q_sample_group_split,
+        "multimodal_phash_pairs": _q_multimodal_phash_pairs,
+        "multimodal_audio_pairs": _q_multimodal_audio_pairs,
+        "multimodal_video_pairs": _q_multimodal_video_pairs,
+        "stream_contamination": _q_stream_contamination,
+        "bm25_topk": _q_bm25_topk,
+        "knn_haversine": _q_knn_haversine,
+        "trajectory_stats": _q_trajectory_stats,
+        "od_matrix": _q_od_matrix,
+        "stay_points": _q_stay_points,
+        "distinct_hll": _q_distinct_hll,
+        "bitmap_overlap": _q_bitmap_overlap,
+        "tpch_q21": _q_tpch_q21,
+        "funnel_steps": _q_funnel_steps,
+        "funnel_latency": _q_funnel_latency,
+        "cusum_alerts": _q_cusum_alerts,
+        "rolling_24h": _q_rolling_24h,
+        "stream_ohlc": _q_stream_ohlc,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "attribution_last_touch": _q_attribution_last_touch,
+        "key_skew_report": _q_key_skew_report,
+        "fuzzy_canonical_names": _q_fuzzy_canonical_names,
+        "stream_outliers": _q_stream_outliers,
+        "date_partitioned_read": _q_date_partitioned_read,
+        "merge_upsert": _q_merge_upsert,
+        "common_neighbors": _q_common_neighbors,
+        "keyness_by_source": _q_keyness_by_source,
+        "seasonal_outliers": _q_seasonal_outliers,
+        "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
+        "ohlc_hourly": _q_ohlc_hourly,
+        "triangle_count": _q_triangle_count,
+        "fk_orphans": _q_fk_orphans,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "tpch_q5": _q_tpch_q5,
     }
 
 
@@ -8995,4 +9121,5 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_promoted_oracle_sql_r7())
     sql.update(_promoted_oracle_sql_r8())
     sql.update(_promoted_oracle_sql_r9())
+    sql.update(_promoted_oracle_sql_r10())
     return sql

@@ -206,6 +206,9 @@ QUERIES = [
     "ann_quantized_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
+    # promoted live at the r11 rotation: batch ADC kernel, same
+    # corpus-linear oracle as ann_pq_topk (bit-identical scores)
+    "ann_pq_topk_batch",
     "ann_ivf_pruned_topk",
     "ann_recall_lsh_mp",
 ]
@@ -549,9 +552,14 @@ def synthesize(workdir: str) -> None:
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
 PENDING_SCALE = [
-    # r10-minted: batch ADC kernel, same corpus-linear oracle as
-    # ann_pq_topk (reused verbatim — bit-identical integer scores)
-    "ann_pq_topk_batch",
+    # r11-minted: planted-truth knn-join — the oracle skips the
+    # argmax (bucket = vec_id div 12 by construction) and joins
+    # within clusters only, O(n·12) at any replica count; the Spark
+    # side runs the production mix (BLAS assignment/probes + fold
+    # scoring). This is the first ANN-JOIN family member with true
+    # scaled oracle parity (the raw-corpus variants stay excluded —
+    # their oracles are O(n²/buckets)).
+    "ann_knn_join_planted",
 ]
 
 

@@ -1514,3 +1514,61 @@ def test_table_profile(spark):
     plan = table_profile(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Scan ") <= 1          # one pass over the data
+
+
+def test_trainers_empty_input_graceful(spark):
+    """r10 advisor: the small-input fast paths must NOT admit 0-row
+    frames (driver-local Lloyd's crashes on empty arrays) — empty
+    input falls through to the distributed paths' graceful empty
+    centroid table / empty codebooks."""
+    from stark_spark.operators.similarity import (kmeans_centroids,
+                                                  pq_train)
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    assert kmeans_centroids(empty, 3, n_iter=2).count() == 0
+    cb = pq_train(empty, dim=8, m_sub=2, n_codes=4, n_iter=1)
+    assert all(len(sub) == 0 for sub in cb)
+
+
+def test_cosine_dup_pairs_exact_guard(spark):
+    """r10 verdict ask #3: the exact (no-centroids) path is O(n²) —
+    it must refuse frames above exact_max with a message pointing at
+    the IVF path, probe at most exact_max+1 rows, and stay available
+    when explicitly disabled (exact_max=0)."""
+    import pytest
+
+    from stark_spark.operators.similarity import cosine_dup_pairs
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="centroids"):
+        cosine_dup_pairs(vecs, 0.9, exact_max=5)
+    # under the cap and with the guard disabled the path still runs
+    assert cosine_dup_pairs(vecs, 0.999, exact_max=10).count() >= 0
+    assert cosine_dup_pairs(vecs, 0.999, exact_max=0).count() >= 0
+
+
+def test_ann_knn_join_planted_ranks_equal_brute(spark):
+    """r10 verdict ask #4 reference point: on the planted corpus the
+    gate's IVF path (gemm assignment/probes + fold scoring, n_probe=1)
+    must agree rank-for-rank with exact brute force over the WHOLE
+    corpus — i.e. the planted truth really is the global truth."""
+    import __spark_entry__ as E
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.similarity import brute_force_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r.q_id, r.rank): r.vec_id
+           for r in E._pq_ann_knn_join_planted(spark, sf).collect()}
+    emb = E._planted_knn_corpus(spark, sf)
+    q = emb.select(F.col("vec_id").alias("q_id"),
+                   F.col("embedding").alias("q_embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "vec_id")
+    truth = (brute_force_topk(emb, q, 4, score="fold")
+             .where(F.col("vec_id") != F.col("q_id"))
+             .withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= 3))
+    want = {(r.q_id, r.rank): r.vec_id for r in truth.collect()}
+    assert got == want and len(got) > 0
