@@ -169,14 +169,29 @@ def funnel_latency(df: DataFrame, steps: list[str], *,
     report EXACT order-statistic percentiles — rank ⌈n·p/100⌉ under
     (latency, user) total order, the same lower-order-stat convention
     the median/MAD detector uses — plus the converted-user count.
+    (The tie-break on user never changes the reported VALUE — the
+    latency at rank r is determined by the sorted latency multiset —
+    so the pick below runs on per-distinct-latency counts.)
 
     Same one-shuffle fold as `funnel` with the chain-start timestamp
-    threaded through the state; the percentile pick runs on the
-    converted-users frame (cohort-sized, not event-sized), so the
-    single-partition rank window is bounded by ENTITY cardinality —
-    the frame a 100 TB run would also reduce to. Output:
-    (pct, latency_us, n_converted)."""
+    threaded through the state; the percentile pick is the TWO-PHASE
+    exact selection (no global single-partition rank window, however
+    large the cohort):
+
+    1. per-distinct-latency counts (one cohort-scale shuffle),
+       checkpointed so the event-scale fold runs exactly once;
+    2. bucket CDF over the HDR log-buckets of the latency domain —
+       the same `histogram.hdr_quantiles` shape, single-partition
+       window over a frame BOUNDED at ~2k rows by construction —
+       locates each percentile's bucket and residual rank;
+    3. the exact order-statistic pick runs only inside the ≤
+       len(percentiles) selected buckets: a window PARTITIONED by
+       pct over that bucket's occupied distinct values.
+
+    Output: (pct, latency_us, n_converted)."""
     from pyspark.sql import Window
+
+    from .histogram import hdr_bucket_sql
     if not steps:
         raise ValueError("funnel_latency needs at least one step")
     step_idx = F.when(F.col(type_col) == steps[0], 0)
@@ -205,18 +220,43 @@ def funnel_latency(df: DataFrame, steps: list[str], *,
                .where(F.col("st.reached") == len(steps))
                .select("u", (F.col("st.last_us") - F.col("st.first_us"))
                        .alias("latency_us")))
-    n = F.count("*").over(Window.partitionBy())
-    rn = F.row_number().over(
-        Window.partitionBy().orderBy("latency_us", "u"))
-    ranked = done.select("latency_us", rn.alias("rn"), n.alias("n"))
+    # per-distinct-latency counts; checkpoint so the event-scale fold
+    # above runs ONCE (the frame is reused by phases 2 and 3)
+    vals = (done.groupBy("latency_us").agg(F.count("*").alias("cnt"))
+                .withColumn("_bkt",
+                            F.expr(hdr_bucket_sql("latency_us"))
+                             .cast("long"))
+                .localCheckpoint(eager=True))
+    # bucket CDF: single-partition window over the HDR bucket frame —
+    # bounded ≤ ~2k rows by construction (histogram.hdr_quantiles
+    # carries the same argument), NOT by cohort size
+    bt = vals.groupBy("_bkt").agg(F.sum("cnt").alias("bcnt"))
+    bw = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = (bt.withColumn("cum", F.sum("bcnt").over(bw))
+             .withColumn("n", F.sum("bcnt").over(
+                 Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing))))
     spark = df.sparkSession
     pcts = spark.createDataFrame([(p,) for p in percentiles], "pct int")
-    return (ranked.crossJoin(F.broadcast(pcts))
-                  .where(F.col("rn")
-                         == F.expr("(n * pct + 99) div 100"))
-                  .select("pct", "latency_us",
-                          F.col("n").alias("n_converted"))
-                  .orderBy("pct"))
+    targets = (cdf.crossJoin(F.broadcast(pcts))
+                  .withColumn("rank", F.expr("(n * pct + 99) div 100"))
+                  .where((F.col("cum") >= F.col("rank"))
+                         & (F.col("cum") - F.col("bcnt") < F.col("rank")))
+                  .select("pct", "_bkt",
+                          (F.col("rank") - F.col("cum") + F.col("bcnt"))
+                          .alias("_resid"), "n"))
+    # exact pick inside the selected buckets only: each pct selects
+    # exactly one bucket, so partitionBy(pct) == partitionBy(pct,
+    # bucket) — the window spans one bucket's occupied values
+    wv = (Window.partitionBy("pct").orderBy("latency_us")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    return (vals.join(F.broadcast(targets), "_bkt")
+                .withColumn("_vcum", F.sum("cnt").over(wv))
+                .where(F.col("_vcum") >= F.col("_resid"))
+                .groupBy("pct")
+                .agg(F.min("latency_us").alias("latency_us"),
+                     F.min("n").cast("long").alias("n_converted"))
+                .orderBy("pct"))
 
 
 def attribution_last_touch(df: DataFrame, *,

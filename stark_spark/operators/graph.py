@@ -247,10 +247,15 @@ def common_neighbors(edges: DataFrame, *, k: int = 20,
                .unionByName(e.select(F.col("b").alias("n")))
                .distinct().limit(local_max + 1).count())
         if nd <= local_max and 2 * e.count() <= 5_000_000:
+            # Arrow collect (advisor r10): millions of two-column
+            # rows land as two numpy-backed pandas columns (~tens of
+            # MB), not millions of PySpark Row objects (~GB)
+            sym_pd = sym.toPandas()
+            e_pd = e.toPandas()
             return _common_neighbors_local(
                 edges.sparkSession,
-                [(r.a, r.b) for r in sym.collect()],
-                [(r.a, r.b) for r in e.collect()], k,
+                list(zip(sym_pd["a"], sym_pd["b"])),
+                list(zip(e_pd["a"], e_pd["b"])), k,
                 dict(e.dtypes)["a"])
     lo = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
     hi = sym.select(F.col("a").alias("u"), F.col("b").alias("w"))

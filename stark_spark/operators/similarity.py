@@ -258,10 +258,56 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
                   .select(qkey, key, "cos", F.col("_rn").alias("rank")))
 
 
+def _gemm_probe_buckets(vectors: DataFrame, centroids: DataFrame,
+                        n_probe: int, *, key: str,
+                        vec_col: str) -> DataFrame:
+    """BLAS probe selection for `ann_knn_join(assign_score="gemm")`:
+    centroid matrix in the task closure, one matmul + stable argsort
+    per Arrow batch — top-``n_probe`` buckets per query with the same
+    (-cos, c_id) tie order as the fold window (centroids pre-sorted
+    by c_id; stable argsort keeps ascending c_id among exact ties).
+    No crossJoin, no window, no shuffle. Returns (q_id, q_embedding,
+    bucket) — the `probes` shape `_gemm_cogroup_topk` takes."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    c_pdf = centroids.select("c_id", "c_embedding").toPandas()
+    C = np.vstack(c_pdf["c_embedding"].to_numpy()).astype(np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    order = np.argsort(c_pdf["c_id"].to_numpy(), kind="stable")
+    Cn = Cn[order]
+    cids = c_pdf["c_id"].to_numpy()[order]
+    npv = min(n_probe, len(cids))
+    out_schema = StructType([
+        StructField("q_id", vectors.schema[key].dataType),
+        StructField("q_embedding", vectors.schema[vec_col].dataType),
+        StructField("bucket", centroids.schema["c_id"].dataType)])
+
+    def probe_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            top = np.argsort(-(Mn @ Cn.T), axis=1,
+                             kind="stable")[:, :npv]
+            qi = np.repeat(np.arange(len(pdf)), npv)
+            yield pd.DataFrame(
+                {"q_id": pdf[key].to_numpy()[qi],
+                 "q_embedding": pdf[vec_col].to_numpy()[qi],
+                 "bucket": cids[top.ravel()]})
+
+    return (vectors.select(key, vec_col)
+                   .mapInPandas(probe_batches, out_schema))
+
+
 def ann_knn_join(vectors: DataFrame, centroids: DataFrame, k: int, *,
                  n_probe: int = 2, key: str = "vec_id",
                  vec_col: str = "embedding",
-                 score: str = "gemm") -> DataFrame:
+                 score: str = "gemm",
+                 assign_score: str | None = None) -> DataFrame:
     """ANN k-NN **join**: top-k most-similar OTHER vectors for EVERY
     vector (not a small query set) — the all-corpus neighbor graph
     behind embedding dedup, clustering, and retrieval-index builds.
@@ -288,20 +334,39 @@ def ann_knn_join(vectors: DataFrame, centroids: DataFrame, k: int, *,
       the DuckDB `list_reduce` oracle; the correctness twin.
       `test_analytics.py` asserts gemm == fold on ranks.
 
+    ``assign_score`` picks the ASSIGNMENT/PROBE engine independently
+    (default: "fold" — the historical behavior; oracle-gated queries
+    keep it). ``"gemm"`` does both the member assignment and the
+    probe selection as per-batch BLAS matmuls with NO crossJoin or
+    window — at C centroids the fold side is 2·N·C interpreted fold
+    evals plus an N-key window sort, the dominant cost when C grows
+    with the corpus (C ≈ √N). The two engines can disagree in the
+    last ulp on assignment near-ties, so mix them only when the
+    corpus has real cluster structure (margins ≫ 1 ulp — e.g. the
+    planted gate) or when candidate scoring is gemm anyway.
+
     Output: (q_id, key, cos, rank), self-matches excluded,
     deterministic tie-break on key.
     """
     from pyspark.sql import Window
-    assigned = ivf_assign(vectors, centroids, key=key, vec_col=vec_col)
-    qc = (vectors.select(F.col(key).alias("q_id"),
-                         F.col(vec_col).alias("q_embedding"))
-                 .crossJoin(F.broadcast(centroids))
-                 .withColumn("_cos", cosine(F.col("q_embedding"),
-                                            F.col("c_embedding"))))
-    wq = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.col("c_id"))
-    probes = (qc.withColumn("_rn", F.row_number().over(wq))
-                .where(F.col("_rn") <= n_probe)
-                .select("q_id", "q_embedding", F.col("c_id").alias("bucket")))
+    assign_score = assign_score or "fold"
+    assigned = ivf_assign(vectors, centroids, key=key, vec_col=vec_col,
+                          score=assign_score)
+    if assign_score == "gemm":
+        probes = _gemm_probe_buckets(vectors, centroids, n_probe,
+                                     key=key, vec_col=vec_col)
+    else:
+        qc = (vectors.select(F.col(key).alias("q_id"),
+                             F.col(vec_col).alias("q_embedding"))
+                     .crossJoin(F.broadcast(centroids))
+                     .withColumn("_cos", cosine(F.col("q_embedding"),
+                                                F.col("c_embedding"))))
+        wq = Window.partitionBy("q_id").orderBy(F.desc("_cos"),
+                                                F.col("c_id"))
+        probes = (qc.withColumn("_rn", F.row_number().over(wq))
+                    .where(F.col("_rn") <= n_probe)
+                    .select("q_id", "q_embedding",
+                            F.col("c_id").alias("bucket")))
 
     if score == "fold":
         j = (assigned.join(probes, "bucket")
@@ -325,7 +390,8 @@ def ann_knn_join(vectors: DataFrame, centroids: DataFrame, k: int, *,
 def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
                      key: str = "vec_id", vec_col: str = "embedding",
                      centroids: DataFrame | None = None,
-                     score: str = "fold") -> DataFrame:
+                     score: str = "fold",
+                     exact_max: int = 100_000) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold.
 
     With ``centroids``: pairs are only searched within IVF buckets
@@ -378,6 +444,18 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
         b = v.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"), "bucket")
         j = a.join(b, "bucket").where(F.col("a") < F.col("b"))
     else:
+        # size guard (r10 verdict ask #3): the exact path is O(n²) by
+        # design — refuse silently quadratic work on big frames. The
+        # probe is bounded (reads at most exact_max+1 rows, never a
+        # full count); exact_max=0 disables the guard explicitly.
+        if exact_max and (vectors.limit(exact_max + 1).count()
+                          > exact_max):
+            raise ValueError(
+                f"cosine_dup_pairs without centroids is an exact "
+                f"O(n²) self-join and the input exceeds exact_max="
+                f"{exact_max} rows; pass IVF centroids (e.g. from "
+                f"kmeans_centroids) for the bucketed scale path, or "
+                f"raise exact_max explicitly")
         a = vectors.select(F.col(key).alias("a"), F.col(vec_col).alias("va"))
         b = vectors.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"))
         j = a.crossJoin(b).where(F.col("a") < F.col("b"))
@@ -473,13 +551,18 @@ def kmeans_centroids(vectors: DataFrame, n_centroids: int, *,
     """
     from pyspark.sql import Window
 
-    if (exact and score == "fold" and local_max
-            and vectors.limit(local_max + 1).count() <= local_max):
-        rows = (vectors.orderBy(key).select(vec_col).collect())
-        cb = _kmeans_local([r[0] for r in rows], n_centroids, n_iter)
-        return vectors.sparkSession.createDataFrame(
-            [(i, cw) for i, cw in enumerate(cb)],
-            "c_id int, c_embedding array<double>")
+    if exact and score == "fold" and local_max:
+        # bounded probe; require >= 1 row — an EMPTY frame must fall
+        # through to the distributed path's graceful empty centroid
+        # table (_kmeans_local asserts a 2-D shape and would crash)
+        cnt = vectors.limit(local_max + 1).count()
+        if 1 <= cnt <= local_max:
+            rows = (vectors.orderBy(key).select(vec_col).collect())
+            cb = _kmeans_local([r[0] for r in rows], n_centroids,
+                               n_iter)
+            return vectors.sparkSession.createDataFrame(
+                [(i, cw) for i, cw in enumerate(cb)],
+                "c_id int, c_embedding array<double>")
 
     w = Window.orderBy(key)
     cent = (vectors.orderBy(key).limit(n_centroids)
@@ -935,12 +1018,16 @@ def pq_train(vectors: DataFrame, *, dim: int = 64, m_sub: int = 8,
     dsub = dim // m_sub
     spark = vectors.sparkSession
     # bounded gate probe: reads at most local_max+1 rows (a full
-    # count() would scan the whole corpus just to reject the path)
-    if local_max and (vectors.limit(local_max + 1).count()
-                      <= local_max):
-        rows = vectors.orderBy(key).select(vec_col).collect()
-        return _pq_train_local([r[0] for r in rows], dim, m_sub,
-                               n_codes, n_iter)
+    # count() would scan the whole corpus just to reject the path);
+    # >= 1 required — empty frames take the distributed path's
+    # graceful empty-codebook return (_pq_train_local slices V[:, …]
+    # and would raise on a 0-row array)
+    if local_max:
+        cnt = vectors.limit(local_max + 1).count()
+        if 1 <= cnt <= local_max:
+            rows = vectors.orderBy(key).select(vec_col).collect()
+            return _pq_train_local([r[0] for r in rows], dim, m_sub,
+                                   n_codes, n_iter)
     init = (vectors.orderBy(key).limit(n_codes)
             .select(vec_col).collect())
     cb = [[[float(r[0][s * dsub + i]) for i in range(dsub)]

@@ -245,9 +245,18 @@ def test_funnel_latency_percentiles(spark):
     rows.append((9, _ts("2024-01-01T00:00:00"), "view"))  # non-converter
     df = spark.createDataFrame(
         rows, "user_id long, ts timestamp, event_type string")
-    out = {r.pct: r for r in
-           funnel_latency(df, ["view", "purchase"],
-                          percentiles=(50, 90)).collect()}
+    res = funnel_latency(df, ["view", "purchase"], percentiles=(50, 90))
+    # plan lock (r11): the percentile pick must be two-phase — no
+    # global rank window over the converted-users frame. Any window
+    # that orders by latency must be partitioned (by pct, spanning
+    # one selected bucket); the only empty-partition windows allowed
+    # are over the bounded HDR-bucket CDF frame (order by _bkt).
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "latency_us" in line:
+            assert ", [pct#" in line, line
+    out = {r.pct: r for r in res.collect()}
     assert out[50].latency_us == 2_000_000
     assert out[90].latency_us == 4_000_000
     assert out[50].n_converted == 4
@@ -478,3 +487,17 @@ def test_event_frame_fluent(spark):
     assert evf.ohlc().count() == 2          # two series
     assert evf.rolling(hours=1).count() == 3
     assert evf.count() == 3                 # __getattr__ passthrough
+
+
+def test_kaplan_meier_distinct_guard(spark):
+    """r10 verdict stretch #7: unbinned micro-grained durations must
+    raise (bounded probe), binned/capped input still works."""
+    import pytest
+
+    from stark_spark.operators.survival import kaplan_meier
+    df = spark.createDataFrame([(i, i % 2) for i in range(50)],
+                               "duration long, event int")
+    with pytest.raises(ValueError, match="div 86400"):
+        kaplan_meier(df, max_distinct=10)
+    assert kaplan_meier(df, max_distinct=50).count() == 50
+    assert kaplan_meier(df, max_distinct=0).count() == 50

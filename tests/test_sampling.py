@@ -98,15 +98,17 @@ def test_group_quantiles_match_sorted_pick(docs):
     qs = [0.25, 0.5, 0.9]
     out = group_quantiles(docs, "lang", "n_chars", qs)
     got = {(r.lang, r.q): r.value for r in out.collect()}
-    # plan lock (r10): ONE sorted pass serves every requested q (the
-    # rank and count Window nodes share one Sort/Exchange) — the old
-    # per-q where/union form re-ran the sort once per quantile
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    if "== Final Plan ==" in plan:
-        plan = plan.split("== Initial Plan ==")[0]
-    assert plan.count("Sort ") == 1
-    assert plan.count("Exchange") == 1
+    # plan lock (r10, loosened r11): ONE sorted pass serves every
+    # requested q. Pinned on the OPTIMIZED LOGICAL plan (stable
+    # across Spark versions / AQE replans, per advisor): no per-q
+    # Union, and the Window-node count is a constant (rank + count
+    # share the lang partitioning), not proportional to len(qs).
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan
+    assert plan.count("Window [") <= 2
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "lang#" in line  # every window partitioned by group
     by_lang = {}
     for r in docs.select("lang", "n_chars").collect():
         by_lang.setdefault(r.lang, []).append(r.n_chars)
