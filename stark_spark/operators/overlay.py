@@ -21,20 +21,11 @@ from pyspark.sql.types import (BinaryType, LongType, StructField,
                                StructType)
 
 
-def dissolve(df: DataFrame, group_col: str,
-             geom_col: str = "geom") -> DataFrame:
-    """GIS dissolve: per group, the union of ALL the group's polygons
-    in one boundary-trace pass (k rings at once — not a fold, so
-    intermediate-shape degeneracies can't arise between steps).
-
-    Scale shape: one shuffle on the group key (`applyInPandas`);
-    per-group work is O((Σ ring points)²) in the crossing scan —
-    bounded by the group's geometry count, never corpus-wide. NULL
-    geometries are dropped; a group with only NULLs emits nothing.
-    Output: (group_col, geom [WKB POLYGON/MULTIPOLYGON, holes
-    preserved/produced], n_parts — the number of disjoint regions
-    after dissolving).
-    """
+def _dissolve_once(df: DataFrame, group_cols: list[str],
+                   group_col: str, geom_col: str) -> DataFrame:
+    """One applyInPandas dissolve pass grouped by ``group_cols``
+    (output keyed by ``group_col`` only — extra grouping columns are
+    banding keys that exist to split the work, not the result)."""
     from stark_spark.core import geometry as G
 
     schema = StructType([
@@ -63,5 +54,111 @@ def dissolve(df: DataFrame, group_col: str,
                              "geom": [G.to_wkb(out)],
                              "n_parts": [len(merged)]})
 
-    return df.select(group_col, geom_col).groupBy(group_col) \
-             .applyInPandas(run, schema=schema)
+    return (df.select(*group_cols, geom_col).groupBy(*group_cols)
+              .applyInPandas(run, schema=schema))
+
+
+def _hier_dissolve(df: DataFrame, group_col: str, geom_col: str,
+                   n_bands: int) -> DataFrame:
+    """Two-level composition of the same dissolve: stage 1 dissolves
+    per (group, spatial band) — bands are horizontal slices of the
+    group's bbox-centroid y-extent, so each partial is a compact
+    region and the final merge unions ~n_bands region polygons
+    instead of the raw tiles (the r10 208k-straggler study: 55.8 s vs
+    93.6 s single-level). Spatial (not hash) banding is what keeps
+    stage-2 cheap: a hash band would be a scattered multi-part blob
+    whose merge re-pays the whole crossing scan."""
+    from stark_spark.functions.constructors import _st_bbox_udf
+
+    b = df.select(group_col, geom_col) \
+          .withColumn("_bb", _st_bbox_udf(F.col(geom_col))) \
+          .withColumn("_cy", (F.col("_bb.ymin") + F.col("_bb.ymax"))
+                      / 2).drop("_bb")
+    ext = (b.groupBy(group_col)
+            .agg(F.min("_cy").alias("_lo"), F.max("_cy").alias("_hi")))
+    banded = (b.join(F.broadcast(ext), group_col)
+               .withColumn("_band", F.least(
+                   F.floor((F.col("_cy") - F.col("_lo")) * n_bands
+                           / (F.col("_hi") - F.col("_lo") + 1e-9)),
+                   F.lit(n_bands - 1)))
+               .drop("_cy", "_lo", "_hi"))
+    partials = _dissolve_once(banded, [group_col, "_band"],
+                              group_col, geom_col)
+    return _dissolve_once(partials, [group_col], group_col, "geom")
+
+
+def dissolve(df: DataFrame, group_col: str,
+             geom_col: str = "geom", *,
+             hier: bool | str = False, n_bands: int = 16,
+             shard_factor: float = 2.0,
+             min_shard: int = 4096) -> DataFrame:
+    """GIS dissolve: per group, the union of ALL the group's polygons
+    in one boundary-trace pass (k rings at once — not a fold, so
+    intermediate-shape degeneracies can't arise between steps).
+
+    Scale shape: one shuffle on the group key (`applyInPandas`);
+    per-group work is O((Σ ring points)²) in the crossing scan —
+    bounded by the group's geometry count, never corpus-wide. NULL
+    geometries are dropped; a group with only NULLs emits nothing.
+    Output: (group_col, geom [WKB POLYGON/MULTIPOLYGON, holes
+    preserved/produced], n_parts — the number of disjoint regions
+    after dissolving).
+
+    ``hier`` (r10 verdict stretch #8 — the skewed-dissolve study as
+    API): dissolve is one task per key by design, so a key holding a
+    third of all rows IS a single-core straggler. ``hier=True`` runs
+    the two-level banded composition for every group; ``hier="auto"``
+    bands ONLY the keys that dominate the residual schedule — flagged
+    when ``n_g · slots > shard_factor · (N − n_g)`` (the straggler's
+    serial time exceeds ~shard_factor× the rest of the schedule
+    spread over the cluster), from one cheap count pre-agg. The study
+    is encoded in the default: banding a balanced load LOSES (126.9 s
+    vs 101.4 s at 640k — shared band boundaries make the merge pay
+    more than the overlap saves), so auto leaves balanced groups on
+    the single-level path. Results are row-exact either way (union is
+    associative); vertex order inside a ring may differ from the
+    single-level path, so oracle-gated queries keep the default.
+    """
+    base = df.select(group_col, geom_col)
+    if not hier:
+        return _dissolve_once(base, [group_col], group_col, geom_col)
+    if hier is True:
+        return _hier_dissolve(base, group_col, geom_col, n_bands)
+    if hier != "auto":
+        raise ValueError(f"hier must be False, True or 'auto': {hier!r}")
+    flagged = dissolve_flagged_groups(base, group_col, geom_col,
+                                      shard_factor=shard_factor,
+                                      min_shard=min_shard)
+    flagged = flagged.localCheckpoint(eager=True)   # tiny; reused 3x
+    if flagged.limit(1).count() == 0:
+        return _dissolve_once(base, [group_col], group_col, geom_col)
+    big = base.join(F.broadcast(flagged), group_col)
+    rest = base.join(F.broadcast(flagged), group_col, "left_anti")
+    return (_hier_dissolve(big, group_col, geom_col, n_bands)
+            .unionByName(_dissolve_once(rest, [group_col], group_col,
+                                        geom_col)))
+
+
+def dissolve_flagged_groups(df: DataFrame, group_col: str,
+                            geom_col: str = "geom", *,
+                            shard_factor: float = 2.0,
+                            min_shard: int = 4096) -> DataFrame:
+    """The ``hier="auto"`` skew probe, exposed for tests/inspection:
+    one map-side-combined count per group; a group is flagged when
+    its serial dissolve would outlast the rest of the schedule —
+    ``n_g · slots > shard_factor · (N − n_g)`` with slots = the
+    session's default parallelism — AND it is big enough for banding
+    overhead to pay (``n_g ≥ min_shard``; without the floor, a frame
+    of a few small groups flags everything). Returns a 1-column
+    frame of flagged ``group_col`` values (usually empty or a
+    handful)."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    stats = (df.where(F.col(geom_col).isNotNull())
+               .groupBy(group_col).agg(F.count("*").alias("_n")))
+    tot = stats.agg(F.sum("_n").alias("_tot"))
+    return (stats.crossJoin(F.broadcast(tot))
+                 .where((F.col("_n") >= min_shard)
+                        & (F.col("_n") * slots
+                           > shard_factor
+                           * (F.col("_tot") - F.col("_n"))))
+                 .select(group_col))

@@ -86,7 +86,13 @@ def run(groups: int = 16, n: int = 20_000, skew: bool = False,
                                 / F.floor((kcol + 15) / 16))
                          .alias("_band"))
     t0 = time.time()
-    if hier:
+    if hier == "auto":
+        # r11: the operator's own selective banding (the study's
+        # "shard a giant key only when it dominates the residual
+        # schedule" rule as API) — bands the straggler, leaves the
+        # balanced groups on the single-level path
+        dis = dissolve(boxes.select("g", "geom"), "g", hier="auto")
+    elif hier:
         stage1 = dissolve(
             boxes.select((F.col("g") * 64 + F.col("_band")).alias("g2"),
                          "geom"), "g2")
@@ -102,7 +108,8 @@ def run(groups: int = 16, n: int = 20_000, skew: bool = False,
     got = {r.g: (r.n_parts, r.a, r.p) for r in out.collect()}
     dt = time.time() - t0
     bad = {g: (v, want[g]) for g, v in got.items() if v != want[g]}
-    tag = ("skewed" if skew else "balanced") + ("+hier" if hier else "")
+    tag = ("skewed" if skew else "balanced") + (
+        "+auto" if hier == "auto" else "+hier" if hier else "")
     if len(got) != groups or bad:
         print(f"FAIL dissolve_scale ({tag}): {len(bad)} bad groups "
               f"{list(bad.items())[:3]}")
@@ -116,7 +123,8 @@ def run(groups: int = 16, n: int = 20_000, skew: bool = False,
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skew = "--skew" in sys.argv[1:]
-    hier = "--hier" in sys.argv[1:]
+    hier = "auto" if "--auto" in sys.argv[1:] \
+        else "--hier" in sys.argv[1:]
     groups = int(args[0]) if args else 16
     n = int(args[1]) if len(args) > 1 else 20_000
     rc, _ = run(groups, n, skew=skew, hier=hier)

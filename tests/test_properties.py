@@ -2083,3 +2083,42 @@ def test_buffer_linestring_corridor():
     a_cap = 6.0 + math.pi * 0.25
     assert abs(G.area(m) - (2 * a_cap - 1.0)) < 0.25
     assert G.buffer(G.from_wkt("LINESTRING (0 0, 4 0)"), -1.0) is None
+
+
+def test_dissolve_hier_auto(spark):
+    """r10 verdict stretch #8: hier='auto' bands ONLY schedule-
+    dominating keys (the skew probe), and every mode is row-exact
+    against the single-level result on an edge-adjacent tiling."""
+    from stark_spark.operators.overlay import (dissolve,
+                                               dissolve_flagged_groups)
+    rows = []
+    # group 0: 97-tile straggler (k=10 row-major fill);
+    # groups 1..3: 4 tiles each — the straggler dwarfs the residual
+    for r in range(97):
+        x, y = r % 10, r // 10
+        rows.append((0, G.to_wkb(G.box(x, y, x + 1, y + 1))))
+    for g in range(1, 4):
+        for r in range(4):
+            rows.append((g, G.to_wkb(G.box(r, 0, r + 1, 1))))
+    df = spark.createDataFrame(rows, "g long, geom binary")
+
+    flagged = {r.g for r in
+               dissolve_flagged_groups(df, "g", min_shard=50).collect()}
+    assert flagged == {0}
+    balanced = df.where("g >= 1")
+    # below the overhead floor nothing bands, whatever the skew math
+    assert dissolve_flagged_groups(balanced, "g").count() == 0
+
+    want = {r.g: (r.n_parts,
+                  G.area(G.from_wkb(bytes(r.geom))),
+                  G.length(G.from_wkb(bytes(r.geom))))
+            for r in dissolve(df, "g").collect()}
+    # 9 full rows + a 7-tile strip: perimeter 2k + 2q + 2 = 40
+    assert want[0] == (1, 97.0, 2 * 10 + 2 * 9 + 2)
+    for mode in (True, "auto"):
+        got = {r.g: (r.n_parts,
+                     G.area(G.from_wkb(bytes(r.geom))),
+                     G.length(G.from_wkb(bytes(r.geom))))
+               for r in dissolve(df, "g", hier=mode,
+                                 min_shard=50).collect()}
+        assert got == want, mode
