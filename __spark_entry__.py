@@ -2924,6 +2924,51 @@ def _planted_knn_sql() -> str:
   CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j) j"""
 
 
+def _pq_dissolve_zones_hier(spark, sf):
+    """r11: the hierarchical dissolve path through the FULL gate
+    oracle — same staggered-chain construction and integer closed
+    forms as `dissolve_zones`, but dissolved with ``hier=True``: the
+    20-box chains band into alternating centroid-y slices whose
+    partials are DISJOINT 10-part multipolygons (consecutive boxes
+    overlap, alternating ones don't), so stage 2 merges genuinely
+    multi-part partial geometries — the hardest shape of the banded
+    recombination. Output integers are band-order-invariant, so the
+    mirror is the `dissolve_zones` SQL verbatim; any hier-path
+    semantic drift (lost overlap, dropped part, seam miss) breaks
+    the hash."""
+    from pyspark.sql import Window
+    from stark_spark.functions.constructors import st_box
+    from stark_spark.functions.register import register_sql_functions
+    from stark_spark.operators.overlay import dissolve
+    register_sql_functions(spark)
+    w = Window.partitionBy("g").orderBy("p_partkey")
+    base = (D.load(spark, sf, "part").where(F.col("p_partkey") <= 400)
+            .select((F.col("p_partkey") % 20).alias("g"), "p_partkey")
+            .withColumn("r", F.row_number().over(w) - 1))
+    r = F.col("r").cast("double")
+    boxes = base.select(
+        "g", st_box(4 * r, r % 2, 4 * r + 6, r % 2 + 4).alias("geom"))
+    return (dissolve(boxes, "g", hier=True)
+            .select("g",
+                    F.expr("CAST(st_area(geom) AS BIGINT)")
+                     .alias("uarea"),
+                    F.col("n_parts").cast("long").alias("n_parts")))
+
+
+def _pq_funnel_latency_fine(spark, sf):
+    """r11: the two-phase exact percentile pick under a WIDER
+    percentile set (p1/p25/p50/p75/p99) — exercises the bucket-CDF
+    selection at both tails and the case where several percentiles
+    land in the SAME HDR bucket (the per-pct window partitions must
+    stay independent) as well as in different ones. Same events
+    funnel as `funnel_latency`; mirror is the same chained-min SQL
+    with the wider VALUES list."""
+    from stark_spark.operators.funnel import funnel_latency
+    ev = D.load(spark, sf, "events")
+    return funnel_latency(ev, ["view", "click", "purchase"],
+                          percentiles=(1, 25, 50, 75, 99))
+
+
 def _ann_knn_join_planted_sql() -> str:
     """Planted-truth knn-join mirror: bucket = vec_id div 12 BY
     CONSTRUCTION (no argmax) — candidates join within cluster only,
@@ -3018,6 +3063,8 @@ def pending_queries():
     # queries()); new gates minted this round stage here first.
     return {
         "ann_knn_join_planted": _pq_ann_knn_join_planted,
+        "dissolve_zones_hier": _pq_dissolve_zones_hier,
+        "funnel_latency_fine": _pq_funnel_latency_fine,
     }
 
 
@@ -3267,9 +3314,19 @@ def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — prior cohorts live on in
     # _promoted_oracle_sql_r10/_r9/_r8/_r7/_r6, merged into
     # oracle_sql(). The planted knn-join mirror is the O(n·12)
-    # planted-truth form (no argmax) — see _ann_knn_join_planted_sql.
+    # planted-truth form (no argmax); the hier-dissolve gate shares
+    # the dissolve_zones mirror verbatim (band-order-invariant
+    # integers); the fine-percentile gate is the funnel_latency
+    # mirror with a wider VALUES list.
+    base = oracle_sql()
+    fine = base["funnel_latency"].replace(
+        "(VALUES (50), (90), (99))",
+        "(VALUES (1), (25), (50), (75), (99))")
+    assert fine != base["funnel_latency"]
     return {
         "ann_knn_join_planted": _ann_knn_join_planted_sql(),
+        "dissolve_zones_hier": base["dissolve_zones"],
+        "funnel_latency_fine": fine,
     }
 
 
@@ -5798,7 +5855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
         "events_daily": _q_events_daily,
-        "set_ops_union_distinct": _q_set_ops,
         "distance_histogram": _q_distance_histogram,
         "raster_join_raster_sum": _q_raster_join_raster,
         "sql_raster_histogram": _q_sql_raster_hist,
@@ -5866,7 +5922,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_hull_simplify": _q_sql_hull_simplify,
         "knn_manhattan": _q_knn_manhattan,
         "stream_windowed_stats": _q_stream_windowed_stats,
-        "agg_revenue_by_nation": _q_agg_revenue_by_nation,
         "stream_geofence": _q_stream_geofence,
         "stream_cell_extremes": _q_stream_cell_extremes,
         "stream_session_stats": _q_stream_session_stats,
@@ -9115,6 +9170,29 @@ FROM assign a GROUP BY 1"""
     return sql
 
 
+# Retired at the r11 rotation (the standing trigger: >= 3 gates
+# staged in one round). Retired gates keep their functions and
+# mirrors and stay oracle-checked — by
+# tests/test_extras.py::test_retired_gates_oracle_parity and
+# `python tests/oracle_check.py --retired` — they just no longer
+# occupy registry slots. Both are thin spines whose plan shapes are
+# shadowed by richer live gates (tpch_q5/q3/q18 carry the
+# fact-shuffle + dim-broadcast rollup; merge_upsert and the dedup
+# tier carry union + dropDuplicates; SURVEY §2.6 notes set ops are
+# Spark built-ins).
+_RETIRED = ("set_ops_union_distinct", "agg_revenue_by_nation")
+
+
+def retired_queries():
+    return {"set_ops_union_distinct": _q_set_ops,
+            "agg_revenue_by_nation": _q_agg_revenue_by_nation}
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    base = _base_oracle_sql()
+    return {k: base[k] for k in _RETIRED}
+
+
 def oracle_sql() -> dict[str, str]:
     sql = _base_oracle_sql()
     sql.update(_promoted_oracle_sql_r6())
@@ -9122,4 +9200,6 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_promoted_oracle_sql_r8())
     sql.update(_promoted_oracle_sql_r9())
     sql.update(_promoted_oracle_sql_r10())
+    for k in _RETIRED:
+        sql.pop(k, None)
     return sql

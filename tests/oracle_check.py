@@ -179,7 +179,8 @@ def duck_chunked_hash(cur) -> tuple[int, tuple, str]:
 
 
 def run(sf_dir: str, only: list[str] | None = None,
-        chunked: set[str] | None = None, pending: bool = False) -> int:
+        chunked: set[str] | None = None, pending: bool = False,
+        retired: bool = False) -> int:
     import __spark_entry__ as entry
     from stark_spark import get_session
 
@@ -191,9 +192,14 @@ def run(sf_dir: str, only: list[str] | None = None,
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     # pending=True checks the STAGED gates (window-slot overflow that
-    # rotates into queries() next round) with the identical comparator
-    qs = entry.pending_queries() if pending else entry.queries()
-    oracles = entry.pending_oracle_sql() if pending else entry.oracle_sql()
+    # rotates into queries() next round) with the identical comparator;
+    # retired=True checks the gates moved to pytest-only coverage
+    if pending:
+        qs, oracles = entry.pending_queries(), entry.pending_oracle_sql()
+    elif retired:
+        qs, oracles = entry.retired_queries(), entry.retired_oracle_sql()
+    else:
+        qs, oracles = entry.queries(), entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -270,10 +276,11 @@ def run(sf_dir: str, only: list[str] | None = None,
 if __name__ == "__main__":
     args = sys.argv[1:]
     pending = "--pending" in args
-    args = [a for a in args if a != "--pending"]
+    retired = "--retired" in args
+    args = [a for a in args if a not in ("--pending", "--retired")]
     sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a] or None
-    rc = 1 if run(sf, only, pending=pending) else 0
+    rc = 1 if run(sf, only, pending=pending, retired=retired) else 0
     from stark_spark import get_session
     get_session("oracle-check", shuffle_partitions=16).stop()
     sys.exit(rc)

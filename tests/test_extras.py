@@ -847,3 +847,20 @@ def test_dissolve_640k_floor(spark):
     rc, dt = dissolve_scale_check.run(32, 20_000)
     assert rc == 0
     assert dt < 90.0, f"640k dissolve took {dt:.1f}s (floor 90s)"
+
+
+def test_retired_gates_oracle_parity():
+    """Gates retired from the registry (r11 trigger: >= 3 staged in
+    one round) keep full oracle parity here — retirement frees a
+    driver window slot, it does not waive correctness. Runs at
+    sf0.001 for suite speed; `python tests/oracle_check.py --retired`
+    is the manual form."""
+    import __spark_entry__ as entry
+    from tests import oracle_check
+
+    ret = entry.retired_queries()
+    assert set(ret) == set(entry.retired_oracle_sql())
+    assert not set(ret) & set(entry.queries())
+    assert not set(ret) & set(entry.pending_queries())
+    rc = oracle_check.run("/root/testdata/sf0.001", retired=True)
+    assert rc == 0
