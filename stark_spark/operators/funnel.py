@@ -220,13 +220,17 @@ def funnel_latency(df: DataFrame, steps: list[str], *,
                .where(F.col("st.reached") == len(steps))
                .select("u", (F.col("st.last_us") - F.col("st.first_us"))
                        .alias("latency_us")))
-    # per-distinct-latency counts; checkpoint so the event-scale fold
-    # above runs ONCE (the frame is reused by phases 2 and 3)
+    # per-distinct-latency counts; persist (lazy, MEMORY_AND_DISK) so
+    # the event-scale fold above runs ONCE — the broadcast-prep job
+    # for `targets` populates the cache and the main join reuses it.
+    # A/B vs eager localCheckpoint at sf0.1: persist saves the extra
+    # materialization job (~0.4 s fixed); like dbscan's caches, the
+    # entry is left to LRU eviction (bounded: distinct-latency-sized)
     vals = (done.groupBy("latency_us").agg(F.count("*").alias("cnt"))
                 .withColumn("_bkt",
                             F.expr(hdr_bucket_sql("latency_us"))
                              .cast("long"))
-                .localCheckpoint(eager=True))
+                .persist())
     # bucket CDF: single-partition window over the HDR bucket frame —
     # bounded ≤ ~2k rows by construction (histogram.hdr_quantiles
     # carries the same argument), NOT by cohort size
