@@ -70,7 +70,11 @@ def _hier_dissolve(df: DataFrame, group_col: str, geom_col: str,
     whose merge re-pays the whole crossing scan."""
     from stark_spark.functions.constructors import _st_bbox_udf
 
+    # drop NULLs before banding: they dissolve to nothing anyway, and
+    # their NaN bbox centroid would poison the per-group max(_cy)
+    # (NaN sorts greatest), collapsing every band into one
     b = df.select(group_col, geom_col) \
+          .where(F.col(geom_col).isNotNull()) \
           .withColumn("_bb", _st_bbox_udf(F.col(geom_col))) \
           .withColumn("_cy", (F.col("_bb.ymin") + F.col("_bb.ymax"))
                       / 2).drop("_bb")

@@ -274,16 +274,20 @@ def _gemm_probe_buckets(vectors: DataFrame, centroids: DataFrame,
     from pyspark.sql.types import StructField, StructType
 
     c_pdf = centroids.select("c_id", "c_embedding").toPandas()
+    out_schema = StructType([
+        StructField("q_id", vectors.schema[key].dataType),
+        StructField("q_embedding", vectors.schema[vec_col].dataType),
+        StructField("bucket", centroids.schema["c_id"].dataType)])
+    if c_pdf.empty:
+        # no centroids -> no probes (the fold path's crossJoin would
+        # be empty too; np.vstack on [] raises instead)
+        return vectors.sparkSession.createDataFrame([], out_schema)
     C = np.vstack(c_pdf["c_embedding"].to_numpy()).astype(np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     order = np.argsort(c_pdf["c_id"].to_numpy(), kind="stable")
     Cn = Cn[order]
     cids = c_pdf["c_id"].to_numpy()[order]
     npv = min(n_probe, len(cids))
-    out_schema = StructType([
-        StructField("q_id", vectors.schema[key].dataType),
-        StructField("q_embedding", vectors.schema[vec_col].dataType),
-        StructField("bucket", centroids.schema["c_id"].dataType)])
 
     def probe_batches(batches):
         for pdf in batches:

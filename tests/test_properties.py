@@ -2100,6 +2100,7 @@ def test_dissolve_hier_auto(spark):
     for g in range(1, 4):
         for r in range(4):
             rows.append((g, G.to_wkb(G.box(r, 0, r + 1, 1))))
+    rows.append((0, None))       # NULL geom must not poison banding
     df = spark.createDataFrame(rows, "g long, geom binary")
 
     flagged = {r.g for r in
