@@ -220,17 +220,20 @@ def funnel_latency(df: DataFrame, steps: list[str], *,
                .where(F.col("st.reached") == len(steps))
                .select("u", (F.col("st.last_us") - F.col("st.first_us"))
                        .alias("latency_us")))
-    # per-distinct-latency counts; persist (lazy, MEMORY_AND_DISK) so
-    # the event-scale fold above runs ONCE — the broadcast-prep job
-    # for `targets` populates the cache and the main join reuses it.
-    # A/B vs eager localCheckpoint at sf0.1: persist saves the extra
-    # materialization job (~0.4 s fixed); like dbscan's caches, the
-    # entry is left to LRU eviction (bounded: distinct-latency-sized)
+    # per-distinct-latency counts; LAZY localCheckpoint so the
+    # event-scale fold above runs ONCE — the broadcast-prep job for
+    # `targets` materializes it and the main join reuses it. A/B vs
+    # EAGER checkpoint at sf0.1: lazy saves the extra up-front job
+    # (~0.4 s fixed). Chosen over .persist(): checkpointed RDDs are
+    # reclaimed by the ContextCleaner when the frame is GC'd, while
+    # CacheManager entries from persist() outlive their frames
+    # (review r11) — a long session calling this repeatedly must not
+    # accumulate pinned distinct-latency-sized caches
     vals = (done.groupBy("latency_us").agg(F.count("*").alias("cnt"))
                 .withColumn("_bkt",
                             F.expr(hdr_bucket_sql("latency_us"))
                              .cast("long"))
-                .persist())
+                .localCheckpoint(eager=False))
     # bucket CDF: single-partition window over the HDR bucket frame —
     # bounded ≤ ~2k rows by construction (histogram.hdr_quantiles
     # carries the same argument), NOT by cohort size
@@ -241,7 +244,10 @@ def funnel_latency(df: DataFrame, steps: list[str], *,
                  Window.rowsBetween(Window.unboundedPreceding,
                                     Window.unboundedFollowing))))
     spark = df.sparkSession
-    pcts = spark.createDataFrame([(p,) for p in percentiles], "pct int")
+    # dedupe: a repeated pct would join the selected bucket twice and
+    # double-count cnt in the per-pct cumulative window (review r11)
+    pcts = spark.createDataFrame(
+        [(p,) for p in sorted(set(percentiles))], "pct int")
     targets = (cdf.crossJoin(F.broadcast(pcts))
                   .withColumn("rank", F.expr("(n * pct + 99) div 100"))
                   .where((F.col("cum") >= F.col("rank"))

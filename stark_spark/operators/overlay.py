@@ -79,13 +79,17 @@ def _hier_dissolve(df: DataFrame, group_col: str, geom_col: str,
           .withColumn("_cy", (F.col("_bb.ymin") + F.col("_bb.ymax"))
                       / 2).drop("_bb")
     ext = (b.groupBy(group_col)
-            .agg(F.min("_cy").alias("_lo"), F.max("_cy").alias("_hi")))
-    banded = (b.join(F.broadcast(ext), group_col)
+            .agg(F.min("_cy").alias("_lo"), F.max("_cy").alias("_hi"))
+            .withColumnRenamed(group_col, "_eg"))
+    # null-safe join: a NULL group key is a real group for groupBy,
+    # and plain equality would silently drop it here (review r11)
+    banded = (b.join(F.broadcast(ext),
+                     F.col(group_col).eqNullSafe(F.col("_eg")))
                .withColumn("_band", F.least(
                    F.floor((F.col("_cy") - F.col("_lo")) * n_bands
                            / (F.col("_hi") - F.col("_lo") + 1e-9)),
                    F.lit(n_bands - 1)))
-               .drop("_cy", "_lo", "_hi"))
+               .drop("_cy", "_lo", "_hi", "_eg"))
     partials = _dissolve_once(banded, [group_col, "_band"],
                               group_col, geom_col)
     return _dissolve_once(partials, [group_col], group_col, "geom")

@@ -117,6 +117,24 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
              .select(qkey, key, "cos", F.col("_rn").alias("rank")))
 
 
+def _gemm_centroid_matrix(centroids: DataFrame, ckey: str,
+                          cvec_col: str):
+    """Driver-side centroid prep shared by every gemm branch: one
+    toPandas collect, unit-normalize, stable-sort by c_id so
+    np.argmax/stable argsort first-wins == the fold window's
+    (-cos, c_id) tie-break. Returns (Cn, cids); (None, None) when
+    the table is empty (callers return their empty shape — matching
+    the fold path's empty crossJoin — instead of np.vstack raising)."""
+    import numpy as np
+    c_pdf = centroids.select(ckey, cvec_col).toPandas()
+    if c_pdf.empty:
+        return None, None
+    C = np.vstack(c_pdf[cvec_col].to_numpy()).astype(np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    order = np.argsort(c_pdf[ckey].to_numpy(), kind="stable")
+    return Cn[order], c_pdf[ckey].to_numpy()[order]
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
                key: str = "vec_id", vec_col: str = "embedding",
                ckey: str = "c_id", cvec_col: str = "c_embedding",
@@ -141,19 +159,16 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
     from pyspark.sql import Window
     if score == "gemm":
         import numpy as np
-        import pandas as pd
-        c_pdf = centroids.select(ckey, cvec_col).toPandas()
-        C = np.vstack(c_pdf[cvec_col].to_numpy()).astype(np.float64)
-        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-        # pre-sort by c_id so np.argmax's first-wins break == (-cos, c_id)
-        c_order = np.argsort(c_pdf[ckey].to_numpy(), kind="stable")
-        Cn = Cn[c_order]
-        cids = c_pdf[ckey].to_numpy()[c_order]
+        Cn, cids = _gemm_centroid_matrix(centroids, ckey, cvec_col)
         from pyspark.sql.types import StructField, StructType
         # fresh StructType — .add() would mutate the frame's cached schema
         out_schema = StructType(
             list(vectors.schema.fields)
             + [StructField("bucket", centroids.schema[ckey].dataType)])
+        if Cn is None:
+            # empty centroid table: the fold path's crossJoin is
+            # empty -> nothing assigned; mirror that, don't crash
+            return vectors.sparkSession.createDataFrame([], out_schema)
 
         def assign_batches(batches):
             for pdf in batches:
@@ -273,20 +288,14 @@ def _gemm_probe_buckets(vectors: DataFrame, centroids: DataFrame,
 
     from pyspark.sql.types import StructField, StructType
 
-    c_pdf = centroids.select("c_id", "c_embedding").toPandas()
     out_schema = StructType([
         StructField("q_id", vectors.schema[key].dataType),
         StructField("q_embedding", vectors.schema[vec_col].dataType),
         StructField("bucket", centroids.schema["c_id"].dataType)])
-    if c_pdf.empty:
-        # no centroids -> no probes (the fold path's crossJoin would
-        # be empty too; np.vstack on [] raises instead)
+    Cn, cids = _gemm_centroid_matrix(centroids, "c_id", "c_embedding")
+    if Cn is None:
+        # no centroids -> no probes (matches the fold crossJoin)
         return vectors.sparkSession.createDataFrame([], out_schema)
-    C = np.vstack(c_pdf["c_embedding"].to_numpy()).astype(np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    order = np.argsort(c_pdf["c_id"].to_numpy(), kind="stable")
-    Cn = Cn[order]
-    cids = c_pdf["c_id"].to_numpy()[order]
     npv = min(n_probe, len(cids))
 
     def probe_batches(batches):

@@ -56,6 +56,11 @@ def kaplan_meier(df: DataFrame, *, duration: str = "duration",
                     F.sum(F.lit(1) - F.col(event).cast("long"))
                      .alias("n_censored"),
                     F.count("*").alias("n_obs")))
+    if max_distinct:
+        # lazy checkpoint: the probe's count materializes the grouped
+        # frame, so the KM windows below reuse it instead of paying
+        # the input scan + shuffle a second time (review r11)
+        per_t = per_t.localCheckpoint(eager=False)
     if max_distinct and (per_t.limit(max_distinct + 1).count()
                          > max_distinct):
         raise ValueError(

@@ -1572,3 +1572,19 @@ def test_ann_knn_join_planted_ranks_equal_brute(spark):
              .where(F.col("rank") <= 3))
     want = {(r.q_id, r.rank): r.vec_id for r in truth.collect()}
     assert got == want and len(got) > 0
+
+
+def test_ann_knn_join_gemm_assign_empty_centroids(spark):
+    """Review r11: an empty centroid table through the gemm
+    assignment/probe path must return empty like the fold path, not
+    raise in np.vstack."""
+    from stark_spark.operators.similarity import ann_knn_join
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    empty = spark.createDataFrame(
+        [], "c_id long, c_embedding array<double>")
+    for assign in ("fold", "gemm"):
+        out = ann_knn_join(vecs, empty, 2, n_probe=1, score="fold",
+                           assign_score=assign)
+        assert out.count() == 0, assign

@@ -501,3 +501,19 @@ def test_kaplan_meier_distinct_guard(spark):
         kaplan_meier(df, max_distinct=10)
     assert kaplan_meier(df, max_distinct=50).count() == 50
     assert kaplan_meier(df, max_distinct=0).count() == 50
+
+
+def test_funnel_latency_duplicate_percentiles(spark):
+    """Review r11: a repeated pct must not double-count the per-pct
+    cumulative window — duplicates dedupe to one correct row."""
+    from stark_spark.operators.funnel import funnel_latency
+    rows = []
+    for u, lat in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+        rows.append((u, _ts("2024-01-01T00:00:00"), "view"))
+        rows.append((u, _ts(f"2024-01-01T00:00:{lat:02d}"), "purchase"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    got = funnel_latency(df, ["view", "purchase"],
+                         percentiles=(50, 50, 90)).collect()
+    assert [(r.pct, r.latency_us) for r in got] == \
+        [(50, 2_000_000), (90, 4_000_000)]

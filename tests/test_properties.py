@@ -2101,6 +2101,10 @@ def test_dissolve_hier_auto(spark):
         for r in range(4):
             rows.append((g, G.to_wkb(G.box(r, 0, r + 1, 1))))
     rows.append((0, None))       # NULL geom must not poison banding
+    # NULL group KEY is a real group and must survive the hier
+    # join (null-safe equality — review r11)
+    rows.append((None, G.to_wkb(G.box(0, 0, 1, 1))))
+    rows.append((None, G.to_wkb(G.box(1, 0, 2, 1))))
     df = spark.createDataFrame(rows, "g long, geom binary")
 
     flagged = {r.g for r in
