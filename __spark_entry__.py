@@ -2969,6 +2969,37 @@ def _pq_funnel_latency_fine(spark, sf):
                           percentiles=(1, 25, 50, 75, 99))
 
 
+def _pq_price_percentiles_exact(spark, sf):
+    """r11: `histogram.exact_quantiles` — the EXACT twin of the
+    `price_quantiles_hdr` sketch gate, from the machinery the funnel
+    rewrite extracted: global order-statistic percentiles of the
+    lineitem price-cents column with NO global sort (distinct-value
+    counts → bounded HDR bucket CDF → in-bucket pick). The mirror is
+    the brute rank-window form, so this gate proves the two-phase
+    selection equals the naive global sort on a 60k-row value
+    column with heavy duplication (prices repeat across rows)."""
+    from stark_spark.operators.histogram import exact_quantiles
+    li = D.load(spark, sf, "lineitem")
+    cents = li.select(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long").alias("c"))
+    return exact_quantiles(cents, "c", (1, 50, 90, 99))
+
+
+def _price_percentiles_exact_sql() -> str:
+    return """
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+), r AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM v
+)
+SELECT pct, v AS value, CAST(n AS BIGINT) AS n
+FROM r JOIN (VALUES (1), (50), (90), (99)) p(pct)
+  ON rn = (n * pct + 99) // 100
+ORDER BY pct"""
+
+
 def _ann_knn_join_planted_sql() -> str:
     """Planted-truth knn-join mirror: bucket = vec_id div 12 BY
     CONSTRUCTION (no argmax) — candidates join within cluster only,
@@ -3065,6 +3096,7 @@ def pending_queries():
         "ann_knn_join_planted": _pq_ann_knn_join_planted,
         "dissolve_zones_hier": _pq_dissolve_zones_hier,
         "funnel_latency_fine": _pq_funnel_latency_fine,
+        "price_percentiles_exact": _pq_price_percentiles_exact,
     }
 
 
@@ -3327,6 +3359,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "ann_knn_join_planted": _ann_knn_join_planted_sql(),
         "dissolve_zones_hier": base["dissolve_zones"],
         "funnel_latency_fine": fine,
+        "price_percentiles_exact": _price_percentiles_exact_sql(),
     }
 
 

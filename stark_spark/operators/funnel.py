@@ -189,9 +189,7 @@ def funnel_latency(df: DataFrame, steps: list[str], *,
        pct over that bucket's occupied distinct values.
 
     Output: (pct, latency_us, n_converted)."""
-    from pyspark.sql import Window
-
-    from .histogram import hdr_bucket_sql
+    from .histogram import exact_quantiles
     if not steps:
         raise ValueError("funnel_latency needs at least one step")
     step_idx = F.when(F.col(type_col) == steps[0], 0)
@@ -220,53 +218,16 @@ def funnel_latency(df: DataFrame, steps: list[str], *,
                .where(F.col("st.reached") == len(steps))
                .select("u", (F.col("st.last_us") - F.col("st.first_us"))
                        .alias("latency_us")))
-    # per-distinct-latency counts; LAZY localCheckpoint so the
-    # event-scale fold above runs ONCE — the broadcast-prep job for
-    # `targets` materializes it and the main join reuses it. A/B vs
-    # EAGER checkpoint at sf0.1: lazy saves the extra up-front job
-    # (~0.4 s fixed). Chosen over .persist(): checkpointed RDDs are
-    # reclaimed by the ContextCleaner when the frame is GC'd, while
-    # CacheManager entries from persist() outlive their frames
-    # (review r11) — a long session calling this repeatedly must not
-    # accumulate pinned distinct-latency-sized caches
-    vals = (done.groupBy("latency_us").agg(F.count("*").alias("cnt"))
-                .withColumn("_bkt",
-                            F.expr(hdr_bucket_sql("latency_us"))
-                             .cast("long"))
-                .localCheckpoint(eager=False))
-    # bucket CDF: single-partition window over the HDR bucket frame —
-    # bounded ≤ ~2k rows by construction (histogram.hdr_quantiles
-    # carries the same argument), NOT by cohort size
-    bt = vals.groupBy("_bkt").agg(F.sum("cnt").alias("bcnt"))
-    bw = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = (bt.withColumn("cum", F.sum("bcnt").over(bw))
-             .withColumn("n", F.sum("bcnt").over(
-                 Window.rowsBetween(Window.unboundedPreceding,
-                                    Window.unboundedFollowing))))
-    spark = df.sparkSession
-    # dedupe: a repeated pct would join the selected bucket twice and
-    # double-count cnt in the per-pct cumulative window (review r11)
-    pcts = spark.createDataFrame(
-        [(p,) for p in sorted(set(percentiles))], "pct int")
-    targets = (cdf.crossJoin(F.broadcast(pcts))
-                  .withColumn("rank", F.expr("(n * pct + 99) div 100"))
-                  .where((F.col("cum") >= F.col("rank"))
-                         & (F.col("cum") - F.col("bcnt") < F.col("rank")))
-                  .select("pct", "_bkt",
-                          (F.col("rank") - F.col("cum") + F.col("bcnt"))
-                          .alias("_resid"), "n"))
-    # exact pick inside the selected buckets only: each pct selects
-    # exactly one bucket, so partitionBy(pct) == partitionBy(pct,
-    # bucket) — the window spans one bucket's occupied values
-    wv = (Window.partitionBy("pct").orderBy("latency_us")
-                .rowsBetween(Window.unboundedPreceding, 0))
-    return (vals.join(F.broadcast(targets), "_bkt")
-                .withColumn("_vcum", F.sum("cnt").over(wv))
-                .where(F.col("_vcum") >= F.col("_resid"))
-                .groupBy("pct")
-                .agg(F.min("latency_us").alias("latency_us"),
-                     F.min("n").cast("long").alias("n_converted"))
-                .orderBy("pct"))
+    # the two-phase pick is `histogram.exact_quantiles` (extracted
+    # r11): distinct-value counts lazily checkpointed (the fold above
+    # runs once), bounded HDR bucket CDF, per-pct in-bucket order
+    # statistic — no global rank window at any cohort size
+    res = exact_quantiles(done.select("latency_us"), "latency_us",
+                          percentiles)
+    return (res.select("pct",
+                       F.col("value").alias("latency_us"),
+                       F.col("n").alias("n_converted"))
+               .orderBy("pct"))
 
 
 def attribution_last_touch(df: DataFrame, *,

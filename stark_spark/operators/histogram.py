@@ -202,3 +202,65 @@ def hdr_rollup(cells: DataFrame, dims: list[str],
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def exact_quantiles(df: DataFrame, value_col: str,
+                    percentiles: tuple[int, ...] | list[int],
+                    *, sub_bits: int = 5) -> DataFrame:
+    """EXACT global order-statistic percentiles with NO global sort —
+    the two-phase selection the r11 funnel rewrite introduced, as a
+    reusable operator (``funnel_latency`` delegates here). Where
+    `hdr_quantiles` answers from the lossy sketch (bucket bound,
+    2^-sub_bits relative error), this drills into the winning buckets
+    and returns the true value at rank ⌈n·p/100⌉ (lower order
+    statistic, ties irrelevant: the value at a rank is determined by
+    the value multiset).
+
+    1. per-distinct-value counts — one value-cardinality-scale
+       shuffle, lazily checkpointed so upstream runs once;
+    2. HDR bucket CDF over the ≤ ~2k-row bounded bucket frame (the
+       module's standard argument) locates each percentile's bucket
+       and residual rank;
+    3. the exact pick runs only inside the ≤ |percentiles| selected
+       buckets, window partitioned per pct.
+
+    Contract: ``value_col`` is non-negative BIGINT (same as
+    `hdr_histogram` — negatives raise in-plan, no silent clamping);
+    percentiles are integers in (0, 100], deduplicated. Output:
+    (pct, value, n), n = total row count, ordered by pct; empty
+    input → empty output.
+    """
+    guarded = F.when(F.col(value_col) < 0, F.expr(
+        f"raise_error('exact_quantiles: negative value in {value_col}')")
+    ).otherwise(F.col(value_col).cast("long")).alias("v")
+    vals = (df.select(guarded)
+              .groupBy("v").agg(F.count("*").alias("cnt"))
+              .withColumn("_bkt",
+                          F.expr(hdr_bucket_sql("v", sub_bits))
+                           .cast("long"))
+              .localCheckpoint(eager=False))
+    bt = vals.groupBy("_bkt").agg(F.sum("cnt").alias("bcnt"))
+    bw = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = (bt.withColumn("cum", F.sum("bcnt").over(bw))
+             .withColumn("n", F.sum("bcnt").over(
+                 Window.rowsBetween(Window.unboundedPreceding,
+                                    Window.unboundedFollowing))))
+    spark = df.sparkSession
+    pcts = spark.createDataFrame(
+        [(int(p),) for p in sorted(set(percentiles))], "pct int")
+    targets = (cdf.crossJoin(F.broadcast(pcts))
+                  .withColumn("rank", F.expr("(n * pct + 99) div 100"))
+                  .where((F.col("cum") >= F.col("rank"))
+                         & (F.col("cum") - F.col("bcnt") < F.col("rank")))
+                  .select("pct", "_bkt",
+                          (F.col("rank") - F.col("cum") + F.col("bcnt"))
+                          .alias("_resid"), "n"))
+    wv = (Window.partitionBy("pct").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    return (vals.join(F.broadcast(targets), "_bkt")
+                .withColumn("_vcum", F.sum("cnt").over(wv))
+                .where(F.col("_vcum") >= F.col("_resid"))
+                .groupBy("pct")
+                .agg(F.min("v").alias("value"),
+                     F.min("n").cast("long").alias("n"))
+                .orderBy("pct"))

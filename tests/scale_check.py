@@ -560,6 +560,10 @@ PENDING_SCALE = [
     # scaled oracle parity (the raw-corpus variants stay excluded —
     # their oracles are O(n²/buckets)).
     "ann_knn_join_planted",
+    # r11-minted: exact two-phase global percentiles vs the naive
+    # rank-window oracle — linear, and the value domain (price
+    # cents) keeps the distinct-value frame bounded at any replicas
+    "price_percentiles_exact",
 ]
 
 

@@ -254,7 +254,11 @@ def test_funnel_latency_percentiles(spark):
     plan = res._jdf.queryExecution().optimizedPlan().toString()
     assert "row_number" not in plan
     for line in plan.splitlines():
-        if "windowspecdefinition" in line and "latency_us" in line:
+        # the value column is latency_us pre-r11-refactor, v inside
+        # histogram.exact_quantiles — either way, a window ordering
+        # by the VALUE must carry the pct partitioning
+        if "windowspecdefinition" in line and (
+                "latency_us" in line or "v#" in line):
             assert ", [pct#" in line, line
     out = {r.pct: r for r in res.collect()}
     assert out[50].latency_us == 2_000_000

@@ -925,3 +925,32 @@ def test_rank_eval_hand(spark):
     assert got[1] == (3, 1_000_000, 1_000_000)
     assert got[2] == (2, 666_666, 333_333)
     assert got[3] == (0, 0, 0)
+
+
+def test_exact_quantiles_vs_sorted_pick(spark):
+    """r11: the reusable two-phase exact percentile (no global rank
+    window) against the brute sorted-pick reference on a mixed-bucket
+    corpus, plus the edges: tail percentiles, duplicate pcts deduped,
+    negative input raises, empty input -> empty output."""
+    import math
+
+    import pytest
+
+    from stark_spark.operators.histogram import exact_quantiles
+    vals = ([3] * 40 + [7] * 10 + list(range(100, 400, 7))
+            + [10_000, 10_001] + list(range(50_000, 50_500, 13)))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    pcts = (1, 25, 50, 75, 99, 100)
+    got = {r.pct: (r.value, r.n) for r in
+           exact_quantiles(df, "x", pcts + (50,)).collect()}
+    srt = sorted(vals)
+    n = len(srt)
+    for p in pcts:
+        want = srt[max(math.ceil(n * p / 100), 1) - 1]
+        assert got[p] == (want, n), p
+    assert len(got) == len(pcts)          # duplicate 50 deduped
+    empty = spark.createDataFrame([], "x long")
+    assert exact_quantiles(empty, "x", [50]).count() == 0
+    neg = spark.createDataFrame([(-1,)], "x long")
+    with pytest.raises(Exception, match="negative"):
+        exact_quantiles(neg, "x", [50]).collect()
