@@ -864,3 +864,29 @@ def test_retired_gates_oracle_parity():
     assert not set(ret) & set(entry.pending_queries())
     rc = oracle_check.run("/root/testdata/sf0.001", retired=True)
     assert rc == 0
+
+
+def test_bench_compare_warm_clean_across_rounds():
+    """The canary-normalized variance discipline as CI (r10 verdict
+    ask #6): the two newest committed bench snapshots must show no
+    warm-tier regression that survives canary adjustment, the 0.2 s
+    floor, and the recorded per-query bands. A red here means a real
+    plan decay landed — fix it or record the measured band in
+    bench_compare.BANDS_WARM_MAX with its PARITY A/B evidence."""
+    import json
+    import re
+    from pathlib import Path
+
+    from tests.bench_compare import compare
+
+    root = Path(__file__).resolve().parent.parent
+    snaps = sorted(
+        (int(m.group(1)), p)
+        for p in root.glob("BENCH_LOCAL_r*.json")
+        if (m := re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", p.name)))
+    if len(snaps) < 2:
+        return
+    (_, old_p), (_, new_p) = snaps[-2], snaps[-1]
+    out = compare(json.load(open(old_p)), json.load(open(new_p)),
+                  tier="warm")
+    assert out["flagged"] == [], (old_p.name, new_p.name, out)
