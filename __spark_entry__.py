@@ -3088,6 +3088,114 @@ def _pq_ann_pq_topk_batch(spark, sf):
     return pq_topk(emb, q, cb, 10, score="batch")
 
 
+def _pq_semantic_dedup_planted(spark, sf):
+    """SemDeDup embedding dedup (similarity.semantic_dedup, Abbas et
+    al. 2023) on the planted corpus: cluster = ``vec_id div 12`` BY
+    CONSTRUCTION (the `ann_knn_join_planted` recipe), so the oracle
+    joins within clusters only — O(n·12) at any scale. τ=0.992 sits
+    at the MEDIAN of the planted intra-cluster cos spread
+    (0.988–0.995 measured at sf0.01), so the keep set is genuinely
+    mixed — each member's fate depends on its actual witnesses, not
+    a degenerate all-kept/all-dropped outcome. Fold cos keeps the
+    hash bit-exact (DOUBLE products — the r11 planted lesson); the
+    BLAS path is pytest-pinned equal on this corpus
+    (`test_semantic_dedup_gemm_matches_fold`)."""
+    from stark_spark.operators.similarity import semantic_dedup
+    emb = _planted_knn_corpus(spark, sf).withColumn(
+        "cl", F.expr("vec_id div 12"))
+    out = semantic_dedup(emb, 0.992, assign_col="cl")
+    return out.select("vec_id", "cluster",
+                      F.col("keep").cast("bigint").alias("keep"))
+
+
+def _semantic_dedup_planted_sql() -> str:
+    cosab = _cos("a.embedding", "b.embedding")
+    return f"""
+WITH corpus AS ({_planted_knn_sql()}),
+dup AS (
+  SELECT DISTINCT b.vec_id FROM corpus a JOIN corpus b
+    ON a.vec_id // 12 = b.vec_id // 12 AND a.vec_id < b.vec_id
+  WHERE {cosab} >= 0.992)
+SELECT v.vec_id, v.vec_id // 12 AS cluster,
+  CAST(d.vec_id IS NULL AS BIGINT) AS keep
+FROM corpus v LEFT JOIN dup d USING (vec_id)"""
+
+
+def _pq_semantic_contamination_planted(spark, sf):
+    """Embedding-level decontamination
+    (similarity.semantic_contamination) — the semantic sibling of
+    the cross_{exact,bloom,lsh,ngram} text family, catching
+    paraphrase-level eval leakage that n-grams miss. Planted split:
+    members j<8 of each cluster are "train", j≥8 are "eval" — every
+    eval row's witnesses are cluster-local by construction, so the
+    mirror is O(n·12). τ=0.992 (median of the intra-cluster spread)
+    makes n_dups vary per eval row; max_cos rides the bit-exact
+    fold, so both aggregates sit in the value hash."""
+    from stark_spark.operators.similarity import semantic_contamination
+    emb = _planted_knn_corpus(spark, sf).withColumn(
+        "cl", F.expr("vec_id div 12"))
+    train = emb.where(F.col("vec_id") % 12 < 8)
+    ev = emb.where(F.col("vec_id") % 12 >= 8)
+    return semantic_contamination(train, ev, 0.992, assign_col="cl")
+
+
+def _semantic_contamination_planted_sql() -> str:
+    cosqt = _cos("q.embedding", "t.embedding")
+    return f"""
+WITH corpus AS ({_planted_knn_sql()})
+SELECT q.vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+       max({cosqt}) AS max_cos
+FROM corpus q JOIN corpus t ON q.vec_id // 12 = t.vec_id // 12
+WHERE q.vec_id % 12 >= 8 AND t.vec_id % 12 < 8
+  AND {cosqt} >= 0.992
+GROUP BY q.vec_id"""
+
+
+_BUDGETS = {"src0": 2500, "src1": 4000, "src2": 1500}
+_BUDGET_DEFAULT = 1200
+
+
+def _pq_sample_token_budget(spark, sf):
+    """Absolute per-source token-budget selection
+    (sampling.token_budget_sample): rows in deterministic hash order
+    kept while the per-source running weight stays ≤ the source's
+    cap — the mixture-construction step after dedup/quality
+    ("60 GT web + 30 GT wiki"). The running sum is the pack_shards
+    TWO-PHASE distributed prefix sum (per-(source,bucket) windows +
+    broadcast offsets — never a global single-partition window);
+    the mirror is the naive per-source window, so any prefix-sum
+    seam error breaks the hash. Mixed dict + default budgets
+    exercise both cap paths."""
+    from stark_spark.operators.sampling import token_budget_sample
+    docs = D.load(spark, sf, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w"))
+    out = token_budget_sample(docs, "doc_id", "w", _BUDGETS,
+                              source_col="source",
+                              default_budget=_BUDGET_DEFAULT)
+    return out.select("doc_id", "source", "w", "cum_weight")
+
+
+def _sample_token_budget_sql() -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {b}"
+                     for s, b in sorted(_BUDGETS.items()))
+    return f"""
+WITH h AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+    md5('budget|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+), b AS (
+  SELECT doc_id, source, w, {_hex7_sql('hh')} AS hv FROM h
+), c AS (
+  SELECT doc_id, source, w,
+    CAST(sum(w) OVER (PARTITION BY source ORDER BY hv, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_weight
+  FROM b
+)
+SELECT doc_id, source, w, cum_weight FROM c
+WHERE cum_weight <= CASE source {cases} ELSE {_BUDGET_DEFAULT} END"""
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-11 rotation (`ann_pq_topk_batch` promoted into
@@ -3097,6 +3205,10 @@ def pending_queries():
         "dissolve_zones_hier": _pq_dissolve_zones_hier,
         "funnel_latency_fine": _pq_funnel_latency_fine,
         "price_percentiles_exact": _pq_price_percentiles_exact,
+        "semantic_dedup_planted": _pq_semantic_dedup_planted,
+        "semantic_contamination_planted":
+            _pq_semantic_contamination_planted,
+        "sample_token_budget": _pq_sample_token_budget,
     }
 
 
@@ -3360,6 +3472,10 @@ def pending_oracle_sql() -> dict[str, str]:
         "dissolve_zones_hier": base["dissolve_zones"],
         "funnel_latency_fine": fine,
         "price_percentiles_exact": _price_percentiles_exact_sql(),
+        "semantic_dedup_planted": _semantic_dedup_planted_sql(),
+        "semantic_contamination_planted":
+            _semantic_contamination_planted_sql(),
+        "sample_token_budget": _sample_token_budget_sql(),
     }
 
 

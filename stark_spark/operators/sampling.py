@@ -141,6 +141,76 @@ def pack_shards(df: DataFrame, key: str, weight_col: str,
     return out
 
 
+def token_budget_sample(df: DataFrame, key: str, weight_col: str,
+                        budget, *, source_col: str | None = None,
+                        default_budget: int = 0, salt: str = "budget",
+                        n_buckets: int = 256) -> DataFrame:
+    """Deterministic token-budget selection — "give me ≤ B tokens
+    per source": rows in deterministic hash order, kept while the
+    per-source running sum of ``weight_col`` stays within the
+    source's budget. The mixture-construction primitive a training
+    pipeline runs after dedup/quality ("60 GT web + 30 GT code +
+    10 GT wiki"): `mix_sources` picks proportions, this enforces an
+    ABSOLUTE cap.
+
+    ``budget``: an int (one cap; per source if ``source_col`` is
+    given, global otherwise) or a dict source→cap (sources absent
+    from the dict get ``default_budget``, default 0 = excluded).
+
+    Keep rule: ``cum_weight ≤ budget`` where ``cum_weight`` includes
+    the row itself — the first over-budget row and everything after
+    it (in hash order) drop; no row is split. Deterministic under
+    any partitioning; re-runs and engines agree bit-for-bit.
+
+    Scale shape: the running sum is the same TWO-PHASE distributed
+    prefix sum as `pack_shards` — never a single-partition global
+    window. Driver transfer is one row per (source, bucket):
+    ``n_sources × n_buckets`` — sources are corpora (dozens), so the
+    collect stays ~10⁴ rows at any corpus size. Output: the kept
+    rows + ``cum_weight``.
+    """
+    src = F.col(source_col) if source_col else F.lit("__all__")
+    bucket_width = BUCKETS // n_buckets
+    rows = (df.withColumn("_src", src.cast("string"))
+              .withColumn("_h", hash_bucket(F.col(key), salt=salt))
+              .withColumn("_bucket",
+                          (F.col("_h") / bucket_width).cast("int")))
+
+    totals = (rows.groupBy("_src", "_bucket")
+                  .agg(F.sum(weight_col).alias("_total"))
+                  .orderBy("_src", "_bucket")
+                  .collect())
+    offsets, run, cur = [], 0, None
+    for r in totals:
+        if r["_src"] != cur:
+            cur, run = r["_src"], 0
+        offsets.append((r["_src"], r["_bucket"], run))
+        run += r["_total"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_src string, _bucket int, _offset long")
+
+    if isinstance(budget, dict):
+        pairs = [x for s, b in sorted(budget.items())
+                 for x in (F.lit(s), F.lit(int(b)))]
+        cap = F.coalesce(F.element_at(F.create_map(*pairs),
+                                      F.col("_src")),
+                         F.lit(int(default_budget)))
+    else:
+        cap = F.lit(int(budget))
+
+    w = (Window.partitionBy("_src", "_bucket")
+               .orderBy("_h", key)
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+    local = rows.withColumn("_cum", F.sum(weight_col).over(w))
+    return (local.join(F.broadcast(off_df), ["_src", "_bucket"])
+                 .withColumn("cum_weight",
+                             (F.col("_cum") + F.col("_offset"))
+                             .cast("long"))
+                 .where(F.col("cum_weight") <= cap)
+                 .drop("_src", "_h", "_bucket", "_cum", "_offset"))
+
+
 def mix_sources(df: DataFrame, key: str, source_col: str,
                 weights: dict[str, int], *, salt: str = "mix") -> DataFrame:
     """Reweight a corpus to a target mixture (domain balancing for

@@ -476,6 +476,134 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
     return j.where(F.col("cos") >= threshold).select("a", "b", "cos")
 
 
+def _cluster_assigned(vectors: DataFrame, *, key: str, vec_col: str,
+                      centroids: DataFrame | None, assign_col: str | None,
+                      score: str) -> DataFrame:
+    """(key, vec, bucket) with the cluster taken from ``assign_col``
+    when the caller already knows it (planted data, precomputed
+    k-means labels, a partition column) — skipping the assignment
+    pass entirely — else from `ivf_assign` against ``centroids``."""
+    if assign_col is not None:
+        return vectors.select(F.col(key), F.col(vec_col),
+                              F.col(assign_col).alias("bucket"))
+    if centroids is None:
+        raise ValueError("pass centroids (e.g. kmeans_centroids(...)) "
+                         "or assign_col")
+    return ivf_assign(vectors, centroids, key=key, vec_col=vec_col,
+                      score=score).select(key, vec_col, "bucket")
+
+
+def semantic_dedup(vectors: DataFrame, tau: float, *,
+                   key: str = "vec_id", vec_col: str = "embedding",
+                   centroids: DataFrame | None = None,
+                   assign_col: str | None = None,
+                   score: str = "fold") -> DataFrame:
+    """SemDeDup-style embedding-level dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then inside each cluster
+    drop every vector that is a near-duplicate (cosine ≥ ``tau``) of
+    an EARLIER-keyed member. Output: one row per input —
+    ``(key, cluster, keep)``.
+
+    Keep rule (deterministic, order-free): ``keep(v) ⇔ ¬∃ u :
+    cluster(u)=cluster(v) ∧ u<v ∧ cos(u,v) ≥ tau``. Earlier members
+    suppress later ones whether or not they are themselves kept — a
+    relational EXISTS, so the rule is oracle-mirrorable and
+    independent of visit order (the sequential "skip already-dropped
+    witnesses" variant is not expressible without recursion and
+    keeps MORE near-dup text; for pretraining dedup the stricter set
+    is the useful one).
+
+    Scale shape: pairwise work is confined to clusters — the
+    SemDeDup cost model (k ≈ √N clusters ⇒ O(N·√N) total, one
+    shuffle on cluster id). ``score="gemm"`` runs one row-blocked
+    BLAS matmul per cluster via `applyInPandas` (no pair explosion,
+    no join-back); the fold default keeps cos bit-identical to the
+    DuckDB oracle. Assignment may independently be BLAS
+    (``centroids`` + the `ivf_assign` gemm path) — the production
+    mix, same argument as `ann_knn_join`'s planted gate.
+    """
+    v = _cluster_assigned(vectors, key=key, vec_col=vec_col,
+                          centroids=centroids, assign_col=assign_col,
+                          score="fold" if score == "fold" else "gemm")
+    if score == "gemm":
+        import numpy as np
+        import pandas as pd
+        key_type = dict(v.dtypes)[key]
+        cl_type = dict(v.dtypes)["bucket"]
+
+        def bucket_keep(members: pd.DataFrame) -> pd.DataFrame:
+            members = members.sort_values(key, kind="stable")
+            M = np.vstack(members[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            n = len(members)
+            dropped = np.zeros(n, dtype=bool)
+            for i0 in range(0, n, 1024):
+                i1 = min(i0 + 1024, n)
+                cos = Mn[i0:i1] @ Mn.T
+                ii, jj = np.nonzero(cos >= tau)
+                jj = jj[(ii + i0) < jj]  # witness strictly earlier
+                dropped[np.unique(jj)] = True
+            return pd.DataFrame({key: members[key].to_numpy(),
+                                 "cluster": members["bucket"].to_numpy(),
+                                 "keep": ~dropped})
+
+        return (v.groupBy("bucket")
+                 .applyInPandas(bucket_keep,
+                                f"{key} {key_type}, cluster {cl_type}, "
+                                f"keep boolean"))
+    a = v.select("bucket", F.col(key).alias("_a"),
+                 F.col(vec_col).alias("_va"))
+    b = v.select("bucket", F.col(key).alias("_b"),
+                 F.col(vec_col).alias("_vb"))
+    dup = (a.join(b, "bucket")
+            .where(F.col("_a") < F.col("_b"))
+            .where(cosine(F.col("_va"), F.col("_vb")) >= tau)
+            .select(F.col("_b").alias(key)).distinct()
+            .withColumn("_dup", F.lit(True)))
+    return (v.join(dup, key, "left")
+             .select(F.col(key), F.col("bucket").alias("cluster"),
+                     F.col("_dup").isNull().alias("keep")))
+
+
+def semantic_contamination(train: DataFrame, eval_df: DataFrame,
+                           tau: float, *,
+                           key: str = "vec_id",
+                           vec_col: str = "embedding",
+                           centroids: DataFrame | None = None,
+                           assign_col: str | None = None,
+                           score: str = "fold") -> DataFrame:
+    """Embedding-level decontamination: eval rows whose vector is
+    near-duplicate (cosine ≥ ``tau``) of ANY training vector in the
+    same cluster — the semantic sibling of the `cross_*` text
+    contamination family (exact / Bloom / LSH / n-gram in dedup.py),
+    catching paraphrase-level leakage those miss. Output: one row
+    per CONTAMINATED eval vector — ``(key, n_dups, max_cos)``.
+
+    Both sides go through the same clustering (``centroids`` or a
+    shared ``assign_col``), so candidates are cluster-local: the
+    train×eval product never materializes, one shuffle each side on
+    cluster id. A true cross-cluster near-dup is missed exactly when
+    IVF would miss it (boundary split) — the standard recall trade;
+    raise the cluster count quality via `kmeans_centroids` as usual.
+    """
+    t = _cluster_assigned(train, key=key, vec_col=vec_col,
+                          centroids=centroids, assign_col=assign_col,
+                          score=score)
+    q = _cluster_assigned(eval_df, key=key, vec_col=vec_col,
+                          centroids=centroids, assign_col=assign_col,
+                          score=score)
+    j = (q.select("bucket", F.col(key).alias("_q"),
+                  F.col(vec_col).alias("_vq"))
+          .join(t.select("bucket", F.col(key).alias("_t"),
+                         F.col(vec_col).alias("_vt")), "bucket")
+          .withColumn("cos", cosine(F.col("_vq"), F.col("_vt")))
+          .where(F.col("cos") >= tau))
+    return (j.groupBy("_q")
+             .agg(F.count("*").alias("n_dups"),
+                  F.max("cos").alias("max_cos"))
+             .select(F.col("_q").alias(key), "n_dups", "max_cos"))
+
+
 def _kmeans_local(vecs: list, n_centroids: int, n_iter: int) -> list:
     """Driver-side replica of `kmeans_centroids(exact=True,
     score="fold")` — the same IEEE operation sequence as the cluster

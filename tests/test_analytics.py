@@ -1588,3 +1588,122 @@ def test_ann_knn_join_gemm_assign_empty_centroids(spark):
         out = ann_knn_join(vecs, empty, 2, n_probe=1, score="fold",
                            assign_score=assign)
         assert out.count() == 0, assign
+
+
+def test_semantic_dedup_gemm_matches_fold(spark):
+    """The BLAS per-cluster keep kernel must agree row-for-row with
+    the fold join path on the planted corpus (intra-cluster cos sits
+    ~1e-3 from τ at these SFs — ten orders above BLAS-vs-fold ulp
+    noise, so equality is deterministic, same argument as the
+    planted knn-join gate)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.similarity import semantic_dedup
+
+    emb = (E._planted_knn_corpus(spark, "/root/testdata/sf0.001")
+            .withColumn("cl", F.expr("vec_id div 12")))
+    fold = {(r.vec_id, r.cluster): r.keep
+            for r in semantic_dedup(emb, 0.992, assign_col="cl")
+            .collect()}
+    gemm = {(r.vec_id, r.cluster): r.keep
+            for r in semantic_dedup(emb, 0.992, assign_col="cl",
+                                    score="gemm").collect()}
+    assert fold == gemm and len(fold) > 0
+    assert any(fold.values()) and not all(fold.values())
+
+
+def test_semantic_dedup_centroid_assignment(spark):
+    """End-to-end with a real centroid table (no planted labels):
+    exact copies must dedup to one survivor, distinct directions all
+    survive."""
+    from stark_spark.operators.similarity import semantic_dedup
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]),        # dup pair
+         (2, [0.0, 1.0]), (3, [0.0, 1.0]),        # dup pair
+         (4, [0.70710678, 0.70710678])],          # lone diagonal
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "c_id long, c_embedding array<double>")
+    keep = {r.vec_id: r.keep
+            for r in semantic_dedup(vecs, 0.999,
+                                    centroids=cents).collect()}
+    assert keep == {0: True, 1: False, 2: True, 3: False, 4: True}
+
+
+def test_semantic_contamination_flags_only_leaked(spark):
+    """An eval vector near-identical to a train vector is flagged
+    with the right witness count; an eval vector far from all train
+    members of its cluster is absent from the output."""
+    from stark_spark.operators.similarity import (
+        semantic_contamination)
+    train = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0], 0), (1, [0.999, 0.01, 0.0], 0),
+         (2, [0.0, 1.0, 0.0], 1)],
+        "vec_id long, embedding array<double>, cl int")
+    ev = spark.createDataFrame(
+        [(10, [1.0, 0.001, 0.0], 0),   # leaked: near both 0 and 1
+         (11, [0.0, 0.0, 1.0], 1)],    # same cluster as 2, orthogonal
+        "vec_id long, embedding array<double>, cl int")
+    out = {r.vec_id: (r.n_dups, r.max_cos)
+           for r in semantic_contamination(train, ev, 0.99,
+                                           assign_col="cl").collect()}
+    assert set(out) == {10}
+    assert out[10][0] == 2 and out[10][1] > 0.999
+
+
+def test_token_budget_sample_matches_naive_window(spark, sf_dir):
+    """The two-phase prefix sum must reproduce the naive global
+    per-source window bit-for-bit (same keep set, same cum_weight),
+    and budgets must bind: every source's kept weight ≤ its cap and
+    the first dropped row would have crossed it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.sampling import (hash_bucket,
+                                                token_budget_sample)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .select("doc_id", "source",
+                         F.col("n_chars").cast("long").alias("w")))
+    budgets = {"src0": 2500, "src1": 4000, "src2": 1500}
+    out = token_budget_sample(docs, "doc_id", "w", budgets,
+                              source_col="source",
+                              default_budget=1200)
+    got = {r.doc_id: r.cum_weight for r in out.collect()}
+
+    cap = F.when(F.col("source") == "src0", 2500) \
+           .when(F.col("source") == "src1", 4000) \
+           .when(F.col("source") == "src2", 1500).otherwise(1200)
+    w = (Window.partitionBy("source")
+               .orderBy(hash_bucket(F.col("doc_id"), salt="budget"),
+                        "doc_id")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+    naive = (docs.withColumn("cum", F.sum("w").over(w))
+                 .where(F.col("cum") <= cap))
+    want = {r.doc_id: r.cum for r in naive.collect()}
+    assert got == want and len(got) > 0
+
+    # caps bind
+    per_src = (out.groupBy("source").agg(F.max("cum_weight").alias("m"))
+                  .collect())
+    bmap = {**budgets}
+    for r in per_src:
+        assert r.m <= bmap.get(r.source, 1200)
+
+
+def test_token_budget_sample_int_budget_and_zero_default(spark):
+    """Scalar budget applies per source; default_budget=0 excludes
+    sources missing from a dict budget entirely."""
+    from stark_spark.operators.sampling import token_budget_sample
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", 10) for i in range(10)],
+        "k long, src string, w long")
+    flat = token_budget_sample(df, "k", "w", 30, source_col="src")
+    from collections import Counter
+    c = Counter(r.src for r in flat.collect())
+    assert c == {"a": 3, "b": 3}
+    only_a = token_budget_sample(df, "k", "w", {"a": 30},
+                                 source_col="src")
+    assert {r.src for r in only_a.collect()} == {"a"}
