@@ -504,12 +504,17 @@ def bm25_multi_topk(df: DataFrame, key: str, queries: DataFrame, k: int,
 
     # inverted-index hits: explode -> broadcast vocab prune -> one
     # corpus-keyed shuffle; _dl rides along (constant per key)
+    # lazily checkpointed (the repo idiom, histogram.exact_quantiles):
+    # the df collect below materializes it, so the corpus explode runs
+    # ONCE — the scored pass reads the (query-vocab-bounded) hits back
+    # instead of re-tokenizing the corpus
     tf = (base.select(F.col(key), F.col("_dl"),
                       F.explode("_tk").alias("_term"))
               .where(F.col("_term") != "")
               .join(F.broadcast(vocab), "_term")
               .groupBy(F.col(key), F.col("_term"))
-              .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl")))
+              .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl"))
+              .localCheckpoint(eager=False))
 
     # per-term document frequency -> driver-quantized idf literals
     nd = {r._term: r.nd for r in

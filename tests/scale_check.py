@@ -564,6 +564,17 @@ PENDING_SCALE = [
     # rank-window oracle — linear, and the value domain (price
     # cents) keeps the distinct-value frame bounded at any replicas
     "price_percentiles_exact",
+    # r11-minted session 2: SemDeDup keep-set and embedding
+    # decontamination on the planted corpus — cluster-local oracles,
+    # O(n·12) at any replica count (same construction as the planted
+    # knn-join above)
+    "semantic_dedup_planted",
+    "semantic_contamination_planted",
+    # r11-minted session 2: per-source token budgets — the oracle is
+    # one window cumsum per source (linear); fixed caps mean the
+    # kept set stays budget-bounded while the hash order reshuffles
+    # with every new replica
+    "sample_token_budget",
 ]
 
 
