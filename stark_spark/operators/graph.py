@@ -307,14 +307,19 @@ def pagerank(edges: DataFrame, *, n_iter: int = 3,
                     .select(F.col("dst").alias("node"),
                             F.expr("r div deg").alias("c"))
                     .groupBy("node").agg(F.sum("c").alias("m")))
-        dangling = (r.join(deg, r["node"] == deg["src"], "left_anti")
-                     .agg(F.sum("r")).first()[0]) or 0
-        share = dangling // n
+        # dangling mass as a broadcast 1-row aggregate (the drift.py
+        # crossJoin idiom) instead of a driver .first(): the eager
+        # checkpoint below is then the round's ONLY job — was 2/round
+        dang = (r.join(deg, r["node"] == deg["src"], "left_anti")
+                 .agg(F.coalesce(F.sum("r"), F.lit(0).cast("long"))
+                       .alias("_dang")))
         r = (nodes.join(contrib, "node", "left")
+                  .crossJoin(F.broadcast(dang))
                   .select("node",
                           (F.lit(base_q)
-                           + F.expr(f"(coalesce(m, 0L) + {share}L) * 85 "
-                                    f"div 100")).cast("long").alias("r"))
+                           + F.expr(f"(coalesce(m, 0L) + _dang div {n}L)"
+                                    f" * 85 div 100")).cast("long")
+                          .alias("r"))
                   .localCheckpoint())
     return r.select("node", F.col("r").alias("rank_q"))
 
@@ -441,18 +446,21 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame, *,
                     .select(F.col("dst").alias("node"),
                             F.expr("r div deg").alias("c"))
                     .groupBy("node").agg(F.sum("c").alias("m")))
-        dangling = (r.join(deg, r["node"] == deg["src"], "left_anti")
-                     .agg(F.sum("r")).first()[0]) or 0
-        share = dangling // ns
+        # same broadcast-fold as global pagerank: no driver .first(),
+        # one job per round (the eager checkpoint)
+        dang = (r.join(deg, r["node"] == deg["src"], "left_anti")
+                 .agg(F.coalesce(F.sum("r"), F.lit(0).cast("long"))
+                       .alias("_dang")))
         r = (nodes.join(contrib, "node", "left")
                   .join(F.broadcast(is_src), "node", "left")
+                  .crossJoin(F.broadcast(dang))
                   .select(
                       "node",
                       (F.when(F.col("_s").isNotNull(), F.lit(base_q))
                         .otherwise(F.lit(0))
                        + F.expr(
                            f"(coalesce(m, 0L) + IF(_s IS NOT NULL,"
-                           f" {share}L, 0L)) * 85 div 100"))
+                           f" _dang div {ns}L, 0L)) * 85 div 100"))
                       .cast("long").alias("r"))
                   .localCheckpoint())
     return r.select("node", F.col("r").alias("rank_q"))

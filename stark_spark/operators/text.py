@@ -312,7 +312,11 @@ def doc_logprob(df: DataFrame, key: str, *, text_col: str = "text",
                      F.explode(tokens(F.col(text_col))).alias("token"))
              .where(F.col("token") != ""))
     if vocab is None:
-        vocab = tok.groupBy("token").agg(F.count("*").alias("_n"))
+        # lazily checkpointed: the total .first() below materializes
+        # the (vocab-sized) frame, so the corpus explode+agg runs once
+        # instead of re-running for the broadcast side
+        vocab = (tok.groupBy("token").agg(F.count("*").alias("_n"))
+                    .localCheckpoint(eager=False))
     else:
         vocab = vocab.select("token", F.col("n").alias("_n"))
     total = vocab.agg(F.sum("_n")).first()[0] or 1   # empty corpus →
@@ -358,7 +362,11 @@ def doc_logprob_bigram(df: DataFrame, key: str, *,
                        F.explode(F.expr(pair_expr)).alias("pair")))
     uni = (df.select(F.explode(tokens(F.col(text_col))).alias("token"))
              .where(F.col("token") != "")
-             .groupBy("token").agg(F.count("*").alias("cu")))
+             .groupBy("token").agg(F.count("*").alias("cu"))
+             # the V count below materializes it; the scoring join
+             # then reads the vocab-sized frame back instead of
+             # re-running the corpus explode+agg
+             .localCheckpoint(eager=False))
     v = uni.count()
     big = pairs.groupBy("pair").agg(F.count("*").alias("cb"))
     first_tok = F.expr("substring_index(pair, ' ', 1)").alias("token")
