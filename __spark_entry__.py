@@ -3196,6 +3196,94 @@ SELECT doc_id, source, w, cum_weight FROM c
 WHERE cum_weight <= CASE source {cases} ELSE {_BUDGET_DEFAULT} END"""
 
 
+def _pq_curation_pipeline(spark, sf):
+    """The COMPOSED curation pipeline (curation.curate via
+    api.DocFrame): Gopher quality gate → exact content dedup →
+    benchmark decontamination → per-source token budget — the full
+    raw-crawl-to-tokenizer path as ONE call, proving the four
+    operators compose without seams. The input plants work for every
+    stage: docs with ``doc_id % 97 == 3`` are the "benchmark" eval
+    set; re-keyed copies of ``%13==5`` train docs (+1e6) are exact
+    dups the dedup stage must collapse to the original; re-keyed
+    copies of the eval set (+2e6) are contamination the anti-join
+    must drop. The oracle mirrors the chain as CTEs stage for stage,
+    so a regression in ANY stage (or in how they hand off) breaks
+    the hash. Scale: map-only quality, one content-hash shuffle,
+    broadcast anti-join, two-phase prefix sum — no stage degrades
+    superlinearly."""
+    from stark_spark.api import DocFrame
+    docs = D.load(spark, sf, "documents").select(
+        "doc_id", "text", "source", "n_chars")
+    ev = docs.where(F.col("doc_id") % 97 == 3)
+    tr0 = docs.where(F.col("doc_id") % 97 != 3)
+
+    def rekey(d, off):
+        return d.select((F.col("doc_id") + off).alias("doc_id"),
+                        "text", "source", "n_chars")
+
+    train = (tr0.unionByName(rekey(tr0.where(F.col("doc_id") % 13 == 5),
+                                   1_000_000))
+                .unionByName(rekey(ev, 2_000_000)))
+    out = (DocFrame(train).quality_filter()
+                          .dedup_exact()
+                          .decontaminate(ev)
+                          .budget({"src0": 2000, "src1": 3000},
+                                  weight_col="n_chars",
+                                  source_col="source",
+                                  default_budget=1000))
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("w"),
+                      "cum_weight")
+
+
+def _curation_pipeline_sql() -> str:
+    return f"""
+WITH ev AS (SELECT * FROM documents WHERE doc_id % 97 = 3),
+tr0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 3),
+train AS (
+  SELECT doc_id, text, source, n_chars FROM tr0
+  UNION ALL
+  SELECT doc_id + 1000000, text, source, n_chars FROM tr0
+  WHERE doc_id % 13 = 5
+  UNION ALL
+  SELECT doc_id + 2000000, text, source, n_chars FROM ev
+), q AS (
+  SELECT doc_id, source, n_chars, text,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+    length(replace(text, ' ', '')) AS chars,
+    len(list_filter(string_split(text, ' '),
+        x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_distinct(list_filter(string_split(text, ' '),
+        x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+                           x)))) AS stops
+  FROM train
+), kq AS (
+  SELECT doc_id, source, n_chars, text FROM q
+  WHERE n >= 20 AND n <= 100000 AND chars >= n * 3 AND chars <= n * 10
+    AND alpha * 5 >= n * 4 AND stops >= 2
+), dd AS (
+  SELECT doc_id, source, n_chars, text FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS k0 FROM kq)
+  WHERE doc_id = k0
+), dc AS (
+  SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS w,
+         md5('curate|' || CAST(d.doc_id AS VARCHAR)) AS hh
+  FROM dd d
+  WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE md5(e.text) = md5(d.text))
+), c AS (
+  SELECT doc_id, source, w,
+    CAST(sum(w) OVER (PARTITION BY source
+      ORDER BY {_hex7_sql('hh')}, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_weight
+  FROM dc
+)
+SELECT doc_id, source, w, cum_weight FROM c
+WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
+                                WHEN 'src1' THEN 3000
+                                ELSE 1000 END"""
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-11 rotation (`ann_pq_topk_batch` promoted into
@@ -3209,6 +3297,7 @@ def pending_queries():
         "semantic_contamination_planted":
             _pq_semantic_contamination_planted,
         "sample_token_budget": _pq_sample_token_budget,
+        "curation_pipeline": _pq_curation_pipeline,
     }
 
 
@@ -3476,6 +3565,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "semantic_contamination_planted":
             _semantic_contamination_planted_sql(),
         "sample_token_budget": _sample_token_budget_sql(),
+        "curation_pipeline": _curation_pipeline_sql(),
     }
 
 

@@ -264,3 +264,69 @@ class EventFrame:
 
     def __getattr__(self, name):
         return getattr(self.df, name)
+
+
+class DocFrame:
+    """Fluent surface for the text-curation tier — the documents
+    (doc_id, text, source)-shaped sibling of :class:`STFrame` /
+    :class:`EventFrame`. Pipeline verbs (quality_filter, dedup_exact,
+    decontaminate) return a new DocFrame so stages chain; terminal
+    reports (budget, profile, quality_report) return DataFrames.
+
+        dof = DocFrame(df)               # defaults match `documents`
+        curated = (dof.quality_filter()
+                      .dedup_exact()
+                      .decontaminate(eval_df)
+                      .budget({"web": 10**9}, weight_col="n_chars",
+                              source_col="source"))
+    """
+
+    def __init__(self, df: DataFrame, *, key: str = "doc_id",
+                 text_col: str = "text"):
+        self.df = df
+        self._k, self._tc = key, text_col
+
+    def _wrap(self, df: DataFrame) -> "DocFrame":
+        return DocFrame(df, key=self._k, text_col=self._tc)
+
+    def quality_filter(self, *, min_tokens: int = 20,
+                       max_tokens: int = 100_000) -> "DocFrame":
+        from stark_spark.operators.curation import filter_quality
+        return self._wrap(filter_quality(self.df, text_col=self._tc,
+                                         min_tokens=min_tokens,
+                                         max_tokens=max_tokens))
+
+    def dedup_exact(self) -> "DocFrame":
+        from stark_spark.operators.curation import (
+            dedup_exact_keep_first)
+        return self._wrap(dedup_exact_keep_first(self.df, self._k,
+                                                 text_col=self._tc))
+
+    def decontaminate(self, eval_df: DataFrame, *,
+                      eval_text_col: str | None = None) -> "DocFrame":
+        from stark_spark.operators.curation import decontaminate_exact
+        return self._wrap(decontaminate_exact(
+            self.df, eval_df, text_col=self._tc,
+            eval_text_col=eval_text_col))
+
+    def budget(self, budgets, *, weight_col: str,
+               source_col: str | None = None,
+               default_budget: int = 0,
+               salt: str = "curate") -> DataFrame:
+        from stark_spark.operators.sampling import token_budget_sample
+        return token_budget_sample(self.df, self._k, weight_col,
+                                   budgets, source_col=source_col,
+                                   default_budget=default_budget,
+                                   salt=salt)
+
+    def quality_report(self) -> DataFrame:
+        from stark_spark.operators.text import quality_filter_gopher
+        return quality_filter_gopher(self.df, self._k,
+                                     text_col=self._tc)
+
+    def profile(self) -> DataFrame:
+        from stark_spark.operators.text import text_profile
+        return text_profile(self.df, text_col=self._tc)
+
+    def __getattr__(self, name):
+        return getattr(self.df, name)

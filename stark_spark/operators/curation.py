@@ -1,0 +1,94 @@
+"""End-to-end document curation — the composed pipeline a training-
+data run executes between raw crawl and tokenizer: quality gate →
+exact dedup → benchmark decontamination → token-budget selection.
+
+Each step is an existing first-class operator (gopher_flags,
+content-hash dedup, the cross_* contamination idiom,
+token_budget_sample); this module owns the COMPOSITION so a user
+gets the whole pipeline as one call (or fluently via `api.DocFrame`)
+instead of hand-wiring four stages. Every step is deterministic and
+oracle-mirrorable, so the composed output is too (gate:
+``curation_pipeline``).
+
+Scale shape per step (the 100 TB lens):
+
+* quality — map-only codegen projection, fuses into the scan;
+* exact dedup — ONE shuffle on the content hash (window min per
+  hash partition, no join-back);
+* decontamination — broadcast anti-join (the eval set is dim-sized
+  BY CONTRACT, like every cross_* benchmark side);
+* budget — the two-phase distributed prefix sum (pack_shards
+  shape), never a global single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import token_budget_sample
+from .text import gopher_flags
+
+
+def filter_quality(df: DataFrame, *, text_col: str = "text",
+                   min_tokens: int = 20,
+                   max_tokens: int = 100_000) -> DataFrame:
+    """Rows passing ALL Gopher rule flags (the conjunctive ``keep``
+    of `quality_filter_gopher`, as a filter instead of a report)."""
+    fl = gopher_flags(F.col(text_col), min_tokens=min_tokens,
+                      max_tokens=max_tokens)
+    keep = (fl["flag_len"] & fl["flag_word_len"]
+            & fl["flag_alpha"] & fl["flag_stop"])
+    return df.where(keep)
+
+
+def dedup_exact_keep_first(df: DataFrame, key: str, *,
+                           text_col: str = "text") -> DataFrame:
+    """Exact content dedup keeping the LOWEST-keyed copy of each
+    distinct text: one shuffle on md5(text), min-key per partition
+    via an unbounded window (no second pass, no join-back)."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (df.withColumn("_k0", F.min(key).over(w))
+              .where(F.col(key) == F.col("_k0"))
+              .drop("_k0"))
+
+
+def decontaminate_exact(df: DataFrame, eval_df: DataFrame, *,
+                        text_col: str = "text",
+                        eval_text_col: str | None = None) -> DataFrame:
+    """Drop training docs whose text appears verbatim in the eval
+    set (hash anti-join; the exact tier of the contamination family
+    — `dedup.cross_bloom_dups`/`cross_ngram_contamination` are the
+    probabilistic/fuzzy siblings). The eval side is distinct-hashed
+    and broadcast — dim-sized by contract."""
+    ev = (eval_df.select(F.md5(F.col(eval_text_col or text_col))
+                          .alias("_evh")).distinct())
+    return df.join(F.broadcast(ev),
+                   F.md5(F.col(text_col)) == F.col("_evh"),
+                   "left_anti")
+
+
+def curate(df: DataFrame, key: str, *, text_col: str = "text",
+           min_tokens: int = 20, max_tokens: int = 100_000,
+           eval_df: DataFrame | None = None,
+           budgets=None, weight_col: str | None = None,
+           source_col: str | None = None, default_budget: int = 0,
+           salt: str = "curate") -> DataFrame:
+    """The composed pipeline: quality → dedup → decontaminate (if
+    ``eval_df``) → token budget (if ``budgets``; requires
+    ``weight_col``). Returns the curated rows; when the budget step
+    runs, a ``cum_weight`` column records each survivor's running
+    position against its source's cap."""
+    out = filter_quality(df, text_col=text_col, min_tokens=min_tokens,
+                         max_tokens=max_tokens)
+    out = dedup_exact_keep_first(out, key, text_col=text_col)
+    if eval_df is not None:
+        out = decontaminate_exact(out, eval_df, text_col=text_col)
+    if budgets is not None:
+        if weight_col is None:
+            raise ValueError("budgets requires weight_col")
+        out = token_budget_sample(out, key, weight_col, budgets,
+                                  source_col=source_col,
+                                  default_budget=default_budget,
+                                  salt=salt)
+    return out

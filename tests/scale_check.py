@@ -575,6 +575,12 @@ PENDING_SCALE = [
     # kept set stays budget-bounded while the hash order reshuffles
     # with every new replica
     "sample_token_budget",
+    # r11-minted session 2: the composed 4-stage curation pipeline —
+    # every stage's mirror is linear (map-only quality, content-hash
+    # window dedup, hash anti-join decontamination, per-source window
+    # cumsum); replica texts are unique so dedup/decontam stay
+    # planted-size
+    "curation_pipeline",
 ]
 
 

@@ -1707,3 +1707,33 @@ def test_token_budget_sample_int_budget_and_zero_default(spark):
     only_a = token_budget_sample(df, "k", "w", {"a": 30},
                                  source_col="src")
     assert {r.src for r in only_a.collect()} == {"a"}
+
+
+def test_curation_pipeline_stage_effects(spark):
+    """Each pipeline stage provably does its one job: quality drops
+    the short doc, dedup collapses the re-keyed copy to the lower
+    key, decontamination drops the eval-matching doc, and the budget
+    keeps everything under a generous cap."""
+    from stark_spark.api import DocFrame
+    good = ("the cat and the dog walk to the park and they see "
+            "many birds in the tall trees near the old gate today")
+    other = ("a small boat sails out of the bay and the crew look "
+             "for fish in the deep cold water under a grey sky")
+    leak = ("the quiz asks what is the capital of France and the "
+            "answer is Paris which every student in the class knows")
+    docs = spark.createDataFrame(
+        [(1, good, "web", len(good)),
+         (2, "too short", "web", 9),          # fails quality
+         (50, other, "web", len(other)),
+         (99, other, "web", len(other)),      # exact dup of 50
+         (7, leak, "web", len(leak))],        # contaminated
+        "doc_id long, text string, source string, n_chars long")
+    ev = spark.createDataFrame([(1000, leak)],
+                               "doc_id long, text string")
+    out = (DocFrame(docs).quality_filter()
+                         .dedup_exact()
+                         .decontaminate(ev)
+                         .budget(10_000, weight_col="n_chars",
+                                 source_col="source"))
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [1, 50]
