@@ -170,8 +170,12 @@ def token_budget_sample(df: DataFrame, key: str, weight_col: str,
     rows + ``cum_weight``.
     """
     src = F.col(source_col) if source_col else F.lit("__all__")
+    # NULL sources form one group (SQL PARTITION BY semantics) and get
+    # default_budget; without the sentinel they'd silently drop at the
+    # equi-join on _src (null never equals null in a join key)
+    src = F.coalesce(src.cast("string"), F.lit("\x00null"))
     bucket_width = BUCKETS // n_buckets
-    rows = (df.withColumn("_src", src.cast("string"))
+    rows = (df.withColumn("_src", src)
               .withColumn("_h", hash_bucket(F.col(key), salt=salt))
               .withColumn("_bucket",
                           (F.col("_h") / bucket_width).cast("int")))

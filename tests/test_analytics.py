@@ -1737,3 +1737,18 @@ def test_curation_pipeline_stage_effects(spark):
                                  source_col="source"))
     kept = sorted(r.doc_id for r in out.collect())
     assert kept == [1, 50]
+
+
+def test_token_budget_sample_null_source_group(spark):
+    """NULL sources form one group (SQL PARTITION BY semantics) under
+    default_budget — they must not silently drop at the offset
+    join."""
+    from stark_spark.operators.sampling import token_budget_sample
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 10), (3, "a", 10)],
+        "k long, src string, w long")
+    out = token_budget_sample(df, "k", "w", {"a": 10},
+                              source_col="src", default_budget=15)
+    got = {(r.k): r.cum_weight for r in out.collect()}
+    # one null row fits in 15, the second (cum 20) does not; 'a' fits
+    assert 3 in got and len(got) == 2 and set(got) <= {1, 2, 3}
