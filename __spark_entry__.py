@@ -3196,6 +3196,43 @@ SELECT doc_id, source, w, cum_weight FROM c
 WHERE cum_weight <= CASE source {cases} ELSE {_BUDGET_DEFAULT} END"""
 
 
+def _pq_stream_semantic_contamination(spark, sf):
+    """Embedding-level decontamination at INGEST
+    (streaming.stream_semantic_contamination): the planted corpus'
+    j≥8 members replayed as a file stream, gemm-assigned to the
+    planted centers per micro-batch (mapInPandas — stateless, no
+    window), stream-static bucket join against the checkpointed
+    j<8 eval members, fold-cos ≥ 0.992. Pairs must equal the batch
+    rule's hit set exactly (same planted O(n·12) mirror as
+    `semantic_contamination_planted`, pair-level). Completes the
+    contamination matrix: {exact, Bloom, 13-gram, semantic} × {batch,
+    stream}."""
+    from stark_spark.streaming.stream import (
+        read_event_stream, stream_semantic_contamination)
+    emb = _planted_knn_corpus(spark, sf)
+    ev = emb.where(F.col("vec_id") % 12 < 8)
+    qs = emb.where(F.col("vec_id") % 12 >= 8)
+    cent = (D.load(spark, sf, "embeddings")
+            .where(F.col("vec_id") % 48 == 0)
+            .select(F.col("vec_id").cast("long").alias("c_id"),
+                    F.col("embedding").alias("c_embedding")))
+    d = _replay_dir(qs, sf, "planted_arrivals")
+    s = read_event_stream(spark, d, qs.schema, max_files=2)
+    out = stream_semantic_contamination(s, ev, cent, 0.992)
+    t = _stream_sink(out, "append")
+    return t.select("vec_id", "eval_id", "cos")
+
+
+def _stream_semantic_contamination_sql() -> str:
+    cosqt = _cos("q.embedding", "t.embedding")
+    return f"""
+WITH corpus AS ({_planted_knn_sql()})
+SELECT q.vec_id, t.vec_id AS eval_id, {cosqt} AS cos
+FROM corpus q JOIN corpus t ON q.vec_id // 12 = t.vec_id // 12
+WHERE q.vec_id % 12 >= 8 AND t.vec_id % 12 < 8
+  AND {cosqt} >= 0.992"""
+
+
 def _pq_curation_pipeline(spark, sf):
     """The COMPOSED curation pipeline (curation.curate via
     api.DocFrame): Gopher quality gate → exact content dedup →
@@ -3298,6 +3335,8 @@ def pending_queries():
             _pq_semantic_contamination_planted,
         "sample_token_budget": _pq_sample_token_budget,
         "curation_pipeline": _pq_curation_pipeline,
+        "stream_semantic_contamination":
+            _pq_stream_semantic_contamination,
     }
 
 
@@ -3566,6 +3605,8 @@ def pending_oracle_sql() -> dict[str, str]:
             _semantic_contamination_planted_sql(),
         "sample_token_budget": _sample_token_budget_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
+        "stream_semantic_contamination":
+            _stream_semantic_contamination_sql(),
     }
 
 

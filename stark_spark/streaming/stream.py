@@ -410,6 +410,46 @@ def stream_contamination_ngrams(stream: DataFrame, eval_df: DataFrame,
     return tr.join(ev_sh, "h").select(key, "h")
 
 
+def stream_semantic_contamination(stream: DataFrame, eval_df: DataFrame,
+                                  centroids: DataFrame, tau: float, *,
+                                  key: str = "vec_id",
+                                  vec_col: str = "embedding") -> DataFrame:
+    """Embedding-level decontamination at ingest — the streaming twin
+    of `similarity.semantic_contamination` and the semantic sibling
+    of `stream_contamination` (exact/Bloom) and
+    `stream_contamination_ngrams`: arriving vectors are flagged when
+    they are cosine-near-duplicates (≥ ``tau``) of ANY static eval
+    vector in the same centroid cluster — paraphrase-level leakage
+    the text hashes miss, caught before the row lands in the corpus.
+
+    Fully STATELESS: per-batch centroid assignment runs through
+    `ivf_assign(score="gemm")` (mapInPandas with the centroid matrix
+    in the task closure — no window, no crossJoin, legal on a
+    stream), then one stream-static equi-join on the bucket id
+    against the checkpointed, pre-assigned eval members and a fold-
+    cos refine. No watermark, no streaming state; per-batch cost is
+    |batch| · |eval ∩ bucket|. Output: one row per (arriving vector,
+    matching eval vector) — ``(key, eval_id, cos)``; aggregate
+    downstream if a verdict-per-vector is wanted.
+
+    The eval side is dim-sized BY CONTRACT (a benchmark suite), so
+    its assigned form localCheckpoints once up front and every
+    micro-batch reads the checkpoint blocks — the eval pipeline is
+    never re-evaluated per batch."""
+    from stark_spark.operators.similarity import cosine, ivf_assign
+    ev = (ivf_assign(eval_df, centroids, key=key, vec_col=vec_col,
+                     score="fold")
+          .select(F.col(key).alias("eval_id"),
+                  F.col(vec_col).alias("_evv"), "bucket")
+          .localCheckpoint(eager=True))
+    s = ivf_assign(stream, centroids, key=key, vec_col=vec_col,
+                   score="gemm")
+    return (s.join(ev, "bucket")
+             .withColumn("cos", cosine(F.col(vec_col), F.col("_evv")))
+             .where(F.col("cos") >= tau)
+             .select(key, "eval_id", "cos"))
+
+
 def stream_quality_filter(stream: DataFrame, *, key: str = "doc_id",
                           text_col: str = "text",
                           min_tokens: int = 20,

@@ -537,3 +537,44 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # two-batches-late row is gone
     assert final[(t0, "a")] == 3
     assert sum(final.values()) == 4          # 3 + the far-future row
+
+
+def test_stream_semantic_contamination_matches_batch(spark, tmp_path):
+    """The ingest-time semantic decontamination pair set must equal
+    the batch rule's (same cluster, cos >= tau) bit-for-bit — gemm
+    assignment on the stream side, fold on the static side, planted
+    margins make them provably agree."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.similarity import cosine
+    from stark_spark.streaming.stream import (
+        read_event_stream, stream_semantic_contamination)
+
+    sf = "/root/testdata/sf0.001"
+    emb = E._planted_knn_corpus(spark, sf)
+    ev = emb.where(F.col("vec_id") % 12 < 8)
+    qs = emb.where(F.col("vec_id") % 12 >= 8)
+    from stark_spark import datasets as D
+    cent = (D.load(spark, sf, "embeddings")
+            .where(F.col("vec_id") % 48 == 0)
+            .select(F.col("vec_id").cast("long").alias("c_id"),
+                    F.col("embedding").alias("c_embedding")))
+    d = str(tmp_path / "arrivals")
+    qs.repartition(3).write.parquet(d)
+    s = read_event_stream(spark, d, qs.schema, max_files=1)
+    out = stream_semantic_contamination(s, ev, cent, 0.992)
+    t = E._stream_sink(out, "append")
+    got = {(r.vec_id, r.eval_id): r.cos for r in t.collect()}
+
+    batch = (qs.select(F.col("vec_id").alias("q"),
+                       F.col("embedding").alias("vq"),
+                       F.expr("vec_id div 12").alias("cl"))
+               .join(ev.select(F.col("vec_id").alias("e"),
+                               F.col("embedding").alias("ve"),
+                               F.expr("vec_id div 12").alias("cl")),
+                     "cl")
+               .withColumn("cos", cosine(F.col("vq"), F.col("ve")))
+               .where(F.col("cos") >= 0.992))
+    want = {(r.q, r.e): r.cos for r in batch.collect()}
+    assert got == want and len(got) > 0
