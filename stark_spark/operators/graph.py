@@ -43,7 +43,10 @@ def connected_components(edges: DataFrame, *, src: str = "a",
     spark = edges.sparkSession
 
     if sym.count() <= driver_threshold:
-        labs = [r.node for r in node_df.collect()]
+        # Arrow collects (numpy/pandas-backed), not .collect() Row
+        # objects — at the 5M-edge bound Rows would be ~1 GB of
+        # driver python objects (the r11 common_neighbors lesson)
+        labs = node_df.toPandas()["node"].tolist()
         parent = {n: n for n in labs}
 
         def find(x):
@@ -52,10 +55,11 @@ def connected_components(edges: DataFrame, *, src: str = "a",
                 x = parent[x]
             return x
 
-        for r in sym.collect():
-            if r.a not in parent or r.b not in parent:
+        sym_pd = sym.toPandas()
+        for ra_, rb_ in zip(sym_pd["a"].tolist(), sym_pd["b"].tolist()):
+            if ra_ not in parent or rb_ not in parent:
                 continue          # edge endpoint outside `nodes`
-            ra, rb = find(r.a), find(r.b)
+            ra, rb = find(ra_), find(rb_)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         schema = node_df.schema
