@@ -3218,7 +3218,12 @@ def _pq_stream_semantic_contamination(spark, sf):
                     F.col("embedding").alias("c_embedding")))
     d = _replay_dir(qs, sf, "planted_arrivals")
     s = read_event_stream(spark, d, qs.schema, max_files=2)
-    out = stream_semantic_contamination(s, ev, cent, 0.992)
+    # gemm eval-side assignment: at scaled replica counts the corpus
+    # has C = n/48 centers and the fold argmax is N·C interpreted
+    # evals; planted margins (~0.999 intra vs ≲0.8 inter) make BLAS
+    # assignment provably equal — the ann_knn_join_planted argument
+    out = stream_semantic_contamination(s, ev, cent, 0.992,
+                                        assign_score="gemm")
     t = _stream_sink(out, "append")
     return t.select("vec_id", "eval_id", "cos")
 

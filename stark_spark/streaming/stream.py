@@ -413,7 +413,8 @@ def stream_contamination_ngrams(stream: DataFrame, eval_df: DataFrame,
 def stream_semantic_contamination(stream: DataFrame, eval_df: DataFrame,
                                   centroids: DataFrame, tau: float, *,
                                   key: str = "vec_id",
-                                  vec_col: str = "embedding") -> DataFrame:
+                                  vec_col: str = "embedding",
+                                  assign_score: str = "fold") -> DataFrame:
     """Embedding-level decontamination at ingest — the streaming twin
     of `similarity.semantic_contamination` and the semantic sibling
     of `stream_contamination` (exact/Bloom) and
@@ -435,10 +436,15 @@ def stream_semantic_contamination(stream: DataFrame, eval_df: DataFrame,
     The eval side is dim-sized BY CONTRACT (a benchmark suite), so
     its assigned form localCheckpoints once up front and every
     micro-batch reads the checkpoint blocks — the eval pipeline is
-    never re-evaluated per batch."""
+    never re-evaluated per batch. ``assign_score`` picks the eval
+    side's one-off assignment engine: "fold" (bit-exact argmax
+    tie-break) or "gemm" (BLAS — the large-C choice; at C ≈ √N
+    centroids the fold is N·C interpreted evals). Near-tie ulp
+    divergence between the two is the usual IVF caveat
+    (`ivf_assign` docstring); the scored cos is fold either way."""
     from stark_spark.operators.similarity import cosine, ivf_assign
     ev = (ivf_assign(eval_df, centroids, key=key, vec_col=vec_col,
-                     score="fold")
+                     score=assign_score)
           .select(F.col(key).alias("eval_id"),
                   F.col(vec_col).alias("_evv"), "bucket")
           .localCheckpoint(eager=True))
