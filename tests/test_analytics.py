@@ -1752,3 +1752,36 @@ def test_token_budget_sample_null_source_group(spark):
     got = {(r.k): r.cum_weight for r in out.collect()}
     # one null row fits in 15, the second (cum 20) does not; 'a' fits
     assert 3 in got and len(got) == 2 and set(got) <= {1, 2, 3}
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    """Plan locks for the session's new operators: semantic_dedup's
+    pair generation is a bucket EQUI-join (no cartesian / nested
+    loop), and token_budget_sample's running sum never plans a
+    global single-partition window (every Window partitions on the
+    bucket keys)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.sampling import token_budget_sample
+    from stark_spark.operators.similarity import semantic_dedup
+
+    emb = (E._planted_knn_corpus(spark, "/root/testdata/sf0.001")
+            .withColumn("cl", F.expr("vec_id div 12")))
+    plan = (semantic_dedup(emb, 0.992, assign_col="cl")
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Join" in plan  # the bucket equi-join is really there
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .select("doc_id", "source",
+                         F.col("n_chars").cast("long").alias("w")))
+    out = token_budget_sample(docs, "doc_id", "w", 1000,
+                              source_col="source")
+    oplan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", oplan)
+    assert specs, "expected the running-sum window in the plan"
+    for spec in specs:
+        assert "_src" in spec and "_bucket" in spec, spec
