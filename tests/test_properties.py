@@ -2127,3 +2127,75 @@ def test_dissolve_hier_auto(spark):
                for r in dissolve(df, "g", hier=mode,
                                  min_shard=50).collect()}
         assert got == want, mode
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 10_000),
+                          st.sampled_from(["a", "b", "c", "d"]),
+                          st.integers(0, 60)),
+                min_size=0, max_size=40,
+                unique_by=lambda t: t[0]),
+       st.integers(0, 150), st.integers(0, 80))
+def test_token_budget_matches_naive_window_property(spark, rows,
+                                                    cap_a, cap_def):
+    """token_budget_sample's two-phase prefix sum must equal the
+    naive global per-source window for ARBITRARY keys/weights/caps
+    (keep set and cum_weight both)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.sampling import (hash_bucket,
+                                                token_budget_sample)
+    df = spark.createDataFrame(rows, "k long, src string, w long")
+    got = {(r.k, r.cum_weight)
+           for r in token_budget_sample(
+               df, "k", "w", {"a": cap_a}, source_col="src",
+               default_budget=cap_def).collect()}
+    cap = (F.when(F.col("src") == "a", cap_a)
+            .otherwise(cap_def))
+    w = (Window.partitionBy("src")
+               .orderBy(hash_bucket(F.col("k"), salt="budget"), "k")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+    want = {(r.k, r.cum)
+            for r in df.withColumn("cum", F.sum("w").over(w))
+                       .where(F.col("cum") <= cap).collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1_000),
+                          st.integers(0, 3),
+                          st.lists(st.floats(-1, 1, allow_nan=False,
+                                             width=32),
+                                   min_size=4, max_size=4)),
+                min_size=1, max_size=24,
+                unique_by=lambda t: t[0]),
+       st.floats(0.2, 0.99))
+def test_semantic_dedup_matches_bruteforce_property(spark, rows, tau):
+    """semantic_dedup (fold) must equal the brute-force python rule
+    — drop v iff an earlier same-cluster u has cos(u,v) >= tau — on
+    arbitrary small vector sets (zero vectors excluded: cosine is
+    undefined there and both engines treat the pair as non-dup)."""
+    import math
+
+    from stark_spark.operators.similarity import semantic_dedup
+    rows = [r for r in rows if any(x != 0.0 for x in r[2])]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "vec_id long, cl int, embedding array<double>")
+    got = {r.vec_id: r.keep
+           for r in semantic_dedup(df, tau, assign_col="cl").collect()}
+
+    def cos(u, v):
+        d = sum(a * b for a, b in zip(u, v))
+        return d / (math.sqrt(sum(a * a for a in u))
+                    * math.sqrt(sum(b * b for b in v)))
+
+    want = {}
+    for k, c, v in rows:
+        want[k] = not any(cos(u, v) >= tau
+                          for (ku, cu, u) in rows
+                          if cu == c and ku < k)
+    assert got == want
