@@ -3326,6 +3326,119 @@ WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
                                 ELSE 1000 END"""
 
 
+def _pq_curation_pipeline_neardup(spark, sf):
+    """The FULL five-stage curation pipeline: quality → exact dedup
+    → decontaminate → SimHash NEAR-dup keep-best → budget. On top of
+    `curation_pipeline`'s planted exact dups (+1e6) and contamination
+    (+2e6), this plants NEAR copies (+3e6: ``text || ' zz'``,
+    n_chars+3, every %11==4 train doc) that survive exact dedup
+    (distinct md5) and must be collapsed by the SimHash stage —
+    measured at sf0.01: 43/46 planted pairs land within hamming ≤ 3,
+    and keep-best (score = n_chars, the "keep the longest copy"
+    policy) keeps the LONGER ' zz' variant, so the stage provably
+    rewrites the survivor set. Mirror: the exact/decontam CTE chain
+    + the `dedup_keep_best` recursive-CC mirror parameterized over
+    the decontaminated CTE + the budget window — a regression in any
+    stage or hand-off breaks the hash."""
+    from stark_spark.operators.curation import curate
+    docs = D.load(spark, sf, "documents").select(
+        "doc_id", "text", "source", "n_chars")
+    ev = docs.where(F.col("doc_id") % 97 == 3)
+    tr0 = docs.where(F.col("doc_id") % 97 != 3)
+
+    def rekey(d, off, suffix=None):
+        text = (F.concat(F.col("text"), F.lit(suffix)) if suffix
+                else F.col("text"))
+        nch = (F.col("n_chars") + len(suffix) if suffix
+               else F.col("n_chars"))
+        return d.select((F.col("doc_id") + off).alias("doc_id"),
+                        text.alias("text"), "source",
+                        nch.alias("n_chars"))
+
+    train = (tr0.unionByName(rekey(tr0.where(F.col("doc_id") % 13 == 5),
+                                   1_000_000))
+                .unionByName(rekey(ev, 2_000_000))
+                .unionByName(rekey(tr0.where(F.col("doc_id") % 11 == 4),
+                                   3_000_000, suffix=" zz")))
+    out = curate(train, "doc_id", eval_df=ev,
+                 near_dup="simhash", score_col="n_chars",
+                 budgets={"src0": 2000, "src1": 3000},
+                 weight_col="n_chars", source_col="source",
+                 default_budget=1000)
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("w"),
+                      "cum_weight")
+
+
+def _curation_pipeline_neardup_sql() -> str:
+    return f"""
+WITH RECURSIVE ev AS (SELECT * FROM documents WHERE doc_id % 97 = 3),
+tr0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 3),
+train AS (
+  SELECT doc_id, text, source, n_chars FROM tr0
+  UNION ALL
+  SELECT doc_id + 1000000, text, source, n_chars FROM tr0
+  WHERE doc_id % 13 = 5
+  UNION ALL
+  SELECT doc_id + 2000000, text, source, n_chars FROM ev
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' zz', source, n_chars + 3
+  FROM tr0 WHERE doc_id % 11 = 4
+), q AS (
+  SELECT doc_id, source, n_chars, text,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+    length(replace(text, ' ', '')) AS chars,
+    len(list_filter(string_split(text, ' '),
+        x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_distinct(list_filter(string_split(text, ' '),
+        x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+                           x)))) AS stops
+  FROM train
+), kq AS (
+  SELECT doc_id, source, n_chars, text FROM q
+  WHERE n >= 20 AND n <= 100000 AND chars >= n * 3 AND chars <= n * 10
+    AND alpha * 5 >= n * 4 AND stops >= 2
+), dd AS (
+  SELECT doc_id, source, n_chars, text FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS k0 FROM kq)
+  WHERE doc_id = k0
+), dc AS (
+  SELECT d.doc_id, d.source, d.n_chars, d.text
+  FROM dd d
+  WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE md5(e.text) = md5(d.text))
+), pairs AS ({_simhash64_pairs_sql(3, table="dc")}
+), sym AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+), reach(node, m) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.node
+), comp AS (
+  SELECT node, min(m) AS comp FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+    coalesce(c.comp, d.doc_id) AS rep,
+    row_number() OVER (PARTITION BY coalesce(c.comp, d.doc_id)
+                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM dc d LEFT JOIN comp c ON c.node = d.doc_id
+), nd AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+    md5('curate|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM labeled WHERE rn = 1
+), c AS (
+  SELECT doc_id, source, w,
+    CAST(sum(w) OVER (PARTITION BY source
+      ORDER BY {_hex7_sql('hh')}, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_weight
+  FROM nd
+)
+SELECT doc_id, source, w, cum_weight FROM c
+WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
+                                WHEN 'src1' THEN 3000
+                                ELSE 1000 END"""
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-11 rotation (`ann_pq_topk_batch` promoted into
@@ -3340,6 +3453,7 @@ def pending_queries():
             _pq_semantic_contamination_planted,
         "sample_token_budget": _pq_sample_token_budget,
         "curation_pipeline": _pq_curation_pipeline,
+        "curation_pipeline_neardup": _pq_curation_pipeline_neardup,
         "stream_semantic_contamination":
             _pq_stream_semantic_contamination,
     }
@@ -3610,6 +3724,7 @@ def pending_oracle_sql() -> dict[str, str]:
             _semantic_contamination_planted_sql(),
         "sample_token_budget": _sample_token_budget_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
+        "curation_pipeline_neardup": _curation_pipeline_neardup_sql(),
         "stream_semantic_contamination":
             _stream_semantic_contamination_sql(),
     }
@@ -6391,9 +6506,12 @@ WITH sh AS (
 SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM agg"""
 
 
-def _simhash64_pairs_sql(max_hamming: int) -> str:
+def _simhash64_pairs_sql(max_hamming: int,
+                         table: str = "documents") -> str:
     """Hamming pairs without materializing the 64-bit long (1<<63
-    overflows BIGINT in DuckDB): compare per-bit majority flags."""
+    overflows BIGINT in DuckDB): compare per-bit majority flags.
+    ``table`` lets the builder run over a CTE (the composed curation
+    mirror) instead of the raw documents view."""
     cnts = ",\n    ".join(
         f"count(*) FILTER ({_simhash_bit_sql(j)}) AS c{j}" for j in range(64))
     bits = ",\n    ".join(
@@ -6402,7 +6520,7 @@ def _simhash64_pairs_sql(max_hamming: int) -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id, greatest(length(text) - 3, 1) AS n, md5({_sh(4)}) AS h
-  FROM documents
+  FROM {table}
 ), agg AS (
   SELECT doc_id, any_value(n) AS n,
     {cnts}

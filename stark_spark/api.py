@@ -302,6 +302,13 @@ class DocFrame:
         return self._wrap(dedup_exact_keep_first(self.df, self._k,
                                                  text_col=self._tc))
 
+    def dedup_near(self, score_col: str, *,
+                   max_hamming: int = 3) -> "DocFrame":
+        from stark_spark.operators.curation import dedup_near_keep_best
+        return self._wrap(dedup_near_keep_best(
+            self.df, self._k, score_col, text_col=self._tc,
+            max_hamming=max_hamming))
+
     def decontaminate(self, eval_df: DataFrame, *,
                       eval_text_col: str | None = None) -> "DocFrame":
         from stark_spark.operators.curation import decontaminate_exact

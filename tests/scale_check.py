@@ -581,6 +581,13 @@ PENDING_SCALE = [
     # cumsum); replica texts are unique so dedup/decontam stay
     # planted-size
     "curation_pipeline",
+    # r11-minted session 2: the five-stage variant. The recursive-CC
+    # mirror's reach frame is O(Σ component²); replica suffixes
+    # (' repN') simhash-cluster WITH their originals, so components
+    # grow with the replica count — fine at 10× (~22-node chains),
+    # excluded from 100× for ORACLE cost, not engine cost (the
+    # engine side is banded pairs + distributed/driver CC)
+    "curation_pipeline_neardup",
 ]
 
 

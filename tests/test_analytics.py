@@ -1785,3 +1785,25 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     assert specs, "expected the running-sum window in the plan"
     for spec in specs:
         assert "_src" in spec and "_bucket" in spec, spec
+
+
+def test_curation_neardup_stage_effects(spark):
+    """The near-dup stage collapses a suffix-variant pair to the
+    higher-scored copy (keep-the-longest policy) while leaving
+    unrelated docs alone; exact dedup alone would keep both."""
+    from stark_spark.api import DocFrame
+    base = ("the cat and the dog walk to the park and they see "
+            "many birds in the tall trees near the old gate today")
+    near = base + " zz"
+    other = ("a small boat sails out of the bay and the crew look "
+             "for fish in the deep cold water under a grey sky")
+    docs = spark.createDataFrame(
+        [(1, base, "web", len(base)),
+         (2, near, "web", len(near)),
+         (3, other, "web", len(other))],
+        "doc_id long, text string, source string, n_chars long")
+    out = (DocFrame(docs).quality_filter()
+                         .dedup_exact()
+                         .dedup_near("n_chars"))
+    kept = sorted(r.doc_id for r in out.df.collect())
+    assert kept == [2, 3]  # longer near-copy wins; other untouched
