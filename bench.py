@@ -242,11 +242,27 @@ def main() -> None:
         _a @ _a
         return round(time.perf_counter() - t0, 4)
 
+    # second canary lens (r11 session-2 lesson): a fixed JVM codegen
+    # aggregate. The BLAS canary is memory-bound on an idle
+    # threadpool and MISSED a host mode where single-thread JVM
+    # codegen degraded ~2x (CPU-steal/frequency noise) while GEMM
+    # stayed quiet — funnel-family queries read 2x their history on
+    # UNCHANGED code. This lens times exactly what the queries spend:
+    # whole-stage-codegen cycles.
+    def _jvm_canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(16_000_000).selectExpr("sum(id * 3 + 7)").first()
+        return round(time.perf_counter() - t0, 4)
+
+    _jvm_canary()  # JIT the canary plan itself
+
     qs = entry.queries()
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
     canaries: dict[str, float] = {}
+    jvm_canaries: dict[str, float] = {}
     c_prev = _canary()
+    j_prev = _jvm_canary()
     for name in BENCH_QUERIES:
         fn = qs[name]
         t0 = time.perf_counter()
@@ -259,11 +275,14 @@ def main() -> None:
         fn(spark, sf_dir).count()
         warm[name] = round(time.perf_counter() - t0, 3)
         c_now = _canary()
+        j_now = _jvm_canary()
         # worst adjacent sample brackets this query's measurement
         canaries[name] = max(c_prev, c_now)
-        c_prev = c_now
+        jvm_canaries[name] = max(j_prev, j_now)
+        c_prev, j_prev = c_now, j_now
         print(f"# {name}: {times[name]}s ({n} rows; warm {warm[name]}s; "
-              f"canary {canaries[name]}s)", file=sys.stderr)
+              f"canary {canaries[name]}s; jvm {jvm_canaries[name]}s)",
+              file=sys.stderr)
     canary = c_prev
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -275,6 +294,8 @@ def main() -> None:
         "queries": times,
         "queries_warm": warm,
         "canary_per_query": canaries,
+        "jvm_canary_per_query": jvm_canaries,
+        "canary_jvm_s": j_prev,
         "metric": "headline_queries_total_wall",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

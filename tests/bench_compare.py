@@ -46,6 +46,12 @@ def compare(old: dict, new: dict, *, tier: str = "warm",
     qo, qn = old.get(key) or {}, new.get(key) or {}
     co = old.get("canary_per_query") or {}
     cn = new.get("canary_per_query") or {}
+    # second lens (r11 session-2): JVM codegen canary — catches the
+    # CPU-steal mode the memory-bound GEMM misses (funnel-family read
+    # 2x history on unchanged code while GEMM stayed quiet). Only
+    # active when BOTH files carry it; the WORST lens wins.
+    jo = old.get("jvm_canary_per_query") or {}
+    jn = new.get("jvm_canary_per_query") or {}
     go = old.get("canary_gemm_s") or 0.0
     gn = new.get("canary_gemm_s") or 0.0
     flagged, checked = [], 0
@@ -62,6 +68,8 @@ def compare(old: dict, new: dict, *, tier: str = "warm",
         # clamp: a noisier host excuses slowdown pro rata; a quieter
         # host never excuses anything
         host = max(c1 / c0, 1.0) if (c0 and c1) else 1.0
+        if jo.get(q) and jn.get(q):
+            host = max(host, jn[q] / jo[q])
         adj = raw / host
         if adj < threshold:
             continue
