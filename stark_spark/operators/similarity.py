@@ -521,6 +521,16 @@ def semantic_dedup(vectors: DataFrame, tau: float, *,
     DuckDB oracle. Assignment may independently be BLAS
     (``centroids`` + the `ivf_assign` gemm path) — the production
     mix, same argument as `ann_knn_join`'s planted gate.
+
+    Engine choice (measured at 100×, 49,980 members): with SMALL
+    clusters (12 members) the fold equi-join wins outright (0.10 s
+    vs 1.31 s warm — per-group Arrow/python-worker overhead
+    dominates a 66-pair matmul), identical keep sets. The BLAS path
+    pays off when clusters are LARGE (k ≈ √N ⇒ √N members ⇒
+    |cluster|² cos per group): the fold's per-pair interpreted
+    expression loses to one matmul the same way `ivf_assign`'s
+    crossJoin loses at C ≈ √N. Rule of thumb: fold below ~100
+    members/cluster, gemm above.
     """
     v = _cluster_assigned(vectors, key=key, vec_col=vec_col,
                           centroids=centroids, assign_col=assign_col,
