@@ -2214,3 +2214,26 @@ def test_semantic_dedup_matches_bruteforce_property(spark, rows, tau):
                           for (ku, cu, u) in rows
                           if cu == c and ku < k)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(0, 2**40),
+                min_size=1, max_size=60),
+       st.lists(st.integers(1, 100), min_size=1, max_size=5,
+                unique=True))
+def test_exact_quantiles_property(spark, vals, pcts):
+    """Two-phase exact percentiles == sorted-pick on ARBITRARY
+    non-negative multisets (heavy duplicates, 2^40-range values that
+    cross HDR bucket seams, singletons) for arbitrary percentile
+    sets — the property form of the fixed-corpus warehouse test."""
+    import math
+
+    from stark_spark.operators.histogram import exact_quantiles
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.pct: (r.value, r.n)
+           for r in exact_quantiles(df, "x", pcts).collect()}
+    srt = sorted(vals)
+    n = len(srt)
+    want = {p: (srt[max(math.ceil(n * p / 100), 1) - 1], n)
+            for p in pcts}
+    assert got == want
