@@ -3238,6 +3238,66 @@ WHERE q.vec_id % 12 >= 8 AND t.vec_id % 12 < 8
   AND {cosqt} >= 0.992"""
 
 
+_BOILERPLATE = ("copyright header terms of use all rights reserved "
+                "do not")  # exactly 10 tokens = one aligned chunk
+
+
+def _pq_passage_dedup_planted(spark, sf):
+    """Repeated-passage removal with document reconstruction
+    (dedup.passage_dedup — the C4/RefinedWeb cleanup that REWRITES
+    docs): a fixed 10-token boilerplate passage is PREPENDED to every
+    %9==2 doc (prefix planting keeps chunk alignment — the classic
+    chunking caveat, recorded in the docstring), so its chunk
+    duplicates across ~n/9 docs and must be stripped from every one
+    (measured: every planted doc has n_removed ≥ 1); the synthetic
+    corpus' small vocabulary also produces NATURAL cross-doc chunk
+    dups (up to 9 removed in unplanted docs), so the frequency
+    threshold is exercised beyond the plant. clean_text itself is in
+    the value hash — reconstruction order, separator joins and the
+    empty-doc identity path all gate."""
+    from stark_spark.operators.dedup import passage_dedup
+    docs = D.load(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 == 2,
+               F.concat(F.lit(_BOILERPLATE + " "), F.col("text")))
+         .otherwise(F.col("text")).alias("text"))
+    return passage_dedup(docs, "doc_id", chunk_tokens=10, min_docs=2)
+
+
+def _passage_dedup_planted_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, CASE WHEN doc_id % 9 = 2
+                      THEN '{_BOILERPLATE} ' || text
+                      ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM base
+), ch AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(t[u.i*10+1 : u.i*10+10], ' ') AS chunk
+  FROM tok, unnest(generate_series(0, (len(t)-1)//10)) AS u(i)
+  WHERE len(t) > 0
+), dup AS (
+  SELECT chunk FROM ch GROUP BY chunk
+  HAVING count(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT c.doc_id, c.pos, c.chunk, d.chunk IS NOT NULL AS isdup
+  FROM ch c LEFT JOIN dup d USING (chunk)
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+    CAST(count(*) FILTER (isdup) AS BIGINT) AS n_removed,
+    coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (NOT isdup),
+             '') AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(a.n_chunks, 0) AS n_chunks,
+       coalesce(a.n_removed, 0) AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)"""
+
+
 def _pq_curation_pipeline(spark, sf):
     """The COMPOSED curation pipeline (curation.curate via
     api.DocFrame): Gopher quality gate → exact content dedup →
@@ -3454,6 +3514,7 @@ def pending_queries():
         "sample_token_budget": _pq_sample_token_budget,
         "curation_pipeline": _pq_curation_pipeline,
         "curation_pipeline_neardup": _pq_curation_pipeline_neardup,
+        "passage_dedup_planted": _pq_passage_dedup_planted,
         "stream_semantic_contamination":
             _pq_stream_semantic_contamination,
     }
@@ -3725,6 +3786,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "sample_token_budget": _sample_token_budget_sql(),
         "curation_pipeline": _curation_pipeline_sql(),
         "curation_pipeline_neardup": _curation_pipeline_neardup_sql(),
+        "passage_dedup_planted": _passage_dedup_planted_sql(),
         "stream_semantic_contamination":
             _stream_semantic_contamination_sql(),
     }

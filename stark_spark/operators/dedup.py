@@ -925,3 +925,77 @@ def containment_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
                    .withColumn("containment",
                                F.col("n_common") / F.col("sz_src")))
     return out.select("src", "sup", "n_common", "sz_src", "containment")
+
+
+def passage_dedup(df: DataFrame, key: str, *, chunk_tokens: int = 10,
+                  min_docs: int = 2, text_col: str = "text",
+                  broadcast_dups: bool = True) -> DataFrame:
+    """Repeated-passage removal with DOCUMENT RECONSTRUCTION — the
+    C4/RefinedWeb-style cleanup that REWRITES documents instead of
+    dropping them: split each doc's token stream into aligned
+    ``chunk_tokens``-token chunks, count each distinct chunk's
+    document frequency corpus-wide, and rebuild every doc from the
+    chunks appearing in fewer than ``min_docs`` documents (license
+    headers, navigation boilerplate, quoted footers vanish; unique
+    prose survives). The within-doc sibling of `boilerplate_ngrams`
+    (which only SCORES) and the repetition gates (which only FLAG).
+
+    Alignment caveat (the classic chunking trade): only passages that
+    land on the same chunk offsets in every copy are caught — shared
+    PREFIXES always align; mid-document repeats align only by luck.
+    Content-defined chunking would fix that at the cost of a
+    non-SQL-mirrorable splitter; this operator keeps the exact,
+    oracle-checkable form.
+
+    Scale shape: one explode into (doc, pos, chunk) rows; the
+    duplicated-chunk set is a hash aggregate (distinct-doc count ≥
+    min_docs — Zipf-small on real corpora, like the Bloom eval sets)
+    joined back on the chunk hash; reassembly is one groupBy(key)
+    with an in-group sort_array — no windows, no self-join, nothing
+    corpus-quadratic. ``broadcast_dups=False`` switches the mark join
+    to a plain shuffle join for corpora whose duplicated-chunk set is
+    NOT small (heavy mirror/template corpora) — same rows, one more
+    exchange. Output: (key, n_chunks, n_removed, clean_text).
+    """
+    k = int(chunk_tokens)
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    # guard: Spark's sequence(0, -1) DESCENDS (it doesn't produce an
+    # empty array like DuckDB generate_series) — empty docs must
+    # short-circuit to zero chunks
+    chunks = F.expr(
+        f"CASE WHEN size(_t) = 0 THEN array() "
+        f"ELSE transform(sequence(0, CAST(floor((size(_t) - 1) / {k}) "
+        f"AS INT)), i -> array_join(slice(_t, i * {k} + 1, {k}), ' ')) "
+        f"END")
+    ch = (df.select(F.col(key), toks.alias("_t"))
+            .select(F.col(key), F.posexplode(chunks)
+                     .alias("pos", "chunk")))
+    dup = (ch.groupBy("chunk")
+             .agg(F.countDistinct(key).alias("nd"))
+             .where(F.col("nd") >= min_docs)
+             .select("chunk"))
+    dmark = dup.withColumn("_dup", F.lit(True))
+    kept = ch.join(F.broadcast(dmark) if broadcast_dups else dmark,
+                   "chunk", "left")
+    agg = (kept.groupBy(key)
+               .agg(F.count("*").alias("n_chunks"),
+                    F.sum(F.when(F.col("_dup").isNotNull(), 1)
+                           .otherwise(0)).alias("n_removed"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(F.col("_dup").isNull(),
+                                       F.struct("pos", "chunk")))),
+                            lambda s: s["chunk"]),
+                        " ").alias("clean_text")))
+    # docs with zero chunks (empty text) never reach the explode —
+    # reattach them with identity output
+    base = df.select(F.col(key))
+    return (base.join(agg, key, "left")
+                .select(F.col(key),
+                        F.coalesce("n_chunks", F.lit(0))
+                         .cast("long").alias("n_chunks"),
+                        F.coalesce("n_removed", F.lit(0))
+                         .cast("long").alias("n_removed"),
+                        F.coalesce("clean_text", F.lit(""))
+                         .alias("clean_text")))

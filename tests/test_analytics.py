@@ -1807,3 +1807,25 @@ def test_curation_neardup_stage_effects(spark):
                          .dedup_near("n_chars"))
     kept = sorted(r.doc_id for r in out.df.collect())
     assert kept == [2, 3]  # longer near-copy wins; other untouched
+
+
+def test_passage_dedup_rewrites_and_identity(spark):
+    """Repeated-passage removal: a 10-token passage shared by two
+    docs is stripped from both (reconstruction preserves the rest in
+    order); a unique doc passes through identically; an empty doc
+    takes the identity path."""
+    from stark_spark.operators.dedup import passage_dedup
+    bp = "one two three four five six seven eight nine ten"
+    tail_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tail_b = "red orange yellow green blue indigo violet black white gray"
+    uniq = "lone words that appear nowhere else in this tiny corpus x"
+    docs = spark.createDataFrame(
+        [(1, bp + " " + tail_a), (2, bp + " " + tail_b),
+         (3, uniq), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_chunks, r.n_removed, r.clean_text)
+           for r in passage_dedup(docs, "doc_id").collect()}
+    assert out[1] == (2, 1, tail_a)
+    assert out[2] == (2, 1, tail_b)
+    assert out[3] == (2, 0, uniq)  # 11 tokens -> 2 aligned chunks
+    assert out[4] == (0, 0, "")
