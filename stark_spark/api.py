@@ -302,6 +302,15 @@ class DocFrame:
         return self._wrap(dedup_exact_keep_first(self.df, self._k,
                                                  text_col=self._tc))
 
+    def dedup_passages(self, *, chunk_tokens: int = 10,
+                       min_docs: int = 2,
+                       broadcast_dups: bool = True) -> DataFrame:
+        from stark_spark.operators.dedup import passage_dedup
+        return passage_dedup(self.df, self._k,
+                             chunk_tokens=chunk_tokens,
+                             min_docs=min_docs, text_col=self._tc,
+                             broadcast_dups=broadcast_dups)
+
     def dedup_near(self, score_col: str, *,
                    max_hamming: int = 3) -> "DocFrame":
         from stark_spark.operators.curation import dedup_near_keep_best
