@@ -3238,6 +3238,65 @@ WHERE q.vec_id % 12 >= 8 AND t.vec_id % 12 < 8
   AND {cosqt} >= 0.992"""
 
 
+def _pq_k_core_handoff(spark, sf):
+    """k-core decomposition (graph.k_core): synchronous iterative
+    peeling — every round drops ALL nodes of current degree < k
+    simultaneously, the order-free textbook fixpoint, so the mirror
+    is an unrolled peel-round CTE chain (the `pagerank` precedent;
+    14 rounds unrolled ≥ the measured fixpoint depths — 2 at sf0.01,
+    10 at 10× where the cascade empties the core — and extra rounds
+    are no-ops at fixpoint). Graph: the repeat-handoff graph
+    (u→v emitted the next same-type event after u at least 3 times),
+    symmetrized simple — at sf0.01 the 2-core keeps 108 of 150 users
+    after a 2-round peel cascade, so the loop genuinely iterates.
+    Output (node, deg): degree WITHIN the core, hash-gating the
+    surviving edge set too."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import k_core
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    raw = (ev.select(F.col("user_id").alias("src"),
+                     F.lead("user_id").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull()
+                    & (F.col("src") != F.col("dst"))))
+    edges = (raw.groupBy("src", "dst").count()
+                .where(F.col("count") >= 3).select("src", "dst"))
+    return k_core(edges, 2)
+
+
+def _k_core_handoff_sql() -> str:
+    # every CTE MATERIALIZED: each round references the previous one
+    # THREE times (twice via NOT IN + the filter source) — inlined,
+    # the 14-round chain expands 3^14-fold and exhausts file handles
+    # on the base scan; materialization keeps it linear
+    rounds = []
+    prev = "e0"
+    for i in range(1, 15):
+        rounds.append(f"""
+b{i} AS MATERIALIZED (
+  SELECT a FROM {prev} GROUP BY a HAVING count(*) < 2),
+e{i} AS MATERIALIZED (SELECT * FROM {prev}
+  WHERE a NOT IN (SELECT a FROM b{i})
+    AND b NOT IN (SELECT a FROM b{i}))""")
+        prev = f"e{i}"
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT user_id AS src,
+    lead(user_id) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS dst
+  FROM events
+), ed AS MATERIALIZED (
+  SELECT src, dst FROM raw WHERE dst IS NOT NULL AND src <> dst
+  GROUP BY src, dst HAVING count(*) >= 3
+), e0 AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM ed
+  UNION
+  SELECT dst AS a, src AS b FROM ed
+),{','.join(rounds)}
+SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+FROM {prev} GROUP BY a"""
+
+
 _BOILERPLATE = ("copyright header terms of use all rights reserved "
                 "do not")  # exactly 10 tokens = one aligned chunk
 
@@ -3515,6 +3574,7 @@ def pending_queries():
         "curation_pipeline": _pq_curation_pipeline,
         "curation_pipeline_neardup": _pq_curation_pipeline_neardup,
         "passage_dedup_planted": _pq_passage_dedup_planted,
+        "k_core_handoff": _pq_k_core_handoff,
         "stream_semantic_contamination":
             _pq_stream_semantic_contamination,
     }
@@ -3787,6 +3847,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "curation_pipeline": _curation_pipeline_sql(),
         "curation_pipeline_neardup": _curation_pipeline_neardup_sql(),
         "passage_dedup_planted": _passage_dedup_planted_sql(),
+        "k_core_handoff": _k_core_handoff_sql(),
         "stream_semantic_contamination":
             _stream_semantic_contamination_sql(),
     }

@@ -468,3 +468,41 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame, *,
                       .cast("long").alias("r"))
                   .localCheckpoint())
     return r.select("node", F.col("r").alias("rank_q"))
+
+
+def k_core(edges: DataFrame, k: int, *, src: str = "src",
+           dst: str = "dst", max_rounds: int = 100) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node
+    keeps degree ≥ k — by synchronous iterative peeling: each round
+    drops EVERY node whose current degree is < k simultaneously
+    (the textbook fixpoint; order-free, so it is deterministic and
+    mirrorable as an unrolled CTE chain, the `pagerank` precedent).
+    Graph cleaning / spam-farm and cohesion analysis primitive.
+
+    Scale shape: per round, one degree aggregate + two anti-joins on
+    the shrinking symmetric edge list, `localCheckpoint`ed so
+    iterative lineage can't grow; rounds ≤ the peeling depth of the
+    graph (bounded by max degeneracy ordering depth, small on
+    real-world graphs; ``max_rounds`` is the runaway backstop). The
+    input is canonicalized to a simple undirected graph (self-loops
+    dropped, parallel edges collapsed, both directions present).
+    Output: (node, deg) — degree WITHIN the k-core.
+    """
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+              .where(F.col("a") != F.col("b")).distinct())
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+            .distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        deg = sym.groupBy("a").agg(F.count("*").alias("_d"))
+        bad = (deg.where(F.col("_d") < k).select("a")
+                  .localCheckpoint())
+        if bad.count() == 0:
+            break
+        sym = (sym.join(bad, "a", "left_anti")
+                  .join(bad.withColumnRenamed("a", "b"), "b",
+                        "left_anti")
+                  .localCheckpoint())
+    return (sym.groupBy("a").agg(F.count("*").alias("deg"))
+               .select(F.col("a").alias("node"),
+                       F.col("deg").cast("long").alias("deg")))

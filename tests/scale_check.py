@@ -589,6 +589,12 @@ PENDING_SCALE = [
     # mega-buckets), a corpus property, not an operator bug; the
     # five-stage composition minus the pair stage is covered at
     # 10×/100× by curation_pipeline + dedup_simhash (fingerprints).
+    # r11-minted session 2: k-core peeling — the 10× replica
+    # interleaving dilutes repeat-handoffs below the ≥3 threshold and
+    # the whole graph cascades away over 10 peel rounds (measured;
+    # oracle unrolls 14): an empty core through a DEEP cascade is a
+    # stronger loop exercise than sf0.01's 2-round partial peel
+    "k_core_handoff",
 ]
 
 

@@ -1829,3 +1829,17 @@ def test_passage_dedup_rewrites_and_identity(spark):
     assert out[2] == (2, 1, tail_b)
     assert out[3] == (2, 0, uniq)  # 11 tokens -> 2 aligned chunks
     assert out[4] == (0, 0, "")
+
+
+def test_k_core_hand_graph(spark):
+    """Textbook peel semantics on a hand graph: triangle {1,2,3} +
+    pendant chain 3-4-5. The 2-core is the triangle alone (5 peels
+    first, THEN 4 — a genuine 2-round cascade); k=3 on the same
+    graph peels everything (no node ends with degree >= 3)."""
+    from stark_spark.operators.graph import k_core
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)],
+        "src long, dst long")
+    core2 = {r.node: r.deg for r in k_core(edges, 2).collect()}
+    assert core2 == {1: 2, 2: 2, 3: 2}
+    assert k_core(edges, 3).count() == 0
