@@ -3238,6 +3238,62 @@ WHERE q.vec_id % 12 >= 8 AND t.vec_id % 12 < 8
   AND {cosqt} >= 0.992"""
 
 
+def _pq_graph_assortativity(spark, sf):
+    """Degree assortativity (graph.assortativity, Newman 2002) of the
+    full (unthresholded) handoff graph: five exact-BIGINT endpoint-
+    degree moments over the symmetric edge list, ONE double
+    sqrt/division at the end quantized to ppm — the lineitem_corr /
+    clustering_ppm posture, so the scalar sits in the value hash
+    bit-for-bit. The covariance subtraction stays in int64 (exact)
+    and only THEN casts to DOUBLE for the ×1e6 (int64 would
+    overflow), mirrored operation for operation."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import assortativity
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("user_id").alias("src"),
+                       F.lead("user_id").over(w).alias("dst"))
+               .where(F.col("dst").isNotNull()
+                      & (F.col("src") != F.col("dst"))))
+    return assortativity(edges)
+
+
+def _graph_assortativity_sql() -> str:
+    return """
+WITH raw AS (
+  SELECT user_id AS src,
+    lead(user_id) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS dst
+  FROM events
+), ed AS (
+  SELECT DISTINCT src AS a, dst AS b FROM raw
+  WHERE dst IS NOT NULL AND src <> dst
+), sym AS (
+  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+), deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a
+), p AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM sym s JOIN deg dx ON s.a = dx.a JOIN deg dy ON s.b = dy.a
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+    CAST(sum(dy * dy) AS BIGINT) AS syy,
+    CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM p
+)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+       THEN CAST(0 AS BIGINT)
+       ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+         * CAST(1000000 AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+  END AS r_ppm
+FROM m"""
+
+
 def _pq_k_core_handoff(spark, sf):
     """k-core decomposition (graph.k_core): synchronous iterative
     peeling — every round drops ALL nodes of current degree < k
@@ -3575,6 +3631,7 @@ def pending_queries():
         "curation_pipeline_neardup": _pq_curation_pipeline_neardup,
         "passage_dedup_planted": _pq_passage_dedup_planted,
         "k_core_handoff": _pq_k_core_handoff,
+        "graph_assortativity": _pq_graph_assortativity,
         "stream_semantic_contamination":
             _pq_stream_semantic_contamination,
     }
@@ -3848,6 +3905,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "curation_pipeline_neardup": _curation_pipeline_neardup_sql(),
         "passage_dedup_planted": _passage_dedup_planted_sql(),
         "k_core_handoff": _k_core_handoff_sql(),
+        "graph_assortativity": _graph_assortativity_sql(),
         "stream_semantic_contamination":
             _stream_semantic_contamination_sql(),
     }

@@ -506,3 +506,48 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src",
     return (sym.groupBy("a").agg(F.count("*").alias("deg"))
                .select(F.col("a").alias("node"),
                        F.col("deg").cast("long").alias("deg")))
+
+
+def assortativity(edges: DataFrame, *, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the simple
+    undirected graph: the Pearson correlation of endpoint degrees
+    over the symmetric edge list — positive = hubs link to hubs
+    (social nets), negative = hub-and-spoke (the web, spam farms).
+    One row: (n_edges, r_ppm) with r quantized to the ppm grid.
+
+    Exactness: all five moments (Σx, Σy, Σx², Σy², Σxy over the 2m
+    directed endpoint pairs) are BIGINT sums of BIGINT degree
+    products — order-independent — and r_ppm applies ONE double sqrt
+    + division at the end (the lineitem_corr / clustering_ppm
+    posture). Scale shape: a degree aggregate + two equi-joins to
+    attach endpoint degrees + one scalar aggregate; nothing beyond
+    O(|E|) rows moved."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+              .where(F.col("a") != F.col("b")).distinct())
+    # distinct AFTER symmetrizing: mutual input pairs (u→v AND v→u)
+    # must not double-count the undirected edge
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+            .distinct())
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    pairs = (sym.join(deg.withColumnRenamed("d", "dx"), "a")
+                .join(deg.select(F.col("a").alias("b"),
+                                 F.col("d").alias("dy")), "b"))
+    m = (pairs.agg(F.count("*").alias("n"),
+                   F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
+                   F.sum(F.expr("dx * dx")).alias("sxx"),
+                   F.sum(F.expr("dy * dy")).alias("syy"),
+                   F.sum(F.expr("dx * dy")).alias("sxy")))
+    # covariance exact in int64, then ONE double expression — the
+    # ×1e6 happens in DOUBLE (int64 would overflow at ~7e12 edges'
+    # worth of moments), same IEEE sequence as the mirror
+    r = F.expr("CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) "
+               "* CAST(1000000 AS DOUBLE) / "
+               "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+               "* CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)")
+    return m.select(F.expr("n div 2").cast("long").alias("n_edges"),
+                    F.when(F.expr("n * sxx - sx * sx = 0 OR "
+                                  "n * syy - sy * sy = 0"),
+                           F.lit(0).cast("bigint"))
+                     .otherwise(r).alias("r_ppm"))

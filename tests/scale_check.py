@@ -595,6 +595,9 @@ PENDING_SCALE = [
     # oracle unrolls 14): an empty core through a DEEP cascade is a
     # stronger loop exercise than sf0.01's 2-round partial peel
     "k_core_handoff",
+    # r11-minted session 2: assortativity — exact BIGINT degree
+    # moments + one quantized double; linear at any scale
+    "graph_assortativity",
 ]
 
 

@@ -1843,3 +1843,22 @@ def test_k_core_hand_graph(spark):
     core2 = {r.node: r.deg for r in k_core(edges, 2).collect()}
     assert core2 == {1: 2, 2: 2, 3: 2}
     assert k_core(edges, 3).count() == 0
+
+
+def test_assortativity_known_graphs(spark):
+    """Closed-form references: a star is perfectly disassortative
+    (r = -1 exactly); a degree-regular ring has zero degree variance
+    (guard path -> 0); mutual input pairs must not double-count the
+    undirected edge."""
+    from stark_spark.operators.graph import assortativity
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src long, dst long")
+    assert assortativity(star).collect()[0].asDict() == {
+        "n_edges": 5, "r_ppm": -1000000}
+    ring = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)],
+                                 "src long, dst long")
+    assert assortativity(ring).collect()[0].asDict() == {
+        "n_edges": 6, "r_ppm": 0}
+    both_dirs = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2)], "src long, dst long")
+    assert assortativity(both_dirs).collect()[0].n_edges == 2
