@@ -3294,6 +3294,58 @@ SELECT CAST(n // 2 AS BIGINT) AS n_edges,
 FROM m"""
 
 
+def _pq_rich_club(spark, sf):
+    """Rich-club coefficients φ(k) (graph.rich_club, Zhou & Mondragón
+    2004) of the handoff graph at four thresholds — ALL exact BIGINTs
+    (φ on the ppm grid via integer div; no doubles anywhere, the
+    strongest hash class). One degree pass + one edge pass computes
+    every k simultaneously via a broadcast literal k-list."""
+    from pyspark.sql import Window
+    from stark_spark.operators.graph import rich_club
+    ev = D.load(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (ev.select(F.col("user_id").alias("src"),
+                       F.lead("user_id").over(w).alias("dst"))
+               .where(F.col("dst").isNotNull()
+                      & (F.col("src") != F.col("dst"))))
+    return rich_club(edges, [8, 12, 16, 20])
+
+
+def _rich_club_sql() -> str:
+    return """
+WITH raw AS (
+  SELECT user_id AS src,
+    lead(user_id) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS dst
+  FROM events
+), ed AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE dst IS NOT NULL AND src <> dst
+), sym AS (
+  SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed
+), deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY a
+), ks AS (
+  SELECT unnest([8, 12, 16, 20]) AS k
+), nk AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg, ks WHERE d > k GROUP BY k
+), ek AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+  FROM ed e JOIN deg da ON e.a = da.a JOIN deg db ON e.b = db.a
+  CROSS JOIN ks
+  WHERE da.d > k AND db.d > k GROUP BY k
+)
+SELECT CAST(ks.k AS BIGINT) AS k,
+  coalesce(nk.n_nodes, 0) AS n_nodes,
+  coalesce(ek.n_edges, 0) AS n_edges,
+  CASE WHEN coalesce(nk.n_nodes, 0) > 1
+       THEN (2 * coalesce(ek.n_edges, 0) * 1000000)
+            // (nk.n_nodes * (nk.n_nodes - 1))
+       ELSE 0 END AS phi_ppm
+FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k"""
+
+
 def _pq_k_core_handoff(spark, sf):
     """k-core decomposition (graph.k_core): synchronous iterative
     peeling — every round drops ALL nodes of current degree < k
@@ -3632,6 +3684,7 @@ def pending_queries():
         "passage_dedup_planted": _pq_passage_dedup_planted,
         "k_core_handoff": _pq_k_core_handoff,
         "graph_assortativity": _pq_graph_assortativity,
+        "rich_club_handoff": _pq_rich_club,
         "stream_semantic_contamination":
             _pq_stream_semantic_contamination,
     }
@@ -3906,6 +3959,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "passage_dedup_planted": _passage_dedup_planted_sql(),
         "k_core_handoff": _k_core_handoff_sql(),
         "graph_assortativity": _graph_assortativity_sql(),
+        "rich_club_handoff": _rich_club_sql(),
         "stream_semantic_contamination":
             _stream_semantic_contamination_sql(),
     }

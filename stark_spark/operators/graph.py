@@ -551,3 +551,50 @@ def assortativity(edges: DataFrame, *, src: str = "src",
                                   "n * syy - sy * sy = 0"),
                            F.lit(0).cast("bigint"))
                      .otherwise(r).alias("r_ppm"))
+
+
+def rich_club(edges: DataFrame, ks: list[int], *, src: str = "src",
+              dst: str = "dst") -> DataFrame:
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004) for each
+    degree threshold in ``ks``: among nodes of degree > k, the
+    fraction of possible edges actually present — do the hubs form
+    a club? Output: (k, n_nodes, n_edges, phi_ppm), one row per k,
+    ALL exact integers (φ on the ppm grid via BIGINT div — no
+    doubles anywhere, so the hash is arithmetic-free).
+
+    Scale shape: degree aggregate once; the per-k membership test is
+    a broadcast of the (tiny, literal) k list crossed against the
+    degree-annotated edge list — one pass over E computes every k
+    simultaneously; nothing quadratic (the φ denominator is a
+    formula, not a pair join)."""
+    e = (edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+              .where(F.col("x") != F.col("y"))
+              .select(F.least("x", "y").alias("a"),
+                      F.greatest("x", "y").alias("b"))
+              .distinct())
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("d"))
+    spark = edges.sparkSession
+    kdf = spark.createDataFrame([(int(k),) for k in sorted(set(ks))],
+                                "k long")
+    nk = (deg.crossJoin(F.broadcast(kdf)).where(F.col("d") > F.col("k"))
+             .groupBy("k").agg(F.count("*").alias("n_nodes")))
+    ek = (e.join(deg.withColumnRenamed("d", "da"), "a")
+           .join(deg.select(F.col("a").alias("b"),
+                            F.col("d").alias("db")), "b")
+           .crossJoin(F.broadcast(kdf))
+           .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+           .groupBy("k").agg(F.count("*").alias("n_edges")))
+    return (kdf.join(nk, "k", "left").join(ek, "k", "left")
+               .select("k",
+                       F.coalesce("n_nodes", F.lit(0)).cast("long")
+                        .alias("n_nodes"),
+                       F.coalesce("n_edges", F.lit(0)).cast("long")
+                        .alias("n_edges"),
+                       F.expr("CASE WHEN coalesce(n_nodes, 0) > 1 "
+                              "THEN (2 * coalesce(n_edges, 0L) "
+                              "* 1000000) div "
+                              "(n_nodes * (n_nodes - 1)) "
+                              "ELSE 0 END").cast("long")
+                        .alias("phi_ppm")))

@@ -598,6 +598,9 @@ PENDING_SCALE = [
     # r11-minted session 2: assortativity — exact BIGINT degree
     # moments + one quantized double; linear at any scale
     "graph_assortativity",
+    # r11-minted session 2: rich-club — all-integer per-threshold
+    # aggregates, linear
+    "rich_club_handoff",
 ]
 
 

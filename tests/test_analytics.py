@@ -1862,3 +1862,17 @@ def test_assortativity_known_graphs(spark):
     both_dirs = spark.createDataFrame(
         [(0, 1), (1, 0), (0, 2)], "src long, dst long")
     assert assortativity(both_dirs).collect()[0].n_edges == 2
+
+
+def test_rich_club_closed_forms(spark):
+    """K4 with two pendants on node 0: every k<=2 club is the K4
+    (phi = 1.0 exactly, all-integer); singleton clubs report 0."""
+    from stark_spark.operators.graph import rich_club
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4),
+         (0, 5)], "src long, dst long")
+    got = {r.k: (r.n_nodes, r.n_edges, r.phi_ppm)
+           for r in rich_club(edges, [1, 2, 3]).collect()}
+    assert got[1] == (4, 6, 1_000_000)
+    assert got[2] == (4, 6, 1_000_000)
+    assert got[3] == (1, 0, 0)
