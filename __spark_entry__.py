@@ -3346,6 +3346,50 @@ SELECT CAST(ks.k AS BIGINT) AS k,
 FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k"""
 
 
+def _pq_gini_prices(spark, sf):
+    """Exact Gini of lineitem price cents (histogram.gini_ppm): the
+    rank-weighted sum runs as a TWO-PHASE prefix sum in VALUE order
+    (per-value counts bucketed by v div 65536, per-bucket windows +
+    broadcast offsets — never a global rank window, the
+    funnel_latency lesson applied to a new statistic); T/S/n exact
+    BIGINTs, one double division floored to ppm. The mirror is the
+    NAIVE single-window form, so any prefix-sum seam error breaks
+    the hash."""
+    from stark_spark.operators.histogram import gini_ppm
+    li = D.load(spark, sf, "lineitem")
+    cents = li.select(F.round(F.col("l_extendedprice") * 100)
+                       .cast("long").alias("cents"))
+    return gini_ppm(cents, "cents")
+
+
+def _gini_prices_sql() -> str:
+    return """
+WITH pv AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS m
+  FROM lineitem GROUP BY 1
+), rk AS (
+  SELECT v, m,
+    CAST(coalesce(sum(m) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS a
+  FROM pv
+), ag AS (
+  -- sums stay HUGEINT (the engine side promotes to DECIMAL(38,0)):
+  -- v-weighted rank sums overflow int64 at 10x lineitem
+  SELECT CAST(sum(m) AS BIGINT) AS n,
+    sum(v * m) AS s,
+    sum(v * (m * a + (m * (m + 1)) // 2)) AS t
+  FROM rk
+)
+SELECT n,
+  CASE WHEN n > 0 AND s > 0
+       THEN CAST(floor(CAST(2 * t - (n + 1) * s AS DOUBLE)
+         * CAST(1000000 AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS gini_ppm
+FROM ag"""
+
+
 def _pq_k_core_handoff(spark, sf):
     """k-core decomposition (graph.k_core): synchronous iterative
     peeling — every round drops ALL nodes of current degree < k
@@ -3685,6 +3729,7 @@ def pending_queries():
         "k_core_handoff": _pq_k_core_handoff,
         "graph_assortativity": _pq_graph_assortativity,
         "rich_club_handoff": _pq_rich_club,
+        "gini_prices": _pq_gini_prices,
         "stream_semantic_contamination":
             _pq_stream_semantic_contamination,
     }
@@ -3960,6 +4005,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "k_core_handoff": _k_core_handoff_sql(),
         "graph_assortativity": _graph_assortativity_sql(),
         "rich_club_handoff": _rich_club_sql(),
+        "gini_prices": _gini_prices_sql(),
         "stream_semantic_contamination":
             _stream_semantic_contamination_sql(),
     }

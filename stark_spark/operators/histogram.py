@@ -264,3 +264,67 @@ def exact_quantiles(df: DataFrame, value_col: str,
                 .agg(F.min("v").alias("value"),
                      F.min("n").cast("long").alias("n"))
                 .orderBy("pct"))
+
+
+def gini_ppm(df: DataFrame, value_col: str, *,
+             bucket_width: int = 65536) -> DataFrame:
+    """EXACT Gini coefficient of a non-negative BIGINT column with NO
+    global sort — inequality / concentration profiling ("how skewed
+    is spend per customer / tokens per source?").
+
+    Formula (ties handled by consecutive-rank blocks): with values
+    sorted ascending and a_v = count of rows strictly below distinct
+    value v (m_v of them), the rank-weighted sum is
+    ``T = Σ_v v·(m_v·a_v + m_v(m_v+1)/2)`` and
+    ``G = (2T − (n+1)S) / (nS)`` with S = Σ v. The per-value block
+    term m·a + m(m+1)/2 stays int64 (≤ n² rows² — exact to ~3e9
+    rows); the v-weighted sums T, S promote to DECIMAL(38,0)
+    (128-bit exact — v_max·n²/2 overflows int64 already at 60M
+    1e7-cent rows, which ANSI mode correctly refused instead of
+    wrapping), mirroring DuckDB's HUGEINT sums integer-for-integer;
+    ONE double division at the end, floored to ppm (the
+    assortativity posture).
+
+    Scale shape: the prefix count a_v is a TWO-PHASE distributed
+    prefix sum in VALUE order — per-value counts bucket by
+    ``v div bucket_width`` (bucket count bounded by the value
+    DOMAIN, like `hdr_histogram`), per-bucket windows + broadcast
+    bucket offsets; never a global single-partition window (the
+    funnel_latency lesson). Output: one row (n, gini_ppm).
+    """
+    guarded = F.when(F.col(value_col) < 0, F.expr(
+        f"raise_error('gini_ppm: negative value in {value_col}')")
+    ).otherwise(F.col(value_col).cast("long")).alias("v")
+    per_v = (df.select(guarded)
+               .groupBy("v").agg(F.count("*").alias("m"))
+               .withColumn("_bk", F.expr(f"v div {bucket_width}")))
+    totals = (per_v.groupBy("_bk").agg(F.sum("m").alias("_t"))
+                   .orderBy("_bk").collect())
+    run, offsets = 0, []
+    for r in totals:
+        offsets.append((r["_bk"], run))
+        run += r["_t"]
+    spark = df.sparkSession
+    if not offsets:
+        return spark.createDataFrame([(0, 0)], "n long, gini_ppm long")
+    off = spark.createDataFrame(offsets, "_bk long, _off long")
+    w = (Window.partitionBy("_bk").orderBy("v")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (per_v.withColumn("_cum", F.sum("m").over(w))
+                   .join(F.broadcast(off), "_bk")
+                   .withColumn("a", F.col("_cum") + F.col("_off")
+                               - F.col("m")))
+    dec = "DECIMAL(38, 0)"
+    agg = ranked.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.expr(f"CAST(v AS {dec}) * CAST(m AS {dec})")).alias("s"),
+        F.sum(F.expr(f"CAST(v AS {dec}) * CAST(m * a "
+                     f"+ (m * (m + 1)) div 2 AS {dec})")).alias("t"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.when((F.col("n") > 0) & (F.col("s") > 0),
+               F.expr(f"CAST(floor(CAST(2 * t - (CAST(n AS {dec}) + 1) "
+                      f"* s AS DOUBLE) * CAST(1000000 AS DOUBLE) "
+                      f"/ (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))) "
+                      f"AS BIGINT)"))
+         .otherwise(F.lit(0)).cast("long").alias("gini_ppm"))

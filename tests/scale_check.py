@@ -601,6 +601,10 @@ PENDING_SCALE = [
     # r11-minted session 2: rich-club — all-integer per-threshold
     # aggregates, linear
     "rich_club_handoff",
+    # r11-minted session 2: exact Gini — the two-phase value-order
+    # prefix sum at 60M rows, DECIMAL(38)/HUGEINT rank sums (int64
+    # provably overflows here; ANSI caught it in development)
+    "gini_prices",
 ]
 
 

@@ -1876,3 +1876,36 @@ def test_rich_club_closed_forms(spark):
     assert got[1] == (4, 6, 1_000_000)
     assert got[2] == (4, 6, 1_000_000)
     assert got[3] == (1, 0, 0)
+
+
+def test_gini_closed_forms(spark):
+    """Closed forms: perfectly equal -> 0; one holder of everything
+    among n=5 -> (n-1)/n = 0.8 ppm-exact; negative input raises;
+    empty input -> (0, 0); the two-phase prefix sum must agree with
+    the naive rank formula on a ties-heavy multiset."""
+    import pytest
+
+    from stark_spark.operators.histogram import gini_ppm
+    eq = spark.createDataFrame([(7,)] * 5, "x long")
+    assert gini_ppm(eq, "x").collect()[0].asDict() == {
+        "n": 5, "gini_ppm": 0}
+    one = spark.createDataFrame([(0,), (0,), (0,), (0,), (100,)],
+                                "x long")
+    assert gini_ppm(one, "x").collect()[0].asDict() == {
+        "n": 5, "gini_ppm": 800000}
+    empty = spark.createDataFrame([], "x long")
+    assert gini_ppm(empty, "x").collect()[0].asDict() == {
+        "n": 0, "gini_ppm": 0}
+    neg = spark.createDataFrame([(-1,)], "x long")
+    with pytest.raises(Exception, match="negative"):
+        gini_ppm(neg, "x").collect()
+    # ties-heavy multiset vs the naive python rank formula
+    vals = [3, 3, 3, 7, 7, 10, 100, 100, 250, 250, 250, 1000]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = gini_ppm(df, "x").collect()[0]
+    srt = sorted(vals)
+    n, s = len(srt), sum(srt)
+    t = sum((i + 1) * x for i, x in enumerate(srt))
+    import math
+    want = math.floor((2 * t - (n + 1) * s) * 1_000_000 / (n * s))
+    assert (got.n, got.gini_ppm) == (n, want)
