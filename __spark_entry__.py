@@ -3712,27 +3712,11 @@ WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
 
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
-    # round-11 rotation (`ann_pq_topk_batch` promoted into
+    # round-12 rotation (the full r11 cohort of 15 — ANN/semantic
+    # planted family, curation pipelines, graph-metrics trio,
+    # gini/percentiles, stream contamination — promoted into
     # queries()); new gates minted this round stage here first.
-    return {
-        "ann_knn_join_planted": _pq_ann_knn_join_planted,
-        "dissolve_zones_hier": _pq_dissolve_zones_hier,
-        "funnel_latency_fine": _pq_funnel_latency_fine,
-        "price_percentiles_exact": _pq_price_percentiles_exact,
-        "semantic_dedup_planted": _pq_semantic_dedup_planted,
-        "semantic_contamination_planted":
-            _pq_semantic_contamination_planted,
-        "sample_token_budget": _pq_sample_token_budget,
-        "curation_pipeline": _pq_curation_pipeline,
-        "curation_pipeline_neardup": _pq_curation_pipeline_neardup,
-        "passage_dedup_planted": _pq_passage_dedup_planted,
-        "k_core_handoff": _pq_k_core_handoff,
-        "graph_assortativity": _pq_graph_assortativity,
-        "rich_club_handoff": _pq_rich_club,
-        "gini_prices": _pq_gini_prices,
-        "stream_semantic_contamination":
-            _pq_stream_semantic_contamination,
-    }
+    return {}
 
 
 def _corr_oracle_sql() -> str:
@@ -3979,13 +3963,22 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — prior cohorts live on in
-    # _promoted_oracle_sql_r10/_r9/_r8/_r7/_r6, merged into
-    # oracle_sql(). The planted knn-join mirror is the O(n·12)
-    # planted-truth form (no argmax); the hier-dissolve gate shares
-    # the dissolve_zones mirror verbatim (band-order-invariant
-    # integers); the fine-percentile gate is the funnel_latency
-    # mirror with a wider VALUES list.
-    base = oracle_sql()
+    # _promoted_oracle_sql_r11/_r10/_r9/_r8/_r7/_r6, merged into
+    # oracle_sql(). Emptied at the round-12 rotation.
+    return {}
+
+
+def _promoted_oracle_sql_r11() -> dict[str, str]:
+    # DuckDB mirrors for the gates promoted at the r12 rotation (the
+    # r11 staged cohort, 15 gates). The planted knn-join mirror is
+    # the O(n·12) planted-truth form (no argmax); the hier-dissolve
+    # gate shares the dissolve_zones mirror verbatim
+    # (band-order-invariant integers); the fine-percentile gate is
+    # the funnel_latency mirror with a wider VALUES list. Built from
+    # _base_oracle_sql + the r7 cohort (NOT oracle_sql(), which
+    # merges this function — recursion).
+    base = _base_oracle_sql()
+    base.update(_promoted_oracle_sql_r7())
     fine = base["funnel_latency"].replace(
         "(VALUES (50), (90), (99))",
         "(VALUES (1), (25), (50), (75), (99))")
@@ -6465,58 +6458,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window holds the stalest entries.
     return {
         # --- never driver-checked (new gates) ---
-        "ann_pq_topk_batch": _pq_ann_pq_topk_batch,
-        # --- latest driver-green row: r06 ---
-        "rrf_fusion_topk": _q_rrf_fusion_topk,
-        "events_table_profile": _q_events_table_profile,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "orc_roundtrip": _q_orc_roundtrip,
-        "tpch_q3": _q_tpch_q3,
-        "tpch_q18": _q_tpch_q18,
-        "salted_join_events": _q_salted_join_events,
-        "events_outliers": _q_events_outliers,
-        "pagerank_handoff": _q_pagerank_handoff,
-        "pmi_collocations": _q_pmi_collocations,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "distinct_kmv": _q_distinct_kmv,
-        "stream_quality_filter": _q_stream_quality_filter,
-        "quality_filter_gopher": _q_quality_filter_gopher,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "vocab_freq_spectrum": _q_vocab_freq_spectrum,
-        "dedup_containment": _q_dedup_containment,
-        "stream_contamination_jvm": _q_stream_contamination_jvm,
-        "bm25_multi_topk": _q_bm25_multi_topk,
-        "contamination_ngrams": _q_contamination_ngrams,
-        "stream_contamination_ngrams": _q_stream_contamination_ngrams,
-        "ann_pq_topk": _q_ann_pq_topk,
-        "boilerplate_ratio": _q_boilerplate_ratio,
-        "colocation_pairs": _q_colocation_pairs,
+        "ann_knn_join_planted": _pq_ann_knn_join_planted,
+        "dissolve_zones_hier": _pq_dissolve_zones_hier,
+        "funnel_latency_fine": _pq_funnel_latency_fine,
+        "price_percentiles_exact": _pq_price_percentiles_exact,
+        "semantic_dedup_planted": _pq_semantic_dedup_planted,
+        "semantic_contamination_planted": _pq_semantic_contamination_planted,
+        "sample_token_budget": _pq_sample_token_budget,
+        "curation_pipeline": _pq_curation_pipeline,
+        "curation_pipeline_neardup": _pq_curation_pipeline_neardup,
+        "passage_dedup_planted": _pq_passage_dedup_planted,
+        "k_core_handoff": _pq_k_core_handoff,
+        "graph_assortativity": _pq_graph_assortativity,
+        "rich_club_handoff": _pq_rich_club,
+        "gini_prices": _pq_gini_prices,
+        "stream_semantic_contamination": _pq_stream_semantic_contamination,
         # --- latest driver-green row: r07 ---
-        "price_quantiles_hdr": _pq_price_quantiles_hdr,
-        "parts_overlap_kmv": _pq_parts_overlap_kmv,
-        "scd2_user_state": _pq_scd2_user_state,
-        "attribution_linear": _pq_attribution_linear,
-        "zorder_events": _pq_zorder_events,
-        "user_retention_km": _pq_user_retention_km,
-        "event_sequences_3": _pq_event_sequences,
-        "lineitem_corr": _pq_lineitem_corr,
-        "drift_psi_value": _pq_drift_psi_value,
-        "chi2_type_dow": _pq_chi2_type_dow,
-        "order_price_bins": _pq_order_price_bins,
-        "ab_ztest_purchase": _pq_ab_ztest_purchase,
-        "hourly_acf": _pq_hourly_acf,
-        "forecast_snaive": _pq_forecast_snaive,
-        "rfm_segments": _pq_rfm_segments,
-        "data_expectations": _pq_data_expectations,
-        "cube_users_hll": _pq_cube_users_hll,
-        "scd2_pit_enrich": _pq_scd2_pit_enrich,
-        "table_diff_orders": _pq_table_diff_orders,
-        "basket_lift_pairs": _pq_basket_lift_pairs,
-        "value_percent_rank": _pq_value_percent_rank,
-        "ols_price_qty": _pq_ols_price_qty,
-        "cms_user_counts": _pq_cms_user_counts,
-        "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
         "bpe_merge_pairs": _pq_bpe_merge_pairs,
         "bfs_reach": _pq_bfs_reach,
         "stream_cms_counts": _pq_stream_cms_counts,
@@ -6535,7 +6492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": _pq_ann_recall_eval,
         "st_filter_containedby_rect": _q_filter_containedby_rect,
         "raster_count_value": _q_raster_count_value,
-        "events_daily": _q_events_daily,
         "distance_histogram": _q_distance_histogram,
         "raster_join_raster_sum": _q_raster_join_raster,
         "sql_raster_histogram": _q_sql_raster_hist,
@@ -6562,7 +6518,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "text_profile": _q_text_profile,
         "text_by_source": _q_text_by_source,
-        "token_counts": _q_token_counts,
         "text_repetition": _q_text_repetition,
         "pii_scrub": _q_pii_scrub,
         "chunk_documents": _q_chunk_documents,
@@ -6693,6 +6648,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": _q_fk_orphans,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "tpch_q5": _q_tpch_q5,
+        # --- latest driver-green row: r11 ---
+        "ann_pq_topk_batch": _pq_ann_pq_topk_batch,
+        "rrf_fusion_topk": _q_rrf_fusion_topk,
+        "events_table_profile": _q_events_table_profile,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
+        "tpch_q3": _q_tpch_q3,
+        "tpch_q18": _q_tpch_q18,
+        "salted_join_events": _q_salted_join_events,
+        "events_outliers": _q_events_outliers,
+        "pagerank_handoff": _q_pagerank_handoff,
+        "pmi_collocations": _q_pmi_collocations,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "distinct_kmv": _q_distinct_kmv,
+        "stream_quality_filter": _q_stream_quality_filter,
+        "quality_filter_gopher": _q_quality_filter_gopher,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "vocab_freq_spectrum": _q_vocab_freq_spectrum,
+        "dedup_containment": _q_dedup_containment,
+        "stream_contamination_jvm": _q_stream_contamination_jvm,
+        "bm25_multi_topk": _q_bm25_multi_topk,
+        "contamination_ngrams": _q_contamination_ngrams,
+        "stream_contamination_ngrams": _q_stream_contamination_ngrams,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "boilerplate_ratio": _q_boilerplate_ratio,
+        "colocation_pairs": _q_colocation_pairs,
+        "price_quantiles_hdr": _pq_price_quantiles_hdr,
+        "parts_overlap_kmv": _pq_parts_overlap_kmv,
+        "scd2_user_state": _pq_scd2_user_state,
+        "attribution_linear": _pq_attribution_linear,
+        "zorder_events": _pq_zorder_events,
+        "user_retention_km": _pq_user_retention_km,
+        "event_sequences_3": _pq_event_sequences,
+        "lineitem_corr": _pq_lineitem_corr,
+        "drift_psi_value": _pq_drift_psi_value,
+        "chi2_type_dow": _pq_chi2_type_dow,
+        "order_price_bins": _pq_order_price_bins,
+        "ab_ztest_purchase": _pq_ab_ztest_purchase,
+        "hourly_acf": _pq_hourly_acf,
+        "forecast_snaive": _pq_forecast_snaive,
+        "rfm_segments": _pq_rfm_segments,
+        "data_expectations": _pq_data_expectations,
+        "cube_users_hll": _pq_cube_users_hll,
+        "scd2_pit_enrich": _pq_scd2_pit_enrich,
+        "table_diff_orders": _pq_table_diff_orders,
+        "basket_lift_pairs": _pq_basket_lift_pairs,
+        "value_percent_rank": _pq_value_percent_rank,
+        "ols_price_qty": _pq_ols_price_qty,
+        "cms_user_counts": _pq_cms_user_counts,
+        "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
     }
 
 
@@ -9854,22 +9860,27 @@ FROM assign a GROUP BY 1"""
     return sql
 
 
-# Retired at the r11 rotation (the standing trigger: >= 3 gates
+# Retired at the r11/r12 rotations (the standing trigger: >= 3 gates
 # staged in one round). Retired gates keep their functions and
 # mirrors and stay oracle-checked — by
 # tests/test_extras.py::test_retired_gates_oracle_parity and
 # `python tests/oracle_check.py --retired` — they just no longer
-# occupy registry slots. Both are thin spines whose plan shapes are
-# shadowed by richer live gates (tpch_q5/q3/q18 carry the
+# occupy registry slots. All four are thin spines whose plan shapes
+# are shadowed by richer live gates: tpch_q5/q3/q18 carry the
 # fact-shuffle + dim-broadcast rollup; merge_upsert and the dedup
-# tier carry union + dropDuplicates; SURVEY §2.6 notes set ops are
-# Spark built-ins).
-_RETIRED = ("set_ops_union_distinct", "agg_revenue_by_nation")
+# tier carry union + dropDuplicates (SURVEY §2.6 notes set ops are
+# Spark built-ins); events_daily ⊂ events_rollup (same date-trunc
+# groupBy, rollup adds GROUPING SETS); token_counts ⊂ text_profile
+# (same tokenizer, profile adds the quality columns).
+_RETIRED = ("set_ops_union_distinct", "agg_revenue_by_nation",
+            "events_daily", "token_counts")
 
 
 def retired_queries():
     return {"set_ops_union_distinct": _q_set_ops,
-            "agg_revenue_by_nation": _q_agg_revenue_by_nation}
+            "agg_revenue_by_nation": _q_agg_revenue_by_nation,
+            "events_daily": _q_events_daily,
+            "token_counts": _q_token_counts}
 
 
 def retired_oracle_sql() -> dict[str, str]:
@@ -9884,6 +9895,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_promoted_oracle_sql_r8())
     sql.update(_promoted_oracle_sql_r9())
     sql.update(_promoted_oracle_sql_r10())
+    sql.update(_promoted_oracle_sql_r11())
     for k in _RETIRED:
         sql.pop(k, None)
     return sql
