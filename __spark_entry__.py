@@ -3276,22 +3276,30 @@ WITH raw AS (
   SELECT dx.d AS dx, dy.d AS dy
   FROM sym s JOIN deg dx ON s.a = dx.a JOIN deg dy ON s.b = dy.a
 ), m AS (
+  -- moments in HUGEINT = the Spark side's DECIMAL(38,0) posture
+  -- (128-bit exact; int64 wraps already on a 1e5-leaf star)
   SELECT CAST(count(*) AS BIGINT) AS n,
-    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-    CAST(sum(dx * dx) AS BIGINT) AS sxx,
-    CAST(sum(dy * dy) AS BIGINT) AS syy,
-    CAST(sum(dx * dy) AS BIGINT) AS sxy
+    CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+    CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+    CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+    CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy
   FROM p
+), cov AS (
+  SELECT n,
+    CAST(n AS HUGEINT) * sxy - sx * sy AS cxy,
+    CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+    CAST(n AS HUGEINT) * syy - sy * sy AS vy
+  FROM m
 )
 SELECT CAST(n // 2 AS BIGINT) AS n_edges,
-  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+  CASE WHEN vx = 0 OR vy = 0
        THEN CAST(0 AS BIGINT)
-       ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+       ELSE CAST(floor(CAST(cxy AS DOUBLE)
          * CAST(1000000 AS DOUBLE)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+         / sqrt(CAST(vx AS DOUBLE)
+                * CAST(vy AS DOUBLE))) AS BIGINT)
   END AS r_ppm
-FROM m"""
+FROM cov"""
 
 
 def _pq_rich_club(spark, sf):

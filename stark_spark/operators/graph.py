@@ -517,10 +517,15 @@ def assortativity(edges: DataFrame, *, src: str = "src",
     One row: (n_edges, r_ppm) with r quantized to the ppm grid.
 
     Exactness: all five moments (Σx, Σy, Σx², Σy², Σxy over the 2m
-    directed endpoint pairs) are BIGINT sums of BIGINT degree
-    products — order-independent — and r_ppm applies ONE double sqrt
-    + division at the end (the lineitem_corr / clustering_ppm
-    posture). Scale shape: a degree aggregate + two equi-joins to
+    directed endpoint pairs) and the covariance products n·Σxy−ΣxΣy
+    etc. run in DECIMAL(38,0) — 128-bit-exact, order-independent,
+    mirroring DuckDB's HUGEINT (the gini_ppm posture: int64 moments
+    overflow already on a 1e5-leaf star, where n·Σx² ≈ 2e20; ANSI
+    mode refused, non-ANSI silently wrapped — ADVICE r11) — and
+    r_ppm applies ONE double sqrt + division at the end (the
+    lineitem_corr / clustering_ppm posture). Beyond 38 digits
+    (≳1e12-edge graphs with ≳3e9-degree hubs) ANSI errors rather
+    than wraps. Scale shape: a degree aggregate + two equi-joins to
     attach endpoint degrees + one scalar aggregate; nothing beyond
     O(|E|) rows moved."""
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -534,23 +539,29 @@ def assortativity(edges: DataFrame, *, src: str = "src",
     pairs = (sym.join(deg.withColumnRenamed("d", "dx"), "a")
                 .join(deg.select(F.col("a").alias("b"),
                                  F.col("d").alias("dy")), "b"))
-    m = (pairs.agg(F.count("*").alias("n"),
-                   F.sum("dx").alias("sx"), F.sum("dy").alias("sy"),
-                   F.sum(F.expr("dx * dx")).alias("sxx"),
-                   F.sum(F.expr("dy * dy")).alias("syy"),
-                   F.sum(F.expr("dx * dy")).alias("sxy")))
-    # covariance exact in int64, then ONE double expression — the
-    # ×1e6 happens in DOUBLE (int64 would overflow at ~7e12 edges'
-    # worth of moments), same IEEE sequence as the mirror
-    r = F.expr("CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) "
+    dec = "DECIMAL(38, 0)"
+    m = (pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum(F.col("dy").cast(dec)).alias("sy"),
+        F.sum(F.expr(f"CAST(dx AS {dec}) * dx")).alias("sxx"),
+        F.sum(F.expr(f"CAST(dy AS {dec}) * dy")).alias("syy"),
+        F.sum(F.expr(f"CAST(dx AS {dec}) * dy")).alias("sxy")))
+    # covariance exact in DECIMAL(38,0), then ONE double expression —
+    # the ×1e6 happens in DOUBLE, same IEEE sequence as the mirror
+    cov = m.select(
+        "n",
+        F.expr(f"CAST(n AS {dec}) * sxy - sx * sy").alias("cxy"),
+        F.expr(f"CAST(n AS {dec}) * sxx - sx * sx").alias("vx"),
+        F.expr(f"CAST(n AS {dec}) * syy - sy * sy").alias("vy"))
+    r = F.expr("CAST(floor(CAST(cxy AS DOUBLE) "
                "* CAST(1000000 AS DOUBLE) / "
-               "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
-               "* CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)")
-    return m.select(F.expr("n div 2").cast("long").alias("n_edges"),
-                    F.when(F.expr("n * sxx - sx * sx = 0 OR "
-                                  "n * syy - sy * sy = 0"),
-                           F.lit(0).cast("bigint"))
-                     .otherwise(r).alias("r_ppm"))
+               "sqrt(CAST(vx AS DOUBLE) "
+               "* CAST(vy AS DOUBLE))) AS BIGINT)")
+    return cov.select(F.expr("n div 2").cast("long").alias("n_edges"),
+                      F.when((F.col("vx") == 0) | (F.col("vy") == 0),
+                             F.lit(0).cast("bigint"))
+                       .otherwise(r).alias("r_ppm"))
 
 
 def rich_club(edges: DataFrame, ks: list[int], *, src: str = "src",

@@ -1864,6 +1864,21 @@ def test_assortativity_known_graphs(spark):
     assert assortativity(both_dirs).collect()[0].n_edges == 2
 
 
+def test_assortativity_hub_overflow(spark):
+    """ADVICE r11: the covariance products used to form n·Σx² in
+    BIGINT — a 1e5-leaf star gives n·Σx² ≈ 2e20 > int64, which ANSI
+    errors on and non-ANSI silently wraps to a wrong r_ppm. The
+    DECIMAL(38,0) moments must return the exact closed form
+    (a star is perfectly disassortative: r = -1)."""
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.graph import assortativity
+    star = (spark.range(1, 100_001)
+                 .select(F.lit(0).alias("src"), F.col("id").alias("dst")))
+    assert assortativity(star).collect()[0].asDict() == {
+        "n_edges": 100_000, "r_ppm": -1000000}
+
+
 def test_rich_club_closed_forms(spark):
     """K4 with two pendants on node 0: every k<=2 club is the K4
     (phi = 1.0 exactly, all-integer); singleton clubs report 0."""
