@@ -503,6 +503,15 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src",
                   .join(bad.withColumnRenamed("a", "b"), "b",
                         "left_anti")
                   .localCheckpoint())
+    else:
+        # ADVICE r11: returning here would hand back nodes whose
+        # degree is still < k — not a k-core. Deep-peeling graphs
+        # (a 2n-node path at k=2 peels ~n rounds) must raise, not
+        # silently lie.
+        raise ValueError(
+            f"k_core: no fixpoint after max_rounds={max_rounds} peel "
+            f"rounds — deep-peeling graph (long chains?); raise "
+            f"max_rounds")
     return (sym.groupBy("a").agg(F.count("*").alias("deg"))
                .select(F.col("a").alias("node"),
                        F.col("deg").cast("long").alias("deg")))

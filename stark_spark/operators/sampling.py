@@ -156,6 +156,10 @@ def token_budget_sample(df: DataFrame, key: str, weight_col: str,
     ``budget``: an int (one cap; per source if ``source_col`` is
     given, global otherwise) or a dict source→cap (sources absent
     from the dict get ``default_budget``, default 0 = excluded).
+    Dict keys are compared as STRINGS (the source column is cast to
+    string first, so int sources work with int or str keys alike);
+    the NULL-source group can be budgeted with the key
+    ``"\\x00null"``.
 
     Keep rule: ``cum_weight ≤ budget`` where ``cum_weight`` includes
     the row itself — the first over-budget row and everything after
@@ -194,8 +198,14 @@ def token_budget_sample(df: DataFrame, key: str, weight_col: str,
         offsets, "_src string, _bucket int, _offset long")
 
     if isinstance(budget, dict):
-        pairs = [x for s, b in sorted(budget.items())
-                 for x in (F.lit(s), F.lit(int(b)))]
+        # keys stringified to match _src's string cast (ADVICE r11: a
+        # non-string source column otherwise builds a map<int,int>
+        # probed with a string — analysis error or a silent
+        # default_budget fallback). The NULL-source group is
+        # addressable via the "\x00null" sentinel key.
+        pairs = [x for s, b in sorted(
+                     budget.items(), key=lambda kv: str(kv[0]))
+                 for x in (F.lit(str(s)), F.lit(int(b)))]
         cap = F.coalesce(F.element_at(F.create_map(*pairs),
                                       F.col("_src")),
                          F.lit(int(default_budget)))

@@ -1754,6 +1754,26 @@ def test_token_budget_sample_null_source_group(spark):
     assert 3 in got and len(got) == 2 and set(got) <= {1, 2, 3}
 
 
+def test_token_budget_sample_int_source_dict_keys(spark):
+    """ADVICE r11: an int source column with a dict budget used to
+    build a map<int,int> probed with a string key — analysis error
+    or silent default_budget fallback. Keys are stringified now, so
+    int sources budget correctly under int OR str dict keys, and the
+    NULL group is addressable via the \\x00null sentinel."""
+    from stark_spark.operators.sampling import token_budget_sample
+    df = spark.createDataFrame(
+        [(1, 7, 10), (2, 7, 10), (3, 8, 10), (4, None, 10)],
+        "k long, src long, w long")
+    for keys in ({7: 10, 8: 25}, {"7": 10, "8": 25}):
+        out = token_budget_sample(df, "k", "w", keys,
+                                  source_col="src")
+        got = sorted(r.k for r in out.collect())
+        assert got == [1, 3] or got == [2, 3], got
+    nulled = token_budget_sample(df, "k", "w", {"\x00null": 10},
+                                 source_col="src")
+    assert [r.k for r in nulled.collect()] == [4]
+
+
 def test_new_ops_plan_shapes(spark, sf_dir):
     """Plan locks for the session's new operators: semantic_dedup's
     pair generation is a bucket EQUI-join (no cartesian / nested
@@ -1843,6 +1863,22 @@ def test_k_core_hand_graph(spark):
     core2 = {r.node: r.deg for r in k_core(edges, 2).collect()}
     assert core2 == {1: 2, 2: 2, 3: 2}
     assert k_core(edges, 3).count() == 0
+
+
+def test_k_core_nonconvergence_raises(spark):
+    """ADVICE r11: exhausting max_rounds must RAISE, not return
+    nodes whose degree is still < k. A 12-node path at k=2 peels one
+    endpoint pair per round (~n/2 rounds); max_rounds=2 cannot reach
+    the (empty) fixpoint. The same call with enough rounds converges
+    to empty."""
+    import pytest
+
+    from stark_spark.operators.graph import k_core
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long")
+    with pytest.raises(ValueError, match="no fixpoint"):
+        k_core(path, 2, max_rounds=2)
+    assert k_core(path, 2, max_rounds=10).count() == 0
 
 
 def test_assortativity_known_graphs(spark):
