@@ -190,6 +190,24 @@ BENCH_QUERIES = [
     "sql_st_buffer_erode_split",
     "ann_recall_planted",
     "sql_st_degenerate_contact",
+    # r12-promoted gates (staged in r11): planted ANN/semantic family,
+    # curation pipelines, graph-metrics trio, exact gini/percentiles,
+    # stream contamination riding the stream tier
+    "ann_knn_join_planted",
+    "dissolve_zones_hier",
+    "funnel_latency_fine",
+    "price_percentiles_exact",
+    "semantic_dedup_planted",
+    "semantic_contamination_planted",
+    "sample_token_budget",
+    "curation_pipeline",
+    "curation_pipeline_neardup",
+    "passage_dedup_planted",
+    "k_core_handoff",
+    "graph_assortativity",
+    "rich_club_handoff",
+    "gini_prices",
+    "stream_semantic_contamination",
 ]
 
 
@@ -256,7 +274,12 @@ def main() -> None:
 
     _jvm_canary()  # JIT the canary plan itself
 
-    qs = entry.queries()
+    # the pinned list is append-only across rounds, so names retired
+    # from the live registry (events_daily, token_counts @ r12) keep
+    # benching via their kept functions — cross-round columns stay
+    # comparable
+    qs = dict(entry.retired_queries())
+    qs.update(entry.queries())
     times: dict[str, float] = {}
     warm: dict[str, float] = {}
     canaries: dict[str, float] = {}

@@ -809,7 +809,9 @@ def simhash_fingerprints(df: DataFrame, key: str, *, n_bits: int = 64,
 
 
 def simhash_near_pairs(df: DataFrame, key: str, *, max_hamming: int = 3,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       bucket_cap: int | None = 1 << 16,
+                       oversize: str = "raise") -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Scale shape: block on bit-bands of the fingerprint (pigeonhole: two
@@ -828,19 +830,43 @@ def simhash_near_pairs(df: DataFrame, key: str, *, max_hamming: int = 3,
     fp = simhash_fingerprints(df, key, n_bits=64,
                               text_col=text_col).localCheckpoint()
     return hamming_near_pairs(fp, key, fp_col="fp",
-                              max_hamming=max_hamming)
+                              max_hamming=max_hamming,
+                              bucket_cap=bucket_cap, oversize=oversize)
 
 
 def hamming_near_pairs(fp_df: DataFrame, key: str, *,
                        fp_col: str = "fp",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       bucket_cap: int | None = 1 << 16,
+                       oversize: str = "raise") -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint column (SimHash,
     image perceptual hash, audio fingerprint ...) by hamming distance
     ≤ max_hamming: pigeonhole banding (two fingerprints within
     hamming d share at least one of d+1 bands unchanged) → band
     equi-join → exact bit_count verify inside blocks only. The input
     frame should be cheap to re-read (checkpoint upstream if it is an
-    aggregate — see `simhash_near_pairs`)."""
+    aggregate — see `simhash_near_pairs`).
+
+    Skew guard (the r11 scale-honesty note made engine code): the
+    band equi-join is QUADRATIC inside a bucket, and a template-heavy
+    real crawl can put a large fraction of the corpus into one
+    band-bucket (low fingerprint diversity) — a one-task n² straggler
+    no partitioning fixes. ``bucket_cap`` bounds that:
+
+    * ``oversize="raise"`` (default): an EAGER probe (one aggregate
+      over the banded frame — cheap when the input is checkpointed,
+      which every in-repo caller does) raises ValueError when any
+      band-bucket exceeds the cap, with rescale guidance. The
+      returned plan is byte-identical to the unguarded one.
+    * ``oversize="salt"``: lazily salt-splits each oversized bucket
+      into ``ceil(count / bucket_cap)`` groups by a deterministic
+      key hash and joins within equal salt only. RECALL EFFECT: a
+      qualifying pair is missed only if EVERY band it agrees on is
+      oversized AND the pair straddles salt groups in all of them —
+      pairs with at least one quiet shared band (the common case;
+      pigeonhole gives d+1 chances) are unaffected.
+    * ``bucket_cap=None`` disables the guard entirely.
+    """
     n_bands = max_hamming + 1
     fp = fp_df.select(F.col(key), F.col(fp_col).alias("fp"))
     band_width = 64 // n_bands
@@ -863,11 +889,34 @@ def hamming_near_pairs(fp_df: DataFrame, key: str, *,
                         F.explode(F.array(*band_exprs)).alias("bb"))
                 .select(key, "fp", F.col("bb.band").alias("band"),
                         F.col("bb.bucket").alias("bucket")))
+    join_keys = ["band", "bucket"]
+    if bucket_cap is not None and oversize == "salt":
+        sizes = (banded.groupBy("band", "bucket")
+                       .agg(F.count("*").alias("_bc")))
+        banded = (banded.join(sizes, ["band", "bucket"])
+                        .withColumn("_salt", F.pmod(
+                            F.xxhash64(F.col(key)),
+                            F.expr(f"CAST((_bc + {int(bucket_cap)} - 1)"
+                                   f" div {int(bucket_cap)} AS INT)"))
+                            .cast("int"))
+                        .drop("_bc"))
+        join_keys = ["band", "bucket", "_salt"]
+    elif bucket_cap is not None:
+        mx = (banded.groupBy("band", "bucket").count()
+                    .agg(F.max("count")).first()[0])
+        if mx is not None and mx > bucket_cap:
+            raise ValueError(
+                f"hamming_near_pairs: a band-bucket holds {mx} rows "
+                f"(> bucket_cap={bucket_cap}) — a low-diversity "
+                f"(template-heavy) corpus would make the band "
+                f"self-join quadratic in one task. Collapse exact-"
+                f"duplicate fingerprints first, raise bucket_cap, or "
+                f"pass oversize='salt' (documented recall effect).")
     a = banded.select(F.col(key).alias("a"), F.col("fp").alias("fp_a"),
-                      "band", "bucket")
+                      *join_keys)
     b = banded.select(F.col(key).alias("b"), F.col("fp").alias("fp_b"),
-                      "band", "bucket")
-    cand = (a.join(b, ["band", "bucket"]).where(F.col("a") < F.col("b"))
+                      *join_keys)
+    cand = (a.join(b, join_keys).where(F.col("a") < F.col("b"))
              .select("a", "b", "fp_a", "fp_b").distinct())
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (cand.withColumn("hamming", hamming)

@@ -298,6 +298,37 @@ def test_simhash_near_pairs(spark, docs):
     assert (1, 99998) in pairs
 
 
+def test_hamming_bucket_skew_guard(spark):
+    """r11 scale-honesty note → engine code: a deliberately
+    homogeneous corpus (every fingerprint identical — the template-
+    heavy-crawl limit) concentrates a whole band in ONE bucket, which
+    the band self-join would turn into a one-task n² straggler. The
+    guard must (a) raise with rescale guidance by default once a
+    bucket exceeds bucket_cap, (b) with oversize='salt' split the
+    bucket and still emit within-salt pairs lazily, and (c) stay
+    plan-silent below the cap (bucket_cap=None twin agrees)."""
+    import pytest
+
+    from stark_spark.operators.dedup import hamming_near_pairs
+    same = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(0x0F0F0F0F).cast("long").alias("fp"))
+    with pytest.raises(ValueError, match="bucket_cap"):
+        hamming_near_pairs(same, "k", max_hamming=3, bucket_cap=10)
+    salted = hamming_near_pairs(same, "k", max_hamming=3,
+                                bucket_cap=10, oversize="salt")
+    got = salted.collect()          # lazy until here — no probe job
+    assert got and all(r.hamming == 0 for r in got)
+    # below the cap the guarded plan equals the unguarded one
+    few = spark.range(6).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1_000_003).cast("long").alias("fp"))
+    guarded = hamming_near_pairs(few, "k", max_hamming=2,
+                                 bucket_cap=10).collect()
+    open_ = hamming_near_pairs(few, "k", max_hamming=2,
+                               bucket_cap=None).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, open_))
+
+
 # ------------------------------------------------------------ similarity
 
 @pytest.fixture(scope="module")
