@@ -2905,6 +2905,106 @@ def _pq_ann_knn_join_planted(spark, sf):
                         assign_score="gemm")
 
 
+# Extended-Hamming(32,26) parity masks, systematic form: data columns
+# = the 26 non-power-of-2 values in 1..31, parity p_k covers data
+# bits whose H-column has bit k set, p5 = overall parity. Minimum
+# distance 4 PROVEN exhaustively (no 1..3 columns of the extended
+# parity-check matrix sum to zero — checked over all C(32,1..3)
+# combos at generation time; construction script in the docstring of
+# `_pq_simhash_pairs_planted`).
+_HAM32_MASKS = (0x2AAAD5B, 0x333366D, 0x3C3C78E, 0x3FC07F0, 0x3FFF800)
+# 12 member masks, pairwise XOR popcounts mixing 1..8 (32 of the 66
+# in-cluster pairs land at hamming <= 3 — a mixed, non-degenerate
+# keep set, the planted-threshold lesson).
+_HAM_MEMBER_MASKS = (0x0000, 0x0001, 0x0003, 0x0007, 0x000F, 0x0010,
+                     0x0030, 0x0070, 0x00F0, 0x0100, 0x0300, 0x0F00)
+
+
+def _pq_simhash_pairs_planted(spark, sf):
+    """`dedup.hamming_near_pairs` (the REAL pigeonhole banding engine
+    behind simhash/image/audio/video near-dup) on a corpus planted
+    directly in FINGERPRINT space — the r11 verdict's "ann planted
+    recipe applied to hamming space", closing the simhash stage's
+    missing linear mirror (the text-space pair gates stay sf0.01-only
+    because the homogeneous synthetic vocabulary mega-buckets the
+    bands; planting fingerprints sidesteps text entirely).
+
+    Construction (all integer arithmetic, both engines agree exactly):
+    member ``vec_id`` of cluster ``c = vec_id div 12`` gets
+
+      fp = code32(c) << 32  |  (g(c) XOR member_mask[vec_id % 12])
+
+    * ``code32`` = extended-Hamming(32,26,d=4) codeword of the
+      spread message ``(c·2654435761) mod 2²⁶`` — injective (odd
+      multiplier), and d ≥ 4 GUARANTEES no cross-cluster pair can sit
+      at hamming ≤ 3 no matter what the low bits do: the oracle may
+      therefore join WITHIN clusters only, O(n·12) at any scale.
+    * ``g(c)`` = 32-bit golden-ratio spread — every 16-bit band sees
+      ~corpus-cardinality bucket diversity, so the banded self-join
+      stays linear AND the band skew guard stays quiet (no synthetic
+      mega-buckets; bucket sizes ≈ n/2¹⁶).
+    * in-cluster pair distance = popcount(mask_a XOR mask_b) — a
+      CLOSED FORM the mirror computes from the 12-mask literal table;
+      neither engine's fingerprints appear in the oracle at all.
+
+    The gate runs the production path end-to-end: explode-banding,
+    band equi-join, exact bit_count verify, skew probe. Output
+    (a, b, hamming), 32 pairs per full 12-member cluster.
+    """
+    from stark_spark.operators.dedup import hamming_near_pairs
+    parity = " | ".join(
+        f"shiftleft(bit_count(msg & {m}) % 2, {k})"
+        for k, m in enumerate(_HAM32_MASKS))
+    fp = (D.load(spark, sf, "embeddings")
+            .select(F.col("vec_id").cast("long").alias("vec_id"))
+            .withColumn("c", F.expr("vec_id div 12"))
+            .withColumn("msg", F.expr("(c * 2654435761) & 67108863"))
+            .withColumn("p", F.expr(f"CAST({parity} AS BIGINT)"))
+            .withColumn("p", F.expr(
+                "p | shiftleft(CAST((bit_count(msg) + bit_count(p)) % 2"
+                " AS BIGINT), 5)"))
+            .withColumn("code", F.expr("shiftleft(msg, 6) | p"))
+            .withColumn("g", F.expr("(c * 2654435769) & 4294967295"))
+            .withColumn("mask", F.element_at(
+                F.array(*[F.lit(m) for m in _HAM_MEMBER_MASKS]),
+                F.expr("CAST(vec_id % 12 AS INT)") + 1).cast("long"))
+            .withColumn("fp", F.expr("shiftleft(code, 32) | (g ^ mask)"))
+            .select("vec_id", "fp")
+            .localCheckpoint())
+    return (hamming_near_pairs(fp, "vec_id", fp_col="fp",
+                               max_hamming=3)
+            .select(F.col("a").cast("long").alias("a"),
+                    F.col("b").cast("long").alias("b"),
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
+def _simhash_pairs_planted_sql() -> str:
+    """Closed-form mirror of `_pq_simhash_pairs_planted`: d ≥ 4
+    cross-cluster (proven code property) means the truth is exactly
+    the within-cluster pairs whose member-mask XOR popcount is ≤ 3 —
+    O(n·12), no fingerprint arithmetic at all."""
+    vals = ", ".join(f"({j}, {m})"
+                     for j, m in enumerate(_HAM_MEMBER_MASKS))
+    return f"""
+WITH mk AS (
+  SELECT * FROM (VALUES {vals}) t(j, mask)
+), m AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(vec_id AS BIGINT) // 12 AS c,
+         CAST(vec_id AS BIGINT) % 12 AS j
+  FROM embeddings
+), pr AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         bit_count(xor(CAST(ma.mask AS BIGINT),
+                       CAST(mb.mask AS BIGINT))) AS h
+  FROM m a JOIN m b ON a.c = b.c AND a.vec_id < b.vec_id
+  JOIN mk ma ON a.j = ma.j JOIN mk mb ON b.j = mb.j
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(h AS BIGINT) AS hamming
+FROM pr WHERE h <= 3"""
+
+
 def _planted_knn_sql() -> str:
     """DuckDB mirror of `_planted_knn_corpus` — identical fold/noise
     arithmetic to `_planted_sql`, salt 'pk', centers every 48th row."""
@@ -3724,7 +3824,9 @@ def pending_queries():
     # planted family, curation pipelines, graph-metrics trio,
     # gini/percentiles, stream contamination — promoted into
     # queries()); new gates minted this round stage here first.
-    return {}
+    return {
+        "simhash_pairs_planted": _pq_simhash_pairs_planted,
+    }
 
 
 def _corr_oracle_sql() -> str:
@@ -3972,8 +4074,10 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — prior cohorts live on in
     # _promoted_oracle_sql_r11/_r10/_r9/_r8/_r7/_r6, merged into
-    # oracle_sql(). Emptied at the round-12 rotation.
-    return {}
+    # oracle_sql(). Emptied at the round-12 rotation; r12 gates below.
+    return {
+        "simhash_pairs_planted": _simhash_pairs_planted_sql(),
+    }
 
 
 def _promoted_oracle_sql_r11() -> dict[str, str]:

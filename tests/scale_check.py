@@ -211,6 +211,62 @@ QUERIES = [
     "ann_pq_topk_batch",
     "ann_ivf_pruned_topk",
     "ann_recall_lsh_mp",
+    # r12-promoted (formerly PENDING_SCALE at the r12 rotation;
+    # same linear oracles, now live registry entries)
+    # r11-minted: planted-truth knn-join — the oracle skips the
+    # argmax (bucket = vec_id div 12 by construction) and joins
+    # within clusters only, O(n·12) at any replica count; the Spark
+    # side runs the production mix (BLAS assignment/probes + fold
+    # scoring). This is the first ANN-JOIN family member with true
+    # scaled oracle parity (the raw-corpus variants stay excluded —
+    # their oracles are O(n²/buckets)).
+    "ann_knn_join_planted",
+    # r11-minted: exact two-phase global percentiles vs the naive
+    # rank-window oracle — linear, and the value domain (price
+    # cents) keeps the distinct-value frame bounded at any replicas
+    "price_percentiles_exact",
+    # r11-minted session 2: SemDeDup keep-set and embedding
+    # decontamination on the planted corpus — cluster-local oracles,
+    # O(n·12) at any replica count (same construction as the planted
+    # knn-join above)
+    "semantic_dedup_planted",
+    "semantic_contamination_planted",
+    # r11-minted session 2: per-source token budgets — the oracle is
+    # one window cumsum per source (linear); fixed caps mean the
+    # kept set stays budget-bounded while the hash order reshuffles
+    # with every new replica
+    "sample_token_budget",
+    # r11-minted session 2: the composed 4-stage curation pipeline —
+    # every stage's mirror is linear (map-only quality, content-hash
+    # window dedup, hash anti-join decontamination, per-source window
+    # cumsum); replica texts are unique so dedup/decontam stay
+    # planted-size
+    "curation_pipeline",
+    # curation_pipeline_neardup is EXCLUDED like dedup_simhash_pairs
+    # (whose pair stage it embeds): the mirror's pair CTE is
+    # brute-force all-pairs (O(n²) hamming evals — 31e9 at 10×), and
+    # the engine's band buckets hot-spot on this HOMOGENEOUS
+    # synthetic corpus (shared vocabulary → shared majority bits →
+    # mega-buckets), a corpus property, not an operator bug; the
+    # five-stage composition minus the pair stage is covered at
+    # 10×/100× by curation_pipeline + dedup_simhash (fingerprints).
+    # r11-minted session 2: k-core peeling — the 10× replica
+    # interleaving dilutes repeat-handoffs below the ≥3 threshold and
+    # the whole graph cascades away over 10 peel rounds (measured;
+    # oracle unrolls 14): an empty core through a DEEP cascade is a
+    # stronger loop exercise than sf0.01's 2-round partial peel
+    "k_core_handoff",
+    # r11-minted session 2: assortativity — exact BIGINT degree
+    # moments + one quantized double; linear at any scale
+    "graph_assortativity",
+    # r11-minted session 2: rich-club — all-integer per-threshold
+    # aggregates, linear
+    "rich_club_handoff",
+    # r11-minted session 2: exact Gini — the two-phase value-order
+    # prefix sum at 60M rows, DECIMAL(38)/HUGEINT rank sums (int64
+    # provably overflows here; ANSI caught it in development)
+    "gini_prices",
+
 ]
 
 
@@ -552,60 +608,17 @@ def synthesize(workdir: str) -> None:
 # stream source; their batch twins run here and are cell/register-
 # identical — both were run once manually at 10x: PASS).
 PENDING_SCALE = [
-    # r11-minted: planted-truth knn-join — the oracle skips the
-    # argmax (bucket = vec_id div 12 by construction) and joins
-    # within clusters only, O(n·12) at any replica count; the Spark
-    # side runs the production mix (BLAS assignment/probes + fold
-    # scoring). This is the first ANN-JOIN family member with true
-    # scaled oracle parity (the raw-corpus variants stay excluded —
-    # their oracles are O(n²/buckets)).
-    "ann_knn_join_planted",
-    # r11-minted: exact two-phase global percentiles vs the naive
-    # rank-window oracle — linear, and the value domain (price
-    # cents) keeps the distinct-value frame bounded at any replicas
-    "price_percentiles_exact",
-    # r11-minted session 2: SemDeDup keep-set and embedding
-    # decontamination on the planted corpus — cluster-local oracles,
-    # O(n·12) at any replica count (same construction as the planted
-    # knn-join above)
-    "semantic_dedup_planted",
-    "semantic_contamination_planted",
-    # r11-minted session 2: per-source token budgets — the oracle is
-    # one window cumsum per source (linear); fixed caps mean the
-    # kept set stays budget-bounded while the hash order reshuffles
-    # with every new replica
-    "sample_token_budget",
-    # r11-minted session 2: the composed 4-stage curation pipeline —
-    # every stage's mirror is linear (map-only quality, content-hash
-    # window dedup, hash anti-join decontamination, per-source window
-    # cumsum); replica texts are unique so dedup/decontam stay
-    # planted-size
-    "curation_pipeline",
-    # curation_pipeline_neardup is EXCLUDED like dedup_simhash_pairs
-    # (whose pair stage it embeds): the mirror's pair CTE is
-    # brute-force all-pairs (O(n²) hamming evals — 31e9 at 10×), and
-    # the engine's band buckets hot-spot on this HOMOGENEOUS
-    # synthetic corpus (shared vocabulary → shared majority bits →
-    # mega-buckets), a corpus property, not an operator bug; the
-    # five-stage composition minus the pair stage is covered at
-    # 10×/100× by curation_pipeline + dedup_simhash (fingerprints).
-    # r11-minted session 2: k-core peeling — the 10× replica
-    # interleaving dilutes repeat-handoffs below the ≥3 threshold and
-    # the whole graph cascades away over 10 peel rounds (measured;
-    # oracle unrolls 14): an empty core through a DEEP cascade is a
-    # stronger loop exercise than sf0.01's 2-round partial peel
-    "k_core_handoff",
-    # r11-minted session 2: assortativity — exact BIGINT degree
-    # moments + one quantized double; linear at any scale
-    "graph_assortativity",
-    # r11-minted session 2: rich-club — all-integer per-threshold
-    # aggregates, linear
-    "rich_club_handoff",
-    # r11-minted session 2: exact Gini — the two-phase value-order
-    # prefix sum at 60M rows, DECIMAL(38)/HUGEINT rank sums (int64
-    # provably overflows here; ANSI caught it in development)
-    "gini_prices",
+    # r12-minted: hamming-space planted near-dup pairs — the REAL
+    # pigeonhole banding engine (simhash/image/audio/video share it)
+    # with a closed-form O(n·12) mirror: cross-cluster hamming >= 4
+    # is a PROVEN extended-Hamming(32,26) code property, so truth =
+    # within-cluster member-mask XOR popcounts; every 16-bit band
+    # sees full bucket diversity (golden-ratio low bits + spread
+    # message), so the band skew guard stays quiet and the self-join
+    # stays linear at any replica count.
+    "simhash_pairs_planted",
 ]
+
 
 
 def main() -> int:
