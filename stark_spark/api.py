@@ -262,6 +262,28 @@ class EventFrame:
         from stark_spark.operators.temporal_join import sessionize
         return sessionize(self.df, self._u, self._t, gap)
 
+    def quantiles(self, percentiles=(50, 90, 99), *,
+                  exact: bool = True, sub_bits: int = 5) -> DataFrame:
+        """Global order-statistic percentiles of the value column.
+        ``exact=True`` (default) runs `histogram.exact_quantiles` —
+        the two-phase distributed selection, TRUE values at rank
+        ⌈n·p/100⌉, never a global sort. ``exact=False`` answers from
+        the deterministic HDR sketch instead (bucket-bounded,
+        2^-sub_bits relative error) — one fewer value-cardinality
+        shuffle when a bounded answer is enough. See the entry-point
+        table in operators/histogram.py."""
+        from pyspark.sql import functions as F
+
+        from stark_spark.operators.histogram import (exact_quantiles,
+                                                     hdr_histogram,
+                                                     hdr_quantiles)
+        vals = self.df.select(F.col(self._v).cast("long").alias("v"))
+        if exact:
+            return exact_quantiles(vals, "v", percentiles,
+                                   sub_bits=sub_bits)
+        hist = hdr_histogram(vals, "v", sub_bits=sub_bits)
+        return hdr_quantiles(hist, [int(p) * 100 for p in percentiles])
+
     def __getattr__(self, name):
         return getattr(self.df, name)
 

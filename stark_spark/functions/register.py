@@ -69,6 +69,23 @@ def register_sql_functions(spark: SparkSession) -> None:
               * sin((lon2 - lon1) * 0.017453292519943295D / 2),
             1.0D)))""")
 
+    # quantile machinery at the SQL surface (r11 verdict ask #6): the
+    # HDR bucket id as a SQL-BODY function — the IDENTICAL integer
+    # expression `hdr_histogram` / `exact_quantiles` build internally
+    # (operators/histogram.hdr_bucket_sql), inlined into the plan so
+    # it stays whole-stage codegen. SQL users compose the
+    # deterministic sketch directly:
+    #   SELECT hdr_bucket(v) AS b, count(*) FROM t GROUP BY b
+    # (bounded 2^-5 relative error; for EXACT global order statistics
+    # use the two-phase operator — histogram.exact_quantiles or
+    # EventFrame.quantiles(exact=True) — a scalar function cannot run
+    # that multi-stage plan by design).
+    from stark_spark.operators.histogram import hdr_bucket_sql
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION hdr_bucket(v BIGINT)
+        RETURNS BIGINT
+        RETURN {hdr_bucket_sql('v')}""")
+
     # st_sto(wkt, epoch_sec[, epoch_end]) → ST struct (reference
     # `STConstructor.scala:98-148` MakeSTObject: WKT + date → STObject)
     _STO = StructType([StructField("geom", BinaryType()),

@@ -27,6 +27,36 @@ Scale shape: one map-side-combined groupBy on the bucket id (at most
 ordered window over that BOUNDED bucket frame for the CDF.  Nothing
 row-scale ever shuffles; per-shard histograms union-merge with one
 more bounded groupBy.
+
+Quantile entry points — which to use (the r11 audit's table):
+
+====================================  =================================
+entry point                           guarantee
+====================================  =================================
+``exact_quantiles`` (this module)     EXACT global order statistics —
+                                      two-phase selection, no global
+                                      sort; the engine behind
+                                      ``funnel.funnel_latency`` and
+                                      ``EventFrame.quantiles(
+                                      exact=True)``.
+``hdr_histogram`` + ``hdr_quantiles`` SKETCH — deterministic,
+                                      HDR-BOUNDED (2^-sub_bits
+                                      relative error); SQL-composable
+                                      via the registered
+                                      ``hdr_bucket(v)`` function;
+                                      ``EventFrame.quantiles(
+                                      exact=False)``.
+``sampling.group_quantiles``          EXACT per-group discrete
+                                      quantiles (per-GROUP window
+                                      sort — group-scale partitions,
+                                      never a global window).
+``profile.rfm_segments``              exact on the per-entity frame;
+                                      documented HDR fallback at
+                                      extreme entity counts.
+====================================  =================================
+
+Anything else in the repo claiming percentiles routes through one of
+these four; new call sites must say which guarantee they inherit.
 """
 
 from __future__ import annotations

@@ -493,6 +493,33 @@ def test_event_frame_fluent(spark):
     assert evf.count() == 3                 # __getattr__ passthrough
 
 
+def test_event_frame_quantiles(spark):
+    """EventFrame.quantiles — the exact_quantiles fluent promotion
+    (r11 verdict ask #6): exact=True returns TRUE order statistics
+    (values at rank ceil(n*p/100)); exact=False answers from the HDR
+    sketch whose 'hi' bound must bracket the exact value from above
+    within the documented 2^-sub_bits relative error."""
+    import math
+
+    from stark_spark.api import EventFrame
+    vals = [3, 7, 7, 19, 240, 999, 1000, 65, 4, 88, 12, 500]
+    rows = [(i, 1, None, "e", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    evf = EventFrame(df)
+    got = {r.pct: r.value for r in
+           evf.quantiles((25, 50, 99)).collect()}
+    srt, n = sorted(int(v) for v in vals), len(vals)
+    want = {p: srt[max(math.ceil(n * p / 100), 1) - 1]
+            for p in (25, 50, 99)}
+    assert got == want
+    hdr = {r.q_bp // 100: r.estimate for r in
+           evf.quantiles((25, 50, 99), exact=False).collect()}
+    for p, exact in want.items():
+        assert exact <= hdr[p] <= exact * (1 + 2 ** -5) + 1, (p, hdr)
+
+
 def test_kaplan_meier_distinct_guard(spark):
     """r10 verdict stretch #7: unbinned micro-grained durations must
     raise (bounded probe), binned/capped input still works."""

@@ -505,3 +505,20 @@ def test_sql_bm25_contrib_matches_operator(spark, sf_dir):
                                        range(len(terms)))} > 0
         ORDER BY score_q DESC, doc_id LIMIT 10""").collect()]
     assert got == want
+
+
+def test_hdr_bucket_sql_function(spark):
+    """The registered hdr_bucket(v) SQL-body function (r11 verdict
+    ask #6 — the sketch's bucket arithmetic at the SQL surface) must
+    equal the internal expression hdr_histogram/exact_quantiles
+    build, be exact below 2^sub_bits, and be monotone in v."""
+    from stark_spark.operators.histogram import hdr_bucket_sql
+    rows = spark.sql(f"""
+        SELECT v, hdr_bucket(v) AS b, {hdr_bucket_sql('v')} AS b_ref
+        FROM (SELECT CAST(id * id * 7 AS BIGINT) AS v
+              FROM range(2000))
+    """).collect()
+    assert all(r.b == r.b_ref for r in rows)
+    assert all(r.b == r.v for r in rows if r.v < 32)
+    svals = sorted(rows, key=lambda r: r.v)
+    assert all(x.b <= y.b for x, y in zip(svals, svals[1:]))
