@@ -2818,6 +2818,22 @@ def _norm_poly(coords_list: list) -> list:
         if not _point_in_ring(h[0], shell):
             raise ValueError("polygon overlay: invalid polygon "
                              "(hole outside shell)")
+    # holes must be pairwise interior-disjoint (OGC validity). The
+    # cross check above cannot catch NESTED or enclosing holes (no
+    # boundary crossing), and those silently corrupt the overlay:
+    # edge-side classification reads "interior left of the stored
+    # ring direction" while membership is even-odd, and the two
+    # DISAGREE inside a hole-in-hole (Hypothesis seed 56389: the
+    # difference handed the inner hole's region to BOTH operands —
+    # an overlapping-part MULTIPOLYGON). Non-crossing rings overlap
+    # iff one contains the other, so one vertex probe each way
+    # suffices.
+    for i in range(1, len(rings)):
+        for j in range(i + 1, len(rings)):
+            if (_point_in_ring(rings[j][0], rings[i])
+                    or _point_in_ring(rings[i][0], rings[j])):
+                raise ValueError("polygon overlay: invalid polygon "
+                                 "(nested/overlapping holes)")
     return rings
 
 
