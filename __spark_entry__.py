@@ -2952,30 +2952,98 @@ def _pq_simhash_pairs_planted(spark, sf):
     (a, b, hamming), 32 pairs per full 12-member cluster.
     """
     from stark_spark.operators.dedup import hamming_near_pairs
-    parity = " | ".join(
-        f"shiftleft(bit_count(msg & {m}) % 2, {k})"
-        for k, m in enumerate(_HAM32_MASKS))
-    fp = (D.load(spark, sf, "embeddings")
-            .select(F.col("vec_id").cast("long").alias("vec_id"))
-            .withColumn("c", F.expr("vec_id div 12"))
-            .withColumn("msg", F.expr("(c * 2654435761) & 67108863"))
-            .withColumn("p", F.expr(f"CAST({parity} AS BIGINT)"))
-            .withColumn("p", F.expr(
-                "p | shiftleft(CAST((bit_count(msg) + bit_count(p)) % 2"
-                " AS BIGINT), 5)"))
-            .withColumn("code", F.expr("shiftleft(msg, 6) | p"))
-            .withColumn("g", F.expr("(c * 2654435769) & 4294967295"))
-            .withColumn("mask", F.element_at(
-                F.array(*[F.lit(m) for m in _HAM_MEMBER_MASKS]),
-                F.expr("CAST(vec_id % 12 AS INT)") + 1).cast("long"))
-            .withColumn("fp", F.expr("shiftleft(code, 32) | (g ^ mask)"))
-            .select("vec_id", "fp")
-            .localCheckpoint())
+    fp = _planted_hamming_fp(spark, sf)
     return (hamming_near_pairs(fp, "vec_id", fp_col="fp",
                                max_hamming=3)
             .select(F.col("a").cast("long").alias("a"),
                     F.col("b").cast("long").alias("b"),
                     F.col("hamming").cast("long").alias("hamming")))
+
+
+def _planted_hamming_fp(spark, sf, *, mask_xor: int = 0,
+                        id_offset: int = 0):
+    """The planted hamming-space corpus as a checkpointed
+    (vec_id, fp) frame — see `_pq_simhash_pairs_planted` for the
+    construction and the distance-4 proof. ``mask_xor`` perturbs the
+    member masks (a re-crawl batch: XOR with a bit the base masks
+    never use shifts every in-cluster distance by exactly +1);
+    ``id_offset`` relabels the keys so batch and index ids are
+    disjoint."""
+    parity = " | ".join(
+        f"shiftleft(bit_count(msg & {m}) % 2, {k})"
+        for k, m in enumerate(_HAM32_MASKS))
+    return (D.load(spark, sf, "embeddings")
+              .select(F.col("vec_id").cast("long").alias("v0"))
+              .withColumn("c", F.expr("v0 div 12"))
+              .withColumn("msg", F.expr("(c * 2654435761) & 67108863"))
+              .withColumn("p", F.expr(f"CAST({parity} AS BIGINT)"))
+              .withColumn("p", F.expr(
+                  "p | shiftleft(CAST((bit_count(msg) + bit_count(p))"
+                  " % 2 AS BIGINT), 5)"))
+              .withColumn("code", F.expr("shiftleft(msg, 6) | p"))
+              .withColumn("g", F.expr("(c * 2654435769) & 4294967295"))
+              .withColumn("mask", F.element_at(
+                  F.array(*[F.lit(m ^ mask_xor)
+                            for m in _HAM_MEMBER_MASKS]),
+                  F.expr("CAST(v0 % 12 AS INT)") + 1).cast("long"))
+              .withColumn("fp",
+                          F.expr("shiftleft(code, 32) | (g ^ mask)"))
+              .select((F.col("v0") + F.lit(id_offset)).alias("vec_id"),
+                      "fp")
+              .localCheckpoint())
+
+
+def _pq_incremental_ingest_planted(spark, sf):
+    """`dedup.hamming_near_join` — the INCREMENTAL-INGEST near-dup
+    join (new crawl batch × persisted fingerprint index) on the
+    planted hamming corpus. The batch is the same planted corpus
+    re-keyed (+10M) with every member mask XOR 0x1000 — a bit the
+    base masks never touch, so each batch↔index in-cluster distance
+    is EXACTLY the base pair distance + 1 (the diagonal becomes the
+    classic "same doc, one-bit re-crawl edit" at hamming 1), and the
+    extended-Hamming high bits still make cross-cluster pairs
+    impossible. Truth is therefore the 12×12 mask cross table with
+    popcount+1 ≤ 3 — closed form, O(n·12), no fingerprints in the
+    mirror. Exercises the production cross-frame banding join
+    end-to-end (both sides exploded, band equi-join, exact
+    bit_count verify)."""
+    from stark_spark.operators.dedup import hamming_near_join
+    index = _planted_hamming_fp(spark, sf)
+    batch = _planted_hamming_fp(spark, sf, mask_xor=0x1000,
+                                id_offset=10_000_000)
+    return (hamming_near_join(batch, index, "vec_id", fp_col="fp",
+                              max_hamming=3)
+            .select(F.col("new_key").cast("long").alias("new_key"),
+                    F.col("index_key").cast("long").alias("index_key"),
+                    F.col("hamming").cast("long").alias("hamming")))
+
+
+def _incremental_ingest_planted_sql() -> str:
+    """Closed-form mirror of `_pq_incremental_ingest_planted`: every
+    (batch, index) in-cluster combo — 12×12 including the diagonal —
+    at distance popcount(mask_a XOR 0x1000 XOR mask_b) ≤ 3; cross-
+    cluster impossible (distance-4 code, proven)."""
+    vals = ", ".join(f"({j}, {m})"
+                     for j, m in enumerate(_HAM_MEMBER_MASKS))
+    return f"""
+WITH mk AS (
+  SELECT * FROM (VALUES {vals}) t(j, mask)
+), m AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(vec_id AS BIGINT) // 12 AS c,
+         CAST(vec_id AS BIGINT) % 12 AS j
+  FROM embeddings
+), pr AS (
+  SELECT a.vec_id + 10000000 AS new_key, b.vec_id AS index_key,
+         bit_count(xor(CAST(xor(ma.mask, 4096) AS BIGINT),
+                       CAST(mb.mask AS BIGINT))) AS h
+  FROM m a JOIN m b ON a.c = b.c
+  JOIN mk ma ON a.j = ma.j JOIN mk mb ON b.j = mb.j
+)
+SELECT CAST(new_key AS BIGINT) AS new_key,
+       CAST(index_key AS BIGINT) AS index_key,
+       CAST(h AS BIGINT) AS hamming
+FROM pr WHERE h <= 3"""
 
 
 def _simhash_pairs_planted_sql() -> str:
@@ -3826,6 +3894,7 @@ def pending_queries():
     # queries()); new gates minted this round stage here first.
     return {
         "simhash_pairs_planted": _pq_simhash_pairs_planted,
+        "incremental_ingest_planted": _pq_incremental_ingest_planted,
     }
 
 
@@ -4077,6 +4146,7 @@ def pending_oracle_sql() -> dict[str, str]:
     # oracle_sql(). Emptied at the round-12 rotation; r12 gates below.
     return {
         "simhash_pairs_planted": _simhash_pairs_planted_sql(),
+        "incremental_ingest_planted": _incremental_ingest_planted_sql(),
     }
 
 

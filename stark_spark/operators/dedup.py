@@ -834,6 +834,34 @@ def simhash_near_pairs(df: DataFrame, key: str, *, max_hamming: int = 3,
                               bucket_cap=bucket_cap, oversize=oversize)
 
 
+def _banded_fp(fp_df: DataFrame, key: str, fp_col: str,
+               n_bands: int) -> DataFrame:
+    """(key, fp, band, bucket) pigeonhole banding frame for a 64-bit
+    fingerprint column: one scan + explode instead of an n_bands-
+    branch union — same rows, but the fp frame is read once and the
+    pre-shuffle task count stays at the input's partitioning (the
+    union shape spawned n_bands×partitions map tasks — pure overhead
+    at any scale). Shared by the self-join (`hamming_near_pairs`) and
+    the cross-corpus incremental join (`hamming_near_join`)."""
+    fp = fp_df.select(F.col(key), F.col(fp_col).alias("fp"))
+    band_width = 64 // n_bands
+    band_exprs = []
+    for i in range(n_bands):
+        shift = i * band_width
+        width = band_width if i < n_bands - 1 else 64 - shift
+        if width >= 64:           # max_hamming=0: one full-width band
+            expr = F.col("fp")
+        else:
+            expr = F.shiftrightunsigned(F.col("fp"), shift).bitwiseAND(
+                F.lit((1 << width) - 1))
+        band_exprs.append(F.struct(F.lit(i).alias("band"),
+                                   expr.alias("bucket")))
+    return (fp.select(key, "fp",
+                      F.explode(F.array(*band_exprs)).alias("bb"))
+              .select(key, "fp", F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
+
+
 def hamming_near_pairs(fp_df: DataFrame, key: str, *,
                        fp_col: str = "fp",
                        max_hamming: int = 3,
@@ -867,28 +895,7 @@ def hamming_near_pairs(fp_df: DataFrame, key: str, *,
       pigeonhole gives d+1 chances) are unaffected.
     * ``bucket_cap=None`` disables the guard entirely.
     """
-    n_bands = max_hamming + 1
-    fp = fp_df.select(F.col(key), F.col(fp_col).alias("fp"))
-    band_width = 64 // n_bands
-    band_exprs = []
-    for i in range(n_bands):
-        shift = i * band_width
-        width = band_width if i < n_bands - 1 else 64 - shift
-        if width >= 64:           # max_hamming=0: one full-width band
-            expr = F.col("fp")
-        else:
-            expr = F.shiftrightunsigned(F.col("fp"), shift).bitwiseAND(
-                F.lit((1 << width) - 1))
-        band_exprs.append(F.struct(F.lit(i).alias("band"),
-                                   expr.alias("bucket")))
-    # one scan + explode instead of a (d+1)-branch union: same rows,
-    # but the fp frame is read once and the pre-shuffle task count
-    # stays at the input's partitioning (the union shape spawned
-    # (d+1)×partitions map tasks — pure overhead at any scale)
-    banded = (fp.select(key, "fp",
-                        F.explode(F.array(*band_exprs)).alias("bb"))
-                .select(key, "fp", F.col("bb.band").alias("band"),
-                        F.col("bb.bucket").alias("bucket")))
+    banded = _banded_fp(fp_df, key, fp_col, max_hamming + 1)
     join_keys = ["band", "bucket"]
     if bucket_cap is not None and oversize == "salt":
         sizes = (banded.groupBy("band", "bucket")
@@ -922,6 +929,46 @@ def hamming_near_pairs(fp_df: DataFrame, key: str, *,
     return (cand.withColumn("hamming", hamming)
                 .where(F.col("hamming") <= max_hamming)
                 .select("a", "b", "hamming"))
+
+
+def hamming_near_join(new_df: DataFrame, index_df: DataFrame,
+                      key: str, *, fp_col: str = "fp",
+                      index_key: str | None = None,
+                      max_hamming: int = 3) -> DataFrame:
+    """INCREMENTAL-INGEST near-dup join: match each fingerprint of a
+    (typically small) NEW batch against a persisted fingerprint
+    INDEX by hamming distance ≤ max_hamming — the daily-crawl shape
+    ("is today's batch a near-dup of anything already in the 100 TB
+    corpus?") that the self-join (`hamming_near_pairs`) cannot
+    express without re-pairing the whole index against itself.
+
+    Same pigeonhole machinery (two fingerprints within hamming d
+    share ≥ 1 of d+1 bands): both frames band via `_banded_fp`, the
+    band frames equi-join, exact bit_count verifies inside blocks.
+    Scale shape: the index is banded with a MAP-ONLY explode (d+1
+    rows per entry, no index shuffle beyond the join's own exchange
+    — and when the new batch is small Spark broadcasts ITS banded
+    side, making the whole join one map-side pass over the index;
+    the big side is never self-paired, so there is no quadratic
+    bucket risk from index skew — per-bucket cost is
+    |new∩bucket|·|index∩bucket|, bounded by the batch). Output:
+    (new_key, index_key, hamming) — one row per matching pair;
+    anti-join the new batch on new_key to keep only fresh docs.
+    """
+    ik = index_key or key
+    a = (_banded_fp(new_df, key, fp_col, max_hamming + 1)
+         .select(F.col(key).alias("_new"), F.col("fp").alias("fp_a"),
+                 "band", "bucket"))
+    b = (_banded_fp(index_df, ik, fp_col, max_hamming + 1)
+         .select(F.col(ik).alias("_idx"), F.col("fp").alias("fp_b"),
+                 "band", "bucket"))
+    cand = (a.join(b, ["band", "bucket"])
+             .select("_new", "_idx", "fp_a", "fp_b").distinct())
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.withColumn("hamming", hamming)
+                .where(F.col("hamming") <= max_hamming)
+                .select(F.col("_new").alias("new_key"),
+                        F.col("_idx").alias("index_key"), "hamming"))
 
 
 def containment_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,

@@ -617,6 +617,11 @@ PENDING_SCALE = [
     # message), so the band skew guard stays quiet and the self-join
     # stays linear at any replica count.
     "simhash_pairs_planted",
+    # r12-minted: incremental-ingest near-dup join (batch × index,
+    # cross-frame banding) on the same planted hamming corpus — the
+    # mask_xor=0x1000 batch shifts every in-cluster distance +1, so
+    # truth is the 12×12 closed-form cross table; linear both sides.
+    "incremental_ingest_planted",
 ]
 
 

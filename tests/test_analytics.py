@@ -329,6 +329,40 @@ def test_hamming_bucket_skew_guard(spark):
     assert sorted(map(tuple, guarded)) == sorted(map(tuple, open_))
 
 
+def test_hamming_near_join_matches_brute_force(spark):
+    """hamming_near_join (incremental-ingest cross-frame banding)
+    must equal brute-force hamming over batch × index on random
+    64-bit fingerprints — every pair within the threshold found
+    (pigeonhole completeness), none beyond it."""
+    import numpy as np
+
+    from stark_spark.operators.dedup import hamming_near_join
+    rng = np.random.default_rng(42)
+    idx_fp = rng.integers(-2**63, 2**63, size=60, dtype=np.int64)
+    # batch: 10 perturbed index entries (1-4 bit flips) + 10 random
+    new_fp = list(idx_fp[:10])
+    for i in range(10):
+        flips = rng.choice(64, size=1 + i % 4, replace=False)
+        for f in flips:
+            new_fp[i] = np.int64(new_fp[i]) ^ np.int64(1) << np.int64(f)
+    new_fp += list(rng.integers(-2**63, 2**63, size=10, dtype=np.int64))
+    index = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(idx_fp)], "k long, fp long")
+    batch = spark.createDataFrame(
+        [(1000 + i, int(v)) for i, v in enumerate(new_fp)],
+        "k long, fp long")
+    got = {(r.new_key, r.index_key, r.hamming) for r in
+           hamming_near_join(batch, index, "k", max_hamming=3)
+           .collect()}
+    want = set()
+    for bi, bv in enumerate(new_fp):
+        for ii, iv in enumerate(idx_fp):
+            h = bin((int(bv) ^ int(iv)) & (2**64 - 1)).count("1")
+            if h <= 3:
+                want.add((1000 + bi, ii, h))
+    assert got == want and len(want) >= 8
+
+
 # ------------------------------------------------------------ similarity
 
 @pytest.fixture(scope="module")
