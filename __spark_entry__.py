@@ -3018,6 +3018,54 @@ def _pq_incremental_ingest_planted(spark, sf):
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def _pq_duplicated_spans(spark, sf):
+    """`dedup.duplicated_spans` — maximal duplicated-span extraction
+    (span-granular substring dedup, Lee et al. 2021): corpus-
+    duplicated 13-grams island-merged into exact (start, end) token
+    offsets per document. Linear: explode → hash agg → gram join →
+    per-DOC window; output is the span list a redaction/rewrite step
+    consumes. Whitespace tokenization identical in both engines."""
+    from stark_spark.operators.dedup import duplicated_spans
+    docs = D.load(spark, sf, "documents").select("doc_id", "text")
+    return duplicated_spans(docs, "doc_id", n=13, min_docs=2)
+
+
+def _duplicated_spans_sql() -> str:
+    n = 13
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(
+           toks[CAST(u.i + 1 AS BIGINT):CAST(u.i + {n} AS BIGINT)],
+           ' ') AS gram
+  FROM t, UNNEST(range(greatest(len(toks) - {n - 1}, 0))) AS u(i)
+), dup AS (
+  SELECT gram FROM g GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              > {n} THEN 1 ELSE 0 END AS brk
+  FROM hits
+), grp AS (
+  SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gg
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n} AS BIGINT) AS span_end,
+       CAST(max(pos) + {n} - min(pos) AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, gg"""
+
+
 def _incremental_ingest_planted_sql() -> str:
     """Closed-form mirror of `_pq_incremental_ingest_planted`: every
     (batch, index) in-cluster combo — 12×12 including the diagonal —
@@ -3895,6 +3943,7 @@ def pending_queries():
     return {
         "simhash_pairs_planted": _pq_simhash_pairs_planted,
         "incremental_ingest_planted": _pq_incremental_ingest_planted,
+        "duplicated_spans": _pq_duplicated_spans,
     }
 
 
@@ -4147,6 +4196,7 @@ def pending_oracle_sql() -> dict[str, str]:
     return {
         "simhash_pairs_planted": _simhash_pairs_planted_sql(),
         "incremental_ingest_planted": _incremental_ingest_planted_sql(),
+        "duplicated_spans": _duplicated_spans_sql(),
     }
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stark_spark.operators.text import shingles
@@ -969,6 +969,65 @@ def hamming_near_join(new_df: DataFrame, index_df: DataFrame,
                 .where(F.col("hamming") <= max_hamming)
                 .select(F.col("_new").alias("new_key"),
                         F.col("_idx").alias("index_key"), "hamming"))
+
+
+def duplicated_spans(df: DataFrame, key: str, *, n: int = 13,
+                     min_docs: int = 2, text_col: str = "text",
+                     broadcast_dups: bool = True) -> DataFrame:
+    """MAXIMAL duplicated-span extraction — the span-granular member
+    of the substring-dedup family (Lee et al. 2021's "Deduplicating
+    Training Data Makes Language Models Better" removes repeated
+    substrings, not whole docs): every token covered by some
+    corpus-duplicated ``n``-gram, with overlapping/adjacent hits
+    MERGED into maximal spans, reported as exact token offsets.
+    Where `passage_dedup` rewrites docs on a fixed chunk grid (and
+    misses repeats that straddle chunk boundaries) and
+    `boilerplate_ngrams` only scores, this emits the precise
+    (start, end) regions — the input a surgical redaction / rewrite
+    step needs, alignment-free.
+
+    Semantics: token = whitespace-split non-empty (the repo's
+    convention, identical in the DuckDB mirror); an n-gram starting
+    at token i is duplicated iff it appears in ≥ ``min_docs``
+    distinct documents; two duplicated starts merge iff their gap is
+    ≤ n (overlap or exact adjacency ⇒ contiguous covered tokens).
+    Output: (key, span_start, span_end, span_tokens) with end
+    EXCLUSIVE — span_tokens = end - start.
+
+    Scale shape: one explode into (doc, pos, gram) rows (T rows per
+    T-token doc — same footprint as the contamination n-gram pass);
+    the duplicated-gram set is a hash aggregate joined back on the
+    gram (broadcast when Zipf-small, ``broadcast_dups=False`` for
+    template-heavy corpora); island-merge is one per-DOC window
+    (doc-scale partitions, never global). Nothing corpus-quadratic.
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    grams = F.expr(
+        f"CASE WHEN size(_t) < {int(n)} THEN "
+        f"CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(0, size(_t) - {int(n)}), "
+        f"i -> array_join(slice(_t, i + 1, {int(n)}), ' ')) END")
+    g = (df.select(F.col(key), toks.alias("_t"))
+           .select(F.col(key),
+                   F.posexplode(grams).alias("pos", "gram")))
+    dup = (g.groupBy("gram").agg(F.countDistinct(key).alias("_nd"))
+            .where(F.col("_nd") >= int(min_docs)).select("gram"))
+    hits = (g.join(F.broadcast(dup) if broadcast_dups else dup, "gram")
+             .select(key, "pos"))
+    w = Window.partitionBy(key).orderBy("pos")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (hits.withColumn(
+               "_brk", F.when(F.col("pos") - F.lag("pos").over(w)
+                              > int(n), 1).otherwise(0))
+               .withColumn("_grp", F.sum("_brk").over(wc)))
+    return (isl.groupBy(key, "_grp")
+               .agg(F.min("pos").alias("_s"),
+                    (F.max("pos") + int(n)).alias("_e"))
+               .select(F.col(key),
+                       F.col("_s").cast("long").alias("span_start"),
+                       F.col("_e").cast("long").alias("span_end"),
+                       (F.col("_e") - F.col("_s")).cast("long")
+                       .alias("span_tokens")))
 
 
 def containment_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,

@@ -622,6 +622,10 @@ PENDING_SCALE = [
     # mask_xor=0x1000 batch shifts every in-cluster distance +1, so
     # truth is the 12×12 closed-form cross table; linear both sides.
     "incremental_ingest_planted",
+    # r12-minted: maximal duplicated-span extraction — explode +
+    # hash agg + per-doc window, all linear; replica texts share the
+    # originals' duplicated interiors so output grows ~linearly
+    "duplicated_spans",
 ]
 
 

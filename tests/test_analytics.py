@@ -363,6 +363,26 @@ def test_hamming_near_join_matches_brute_force(spark):
     assert got == want and len(want) >= 8
 
 
+def test_duplicated_spans_hand_corpus(spark):
+    """Closed-form span semantics: overlapping duplicated n-grams
+    merge into ONE maximal span; adjacency (gap == n) merges;
+    gap > n splits; docs with no duplicated n-gram emit nothing;
+    sub-n docs emit nothing."""
+    from stark_spark.operators.dedup import duplicated_spans
+    shared = "p q r s"                       # 4 tokens, n=3 -> 2 grams
+    docs = [
+        (1, f"{shared} u1 u2 u3 {shared}"),  # two islands, gap > 3
+        (2, f"v1 {shared} v2"),
+        (3, "all unique tokens in here"),
+        (4, "p q"),                          # shorter than n
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(map(tuple,
+                     duplicated_spans(df, "doc_id", n=3).collect()))
+    # doc1 tokens: p q r s u1 u2 u3 p q r s -> dup starts 0,1 and 7,8
+    assert got == [(1, 0, 4, 4), (1, 7, 11, 4), (2, 1, 5, 4)], got
+
+
 # ------------------------------------------------------------ similarity
 
 @pytest.fixture(scope="module")
