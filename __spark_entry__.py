@@ -3066,6 +3066,63 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM grp GROUP BY doc_id, gg"""
 
 
+def _pq_contaminated_spans(spark, sf):
+    """`dedup.contaminated_spans` — SPAN-level decontamination: exact
+    token offsets of every maximal train region covered by an
+    eval-set 13-gram (excise the leaked benchmark passage, keep the
+    document), vs the counting-only `contamination_ngrams`. Eval gram
+    set broadcast; train side = one explode + join + per-DOC window."""
+    from stark_spark.operators.dedup import contaminated_spans
+    docs = D.load(spark, sf, "documents").select("doc_id", "text")
+    return contaminated_spans(docs, _eval_corpus(spark, sf),
+                              "doc_id", n=13)
+
+
+def _contaminated_spans_sql() -> str:
+    n = 13
+    return f"""
+WITH ev AS (
+  SELECT CASE WHEN doc_id % 20 = 0 THEN text
+              ELSE text || ' tail' END AS text
+  FROM documents WHERE doc_id % 10 = 0
+), et AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM ev
+), eg AS (
+  SELECT DISTINCT array_to_string(
+    toks[CAST(u.i + 1 AS BIGINT):CAST(u.i + {n} AS BIGINT)], ' ')
+    AS gram
+  FROM et, UNNEST(range(greatest(len(toks) - {n - 1}, 0))) AS u(i)
+), t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         array_to_string(
+           toks[CAST(u.i + 1 AS BIGINT):CAST(u.i + {n} AS BIGINT)],
+           ' ') AS gram
+  FROM t, UNNEST(range(greatest(len(toks) - {n - 1}, 0))) AS u(i)
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN eg USING (gram)
+), isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              > {n} THEN 1 ELSE 0 END AS brk
+  FROM hits
+), grp AS (
+  SELECT doc_id, pos,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gg
+  FROM isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n} AS BIGINT) AS span_end,
+       CAST(max(pos) + {n} - min(pos) AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, gg"""
+
+
 def _incremental_ingest_planted_sql() -> str:
     """Closed-form mirror of `_pq_incremental_ingest_planted`: every
     (batch, index) in-cluster combo — 12×12 including the diagonal —
@@ -3944,6 +4001,7 @@ def pending_queries():
         "simhash_pairs_planted": _pq_simhash_pairs_planted,
         "incremental_ingest_planted": _pq_incremental_ingest_planted,
         "duplicated_spans": _pq_duplicated_spans,
+        "contaminated_spans": _pq_contaminated_spans,
     }
 
 
@@ -4197,6 +4255,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "simhash_pairs_planted": _simhash_pairs_planted_sql(),
         "incremental_ingest_planted": _incremental_ingest_planted_sql(),
         "duplicated_spans": _duplicated_spans_sql(),
+        "contaminated_spans": _contaminated_spans_sql(),
     }
 
 

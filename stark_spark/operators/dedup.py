@@ -1001,33 +1001,76 @@ def duplicated_spans(df: DataFrame, key: str, *, n: int = 13,
     template-heavy corpora); island-merge is one per-DOC window
     (doc-scale partitions, never global). Nothing corpus-quadratic.
     """
-    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
-    grams = F.expr(
-        f"CASE WHEN size(_t) < {int(n)} THEN "
-        f"CAST(array() AS ARRAY<STRING>) "
-        f"ELSE transform(sequence(0, size(_t) - {int(n)}), "
-        f"i -> array_join(slice(_t, i + 1, {int(n)}), ' ')) END")
-    g = (df.select(F.col(key), toks.alias("_t"))
-           .select(F.col(key),
-                   F.posexplode(grams).alias("pos", "gram")))
+    g = _gram_positions(df, key, int(n), text_col)
     dup = (g.groupBy("gram").agg(F.countDistinct(key).alias("_nd"))
             .where(F.col("_nd") >= int(min_docs)).select("gram"))
     hits = (g.join(F.broadcast(dup) if broadcast_dups else dup, "gram")
              .select(key, "pos"))
+    return _merge_spans(hits, key, int(n))
+
+
+def _gram_positions(df: DataFrame, key: str, n: int,
+                    text_col: str) -> DataFrame:
+    """(key, pos, gram) — every token ``n``-gram with its 0-based
+    start offset; whitespace-split non-empty tokens (the repo's
+    convention, identical in the DuckDB mirrors)."""
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    grams = F.expr(
+        f"CASE WHEN size(_t) < {n} THEN "
+        f"CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(0, size(_t) - {n}), "
+        f"i -> array_join(slice(_t, i + 1, {n}), ' ')) END")
+    return (df.select(F.col(key), toks.alias("_t"))
+              .select(F.col(key),
+                      F.posexplode(grams).alias("pos", "gram")))
+
+
+def _merge_spans(hits: DataFrame, key: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of n-gram start positions into maximal
+    spans (gap ≤ n ⇒ contiguous covered tokens). Per-DOC window —
+    doc-scale partitions, never global."""
     w = Window.partitionBy(key).orderBy("pos")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     isl = (hits.withColumn(
                "_brk", F.when(F.col("pos") - F.lag("pos").over(w)
-                              > int(n), 1).otherwise(0))
+                              > n, 1).otherwise(0))
                .withColumn("_grp", F.sum("_brk").over(wc)))
     return (isl.groupBy(key, "_grp")
                .agg(F.min("pos").alias("_s"),
-                    (F.max("pos") + int(n)).alias("_e"))
+                    (F.max("pos") + n).alias("_e"))
                .select(F.col(key),
                        F.col("_s").cast("long").alias("span_start"),
                        F.col("_e").cast("long").alias("span_end"),
                        (F.col("_e") - F.col("_s")).cast("long")
                        .alias("span_tokens")))
+
+
+def contaminated_spans(df: DataFrame, eval_df: DataFrame, key: str, *,
+                       n: int = 13, text_col: str = "text",
+                       eval_text_col: str = "text",
+                       broadcast_eval: bool = True) -> DataFrame:
+    """SPAN-level train→eval decontamination — the surgical twin of
+    `cross_ngram_contamination` (which only counts matching windows
+    per doc): the exact (start, end-exclusive) token offsets of every
+    maximal train-document region covered by some eval-set ``n``-gram
+    — so the pipeline can EXCISE the leaked benchmark passage and
+    keep the rest of the document, instead of dropping it whole.
+    Same island-merge machinery as `duplicated_spans`.
+
+    Scale shape: the eval gram set is a distinct projection of the
+    (small) eval corpus, broadcast by default
+    (``broadcast_eval=False`` for giant eval suites); the train side
+    is one explode + one semi-shaped join + a per-DOC window. Output:
+    (key, span_start, span_end, span_tokens)."""
+    g = _gram_positions(df, key, int(n), text_col)
+    ev = (_gram_positions(eval_df.select(
+              F.col(eval_text_col).alias("_etx")).withColumn(
+                  "_ek", F.monotonically_increasing_id()),
+              "_ek", int(n), "_etx")
+          .select("gram").distinct())
+    hits = (g.join(F.broadcast(ev) if broadcast_eval else ev, "gram")
+             .select(key, "pos"))
+    return _merge_spans(hits, key, int(n))
 
 
 def containment_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,

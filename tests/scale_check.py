@@ -626,6 +626,10 @@ PENDING_SCALE = [
     # hash agg + per-doc window, all linear; replica texts share the
     # originals' duplicated interiors so output grows ~linearly
     "duplicated_spans",
+    # r12-minted: span-level decontamination (same machinery, eval
+    # gram set broadcast) — replica eval texts stay 1:1 with replica
+    # train copies, output linear
+    "contaminated_spans",
 ]
 
 

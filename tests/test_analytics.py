@@ -383,6 +383,26 @@ def test_duplicated_spans_hand_corpus(spark):
     assert got == [(1, 0, 4, 4), (1, 7, 11, 4), (2, 1, 5, 4)], got
 
 
+def test_contaminated_spans_excision_offsets(spark):
+    """Span-level decontamination: a leaked eval passage inside a
+    train doc reports the exact excisable token window; clean docs
+    report nothing; a train doc SHORTER than n never matches."""
+    from stark_spark.operators.dedup import contaminated_spans
+    leak = "the quick brown fox"
+    train = spark.createDataFrame(
+        [(1, f"intro words {leak} closing remarks here"),
+         (2, "completely clean document with original prose"),
+         (3, "tiny doc")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, f"benchmark question about {leak} indeed")],
+        "doc_id long, text string")
+    got = sorted(map(tuple, contaminated_spans(
+        train, ev, "doc_id", n=4).collect()))
+    # leak tokens occupy train doc1 positions 2..5 -> span [2, 6)
+    assert got == [(1, 2, 6, 4)], got
+
+
 # ------------------------------------------------------------ similarity
 
 @pytest.fixture(scope="module")
