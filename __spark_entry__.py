@@ -3078,6 +3078,32 @@ def _pq_contaminated_spans(spark, sf):
                               "doc_id", n=13)
 
 
+def _pq_stream_ingest_dedup(spark, sf):
+    """Near-dup detection at INGEST (streaming.stream_ingest_dedup):
+    the mask_xor=0x1000 re-crawl batch replayed as a file stream,
+    banded statelessly per micro-batch, stream-static joined against
+    the banded planted index, exact bit_count verify, band
+    multiplicity collapsed by the query's single aggregation. The
+    final table must equal the BATCH `hamming_near_join` rows exactly
+    — so the mirror IS `_incremental_ingest_planted_sql()`'s closed
+    form (12×12 mask cross table, popcount+1 ≤ 3). Completes the
+    dedup matrix: {exact, banded-hamming} × {batch, incremental,
+    stream}."""
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_ingest_dedup)
+    index = _planted_hamming_fp(spark, sf)
+    batch = _planted_hamming_fp(spark, sf, mask_xor=0x1000,
+                                id_offset=10_000_000)
+    d = _replay_dir(batch, sf, "ingest_batch")
+    s = read_event_stream(spark, d, batch.schema, max_files=2)
+    out = stream_ingest_dedup(s, index, key="vec_id", fp_col="fp",
+                              max_hamming=3)
+    t = _stream_sink(out, "complete")
+    return t.select(F.col("new_key").cast("long").alias("new_key"),
+                    F.col("index_key").cast("long").alias("index_key"),
+                    F.col("hamming").cast("long").alias("hamming"))
+
+
 def _contaminated_spans_sql() -> str:
     n = 13
     return f"""
@@ -4002,6 +4028,7 @@ def pending_queries():
         "incremental_ingest_planted": _pq_incremental_ingest_planted,
         "duplicated_spans": _pq_duplicated_spans,
         "contaminated_spans": _pq_contaminated_spans,
+        "stream_ingest_dedup": _pq_stream_ingest_dedup,
     }
 
 
@@ -4256,6 +4283,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "incremental_ingest_planted": _incremental_ingest_planted_sql(),
         "duplicated_spans": _duplicated_spans_sql(),
         "contaminated_spans": _contaminated_spans_sql(),
+        "stream_ingest_dedup": _incremental_ingest_planted_sql(),
     }
 
 

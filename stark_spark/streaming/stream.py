@@ -269,6 +269,47 @@ def stream_dedup(stream: DataFrame, *, key_cols=("fingerprint",),
     return s.dropDuplicatesWithinWatermark(list(key_cols)).drop("_ts")
 
 
+def stream_ingest_dedup(stream: DataFrame, index_fp: DataFrame, *,
+                        key: str = "doc_id", fp_col: str = "fp",
+                        index_key: str | None = None,
+                        max_hamming: int = 3) -> DataFrame:
+    """NEAR-dup detection at INGEST against a persisted fingerprint
+    index — the streaming twin of `dedup.hamming_near_join` (which
+    itself is the incremental twin of the batch self-join): each
+    arriving document's 64-bit fingerprint is pigeonhole-banded
+    STATELESSLY (explode is a plain projection), stream-static
+    equi-joined against the banded static index, and exact-verified
+    with bit_count. A fingerprint within hamming d matches in up to
+    d+1 bands, so the band multiplicity is collapsed by ONE streaming
+    aggregation — groupBy(new_key, index_key) → min(hamming), which
+    is exact (hamming is a pure function of the pair) and the query's
+    only stateful operator. Output: (new_key, index_key, hamming),
+    identical rows to the batch `hamming_near_join` on the same data.
+
+    Scale shape: the index bands once (localCheckpoint; on a real
+    cluster persist to storage and reload per restart) and the join
+    is per-micro-batch map work against it; group state is pair-
+    scale per batch — in production put a watermark on arrival time
+    upstream so the engine can evict, exactly as `stream_dedup`
+    does for the exact tier."""
+    from stark_spark.operators.dedup import _banded_fp
+    ik = index_key or key
+    idx = (_banded_fp(index_fp, ik, fp_col, max_hamming + 1)
+           .select(F.col(ik).alias("index_key"),
+                   F.col("fp").alias("fp_b"), "band", "bucket")
+           .localCheckpoint())
+    s = (_banded_fp(stream, key, fp_col, max_hamming + 1)
+         .select(F.col(key).alias("new_key"),
+                 F.col("fp").alias("fp_a"), "band", "bucket"))
+    j = (s.join(idx, ["band", "bucket"])
+          .withColumn("hamming",
+                      F.bit_count(F.col("fp_a").bitwiseXOR(
+                          F.col("fp_b"))))
+          .where(F.col("hamming") <= max_hamming))
+    return (j.groupBy("new_key", "index_key")
+             .agg(F.min("hamming").cast("long").alias("hamming")))
+
+
 def st_stream_stream_join(left: DataFrame, right: DataFrame, *,
                           grid: GridSpec,
                           left_time: str = "ts", right_time: str = "ts",
