@@ -1879,6 +1879,56 @@ def test_token_budget_sample_int_source_dict_keys(spark):
     assert [r.k for r in nulled.collect()] == [4]
 
 
+def test_r12_ops_plan_shapes(spark, sf_dir):
+    """Plan locks for the r12 operators: duplicated_spans'
+    island-merge windows are all partitioned on the doc key (never a
+    global single-partition window) and the pair machinery is
+    equi-join-only (no cartesian / nested loop); hamming_near_join
+    plans a broadcast hash join when the batch side is small (the
+    incremental-ingest fast path: one map-side pass over the index);
+    gini_ppm's value-order exchange is a RANGE partitioning (the
+    sampled prefix-sum rewrite), not a single partition."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.dedup import (duplicated_spans,
+                                             hamming_near_join)
+    from stark_spark.operators.histogram import gini_ppm
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                 .select("doc_id", "text"))
+    sp = duplicated_spans(docs, "doc_id", n=13)
+    oplan = sp._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in oplan
+    assert "BroadcastNestedLoop" not in oplan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", oplan)
+    assert specs
+    for s in specs:
+        assert "doc_id" in s, s
+
+    idx = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") * 7919).alias("fp"))
+    new = spark.range(40).select(
+        (F.col("id") + 100000).alias("k"),
+        (F.col("id") * 7919 + 1).alias("fp"))
+    jp = (hamming_near_join(new, idx, "k", max_hamming=3)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in jp, jp[:2000]
+
+    cents = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                  .select(F.expr("CAST(round(l_extendedprice * 100) "
+                                 "AS BIGINT)").alias("c")))
+    gout = gini_ppm(cents, "c", partitions=8)
+    gp = gout._jdf.queryExecution().optimizedPlan().toString()
+    # the phase-2 prefix window partitions on the range-derived _bk —
+    # never an unpartitioned (global) window
+    gspecs = re.findall(r"windowspecdefinition\(([^)]*)\)", gp)
+    assert gspecs
+    for s in gspecs:
+        assert "_bk" in s, s
+
+
 def test_new_ops_plan_shapes(spark, sf_dir):
     """Plan locks for the session's new operators: semantic_dedup's
     pair generation is a bucket EQUI-join (no cartesian / nested
