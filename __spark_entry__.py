@@ -3104,6 +3104,52 @@ def _pq_stream_ingest_dedup(spark, sf):
                     F.col("hamming").cast("long").alias("hamming"))
 
 
+def _pq_kn_discounts(spark, sf):
+    """Kneser–Ney bigram smoothing statistics (text.kn_discounts):
+    corpus absolute discount D = n1/(n1+2·n2) and per-context
+    backoff mass λ(w1) = D·|distinct continuations|/total, both as
+    single DECIMAL(38) integral divisions on the ppm grid (DuckDB
+    HUGEINT // verified identical). One explode + one (w1,w2) hash
+    agg + a broadcast 1-row count-of-counts."""
+    from stark_spark.operators.text import kn_discounts
+    docs = D.load(spark, sf, "documents").select("text")
+    return kn_discounts(docs, min_total=1)
+
+
+def _kn_discounts_sql() -> str:
+    return """
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT toks[CAST(u.i + 1 AS BIGINT)] AS w1,
+         toks[CAST(u.i + 2 AS BIGINT)] AS w2
+  FROM t, UNNEST(range(greatest(len(toks) - 1, 0))) AS u(i)
+), c AS (
+  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+), gstats AS (
+  SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n2
+  FROM c
+), ctx AS (
+  SELECT w1, CAST(sum(c) AS HUGEINT) AS total,
+         CAST(count(*) AS HUGEINT) AS n_distinct
+  FROM c GROUP BY w1 HAVING sum(c) >= 1
+)
+SELECT w1, CAST(total AS BIGINT) AS total,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  CASE WHEN n1 + 2 * n2 = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(CAST(1000000 AS HUGEINT) * n1 // (n1 + 2 * n2)
+                 AS BIGINT) END AS d_ppm,
+  CASE WHEN n1 + 2 * n2 = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(CAST(1000000 AS HUGEINT) * n1 * n_distinct
+                 // ((n1 + 2 * n2) * total) AS BIGINT)
+  END AS lambda_ppm
+FROM ctx, gstats"""
+
+
 def _contaminated_spans_sql() -> str:
     n = 13
     return f"""
@@ -4029,6 +4075,7 @@ def pending_queries():
         "duplicated_spans": _pq_duplicated_spans,
         "contaminated_spans": _pq_contaminated_spans,
         "stream_ingest_dedup": _pq_stream_ingest_dedup,
+        "kn_discounts_docs": _pq_kn_discounts,
     }
 
 
@@ -4284,6 +4331,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "duplicated_spans": _duplicated_spans_sql(),
         "contaminated_spans": _contaminated_spans_sql(),
         "stream_ingest_dedup": _incremental_ingest_planted_sql(),
+        "kn_discounts_docs": _kn_discounts_sql(),
     }
 
 

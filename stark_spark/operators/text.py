@@ -936,3 +936,58 @@ def postings_index(docs: DataFrame, *, id_col: str = "doc_id",
                .agg(F.count("*").cast("long").alias("df"),
                     F.sort_array(F.collect_list("doc_id"))
                      .alias("postings")))
+
+
+def kn_discounts(df: DataFrame, *, text_col: str = "text",
+                 min_total: int = 1) -> DataFrame:
+    """Kneser–Ney smoothing statistics for a bigram LM — the missing
+    piece between the raw counts (`vocab_freq_spectrum`,
+    `doc_logprob_bigram`'s add-one) and a properly smoothed model
+    (Kneser & Ney 1995; Chen & Goodman 1998): the absolute discount
+    ``D = n1 / (n1 + 2·n2)`` from the corpus count-of-counts, and per
+    context w1 the backoff mass ``λ(w1) = D · |distinct w2| /
+    total(w1)``. Everything stays integer-exact: the two ratios are
+    single integral divisions on the ppm grid in DECIMAL(38,0)
+    (mirroring DuckDB HUGEINT ``//`` — verified identical), so the
+    output is hash-stable in any engine. Contexts with fewer than
+    ``min_total`` bigram occurrences are dropped (their λ is noise).
+
+    Scale shape: one explode into adjacent-token pairs (the
+    `pmi_collocations` footprint), one (w1, w2) hash aggregate, then
+    a 1-row global count-of-counts aggregate broadcast-crossed into
+    the context-scale frame. Output: (w1, total, n_distinct, d_ppm,
+    lambda_ppm); d_ppm repeats per row (it is the corpus constant).
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    pairs = F.expr(
+        "CASE WHEN size(_t) < 2 THEN "
+        "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+        "ELSE transform(sequence(0, size(_t) - 2), "
+        "i -> struct(_t[i] AS w1, _t[i + 1] AS w2)) END")
+    bg = (df.select(toks.alias("_t"))
+            .select(F.explode(pairs).alias("p"))
+            .select("p.w1", "p.w2"))
+    c = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=False))
+    glob = c.agg(
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n2"))
+    ctx = (c.groupBy("w1").agg(F.sum("c").alias("total"),
+                               F.count("*").alias("n_distinct"))
+             .where(F.col("total") >= int(min_total)))
+    dec = "DECIMAL(38, 0)"
+    guard = "n1 + 2 * n2 = 0"
+    return (ctx.crossJoin(F.broadcast(glob))
+               .select("w1",
+                       F.col("total").cast("long").alias("total"),
+                       F.col("n_distinct").cast("long")
+                        .alias("n_distinct"),
+                       F.expr(f"CASE WHEN {guard} THEN CAST(0 AS "
+                              f"BIGINT) ELSE CAST(CAST(1000000 AS "
+                              f"{dec}) * n1 div (n1 + 2 * n2) AS "
+                              f"BIGINT) END").alias("d_ppm"),
+                       F.expr(f"CASE WHEN {guard} THEN CAST(0 AS "
+                              f"BIGINT) ELSE CAST(CAST(1000000 AS "
+                              f"{dec}) * n1 * n_distinct div "
+                              f"(CAST(n1 + 2 * n2 AS {dec}) * total)"
+                              f" AS BIGINT) END").alias("lambda_ppm")))

@@ -630,6 +630,9 @@ PENDING_SCALE = [
     # gram set broadcast) — replica eval texts stay 1:1 with replica
     # train copies, output linear
     "contaminated_spans",
+    # r12-minted: Kneser–Ney bigram stats — one explode + hash agg +
+    # broadcast scalar; output is vocabulary-scale (constant here)
+    "kn_discounts_docs",
 ]
 
 

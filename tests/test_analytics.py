@@ -2150,3 +2150,18 @@ def test_gini_huge_domain_and_nulls(spark):
     base = spark.createDataFrame([(3,), (7,), (10,)], "x long")
     assert (gini_ppm(with_nulls, "x").collect()
             == gini_ppm(base, "x").collect())
+
+
+def test_kn_discounts_closed_form(spark):
+    """KN statistics closed form: corpus 'a b a b c' + 'a b d' has
+    bigram counts {(a,b):3,(b,a):1,(b,c):1,(b,d):1} -> n1=3, n2=0,
+    D = 3/3 = 1.0 exactly; context 'a' (total 3, 1 continuation) ->
+    lambda = 1/3; context 'b' (total 3, 3 continuations) -> 1.0.
+    A one-token doc contributes no bigram."""
+    from stark_spark.operators.text import kn_discounts
+    df = spark.createDataFrame(
+        [("a b a b c",), ("a b d",), ("solo",)], "text string")
+    got = {r.w1: (r.total, r.n_distinct, r.d_ppm, r.lambda_ppm)
+           for r in kn_discounts(df).collect()}
+    assert got == {"a": (3, 1, 1_000_000, 333_333),
+                   "b": (3, 3, 1_000_000, 1_000_000)}, got
