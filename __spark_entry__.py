@@ -2960,6 +2960,43 @@ def _pq_simhash_pairs_planted(spark, sf):
                     F.col("hamming").cast("long").alias("hamming")))
 
 
+def _with_planted_fp(df, id_col: str, *, mask_xor: int = 0):
+    """Append the planted hamming-space fingerprint column ``fp``
+    keyed on BIGINT ``id_col`` — the `_pq_simhash_pairs_planted`
+    construction generalized to any keyed frame (r12 verdict #4:
+    thread the planted corpus through composed pipelines): cluster
+    ``c = id div 12`` contributes the extended-Hamming(32,26,d=4)
+    codeword of the spread message in the HIGH 32 bits (cross-cluster
+    hamming ≥ 4 PROVEN — no cross-cluster near pair can exist) and
+    golden-spread ``g(c)`` XOR ``member_mask[id % 12]`` in the LOW 32
+    (in-cluster pair distance = popcount(mask_a XOR mask_b), a
+    closed form over the 12-mask literal table; band-bucket diversity
+    ≈ corpus cardinality, so banding stays linear and the skew guard
+    stays quiet). All other columns pass through untouched."""
+    parity = " | ".join(
+        f"shiftleft(bit_count(_msg & {m}) % 2, {k})"
+        for k, m in enumerate(_HAM32_MASKS))
+    return (df.withColumn("_c", F.expr(f"CAST({id_col} AS BIGINT)"
+                                       " div 12"))
+              .withColumn("_msg",
+                          F.expr("(_c * 2654435761) & 67108863"))
+              .withColumn("_p", F.expr(f"CAST({parity} AS BIGINT)"))
+              .withColumn("_p", F.expr(
+                  "_p | shiftleft(CAST((bit_count(_msg) +"
+                  " bit_count(_p)) % 2 AS BIGINT), 5)"))
+              .withColumn("_code", F.expr("shiftleft(_msg, 6) | _p"))
+              .withColumn("_g",
+                          F.expr("(_c * 2654435769) & 4294967295"))
+              .withColumn("_mask", F.element_at(
+                  F.array(*[F.lit(m ^ mask_xor)
+                            for m in _HAM_MEMBER_MASKS]),
+                  F.expr(f"CAST({id_col} % 12 AS INT)") + 1)
+                  .cast("long"))
+              .withColumn("fp",
+                          F.expr("shiftleft(_code, 32) | (_g ^ _mask)"))
+              .drop("_c", "_msg", "_p", "_code", "_g", "_mask"))
+
+
 def _planted_hamming_fp(spark, sf, *, mask_xor: int = 0,
                         id_offset: int = 0):
     """The planted hamming-space corpus as a checkpointed
@@ -2969,28 +3006,12 @@ def _planted_hamming_fp(spark, sf, *, mask_xor: int = 0,
     never use shifts every in-cluster distance by exactly +1);
     ``id_offset`` relabels the keys so batch and index ids are
     disjoint."""
-    parity = " | ".join(
-        f"shiftleft(bit_count(msg & {m}) % 2, {k})"
-        for k, m in enumerate(_HAM32_MASKS))
-    return (D.load(spark, sf, "embeddings")
-              .select(F.col("vec_id").cast("long").alias("v0"))
-              .withColumn("c", F.expr("v0 div 12"))
-              .withColumn("msg", F.expr("(c * 2654435761) & 67108863"))
-              .withColumn("p", F.expr(f"CAST({parity} AS BIGINT)"))
-              .withColumn("p", F.expr(
-                  "p | shiftleft(CAST((bit_count(msg) + bit_count(p))"
-                  " % 2 AS BIGINT), 5)"))
-              .withColumn("code", F.expr("shiftleft(msg, 6) | p"))
-              .withColumn("g", F.expr("(c * 2654435769) & 4294967295"))
-              .withColumn("mask", F.element_at(
-                  F.array(*[F.lit(m ^ mask_xor)
-                            for m in _HAM_MEMBER_MASKS]),
-                  F.expr("CAST(v0 % 12 AS INT)") + 1).cast("long"))
-              .withColumn("fp",
-                          F.expr("shiftleft(code, 32) | (g ^ mask)"))
-              .select((F.col("v0") + F.lit(id_offset)).alias("vec_id"),
-                      "fp")
-              .localCheckpoint())
+    base = D.load(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("v0"))
+    return (_with_planted_fp(base, "v0", mask_xor=mask_xor)
+            .select((F.col("v0") + F.lit(id_offset)).alias("vec_id"),
+                    "fp")
+            .localCheckpoint())
 
 
 def _pq_incremental_ingest_planted(spark, sf):
@@ -4063,6 +4084,131 @@ WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
                                 ELSE 1000 END"""
 
 
+def _pq_curation_neardup_planted(spark, sf):
+    """The five-stage curation pipeline with the near-dup stage on
+    the PLANTED fingerprint corpus (r12 verdict #4 — the last
+    sf0.01-only composite gets a linear mirror): same planted exact
+    dups (+1e6) and contamination (+2e6) as `curation_pipeline`, but
+    the SimHash-of-text stage is swapped for the engine's
+    ``fp_col`` path (`curate(near_dup="hamming", fp_col="fp")`) over
+    `_with_planted_fp` fingerprints keyed on doc_id. Near-dup truth
+    is then CLOSED FORM: cross-cluster pairs are impossible (d ≥ 4
+    code property), in-cluster pairs = member-mask XOR popcount ≤ 3
+    over survivors of the first three stages — so the whole 5-stage
+    mirror is linear (the text-space twin's O(n²) simhash CTE and
+    its synthetic-text mega-buckets both vanish) and the composed
+    gate can enter the 10×/100× scale net. Every stage of the
+    production path runs for real: Gopher quality, md5 window dedup,
+    broadcast anti-join, banded hamming self-join + skew probe, CC,
+    keep-best argmax (score = n_chars — in-cluster survivors get
+    collapsed to the longest member), two-phase budget prefix sum."""
+    from stark_spark.operators.curation import curate
+    docs = D.load(spark, sf, "documents").select(
+        "doc_id", "text", "source", "n_chars")
+    ev = docs.where(F.col("doc_id") % 97 == 3)
+    tr0 = docs.where(F.col("doc_id") % 97 != 3)
+
+    def rekey(d, off):
+        return d.select((F.col("doc_id") + off).alias("doc_id"),
+                        "text", "source", "n_chars")
+
+    train = (tr0.unionByName(rekey(tr0.where(F.col("doc_id") % 13 == 5),
+                                   1_000_000))
+                .unionByName(rekey(ev, 2_000_000)))
+    train = _with_planted_fp(train, "doc_id")
+    out = curate(train, "doc_id", eval_df=ev,
+                 near_dup="hamming", fp_col="fp",
+                 score_col="n_chars",
+                 budgets={"src0": 2000, "src1": 3000},
+                 weight_col="n_chars", source_col="source",
+                 default_budget=1000)
+    return out.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("w"),
+                      "cum_weight")
+
+
+def _curation_neardup_planted_sql() -> str:
+    """Linear mirror of the planted 5-stage pipeline: the q/kq/dd/dc
+    CTE chain is `curation_pipeline`'s verbatim; the near-dup pair
+    set is the planted closed form (within-cluster mask popcounts
+    over dc survivors — O(n·11) join fan-out, never corpus-
+    quadratic); CC is the standard recursive mirror over those
+    bounded pairs (cluster size ≤ 12 ⇒ recursion depth ≤ 12)."""
+    vals = ", ".join(f"({j}, {m})"
+                     for j, m in enumerate(_HAM_MEMBER_MASKS))
+    return f"""
+WITH RECURSIVE ev AS (SELECT * FROM documents WHERE doc_id % 97 = 3),
+tr0 AS (SELECT * FROM documents WHERE doc_id % 97 <> 3),
+train AS (
+  SELECT doc_id, text, source, n_chars FROM tr0
+  UNION ALL
+  SELECT doc_id + 1000000, text, source, n_chars FROM tr0
+  WHERE doc_id % 13 = 5
+  UNION ALL
+  SELECT doc_id + 2000000, text, source, n_chars FROM ev
+), q AS (
+  SELECT doc_id, source, n_chars, text,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+    length(replace(text, ' ', '')) AS chars,
+    len(list_filter(string_split(text, ' '),
+        x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+    len(list_distinct(list_filter(string_split(text, ' '),
+        x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'],
+                           x)))) AS stops
+  FROM train
+), kq AS (
+  SELECT doc_id, source, n_chars, text FROM q
+  WHERE n >= 20 AND n <= 100000 AND chars >= n * 3 AND chars <= n * 10
+    AND alpha * 5 >= n * 4 AND stops >= 2
+), dd AS (
+  SELECT doc_id, source, n_chars, text FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS k0 FROM kq)
+  WHERE doc_id = k0
+), dc AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM dd d
+  WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE md5(e.text) = md5(d.text))
+), mk AS (
+  SELECT * FROM (VALUES {vals}) t(j, mask)
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM dc a JOIN dc b
+    ON a.doc_id // 12 = b.doc_id // 12 AND a.doc_id < b.doc_id
+  JOIN mk ma ON a.doc_id % 12 = ma.j
+  JOIN mk mb ON b.doc_id % 12 = mb.j
+  WHERE bit_count(xor(CAST(ma.mask AS BIGINT),
+                      CAST(mb.mask AS BIGINT))) <= 3
+), sym AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+), reach(node, m) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.b, r.m FROM reach r JOIN sym s ON s.a = r.node
+), comp AS (
+  SELECT node, min(m) AS comp FROM reach GROUP BY node
+), labeled AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+    row_number() OVER (PARTITION BY coalesce(c.comp, d.doc_id)
+                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM dc d LEFT JOIN comp c ON c.node = d.doc_id
+), nd AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+    md5('curate|' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM labeled WHERE rn = 1
+), c AS (
+  SELECT doc_id, source, w,
+    CAST(sum(w) OVER (PARTITION BY source
+      ORDER BY {_hex7_sql('hh')}, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_weight
+  FROM nd
+)
+SELECT doc_id, source, w, cum_weight FROM c
+WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
+                                WHEN 'src1' THEN 3000
+                                ELSE 1000 END"""
+
+
 def pending_queries():
     # Staged gates awaiting a driver-window slot. Emptied at the
     # round-12 rotation (the full r11 cohort of 15 — ANN/semantic
@@ -4076,6 +4222,9 @@ def pending_queries():
         "contaminated_spans": _pq_contaminated_spans,
         "stream_ingest_dedup": _pq_stream_ingest_dedup,
         "kn_discounts_docs": _pq_kn_discounts,
+        # r13-minted: the 5-stage curation pipeline over the planted
+        # fingerprint corpus — linear mirror, scale-net eligible
+        "curation_neardup_planted": _pq_curation_neardup_planted,
     }
 
 
@@ -4332,6 +4481,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "contaminated_spans": _contaminated_spans_sql(),
         "stream_ingest_dedup": _incremental_ingest_planted_sql(),
         "kn_discounts_docs": _kn_discounts_sql(),
+        "curation_neardup_planted": _curation_neardup_planted_sql(),
     }
 
 

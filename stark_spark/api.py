@@ -271,18 +271,39 @@ class EventFrame:
         the deterministic HDR sketch instead (bucket-bounded,
         2^-sub_bits relative error) — one fewer value-cardinality
         shuffle when a bounded answer is enough. See the entry-point
-        table in operators/histogram.py."""
+        table in operators/histogram.py.
+
+        Contract (explicit, per the r12 ADVICE): percentiles must be
+        integers in (0, 100] — fractional percentiles raise rather
+        than silently truncating on the sketch path; the value column
+        is CAST TO LONG first (the whole quantile tier is integer-
+        grid by design — pre-scale floats, e.g. to cents, upstream).
+        Both modes return the SAME schema (pct, value, n)."""
         from pyspark.sql import functions as F
 
         from stark_spark.operators.histogram import (exact_quantiles,
                                                      hdr_histogram,
                                                      hdr_quantiles)
+        pcts = []
+        for p in percentiles:
+            if int(p) != p or not 0 < int(p) <= 100:
+                raise ValueError(
+                    f"EventFrame.quantiles: percentile {p!r} — "
+                    f"percentiles must be integers in (0, 100] "
+                    f"(fractional percentiles would truncate; use "
+                    f"basis points via histogram.hdr_quantiles "
+                    f"directly if you need finer grain)")
+            pcts.append(int(p))
         vals = self.df.select(F.col(self._v).cast("long").alias("v"))
         if exact:
-            return exact_quantiles(vals, "v", percentiles,
+            return exact_quantiles(vals, "v", pcts,
                                    sub_bits=sub_bits)
         hist = hdr_histogram(vals, "v", sub_bits=sub_bits)
-        return hdr_quantiles(hist, [int(p) * 100 for p in percentiles])
+        return (hdr_quantiles(hist, [p * 100 for p in pcts])
+                .select((F.col("q_bp") / 100).cast("int").alias("pct"),
+                        F.col("estimate").alias("value"),
+                        F.col("n").cast("long").alias("n"))
+                .orderBy("pct"))
 
     def __getattr__(self, name):
         return getattr(self.df, name)

@@ -81,10 +81,15 @@ def register_sql_functions(spark: SparkSession) -> None:
     # EventFrame.quantiles(exact=True) — a scalar function cannot run
     # that multi-stage plan by design).
     from stark_spark.operators.histogram import hdr_bucket_sql
+    # negative input raises in-plan, matching hdr_histogram's
+    # operator-level contract (r12 ADVICE: no silent garbage buckets
+    # at the SQL surface either)
     spark.sql(f"""
         CREATE OR REPLACE TEMPORARY FUNCTION hdr_bucket(v BIGINT)
         RETURNS BIGINT
-        RETURN {hdr_bucket_sql('v')}""")
+        RETURN CASE WHEN v < 0 THEN
+            raise_error('hdr_bucket: negative value')
+        ELSE {hdr_bucket_sql('v')} END""")
 
     # st_sto(wkt, epoch_sec[, epoch_end]) → ST struct (reference
     # `STConstructor.scala:98-148` MakeSTObject: WKT + date → STObject)

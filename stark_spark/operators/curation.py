@@ -70,17 +70,32 @@ def decontaminate_exact(df: DataFrame, eval_df: DataFrame, *,
 
 def dedup_near_keep_best(df: DataFrame, key: str, score_col: str, *,
                          text_col: str = "text",
-                         max_hamming: int = 3) -> DataFrame:
+                         max_hamming: int = 3,
+                         fp_col: str | None = None) -> DataFrame:
     """NEAR-dup removal keeping the best-scored copy per cluster:
-    SimHash pigeonhole-banded pairs (`dedup.simhash_near_pairs`) →
-    connected components → `dedup.dedup_keep_best` argmax — the
-    fuzzy stage real pipelines run after exact dedup ("keep the
-    longest / highest-quality near-copy"). One banded self-join on
-    the fingerprint bands + the CC cost; the survivors join back on
-    ``key``."""
-    from .dedup import dedup_keep_best, simhash_near_pairs
-    pairs = simhash_near_pairs(df, key, max_hamming=max_hamming,
-                               text_col=text_col)
+    pigeonhole-banded hamming pairs → connected components →
+    `dedup.dedup_keep_best` argmax — the fuzzy stage real pipelines
+    run after exact dedup ("keep the longest / highest-quality
+    near-copy"). One banded self-join on the fingerprint bands + the
+    CC cost; the survivors join back on ``key``.
+
+    Fingerprints: by default SimHash is computed from ``text_col``
+    (`dedup.simhash_near_pairs`); pass ``fp_col`` to band a
+    PRECOMPUTED 64-bit fingerprint column instead (image phash,
+    audio fingerprint, an offline simhash pass — any hamming-space
+    signal), riding the identical engine
+    (`dedup.hamming_near_pairs`)."""
+    from .dedup import (dedup_keep_best, hamming_near_pairs,
+                        simhash_near_pairs)
+    if fp_col is not None:
+        # (key, int64) frame — tiny; checkpoint so the banded
+        # self-join's branches don't re-run the upstream pipeline
+        fp = df.select(key, fp_col).localCheckpoint()
+        pairs = hamming_near_pairs(fp, key, fp_col=fp_col,
+                                   max_hamming=max_hamming)
+    else:
+        pairs = simhash_near_pairs(df, key, max_hamming=max_hamming,
+                                   text_col=text_col)
     kb = dedup_keep_best(df, key, score_col, pairs=pairs)
     return df.join(kb.where(F.col("keep")).select(key), key)
 
@@ -88,14 +103,15 @@ def dedup_near_keep_best(df: DataFrame, key: str, score_col: str, *,
 def curate(df: DataFrame, key: str, *, text_col: str = "text",
            min_tokens: int = 20, max_tokens: int = 100_000,
            eval_df: DataFrame | None = None,
-           near_dup: str | None = None,
+           near_dup: str | None = None, fp_col: str | None = None,
            score_col: str | None = None, max_hamming: int = 3,
            budgets=None, weight_col: str | None = None,
            source_col: str | None = None, default_budget: int = 0,
            salt: str = "curate") -> DataFrame:
     """The composed pipeline: quality → exact dedup → decontaminate
-    (if ``eval_df``) → near-dup keep-best (if ``near_dup="simhash"``;
-    requires ``score_col``) → token budget (if ``budgets``; requires
+    (if ``eval_df``) → near-dup keep-best (if ``near_dup="simhash"``
+    or ``near_dup="hamming"`` with a precomputed ``fp_col``; requires
+    ``score_col``) → token budget (if ``budgets``; requires
     ``weight_col``). Returns the curated rows; when the budget step
     runs, a ``cum_weight`` column records each survivor's running
     position against its source's cap."""
@@ -105,13 +121,16 @@ def curate(df: DataFrame, key: str, *, text_col: str = "text",
     if eval_df is not None:
         out = decontaminate_exact(out, eval_df, text_col=text_col)
     if near_dup is not None:
-        if near_dup != "simhash":
+        if near_dup not in ("simhash", "hamming"):
             raise ValueError(f"unknown near_dup engine {near_dup!r}")
         if score_col is None:
             raise ValueError("near_dup requires score_col")
-        out = dedup_near_keep_best(out, key, score_col,
-                                   text_col=text_col,
-                                   max_hamming=max_hamming)
+        if near_dup == "hamming" and fp_col is None:
+            raise ValueError("near_dup='hamming' requires fp_col")
+        out = dedup_near_keep_best(
+            out, key, score_col, text_col=text_col,
+            max_hamming=max_hamming,
+            fp_col=fp_col if near_dup == "hamming" else None)
     if budgets is not None:
         if weight_col is None:
             raise ValueError("budgets requires weight_col")

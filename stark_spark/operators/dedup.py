@@ -862,6 +862,12 @@ def _banded_fp(fp_df: DataFrame, key: str, fp_col: str,
                       F.col("bb.bucket").alias("bucket")))
 
 
+# Memoized skew-guard probe results, keyed by the banded plan's
+# semantic hash (see hamming_near_pairs docstring). Bounded; safe
+# because parquet inputs are immutable within a Spark session.
+_PROBE_CACHE: dict[tuple, int] = {}
+
+
 def hamming_near_pairs(fp_df: DataFrame, key: str, *,
                        fp_col: str = "fp",
                        max_hamming: int = 3,
@@ -894,7 +900,20 @@ def hamming_near_pairs(fp_df: DataFrame, key: str, *,
       pairs with at least one quiet shared band (the common case;
       pigeonhole gives d+1 chances) are unaffected.
     * ``bucket_cap=None`` disables the guard entirely.
+
+    Probe cost (r12 verdict #6): the raise-mode probe is memoized on
+    the banded plan's semantic hash, so repeated calls over the SAME
+    input frame (a pipeline stage invoked twice, a warm bench rerun,
+    the curation pipeline's reuse) pay the aggregate once per
+    session. Parquet inputs are immutable within a session, so a
+    cache hit is exact; if you mutate the files a plan reads
+    mid-session, clear `_PROBE_CACHE` yourself.
     """
+    if oversize not in ("raise", "salt"):
+        raise ValueError(
+            f"hamming_near_pairs: oversize={oversize!r} — must be "
+            f"'raise' or 'salt' (an unrecognized mode must not "
+            f"silently fall through to a different guard behavior)")
     banded = _banded_fp(fp_df, key, fp_col, max_hamming + 1)
     join_keys = ["band", "bucket"]
     if bucket_cap is not None and oversize == "salt":
@@ -909,8 +928,14 @@ def hamming_near_pairs(fp_df: DataFrame, key: str, *,
                         .drop("_bc"))
         join_keys = ["band", "bucket", "_salt"]
     elif bucket_cap is not None:
-        mx = (banded.groupBy("band", "bucket").count()
-                    .agg(F.max("count")).first()[0])
+        ck = (banded.semanticHash(), "hamming_probe")
+        mx = _PROBE_CACHE.get(ck)
+        if mx is None:
+            mx = (banded.groupBy("band", "bucket").count()
+                        .agg(F.max("count")).first()[0]) or 0
+            if len(_PROBE_CACHE) > 256:
+                _PROBE_CACHE.clear()
+            _PROBE_CACHE[ck] = mx
         if mx is not None and mx > bucket_cap:
             raise ValueError(
                 f"hamming_near_pairs: a band-bucket holds {mx} rows "
@@ -965,10 +990,15 @@ def hamming_near_join(new_df: DataFrame, index_df: DataFrame,
     cand = (a.join(b, ["band", "bucket"])
              .select("_new", "_idx", "fp_a", "fp_b").distinct())
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # collapse to one row per KEY pair (min hamming) — with multiple
+    # fingerprints per key this is the only shape that agrees with
+    # the streaming twin's groupBy (r12 ADVICE); with unique keys
+    # (every in-repo gate) it is the identity
     return (cand.withColumn("hamming", hamming)
                 .where(F.col("hamming") <= max_hamming)
-                .select(F.col("_new").alias("new_key"),
-                        F.col("_idx").alias("index_key"), "hamming"))
+                .groupBy(F.col("_new").alias("new_key"),
+                         F.col("_idx").alias("index_key"))
+                .agg(F.min("hamming").alias("hamming")))
 
 
 def duplicated_spans(df: DataFrame, key: str, *, n: int = 13,

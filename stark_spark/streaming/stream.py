@@ -284,7 +284,10 @@ def stream_ingest_dedup(stream: DataFrame, index_fp: DataFrame, *,
     aggregation — groupBy(new_key, index_key) → min(hamming), which
     is exact (hamming is a pure function of the pair) and the query's
     only stateful operator. Output: (new_key, index_key, hamming),
-    identical rows to the batch `hamming_near_join` on the same data.
+    identical rows to the batch `hamming_near_join` on the same data
+    — for ANY input: both twins collapse to min(hamming) per KEY
+    pair (r12 ADVICE), so duplicate keys (multiple fingerprints per
+    key) agree too.
 
     Scale shape: the index bands once (localCheckpoint; on a real
     cluster persist to storage and reload per restart) and the join

@@ -633,6 +633,13 @@ PENDING_SCALE = [
     # r12-minted: Kneser–Ney bigram stats — one explode + hash agg +
     # broadcast scalar; output is vocabulary-scale (constant here)
     "kn_discounts_docs",
+    # r13-minted (r12 verdict #4): the FIVE-stage curation pipeline
+    # with the near-dup stage on planted doc_id-keyed fingerprints —
+    # the closed-form in-cluster mask truth replaces the text-space
+    # twin's O(n²) simhash CTE, so the composed pipeline finally has
+    # a linear mirror at any replica count (the text twin stays
+    # sf0.01-only; reason recorded above)
+    "curation_neardup_planted",
 ]
 
 

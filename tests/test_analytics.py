@@ -327,6 +327,20 @@ def test_hamming_bucket_skew_guard(spark):
     open_ = hamming_near_pairs(few, "k", max_hamming=2,
                                bucket_cap=None).collect()
     assert sorted(map(tuple, guarded)) == sorted(map(tuple, open_))
+    # r12 ADVICE: an unknown oversize mode must error, not silently
+    # fall through to the raise-probe branch
+    with pytest.raises(ValueError, match="oversize"):
+        hamming_near_pairs(few, "k", oversize="Salt")
+    # r12 verdict #6: the raise-mode probe memoizes on the banded
+    # plan's semantic hash — a second call over the same frame hits
+    # the cache (no second aggregate job)
+    from stark_spark.operators import dedup as _dd
+    _dd._PROBE_CACHE.clear()
+    hamming_near_pairs(few, "k", max_hamming=2, bucket_cap=10)
+    assert len(_dd._PROBE_CACHE) == 1
+    key, cached_mx = next(iter(_dd._PROBE_CACHE.items()))
+    hamming_near_pairs(few, "k", max_hamming=2, bucket_cap=10)
+    assert _dd._PROBE_CACHE == {key: cached_mx}
 
 
 def test_hamming_near_join_matches_brute_force(spark):

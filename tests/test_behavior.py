@@ -514,10 +514,18 @@ def test_event_frame_quantiles(spark):
     want = {p: srt[max(math.ceil(n * p / 100), 1) - 1]
             for p in (25, 50, 99)}
     assert got == want
-    hdr = {r.q_bp // 100: r.estimate for r in
-           evf.quantiles((25, 50, 99), exact=False).collect()}
+    hdr_rows = evf.quantiles((25, 50, 99), exact=False).collect()
+    # r12 ADVICE: sketch path now returns the SAME (pct, value, n)
+    # schema as the exact path
+    assert hdr_rows[0].asDict().keys() == {"pct", "value", "n"}
+    hdr = {r.pct: r.value for r in hdr_rows}
     for p, exact in want.items():
         assert exact <= hdr[p] <= exact * (1 + 2 ** -5) + 1, (p, hdr)
+    import pytest
+    with pytest.raises(ValueError, match="integers in"):
+        evf.quantiles((25.5, 50))
+    with pytest.raises(ValueError, match="integers in"):
+        evf.quantiles((0, 50))
 
 
 def test_kaplan_meier_distinct_guard(spark):

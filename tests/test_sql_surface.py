@@ -522,3 +522,9 @@ def test_hdr_bucket_sql_function(spark):
     assert all(r.b == r.v for r in rows if r.v < 32)
     svals = sorted(rows, key=lambda r: r.v)
     assert all(x.b <= y.b for x, y in zip(svals, svals[1:]))
+    # r12 ADVICE: negative input raises in-plan at the SQL surface
+    # too, matching hdr_histogram's operator contract
+    import pytest
+    from pyspark.errors import PySparkException
+    with pytest.raises(PySparkException, match="negative"):
+        spark.sql("SELECT hdr_bucket(-1)").collect()
