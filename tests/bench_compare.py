@@ -37,6 +37,13 @@ BANDS_WARM_MAX = {
     # PARITY "jaccard_prefix_pairs drift": 6 isolated same-code runs
     # spread 6.30-10.24 s warm, canary-uncorrelated; re-flag > ~11 s
     "jaccard_prefix_pairs": 11.0,
+    # PARITY "ohlc_hourly flag" (r13): canary-GATED A/B, 8 quiet reps
+    # 0.249-0.314 s warm (median 0.28) — the r13 artifact's 0.513 s
+    # was a mid-query burst missed by both bracketing canaries; a
+    # burst inside a ~0.28 s micro query inflates ~2x without any
+    # canary evidence, so the band covers the measured excursion
+    # family; genuine plan decay (quiet reps > 0.55) still re-flags
+    "ohlc_hourly": 0.55,
 }
 
 
