@@ -4210,18 +4210,11 @@ WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
 
 
 def pending_queries():
-    # Staged gates awaiting a driver-window slot. Emptied at the
-    # round-12 rotation (the full r11 cohort of 15 — ANN/semantic
-    # planted family, curation pipelines, graph-metrics trio,
-    # gini/percentiles, stream contamination — promoted into
-    # queries()); new gates minted this round stage here first.
+    # Staged gates awaiting a driver-window slot. The r12 cohort of 6
+    # (planted hamming family, spans, stream ingest dedup, KN stats)
+    # promoted into queries() at the round-13 rotation; new gates
+    # minted this round stage here first.
     return {
-        "simhash_pairs_planted": _pq_simhash_pairs_planted,
-        "incremental_ingest_planted": _pq_incremental_ingest_planted,
-        "duplicated_spans": _pq_duplicated_spans,
-        "contaminated_spans": _pq_contaminated_spans,
-        "stream_ingest_dedup": _pq_stream_ingest_dedup,
-        "kn_discounts_docs": _pq_kn_discounts,
         # r13-minted: the 5-stage curation pipeline over the planted
         # fingerprint corpus — linear mirror, scale-net eligible
         "curation_neardup_planted": _pq_curation_neardup_planted,
@@ -4472,8 +4465,21 @@ FROM base LEFT JOIN hits USING (q_id) LEFT JOIN pos USING (q_id)"""
 
 def pending_oracle_sql() -> dict[str, str]:
     # Mirrors for pending_queries() — prior cohorts live on in
-    # _promoted_oracle_sql_r11/_r10/_r9/_r8/_r7/_r6, merged into
-    # oracle_sql(). Emptied at the round-12 rotation; r12 gates below.
+    # _promoted_oracle_sql_r12/_r11/.../_r6, merged into
+    # oracle_sql(). r12 cohort promoted at the round-13 rotation.
+    return {
+        "curation_neardup_planted": _curation_neardup_planted_sql(),
+    }
+
+
+def _promoted_oracle_sql_r12() -> dict[str, str]:
+    # DuckDB mirrors for the gates promoted at the r13 rotation (the
+    # r12 staged cohort, 6 gates): the planted hamming-space family
+    # (closed-form within-cluster mask truth — cross-cluster pairs
+    # impossible by the d >= 4 code property), the span extractors,
+    # the streaming ingest twin (shares the batch join's mirror
+    # verbatim — both collapse to min(hamming) per key pair), and
+    # the Kneser-Ney ppm grid.
     return {
         "simhash_pairs_planted": _simhash_pairs_planted_sql(),
         "incremental_ingest_planted": _incremental_ingest_planted_sql(),
@@ -4481,7 +4487,6 @@ def pending_oracle_sql() -> dict[str, str]:
         "contaminated_spans": _contaminated_spans_sql(),
         "stream_ingest_dedup": _incremental_ingest_planted_sql(),
         "kn_discounts_docs": _kn_discounts_sql(),
-        "curation_neardup_planted": _curation_neardup_planted_sql(),
     }
 
 
@@ -6975,58 +6980,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window holds the stalest entries.
     return {
         # --- never driver-checked (new gates) ---
-        "ann_knn_join_planted": _pq_ann_knn_join_planted,
-        "dissolve_zones_hier": _pq_dissolve_zones_hier,
-        "funnel_latency_fine": _pq_funnel_latency_fine,
-        "price_percentiles_exact": _pq_price_percentiles_exact,
-        "semantic_dedup_planted": _pq_semantic_dedup_planted,
-        "semantic_contamination_planted": _pq_semantic_contamination_planted,
-        "sample_token_budget": _pq_sample_token_budget,
-        "curation_pipeline": _pq_curation_pipeline,
-        "curation_pipeline_neardup": _pq_curation_pipeline_neardup,
-        "passage_dedup_planted": _pq_passage_dedup_planted,
-        "k_core_handoff": _pq_k_core_handoff,
-        "graph_assortativity": _pq_graph_assortativity,
-        "rich_club_handoff": _pq_rich_club,
-        "gini_prices": _pq_gini_prices,
-        "stream_semantic_contamination": _pq_stream_semantic_contamination,
-        # --- latest driver-green row: r07 ---
-        "bpe_merge_pairs": _pq_bpe_merge_pairs,
-        "bfs_reach": _pq_bfs_reach,
-        "stream_cms_counts": _pq_stream_cms_counts,
-        "sssp_latency": _pq_sssp_latency,
-        "golden_record": _pq_golden_record,
-        "latency_cube_hdr": _pq_latency_cube_hdr,
-        "doc_logprob_bigram": _pq_doc_logprob_bigram,
-        "pivot_type_dow": _pq_pivot_type_dow,
-        "min_cost_supplier": _pq_min_cost_supplier,
-        "cumulative_reach": _pq_cumulative_reach,
-        "stream_hll_users": _pq_stream_hll_users,
-        "ppr_handoff": _pq_ppr_handoff,
-        "schema_evolution_read": _pq_schema_evolution_read,
-        "funnel_steps_24h": _pq_funnel_steps_24h,
-        "agg_delta_apply": _pq_agg_delta_apply,
-        "ann_recall_eval": _pq_ann_recall_eval,
-        "st_filter_containedby_rect": _q_filter_containedby_rect,
-        "raster_count_value": _q_raster_count_value,
-        "distance_histogram": _q_distance_histogram,
-        "raster_join_raster_sum": _q_raster_join_raster,
-        "sql_raster_histogram": _q_sql_raster_hist,
-        "raster_join_vector_clip": _q_raster_join_vector_clip,
-        "knn_weighted_st": _q_knn_weighted_st,
+        "simhash_pairs_planted": _pq_simhash_pairs_planted,
+        "incremental_ingest_planted": _pq_incremental_ingest_planted,
+        "duplicated_spans": _pq_duplicated_spans,
+        "contaminated_spans": _pq_contaminated_spans,
+        "stream_ingest_dedup": _pq_stream_ingest_dedup,
+        "kn_discounts_docs": _pq_kn_discounts,
         # --- latest driver-green row: r08 ---
-        "common_neighbors_capped": _pq_common_neighbors_capped,
-        "ann_recall_pq": _pq_ann_recall_pq,
-        "ann_recall_lsh": _pq_ann_recall_lsh,
-        "sql_st_union": _pq_sql_st_union,
-        "dissolve_zones": _pq_dissolve_zones,
-        "postings_index": _pq_postings_index,
-        "st_join_expand_temporal": _q_join_expand_temporal,
-        "st_filter_both_or_neither": _q_filter_both_or_neither,
-        "st_filter_polygon_timed": _q_filter_polygon_timed,
-        "sessionize": _q_sessionize,
-        "within_distance_filter": _q_within_distance_filter,
-        "st_anti_join": _q_st_anti_join,
         "interval_join_open": _q_interval_join_open,
         "knn_join_sparse": _q_knn_join_sparse,
         "skyline_st": _q_skyline_st,
@@ -7091,7 +7051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": _q_lang_distribution,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "dedup_simhash": _q_dedup_simhash,
         "st_filter_rect_timed": _q_filter_rect_timed,
         "st_filter_intervals": _q_filter_intervals,
         "st_filter_coveredby_poly": _q_filter_coveredby_poly,
@@ -7187,7 +7146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "stream_contamination_jvm": _q_stream_contamination_jvm,
         "bm25_multi_topk": _q_bm25_multi_topk,
-        "contamination_ngrams": _q_contamination_ngrams,
         "stream_contamination_ngrams": _q_stream_contamination_ngrams,
         "ann_pq_topk": _q_ann_pq_topk,
         "boilerplate_ratio": _q_boilerplate_ratio,
@@ -7216,6 +7174,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_price_qty": _pq_ols_price_qty,
         "cms_user_counts": _pq_cms_user_counts,
         "jaccard_prefix_pairs": _pq_jaccard_prefix_pairs,
+        # --- latest driver-green row: r12 ---
+        "ann_knn_join_planted": _pq_ann_knn_join_planted,
+        "dissolve_zones_hier": _pq_dissolve_zones_hier,
+        "funnel_latency_fine": _pq_funnel_latency_fine,
+        "price_percentiles_exact": _pq_price_percentiles_exact,
+        "semantic_dedup_planted": _pq_semantic_dedup_planted,
+        "semantic_contamination_planted": _pq_semantic_contamination_planted,
+        "sample_token_budget": _pq_sample_token_budget,
+        "curation_pipeline": _pq_curation_pipeline,
+        "curation_pipeline_neardup": _pq_curation_pipeline_neardup,
+        "passage_dedup_planted": _pq_passage_dedup_planted,
+        "k_core_handoff": _pq_k_core_handoff,
+        "graph_assortativity": _pq_graph_assortativity,
+        "rich_club_handoff": _pq_rich_club,
+        "gini_prices": _pq_gini_prices,
+        "stream_semantic_contamination": _pq_stream_semantic_contamination,
+        "bpe_merge_pairs": _pq_bpe_merge_pairs,
+        "bfs_reach": _pq_bfs_reach,
+        "stream_cms_counts": _pq_stream_cms_counts,
+        "sssp_latency": _pq_sssp_latency,
+        "golden_record": _pq_golden_record,
+        "latency_cube_hdr": _pq_latency_cube_hdr,
+        "doc_logprob_bigram": _pq_doc_logprob_bigram,
+        "pivot_type_dow": _pq_pivot_type_dow,
+        "min_cost_supplier": _pq_min_cost_supplier,
+        "cumulative_reach": _pq_cumulative_reach,
+        "stream_hll_users": _pq_stream_hll_users,
+        "ppr_handoff": _pq_ppr_handoff,
+        "schema_evolution_read": _pq_schema_evolution_read,
+        "funnel_steps_24h": _pq_funnel_steps_24h,
+        "agg_delta_apply": _pq_agg_delta_apply,
+        "ann_recall_eval": _pq_ann_recall_eval,
+        "st_filter_containedby_rect": _q_filter_containedby_rect,
+        "raster_count_value": _q_raster_count_value,
+        "distance_histogram": _q_distance_histogram,
+        "raster_join_raster_sum": _q_raster_join_raster,
+        "sql_raster_histogram": _q_sql_raster_hist,
+        "raster_join_vector_clip": _q_raster_join_vector_clip,
+        "knn_weighted_st": _q_knn_weighted_st,
+        "common_neighbors_capped": _pq_common_neighbors_capped,
+        "ann_recall_pq": _pq_ann_recall_pq,
+        "ann_recall_lsh": _pq_ann_recall_lsh,
+        "sql_st_union": _pq_sql_st_union,
+        "dissolve_zones": _pq_dissolve_zones,
+        "postings_index": _pq_postings_index,
+        "st_join_expand_temporal": _q_join_expand_temporal,
+        "st_filter_both_or_neither": _q_filter_both_or_neither,
+        "st_filter_polygon_timed": _q_filter_polygon_timed,
+        "sessionize": _q_sessionize,
+        "within_distance_filter": _q_within_distance_filter,
+        "st_anti_join": _q_st_anti_join,
     }
 
 
@@ -10389,15 +10398,26 @@ FROM assign a GROUP BY 1"""
 # Spark built-ins); events_daily ⊂ events_rollup (same date-trunc
 # groupBy, rollup adds GROUPING SETS); token_counts ⊂ text_profile
 # (same tokenizer, profile adds the quality columns).
+# r13 rotation (6 staged >= 3 fires the trigger again):
+# dedup_simhash ⊂ simhash_pairs_planted — the planted gate runs the
+# SAME banding engine (hamming_near_pairs) end-to-end with a stronger
+# (closed-form planted) oracle, and the fingerprint bit-vote
+# arithmetic stays pytest-pinned (test_analytics simhash tests);
+# contamination_ngrams ⊂ contaminated_spans — the span gate runs the
+# identical 13-gram explode + eval-gram join shape and ADDITIONALLY
+# proves the exact excision offsets the counting gate only counts.
 _RETIRED = ("set_ops_union_distinct", "agg_revenue_by_nation",
-            "events_daily", "token_counts")
+            "events_daily", "token_counts",
+            "dedup_simhash", "contamination_ngrams")
 
 
 def retired_queries():
     return {"set_ops_union_distinct": _q_set_ops,
             "agg_revenue_by_nation": _q_agg_revenue_by_nation,
             "events_daily": _q_events_daily,
-            "token_counts": _q_token_counts}
+            "token_counts": _q_token_counts,
+            "dedup_simhash": _q_dedup_simhash,
+            "contamination_ngrams": _q_contamination_ngrams}
 
 
 def retired_oracle_sql() -> dict[str, str]:
@@ -10413,6 +10433,7 @@ def oracle_sql() -> dict[str, str]:
     sql.update(_promoted_oracle_sql_r9())
     sql.update(_promoted_oracle_sql_r10())
     sql.update(_promoted_oracle_sql_r11())
+    sql.update(_promoted_oracle_sql_r12())
     for k in _RETIRED:
         sql.pop(k, None)
     return sql

@@ -1001,6 +1001,95 @@ def hamming_near_join(new_df: DataFrame, index_df: DataFrame,
                 .agg(F.min("hamming").alias("hamming")))
 
 
+def save_fp_index(fp_df: DataFrame, path: str, *, key: str = "doc_id",
+                  fp_col: str = "fp", max_hamming: int = 3,
+                  bucket_shards: int = 64) -> None:
+    """Persist a fingerprint index PRE-BANDED and shard-partitioned —
+    the storage layout that makes small-batch incremental ingest
+    SUBLINEAR in index size (r12 verdict #7; the reference's own
+    partition_info pruning idea, `SpatioTemporalRDD.scala:658-713`,
+    applied to fingerprint space). `hamming_near_join` re-bands the
+    full index on every call — one map pass, fine for batch-daily,
+    wasteful for hourly ingest against a 100 TB corpus. This writer
+    pays the banding ONCE: the index is exploded into its
+    ``max_hamming + 1`` pigeonhole bands and written partitioned by
+    ``(band, bshard = bucket % bucket_shards)`` — 4×64 directories by
+    default — so a probe can Catalyst-prune every directory whose
+    (band, shard) no batch fingerprint hashes into, BEFORE any row
+    is deserialized. Storage cost: (d+1)× the raw fingerprint table
+    — fingerprints are 16 bytes/row, so a 100 TB corpus's index is
+    ~tens of GB banded; the probe reads only matching shards of it.
+
+    Metadata (band count, shard modulus, column names) rides in
+    ``path/_meta`` — underscore-prefixed, invisible to the data scan,
+    the `save_ivf_bucketed` convention."""
+    n_bands = max_hamming + 1
+    banded = (_banded_fp(fp_df, key, fp_col, n_bands)
+              .withColumn("bshard",
+                          F.pmod(F.col("bucket"),
+                                 F.lit(int(bucket_shards))).cast("int")))
+    (banded.repartition("band", "bshard")
+           .write.mode("overwrite").partitionBy("band", "bshard")
+           .parquet(path))
+    meta = fp_df.sparkSession.createDataFrame(
+        [(int(n_bands), int(bucket_shards), key, fp_col)],
+        "n_bands int, bucket_shards int, key string, fp_col string")
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def hamming_near_join_indexed(new_df: DataFrame, index_path: str, *,
+                              key: str = "doc_id",
+                              fp_col: str = "fp",
+                              max_hamming: int = 3) -> DataFrame:
+    """`hamming_near_join` against a `save_fp_index` store: the new
+    batch bands in memory (d+1 rows per fingerprint), the DISTINCT
+    (band, shard) set it occupies is collected (≤ n_bands ×
+    bucket_shards rows — driver-tiny by construction, independent of
+    both batch and index size), and the index scan carries
+    ``(band · shards + bshard) IN (…)`` — a deterministic expression
+    of the two partition columns, so Catalyst prunes whole
+    directories and I/O is ∝ the shards the batch actually touches
+    (assert ``PartitionFilters`` in the plan). A small batch touches
+    few shards → sublinear ingest in index size; a full-corpus batch
+    touches all of them → graceful degradation to the in-memory
+    join's cost. Output is IDENTICAL to `hamming_near_join` on the
+    same frames: (new_key, index_key, hamming), min-collapsed per
+    key pair."""
+    spark = new_df.sparkSession
+    mf = spark.read.parquet(index_path + "/_meta").first()
+    n_bands = max_hamming + 1
+    if mf.n_bands != n_bands:
+        raise ValueError(
+            f"hamming_near_join_indexed: index at {index_path} was "
+            f"banded for max_hamming={mf.n_bands - 1}, probe asked "
+            f"max_hamming={max_hamming} — rebuild the index or match "
+            f"the threshold (pigeonhole bands are not reusable across "
+            f"thresholds)")
+    shards = int(mf.bucket_shards)
+    a = (_banded_fp(new_df, key, fp_col, n_bands)
+         .select(F.col(key).alias("_new"), F.col("fp").alias("fp_a"),
+                 "band", "bucket")
+         .withColumn("bshard",
+                     F.pmod(F.col("bucket"), F.lit(shards)).cast("int"))
+         .localCheckpoint())
+    present = sorted({r.band * shards + r.bshard
+                      for r in a.select("band", "bshard")
+                                .distinct().collect()})
+    idx = (spark.read.parquet(index_path)
+           .where((F.col("band") * F.lit(shards) + F.col("bshard"))
+                  .isin(present))
+           .select(F.col(mf.key).alias("_idx"),
+                   F.col(mf.fp_col).alias("fp_b"), "band", "bucket"))
+    cand = (a.join(idx, ["band", "bucket"])
+             .select("_new", "_idx", "fp_a", "fp_b").distinct())
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (cand.withColumn("hamming", hamming)
+                .where(F.col("hamming") <= max_hamming)
+                .groupBy(F.col("_new").alias("new_key"),
+                         F.col("_idx").alias("index_key"))
+                .agg(F.min("hamming").alias("hamming")))
+
+
 def duplicated_spans(df: DataFrame, key: str, *, n: int = 13,
                      min_docs: int = 2, text_col: str = "text",
                      broadcast_dups: bool = True) -> DataFrame:

@@ -477,6 +477,77 @@ def stream_st_join_state_check(workdir: str) -> bool:
     return ok
 
 
+def stream_ingest_dedup_check(workdir: str) -> bool:
+    """10x replay check for `stream_ingest_dedup` (r12 verdict #5 —
+    the one r12 gate with no scale entry): the 10x planted re-crawl
+    batch replayed as a file stream (8 files, one per micro-batch)
+    against the 10x planted index, asserting (a) the final table
+    equals the batch `hamming_near_join` as an exact row MULTISET
+    (exceptAll both ways — stronger than the count-only check), and
+    (b) streaming state stays PAIR-scale: the query's only stateful
+    operator is the (new_key, index_key) min-collapse, so peak state
+    rows must stay <= |result| + band fan-in slack, never
+    corpus-scale (the 'buffer the index' failure mode the
+    stream-static design avoids)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from stark_spark import get_session
+    from stark_spark.operators.dedup import hamming_near_join
+    from stark_spark.streaming.stream import (read_event_stream,
+                                              stream_ingest_dedup)
+
+    spark = get_session("stream_ingest_scale", master="local[32]",
+                        shuffle_partitions=32)
+    index = entry._planted_hamming_fp(spark, workdir)
+    batch = entry._planted_hamming_fp(spark, workdir, mask_xor=0x1000,
+                                      id_offset=10_000_000)
+    want_df = hamming_near_join(batch, index, "vec_id", fp_col="fp",
+                                max_hamming=3).localCheckpoint()
+    want = want_df.count()
+
+    root = tempfile.mkdtemp(prefix="stark_ingest_scale_")
+    n_files = 8
+    for i in range(n_files):
+        (batch.where(F.pmod(F.col("vec_id"), n_files) == i)
+              .coalesce(1).write.mode("append")
+              .parquet(f"{root}/batch"))
+    s = read_event_stream(spark, f"{root}/batch", batch.schema,
+                          max_files=1)
+    out = stream_ingest_dedup(s, index, key="vec_id", fp_col="fp",
+                              max_hamming=3)
+    q = (out.writeStream.outputMode("complete").format("memory")
+            .queryName("ingest_scale")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True).start())
+    q.awaitTermination(1800)
+    peaks = [sum(op["numRowsTotal"] for op in p["stateOperators"])
+             for p in q.recentProgress if p["stateOperators"]]
+    got_df = spark.table("ingest_scale")
+    got = got_df.count()
+    extra = got_df.exceptAll(want_df).count()
+    missing = want_df.exceptAll(got_df).count()
+    peak = max(peaks) if peaks else 0
+    # state = one row per candidate key pair; pigeonhole emits each
+    # pair in <= 4 bands but the collapse keys on the pair, so the
+    # bound is |result| + the sub-threshold candidates that verified
+    # hamming > 3 filters BEFORE the agg — i.e. exactly |result|
+    bound = want + 1000
+    ok = (got == want and extra == 0 and missing == 0
+          and 0 < peak <= bound)
+    status = "PASS" if ok else "FAIL"
+    print(f"{status} stream_ingest_dedup_scale: stream {got} rows == "
+          f"batch {want} (extra {extra}, missing {missing}), peak "
+          f"state {peak} <= bound {bound} "
+          f"({len(peaks)} progress samples)", file=sys.stderr)
+    spark.stop()
+    shutil.rmtree(root, ignore_errors=True)
+    return ok
+
+
 def capped_cn_skew_check(workdir: str, n_edges: int) -> bool:
     """Skew exercise for common_neighbors(max_degree): a synthetic
     graph where ONE celebrity node owns 10% of all edges (deg = E/10,
@@ -674,6 +745,9 @@ def main() -> int:
     # stream-stream ST join under a production watermark: match count
     # must equal the batch join, state must stay window-bounded
     if not stream_st_join_state_check(workdir):
+        rc = rc or 1
+    # streaming ingest near-dup replay == batch join, pair-scale state
+    if not stream_ingest_dedup_check(workdir):
         rc = rc or 1
     # IVF directory prune must survive 10x file counts (r10 ask #3)
     if not ivf_prune_plan_check(workdir):
