@@ -4084,6 +4084,87 @@ WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
                                 ELSE 1000 END"""
 
 
+def _pq_doc_logprob_kn(spark, sf):
+    """Interpolated MODIFIED Kneser–Ney bigram scoring
+    (text.doc_logprob_kn over text.kn_discounts_mod — Chen & Goodman
+    1998): count-class discounts D1/D2/D3+ and the per-context
+    interpolation mass on the DECIMAL(38) ppm grid (HUGEINT-
+    identical in DuckDB), each pair's probability assembled as ONE
+    exact integer ratio and quantized floor(ln·1e6) BEFORE the
+    per-doc sum — the `doc_logprob_bigram` exactness idiom carried
+    to a properly smoothed LM."""
+    from stark_spark.operators.text import doc_logprob_kn
+    docs = D.load(spark, sf, "documents").select("doc_id", "text")
+    return doc_logprob_kn(docs, "doc_id")
+
+
+def _doc_logprob_kn_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), dp AS (
+  SELECT doc_id, toks[CAST(u.i + 1 AS BIGINT)] AS w1,
+         toks[CAST(u.i + 2 AS BIGINT)] AS w2
+  FROM t, UNNEST(range(greatest(len(toks) - 1, 0))) AS u(i)
+), bgc AS (
+  SELECT w1, w2, count(*) AS c FROM dp GROUP BY w1, w2
+), g AS (
+  SELECT CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+         CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS HUGEINT) AS n3,
+         CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS HUGEINT) AS n4
+  FROM bgc
+), d AS (
+  SELECT
+    CASE WHEN n1 + 2 * n2 = 0 THEN CAST(0 AS HUGEINT)
+         ELSE greatest(CAST(1000000 AS HUGEINT)
+              - (CAST(2000000 AS HUGEINT) * n2) // (n1 + 2 * n2),
+              CAST(0 AS HUGEINT)) END AS d1,
+    CASE WHEN n2 = 0 OR n1 + 2 * n2 = 0 THEN CAST(0 AS HUGEINT)
+         ELSE greatest(CAST(2000000 AS HUGEINT)
+              - (CAST(3000000 AS HUGEINT) * n1 * n3)
+                // ((n1 + 2 * n2) * n2),
+              CAST(0 AS HUGEINT)) END AS d2,
+    CASE WHEN n3 = 0 OR n1 + 2 * n2 = 0 THEN CAST(0 AS HUGEINT)
+         ELSE greatest(CAST(3000000 AS HUGEINT)
+              - (CAST(4000000 AS HUGEINT) * n1 * n4)
+                // ((n1 + 2 * n2) * n3),
+              CAST(0 AS HUGEINT)) END AS d3
+  FROM g
+), ctx AS (
+  SELECT w1, CAST(sum(c) AS HUGEINT) AS total,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n1w,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n2w,
+         CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n3pw
+  FROM bgc GROUP BY w1
+), cont AS (
+  SELECT w2, CAST(count(*) AS HUGEINT) AS cont FROM bgc GROUP BY w2
+), tt AS (
+  SELECT CAST(count(*) AS HUGEINT) AS t FROM bgc
+), terms AS (
+  SELECT dp.doc_id,
+    (CAST(bgc.c AS HUGEINT) * 1000000
+     - CASE WHEN bgc.c = 1 THEN d.d1 WHEN bgc.c = 2 THEN d.d2
+            ELSE d.d3 END) * tt.t
+    + (d.d1 * ctx.n1w + d.d2 * ctx.n2w + d.d3 * ctx.n3pw)
+      * cont.cont AS num,
+    CAST(1000000 AS HUGEINT) * ctx.total * tt.t AS den
+  FROM dp
+  JOIN bgc USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2),
+  d, tt
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(CAST(floor(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                      * 1000000) AS BIGINT)) AS BIGINT)
+    AS logprob_kn_q
+FROM terms GROUP BY doc_id"""
+
+
 def _pq_curation_neardup_planted(spark, sf):
     """The five-stage curation pipeline with the near-dup stage on
     the PLANTED fingerprint corpus (r12 verdict #4 — the last
@@ -4218,6 +4299,8 @@ def pending_queries():
         # r13-minted: the 5-stage curation pipeline over the planted
         # fingerprint corpus — linear mirror, scale-net eligible
         "curation_neardup_planted": _pq_curation_neardup_planted,
+        # r13-minted: interpolated modified-KN document scorer
+        "doc_logprob_kn": _pq_doc_logprob_kn,
     }
 
 
@@ -4469,6 +4552,7 @@ def pending_oracle_sql() -> dict[str, str]:
     # oracle_sql(). r12 cohort promoted at the round-13 rotation.
     return {
         "curation_neardup_planted": _curation_neardup_planted_sql(),
+        "doc_logprob_kn": _doc_logprob_kn_sql(),
     }
 
 

@@ -278,6 +278,32 @@ def main() -> None:
     # from the live registry (events_daily, token_counts @ r12) keep
     # benching via their kept functions — cross-round columns stay
     # comparable
+    # QUIET MODE (r12 verdict #3 — the storm-dodging retry built INTO
+    # the runner, opt-in so the driver's fixed-budget run is
+    # untouched): SPARK_GRAFT_QUIET=1 makes every query measurement
+    # canary-GATED — spin until both canaries read quiet before the
+    # query, re-measure the warm tier when a burst lands inside the
+    # brackets, cap attempts per query and put a global deadline on
+    # the whole run (past the deadline it degrades to the plain
+    # single-shot path, so a storm that outlasts the budget still
+    # yields a complete — just honest-canaried — record).
+    quiet_mode = os.environ.get("SPARK_GRAFT_QUIET") == "1"
+    gemm_bar = float(os.environ.get("SPARK_GRAFT_GEMM_BAR", "0.08"))
+    jvm_bar = float(os.environ.get("SPARK_GRAFT_JVM_BAR", "0.12"))
+    deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_QUIET_DEADLINE", "2700"))
+
+    def _quiet_wait(max_spin: float = 90.0) -> tuple[float, float]:
+        """Poll until a quiet window (or spin/deadline cap); returns
+        the last (gemm, jvm) sample either way."""
+        t_end = min(time.monotonic() + max_spin, deadline)
+        while True:
+            g, j = _canary(), _jvm_canary()
+            if (g < gemm_bar and j < jvm_bar) \
+                    or time.monotonic() >= t_end:
+                return g, j
+            time.sleep(2.0)
+
     qs = dict(entry.retired_queries())
     qs.update(entry.queries())
     times: dict[str, float] = {}
@@ -288,6 +314,8 @@ def main() -> None:
     j_prev = _jvm_canary()
     for name in BENCH_QUERIES:
         fn = qs[name]
+        if quiet_mode and time.monotonic() < deadline:
+            c_prev, j_prev = _quiet_wait()
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         times[name] = round(time.perf_counter() - t0, 3)
@@ -299,6 +327,22 @@ def main() -> None:
         warm[name] = round(time.perf_counter() - t0, 3)
         c_now = _canary()
         j_now = _jvm_canary()
+        if quiet_mode:
+            # burst landed inside the brackets: re-measure warm in a
+            # fresh quiet window (cold stays the genuine first touch)
+            tries = 0
+            while ((c_now >= gemm_bar or j_now >= jvm_bar)
+                   and tries < 3 and time.monotonic() < deadline):
+                c_prev, j_prev = _quiet_wait()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                w = round(time.perf_counter() - t0, 3)
+                c_now, j_now = _canary(), _jvm_canary()
+                if c_now < gemm_bar and j_now < jvm_bar:
+                    warm[name] = w
+                else:
+                    warm[name] = min(warm[name], w)
+                tries += 1
         # worst adjacent sample brackets this query's measurement
         canaries[name] = max(c_prev, c_now)
         jvm_canaries[name] = max(j_prev, j_now)
@@ -325,6 +369,7 @@ def main() -> None:
         "n_queries": len(times),
         "canary_gemm_s": canary,
         "canary_max_s": max(canaries.values()),
+        "quiet_mode": quiet_mode,
         "value_warm": round(sum(warm.values()), 3),
         # first-run wall — methodology unchanged across rounds
         "value": round(sum(times.values()), 3),

@@ -991,3 +991,156 @@ def kn_discounts(df: DataFrame, *, text_col: str = "text",
                               f"{dec}) * n1 * n_distinct div "
                               f"(CAST(n1 + 2 * n2 AS {dec}) * total)"
                               f" AS BIGINT) END").alias("lambda_ppm")))
+
+
+def kn_discounts_mod(df: DataFrame, *, text_col: str = "text",
+                     min_total: int = 1) -> DataFrame:
+    """MODIFIED Kneser–Ney statistics (Chen & Goodman 1998 §4.1.6) —
+    the three-discount refinement of `kn_discounts`: with Y =
+    n1/(n1+2·n2) from the corpus count-of-counts,
+
+        D1  = 1 − 2·Y·n2/n1 = 1 − 2·n2/(n1+2·n2)
+        D2  = 2 − 3·Y·n3/n2
+        D3+ = 3 − 4·Y·n4/n3
+
+    and per context w1 the interpolation mass
+    ``λ(w1) = (D1·N1(w1) + D2·N2(w1) + D3+·N3+(w1)) / total(w1)``
+    where Nk(w1) = |{w2 : c(w1,w2) = k}| (N3+ counts c ≥ 3). Same
+    integer-exactness contract as `kn_discounts`: every ratio is a
+    single integral division on the ppm grid in DECIMAL(38,0)
+    (DuckDB HUGEINT ``//`` identical); degenerate denominators (a
+    count-of-count class that does not occur) pin the unused
+    discount to 0 via CASE, and negative estimates clamp to 0 — so
+    the output hashes identically in any engine.
+
+    Scale shape: identical to `kn_discounts` — one explode, one
+    (w1, w2) hash aggregate, a 1-row count-of-counts broadcast.
+    Output: (w1, total, n1w, n2w, n3pw, d1_ppm, d2_ppm, d3_ppm,
+    lambda_ppm); the d*_ppm are corpus constants repeated per row.
+    """
+    toks = F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")
+    pairs = F.expr(
+        "CASE WHEN size(_t) < 2 THEN "
+        "CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) "
+        "ELSE transform(sequence(0, size(_t) - 2), "
+        "i -> struct(_t[i] AS w1, _t[i + 1] AS w2)) END")
+    bg = (df.select(toks.alias("_t"))
+            .select(F.explode(pairs).alias("p"))
+            .select("p.w1", "p.w2"))
+    c = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=False))
+    glob = c.agg(*[
+        F.sum(F.when(F.col("c") == k, 1).otherwise(0)).alias(f"n{k}")
+        for k in (1, 2, 3, 4)])
+    ctx = (c.groupBy("w1")
+             .agg(F.sum("c").alias("total"),
+                  F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                   .alias("n1w"),
+                  F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+                   .alias("n2w"),
+                  F.sum(F.when(F.col("c") >= 3, 1).otherwise(0))
+                   .alias("n3pw"))
+             .where(F.col("total") >= int(min_total)))
+    dec = "DECIMAL(38, 0)"
+    # Dk on the ppm grid, with integral division and clamps:
+    #   D1 = 1 − 2n2/(n1+2n2);  Dk = k − (k+1)·n1·n_{k+1} /
+    #   ((n1+2n2)·n_k)  for k = 2, 3 (n_4 stands in for n_{k+1} of
+    #   the 3+ class, the standard estimator)
+    d1 = (f"CASE WHEN n1 + 2 * n2 = 0 THEN CAST(0 AS BIGINT) ELSE "
+          f"CAST(greatest(CAST(1000000 AS BIGINT) - CAST(CAST(2000000"
+          f" AS {dec}) * n2 div (n1 + 2 * n2) AS BIGINT), 0) AS "
+          f"BIGINT) END")
+    d2 = (f"CASE WHEN n2 = 0 OR n1 + 2 * n2 = 0 THEN CAST(0 AS "
+          f"BIGINT) ELSE CAST(greatest(CAST(2000000 AS BIGINT) - "
+          f"CAST(CAST(3000000 AS {dec}) * n1 * n3 div "
+          f"(CAST(n1 + 2 * n2 AS {dec}) * n2) AS BIGINT), 0) AS "
+          f"BIGINT) END")
+    d3 = (f"CASE WHEN n3 = 0 OR n1 + 2 * n2 = 0 THEN CAST(0 AS "
+          f"BIGINT) ELSE CAST(greatest(CAST(3000000 AS BIGINT) - "
+          f"CAST(CAST(4000000 AS {dec}) * n1 * n4 div "
+          f"(CAST(n1 + 2 * n2 AS {dec}) * n3) AS BIGINT), 0) AS "
+          f"BIGINT) END")
+    lam = (f"CAST((CAST(_d1 AS {dec}) * n1w + CAST(_d2 AS {dec}) * "
+           f"n2w + CAST(_d3 AS {dec}) * n3pw) div total AS BIGINT)")
+    return (ctx.crossJoin(F.broadcast(glob))
+               .withColumn("_d1", F.expr(d1))
+               .withColumn("_d2", F.expr(d2))
+               .withColumn("_d3", F.expr(d3))
+               .select("w1",
+                       F.col("total").cast("long").alias("total"),
+                       F.col("n1w").cast("long").alias("n1w"),
+                       F.col("n2w").cast("long").alias("n2w"),
+                       F.col("n3pw").cast("long").alias("n3pw"),
+                       F.col("_d1").alias("d1_ppm"),
+                       F.col("_d2").alias("d2_ppm"),
+                       F.col("_d3").alias("d3_ppm"),
+                       F.expr(lam).alias("lambda_ppm")))
+
+
+def doc_logprob_kn(df: DataFrame, key: str, *,
+                   text_col: str = "text") -> DataFrame:
+    """Per-document log-probability under an INTERPOLATED MODIFIED
+    Kneser–Ney bigram LM fit on the same corpus — the smoothed
+    scorer the `kn_discounts` family exists for (and the proper
+    replacement for `doc_logprob_bigram`'s add-one): for each
+    adjacent pair,
+
+        P(w2|w1) = (c(w1,w2) − D(c)) / total(w1)
+                 + λ(w1) · cont(w2) / T
+
+    with D(c) the count-class discount (D1/D2/D3+ per Chen &
+    Goodman), λ(w1) the `kn_discounts_mod` interpolation mass,
+    cont(w2) = |{w1 : c(w1,w2) > 0}| the CONTINUATION count (the KN
+    insight: how many contexts a word completes, not how often it
+    occurs), and T = |distinct bigram types|.
+
+    Cross-engine exactness: the probability is assembled as ONE
+    integer ratio — num = (c·10⁶ − D(c)_ppm)·T + (D1·N1 + D2·N2 +
+    D3·N3+)_ppm·cont(w2), den = 10⁶·total·T, both DECIMAL(38) exact
+    in either engine — then each term quantizes floor(ln(num/den) ·
+    10⁶) BIGINT micro-nats BEFORE the per-doc sum (a single DOUBLE
+    division and one ln, the `doc_logprob_bigram` idiom), so
+    aggregation order cannot move the result. num > 0 always: c ≥ 1
+    in-corpus and the λ-mass term is positive whenever the class-1
+    discount bites.
+
+    Scale shape: the stats are two vocabulary-scale hash aggregates
+    (bigram counts + per-context classes) and two broadcast-sized
+    side frames (continuation counts, the 1-row globals); scoring
+    joins each doc pair to them on vocab keys — the
+    `doc_logprob_bigram` join pattern with one extra broadcast.
+    Output: (key, n_bigrams, logprob_kn_q)."""
+    pair_expr = ("CASE WHEN size(_toks) >= 2 THEN "
+                 "transform(sequence(1, size(_toks) - 1), "
+                 "i -> struct(element_at(_toks, i) AS w1, "
+                 "element_at(_toks, i + 1) AS w2)) "
+                 "ELSE CAST(array() AS "
+                 "ARRAY<STRUCT<w1: STRING, w2: STRING>>) END")
+    doc_pairs = (df.select(F.col(key),
+                           F.expr(f"filter(split({text_col}, ' '), "
+                                  "t -> t <> '')").alias("_toks"))
+                   .select(F.col(key),
+                           F.explode(F.expr(pair_expr)).alias("p"))
+                   .select(F.col(key), "p.w1", "p.w2"))
+    stats = kn_discounts_mod(df, text_col=text_col)
+    bgc = (doc_pairs.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=False))
+    cont = bgc.groupBy("w2").agg(F.count("*").alias("cont"))
+    t_types = bgc.count()
+    dec = "DECIMAL(38, 0)"
+    d_of_c = ("CASE WHEN c = 1 THEN d1_ppm WHEN c = 2 THEN d2_ppm "
+              "ELSE d3_ppm END")
+    lam_ppm = (f"CAST(d1_ppm AS {dec}) * n1w + CAST(d2_ppm AS {dec})"
+               f" * n2w + CAST(d3_ppm AS {dec}) * n3pw")
+    num = (f"(CAST(c AS {dec}) * 1000000 - ({d_of_c})) * {t_types}"
+           f" + ({lam_ppm}) * cont")
+    den = f"CAST(1000000 AS {dec}) * total * {t_types}"
+    term = (f"CAST(floor(ln(CAST({num} AS DOUBLE) / "
+            f"CAST({den} AS DOUBLE)) * 1000000) AS BIGINT)")
+    return (doc_pairs
+            .join(F.broadcast(bgc), ["w1", "w2"])
+            .join(F.broadcast(stats), "w1")
+            .join(F.broadcast(cont), "w2")
+            .groupBy(key)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum(F.expr(term)).alias("logprob_kn_q")))

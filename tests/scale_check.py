@@ -711,6 +711,10 @@ PENDING_SCALE = [
     # a linear mirror at any replica count (the text twin stays
     # sf0.01-only; reason recorded above)
     "curation_neardup_planted",
+    # r13-minted: interpolated modified-KN scorer — same footprint
+    # as kn_discounts (explode + vocab-scale hash aggs + broadcasts),
+    # output is doc-scale; replica texts extend the vocab linearly
+    "doc_logprob_kn",
 ]
 
 

@@ -2232,3 +2232,67 @@ def test_kn_discounts_closed_form(spark):
            for r in kn_discounts(df).collect()}
     assert got == {"a": (3, 1, 1_000_000, 333_333),
                    "b": (3, 3, 1_000_000, 1_000_000)}, got
+
+
+def test_kn_discounts_mod_and_doc_logprob_kn_closed_form(spark):
+    """Modified-KN (Chen & Goodman) discounts and the interpolated
+    scorer, verified against a from-scratch integer recomputation on
+    a hand corpus rich enough to populate every count class (c = 1,
+    2, 3+ all present)."""
+    import math
+
+    from stark_spark.operators.text import (doc_logprob_kn,
+                                            kn_discounts_mod)
+    docs = [(0, "a b a b a b c d"), (1, "a b c d c d e"),
+            (2, "e a x y")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # ground truth from scratch
+    bg: dict = {}
+    for _, t in docs:
+        ts = t.split()
+        for u, v in zip(ts, ts[1:]):
+            bg[(u, v)] = bg.get((u, v), 0) + 1
+    n = [sum(1 for c in bg.values() if c == k) for k in (1, 2, 3, 4)]
+    n1, n2, n3, n4 = n
+    d1 = max(10**6 - (2 * 10**6 * n2) // (n1 + 2 * n2), 0)
+    d2 = (max(2 * 10**6 - (3 * 10**6 * n1 * n3)
+              // ((n1 + 2 * n2) * n2), 0) if n2 else 0)
+    d3 = (max(3 * 10**6 - (4 * 10**6 * n1 * n4)
+              // ((n1 + 2 * n2) * n3), 0) if n3 else 0)
+    ctx: dict = {}
+    for (u, v), c in bg.items():
+        tot, k1, k2, k3 = ctx.get(u, (0, 0, 0, 0))
+        ctx[u] = (tot + c, k1 + (c == 1), k2 + (c == 2),
+                  k3 + (c >= 3))
+    got = {r.w1: (r.total, r.n1w, r.n2w, r.n3pw, r.d1_ppm, r.d2_ppm,
+                  r.d3_ppm, r.lambda_ppm)
+           for r in kn_discounts_mod(df).collect()}
+    for w1, (tot, k1, k2, k3) in ctx.items():
+        lam = (d1 * k1 + d2 * k2 + d3 * k3) // tot
+        assert got[w1] == (tot, k1, k2, k3, d1, d2, d3, lam), w1
+
+    # interpolated scorer: same integer num/den per pair, floor-ln
+    cont: dict = {}
+    for (u, v) in bg:
+        cont[v] = cont.get(v, 0) + 1
+    t_types = len(bg)
+    want: dict = {}
+    for did, t in docs:
+        ts = t.split()
+        s, npairs = 0, 0
+        for u, v in zip(ts, ts[1:]):
+            c = bg[(u, v)]
+            dc = d1 if c == 1 else d2 if c == 2 else d3
+            tot, k1, k2, k3 = ctx[u]
+            num = ((c * 10**6 - dc) * t_types
+                   + (d1 * k1 + d2 * k2 + d3 * k3) * cont[v])
+            den = 10**6 * tot * t_types
+            s += math.floor(math.log(num / den) * 10**6)
+            npairs += 1
+        want[did] = (npairs, s)
+    out = {r.doc_id: (r.n_bigrams, r.logprob_kn_q)
+           for r in doc_logprob_kn(df, "doc_id").collect()}
+    assert out == want, (out, want)
+    # a proper probability model: every per-doc logprob is negative
+    assert all(s < 0 for _, s in out.values())
