@@ -355,11 +355,16 @@ class DocFrame:
                              broadcast_dups=broadcast_dups)
 
     def dedup_near(self, score_col: str, *,
-                   max_hamming: int = 3) -> "DocFrame":
+                   max_hamming: int = 3,
+                   fp_col: str | None = None) -> "DocFrame":
+        """SimHash near-dup keep-best; pass ``fp_col`` to band a
+        precomputed 64-bit fingerprint column instead (phash, audio
+        fp, offline simhash — the `curate(near_dup="hamming")`
+        path)."""
         from stark_spark.operators.curation import dedup_near_keep_best
         return self._wrap(dedup_near_keep_best(
             self.df, self._k, score_col, text_col=self._tc,
-            max_hamming=max_hamming))
+            max_hamming=max_hamming, fp_col=fp_col))
 
     def decontaminate(self, eval_df: DataFrame, *,
                       eval_text_col: str | None = None) -> "DocFrame":

@@ -477,6 +477,82 @@ def stream_st_join_state_check(workdir: str) -> bool:
     return ok
 
 
+def fp_index_prune_check(workdir: str) -> bool:
+    """10x proof for the persisted banded fingerprint index (r12
+    verdict #7): save_fp_index over the 10x planted corpus (200k+
+    fingerprints, 4x64 shard directories), probe with a SMALL batch
+    (120 one-cluster-perturbed fps — the hourly-ingest shape), and
+    assert (a) the probe plan carries the (band·shards + bshard)
+    PartitionFilter, (b) the rows equal the in-memory
+    hamming_near_join exactly, and (c) the pruned scan reads fewer
+    files than the store holds — the sublinear-ingest claim as a
+    file count, not prose."""
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from stark_spark import get_session
+    from stark_spark.operators.dedup import (hamming_near_join,
+                                             hamming_near_join_indexed,
+                                             save_fp_index)
+
+    spark = get_session("fp_index_scale", master="local[32]",
+                        shuffle_partitions=32)
+    index = entry._planted_hamming_fp(spark, workdir)
+    batch = (entry._planted_hamming_fp(spark, workdir,
+                                       mask_xor=0x1000,
+                                       id_offset=10_000_000)
+             .where(F.col("vec_id") < 10_000_120)
+             .localCheckpoint())
+    path = tempfile.mkdtemp(prefix="stark_fpidx_scale_") + "/idx"
+    try:
+        save_fp_index(index, path, key="vec_id", fp_col="fp",
+                      max_hamming=3)
+        got = hamming_near_join_indexed(batch, path, key="vec_id",
+                                        fp_col="fp", max_hamming=3)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        if not re.search(r"PartitionFilters: \[\(\(band#\d+ \* 64\)"
+                         r" \+ bshard#\d+\) IN", plan):
+            print("# fp_index_prune_check FAIL: no shard "
+                  "PartitionFilter in probe plan", file=sys.stderr)
+            return False
+        want = hamming_near_join(batch, index, "vec_id",
+                                 fp_col="fp", max_hamming=3)
+        extra = got.exceptAll(want).count()
+        missing = want.exceptAll(got).count()
+        n = got.count()
+        # files actually read by the pruned probe vs the store total
+        # (input_file_name over the same shard filter the probe
+        # plants — pruned directories are never listed)
+        from pathlib import Path as _P
+
+        from stark_spark.operators.dedup import _banded_fp
+        total_files = len(list(_P(path).glob(
+            "band=*/bshard=*/*.parquet")))
+        a = (_banded_fp(batch, "vec_id", "fp", 4)
+             .withColumn("bshard", F.pmod(F.col("bucket"), F.lit(64))))
+        present = [r.band * 64 + r.bshard for r in
+                   a.select("band", "bshard").distinct().collect()]
+        read_files = (spark.read.parquet(path)
+                      .where((F.col("band") * 64 + F.col("bshard"))
+                             .isin(present))
+                      .select(F.input_file_name()).distinct().count())
+        ok = (extra == 0 and missing == 0 and n > 0
+              and 0 < read_files < total_files)
+        print(f"{'PASS' if ok else 'FAIL'} fp_index_prune: "
+              f"{n} rows == in-memory join (extra {extra}, missing "
+              f"{missing}), PartitionFilter present, read "
+              f"{read_files} of {total_files} store files",
+              file=sys.stderr)
+        return ok
+    finally:
+        spark.stop()
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def stream_ingest_dedup_check(workdir: str) -> bool:
     """10x replay check for `stream_ingest_dedup` (r12 verdict #5 —
     the one r12 gate with no scale entry): the 10x planted re-crawl
@@ -752,6 +828,10 @@ def main() -> int:
         rc = rc or 1
     # streaming ingest near-dup replay == batch join, pair-scale state
     if not stream_ingest_dedup_check(workdir):
+        rc = rc or 1
+    # persisted banded fp index: pruned probe == in-memory join at
+    # 10x file counts
+    if not fp_index_prune_check(workdir):
         rc = rc or 1
     # IVF directory prune must survive 10x file counts (r10 ask #3)
     if not ivf_prune_plan_check(workdir):
