@@ -328,10 +328,23 @@ def main() -> None:
         c_now = _canary()
         j_now = _jvm_canary()
         if quiet_mode:
-            # burst landed inside the brackets: re-measure warm in a
-            # fresh quiet window (cold stays the genuine first touch)
-            tries = 0
-            while ((c_now >= gemm_bar or j_now >= jvm_bar)
+            # Re-measure the warm tier when the sample is suspect:
+            # (a) a burst landed on a bracketing canary, or (b) warm
+            # read SLOWER than this very query's cold — steady state
+            # can't be slower than first touch, so that's a burst
+            # that fit entirely INSIDE the rep and dodged both
+            # brackets (the ohlc/dissolve failure mode the r13 A/Bs
+            # measured). Keep the best quiet-bracketed sample; cold
+            # stays the genuine first touch.
+            tries, best_quiet = 0, None
+            if c_now < gemm_bar and j_now < jvm_bar:
+                best_quiet = warm[name]
+
+            def _suspect(w_q: float) -> bool:
+                # slower than cold beyond micro-jitter tolerance
+                return w_q > times[name] * 1.15 + 0.05
+
+            while ((best_quiet is None or _suspect(best_quiet))
                    and tries < 3 and time.monotonic() < deadline):
                 c_prev, j_prev = _quiet_wait()
                 t0 = time.perf_counter()
@@ -339,10 +352,12 @@ def main() -> None:
                 w = round(time.perf_counter() - t0, 3)
                 c_now, j_now = _canary(), _jvm_canary()
                 if c_now < gemm_bar and j_now < jvm_bar:
-                    warm[name] = w
-                else:
-                    warm[name] = min(warm[name], w)
+                    best_quiet = (w if best_quiet is None
+                                  else min(best_quiet, w))
+                warm[name] = min(warm[name], w)
                 tries += 1
+            if best_quiet is not None:
+                warm[name] = best_quiet
         # worst adjacent sample brackets this query's measurement
         canaries[name] = max(c_prev, c_now)
         jvm_canaries[name] = max(j_prev, j_now)

@@ -44,6 +44,17 @@ BANDS_WARM_MAX = {
     # canary evidence, so the band covers the measured excursion
     # family; genuine plan decay (quiet reps > 0.55) still re-flags
     "ohlc_hourly": 0.55,
+    # PARITY "Skew-guard probe cost": the r12 band-bucket guard adds
+    # a DECLARED +0.2-0.3 s eager probe to every hamming-family call
+    # (the last pre-guard record is r11-era, so the step shows up in
+    # the r12->r13 column); quiet-host post-guard readings are
+    # 0.76-0.91 s. The probe memo cache can't help here — each bench
+    # rep re-localCheckpoints the fp frame, which mints a fresh
+    # semanticHash. An unguarded quadratic regression would read
+    # multi-second, far past these bands.
+    "multimodal_phash_pairs": 1.2,
+    "multimodal_audio_pairs": 1.1,
+    "multimodal_video_pairs": 1.2,
 }
 
 
