@@ -4084,6 +4084,36 @@ WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
                                 ELSE 1000 END"""
 
 
+def _pq_incremental_ingest_indexed(spark, sf):
+    """The persisted-index twin of `incremental_ingest_planted`
+    (r12 verdict #7 made a gate): the planted index goes through
+    `dedup.save_fp_index` (pre-banded, (band, bucket%64)-partitioned
+    parquet + _meta) and the same mask_xor=0x1000 re-crawl batch
+    probes it via `dedup.hamming_near_join_indexed` — the scan
+    carries the shard PartitionFilter, so the driver's correctness
+    net covers the STORAGE path end-to-end (write layout, manifest,
+    partition-pruned read, cross-frame verify, min-collapse), not
+    just the in-memory join. Same closed-form mirror: output must be
+    row-identical to `hamming_near_join` on the same frames, i.e.
+    the 12×12 mask cross table with popcount+1 ≤ 3."""
+    import tempfile
+
+    from stark_spark.operators.dedup import (hamming_near_join_indexed,
+                                             save_fp_index)
+    index = _planted_hamming_fp(spark, sf)
+    batch = _planted_hamming_fp(spark, sf, mask_xor=0x1000,
+                                id_offset=10_000_000)
+    path = tempfile.mkdtemp(prefix="stark_fpidx_") + "/idx"
+    save_fp_index(index, path, key="vec_id", fp_col="fp",
+                  max_hamming=3)
+    out = hamming_near_join_indexed(batch, path, key="vec_id",
+                                    fp_col="fp", max_hamming=3)
+    return out.select(F.col("new_key").cast("long").alias("new_key"),
+                      F.col("index_key").cast("long")
+                       .alias("index_key"),
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
 def _pq_doc_logprob_kn(spark, sf):
     """Interpolated MODIFIED Kneser–Ney bigram scoring
     (text.doc_logprob_kn over text.kn_discounts_mod — Chen & Goodman
@@ -4301,6 +4331,8 @@ def pending_queries():
         "curation_neardup_planted": _pq_curation_neardup_planted,
         # r13-minted: interpolated modified-KN document scorer
         "doc_logprob_kn": _pq_doc_logprob_kn,
+        # r13-minted: persisted banded-index probe (storage path)
+        "incremental_ingest_indexed": _pq_incremental_ingest_indexed,
     }
 
 
@@ -4553,6 +4585,7 @@ def pending_oracle_sql() -> dict[str, str]:
     return {
         "curation_neardup_planted": _curation_neardup_planted_sql(),
         "doc_logprob_kn": _doc_logprob_kn_sql(),
+        "incremental_ingest_indexed": _incremental_ingest_planted_sql(),
     }
 
 
