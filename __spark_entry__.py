@@ -4084,6 +4084,116 @@ WHERE cum_weight <= CASE source WHEN 'src0' THEN 2000
                                 ELSE 1000 END"""
 
 
+def _pq_doc_logprob_kn3(spark, sf):
+    """Interpolated modified-KN TRIGRAM scoring with continuation-
+    count backoff (text.doc_logprob_kn3, Chen & Goodman 1998): each
+    level's D1/D2/D3+ from its own count-of-counts (trigram counts;
+    bigram CONTINUATION counts), integer-exact stats, and a fixed-
+    operand-order DOUBLE assembly (three IEEE mult/add/div steps —
+    the single-rational DECIMAL form would need ~10⁴² headroom at
+    petabyte counts) quantized floor(ln·1e6) per term."""
+    from stark_spark.operators.text import doc_logprob_kn3
+    docs = D.load(spark, sf, "documents").select("doc_id", "text")
+    return doc_logprob_kn3(docs, "doc_id")
+
+
+def _kn3_discount_sql(src: str, col: str) -> str:
+    """1-row (d1, d2, d3) ppm discounts from ``src``'s count column
+    — HUGEINT twin of text.doc_logprob_kn3's _discounts."""
+    return f"""
+  SELECT
+    CASE WHEN n1 + 2 * n2 = 0 THEN CAST(0 AS HUGEINT)
+         ELSE greatest(CAST(1000000 AS HUGEINT)
+              - (CAST(2000000 AS HUGEINT) * n2) // (n1 + 2 * n2),
+              CAST(0 AS HUGEINT)) END AS d1,
+    CASE WHEN n2 = 0 OR n1 + 2 * n2 = 0 THEN CAST(0 AS HUGEINT)
+         ELSE greatest(CAST(2000000 AS HUGEINT)
+              - (CAST(3000000 AS HUGEINT) * n1 * n3)
+                // ((n1 + 2 * n2) * n2),
+              CAST(0 AS HUGEINT)) END AS d2,
+    CASE WHEN n3 = 0 OR n1 + 2 * n2 = 0 THEN CAST(0 AS HUGEINT)
+         ELSE greatest(CAST(3000000 AS HUGEINT)
+              - (CAST(4000000 AS HUGEINT) * n1 * n4)
+                // ((n1 + 2 * n2) * n3),
+              CAST(0 AS HUGEINT)) END AS d3
+  FROM (
+    SELECT CAST(sum(CASE WHEN {col} = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+             AS n1,
+           CAST(sum(CASE WHEN {col} = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+             AS n2,
+           CAST(sum(CASE WHEN {col} = 3 THEN 1 ELSE 0 END) AS HUGEINT)
+             AS n3,
+           CAST(sum(CASE WHEN {col} = 4 THEN 1 ELSE 0 END) AS HUGEINT)
+             AS n4
+    FROM {src})"""
+
+
+def _doc_logprob_kn3_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), dt AS (
+  SELECT doc_id, toks[CAST(u.i + 1 AS BIGINT)] AS w1,
+         toks[CAST(u.i + 2 AS BIGINT)] AS w2,
+         toks[CAST(u.i + 3 AS BIGINT)] AS w3
+  FROM t, UNNEST(range(greatest(len(toks) - 2, 0))) AS u(i)
+), tri AS MATERIALIZED (
+  SELECT w1, w2, w3, count(*) AS c FROM dt GROUP BY w1, w2, w3
+), g3 AS MATERIALIZED ({_kn3_discount_sql('tri', 'c')}
+), ctx3 AS MATERIALIZED (
+  SELECT w1, w2, CAST(sum(c) AS HUGEINT) AS total3,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS k1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS k2,
+         CAST(sum(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS k3p
+  FROM tri GROUP BY w1, w2
+), bcc AS MATERIALIZED (
+  SELECT w2, w3, count(*) AS bc FROM tri GROUP BY w2, w3
+), g2 AS MATERIALIZED ({_kn3_discount_sql('bcc', 'bc')}
+), ctx2 AS MATERIALIZED (
+  SELECT w2, CAST(sum(bc) AS HUGEINT) AS total2,
+         CAST(sum(CASE WHEN bc = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS j1,
+         CAST(sum(CASE WHEN bc = 2 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS j2,
+         CAST(sum(CASE WHEN bc >= 3 THEN 1 ELSE 0 END) AS HUGEINT)
+           AS j3p
+  FROM bcc GROUP BY w2
+), ucc AS MATERIALIZED (
+  SELECT w3, CAST(count(*) AS HUGEINT) AS uc FROM bcc GROUP BY w3
+), tt2 AS MATERIALIZED (
+  SELECT CAST(count(*) AS HUGEINT) AS t2 FROM bcc
+), terms AS (
+  SELECT dt.doc_id,
+    (CAST(CAST(tri.c AS HUGEINT) * 1000000
+          - CASE WHEN tri.c = 1 THEN g3.d1 WHEN tri.c = 2 THEN g3.d2
+                 ELSE g3.d3 END AS DOUBLE)
+     + CAST(g3.d1 * ctx3.k1 + g3.d2 * ctx3.k2 + g3.d3 * ctx3.k3p
+            AS DOUBLE)
+       * ((CAST(CAST(bcc.bc AS HUGEINT) * 1000000
+                - CASE WHEN bcc.bc = 1 THEN g2.d1
+                       WHEN bcc.bc = 2 THEN g2.d2
+                       ELSE g2.d3 END AS DOUBLE)
+           + CAST(g2.d1 * ctx2.j1 + g2.d2 * ctx2.j2
+                  + g2.d3 * ctx2.j3p AS DOUBLE)
+             * (CAST(ucc.uc AS DOUBLE) / CAST(tt2.t2 AS DOUBLE)))
+          / (CAST(1000000 AS DOUBLE) * CAST(ctx2.total2 AS DOUBLE))))
+    / (CAST(1000000 AS DOUBLE) * CAST(ctx3.total3 AS DOUBLE)) AS p
+  FROM dt
+  JOIN tri USING (w1, w2, w3) JOIN ctx3 USING (w1, w2)
+  JOIN bcc USING (w2, w3) JOIN ctx2 USING (w2) JOIN ucc USING (w3),
+  g3, g2, tt2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+  CAST(sum(CAST(floor(ln(p) * 1000000) AS BIGINT)) AS BIGINT)
+    AS logprob_kn3_q
+FROM terms GROUP BY doc_id"""
+
+
 def _pq_incremental_ingest_indexed(spark, sf):
     """The persisted-index twin of `incremental_ingest_planted`
     (r12 verdict #7 made a gate): the planted index goes through
@@ -4333,6 +4443,8 @@ def pending_queries():
         "doc_logprob_kn": _pq_doc_logprob_kn,
         # r13-minted: persisted banded-index probe (storage path)
         "incremental_ingest_indexed": _pq_incremental_ingest_indexed,
+        # r13-minted: trigram modified-KN with continuation backoff
+        "doc_logprob_kn3": _pq_doc_logprob_kn3,
     }
 
 
@@ -4586,6 +4698,7 @@ def pending_oracle_sql() -> dict[str, str]:
         "curation_neardup_planted": _curation_neardup_planted_sql(),
         "doc_logprob_kn": _doc_logprob_kn_sql(),
         "incremental_ingest_indexed": _incremental_ingest_planted_sql(),
+        "doc_logprob_kn3": _doc_logprob_kn3_sql(),
     }
 
 

@@ -1037,6 +1037,28 @@ def save_fp_index(fp_df: DataFrame, path: str, *, key: str = "doc_id",
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 
+def append_fp_index(fp_df: DataFrame, path: str) -> None:
+    """Append a new batch to a `save_fp_index` store — the write half
+    of the daily-ingest loop (probe with `hamming_near_join_indexed`,
+    anti-join the matches away, then append the survivors): the batch
+    is banded with the STORE's own parameters (read from ``_meta`` —
+    a mismatched threshold cannot silently corrupt the layout) and
+    appended into the same (band, bshard) directories; Catalyst
+    partition pruning sees old and new files uniformly, so the next
+    probe needs no compaction step. One map-only explode + a
+    partitioned append — no shuffle of the existing index, ever."""
+    spark = fp_df.sparkSession
+    mf = spark.read.parquet(path + "/_meta").first()
+    banded = (_banded_fp(fp_df, mf.key, mf.fp_col, int(mf.n_bands))
+              .withColumn("bshard",
+                          F.pmod(F.col("bucket"),
+                                 F.lit(int(mf.bucket_shards)))
+                          .cast("int")))
+    (banded.repartition("band", "bshard")
+           .write.mode("append").partitionBy("band", "bshard")
+           .parquet(path))
+
+
 def hamming_near_join_indexed(new_df: DataFrame, index_path: str, *,
                               key: str = "doc_id",
                               fp_col: str = "fp",

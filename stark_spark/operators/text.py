@@ -1144,3 +1144,138 @@ def doc_logprob_kn(df: DataFrame, key: str, *,
             .groupBy(key)
             .agg(F.count("*").alias("n_bigrams"),
                  F.sum(F.expr(term)).alias("logprob_kn_q")))
+
+
+def doc_logprob_kn3(df: DataFrame, key: str, *,
+                    text_col: str = "text") -> DataFrame:
+    """Per-document log-probability under an interpolated MODIFIED
+    Kneser–Ney TRIGRAM LM — the full Chen & Goodman recursion on top
+    of `doc_logprob_kn`'s bigram machinery:
+
+        P(w3|w1,w2) = (c(w1w2w3) − D(c))/total(w1,w2)
+                    + λ(w1,w2) · P_KN(w3|w2)
+        P_KN(w3|w2) = (N(·w2w3) − D'(N))/N(·w2·)
+                    + λ'(w2) · N(··w3)/T₂
+
+    where the LOWER orders use CONTINUATION counts (N(·w2w3) = how
+    many distinct w1 precede the bigram — the KN insight applied
+    recursively), each level's D1/D2/D3+ come from ITS OWN
+    count-of-counts (trigram counts for the top level, continuation
+    counts for the backoff level), and T₂ = |distinct (w2,w3)|.
+
+    Exactness: all counts, discounts (ppm grid) and interpolation
+    masses are integer-exact as in `kn_discounts_mod`; the final
+    probability is assembled in DOUBLE with a FIXED operand order —
+    p1 = uc/T₂; p2 = (bcn + m2·p1)/(10⁶·total2); p3 = (cn +
+    m3·p2)/(10⁶·total3) — three IEEE-754 mult/add/divide steps that
+    both engines evaluate identically (no reassociation, no FMA),
+    then floor(ln·10⁶) micro-nats per term before the per-doc sum.
+    (A single-rational DECIMAL assembly would need ~10⁴² headroom at
+    petabyte counts — past DECIMAL(38) — so the top level is the
+    documented double; the bigram gate `doc_logprob_kn` keeps the
+    fully integral form.)
+
+    Scale shape: three vocabulary-scale hash aggregates (trigram
+    counts, bigram-continuation counts, their context rollups) +
+    1-row global count-of-counts frames; scoring joins each doc
+    trigram to them on vocab keys, all broadcast-sized at any corpus
+    (vocab ≪ corpus). Docs with < 3 tokens emit no row. Output:
+    (key, n_trigrams, logprob_kn3_q)."""
+    tri_expr = ("CASE WHEN size(_toks) >= 3 THEN "
+                "transform(sequence(1, size(_toks) - 2), "
+                "i -> struct(element_at(_toks, i) AS w1, "
+                "element_at(_toks, i + 1) AS w2, "
+                "element_at(_toks, i + 2) AS w3)) "
+                "ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, "
+                "w2: STRING, w3: STRING>>) END")
+    doc_tri = (df.select(F.col(key),
+                         F.expr(f"filter(split({text_col}, ' '), "
+                                "t -> t <> '')").alias("_toks"))
+                 .select(F.col(key),
+                         F.explode(F.expr(tri_expr)).alias("p"))
+                 .select(F.col(key), "p.w1", "p.w2", "p.w3"))
+    tri = (doc_tri.groupBy("w1", "w2", "w3")
+           .agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=False))
+
+    dec = "DECIMAL(38, 0)"
+
+    def _discounts(cnts, col):
+        """1-row (d1, d2, d3) ppm frame from a count column's
+        count-of-counts — the `kn_discounts_mod` estimator."""
+        g = cnts.agg(*[
+            F.sum(F.when(F.col(col) == k, 1).otherwise(0))
+             .alias(f"n{k}") for k in (1, 2, 3, 4)])
+        d1 = (f"CASE WHEN n1 + 2 * n2 = 0 THEN CAST(0 AS BIGINT) "
+              f"ELSE CAST(greatest(CAST(1000000 AS BIGINT) - "
+              f"CAST(CAST(2000000 AS {dec}) * n2 div (n1 + 2 * n2) "
+              f"AS BIGINT), 0) AS BIGINT) END")
+        d2 = (f"CASE WHEN n2 = 0 OR n1 + 2 * n2 = 0 THEN CAST(0 AS "
+              f"BIGINT) ELSE CAST(greatest(CAST(2000000 AS BIGINT) "
+              f"- CAST(CAST(3000000 AS {dec}) * n1 * n3 div "
+              f"(CAST(n1 + 2 * n2 AS {dec}) * n2) AS BIGINT), 0) AS "
+              f"BIGINT) END")
+        d3 = (f"CASE WHEN n3 = 0 OR n1 + 2 * n2 = 0 THEN CAST(0 AS "
+              f"BIGINT) ELSE CAST(greatest(CAST(3000000 AS BIGINT) "
+              f"- CAST(CAST(4000000 AS {dec}) * n1 * n4 div "
+              f"(CAST(n1 + 2 * n2 AS {dec}) * n3) AS BIGINT), 0) AS "
+              f"BIGINT) END")
+        return g.select(F.expr(d1).alias("d1"), F.expr(d2).alias("d2"),
+                        F.expr(d3).alias("d3"))
+
+    glob3 = _discounts(tri, "c")
+    ctx3 = (tri.groupBy("w1", "w2")
+            .agg(F.sum("c").alias("total3"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                  .alias("k1"),
+                 F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+                  .alias("k2"),
+                 F.sum(F.when(F.col("c") >= 3, 1).otherwise(0))
+                  .alias("k3p")))
+    # bigram CONTINUATION counts: rows of tri are distinct trigrams,
+    # so count(*) per (w2, w3) = |{w1 : c(w1,w2,w3) > 0}|
+    bc = (tri.groupBy("w2", "w3").agg(F.count("*").alias("bc"))
+          .localCheckpoint(eager=False))
+    glob2 = _discounts(bc, "bc")
+    ctx2 = (bc.groupBy("w2")
+            .agg(F.sum("bc").alias("total2"),
+                 F.sum(F.when(F.col("bc") == 1, 1).otherwise(0))
+                  .alias("j1"),
+                 F.sum(F.when(F.col("bc") == 2, 1).otherwise(0))
+                  .alias("j2"),
+                 F.sum(F.when(F.col("bc") >= 3, 1).otherwise(0))
+                  .alias("j3p")))
+    uc = bc.groupBy("w3").agg(F.count("*").alias("uc"))
+    t2 = bc.count()
+
+    g3 = glob3.select(F.col("d1").alias("e1"), F.col("d2").alias("e2"),
+                      F.col("d3").alias("e3"))
+    d_of_c = "CASE WHEN c = 1 THEN e1 WHEN c = 2 THEN e2 ELSE e3 END"
+    d_of_bc = ("CASE WHEN bc = 1 THEN d1 WHEN bc = 2 THEN d2 "
+               "ELSE d3 END")
+    m3 = (f"CAST(e1 AS {dec}) * k1 + CAST(e2 AS {dec}) * k2 "
+          f"+ CAST(e3 AS {dec}) * k3p")
+    m2 = (f"CAST(d1 AS {dec}) * j1 + CAST(d2 AS {dec}) * j2 "
+          f"+ CAST(d3 AS {dec}) * j3p")
+    # fixed-operand-order double assembly (see docstring)
+    term = (
+        f"CAST(floor(ln("
+        f"(CAST(CAST(c AS {dec}) * 1000000 - ({d_of_c}) AS DOUBLE)"
+        f" + CAST({m3} AS DOUBLE) * ("
+        f"(CAST(CAST(bc AS {dec}) * 1000000 - ({d_of_bc}) AS DOUBLE)"
+        f" + CAST({m2} AS DOUBLE) * "
+        f"(CAST(uc AS DOUBLE) / CAST({t2} AS DOUBLE)))"
+        f" / (CAST(1000000 AS DOUBLE) * CAST(total2 AS DOUBLE))))"
+        f" / (CAST(1000000 AS DOUBLE) * CAST(total3 AS DOUBLE))"
+        f") * 1000000) AS BIGINT)")
+    return (doc_tri
+            .join(F.broadcast(tri), ["w1", "w2", "w3"])
+            .join(F.broadcast(ctx3), ["w1", "w2"])
+            .join(F.broadcast(bc), ["w2", "w3"])
+            .join(F.broadcast(ctx2), ["w2"])
+            .join(F.broadcast(uc), ["w3"])
+            .crossJoin(F.broadcast(g3))
+            .crossJoin(F.broadcast(glob2))
+            .groupBy(key)
+            .agg(F.count("*").alias("n_trigrams"),
+                 F.sum(F.expr(term)).alias("logprob_kn3_q")))

@@ -791,6 +791,13 @@ PENDING_SCALE = [
     # as kn_discounts (explode + vocab-scale hash aggs + broadcasts),
     # output is doc-scale; replica texts extend the vocab linearly
     "doc_logprob_kn",
+    # r13-minted: trigram modified-KN with continuation backoff —
+    # same linear footprint one order up; the fixed-operand-order
+    # double assembly must stay bit-identical at any vocab size
+    "doc_logprob_kn3",
+    # r13-minted: persisted banded-index probe — storage-path twin
+    # of incremental_ingest_planted (writes a temp store per run)
+    "incremental_ingest_indexed",
 ]
 
 

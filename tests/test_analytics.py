@@ -428,6 +428,23 @@ def test_fp_index_store_pruned_probe(spark, tmp_path):
     with pytest.raises(ValueError, match="max_hamming"):
         hamming_near_join_indexed(batch, path, key="k", fp_col="fp",
                                   max_hamming=2)
+    # append half of a second corpus slice: the probe against the
+    # grown store must equal the in-memory join against the union
+    from stark_spark.operators.dedup import append_fp_index
+    extra = spark.createDataFrame(
+        [(5000 + i, int(np.int64(idx_fp[i + 100]) ^ np.int64(1)))
+         for i in range(50)], "k long, fp long")
+    append_fp_index(extra, path)
+    batch2 = spark.createDataFrame(
+        [(2000 + i, int(np.int64(idx_fp[i + 100]) ^ np.int64(3)))
+         for i in range(6)], "k long, fp long")
+    got2 = hamming_near_join_indexed(batch2, path, key="k",
+                                     fp_col="fp", max_hamming=3)
+    want2 = hamming_near_join(batch2, index.unionByName(extra), "k",
+                              fp_col="fp", max_hamming=3)
+    assert (sorted(map(tuple, got2.collect()))
+            == sorted(map(tuple, want2.collect())))
+    assert got2.count() >= 6  # appended entries are actually probed
 
 
 def test_duplicated_spans_hand_corpus(spark):
@@ -2296,3 +2313,86 @@ def test_kn_discounts_mod_and_doc_logprob_kn_closed_form(spark):
     assert out == want, (out, want)
     # a proper probability model: every per-doc logprob is negative
     assert all(s < 0 for _, s in out.values())
+
+
+def test_doc_logprob_kn3_closed_form(spark):
+    """Trigram modified-KN with continuation-count backoff: full
+    from-scratch recomputation (integer stats; the double assembly
+    reproduced with the identical operand order) on a corpus that
+    populates trigram count classes 1/2/3+ and continuation classes.
+    A two-token doc contributes no trigram."""
+    import math
+
+    from stark_spark.operators.text import doc_logprob_kn3
+    docs = [(0, "a b c a b c a b c d"), (1, "a b c d e a b"),
+            (2, "x y c d q"), (3, "no tri")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    tri: dict = {}
+    for _, t in docs:
+        ts = t.split()
+        for u, v, w in zip(ts, ts[1:], ts[2:]):
+            tri[(u, v, w)] = tri.get((u, v, w), 0) + 1
+
+    def discounts(counts):
+        n = [sum(1 for c in counts if c == k) for k in (1, 2, 3, 4)]
+        n1, n2, n3, n4 = n
+        d1 = (max(10**6 - (2 * 10**6 * n2) // (n1 + 2 * n2), 0)
+              if n1 + 2 * n2 else 0)
+        d2 = (max(2 * 10**6 - (3 * 10**6 * n1 * n3)
+                  // ((n1 + 2 * n2) * n2), 0)
+              if n2 and n1 + 2 * n2 else 0)
+        d3 = (max(3 * 10**6 - (4 * 10**6 * n1 * n4)
+                  // ((n1 + 2 * n2) * n3), 0)
+              if n3 and n1 + 2 * n2 else 0)
+        return d1, d2, d3
+
+    e1, e2, e3 = discounts(list(tri.values()))
+    ctx3: dict = {}
+    for (u, v, w), c in tri.items():
+        tot, k1, k2, k3 = ctx3.get((u, v), (0, 0, 0, 0))
+        ctx3[(u, v)] = (tot + c, k1 + (c == 1), k2 + (c == 2),
+                        k3 + (c >= 3))
+    bc: dict = {}
+    for (u, v, w) in tri:
+        bc[(v, w)] = bc.get((v, w), 0) + 1
+    d1, d2, d3 = discounts(list(bc.values()))
+    ctx2: dict = {}
+    for (v, w), n in bc.items():
+        tot, j1, j2, j3 = ctx2.get(v, (0, 0, 0, 0))
+        ctx2[v] = (tot + n, j1 + (n == 1), j2 + (n == 2),
+                   j3 + (n >= 3))
+    uc: dict = {}
+    for (v, w) in bc:
+        uc[w] = uc.get(w, 0) + 1
+    t2 = len(bc)
+
+    want: dict = {}
+    for did, t in docs:
+        ts = t.split()
+        if len(ts) < 3:
+            continue
+        s, n = 0, 0
+        for u, v, w in zip(ts, ts[1:], ts[2:]):
+            c = tri[(u, v, w)]
+            dc = e1 if c == 1 else e2 if c == 2 else e3
+            tot3, k1, k2, k3 = ctx3[(u, v)]
+            m3 = e1 * k1 + e2 * k2 + e3 * k3
+            b = bc[(v, w)]
+            dbc = d1 if b == 1 else d2 if b == 2 else d3
+            tot2, j1, j2, j3 = ctx2[v]
+            m2 = d1 * j1 + d2 * j2 + d3 * j3
+            # identical operand order to the SQL expression
+            p = ((float(c * 10**6 - dc)
+                  + float(m3)
+                  * ((float(b * 10**6 - dbc)
+                      + float(m2) * (float(uc[w]) / float(t2)))
+                     / (1000000.0 * float(tot2))))
+                 / (1000000.0 * float(tot3)))
+            s += math.floor(math.log(p) * 10**6)
+            n += 1
+        want[did] = (n, s)
+    out = {r.doc_id: (r.n_trigrams, r.logprob_kn3_q)
+           for r in doc_logprob_kn3(df, "doc_id").collect()}
+    assert out == want, (out, want)
+    assert 3 not in out and all(s < 0 for _, s in out.values())
