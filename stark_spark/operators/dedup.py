@@ -1037,7 +1037,9 @@ def save_fp_index(fp_df: DataFrame, path: str, *, key: str = "doc_id",
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 
-def append_fp_index(fp_df: DataFrame, path: str) -> None:
+def append_fp_index(fp_df: DataFrame, path: str, *,
+                    key: str | None = None,
+                    fp_col: str | None = None) -> None:
     """Append a new batch to a `save_fp_index` store — the write half
     of the daily-ingest loop (probe with `hamming_near_join_indexed`,
     anti-join the matches away, then append the survivors): the batch
@@ -1049,6 +1051,10 @@ def append_fp_index(fp_df: DataFrame, path: str) -> None:
     partitioned append — no shuffle of the existing index, ever."""
     spark = fp_df.sparkSession
     mf = spark.read.parquet(path + "/_meta").first()
+    if key is not None or fp_col is not None:
+        fp_df = fp_df.select(
+            F.col(key or mf.key).alias(mf.key),
+            F.col(fp_col or mf.fp_col).alias(mf.fp_col))
     banded = (_banded_fp(fp_df, mf.key, mf.fp_col, int(mf.n_bands))
               .withColumn("bshard",
                           F.pmod(F.col("bucket"),
@@ -1110,6 +1116,36 @@ def hamming_near_join_indexed(new_df: DataFrame, index_path: str, *,
                 .groupBy(F.col("_new").alias("new_key"),
                          F.col("_idx").alias("index_key"))
                 .agg(F.min("hamming").alias("hamming")))
+
+
+def ingest_dedup_cycle(new_df: DataFrame, index_path: str, *,
+                       key: str = "doc_id", fp_col: str = "fp",
+                       max_hamming: int = 3,
+                       append: bool = True) -> DataFrame:
+    """The complete daily near-dup ingest loop as one call: probe the
+    persisted banded index (`hamming_near_join_indexed` — shard-
+    pruned, sublinear in index size), ANTI-join the batch on matched
+    keys (a batch doc is fresh iff it matched nothing within
+    ``max_hamming``), and — with ``append=True`` — append ONLY the
+    fresh fingerprints to the index (`append_fp_index`), so the next
+    batch dedups against today's accepted docs too. Returns the
+    fresh rows of ``new_df`` (all columns).
+
+    Note the append is an EAGER side effect (the anti-join result
+    must materialize before the index grows — localCheckpoint pins
+    it so the returned frame does not re-probe a store that now
+    contains the batch itself)."""
+    matches = hamming_near_join_indexed(
+        new_df, index_path, key=key, fp_col=fp_col,
+        max_hamming=max_hamming)
+    fresh = (new_df.join(matches.select(F.col("new_key").alias(key))
+                                .distinct(),
+                         key, "left_anti")
+                   .localCheckpoint())
+    if append:
+        append_fp_index(fresh.select(key, fp_col), index_path,
+                        key=key, fp_col=fp_col)
+    return fresh
 
 
 def duplicated_spans(df: DataFrame, key: str, *, n: int = 13,

@@ -447,6 +447,41 @@ def test_fp_index_store_pruned_probe(spark, tmp_path):
     assert got2.count() >= 6  # appended entries are actually probed
 
 
+def test_ingest_dedup_cycle(spark, tmp_path):
+    """The composed daily loop (probe → anti-join → append): batch 1
+    splits into near-dups (dropped) and fresh docs (returned AND
+    appended); batch 2's near-dups OF BATCH 1's fresh docs must then
+    be caught by the grown index — the property the eager append
+    exists for."""
+    import numpy as np
+
+    from stark_spark.operators.dedup import (ingest_dedup_cycle,
+                                             save_fp_index)
+    rng = np.random.default_rng(11)
+    idx_fp = rng.integers(-2**63, 2**63, size=200, dtype=np.int64)
+    index = spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(idx_fp)], "k long, fp long")
+    path = str(tmp_path / "cycle_idx")
+    save_fp_index(index, path, key="k", fp_col="fp", max_hamming=3)
+    fresh_fp = rng.integers(-2**63, 2**63, size=5, dtype=np.int64)
+    b1 = spark.createDataFrame(
+        [(1000 + i, int(np.int64(idx_fp[i]) ^ np.int64(1)))
+         for i in range(4)]                       # near-dups of index
+        + [(2000 + i, int(v)) for i, v in enumerate(fresh_fp)],
+        "k long, fp long")
+    out1 = ingest_dedup_cycle(b1, path, key="k", fp_col="fp")
+    assert sorted(r.k for r in out1.collect()) == [2000 + i
+                                                   for i in range(5)]
+    # batch 2: near-dups of batch 1's FRESH docs + one genuinely new
+    b2 = spark.createDataFrame(
+        [(3000 + i, int(np.int64(fresh_fp[i]) ^ np.int64(4)))
+         for i in range(3)]
+        + [(4000, int(rng.integers(-2**63, 2**63)))],
+        "k long, fp long")
+    out2 = ingest_dedup_cycle(b2, path, key="k", fp_col="fp")
+    assert [r.k for r in out2.collect()] == [4000]
+
+
 def test_duplicated_spans_hand_corpus(spark):
     """Closed-form span semantics: overlapping duplicated n-grams
     merge into ONE maximal span; adjacency (gap == n) merges;
