@@ -84,12 +84,26 @@ def dedup_near_keep_best(df: DataFrame, key: str, score_col: str, *,
     PRECOMPUTED 64-bit fingerprint column instead (image phash,
     audio fingerprint, an offline simhash pass — any hamming-space
     signal), riding the identical engine
-    (`dedup.hamming_near_pairs`)."""
+    (`dedup.hamming_near_pairs`).
+
+    The input frame is materialized (``localCheckpoint``) FIRST:
+    this stage fans ``df`` out three ways — the fingerprint pass,
+    the (key, score) cluster labeling, and the survivor join-back —
+    and in the composed `curate` pipeline ``df`` is the whole
+    quality→exact-dedup→decontaminate chain (a full-text window
+    shuffle per execution). Without the checkpoint each branch
+    re-runs that chain (r13 A/B at sf0.1: the upstream appears
+    twice in the final join plan alone, 3 executions per
+    invocation); with it the chain runs once and every branch reads
+    the materialized blocks. On a real cluster swap for
+    ``checkpoint()`` to reliable storage — same trade the
+    simhash fingerprint checkpoint already documents."""
     from .dedup import (dedup_keep_best, hamming_near_pairs,
                         simhash_near_pairs)
+    df = df.localCheckpoint()
     if fp_col is not None:
-        # (key, int64) frame — tiny; checkpoint so the banded
-        # self-join's branches don't re-run the upstream pipeline
+        # (key, int64) frame — tiny; its own checkpoint keeps the
+        # banded self-join's branches off the wide-row df blocks
         fp = df.select(key, fp_col).localCheckpoint()
         pairs = hamming_near_pairs(fp, key, fp_col=fp_col,
                                    max_hamming=max_hamming)

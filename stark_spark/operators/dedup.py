@@ -586,6 +586,13 @@ def jaccard_prefix_join(df: DataFrame, key: str, *,
     """
     t_q6 = int(round(threshold * 1_000_000))
     t_eff = (t_q6 - 1) / 1_000_000.0
+    # NOTE (r13 A/B): do NOT localCheckpoint tok/per_doc here even
+    # though both feed multiple subtrees — the identical distinct
+    # subtrees already share one exchange via ReusedExchange, column
+    # pruning collapses the `sizes` branch to a count-only aggregate,
+    # and the checkpointed LogicalRDD's unknown stats demote the
+    # downstream broadcast joins. Interleaved A/B at sf0.1:
+    # none 6.1 s / tok-ckpt 17.7 s / both-ckpt 9.8 s (min of 4).
     tok = (_spread_by_key(df, key)
            .select(key, F.explode(F.split(F.col(text_col), " "))
                          .alias("tok"))

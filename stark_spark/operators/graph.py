@@ -46,7 +46,15 @@ def connected_components(edges: DataFrame, *, src: str = "a",
         # Arrow collects (numpy/pandas-backed), not .collect() Row
         # objects — at the 5M-edge bound Rows would be ~1 GB of
         # driver python objects (the r11 common_neighbors lesson)
-        labs = node_df.toPandas()["node"].tolist()
+        sym_pd = sym.toPandas()
+        if nodes is None:
+            # sym is symmetric, so its `a` column enumerates every
+            # endpoint — the node set derives from the one Arrow
+            # collect instead of a second distinct+toPandas job
+            # (node ids follow edge count ≤ driver_threshold)
+            labs = sym_pd["a"].drop_duplicates().tolist()
+        else:
+            labs = node_df.toPandas()["node"].tolist()
         parent = {n: n for n in labs}
 
         def find(x):
@@ -55,7 +63,6 @@ def connected_components(edges: DataFrame, *, src: str = "a",
                 x = parent[x]
             return x
 
-        sym_pd = sym.toPandas()
         for ra_, rb_ in zip(sym_pd["a"].tolist(), sym_pd["b"].tolist()):
             if ra_ not in parent or rb_ not in parent:
                 continue          # edge endpoint outside `nodes`

@@ -340,21 +340,29 @@ def gini_ppm(df: DataFrame, value_col: str, *,
     guarded = F.when(F.col(value_col) < 0, F.expr(
         f"raise_error('gini_ppm: negative value in {value_col}')")
     ).otherwise(F.col(value_col).cast("long")).alias("v")
-    per_v = (df.where(F.col(value_col).isNotNull())
-               .select(guarded)
-               .groupBy("v").agg(F.count("*").alias("m"))
-               .repartitionByRange(nparts, "v")
-               .withColumn("_bk", F.spark_partition_id().cast("long"))
-               .localCheckpoint(eager=False))
-    totals = (per_v.groupBy("_bk").agg(F.sum("m").alias("_t"))
-                   .orderBy("_bk").collect())
-    run, offsets = 0, []
-    for r in totals:
-        offsets.append((r["_bk"], run))
-        run += r["_t"]
-    if not offsets:
-        return spark.createDataFrame([(0, 0)], "n long, gini_ppm long")
-    off = spark.createDataFrame(offsets, "_bk long, _off long")
+    # materialize the per-distinct-value aggregate BEFORE the range
+    # exchange: repartitionByRange's boundary-sampling pass otherwise
+    # executes the whole scan+aggregate a SECOND time just to pick
+    # boundaries (r13 A/B: two full aggregate executions per call) —
+    # checkpointed, the sampler and the shuffle both read the ≤
+    # |distinct v| narrow blocks
+    per_v0 = (df.where(F.col(value_col).isNotNull())
+                .select(guarded)
+                .groupBy("v").agg(F.count("*").alias("m"))
+                .localCheckpoint())
+    per_v = (per_v0.repartitionByRange(nparts, "v")
+                   .withColumn("_bk", F.spark_partition_id().cast("long"))
+                   .localCheckpoint(eager=False))
+    # phase-1 bucket offsets IN-PLAN: an exclusive prefix sum over the
+    # ≤ nparts bucket totals (single-partition window over ≤ P rows —
+    # the bounded size the offsets collect already guaranteed), then
+    # broadcast back. No driver transfer at all; the lazy checkpoint
+    # above still pins ONE range shuffle that both branches share.
+    woff = (Window.orderBy("_bk")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    off = (per_v.groupBy("_bk").agg(F.sum("m").alias("_t"))
+                .select("_bk", F.coalesce(F.sum("_t").over(woff),
+                                          F.lit(0)).alias("_off")))
     w = (Window.partitionBy("_bk").orderBy("v")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     ranked = (per_v.withColumn("_cum", F.sum("m").over(w))
@@ -368,7 +376,11 @@ def gini_ppm(df: DataFrame, value_col: str, *,
         F.sum(F.expr(f"CAST(v AS {dec}) * CAST(m * a "
                      f"+ (m * (m + 1)) div 2 AS {dec})")).alias("t"))
     return agg.select(
-        F.col("n").cast("long").alias("n"),
+        # empty input: the global agg yields one all-NULL row; n
+        # coalesces to 0 so the (n=0, gini=0) contract row survives
+        # the in-plan offsets rewrite (the old driver-collect path
+        # special-cased emptiness)
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.when((F.col("n") > 0) & (F.col("s") > 0),
                F.expr(f"CAST(floor(CAST(2 * t - (CAST(n AS {dec}) + 1) "
                       f"* s AS DOUBLE) * CAST(1000000 AS DOUBLE) "

@@ -60,19 +60,31 @@ def fk_check(child: DataFrame, fk: str, parent: DataFrame,
       usual early warning that a feed dropped a partition.
 
     All counts are exact; NULL FKs count as orphan rows (a NULL
-    reference violates the constraint) but not as orphan_keys."""
+    reference violates the constraint) but not as orphan_keys.
+
+    Physical shape (r13): ONE pass over the child — a single LEFT
+    OUTER join of the child's FK column against the (broadcast)
+    distinct parent keys feeds every child-side statistic (total
+    rows, orphan rows = unmatched, orphan keys = distinct unmatched
+    FKs, parents_referenced = distinct matched keys) in one
+    aggregate; only ``parents_total`` needs a second (dim-sized)
+    aggregate. The previous form built four aggregate subtrees
+    (child counted, child anti-joined, keys counted, keys
+    semi-joined) — three scans of the fact table per relationship
+    where one suffices (guide §1.2: don't recompute what one pass
+    already saw)."""
     keys = parent.select(F.col(pk).alias("_pk")).distinct()
-    anti_keys = F.broadcast(keys) if broadcast_parent_keys else keys
-    orphans = child.join(anti_keys, child[fk] == F.col("_pk"),
-                         "left_anti")
-    referenced = keys.join(child.select(F.col(fk).alias("_pk"))
-                                .distinct(), "_pk", "left_semi")
-    a = child.agg(F.count("*").alias("child_rows"))
-    b = orphans.agg(F.count("*").alias("orphan_rows"),
-                    F.countDistinct(fk).alias("orphan_keys"))
+    jkeys = F.broadcast(keys) if broadcast_parent_keys else keys
+    j = child.select(F.col(fk).alias("_fk")) \
+             .join(jkeys, F.col("_fk") == F.col("_pk"), "left")
+    stats = j.agg(
+        F.count(F.lit(1)).alias("child_rows"),
+        F.count(F.when(F.col("_pk").isNull(), 1)).alias("orphan_rows"),
+        F.countDistinct(F.when(F.col("_pk").isNull(), F.col("_fk")))
+         .alias("orphan_keys"),
+        F.countDistinct(F.col("_pk")).alias("parents_referenced"))
     c = keys.agg(F.count("*").alias("parents_total"))
-    d = referenced.agg(F.count("*").alias("parents_referenced"))
-    return (a.crossJoin(b).crossJoin(c).crossJoin(d)
+    return (stats.crossJoin(c)
              .select(F.lit(relationship).alias("relationship"),
                      "child_rows", "orphan_rows", "orphan_keys",
                      "parents_total", "parents_referenced"))
