@@ -914,7 +914,10 @@ def lsh_signature(vec, dim: int, n_bits: int) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
     sig = None
     for i, w in enumerate(planes):
-        warr = F.array(*[F.lit(float(x)) for x in w])
+        # one list literal per plane (not dim separate F.lit calls —
+        # n_bits·dim py4j round-trips cost whole seconds of driver
+        # time per signature expression at dim=64; same values)
+        warr = F.lit([float(x) for x in w]).cast("array<double>")
         bit = F.when(dot_fold(v, warr) >= 0,
                      F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
@@ -1003,7 +1006,8 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         # fold out of the ~n_bits^3/6 scored structs
         planes = lsh_hyperplanes(dim, n_bits)
         qv = F.col(qvec_col)
-        dots = [dot_fold(qv, F.array(*[F.lit(float(x)) for x in w]))
+        dots = [dot_fold(qv, F.lit([float(x) for x in w])
+                             .cast("array<double>"))
                 for w in planes]
         sig = None
         for i, d in enumerate(dots):
@@ -1204,6 +1208,24 @@ def pq_train(vectors: DataFrame, *, dim: int = 64, m_sub: int = 8,
     return cb
 
 
+def _pq_codes(vectors: DataFrame, codebook: list, *, key: str,
+              vec_col: str, out_col: str = "codes") -> DataFrame:
+    """(key, codes) frame: broadcast-join assignment + in-order
+    per-key collect. Every key yields exactly m_sub assignment rows,
+    so the output key set equals the input's."""
+    m_sub = len(codebook)
+    dsub = len(codebook[0][0])
+    subv = _pq_subvectors(vectors, key=key, vec_col=vec_col,
+                          m_sub=m_sub, dsub=dsub)
+    a = _pq_assign_codes(subv, _pq_cb_frame(vectors.sparkSession,
+                                            codebook), key=key)
+    return (a.groupBy(key)
+             .agg(F.transform(
+                  F.sort_array(F.collect_list(
+                      F.struct("sub_id", "code"))),
+                  lambda x: x["code"]).alias(out_col)))
+
+
 def pq_encode(vectors: DataFrame, codebook: list, *,
               key: str = "vec_id", vec_col: str = "embedding",
               out_col: str = "codes") -> DataFrame:
@@ -1211,17 +1233,8 @@ def pq_encode(vectors: DataFrame, codebook: list, *,
     broadcast-join assignment + an in-order per-row collect; store
     this instead of the vectors for the compressed index. ``key``
     must uniquely identify rows (it drives the collect-back join)."""
-    m_sub = len(codebook)
-    dsub = len(codebook[0][0])
-    spark = vectors.sparkSession
-    subv = _pq_subvectors(vectors, key=key, vec_col=vec_col,
-                          m_sub=m_sub, dsub=dsub)
-    a = _pq_assign_codes(subv, _pq_cb_frame(spark, codebook), key=key)
-    codes = (a.groupBy(key)
-              .agg(F.transform(
-                   F.sort_array(F.collect_list(
-                       F.struct("sub_id", "code"))),
-                   lambda x: x["code"]).alias(out_col)))
+    codes = _pq_codes(vectors, codebook, key=key, vec_col=vec_col,
+                      out_col=out_col)
     return vectors.join(codes, key)
 
 
@@ -1321,10 +1334,17 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, codebook: list,
     dsub = len(codebook[0][0])
     qrows = queries.select(q_key, q_vec).collect()
     # materialize the compressed index once (the PQ contract: encode
-    # once, store the 8-byte codes, score against codes only) — also
-    # keeps the per-query lookup plan from re-running the encode join
-    enc = pq_encode(vectors, codebook, key=key, vec_col=vec_col) \
-        .select(key, "codes").localCheckpoint()
+    # once, store the 8-byte codes, score against codes only). Build
+    # the (key, codes) frame DIRECTLY from the assignment aggregate:
+    # `pq_encode(...)` would inner-join the codes back onto the full
+    # vector frame only for this caller to drop every vector column
+    # again — Catalyst cannot eliminate the join (row-multiplicity
+    # reasoning), so that shape paid one corpus-wide join per call
+    # for nothing. Every key yields exactly m_sub assignment rows, so
+    # the aggregate's key set equals pq_encode's inner-join key set —
+    # identical rows, one less corpus join (r13).
+    enc = _pq_codes(vectors, codebook, key=key,
+                    vec_col=vec_col).localCheckpoint()
     if score == "batch":
         scored = _pq_topk_batch(
             enc, qrows, codebook, k, key=key,
@@ -1346,7 +1366,7 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, codebook: list,
                     t = qv[s * dsub + i] - cw[i]
                     d2 = d2 + t * t
                 dq.append(math.floor(d2 * 1000000.0))
-            tbl = F.array(*[F.lit(x).cast("long") for x in dq])
+            tbl = F.lit([int(x) for x in dq]).cast("array<bigint>")
             score = score + F.element_at(
                 tbl, F.element_at("codes", s + 1) + 1)
         return score
