@@ -293,40 +293,56 @@ def pagerank(edges: DataFrame, *, n_iter: int = 3,
     * dangling mass (nodes with no out-edges) is redistributed as
       ``(Σ dangling r) div N`` inside the damped term.
 
-    Scale shape: per iteration ONE shuffle — join ranks onto edges by
-    src (both sides hash-partitioned on the node key; a real
-    deployment pre-partitions both and reuses the exchange), then a
-    map-side-combined sum by dst; the dangling total is a scalar
-    aggregate; ``localCheckpoint()`` per round caps lineage (same
+    Scale shape: per iteration ONE shuffle — join ranks onto the
+    degree-annotated edge list by src, then a map-side-combined sum
+    by dst; the dangling total is a scalar aggregate over the rank
+    frame itself; ``localCheckpoint()`` per round caps lineage (same
     discipline as `connected_components`). O(n_iter) rounds,
     O(|E|) rows moved per round — the standard Spark PageRank shape
-    without GraphX. Output: (node, rank_q)."""
+    without GraphX. Output: (node, rank_q).
+
+    r13 round-structure rewrite: out-degrees are joined onto the
+    edge list ONCE at setup (``ed`` checkpoint) instead of
+    re-aggregating the edges every round, and each node's
+    has-out-edges flag rides the rank frame, so the dangling total
+    is a plain filtered sum over node-scale rows instead of a
+    per-round anti-join that re-derived the degree aggregate. Two
+    edge-scale passes per round (join + contribution sum) is the
+    algorithm's floor; everything else is now node-scale."""
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
               .distinct().localCheckpoint())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
               .unionByName(e.select(F.col("dst").alias("node")))
-              .distinct().localCheckpoint())
+              .distinct()
+              .join(deg.select(F.col("src").alias("node"),
+                               F.lit(True).alias("_out")),
+                    "node", "left")
+              .select("node",
+                      F.coalesce("_out", F.lit(False)).alias("_out"))
+              .localCheckpoint())
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_q"))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     base_q = (scale * 15 // 100) // n       # exact python ints
-    r = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    r = nodes.select("node", "_out",
+                     F.lit(scale // n).cast("long").alias("r"))
     for _ in range(n_iter):
-        contrib = (e.join(r.withColumnRenamed("node", "src"), "src")
-                    .join(deg, "src")
-                    .select(F.col("dst").alias("node"),
-                            F.expr("r div deg").alias("c"))
-                    .groupBy("node").agg(F.sum("c").alias("m")))
+        contrib = (ed.join(r.select(F.col("node").alias("src"), "r"),
+                           "src")
+                     .select(F.col("dst").alias("node"),
+                             F.expr("r div deg").alias("c"))
+                     .groupBy("node").agg(F.sum("c").alias("m")))
         # dangling mass as a broadcast 1-row aggregate (the drift.py
         # crossJoin idiom) instead of a driver .first(): the eager
         # checkpoint below is then the round's ONLY job — was 2/round
-        dang = (r.join(deg, r["node"] == deg["src"], "left_anti")
+        dang = (r.where(~F.col("_out"))
                  .agg(F.coalesce(F.sum("r"), F.lit(0).cast("long"))
                        .alias("_dang")))
         r = (nodes.join(contrib, "node", "left")
                   .crossJoin(F.broadcast(dang))
-                  .select("node",
+                  .select("node", "_out",
                           (F.lit(base_q)
                            + F.expr(f"(coalesce(m, 0L) + _dang div {n}L)"
                                     f" * 85 div 100")).cast("long")
@@ -432,45 +448,57 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame, *,
     PageRank; the source frame is node-keyed and joins broadcast.
     Output: (node, rank_q) over all graph nodes (0 = unreachable
     from the seed under n_iter damped hops).
-    """
+
+    Same r13 round-structure rewrite as `pagerank`: degrees joined
+    onto the edge list once (``ed``), the has-out-edges AND
+    is-source flags ride the node/rank frames, so each round is the
+    edge join + contribution sum plus node-scale work only (no
+    per-round degree aggregate, no anti-join, no per-round
+    is_src re-join)."""
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
               .distinct().localCheckpoint())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint()
+    s_dist = sources.select(F.col(node).alias("node")).distinct()
     nodes = (e.select(F.col("src").alias("node"))
               .unionByName(e.select(F.col("dst").alias("node")))
-              .distinct().localCheckpoint())
-    s_nodes = (sources.select(F.col(node).alias("node")).distinct()
-                      .join(nodes, "node").localCheckpoint())
-    ns = s_nodes.count()
+              .distinct()
+              .join(deg.select(F.col("src").alias("node"),
+                               F.lit(True).alias("_out")),
+                    "node", "left")
+              .join(F.broadcast(s_dist.select("node",
+                                              F.lit(True).alias("_s"))),
+                    "node", "left")
+              .select("node",
+                      F.coalesce("_out", F.lit(False)).alias("_out"),
+                      F.coalesce("_s", F.lit(False)).alias("_s"))
+              .localCheckpoint())
+    ns = nodes.where(F.col("_s")).count()
     if ns == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_q"))
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     base_q = (scale * 15 // 100) // ns
-    is_src = s_nodes.select("node", F.lit(1).alias("_s"))
-    r = (nodes.join(F.broadcast(is_src), "node", "left")
-              .select("node",
-                      F.when(F.col("_s").isNotNull(),
-                             F.lit(scale // ns)).otherwise(F.lit(0))
-                       .cast("long").alias("r")))
+    r = nodes.select("node", "_out", "_s",
+                     F.when(F.col("_s"), F.lit(scale // ns))
+                      .otherwise(F.lit(0)).cast("long").alias("r"))
     for _ in range(n_iter):
-        contrib = (e.join(r.withColumnRenamed("node", "src"), "src")
-                    .join(deg, "src")
-                    .select(F.col("dst").alias("node"),
-                            F.expr("r div deg").alias("c"))
-                    .groupBy("node").agg(F.sum("c").alias("m")))
+        contrib = (ed.join(r.select(F.col("node").alias("src"), "r"),
+                           "src")
+                     .select(F.col("dst").alias("node"),
+                             F.expr("r div deg").alias("c"))
+                     .groupBy("node").agg(F.sum("c").alias("m")))
         # same broadcast-fold as global pagerank: no driver .first(),
         # one job per round (the eager checkpoint)
-        dang = (r.join(deg, r["node"] == deg["src"], "left_anti")
+        dang = (r.where(~F.col("_out"))
                  .agg(F.coalesce(F.sum("r"), F.lit(0).cast("long"))
                        .alias("_dang")))
         r = (nodes.join(contrib, "node", "left")
-                  .join(F.broadcast(is_src), "node", "left")
                   .crossJoin(F.broadcast(dang))
                   .select(
-                      "node",
-                      (F.when(F.col("_s").isNotNull(), F.lit(base_q))
+                      "node", "_out", "_s",
+                      (F.when(F.col("_s"), F.lit(base_q))
                         .otherwise(F.lit(0))
                        + F.expr(
-                           f"(coalesce(m, 0L) + IF(_s IS NOT NULL,"
+                           f"(coalesce(m, 0L) + IF(_s,"
                            f" _dang div {ns}L, 0L)) * 85 div 100"))
                       .cast("long").alias("r"))
                   .localCheckpoint())
@@ -515,7 +543,11 @@ def k_core(edges: DataFrame, k: int, *, src: str = "src",
     deg = (sym.groupBy("a").agg(F.count("*").alias("_d"))
               .localCheckpoint())
     for _ in range(max_rounds):
-        bad = deg.where(F.col("_d") < k).select("a").localCheckpoint()
+        # bad is a plain filter over the checkpointed deg — re-deriving
+        # it per use (count / broadcast side / anti-join) is a cheap
+        # node-scale scan of local blocks, so no checkpoint job of its
+        # own (r13: was one extra eager-checkpoint job per peel round)
+        bad = deg.where(F.col("_d") < k).select("a")
         n_bad = bad.count()
         if n_bad == 0:
             break
