@@ -44,6 +44,14 @@ BANDS_WARM_MAX = {
     # canary evidence, so the band covers the measured excursion
     # family; genuine plan decay (quiet reps > 0.55) still re-flags
     "ohlc_hourly": 0.55,
+    # PARITY "stream_ohlc burst" (r13): canary-gated A/B, 8 quiet
+    # reps 1.815-2.357 s warm (median 1.98 == the r12 record's
+    # 1.988), 13 storm reps rejected — the r13 batch-1 artifact's
+    # 3.096 s was a mid-query burst both bracketing canaries missed
+    # (streaming gates add state-store/WAL I/O that CPU canaries
+    # can't see). Genuine per-batch decay reads systematically, not
+    # as one excursion; quiet reps > 3.3 re-flag.
+    "stream_ohlc": 3.3,
     # PARITY "Skew-guard probe cost": the r12 band-bucket guard adds
     # a DECLARED +0.2-0.3 s eager probe to every hamming-family call
     # (the last pre-guard record is r11-era, so the step shows up in
