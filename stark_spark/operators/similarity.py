@@ -1438,6 +1438,17 @@ def rank_eval(retrieved: DataFrame, truth: DataFrame, *, k: int,
     Output: (query_col, n_hits, recall_q6, mrr_q6).
     """
     q, it, rk = query_col, item_col, rank_col
+    # NOTE (r13 opt, measured — do NOT "fix" the multi-reference):
+    # retrieved is read 2x (hits + top-1 position) and truth 3x
+    # (top-k set, top-1 set, query base), but lazily
+    # localCheckpoint'ing the two projections to "dedup the subtrees"
+    # made EVERY recall gate SLOWER in a 4-rep interleaved A/B at
+    # sf0.1 (ann_recall_planted 2.17 -> 2.84 s med, ann_recall_eval
+    # 1.21 -> 1.64, ann_recall_lsh 1.44 -> 1.89, lsh_mp 1.63 -> 2.08,
+    # pq 3.07 -> 3.63): within the one action ReusedExchange already
+    # deduplicates the identical retrieval subtrees, so the
+    # checkpoints only added materialization jobs and stripped the
+    # stats that kept the tiny joins broadcast.
     tk = truth.where(F.col(rk) <= k).select(q, it)
     ret = retrieved.select(q, it, rk)
     hits = (ret.join(tk, [q, it])
