@@ -406,8 +406,13 @@ def main() -> None:
                                os.path.basename(p))
                   and (m := _re.search(r"_r(\d+)\.json$", p))]
         n = max(rounds, default=0) + 1
+        # scaling runs (non-default core count) write to a distinct
+        # filename so they can never clobber the 32-core record the
+        # cross-round compare gate pairs on (r13 verdict #8: the 8-core
+        # driver run overwrote BENCH_LOCAL_r14.json and broke CI)
+        suffix = "" if cpus == "32" else f"_c{cpus}"
         dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           f"BENCH_LOCAL_r{n:02d}.json")
+                           f"BENCH_LOCAL_r{n:02d}{suffix}.json")
         with open(dst, "w") as f:
             json.dump(out, f, indent=1)
         print(f"# full results -> {dst}", file=sys.stderr)
