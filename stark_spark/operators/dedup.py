@@ -592,7 +592,6 @@ def jaccard_prefix_join(df: DataFrame, key: str, *,
     Output: (a, b, n_common, sz_a, sz_b, jaccard_q6), a < b.
     """
     t_q6 = int(round(threshold * 1_000_000))
-    t_eff = (t_q6 - 1) / 1_000_000.0
     # NOTE (r13 A/B): do NOT localCheckpoint tok/per_doc here even
     # though both feed multiple subtrees — the identical distinct
     # subtrees already share one exchange via ReusedExchange, column
@@ -610,8 +609,19 @@ def jaccard_prefix_join(df: DataFrame, key: str, *,
                .agg(F.array_sort(F.collect_list(
                         F.struct("df_tok", "tok"))).alias("ts"),
                     F.count("*").alias("sz")))
-    prefix_len = (F.col("sz")
-                  - F.floor(F.lit(t_eff) * F.col("sz")) + 1).cast("int")
+    # Exact-integer prefix bound (r14, guide §2.3 shuffle fewer rows /
+    # §3 join-input reduction): a qualifying partner must overlap this
+    # doc in n ≥ ceil(t_q6·sz / 10⁶) tokens — from the integer
+    # acceptance rule 10⁶·n ≥ t_q6·(sz_a + sz_b − n) with sz_b ≥ n —
+    # so a shared token must appear within the first sz − n_min + 1
+    # df-ordered tokens. The old float form floor(((t_q6−1)/10⁶)·sz)
+    # was one token conservative at nearly every size (sz=23, t=0.95:
+    # prefix 3 vs exact 2), and candidate volume is quadratic in
+    # prefix rows per bucket. Pure ceil integer arithmetic, so no
+    # float-boundary risk; the result set is untouched (the verify is
+    # exact and the oracle brute-forces all pairs).
+    n_min = F.expr(f"(sz * {t_q6} + 999999) div 1000000")
+    prefix_len = (F.col("sz") - n_min + 1).cast("int")
     pref = per_doc.select(
         key, "sz",
         F.posexplode(F.slice(F.col("ts.tok"), F.lit(1), prefix_len))
@@ -623,15 +633,15 @@ def jaccard_prefix_join(df: DataFrame, key: str, *,
     #    Decisive on skewed/small vocabularies where "rare-token"
     #    prefixes degenerate into huge buckets (a 31-token corpus
     #    measured 11.3M → 2.2M candidates, 3.6× wall).
-    # 2. PPJoin positional filter (Xiao et al. 2008 §3): at the pair's
-    #    FIRST shared prefix token (0-based positions i, j in the
-    #    df-sorted token lists) the overlap is bounded by
-    #    min(sz_a − i, sz_b − j); a qualifying pair needs
-    #    n·(10⁶+t_q6) ≥ t_q6·(sz_a+sz_b), so pairs whose best bound
-    #    misses that are dropped BEFORE the verify join. max() over
-    #    occurrences equals the first occurrence (positions only
-    #    grow), and the groupBy replaces the old distinct() — same
-    #    shuffle, strictly fewer verify probes.
+    # 2. PPJoin positional filter (Xiao et al. 2008 §3): at a shared
+    #    prefix token (0-based positions i, j in the df-sorted token
+    #    lists) the overlap is bounded by min(sz_a − i, sz_b − j); a
+    #    qualifying pair needs n·(10⁶+t_q6) ≥ t_q6·(sz_a+sz_b).
+    #    Applied PER OCCURRENCE inside the join (r14): a pair
+    #    survives iff SOME occurrence's bound passes ⟺ the max over
+    #    occurrences passes (the r13 groupBy+max form), so the
+    #    surviving pair set is identical — but failing occurrences
+    #    now drop BEFORE the distinct instead of riding through it.
     a = pref.select(F.col(key).alias("a"), F.col("sz").alias("sz_pa"),
                     F.col("pos").alias("pos_a"), "tok")
     b = pref.select(F.col(key).alias("b"), F.col("sz").alias("sz_pb"),
@@ -639,27 +649,35 @@ def jaccard_prefix_join(df: DataFrame, key: str, *,
     cand = (a.join(b, "tok")
              .where((F.col("a") < F.col("b"))
                     & (F.col("sz_pa") * 1_000_000 >= F.col("sz_pb") * t_q6)
-                    & (F.col("sz_pb") * 1_000_000 >= F.col("sz_pa") * t_q6))
-             .groupBy("a", "b", "sz_pa", "sz_pb")
-             .agg(F.max(F.least(F.col("sz_pa") - F.col("pos_a"),
-                                F.col("sz_pb") - F.col("pos_b")))
-                   .alias("_ub"))
-             .where(F.col("_ub") * (1_000_000 + t_q6)
-                    >= (F.col("sz_pa") + F.col("sz_pb")) * t_q6)
-             .select("a", "b"))
-    ia = cand.join(tok.select(F.col(key).alias("a"), "tok"), "a")
-    inter = (ia.join(tok.select(F.col(key).alias("b"), "tok"),
-                     ["b", "tok"])
-               .groupBy("a", "b").agg(F.count("*").alias("n_common")))
-    sizes = per_doc.select(key, "sz")
-    out = (inter
-           .join(sizes.select(F.col(key).alias("a"),
-                              F.col("sz").alias("sz_a")), "a")
-           .join(sizes.select(F.col(key).alias("b"),
-                              F.col("sz").alias("sz_b")), "b")
-           .withColumn("jaccard_q6",
-                       F.expr("1000000 * n_common div "
-                              "(sz_a + sz_b - n_common)")))
+                    & (F.col("sz_pb") * 1_000_000 >= F.col("sz_pa") * t_q6)
+                    & (F.least(F.col("sz_pa") - F.col("pos_a"),
+                               F.col("sz_pb") - F.col("pos_b"))
+                       * (1_000_000 + t_q6)
+                       >= (F.col("sz_pa") + F.col("sz_pb")) * t_q6))
+             .select("a", "b").distinct())
+    # Verify by per-pair sorted-array intersection (r14, guide §1.2 /
+    # §2.3): the r13 verify exploded every candidate pair back into
+    # per-token rows (cand ⋈ tok on a, then on (b, tok), then a
+    # count aggregate — at sf0.1 that is |cand|·~23 ≈ 50M rows
+    # through two exchanges). The per-doc df-sorted token arrays
+    # already exist in `per_doc`; attaching them with two key joins
+    # and taking size(array_intersect(·,·)) computes the identical
+    # n_common (tokens are distinct per doc by construction) with
+    # candidate-count rows instead of candidate×tokens rows, and no
+    # verify-side aggregate at all. Sizes ride the same joins, which
+    # also drops the two separate size-attach joins.
+    ta = per_doc.select(F.col(key).alias("a"),
+                        F.col("ts.tok").alias("_tta"),
+                        F.col("sz").alias("sz_a"))
+    tb = per_doc.select(F.col(key).alias("b"),
+                        F.col("ts.tok").alias("_ttb"),
+                        F.col("sz").alias("sz_b"))
+    out = (cand.join(ta, "a").join(tb, "b")
+               .withColumn("n_common",
+                           F.size(F.array_intersect("_tta", "_ttb")))
+               .withColumn("jaccard_q6",
+                           F.expr("1000000 * n_common div "
+                                  "(sz_a + sz_b - n_common)")))
     return (out.where(F.col("jaccard_q6") >= t_q6)
                .select("a", "b",
                        F.col("n_common").cast("long").alias("n_common"),

@@ -49,6 +49,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_fold(a, b) / (norm(a) * norm(b))
 
 
+def _cos_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """`cosine` with the two norms taken from PRECOMPUTED columns —
+    bit-identical (the norm column is the same `norm` fold over the
+    same array, and x/(na·nb) sees the same operands), but the fold
+    paths attach each side's norm ONCE per row before the join/cross
+    instead of re-folding both norms per PAIR: 3 interpreted
+    CodegenFallback folds per pair become 1 (guide §4 — cut per-task
+    work; r14). Callers must pass na/nb in (a-side, b-side) order."""
+    return dot_fold(a, b) / (na * nb)
+
+
 def _local_topk(cos_row, mids, k: int, exclude=None):
     """Indices of the top-k entries of one query's cosine row with the
     deterministic (-cos, member id) tie-break; ``exclude`` drops one id
@@ -108,8 +119,11 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         j = vectors.select(key, vec_col).mapInPandas(
             score_batches, f"{qkey} {qkey_type}, {key} {key_type}, cos double")
     else:
-        j = vectors.crossJoin(F.broadcast(queries))
-        j = j.withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col))) \
+        v = vectors.withColumn("_nv", norm(F.col(vec_col)))
+        qn = queries.withColumn("_nq", norm(F.col(qvec_col)))
+        j = v.crossJoin(F.broadcast(qn))
+        j = j.withColumn("cos", _cos_pre(F.col(vec_col), F.col(qvec_col),
+                                         F.col("_nv"), F.col("_nq"))) \
              .select(qkey, key, "cos")
     w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
     return (j.withColumn("_rn", F.row_number().over(w))
@@ -181,8 +195,11 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
                 yield pdf
 
         return vectors.mapInPandas(assign_batches, out_schema)
-    j = vectors.crossJoin(F.broadcast(centroids))
-    j = j.withColumn("_cos", cosine(F.col(vec_col), F.col(cvec_col)))
+    v = vectors.withColumn("_nv", norm(F.col(vec_col)))
+    c = centroids.withColumn("_nc", norm(F.col(cvec_col)))
+    j = v.crossJoin(F.broadcast(c))
+    j = j.withColumn("_cos", _cos_pre(F.col(vec_col), F.col(cvec_col),
+                                      F.col("_nv"), F.col("_nc")))
     w = Window.partitionBy(key).orderBy(F.desc("_cos"), F.col(ckey))
     return (j.withColumn("_rn", F.row_number().over(w))
              .where(F.col("_rn") == 1)
@@ -264,8 +281,12 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
             vec_col=vec_col, qkey_type=dict(queries.dtypes)[qkey]) \
             .withColumnRenamed("q_id", qkey)
     else:
-        scored = (assigned.join(probes, "bucket")
-                  .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+        scored = (assigned.withColumn("_nv", norm(F.col(vec_col)))
+                  .join(probes.withColumn("_nq", norm(F.col(qvec_col))),
+                        "bucket")
+                  .withColumn("cos",
+                              _cos_pre(F.col(vec_col), F.col(qvec_col),
+                                       F.col("_nv"), F.col("_nq")))
                   .select(qkey, key, "cos"))
     w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
     return (scored.withColumn("_rn", F.row_number().over(w))
@@ -371,9 +392,14 @@ def ann_knn_join(vectors: DataFrame, centroids: DataFrame, k: int, *,
     else:
         qc = (vectors.select(F.col(key).alias("q_id"),
                              F.col(vec_col).alias("q_embedding"))
-                     .crossJoin(F.broadcast(centroids))
-                     .withColumn("_cos", cosine(F.col("q_embedding"),
-                                                F.col("c_embedding"))))
+                     .withColumn("_nq", norm(F.col("q_embedding")))
+                     .crossJoin(F.broadcast(
+                         centroids.withColumn("_nc",
+                                              norm(F.col("c_embedding")))))
+                     .withColumn("_cos",
+                                 _cos_pre(F.col("q_embedding"),
+                                          F.col("c_embedding"),
+                                          F.col("_nq"), F.col("_nc"))))
         wq = Window.partitionBy("q_id").orderBy(F.desc("_cos"),
                                                 F.col("c_id"))
         probes = (qc.withColumn("_rn", F.row_number().over(wq))
@@ -382,10 +408,15 @@ def ann_knn_join(vectors: DataFrame, centroids: DataFrame, k: int, *,
                             F.col("c_id").alias("bucket")))
 
     if score == "fold":
-        j = (assigned.join(probes, "bucket")
+        j = (assigned.withColumn("_nv", norm(F.col(vec_col)))
+                     .join(probes.withColumn("_nq",
+                                             norm(F.col("q_embedding"))),
+                           "bucket")
                      .where(F.col(key) != F.col("q_id"))
-                     .withColumn("cos", cosine(F.col(vec_col),
-                                               F.col("q_embedding"))))
+                     .withColumn("cos",
+                                 _cos_pre(F.col(vec_col),
+                                          F.col("q_embedding"),
+                                          F.col("_nv"), F.col("_nq"))))
         scored = j.select("q_id", key, "cos")
     else:
         key_type = dict(vectors.dtypes)[key]
@@ -453,8 +484,11 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
                      .applyInPandas(bucket_pairs,
                                     f"a {key_type}, b {key_type}, "
                                     f"cos double"))
-        a = v.select(F.col(key).alias("a"), F.col(vec_col).alias("va"), "bucket")
-        b = v.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+        v = v.withColumn("_n", norm(F.col(vec_col)))
+        a = v.select(F.col(key).alias("a"), F.col(vec_col).alias("va"),
+                     F.col("_n").alias("_na"), "bucket")
+        b = v.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"),
+                     F.col("_n").alias("_nb"), "bucket")
         j = a.join(b, "bucket").where(F.col("a") < F.col("b"))
     else:
         # size guard (r10 verdict ask #3): the exact path is O(n²) by
@@ -469,10 +503,14 @@ def cosine_dup_pairs(vectors: DataFrame, threshold: float, *,
                 f"{exact_max} rows; pass IVF centroids (e.g. from "
                 f"kmeans_centroids) for the bucketed scale path, or "
                 f"raise exact_max explicitly")
-        a = vectors.select(F.col(key).alias("a"), F.col(vec_col).alias("va"))
-        b = vectors.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"))
+        vn = vectors.withColumn("_n", norm(F.col(vec_col)))
+        a = vn.select(F.col(key).alias("a"), F.col(vec_col).alias("va"),
+                      F.col("_n").alias("_na"))
+        b = vn.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"),
+                      F.col("_n").alias("_nb"))
         j = a.crossJoin(b).where(F.col("a") < F.col("b"))
-    j = j.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    j = j.withColumn("cos", _cos_pre(F.col("va"), F.col("vb"),
+                                     F.col("_na"), F.col("_nb")))
     return j.where(F.col("cos") >= threshold).select("a", "b", "cos")
 
 
@@ -561,13 +599,15 @@ def semantic_dedup(vectors: DataFrame, tau: float, *,
                  .applyInPandas(bucket_keep,
                                 f"{key} {key_type}, cluster {cl_type}, "
                                 f"keep boolean"))
-    a = v.select("bucket", F.col(key).alias("_a"),
-                 F.col(vec_col).alias("_va"))
-    b = v.select("bucket", F.col(key).alias("_b"),
-                 F.col(vec_col).alias("_vb"))
+    vn = v.withColumn("_n", norm(F.col(vec_col)))
+    a = vn.select("bucket", F.col(key).alias("_a"),
+                  F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
+    b = vn.select("bucket", F.col(key).alias("_b"),
+                  F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"))
     dup = (a.join(b, "bucket")
             .where(F.col("_a") < F.col("_b"))
-            .where(cosine(F.col("_va"), F.col("_vb")) >= tau)
+            .where(_cos_pre(F.col("_va"), F.col("_vb"),
+                            F.col("_na"), F.col("_nb")) >= tau)
             .select(F.col("_b").alias(key)).distinct()
             .withColumn("_dup", F.lit(True)))
     return (v.join(dup, key, "left")
@@ -603,10 +643,13 @@ def semantic_contamination(train: DataFrame, eval_df: DataFrame,
                           centroids=centroids, assign_col=assign_col,
                           score=score)
     j = (q.select("bucket", F.col(key).alias("_q"),
-                  F.col(vec_col).alias("_vq"))
+                  F.col(vec_col).alias("_vq"),
+                  norm(F.col(vec_col)).alias("_nq"))
           .join(t.select("bucket", F.col(key).alias("_t"),
-                         F.col(vec_col).alias("_vt")), "bucket")
-          .withColumn("cos", cosine(F.col("_vq"), F.col("_vt")))
+                         F.col(vec_col).alias("_vt"),
+                         norm(F.col(vec_col)).alias("_nt")), "bucket")
+          .withColumn("cos", _cos_pre(F.col("_vq"), F.col("_vt"),
+                                      F.col("_nq"), F.col("_nt")))
           .where(F.col("cos") >= tau))
     return (j.groupBy("_q")
              .agg(F.count("*").alias("n_dups"),
@@ -874,8 +917,12 @@ def ivf_topk_pruned(spark, path: str, queries: DataFrame, k: int, *,
             vec_col=vec_col, qkey_type=dict(queries.dtypes)[qkey]) \
             .withColumnRenamed("q_id", qkey)
     else:
-        scored = (assigned.join(probes, "bucket")
-                  .withColumn("cos", cosine(F.col(vec_col), F.col(qvec_col)))
+        scored = (assigned.withColumn("_nv", norm(F.col(vec_col)))
+                  .join(probes.withColumn("_nq", norm(F.col(qvec_col))),
+                        "bucket")
+                  .withColumn("cos",
+                              _cos_pre(F.col(vec_col), F.col(qvec_col),
+                                       F.col("_nv"), F.col("_nq")))
                   .select(qkey, key, "cos"))
     w = Window.partitionBy(qkey).orderBy(F.desc("cos"), F.col(key))
     return (scored.withColumn("_rn", F.row_number().over(w))

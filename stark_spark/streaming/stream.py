@@ -486,16 +486,25 @@ def stream_semantic_contamination(stream: DataFrame, eval_df: DataFrame,
     centroids the fold is N·C interpreted evals). Near-tie ulp
     divergence between the two is the usual IVF caveat
     (`ivf_assign` docstring); the scored cos is fold either way."""
-    from stark_spark.operators.similarity import cosine, ivf_assign
+    from stark_spark.operators.similarity import (_cos_pre, ivf_assign,
+                                                  norm)
+    # the eval-side norm is materialized INTO the checkpoint (one
+    # fold per eval row, once per query) and the arriving side's norm
+    # is one fold per batch row — the refine then folds once per
+    # joined PAIR instead of three times (dot + both norms), which is
+    # the per-batch hot loop (guide §4; bit-identical values)
     ev = (ivf_assign(eval_df, centroids, key=key, vec_col=vec_col,
                      score=assign_score)
           .select(F.col(key).alias("eval_id"),
-                  F.col(vec_col).alias("_evv"), "bucket")
+                  F.col(vec_col).alias("_evv"), "bucket",
+                  norm(F.col(vec_col)).alias("_evn"))
           .localCheckpoint(eager=True))
-    s = ivf_assign(stream, centroids, key=key, vec_col=vec_col,
-                   score="gemm")
+    s = (ivf_assign(stream, centroids, key=key, vec_col=vec_col,
+                    score="gemm")
+         .withColumn("_sn", norm(F.col(vec_col))))
     return (s.join(ev, "bucket")
-             .withColumn("cos", cosine(F.col(vec_col), F.col("_evv")))
+             .withColumn("cos", _cos_pre(F.col(vec_col), F.col("_evv"),
+                                         F.col("_sn"), F.col("_evn")))
              .where(F.col("cos") >= tau)
              .select(key, "eval_id", "cos"))
 
