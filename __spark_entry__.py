@@ -1990,8 +1990,11 @@ def _pq_stream_cms_counts(spark, sf):
     ev = D.load(spark, sf, "events")
     d = _replay_dir(ev, sf, "events")
     s = read_event_stream(spark, d, ev.schema, max_files=2)
+    # state ≤ width·depth = 2048 CMS cells at ANY scale (the sketch
+    # contract) — state partitions sized to the key space, not cores
     sketch = _stream_sink(stream_cms(s, "user_id", width=_CMS_W,
-                                     depth=_CMS_D), "complete")
+                                     depth=_CMS_D), "complete",
+                          state_partitions=8)
     keys = spark.range(0, 25).select(F.col("id").alias("user_id"))
     est = cms_estimate(sketch, keys, "user_id",
                        width=_CMS_W, depth=_CMS_D)
@@ -2194,7 +2197,10 @@ def _pq_stream_hll_users(spark, sf):
     ev = D.load(spark, sf, "events")
     d = _replay_dir(ev, sf, "events")
     s = read_event_stream(spark, d, ev.schema, max_files=2)
-    regs = _stream_sink(stream_hll(s, "user_id"), "complete")
+    # state ≤ 256 HLL registers at any scale — same bounded-key-space
+    # sizing as stream_cms_counts
+    regs = _stream_sink(stream_hll(s, "user_id"), "complete",
+                        state_partitions=8)
     return hll_estimate(regs)
 
 
@@ -3119,7 +3125,9 @@ def _pq_stream_ingest_dedup(spark, sf):
     s = read_event_stream(spark, d, batch.schema, max_files=2)
     out = stream_ingest_dedup(s, index, key="vec_id", fp_col="fp",
                               max_hamming=3)
-    t = _stream_sink(out, "complete")
+    # group state = matched (new_key, index_key) pairs — near-dup-
+    # scale, not corpus-scale; bounded-key-space state sizing
+    t = _stream_sink(out, "complete", state_partitions=8)
     return t.select(F.col("new_key").cast("long").alias("new_key"),
                     F.col("index_key").cast("long").alias("index_key"),
                     F.col("hamming").cast("long").alias("hamming"))
@@ -6610,27 +6618,51 @@ def _q_partition_str(spark, sf):
 # per-operator; see tests/test_streaming.py).
 # ---------------------------------------------------------------------------
 
-def _stream_sink(out, mode: str):
+def _stream_sink(out, mode: str, state_partitions: int | None = None):
     """Run a bounded streaming frame to completion (availableNow) into
     a uniquely-named memory sink; return the sink table.
 
     The checkpoint lives on the fast scratch root (tmpfs when the
     host has one — WAL/state delta files are many tiny synchronous
-    writes) and is deleted after the replay. State partition count is
-    left at the session default: an A/B at sf0.1 showed pinning it
-    low starves the real per-batch aggregation work of cores, which
-    costs more than the saved state-store opens."""
+    writes) and is deleted after the replay.
+
+    ``state_partitions`` sizes the stateful-operator shuffle (= the
+    state-store instance count, pinned at the query's first batch)
+    for gates whose streaming state is BOUNDED BY CONSTRUCTION — a
+    CMS is ≤ width·depth cells, HLL ≤ groups·256 registers, OHLC ≤
+    series·windows rows. Reduce/state parallelism should track the
+    KEY SPACE, not the core count: map-side partial aggregation (the
+    per-row work) runs at the input's parallelism regardless, the
+    reduce side only merges ≤ |key space| partials, and every extra
+    state partition is a per-batch state-store open + commit + delta
+    file (r14 A/B at sf0.1/local[32], identical results: stream_ohlc
+    2.00 s → 1.14 s, stream_hll_users 1.71 → 1.09, stream_cms_counts
+    1.99 → 1.26 at 8 vs the 32 session default; an earlier r13 note
+    claimed the opposite without isolating stateful gates). The r13
+    scaling block agrees: the stateful stream gates ran FASTER on 8
+    cores (= 8 state partitions) than 32. Env override
+    SPARK_GRAFT_STREAM_STATE_PARTS wins when set (cluster deploys
+    size this to their real state volume); None keeps the session
+    default (stateless gates don't care — no state store)."""
     import shutil
     import uuid
     spark = out.sparkSession
     name = "s" + uuid.uuid4().hex[:12]
     ck = _mkdtemp("stark_ck_")
+    env_parts = _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if env_parts:
+        state_partitions = int(env_parts)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(state_partitions))
         q = (out.writeStream.format("memory").queryName(name)
                 .option("checkpointLocation", ck)
                 .outputMode(mode).trigger(availableNow=True).start())
         q.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
 
@@ -6649,7 +6681,8 @@ def _q_stream_windowed_stats(spark, sf):
     out = windowed_stats(s, time_col="ts", window="1 day",
                          watermark="365 days", keys=("event_type",),
                          value_col="value")
-    t = _stream_sink(out, "complete")
+    # state = (day window × event_type) rows — bounded key space
+    t = _stream_sink(out, "complete", state_partitions=8)
     return t.select(F.col("win_start").cast("long").alias("win_start"),
                     "event_type", "n", "sum_value", "max_cents")
 
@@ -6675,7 +6708,8 @@ def _q_stream_geofence(spark, sf):
         "fence_id int, wkt string"), wkt="wkt")
     out = geofence_counts(s, fences, window="1 day",
                           watermark="365 days")
-    t = _stream_sink(out, "complete")
+    # state = (day window × fence) rows — bounded key space
+    t = _stream_sink(out, "complete", state_partitions=8)
     return t.select(F.col("win_start").cast("long").alias("win_start"),
                     "fence_id", "n")
 
@@ -6694,7 +6728,8 @@ def _q_stream_cell_extremes(spark, sf):
     s = read_event_stream(spark, d, ev.schema, max_files=2) \
         .where(F.col("value").isNotNull() & F.col("user_id").isNotNull())
     out = stateful_cell_extremes(s, GRID)
-    t = _stream_sink(out, "update")
+    # state = one triple per occupied grid cell — bounded by the grid
+    t = _stream_sink(out, "update", state_partitions=8)
     return (t.groupBy("cell")
              .agg(F.max("n").alias("n"),
                   F.min("v_min").alias("v_min"),
@@ -6735,7 +6770,8 @@ def _q_stream_cell_counts(spark, sf):
         .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
     out = windowed_cell_counts(s, GRID, window="1 day",
                                watermark="365 days")
-    t = _stream_sink(out, "complete")
+    # state = (day window × occupied cell) counts — grid-bounded
+    t = _stream_sink(out, "complete", state_partitions=8)
     return t.select(F.col("win_start").cast("long").alias("win_start"),
                     "cell", "n")
 
@@ -7030,7 +7066,9 @@ def _q_stream_ohlc(spark, sf):
     d = _replay_dir(ev, sf, "events")
     s = read_event_stream(spark, d, ev.schema, max_files=2)
     out = stream_ohlc(s, window="1 hour", watermark="365 days")
-    t = _stream_sink(out, "complete")
+    # state = (series × open windows) candle rows — series-scale;
+    # bounded-key-space state sizing (see _stream_sink)
+    t = _stream_sink(out, "complete", state_partitions=8)
     return t.select(
         "series",
         F.expr("unix_micros(win_start) div 3600000000").alias("bucket"),
