@@ -25,6 +25,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _loop_ckpt(df: DataFrame, key: str) -> DataFrame:
+    """Materialize a LOOP-INVARIANT frame hash-partitioned on the
+    loop's equi-join key with the partitioning PRESERVED into the
+    checkpointed LogicalRDD, so every round's join/aggregate keyed on
+    ``key`` leaves this side in place and shuffles only the per-round
+    side (guide §2.4 shuffle reuse — the 100 TB term of the iterative
+    operators: one setup shuffle instead of one big-side shuffle per
+    round).
+
+    Mechanics (probed on Spark 4.1.2): ``Dataset.localCheckpoint``
+    captures ``physicalPlan.outputPartitioning`` into the LogicalRDD,
+    but only when the plan is NOT wrapped in AdaptiveSparkPlanExec —
+    under AQE the capture reads Unknown and every downstream join
+    re-shuffles this side. AQE is therefore toggled off just for this
+    one materialization action; consumers keep AQE on (probe: the
+    downstream SortMergeJoin then plans `Scan ExistingRDD` with no
+    Exchange above it, only the other side exchanges)."""
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.repartition(p, key).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def _broadcast_bytes(spark) -> int:
+    """autoBroadcastJoinThreshold in bytes (engine sessions set it
+    numerically); -1 when auto-broadcast is disabled."""
+    v = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                           "10485760")).lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    try:
+        if v and v[-1] in units and v[:-1].lstrip("-").isdigit():
+            return int(v[:-1]) * units[v[-1]]
+        return int(v)
+    except ValueError:
+        return 10 << 20
+
+
 def connected_components(edges: DataFrame, *, src: str = "a",
                          dst: str = "b",
                          nodes: DataFrame | None = None,
@@ -312,7 +353,6 @@ def pagerank(edges: DataFrame, *, n_iter: int = 3,
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
               .distinct().localCheckpoint())
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "src").localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
               .unionByName(e.select(F.col("dst").alias("node")))
               .distinct()
@@ -325,6 +365,19 @@ def pagerank(edges: DataFrame, *, n_iter: int = 3,
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_q"))
+    spark = edges.sparkSession
+    # r14 (the 100 TB term): when the rank frame is too big to
+    # broadcast (~32 B/row vs the threshold), every round's
+    # contribution join goes sort-merge and would shuffle the EDGE
+    # side per round. Pre-partition the degree-annotated edge list on
+    # src ONCE with the partitioning preserved (`_loop_ckpt`), so
+    # rounds shuffle only the node-scale rank frame. In the broadcast
+    # regime the plan is already edge-stationary (rank side
+    # broadcasts; plan-verified), so the setup shuffle is skipped.
+    bt = _broadcast_bytes(spark)
+    edj = e.join(deg, "src")
+    ed = (_loop_ckpt(edj, "src") if bt > 0 and n * 32 > bt
+          else edj.localCheckpoint())
     base_q = (scale * 15 // 100) // n       # exact python ints
     r = nodes.select("node", "_out",
                      F.lit(scale // n).cast("long").alias("r"))
@@ -458,7 +511,6 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame, *,
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
               .distinct().localCheckpoint())
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(deg, "src").localCheckpoint()
     s_dist = sources.select(F.col(node).alias("node")).distinct()
     nodes = (e.select(F.col("src").alias("node"))
               .unionByName(e.select(F.col("dst").alias("node")))
@@ -473,9 +525,21 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame, *,
                       F.coalesce("_out", F.lit(False)).alias("_out"),
                       F.coalesce("_s", F.lit(False)).alias("_s"))
               .localCheckpoint())
-    ns = nodes.where(F.col("_s")).count()
+    # one scalar job for both counts (|S| for the mass split, |V| for
+    # the SMJ-regime gate below) over the checkpointed node frame
+    n_all, ns = (nodes.agg(F.count("*"),
+                           F.sum(F.col("_s").cast("long"))).first())
+    ns = int(ns or 0)
     if ns == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_q"))
+    # same SMJ-regime edge pre-partitioning as `pagerank` (r14): the
+    # rank frame spans ALL graph nodes, so the broadcast-vs-SMJ gate
+    # reads the full node count, not |sources|
+    spark = edges.sparkSession
+    bt = _broadcast_bytes(spark)
+    edj = e.join(deg, "src")
+    ed = (_loop_ckpt(edj, "src") if bt > 0 and n_all * 32 > bt
+          else edj.localCheckpoint())
     base_q = (scale * 15 // 100) // ns
     r = nodes.select("node", "_out", "_s",
                      F.when(F.col("_s"), F.lit(scale // ns))

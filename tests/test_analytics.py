@@ -2431,3 +2431,50 @@ def test_doc_logprob_kn3_closed_form(spark):
            for r in doc_logprob_kn3(df, "doc_id").collect()}
     assert out == want, (out, want)
     assert 3 not in out and all(s < 0 for _, s in out.values())
+
+
+def test_pagerank_prepartition_smj_regime(spark):
+    """The r14 SMJ-regime edge pre-partitioning: when the rank frame
+    exceeds the broadcast threshold, the degree-annotated edge list
+    is materialized hash-partitioned on src with the partitioning
+    PRESERVED through the checkpoint, so (a) ranks are IDENTICAL to
+    the broadcast-regime run, and (b) a loop-shaped join against the
+    pre-partitioned frame plans no Exchange above the edge-side scan
+    (only the rank side shuffles — the per-round 100 TB term)."""
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.graph import _loop_ckpt, pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 37, (i * 7) % 37) for i in range(400)
+         if i % 37 != (i * 7) % 37], "src long, dst long")
+    base = {r.node: r.rank_q for r in pagerank(edges, n_iter=3).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the SMJ regime: nothing broadcasts, the gate trips
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        smj = {r.node: r.rank_q
+               for r in pagerank(edges, n_iter=3).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert smj == base
+
+    # plan property, isolated: a join keyed on the preserved column
+    # leaves the pre-partitioned side in place
+    e = edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = _loop_ckpt(e.join(deg, "src"), "src")
+    r = e.select(F.col("src").alias("node")).distinct() \
+         .select("node", F.lit(1).cast("long").alias("r"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = ed.join(r.select(F.col("node").alias("src"), "r"), "src")
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # exactly one Exchange (the rank side); the edge side scans the
+    # checkpointed blocks in place
+    n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_ex == 1, plan
+    assert "Scan ExistingRDD" in plan
