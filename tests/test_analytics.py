@@ -2478,3 +2478,35 @@ def test_pagerank_prepartition_smj_regime(spark):
     n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_ex == 1, plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_pq_codes_arrow_equals_fold(spark):
+    """The r14 Arrow PQ encoder must be BIT-IDENTICAL to the
+    relational fold path on every row — same left-associated d2
+    accumulation, same first-min/smallest-code tie-break — over a
+    corpus engineered for exact d2 ties (duplicated codeword-equal
+    vectors) and irregular values."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.similarity import _pq_codes, pq_train
+    rng = np.random.default_rng(7)
+    dim, m_sub, n_codes = 16, 4, 4
+    rows = []
+    for i in range(200):
+        if i % 7 == 0 and i >= n_codes:
+            v = rows[i % n_codes][1]      # exact copy of an init row
+        else:
+            v = [float(np.float32(x)) for x in rng.normal(size=dim)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_train(emb, dim=dim, m_sub=m_sub, n_codes=n_codes, n_iter=2)
+    a = {r.vec_id: list(r.codes)
+         for r in _pq_codes(emb, cb, key="vec_id",
+                            vec_col="embedding").collect()}
+    f = {r.vec_id: list(r.codes)
+         for r in _pq_codes(emb, cb, key="vec_id", vec_col="embedding",
+                            engine="fold").collect()}
+    assert a == f
+    assert len(a) == 200
