@@ -99,6 +99,14 @@ def _points_native_pred(predicate: str, suffix: str) -> Column:
             (F.col("ymin") == F.col("ymin" + suffix)))
 
 
+# Memoized skew-guard probe: max cells-per-envelope of a left frame,
+# keyed by the celled plan's semantic hash + threshold (the dedup
+# `_PROBE_CACHE` discipline: only the guard STATISTIC is cached, never
+# results; parquet inputs are immutable within a session — mutate the
+# files a plan reads mid-session and you must clear this yourself).
+_BIG_CELL_PROBE_CACHE: dict = {}
+
+
 def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
             *, grid: GridSpec | None = None, on_time: bool | str = "ignore",
             left_points: bool = False, right_points: bool = False,
@@ -132,17 +140,39 @@ def st_join(left: DataFrame, right: DataFrame, predicate: str = "intersects",
             F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
             expand=expand)
         n_cells = F.size(cells)
-        small = left.where(n_cells <= F.lit(big_cell_threshold))
-        big = left.where(n_cells > F.lit(big_cell_threshold))
-        a = st_join(small, right, predicate, grid=grid, on_time=on_time,
-                    left_points=left_points, right_points=right_points,
-                    suffix=suffix, expand=expand, big_cell_threshold=0,
-                    left_rect=left_rect, right_rect=right_rect)
-        b = st_join(big, right, predicate, broadcast="left", on_time=on_time,
-                    left_points=left_points, right_points=right_points,
-                    suffix=suffix, expand=expand, left_rect=left_rect,
-                    right_rect=right_rect)
-        return a.unionByName(b)
+        # r14: probe max(cells/envelope) ONCE (memoized) instead of
+        # always planning the two-branch union. With no oversized
+        # geometry the old shape still SCANNED BOTH SIDES TWICE —
+        # the empty big branch re-ran the left scan (including any
+        # geometry-construction UDF, which a filter cannot push
+        # below) and pulled the whole right side through a BNLJ
+        # whose build side held zero rows. The probe is one
+        # column-pruned aggregate over the left envelopes; when it
+        # trips, the union is planned exactly as before.
+        lc = left.withColumn("_nc", n_cells)
+        ck = (lc.semanticHash(), int(big_cell_threshold))
+        mx = _BIG_CELL_PROBE_CACHE.get(ck)
+        if mx is None:
+            mx = lc.agg(F.max("_nc")).first()[0] or 0
+            if len(_BIG_CELL_PROBE_CACHE) > 256:
+                _BIG_CELL_PROBE_CACHE.clear()
+            _BIG_CELL_PROBE_CACHE[ck] = mx
+        if mx > big_cell_threshold:
+            small = left.where(n_cells <= F.lit(big_cell_threshold))
+            big = left.where(n_cells > F.lit(big_cell_threshold))
+            a = st_join(small, right, predicate, grid=grid,
+                        on_time=on_time, left_points=left_points,
+                        right_points=right_points, suffix=suffix,
+                        expand=expand, big_cell_threshold=0,
+                        left_rect=left_rect, right_rect=right_rect)
+            b = st_join(big, right, predicate, broadcast="left",
+                        on_time=on_time, left_points=left_points,
+                        right_points=right_points, suffix=suffix,
+                        expand=expand, left_rect=left_rect,
+                        right_rect=right_rect)
+            return a.unionByName(b)
+        # max ≤ threshold: the big branch is provably empty — fall
+        # through to the single grid-join plan (identical rows)
 
     right, _ = _suffix_right(left, right, suffix)
 
