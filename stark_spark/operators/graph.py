@@ -83,11 +83,19 @@ def connected_components(edges: DataFrame, *, src: str = "a",
         node_df = nodes.toDF("node").distinct()
     spark = edges.sparkSession
 
-    if sym.count() <= driver_threshold:
+    # ONE bounded Arrow collect decides the regime AND delivers the
+    # edges (r14): limit(threshold+1).toPandas() is a single job —
+    # the old count()-then-toPandas paid two extra scheduler round
+    # trips per CC call (A/B: 3 jobs → 1), and every caller in the
+    # dedup/curation/dbscan tier invokes CC once per query. Memory
+    # bound unchanged: at most threshold+1 rows land on the driver,
+    # numpy-backed. Above the bound the collected prefix is discarded
+    # and the hash-min loop runs as before.
+    sym_pd = sym.limit(driver_threshold + 1).toPandas()
+    if len(sym_pd) <= driver_threshold:
         # Arrow collects (numpy/pandas-backed), not .collect() Row
         # objects — at the 5M-edge bound Rows would be ~1 GB of
         # driver python objects (the r11 common_neighbors lesson)
-        sym_pd = sym.toPandas()
         if nodes is None:
             # sym is symmetric, so its `a` column enumerates every
             # endpoint — the node set derives from the one Arrow
@@ -295,20 +303,23 @@ def common_neighbors(edges: DataFrame, *, k: int = 20,
     # distinct endpoints, and |sym| = 2|e| exactly (e is canonical
     # a<b distinct, so e and its swap are disjoint)
     if local_max and max_degree is None:
-        nd = (e.select(F.col("a").alias("n"))
-               .unionByName(e.select(F.col("b").alias("n")))
-               .distinct().limit(local_max + 1).count())
-        if nd <= local_max and 2 * e.count() <= 5_000_000:
-            # Arrow collect (advisor r10): millions of two-column
-            # rows land as two numpy-backed pandas columns (~tens of
-            # MB), not millions of PySpark Row objects (~GB)
-            sym_pd = sym.toPandas()
-            e_pd = e.toPandas()
-            return _common_neighbors_local(
-                edges.sparkSession,
-                list(zip(sym_pd["a"], sym_pd["b"])),
-                list(zip(e_pd["a"], e_pd["b"])), k,
-                dict(e.dtypes)["a"])
+        # r14: ONE bounded Arrow collect replaces the four separate
+        # driver jobs (node-count probe, edge count, sym collect,
+        # edge collect). The canonical edge frame is collected with a
+        # hard row cap (2.5M ⇒ |sym| = 2|e| ≤ 5M, the same bound the
+        # old e.count() test enforced); the node count and the
+        # symmetric rows derive from it locally. Above either bound
+        # the prefix is discarded and the distributed join runs.
+        import pandas as pd
+        e_pd = e.limit(2_500_001).toPandas()
+        if len(e_pd) <= 2_500_000:
+            n_nodes = pd.concat([e_pd["a"], e_pd["b"]]).nunique()
+            if n_nodes <= local_max:
+                e_rows = list(zip(e_pd["a"], e_pd["b"]))
+                sym_rows = e_rows + list(zip(e_pd["b"], e_pd["a"]))
+                return _common_neighbors_local(
+                    edges.sparkSession, sym_rows, e_rows, k,
+                    dict(e.dtypes)["a"])
     lo = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
     hi = sym.select(F.col("a").alias("u"), F.col("b").alias("w"))
     cand = (lo.join(hi, "u")
