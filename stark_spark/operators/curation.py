@@ -148,15 +148,19 @@ def curate(df: DataFrame, key: str, *, text_col: str = "text",
     if budgets is not None:
         if weight_col is None:
             raise ValueError("budgets requires weight_col")
-        # r14: the budget stage runs TWO actions over its input (the
-        # per-(source, bucket) totals collect, then the final windowed
-        # keep plan), so an un-materialized input executes the whole
-        # quality→dedup→decontaminate(→near-dup) chain twice — the
-        # per-job trace showed 9 driver jobs re-running the chain
-        # inside `token_budget_sample`'s collect alone. Materialize
-        # the (post-dedup, so reduced) survivor set once; both
-        # actions read the blocks. Same trade as the near-dup stage's
-        # entry checkpoint — swap for checkpoint() on a real cluster.
+        # r14: the budget stage consumes its input TWICE — originally
+        # as two actions (the per-(source, bucket) totals collect,
+        # then the final windowed keep plan; the per-job trace showed
+        # 9 driver jobs re-running the chain inside the collect
+        # alone), and since the in-plan-offsets rewrite as the two
+        # branches of one plan (the totals aggregate and the local
+        # prefix window shuffle on different child shapes, so
+        # ReusedExchange cannot dedup them). Either way an
+        # un-materialized input executes the whole quality→dedup→
+        # decontaminate(→near-dup) chain twice. Materialize the
+        # (post-dedup, so reduced) survivor set once; both branches
+        # read the blocks. Same trade as the near-dup stage's entry
+        # checkpoint — swap for checkpoint() on a real cluster.
         out = out.localCheckpoint()
         out = token_budget_sample(out, key, weight_col, budgets,
                                   source_col=source_col,

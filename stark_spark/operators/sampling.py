@@ -101,8 +101,10 @@ def pack_shards(df: DataFrame, key: str, weight_col: str,
 
     1. bucket rows by the TOP bits of the order hash (so bucket order
        == global hash order), aggregate one weight total per bucket,
-       and collect just those ``n_buckets`` totals to the driver —
-       a tiny, bounded transfer at any corpus size;
+       and turn those ``n_buckets`` totals into per-bucket offsets
+       with an IN-PLAN prefix-sum window over the bounded totals
+       frame (single-partition, but ≤ n_buckets rows at any corpus
+       size — no driver collect);
     2. per-bucket windows (parallel across buckets) compute local
        running sums; a broadcast join adds each bucket's global
        offset.
@@ -116,17 +118,21 @@ def pack_shards(df: DataFrame, key: str, weight_col: str,
     rows = df.withColumn("_h", h).withColumn(
         "_bucket", (F.col("_h") / bucket_width).cast("int"))
 
-    totals = (rows.groupBy("_bucket")
+    # Phase-1 offsets as an IN-PLAN prefix sum over the bounded
+    # totals frame (≤ n_buckets rows) instead of a driver collect +
+    # createDataFrame round trip (r14; the gini_ppm r13 precedent,
+    # guide §5 — no driver loops in query paths). The window's empty
+    # frame on bucket 0 yields NULL → coalesce 0, matching the old
+    # loop's running offset; exact integer sums either way. One
+    # fewer action per invocation; the operator is now fully lazy.
+    ow = (Window.orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    off_df = (rows.groupBy("_bucket")
                   .agg(F.sum(weight_col).alias("_total"))
-                  .orderBy("_bucket")
-                  .collect())
-    offset = 0
-    offsets = []
-    for r in totals:
-        offsets.append((r["_bucket"], offset))
-        offset += r["_total"]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(offsets, "_bucket int, _offset long")
+                  .withColumn("_offset",
+                              F.coalesce(F.sum("_total").over(ow),
+                                         F.lit(0)).cast("long"))
+                  .select("_bucket", "_offset"))
 
     w = (Window.partitionBy("_bucket")
                .orderBy("_h", key)
@@ -168,10 +174,11 @@ def token_budget_sample(df: DataFrame, key: str, weight_col: str,
 
     Scale shape: the running sum is the same TWO-PHASE distributed
     prefix sum as `pack_shards` — never a single-partition global
-    window. Driver transfer is one row per (source, bucket):
-    ``n_sources × n_buckets`` — sources are corpora (dozens), so the
-    collect stays ~10⁴ rows at any corpus size. Output: the kept
-    rows + ``cum_weight``.
+    window. Phase-1 offsets are an in-plan window over the bounded
+    per-(source, bucket) totals frame (``n_sources × n_buckets`` ≈
+    10⁴ rows at any corpus size — sources are corpora, dozens), so
+    the operator is fully lazy: no driver collect at any scale.
+    Output: the kept rows + ``cum_weight``.
     """
     src = F.col(source_col) if source_col else F.lit("__all__")
     # NULL sources form one group (SQL PARTITION BY semantics) and get
@@ -184,18 +191,22 @@ def token_budget_sample(df: DataFrame, key: str, weight_col: str,
               .withColumn("_bucket",
                           (F.col("_h") / bucket_width).cast("int")))
 
-    totals = (rows.groupBy("_src", "_bucket")
+    # Per-(source, bucket) offsets as an IN-PLAN prefix sum over the
+    # bounded totals frame (≤ n_sources·n_buckets rows) instead of a
+    # driver collect + createDataFrame round trip (r14; the gini_ppm
+    # r13 precedent, guide §5 — no driver loops in query paths). The
+    # window's empty frame on each source's first bucket yields NULL
+    # → coalesce 0, matching the old loop's per-source reset; exact
+    # integer sums either way. One fewer action per invocation and
+    # the operator is now fully lazy.
+    ow = (Window.partitionBy("_src").orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    off_df = (rows.groupBy("_src", "_bucket")
                   .agg(F.sum(weight_col).alias("_total"))
-                  .orderBy("_src", "_bucket")
-                  .collect())
-    offsets, run, cur = [], 0, None
-    for r in totals:
-        if r["_src"] != cur:
-            cur, run = r["_src"], 0
-        offsets.append((r["_src"], r["_bucket"], run))
-        run += r["_total"]
-    off_df = df.sparkSession.createDataFrame(
-        offsets, "_src string, _bucket int, _offset long")
+                  .withColumn("_offset",
+                              F.coalesce(F.sum("_total").over(ow),
+                                         F.lit(0)).cast("long"))
+                  .select("_src", "_bucket", "_offset"))
 
     if isinstance(budget, dict):
         # keys stringified to match _src's string cast (ADVICE r11: a

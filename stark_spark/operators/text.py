@@ -350,6 +350,17 @@ def doc_logprob_bigram(df: DataFrame, key: str, *,
     # hoist the token array into a column so each element_at in the
     # transform lambda indexes a materialized array instead of
     # re-evaluating filter(split(text)) per element (O(tokens^2)/doc)
+    #
+    # NOTE (r14 negative result — do not re-try): folding the unigram
+    # pass into the bigram explode pmi-style (one combined struct
+    # explode, unigram rows with NULL b, checkpointed count frame)
+    # measured EQUAL-to-slower in an interleaved A/B at sf0.1
+    # (old min 1.25 / med 1.55 vs new min 1.38 / med 1.60, 6 reps):
+    # the saved tokenize pass is repaid by the wider (a, b) aggregate
+    # key and by materializing the bigram-vocab-sized count frame the
+    # old form only streams into a broadcast. pmi_collocations keeps
+    # the combined form because BOTH of its passes were eager
+    # checkpoint jobs; here the bigram counts never needed one.
     pair_expr = ("CASE WHEN size(_toks) >= 2 THEN "
                  "transform(sequence(1, size(_toks) - 1), "
                  "i -> concat(element_at(_toks, i), ' ', "
@@ -401,8 +412,11 @@ def bm25_topk(df: DataFrame, key: str, query_terms: list[str], k: int,
     one narrow projection, corpus statistics (N, total length, every
     per-term document frequency) come from ONE combined aggregate
     (single collect), and scoring is row-local with driver-computed
-    idf literals, so the whole operator is two codegen scans + a
-    TakeOrderedAndProject top-k. Output: (key, n_tokens, score_q)."""
+    idf literals. The narrow per-doc projection is materialized once
+    (eager localCheckpoint) and feeds both the stats aggregate and
+    the scoring scan, so the corpus is tokenized exactly ONCE; the
+    top-k is a TakeOrderedAndProject over the checkpointed rows.
+    Output: (key, n_tokens, score_q)."""
     import math
     terms = sorted(set(query_terms))
     toks = tokens(F.col(text_col))
@@ -415,6 +429,14 @@ def bm25_topk(df: DataFrame, key: str, query_terms: list[str], k: int,
                      *[tf_expr(t).alias(f"_tf{i}")
                        for i, t in enumerate(terms)]) \
              .where(F.col("_dl") > 0)
+    # Materialize the narrow (key, _dl, _tf...) projection once: the
+    # stats aggregate AND the scoring scan both consume it, and each
+    # would otherwise re-tokenize the ENTIRE corpus (guide §1.2 —
+    # remove whole passes first). The checkpointed rows are
+    # 2+|terms| integers per doc — far smaller than the text they
+    # replace; on a real cluster swap for checkpoint() to reliable
+    # storage (the repo-wide localCheckpoint trade).
+    base = base.localCheckpoint(eager=True)
     aggs = [F.count("*").alias("n"), F.sum("_dl").alias("tot")]
     aggs += [F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"nd{i}")
              for i in range(len(terms))]
@@ -500,33 +522,49 @@ def bm25_multi_topk(df: DataFrame, key: str, queries: DataFrame, k: int,
                      .distinct())
     vocab = qterms.select("_term").distinct()
 
-    # corpus stats: one combined aggregate, no explode
-    stats = base.agg(F.count("*").alias("n"),
-                     F.sum("_dl").alias("tot")).first()
-    if not stats.n:
-        qs = queries.select(F.col(query_col)).limit(0)
-        return (qs.crossJoin(df.select(F.col(key)).limit(0))
-                  .withColumn("n_tokens", F.lit(0).cast("long"))
-                  .withColumn("score_q", F.lit(0).cast("long")))
-    n_docs, avgdl = stats.n, float(stats.tot) / float(stats.n)
+    # corpus stats (N, total length) ride the tf pass as ONE sentinel
+    # pseudo-term per document, appended INSIDE the explode array —
+    # the separate stats aggregate tokenized the ENTIRE corpus a
+    # second time per invocation (guide §1.2: remove whole passes
+    # first). The sentinel contains a space, which no token produced
+    # by a single-space split can, so it cannot collide with a real
+    # term; it survives the vocab prune via an explicit union row,
+    # contributes one (key, sentinel) group per doc (so its document
+    # frequency = N and its summed _dl = total corpus length — the
+    # identical count/sum aggregates), and the scoring joins drop it
+    # naturally (it is in neither the idf nor the qterms frame).
+    SENT = "\x00 stats"
+    vocab_plus = vocab.unionByName(
+        spark.createDataFrame([(SENT,)], "_term string"))
 
     # inverted-index hits: explode -> broadcast vocab prune -> one
     # corpus-keyed shuffle; _dl rides along (constant per key)
     # lazily checkpointed (the repo idiom, histogram.exact_quantiles):
-    # the df collect below materializes it, so the corpus explode runs
-    # ONCE — the scored pass reads the (query-vocab-bounded) hits back
-    # instead of re-tokenizing the corpus
+    # the nd collect below materializes it, so the corpus explode
+    # runs ONCE — the scored pass reads the (query-vocab-bounded)
+    # hits back instead of re-tokenizing the corpus
     tf = (base.select(F.col(key), F.col("_dl"),
-                      F.explode("_tk").alias("_term"))
+                      F.explode(F.concat(
+                          F.col("_tk"), F.array(F.lit(SENT))))
+                       .alias("_term"))
               .where(F.col("_term") != "")
-              .join(F.broadcast(vocab), "_term")
+              .join(F.broadcast(vocab_plus), "_term")
               .groupBy(F.col(key), F.col("_term"))
               .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl"))
               .localCheckpoint(eager=False))
 
-    # per-term document frequency -> driver-quantized idf literals
-    nd = {r._term: r.nd for r in
-          tf.groupBy("_term").agg(F.count("*").alias("nd")).collect()}
+    # per-term document frequency (+ the sentinel's N / Σ_dl) ->
+    # driver-quantized idf literals, one collect
+    rows = tf.groupBy("_term").agg(F.count("*").alias("nd"),
+                                   F.sum("_dl").alias("sdl")).collect()
+    nd = {r._term: r.nd for r in rows if r._term != SENT}
+    sent = next((r for r in rows if r._term == SENT), None)
+    if sent is None:
+        qs = queries.select(F.col(query_col)).limit(0)
+        return (qs.crossJoin(df.select(F.col(key)).limit(0))
+                  .withColumn("n_tokens", F.lit(0).cast("long"))
+                  .withColumn("score_q", F.lit(0).cast("long")))
+    n_docs, avgdl = sent.nd, float(sent.sdl) / float(sent.nd)
     idf = spark.createDataFrame(
         [(t, math.floor(math.log(
             (n_docs - c + 0.5) / (c + 0.5) + 1.0) * 1e6))
@@ -792,26 +830,47 @@ def pmi_collocations(df: DataFrame, k: int = 50, *,
     integer). Empty tokens are excluded from both the unigram and
     bigram vocabularies.
 
-    Scale shape: two explode→hash-aggregate passes (unigrams,
-    bigrams; both map-side combined), two scalar totals from one
-    aggregate each, then a vocab-sized broadcast join of unigram
-    counts onto the bigram frame and a TakeOrderedAndProject top-k.
-    Nothing is corpus-quadratic. Output: (w1, w2, n_pair, pmi_q)."""
+    Scale shape: ONE explode→hash-aggregate pass emitting both
+    vocabularies (unigram rows carry a NULL w2; map-side combined),
+    two scalar totals over the vocab-sized count frame, then a
+    vocab-sized broadcast join of unigram counts onto the bigram
+    frame and a TakeOrderedAndProject top-k. Nothing is
+    corpus-quadratic. Output: (w1, w2, n_pair, pmi_q)."""
+    # ONE corpus pass for BOTH vocabularies (r14, guide §1.2): the
+    # token array is hoisted once per row and emits unigram structs
+    # (w2 NULL) and adjacent-pair structs through a single explode →
+    # one (w1, w2) hash aggregate — the previous two-pass form split
+    # the text twice and ran two eager checkpoint jobs over the
+    # corpus. Pair structs come straight from the zip_with slices
+    # (no concat_ws + re-split round trip); the empty-token filters
+    # match the old per-pass filters exactly, so both count frames
+    # are value-identical. The combined frame is VOCAB-sized but
+    # consumed 4 times below (two scalar totals + join sides) —
+    # localCheckpoint for the same reason as before (without it
+    # every consumer re-runs the corpus explode; measured 5.9 s vs
+    # 1.5 s at sf0.1 for the two-pass form).
     toks = tokens(F.col(text_col))
-    # localCheckpoint: both count frames are VOCAB-sized but each is
-    # consumed 2-3 times below (scalar total + join side[s]) — without
-    # the materialization every consumer re-runs its corpus explode
-    # (5 full passes total; measured 5.9 s vs 1.5 s at sf0.1)
-    uni = (df.select(F.explode(toks).alias("w"))
-             .where(F.col("w") != "")
-             .groupBy("w").agg(F.count("*").alias("cw"))
-             .localCheckpoint())
-    bg = (df.select(F.explode(word_bigrams(F.col(text_col))).alias("bg"))
-            .withColumn("w1", F.element_at(F.split("bg", " "), 1))
-            .withColumn("w2", F.element_at(F.split("bg", " "), 2))
-            .where((F.col("w1") != "") & (F.col("w2") != ""))
-            .groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
-            .localCheckpoint())
+    n = F.size(F.col("_tk"))
+    pair_structs = F.when(n >= 2, F.zip_with(
+        F.slice(F.col("_tk"), 1, n - 1), F.slice(F.col("_tk"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    uni_structs = F.transform(
+        F.col("_tk"),
+        lambda t: F.struct(t.alias("w1"),
+                           F.lit(None).cast("string").alias("w2")))
+    counts = (df.withColumn("_tk", toks)
+                .select(F.explode(F.concat(uni_structs, pair_structs))
+                         .alias("p"))
+                .select("p.w1", "p.w2")
+                .where((F.col("w1") != "")
+                       & (F.col("w2").isNull() | (F.col("w2") != "")))
+                .groupBy("w1", "w2").agg(F.count("*").alias("c"))
+                .localCheckpoint())
+    uni = (counts.where(F.col("w2").isNull())
+                 .select(F.col("w1").alias("w"), F.col("c").alias("cw")))
+    bg = (counts.where(F.col("w2").isNotNull())
+                .select("w1", "w2", F.col("c").alias("n_pair")))
     n1 = uni.agg(F.sum("cw")).first()[0] or 1
     n2 = bg.agg(F.sum("n_pair")).first()[0] or 1
     ca = uni.select(F.col("w").alias("w1"), F.col("cw").alias("ca"))
