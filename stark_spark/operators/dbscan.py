@@ -130,7 +130,16 @@ def dbscan(df: DataFrame, eps: float, min_pts: int, *, key: str,
         grid.cells_array_expr(F.col("_x"), F.col("_y"),
                               F.col("_x"), F.col("_y"), expand=eps)))
     home = grid.cell_expr(F.col("_x"), F.col("_y"))
-    pts = pts.withColumn("_home", (F.col("_cell") == home).cast("int")).cache()
+    # hash-partition the replica set by _cell BEFORE caching: both
+    # applyInPandas passes group by _cell, and an InMemoryRelation
+    # preserves outputPartitioning (unlike localCheckpoint — the r14
+    # graph probe), while the pass-2 broadcast join keeps the
+    # streamed side's partitioning. So the one exchange at cache
+    # build replaces BOTH per-pass replica-scale exchanges (guide
+    # §2.4 — two operations keyed the same way share one exchange);
+    # plan-verified: no Exchange above either FlatMapGroupsInPandas.
+    pts = (pts.withColumn("_home", (F.col("_cell") == home).cast("int"))
+              .repartition(F.col("_cell")).cache())
 
     # --- pass 1: globally-correct core flags, computed in home cells ----
     core_schema = StructType([StructField("_k", LongType()),
