@@ -76,12 +76,29 @@ def fuzzy_canonicalize(df: DataFrame, col: str, *, block_fn,
     value. Scale shape: everything runs on the distinct-value
     vocabulary; components via `operators.graph.connected_components`
     (driver union-find under the size guard, hash-min label
-    propagation above it)."""
+    propagation above it).
+
+    The vocabulary aggregate is materialized (``localCheckpoint``)
+    ONCE: it feeds the blocked self-join (twice — both sides), the
+    component node set, and the final labeling join, and
+    `connected_components`' eager edge probe is a separate action —
+    un-materialized, the corpus-scale distinct-name aggregate
+    re-executed 3-4× per invocation (r14 job trace). The frame is
+    the distinct-value vocabulary — tiny relative to the rows at any
+    corpus size; swap for ``checkpoint()`` on a real cluster."""
     from stark_spark.operators.graph import connected_components
-    pairs = fuzzy_self_pairs(df, col, block_fn=block_fn,
-                             max_dist=max_dist)
-    vals = df.groupBy(F.col(col).alias("name")).agg(
-        F.count("*").alias("n"))
+    vals = (df.groupBy(F.col(col).alias("name"))
+              .agg(F.count("*").alias("n")).localCheckpoint())
+    blocked = vals.withColumn("_blk", block_fn(F.col("name")))
+    a = blocked.select(F.col("name").alias("name_a"),
+                       F.col("n").alias("n_a"), "_blk")
+    b = blocked.select(F.col("name").alias("name_b"),
+                       F.col("n").alias("n_b"), "_blk")
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    pairs = (a.join(b, "_blk")
+              .where((F.col("name_a") < F.col("name_b"))
+                     & (dist <= max_dist))
+              .select("name_a", "name_b"))
     comp = connected_components(
         pairs.select(F.col("name_a").alias("a"),
                      F.col("name_b").alias("b")),
