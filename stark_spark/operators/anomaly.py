@@ -60,17 +60,38 @@ def robust_thresholds(df: DataFrame, group: str, value: str,
     ``(group, med_c, mad_c)`` on the cents grid (lower medians as
     order statistics, tie-broken by ``key``). Fit once on the batch
     corpus, then score anywhere — including statelessly at ingest
-    (`streaming.stream.stream_score_outliers`)."""
+    (`streaming.stream.stream_score_outliers`).
+
+    ONE corpus shuffle (r14, guide §2.4 — consecutive windows on the
+    same partition key share the exchange): the median is attached to
+    every row analytically (``max(when(rn == target, v))`` over the
+    unbounded group window — identical to `_lower_median`'s pick,
+    without the (group, med) join-back), the MAD chain re-sorts the
+    SAME group partitions by dev, and the thresholds fall out of a
+    final group aggregate that is already co-partitioned. The
+    previous med-join-mad form paid two corpus window shuffles + a
+    join and scanned the input twice."""
+    from pyspark.sql import Window
     base = df.select(
         F.col(key), F.col(group),
         F.round(F.col(value) * 100).cast("long").alias("value_c"))
-    med = _lower_median(base, group, "value_c", key) \
-        .withColumnRenamed("med", "med_c")
-    dev = (base.join(F.broadcast(med), group)
-               .withColumn("dev", F.abs(F.col("value_c") - F.col("med_c"))))
-    mad = _lower_median(dev, group, "dev", key) \
-        .withColumnRenamed("med", "mad_c")
-    return med.join(mad, group)
+    wc = Window.partitionBy(group)
+    wv = wc.orderBy(F.col("value_c"), F.col(key))
+    rows = (base.withColumn("_rn", F.row_number().over(wv))
+                .withColumn("_n", F.count("*").over(wc))
+                .withColumn("med_c", F.max(F.when(
+                    F.col("_rn") == F.expr("(_n + 1) div 2"),
+                    F.col("value_c"))).over(wc))
+                .withColumn("dev", F.abs(F.col("value_c")
+                                         - F.col("med_c"))))
+    wd = wc.orderBy(F.col("dev"), F.col(key))
+    rows = (rows.withColumn("_rn2", F.row_number().over(wd))
+                .withColumn("mad_c", F.max(F.when(
+                    F.col("_rn2") == F.expr("(_n + 1) div 2"),
+                    F.col("dev"))).over(wc)))
+    return (rows.groupBy(group)
+                .agg(F.max("med_c").alias("med_c"),
+                     F.max("mad_c").alias("mad_c")))
 
 
 def cusum_alerts(df, key: str, ts: str, value: str, tie_col: str, *,
