@@ -961,9 +961,12 @@ def lsh_signature(vec, dim: int, n_bits: int) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
     sig = None
     for i, w in enumerate(planes):
-        # one list literal per plane (not dim separate F.lit calls —
-        # n_bits·dim py4j round-trips cost whole seconds of driver
-        # time per signature expression at dim=64; same values)
+        # one lit(list) per plane (not dim separate F.lit(..).cast()
+        # calls — under classic PySpark lit(list) still expands to a
+        # lit per element, but dropping the per-element cast roughly
+        # halves the py4j round-trips, which cost whole seconds of
+        # driver time per signature expression at dim=64; a true
+        # single-call literal only under Spark Connect; same values)
         warr = F.lit([float(x) for x in w]).cast("array<double>")
         bit = F.when(dot_fold(v, warr) >= 0,
                      F.lit(1 << i)).otherwise(F.lit(0))
