@@ -570,7 +570,8 @@ def ngram_jaccard_pairs(df: DataFrame, key: str, *, shingle_k: int = 8,
 
 def jaccard_prefix_join(df: DataFrame, key: str, *,
                         threshold: float = 0.6,
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        verify: str = "arrow") -> DataFrame:
     """EXACT token-set similarity self-join via prefix filtering
     (Chaudhuri et al. SSJoin 2006 / Bayardo et al. AllPairs 2007) —
     the deterministic complement to the MinHash-LSH tier: every pair
@@ -658,29 +659,82 @@ def jaccard_prefix_join(df: DataFrame, key: str, *,
                        * (1_000_000 + t_q6)
                        >= (F.col("sz_pa") + F.col("sz_pb")) * t_q6))
              .select("a", "b").distinct())
-    # Verify by per-pair sorted-array intersection (r14, guide §1.2 /
-    # §2.3): the r13 verify exploded every candidate pair back into
+    # Verify by per-pair set intersection over the per-doc token
+    # arrays attached with two key joins (r14, guide §1.2 / §2.3):
+    # the r13 verify exploded every candidate pair back into
     # per-token rows (cand ⋈ tok on a, then on (b, tok), then a
     # count aggregate — at sf0.1 that is |cand|·~23 ≈ 50M rows
-    # through two exchanges). The per-doc df-sorted token arrays
-    # already exist in `per_doc`; attaching them with two key joins
-    # and taking size(array_intersect(·,·)) computes the identical
-    # n_common (tokens are distinct per doc by construction) with
-    # candidate-count rows instead of candidate×tokens rows, and no
-    # verify-side aggregate at all. Sizes ride the same joins, which
-    # also drops the two separate size-attach joins.
+    # through two exchanges); the join+intersect form computes the
+    # identical n_common (tokens are distinct per doc by
+    # construction) with candidate-count rows and no verify-side
+    # aggregate, and sizes ride the same joins.
+    #
+    # The intersection itself runs in a mapInPandas batch (guide
+    # §4.2), NOT as `size(array_intersect(...))`: ArrayIntersect has
+    # no codegen — every candidate pair pays an interpreted
+    # nullSafeEval building SQLOpenHashSets, which (a) dominated the
+    # verify's CPU even when healthy (~40 s JVM CPU per sf0.1 run)
+    # and (b) intermittently ran 3-10× slower WITH 3-5× more JVM CPU
+    # on identical data (192 s CPU for a 9 s rep; thread dumps show
+    # every task inside ArrayIntersect.nullSafeEval; GC delta 0.2 s —
+    # a JIT deopt/recompile pathology of the interpreted eval loop,
+    # reproduced across sessions, worst in long bench sessions:
+    # 26.7/27.0 s in one quiet-canary bench vs ~2 s healthy). The
+    # Python set path is exact (frozenset ∩ over distinct tokens),
+    # as fast as the JVM path's healthy mode, and its worst observed
+    # excursion is ~7 s under the same storms (vs 17-75 s).
+    # ``verify="sql"`` keeps the relational explode-verify twin
+    # (pinned row-equal in pytest).
     ta = per_doc.select(F.col(key).alias("a"),
                         F.col("ts.tok").alias("_tta"),
                         F.col("sz").alias("sz_a"))
     tb = per_doc.select(F.col(key).alias("b"),
                         F.col("ts.tok").alias("_ttb"),
                         F.col("sz").alias("sz_b"))
-    out = (cand.join(ta, "a").join(tb, "b")
-               .withColumn("n_common",
-                           F.size(F.array_intersect("_tta", "_ttb")))
-               .withColumn("jaccard_q6",
-                           F.expr("1000000 * n_common div "
-                                  "(sz_a + sz_b - n_common)")))
+    if verify == "arrow":
+        import pandas as pd
+        joined = cand.join(ta, "a").join(tb, "b")
+
+        def _verify(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                n = [len(frozenset(x).intersection(y))
+                     for x, y in zip(pdf["_tta"], pdf["_ttb"])]
+                yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"],
+                                    "n_common": n,
+                                    "sz_a": pdf["sz_a"],
+                                    "sz_b": pdf["sz_b"]})
+
+        kt = dict(df.dtypes)[key]
+        out = joined.mapInPandas(
+            _verify,
+            f"a {kt}, b {kt}, n_common long, sz_a long, sz_b long")
+        out = out.withColumn("jaccard_q6",
+                             F.expr("1000000 * n_common div "
+                                    "(sz_a + sz_b - n_common)"))
+        return (out.where(F.col("jaccard_q6") >= t_q6)
+                   .select("a", "b",
+                           F.col("n_common").cast("long")
+                            .alias("n_common"),
+                           F.col("sz_a").cast("long").alias("sz_a"),
+                           F.col("sz_b").cast("long").alias("sz_b"),
+                           F.col("jaccard_q6").cast("long")
+                            .alias("jaccard_q6")))
+    if verify != "sql":
+        raise ValueError(
+            f"jaccard_prefix_join: verify={verify!r} — must be "
+            f"'arrow' or 'sql'")
+    ia = cand.join(tok.select(F.col(key).alias("a"), "tok"), "a")
+    inter = (ia.join(tok.select(F.col(key).alias("b"), "tok"),
+                     ["b", "tok"])
+               .groupBy("a", "b").agg(F.count("*").alias("n_common")))
+    out = (inter
+           .join(ta.select("a", "sz_a"), "a")
+           .join(tb.select("b", "sz_b"), "b")
+           .withColumn("jaccard_q6",
+                       F.expr("1000000 * n_common div "
+                              "(sz_a + sz_b - n_common)")))
     return (out.where(F.col("jaccard_q6") >= t_q6)
                .select("a", "b",
                        F.col("n_common").cast("long").alias("n_common"),
