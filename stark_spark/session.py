@@ -72,6 +72,21 @@ def get_session(app: str = "stark_spark", *, master: str | None = None,
         builder = builder.config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Whole-stage codegen mints new generated classes per query;
+        # a session that runs hundreds of distinct queries (the bench
+        # harness, long notebooks) fills the JVM's default ~240 MB
+        # reserved code cache, after which the JIT flushes/throttles
+        # and hot generated loops intermittently run interpreted —
+        # r14 measured a heavy query's first touch at 3-10× CPU
+        # (113-192 s JVM CPU vs ~23 s JITted) late in a 173-query
+        # session. 512 MB removes the ceiling; JVM-launch-time only,
+        # so it composes with any user-supplied extraJavaOptions via
+        # the env override. On a cluster, set the executor equivalent
+        # in your deploy config.
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                           "-XX:ReservedCodeCacheSize=512m"))
         # keep managed-table data (bucketed tables) out of the repo
         builder = builder.config(
             "spark.sql.warehouse.dir", "/tmp/stark_spark_warehouse")
