@@ -642,14 +642,19 @@ def semantic_contamination(train: DataFrame, eval_df: DataFrame,
     q = _cluster_assigned(eval_df, key=key, vec_col=vec_col,
                           centroids=centroids, assign_col=assign_col,
                           score=score)
+    # NOTE (r14 negative result): the _cos_pre norm-precompute form
+    # measured ~15% SLOWER here in a 6-rep interleaved A/B at sf0.1
+    # (min 0.52 -> 0.60 s, slower in every paired rep): at this
+    # operator's pair density (few eval rows per bucket) the extra
+    # interpreted-fold Project over EVERY train row (a codegen break
+    # + row-copy of the embedding array) costs more than the saved
+    # per-pair norm folds. Keep the per-pair cosine; don't re-try
+    # without a higher measured pairs/row ratio.
     j = (q.select("bucket", F.col(key).alias("_q"),
-                  F.col(vec_col).alias("_vq"),
-                  norm(F.col(vec_col)).alias("_nq"))
+                  F.col(vec_col).alias("_vq"))
           .join(t.select("bucket", F.col(key).alias("_t"),
-                         F.col(vec_col).alias("_vt"),
-                         norm(F.col(vec_col)).alias("_nt")), "bucket")
-          .withColumn("cos", _cos_pre(F.col("_vq"), F.col("_vt"),
-                                      F.col("_nq"), F.col("_nt")))
+                         F.col(vec_col).alias("_vt")), "bucket")
+          .withColumn("cos", cosine(F.col("_vq"), F.col("_vt")))
           .where(F.col("cos") >= tau))
     return (j.groupBy("_q")
              .agg(F.count("*").alias("n_dups"),
