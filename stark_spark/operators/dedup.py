@@ -170,7 +170,13 @@ def cross_ngram_contamination(train: DataFrame, eval_df: DataFrame,
     Output: (<key>, n_hit_shingles) — train docs with >= 1 matching
     window, with the count of their DISTINCT windows found in eval."""
     ev_sh = _doc_shingle_rows(eval_df, n, text_col).distinct()
-    tr_sh = _doc_shingle_rows(train, n, text_col, key)
+    # spread the train scan BEFORE the shingle expansion (the same
+    # idiom minhash/jaccard/simhash use): the shuffle carries raw
+    # text bytes, pre-explosion, and without it a single-file local
+    # input runs the whole explode+hash+probe map on one core
+    # (r14 interleaved A/B at sf0.1: 1.29 -> 0.62 s min)
+    tr_sh = _doc_shingle_rows(_spread_by_key(train, key), n,
+                              text_col, key)
     return (tr_sh.join(ev_sh, "h")
                  .groupBy(key)
                  .agg(F.count("*").alias("n_hit_shingles")))
@@ -215,7 +221,12 @@ def doc_boilerplate_ratio(df: DataFrame, key: str, *, n: int = 13,
     5.0 s vs 1.4 s at sf0.1.) Output: (<key>, n_windows, n_boiler,
     ratio_q) for docs with at least one boilerplate window."""
     from pyspark.sql import Window
-    doc_sh = _doc_shingle_rows(df, n, text_col, key)
+    # spread before the expansion — same rationale as
+    # cross_ngram_contamination (r14 A/B: 0.96 -> 0.80 s min; the
+    # h-window shuffle dominates, but the explode stage stops being
+    # single-task on few-file inputs)
+    doc_sh = _doc_shingle_rows(_spread_by_key(df, key), n,
+                               text_col, key)
     n_docs = F.count("*").over(Window.partitionBy("h"))
     return (doc_sh.withColumn("_nd", n_docs)
                   .groupBy(key)
