@@ -30,6 +30,18 @@ from .sampling import token_budget_sample
 from .text import gopher_flags
 
 
+def _is_materialized_scan(df: DataFrame) -> bool:
+    """True iff the frame's analyzed plan is already a materialized
+    scan — the LogicalRDD a ``localCheckpoint``/``checkpoint``
+    returns. Re-checkpointing such a frame pays a full copy job and
+    buys nothing (the blocks are already pinned)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        return node.getClass().getSimpleName() == "LogicalRDD"
+    except Exception:  # pragma: no cover — py4j surface drift
+        return False
+
+
 def filter_quality(df: DataFrame, *, text_col: str = "text",
                    min_tokens: int = 20,
                    max_tokens: int = 100_000) -> DataFrame:
@@ -71,7 +83,8 @@ def decontaminate_exact(df: DataFrame, eval_df: DataFrame, *,
 def dedup_near_keep_best(df: DataFrame, key: str, score_col: str, *,
                          text_col: str = "text",
                          max_hamming: int = 3,
-                         fp_col: str | None = None) -> DataFrame:
+                         fp_col: str | None = None,
+                         materialize: bool = True) -> DataFrame:
     """NEAR-dup removal keeping the best-scored copy per cluster:
     pigeonhole-banded hamming pairs → connected components →
     `dedup.dedup_keep_best` argmax — the fuzzy stage real pipelines
@@ -97,10 +110,17 @@ def dedup_near_keep_best(df: DataFrame, key: str, score_col: str, *,
     invocation); with it the chain runs once and every branch reads
     the materialized blocks. On a real cluster swap for
     ``checkpoint()`` to reliable storage — same trade the
-    simhash fingerprint checkpoint already documents."""
+    simhash fingerprint checkpoint already documents. Direct
+    callers whose input is ALREADY materialized (or trivially
+    cheap to recompute) pass ``materialize=False`` to skip the
+    extra job and keep the wide rows out of executor block
+    storage; the checkpoint is also skipped automatically when the
+    input plan is already a materialized scan (LogicalRDD /
+    cached), since re-checkpointing blocks buys nothing."""
     from .dedup import (dedup_keep_best, hamming_near_pairs,
                         simhash_near_pairs)
-    df = df.localCheckpoint()
+    if materialize and not _is_materialized_scan(df):
+        df = df.localCheckpoint()
     if fp_col is not None:
         # (key, int64) frame — tiny; its own checkpoint keeps the
         # banded self-join's branches off the wide-row df blocks

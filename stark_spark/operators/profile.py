@@ -77,6 +77,12 @@ def fk_check(child: DataFrame, fk: str, parent: DataFrame,
     jkeys = F.broadcast(keys) if broadcast_parent_keys else keys
     j = child.select(F.col(fk).alias("_fk")) \
              .join(jkeys, F.col("_fk") == F.col("_pk"), "left")
+    # Two countDistinct over different columns in one agg plan
+    # through an Expand that feeds ~3x the child row volume into the
+    # partial aggregate (still one scan — better than the old three).
+    # On very wide facts where the Expand term ever dominates, split
+    # orphan_keys/parents_referenced into a second agg over a
+    # checkpointed join instead.
     stats = j.agg(
         F.count(F.lit(1)).alias("child_rows"),
         F.count(F.when(F.col("_pk").isNull(), 1)).alias("orphan_rows"),
