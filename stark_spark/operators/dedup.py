@@ -27,6 +27,33 @@ from pyspark.sql import functions as F
 from stark_spark.operators.text import shingles
 
 
+def _sql_array_lit(values, element_type: str) -> Column:
+    """Array literal built as ONE SQL expression string — a single
+    py4j call plus one JVM-side parse, instead of the classic-PySpark
+    ``lit(list)`` expansion of one ``lit`` round-trip per element
+    (r14 measured ~240 ms → ~5 ms at 225 bloom words; the driver
+    pays this per gate invocation). Values are identical to
+    ``F.lit(list).cast("array<type>")``: integer elements print
+    exactly; doubles print via ``repr`` — the shortest round-trip
+    form, which the JVM's correctly-rounded parse maps back to the
+    same IEEE bits — with a ``D`` suffix so ``-0.0`` stays a DOUBLE
+    literal (a DECIMAL detour would lose the sign bit). Non-finite
+    doubles have no SQL literal form and fall back to the old path."""
+    import math as _math
+    vals = list(values)
+    if element_type == "double":
+        vals = [float(v) for v in vals]
+        if not vals or not all(_math.isfinite(v) for v in vals):
+            return F.lit(vals).cast("array<double>")
+        body = ",".join(f"{v!r}D" for v in vals)
+    else:
+        vals = [int(v) for v in vals]
+        if not vals:
+            return F.lit(vals).cast(f"array<{element_type}>")
+        body = ",".join(str(v) for v in vals)
+    return F.expr(f"CAST(array({body}) AS ARRAY<{element_type}>)")
+
+
 def _spread_by_key(df: DataFrame, key: str) -> DataFrame:
     """Repartition by ``key`` ahead of a per-doc hashing expansion.
 
@@ -318,16 +345,14 @@ def bloom_might_contain(hash_col: Column, words: list[int], m: int,
     scan. 32-bit words keep every value positive in a BIGINT, so no
     sign-extension subtleties in ``getbit``.
 
-    The word array is built with ``F.lit(list)``: under classic
-    PySpark this still expands to one ``lit`` call per element, but
-    it drops the per-element ``.cast`` the old
-    ``F.array(*[F.lit(w).cast(...) ...])`` form paid — one py4j
-    round-trip per word instead of two-plus (measured ~7×:
-    771 ms → 110 ms at 219 words; the expression build dominated the
-    streaming-decontam gate's setup). Only under Spark Connect does
-    ``lit(list)`` become a true single-call literal. Identical array
-    values either way."""
-    arr = F.lit([int(w) for w in words]).cast("array<bigint>")
+    The word array is built as ONE SQL expression string
+    (`_sql_array_lit`) — a single py4j call + one JVM parse instead
+    of one round-trip per word (r13 had already cut two-plus
+    round-trips per word to one by dropping the per-element cast,
+    771 ms → 110 ms at 219 words; the string form removes the
+    remaining per-element loop, ~110 ms → ~5 ms). Identical array
+    values (integers print exactly)."""
+    arr = _sql_array_lit(words, "bigint")
     h1 = F.conv(F.substring(hash_col, 1, 15), 16, 10).cast("long") % m
     h2 = (F.conv(F.substring(hash_col, 16, 15), 16, 10).cast("long")
           % (m - 1)) + 1
@@ -696,22 +721,32 @@ def jaccard_prefix_join(df: DataFrame, key: str, *,
     # excursion is ~7 s under the same storms (vs 17-75 s).
     # ``verify="sql"`` keeps the relational explode-verify twin
     # (pinned row-equal in pytest).
-    ta = per_doc.select(F.col(key).alias("a"),
-                        F.col("ts.tok").alias("_tta"),
-                        F.col("sz").alias("sz_a"))
-    tb = per_doc.select(F.col(key).alias("b"),
-                        F.col("ts.tok").alias("_ttb"),
-                        F.col("sz").alias("sz_b"))
     if verify == "arrow":
         import pandas as pd
-        joined = cand.join(ta, "a").join(tb, "b")
+        # Ship each side's token set as ONE space-joined string, not
+        # an array<string> (r14 follow-up): thread-sampling the slow
+        # reps showed the task threads inside Arrow's
+        # StringWriter.setValue — the JVM→Python write paid one
+        # varchar append PER TOKEN PER PAIR (~40×2 per candidate).
+        # tokens come from split(text, ' '), so they contain no
+        # spaces and join(' ')/split(' ') round-trip EXACTLY
+        # (empty tokens included); the Python set is built from the
+        # identical token multiset, so n_common is unchanged.
+        ja = per_doc.select(F.col(key).alias("a"),
+                            F.array_join("ts.tok", " ").alias("_sa"),
+                            F.col("sz").alias("sz_a"))
+        jb = per_doc.select(F.col(key).alias("b"),
+                            F.array_join("ts.tok", " ").alias("_sb"),
+                            F.col("sz").alias("sz_b"))
+        joined = cand.join(ja, "a").join(jb, "b")
 
         def _verify(batches):
             for pdf in batches:
                 if pdf.empty:
                     continue
-                n = [len(frozenset(x).intersection(y))
-                     for x, y in zip(pdf["_tta"], pdf["_ttb"])]
+                n = [len(frozenset(x.split(" "))
+                         .intersection(y.split(" ")))
+                     for x, y in zip(pdf["_sa"], pdf["_sb"])]
                 yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"],
                                     "n_common": n,
                                     "sz_a": pdf["sz_a"],
@@ -736,13 +771,17 @@ def jaccard_prefix_join(df: DataFrame, key: str, *,
         raise ValueError(
             f"jaccard_prefix_join: verify={verify!r} — must be "
             f"'arrow' or 'sql'")
+    ta = per_doc.select(F.col(key).alias("a"),
+                        F.col("sz").alias("sz_a"))
+    tb = per_doc.select(F.col(key).alias("b"),
+                        F.col("sz").alias("sz_b"))
     ia = cand.join(tok.select(F.col(key).alias("a"), "tok"), "a")
     inter = (ia.join(tok.select(F.col(key).alias("b"), "tok"),
                      ["b", "tok"])
                .groupBy("a", "b").agg(F.count("*").alias("n_common")))
     out = (inter
-           .join(ta.select("a", "sz_a"), "a")
-           .join(tb.select("b", "sz_b"), "b")
+           .join(ta, "a")
+           .join(tb, "b")
            .withColumn("jaccard_q6",
                        F.expr("1000000 * n_common div "
                               "(sz_a + sz_b - n_common)")))

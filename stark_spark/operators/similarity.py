@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stark_spark.operators.dedup import _sql_array_lit
+
 
 def dot_fold(a: Column, b: Column) -> Column:
     """Left-to-right double fold of the elementwise product — the
@@ -966,13 +968,12 @@ def lsh_signature(vec, dim: int, n_bits: int) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
     sig = None
     for i, w in enumerate(planes):
-        # one lit(list) per plane (not dim separate F.lit(..).cast()
-        # calls — under classic PySpark lit(list) still expands to a
-        # lit per element, but dropping the per-element cast roughly
-        # halves the py4j round-trips, which cost whole seconds of
-        # driver time per signature expression at dim=64; a true
-        # single-call literal only under Spark Connect; same values)
-        warr = F.lit([float(x) for x in w]).cast("array<double>")
+        # one SQL-string array literal per plane (_sql_array_lit):
+        # a single py4j call + one JVM parse instead of one lit
+        # round-trip per element — repr() doubles round-trip to the
+        # same IEEE bits, so the values are identical (r14; the r13
+        # lit(list) form still paid dim round-trips per plane)
+        warr = _sql_array_lit(w, "double")
         bit = F.when(dot_fold(v, warr) >= 0,
                      F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
@@ -1061,8 +1062,7 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         # fold out of the ~n_bits^3/6 scored structs
         planes = lsh_hyperplanes(dim, n_bits)
         qv = F.col(qvec_col)
-        dots = [dot_fold(qv, F.lit([float(x) for x in w])
-                             .cast("array<double>"))
+        dots = [dot_fold(qv, _sql_array_lit(w, "double"))
                 for w in planes]
         sig = None
         for i, d in enumerate(dots):
@@ -1480,7 +1480,7 @@ def pq_topk(vectors: DataFrame, queries: DataFrame, codebook: list,
                     t = qv[s * dsub + i] - cw[i]
                     d2 = d2 + t * t
                 dq.append(math.floor(d2 * 1000000.0))
-            tbl = F.lit([int(x) for x in dq]).cast("array<bigint>")
+            tbl = _sql_array_lit(dq, "bigint")
             score = score + F.element_at(
                 tbl, F.element_at("codes", s + 1) + 1)
         return score

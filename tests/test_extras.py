@@ -909,3 +909,49 @@ def test_bench_compare_warm_clean_across_rounds():
     out = compare(json.load(open(old_p)), json.load(open(new_p)),
                   tier="warm")
     assert out["flagged"] == [], (old_p.name, new_p.name, out)
+
+
+def test_sql_array_lit_bit_identical(spark):
+    """The one-parse SQL array literal (r14) must produce the exact
+    array `F.lit(list).cast(...)` produced — including -0.0's sign
+    bit, shortest-repr doubles, and int64 extremes — and fall back
+    cleanly for non-finite doubles (no SQL literal form)."""
+    import math
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.dedup import _sql_array_lit
+
+    rng = random.Random(7)
+    doubles = ([-0.0, 0.0, 1e-300, -1e300, 0.1, 2.0 ** -1074,
+                1.7976931348623157e308, 3.141592653589793]
+               + [rng.uniform(-1e6, 1e6) for _ in range(40)]
+               + [rng.random() * 10 ** rng.randint(-20, 20)
+                  for _ in range(40)])
+    longs = ([0, 1, -1, 2 ** 63 - 1, -(2 ** 63), 42]
+             + [rng.randint(-(2 ** 62), 2 ** 62) for _ in range(40)])
+
+    row = spark.range(1).select(
+        _sql_array_lit(doubles, "double").alias("d_new"),
+        F.lit([float(x) for x in doubles]).cast("array<double>")
+         .alias("d_old"),
+        _sql_array_lit(longs, "bigint").alias("l_new"),
+        F.lit([int(x) for x in longs]).cast("array<bigint>")
+         .alias("l_old")).first()
+    bits = lambda x: struct.pack("<d", x)
+    assert [bits(x) for x in row.d_new] == [bits(x) for x in row.d_old]
+    assert row.l_new == row.l_old
+
+    # non-finite doubles: the helper must keep working (fallback path)
+    nf = [1.0, float("inf"), float("-inf"), float("nan")]
+    got = spark.range(1).select(
+        _sql_array_lit(nf, "double").alias("a")).first().a
+    assert got[0] == 1.0 and math.isinf(got[1]) and math.isinf(got[2])
+    assert math.isnan(got[3])
+    # empty arrays survive both element types
+    e = spark.range(1).select(
+        _sql_array_lit([], "double").alias("d"),
+        _sql_array_lit([], "bigint").alias("l")).first()
+    assert e.d == [] and e.l == []
