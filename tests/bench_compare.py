@@ -52,6 +52,20 @@ BANDS_WARM_MAX = {
     # can't see). Genuine per-batch decay reads systematically, not
     # as one excursion; quiet reps > 3.3 re-flag.
     "stream_ohlc": 3.3,
+    # PARITY "bpe_merge_pairs wake" (r14): canary-gated isolated A/B
+    # on the r14 host class — 8 quiet reps 0.358-0.419 s warm
+    # (median 0.378; 8 storm reps rejected), vs 0.92/1.415 s in two
+    # quiet-canary BENCH records on the same tree. The excursion is
+    # the late-session JIT wake that follows jaccard_prefix_pairs in
+    # bench order (reproduced with a fill-then-measure harness; the
+    # r14 verify-transport fix cut the wake's source 3-5x but a
+    # micro query right behind the suite's biggest codegen plan
+    # still reads 2-4x on first touch, with both canaries quiet —
+    # compile contention is invisible to steady-state probes).
+    # Genuine decay (e.g. losing the map-side partial aggregate)
+    # reads multi-second AND slow in isolated quiet reps; > 1.5
+    # re-flags.
+    "bpe_merge_pairs": 1.5,
     # PARITY "Skew-guard probe cost": the r12 band-bucket guard adds
     # a DECLARED +0.2-0.3 s eager probe to every hamming-family call
     # (the last pre-guard record is r11-era, so the step shows up in
