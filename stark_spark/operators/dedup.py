@@ -337,8 +337,8 @@ def bloom_member(hx: str, words: list[int], m: int, k: int) -> bool:
         for j in range(k))
 
 
-def bloom_might_contain(hash_col: Column, words: list[int], m: int,
-                        k: int) -> Column:
+def bloom_might_contain(hash_col: Column | str, words: list[int],
+                        m: int, k: int) -> Column:
     """Native membership test against a driver-built Bloom filter:
     ``conv`` + ``pmod`` + ``element_at`` on a literal word array +
     ``getbit`` — whole-stage-codegen end-to-end, no Python on the
@@ -350,8 +350,28 @@ def bloom_might_contain(hash_col: Column, words: list[int], m: int,
     of one round-trip per word (r13 had already cut two-plus
     round-trips per word to one by dropping the per-element cast,
     771 ms → 110 ms at 219 words; the string form removes the
-    remaining per-element loop, ~110 ms → ~5 ms). Identical array
-    values (integers print exactly)."""
+    remaining per-element loop to ~1 ms). With a plain column NAME
+    the WHOLE k-probe conjunction is built the same way — the
+    Column-arithmetic loop still paid ~20 py4j round-trips per
+    probe (~165–250 ms at k=10, r14-measured); the single-string
+    form parses once. The parsed tree is the identical expression
+    (same conv/%/element_at/getbit arithmetic, k-fold AND), so
+    values and plans match the Column path; a Column argument keeps
+    the old loop for expression-valued callers."""
+    if isinstance(hash_col, str):
+        name = f"`{hash_col}`"
+        arr = ("CAST(array(" + ",".join(str(int(w)) for w in words)
+               + ") AS ARRAY<BIGINT>)")
+        h1 = (f"(CAST(conv(substring({name}, 1, 15), 16, 10) AS "
+              f"BIGINT) % {m})")
+        h2 = (f"((CAST(conv(substring({name}, 16, 15), 16, 10) AS "
+              f"BIGINT) % {m - 1}) + 1)")
+        conds = []
+        for j in range(k):
+            pos = f"(({h1} + {j} * {h2}) % {m})"
+            word = f"element_at({arr}, CAST(({pos} / 32) AS INT) + 1)"
+            conds.append(f"(getbit({word}, {pos} % 32) = 1)")
+        return F.expr("(true AND " + " AND ".join(conds) + ")")
     arr = _sql_array_lit(words, "bigint")
     h1 = F.conv(F.substring(hash_col, 1, 15), 16, 10).cast("long") % m
     h2 = (F.conv(F.substring(hash_col, 16, 15), 16, 10).cast("long")
@@ -487,7 +507,7 @@ def cross_bloom_dups(train: DataFrame, eval_df: DataFrame, key: str, *,
                   eval_df.select(ev_hash.alias("h")).distinct().collect()]
         words, m, k = bloom_build(hashes, fpp)
         filtered = tr_hash.where(
-            bloom_might_contain(F.col("content_hash"), words, m, k))
+            bloom_might_contain("content_hash", words, m, k))
     elif impl == "jvm":
         ev_hashes = eval_df.select(ev_hash.alias("h")).distinct()
         n = eval_count if eval_count is not None else ev_hashes.count()

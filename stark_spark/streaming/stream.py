@@ -408,7 +408,7 @@ def stream_contamination(stream: DataFrame, eval_df: DataFrame, *,
                   eval_df.select(ev_hash.alias("h")).distinct().collect()]
         words, m, k = bloom_build(hashes, fpp)
         flagged = hashed.where(bloom_might_contain(
-            F.col("content_hash"), words, m, k))
+            "content_hash", words, m, k))
         truth = stream.sparkSession.createDataFrame(
             [(h,) for h in hashes], "content_hash string")
     elif impl == "jvm":

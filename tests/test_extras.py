@@ -955,3 +955,30 @@ def test_sql_array_lit_bit_identical(spark):
         _sql_array_lit([], "double").alias("d"),
         _sql_array_lit([], "bigint").alias("l")).first()
     assert e.d == [] and e.l == []
+
+
+def test_bloom_probe_string_equals_column(spark):
+    """The one-parse SQL-string form of bloom_might_contain (r14,
+    column-name argument) must select exactly the rows the Column
+    arithmetic selects — same double-hash, same k-probe AND."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.dedup import bloom_build, bloom_might_contain
+
+    hashes = [hashlib.md5(str(i).encode()).hexdigest()
+              for i in range(150)]
+    words, m, k = bloom_build(hashes, 1e-3)
+    probe = [hashlib.md5(("p%d" % i).encode()).hexdigest()
+             for i in range(5000)] + hashes
+    df = spark.createDataFrame([(h,) for h in probe],
+                               "content_hash string")
+    col_rows = sorted(
+        r.content_hash for r in df.where(bloom_might_contain(
+            F.col("content_hash"), words, m, k)).collect())
+    str_rows = sorted(
+        r.content_hash for r in df.where(bloom_might_contain(
+            "content_hash", words, m, k)).collect())
+    assert col_rows == str_rows
+    assert set(hashes) <= set(str_rows)     # no false negatives
