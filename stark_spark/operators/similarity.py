@@ -43,6 +43,20 @@ def dot_fold(a: Column, b: Column) -> Column:
                        lambda acc, v: acc + v)
 
 
+def _dot_fold_sql(vec_name: str, w) -> str:
+    """`dot_fold(col, lit(w))` as a SQL fragment — the identical
+    zip_with/aggregate fold (same CASTs, same left fold, `D`-suffixed
+    shortest-repr double literals parse to the same IEEE bits), built
+    as a string so a whole literal-plane expression costs ONE py4j
+    call + one JVM parse instead of per-element/per-lambda
+    round-trips (r14). Caller guarantees finite weights."""
+    arr = ("CAST(array(" + ",".join(f"{float(x)!r}D" for x in w)
+           + ") AS ARRAY<DOUBLE>)")
+    return (f"aggregate(zip_with(`{vec_name}`, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"0.0D, (acc, v) -> acc + v)")
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot_fold(a, a))
 
@@ -964,15 +978,28 @@ def lsh_signature(vec, dim: int, n_bits: int) -> Column:
     production signature path is one `signs(V @ W.T)` matmul inside
     any of the gemm kernels (ulp near-zero dots could flip a bucket
     between float paths, so oracle-gated queries use the fold)."""
+    import math as _math
     planes = lsh_hyperplanes(dim, n_bits)
+    if isinstance(vec, str) and all(
+            _math.isfinite(x) for w in planes for x in w):
+        # ONE SQL expression string for the whole signature (r14):
+        # the Column form still paid ~15-20 py4j round-trips per
+        # plane for the zip_with/aggregate lambdas (~140-210 ms of
+        # driver time per signature at dim=64/n_bits=4, per gate
+        # invocation ×2 sides). The parsed tree is the identical
+        # fold (same CASTs, same left fold, same CASE/sum chain —
+        # repr() doubles with a D suffix round-trip to the same
+        # IEEE bits), so values match the Column path bit-for-bit.
+        terms = []
+        for i, w in enumerate(planes):
+            terms.append(f"(CASE WHEN {_dot_fold_sql(vec, w)} >= 0 "
+                         f"THEN {1 << i} ELSE 0 END)")
+        return F.expr("(" + " + ".join(terms) + ")")
     v = F.col(vec) if isinstance(vec, str) else vec
     sig = None
     for i, w in enumerate(planes):
-        # one SQL-string array literal per plane (_sql_array_lit):
-        # a single py4j call + one JVM parse instead of one lit
-        # round-trip per element — repr() doubles round-trip to the
-        # same IEEE bits, so the values are identical (r14; the r13
-        # lit(list) form still paid dim round-trips per plane)
+        # Column-expression twin for expression-valued callers (one
+        # lit(list)-style array per plane via _sql_array_lit)
         warr = _sql_array_lit(w, "double")
         bit = F.when(dot_fold(v, warr) >= 0,
                      F.lit(1 << i)).otherwise(F.lit(0))
@@ -1061,9 +1088,9 @@ def ann_lsh_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         # masks off the bound array column — keeps each dim-length
         # fold out of the ~n_bits^3/6 scored structs
         planes = lsh_hyperplanes(dim, n_bits)
-        qv = F.col(qvec_col)
-        dots = [dot_fold(qv, _sql_array_lit(w, "double"))
-                for w in planes]
+        # one-parse SQL folds (same expression as dot_fold — see
+        # _dot_fold_sql; saves the per-plane lambda round-trips)
+        dots = [F.expr(_dot_fold_sql(qvec_col, w)) for w in planes]
         sig = None
         for i, d in enumerate(dots):
             bit = F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))

@@ -982,3 +982,39 @@ def test_bloom_probe_string_equals_column(spark):
             "content_hash", words, m, k)).collect())
     assert col_rows == str_rows
     assert set(hashes) <= set(str_rows)     # no false negatives
+
+
+def test_lsh_signature_sql_equals_column(spark):
+    """The one-parse SQL form of lsh_signature (r14, column-name
+    argument) must produce bit-identical signatures to the Column
+    fold chain — same zip_with/aggregate fold, same CASE/sum."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stark_spark.operators.similarity import (_sql_array_lit,
+                                                  dot_fold,
+                                                  lsh_hyperplanes,
+                                                  lsh_signature)
+
+    rng = np.random.RandomState(5)
+    rows = [(int(i), [float(x) for x in rng.randn(16)])
+            for i in range(400)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+
+    def column_sig(vec, dim, n_bits):
+        sig = None
+        for i, w in enumerate(lsh_hyperplanes(dim, n_bits)):
+            bit = F.when(dot_fold(F.col(vec),
+                                  _sql_array_lit(w, "double")) >= 0,
+                         F.lit(1 << i)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        return sig
+
+    a = [tuple(r) for r in df.select(
+        "vec_id", column_sig("embedding", 16, 5).alias("s"))
+        .orderBy("vec_id").collect()]
+    b = [tuple(r) for r in df.select(
+        "vec_id", lsh_signature("embedding", 16, 5).alias("s"))
+        .orderBy("vec_id").collect()]
+    assert a == b
