@@ -6830,9 +6830,10 @@ def _q_stream_contamination_jvm(spark, sf):
     """Streaming decontamination, distributed-build flavor: the Bloom
     words are built JVM-side (explode → bit_or tree-aggregate, no
     driver collect, no plan literal) and probed inside each
-    micro-batch via k broadcast stream-static joins — the ingest-time
-    shape that scales past ~1M eval rows. Same flagged set as the
-    literal impl and the batch check."""
+    micro-batch via ONE single-row stream-static broadcast of the
+    dense word array + k getbit probes — the ingest-time shape that
+    scales past ~1M eval rows. Same flagged set as the literal impl
+    and the batch check."""
     from stark_spark.streaming.stream import (read_event_stream,
                                               stream_contamination)
     docs = D.load(spark, sf, "documents")

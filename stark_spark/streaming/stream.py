@@ -383,9 +383,10 @@ def stream_contamination(stream: DataFrame, eval_df: DataFrame, *,
       filter words are built DISTRIBUTED (`dedup.bloom_words_df`:
       explode into bit positions → bit_or tree-aggregate, no driver
       collect, no plan literal at any eval size) and probed inside
-      each micro-batch via k broadcast stream-static joins on word
-      index (`dedup._bloom_probe_joins` — still stateless: every
-      join's static side is a checkpointed local-block frame). The
+      each micro-batch via ONE single-row stream-static broadcast of
+      the dense word array + k getbit probes
+      (`dedup._bloom_probe_array` — still stateless: the static side
+      is a checkpointed local-block frame). The
       eval hash set is `localCheckpoint`ed ONCE up front and serves
       as BOTH the filter source and the closing-join truth side, so
       the determinism precondition disappears and the eval pipeline
@@ -397,7 +398,7 @@ def stream_contamination(stream: DataFrame, eval_df: DataFrame, *,
     decontamination against a 100M-row eval suite is a broadcast-probe
     chain plus an eval-sized equi-join — the same 100 TB shape as the
     batch path."""
-    from stark_spark.operators.dedup import (_bloom_probe_joins,
+    from stark_spark.operators.dedup import (_bloom_probe_array,
                                              _bloom_sizing, bloom_build,
                                              bloom_might_contain,
                                              bloom_words_df)
@@ -416,7 +417,7 @@ def stream_contamination(stream: DataFrame, eval_df: DataFrame, *,
                      .localCheckpoint(eager=True))
         n = ev_hashes.count()
         m, k = _bloom_sizing(n, fpp)
-        flagged = _bloom_probe_joins(hashed, "content_hash",
+        flagged = _bloom_probe_array(hashed, "content_hash",
                                      bloom_words_df(ev_hashes, m, k),
                                      m, k)
         truth = ev_hashes.select(F.col("h").alias("content_hash"))

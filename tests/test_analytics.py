@@ -776,9 +776,11 @@ def test_contamination_bloom_jvm(spark, docs):
     literal build's rows (both equal exact contamination), with no
     multi-MB plan literal: the filter words come from an explode →
     bit_or tree-aggregate DataFrame (no driver collect of hashes) and
-    the probe is k broadcast hash joins on word index. The 100 TB
-    decontamination path for benchmark suites beyond ~1M rows, where
-    the literal-array plan would blow up."""
+    the probe reads the dense word array from ONE single-row
+    broadcast (r14 `_bloom_probe_array`; previously k broadcast hash
+    joins on word index). The 100 TB decontamination path for
+    benchmark suites beyond ~1M rows, where the literal-array plan
+    would blow up."""
     from stark_spark.operators.dedup import (bloom_build, bloom_member,
                                              bloom_words_df,
                                              cross_bloom_dups,
@@ -794,12 +796,15 @@ def test_contamination_bloom_jvm(spark, docs):
                             for r in df.collect())
     assert key(got) == key(want)
 
-    # no plan literal: the literal impl probes via element_at on an
-    # array literal; the jvm impl must not, and its physical plan must
-    # carry broadcast hash joins + getbit probes instead
+    # no plan literal: the literal impl embeds the word array as a
+    # plan-side literal; the jvm impl's probes must read the array
+    # from the BROADCAST column (_warr, one nested-loop broadcast of
+    # a single row) — no array(...) literal of words anywhere in the
+    # plan, getbit probes present
     plan = got._jdf.queryExecution().executedPlan().toString()
-    assert "element_at" not in plan
-    assert "BroadcastHashJoin" in plan and "getbit" in plan
+    assert "_warr" in plan and "getbit" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "cast(array(" not in plan.lower()  # no word-array literal
 
     # the distributed build produces bit-identical words to the
     # driver-side build (same double-hash arithmetic)
